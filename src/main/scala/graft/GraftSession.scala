@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession factory for the graft engine.
+  *
+  * Centralizes the settings every entry point (tests, Verify, Bench, demos)
+  * needs:
+  *  - `nanosAsLong`: the driver-generated `events` table stores
+  *    TIMESTAMP(NANOS), which Spark's parquet reader rejects by default;
+  *    reading them as nano-epoch longs keeps the scan vectorized and we
+  *    convert explicitly where a timestamp is needed.
+  *  - low shuffle partitions for the local[32] regime (overridable); AQE
+  *    coalesces further at runtime and would re-split on a real cluster.
+  */
+object GraftSession {
+  def builderDefaults(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  def local(threads: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession = {
+    val s = builderDefaults(
+      SparkSession.builder().master(s"local[$threads]").appName(appName),
+      shufflePartitions = math.max(threads, 8))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

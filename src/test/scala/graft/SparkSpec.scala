@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.{Files, Path}
+
+/** Shared local SparkSession + tmpdir helpers for all suites. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+  def conf = spark.sparkContext.hadoopConfiguration
+
+  def withTmpDir[T](f: String => T): T = {
+    val dir: Path = Files.createTempDirectory("graft-test-")
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = graft.GraftSession.local(4, "graft-test")
+}
