@@ -1,0 +1,126 @@
+package graft
+
+import graft.core.GraftError
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** How CDC changes are applied to an existing table
+  * (reference `src/polars_incremental/cdc.py:8-55`). */
+sealed trait CdcMode
+object CdcMode {
+  /** Keyed upsert/delete merge with latest-change-wins. */
+  case object Merge extends CdcMode
+  /** Keep only inserts (no merge, no delete). */
+  case object AppendOnly extends CdcMode
+}
+
+/** Keyed CDC merge over DataFrames: normalize change codes, drop preimages,
+  * dedupe to the latest change per key, then anti-join deletes and
+  * anti-join+union upserts.
+  *
+  * Re-expresses reference `src/polars_incremental/cdc.py` with Spark
+  * primitives: the latest-per-key dedup is a ranking window (shuffles once
+  * on the merge keys), the delete/upsert application is two `left_anti`
+  * joins plus `unionByName` — semantically Delta's
+  * `MERGE INTO … WHEN MATCHED AND type='delete' THEN DELETE / WHEN MATCHED
+  * THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`. At scale both the
+  * window and the joins hash-partition on the same keys, so AQE folds them
+  * into one exchange where possible.
+  */
+object Cdc {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
+  val MetaCols: Seq[String] = Seq(ChangeTypeCol, CommitVersionCol, CommitTimestampCol)
+
+  val CanonicalTypes: Set[String] =
+    Set("insert", "update", "update_preimage", "update_postimage", "delete")
+
+  /** Map custom change codes onto canonical values, passing through
+    * unmapped values (reference `cdc.py:103-115`). */
+  def normalizeChangeTypes(df: DataFrame, changeCol: String,
+      mapping: Map[String, String]): DataFrame = {
+    if (mapping.isEmpty) return df
+    val mapped = mapping.foldLeft(lit(null).cast("string")) { case (acc, (from, to)) =>
+      when(col(changeCol) === from, lit(to)).otherwise(acc)
+    }
+    df.withColumn(changeCol, coalesce(mapped, col(changeCol)))
+  }
+
+  /** Drop `update_preimage` rows (and optionally deletes); `append_only`
+    * keeps only inserts (reference `cdc.py:86-100`). */
+  def prepareChanges(df: DataFrame, changeCol: String, mode: CdcMode,
+      dropDeletes: Boolean = false): DataFrame = mode match {
+    case CdcMode.AppendOnly => df.filter(col(changeCol) === "insert")
+    case CdcMode.Merge =>
+      val base = df.filter(col(changeCol) =!= "update_preimage")
+      if (dropDeletes) base.filter(col(changeCol) =!= "delete") else base
+  }
+
+  /** Latest change per key ordered by `_commit_version` (fallback
+    * `_commit_timestamp`, final tiebreak on a stable row id) —
+    * reference `cdc.py:195-209` via a ranking window. */
+  def dedupeLatest(df: DataFrame, keys: Seq[String], versionCol: Option[Column] = None)
+      : DataFrame = {
+    val cols = df.columns.toSet
+    val order: Seq[Column] = versionCol.map(c => Seq(c.desc)).getOrElse {
+      val v = if (cols.contains(CommitVersionCol)) Some(col(CommitVersionCol).desc) else None
+      val t = if (cols.contains(CommitTimestampCol)) Some(col(CommitTimestampCol).desc) else None
+      val chosen = Seq(v, t).flatten
+      if (chosen.isEmpty)
+        throw new GraftError(
+          s"dedupeLatest needs $CommitVersionCol or $CommitTimestampCol (or an explicit version column)")
+      chosen
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def stripMeta(df: DataFrame): DataFrame =
+    df.drop(MetaCols.filter(df.columns.contains): _*)
+
+  /** Full in-memory merge (reference `apply_cdc`, `cdc.py:8-55,118-192`):
+    * returns the merged table with CDC meta columns stripped. */
+  def applyCdc(
+      changes: DataFrame,
+      existing: Option[DataFrame],
+      keys: Seq[String],
+      mode: CdcMode = CdcMode.Merge,
+      changeCol: String = ChangeTypeCol,
+      changeTypeMap: Map[String, String] = Map.empty,
+      dropDeletes: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val normalized = normalizeChangeTypes(changes, changeCol, changeTypeMap)
+    missingCols(normalized, keys :+ changeCol)
+    val prepared = prepareChanges(normalized, changeCol, mode, dropDeletes)
+
+    mode match {
+      case CdcMode.AppendOnly =>
+        val payload = stripMeta(prepared)
+        existing match {
+          case Some(e) => e.unionByName(payload, allowMissingColumns = true)
+          case None => payload
+        }
+      case CdcMode.Merge =>
+        val latest = dedupeLatest(prepared, keys)
+        val deletes = latest.filter(col(changeCol) === "delete").select(keys.map(col): _*)
+        val upserts = stripMeta(latest.filter(col(changeCol) =!= "delete"))
+        existing match {
+          case None => upserts
+          case Some(e) =>
+            val touched = latest.select(keys.map(col): _*).distinct()
+            // remove every touched key (delete-wins + upsert-replace), then
+            // re-insert the upsert payload (reference cdc.py:175-192)
+            val kept = e.join(touched, keys, "left_anti")
+            kept.unionByName(upserts, allowMissingColumns = true)
+        }
+    }
+  }
+
+  private def missingCols(df: DataFrame, required: Seq[String]): Unit = {
+    val missing = required.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new GraftError(s"CDC frame is missing columns: ${missing.mkString(", ")}")
+  }
+}

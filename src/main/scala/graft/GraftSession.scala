@@ -17,6 +17,10 @@ object GraftSession {
   def builderDefaults(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Polars-style permissive semantics: cast failure -> null (schema
+      // evolution's non-strict coerce), wrapping 64-bit arithmetic (hash
+      // mixing in minhash/simhash), no div-by-zero errors.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)

@@ -1,0 +1,468 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The engine's query inventory — one entry per operator from SURVEY.md §2.B
+  * plus the large-scale training-data operators (dedup / similarity / text
+  * analysis / multimodal).
+  *
+  * Each query is a (SparkSession, sfDir) => DataFrame paired, where
+  * ANSI-expressible, with DuckDB oracle SQL over the same parquet tables.
+  * Determinism rules (the driver hash-compares values):
+  *  - monetary aggregates go through exact decimal sums then one cast to
+  *    double (`dsum`) so float addition order can never change the result;
+  *  - every query ends in a total ORDER BY;
+  *  - aggregate/computed columns carry identical aliases on both sides.
+  */
+object Queries {
+
+  case class QueryDef(build: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic double sum: exact decimal accumulation, then one cast. */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(30, 6))).cast("double"), 2)
+  /** Matching DuckDB SQL for dsum. */
+  private def dsumSql(e: String): String =
+    s"ROUND(CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE), 2)"
+
+  /** Deterministic per-row rounding: Spark and DuckDB round doubles
+    * differently at representation boundaries, so round in exact decimal
+    * then cast. */
+  private def dround(c: Column): Column =
+    round(c.cast(DecimalType(30, 6)), 2).cast("double")
+  private def droundSql(e: String): String =
+    s"CAST(ROUND(CAST($e AS DECIMAL(30,6)), 2) AS DOUBLE)"
+
+  /** events.ts arrives as nano-epoch LongType in Spark (nanosAsLong) and as
+    * TIMESTAMP_NS in DuckDB; convert on the Spark side where a timestamp is
+    * needed. */
+  private def tsCol: Column = timestamp_micros((col("ts") / 1000L).cast("long"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----- filter / projection -------------------------------------------
+    "q_filter_project" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_discount") <= 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dround(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${droundSql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----- aggregation (TPC-H Q1 shape) ----------------------------------
+    "q_agg_pricing" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+              |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+              |  COUNT(*) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----- global aggregation --------------------------------------------
+    "q_agg_global" -> QueryDef(
+      (s, d) => t(s, d, "orders").agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_revenue"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_order"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order")),
+      Some(s"""SELECT COUNT(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS total_revenue,
+              |  STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+              |  STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+              |FROM orders""".stripMargin)),
+
+    // ----- tumbling time window ------------------------------------------
+    "q_window_tumbling" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .groupBy(window(tsCol, "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start"),
+      Some(s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+              |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)),
+
+    // ----- latest-per-key dedup (ranking window) -------------------------
+    "q_dedup_latest" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            round(col("value"), 2).as("value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+             |FROM (SELECT *, ROW_NUMBER() OVER
+             |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ----- sort + limit ---------------------------------------------------
+    "q_topk_orders" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice")),
+      Some("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ----- anti join ------------------------------------------------------
+    "q_anti_join" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ----- semi join ------------------------------------------------------
+    "q_semi_join" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"),
+          "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ----- join + aggregate (broadcast dims) ------------------------------
+    "q_join_agg" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("n_name"),
+      Some(s"""SELECT n_name, COUNT(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS revenue
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ----- multi-way join (TPC-H Q5 shape) --------------------------------
+    "q_region_revenue" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("r_name"),
+      Some(s"""SELECT r_name,
+              |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+              |  COUNT(*) AS n_lineitems
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ----- union by name (diagonal concat) --------------------------------
+    "q_union_byname" -> QueryDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        val b = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+        a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, NULL AS priority
+             |  FROM orders WHERE o_orderstatus = 'F'
+             |  UNION ALL BY NAME
+             |  SELECT o_orderkey, NULL AS price, o_orderpriority AS priority
+             |  FROM orders WHERE o_orderstatus = 'O')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----- distinct -------------------------------------------------------
+    "q_distinct" -> QueryDef(
+      (s, d) => t(s, d, "customer").select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // ----- conditional (when/otherwise) ----------------------------------
+    "q_case_when" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket"),
+      Some(s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+              |  WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS bucket,
+              |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ----- string functions ----------------------------------------------
+    "q_string_funcs" -> QueryDef(
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_name"), 1, 12).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(p_brand) AS brand_upper,
+             |  SUBSTRING(p_name, 1, 12) AS name_prefix,
+             |  LENGTH(p_name) AS name_len,
+             |  CONCAT_WS('/', p_brand, p_type) AS brand_type
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ----- datetime extraction -------------------------------------------
+    "q_datetime_parts" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_year", "o_month"),
+      Some(s"""SELECT YEAR(o_orderdate) AS o_year, MONTH(o_orderdate) AS o_month,
+              |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+              |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin)),
+
+    // ----- JSON extraction ------------------------------------------------
+    "q_json_extract" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
+
+    // ----- SQL surface (temp view + spark.sql) ----------------------------
+    "q_sql_agg" -> QueryDef(
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events_v")
+        s.sql(s"""SELECT user_id, event_type, COUNT(*) AS event_count,
+                 |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+                 |FROM events_v WHERE value >= 0
+                 |GROUP BY user_id, event_type
+                 |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some(s"""SELECT user_id, event_type, COUNT(*) AS event_count,
+              |  ${dsumSql("value")} AS total_value
+              |FROM events WHERE value >= 0
+              |GROUP BY user_id, event_type
+              |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ----- CDC merge (the reference's flagship operator) ------------------
+    // events as a change stream: key=user_id, version=event_id,
+    // 'error' events are deletes, everything else an upsert. Delete-wins.
+    "q_cdc_merge" -> QueryDef(
+      (s, d) => {
+        val changes = t(s, d, "events")
+          .withColumn(Cdc.ChangeTypeCol,
+            when(col("event_type") === "error", "delete").otherwise("update_postimage"))
+          .withColumn(Cdc.CommitVersionCol, col("event_id"))
+          .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"),
+            col(Cdc.ChangeTypeCol), col(Cdc.CommitVersionCol))
+        Cdc.applyCdc(changes, existing = None, keys = Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, ROUND(value, 2) AS value
+             |FROM (SELECT *, ROW_NUMBER() OVER
+             |        (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |      FROM events) WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin)),
+
+    // ----- incremental aggregation (partial/final two-phase) --------------
+    "q_incremental_agg" -> QueryDef(
+      (s, d) => {
+        val e = t(s, d, "events")
+        // simulate two micro-batches, partial-agg each, merge + re-agg —
+        // the reference's incremental_aggregations.py pattern
+        def partial(df: DataFrame) = df.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(30, 6))).as("v"))
+        val merged = partial(e.filter(col("event_id") % 2 === 0))
+          .unionByName(partial(e.filter(col("event_id") % 2 === 1)))
+        merged.groupBy("user_id")
+          .agg(sum(col("n")).as("n_events"), round(sum(col("v")).cast("double"), 2).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ----- watermark cutoff (state-backed pattern) ------------------------
+    "q_watermark" -> QueryDef(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val cutoff = e.agg(max(col("ts"))).head().getLong(0) - 24L * 3600 * 1000000000L
+        e.filter(col("ts") >= cutoff)
+          .groupBy("user_id").agg(count(lit(1)).as("recent_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS recent_events FROM events
+             |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 24 HOUR
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ================= training-data pipeline operators ==================
+
+    // ----- exact dedup ----------------------------------------------------
+    "d_dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exact(t(s, d, "documents"), Seq("text"), "doc_id")
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, ROW_NUMBER() OVER
+             |    (PARTITION BY text ORDER BY doc_id) AS rn FROM documents)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ----- fingerprint dedup ---------------------------------------------
+    "d_fingerprint" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id")),
+
+    // ----- token counting -------------------------------------------------
+    "d_token_count" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- quality scoring ------------------------------------------------
+    "d_quality" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
+          TextFunctions.meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              |    t -> t IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+              |    / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS stopword_ratio,
+              |  ROUND(CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+              |    t -> LENGTH(t))) AS DOUBLE)
+              |    / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS mean_token_len
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- language ID heuristic -----------------------------------------
+    "d_lang_id" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred"),
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('the','and','of','to','a'))) AS en,
+             |    LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('der','die','das','und','ist'))) AS de,
+             |    LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('le','la','les','et','est'))) AS fr,
+             |    LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('el','los','las','y','es'))) AS es
+             |  FROM documents)
+             |SELECT CASE WHEN GREATEST(en,de,fr,es) = 0 THEN 'und'
+             |  WHEN en = GREATEST(en,de,fr,es) THEN 'en'
+             |  WHEN de = GREATEST(en,de,fr,es) THEN 'de'
+             |  WHEN fr = GREATEST(en,de,fr,es) THEN 'fr'
+             |  ELSE 'es' END AS lang_pred, COUNT(*) AS n_docs
+             |FROM scored GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
+
+    // ----- MinHash-LSH near-dup pairs (rows-only: not ANSI-expressible) ---
+    "d_minhash_pairs" -> QueryDef(
+      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.2).orderBy("id_a", "id_b"),
+      None),
+
+    // ----- SimHash near-dup pairs (rows-only) -----------------------------
+    "d_simhash_pairs" -> QueryDef(
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 16).orderBy("id_a", "id_b"),
+      None),
+
+    // ----- ANN: brute-force cosine top-1 (rows-only; FP argmax) -----------
+    "e_ann_top1" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy("query_id")
+      },
+      Some {
+        // DuckDB's LIST_COSINE_SIMILARITY computes in float32; spell out the
+        // double-precision cosine so it matches Spark bit-for-bit.
+        val dotAB = "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        def dotSelf(x: String) =
+          s"LIST_SUM(LIST_TRANSFORM($x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        val cos = s"$dotAB / (SQRT(${dotSelf("a")}) * SQRT(${dotSelf("b")}))"
+        s"""SELECT a.vec_id AS query_id,
+           |  ARG_MAX(b.vec_id, $cos) AS neighbor_id,
+           |  ROUND(MAX($cos), 4) AS cosine
+           |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |WHERE a.vec_id < 50
+           |GROUP BY a.vec_id ORDER BY query_id""".stripMargin
+      }),
+
+    // ----- ANN: LSH-bucketed variant (rows-only: approximate) -------------
+    "e_ann_lsh" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 1, planes = 4)
+          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy("query_id")
+      },
+      None),
+
+    // ----- embedding norms per label --------------------------------------
+    "e_norms_by_label" -> QueryDef(
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), Similarity.l2Norm(col("embedding")).as("norm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), dsum(col("norm")).as("norm_sum"))
+        .orderBy("label"),
+      Some(s"""SELECT label, COUNT(*) AS n_vecs,
+              |  ${dsumSql("SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")} AS norm_sum
+              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ----- multimodal: binary column + feature extraction -----------------
+    "m_media_features" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY media_id""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (k, v) => k -> v.build }
+
+  def oracleSql: Map[String, String] =
+    defs.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+}

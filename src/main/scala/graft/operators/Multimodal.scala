@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus partition-batched decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries on this
+  * classpath): `fakeDecode` produces a deterministic stand-in derived from
+  * the bytes, so the Spark-side plumbing — schema, batch shape,
+  * partition-iterator processing, metadata struct — is real and testable.
+  * Swapping in a real decoder means replacing only the body of
+  * `fakeDecode`.
+  *
+  * Scale notes: media blobs ride in parquet binary columns; the decode
+  * operators run as `mapPartitions` over whole partitions (one JVM-side
+  * batch per partition, the Scala analogue of `mapInPandas`), so per-row
+  * overhead is amortized and the blob bytes never shuffle — only extracted
+  * features do. Keep blobs out of shuffle keys; partition by content id.
+  */
+object Multimodal {
+
+  /** Canonical media schema: id + blob + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)
+    )), nullable = true)
+  ))
+
+  /** Wrap any table with a text-ish payload column into the media schema
+    * (test harness: treats utf-8 bytes as the "blob"). */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      col(payloadCol).cast(BinaryType).as("content"),
+      struct(
+        lit(mime).as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"))
+
+  /** STUB decoder — deterministic fake: "decodes" a blob into
+    * (width, height, channels, brightness) derived from its bytes.
+    * ??? replace with a real image codec when one is on the classpath. */
+  private[operators] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)
+    else {
+      val w = 16 + (math.abs(bytes.head.toInt) % 64)
+      val h = 16 + (math.abs(bytes.last.toInt) % 64)
+      val brightness = bytes.take(256).map(b => (b & 0xff).toDouble).sum /
+        math.min(bytes.length, 256) / 255.0
+      (w, h, 3, math.rint(brightness * 10000) / 10000)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("brightness", DoubleType, nullable = false)))
+
+  /** Decode + feature-extract, batched per partition. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val (w, h, c, bright) = fakeDecode(bytes)
+        Row(id, bytes.length.toLong, w, h, c, bright)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame-sampling plumbing: split a blob into fixed-size "frames" and
+    * emit every `stride`-th one — the partitioning/explode shape of video
+    * frame extraction, with byte-slicing standing in for a codec. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    media.select(col("media_id"), col("content"))
+      .withColumn("n_frames",
+        ceil(octet_length(col("content")).cast("double") / frameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0)))
+      .select(col("media_id"), col("frame_idx"),
+        col("content").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
+  /** "Resize": truncate/pad the blob to a target byte budget — stands in
+    * for image resize; shows the binary-in/binary-out operator shape. */
+  def resizeBlob(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("content",
+      substring(col("content"), 1, targetBytes))
+}

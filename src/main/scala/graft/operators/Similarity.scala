@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Vector math is `zip_with`/`aggregate` over the array — native Catalyst
+  * higher-order functions, no UDF — folding left-to-right in element order
+  * (deterministic, double precision).
+  *
+  * Scale path: brute force is the correctness baseline (O(Q·N) after
+  * broadcasting the query side); the LSH variant buckets by random
+  * hyperplane signs so each query compares only within its bucket —
+  * one shuffle on the bucket key instead of a cross join.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query row.
+    * The query side should be small enough to broadcast; at 100 TB the
+    * corpus stays partitioned and never shuffles. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val joined = c.crossJoin(q)
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .withColumnRenamed("__rk", "rank")
+  }
+
+  /** Signed-random-projection bucket key: `planes` pseudo-random
+    * hyperplanes derived deterministically from xxhash64(plane, dim) —
+    * no stored model, reproducible across runs/engines. */
+  def srpBucket(vec: Column, planes: Int): Column = {
+    // plane p weight for dim d: ±1 from the parity of xxhash64("p|d");
+    // planes unrolled as Scala constants (shift amounts must be literals)
+    def contribution(p: Int): Column = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+        x.cast("double") * when(
+          xxhash64(concat(lit(s"$p|"), d.cast("string")))
+            .bitwiseAND(1) === 1, 1d).otherwise(-1d)),
+      lit(0d), (acc, x) => acc + x)
+    (0 until planes).map { p =>
+      when(contribution(p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: queries and corpus bucketed by SRP signature; each
+    * query searches only its bucket. Misses are possible (that's the
+    * "approximate"); `planes` trades recall for bucket size. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", srpBucket(col("qv"), planes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("bucket", srpBucket(col("nv"), planes))
+    val joined = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("token count, stopword ratio, mean token length") {
+    val df = Seq("the cat sat on the mat").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount($"text"),
+      TextFunctions.stopwordRatio($"text", Seq("the", "on")),
+      TextFunctions.meanTokenLen($"text")).head()
+    assert(r.getInt(0) === 6)
+    assert(r.getDouble(1) === 0.5) // the, on, the
+    assert(r.getDouble(2) === math.rint(17.0 / 6 * 10000) / 10000)
+  }
+
+  test("lang id heuristic picks marker language, und when none") {
+    val df = Seq(
+      ("a", "the quick fox and the dog"),
+      ("b", "der hund und die katze ist"),
+      ("c", "le chat et la maison est"),
+      ("d", "el perro y los gatos es"),
+      ("e", "xyzzy plugh")).toDF("id", "text")
+    val out = df.select($"id", TextFunctions.langIdHeuristic($"text").as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "en", "b" -> "de", "c" -> "fr", "d" -> "es", "e" -> "und"))
+  }
+
+  test("word shingles and jaccard") {
+    val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
+    val r = df.select(
+      TextFunctions.wordShingles($"t1", 2),
+      TextFunctions.jaccard(
+        TextFunctions.wordShingles($"t1", 2), TextFunctions.wordShingles($"t2", 2))).head()
+    assert(r.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    // shingles {a b, b c, c d} vs {a b, b c, c e}: inter 2, union 4
+    assert(r.getDouble(1) === 0.5)
+  }
+
+  test("shingles shorter than n collapse to whole text") {
+    val df = Seq("one two").toDF("text")
+    assert(df.select(TextFunctions.wordShingles($"text", 3)).head().getSeq[String](0)
+      === Seq("one two"))
+  }
+
+  test("simhash: identical texts equal, near texts close, far texts far") {
+    val df = Seq(
+      ("a", "spark query engine for incremental batch processing at scale"),
+      ("b", "spark query engine for incremental batch processing at scale"),
+      ("c", "spark query engine for incremental micro batch processing at scale"),
+      ("d", "completely unrelated words about cooking pasta and tomato sauce")
+    ).toDF("id", "text")
+    val h = df.select($"id", TextFunctions.simhash64(TextFunctions.tokens($"text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("a") === h("b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h("a"), h("c")) < ham(h("a"), h("d")))
+  }
+
+  test("minhash signature is stable and sensitive") {
+    val df = Seq(("x", "a b c d e f g h"), ("y", "a b c d e f g h"),
+      ("z", "q r s t u v w x")).toDF("id", "text")
+    val sigs = df.select($"id",
+      TextFunctions.minhashSignature(TextFunctions.wordShingles($"text", 3), 8).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("x") === sigs("y"))
+    assert(sigs("x") !== sigs("z"))
+    assert(sigs("x").length === 8)
+  }
+}
+
+class DedupSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps smallest tiebreak per key") {
+    val df = Seq((1L, "dup"), (2L, "dup"), (3L, "uniq")).toDF("id", "text")
+    val out = Dedup.exact(df, Seq("text"), "id").orderBy("id")
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
+  test("fingerprint dedup equals exact dedup on text") {
+    val df = Seq((1L, "dup"), (2L, "dup"), (3L, "uniq")).toDF("id", "text")
+    val out = Dedup.byFingerprint(df, "text", "id").orderBy("id")
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(out.columns.toSeq === Seq("id", "text"))
+  }
+
+  test("minhash LSH finds near-duplicate pair, skips unrelated") {
+    val base = "spark is a distributed engine for large scale data processing with catalyst"
+    val near = base.replace("large", "big")
+    val far = "cooking pasta requires boiling salted water and fresh tomatoes every time"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    // bands=16/rows=1 -> candidate recall ~1 at jaccard ~0.5 (banding theory:
+    // P(candidate) = 1-(1-j^r)^b); the default 4x4 targets higher-j dups
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      k = 16, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+    val kept = Dedup.minhashLshDedup(df, "doc_id", "text",
+      threshold = 0.3, k = 16, bands = 16)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
+  test("simhash pairs finds near duplicates within hamming budget") {
+    val base = "spark is a distributed engine for large scale data processing with catalyst"
+    val near = base.replace("large", "big")
+    val far = "cooking pasta requires boiling salted water and fresh tomatoes every time"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+}
+
+class SimilaritySuite extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine math: orthogonal 0, identical 1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 2f), Array(2f, 4f))).toDF("a", "b")
+    val r = df.select(Similarity.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(r(0) === 0.0)
+    assert(r(1) === 1.0)
+    assert(math.abs(r(2) - 1.0) < 1e-12)
+  }
+
+  test("brute force top-k returns k nearest excluding self, deterministic order") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getInt(3)).toSeq === Seq(1, 2))
+  }
+
+  test("lsh topk puts identical vectors in the same bucket") {
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(-1f, -2f, -3f, -4f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", k = 1, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) === 1L)
+    assert(out(1L) === 0L)
+  }
+}
+
+class MultimodalSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("media schema round-trip and feature extraction") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    // same structure (catalogString ignores nullability, which is tighter
+    // for literal-built columns)
+    assert(media.schema.catalogString === Multimodal.mediaSchema.catalogString)
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).getLong(1) === 11L) // "hello world" bytes
+    assert(feats(0).getInt(2) >= 16 && feats(0).getInt(3) >= 16)
+    assert(feats(1).getLong(1) === 0L)
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats.toSeq === again.toSeq)
+  }
+
+  test("frame sampling emits every stride-th fixed-size slice") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "abcdefghij")).toDF("id", "payload"), "id", "payload", "video/fake")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 3, stride = 2)
+      .orderBy("frame_idx").collect()
+    // 10 bytes -> 4 frames (0..3), stride 2 -> frames 0 and 2
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 2))
+    assert(new String(frames(0).getAs[Array[Byte]]("frame")) === "abc")
+    assert(new String(frames(1).getAs[Array[Byte]]("frame")) === "ghi")
+  }
+}
