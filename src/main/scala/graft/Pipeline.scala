@@ -1,7 +1,7 @@
 package graft
 
 import graft.core._
-import graft.sources.FileSource
+import graft.sources.Source
 import graft.state.JobState
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -62,17 +62,19 @@ case class RunResult(batchesProcessed: Int, idleLoops: Int, lastBatchId: Option[
   * The WAL is tiny driver-side JSON — O(1) per batch regardless of data size.
   */
 class Pipeline(
-    val source: FileSource,
-    val reader: (BatchContext) => DataFrame,
+    val source: Source,
+    val reader: (BatchContext) => DataFrame = null,
     val transform: Option[(DataFrame, BatchContext) => DataFrame] = None,
     val writer: (DataFrame, BatchContext) => Map[String, String],
     val schemaEvolution: Option[SchemaEvolution] = None,
     val observer: PipelineObserver = new PipelineObserver {},
     val spark: SparkSession) {
 
+  private val wal = new graft.core.WriteAheadLog(source.checkpointDir, source.conf)
+
   val state = new JobState(
-    new Path(source.checkpoint.checkpointDir, "state").toString,
-    source.checkpoint.conf, spark)
+    new Path(source.checkpointDir, "state").toString,
+    source.conf, spark)
 
   private def timed[T](batchId: Long, stage: String)(f: => T): T = {
     observer.onStageStart(batchId, stage)
@@ -103,11 +105,14 @@ class Pipeline(
     val ctx = BatchContext(spark, batch.batchId, batch.paths, state)
 
     var df = wrap(batch.batchId, "read", new ReaderError(_, _)) {
-      timed(batch.batchId, "read")(reader(ctx))
+      timed(batch.batchId, "read") {
+        // default read = the source's own batch reader
+        if (reader == null) source.readBatch(spark, batch) else reader(ctx)
+      }
     }
     schemaEvolution.foreach { se =>
       df = wrap(batch.batchId, "schema", new ReaderError(_, _)) {
-        timed(batch.batchId, "schema")(se.applyTo(df, source.checkpoint.wal))
+        timed(batch.batchId, "schema")(se.applyTo(df, wal))
       }
     }
     transform.foreach { t =>
@@ -127,7 +132,7 @@ class Pipeline(
 
   /** Loop with once/maxBatches/idle control, under the single-writer lock. */
   def run(opts: RunOptions = RunOptions()): RunResult =
-    PipelineLock.withLock(source.checkpoint.checkpointDir) {
+    PipelineLock.withLock(source.checkpointDir) {
       var processed = 0
       var idle = 0
       var last: Option[Long] = None

@@ -326,6 +326,44 @@ object Queries {
              |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 24 HOUR
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ----- Delta table end-to-end: write -> CDC merge -> read -------------
+    // Builds a throwaway Delta table from `customer`, merges a change feed
+    // derived from each customer's latest order (status F = delete, else
+    // update balance), and returns the final table — exercising the
+    // hand-built Delta writer, log replay, and read-modify-overwrite merge.
+    "q_delta_cdc" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-q").toString
+        val table = s"$tmp/customer_state"
+        val w = new graft.delta.DeltaWriter(s, s.sparkContext.hadoopConfiguration)
+        val base = t(s, d, "customer").select(col("c_custkey"),
+          dround(col("c_acctbal")).as("balance"))
+        w.write(base, table, graft.delta.DeltaWriteMode.Append)
+        val latestOrder = t(s, d, "orders")
+          .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderkey").desc)))
+          .filter(col("rn") === 1)
+        val changes = latestOrder.select(
+          col("o_custkey").as("c_custkey"),
+          dround(col("o_totalprice")).as("balance"),
+          when(col("o_orderstatus") === "F", "delete").otherwise("update_postimage")
+            .as(Cdc.ChangeTypeCol),
+          col("o_orderkey").as(Cdc.CommitVersionCol))
+        DeltaCdc.applyCdcDelta(s, changes, table, Seq("c_custkey"))
+        w.read(table).orderBy("c_custkey")
+      },
+      Some(s"""WITH latest AS (
+              |  SELECT o_custkey, o_orderstatus, o_totalprice,
+              |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+              |  FROM orders)
+              |SELECT c_custkey,
+              |  CASE WHEN l.o_custkey IS NULL THEN ${droundSql("c_acctbal")}
+              |       ELSE ${droundSql("l.o_totalprice")} END AS balance
+              |FROM customer LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l
+              |  ON c_custkey = l.o_custkey
+              |WHERE l.o_custkey IS NULL OR l.o_orderstatus <> 'F'
+              |ORDER BY c_custkey""".stripMargin)),
+
     // ================= training-data pipeline operators ==================
 
     // ----- exact dedup ----------------------------------------------------

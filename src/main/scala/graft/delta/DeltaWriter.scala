@@ -1,0 +1,242 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.core.{CommitError, GraftError}
+import graft.util.{Fs, Jsons}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.util.UUID
+
+/** Write mode for the Delta sink (reference `sinks/delta.py:10-29`). */
+sealed trait DeltaWriteMode
+object DeltaWriteMode {
+  case object Append extends DeltaWriteMode
+  case object Overwrite extends DeltaWriteMode
+}
+
+/** Minimal Delta-table writer: parquet part files + an atomic
+  * `_delta_log/N.json` commit of commitInfo/metaData/add/remove actions,
+  * with optional `cdc` actions for Change-Data-Feed emission.
+  *
+  * Covers exactly the subset the reference's sink uses (append, overwrite,
+  * schema merge — `sinks/delta.py:10-29`) plus CDF emission so CDF reads
+  * are self-hosting in tests. Commit atomicity = create-with-overwrite=false
+  * on the next version file; a concurrent writer loses with
+  * FileAlreadyExists and fails fast — tolerable under the engine's
+  * single-writer-per-checkpoint lock (SURVEY §7.4).
+  *
+  * Scale notes: the data write is a normal distributed
+  * `df.write.parquet`; only the O(#files) action list passes through the
+  * driver, same as delta-spark's commit path.
+  */
+class DeltaWriter(spark: SparkSession, conf: Configuration) {
+  private val log = new DeltaLogReader(conf)
+
+  def read(tablePath: String): DataFrame = {
+    val latest = log.latestVersion(tablePath)
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val files = log.snapshotState(tablePath, latest)
+      .map { case (p, _) => log.resolvePath(tablePath, p) }
+    val declared = log.tableSchemaString(tablePath)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        declared.getOrElse(new StructType()))
+    else declared match {
+      // read with the declared schema so files written before a schema
+      // merge null-fill the newer columns
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+  }
+
+  def tableExists(tablePath: String): Boolean = log.isDeltaTable(tablePath)
+
+  /** Write `df` to the table; returns the committed version. */
+  def write(df: DataFrame, tablePath: String, mode: DeltaWriteMode,
+      mergeSchema: Boolean = false,
+      cdfChanges: Option[DataFrame] = None): Long = {
+    val root = new Path(tablePath)
+    val fs = Fs.fs(root, conf)
+    fs.mkdirs(root)
+
+    val existingSchema = log.tableSchemaString(tablePath)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    val outSchema = existingSchema match {
+      case Some(es) if mode == DeltaWriteMode.Append =>
+        val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))
+        if (newCols.nonEmpty && !mergeSchema)
+          throw new GraftError(
+            s"schema mismatch appending to $tablePath (new columns " +
+            s"${newCols.map(_.name).mkString(",")}); use mergeSchema")
+        StructType(es.fields ++ newCols.map(_.copy(nullable = true)))
+      case _ => df.schema
+    }
+    // conform df to outSchema column order (missing -> null)
+    val aligned = {
+      import org.apache.spark.sql.functions.{col, lit}
+      df.select(outSchema.fields.map(f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+
+    val parts = writeParts(aligned, root, fs, prefix = "part")
+    val cdcParts = cdfChanges.map { ch =>
+      val cdcDir = new Path(root, "_change_data")
+      fs.mkdirs(cdcDir)
+      writeParts(ch, cdcDir, fs, prefix = "cdc").map { case (p, sz) =>
+        (s"_change_data/$p", sz)
+      }
+    }.getOrElse(Seq.empty)
+
+    commit(tablePath, mode, outSchema, parts, cdcParts, existingSchema.isDefined)
+  }
+
+  /** Write df's parquet parts into `targetDir` with unique stable names;
+    * returns (relativeName, size). */
+  private def writeParts(df: DataFrame, targetDir: Path,
+      fs: org.apache.hadoop.fs.FileSystem, prefix: String): Seq[(String, Long)] = {
+    val staging = new Path(targetDir, s".staging-${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val out = parts.zipWithIndex.map { case (st, i) =>
+      val name = f"$prefix-${UUID.randomUUID().toString.take(8)}-$i%05d.parquet"
+      val dst = new Path(targetDir, name)
+      if (!fs.rename(st.getPath, dst))
+        throw new CommitError(s"failed to move part ${st.getPath} -> $dst")
+      (name, st.getLen)
+    }.toSeq
+    fs.delete(staging, true)
+    out
+  }
+
+  private def commit(tablePath: String, mode: DeltaWriteMode, schema: StructType,
+      adds: Seq[(String, Long)], cdcs: Seq[(String, Long)],
+      tableExisted: Boolean): Long = {
+    val latest = log.latestVersion(tablePath)
+    val version = latest.map(_ + 1).getOrElse(0L)
+    val now = System.currentTimeMillis()
+
+    val removed: Seq[String] = mode match {
+      case DeltaWriteMode.Overwrite if latest.isDefined =>
+        log.snapshotState(tablePath, latest.get).map(_._1)
+      case _ => Seq.empty
+    }
+
+    val tid = log.tableId(tablePath).getOrElse(UUID.randomUUID().toString)
+    val lines = Seq.newBuilder[String]
+    val ci = Jsons.obj()
+    ci.put("timestamp", now)
+    ci.put("operation", if (mode == DeltaWriteMode.Overwrite) "WRITE_OVERWRITE" else "WRITE_APPEND")
+    lines += s"""{"commitInfo": ${Jsons.render(ci)}}"""
+    val md = Jsons.obj()
+    md.put("id", tid)
+    md.put("schemaString", schema.json)
+    lines += s"""{"metaData": ${Jsons.render(md)}}"""
+    removed.foreach { p =>
+      val r = Jsons.obj(); r.put("path", p); r.put("dataChange", true)
+      r.put("deletionTimestamp", now)
+      lines += s"""{"remove": ${Jsons.render(r)}}"""
+    }
+    adds.foreach { case (p, sz) =>
+      val a = Jsons.obj(); a.put("path", p); a.put("size", sz)
+      a.put("dataChange", true); a.put("modificationTime", now)
+      lines += s"""{"add": ${Jsons.render(a)}}"""
+    }
+    cdcs.foreach { case (p, sz) =>
+      val c = Jsons.obj(); c.put("path", p); c.put("size", sz)
+      c.put("dataChange", false)
+      lines += s"""{"cdc": ${Jsons.render(c)}}"""
+    }
+
+    writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
+    version
+  }
+
+  /** create(overwrite=false) so a concurrent committer of the same version
+    * fails fast instead of clobbering. */
+  private def writeCommitAtomic(tablePath: String, version: Long, content: String): Unit = {
+    val p = log.commitPath(tablePath, version)
+    val fs = Fs.fs(p, conf)
+    fs.mkdirs(p.getParent)
+    val out = try fs.create(p, false) catch {
+      case e: java.io.IOException =>
+        throw new CommitError(s"delta commit conflict at version $version: ${e.getMessage}", e)
+    }
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  // ---- maintenance (reference maintenance.py:257-324 analogues) ----------
+
+  /** Compact: rewrite all active files smaller than `smallFileBytes` into
+    * consolidated parts; commits add+remove with dataChange=false semantics
+    * folded into a normal commit (readers tailing with ignore_changes will
+    * skip it; our own planner sees dataChange=true adds — acceptable for a
+    * maintenance window under the single-writer lock). */
+  def compact(tablePath: String, smallFileBytes: Long = 32L * 1024 * 1024): Long = {
+    val latest = log.latestVersion(tablePath)
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val state = log.snapshotState(tablePath, latest)
+    val small = state.filter(_._2 < smallFileBytes)
+    if (small.size < 2) return latest
+    val smallPaths = small.map { case (p, _) => log.resolvePath(tablePath, p) }
+    val df = spark.read.parquet(smallPaths: _*).coalesce(
+      math.max(1, (small.map(_._2).sum / (128L * 1024 * 1024)).toInt))
+    val root = new Path(tablePath)
+    val fs = Fs.fs(root, conf)
+    val parts = writeParts(df, root, fs, prefix = "compacted")
+
+    val version = latest + 1
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo": {"timestamp": $now, "operation": "OPTIMIZE"}}"""
+    small.foreach { case (p, _) =>
+      lines += s"""{"remove": {"path": "$p", "dataChange": false, "deletionTimestamp": $now}}"""
+    }
+    parts.foreach { case (p, sz) =>
+      lines += s"""{"add": {"path": "$p", "size": $sz, "dataChange": false, "modificationTime": $now}}"""
+    }
+    writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
+    version
+  }
+
+  /** Vacuum: delete data files not referenced by the current snapshot and
+    * older than `retentionMs`. Returns number of deleted files. */
+  def vacuum(tablePath: String, retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val latest = log.latestVersion(tablePath)
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val active = log.snapshotState(tablePath, latest).map(_._1).toSet
+    val root = new Path(tablePath)
+    val fs = Fs.fs(root, conf)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var deleted = 0
+    def walk(dir: Path, rel: String): Unit =
+      Fs.list(dir, conf).foreach { st =>
+        val name = st.getPath.getName
+        val relPath = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) {
+          if (name != "_delta_log" && !name.startsWith(".")) walk(st.getPath, relPath)
+        } else if (name.endsWith(".parquet") && !active.contains(relPath) &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false); deleted += 1
+        }
+      }
+    walk(root, "")
+    deleted
+  }
+
+  /** Z-order approximation: rewrite the table range-partitioned on the
+    * given columns (co-locates ranges like delta's OPTIMIZE ZORDER BY would,
+    * without the interleaved curve — documented approximation). */
+  def optimizeZOrder(tablePath: String, cols: Seq[String], numFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    val df = read(tablePath).repartitionByRange(numFiles, cols.map(col): _*)
+    write(df, tablePath, DeltaWriteMode.Overwrite)
+  }
+}

@@ -1,0 +1,353 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.Cdc
+import graft.core._
+import graft.delta.{DeltaAction, DeltaLogReader}
+import graft.util.Jsons
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Where a brand-new Delta checkpoint starts
+  * (reference `checkpoints/delta.py:577-628`; names match delta-spark's
+  * `startingVersion`/`startingTimestamp` options). */
+sealed trait DeltaStartOffset
+object DeltaStartOffset {
+  /** Initial snapshot of the current version, then tail the log. */
+  case object Snapshot extends DeltaStartOffset
+  /** Only commits after the current latest version. */
+  case object Latest extends DeltaStartOffset
+  /** Tail the log from version 0 (no snapshot). */
+  case object Earliest extends DeltaStartOffset
+  case class StartingVersion(version: Long) extends DeltaStartOffset
+  case class StartingTimestamp(epochMs: Long) extends DeltaStartOffset
+
+  def name(o: DeltaStartOffset): String = o match {
+    case Snapshot => "snapshot"
+    case Latest => "latest"
+    case Earliest => "earliest"
+    case StartingVersion(_) => "starting_version"
+    case StartingTimestamp(_) => "starting_timestamp"
+  }
+}
+
+case class DeltaSourceOptions(
+    startOffset: DeltaStartOffset = DeltaStartOffset.Snapshot,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    ignoreDeletes: Boolean = false,
+    ignoreChanges: Boolean = false,
+    readChangeFeed: Boolean = false)
+
+/** A planned CDF entry: file + how to interpret it. */
+private[sources] case class CdfEntry(path: String, size: Long, kind: String,
+    version: Long, tsMs: Long)
+
+/** Incremental Delta-table planner: initial-snapshot paging, log tailing
+  * with the `ignoreDeletes`/`ignoreChanges`/`dataChange=false` matrix, and
+  * Change-Data-Feed planning — a re-implementation of delta-spark's
+  * streaming `DeltaSource` offsets (`reservoirVersion`/`index`/
+  * `isStartingVersion`), following reference
+  * `checkpoints/delta.py:634-1040`.
+  *
+  * Offset model (stored per batch in the WAL): position AFTER the batch —
+  * `(table_id, version, index, is_initial)`; `index = -1` means the version
+  * is fully consumed; for snapshot batches `index` points into the sorted
+  * active-file list.
+  */
+class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
+  val wal = new WriteAheadLog(checkpointDir, conf)
+  val log = new DeltaLogReader(conf)
+  private val snapshotCacheDir = new Path(checkpointDir, "snapshot_cache")
+
+  private case class Position(version: Long, index: Long, isInitial: Boolean)
+
+  private def positionFromJson(n: JsonNode): Position =
+    Position(n.get("version").asLong(), n.get("index").asLong(),
+      Jsons.optBool(n, "is_initial").getOrElse(false))
+
+  private def offsetJson(tableId: String, p: Position,
+      cdf: Seq[CdfEntry]): JsonNode = {
+    val o = Jsons.obj()
+    o.put("source", "delta")
+    o.put("table_id", tableId)
+    o.put("version", p.version)
+    o.put("index", p.index)
+    o.put("is_initial", p.isInitial)
+    if (cdf.nonEmpty) {
+      val arr = Jsons.arr()
+      cdf.foreach { e =>
+        val eo = Jsons.obj()
+        eo.put("path", e.path); eo.put("size", e.size); eo.put("kind", e.kind)
+        eo.put("version", e.version); eo.put("ts_ms", e.tsMs)
+        arr.add(eo)
+      }
+      o.set[JsonNode]("cdf_entries", arr)
+    }
+    o
+  }
+
+  private[sources] def cdfEntriesOf(offset: JsonNode): Seq[CdfEntry] =
+    Jsons.optField(offset, "cdf_entries").map(arr =>
+      Jsons.elems(arr).map(e => CdfEntry(
+        e.get("path").asText(), e.get("size").asLong(), e.get("kind").asText(),
+        e.get("version").asLong(), e.get("ts_ms").asLong())).toSeq
+    ).getOrElse(Seq.empty)
+
+  // ---- table identity (reference delta.py:302-344) -----------------------
+
+  private def verifyTableId(tablePath: String): String = {
+    val current = log.tableId(tablePath).getOrElse("")
+    wal.readMetadata().flatMap(m => Jsons.optStr(m, "table_id")) match {
+      case Some(stored) if stored.nonEmpty && current.nonEmpty && stored != current =>
+        throw new PlanningError(
+          s"delta table id changed: checkpoint has $stored, table has $current " +
+          "(table was replaced); reset the checkpoint to continue")
+      case Some(stored) => if (stored.nonEmpty) stored else current
+      case None =>
+        val tid = Jsons.obj().textNode(current)
+        wal.updateMetadata("table_id", tid)
+        current
+    }
+  }
+
+  // ---- start offset (first-run-wins, reference delta.py:302-344,577-628) -
+
+  private def resolveStart(tablePath: String, opts: DeltaSourceOptions): Option[Position] = {
+    wal.readMetadata().flatMap(m => Jsons.optField(m, "start_position")) match {
+      case Some(sp) => Some(positionFromJson(sp))
+      case None =>
+        val latest = log.latestVersion(tablePath)
+        val resolved: Option[Position] = opts.startOffset match {
+          case DeltaStartOffset.Snapshot =>
+            latest.map(v => Position(v, 0, isInitial = true))
+          case DeltaStartOffset.Latest =>
+            Some(Position(latest.getOrElse(-1L), -1, isInitial = false))
+          case DeltaStartOffset.Earliest =>
+            Some(Position(-1L, -1, isInitial = false))
+          case DeltaStartOffset.StartingVersion(v) =>
+            Some(Position(v - 1, -1, isInitial = false))
+          case DeltaStartOffset.StartingTimestamp(ts) =>
+            val v = log.versionForTimestamp(tablePath, ts)
+              .getOrElse(latest.map(_ + 1).getOrElse(0L))
+            Some(Position(v - 1, -1, isInitial = false))
+        }
+        resolved.foreach { p =>
+          val o = Jsons.obj()
+          o.put("kind", DeltaStartOffset.name(opts.startOffset))
+          o.put("version", p.version); o.put("index", p.index)
+          o.put("is_initial", p.isInitial)
+          wal.updateMetadata("start_position", o)
+        }
+        resolved
+    }
+  }
+
+  /** Position after the last committed batch, if any. */
+  private def lastCommittedPosition(): Option[Position] =
+    wal.latestCommitId().map(id => positionFromJson(wal.readOffset(id).offset))
+
+  // ---- admission ---------------------------------------------------------
+
+  /** Cap (files, bytes); an oversized first file is always admitted
+    * (reference delta.py:663-667). Returns (admitted, truncated). */
+  private def admit[T](candidates: Seq[T], size: T => Long,
+      opts: DeltaSourceOptions, alreadyFiles: Int, alreadyBytes: Long): (Seq[T], Boolean) = {
+    var files = alreadyFiles
+    var bytes = alreadyBytes
+    val out = Seq.newBuilder[T]
+    var truncated = false
+    candidates.foreach { c =>
+      val overFiles = opts.maxFilesPerTrigger.exists(m => files + 1 > m)
+      val overBytes = opts.maxBytesPerTrigger.exists(m => bytes + size(c) > m) &&
+        (files > 0) // first file always admitted
+      if (truncated || overFiles || overBytes) truncated = true
+      else { out += c; files += 1; bytes += size(c) }
+    }
+    (out.result(), truncated)
+  }
+
+  // ---- planning ----------------------------------------------------------
+
+  def planBatch(tablePath: String, opts: DeltaSourceOptions): Option[BatchInfo] = {
+    wal.pendingBatchIds().headOption.foreach { id => return Some(wal.readOffset(id)) }
+    val tableId = verifyTableId(tablePath)
+    val position = lastCommittedPosition().orElse(resolveStart(tablePath, opts)) match {
+      case None => return None // empty table with snapshot start: nothing yet
+      case Some(p) => p
+    }
+    val planned =
+      if (position.isInitial) planSnapshot(tablePath, tableId, position, opts)
+      else if (opts.readChangeFeed) planCdf(tablePath, tableId, position, opts)
+      else planLog(tablePath, tableId, position, opts)
+    planned.map { b => wal.writeOffset(b); b }
+  }
+
+  /** Initial snapshot paging (reference delta.py:634-695,992-1022). */
+  private def planSnapshot(tablePath: String, tableId: String, pos: Position,
+      opts: DeltaSourceOptions): Option[BatchInfo] = {
+    val files = log.snapshotState(tablePath, pos.version, Some(snapshotCacheDir))
+    if (pos.index >= files.size) {
+      // snapshot finished -> switch to tailing after the snapshot version
+      return planLog(tablePath, tableId, Position(pos.version, -1, isInitial = false), opts)
+    }
+    val remaining = files.drop(pos.index.toInt)
+    val (admitted, _) = admit[(String, Long)](remaining, _._2, opts, 0, 0L)
+    val taken = if (admitted.isEmpty) remaining.take(1) else admitted
+    val newIndex = pos.index + taken.size
+    val entries = taken.map { case (p, sz) =>
+      FileEntry(log.resolvePath(tablePath, p), sz, 0L)
+    }
+    Some(BatchInfo(wal.nextBatchId(), entries,
+      offsetJson(tableId, Position(pos.version, newIndex, isInitial = true), Seq.empty)))
+  }
+
+  /** Log tailing (reference delta.py:697-787). */
+  private def planLog(tablePath: String, tableId: String, pos: Position,
+      opts: DeltaSourceOptions): Option[BatchInfo] = {
+    var v = if (pos.index == -1) pos.version + 1 else pos.version
+    var skipInVersion = if (pos.index == -1) 0L else pos.index
+    val collected = Seq.newBuilder[(String, Long, Long)] // path, size, version
+    var nFiles = 0
+    var bytes = 0L
+    var endPos = pos
+    var stop = false
+    while (!stop && log.commitExists(tablePath, v)) {
+      val commit = log.readCommit(tablePath, v)
+      val adds = commit.adds.filter(_.dataChange)
+      val removes = commit.removes.filter(_.dataChange)
+      if (removes.nonEmpty && !opts.ignoreChanges) {
+        if (adds.isEmpty && opts.ignoreDeletes) {
+          // delete-only commit, explicitly ignored
+        } else {
+          throw new PlanningError(
+            s"detected ${if (adds.isEmpty) "deleted data" else "a data update"} " +
+            s"in commit version $v of $tablePath; set " +
+            s"${if (adds.isEmpty) "ignore_deletes" else "ignore_changes"} to proceed")
+        }
+      }
+      val fresh = adds.drop(skipInVersion.toInt)
+      val (admitted, truncated) = admit[DeltaAction.AddFile](fresh, _.size, opts, nFiles, bytes)
+      val taken =
+        if (admitted.isEmpty && fresh.nonEmpty && nFiles == 0) fresh.take(1)
+        else admitted
+      taken.foreach { a => collected += ((a.path, a.size, v)); nFiles += 1; bytes += a.size }
+      if ((truncated || (taken.size < fresh.size)) && fresh.nonEmpty) {
+        endPos = Position(v, skipInVersion + taken.size, isInitial = false)
+        stop = true
+      } else {
+        endPos = Position(v, -1, isInitial = false)
+        v += 1
+        skipInVersion = 0
+        if (opts.maxFilesPerTrigger.exists(nFiles >= _)) stop = true
+      }
+    }
+    val files = collected.result()
+    if (files.isEmpty) None
+    else Some(BatchInfo(wal.nextBatchId(),
+      files.map { case (p, sz, _) => FileEntry(log.resolvePath(tablePath, p), sz, 0L) },
+      offsetJson(tableId, endPos, Seq.empty)))
+  }
+
+  /** CDF planning: prefer `cdc` actions; fall back to treating `add`s as
+    * inserts; a commit with removes but no cdc files is an error
+    * (reference delta.py:811-896,501-546). */
+  private def planCdf(tablePath: String, tableId: String, pos: Position,
+      opts: DeltaSourceOptions): Option[BatchInfo] = {
+    var v = if (pos.index == -1) pos.version + 1 else pos.version
+    var skipInVersion = if (pos.index == -1) 0L else pos.index
+    val collected = Seq.newBuilder[CdfEntry]
+    var nFiles = 0
+    var bytes = 0L
+    var endPos = pos
+    var stop = false
+    while (!stop && log.commitExists(tablePath, v)) {
+      val commit = log.readCommit(tablePath, v)
+      val ts = commit.timestampMs.getOrElse(0L)
+      val entries: Seq[CdfEntry] =
+        if (commit.cdcs.nonEmpty)
+          commit.cdcs.map(c => CdfEntry(c.path, c.size, "cdc", v, ts))
+        else {
+          val adds = commit.adds.filter(_.dataChange)
+          if (commit.removes.exists(_.dataChange) && adds.isEmpty)
+            throw new ChangeDataFeedError(
+              s"commit version $v of $tablePath removes data but has no cdc files; " +
+              "cannot serve Change Data Feed")
+          else if (commit.removes.exists(_.dataChange))
+            throw new ChangeDataFeedError(
+              s"commit version $v of $tablePath updates data but has no cdc files; " +
+              "cannot serve Change Data Feed")
+          adds.map(a => CdfEntry(a.path, a.size, "insert", v, ts))
+        }
+      val fresh = entries.drop(skipInVersion.toInt)
+      val (admitted, truncated) = admit[CdfEntry](fresh, _.size, opts, nFiles, bytes)
+      val taken =
+        if (admitted.isEmpty && fresh.nonEmpty && nFiles == 0) fresh.take(1)
+        else admitted
+      taken.foreach { e => collected += e; nFiles += 1; bytes += e.size }
+      if ((truncated || taken.size < fresh.size) && fresh.nonEmpty) {
+        endPos = Position(v, skipInVersion + taken.size, isInitial = false)
+        stop = true
+      } else {
+        endPos = Position(v, -1, isInitial = false)
+        v += 1
+        skipInVersion = 0
+        if (opts.maxFilesPerTrigger.exists(nFiles >= _)) stop = true
+      }
+    }
+    val entries = collected.result()
+    if (entries.isEmpty) None
+    else Some(BatchInfo(wal.nextBatchId(),
+      entries.map(e => FileEntry(log.resolvePath(tablePath, e.path), e.size, e.tsMs)),
+      offsetJson(tableId, endPos, entries)))
+  }
+
+  def commitBatch(batch: BatchInfo, metadata: Map[String, String]): Unit =
+    wal.commit(batch.batchId, metadata)
+}
+
+/** Source facade for Delta tables: planning via [[DeltaTableCheckpoint]],
+  * reads via plain parquet scans of the planned files, CDF reads with
+  * `_change_type`/`_commit_version`/`_commit_timestamp` injection
+  * (reference `sources/delta.py:14-32`). */
+class DeltaSource(
+    val tablePath: String,
+    val checkpoint: DeltaTableCheckpoint,
+    val options: DeltaSourceOptions = DeltaSourceOptions()) extends Source {
+
+  def checkpointDir: String = checkpoint.checkpointDir
+  def conf: Configuration = checkpoint.conf
+
+  def planBatch(): Option[BatchInfo] = checkpoint.planBatch(tablePath, options)
+
+  def readBatch(spark: SparkSession, batch: BatchInfo): DataFrame = {
+    if (options.readChangeFeed) return readCdfBatch(spark, batch)
+    if (batch.files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(batch.paths: _*)
+  }
+
+  /** CDF read: cdc files already carry `_change_type`; insert-fallback adds
+    * get it injected; both get commit version/timestamp columns. */
+  private def readCdfBatch(spark: SparkSession, batch: BatchInfo): DataFrame = {
+    val entries = checkpoint.cdfEntriesOf(batch.offset)
+    if (entries.isEmpty) return spark.emptyDataFrame
+    val groups = entries.groupBy(e => (e.kind, e.version, e.tsMs)).toSeq
+      .sortBy { case ((_, v, _), _) => v }
+    val frames = groups.map { case ((kind, version, ts), es) =>
+      val paths = es.map(e => checkpoint.log.resolvePath(tablePath, e.path))
+      val base = spark.read.parquet(paths: _*)
+      val withType =
+        if (kind == "cdc") base
+        else base.withColumn(Cdc.ChangeTypeCol, lit("insert"))
+      withType
+        .withColumn(Cdc.CommitVersionCol, lit(version))
+        .withColumn(Cdc.CommitTimestampCol, lit(new java.sql.Timestamp(ts)))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  def commitBatch(batch: BatchInfo, metadata: Map[String, String]): Unit =
+    checkpoint.commitBatch(batch, metadata)
+}

@@ -70,7 +70,10 @@ class FileSource(
     val options: FileSourceOptions = FileSourceOptions(),
     val schema: Option[StructType] = None,
     val readerOptions: Map[String, String] = Map.empty,
-    val cleanSource: CleanSource = CleanSource.Off) {
+    val cleanSource: CleanSource = CleanSource.Off) extends Source {
+
+  def checkpointDir: String = checkpoint.checkpointDir
+  def conf: org.apache.hadoop.conf.Configuration = checkpoint.conf
 
   def planBatch(): Option[BatchInfo] = checkpoint.planBatch(inputDir, options)
 

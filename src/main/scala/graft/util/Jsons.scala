@@ -60,8 +60,9 @@ object Fs {
     val tmp = new Path(parent, s".${path.getName}.${UUID.randomUUID().toString.take(8)}.tmp")
     val bytes = content.getBytes(StandardCharsets.UTF_8)
     if (filesystem.getScheme == "file") {
-      // Direct java.nio path so the data is really fsynced before rename
-      // (RawLocalFileSystem's streams do not fsync on close).
+      // Direct java.nio path: fsync before rename (RawLocalFileSystem's
+      // streams do not fsync on close) and an atomic replace-on-rename
+      // (Hadoop's local rename refuses to overwrite an existing target).
       val local = new File(tmp.toUri.getPath)
       local.getParentFile.mkdirs()
       val out = new FileOutputStream(local)
@@ -69,14 +70,18 @@ object Fs {
         out.write(bytes)
         out.getFD.sync()
       } finally out.close()
+      java.nio.file.Files.move(local.toPath, new File(path.toUri.getPath).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
       val out = filesystem.create(tmp, false)
       try out.write(bytes)
       finally out.close()
-    }
-    if (!filesystem.rename(tmp, path)) {
-      filesystem.delete(tmp, false)
-      throw new java.io.IOException(s"atomic rename failed: $tmp -> $path")
+      if (filesystem.exists(path)) filesystem.delete(path, false)
+      if (!filesystem.rename(tmp, path)) {
+        filesystem.delete(tmp, false)
+        throw new java.io.IOException(s"atomic rename failed: $tmp -> $path")
+      }
     }
   }
 
