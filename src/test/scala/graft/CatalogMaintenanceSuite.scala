@@ -1,0 +1,175 @@
+package graft
+
+import graft.core.{GraftError, WriteAheadLog}
+import graft.sources._
+import graft.state.JobState
+import graft.streaming.Patterns
+import graft.util.Jsons
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+class CatalogSuite extends SparkSpec {
+
+  test("resolve, missing name, and files-source construction with options") {
+    withTmpDir { tmp =>
+      val cat = LocalCatalog(Map(
+        "events" -> DatasetSpec("parquet", s"$tmp/in", Map(
+          "pattern" -> "*.parquet", "max_files_per_trigger" -> "2",
+          "start_offset" -> "latest", "clean_source" -> "archive"))))
+      val spec = cat.resolve("events")
+      assert(spec.format === "parquet")
+      intercept[GraftError](cat.resolve("nope"))
+      val src = spec.toSource(s"$tmp/cp", conf).asInstanceOf[FileSource]
+      assert(src.options.maxFilesPerTrigger === Some(2))
+      assert(src.options.startOffset === FileStartOffset.Latest)
+      assert(src.cleanSource === CleanSource.Archive)
+    }
+  }
+
+  test("auto format infers delta from _delta_log presence") {
+    withTmpDir { tmp =>
+      Files.createDirectories(Paths.get(s"$tmp/table/_delta_log"))
+      val spec = DatasetSpec("auto", s"$tmp/table",
+        Map("read_change_feed" -> "true", "starting_version" -> "3"))
+      val src = spec.toSource(s"$tmp/cp", conf)
+      assert(src.isInstanceOf[DeltaSource])
+      val ds = src.asInstanceOf[DeltaSource]
+      assert(ds.options.readChangeFeed)
+      assert(ds.options.startOffset === DeltaStartOffset.StartingVersion(3))
+    }
+  }
+
+  test("catalog loads from JSON file") {
+    withTmpDir { tmp =>
+      Files.write(Paths.get(s"$tmp/catalog.json"),
+        s"""{"raw": {"format": "csv", "path": "$tmp/raw",
+           |  "options": {"pattern": "*.csv"}}}""".stripMargin.getBytes)
+      val cat = LocalCatalog.fromJsonFile(s"$tmp/catalog.json", conf)
+      assert(cat.resolve("raw").format === "csv")
+      assert(cat.resolve("raw").options("pattern") === "*.csv")
+    }
+  }
+}
+
+class MaintenanceSuite extends SparkSpec {
+
+  private def seedBatches(cp: String, n: Int, committed: Int): WriteAheadLog = {
+    val wal = new WriteAheadLog(cp, conf)
+    (0 until n).foreach { i =>
+      wal.writeOffset(graft.core.BatchInfo(i.toLong, Seq.empty, Jsons.obj()))
+      if (i < committed) wal.commit(i.toLong, Map.empty)
+    }
+    wal
+  }
+
+  test("cleanup keeps last N committed and never touches pending") {
+    withTmpDir { tmp =>
+      val wal = seedBatches(s"$tmp/cp", 6, 5) // batch 5 pending
+      val deleted = Maintenance.cleanupCheckpoint(s"$tmp/cp", conf, keepLastN = 2)
+      assert(deleted === Seq(0L, 1L, 2L))
+      assert(wal.listCommitIds() === Seq(3L, 4L))
+      assert(wal.pendingBatchIds() === Seq(5L))
+    }
+  }
+
+  test("truncate drops batches above keepThrough") {
+    withTmpDir { tmp =>
+      val wal = seedBatches(s"$tmp/cp", 5, 5)
+      val removed = Maintenance.truncateCheckpoint(s"$tmp/cp", conf, keepThrough = 2)
+      assert(removed === Seq(3L, 4L))
+      assert(wal.listOffsetIds() === Seq(0L, 1L, 2L))
+      assert(wal.nextBatchId() === 3L)
+    }
+  }
+
+  test("inspect reports ids, pending, metadata; resets drop metadata keys") {
+    withTmpDir { tmp =>
+      val wal = seedBatches(s"$tmp/cp", 3, 2)
+      wal.updateMetadata("start_offset", Jsons.parse("""{"kind":"latest"}"""))
+      wal.updateMetadata("schema", Jsons.parse("""{"type":"struct","fields":[]}"""))
+      val info = Maintenance.inspectCheckpoint(s"$tmp/cp", conf)
+      assert(info.lastOffsetId === Some(2L))
+      assert(info.lastCommitId === Some(1L))
+      assert(info.pendingIds === Seq(2L))
+      assert(info.totalBatches === 3)
+      Maintenance.resetStartOffset(s"$tmp/cp", conf)
+      Maintenance.resetSchema(s"$tmp/cp", conf)
+      val m = wal.readMetadata().get
+      assert(!m.has("start_offset") && !m.has("schema"))
+    }
+  }
+}
+
+class JobStateSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("json and parquet state round-trip with atomic replace") {
+    withTmpDir { tmp =>
+      val state = new JobState(s"$tmp/state", conf, spark)
+      state.saveValue("watermark", "12345")
+      assert(state.loadValue("watermark") === Some("12345"))
+      state.saveValue("watermark", "99999")
+      assert(state.loadValue("watermark") === Some("99999"))
+
+      state.saveParquet("seen", Seq(1L, 2L).toDF("id"))
+      assert(state.loadParquet("seen").get.count() === 2)
+      state.saveParquet("seen", Seq(1L, 2L, 3L).toDF("id"))
+      assert(state.loadParquet("seen").get.count() === 3)
+
+      assert(state.exists("seen") && state.exists("watermark"))
+      state.delete("seen")
+      assert(!state.exists("seen"))
+      assert(state.loadParquet("missing").isEmpty)
+    }
+  }
+}
+
+class PatternsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("watermark split: watermark advances across batches, late rows split") {
+    withTmpDir { tmp =>
+      val state = new JobState(s"$tmp/state", conf, spark)
+      val b1 = Seq((1L, 1000L), (2L, 2000L)).toDF("id", "ts")
+      val s1 = Patterns.watermarkSplit(b1, "ts", allowedLatenessMs = 500, state)
+      assert(s1.watermark === Some(2000L))
+      // cutoff = 2000-500: ts=1000 is already late within the first batch
+      assert(s1.onTime.count() === 1 && s1.late.count() === 1)
+      // next batch: watermark stays at 2000 even though batch max is lower
+      val b2 = Seq((3L, 900L), (4L, 1800L)).toDF("id", "ts")
+      val s2 = Patterns.watermarkSplit(b2, "ts", allowedLatenessMs = 500, state)
+      assert(s2.watermark === Some(2000L))
+      assert(s2.late.select("id").head().getLong(0) === 3L) // 900 < 1500
+      assert(s2.onTime.count() === 1)
+    }
+  }
+
+  test("cross-batch dedup via parquet seen-keys state") {
+    withTmpDir { tmp =>
+      val state = new JobState(s"$tmp/state", conf, spark)
+      val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      assert(Patterns.dedupAcrossBatches(b1, Seq("id"), state).count() === 2)
+      val b2 = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+      val out2 = Patterns.dedupAcrossBatches(b2, Seq("id"), state)
+      assert(out2.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(3L))
+    }
+  }
+
+  test("incremental aggregation merges partials across batches") {
+    withTmpDir { tmp =>
+      val state = new JobState(s"$tmp/state", conf, spark)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      def merge(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.unionByName(b).groupBy("k").agg(sum("n").as("n"), sum("s").as("s"))
+      val b1 = Seq(("x", 1L), ("x", 2L), ("y", 10L)).toDF("k", "v")
+      Patterns.incrementalAgg(b1, state, "agg", partial, merge)
+      val b2 = Seq(("x", 3L), ("z", 100L)).toDF("k", "v")
+      val out = Patterns.incrementalAgg(b2, state, "agg", partial, merge)
+        .orderBy("k").collect()
+      assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq(("x", 3L, 6L), ("y", 1L, 10L), ("z", 1L, 100L)))
+    }
+  }
+}
