@@ -7,14 +7,21 @@ object Bench {
     val spark = GraftSession.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the session once (codegen compiler, parquet footer reader,
+    // shuffle machinery) so the first timed query isn't charged for JVM
+    // startup — steady-state throughput is what maps to cluster behavior.
+    spark.range(1000).groupBy(org.apache.spark.sql.functions.col("id") % 7)
+      .count().collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // deterministic execution order (stable JIT profile run to run)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -47,23 +47,32 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val withShingles = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("shingles"))
-    val bandRows = withShingles
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // persist: the self-join below references this subtree from both sides,
+    // and without a cache Spark computes the (expensive) signature pass
+    // twice; (id, band, key) is tiny — 3 scalars per band per doc
+    val bandRows = base
+      .select(col("id"), wordShingles(col("text"), shingleWords).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), k))
       .select(col("id"), posexplode(lshBandKeys(col("sig"), bands, rows))
         .as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate id pairs first — only (band, key, id) shuffles, never the
-    // shingle arrays; shingles re-attach for the (few) candidates below
+    // shingle arrays
     val a = bandRows.select(col("band"), col("key"), col("id").as("id_a"))
     val b = bandRows.select(col("band"), col("key"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // exact-Jaccard verification re-derives shingles ONLY for candidate
+    // rows (texts join in; the corpus-wide shingle+signature pass above
+    // runs exactly once)
     candidates
-      .join(withShingles.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(withShingles.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(base.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(wordShingles(col("t_a"), shingleWords),
+          wordShingles(col("t_b"), shingleWords)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -100,8 +109,10 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist for the same self-join double-computation reason as minhash
     val hashed = simhashByRow(df, idCol, textCol)
       .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = hashed.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = hashed.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("bucket"))

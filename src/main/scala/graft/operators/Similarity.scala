@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, x) => acc + x)
+  /** Dot product of two float arrays in double precision — a native
+    * codegen'd Catalyst expression ([[graft.functions.FloatVecDot]]); the
+    * interpreted `zip_with`/`aggregate` formulation costs ~10x per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vecDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
