@@ -326,6 +326,41 @@ object Queries {
              |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 24 HOUR
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ----- strict-replace mapping with passthrough (replace_strict) -------
+    "q_replace_map" -> QueryDef(
+      (s, d) => {
+        val mapping = Map("click" -> "interaction", "view" -> "interaction",
+          "purchase" -> "conversion")
+        val mapped = mapping.foldLeft(lit(null).cast("string")) {
+          case (acc, (from, to)) => when(col("event_type") === from, to).otherwise(acc)
+        }
+        t(s, d, "events")
+          .withColumn("category", coalesce(mapped, col("event_type")))
+          .groupBy("category").agg(count(lit(1)).as("n"))
+          .orderBy("category")
+      },
+      Some("""SELECT CASE event_type
+             |  WHEN 'click' THEN 'interaction'
+             |  WHEN 'view' THEN 'interaction'
+             |  WHEN 'purchase' THEN 'conversion'
+             |  ELSE event_type END AS category, COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY category""".stripMargin)),
+
+    // ----- non-strict timestamp parsing (strptime strict=False) -----------
+    "q_strptime" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        // round-trip: format to string, parse back non-strict (ANSI off ->
+        // null on failure), bucket by quarter
+        .select(to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("parsed"))
+        .groupBy(year(col("parsed")).as("y"), quarter(col("parsed")).as("q"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "q"),
+      Some("""SELECT YEAR(parsed) AS y, QUARTER(parsed) AS q, COUNT(*) AS n
+             |FROM (SELECT STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+             |        '%Y-%m-%d %H:%M:%S') AS parsed FROM orders)
+             |GROUP BY 1, 2 ORDER BY y, q""".stripMargin)),
+
     // ----- Delta table end-to-end: write -> CDC merge -> read -------------
     // Builds a throwaway Delta table from `customer`, merges a change feed
     // derived from each customer's latest order (status F = delete, else

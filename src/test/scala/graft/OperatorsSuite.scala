@@ -186,3 +186,23 @@ class MultimodalSuite extends SparkSpec {
     assert(new String(frames(1).getAs[Array[Byte]]("frame")) === "ghi")
   }
 }
+
+class SkewSuite extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Skew
+
+  test("salted join equals plain join, spread over salt partitions") {
+    val big = (1 to 100).map(i => (if (i <= 90) 1L else 2L, i.toLong)).toDF("k", "id")
+    val small = Seq((1L, "hot"), (2L, "cold")).toDF("k", "label")
+    val plain = big.join(small, Seq("k")).orderBy("id")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val salted = Skew.saltedJoin(big, small, Seq("k"), bigTiebreak = "id",
+      saltFactor = 4).orderBy("id")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(salted.toSeq === plain.toSeq)
+    // the hot key's rows spread across multiple salt values
+    val salts = big.filter($"k" === 1L)
+      .select(Skew.salt($"id", 4)).distinct().count()
+    assert(salts > 1)
+  }
+}

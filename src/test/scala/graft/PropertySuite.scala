@@ -86,4 +86,35 @@ class PropertySuite extends SparkSpec {
       }
     }
   }
+
+  test("delta tailing covers every dataChange add exactly once across batches") {
+    import graft.sources.{DeltaSourceOptions, DeltaStartOffset, DeltaTableCheckpoint}
+    forAllSampled(Gen.zip(Gen.choose(1, 6), Gen.choose(1, 3), Gen.choose(1, 3)), 6) {
+      case (nVersions, addsPerVersion, maxPer) =>
+        withTmpDir { tmp =>
+          val table = s"$tmp/table"
+          val logDir = Paths.get(table, "_delta_log")
+          Files.createDirectories(logDir)
+          val allFiles = (0 until nVersions).flatMap { v =>
+            val adds = (0 until addsPerVersion).map(i => s"f$v-$i.parquet")
+            val lines = Seq(s"""{"commitInfo": {"timestamp": ${v * 10}}}""") ++
+              (if (v == 0) Seq("""{"metaData": {"id": "t"}}""") else Nil) ++
+              adds.map(p => s"""{"add": {"path": "$p", "size": 1, "dataChange": true}}""")
+            Files.write(logDir.resolve(f"$v%020d.json"),
+              lines.mkString("\n").getBytes, StandardOpenOption.CREATE)
+            adds
+          }
+          val ckpt = new DeltaTableCheckpoint(s"$tmp/cp", new Configuration())
+          val opts = DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest,
+            maxFilesPerTrigger = Some(maxPer))
+          val planned = Iterator.continually(ckpt.planBatch(table, opts))
+            .takeWhile(_.isDefined).map(_.get)
+            .map { b => ckpt.commitBatch(b, Map.empty); b.paths }
+            .toSeq
+          val names = planned.flatten.map(p => Paths.get(p).getFileName.toString)
+          assert(names.sorted === allFiles.sorted, "every add exactly once")
+          assert(planned.forall(_.size <= maxPer))
+        }
+    }
+  }
 }
