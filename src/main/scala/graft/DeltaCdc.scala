@@ -32,9 +32,10 @@ object DeltaCdc {
       emitCdf: Boolean = false): MergeResult = {
     val writer = new DeltaWriter(spark, spark.sparkContext.hadoopConfiguration)
     val normalized = Cdc.normalizeChangeTypes(changes, changeCol, changeTypeMap)
-    val rowsIn = normalized.count()
+    // one job for both metrics: rowsIn = sum of per-type counts
     val changeTypes = normalized.groupBy(changeCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rowsIn = changeTypes.values.sum
 
     val cdf = if (emitCdf) Some(normalized) else None
 

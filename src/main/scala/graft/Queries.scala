@@ -474,6 +474,17 @@ object Queries {
         maxHamming = 16).orderBy("id_a", "id_b"),
       None),
 
+    // ----- char-ngram Jaccard near-dup pairs (rows-only) ------------------
+    // n=12 grams span 2-3 words, so same-vocabulary documents still get
+    // distinctive gram sets (short grams are degenerate on a small shared
+    // vocabulary: every pair looks similar and LSH candidates go
+    // quadratic); 4x4 banding keeps P(candidate) = 1-(1-j^4)^4 negligible
+    // at background similarity
+    "d_ngram_jaccard" -> QueryDef(
+      (s, d) => Dedup.charNgramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 12, threshold = 0.4, k = 16, bands = 4).orderBy("id_a", "id_b"),
+      None),
+
     // ----- ANN: brute-force cosine top-1 (rows-only; FP argmax) -----------
     "e_ann_top1" -> QueryDef(
       (s, d) => {

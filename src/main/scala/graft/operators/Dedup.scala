@@ -45,6 +45,18 @@ object Dedup {
       shingleWords: Int = 3,
       k: Int = 16,
       bands: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    lshPairsBy(df, idCol, textCol, wordShingles(_, shingleWords), k, bands, threshold)
+
+  /** LSH near-dup pair search generalized over the shingling function
+    * (word n-grams, character n-grams, …). */
+  def lshPairsBy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleFn: Column => Column,
+      k: Int = 16,
+      bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -52,7 +64,7 @@ object Dedup {
     // and without a cache Spark computes the (expensive) signature pass
     // twice; (id, band, key) is tiny — 3 scalars per band per doc
     val bandRows = base
-      .select(col("id"), wordShingles(col("text"), shingleWords).as("shingles"))
+      .select(col("id"), shingleFn(col("text")).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), k))
       .select(col("id"), posexplode(lshBandKeys(col("sig"), bands, rows))
         .as(Seq("band", "key")))
@@ -71,8 +83,7 @@ object Dedup {
       .join(base.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(wordShingles(col("t_a"), shingleWords),
-          wordShingles(col("t_b"), shingleWords)).as("jaccard"))
+        jaccard(shingleFn(col("t_a")), shingleFn(col("t_b"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -127,4 +138,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4): DataFrame =
     minhashLshPairs(df, idCol, textCol, shingleWords = n, threshold = threshold)
+
+  /** Character n-gram Jaccard near-dup pairs (robust to word-boundary
+    * noise), LSH-bucketed like the word-shingle variant. */
+  def charNgramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.4,
+      k: Int = 16, bands: Int = 8): DataFrame =
+    lshPairsBy(df, idCol, textCol, charNgrams(_, n), k, bands, threshold)
 }

@@ -47,33 +47,37 @@ object Similarity {
       .withColumnRenamed("__rk", "rank")
   }
 
-  /** Signed-random-projection bucket key: `planes` pseudo-random
-    * hyperplanes derived deterministically from xxhash64(plane, dim) —
-    * no stored model, reproducible across runs/engines. */
-  def srpBucket(vec: Column, planes: Int): Column = {
-    // plane p weight for dim d: ±1 from the parity of xxhash64("p|d");
-    // planes unrolled as Scala constants (shift amounts must be literals)
-    def contribution(p: Int): Column = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-        x.cast("double") * when(
-          xxhash64(concat(lit(s"$p|"), d.cast("string")))
-            .bitwiseAND(1) === 1, 1d).otherwise(-1d)),
-      lit(0d), (acc, x) => acc + x)
-    (0 until planes).map { p =>
-      when(contribution(p) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Deterministic ±1 hyperplane for SRP bucketing: plane `p` over `dims`
+    * dimensions, seeded from (42, p) — no stored model, reproducible
+    * across runs. */
+  private[operators] def srpPlane(p: Int, dims: Int): Array[Float] = {
+    val rng = new java.util.Random(42L * 1000003L + p)
+    Array.fill(dims)(if (rng.nextBoolean()) 1f else -1f)
   }
+
+  /** Signed-random-projection bucket key. The hyperplanes are literal
+    * float arrays, so each sign test is one codegen'd [[dot]] against a
+    * constant — no per-dimension hashing in the hot path (the previous
+    * formulation hashed a string per plane per dimension, interpreted). */
+  def srpBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(vec, typedlit(srpPlane(p, dims))) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed ANN: queries and corpus bucketed by SRP signature; each
     * query searches only its bucket. Misses are possible (that's the
     * "approximate"); `planes` trades recall for bucket size. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, planes: Int = 8,
+      dims: Int = 0): DataFrame = {
+    // hyperplanes need the dimensionality; sample it if not supplied
+    val d = if (dims > 0) dims
+      else corpus.select(size(col(vecCol))).head().getInt(0)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", srpBucket(col("qv"), planes))
+      .withColumn("bucket", srpBucket(col("qv"), planes, d))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("bucket", srpBucket(col("nv"), planes))
+      .withColumn("bucket", srpBucket(col("nv"), planes, d))
     val joined = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
