@@ -102,15 +102,11 @@ object TextFunctions {
   /** MinHash signature of a shingle array: `k` min-hashes via
     * Kirsch-Mitzenmacher double hashing — each shingle is string-hashed
     * ONCE (h1 = xxhash64(s), h2 = xxhash64(h1)), then hash_i = h1 + i*h2.
-    * Higher-order functions run interpreted, so doing k string hashes per
-    * shingle costs ~k× more than this; at 5k docs that's 100s vs 2s, and
-    * the gap widens linearly with corpus size. Returns array<bigint>[k]. */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val h1 = transform(shingles, s => xxhash64(s))
-    val h2 = transform(h1, h => xxhash64(h))
-    array((0 until k).map(i =>
-      array_min(zip_with(h1, h2, (a, b) => a + lit(i.toLong) * b))): _*)
-  }
+    * Delegates to the codegen'd [[MinHashSignatureExpr]] (the interpreted
+    * higher-order-function formulation was the dedup hot path).
+    * Returns array<bigint>[k]. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    MinHashFunctions.minhashSig(shingles, k)
 
   /** LSH band keys for a minhash signature: `bands` hashes, each over
     * `rowsPerBand` consecutive signature entries. */
