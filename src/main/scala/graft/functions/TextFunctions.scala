@@ -78,13 +78,10 @@ object TextFunctions {
   def normalizedFingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", filter(split(text, """\s+"""), t => length(t) > 0)))
 
-  /** `n`-word shingles from whitespace tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array(concat_ws(" ", ts)))
-      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-  }
+  /** `n`-word shingles from whitespace tokens (codegen'd; see
+    * [[WordShinglesExpr]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    ShingleFunctions.wordShinglesFast(text, n)
 
   /** Character `n`-grams. */
   def charNgrams(text: Column, n: Int): Column =
