@@ -36,13 +36,25 @@ object Maintenance {
   }
 
   /** Remove every batch with id > `keepThrough` (offset AND commit), so the
-    * source replans them from current inputs. Returns removed ids. */
+    * source replans them from current inputs. For file sources the truncated
+    * batches' paths are also dropped from the committed-file index —
+    * otherwise `FileStreamCheckpoint.planBatch` would never re-emit them
+    * (Delta sources rewind by offset position alone). Returns removed ids. */
   def truncateCheckpoint(checkpointDir: String, conf: Configuration,
       keepThrough: Long): Seq[Long] = {
     val wal = new WriteAheadLog(checkpointDir, conf)
     val doomed = (wal.listOffsetIds() ++ wal.listCommitIds()).distinct
       .filter(_ > keepThrough).sorted
+    val offsetIds = wal.listOffsetIds().filter(_ > keepThrough).toSet
+    val truncatedPaths = offsetIds.toSeq.sorted.flatMap { id =>
+      try wal.readOffset(id).files.map(_.path)
+      catch { case _: Exception => Seq.empty[String] }
+    }
     doomed.foreach(wal.deleteBatch)
+    if (truncatedPaths.nonEmpty &&
+        Fs.exists(new Path(checkpointDir, "file_index"), conf))
+      new graft.sources.FileStreamCheckpoint(checkpointDir, conf)
+        .dropFromIndex(truncatedPaths)
     doomed
   }
 

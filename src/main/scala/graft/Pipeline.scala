@@ -158,15 +158,31 @@ class Pipeline(
   * `pipeline.py:162-283`. One writer per checkpoint is what makes the
   * hand-rolled Delta commit protocol safe (SURVEY §7.4). */
 object PipelineLock {
-  val StaleAfterMs: Long = sys.env.getOrElse("GRAFT_LOCK_STALE_MS", "3600000").toLong
+  /** Age-based stale-file removal is OPT-IN (default 0 = disabled), matching
+    * the reference's default. The primary mechanism is the OS advisory
+    * FileLock, which the kernel releases the moment the holder dies — a
+    * crashed run never wedges the checkpoint, and a long batch loop can
+    * never "age out" and lose its lock to a second starter. When enabled
+    * (for filesystems without working locks), removal additionally verifies
+    * the recorded holder pid is dead before deleting. */
+  val StaleAfterMs: Long = sys.env.getOrElse("GRAFT_LOCK_STALE_MS", "0").toLong
+
+  private def recordedPidAlive(lockFile: File): Boolean =
+    try {
+      val src = scala.io.Source.fromFile(lockFile)
+      val txt = try src.mkString finally src.close()
+      "pid=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+    } catch { case _: Exception => false }
 
   def withLock[T](checkpointDir: String)(f: => T): T = {
     val dir = new File(checkpointDir)
     dir.mkdirs()
     val lockFile = new File(dir, ".lock")
-    if (lockFile.exists() &&
-        System.currentTimeMillis() - lockFile.lastModified() > StaleAfterMs) {
-      lockFile.delete() // stale from a dead process
+    if (StaleAfterMs > 0 && lockFile.exists() &&
+        System.currentTimeMillis() - lockFile.lastModified() > StaleAfterMs &&
+        !recordedPidAlive(lockFile)) {
+      lockFile.delete() // stale from a verified-dead process
     }
     val raf = new RandomAccessFile(lockFile, "rw")
     val lock: FileLock =
@@ -177,12 +193,15 @@ object PipelineLock {
       throw new CheckpointLockError(s"checkpoint $checkpointDir is locked by another writer")
     }
     try {
+      raf.setLength(0)
       raf.writeBytes(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}")
       f
     } finally {
       lock.release()
       raf.close()
-      lockFile.delete()
+      // The lock file stays in place: deleting it while another starter has
+      // the old inode open would let two processes lock different inodes of
+      // the same path — everyone must contend on one persistent file.
     }
   }
 }

@@ -185,13 +185,19 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     planned.map { b => wal.writeOffset(b); b }
   }
 
-  /** Initial snapshot paging (reference delta.py:634-695,992-1022). */
+  /** Initial snapshot paging (reference delta.py:634-695,992-1022).
+    * Under `readChangeFeed` the snapshot files are served as
+    * `change_type='insert'` entries at the snapshot version (reference
+    * delta.py:964,1003; delta-spark does the same), so the initial state
+    * flows through the CDF reader instead of being dropped. */
   private def planSnapshot(tablePath: String, tableId: String, pos: Position,
       opts: DeltaSourceOptions): Option[BatchInfo] = {
     val files = log.snapshotState(tablePath, pos.version, Some(snapshotCacheDir))
     if (pos.index >= files.size) {
       // snapshot finished -> switch to tailing after the snapshot version
-      return planLog(tablePath, tableId, Position(pos.version, -1, isInitial = false), opts)
+      val after = Position(pos.version, -1, isInitial = false)
+      return if (opts.readChangeFeed) planCdf(tablePath, tableId, after, opts)
+      else planLog(tablePath, tableId, after, opts)
     }
     val remaining = files.drop(pos.index.toInt)
     val (admitted, _) = admit[(String, Long)](remaining, _._2, opts, 0, 0L)
@@ -200,8 +206,16 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     val entries = taken.map { case (p, sz) =>
       FileEntry(log.resolvePath(tablePath, p), sz, 0L)
     }
+    val cdf =
+      if (!opts.readChangeFeed) Seq.empty[CdfEntry]
+      else {
+        val ts = if (log.commitExists(tablePath, pos.version))
+          log.readCommit(tablePath, pos.version).timestampMs.getOrElse(0L)
+        else 0L
+        taken.map { case (p, sz) => CdfEntry(p, sz, "insert", pos.version, ts) }
+      }
     Some(BatchInfo(wal.nextBatchId(), entries,
-      offsetJson(tableId, Position(pos.version, newIndex, isInitial = true), Seq.empty)))
+      offsetJson(tableId, Position(pos.version, newIndex, isInitial = true), cdf)))
   }
 
   /** Log tailing (reference delta.py:697-787). */

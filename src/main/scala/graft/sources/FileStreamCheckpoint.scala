@@ -96,6 +96,16 @@ class FileStreamCheckpoint(val checkpointDir: String, val conf: Configuration) {
       writeShard(shard, cur ++ fs.map(f => f.path -> (f.size, f.mtimeMs)))
     }
 
+  /** Forget specific committed paths (e.g. batches removed by
+    * [[graft.Maintenance.truncateCheckpoint]]) so planBatch re-emits them.
+    * Touches only the affected shards; unknown paths are no-ops. */
+  def dropFromIndex(paths: Seq[String]): Unit =
+    paths.groupBy(shardOf).foreach { case (shard, ps) =>
+      val cur = readShard(shard)
+      val kept = cur -- ps
+      if (kept.size != cur.size) writeShard(shard, kept)
+    }
+
   /** Drop index entries older than maxFileAge to bound index growth
     * (reference `file.py:326-351`). */
   def pruneIndex(maxFileAgeMs: Long): Unit = {
@@ -140,7 +150,11 @@ class FileStreamCheckpoint(val checkpointDir: String, val conf: Configuration) {
             walk(st.getPath)
         } else if (!name.startsWith(".") && !name.startsWith("_") &&
             matchesPattern(name, opts.pattern)) {
-          out += FileEntry(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+          // Fully-qualified URI (scheme + authority preserved): on HDFS/S3
+          // the planned paths and committed-index keys must carry their
+          // filesystem, or replay resolves them against the default FS.
+          out += FileEntry(filesystem.makeQualified(st.getPath).toString,
+            st.getLen, st.getModificationTime)
         }
       }
     }

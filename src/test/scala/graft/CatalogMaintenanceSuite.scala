@@ -83,6 +83,28 @@ class MaintenanceSuite extends SparkSpec {
     }
   }
 
+  test("truncate forgets truncated files so the file source replans them") {
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      Files.createDirectories(Paths.get(in))
+      def put(name: String) = Files.write(Paths.get(in, name), "x".getBytes)
+      put("a.txt")
+      val ckpt = new FileStreamCheckpoint(cp, conf)
+      val opts = FileSourceOptions(pattern = "*.txt")
+      val b0 = ckpt.planBatch(in, opts).get
+      ckpt.commitBatch(b0, Map.empty, opts)
+      put("b.txt")
+      val b1 = ckpt.planBatch(in, opts).get
+      assert(b1.files.map(f => new java.io.File(f.path).getName) === Seq("b.txt"))
+      ckpt.commitBatch(b1, Map.empty, opts)
+      assert(ckpt.planBatch(in, opts).isEmpty)
+      // rewind past b1: its files leave the committed index and replan
+      Maintenance.truncateCheckpoint(cp, conf, keepThrough = b0.batchId)
+      val b2 = ckpt.planBatch(in, opts).get
+      assert(b2.files.map(f => new java.io.File(f.path).getName) === Seq("b.txt"))
+    }
+  }
+
   test("inspect reports ids, pending, metadata; resets drop metadata keys") {
     withTmpDir { tmp =>
       val wal = seedBatches(s"$tmp/cp", 3, 2)

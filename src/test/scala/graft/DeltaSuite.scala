@@ -262,6 +262,30 @@ class DeltaCheckpointSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("CDF with snapshot start serves the initial snapshot as inserts") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writeLog(t, 0, ci(1000), meta(), add("a.parquet"), add("b.parquet"))
+      writeLog(t, 1, ci(2000), remove("a.parquet"), add("c.parquet"))
+      val c = ckpt(s"$tmp/cp")
+      val opts = DeltaSourceOptions(
+        startOffset = DeltaStartOffset.Snapshot, readChangeFeed = true)
+      val b0 = c.planBatch(t, opts).get
+      // snapshot at v1 = {b, c}, served as change_type=insert at version 1
+      assert(names(b0) === Seq("b.parquet", "c.parquet"))
+      val entries = graft.util.Jsons.elems(b0.offset.get("cdf_entries")).toSeq
+      assert(entries.map(_.get("kind").asText()).distinct === Seq("insert"))
+      assert(entries.map(_.get("version").asLong()).distinct === Seq(1L))
+      assert(entries.map(_.get("ts_ms").asLong()).distinct === Seq(2000L))
+      c.commitBatch(b0, Map.empty)
+      // post-snapshot commits tail through the CDF planner
+      writeLog(t, 2, ci(3000), cdc("_change_data/cdc-2.parquet"),
+        add("d.parquet"), remove("b.parquet"))
+      val b1 = c.planBatch(t, opts).get
+      assert(names(b1) === Seq("cdc-2.parquet"))
+    }
+  }
+
   test("no-file commits are advanced through") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
@@ -365,6 +389,27 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       // v0 has no cdc action -> insert fallback; v1 prefers the cdc file
       assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
         Seq((1L, "insert", 0L), (2L, "insert", 1L)))
+    }
+  }
+
+  test("CDF read with default snapshot start returns existing rows as inserts") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"; val cp = s"$tmp/cp"
+      val w = writer
+      w.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t, DeltaWriteMode.Append)
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(cp, conf),
+        DeltaSourceOptions(startOffset = DeltaStartOffset.Snapshot,
+          readChangeFeed = true))
+      val b = src.planBatch().get
+      val rows = src.readBatch(spark, b)
+        .select("id", Cdc.ChangeTypeCol, Cdc.CommitVersionCol).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(rows === Seq((1L, "insert", 0L), (2L, "insert", 0L)))
+      src.commitBatch(b, Map.empty)
+      w.write(Seq((3L, 30L)).toDF("id", "v"), t, DeltaWriteMode.Append)
+      val b1 = src.planBatch().get
+      val r1 = src.readBatch(spark, b1).select("id", Cdc.ChangeTypeCol).collect()
+      assert(r1.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "insert")))
     }
   }
 
