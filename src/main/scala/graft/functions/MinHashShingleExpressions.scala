@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused shingle+MinHash expressions: compute the k-entry MinHash signature
+  * directly from the document string, hashing each shingle as a byte window
+  * of the original text — no shingle array is ever materialized.
+  *
+  * Equivalences (each verified by a suite test):
+  *  - char n-grams: a gram is a contiguous char span, so its UTF-8 bytes
+  *    are a contiguous byte window (char-start offsets respect multi-byte
+  *    sequences).
+  *  - word n-shingles: `split(" ")` tokens re-joined with `" "` reproduce
+  *    the exact original byte span between the first token's start and the
+  *    last token's end, because every separator is exactly one 0x20 byte
+  *    (which can never occur inside a multi-byte UTF-8 sequence).
+  *
+  * So `minhash_char_ngrams(text, n, k)` ≡
+  * `minhash_signature(char_ngrams(text, n), k)` and
+  * `minhash_word_shingles(text, n, k)` ≡
+  * `minhash_signature(word_shingles(text, n), k)`, at zero allocation per
+  * shingle. This is the corpus-wide signature pass of every LSH dedup — at
+  * 100 TB the avoided garbage is measured in petabytes.
+  */
+object MinHashShingles {
+  private def accumulate(mins: Array[Long], h1: Long, k: Int): Unit = {
+    val h2 = XXH64.hashLong(h1, 42L)
+    var h = h1
+    var i = 0
+    while (i < k) {
+      if (h < mins(i)) mins(i) = h
+      h += h2
+      i += 1
+    }
+  }
+
+  private def wholeTextSig(text: UTF8String, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    accumulate(mins, XXH64.hashUTF8String(text, 42L), k)
+    mins
+  }
+
+  /** Signature over char n-grams (called from generated java). */
+  def sigCharNgrams(text: UTF8String, n: Int, k: Int): Array[Long] = {
+    val numChars = text.numChars()
+    if (numChars < n) return wholeTextSig(text, k)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes()
+    // byte offset of each char start (UTF-8 continuation bytes are 10xxxxxx)
+    val charOff = new Array[Int](numChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nb) {
+      if ((Platform.getByte(base, off + bi) & 0xC0) != 0x80) { charOff(ci) = bi; ci += 1 }
+      bi += 1
+    }
+    charOff(numChars) = nb
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val nGrams = numChars - n + 1
+    while (i < nGrams) {
+      val start = charOff(i)
+      accumulate(mins,
+        XXH64.hashUnsafeBytes(base, off + start, charOff(i + n) - start, 42L), k)
+      i += 1
+    }
+    mins
+  }
+
+  /** Signature over word n-shingles (called from generated java). */
+  def sigWordShingles(text: UTF8String, n: Int, k: Int): Array[Long] = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes()
+    // token start offsets: 0 and every byte following a 0x20
+    var nTokens = 1
+    var bi = 0
+    while (bi < nb) {
+      if (Platform.getByte(base, off + bi) == 0x20) nTokens += 1
+      bi += 1
+    }
+    if (nTokens < n) return wholeTextSig(text, k)
+    val tokStart = new Array[Int](nTokens + 1)
+    var ti = 1
+    bi = 0
+    while (bi < nb) {
+      if (Platform.getByte(base, off + bi) == 0x20) { tokStart(ti) = bi + 1; ti += 1 }
+      bi += 1
+    }
+    tokStart(nTokens) = nb + 1 // sentinel: end(j) = tokStart(j+1) - 1
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val nShingles = nTokens - n + 1
+    while (i < nShingles) {
+      val start = tokStart(i)
+      val end = tokStart(i + n) - 1 // byte before the separator after last token
+      accumulate(mins, XXH64.hashUnsafeBytes(base, off + start, end - start, 42L), k)
+      i += 1
+    }
+    mins
+  }
+}
+
+abstract class FusedMinHashExpr extends UnaryExpression {
+  def n: Int
+  def k: Int
+  require(n > 0 && k > 0, "shingle width and signature size must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got $other")
+    }
+
+  /** Name of the static helper on [[MinHashShingles]]. */
+  protected def helperMethod: String
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig =
+      if (helperMethod == "sigCharNgrams")
+        MinHashShingles.sigCharNgrams(input.asInstanceOf[UTF8String], n, k)
+      else MinHashShingles.sigWordShingles(input.asInstanceOf[UTF8String], n, k)
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = MinHashShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($helper.$helperMethod($a, $n, $k));"
+    })
+}
+
+case class MinHashCharNgramsExpr(child: Expression, n: Int, k: Int)
+    extends FusedMinHashExpr {
+  override protected def helperMethod: String = "sigCharNgrams"
+  override protected def withNewChildInternal(newChild: Expression): MinHashCharNgramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_char_ngrams"
+}
+
+case class MinHashWordShinglesExpr(child: Expression, n: Int, k: Int)
+    extends FusedMinHashExpr {
+  override protected def helperMethod: String = "sigWordShingles"
+  override protected def withNewChildInternal(newChild: Expression): MinHashWordShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_word_shingles"
+}
+
+object FusedMinHashFunctions {
+  /** MinHash signature over char n-grams, fused (string -> array<bigint>[k]). */
+  def minhashCharNgrams(text: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashCharNgramsExpr(Bridge.expression(text), n, k))
+
+  /** MinHash signature over word n-shingles, fused (string -> array<bigint>[k]). */
+  def minhashWordShingles(text: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashWordShinglesExpr(Bridge.expression(text), n, k))
+}

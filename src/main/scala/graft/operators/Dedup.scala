@@ -46,10 +46,16 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame =
-    lshPairsBy(df, idCol, textCol, wordShingles(_, shingleWords), k, bands, threshold)
+    lshPairsBy(df, idCol, textCol, wordShingles(_, shingleWords), k, bands, threshold,
+      sigFn = Some(
+        graft.functions.FusedMinHashFunctions.minhashWordShingles(_, shingleWords, k)))
 
   /** LSH near-dup pair search generalized over the shingling function
-    * (word n-grams, character n-grams, …). */
+    * (word n-grams, character n-grams, …). `sigFn`, when given, computes the
+    * k-entry MinHash signature straight from the text (the fused
+    * [[graft.functions.MinHashShingles]] path — no shingle array in the
+    * corpus-wide pass); the default composes `minhashSignature ∘ shingleFn`.
+    * `shingleFn` is always what verification uses for exact Jaccard. */
   def lshPairsBy(
       df: DataFrame,
       idCol: String,
@@ -57,16 +63,16 @@ object Dedup {
       shingleFn: Column => Column,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      sigFn: Option[Column => Column] = None): DataFrame = {
     val rows = k / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val signature = sigFn.getOrElse((t: Column) => minhashSignature(shingleFn(t), k))
     // persist: the self-join below references this subtree from both sides,
     // and without a cache Spark computes the (expensive) signature pass
     // twice; (id, band, key) is tiny — 3 scalars per band per doc
     val bandRows = base
-      .select(col("id"), shingleFn(col("text")).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), k))
-      .select(col("id"), posexplode(lshBandKeys(col("sig"), bands, rows))
+      .select(col("id"), posexplode(lshBandKeys(signature(col("text")), bands, rows))
         .as(Seq("band", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate id pairs first — only (band, key, id) shuffles, never the
@@ -97,26 +103,15 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup pairs: bucket by the top 16 bits, compare Hamming
-    * distance within buckets only. Returns (idA, idB, hamming). */
-  /** SimHash of every row computed via explode + 64 columnar sums — the
-    * per-token bit votes become map-side-combined aggregates instead of a
-    * per-row array fold, which keeps the whole computation in hash-aggregate
-    * codegen (~10x faster than the fold at sf0.1). */
-  private def simhashByRow(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.TextFunctions.SimhashBits
-    val perToken = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteCols = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    perToken.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("id"),
-        (0 until SimhashBits).map { b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
-  }
+  /** SimHash of every row via the codegen'd [[graft.functions.SimHash64Expr]]
+    * — one pass per document, no exchange. (Earlier formulations — an
+    * interpreted HOF fold, then explode + 64 columnar vote sums — were
+    * respectively ~10x slower per row and a full shuffle of the tokenized
+    * corpus; the custom expression beats both and is the only shape that
+    * holds at 100 TB.) */
+  private def simhashByRow(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.SimHashFunctions.simhash(tokens(col(textCol))).as("sh"))
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -144,5 +139,6 @@ object Dedup {
   def charNgramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.4,
       k: Int = 16, bands: Int = 8): DataFrame =
-    lshPairsBy(df, idCol, textCol, charNgrams(_, n), k, bands, threshold)
+    lshPairsBy(df, idCol, textCol, charNgrams(_, n), k, bands, threshold,
+      sigFn = Some(graft.functions.FusedMinHashFunctions.minhashCharNgrams(_, n, k)))
 }

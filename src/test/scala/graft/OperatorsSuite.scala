@@ -61,6 +61,39 @@ class TextFunctionsSuite extends SparkSpec {
     assert(ham(h("a"), h("c")) < ham(h("a"), h("d")))
   }
 
+  test("codegen simhash matches the HOF formulation bit for bit") {
+    val df = Seq("spark query engine for incremental batch processing",
+      "completely unrelated words about cooking pasta", "", "single",
+      "a a a repeated tokens a a").toDF("text")
+    val rows = df.select(
+      TextFunctions.simhash64(TextFunctions.tokens($"text")).as("hof"),
+      graft.functions.SimHashFunctions.simhash(TextFunctions.tokens($"text")).as("gen"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("fused shingle minhash equals the composed formulation") {
+    // multibyte chars, consecutive/leading/trailing spaces, short + empty
+    val texts = Seq(
+      "spark is a distributed engine for large scale data",
+      "naïve café über—grüße 中文 text with ünïcödé",
+      "  leading and  double  spaces trailing ",
+      "short", "", "ab", "a b")
+    val df = texts.toDF("text")
+    import graft.functions.FusedMinHashFunctions._
+    for (n <- Seq(2, 3, 12); k <- Seq(8, 16)) {
+      val rows = df.select(
+        TextFunctions.minhashSignature(TextFunctions.charNgrams($"text", n), k).as("c0"),
+        minhashCharNgrams($"text", n, k).as("c1"),
+        TextFunctions.minhashSignature(TextFunctions.wordShingles($"text", n), k).as("w0"),
+        minhashWordShingles($"text", n, k).as("w1")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"char n=$n k=$k text='$t'")
+        assert(r.getSeq[Long](2) === r.getSeq[Long](3), s"word n=$n k=$k text='$t'")
+      }
+    }
+  }
+
   test("minhash signature is stable and sensitive") {
     val df = Seq(("x", "a b c d e f g h"), ("y", "a b c d e f g h"),
       ("z", "q r s t u v w x")).toDF("id", "text")
