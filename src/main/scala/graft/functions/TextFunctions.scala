@@ -28,17 +28,24 @@ object TextFunctions {
     round(length(regexp_replace(text, """[^\p{Punct}]""", "")).cast("double") /
       greatest(length(text), lit(1)), 4)
 
+  /** Single-pass token stats `[n_tokens, sum_chars, hits…]` (codegen'd;
+    * see [[TokenStatsExpr]]). Identical expression trees are deduplicated
+    * by codegen subexpression elimination, so deriving several ratios from
+    * the same `tokenStats` column costs one scan. */
+  def tokenStats(text: Column, sets: Seq[Seq[String]]): Column =
+    TokenStatsFunctions.tokenStats(text, sets)
+
   /** Ratio of tokens found in `stopwords`, rounded to 4 decimals. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val stops = array(stopwords.map(lit): _*)
-    round(size(filter(tokens(text), t => array_contains(stops, t))).cast("double") /
-      greatest(size(tokens(text)), lit(1)), 4)
+    val st = tokenStats(text, Seq(stopwords))
+    round(element_at(st, 3).cast("double") / greatest(element_at(st, 1), lit(1L)), 4)
   }
 
   /** Mean token length, rounded to 4 decimals. */
-  def meanTokenLen(text: Column): Column =
-    round(aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(tokens(text)), lit(1)), 4)
+  def meanTokenLen(text: Column): Column = {
+    val st = tokenStats(text, Seq.empty)
+    round(element_at(st, 2).cast("double") / greatest(element_at(st, 1), lit(1L)), 4)
+  }
 
   /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
     * punctuation soup and stopword deserts (heuristic, deterministic). */
@@ -53,14 +60,13 @@ object TextFunctions {
     * most often among en/de/fr/es; `und` when nothing matches. A classic
     * n-gram-free heuristic that is exactly reproducible in ANSI SQL. */
   def langIdHeuristic(text: Column): Column = {
-    def hits(words: Seq[String]): Column = {
-      val ws = array(words.map(lit): _*)
-      size(filter(tokens(text), t => array_contains(ws, t)))
-    }
-    val en = hits(Seq("the", "and", "of", "to", "a"))
-    val de = hits(Seq("der", "die", "das", "und", "ist"))
-    val fr = hits(Seq("le", "la", "les", "et", "est"))
-    val es = hits(Seq("el", "los", "las", "y", "es"))
+    // all four marker sets counted in ONE tokenize pass (codegen'd)
+    val st = tokenStats(text, Seq(
+      Seq("the", "and", "of", "to", "a"),
+      Seq("der", "die", "das", "und", "ist"),
+      Seq("le", "la", "les", "et", "est"),
+      Seq("el", "los", "las", "y", "es")))
+    val Seq(en, de, fr, es) = (3 to 6).map(i => element_at(st, i))
     val m = greatest(en, de, fr, es)
     when(m === 0, "und")
       .when(en === m, "en")

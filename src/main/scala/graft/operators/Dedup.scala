@@ -134,6 +134,41 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.4): DataFrame =
     minhashLshPairs(df, idCol, textCol, shingleWords = n, threshold = threshold)
 
+  /** Embedding-cosine near-duplicate pairs — exact all-pairs baseline.
+    * O(N²/2) comparisons of codegen'd double-precision cosines: the
+    * correctness reference (ANSI-SQL-expressible, oracle-gated) for the
+    * bucketed variant below. Returns (id_a, id_b, cosine≥threshold),
+    * id_a < id_b, cosine rounded to 4. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** SRP-bucketed embedding near-dup pairs — the 100 TB path: candidates
+    * only meet inside an LSH bucket (one shuffle on the bucket key, never
+    * all-pairs), then exact cosine verification. Misses possible by design;
+    * `planes` trades recall for bucket size. */
+  def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, dims: Int = 0): DataFrame = {
+    val d = if (dims > 0) dims else df.select(size(col(vecCol))).head().getInt(0)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.srpBucket(col("v"), planes, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** Character n-gram Jaccard near-dup pairs (robust to word-boundary
     * noise), LSH-bucketed like the word-shingle variant. */
   def charNgramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

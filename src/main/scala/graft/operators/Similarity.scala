@@ -64,6 +64,57 @@ object Similarity {
       when(dot(vec, typedlit(srpPlane(p, dims))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF-style ANN (FAISS IVF-Flat shape, random coarse quantizer): `nlist`
+    * deterministic centroids are sampled from the corpus (smallest
+    * xxhash64(id) — no stored model, reproducible), every corpus vector is
+    * assigned to its nearest centroid, and each query probes its `nprobe`
+    * nearest centroid buckets. One shuffle on the bucket key; the centroid
+    * table is driver-small and rides into the plan as a literal, exactly
+    * like a trained quantizer would be broadcast.
+    *
+    * Misses happen when a true neighbor hashes to an unprobed bucket —
+    * `nlist` trades bucket size against recall, `nprobe` buys recall back. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    // deterministic "training": nlist centroids by hash order (collect is
+    // O(nlist * dims) — the quantizer, not the data, comes to the driver)
+    val centroids: Array[Array[Float]] = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(nlist)
+      .collect().map(_.getSeq[Float](0).toArray)
+    // L2-normalized so a plain dot is cosine-ordered for the argmax
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      if (n == 0) c else c.map(x => (x / n).toFloat)
+    }
+    val cents = typedlit(normed.map(_.toSeq).toSeq)
+
+    /** (id, vec, bucket-rank) rows: vectors exploded over centroid index,
+      * ranked per vector by centroid dot. */
+    def assign(df: DataFrame, idAs: String, vecAs: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(idAs).orderBy(col("__cdot").desc, col("bucket"))
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+        .withColumn("bucket", explode(typedlit((0 until normed.length).toSeq)))
+        .withColumn("__cdot", dot(col(vecAs), element_at(cents, col("bucket") + 1)))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= probes)
+        .drop("__cdot", "__cr")
+    }
+
+    val c = assign(corpus, "neighbor_id", "nv", probes = 1)
+    val q = assign(queries, "query_id", "qv", probes = nprobe)
+    val joined = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+      .distinct() // a pair can meet in more than one probed bucket
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: queries and corpus bucketed by SRP signature; each
     * query searches only its bucket. Misses are possible (that's the
     * "approximate"); `planes` trades recall for bucket size. */

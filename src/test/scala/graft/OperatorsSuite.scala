@@ -61,6 +61,25 @@ class TextFunctionsSuite extends SparkSpec {
     assert(ham(h("a"), h("c")) < ham(h("a"), h("d")))
   }
 
+  test("token stats match the split/filter formulation") {
+    val stops = Seq("the", "a", "of")
+    val texts = Seq("the cat of a hat", "  double  spaces ", "", "naïve über 中文 the",
+      "no stop words here")
+    val df = texts.toDF("text")
+    val rows = df.select(
+      TextFunctions.tokenStats($"text", Seq(stops)).as("st"),
+      size(split($"text", " ")).as("n"),
+      aggregate(split($"text", " "), lit(0L), (acc, t) => acc + length(t)).as("sumlen"),
+      size(filter(split($"text", " "),
+        t => array_contains(array(stops.map(lit): _*), t))).as("hits")).collect()
+    rows.foreach { r =>
+      val st = r.getSeq[Long](0)
+      assert(st(0) === r.getInt(1).toLong, "n_tokens")
+      assert(st(1) === r.getLong(2), "sum_chars")
+      assert(st(2) === r.getInt(3).toLong, "hits")
+    }
+  }
+
   test("codegen simhash matches the HOF formulation bit for bit") {
     val df = Seq("spark query engine for incremental batch processing",
       "completely unrelated words about cooking pasta", "", "single",
