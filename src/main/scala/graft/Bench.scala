@@ -24,11 +24,24 @@ object Bench {
     // deterministic execution order (stable JIT profile run to run)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
+    val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
     (1 to repeat).foreach { round =>
       val results = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // isolation between queries: a query that leaks a cache must not
+        // poison its successors' timings (and a leak should be VISIBLE —
+        // the storage-block count below — not a mystery slowdown)
+        if (debug) {
+          val blocks = spark.sparkContext.getRDDStorageInfo
+          if (blocks.nonEmpty) System.err.println(
+            s"[bench] $name leaked ${blocks.length} cached RDD(s), " +
+            s"${blocks.map(_.numCachedPartitions).sum} block(s): " +
+            blocks.map(_.name).mkString("; "))
+        }
+        spark.catalog.clearCache()
+        name -> sec
       }
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")

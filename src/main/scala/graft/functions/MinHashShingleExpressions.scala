@@ -109,10 +109,14 @@ object MinHashShingles {
   }
 }
 
+// NOTE: no `require` in this (non-serializable, abstract) class body — at
+// Java deserialization on an executor the first non-serializable
+// superclass's no-arg constructor runs BEFORE the case-class fields are
+// populated, so a body-level precondition on n/k reads zeros and aborts
+// the task. Validation lives in [[FusedMinHashFunctions]].
 abstract class FusedMinHashExpr extends UnaryExpression {
   def n: Int
   def k: Int
-  require(n > 0 && k > 0, "shingle width and signature size must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -162,11 +166,18 @@ case class MinHashWordShinglesExpr(child: Expression, n: Int, k: Int)
 }
 
 object FusedMinHashFunctions {
+  private def validate(n: Int, k: Int): Unit =
+    require(n > 0 && k > 0, "shingle width and signature size must be positive")
+
   /** MinHash signature over char n-grams, fused (string -> array<bigint>[k]). */
-  def minhashCharNgrams(text: Column, n: Int, k: Int): Column =
+  def minhashCharNgrams(text: Column, n: Int, k: Int): Column = {
+    validate(n, k)
     Bridge.column(MinHashCharNgramsExpr(Bridge.expression(text), n, k))
+  }
 
   /** MinHash signature over word n-shingles, fused (string -> array<bigint>[k]). */
-  def minhashWordShingles(text: Column, n: Int, k: Int): Column =
+  def minhashWordShingles(text: Column, n: Int, k: Int): Column = {
+    validate(n, k)
     Bridge.column(MinHashWordShinglesExpr(Bridge.expression(text), n, k))
+  }
 }

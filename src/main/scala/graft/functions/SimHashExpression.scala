@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Codegen'd 64-bit SimHash of a string array: per-bit ±1 votes of each
   * element's xxhash64 (seed 42), bit set where the vote sum is positive —
-  * bit-identical to [[TextFunctions.simhash64]] and to the explode +
-  * 64-column-aggregate formulation.
+  * bit-identical to [[TextFunctions.simhash64]] (including null elements,
+  * which vote with the bare seed, exactly as `xxhash64(null)` evaluates in
+  * the HOF fold) and to the explode + 64-column-aggregate formulation.
   *
   * This expression exists because both alternatives have the wrong shape:
   * the higher-order-function fold evaluates interpreted (a closure dispatch
@@ -41,13 +42,16 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      if (!arr.isNullAt(j)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
-        var b = 0
-        while (b < 64) {
-          votes(b) += (((h >>> b) & 1L).toInt << 1) - 1 // +1 if set, -1 if not
-          b += 1
-        }
+      // null elements vote with the bare seed (42): Spark's xxhash64 skips
+      // null inputs leaving the hash at its seed, so the HOF formulation
+      // votes 42's bits for a null token — match it bit for bit
+      val h =
+        if (arr.isNullAt(j)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1 // +1 if set, -1 if not
+        b += 1
       }
       j += 1
     }
@@ -73,11 +77,10 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
          |int[] $votes = new int[64];
          |int $n = $a.numElements();
          |for (int $j = 0; $j < $n; $j++) {
-         |  if (!$a.isNullAt($j)) {
-         |    long $h = $xxh.hashUTF8String($a.getUTF8String($j), 42L);
-         |    for (int $b = 0; $b < 64; $b++) {
-         |      $votes[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
-         |    }
+         |  long $h = $a.isNullAt($j)
+         |    ? 42L : $xxh.hashUTF8String($a.getUTF8String($j), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
          |  }
          |}
          |long $out = 0L;

@@ -11,13 +11,32 @@ import org.apache.spark.sql.functions._
   *  - exact/fingerprint dedup is one hash-shuffle on the dedup key — the
   *    minimum possible; no window over the whole table, only per-key.
   *  - MinHash-LSH banding turns O(N²) near-dup search into
-  *    explode(bands) + one shuffle on the band key + per-bucket joins;
-  *    bucket sizes are bounded in practice, and verification (true Jaccard)
-  *    runs only on candidate pairs.
-  *  - SimHash groups by a 16-bit prefix bucket, comparing Hamming distance
-  *    only within buckets (classic Manku et al. WWW'07 layout).
+  *    explode(bands) + ONE shuffle (a groupBy on the band key) + per-bucket
+  *    pair generation; verification (true Jaccard) runs only on candidates.
+  *  - SimHash buckets on FOUR rotated 16-bit blocks of the 64-bit hash
+  *    (Manku et al. WWW'07 multi-table layout): any pair within Hamming
+  *    distance 3 leaves at least one block untouched (pigeonhole), so it is
+  *    guaranteed to meet in a bucket; larger budgets keep high recall.
+  *  - No operator here caches: candidate pairs come from a single
+  *    aggregation pass (`collect_set` per bucket), not a bucket self-join,
+  *    so the expensive signature scan runs exactly once WITHOUT a
+  *    `.persist()` whose lifecycle would leak into the shared session
+  *    (at 100 TB a leaked MEMORY_AND_DISK cache per invocation fills
+  *    executor storage memory with dead blocks).
+  *  - Degenerate buckets (empty docs, zero vectors, shards of identical
+  *    rows) are capped at `maxBucket` members — the classic LSH skew
+  *    guard: one hot bucket can otherwise go quadratic and take down the
+  *    stage. Capping drops comparisons (recall, never precision); pass
+  *    `maxBucket = 0` to disable.
+  *
+  * All near-dup operators assume ids are unique (they dedup candidate
+  * pairs by id).
   */
 object Dedup {
+
+  /** Default LSH bucket-size cap. 4096²/2 ≈ 8.4M comparisons is the most
+    * a single degenerate bucket may cost before truncation. */
+  val DefaultMaxBucket = 4096
 
   /** Exact dedup: keep one row per key set, smallest `tieBreak` wins.
     * One shuffle; the ranking window and the groupBy share partitioning. */
@@ -32,9 +51,44 @@ object Dedup {
     exact(df.withColumn("__fp", fingerprint(col(textCol))), Seq("__fp"), tieBreak)
       .drop("__fp")
 
+  /** All ordered pairs (aᵢ, aⱼ), i < j, from a sorted array — generated
+    * inside the bucket row, so pair explosion happens after the (cheap)
+    * bucket aggregation instead of via a bucket self-join. */
+  private def pairStructs(sorted: Column): Column =
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)), y =>
+        struct(x.as("a"), y.as("b")))))
+
+  /** Sorted bucket members, truncated to `maxBucket` (smallest first, so
+    * truncation is deterministic). */
+  private def capped(items: Column, maxBucket: Int): Column = {
+    val sorted = array_sort(items)
+    if (maxBucket > 0) slice(sorted, 1, maxBucket) else sorted
+  }
+
+  /** Distinct candidate id pairs from bucketed rows. ONE shuffle (the
+    * groupBy); signature/bucket expressions upstream evaluate exactly once. */
+  private def candidatePairs(
+      rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val buckets = rows.groupBy(bucketCols.map(col): _*)
+      .agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets.select(explode(pairStructs(capped(col("ids"), maxBucket))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
+
+  /** Count of buckets whose membership exceeds `maxBucket` — the
+    * comparisons-dropped diagnostic for the skew cap (an eager action;
+    * call it from tests or debug tooling, not the hot path). */
+  def oversizedBuckets(
+      rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): Long =
+    rows.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket).count()
+
   /** MinHash + LSH candidate pairs over a text column.
     *
-    * shingle → k-minhash signature → `bands` band keys → explode + shuffle
+    * shingle → k-minhash signature → `bands` band keys → explode + groupBy
     * on (band, key) → pairs within buckets → verified n-gram Jaccard ≥
     * threshold. Returns (idA, idB, jaccard) with idA < idB, distinct.
     */
@@ -45,17 +99,24 @@ object Dedup {
       shingleWords: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     lshPairsBy(df, idCol, textCol, wordShingles(_, shingleWords), k, bands, threshold,
       sigFn = Some(
-        graft.functions.FusedMinHashFunctions.minhashWordShingles(_, shingleWords, k)))
+        graft.functions.FusedMinHashFunctions.minhashWordShingles(_, shingleWords, k)),
+      maxBucket = maxBucket)
 
   /** LSH near-dup pair search generalized over the shingling function
     * (word n-grams, character n-grams, …). `sigFn`, when given, computes the
     * k-entry MinHash signature straight from the text (the fused
     * [[graft.functions.MinHashShingles]] path — no shingle array in the
     * corpus-wide pass); the default composes `minhashSignature ∘ shingleFn`.
-    * `shingleFn` is always what verification uses for exact Jaccard. */
+    * `shingleFn` is always what verification uses for exact Jaccard.
+    *
+    * The corpus-wide signature pass feeds a bucket aggregation directly —
+    * it runs once, is never cached, and only (band, key, id) triples ever
+    * shuffle. Exact-Jaccard verification re-derives shingles ONLY for
+    * candidate rows via id joins against the (id, text) projection. */
   def lshPairsBy(
       df: DataFrame,
       idCol: String,
@@ -64,27 +125,15 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      sigFn: Option[Column => Column] = None): DataFrame = {
+      sigFn: Option[Column => Column] = None,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = k / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val signature = sigFn.getOrElse((t: Column) => minhashSignature(shingleFn(t), k))
-    // persist: the self-join below references this subtree from both sides,
-    // and without a cache Spark computes the (expensive) signature pass
-    // twice; (id, band, key) is tiny — 3 scalars per band per doc
     val bandRows = base
       .select(col("id"), posexplode(lshBandKeys(signature(col("text")), bands, rows))
         .as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate id pairs first — only (band, key, id) shuffles, never the
-    // shingle arrays
-    val a = bandRows.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = bandRows.select(col("band"), col("key"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // exact-Jaccard verification re-derives shingles ONLY for candidate
-    // rows (texts join in; the corpus-wide shingle+signature pass above
-    // runs exactly once)
+    val candidates = candidatePairs(bandRows, Seq("band", "key"), maxBucket)
     candidates
       .join(base.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
@@ -113,17 +162,30 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.SimHashFunctions.simhash(tokens(col(textCol))).as("sh"))
 
+  /** Number of 16-bit blocks the 64-bit SimHash is bucketed on. */
+  private val SimhashBlocks = 4
+
+  /** Near-duplicate pairs by SimHash Hamming distance.
+    *
+    * Each document enters FOUR buckets — one per 16-bit block of its
+    * simhash (Manku et al.'s multi-table trick). A pair differing in ≤ 3
+    * bits cannot touch all four disjoint blocks, so recall is exact for
+    * Hamming ≤ 3 and high for budgets up to ~16 (a single-prefix bucketing
+    * misses any pair whose differing bits hit the prefix — ~1/4 chance per
+    * bit). Same one-shuffle shape, 4× the (block, key, id, sh) rows. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // persist for the same self-join double-computation reason as minhash
-    val hashed = simhashByRow(df, idCol, textCol)
-      .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = hashed.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = hashed.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val blockRows = simhashByRow(df, idCol, textCol)
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until SimhashBlocks).map(j =>
+          shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("block", "key")))
+    val buckets = blockRows.groupBy("block", "key")
+      .agg(collect_set(struct(col("id"), col("sh"))).as("items"))
+      .filter(size(col("items")) > 1)
+    buckets.select(explode(pairStructs(capped(col("items"), maxBucket))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        hamming64(col("p.a.sh"), col("p.b.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -151,29 +213,40 @@ object Dedup {
 
   /** SRP-bucketed embedding near-dup pairs — the 100 TB path: candidates
     * only meet inside an LSH bucket (one shuffle on the bucket key, never
-    * all-pairs), then exact cosine verification. Misses possible by design;
-    * `planes` trades recall for bucket size. */
+    * all-pairs), then exact cosine verification against the raw vectors.
+    * Misses possible by design; `planes` trades recall for bucket size.
+    * Empty input (or all-null vectors) returns an empty frame rather than
+    * failing dimensionality inference. */
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, dims: Int = 0): DataFrame = {
-    val d = if (dims > 0) dims else df.select(size(col(vecCol))).head().getInt(0)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.srpBucket(col("v"), planes, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      threshold: Double, planes: Int = 8, dims: Int = 0,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val d =
+      if (dims > 0) dims
+      else base.select(size(col("v"))).limit(1).collect() match {
+        case rows if rows.isEmpty || rows(0).isNullAt(0) =>
+          return base.select(col("id").as("id_a"), col("id").as("id_b"),
+            lit(0d).as("cosine")).limit(0)
+        case rows => rows(0).getInt(0)
+      }
+    val bucketRows = base
+      .select(col("id"), Similarity.srpBucket(col("v"), planes, d).as("bucket"))
+    val candidates = candidatePairs(bucketRows, Seq("bucket"), maxBucket)
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 
   /** Character n-gram Jaccard near-dup pairs (robust to word-boundary
     * noise), LSH-bucketed like the word-shingle variant. */
   def charNgramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.4,
-      k: Int = 16, bands: Int = 8): DataFrame =
+      k: Int = 16, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     lshPairsBy(df, idCol, textCol, charNgrams(_, n), k, bands, threshold,
-      sigFn = Some(graft.functions.FusedMinHashFunctions.minhashCharNgrams(_, n, k)))
+      sigFn = Some(graft.functions.FusedMinHashFunctions.minhashCharNgrams(_, n, k)),
+      maxBucket = maxBucket)
 }

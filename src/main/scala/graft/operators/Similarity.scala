@@ -84,6 +84,9 @@ object Similarity {
       .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
       .orderBy("h").limit(nlist)
       .collect().map(_.getSeq[Float](0).toArray)
+    if (centroids.isEmpty)
+      return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0d).as("cosine"), lit(0).as("rank")).limit(0)
     // L2-normalized so a plain dot is cosine-ordered for the argmax
     val normed = centroids.map { c =>
       val n = math.sqrt(c.map(x => x.toDouble * x).sum)
@@ -91,19 +94,40 @@ object Similarity {
     }
     val cents = typedlit(normed.map(_.toSeq).toSeq)
 
-    /** (id, vec, bucket-rank) rows: vectors exploded over centroid index,
-      * ranked per vector by centroid dot. */
-    def assign(df: DataFrame, idAs: String, vecAs: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(idAs).orderBy(col("__cdot").desc, col("bucket"))
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-        .withColumn("bucket", explode(typedlit((0 until normed.length).toSeq)))
-        .withColumn("__cdot", dot(col(vecAs), element_at(cents, col("bucket") + 1)))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= probes)
-        .drop("__cdot", "__cr")
-    }
+    /** Per-vector centroid dots against the literal centroid array. */
+    def centroidDots(vec: Column): Column =
+      transform(sequence(lit(0), lit(normed.length - 1)),
+        i => dot(vec, element_at(cents, i + lit(1))))
 
-    val c = assign(corpus, "neighbor_id", "nv", probes = 1)
+    /** Corpus assignment (probes = 1): the nearest-centroid index is a
+      * per-row argmax over the literal centroid array — no explode, no
+      * window, NO shuffle of the corpus (an earlier formulation exploded
+      * every vector over all nlist centroids and ranked with a window,
+      * an nlist-fold shuffle of the whole table). Ties break to the
+      * lowest centroid index. Assumes unique ids (duplicate query ids
+      * would collapse in the probe ranking below). */
+    def assignNearest(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+        .withColumn("__dots", centroidDots(col(vecAs)))
+        .withColumn("bucket",
+          (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+        .drop("__dots")
+
+    /** Query-side probing (small side): explode over centroid index and
+      * keep the `probes` nearest buckets per query. */
+    def assign(df: DataFrame, idAs: String, vecAs: String, probes: Int): DataFrame =
+      if (probes <= 1) assignNearest(df, idAs, vecAs)
+      else {
+        val w = Window.partitionBy(idAs).orderBy(col("__cdot").desc, col("bucket"))
+        df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+          .withColumn("bucket", explode(array((0 until normed.length).map(lit): _*)))
+          .withColumn("__cdot", dot(col(vecAs), element_at(cents, col("bucket") + 1)))
+          .withColumn("__cr", row_number().over(w))
+          .filter(col("__cr") <= probes)
+          .drop("__cdot", "__cr")
+      }
+
+    val c = assignNearest(corpus, "neighbor_id", "nv")
     val q = assign(queries, "query_id", "qv", probes = nprobe)
     val joined = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -122,9 +146,16 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8,
       dims: Int = 0): DataFrame = {
-    // hyperplanes need the dimensionality; sample it if not supplied
-    val d = if (dims > 0) dims
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+    // hyperplanes need the dimensionality; sample it if not supplied —
+    // empty/all-null corpora yield an empty result, not a failed inference
+    val d =
+      if (dims > 0) dims
+      else corpus.select(size(col(vecCol))).limit(1).collect() match {
+        case rows if rows.isEmpty || rows(0).isNullAt(0) =>
+          return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+            lit(0d).as("cosine"), lit(0).as("rank")).limit(0)
+        case rows => rows(0).getInt(0)
+      }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", srpBucket(col("qv"), planes, d))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))

@@ -59,6 +59,17 @@ class FileStreamCheckpoint(val checkpointDir: String, val conf: Configuration) {
     f"${md5(0) & 0xff}%02x"
   }
 
+  /** Fully-qualified URI form of a path (scheme + authority resolved
+    * against the path's filesystem). Index entries written by versions
+    * that stored bare paths (`toUri.getPath`) are normalized through this
+    * on read, so planBatch's exact-string dedup keeps matching across the
+    * format change instead of re-planning (= duplicating) every
+    * already-committed file once after upgrade. */
+  private def qualify(path: String): String = {
+    val p = new Path(path)
+    Fs.fs(p, conf).makeQualified(p).toString
+  }
+
   // ---- committed-file index (path -> (size, mtimeMs)) --------------------
 
   private def shardPath(shard: String): Path = new Path(indexDir, s"shard_$shard.json")
@@ -80,31 +91,36 @@ class FileStreamCheckpoint(val checkpointDir: String, val conf: Configuration) {
     Fs.atomicWriteJson(shardPath(shard), o, conf)
   }
 
-  /** Full committed index; O(shards) reads, only on plan. */
+  /** Full committed index, keys normalized to qualified URIs; O(shards)
+    * reads, only on plan. */
   def committedIndex(): Map[String, (Long, Long)] =
     Fs.list(indexDir, conf).flatMap { st =>
       val name = st.getPath.getName
       if (name.startsWith("shard_")) readShard(name.stripPrefix("shard_").stripSuffix(".json"))
       else Map.empty[String, (Long, Long)]
-    }.toMap
+    }.map { case (k, v) => qualify(k) -> v }.toMap
 
-  /** Record newly committed files; touches only the changed shards
-    * (reference `file.py:107-162`). */
+  /** Record newly committed files under their qualified-URI key; touches
+    * only the changed shards (reference `file.py:107-162`). */
   def recordCommitted(files: Seq[FileEntry]): Unit =
-    files.groupBy(f => shardOf(f.path)).foreach { case (shard, fs) =>
-      val cur = readShard(shard)
-      writeShard(shard, cur ++ fs.map(f => f.path -> (f.size, f.mtimeMs)))
-    }
+    files.map(f => (qualify(f.path), f)).groupBy(p => shardOf(p._1))
+      .foreach { case (shard, fs) =>
+        val cur = readShard(shard)
+        writeShard(shard, cur ++ fs.map { case (k, f) => k -> (f.size, f.mtimeMs) })
+      }
 
   /** Forget specific committed paths (e.g. batches removed by
     * [[graft.Maintenance.truncateCheckpoint]]) so planBatch re-emits them.
-    * Touches only the affected shards; unknown paths are no-ops. */
+    * Each path is dropped in BOTH its qualified and bare spelling — legacy
+    * shards keyed (and sharded) by the bare path stay removable. Touches
+    * only the affected shards; unknown paths are no-ops. */
   def dropFromIndex(paths: Seq[String]): Unit =
-    paths.groupBy(shardOf).foreach { case (shard, ps) =>
-      val cur = readShard(shard)
-      val kept = cur -- ps
-      if (kept.size != cur.size) writeShard(shard, kept)
-    }
+    paths.flatMap(p => Set(p, qualify(p), new Path(p).toUri.getPath))
+      .distinct.groupBy(shardOf).foreach { case (shard, ps) =>
+        val cur = readShard(shard)
+        val kept = cur -- ps
+        if (kept.size != cur.size) writeShard(shard, kept)
+      }
 
   /** Drop index entries older than maxFileAge to bound index growth
     * (reference `file.py:326-351`). */

@@ -91,6 +91,20 @@ class TextFunctionsSuite extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("codegen simhash matches the HOF on arrays containing null elements") {
+    // xxhash64(null) evaluates to the bare seed in the HOF fold; the
+    // expression must cast the same vote, not skip the element
+    val df = Seq(1).toDF("x")
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"), lit(null).cast("string"))
+    val r = df.select(
+      TextFunctions.simhash64(arr).as("hof"),
+      graft.functions.SimHashFunctions.simhash(arr).as("gen"),
+      graft.functions.SimHashFunctions.simhash(array(lit("a"), lit("b"))).as("skipped"))
+      .head()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(1) !== r.getLong(2), "null elements must influence the vote")
+  }
+
   test("fused shingle minhash equals the composed formulation") {
     // multibyte chars, consecutive/leading/trailing spaces, short + empty
     val texts = Seq(
@@ -167,6 +181,59 @@ class DedupSuite extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash pairs differing ONLY in the top 16 bits are found at maxHamming=3") {
+    // A single-table bucketing on the top-16-bit prefix can never pair two
+    // docs whose differing bits all sit in that prefix; the 4-block layout
+    // must. Search token variants for a pair whose hamming is 1..3 with
+    // every differing bit in bits 48..63 (deterministic: fixed hashes).
+    val baseTokens = (0 until 200).map(i => s"tok$i")
+    val variants = (0 until 2000).map(j => (j.toLong, baseTokens.updated(0, s"w$j")))
+    val all = ((-1L, baseTokens)) +: variants
+    val df = all.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val hashes = df.select($"doc_id",
+      graft.functions.SimHashFunctions.simhash(TextFunctions.tokens($"text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hBase = hashes(-1L)
+    val hit = variants.map(_._1).find { j =>
+      val d = hashes(j) ^ hBase
+      val hm = java.lang.Long.bitCount(d)
+      hm >= 1 && hm <= 3 && (d >>> 48) << 48 == d // all diffs in bits 48..63
+    }
+    assert(hit.nonEmpty, "no top-16-bit-only variant among 2000 — widen the search")
+    val pair = df.filter($"doc_id".isin(-1L, hit.get))
+    val found = Dedup.simhashPairs(pair, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === Set((-1L, hit.get)))
+  }
+
+  test("degenerate corpus: LSH bucket cap bounds the self-comparison") {
+    // 500 identical docs would make one quadratic bucket (124,750 pairs per
+    // band); cap 50 truncates each bucket to its 50 smallest ids.
+    val df = (0 until 500).map(i => (i.toLong, "the same text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val minhash = Dedup.minhashLshPairs(df, "doc_id", "text",
+      threshold = 0.9, maxBucket = 50).count()
+    assert(minhash === 50L * 49 / 2)
+    val simhash = Dedup.simhashPairs(df, "doc_id", "text",
+      maxHamming = 3, maxBucket = 50).count()
+    assert(simhash === 50L * 49 / 2)
+    val vecs = (0 until 500).map(i => (i.toLong, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val srp = Dedup.embeddingCosinePairsLsh(vecs, "vec_id", "embedding",
+      threshold = 0.9, planes = 4, maxBucket = 50).count()
+    assert(srp === 50L * 49 / 2)
+    // the diagnostic sees the oversized bucket
+    val bucketRows = df.select($"doc_id".as("id"), lit(0).as("bucket"))
+    assert(Dedup.oversizedBuckets(bucketRows, Seq("bucket"), 50) === 1L)
+  }
+
+  test("embedding LSH pairs on empty input returns empty, not a failed dims probe") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingCosinePairsLsh(empty, "vec_id", "embedding", 0.5).count() === 0)
+    assert(Dedup.embeddingCosinePairsLsh(empty, "vec_id", "embedding", 0.5).columns.toSeq
+      === Seq("id_a", "id_b", "cosine"))
   }
 }
 
