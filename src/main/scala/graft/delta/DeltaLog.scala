@@ -5,9 +5,13 @@ import graft.core.PlanningError
 import graft.util.{Fs, Jsons}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
 
 import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
+import scala.collection.concurrent.TrieMap
 
 /** Delta-protocol actions we understand — the subset the reference's
   * from-scratch `_delta_log` parser handles
@@ -33,16 +37,41 @@ case class DeltaCommit(version: Long, actions: Seq[DeltaAction]) {
   def cdcs: Seq[CdcFile] = actions.collect { case c: CdcFile => c }
 }
 
+/** A parquet checkpoint of the log at `version` (delta-spark writes one
+  * every ~10 commits, then prunes aged JSON commits). `parts` is Some(n)
+  * for multi-part checkpoints (`v.checkpoint.i.n.parquet`), None for
+  * single-file (`v.checkpoint.parquet`). */
+case class CheckpointInstance(version: Long, parts: Option[Int])
+
+/** Latest-known table metadata; `atVersion` is the newest log version the
+  * resolution scan covered (the meta is current as of it). */
+case class TableMeta(id: String, schemaString: Option[String], atVersion: Long)
+
 /** Reader for a Delta table's `_delta_log`: version listing, JSON-lines
-  * action parsing, and snapshot-state reconstruction with an optional
-  * snapshot cache.
+  * action parsing, parquet-checkpoint interop, and snapshot-state
+  * reconstruction with an optional snapshot cache.
   *
   * Re-implements (no delta-spark jars on this classpath) the log-replay
   * core of delta-spark's `Snapshot`, following the reference's design
   * (`checkpoints/delta.py:425-499`): fold add/remove actions in version
-  * order; a JSON snapshot cache every `SnapshotEvery` versions bounds
-  * replay cost to O(versions since last snapshot) — the same amortization
-  * delta-spark gets from its parquet checkpoints.
+  * order. Two complementary replay bases bound the cost:
+  *
+  *  - our own JSON snapshot cache every `SnapshotEvery` versions
+  *    (reference `delta.py:110-187`), and
+  *  - the table's own `*.checkpoint.parquet` files (written by
+  *    delta-spark, pointed to by `_delta_log/_last_checkpoint`), which
+  *    make tables with pruned JSON logs readable at all: delta-spark
+  *    checkpoints every 10 commits and log-retention deletes aged JSON,
+  *    so a foreign table usually has no version-0 commit. Replay then
+  *    starts from the newest checkpoint at or below the target version.
+  *    A pruned log with no usable checkpoint is an error, never a
+  *    silent partial file set.
+  *
+  * Checkpoint parquet is read driver-side with parquet-mr's Group API
+  * (no SparkSession needed — this is planning metadata, and the state it
+  * feeds is already a driver-side map; at extreme table sizes the same
+  * file could be read distributed, but then the whole snapshot-state
+  * design would shift to DataFrames).
   *
   * All of this is driver-side planning metadata (file lists, not data);
   * executors only ever see the resolved parquet paths.
@@ -52,6 +81,17 @@ class DeltaLogReader(conf: Configuration) {
 
   val SnapshotEvery = 100
   val MaxSnapshots = 2
+
+  /** Commit-file reads since construction — instrumentation for tests
+    * asserting the amortized (non-O(versions)) metadata path. */
+  @volatile var commitReadCount: Long = 0L
+
+  /** Per-table memo of the newest metaData seen, so repeated `tableId` /
+    * `tableSchemaString` calls (one per planned batch) scan only commits
+    * newer than the memo instead of the whole log. Invalidated when the
+    * table's latest version drops below the memo (log replaced/reset —
+    * delta tables always restart numbering at 0 on replacement). */
+  private val metaMemo = TrieMap.empty[String, TableMeta]
 
   def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
 
@@ -76,6 +116,7 @@ class DeltaLogReader(conf: Configuration) {
 
   /** Parse one commit file (JSON lines, one action per line). */
   def readCommit(tablePath: String, version: Long): DeltaCommit = {
+    commitReadCount += 1
     val p = commitPath(tablePath, version)
     val fs = Fs.fs(p, conf)
     val reader = new BufferedReader(
@@ -104,23 +145,139 @@ class DeltaLogReader(conf: Configuration) {
       CdcFile(c.get("path").asText(), Jsons.optLong(c, "size").getOrElse(0L))))
   }
 
-  /** Current table id (from the latest metaData action found scanning
-    * backwards). */
-  def tableId(tablePath: String): Option[String] = {
-    val versions = listVersions(tablePath)
-    versions.reverseIterator
-      .map(v => readCommit(tablePath, v).metaId)
-      .collectFirst { case Some(id) => id }
+  // ---- parquet checkpoints (delta protocol `_last_checkpoint`) -----------
+
+  private val SinglePartRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  def lastCheckpointPath(tablePath: String): Path =
+    new Path(logDir(tablePath), "_last_checkpoint")
+
+  /** The `_last_checkpoint` pointer, validated against the files it names
+    * (the protocol treats it as a hint — a stale pointer falls through to
+    * the directory scan in [[checkpointAtOrBelow]]). */
+  def lastCheckpoint(tablePath: String): Option[CheckpointInstance] = {
+    val p = lastCheckpointPath(tablePath)
+    if (!Fs.exists(p, conf)) return None
+    val n = Fs.readJson(p, conf)
+    val inst = CheckpointInstance(
+      n.get("version").asLong(),
+      Jsons.optLong(n, "parts").map(_.toInt))
+    if (checkpointFiles(tablePath, inst).forall(Fs.exists(_, conf))) Some(inst)
+    else None
   }
 
-  /** Latest schemaString, scanning backwards. */
-  def tableSchemaString(tablePath: String): Option[String] = {
-    listVersions(tablePath).reverseIterator
-      .map(v => readCommit(tablePath, v).actions.collectFirst {
-        case MetaData(_, Some(s)) => s
-      })
-      .collectFirst { case Some(s) => s }
+  /** All complete checkpoint instances found by scanning the log dir
+    * (multi-part instances count only when every part is present). */
+  def listCheckpoints(tablePath: String): Seq[CheckpointInstance] = {
+    val names = Fs.list(logDir(tablePath), conf).map(_.getPath.getName)
+    val singles = names.collect { case SinglePartRe(v) =>
+      CheckpointInstance(v.toLong, None) }
+    val multis = names.collect { case MultiPartRe(v, part, total) =>
+      (v.toLong, part.toInt, total.toInt) }
+      .groupBy { case (v, _, total) => (v, total) }
+      .collect { case ((v, total), parts)
+          if parts.map(_._2).toSet == (1 to total).toSet =>
+        CheckpointInstance(v, Some(total)) }
+    (singles ++ multis).toSeq.sortBy(_.version)
   }
+
+  /** Newest complete checkpoint at or below `version`: the
+    * `_last_checkpoint` pointer when it qualifies, else a directory scan. */
+  def checkpointAtOrBelow(tablePath: String, version: Long): Option[CheckpointInstance] =
+    lastCheckpoint(tablePath).filter(_.version <= version)
+      .orElse(listCheckpoints(tablePath).filter(_.version <= version).lastOption)
+
+  def checkpointFiles(tablePath: String, cp: CheckpointInstance): Seq[Path] =
+    cp.parts match {
+      case None => Seq(new Path(logDir(tablePath), f"${cp.version}%020d.checkpoint.parquet"))
+      case Some(n) => (1 to n).map(i =>
+        new Path(logDir(tablePath), f"${cp.version}%020d.checkpoint.$i%010d.$n%010d.parquet"))
+    }
+
+  private def grpField(g: Group, f: String): Option[Group] =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      Some(g.getGroup(f, 0)) else None
+  private def strField(g: Group, f: String): Option[String] =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      Some(g.getString(f, 0)) else None
+  private def longField(g: Group, f: String): Option[Long] =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      Some(g.getLong(f, 0)) else None
+  private def boolField(g: Group, f: String): Option[Boolean] =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      Some(g.getBoolean(f, 0)) else None
+
+  /** Read the add/remove/metaData actions out of a checkpoint's parquet
+    * part files (one row per action, each action kind a nullable struct
+    * column — delta-spark's checkpoint schema). */
+  def readCheckpointActions(tablePath: String, cp: CheckpointInstance): Seq[DeltaAction] = {
+    val out = Seq.newBuilder[DeltaAction]
+    checkpointFiles(tablePath, cp).foreach { file =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), file)
+        .withConf(conf).build()
+      try {
+        Iterator.continually(reader.read()).takeWhile(_ != null).foreach { rec =>
+          grpField(rec, "add").foreach { a =>
+            strField(a, "path").foreach(p => out += AddFile(p,
+              longField(a, "size").getOrElse(0L),
+              boolField(a, "dataChange").getOrElse(true)))
+          }
+          grpField(rec, "remove").foreach { r =>
+            strField(r, "path").foreach(p => out += RemoveFile(p,
+              boolField(r, "dataChange").getOrElse(true)))
+          }
+          grpField(rec, "metaData").foreach { md =>
+            strField(md, "id").foreach(id =>
+              out += MetaData(id, strField(md, "schemaString")))
+          }
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
+  // ---- metadata (amortized: memo + snapshot cache + checkpoint) ----------
+
+  /** Newest table metadata. Cost is O(commits newer than the last answer):
+    * the scan starts from the in-memory memo, else the persisted snapshot
+    * cache's stored meta, else the newest parquet checkpoint — a full
+    * backward JSON scan happens only on the first contact with an
+    * uncached, checkpoint-less table. A replaced table is detected by its
+    * version numbering restarting below the memo (the delta-universal
+    * behavior); `verifyTableId` upstream guards the persisted id. */
+  def resolveMeta(tablePath: String, cacheDir: Option[Path] = None): Option[TableMeta] = {
+    val latest = latestVersion(tablePath)
+    val memo = metaMemo.get(tablePath).filter(m => latest.exists(_ >= m.atVersion))
+    if (memo.isEmpty) metaMemo.remove(tablePath)
+    val floor: Option[TableMeta] = memo
+      .orElse(cacheDir.flatMap(d => latest.flatMap(l => newestCachedAtOrBelow(d, l)))
+        .flatMap(cs => cs.meta))
+      .orElse(latest.flatMap(l => checkpointAtOrBelow(tablePath, l)).flatMap { cp =>
+        readCheckpointActions(tablePath, cp)
+          .collectFirst { case m: MetaData => TableMeta(m.id, m.schemaString, cp.version) }
+      })
+    val toScan = listVersions(tablePath).filter(v => floor.forall(_.atVersion < v))
+    val fresh = toScan.reverseIterator
+      .map(v => (v, readCommit(tablePath, v).actions.collectFirst { case m: MetaData => m }))
+      .collectFirst { case (v, Some(m)) => TableMeta(m.id,
+        m.schemaString.orElse(floor.flatMap(_.schemaString)), v) }
+    // the scan covered every commit newer than the floor, so whatever we
+    // resolved is current as of `latest` — memo that version so the next
+    // call scans only commits newer still
+    val resolved = fresh.orElse(floor)
+      .map(m => latest.fold(m)(l => m.copy(atVersion = math.max(m.atVersion, l))))
+    resolved.foreach(m => metaMemo.put(tablePath, m))
+    resolved
+  }
+
+  /** Current table id (newest metaData action; amortized via [[resolveMeta]]). */
+  def tableId(tablePath: String, cacheDir: Option[Path] = None): Option[String] =
+    resolveMeta(tablePath, cacheDir).map(_.id).filter(_.nonEmpty)
+
+  /** Latest schemaString (amortized via [[resolveMeta]]). */
+  def tableSchemaString(tablePath: String, cacheDir: Option[Path] = None): Option[String] =
+    resolveMeta(tablePath, cacheDir).flatMap(_.schemaString)
 
   /** First version whose commit timestamp is >= tsMs
     * (reference `delta.py:560-575`). */
@@ -129,32 +286,83 @@ class DeltaLogReader(conf: Configuration) {
       readCommit(tablePath, v).timestampMs.exists(_ >= tsMs)
     }
 
-  /** Active file set (path -> size) at `version`, replaying the log from
-    * the newest cached snapshot at or below `version` (if cacheDir given).
+  /** Active file set (path -> size) at `version`.
+    *
+    * Replay base: the newest of (our cached JSON snapshot, the table's own
+    * parquet checkpoint) at or below `version`; JSON commits after the
+    * base are folded on top. Throws [[PlanningError]] instead of returning
+    * a partial file set when the log is pruned below the replay start
+    * (no version-0 commit and no checkpoint) or has a gap.
     * Result sorted by path for deterministic batching. */
   def snapshotState(tablePath: String, version: Long,
       cacheDir: Option[Path] = None): Seq[(String, Long)] = {
-    val versions = listVersions(tablePath).filter(_ <= version)
-    if (versions.isEmpty)
+    val jsonVersions = listVersions(tablePath).filter(_ <= version)
+    val cached = cacheDir.flatMap(d => newestCachedAtOrBelow(d, version))
+    val ckpt = checkpointAtOrBelow(tablePath, version)
+      .filter(c => cached.forall(_.version < c.version))
+
+    val (baseVersion, startState, baseMeta) = ckpt match {
+      case Some(c) =>
+        val actions = readCheckpointActions(tablePath, c)
+        val st = actions.collect { case a: AddFile => a.path -> a.size }.toMap
+        val m = actions.collectFirst { case md: MetaData =>
+          TableMeta(md.id, md.schemaString, c.version) }
+        (Some(c.version), st, m)
+      case None => cached match {
+        case Some(cs) => (Some(cs.version), cs.files, cs.meta)
+        case None => (None, Map.empty[String, Long], None)
+      }
+    }
+
+    if (baseVersion.isEmpty && jsonVersions.isEmpty)
       throw new PlanningError(s"no delta log versions <= $version at $tablePath")
 
-    val (startState, replayFrom) = cacheDir.flatMap(d => newestCachedAtOrBelow(d, version))
-      .map { case (v, state) => (state, versions.filter(_ > v)) }
-      .getOrElse((Map.empty[String, Long], versions))
+    val replay = jsonVersions.filter(v => baseVersion.forall(_ < v))
+    val replayStart = baseVersion.map(_ + 1).getOrElse(0L)
+    replay.headOption.foreach { h =>
+      if (h != replayStart)
+        throw new PlanningError(
+          s"delta log at $tablePath is pruned: replay needs version $replayStart " +
+          s"but the earliest surviving JSON commit <= $version is $h and no " +
+          "parquet checkpoint covers the gap; cannot reconstruct a complete snapshot")
+    }
+    replay.zipWithIndex.foreach { case (v, i) =>
+      if (v != replayStart + i)
+        throw new PlanningError(
+          s"delta log at $tablePath has a gap: version ${replayStart + i} is " +
+          s"missing (next surviving commit is $v); cannot reconstruct a complete snapshot")
+    }
 
-    val state = replayFrom.foldLeft(startState) { (acc, v) =>
+    var meta = baseMeta
+    val state = replay.foldLeft(startState) { (acc, v) =>
       val commit = readCommit(tablePath, v)
+      commit.actions.collectFirst { case m: MetaData => m }.foreach { md =>
+        meta = Some(TableMeta(md.id,
+          md.schemaString.orElse(meta.flatMap(_.schemaString)), v))
+      }
       val afterRemoves = commit.removes.foldLeft(acc)((m, r) => m - r.path)
       commit.adds.foldLeft(afterRemoves)((m, a) => m + (a.path -> a.size))
     }
+    // replay covered every commit <= version: meta is current as of it
+    meta.foreach(m => metaMemo.put(tablePath,
+      m.copy(atVersion = math.max(m.atVersion, version))))
 
+    // Re-snapshot once replay distance exceeds SnapshotEvery — a bounded
+    // write amortized over >= SnapshotEvery planning calls (writing every
+    // call, as the reference does, is O(files) driver I/O per batch).
     cacheDir.foreach { d =>
-      if (version % SnapshotEvery == 0 && version > 0) writeSnapshot(d, version, state)
+      if (version - baseVersion.getOrElse(-1L) >= SnapshotEvery)
+        writeSnapshot(d, version, state, meta)
     }
     state.toSeq.sortBy(_._1)
   }
 
   // ---- snapshot cache (reference delta.py:110-187) -----------------------
+
+  private[delta] case class CachedSnapshot(version: Long, files: Map[String, Long],
+      metaId: Option[String], schemaString: Option[String]) {
+    def meta: Option[TableMeta] = metaId.map(id => TableMeta(id, schemaString, version))
+  }
 
   private def snapPath(dir: Path, version: Long) = new Path(dir, f"snapshot_$version%020d.json")
 
@@ -166,17 +374,23 @@ class DeltaLogReader(conf: Configuration) {
       else None
     }.sorted
 
-  private def newestCachedAtOrBelow(dir: Path, version: Long)
-      : Option[(Long, Map[String, Long])] =
+  private def newestCachedAtOrBelow(dir: Path, version: Long): Option[CachedSnapshot] =
     listSnapshots(dir).filter(_ <= version).lastOption.map { v =>
       val n = Fs.readJson(snapPath(dir, v), conf)
-      v -> Jsons.fields(n.get("files")).map { case (p, sz) => p -> sz.asLong() }.toMap
+      CachedSnapshot(v,
+        Jsons.fields(n.get("files")).map { case (p, sz) => p -> sz.asLong() }.toMap,
+        Jsons.optStr(n, "meta_id"), Jsons.optStr(n, "schema_string"))
     }
 
-  private def writeSnapshot(dir: Path, version: Long, state: Map[String, Long]): Unit = {
+  private def writeSnapshot(dir: Path, version: Long, state: Map[String, Long],
+      meta: Option[TableMeta]): Unit = {
     if (listSnapshots(dir).contains(version)) return
     val o = Jsons.obj()
     o.put("version", version)
+    meta.foreach { m =>
+      o.put("meta_id", m.id)
+      m.schemaString.foreach(s => o.put("schema_string", s))
+    }
     val files = Jsons.obj()
     state.foreach { case (p, sz) => files.put(p, sz) }
     o.set[JsonNode]("files", files)

@@ -99,7 +99,7 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
   // ---- table identity (reference delta.py:302-344) -----------------------
 
   private def verifyTableId(tablePath: String): String = {
-    val current = log.tableId(tablePath).getOrElse("")
+    val current = log.tableId(tablePath, Some(snapshotCacheDir)).getOrElse("")
     wal.readMetadata().flatMap(m => Jsons.optStr(m, "table_id")) match {
       case Some(stored) if stored.nonEmpty && current.nonEmpty && stored != current =>
         throw new PlanningError(

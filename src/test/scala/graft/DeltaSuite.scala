@@ -40,7 +40,59 @@ trait DeltaFixtures { self: SparkSpec =>
     s"""{"cdc": {"path": "$path", "size": $size}}"""
 
   def names(b: BatchInfo): Seq[String] = b.files.map(f => new File(f.path).getName)
+
+  /** Write a delta-spark-shaped checkpoint parquet (one row per action,
+    * each kind a nullable struct column) by writing with Spark and moving
+    * the part file to the protocol checkpoint name — the same producer
+    * (Spark's parquet writer) a real lakehouse table would have. */
+  def writeCheckpointParquet(table: String, version: Long, rows: Seq[CkRow],
+      parts: Option[Int] = None): Unit = {
+    import spark.implicits._
+    val logDir = Paths.get(table, "_delta_log")
+    Files.createDirectories(logDir)
+    def writeOne(slice: Seq[CkRow], target: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ck-")
+      spark.createDataset(slice).coalesce(1).write
+        .mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      val found = Iterator.continually(part).takeWhile(_.hasNext)
+        .map(_.next()).find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(found, logDir.resolve(target),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    parts match {
+      case None => writeOne(rows, f"$version%020d.checkpoint.parquet")
+      case Some(n) =>
+        val slices = rows.grouped(math.max(1, (rows.size + n - 1) / n)).toSeq
+          .padTo(n, Seq.empty[CkRow])
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          writeOne(slice, f"$version%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
+        }
+    }
+  }
+
+  def writeLastCheckpoint(table: String, version: Long, parts: Option[Int] = None): Unit = {
+    val body = parts match {
+      case None => s"""{"version": $version, "size": 1}"""
+      case Some(n) => s"""{"version": $version, "size": 1, "parts": $n}"""
+    }
+    Files.write(Paths.get(table, "_delta_log", "_last_checkpoint"),
+      body.getBytes, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def ckAdd(path: String, size: Long = 10): CkRow =
+    CkRow(Some(CkAdd(path, size, dataChange = true)), None, None)
+  def ckRemove(path: String): CkRow =
+    CkRow(None, Some(CkRemove(path, dataChange = true)), None)
+  def ckMeta(id: String = "table-1", schema: Option[String] = None): CkRow =
+    CkRow(None, None, Some(CkMeta(id, schema)))
 }
+
+// Top-level so Spark's product encoder needs no outer instance.
+case class CkAdd(path: String, size: Long, dataChange: Boolean)
+case class CkRemove(path: String, dataChange: Boolean)
+case class CkMeta(id: String, schemaString: Option[String])
+case class CkRow(add: Option[CkAdd], remove: Option[CkRemove], metaData: Option[CkMeta])
 
 class DeltaLogReaderSuite extends SparkSpec with DeltaFixtures {
   val hconf = new Configuration()
@@ -86,6 +138,106 @@ class DeltaLogReaderSuite extends SparkSpec with DeltaFixtures {
       val next = log.snapshotState(t, 101, Some(cache))
       assert(next.size === 101)
       assert(!next.map(_._1).contains("f0.parquet"))
+    }
+  }
+
+  // ---- parquet-checkpoint interop (delta-spark tables with pruned logs) --
+
+  test("checkpoint parquet is the replay base when the JSON log is pruned") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // delta-spark shape: checkpoint at v10, JSON commits <= 10 pruned
+      writeCheckpointParquet(t, 10, Seq(
+        ckMeta("ck-table", Some("""{"type":"struct","fields":[]}""")),
+        ckAdd("f1.parquet", 11), ckAdd("f2.parquet", 12), ckAdd("f3.parquet", 13)))
+      writeLastCheckpoint(t, 10)
+      writeLog(t, 11, ci(1100), add("f4.parquet", 14), remove("f1.parquet"))
+      writeLog(t, 12, ci(1200), add("f5.parquet", 15))
+      val log = new DeltaLogReader(hconf)
+      assert(log.lastCheckpoint(t) === Some(graft.delta.CheckpointInstance(10, None)))
+      assert(log.snapshotState(t, 12) ===
+        Seq("f2.parquet" -> 12L, "f3.parquet" -> 13L, "f4.parquet" -> 14L,
+          "f5.parquet" -> 15L))
+      // checkpoint at exactly the target version: no JSON replay at all
+      assert(log.snapshotState(t, 10).map(_._1) ===
+        Seq("f1.parquet", "f2.parquet", "f3.parquet"))
+      // metaData comes from the checkpoint when no surviving JSON has one
+      assert(log.tableId(t) === Some("ck-table"))
+    }
+  }
+
+  test("multi-part checkpoint parts are all read; stale pointer falls back to scan") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writeCheckpointParquet(t, 20, Seq(
+        ckMeta("ck-mp"), ckAdd("a.parquet"), ckAdd("b.parquet"), ckAdd("c.parquet")),
+        parts = Some(2))
+      // pointer names a checkpoint whose files don't exist -> ignored
+      writeLastCheckpoint(t, 30)
+      writeLog(t, 21, ci(2100), add("d.parquet"))
+      val log = new DeltaLogReader(hconf)
+      assert(log.lastCheckpoint(t) === None)
+      assert(log.checkpointAtOrBelow(t, 21) ===
+        Some(graft.delta.CheckpointInstance(20, Some(2))))
+      assert(log.snapshotState(t, 21).map(_._1) ===
+        Seq("a.parquet", "b.parquet", "c.parquet", "d.parquet"))
+    }
+  }
+
+  test("pruned log without a checkpoint throws instead of partial snapshot") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writeLog(t, 5, ci(500), meta(), add("f5.parquet"))
+      writeLog(t, 6, ci(600), add("f6.parquet"))
+      val log = new DeltaLogReader(hconf)
+      val e = intercept[PlanningError](log.snapshotState(t, 6))
+      assert(e.getMessage.contains("pruned"))
+    }
+  }
+
+  test("gap in surviving JSON commits throws") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writeLog(t, 0, ci(0), meta(), add("f0.parquet"))
+      writeLog(t, 1, ci(100), add("f1.parquet"))
+      writeLog(t, 3, ci(300), add("f3.parquet"))
+      val log = new DeltaLogReader(hconf)
+      val e = intercept[PlanningError](log.snapshotState(t, 3))
+      assert(e.getMessage.contains("gap"))
+    }
+  }
+
+  test("tableId is amortized: memo and snapshot cache avoid O(versions) rescans") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writeLog(t, 0, ci(0), meta(), add("f0.parquet"))
+      (1L to 250L).foreach(v => writeLog(t, v, ci(v * 10), add(s"f$v.parquet")))
+      val cache = new org.apache.hadoop.fs.Path(s"$tmp/cache")
+      val log = new DeltaLogReader(hconf)
+      log.snapshotState(t, 250, Some(cache)) // replays once, memoizes meta
+      val before = log.commitReadCount
+      assert(log.tableId(t) === Some("table-1"))
+      assert(log.commitReadCount === before, "memoized meta: zero commit re-reads")
+      // fresh reader, persisted snapshot cache (written at v250 with meta):
+      // no commit reads at all, not 251
+      val log2 = new DeltaLogReader(hconf)
+      assert(log2.tableId(t, Some(cache)) === Some("table-1"))
+      assert(log2.commitReadCount === 0,
+        s"expected 0 post-snapshot commit reads, got ${log2.commitReadCount}")
+      val mid = log2.commitReadCount
+      assert(log2.tableSchemaString(t, Some(cache)) === None)
+      assert(log2.commitReadCount === mid, "second resolve is memoized")
+    }
+  }
+
+  test("later metaData action overrides checkpoint meta") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writeCheckpointParquet(t, 10, Seq(ckMeta("old-id"), ckAdd("f1.parquet")))
+      writeLastCheckpoint(t, 10)
+      writeLog(t, 11, ci(1100), meta("new-id"), add("f2.parquet"))
+      val log = new DeltaLogReader(hconf)
+      assert(log.tableId(t) === Some("new-id"))
     }
   }
 }
