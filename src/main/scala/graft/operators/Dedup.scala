@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *  - Degenerate buckets (empty docs, zero vectors, shards of identical
   *    rows) are capped at `maxBucket` members — the classic LSH skew
   *    guard: one hot bucket can otherwise go quadratic and take down the
-  *    stage. Capping drops comparisons (recall, never precision); pass
-  *    `maxBucket = 0` to disable.
+  *    stage. The cap is enforced BEFORE the bucket aggregation (rank
+  *    filter inside the same shuffle), so neither the pair count nor the
+  *    aggregation buffer is ever unbounded. Capping drops comparisons
+  *    (recall, never precision); pass `maxBucket = 0` to disable.
   *
   * All near-dup operators assume ids are unique (they dedup candidate
   * pairs by id).
@@ -59,31 +61,49 @@ object Dedup {
       transform(slice(sorted, i + lit(2), size(sorted)), y =>
         struct(x.as("a"), y.as("b")))))
 
-  /** Sorted bucket members, truncated to `maxBucket` (smallest first, so
-    * truncation is deterministic). */
-  private def capped(items: Column, maxBucket: Int): Column = {
-    val sorted = array_sort(items)
-    if (maxBucket > 0) slice(sorted, 1, maxBucket) else sorted
+  /** Bucket rows → aggregated buckets with membership bounded BEFORE the
+    * aggregation: rank members per bucket (`row_number` over the same
+    * partition key — rank 1 = smallest id, so truncation is deterministic),
+    * keep `maxBucket`, then aggregate. The window and the groupBy share one
+    * hash exchange; the window's per-partition sort is the price of never
+    * materializing an unbounded bucket in a single aggregation buffer row
+    * (a degenerate hot bucket — billions of empty docs on one band key —
+    * would otherwise accumulate its whole membership into one in-memory
+    * buffer and OOM the executor; the cap on pair GENERATION alone can't
+    * prevent that). `rows` must carry an `id` column. */
+  private[graft] def boundedBuckets(rows: DataFrame, bucketCols: Seq[String],
+      agg: Column, maxBucket: Int): DataFrame = {
+    val bounded =
+      if (maxBucket > 0) {
+        val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col("id"))
+        rows.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      } else rows
+    bounded.groupBy(bucketCols.map(col): _*).agg(agg.as("items"))
+      .filter(size(col("items")) > 1)
   }
 
-  /** Distinct candidate id pairs from bucketed rows. ONE shuffle (the
-    * groupBy); signature/bucket expressions upstream evaluate exactly once. */
+  /** Distinct candidate id pairs from bucketed rows. ONE shuffle (window +
+    * groupBy on the bucket key); signature/bucket expressions upstream
+    * evaluate exactly once. The sorted member array is materialized in its
+    * own projection so `pairStructs` (which references it twice) doesn't
+    * re-sort per outer element in interpreted HOF eval. */
   private def candidatePairs(
-      rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
-    val buckets = rows.groupBy(bucketCols.map(col): _*)
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets.select(explode(pairStructs(capped(col("ids"), maxBucket))).as("p"))
+      rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame =
+    boundedBuckets(rows, bucketCols, collect_set(col("id")), maxBucket)
+      .select(array_sort(col("items")).as("sorted_ids"))
+      .select(explode(pairStructs(col("sorted_ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-  }
 
   /** Count of buckets whose membership exceeds `maxBucket` — the
     * comparisons-dropped diagnostic for the skew cap (an eager action;
-    * call it from tests or debug tooling, not the hot path). */
+    * call it from tests or debug tooling, not the hot path). Zero when the
+    * cap is disabled (`maxBucket <= 0`), mirroring the cap semantics. */
   def oversizedBuckets(
       rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): Long =
-    rows.groupBy(bucketCols.map(col): _*)
+    if (maxBucket <= 0) 0L
+    else rows.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket).count()
 
   /** MinHash + LSH candidate pairs over a text column.
@@ -180,10 +200,10 @@ object Dedup {
         posexplode(array((0 until SimhashBlocks).map(j =>
           shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xffffL))): _*))
           .as(Seq("block", "key")))
-    val buckets = blockRows.groupBy("block", "key")
-      .agg(collect_set(struct(col("id"), col("sh"))).as("items"))
-      .filter(size(col("items")) > 1)
-    buckets.select(explode(pairStructs(capped(col("items"), maxBucket))).as("p"))
+    val buckets = boundedBuckets(blockRows, Seq("block", "key"),
+      collect_set(struct(col("id"), col("sh"))), maxBucket)
+    buckets.select(array_sort(col("items")).as("sorted_items"))
+      .select(explode(pairStructs(col("sorted_items"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         hamming64(col("p.a.sh"), col("p.b.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -221,10 +241,13 @@ object Dedup {
       threshold: Double, planes: Int = 8, dims: Int = 0,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // sample a NON-NULL vector for dimensionality (a sampled null would
+    // mistake a live corpus for empty and silently return zero pairs)
     val d =
       if (dims > 0) dims
-      else base.select(size(col("v"))).limit(1).collect() match {
-        case rows if rows.isEmpty || rows(0).isNullAt(0) =>
+      else base.filter(col("v").isNotNull)
+        .select(size(col("v"))).limit(1).collect() match {
+        case rows if rows.isEmpty =>
           return base.select(col("id").as("id_a"), col("id").as("id_b"),
             lit(0d).as("cosine")).limit(0)
         case rows => rows(0).getInt(0)

@@ -141,25 +141,40 @@ object Similarity {
 
   /** LSH-bucketed ANN: queries and corpus bucketed by SRP signature; each
     * query searches only its bucket. Misses are possible (that's the
-    * "approximate"); `planes` trades recall for bucket size. */
+    * "approximate"); `planes` trades recall for bucket size.
+    *
+    * The corpus side of the bucket join is capped at `maxBucket` members
+    * per bucket (rank filter, smallest id first — deterministic): all-zero
+    * or near-zero vectors fail every hyperplane sign test and collapse
+    * into bucket 0, and without the cap a zero-heavy corpus turns the join
+    * into a hot-key near-cross-join. Capping drops candidates (recall,
+    * never precision); `maxBucket = 0` disables. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8,
-      dims: Int = 0): DataFrame = {
-    // hyperplanes need the dimensionality; sample it if not supplied —
+      dims: Int = 0, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // hyperplanes need the dimensionality; sample a NON-NULL vector if not
+    // supplied (a sampled null would mistake a live corpus for empty) —
     // empty/all-null corpora yield an empty result, not a failed inference
     val d =
       if (dims > 0) dims
-      else corpus.select(size(col(vecCol))).limit(1).collect() match {
-        case rows if rows.isEmpty || rows(0).isNullAt(0) =>
+      else corpus.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect() match {
+        case rows if rows.isEmpty =>
           return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
             lit(0d).as("cosine"), lit(0).as("rank")).limit(0)
         case rows => rows(0).getInt(0)
       }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", srpBucket(col("qv"), planes, d))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val cAll = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .withColumn("bucket", srpBucket(col("nv"), planes, d))
+    val c =
+      if (maxBucket > 0) {
+        val wb = Window.partitionBy(col("bucket")).orderBy(col("neighbor_id"))
+        cAll.withColumn("__rn", row_number().over(wb))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      } else cAll
     val joined = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -227,6 +227,26 @@ class DedupSuite extends SparkSpec {
     // the diagnostic sees the oversized bucket
     val bucketRows = df.select($"doc_id".as("id"), lit(0).as("bucket"))
     assert(Dedup.oversizedBuckets(bucketRows, Seq("bucket"), 50) === 1L)
+    // cap disabled: every bucket is legal, diagnostic reports none
+    assert(Dedup.oversizedBuckets(bucketRows, Seq("bucket"), 0) === 0L)
+  }
+
+  test("bucket membership is bounded BEFORE aggregation, not just pair output") {
+    // the aggregation buffer itself must never hold more than maxBucket
+    // members — the executor-OOM guard for hot buckets at scale
+    val rows = (0 until 500).map(i => (i.toLong, 0)).toDF("id", "bucket")
+    val bucketed = Dedup.boundedBuckets(rows, Seq("bucket"),
+      collect_set($"id"), maxBucket = 50)
+    val sizes = bucketed.select(max(size($"items"))).collect()(0).getInt(0)
+    assert(sizes === 50)
+    // deterministic truncation: the 50 smallest ids survive
+    val kept = bucketed.select(explode($"items").as("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === (0L until 50L).toArray)
+    // disabled cap keeps everything
+    val unbounded = Dedup.boundedBuckets(rows, Seq("bucket"),
+      collect_set($"id"), maxBucket = 0)
+    assert(unbounded.select(max(size($"items"))).collect()(0).getInt(0) === 500)
   }
 
   test("embedding LSH pairs on empty input returns empty, not a failed dims probe") {
@@ -273,6 +293,32 @@ class SimilaritySuite extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out(0L) === 1L)
     assert(out(1L) === 0L)
+  }
+
+  test("lsh topk bounds the hot zero-vector bucket instead of cross-joining it") {
+    // 500 zero vectors fail every sign test and collapse into bucket 0;
+    // the cap keeps the corpus side of the join at maxBucket members
+    val zeros = (0 until 500).map(i => (i.toLong, Array(0f, 0f, 0f, 0f)))
+    val corpus = (zeros :+ (999L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val queries = Seq((1000L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(queries, corpus, "vec_id", "embedding",
+      k = 100, planes = 4, maxBucket = 10).collect()
+    assert(out.length <= 10, s"candidates not bounded: ${out.length}")
+    // deterministic truncation: the 10 smallest corpus ids in bucket 0
+    assert(out.map(_.getLong(1)).toSet.subsetOf((0L until 10L).toSet))
+  }
+
+  test("null vectors in the dims sample don't mask a live corpus") {
+    val corpus = Seq(
+      (0L, Option.empty[Array[Float]]),
+      (1L, Some(Array(1f, 2f, 3f, 4f))),
+      (2L, Some(Array(1f, 2f, 3f, 4.1f)))).toDF("vec_id", "embedding")
+    val topk = Similarity.lshTopK(corpus.filter($"vec_id" === 1), corpus,
+      "vec_id", "embedding", k = 1, planes = 4).collect()
+    assert(topk.length === 1 && topk(0).getLong(1) === 2L)
+    val pairs = Dedup.embeddingCosinePairsLsh(corpus, "vec_id", "embedding",
+      threshold = 0.9, planes = 4).collect()
+    assert(pairs.length === 1)
   }
 }
 
