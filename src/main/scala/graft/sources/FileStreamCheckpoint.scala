@@ -92,22 +92,44 @@ class FileStreamCheckpoint(val checkpointDir: String, val conf: Configuration) {
   }
 
   /** Full committed index, keys normalized to qualified URIs; O(shards)
-    * reads, only on plan. */
+    * reads, only on plan. A legacy bare-path entry and a qualified entry
+    * for the same file normalize to the same key — the NEWEST mtime wins
+    * (not shard order), so a stale legacy signature can never shadow a
+    * recorded overwrite and re-plan the file forever. */
   def committedIndex(): Map[String, (Long, Long)] =
     Fs.list(indexDir, conf).flatMap { st =>
       val name = st.getPath.getName
       if (name.startsWith("shard_")) readShard(name.stripPrefix("shard_").stripSuffix(".json"))
       else Map.empty[String, (Long, Long)]
-    }.map { case (k, v) => qualify(k) -> v }.toMap
+    }.foldLeft(Map.empty[String, (Long, Long)]) { case (acc, (k, v)) =>
+      val key = qualify(k)
+      acc.get(key) match {
+        case Some((_, mtime)) if mtime >= v._2 => acc
+        case _ => acc + (key -> v)
+      }
+    }
 
   /** Record newly committed files under their qualified-URI key; touches
-    * only the changed shards (reference `file.py:107-162`). */
-  def recordCommitted(files: Seq[FileEntry]): Unit =
-    files.map(f => (qualify(f.path), f)).groupBy(p => shardOf(p._1))
-      .foreach { case (shard, fs) =>
-        val cur = readShard(shard)
-        writeShard(shard, cur ++ fs.map { case (k, f) => k -> (f.size, f.mtimeMs) })
-      }
+    * only the changed shards (reference `file.py:107-162`). Any legacy
+    * bare-path spelling of the same file (written by pre-qualified-key
+    * versions, living in a DIFFERENT shard since sharding hashes the key)
+    * is dropped in the same pass so the index never holds two entries for
+    * one file. */
+  def recordCommitted(files: Seq[FileEntry]): Unit = {
+    val qualified = files.map(f => (qualify(f.path), f))
+    val newByShard = qualified.groupBy(p => shardOf(p._1))
+    val bareByShard = qualified.flatMap { case (k, f) =>
+      val bare = new Path(f.path).toUri.getPath
+      if (bare != k) Some(bare) else None
+    }.groupBy(shardOf)
+    (newByShard.keySet ++ bareByShard.keySet).foreach { shard =>
+      val cur = readShard(shard)
+      val updated = (cur -- bareByShard.getOrElse(shard, Seq.empty)) ++
+        newByShard.getOrElse(shard, Seq.empty)
+          .map { case (k, f) => k -> (f.size, f.mtimeMs) }
+      if (updated != cur) writeShard(shard, updated)
+    }
+  }
 
   /** Forget specific committed paths (e.g. batches removed by
     * [[graft.Maintenance.truncateCheckpoint]]) so planBatch re-emits them.

@@ -105,6 +105,60 @@ class FileStreamCheckpointSuite extends SparkSpec {
     }
   }
 
+  test("legacy bare-path index entry can't shadow a recorded overwrite") {
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val f = touch(in, "a.txt", "v1", mtimeMs = Some(1000L))
+      // simulate a pre-qualified-key checkpoint: shard keyed by the BARE
+      // path (different shard than the qualified URI) with a stale signature
+      val bare = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(bare.getBytes("UTF-8"))
+      val shard = f"${md5(0) & 0xff}%02x"
+      val shardFile = Paths.get(cp, "file_index", s"shard_$shard.json")
+      Files.createDirectories(shardFile.getParent)
+      Files.write(shardFile,
+        s"""{"$bare": {"size": 2, "mtime_ms": 999}}""".getBytes)
+      val ckpt = new FileStreamCheckpoint(cp, new Configuration())
+      // overwrite flows through the qualified-key path
+      val ow = FileSourceOptions(allowOverwrites = true)
+      val b = ckpt.planBatch(in, ow).get
+      ckpt.commitBatch(b, Map.empty, ow)
+      // the legacy spelling is gone from its shard and the index has ONE
+      // entry carrying the new signature
+      assert(!new String(Files.readAllBytes(shardFile)).contains(bare) ||
+        Files.notExists(shardFile))
+      val idx = ckpt.committedIndex()
+      assert(idx.size === 1)
+      assert(idx.values.head === ((2L, 1000L)))
+      // no eternal re-planning: the file is committed, nothing to plan
+      assert(ckpt.planBatch(in, ow).isEmpty)
+    }
+  }
+
+  test("duplicate index spellings resolve to the newest mtime, not shard order") {
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val f = touch(in, "b.txt", "v2", mtimeMs = Some(5000L))
+      val qualified = s"file:$f"
+      val bare = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      def shardFor(key: String): java.nio.file.Path = {
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+        Paths.get(cp, "file_index", f"shard_${md5(0) & 0xff}%02x.json")
+      }
+      Files.createDirectories(shardFor(bare).getParent)
+      // stale legacy entry (old mtime) + fresh qualified entry (new mtime)
+      Files.write(shardFor(bare), s"""{"$bare": {"size": 2, "mtime_ms": 999}}""".getBytes)
+      Files.write(shardFor(qualified),
+        s"""{"$qualified": {"size": 2, "mtime_ms": 5000}}""".getBytes)
+      val ckpt = new FileStreamCheckpoint(cp, new Configuration())
+      val idx = ckpt.committedIndex()
+      assert(idx.size === 1)
+      assert(idx.values.head._2 === 5000L, "newest signature wins regardless of shard order")
+    }
+  }
+
   test("start_offset=latest skips existing files, first-run-wins persisted") {
     withTmpDir { tmp =>
       val in = s"$tmp/in"; val cp = s"$tmp/cp"
