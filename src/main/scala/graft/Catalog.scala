@@ -75,10 +75,12 @@ trait Catalog {
     resolve(name).toSource(checkpointDir, conf)
 }
 
-/** In-memory catalog from a map, or loaded from a JSON file of
-  * `{name: {format, path, options}}` (reference supports dict/JSON/TOML;
-  * JSON covers the persisted format — TOML intentionally unsupported,
-  * documented). */
+/** In-memory catalog from a map, or loaded from a JSON or TOML file
+  * (reference `catalog.py:70-101`). Both formats share one normalization:
+  * an optional top-level `datasets` wrapper, `format`/`type` and
+  * `path`/`location` aliases, and non-reserved top-level keys merged into
+  * `options` (winning over the `options` table, like the reference's
+  * `_normalize_spec`). */
 class LocalCatalog(specs: Map[String, DatasetSpec]) extends Catalog {
   def resolve(name: String): DatasetSpec =
     specs.getOrElse(name, throw new GraftError(s"dataset not in catalog: $name"))
@@ -88,17 +90,58 @@ class LocalCatalog(specs: Map[String, DatasetSpec]) extends Catalog {
 object LocalCatalog {
   def apply(specs: Map[String, DatasetSpec]): LocalCatalog = new LocalCatalog(specs)
 
-  def fromJsonFile(path: String, conf: Configuration): LocalCatalog = {
-    val root = Fs.readJson(new Path(path), conf)
-    val specs = Jsons.fields(root).map { case (name, node) =>
-      val format = Jsons.optStr(node, "format").getOrElse("auto")
-      val p = Jsons.optStr(node, "path")
-        .getOrElse(throw new MissingOptionError(s"catalog entry $name lacks path"))
-      val opts = Jsons.optField(node, "options").map(o =>
-        Jsons.fields(o).map { case (k, v) => k -> v.asText() }.toMap)
-        .getOrElse(Map.empty[String, String])
-      name -> DatasetSpec(format, p, opts)
+  /** Dispatch on extension: `.json` or `.toml` (reference
+    * `catalog.py:95-102`). */
+  def fromFile(path: String, conf: Configuration): LocalCatalog =
+    if (path.endsWith(".toml")) fromTomlFile(path, conf)
+    else if (path.endsWith(".json")) fromJsonFile(path, conf)
+    else throw new GraftError(s"unsupported catalog file type: $path (.json or .toml)")
+
+  def fromJsonFile(path: String, conf: Configuration): LocalCatalog =
+    fromEntries(jsonToMap(Fs.readJson(new Path(path), conf)))
+
+  def fromTomlFile(path: String, conf: Configuration): LocalCatalog =
+    fromEntries(graft.util.Toml.parse(Fs.readString(new Path(path), conf)))
+
+  private def jsonToMap(node: JsonNode): Map[String, Any] =
+    Jsons.fields(node).map { case (k, v) =>
+      k -> (if (v.isObject) jsonToMap(v) else v.asText())
     }.toMap
+
+  /** Shared normalization over the parsed tree (JSON or TOML). */
+  private def fromEntries(root: Map[String, Any]): LocalCatalog = {
+    val datasets = root.get("datasets") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m
+      case Some(_) => throw new GraftError("catalog 'datasets' must be a table")
+      case None => root
+    }
+    val specs = datasets.map {
+      case (name, entry: Map[String @unchecked, Any @unchecked]) =>
+        name -> normalizeSpec(name, entry)
+      case (name, _) =>
+        throw new GraftError(s"catalog entry $name must be a table")
+    }
     new LocalCatalog(specs)
+  }
+
+  private val Reserved = Set("format", "type", "path", "location", "options")
+
+  private def normalizeSpec(name: String, entry: Map[String, Any]): DatasetSpec = {
+    def asStr(v: Any): String = v match {
+      case s: String => s
+      case other => other.toString // Long/Boolean/Double from TOML
+    }
+    val format = entry.get("format").orElse(entry.get("type")).map(asStr).getOrElse("auto")
+    val path = entry.get("path").orElse(entry.get("location")).map(asStr)
+      .getOrElse(throw new MissingOptionError(s"catalog entry $name lacks path"))
+    val optionsTable = entry.get("options") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.map { case (k, v) => k -> asStr(v) }
+      case _ => Map.empty[String, String]
+    }
+    val extras = entry.collect {
+      case (k, v) if !Reserved(k) && !v.isInstanceOf[Map[_, _]] => k -> asStr(v)
+    }
+    DatasetSpec(format, path, optionsTable ++ extras)
   }
 }

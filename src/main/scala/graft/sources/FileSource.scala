@@ -60,8 +60,9 @@ object FormatInference {
   * dispatch (reference `sources/file.py:101-174`).
   *
   * Formats: parquet (vectorized scan), csv, json (multiLine), ndjson
-  * (json-lines), text. `avro`/`excel` are rejected with a clear error —
-  * no spark-avro / POI jars on this classpath (SURVEY §2.A-A2).
+  * (json-lines), text, avro (via [[AvroSupport]] — avro core/mapred, no
+  * spark-avro needed). `excel` is rejected with a clear error — no POI
+  * jar on this classpath (SURVEY §2.A-A2).
   */
 class FileSource(
     val inputDir: String,
@@ -88,6 +89,7 @@ class FileSource(
       case "ndjson" => reader.json(paths: _*)
       case "json" => reader.option("multiLine", "true").json(paths: _*)
       case "text" => reader.text(paths: _*)
+      case "avro" => AvroSupport.read(spark, paths)
       case other =>
         throw new UnsupportedFormatError(
           s"format '$other' is not supported on this classpath (no ${other} reader jar)")

@@ -50,6 +50,65 @@ class CatalogSuite extends SparkSpec {
       assert(cat.resolve("raw").options("pattern") === "*.csv")
     }
   }
+
+  test("catalog loads from TOML file (reference fixture shape)") {
+    withTmpDir { tmp =>
+      // mirror of reference tests/test_catalog.py:141-144 plus the
+      // normalization rules: datasets wrapper, aliases, extras -> options
+      Files.write(Paths.get(s"$tmp/catalog.toml"),
+        s"""# training-data catalog
+           |[datasets.one]
+           |format = "parquet"
+           |path = "$tmp/one"
+           |
+           |[datasets.raw]
+           |type = 'csv'              # format alias, literal string
+           |location = "$tmp/raw"     # path alias
+           |recursive = true          # extra key -> options
+           |max_files_per_trigger = 25
+           |[datasets.raw.options]
+           |pattern = "*.csv"
+           |""".stripMargin.getBytes)
+      val cat = LocalCatalog.fromFile(s"$tmp/catalog.toml", conf)
+      assert(cat.resolve("one").format === "parquet")
+      assert(cat.resolve("one").path === s"$tmp/one")
+      val raw = cat.resolve("raw")
+      assert(raw.format === "csv")
+      assert(raw.path === s"$tmp/raw")
+      assert(raw.options === Map("pattern" -> "*.csv", "recursive" -> "true",
+        "max_files_per_trigger" -> "25"))
+      val src = raw.toSource(s"$tmp/cp", conf).asInstanceOf[FileSource]
+      assert(src.options.recursive && src.options.maxFilesPerTrigger === Some(25))
+    }
+  }
+
+  test("TOML without wrapper and JSON with wrapper both resolve") {
+    withTmpDir { tmp =>
+      Files.write(Paths.get(s"$tmp/flat.toml"),
+        s"""[events]
+           |format = "parquet"
+           |path = "$tmp/e"
+           |""".stripMargin.getBytes)
+      assert(LocalCatalog.fromFile(s"$tmp/flat.toml", conf)
+        .resolve("events").format === "parquet")
+      Files.write(Paths.get(s"$tmp/wrapped.json"),
+        s"""{"datasets": {"events": {"format": "parquet", "path": "$tmp/e"}}}""".getBytes)
+      assert(LocalCatalog.fromFile(s"$tmp/wrapped.json", conf)
+        .resolve("events").format === "parquet")
+      intercept[GraftError](LocalCatalog.fromFile(s"$tmp/catalog.yaml", conf))
+    }
+  }
+
+  test("TOML parser rejects unsupported syntax with line numbers") {
+    import graft.util.Toml
+    assert(Toml.parse("a = 1\nb = \"x # not a comment\"\n") ===
+      Map("a" -> 1L, "b" -> "x # not a comment"))
+    assert(Toml.parse("[t]\nflag = false\narr = [\"a\", \"b\"]\nf = 1.5") ===
+      Map("t" -> Map("flag" -> false, "arr" -> Seq("a", "b"), "f" -> 1.5)))
+    val e = intercept[GraftError](Toml.parse("a = 1\nbroken line"))
+    assert(e.getMessage.contains("line 2"))
+    intercept[GraftError](Toml.parse("[[tables]]\n"))
+  }
 }
 
 class MaintenanceSuite extends SparkSpec {

@@ -60,14 +60,82 @@ class FileFormatsSuite extends SparkSpec {
     }
   }
 
-  test("avro and excel fail with a clear unsupported-format error") {
+  test("excel fails with a clear unsupported-format error") {
     withTmpDir { tmp =>
-      val f = write(tmp, "a.avro", "xx")
-      Seq("avro", "excel", "xlsx").foreach { fmt =>
+      val f = write(tmp, "a.xlsx", "xx")
+      Seq("excel", "xlsx").foreach { fmt =>
         val e = intercept[UnsupportedFormatError](
           source(tmp, fmt, None).readBatch(spark, batchOf(f)))
         assert(e.getMessage.contains("not supported"))
       }
+    }
+  }
+
+  /** Write a real avro container file with avro core (the same jar the
+    * reader uses) — primitives, nullable union, enum, bytes, array, map,
+    * nested record. */
+  private def writeAvro(dir: String, name: String): String = {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema: Schema = SchemaBuilder.record("Doc").fields()
+      .requiredLong("id")
+      .optionalString("label")
+      .name("kind").`type`().enumeration("Kind").symbols("A", "B").noDefault()
+      .requiredBytes("payload")
+      .name("tags").`type`().array().items().stringType().noDefault()
+      .name("counts").`type`().map().values().longType().noDefault()
+      .name("inner").`type`().record("Inner").fields()
+        .requiredDouble("score").endRecord().noDefault()
+      .endRecord()
+    def rec(id: Long, label: String): GenericRecord = {
+      val r = new GenericData.Record(schema)
+      r.put("id", id)
+      r.put("label", label) // null for id 2 below
+      r.put("kind", new GenericData.EnumSymbol(schema.getField("kind").schema(),
+        if (id % 2 == 0) "A" else "B"))
+      r.put("payload", java.nio.ByteBuffer.wrap(Array[Byte](id.toByte, 0x7f)))
+      r.put("tags", java.util.Arrays.asList(s"t$id", "common"))
+      r.put("counts", java.util.Map.of("n", java.lang.Long.valueOf(id * 10)))
+      val inner = new GenericData.Record(schema.getField("inner").schema())
+      inner.put("score", id * 0.5)
+      r.put("inner", inner)
+      r
+    }
+    val p = Paths.get(dir, name)
+    Files.createDirectories(p.getParent)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, p.toFile)
+    try {
+      w.append(rec(1, "one"))
+      val r2 = rec(2, null); r2.put("label", null); w.append(r2)
+      w.append(rec(3, "three"))
+    } finally w.close()
+    p.toString
+  }
+
+  test("avro round-trip: schema mapping, nullable union, nested values") {
+    withTmpDir { tmp =>
+      assert(AvroSupport.isAvailable, s"avro probe failed: ${AvroSupport.probe}")
+      val f = writeAvro(tmp, "docs.avro")
+      val df = source(tmp, "avro", None).readBatch(spark, batchOf(f))
+      assert(df.schema.fieldNames.toSeq ===
+        Seq("id", "label", "kind", "payload", "tags", "counts", "inner"))
+      assert(df.schema("label").dataType === StringType)
+      assert(df.schema("payload").dataType === BinaryType)
+      assert(df.schema("inner").dataType.isInstanceOf[StructType])
+      val rows = df.orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      assert(rows.map(_.getString(1)).toSeq === Seq("one", null, "three"))
+      assert(rows.map(_.getString(2)).toSeq === Seq("B", "A", "B"))
+      assert(rows(0).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](1, 0x7f))
+      assert(rows(2).getAs[Seq[String]]("tags") === Seq("t3", "common"))
+      assert(rows(1).getAs[Map[String, Long]]("counts") === Map("n" -> 20L))
+      assert(rows(2).getAs[org.apache.spark.sql.Row]("inner").getDouble(0) === 1.5)
+      // multiple files in one batch
+      val f2 = writeAvro(tmp, "docs2.avro")
+      val both = source(tmp, "avro", None).readBatch(spark, batchOf(f, f2))
+      assert(both.count() === 6)
     }
   }
 
