@@ -95,24 +95,36 @@ class DeltaWriter(spark: SparkSession, conf: Configuration) {
     commit(tablePath, mode, outSchema, parts, cdcParts, existingSchema.isDefined)
   }
 
-  /** Write df's parquet parts into `targetDir` with unique stable names;
-    * returns (relativeName, size). */
+  /** Write df's parquet parts RENAME-FREE into a fresh uniquely-named data
+    * directory under `targetDir`: [[DirectCommitProtocol]] has each task
+    * write its part under its final name (no `_temporary` staging, no
+    * post-write rename — a rename is a full copy on object stores), and the
+    * files only become visible when the caller's `_delta_log` commit
+    * references them. Returns (relativePath, size) with paths relative to
+    * `targetDir`.
+    *
+    * The commit-protocol conf is swapped on the shared session for the
+    * duration of the write (DeltaWriter runs under the engine's
+    * single-writer lock; an unrelated concurrent parquet write on the same
+    * session would still produce correct output, just without `_SUCCESS`
+    * markers). */
   private def writeParts(df: DataFrame, targetDir: Path,
       fs: org.apache.hadoop.fs.FileSystem, prefix: String): Seq[(String, Long)] = {
-    val staging = new Path(targetDir, s".staging-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val parts = fs.listStatus(staging)
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
+    val dataDir = new Path(targetDir, s"$prefix-${UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(dataDir)
+    val key = "spark.sql.sources.commitProtocolClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, classOf[DirectCommitProtocol].getName)
+    try df.write.mode("append").parquet(dataDir.toString)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    fs.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    val out = parts.zipWithIndex.map { case (st, i) =>
-      val name = f"$prefix-${UUID.randomUUID().toString.take(8)}-$i%05d.parquet"
-      val dst = new Path(targetDir, name)
-      if (!fs.rename(st.getPath, dst))
-        throw new CommitError(s"failed to move part ${st.getPath} -> $dst")
-      (name, st.getLen)
-    }.toSeq
-    fs.delete(staging, true)
-    out
+      .map(st => (s"${dataDir.getName}/${st.getPath.getName}", st.getLen))
+      .toSeq
   }
 
   private def commit(tablePath: String, mode: DeltaWriteMode, schema: StructType,

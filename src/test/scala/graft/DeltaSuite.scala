@@ -490,6 +490,31 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("data writes are rename-free: tasks write final names, log is the only commit") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write((1L to 100L).toDF("id").repartition(4), t, DeltaWriteMode.Append)
+      val log = new DeltaLogReader(conf)
+      val adds = log.readCommit(t, 0).adds
+      assert(adds.nonEmpty)
+      adds.foreach { a =>
+        // committed path == the exact name the task wrote (data dir +
+        // Spark task naming), and the file is there under that name
+        assert(a.path.matches("""part-[0-9a-f]{8}/part-\d{5}-[0-9a-f-]{36}.*\.parquet"""),
+          s"unexpected layout: ${a.path}")
+        assert(Files.exists(Paths.get(t, a.path)))
+      }
+      // no staging/_temporary leftovers, no _SUCCESS markers anywhere
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(Paths.get(t)).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(!all.exists(n => n.startsWith(".staging") || n == "_temporary" || n == "_SUCCESS"),
+        s"staging artifacts present: ${all.filter(n => n.startsWith(".staging") || n == "_temporary" || n == "_SUCCESS")}")
+      assert(w.read(t).count() === 100L)
+    }
+  }
+
   test("append with new column requires mergeSchema and null-fills") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
