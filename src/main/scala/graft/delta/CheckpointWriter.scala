@@ -1,0 +1,92 @@
+package graft.delta
+
+import graft.core.GraftError
+import graft.util.{Fs, Jsons}
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.schema.MessageTypeParser
+
+/** Writes Delta-protocol parquet checkpoints and prunes redundant JSON
+  * commits — the producer half of [[DeltaLogReader]]'s checkpoint interop
+  * (delta-spark checkpoints every 10 commits and expires aged JSON; a
+  * 100 TB table's log otherwise grows by one JSON file per commit forever,
+  * and every fresh reader replays all of them).
+  *
+  * The checkpoint is one `%020d.checkpoint.parquet` in `_delta_log` with
+  * the standard one-action-per-row layout (nullable `add` / `metaData`
+  * struct columns — the subset our reader folds; `txn`/`protocol` rows
+  * aren't written because the JSON commits never contain those actions
+  * either), plus the `_last_checkpoint` pointer. Written driver-side with
+  * parquet-mr: the snapshot state is already a driver-resident map, and
+  * the exact protocol file name can't come out of a distributed write.
+  */
+class CheckpointWriter(conf: Configuration) {
+  private val log = new DeltaLogReader(conf)
+
+  private val Schema = MessageTypeParser.parseMessageType(
+    """message checkpoint {
+      |  optional group add {
+      |    required binary path (STRING);
+      |    optional int64 size;
+      |    optional boolean dataChange;
+      |  }
+      |  optional group metaData {
+      |    required binary id (STRING);
+      |    optional binary schemaString (STRING);
+      |  }
+      |}""".stripMargin)
+
+  /** Checkpoint the snapshot at `version` (default: latest). Returns the
+    * checkpointed version. Idempotent: an existing checkpoint at the same
+    * version is left alone. */
+  def checkpoint(tablePath: String, versionOpt: Option[Long] = None): Long = {
+    val version = versionOpt.orElse(log.latestVersion(tablePath))
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val target = log.checkpointFiles(tablePath, CheckpointInstance(version, None)).head
+    if (!Fs.exists(target, conf)) {
+      val state = log.snapshotState(tablePath, version)
+      val meta = log.resolveMeta(tablePath)
+      val factory = new SimpleGroupFactory(Schema)
+      val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(target, conf))
+        .withType(Schema).withConf(conf).build()
+      try {
+        meta.foreach { m =>
+          val g = factory.newGroup()
+          val md = g.addGroup("metaData")
+          md.append("id", m.id)
+          m.schemaString.foreach(s => md.append("schemaString", s))
+          writer.write(g)
+        }
+        state.foreach { case (path, size) =>
+          val g = factory.newGroup()
+          val add = g.addGroup("add")
+          add.append("path", path)
+          add.append("size", size)
+          add.append("dataChange", true)
+          writer.write(g)
+        }
+      } finally writer.close()
+    }
+    val ptr = Jsons.obj()
+    ptr.put("version", version)
+    ptr.put("size", 1L)
+    Fs.atomicWriteJson(log.lastCheckpointPath(tablePath), ptr, conf)
+    version
+  }
+
+  /** Delete JSON commits strictly below (newest checkpoint − keepVersions)
+    * — they are redundant for snapshot reconstruction once a checkpoint
+    * covers them; `keepVersions` retains a tail for log-time-travel /
+    * `versionForTimestamp` / CDF history. Returns the number deleted.
+    * No checkpoint → nothing is deleted (pruning without a replay base
+    * would make the table unreadable, which the reader now detects). */
+  def expireLogs(tablePath: String, keepVersions: Int = 0): Int = {
+    val ckpt = log.listCheckpoints(tablePath).lastOption.getOrElse(return 0)
+    val cutoff = ckpt.version - keepVersions
+    val doomed = log.listVersions(tablePath).filter(_ < cutoff)
+    doomed.foreach(v => Fs.delete(log.commitPath(tablePath, v), recursive = false, conf))
+    doomed.size
+  }
+}

@@ -32,8 +32,17 @@ object DeltaWriteMode {
   * `df.write.parquet`; only the O(#files) action list passes through the
   * driver, same as delta-spark's commit path.
   */
-class DeltaWriter(spark: SparkSession, conf: Configuration) {
+class DeltaWriter(spark: SparkSession, conf: Configuration,
+    checkpointInterval: Int = 10) {
   private val log = new DeltaLogReader(conf)
+  private val ckptWriter = new CheckpointWriter(conf)
+
+  /** delta-spark checkpoints every 10th commit; same cadence here so
+    * fresh readers replay at most `checkpointInterval` JSON commits and
+    * [[CheckpointWriter.expireLogs]] can bound log growth. 0 disables. */
+  private def maybeCheckpoint(tablePath: String, version: Long): Unit =
+    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
+      ckptWriter.checkpoint(tablePath, Some(version))
 
   def read(tablePath: String): DataFrame = {
     val latest = log.latestVersion(tablePath)
@@ -167,6 +176,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration) {
     }
 
     writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
+    maybeCheckpoint(tablePath, version)
     version
   }
 
@@ -185,6 +195,15 @@ class DeltaWriter(spark: SparkSession, conf: Configuration) {
   }
 
   // ---- maintenance (reference maintenance.py:257-324 analogues) ----------
+
+  /** Checkpoint the latest snapshot now (also happens automatically every
+    * `checkpointInterval` commits). */
+  def checkpoint(tablePath: String): Long = ckptWriter.checkpoint(tablePath)
+
+  /** Delete JSON commits made redundant by the newest checkpoint; see
+    * [[CheckpointWriter.expireLogs]]. */
+  def expireLogs(tablePath: String, keepVersions: Int = 0): Int =
+    ckptWriter.expireLogs(tablePath, keepVersions)
 
   /** Compact: rewrite all active files smaller than `smallFileBytes` into
     * consolidated parts; commits add+remove with dataChange=false semantics
@@ -215,6 +234,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration) {
       lines += s"""{"add": {"path": "$p", "size": $sz, "dataChange": false, "modificationTime": $now}}"""
     }
     writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
+    maybeCheckpoint(tablePath, version)
     version
   }
 

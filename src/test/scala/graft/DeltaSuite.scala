@@ -515,6 +515,47 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("auto-checkpoint every 10th commit; expired logs still reconstruct") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer // default interval 10
+      (1 to 12).foreach(i =>
+        w.write(Seq((i.toLong, s"v$i")).toDF("id", "s"), t, DeltaWriteMode.Append))
+      // commit versions 0..11; version 10 auto-checkpointed
+      val log = new DeltaLogReader(conf)
+      assert(log.lastCheckpoint(t) === Some(graft.delta.CheckpointInstance(10, None)))
+      // checkpoint round-trips through the reader: state at 10 = 11 files
+      assert(log.readCheckpointActions(t, graft.delta.CheckpointInstance(10, None))
+        .collect { case a: graft.delta.DeltaAction.AddFile => a }.size === 11)
+      // expire the JSON commits the checkpoint covers
+      val deleted = w.expireLogs(t)
+      assert(deleted === 10, s"expected versions 0..9 deleted, got $deleted")
+      assert(log.listVersions(t) === Seq(10L, 11L))
+      // a FRESH reader reconstructs the full table from checkpoint + tail
+      val fresh = new DeltaLogReader(conf)
+      assert(fresh.snapshotState(t, 11).size === 12)
+      assert(fresh.tableId(t).isDefined)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+        (1L to 12L))
+      // manual checkpoint at latest + full expiry keeps the table readable
+      w.checkpoint(t)
+      w.expireLogs(t)
+      assert(log.listVersions(t) === Seq(11L))
+      assert(w.read(t).count() === 12)
+    }
+  }
+
+  test("expireLogs without a checkpoint deletes nothing") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = new DeltaWriter(spark, conf, checkpointInterval = 0)
+      (1 to 3).foreach(i =>
+        w.write(Seq((i.toLong, "x")).toDF("id", "s"), t, DeltaWriteMode.Append))
+      assert(w.expireLogs(t) === 0)
+      assert(new DeltaLogReader(conf).listVersions(t).size === 3)
+    }
+  }
+
   test("append with new column requires mergeSchema and null-fills") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
