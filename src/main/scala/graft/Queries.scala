@@ -399,6 +399,29 @@ object Queries {
               |WHERE l.o_custkey IS NULL OR l.o_orderstatus <> 'F'
               |ORDER BY c_custkey""".stripMargin)),
 
+    // End-to-end proof of the delta-spark pruned-log shape: 12 appends
+    // (auto-checkpoint at v10), JSON commits the checkpoint covers are
+    // EXPIRED, and the read must reconstruct from checkpoint parquet +
+    // surviving tail — a partial file set here changes the aggregate and
+    // fails the oracle hash.
+    "q_delta_checkpoint" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-ck").toString
+        val table = s"$tmp/nation_log"
+        val w = new graft.delta.DeltaWriter(s, s.sparkContext.hadoopConfiguration)
+        val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_regionkey"))
+        (0 until 12).foreach(i =>
+          w.write(nation.filter(pmod(col("n_nationkey"), lit(12)) === i), table,
+            graft.delta.DeltaWriteMode.Append))
+        w.expireLogs(table)
+        w.read(table).groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n"), sum("n_nationkey").cast("long").as("key_sum"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n,
+             |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+             |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ================= training-data pipeline operators ==================
 
     // ----- exact dedup ----------------------------------------------------
