@@ -61,8 +61,8 @@ object FormatInference {
   *
   * Formats: parquet (vectorized scan), csv, json (multiLine), ndjson
   * (json-lines), text, avro (via [[AvroSupport]] — avro core/mapred, no
-  * spark-avro needed). `excel` is rejected with a clear error — no POI
-  * jar on this classpath (SURVEY §2.A-A2).
+  * spark-avro needed), excel/xlsx (via [[XlsxSupport]] — JDK zip+StAX, no
+  * POI needed) (SURVEY §2.A-A2).
   */
 class FileSource(
     val inputDir: String,
@@ -90,6 +90,7 @@ class FileSource(
       case "json" => reader.option("multiLine", "true").json(paths: _*)
       case "text" => reader.text(paths: _*)
       case "avro" => AvroSupport.read(spark, paths)
+      case "excel" => XlsxSupport.read(spark, paths, schema)
       case other =>
         throw new UnsupportedFormatError(
           s"format '$other' is not supported on this classpath (no ${other} reader jar)")

@@ -60,14 +60,60 @@ class FileFormatsSuite extends SparkSpec {
     }
   }
 
-  test("excel fails with a clear unsupported-format error") {
+  /** Hand-build a spec-shaped xlsx (ZIP of XML parts): shared strings
+    * (incl. rich text), inline strings, numbers, booleans, a skipped
+    * cell, and a workbook/rels indirection to a non-sheet1 part name. */
+  private def writeXlsx(dir: String, name: String): String = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val parts = Seq(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="data" sheetId="1" r:id="rId7"/></sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId7" Type="x" Target="worksheets/sheetX.xml"/></Relationships>""".stripMargin,
+      "xl/sharedStrings.xml" ->
+        """<?xml version="1.0"?><sst><si><t>id</t></si><si><t>label</t></si>
+          |<si><r><t>rich</t></r><r><t> text</t></r></si></sst>""".stripMargin,
+      "xl/worksheets/sheetX.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>flag</t></is></c></row>
+          |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>2</v></c><c r="C2" t="b"><v>1</v></c></row>
+          |<row r="3"><c r="A3"><v>2.5</v></c><c r="C3" t="b"><v>0</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val p = Paths.get(dir, name)
+    Files.createDirectories(p.getParent)
+    val zip = new ZipOutputStream(Files.newOutputStream(p))
+    try parts.foreach { case (n, body) =>
+      zip.putNextEntry(new ZipEntry(n)); zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+    } finally zip.close()
+    p.toString
+  }
+
+  test("xlsx reads without POI: shared/inline strings, numbers, booleans, gaps") {
     withTmpDir { tmp =>
-      val f = write(tmp, "a.xlsx", "xx")
-      Seq("excel", "xlsx").foreach { fmt =>
-        val e = intercept[UnsupportedFormatError](
-          source(tmp, fmt, None).readBatch(spark, batchOf(f)))
-        assert(e.getMessage.contains("not supported"))
-      }
+      val f = writeXlsx(tmp, "a.xlsx")
+      val df = source(tmp, "xlsx", None).readBatch(spark, batchOf(f))
+      assert(df.columns.toSeq === Seq("id", "label", "flag"))
+      val rows = df.orderBy("id").collect()
+      assert(rows.map(_.getString(0)).toSeq === Seq("1", "2.5"))
+      assert(rows.map(_.getString(1)).toSeq === Seq("rich text", null)) // B3 skipped
+      assert(rows.map(_.getString(2)).toSeq === Seq("true", "false"))
+      // user schema casts by name
+      val typed = StructType(Seq(StructField("id", DoubleType),
+        StructField("flag", BooleanType)))
+      val t = source(tmp, "excel", Some(typed)).readBatch(spark, batchOf(f))
+      assert(t.orderBy("id").collect().map(r => (r.getDouble(0), r.getBoolean(1))).toSeq
+        === Seq((1.0, true), (2.5, false)))
+    }
+  }
+
+  test("unknown format still fails with a clear unsupported-format error") {
+    withTmpDir { tmp =>
+      val f = write(tmp, "a.orc", "xx")
+      val e = intercept[UnsupportedFormatError](
+        source(tmp, "sasdata", None).readBatch(spark, batchOf(f)))
+      assert(e.getMessage.contains("not supported"))
     }
   }
 
