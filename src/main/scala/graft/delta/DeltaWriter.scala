@@ -151,13 +151,26 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
     val tid = log.tableId(tablePath).getOrElse(UUID.randomUUID().toString)
     val lines = Seq.newBuilder[String]
+    // real delta readers (delta-spark, delta-rs, duckdb) REQUIRE a protocol
+    // action in the log; 1/2 = the base feature set, which is all we write.
+    // Our own parser skips unknown actions, so this is pure interop.
+    if (version == 0L)
+      lines += """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}"""
     val ci = Jsons.obj()
     ci.put("timestamp", now)
     ci.put("operation", if (mode == DeltaWriteMode.Overwrite) "WRITE_OVERWRITE" else "WRITE_APPEND")
     lines += s"""{"commitInfo": ${Jsons.render(ci)}}"""
     val md = Jsons.obj()
     md.put("id", tid)
+    // format/partitionColumns/configuration are required by real delta
+    // readers' metaData schema; our parser only needs id + schemaString
+    val fmt = Jsons.obj(); fmt.put("provider", "parquet")
+    fmt.set[JsonNode]("options", Jsons.obj())
+    md.set[JsonNode]("format", fmt)
     md.put("schemaString", schema.json)
+    md.set[JsonNode]("partitionColumns", Jsons.arr())
+    md.set[JsonNode]("configuration", Jsons.obj())
+    md.put("createdTime", now)
     lines += s"""{"metaData": ${Jsons.render(md)}}"""
     removed.foreach { p =>
       val r = Jsons.obj(); r.put("path", p); r.put("dataChange", true)

@@ -545,6 +545,29 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("commits carry protocol-spec actions a real delta reader requires") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writer.write(Seq((1L, "a")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      val lines = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${0L}%020d.json"))).linesIterator.toSeq
+      val protocol = lines.find(_.contains("\"protocol\"")).map(graft.util.Jsons.parse)
+      assert(protocol.isDefined, "version-0 commit must declare a protocol action")
+      assert(protocol.get.get("protocol").get("minReaderVersion").asInt() === 1)
+      val md = lines.find(_.contains("\"metaData\"")).map(graft.util.Jsons.parse).get
+        .get("metaData")
+      assert(md.get("format").get("provider").asText() === "parquet")
+      assert(md.get("partitionColumns").isArray)
+      assert(md.get("configuration").isObject)
+      assert(md.get("schemaString").asText().contains("struct"))
+      // protocol appears only at v0; later commits are unaffected
+      writer.write(Seq((2L, "b")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      val v1 = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${1L}%020d.json")))
+      assert(!v1.contains("\"protocol\""))
+    }
+  }
+
   test("expireLogs without a checkpoint deletes nothing") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
