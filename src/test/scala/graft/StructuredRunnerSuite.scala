@@ -68,4 +68,45 @@ class StructuredRunnerSuite extends SparkSpec {
       assert(results.size === 2)
     }
   }
+
+  test("sessionize: gap-break closes inline, watermark timeout closes idle keys") {
+    import graft.streaming.{Session, Sessionize}
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def file(n: Int, rows: Seq[(String, java.sql.Timestamp)]): Unit = {
+        rows.toDF("user", "ts").coalesce(1).write.parquet(s"$in/b$n")
+        // distinct mtimes so the file stream admits b0 -> b1 -> b2 in order
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n")).iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // A: two events 30s apart (one session), B: one event
+      file(0, Seq(("A", ts("2024-01-01 00:00:00")), ("A", ts("2024-01-01 00:00:30")),
+        ("B", ts("2024-01-01 00:00:10"))))
+      // A again 10 min later: gap(60s) exceeded -> closes A's session inline
+      file(1, Seq(("A", ts("2024-01-01 00:10:00"))))
+      // far-future key advances the watermark past B's timeout
+      file(2, Seq(("Z", ts("2024-01-01 00:20:00"))))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq(("x", ts("2024-01-01 00:00:00"))).toDF("user", "ts").schema,
+        maxFilesPerTrigger = Some(1))
+      val out = scala.collection.mutable.ArrayBuffer[Session]()
+      val q = StructuredRunner.run(spark, spec, cp,
+        transform = df => Sessionize.sessions(df, "user", "ts", gapMs = 60000L).toDF(),
+        writer = (batch, _) => out ++= batch.as[Session].collect(),
+        outputMode = "append")
+      q.awaitTermination(120000)
+      val byKey = out.groupBy(_.key)
+      // A's first session closed by the gap-breaking later event; its
+      // second by timeout once the final watermark passed 10:00 + gap
+      assert(byKey("A").map(s => (s.startMs, s.endMs, s.events)).sorted ===
+        Seq((ts("2024-01-01 00:00:00").getTime, ts("2024-01-01 00:00:30").getTime, 2L),
+          (ts("2024-01-01 00:10:00").getTime, ts("2024-01-01 00:10:00").getTime, 1L)))
+      // B closed by event-time timeout once the watermark passed last+gap
+      assert(byKey("B").map(_.events).toSeq === Seq(1L))
+      // Z is still open in state: the watermark never passed 20:00 + gap
+      assert(!byKey.contains("Z"))
+    }
+  }
 }
