@@ -22,7 +22,7 @@ import org.apache.parquet.schema.MessageTypeParser
   * parquet-mr: the snapshot state is already a driver-resident map, and
   * the exact protocol file name can't come out of a distributed write.
   */
-class CheckpointWriter(conf: Configuration) {
+class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
   private val log = new DeltaLogReader(conf)
 
   private val Schema = MessageTypeParser.parseMessageType(
@@ -38,42 +38,65 @@ class CheckpointWriter(conf: Configuration) {
       |  }
       |}""".stripMargin)
 
+  /** Files per checkpoint part (`actionsPerPart`): beyond this the
+    * checkpoint splits into the protocol's multi-part layout
+    * (`v.checkpoint.i.n.parquet`) so no single parquet file carries an
+    * unbounded action list — a 100 TB table's snapshot is millions of add
+    * rows. */
+  private val ActionsPerPart = math.max(1, actionsPerPart)
+
   /** Checkpoint the snapshot at `version` (default: latest). Returns the
     * checkpointed version. Idempotent: an existing checkpoint at the same
     * version is left alone. */
   def checkpoint(tablePath: String, versionOpt: Option[Long] = None): Long = {
     val version = versionOpt.orElse(log.latestVersion(tablePath))
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
-    val target = log.checkpointFiles(tablePath, CheckpointInstance(version, None)).head
-    if (!Fs.exists(target, conf)) {
-      val state = log.snapshotState(tablePath, version)
-      val meta = log.resolveMeta(tablePath)
-      val factory = new SimpleGroupFactory(Schema)
-      val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(target, conf))
-        .withType(Schema).withConf(conf).build()
-      try {
-        meta.foreach { m =>
-          val g = factory.newGroup()
-          val md = g.addGroup("metaData")
-          md.append("id", m.id)
-          m.schemaString.foreach(s => md.append("schemaString", s))
-          writer.write(g)
+    val already = log.listCheckpoints(tablePath).exists(_.version == version)
+    val instance =
+      if (already) log.listCheckpoints(tablePath).find(_.version == version).get
+      else {
+        val state = log.snapshotState(tablePath, version)
+        val meta = log.resolveMeta(tablePath)
+        val nParts = math.max(1, (state.size + ActionsPerPart - 1) / ActionsPerPart)
+        val inst = CheckpointInstance(version,
+          if (nParts > 1) Some(nParts) else None)
+        val files = log.checkpointFiles(tablePath, inst)
+        val slices = state.grouped(ActionsPerPart).toSeq.padTo(nParts, Seq.empty)
+        files.zip(slices).zipWithIndex.foreach { case ((target, slice), i) =>
+          writePart(target, slice, if (i == 0) meta else None)
         }
-        state.foreach { case (path, size) =>
-          val g = factory.newGroup()
-          val add = g.addGroup("add")
-          add.append("path", path)
-          add.append("size", size)
-          add.append("dataChange", true)
-          writer.write(g)
-        }
-      } finally writer.close()
-    }
+        inst
+      }
     val ptr = Jsons.obj()
     ptr.put("version", version)
     ptr.put("size", 1L)
+    instance.parts.foreach(n => ptr.put("parts", n))
     Fs.atomicWriteJson(log.lastCheckpointPath(tablePath), ptr, conf)
     version
+  }
+
+  private def writePart(target: org.apache.hadoop.fs.Path,
+      state: Seq[(String, Long)], meta: Option[TableMeta]): Unit = {
+    val factory = new SimpleGroupFactory(Schema)
+    val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(target, conf))
+      .withType(Schema).withConf(conf).build()
+    try {
+      meta.foreach { m =>
+        val g = factory.newGroup()
+        val md = g.addGroup("metaData")
+        md.append("id", m.id)
+        m.schemaString.foreach(s => md.append("schemaString", s))
+        writer.write(g)
+      }
+      state.foreach { case (path, size) =>
+        val g = factory.newGroup()
+        val add = g.addGroup("add")
+        add.append("path", path)
+        add.append("size", size)
+        add.append("dataChange", true)
+        writer.write(g)
+      }
+    } finally writer.close()
   }
 
   /** Delete JSON commits strictly below (newest checkpoint − keepVersions)

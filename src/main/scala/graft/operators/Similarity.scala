@@ -77,7 +77,8 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 2,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     // deterministic "training": nlist centroids by hash order (collect is
     // O(nlist * dims) — the quantizer, not the data, comes to the driver)
     val centroids: Array[Array[Float]] = corpus
@@ -127,7 +128,17 @@ object Similarity {
           .drop("__cdot", "__cr")
       }
 
-    val c = assignNearest(corpus, "neighbor_id", "nv")
+    // Clustered corpora skew: most vectors can argmax to ONE centroid, and
+    // that bucket's join side goes hot. Same rank-cap as lshTopK — the
+    // window shares the join's hash exchange on `bucket`, and Spark's
+    // WindowGroupLimit truncates map-side before the shuffle.
+    val cAll = assignNearest(corpus, "neighbor_id", "nv")
+    val c =
+      if (maxBucket > 0) {
+        val wb = Window.partitionBy(col("bucket")).orderBy(col("neighbor_id"))
+        cAll.withColumn("__rn", row_number().over(wb))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      } else cAll
     val q = assign(queries, "query_id", "qv", probes = nprobe)
     val joined = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -568,6 +568,24 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("large snapshots checkpoint multi-part and round-trip") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writeLog(t, 0, (Seq(ci(0), meta("mp-table")) ++
+        (1 to 7).map(i => add(s"f$i.parquet", i * 10))): _*)
+      val cw = new graft.delta.CheckpointWriter(conf, actionsPerPart = 3)
+      cw.checkpoint(t, Some(0))
+      val log = new DeltaLogReader(conf)
+      // 7 adds / 3 per part -> 3 parts, pointer carries parts
+      assert(log.lastCheckpoint(t) === Some(graft.delta.CheckpointInstance(0, Some(3))))
+      cw.expireLogs(t) // v0 json is NOT below the checkpoint; keep
+      writeLog(t, 1, ci(100), add("f8.parquet", 80), remove("f1.parquet"))
+      val state = new DeltaLogReader(conf).snapshotState(t, 1)
+      assert(state.map(_._1) === (2 to 8).map(i => s"f$i.parquet"))
+      assert(new DeltaLogReader(conf).tableId(t) === Some("mp-table"))
+    }
+  }
+
   test("expireLogs without a checkpoint deletes nothing") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"

@@ -308,6 +308,17 @@ class SimilaritySuite extends SparkSpec {
     assert(out.map(_.getLong(1)).toSet.subsetOf((0L until 10L).toSet))
   }
 
+  test("ivf topk bounds a clustered hot bucket") {
+    // every corpus vector argmaxes to the same centroid; the cap keeps the
+    // join side bounded
+    val corpus = (0 until 300).map(i => (i.toLong, Array(1f, 1f, 0f + i * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((999L, Array(1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 100, nlist = 4, nprobe = 1, maxBucket = 20).collect()
+    assert(out.length <= 20, s"candidates not bounded: ${out.length}")
+  }
+
   test("null vectors in the dims sample don't mask a live corpus") {
     val corpus = Seq(
       (0L, Option.empty[Array[Float]]),
