@@ -259,10 +259,33 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
       }
     }
     val files = collected.result()
-    if (files.isEmpty) None
-    else Some(BatchInfo(wal.nextBatchId(),
+    if (files.isEmpty) {
+      // Nothing read and the next version is missing: either we're caught
+      // up (no newer commits — normal idle) or the log was PRUNED past our
+      // position (commits newer than v survive but v itself is gone —
+      // e.g. `earliest` start on a checkpointed table, or a consumer that
+      // fell behind the table's log retention). Idling silently on the
+      // second case would skip data forever.
+      requireNotPruned(tablePath, v)
+      None
+    } else Some(BatchInfo(wal.nextBatchId(),
       files.map { case (p, sz, _) => FileEntry(log.resolvePath(tablePath, p), sz, 0L) },
       offsetJson(tableId, endPos, Seq.empty)))
+  }
+
+  /** Throws when `nextVersion` is missing from the log while NEWER commits
+    * survive — the tail position was pruned away and tailing can't resume
+    * without losing data. */
+  private def requireNotPruned(tablePath: String, nextVersion: Long): Unit = {
+    val surviving = log.listVersions(tablePath)
+    if (surviving.exists(_ > nextVersion) && !surviving.contains(nextVersion)) {
+      val earliest = surviving.filter(_ > nextVersion).min
+      throw new PlanningError(
+        s"delta log at $tablePath no longer has version $nextVersion " +
+        s"(earliest surviving commit: $earliest); the consumer fell behind " +
+        "the table's log retention. Reset the checkpoint (or start from " +
+        "snapshot) to continue — resuming here would silently skip data")
+    }
   }
 
   /** CDF planning: prefer `cdc` actions; fall back to treating `add`s as
@@ -312,8 +335,10 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
       }
     }
     val entries = collected.result()
-    if (entries.isEmpty) None
-    else Some(BatchInfo(wal.nextBatchId(),
+    if (entries.isEmpty) {
+      requireNotPruned(tablePath, v) // same silent-skip hazard as planLog
+      None
+    } else Some(BatchInfo(wal.nextBatchId(),
       entries.map(e => FileEntry(log.resolvePath(tablePath, e.path), e.size, e.tsMs)),
       offsetJson(tableId, endPos, entries)))
   }

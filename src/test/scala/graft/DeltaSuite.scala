@@ -438,6 +438,30 @@ class DeltaCheckpointSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("tailing a pruned log position throws instead of silently idling") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"; val cp = s"$tmp/cp"
+      // pruned table: only commits 5 and 6 survive (checkpointed elsewhere)
+      writeLog(t, 5, ci(500), meta(), add("f5.parquet"))
+      writeLog(t, 6, ci(600), add("f6.parquet"))
+      // earliest start = tail from version 0 — gone
+      val e = intercept[PlanningError](ckpt(cp).planBatch(t,
+        DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest)))
+      assert(e.getMessage.contains("log retention"))
+      // a consumer that committed v1 and came back after pruning
+      val e2 = intercept[PlanningError](ckpt(s"$tmp/cp2").planBatch(t,
+        DeltaSourceOptions(startOffset = DeltaStartOffset.StartingVersion(2))))
+      assert(e2.getMessage.contains("version 2"))
+      // caught-up consumer (next = latest+1) still idles normally
+      val c3 = ckpt(s"$tmp/cp3")
+      val opts5 = DeltaSourceOptions(startOffset = DeltaStartOffset.StartingVersion(5))
+      val b = c3.planBatch(t, opts5).get
+      assert(names(b) === Seq("f5.parquet", "f6.parquet"))
+      c3.commitBatch(b, Map.empty)
+      assert(c3.planBatch(t, opts5).isEmpty)
+    }
+  }
+
   test("no-file commits are advanced through") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
