@@ -55,8 +55,8 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update(gapMs))
   }
 
-  /** The per-key state transition. Public for direct unit testing. */
-  private[streaming] def update(gapMs: Long)(key: String,
+  /** The per-key state transition. Package-visible for direct unit tests. */
+  private[graft] def update(gapMs: Long)(key: String,
       events: Iterator[SessionEvent],
       state: GroupState[SessionState]): Iterator[Session] = {
     if (state.hasTimedOut) {

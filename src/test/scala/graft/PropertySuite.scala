@@ -117,4 +117,90 @@ class PropertySuite extends SparkSpec {
         }
     }
   }
+
+  test("TOML: rendered flat documents round-trip through the parser") {
+    val key = Gen.identifier.map(_.take(12)).suchThat(_.nonEmpty)
+    val value: Gen[Any] = Gen.oneOf(
+      Gen.choose(-1000000L, 1000000L),
+      Gen.oneOf(true, false),
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.choose(-1000.0, 1000.0).map(d => math.rint(d * 100) / 100))
+    val doc = for {
+      table <- key
+      kvs <- Gen.listOfN(6, Gen.zip(key, value))
+    } yield (table, kvs.toMap.toSeq)
+    forAllSampled(doc, 25) { case (table, kvs) =>
+      def render(v: Any): String = v match {
+        case s: String => "\"" + s + "\""
+        case other => other.toString
+      }
+      val text = s"[$table]\n" +
+        kvs.map { case (k, v) => s"$k = ${render(v)}" }.mkString("\n")
+      val parsed = graft.util.Toml.parse(text)
+      val inner = parsed(table).asInstanceOf[Map[String, Any]]
+      kvs.foreach { case (k, v) =>
+        assert(inner(k) === v, s"key $k in:\n$text")
+      }
+    }
+  }
+
+  test("sessionize state transition: events conserved, sessions ordered and gap-separated") {
+    import graft.streaming.{Session, SessionEvent, SessionState, Sessionize}
+    import org.apache.spark.sql.streaming.GroupState
+    // drive the pure transition function directly with a stub GroupState
+    class StubState(var opt: Option[SessionState]) extends GroupState[SessionState] {
+      var timeout: Long = Long.MinValue
+      def exists: Boolean = opt.isDefined
+      def get: SessionState = opt.get
+      def getOption: Option[SessionState] = opt
+      def update(s: SessionState): Unit = opt = Some(s)
+      def remove(): Unit = opt = None
+      def hasTimedOut: Boolean = false
+      def setTimeoutDuration(d: Long): Unit = ()
+      def setTimeoutDuration(d: String): Unit = ()
+      def setTimeoutTimestamp(t: Long): Unit = timeout = t
+      def setTimeoutTimestamp(t: Long, additionalDuration: String): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date, additionalDuration: String): Unit = ()
+      def getCurrentWatermarkMs(): Long = 0L
+      def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val gapMs = 60000L
+    val eventsGen = Gen.listOfN(20, Gen.choose(0L, 1000L * 600)) // 10 min span
+    forAllSampled(eventsGen, 20) { tsList =>
+      if (tsList.nonEmpty) {
+        val state = new StubState(None)
+        val events = tsList.map(t => SessionEvent("k", new java.sql.Timestamp(t)))
+        val closed = Sessionize.update(gapMs)("k", events.iterator, state).toSeq
+        val open = state.opt
+        // conservation: every event lands in exactly one session
+        assert(closed.map(_.events).sum + open.map(_.events).getOrElse(0L)
+          === tsList.size.toLong)
+        // sessions are internally consistent and gap-separated in order
+        val all = closed.map(s => (s.startMs, s.endMs, s.events)) ++
+          open.map(s => (s.startMs, s.lastMs, s.events))
+        all.foreach { case (s, e, n) => assert(s <= e && n >= 1) }
+        all.sliding(2).foreach {
+          case Seq((_, e1, _), (s2, _, _)) => assert(s2 > e1 + gapMs)
+          case _ =>
+        }
+        // timeout is armed past the open session's last event
+        open.foreach(s => assert(state.timeout === s.lastMs + gapMs))
+      }
+    }
+  }
+
+  test("bounded buckets never exceed the cap for random bucket assignments") {
+    forAllSampled(Gen.zip(Gen.choose(1, 200), Gen.choose(1, 5), Gen.choose(1, 20)), 8) {
+      case (nRows, nBuckets, cap) =>
+        val rows = (0 until nRows).map(i => (i.toLong, i % nBuckets)).toDF("id", "bucket")
+        val sizes = graft.operators.Dedup
+          .boundedBuckets(rows, Seq("bucket"), org.apache.spark.sql.functions
+            .collect_set(org.apache.spark.sql.functions.col("id")), cap)
+          .select(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("items")))
+          .collect().map(_.getInt(0))
+        assert(sizes.forall(s => s <= cap && s >= 2))
+    }
+  }
 }
