@@ -51,20 +51,29 @@ object Patterns {
   def dedupAcrossBatches(batch: DataFrame, keys: Seq[String],
       state: JobState, stateKey: String = "seen_keys"): DataFrame = {
     val keyCols = keys.map(col)
-    // cache + materialize: the returned frame must not re-read the state
-    // files its lineage anti-joined, because the swap below replaces them
-    val fresh = (state.loadParquet(stateKey) match {
+    val seen0 = state.loadParquet(stateKey)
+    val fresh = seen0 match {
       case None => batch
       case Some(seen) => batch.join(seen, keys, "left_anti")
-    }).cache()
-    fresh.count()
-    val freshKeys = fresh.select(keyCols: _*).distinct()
-    val updated = state.loadParquet(stateKey) match {
-      case None => freshKeys
-      case Some(seen) => seen.unionByName(freshKeys).distinct()
     }
+    // Materialize through the state store, NOT a cache: the anti-join's
+    // lineage reads the seen-keys files the swap below deletes, and a
+    // returned cached frame would be (a) leaked into the shared session
+    // forever and (b) correctness-load-bearing — an evicted/lost block
+    // would recompute against deleted files. A durable last-batch table is
+    // bounded (one batch's rows), restart-safe, and inspectable.
+    val batchKey = s"${stateKey}__last_batch"
+    state.saveParquet(batchKey, fresh)
+    val freshDisk = state.loadParquet(batchKey).get
+    val updated = seen0 match {
+      case None => freshDisk.select(keyCols: _*).distinct()
+      case Some(seen) =>
+        seen.unionByName(freshDisk.select(keyCols: _*).distinct()).distinct()
+    }
+    // safe ordering: saveParquet writes to a tmp dir (plan executes while
+    // the old files still exist), then swaps
     state.saveParquet(stateKey, updated)
-    fresh
+    freshDisk
   }
 
   /** Incremental (partial/final) aggregation: per-batch partial aggregates
@@ -76,14 +85,15 @@ object Patterns {
       partial: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val batchPartial = partial(batch)
-    val merged = (state.loadParquet(stateKey) match {
+    val merged = state.loadParquet(stateKey) match {
       case None => batchPartial
       case Some(prior) => merge(prior, batchPartial)
-    }).cache()
-    // materialize before the swap — the merged plan reads the prior state
-    // files, which saveParquet replaces
-    merged.count()
+    }
+    // saveParquet writes to a tmp dir first, so the merge plan executes
+    // while the prior state files still exist; the RETURNED frame re-reads
+    // the freshly swapped state (it IS the new state) — no cache to leak
+    // or to silently recompute against deleted files on eviction
     state.saveParquet(stateKey, merged)
-    merged
+    state.loadParquet(stateKey).get
   }
 }

@@ -234,6 +234,16 @@ class PatternsSuite extends SparkSpec {
       val b2 = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
       val out2 = Patterns.dedupAcrossBatches(b2, Seq("id"), state)
       assert(out2.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(3L))
+      // all-duplicate batch: empty fresh set round-trips through the state
+      // store and the seen set is unchanged
+      val b3 = Seq((1L, "a"), (3L, "c")).toDF("id", "v")
+      assert(Patterns.dedupAcrossBatches(b3, Seq("id"), state).count() === 0)
+      val b4 = Seq((4L, "d")).toDF("id", "v")
+      assert(Patterns.dedupAcrossBatches(b4, Seq("id"), state)
+        .select("id").head().getLong(0) === 4L)
+      // no cached RDDs leaked into the shared session
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"leaked caches: ${spark.sparkContext.getPersistentRDDs.keys}")
     }
   }
 
