@@ -44,10 +44,19 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
       ckptWriter.checkpoint(tablePath, Some(version))
 
-  def read(tablePath: String): DataFrame = {
+  /** Read the table at its latest version, or time-travel with
+    * `versionAsOf` (delta-spark's option of the same name — any version
+    * whose snapshot is still reconstructible from surviving JSON commits /
+    * checkpoints; reading past the replay base fails loudly, never
+    * partially). */
+  def read(tablePath: String, versionAsOf: Option[Long] = None): DataFrame = {
     val latest = log.latestVersion(tablePath)
+      .orElse(log.listCheckpoints(tablePath).lastOption.map(_.version))
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
-    val files = log.snapshotState(tablePath, latest)
+    val version = versionAsOf.getOrElse(latest)
+    if (version > latest)
+      throw new GraftError(s"versionAsOf $version is beyond latest $latest of $tablePath")
+    val files = log.snapshotState(tablePath, version)
       .map { case (p, _) => log.resolvePath(tablePath, p) }
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
@@ -276,12 +285,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     deleted
   }
 
-  /** Z-order approximation: rewrite the table range-partitioned on the
-    * given columns (co-locates ranges like delta's OPTIMIZE ZORDER BY would,
-    * without the interleaved curve — documented approximation). */
+  /** OPTIMIZE ZORDER BY: rewrite the table along the Morton curve
+    * ([[graft.operators.ZOrder]]) — interleaved bits of every given
+    * column, range-partitioned into `numFiles` z-ranges — so min/max file
+    * skipping prunes on ANY of the z-ordered columns, not just the first. */
   def optimizeZOrder(tablePath: String, cols: Seq[String], numFiles: Int = 8): Long = {
-    import org.apache.spark.sql.functions.col
-    val df = read(tablePath).repartitionByRange(numFiles, cols.map(col): _*)
+    val df = graft.operators.ZOrder.cluster(read(tablePath), cols, numFiles)
     write(df, tablePath, DeltaWriteMode.Overwrite)
   }
 }

@@ -569,6 +569,30 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("versionAsOf time travel and z-order rewrite preserve data") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t, DeltaWriteMode.Append)
+      w.write(Seq((3L, 30L)).toDF("id", "v"), t, DeltaWriteMode.Append)
+      w.write(Seq((9L, 90L)).toDF("id", "v"), t, DeltaWriteMode.Overwrite)
+      // time travel to each version
+      assert(w.read(t, versionAsOf = Some(0L)).collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L))
+      assert(w.read(t, versionAsOf = Some(1L)).collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L, 3L))
+      assert(w.read(t).collect().map(_.getLong(0)).toSeq === Seq(9L))
+      intercept[GraftError](w.read(t, versionAsOf = Some(99L)))
+      // z-order rewrite: same rows, new version
+      val data = (1 to 64).map(i => (i.toLong, (i % 8).toLong))
+      w.write(data.toDF("id", "v"), t, DeltaWriteMode.Overwrite)
+      val v = w.optimizeZOrder(t, Seq("id", "v"), numFiles = 4)
+      assert(w.read(t).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        === data.sorted)
+      assert(new DeltaLogReader(conf).latestVersion(t) === Some(v))
+    }
+  }
+
   test("commits carry protocol-spec actions a real delta reader requires") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"

@@ -333,6 +333,39 @@ class SimilaritySuite extends SparkSpec {
   }
 }
 
+class ZOrderSuite extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.ZOrder
+
+  test("interleaveBits matches hand-computed Morton codes") {
+    // x=0b11 -> bits at positions 0,2 = 0b101; y=0b01 -> bit at position 1
+    val df = Seq((3L, 1L), (0L, 0L), (2L, 3L)).toDF("x", "y")
+    val z = df.select(ZOrder.interleaveBits(Seq(col("x"), col("y")), 2))
+      .collect().map(_.getLong(0))
+    // (3,1): x bits {0,2} y bits {1} -> 0b0111 = 7
+    // (2,3): x=0b10 -> pos 2; y=0b11 -> pos 1,3 -> 0b1110 = 14
+    assert(z.toSeq === Seq(7L, 0L, 14L))
+  }
+
+  test("zValue clusters nearby 2-d points; cluster preserves rows") {
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val df = pts.toDF("x", "y")
+    val z = df.withColumn("z", ZOrder.zValue(df, Seq("x", "y"), bits = 4))
+    val zOf = z.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // corners of the space sit at the curve's extremes
+    assert(zOf((0L, 0L)) === 0L)
+    assert(zOf((15L, 15L)) === 255L)
+    // quadrant locality: the whole low-left quadrant precedes the
+    // high-right quadrant on the curve (true Morton property)
+    val lowLeft = (for (x <- 0 until 8; y <- 0 until 8) yield zOf((x.toLong, y.toLong))).max
+    val highRight = (for (x <- 8 until 16; y <- 8 until 16) yield zOf((x.toLong, y.toLong))).min
+    assert(lowLeft < highRight)
+    val clustered = ZOrder.cluster(df, Seq("x", "y"), numFiles = 4)
+    assert(clustered.count() === 256)
+    assert(clustered.columns.toSeq === Seq("x", "y"))
+  }
+}
+
 class MultimodalSuite extends SparkSpec {
   import spark.implicits._
 
