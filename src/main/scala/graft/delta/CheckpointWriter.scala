@@ -31,6 +31,7 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |    required binary path (STRING);
       |    optional int64 size;
       |    optional boolean dataChange;
+      |    optional binary stats (STRING);
       |  }
       |  optional group metaData {
       |    required binary id (STRING);
@@ -55,13 +56,16 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
     val instance =
       if (already) log.listCheckpoints(tablePath).find(_.version == version).get
       else {
-        val state = log.snapshotState(tablePath, version)
+        // whole actions (not the path->size fold) so per-file stats survive
+        // the checkpoint and skipping keeps working on pruned-log tables
+        val state = DeltaStats.activeAdds(log, tablePath, version)
         val meta = log.resolveMeta(tablePath)
         val nParts = math.max(1, (state.size + ActionsPerPart - 1) / ActionsPerPart)
         val inst = CheckpointInstance(version,
           if (nParts > 1) Some(nParts) else None)
         val files = log.checkpointFiles(tablePath, inst)
-        val slices = state.grouped(ActionsPerPart).toSeq.padTo(nParts, Seq.empty)
+        val slices = state.grouped(ActionsPerPart).toSeq
+          .padTo(nParts, Seq.empty[DeltaAction.AddFile])
         files.zip(slices).zipWithIndex.foreach { case ((target, slice), i) =>
           writePart(target, slice, if (i == 0) meta else None)
         }
@@ -76,7 +80,7 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
   }
 
   private def writePart(target: org.apache.hadoop.fs.Path,
-      state: Seq[(String, Long)], meta: Option[TableMeta]): Unit = {
+      state: Seq[DeltaAction.AddFile], meta: Option[TableMeta]): Unit = {
     val factory = new SimpleGroupFactory(Schema)
     val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(target, conf))
       .withType(Schema).withConf(conf).build()
@@ -88,12 +92,13 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         m.schemaString.foreach(s => md.append("schemaString", s))
         writer.write(g)
       }
-      state.foreach { case (path, size) =>
+      state.foreach { a =>
         val g = factory.newGroup()
         val add = g.addGroup("add")
-        add.append("path", path)
-        add.append("size", size)
+        add.append("path", a.path)
+        add.append("size", a.size)
         add.append("dataChange", true)
+        a.stats.foreach(s => add.append("stats", s))
         writer.write(g)
       }
     } finally writer.close()

@@ -21,7 +21,12 @@ sealed trait DeltaAction
 object DeltaAction {
   case class CommitInfo(timestampMs: Option[Long]) extends DeltaAction
   case class MetaData(id: String, schemaString: Option[String]) extends DeltaAction
-  case class AddFile(path: String, size: Long, dataChange: Boolean) extends DeltaAction
+  /** `stats` is the delta-protocol per-file statistics JSON string
+    * (`{"numRecords":N,"minValues":{..},"maxValues":{..}}`) — present when
+    * the writer collected parquet footer stats; readers use it for file
+    * skipping ([[DeltaStats]]). */
+  case class AddFile(path: String, size: Long, dataChange: Boolean,
+      stats: Option[String] = None) extends DeltaAction
   case class RemoveFile(path: String, dataChange: Boolean) extends DeltaAction
   case class CdcFile(path: String, size: Long) extends DeltaAction
 }
@@ -138,7 +143,7 @@ class DeltaLogReader(conf: Configuration) {
       MetaData(Jsons.optStr(md, "id").getOrElse(""), Jsons.optStr(md, "schemaString"))
     )).orElse(Jsons.optField(n, "add").map(a =>
       AddFile(a.get("path").asText(), Jsons.optLong(a, "size").getOrElse(0L),
-        Jsons.optBool(a, "dataChange").getOrElse(true))
+        Jsons.optBool(a, "dataChange").getOrElse(true), Jsons.optStr(a, "stats"))
     )).orElse(Jsons.optField(n, "remove").map(r =>
       RemoveFile(r.get("path").asText(), Jsons.optBool(r, "dataChange").getOrElse(true))
     )).orElse(Jsons.optField(n, "cdc").map(c =>
@@ -221,7 +226,8 @@ class DeltaLogReader(conf: Configuration) {
           grpField(rec, "add").foreach { a =>
             strField(a, "path").foreach(p => out += AddFile(p,
               longField(a, "size").getOrElse(0L),
-              boolField(a, "dataChange").getOrElse(true)))
+              boolField(a, "dataChange").getOrElse(true),
+              strField(a, "stats")))
           }
           grpField(rec, "remove").foreach { r =>
             strField(r, "path").foreach(p => out += RemoveFile(p,

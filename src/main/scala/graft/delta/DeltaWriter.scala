@@ -58,6 +58,26 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       throw new GraftError(s"versionAsOf $version is beyond latest $latest of $tablePath")
     val files = log.snapshotState(tablePath, version)
       .map { case (p, _) => log.resolvePath(tablePath, p) }
+    scanFiles(tablePath, files)
+  }
+
+  /** Data-skipping read: files whose delta stats can't intersect every
+    * given inclusive numeric interval are not even scheduled
+    * ([[DeltaStats.prune]]); the caller's own filter still applies on the
+    * surviving rows — skipping is plan-level, never a row filter. */
+  def readSkipping(tablePath: String,
+      ranges: Map[String, (Option[Double], Option[Double])],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val latest = log.latestVersion(tablePath)
+      .orElse(log.listCheckpoints(tablePath).lastOption.map(_.version))
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val version = versionAsOf.getOrElse(latest)
+    val adds = DeltaStats.activeAdds(log, tablePath, version)
+    val (kept, _) = DeltaStats.prune(adds, ranges)
+    scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
+  }
+
+  private def scanFiles(tablePath: String, files: Seq[String]): DataFrame = {
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
     if (files.isEmpty)
@@ -105,7 +125,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val cdcParts = cdfChanges.map { ch =>
       val cdcDir = new Path(root, "_change_data")
       fs.mkdirs(cdcDir)
-      writeParts(ch, cdcDir, fs, prefix = "cdc").map { case (p, sz) =>
+      writeParts(ch, cdcDir, fs, prefix = "cdc").map { case (p, sz, _) =>
         (s"_change_data/$p", sz)
       }
     }.getOrElse(Seq.empty)
@@ -127,7 +147,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * session would still produce correct output, just without `_SUCCESS`
     * markers). */
   private def writeParts(df: DataFrame, targetDir: Path,
-      fs: org.apache.hadoop.fs.FileSystem, prefix: String): Seq[(String, Long)] = {
+      fs: org.apache.hadoop.fs.FileSystem, prefix: String)
+      : Seq[(String, Long, Option[String])] = {
     val dataDir = new Path(targetDir, s"$prefix-${UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(dataDir)
     val key = "spark.sql.sources.commitProtocolClass"
@@ -141,12 +162,13 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     fs.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .map(st => (s"${dataDir.getName}/${st.getPath.getName}", st.getLen))
+      .map(st => (s"${dataDir.getName}/${st.getPath.getName}", st.getLen,
+        DeltaStats.footerStatsJson(st.getPath, conf)))
       .toSeq
   }
 
   private def commit(tablePath: String, mode: DeltaWriteMode, schema: StructType,
-      adds: Seq[(String, Long)], cdcs: Seq[(String, Long)],
+      adds: Seq[(String, Long, Option[String])], cdcs: Seq[(String, Long)],
       tableExisted: Boolean): Long = {
     val latest = log.latestVersion(tablePath)
     val version = latest.map(_ + 1).getOrElse(0L)
@@ -186,9 +208,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       r.put("deletionTimestamp", now)
       lines += s"""{"remove": ${Jsons.render(r)}}"""
     }
-    adds.foreach { case (p, sz) =>
+    adds.foreach { case (p, sz, stats) =>
       val a = Jsons.obj(); a.put("path", p); a.put("size", sz)
       a.put("dataChange", true); a.put("modificationTime", now)
+      stats.foreach(s => a.put("stats", s)) // protocol: stats is a JSON string
       lines += s"""{"add": ${Jsons.render(a)}}"""
     }
     cdcs.foreach { case (p, sz) =>
@@ -252,8 +275,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     small.foreach { case (p, _) =>
       lines += s"""{"remove": {"path": "$p", "dataChange": false, "deletionTimestamp": $now}}"""
     }
-    parts.foreach { case (p, sz) =>
-      lines += s"""{"add": {"path": "$p", "size": $sz, "dataChange": false, "modificationTime": $now}}"""
+    parts.foreach { case (p, sz, stats) =>
+      val a = Jsons.obj(); a.put("path", p); a.put("size", sz)
+      a.put("dataChange", false); a.put("modificationTime", now)
+      stats.foreach(s => a.put("stats", s))
+      lines += s"""{"add": ${Jsons.render(a)}}"""
     }
     writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
     maybeCheckpoint(tablePath, version)

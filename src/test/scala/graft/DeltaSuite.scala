@@ -593,6 +593,60 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("add actions carry footer stats; readSkipping schedules only matching files") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      // 4 files with disjoint id ranges via range partitioning
+      val df = (0L until 400L).map(i => (i, s"name$i")).toDF("id", "name")
+        .repartitionByRange(4, col("id"))
+      w.write(df, t, DeltaWriteMode.Append)
+      val adds = new DeltaLogReader(conf).readCommit(t, 0).adds
+      assert(adds.size === 4)
+      adds.foreach { a =>
+        assert(a.stats.isDefined, s"no stats on ${a.path}")
+        val st = graft.util.Jsons.parse(a.stats.get)
+        assert(st.get("numRecords").asLong() === 100L)
+        assert(st.get("minValues").get("id").isNumber)
+        assert(st.get("maxValues").get("name").isTextual)
+      }
+      // stats ranges are disjoint and cover 0..399
+      val ranges = adds.map(a => {
+        val st = graft.util.Jsons.parse(a.stats.get)
+        (st.get("minValues").get("id").asLong(), st.get("maxValues").get("id").asLong())
+      }).sorted
+      assert(ranges.head._1 === 0L && ranges.last._2 === 399L)
+      // skipping read: ids 150..160 live in ONE file
+      val skipped = w.readSkipping(t, Map("id" -> (Some(150d), Some(160d))))
+      assert(skipped.inputFiles.length === 1,
+        s"expected 1 scheduled file, got ${skipped.inputFiles.length}")
+      assert(skipped.filter(col("id").between(150, 160)).count() === 11)
+      // unbounded range keeps everything; unknown column can't skip
+      assert(w.readSkipping(t, Map("id" -> (None, None))).inputFiles.length === 4)
+      assert(w.readSkipping(t, Map("nope" -> (Some(1d), Some(2d)))).inputFiles.length === 4)
+    }
+  }
+
+  test("stats survive the parquet checkpoint round-trip") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      val df = (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
+        .repartitionByRange(2, col("id"))
+      w.write(df, t, DeltaWriteMode.Append)
+      w.checkpoint(t)
+      w.expireLogs(t)
+      // activeAdds now reconstructs from the checkpoint parquet alone
+      val log = new DeltaLogReader(conf)
+      val adds = graft.delta.DeltaStats.activeAdds(log, t, 0L)
+      assert(adds.size === 2)
+      assert(adds.forall(_.stats.isDefined), "stats lost in checkpoint")
+      val one = w.readSkipping(t, Map("id" -> (Some(0d), Some(10d))))
+      assert(one.inputFiles.length === 1)
+      assert(one.count() === 50) // the whole first file is scheduled
+    }
+  }
+
   test("commits carry protocol-spec actions a real delta reader requires") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
