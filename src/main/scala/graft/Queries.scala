@@ -422,6 +422,27 @@ object Queries {
              |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
              |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Stats-based file skipping, oracle-proven: a range-partitioned Delta
+    // write gives every file disjoint o_orderkey stats; readSkipping must
+    // schedule only the files intersecting the key interval AND still
+    // return exactly the rows DuckDB computes over the source parquet.
+    "q_delta_skipping" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-sk").toString
+        val table = s"$tmp/orders_z"
+        val w = new graft.delta.DeltaWriter(s, s.sparkContext.hadoopConfiguration)
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), dround(col("o_totalprice")).as("price"))
+          .repartitionByRange(8, col("o_orderkey"))
+        w.write(orders, table, graft.delta.DeltaWriteMode.Append)
+        w.readSkipping(table, Map("o_orderkey" -> (Some(1000d), Some(3000d))))
+          .filter(col("o_orderkey").between(1000, 3000))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, ${droundSql("o_totalprice")} AS price
+             |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ================= training-data pipeline operators ==================
 
     // ----- exact dedup ----------------------------------------------------
