@@ -529,6 +529,13 @@ object Queries {
         n = 12, threshold = 0.4, k = 16, bands = 4).orderBy("id_a", "id_b"),
       None),
 
+    // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
+    // w+k-1 shared-substring guarantee is suite-gated) ---------------------
+    "d_winnow_pairs" -> QueryDef(
+      (s, d) => Dedup.winnowingPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 8, w = 16, threshold = 0.2).orderBy("id_a", "id_b"),
+      None),
+
     // ----- ANN: brute-force cosine top-1 (rows-only; FP argmax) -----------
     "e_ann_top1" -> QueryDef(
       (s, d) => {

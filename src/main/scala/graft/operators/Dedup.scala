@@ -263,6 +263,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Copy/quotation candidate pairs by winnowing fingerprints
+    * ([[graft.functions.Winnowing]] — MOSS): documents sharing ANY
+    * selected k-gram fingerprint meet in a bucket (guaranteed whenever
+    * they share >= w+k-1 bytes of text), then the pair is verified by
+    * fingerprint-set Jaccard. Finds verbatim overlap that shingle-Jaccard
+    * dilutes away on long documents — the complementary near-dup signal a
+    * training-data pipeline needs for quotation/boilerplate detection.
+    * Same bounded one-shuffle bucket frame as the LSH family. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, threshold: Double = 0.2,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.functions.WinnowingFunctions.winnowFingerprints
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val fpRows = base.select(col("id"),
+      explode(winnowFingerprints(col("text"), k, w)).as("fp"))
+    val candidates = candidatePairs(fpRows, Seq("fp"), maxBucket)
+    candidates
+      .join(base.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(winnowFingerprints(col("t_a"), k, w),
+          winnowFingerprints(col("t_b"), k, w)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Character n-gram Jaccard near-dup pairs (robust to word-boundary
     * noise), LSH-bucketed like the word-shingle variant. */
   def charNgramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -142,6 +142,68 @@ class TextFunctionsSuite extends SparkSpec {
 class DedupSuite extends SparkSpec {
   import spark.implicits._
 
+  test("winnowing: deterministic sorted sketch; short and empty docs behave") {
+    import graft.functions.WinnowingFunctions.winnowFingerprints
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "abc"), // shorter than k -> single whole-text hash
+      (4L, "")).toDF("id", "text")
+    val rows = df.select($"id", winnowFingerprints($"text", 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L).nonEmpty && rows(1L) === rows(1L).distinct.sorted)
+    assert(rows(3L).size === 1)
+    assert(rows(4L).isEmpty)
+    // codegen DataFrame path equals the direct helper
+    val direct = graft.functions.Winnowing
+      .winnow(org.apache.spark.unsafe.types.UTF8String.fromString(
+        "the quick brown fox jumps over the lazy dog"), 8, 4).toLongArray().toSeq
+    assert(rows(1L) === direct)
+  }
+
+  test("winnowing guarantee: shared substring of w+k-1 bytes shares a fingerprint") {
+    import graft.functions.WinnowingFunctions.winnowFingerprints
+    val k = 8; val w = 16
+    val rng = new scala.util.Random(7)
+    def randText(n: Int, alphabet: String) =
+      (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val shared = randText(w + k - 1, "abcdefgh") // exactly the guarantee length
+    val pairs = (0 until 20).map { i =>
+      val a = randText(rng.nextInt(200), "ijklmnop") + shared +
+        randText(rng.nextInt(200), "qrstuvwx")
+      val b = randText(rng.nextInt(200), "qrstuvwx") + shared +
+        randText(rng.nextInt(200), "ijklmnop")
+      (i.toLong, a, b)
+    }
+    val df = pairs.flatMap { case (i, a, b) =>
+      Seq((i * 2, a), (i * 2 + 1, b)) }.toDF("id", "text")
+    val fps = df.select($"id", winnowFingerprints($"text", k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    pairs.foreach { case (i, _, _) =>
+      assert(fps(i * 2).intersect(fps(i * 2 + 1)).nonEmpty,
+        s"pair $i violated the w+k-1 guarantee")
+    }
+    // disjoint alphabets share nothing
+    val x = fps(0L); val y = graft.functions.Winnowing
+      .winnow(org.apache.spark.unsafe.types.UTF8String.fromString(
+        randText(300, "0123456789")), k, w).toLongArray().toSet
+    assert(x.intersect(y).isEmpty)
+  }
+
+  test("winnowing pairs finds planted quotation, skips unrelated") {
+    val quote = "it was the best of times it was the worst of times " * 2
+    val docs = Seq(
+      (1L, s"opening remarks $quote and then some trailing commentary here"),
+      (2L, s"completely different framing but quoting: $quote end of quote"),
+      (3L, "unrelated document about spark query engines and parquet files"),
+      (4L, "another unrelated document describing minhash banding at scale"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text", threshold = 0.15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("exact dedup keeps smallest tiebreak per key") {
     val df = Seq((1L, "dup"), (2L, "dup"), (3L, "uniq")).toDF("id", "text")
     val out = Dedup.exact(df, Seq("text"), "id").orderBy("id")
