@@ -533,7 +533,7 @@ object Queries {
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------
     "d_winnow_pairs" -> QueryDef(
       (s, d) => Dedup.winnowingPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 8, w = 16, threshold = 0.2).orderBy("id_a", "id_b"),
+        k = 16, w = 32, threshold = 0.2).orderBy("id_a", "id_b"),
       None),
 
     // ----- ANN: brute-force cosine top-1 (rows-only; FP argmax) -----------

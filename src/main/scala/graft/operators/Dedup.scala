@@ -270,15 +270,28 @@ object Dedup {
     * fingerprint-set Jaccard. Finds verbatim overlap that shingle-Jaccard
     * dilutes away on long documents — the complementary near-dup signal a
     * training-data pipeline needs for quotation/boilerplate detection.
-    * Same bounded one-shuffle bucket frame as the LSH family. */
+    *
+    * Fingerprints shared by more than `maxDf` documents are DROPPED, not
+    * truncated — a k-gram occurring corpus-wide (boilerplate, stop
+    * phrases) identifies nothing, and its bucket is pure quadratic noise
+    * (MOSS filters common fingerprints the same way). The filter rides
+    * the one bucket aggregation: membership collection is bounded at
+    * maxDf+1, so the buffer stays bounded AND the drop is exact. */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 16, threshold: Double = 0.2,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      k: Int = 16, w: Int = 32, threshold: Double = 0.2,
+      maxDf: Int = 32): DataFrame = {
     import graft.functions.WinnowingFunctions.winnowFingerprints
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val fpRows = base.select(col("id"),
       explode(winnowFingerprints(col("text"), k, w)).as("fp"))
-    val candidates = candidatePairs(fpRows, Seq("fp"), maxBucket)
+    val buckets = boundedBuckets(fpRows, Seq("fp"), collect_set(col("id")),
+        maxBucket = maxDf + 1)
+      .filter(size(col("items")) <= maxDf) // common fingerprint -> noise, drop
+    val candidates = buckets
+      .select(array_sort(col("items")).as("sorted_ids"))
+      .select(explode(pairStructs(col("sorted_ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
     candidates
       .join(base.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))

@@ -191,6 +191,20 @@ class DedupSuite extends SparkSpec {
     assert(x.intersect(y).isEmpty)
   }
 
+  test("winnowing pairs drop corpus-wide boilerplate fingerprints (maxDf)") {
+    // every doc shares the same long boilerplate; only docs 1 and 2 share a
+    // UNIQUE quotation. With maxDf below the corpus size, boilerplate
+    // buckets are dropped wholesale and only the real pair survives.
+    val boiler = "standard license header all rights reserved do not remove " * 3
+    val quote = "a genuinely distinctive passage that appears exactly twice " * 2
+    val docs = (0 until 40).map(i => (i.toLong, s"$boiler document body $i")) ++
+      Seq((100L, s"$boiler $quote first carrier"), (101L, s"$boiler $quote second"))
+    val pairs = Dedup.winnowingPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.1, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)))
+  }
+
   test("winnowing pairs finds planted quotation, skips unrelated") {
     val quote = "it was the best of times it was the worst of times " * 2
     val docs = Seq(
