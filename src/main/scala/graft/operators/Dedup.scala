@@ -276,10 +276,16 @@ object Dedup {
     * phrases) identifies nothing, and its bucket is pure quadratic noise
     * (MOSS filters common fingerprints the same way). The filter rides
     * the one bucket aggregation: membership collection is bounded at
-    * maxDf+1, so the buffer stays bounded AND the drop is exact. */
+    * maxDf+1, so the buffer stays bounded AND the drop is exact.
+    *
+    * A candidate pair must co-occur in at least `minShared` fingerprint
+    * buckets before (comparatively expensive) verification — one shared
+    * 16-gram is usually a chance collision; a real quotation spans
+    * several windows. minShared = 1 restores the strict w+k-1 guarantee;
+    * the default 2 requires roughly w+k-1+w shared bytes. */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 32, threshold: Double = 0.2,
-      maxDf: Int = 32): DataFrame = {
+      maxDf: Int = 32, minShared: Int = 2): DataFrame = {
     import graft.functions.WinnowingFunctions.winnowFingerprints
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val fpRows = base.select(col("id"),
@@ -291,7 +297,8 @@ object Dedup {
       .select(array_sort(col("items")).as("sorted_ids"))
       .select(explode(pairStructs(col("sorted_ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared).drop("__shared")
     candidates
       .join(base.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
