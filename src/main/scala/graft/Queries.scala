@@ -46,6 +46,13 @@ object Queries {
     * needed. */
   private def tsCol: Column = timestamp_micros((col("ts") / 1000L).cast("long"))
 
+  /** Nano-epoch -> microsecond timestamp with INTEGRAL division: `/` on
+    * longs is double division in Spark, and doubles can't represent
+    * nano-epoch values exactly — off-by-one microseconds vs DuckDB's
+    * exact DATE_TRUNC. Needed wherever the oracle compares at full
+    * microsecond precision. */
+  private def tsColExact: Column = timestamp_micros(expr("ts div 1000"))
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 
   val defs: Map[String, QueryDef] = Map(
@@ -104,6 +111,41 @@ object Queries {
       Some(s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
               |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
               |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)),
+
+    // ----- batch sessionization (session_window; oracle = lag/cumsum) ----
+    // Spark's gap-based session window vs the classic SQL formulation: a
+    // new session starts when the gap to the previous event is >= 30 min
+    // (touching windows don't merge in Spark — >= on both sides). The
+    // streaming flavor (flatMapGroupsWithState + timeouts) lives in
+    // streaming/Sessionize.scala with its own suite; this row oracle-gates
+    // the session SEMANTICS on batch data.
+    "q_sessionize" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"), session_window(tsColExact, "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start"),
+      Some(s"""WITH o AS (
+              |  SELECT user_id, DATE_TRUNC('microseconds', ts) AS ts, value,
+              |    CASE WHEN DATE_TRUNC('microseconds', ts)
+              |        - LAG(DATE_TRUNC('microseconds', ts))
+              |          OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microseconds', ts))
+              |        >= INTERVAL 30 MINUTE THEN 1
+              |      WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microseconds', ts))
+              |        IS NULL THEN 1 ELSE 0 END AS new_sess
+              |  FROM events),
+              |sess AS (
+              |  SELECT user_id, ts, value,
+              |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              |      ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM o)
+              |SELECT user_id,
+              |  STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+              |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+              |FROM sess GROUP BY user_id, sid
+              |ORDER BY user_id, session_start""".stripMargin)),
 
     // ----- latest-per-key dedup (ranking window) -------------------------
     "q_dedup_latest" -> QueryDef(
