@@ -32,6 +32,7 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |    optional int64 size;
       |    optional boolean dataChange;
       |    optional binary stats (STRING);
+      |    optional binary partitionValuesJson (STRING);
       |  }
       |  optional group metaData {
       |    required binary id (STRING);
@@ -99,6 +100,14 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         add.append("size", a.size)
         add.append("dataChange", true)
         a.stats.foreach(s => add.append("stats", s))
+        if (a.partitionValues.nonEmpty) {
+          // JSON-string encoding (not the protocol's map type — parquet-mr's
+          // example API has no map writer); only OUR checkpoint files use
+          // this, JSON commits carry the standard partitionValues object
+          val pv = Jsons.obj()
+          a.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+          add.append("partitionValuesJson", Jsons.render(pv))
+        }
         writer.write(g)
       }
     } finally writer.close()

@@ -24,9 +24,12 @@ object DeltaAction {
   /** `stats` is the delta-protocol per-file statistics JSON string
     * (`{"numRecords":N,"minValues":{..},"maxValues":{..}}`) — present when
     * the writer collected parquet footer stats; readers use it for file
-    * skipping ([[DeltaStats]]). */
+    * skipping ([[DeltaStats]]). `partitionValues` is the protocol's
+    * per-file partition map (hive-layout column -> string value) — exact
+    * partition pruning without touching any footer. */
   case class AddFile(path: String, size: Long, dataChange: Boolean,
-      stats: Option[String] = None) extends DeltaAction
+      stats: Option[String] = None,
+      partitionValues: Map[String, String] = Map.empty) extends DeltaAction
   case class RemoveFile(path: String, dataChange: Boolean) extends DeltaAction
   case class CdcFile(path: String, size: Long) extends DeltaAction
 }
@@ -143,7 +146,10 @@ class DeltaLogReader(conf: Configuration) {
       MetaData(Jsons.optStr(md, "id").getOrElse(""), Jsons.optStr(md, "schemaString"))
     )).orElse(Jsons.optField(n, "add").map(a =>
       AddFile(a.get("path").asText(), Jsons.optLong(a, "size").getOrElse(0L),
-        Jsons.optBool(a, "dataChange").getOrElse(true), Jsons.optStr(a, "stats"))
+        Jsons.optBool(a, "dataChange").getOrElse(true), Jsons.optStr(a, "stats"),
+        Jsons.optField(a, "partitionValues").map(pv =>
+          Jsons.fields(pv).map { case (k, v) => k -> v.asText() }.toMap)
+          .getOrElse(Map.empty))
     )).orElse(Jsons.optField(n, "remove").map(r =>
       RemoveFile(r.get("path").asText(), Jsons.optBool(r, "dataChange").getOrElse(true))
     )).orElse(Jsons.optField(n, "cdc").map(c =>
@@ -227,7 +233,11 @@ class DeltaLogReader(conf: Configuration) {
             strField(a, "path").foreach(p => out += AddFile(p,
               longField(a, "size").getOrElse(0L),
               boolField(a, "dataChange").getOrElse(true),
-              strField(a, "stats")))
+              strField(a, "stats"),
+              strField(a, "partitionValuesJson").map(j =>
+                Jsons.fields(Jsons.parse(j))
+                  .map { case (k, v) => k -> v.asText() }.toMap)
+                .getOrElse(Map.empty)))
           }
           grpField(rec, "remove").foreach { r =>
             strField(r, "path").foreach(p => out += RemoveFile(p,

@@ -137,13 +137,24 @@ object DeltaStats {
   /** Numeric interval per column: files whose [min,max] cannot intersect
     * every requested interval are skipped; files lacking stats for a
     * requested column are KEPT (skipping is an optimization, never a
-    * filter). Bounds are inclusive. */
+    * filter). Bounds are inclusive. Hive-partition values prune exactly:
+    * a file's `partitionValues` entry for a ranged column is a single
+    * point, kept only when it lies inside the interval. */
   def prune(adds: Seq[DeltaAction.AddFile],
       ranges: Map[String, (Option[Double], Option[Double])])
       : (Seq[DeltaAction.AddFile], Int) = {
     def numeric(n: JsonNode): Option[Double] =
       if (n != null && n.isNumber) Some(n.asDouble()) else None
+    def partitionKeeps(a: DeltaAction.AddFile): Boolean =
+      ranges.forall { case (colName, (lo, hi)) =>
+        a.partitionValues.get(colName)
+          .flatMap(v => scala.util.Try(v.toDouble).toOption) match {
+          case Some(point) => lo.forall(point >= _) && hi.forall(point <= _)
+          case None => true // not a numeric partition column -> can't skip
+        }
+      }
     val kept = adds.filter { a =>
+      partitionKeeps(a) &&
       a.stats.forall { s =>
         val parsed = try Some(Jsons.parse(s)) catch { case NonFatal(_) => None }
         parsed.forall { st => // unparseable stats -> keep the file

@@ -17,6 +17,11 @@ object DeltaWriteMode {
   case object Overwrite extends DeltaWriteMode
 }
 
+/** One parquet part a write produced: table-relative path, size, footer
+  * stats, and (for partitioned writes) the hive-layout partition values. */
+private[delta] case class WrittenPart(path: String, size: Long,
+    stats: Option[String], partitionValues: Map[String, String])
+
 /** Minimal Delta-table writer: parquet part files + an atomic
   * `_delta_log/N.json` commit of commitInfo/metaData/add/remove actions,
   * with optional `cdc` actions for Change-Data-Feed emission.
@@ -81,9 +86,23 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         declared.getOrElse(new StructType()))
-    else declared match {
+    // hive-layout tables: partition columns live in the directory names,
+    // not the data files — read with basePath so Spark re-materializes
+    // them, then align to the declared schema's column order/types
+    // ('=' appears in a path segment only as a partition dir)
+    val partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
+    if (partitioned) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val raw = spark.read.option("basePath", tablePath).parquet(files: _*)
+      declared match {
+        case Some(s) => raw.select(s.fields.toSeq.map(f =>
+          (if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+        case None => raw
+      }
+    } else declared match {
       // read with the declared schema so files written before a schema
       // merge null-fill the newer columns
       case Some(s) => spark.read.schema(s).parquet(files: _*)
@@ -93,13 +112,39 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
   def tableExists(tablePath: String): Boolean = log.isDeltaTable(tablePath)
 
-  /** Write `df` to the table; returns the committed version. */
+  /** Partition columns of an existing table, in layout order (derived
+    * from an active add's path — the authoritative record of the hive
+    * layout actually on disk). Empty for unpartitioned tables. */
+  def partitionColumnsOf(tablePath: String): Seq[String] =
+    log.latestVersion(tablePath)
+      .map(v => DeltaStats.activeAdds(log, tablePath, v))
+      .flatMap(_.headOption)
+      .map(_.path.split('/').dropRight(1).filter(_.contains('='))
+        .map(seg => seg.take(seg.indexOf('='))).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Write `df` to the table; returns the committed version. `partitionBy`
+    * lays data out hive-style (`col=value` dirs directly under the table
+    * root — the standard large-table layout) with `partitionValues` on
+    * every add action; appends must keep the table's existing
+    * partitioning. */
   def write(df: DataFrame, tablePath: String, mode: DeltaWriteMode,
       mergeSchema: Boolean = false,
-      cdfChanges: Option[DataFrame] = None): Long = {
+      cdfChanges: Option[DataFrame] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
     fs.mkdirs(root)
+    val existingParts = partitionColumnsOf(tablePath)
+    val effectiveParts =
+      if (partitionBy.nonEmpty) partitionBy
+      else if (mode == DeltaWriteMode.Append) existingParts
+      else Seq.empty
+    if (existingParts.nonEmpty && mode == DeltaWriteMode.Append &&
+        effectiveParts != existingParts)
+      throw new GraftError(
+        s"table $tablePath is partitioned by ${existingParts.mkString(",")}; " +
+        s"append requested ${effectiveParts.mkString(",")}")
 
     val existingSchema = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
@@ -121,16 +166,17 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     }
 
-    val parts = writeParts(aligned, root, fs, prefix = "part")
+    val parts =
+      if (effectiveParts.isEmpty) writeParts(aligned, root, fs, prefix = "part")
+      else writePartitionedParts(aligned, root, fs, effectiveParts)
     val cdcParts = cdfChanges.map { ch =>
       val cdcDir = new Path(root, "_change_data")
       fs.mkdirs(cdcDir)
-      writeParts(ch, cdcDir, fs, prefix = "cdc").map { case (p, sz, _) =>
-        (s"_change_data/$p", sz)
-      }
+      writeParts(ch, cdcDir, fs, prefix = "cdc").map(p =>
+        (s"_change_data/${p.path}", p.size))
     }.getOrElse(Seq.empty)
 
-    commit(tablePath, mode, outSchema, parts, cdcParts, existingSchema.isDefined)
+    commit(tablePath, mode, outSchema, parts, cdcParts, effectiveParts)
   }
 
   /** Write df's parquet parts RENAME-FREE into a fresh uniquely-named data
@@ -147,29 +193,59 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * session would still produce correct output, just without `_SUCCESS`
     * markers). */
   private def writeParts(df: DataFrame, targetDir: Path,
-      fs: org.apache.hadoop.fs.FileSystem, prefix: String)
-      : Seq[(String, Long, Option[String])] = {
+      fs: org.apache.hadoop.fs.FileSystem, prefix: String): Seq[WrittenPart] = {
     val dataDir = new Path(targetDir, s"$prefix-${UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(dataDir)
+    withDirectProtocol(df.write.mode("append").parquet(dataDir.toString))
+    DirectCommitProtocol.pop(dataDir.toString) // drain registry (unused here)
+    fs.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(st => WrittenPart(s"${dataDir.getName}/${st.getPath.getName}", st.getLen,
+        DeltaStats.footerStatsJson(st.getPath, conf), Map.empty))
+      .toSeq
+  }
+
+  /** Partitioned write: hive-layout `col=value` dirs directly under the
+    * table root (partition discovery rejects intermediate non-partition
+    * dirs, so no per-write data dir). Which files THIS write created comes
+    * from the tasks via [[DirectCommitProtocol]]'s commit messages — a
+    * listing could not attribute files in shared partition dirs. */
+  private def writePartitionedParts(df: DataFrame, root: Path,
+      fs: org.apache.hadoop.fs.FileSystem, partitionBy: Seq[String]): Seq[WrittenPart] = {
+    import org.apache.spark.sql.functions.col
+    DirectCommitProtocol.pop(root.toString) // clear any stale entry
+    withDirectProtocol(
+      df.write.partitionBy(partitionBy: _*).mode("append").parquet(root.toString))
+    val rootStr = root.toUri.getPath.stripSuffix("/")
+    DirectCommitProtocol.pop(root.toString).sorted.map { abs =>
+      // task paths come back qualified (file:/...); compare scheme-free
+      val rel = new Path(abs).toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+      val pv = rel.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+        val i = seg.indexOf('=')
+        seg.take(i) -> java.net.URLDecoder.decode(seg.drop(i + 1), "UTF-8")
+      }.toMap
+      val p = new Path(abs)
+      WrittenPart(rel, fs.getFileStatus(p).getLen,
+        DeltaStats.footerStatsJson(p, conf), pv)
+    }
+  }
+
+  /** Swap the session's commit protocol for the duration of one write. */
+  private def withDirectProtocol(write: => Unit): Unit = {
     val key = "spark.sql.sources.commitProtocolClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, classOf[DirectCommitProtocol].getName)
-    try df.write.mode("append").parquet(dataDir.toString)
+    try write
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    fs.listStatus(dataDir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map(st => (s"${dataDir.getName}/${st.getPath.getName}", st.getLen,
-        DeltaStats.footerStatsJson(st.getPath, conf)))
-      .toSeq
   }
 
   private def commit(tablePath: String, mode: DeltaWriteMode, schema: StructType,
-      adds: Seq[(String, Long, Option[String])], cdcs: Seq[(String, Long)],
-      tableExisted: Boolean): Long = {
+      adds: Seq[WrittenPart], cdcs: Seq[(String, Long)],
+      partitionCols: Seq[String]): Long = {
     val latest = log.latestVersion(tablePath)
     val version = latest.map(_ + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
@@ -199,7 +275,9 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     fmt.set[JsonNode]("options", Jsons.obj())
     md.set[JsonNode]("format", fmt)
     md.put("schemaString", schema.json)
-    md.set[JsonNode]("partitionColumns", Jsons.arr())
+    val pcols = Jsons.arr()
+    partitionCols.foreach(pcols.add)
+    md.set[JsonNode]("partitionColumns", pcols)
     md.set[JsonNode]("configuration", Jsons.obj())
     md.put("createdTime", now)
     lines += s"""{"metaData": ${Jsons.render(md)}}"""
@@ -208,10 +286,15 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       r.put("deletionTimestamp", now)
       lines += s"""{"remove": ${Jsons.render(r)}}"""
     }
-    adds.foreach { case (p, sz, stats) =>
-      val a = Jsons.obj(); a.put("path", p); a.put("size", sz)
+    adds.foreach { part =>
+      val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
       a.put("dataChange", true); a.put("modificationTime", now)
-      stats.foreach(s => a.put("stats", s)) // protocol: stats is a JSON string
+      if (part.partitionValues.nonEmpty) {
+        val pv = Jsons.obj()
+        part.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+        a.set[JsonNode]("partitionValues", pv)
+      }
+      part.stats.foreach(s => a.put("stats", s)) // protocol: stats is a JSON string
       lines += s"""{"add": ${Jsons.render(a)}}"""
     }
     cdcs.foreach { case (p, sz) =>
@@ -258,6 +341,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   def compact(tablePath: String, smallFileBytes: Long = 32L * 1024 * 1024): Long = {
     val latest = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    if (partitionColumnsOf(tablePath).nonEmpty)
+      throw new GraftError(
+        s"compact is not supported on partitioned table $tablePath " +
+        "(would need per-partition rewrite; use optimizeZOrder, which " +
+        "preserves partitioning, or overwrite)")
     val state = log.snapshotState(tablePath, latest)
     val small = state.filter(_._2 < smallFileBytes)
     if (small.size < 2) return latest
@@ -275,10 +363,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     small.foreach { case (p, _) =>
       lines += s"""{"remove": {"path": "$p", "dataChange": false, "deletionTimestamp": $now}}"""
     }
-    parts.foreach { case (p, sz, stats) =>
-      val a = Jsons.obj(); a.put("path", p); a.put("size", sz)
+    parts.foreach { part =>
+      val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
       a.put("dataChange", false); a.put("modificationTime", now)
-      stats.foreach(s => a.put("stats", s))
+      part.stats.foreach(s => a.put("stats", s))
       lines += s"""{"add": ${Jsons.render(a)}}"""
     }
     writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
@@ -317,6 +405,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * skipping prunes on ANY of the z-ordered columns, not just the first. */
   def optimizeZOrder(tablePath: String, cols: Seq[String], numFiles: Int = 8): Long = {
     val df = graft.operators.ZOrder.cluster(read(tablePath), cols, numFiles)
-    write(df, tablePath, DeltaWriteMode.Overwrite)
+    // a partitioned table keeps its layout through the rewrite
+    write(df, tablePath, DeltaWriteMode.Overwrite,
+      partitionBy = partitionColumnsOf(tablePath))
   }
 }

@@ -33,18 +33,35 @@ class DirectCommitProtocol(jobId: String, path: String,
 
   def this(jobId: String, path: String) = this(jobId, path, false)
 
+  /** Files this task created (executor-side; each task deserializes its
+    * own protocol instance, so the buffer is per-attempt). */
+  @transient private var taskFiles: scala.collection.mutable.ArrayBuffer[String] = _
+
   override def setupJob(jobContext: JobContext): Unit = ()
+
+  /** Collect every task's created files into the driver-side registry —
+    * with partitioned writes the files land in shared `col=value` dirs a
+    * post-write listing can't attribute to THIS write, so attribution
+    * comes from the tasks themselves (delta-spark's DelayedCommitProtocol
+    * does the same). */
   override def commitJob(jobContext: JobContext,
-      taskCommits: Seq[TaskCommitMessage]): Unit = ()
+      taskCommits: Seq[TaskCommitMessage]): Unit =
+    DirectCommitProtocol.record(path,
+      taskCommits.flatMap(_.obj.asInstanceOf[Vector[String]]))
+
   override def abortJob(jobContext: JobContext): Unit = ()
-  override def setupTask(taskContext: TaskAttemptContext): Unit = ()
+  override def setupTask(taskContext: TaskAttemptContext): Unit = {
+    taskFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+  }
 
   override def newTaskTempFile(taskContext: TaskAttemptContext,
       dir: Option[String], spec: FileNameSpec): String = {
     val split = taskContext.getTaskAttemptID.getTaskID.getId
     val name = f"${spec.prefix}part-$split%05d-${UUID.randomUUID()}${spec.suffix}"
     val parent = dir.map(d => new Path(new Path(path), d)).getOrElse(new Path(path))
-    new Path(parent, name).toString
+    val out = new Path(parent, name).toString
+    if (taskFiles != null) taskFiles += out
+    out
   }
 
   override def newTaskTempFile(taskContext: TaskAttemptContext,
@@ -61,7 +78,26 @@ class DirectCommitProtocol(jobId: String, path: String,
     newTaskTempFileAbsPath(taskContext, absoluteDir, FileNameSpec("", ext))
 
   override def commitTask(taskContext: TaskAttemptContext): TaskCommitMessage =
-    new TaskCommitMessage(null)
+    new TaskCommitMessage(
+      if (taskFiles == null) Vector.empty[String] else taskFiles.toVector)
 
   override def abortTask(taskContext: TaskAttemptContext): Unit = ()
+}
+
+object DirectCommitProtocol {
+  /** Output path -> files created by the completed write job. Only read
+    * by [[DeltaWriter]] right after its own write (single-writer lock),
+    * and removed on read, so entries never accumulate. Keys are
+    * scheme-stripped: Spark instantiates the protocol with the QUALIFIED
+    * output path (`file:/...`) while the writer knows the bare one. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+
+  private def key(path: String): String = new Path(path).toUri.getPath
+
+  private[delta] def record(path: String, files: Seq[String]): Unit =
+    registry.merge(key(path), files.toVector, (a, b) => a ++ b)
+
+  private[delta] def pop(path: String): Seq[String] =
+    Option(registry.remove(key(path))).getOrElse(Vector.empty)
 }

@@ -647,6 +647,53 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("partitioned writes: hive layout, partitionValues, pruning, round-trip") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      val df = (0L until 100L).map(i => (i, i % 4, s"r$i")).toDF("id", "bucket", "s")
+      w.write(df, t, DeltaWriteMode.Append, partitionBy = Seq("bucket"))
+      // hive layout directly under the root; partitionValues on every add
+      val adds = new DeltaLogReader(conf).readCommit(t, 0).adds
+      assert(adds.nonEmpty)
+      adds.foreach { a =>
+        assert(a.path.matches("""bucket=\d/part-.*\.parquet"""), a.path)
+        assert(a.partitionValues.keySet === Set("bucket"))
+      }
+      assert(w.partitionColumnsOf(t) === Seq("bucket"))
+      // read re-materializes the partition column with declared types/order
+      val back = w.read(t)
+      assert(back.columns.toSeq === Seq("id", "bucket", "s"))
+      assert(back.count() === 100)
+      assert(back.filter($"bucket" === 2).count() === 25)
+      // append keeps the layout; mismatched partitioning errors
+      w.write((100L until 120L).map(i => (i, i % 4, s"r$i")).toDF("id", "bucket", "s"),
+        t, DeltaWriteMode.Append)
+      assert(w.read(t).count() === 120)
+      intercept[GraftError](w.write(df, t, DeltaWriteMode.Append,
+        partitionBy = Seq("s")))
+      // partition pruning: only bucket=3 files scheduled
+      val pruned = w.readSkipping(t, Map("bucket" -> (Some(3d), Some(3d))))
+      assert(pruned.inputFiles.forall(_.contains("bucket=3")),
+        s"unpruned: ${pruned.inputFiles.filterNot(_.contains("bucket=3")).toSeq}")
+      assert(pruned.count() === 30)
+      // partitionValues survive checkpoint + log expiry
+      (0 until 9).foreach(i => w.write(
+        Seq((1000L + i, i.toLong % 4, "x")).toDF("id", "bucket", "s"),
+        t, DeltaWriteMode.Append)) // versions 2..10, auto-checkpoint at 10
+      w.expireLogs(t)
+      val fromCkpt = graft.delta.DeltaStats.activeAdds(new DeltaLogReader(conf), t, 10L)
+      assert(fromCkpt.forall(_.partitionValues.nonEmpty))
+      assert(w.read(t).count() === 129)
+      // z-order rewrite preserves the partition layout
+      w.optimizeZOrder(t, Seq("id"), numFiles = 2)
+      assert(w.partitionColumnsOf(t) === Seq("bucket"))
+      assert(w.read(t).count() === 129)
+      // compact refuses partitioned tables instead of flattening them
+      intercept[GraftError](w.compact(t))
+    }
+  }
+
   test("commits carry protocol-spec actions a real delta reader requires") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
