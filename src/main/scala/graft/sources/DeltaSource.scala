@@ -364,7 +364,17 @@ class DeltaSource(
   def readBatch(spark: SparkSession, batch: BatchInfo): DataFrame = {
     if (options.readChangeFeed) return readCdfBatch(spark, batch)
     if (batch.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(batch.paths: _*)
+    else readDataFiles(spark, batch.paths)
+  }
+
+  /** Hive-partitioned tables keep their partition columns: a path with a
+    * `col=value` dir segment reads with `basePath` so Spark re-materializes
+    * them (plain file reads would silently drop those columns from every
+    * streamed batch). */
+  private def readDataFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val partitioned = paths.exists(_.split('/').dropRight(1).exists(_.contains('=')))
+    if (partitioned) spark.read.option("basePath", tablePath).parquet(paths: _*)
+    else spark.read.parquet(paths: _*)
   }
 
   /** CDF read: cdc files already carry `_change_type`; insert-fallback adds
@@ -376,7 +386,7 @@ class DeltaSource(
       .sortBy { case ((_, v, _), _) => v }
     val frames = groups.map { case ((kind, version, ts), es) =>
       val paths = es.map(e => checkpoint.log.resolvePath(tablePath, e.path))
-      val base = spark.read.parquet(paths: _*)
+      val base = readDataFiles(spark, paths)
       val withType =
         if (kind == "cdc") base
         else base.withColumn(Cdc.ChangeTypeCol, lit("insert"))

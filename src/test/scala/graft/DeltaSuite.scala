@@ -694,6 +694,21 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("delta source streams partitioned tables with partition columns intact") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"; val cp = s"$tmp/cp"
+      val w = writer
+      w.write((0L until 20L).map(i => (i, i % 2)).toDF("id", "bucket"),
+        t, DeltaWriteMode.Append, partitionBy = Seq("bucket"))
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(cp, conf))
+      val b = src.planBatch().get
+      val df = src.readBatch(spark, b)
+      assert(df.columns.contains("bucket"), s"partition column lost: ${df.columns.toSeq}")
+      assert(df.count() === 20)
+      assert(df.filter(col("bucket") === 1).count() === 10)
+    }
+  }
+
   test("commits carry protocol-spec actions a real delta reader requires") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
