@@ -32,10 +32,26 @@ object DeltaStats {
 
   private val MaxStatString = 64
 
+  /** DRIVER-side footer reads since JVM start — test instrumentation
+    * asserting the commit path stays distributed: write tasks collect
+    * their own stats ([[DirectCommitProtocol.commitTask]] via
+    * [[collectStats]], which does NOT bump this), so a write of any size
+    * must leave this counter unchanged. */
+  val driverFooterReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Stats JSON for one written parquet file, from its footer (None when
     * the footer is unreadable or carries no usable statistics — stats are
-    * an optimization, never a failure). */
-  def footerStatsJson(file: Path, conf: Configuration): Option[String] = try {
+    * an optimization, never a failure). Driver-side entry point: counted
+    * by [[driverFooterReads]]; kept only for callers outside the write
+    * path (the write path gets stats from the tasks). */
+  def footerStatsJson(file: Path, conf: Configuration): Option[String] = {
+    driverFooterReads.incrementAndGet()
+    collectStats(file, conf)
+  }
+
+  /** Footer-stats collection itself — called from write TASKS
+    * ([[DirectCommitProtocol.commitTask]]), uninstrumented. */
+  private[delta] def collectStats(file: Path, conf: Configuration): Option[String] = try {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val footer = reader.getFooter

@@ -168,7 +168,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
     val parts =
       if (effectiveParts.isEmpty) writeParts(aligned, root, fs, prefix = "part")
-      else writePartitionedParts(aligned, root, fs, effectiveParts)
+      else writePartitionedParts(aligned, root, effectiveParts)
     val cdcParts = cdfChanges.map { ch =>
       val cdcDir = new Path(root, "_change_data")
       fs.mkdirs(cdcDir)
@@ -196,14 +196,14 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       fs: org.apache.hadoop.fs.FileSystem, prefix: String): Seq[WrittenPart] = {
     val dataDir = new Path(targetDir, s"$prefix-${UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(dataDir)
+    DirectCommitProtocol.pop(dataDir.toString) // clear any stale entry
     withDirectProtocol(df.write.mode("append").parquet(dataDir.toString))
-    DirectCommitProtocol.pop(dataDir.toString) // drain registry (unused here)
-    fs.listStatus(dataDir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map(st => WrittenPart(s"${dataDir.getName}/${st.getPath.getName}", st.getLen,
-        DeltaStats.footerStatsJson(st.getPath, conf), Map.empty))
-      .toSeq
+    // size + stats come from the tasks' commit messages — the driver never
+    // opens a footer (see DirectCommitProtocol.commitTask)
+    DirectCommitProtocol.pop(dataDir.toString)
+      .sortBy(_.path)
+      .map(f => WrittenPart(s"${dataDir.getName}/${new Path(f.path).getName}",
+        f.size, f.stats, Map.empty))
   }
 
   /** Partitioned write: hive-layout `col=value` dirs directly under the
@@ -212,22 +212,20 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * from the tasks via [[DirectCommitProtocol]]'s commit messages — a
     * listing could not attribute files in shared partition dirs. */
   private def writePartitionedParts(df: DataFrame, root: Path,
-      fs: org.apache.hadoop.fs.FileSystem, partitionBy: Seq[String]): Seq[WrittenPart] = {
+      partitionBy: Seq[String]): Seq[WrittenPart] = {
     import org.apache.spark.sql.functions.col
     DirectCommitProtocol.pop(root.toString) // clear any stale entry
     withDirectProtocol(
       df.write.partitionBy(partitionBy: _*).mode("append").parquet(root.toString))
     val rootStr = root.toUri.getPath.stripSuffix("/")
-    DirectCommitProtocol.pop(root.toString).sorted.map { abs =>
+    DirectCommitProtocol.pop(root.toString).sortBy(_.path).map { f =>
       // task paths come back qualified (file:/...); compare scheme-free
-      val rel = new Path(abs).toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+      val rel = new Path(f.path).toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
       val pv = rel.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
         val i = seg.indexOf('=')
         seg.take(i) -> java.net.URLDecoder.decode(seg.drop(i + 1), "UTF-8")
       }.toMap
-      val p = new Path(abs)
-      WrittenPart(rel, fs.getFileStatus(p).getLen,
-        DeltaStats.footerStatsJson(p, conf), pv)
+      WrittenPart(rel, f.size, f.stats, pv)
     }
   }
 

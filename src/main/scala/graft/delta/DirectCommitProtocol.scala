@@ -47,7 +47,7 @@ class DirectCommitProtocol(jobId: String, path: String,
   override def commitJob(jobContext: JobContext,
       taskCommits: Seq[TaskCommitMessage]): Unit =
     DirectCommitProtocol.record(path,
-      taskCommits.flatMap(_.obj.asInstanceOf[Vector[String]]))
+      taskCommits.flatMap(_.obj.asInstanceOf[Vector[TaskWrittenFile]]))
 
   override def abortJob(jobContext: JobContext): Unit = ()
   override def setupTask(taskContext: TaskAttemptContext): Unit = {
@@ -77,12 +77,33 @@ class DirectCommitProtocol(jobId: String, path: String,
       absoluteDir: String, ext: String): String =
     newTaskTempFileAbsPath(taskContext, absoluteDir, FileNameSpec("", ext))
 
+  /** Per-file size + delta stats are computed HERE, in the task, right
+    * after the task closed its files (footers are hot in the page cache of
+    * the executor that just wrote them) — so commit-time stats collection
+    * is as distributed as the write itself. The alternative — the driver
+    * looping over part-file footers after the job — serializes O(#files)
+    * object-store metadata round-trips into the commit path, which at
+    * 100 k files is minutes of driver time per commit. */
   override def commitTask(taskContext: TaskAttemptContext): TaskCommitMessage =
     new TaskCommitMessage(
-      if (taskFiles == null) Vector.empty[String] else taskFiles.toVector)
+      if (taskFiles == null) Vector.empty[TaskWrittenFile]
+      else {
+        val conf = taskContext.getConfiguration
+        taskFiles.toVector.map { f =>
+          val p = new Path(f)
+          val size = try p.getFileSystem(conf).getFileStatus(p).getLen
+            catch { case _: java.io.IOException => 0L }
+          TaskWrittenFile(f, size, DeltaStats.collectStats(p, conf))
+        }
+      })
 
   override def abortTask(taskContext: TaskAttemptContext): Unit = ()
 }
+
+/** One file a write task created, with the size and delta-stats JSON the
+  * task itself collected — the payload of [[DirectCommitProtocol]]'s
+  * task-commit messages. */
+case class TaskWrittenFile(path: String, size: Long, stats: Option[String])
 
 object DirectCommitProtocol {
   /** Output path -> files created by the completed write job. Only read
@@ -91,13 +112,13 @@ object DirectCommitProtocol {
     * scheme-stripped: Spark instantiates the protocol with the QUALIFIED
     * output path (`file:/...`) while the writer knows the bare one. */
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[TaskWrittenFile]]()
 
   private def key(path: String): String = new Path(path).toUri.getPath
 
-  private[delta] def record(path: String, files: Seq[String]): Unit =
+  private[delta] def record(path: String, files: Seq[TaskWrittenFile]): Unit =
     registry.merge(key(path), files.toVector, (a, b) => a ++ b)
 
-  private[delta] def pop(path: String): Seq[String] =
+  private[delta] def pop(path: String): Seq[TaskWrittenFile] =
     Option(registry.remove(key(path))).getOrElse(Vector.empty)
 }

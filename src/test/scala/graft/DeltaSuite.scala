@@ -627,6 +627,30 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("commit-time stats come from the write tasks, not a driver footer loop") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"; val tp = s"$tmp/ptable"
+      val w = writer
+      val before = graft.delta.DeltaStats.driverFooterReads.get()
+      w.write((0L until 400L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartitionByRange(4, col("id")), t, DeltaWriteMode.Append)
+      w.write((0L until 100L).map(i => (i, i % 4)).toDF("id", "bucket"),
+        tp, DeltaWriteMode.Append, partitionBy = Seq("bucket"))
+      assert(graft.delta.DeltaStats.driverFooterReads.get() === before,
+        "write commits must not open parquet footers on the driver")
+      val log = new DeltaLogReader(conf)
+      val adds = log.readCommit(t, 0).adds
+      assert(adds.size === 4)
+      adds.foreach { a =>
+        assert(a.stats.isDefined, s"no stats on ${a.path}")
+        assert(a.size > 0L, s"no size on ${a.path}")
+        assert(graft.util.Jsons.parse(a.stats.get).get("numRecords").asLong() === 100L)
+      }
+      val padds = log.readCommit(tp, 0).adds
+      assert(padds.nonEmpty && padds.forall(a => a.stats.isDefined && a.size > 0L))
+    }
+  }
+
   test("stats survive the parquet checkpoint round-trip") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
