@@ -123,6 +123,30 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         .map(seg => seg.take(seg.indexOf('='))).toSeq)
       .getOrElse(Seq.empty)
 
+  /** Active add actions (stats + partitionValues preserved) at the latest
+    * version — the driver-side file inventory merge planning prunes over. */
+  def activeAdds(tablePath: String): Seq[DeltaAction.AddFile] =
+    log.latestVersion(tablePath)
+      .map(v => DeltaStats.activeAdds(log, tablePath, v))
+      .getOrElse(Seq.empty)
+
+  /** Scan only the given add files of the table (declared schema applies —
+    * missing columns null-fill, hive partition values re-materialize). */
+  def readAdds(tablePath: String, adds: Seq[DeltaAction.AddFile]): DataFrame =
+    scanFiles(tablePath, adds.map(a => log.resolvePath(tablePath, a.path)))
+
+  /** Atomically replace a named subset of the table's files with `df`'s
+    * newly written parts — delta MERGE's touched-files commit shape: the
+    * single commit removes exactly `removePaths` and adds the new parts;
+    * every OTHER active add action simply survives (a delta snapshot is a
+    * fold of adds minus removes, so not removing a file IS carrying it
+    * forward — no rewrite, no re-add). The table keeps its partitioning. */
+  def replaceFiles(df: DataFrame, tablePath: String, removePaths: Seq[String],
+      mergeSchema: Boolean = false,
+      cdfChanges: Option[DataFrame] = None): Long =
+    writeImpl(df, tablePath, DeltaWriteMode.Append, mergeSchema, cdfChanges,
+      Seq.empty, explicitRemoves = Some(removePaths), operation = "MERGE")
+
   /** Write `df` to the table; returns the committed version. `partitionBy`
     * lays data out hive-style (`col=value` dirs directly under the table
     * root — the standard large-table layout) with `partitionValues` on
@@ -131,7 +155,18 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   def write(df: DataFrame, tablePath: String, mode: DeltaWriteMode,
       mergeSchema: Boolean = false,
       cdfChanges: Option[DataFrame] = None,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty): Long =
+    writeImpl(df, tablePath, mode, mergeSchema, cdfChanges, partitionBy,
+      explicitRemoves = None,
+      operation =
+        if (mode == DeltaWriteMode.Overwrite) "WRITE_OVERWRITE" else "WRITE_APPEND")
+
+  private def writeImpl(df: DataFrame, tablePath: String, mode: DeltaWriteMode,
+      mergeSchema: Boolean,
+      cdfChanges: Option[DataFrame],
+      partitionBy: Seq[String],
+      explicitRemoves: Option[Seq[String]],
+      operation: String): Long = {
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
     fs.mkdirs(root)
@@ -176,7 +211,14 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         (s"_change_data/${p.path}", p.size))
     }.getOrElse(Seq.empty)
 
-    commit(tablePath, mode, outSchema, parts, cdcParts, effectiveParts)
+    val removed: Seq[String] = explicitRemoves.getOrElse(mode match {
+      case DeltaWriteMode.Overwrite =>
+        log.latestVersion(tablePath)
+          .map(v => log.snapshotState(tablePath, v).map(_._1))
+          .getOrElse(Seq.empty)
+      case _ => Seq.empty
+    })
+    commit(tablePath, operation, outSchema, removed, parts, cdcParts, effectiveParts)
   }
 
   /** Write df's parquet parts RENAME-FREE into a fresh uniquely-named data
@@ -241,18 +283,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     }
   }
 
-  private def commit(tablePath: String, mode: DeltaWriteMode, schema: StructType,
-      adds: Seq[WrittenPart], cdcs: Seq[(String, Long)],
+  private def commit(tablePath: String, operation: String, schema: StructType,
+      removed: Seq[String], adds: Seq[WrittenPart], cdcs: Seq[(String, Long)],
       partitionCols: Seq[String]): Long = {
     val latest = log.latestVersion(tablePath)
     val version = latest.map(_ + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
-
-    val removed: Seq[String] = mode match {
-      case DeltaWriteMode.Overwrite if latest.isDefined =>
-        log.snapshotState(tablePath, latest.get).map(_._1)
-      case _ => Seq.empty
-    }
 
     val tid = log.tableId(tablePath).getOrElse(UUID.randomUUID().toString)
     val lines = Seq.newBuilder[String]
@@ -263,7 +299,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       lines += """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}"""
     val ci = Jsons.obj()
     ci.put("timestamp", now)
-    ci.put("operation", if (mode == DeltaWriteMode.Overwrite) "WRITE_OVERWRITE" else "WRITE_APPEND")
+    ci.put("operation", operation)
     lines += s"""{"commitInfo": ${Jsons.render(ci)}}"""
     val md = Jsons.obj()
     md.put("id", tid)

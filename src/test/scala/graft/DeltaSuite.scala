@@ -909,6 +909,50 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("CDC merge rewrites only files whose stats intersect the change keys") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      // two single-file appends with disjoint key ranges
+      w.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1),
+        t, DeltaWriteMode.Append)
+      w.write(Seq((1000L, 1L), (1001L, 2L)).toDF("id", "v").coalesce(1),
+        t, DeltaWriteMode.Append)
+      val log = new DeltaLogReader(conf)
+      val before = graft.delta.DeltaStats.activeAdds(log, t, 1L)
+      assert(before.size === 2)
+      def maxId(a: graft.delta.DeltaAction.AddFile): Long =
+        graft.util.Jsons.parse(a.stats.get).get("maxValues").get("id").asLong()
+      val lowFile = before.minBy(maxId).path
+      val highFile = before.maxBy(maxId).path
+      // the change batch touches only the high key range
+      val changes = Seq(
+        (1000L, Some(11L), "update_postimage", 1L),
+        (1002L, Some(3L), "insert", 1L))
+        .toDF("id", "v", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      val res = DeltaCdc.applyCdcDelta(spark, changes, t, Seq("id"))
+      // rows_out counts carried-forward rows via untouched numRecords stats
+      assert(res.rowsOut === 5, s"expected 5 rows out, got ${res.rowsOut}")
+      val commit = log.readCommit(t, 2)
+      assert(commit.removes.map(_.path) === Seq(highFile),
+        "merge must remove exactly the touched file")
+      val after = graft.delta.DeltaStats.activeAdds(log, t, 2L).map(_.path)
+      assert(after.contains(lowFile), "untouched file's add action must survive unchanged")
+      assert(!after.contains(highFile))
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((1L, 10L), (2L, 20L), (1000L, 11L), (1001L, 2L), (1002L, 3L)))
+      // a batch of only brand-new keys removes nothing at all
+      val freshInserts = Seq((5000L, Some(50L), "insert", 2L))
+        .toDF("id", "v", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      val res2 = DeltaCdc.applyCdcDelta(spark, freshInserts, t, Seq("id"))
+      assert(res2.rowsOut === 6)
+      assert(log.readCommit(t, 3).removes.isEmpty,
+        "insert-only batch outside every file's range must rewrite nothing")
+      assert(w.read(t).count() === 6)
+    }
+  }
+
   test("apply_cdc_delta: append_only fast path appends without rewrite") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
