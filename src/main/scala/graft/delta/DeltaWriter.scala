@@ -367,41 +367,72 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   def expireLogs(tablePath: String, keepVersions: Int = 0): Int =
     ckptWriter.expireLogs(tablePath, keepVersions)
 
-  /** Compact: rewrite all active files smaller than `smallFileBytes` into
-    * consolidated parts; commits add+remove with dataChange=false semantics
-    * folded into a normal commit (readers tailing with ignore_changes will
-    * skip it; our own planner sees dataChange=true adds — acceptable for a
-    * maintenance window under the single-writer lock). */
+  /** Compact: PER PARTITION, rewrite active files smaller than
+    * `smallFileBytes` into consolidated parts, preserving the hive layout
+    * (a partition's compacted file lands in its own `col=value` dir, so
+    * partition pruning and `partitionColumnsOf` are unaffected — the same
+    * per-partition loop delta-spark's OPTIMIZE runs). All partitions'
+    * rewrites land in ONE commit with dataChange=false semantics (readers
+    * tailing with ignore_changes skip it; our own planner sees
+    * dataChange=false and ignores it too). Unpartitioned tables are the
+    * single-group degenerate case. */
   def compact(tablePath: String, smallFileBytes: Long = 32L * 1024 * 1024): Long = {
     val latest = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
-    if (partitionColumnsOf(tablePath).nonEmpty)
-      throw new GraftError(
-        s"compact is not supported on partitioned table $tablePath " +
-        "(would need per-partition rewrite; use optimizeZOrder, which " +
-        "preserves partitioning, or overwrite)")
-    val state = log.snapshotState(tablePath, latest)
-    val small = state.filter(_._2 < smallFileBytes)
-    if (small.size < 2) return latest
-    val smallPaths = small.map { case (p, _) => log.resolvePath(tablePath, p) }
-    val df = spark.read.parquet(smallPaths: _*).coalesce(
-      math.max(1, (small.map(_._2).sum / (128L * 1024 * 1024)).toInt))
+    val adds = DeltaStats.activeAdds(log, tablePath, latest)
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
-    val parts = writeParts(df, root, fs, prefix = "compacted")
+    // deterministic partition order (map key order is not)
+    val groups = adds.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+    val rewrites = groups.flatMap { case (pv, groupAdds) =>
+      val small = groupAdds.filter(_.size < smallFileBytes)
+      if (small.size < 2) None
+      else {
+        val paths = small.map(a => log.resolvePath(tablePath, a.path))
+        val df = spark.read.parquet(paths: _*).coalesce(
+          math.max(1, (small.map(_.size).sum / (128L * 1024 * 1024)).toInt))
+        val parts =
+          if (pv.isEmpty) writeParts(df, root, fs, prefix = "compacted")
+          else {
+            // write straight into the partition's hive dir; attribution of
+            // the new files comes from the commit protocol, same as
+            // partitioned appends
+            val partDirRel = small.head.path.split('/').dropRight(1).mkString("/")
+            val partDir = new Path(root, partDirRel)
+            fs.mkdirs(partDir)
+            DirectCommitProtocol.pop(partDir.toString) // clear stale entry
+            withDirectProtocol(df.write.mode("append").parquet(partDir.toString))
+            DirectCommitProtocol.pop(partDir.toString).sortBy(_.path).map(f =>
+              WrittenPart(s"$partDirRel/${new Path(f.path).getName}",
+                f.size, f.stats, pv))
+          }
+        Some((small, parts))
+      }
+    }
+    if (rewrites.isEmpty) return latest
 
     val version = latest + 1
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
     lines += s"""{"commitInfo": {"timestamp": $now, "operation": "OPTIMIZE"}}"""
-    small.foreach { case (p, _) =>
-      lines += s"""{"remove": {"path": "$p", "dataChange": false, "deletionTimestamp": $now}}"""
-    }
-    parts.foreach { part =>
-      val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
-      a.put("dataChange", false); a.put("modificationTime", now)
-      part.stats.foreach(s => a.put("stats", s))
-      lines += s"""{"add": ${Jsons.render(a)}}"""
+    rewrites.foreach { case (small, parts) =>
+      small.foreach { a =>
+        val r = Jsons.obj(); r.put("path", a.path); r.put("dataChange", false)
+        r.put("deletionTimestamp", now)
+        lines += s"""{"remove": ${Jsons.render(r)}}"""
+      }
+      parts.foreach { part =>
+        val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
+        a.put("dataChange", false); a.put("modificationTime", now)
+        if (part.partitionValues.nonEmpty) {
+          val pv = Jsons.obj()
+          part.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+          a.set[JsonNode]("partitionValues", pv)
+        }
+        part.stats.foreach(s => a.put("stats", s))
+        lines += s"""{"add": ${Jsons.render(a)}}"""
+      }
     }
     writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
     maybeCheckpoint(tablePath, version)

@@ -713,8 +713,45 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       w.optimizeZOrder(t, Seq("id"), numFiles = 2)
       assert(w.partitionColumnsOf(t) === Seq("bucket"))
       assert(w.read(t).count() === 129)
-      // compact refuses partitioned tables instead of flattening them
-      intercept[GraftError](w.compact(t))
+      // per-partition compact keeps the layout too
+      val vc = w.compact(t, smallFileBytes = 1024 * 1024)
+      assert(w.partitionColumnsOf(t) === Seq("bucket"))
+      assert(w.read(t).count() === 129)
+      val compacted = graft.delta.DeltaStats.activeAdds(new DeltaLogReader(conf), t, vc)
+      compacted.foreach(a => assert(
+        a.path.startsWith(s"bucket=${a.partitionValues("bucket")}/"), a.path))
+    }
+  }
+
+  test("per-partition compact consolidates within each hive partition") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      (0 until 6).foreach(i => w.write(
+        Seq((i.toLong, i % 2)).toDF("id", "bucket"), t, DeltaWriteMode.Append,
+        partitionBy = Seq("bucket")))
+      val log = new DeltaLogReader(conf)
+      assert(graft.delta.DeltaStats.activeAdds(log, t, 5L).size === 6)
+      val v = w.compact(t, smallFileBytes = 1024 * 1024)
+      val after = graft.delta.DeltaStats.activeAdds(log, t, v)
+      assert(after.size === 2,
+        s"expected one compacted file per partition, got ${after.map(_.path)}")
+      after.foreach { a =>
+        assert(a.partitionValues.keySet === Set("bucket"))
+        assert(a.path.startsWith(s"bucket=${a.partitionValues("bucket")}/"), a.path)
+        assert(a.stats.isDefined, s"compacted file lost stats: ${a.path}")
+      }
+      assert(w.partitionColumnsOf(t) === Seq("bucket"))
+      assert(w.read(t).count() === 6)
+      assert(w.read(t).filter(col("bucket") === 1).count() === 3)
+      // partition pruning schedules only the one compacted file per value
+      val pruned = w.readSkipping(t, Map("bucket" -> (Some(1d), Some(1d))))
+      assert(pruned.inputFiles.length === 1)
+      // compaction stays invisible to tailing readers (dataChange=false)
+      val c = new DeltaTableCheckpoint(s"$tmp/cp", conf)
+      val b = c.planBatch(t, DeltaSourceOptions(
+        startOffset = DeltaStartOffset.Earliest)).get
+      assert(b.files.size === 6)
     }
   }
 
