@@ -238,11 +238,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       fs: org.apache.hadoop.fs.FileSystem, prefix: String): Seq[WrittenPart] = {
     val dataDir = new Path(targetDir, s"$prefix-${UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(dataDir)
-    DirectCommitProtocol.pop(dataDir.toString) // clear any stale entry
-    withDirectProtocol(df.write.mode("append").parquet(dataDir.toString))
     // size + stats come from the tasks' commit messages — the driver never
     // opens a footer (see DirectCommitProtocol.commitTask)
-    DirectCommitProtocol.pop(dataDir.toString)
+    writeWithProtocol(df.write.mode("append").parquet(dataDir.toString),
+        dataDir.toString)
       .sortBy(_.path)
       .map(f => WrittenPart(s"${dataDir.getName}/${new Path(f.path).getName}",
         f.size, f.stats, Map.empty))
@@ -255,12 +254,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * listing could not attribute files in shared partition dirs. */
   private def writePartitionedParts(df: DataFrame, root: Path,
       partitionBy: Seq[String]): Seq[WrittenPart] = {
-    import org.apache.spark.sql.functions.col
-    DirectCommitProtocol.pop(root.toString) // clear any stale entry
-    withDirectProtocol(
-      df.write.partitionBy(partitionBy: _*).mode("append").parquet(root.toString))
     val rootStr = root.toUri.getPath.stripSuffix("/")
-    DirectCommitProtocol.pop(root.toString).sortBy(_.path).map { f =>
+    writeWithProtocol(
+        df.write.partitionBy(partitionBy: _*).mode("append").parquet(root.toString),
+        root.toString).sortBy(_.path).map { f =>
       // task paths come back qualified (file:/...); compare scheme-free
       val rel = new Path(f.path).toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
       val pv = rel.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
@@ -271,75 +268,130 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     }
   }
 
-  /** Swap the session's commit protocol for the duration of one write. */
-  private def withDirectProtocol(write: => Unit): Unit = {
-    val key = "spark.sql.sources.commitProtocolClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, classOf[DirectCommitProtocol].getName)
-    try write
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  /** Run one data write under [[DirectCommitProtocol]] and return the
+    * files its tasks reported. The session's commit-protocol conf is
+    * session-GLOBAL and the registry key for partitioned writes is the
+    * table root, so concurrent DeltaWriter writes in one JVM serialize
+    * here (commit-time version races are cross-process and stay fully
+    * concurrent — [[commitWithRetry]] handles those). */
+  private def writeWithProtocol(write: => Unit, popKey: String): Seq[TaskWrittenFile] =
+    DeltaWriter.sessionWriteLock.synchronized {
+      DirectCommitProtocol.pop(popKey) // clear any stale entry
+      val key = "spark.sql.sources.commitProtocolClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, classOf[DirectCommitProtocol].getName)
+      try write
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      DirectCommitProtocol.pop(popKey)
     }
-  }
 
   private def commit(tablePath: String, operation: String, schema: StructType,
       removed: Seq[String], adds: Seq[WrittenPart], cdcs: Seq[(String, Long)],
       partitionCols: Seq[String]): Long = {
-    val latest = log.latestVersion(tablePath)
-    val version = latest.map(_ + 1).getOrElse(0L)
-    val now = System.currentTimeMillis()
-
     val tid = log.tableId(tablePath).getOrElse(UUID.randomUUID().toString)
-    val lines = Seq.newBuilder[String]
-    // real delta readers (delta-spark, delta-rs, duckdb) REQUIRE a protocol
-    // action in the log; 1/2 = the base feature set, which is all we write.
-    // Our own parser skips unknown actions, so this is pure interop.
-    if (version == 0L)
-      lines += """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}"""
-    val ci = Jsons.obj()
-    ci.put("timestamp", now)
-    ci.put("operation", operation)
-    lines += s"""{"commitInfo": ${Jsons.render(ci)}}"""
-    val md = Jsons.obj()
-    md.put("id", tid)
-    // format/partitionColumns/configuration are required by real delta
-    // readers' metaData schema; our parser only needs id + schemaString
-    val fmt = Jsons.obj(); fmt.put("provider", "parquet")
-    fmt.set[JsonNode]("options", Jsons.obj())
-    md.set[JsonNode]("format", fmt)
-    md.put("schemaString", schema.json)
-    val pcols = Jsons.arr()
-    partitionCols.foreach(pcols.add)
-    md.set[JsonNode]("partitionColumns", pcols)
-    md.set[JsonNode]("configuration", Jsons.obj())
-    md.put("createdTime", now)
-    lines += s"""{"metaData": ${Jsons.render(md)}}"""
-    removed.foreach { p =>
-      val r = Jsons.obj(); r.put("path", p); r.put("dataChange", true)
-      r.put("deletionTimestamp", now)
-      lines += s"""{"remove": ${Jsons.render(r)}}"""
-    }
-    adds.foreach { part =>
-      val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
-      a.put("dataChange", true); a.put("modificationTime", now)
-      if (part.partitionValues.nonEmpty) {
-        val pv = Jsons.obj()
-        part.partitionValues.foreach { case (k, v) => pv.put(k, v) }
-        a.set[JsonNode]("partitionValues", pv)
+    val firstVersion = log.latestVersion(tablePath).map(_ + 1).getOrElse(0L)
+
+    def content(version: Long): String = {
+      val now = System.currentTimeMillis()
+      // On a RETRY of a schema-merging commit, fold in whatever schema the
+      // concurrent winner committed, so our metaData action never regresses
+      // columns another writer just merged. Overwrite keeps its own schema
+      // (it replaces the table, and only metadata-only interveners are
+      // retriable for it anyway).
+      val schemaNow =
+        if (version == firstVersion || operation == "WRITE_OVERWRITE") schema
+        else log.tableSchemaString(tablePath)
+          .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+          .map(cur => StructType(cur.fields ++ schema.fields
+            .filterNot(f => cur.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true))))
+          .getOrElse(schema)
+      val lines = Seq.newBuilder[String]
+      // real delta readers (delta-spark, delta-rs, duckdb) REQUIRE a protocol
+      // action in the log; 1/2 = the base feature set, which is all we write.
+      // Our own parser skips unknown actions, so this is pure interop.
+      if (version == 0L)
+        lines += """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}"""
+      val ci = Jsons.obj()
+      ci.put("timestamp", now)
+      ci.put("operation", operation)
+      lines += s"""{"commitInfo": ${Jsons.render(ci)}}"""
+      val md = Jsons.obj()
+      md.put("id", tid)
+      // format/partitionColumns/configuration are required by real delta
+      // readers' metaData schema; our parser only needs id + schemaString
+      val fmt = Jsons.obj(); fmt.put("provider", "parquet")
+      fmt.set[JsonNode]("options", Jsons.obj())
+      md.set[JsonNode]("format", fmt)
+      md.put("schemaString", schemaNow.json)
+      val pcols = Jsons.arr()
+      partitionCols.foreach(pcols.add)
+      md.set[JsonNode]("partitionColumns", pcols)
+      md.set[JsonNode]("configuration", Jsons.obj())
+      md.put("createdTime", now)
+      lines += s"""{"metaData": ${Jsons.render(md)}}"""
+      removed.foreach { p =>
+        val r = Jsons.obj(); r.put("path", p); r.put("dataChange", true)
+        r.put("deletionTimestamp", now)
+        lines += s"""{"remove": ${Jsons.render(r)}}"""
       }
-      part.stats.foreach(s => a.put("stats", s)) // protocol: stats is a JSON string
-      lines += s"""{"add": ${Jsons.render(a)}}"""
-    }
-    cdcs.foreach { case (p, sz) =>
-      val c = Jsons.obj(); c.put("path", p); c.put("size", sz)
-      c.put("dataChange", false)
-      lines += s"""{"cdc": ${Jsons.render(c)}}"""
+      adds.foreach { part =>
+        val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
+        a.put("dataChange", true); a.put("modificationTime", now)
+        if (part.partitionValues.nonEmpty) {
+          val pv = Jsons.obj()
+          part.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+          a.set[JsonNode]("partitionValues", pv)
+        }
+        part.stats.foreach(s => a.put("stats", s)) // protocol: stats is a JSON string
+        lines += s"""{"add": ${Jsons.render(a)}}"""
+      }
+      cdcs.foreach { case (p, sz) =>
+        val c = Jsons.obj(); c.put("path", p); c.put("size", sz)
+        c.put("dataChange", false)
+        lines += s"""{"cdc": ${Jsons.render(c)}}"""
+      }
+      lines.result().mkString("\n")
     }
 
-    writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
-    maybeCheckpoint(tablePath, version)
-    version
+    commitWithRetry(tablePath, content,
+      DeltaWriter.conflictReason(operation, removed, _))
+  }
+
+  /** Optimistic concurrency: attempt the commit at latest+1; when another
+    * writer wins the version (create-no-overwrite fails and the version
+    * file exists), re-read the log, validate the intervening commits with
+    * `conflictCheck`, and re-attempt at the NEW latest+1 — delta's
+    * optimistic-transaction shape. A non-conflict IO failure, a real
+    * semantic conflict, or `MaxCommitAttempts` exhaustion still fails. */
+  private def commitWithRetry(tablePath: String, content: Long => String,
+      conflictCheck: Seq[DeltaCommit] => Option[String]): Long = {
+    var version = log.latestVersion(tablePath).map(_ + 1).getOrElse(0L)
+    var attempts = 0
+    while (attempts < DeltaWriter.MaxCommitAttempts) {
+      try {
+        writeCommitAtomic(tablePath, version, content(version))
+        maybeCheckpoint(tablePath, version)
+        return version
+      } catch {
+        case e: CommitError =>
+          attempts += 1
+          // only retry a genuine lost race (the version file exists)
+          if (attempts >= DeltaWriter.MaxCommitAttempts ||
+              !log.commitExists(tablePath, version)) throw e
+          val newLatest = log.latestVersion(tablePath).getOrElse(version)
+          val intervening = (version to newLatest).map(log.readCommit(tablePath, _))
+          conflictCheck(intervening).foreach { reason =>
+            throw new CommitError(
+              s"delta commit conflict at $tablePath version $version: $reason", e)
+          }
+          version = newLatest + 1
+      }
+    }
+    throw new CommitError(s"exhausted ${DeltaWriter.MaxCommitAttempts} commit attempts at $tablePath")
   }
 
   /** create(overwrite=false) so a concurrent committer of the same version
@@ -401,18 +453,17 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
             val partDirRel = small.head.path.split('/').dropRight(1).mkString("/")
             val partDir = new Path(root, partDirRel)
             fs.mkdirs(partDir)
-            DirectCommitProtocol.pop(partDir.toString) // clear stale entry
-            withDirectProtocol(df.write.mode("append").parquet(partDir.toString))
-            DirectCommitProtocol.pop(partDir.toString).sortBy(_.path).map(f =>
-              WrittenPart(s"$partDirRel/${new Path(f.path).getName}",
-                f.size, f.stats, pv))
+            writeWithProtocol(df.write.mode("append").parquet(partDir.toString),
+                partDir.toString)
+              .sortBy(_.path).map(f =>
+                WrittenPart(s"$partDirRel/${new Path(f.path).getName}",
+                  f.size, f.stats, pv))
           }
         Some((small, parts))
       }
     }
     if (rewrites.isEmpty) return latest
 
-    val version = latest + 1
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
     lines += s"""{"commitInfo": {"timestamp": $now, "operation": "OPTIMIZE"}}"""
@@ -434,9 +485,9 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         lines += s"""{"add": ${Jsons.render(a)}}"""
       }
     }
-    writeCommitAtomic(tablePath, version, lines.result().mkString("\n"))
-    maybeCheckpoint(tablePath, version)
-    version
+    val body = lines.result().mkString("\n")
+    commitWithRetry(tablePath, _ => body,
+      DeltaWriter.conflictReason("OPTIMIZE", rewrites.flatMap(_._1.map(_.path)), _))
   }
 
   /** Vacuum: delete data files not referenced by the current snapshot and
@@ -464,6 +515,9 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     deleted
   }
 
+  // (conflict rules live on the companion so tests can exercise them
+  // without staging a real filesystem race)
+
   /** OPTIMIZE ZORDER BY: rewrite the table along the Morton curve
     * ([[graft.operators.ZOrder]]) — interleaved bits of every given
     * column, range-partitioned into `numFiles` z-ranges — so min/max file
@@ -473,5 +527,44 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     // a partitioned table keeps its layout through the rewrite
     write(df, tablePath, DeltaWriteMode.Overwrite,
       partitionBy = partitionColumnsOf(tablePath))
+  }
+}
+
+object DeltaWriter {
+  private[delta] val MaxCommitAttempts = 10
+
+  /** Serializes [[DeltaWriter.writeWithProtocol]] across writer instances
+    * sharing this JVM's session (the commit-protocol conf and the
+    * partitioned-write registry key are not per-writer). */
+  private[delta] val sessionWriteLock = new Object
+
+  /** Can OUR commit (given its operation and remove set) be re-applied
+    * on top of `intervening` commits that won earlier versions? None = yes,
+    * Some(reason) = real conflict, fail. The delta conflict matrix,
+    * restricted to the operations this writer emits:
+    *  - blind appends compose with anything (no reads, no removes);
+    *  - OPTIMIZE rewrites specific files with dataChange=false: it
+    *    composes with appends and with compactions of OTHER files, and
+    *    conflicts only when a concurrent commit removed one of the very
+    *    files it rewrites;
+    *  - overwrite and merge computed their remove set from a snapshot, so
+    *    ANY concurrent change to the table's file set (including a
+    *    dataChange=false compaction, which swaps files they would not
+    *    remove) invalidates them; only metadata-only interveners are safe. */
+  private[graft] def conflictReason(operation: String, removedPaths: Seq[String],
+      intervening: Seq[DeltaCommit]): Option[String] = operation match {
+    case "WRITE_APPEND" => None
+    case "OPTIMIZE" =>
+      val ours = removedPaths.toSet
+      val gone = intervening.flatMap(_.removes.map(_.path)).filter(ours)
+      if (gone.nonEmpty)
+        Some("concurrent commits removed files this OPTIMIZE rewrites: " +
+          gone.take(3).mkString(", "))
+      else None
+    case _ =>
+      if (intervening.exists(c => c.adds.nonEmpty || c.removes.nonEmpty))
+        Some(s"$operation computed its file set from a snapshot that " +
+          "concurrent commits have changed")
+      else None
   }
 }

@@ -915,6 +915,53 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("optimistic retry: two concurrent appenders both land every commit") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until 2).foreach { writerIdx =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val w = new DeltaWriter(spark, conf)
+            start.await()
+            try (0 until 8).foreach { i =>
+              w.write(Seq((writerIdx * 100L + i, s"w$writerIdx")).toDF("id", "s"),
+                t, DeltaWriteMode.Append)
+            } catch { case e: Throwable => failures.add(e) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(failures.isEmpty, s"appenders must retry through conflicts: ${failures.peek()}")
+      // every append landed in a contiguous version chain
+      val log = new DeltaLogReader(conf)
+      assert(log.listVersions(t) === (0L until 16L))
+      assert(writer.read(t).count() === 16L)
+    }
+  }
+
+  test("conflict matrix: appends compose; stale overwrite/merge/optimize fail") {
+    import graft.delta.{DeltaAction, DeltaCommit, DeltaWriter => DW}
+    def commitOf(actions: DeltaAction*) = DeltaCommit(1L, actions)
+    val addC = DeltaAction.AddFile("x.parquet", 1L, dataChange = true)
+    val removeC = DeltaAction.RemoveFile("a.parquet", dataChange = false)
+    val metaOnly = commitOf(DeltaAction.CommitInfo(Some(1L)))
+    // blind append survives anything
+    assert(DW.conflictReason("WRITE_APPEND", Nil, Seq(commitOf(addC, removeC))).isEmpty)
+    // optimize survives concurrent appends, dies when its input was removed
+    assert(DW.conflictReason("OPTIMIZE", Seq("a.parquet"), Seq(commitOf(addC))).isEmpty)
+    assert(DW.conflictReason("OPTIMIZE", Seq("a.parquet"), Seq(commitOf(removeC))).isDefined)
+    // overwrite / merge survive only metadata-only interveners
+    assert(DW.conflictReason("WRITE_OVERWRITE", Seq("a.parquet"), Seq(metaOnly)).isEmpty)
+    assert(DW.conflictReason("WRITE_OVERWRITE", Seq("a.parquet"), Seq(commitOf(addC))).isDefined)
+    assert(DW.conflictReason("MERGE", Seq("a.parquet"), Seq(commitOf(removeC))).isDefined)
+  }
+
   test("vacuum removes unreferenced files older than retention") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
