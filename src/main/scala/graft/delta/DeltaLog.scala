@@ -101,6 +101,19 @@ class DeltaLogReader(conf: Configuration) {
     * delta tables always restart numbering at 0 on replacement). */
   private val metaMemo = TrieMap.empty[String, TableMeta]
 
+  /** Per-table commit timestamps (version -> epoch ms), harvested for free
+    * whenever a commit is parsed and persisted inside the snapshot cache —
+    * so timestamp start-offset resolution stops being O(versions) commit
+    * re-reads on tables whose log was already replayed once. */
+  private val tsMemo = TrieMap.empty[String, Map[Long, Long]]
+
+  private def memoTs(tablePath: String, entries: Map[Long, Long]): Unit =
+    if (entries.nonEmpty)
+      tsMemo.updateWith(tablePath) {
+        case Some(m) => Some(m ++ entries)
+        case None => Some(entries)
+      }
+
   def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
 
   def isDeltaTable(tablePath: String): Boolean = Fs.exists(logDir(tablePath), conf)
@@ -135,7 +148,9 @@ class DeltaLogReader(conf: Configuration) {
         .filter(_.trim.nonEmpty)
         .flatMap(line => parseAction(Jsons.parse(line)))
         .toSeq
-      DeltaCommit(version, actions)
+      val commit = DeltaCommit(version, actions)
+      commit.timestampMs.foreach(ts => memoTs(tablePath, Map(version -> ts)))
+      commit
     } finally reader.close()
   }
 
@@ -265,7 +280,7 @@ class DeltaLogReader(conf: Configuration) {
   def resolveMeta(tablePath: String, cacheDir: Option[Path] = None): Option[TableMeta] = {
     val latest = latestVersion(tablePath)
     val memo = metaMemo.get(tablePath).filter(m => latest.exists(_ >= m.atVersion))
-    if (memo.isEmpty) metaMemo.remove(tablePath)
+    if (memo.isEmpty) { metaMemo.remove(tablePath); tsMemo.remove(tablePath) }
     val floor: Option[TableMeta] = memo
       .orElse(cacheDir.flatMap(d => latest.flatMap(l => newestCachedAtOrBelow(d, l)))
         .flatMap(cs => cs.meta))
@@ -296,11 +311,22 @@ class DeltaLogReader(conf: Configuration) {
     resolveMeta(tablePath, cacheDir).flatMap(_.schemaString)
 
   /** First version whose commit timestamp is >= tsMs
-    * (reference `delta.py:560-575`). */
-  def versionForTimestamp(tablePath: String, tsMs: Long): Option[Long] =
-    listVersions(tablePath).find { v =>
-      readCommit(tablePath, v).timestampMs.exists(_ >= tsMs)
+    * (reference `delta.py:560-575`). Timestamps ride the same memo +
+    * snapshot cache as table meta: versions the memo or a persisted
+    * snapshot already covers cost zero commit reads; only uncovered
+    * commits (typically the post-snapshot tail) are opened, and those
+    * reads land in the memo for the next call. */
+  def versionForTimestamp(tablePath: String, tsMs: Long,
+      cacheDir: Option[Path] = None): Option[Long] = {
+    val versions = listVersions(tablePath)
+    for (d <- cacheDir; l <- versions.lastOption; cs <- newestCachedAtOrBelow(d, l))
+      memoTs(tablePath, cs.commitTs)
+    versions.find { v =>
+      tsMemo.getOrElse(tablePath, Map.empty).get(v)
+        .orElse(readCommit(tablePath, v).timestampMs)
+        .exists(_ >= tsMs)
     }
+  }
 
   /** Active file set (path -> size) at `version`.
     *
@@ -368,7 +394,7 @@ class DeltaLogReader(conf: Configuration) {
     // call, as the reference does, is O(files) driver I/O per batch).
     cacheDir.foreach { d =>
       if (version - baseVersion.getOrElse(-1L) >= SnapshotEvery)
-        writeSnapshot(d, version, state, meta)
+        writeSnapshot(tablePath, d, version, state, meta)
     }
     state.toSeq.sortBy(_._1)
   }
@@ -376,7 +402,8 @@ class DeltaLogReader(conf: Configuration) {
   // ---- snapshot cache (reference delta.py:110-187) -----------------------
 
   private[delta] case class CachedSnapshot(version: Long, files: Map[String, Long],
-      metaId: Option[String], schemaString: Option[String]) {
+      metaId: Option[String], schemaString: Option[String],
+      commitTs: Map[Long, Long] = Map.empty) {
     def meta: Option[TableMeta] = metaId.map(id => TableMeta(id, schemaString, version))
   }
 
@@ -395,11 +422,14 @@ class DeltaLogReader(conf: Configuration) {
       val n = Fs.readJson(snapPath(dir, v), conf)
       CachedSnapshot(v,
         Jsons.fields(n.get("files")).map { case (p, sz) => p -> sz.asLong() }.toMap,
-        Jsons.optStr(n, "meta_id"), Jsons.optStr(n, "schema_string"))
+        Jsons.optStr(n, "meta_id"), Jsons.optStr(n, "schema_string"),
+        Jsons.optField(n, "commit_ts").map(ct =>
+          Jsons.fields(ct).map { case (v2, ts) => v2.toLong -> ts.asLong() }.toMap)
+          .getOrElse(Map.empty))
     }
 
-  private def writeSnapshot(dir: Path, version: Long, state: Map[String, Long],
-      meta: Option[TableMeta]): Unit = {
+  private def writeSnapshot(tablePath: String, dir: Path, version: Long,
+      state: Map[String, Long], meta: Option[TableMeta]): Unit = {
     if (listSnapshots(dir).contains(version)) return
     val o = Jsons.obj()
     o.put("version", version)
@@ -410,6 +440,12 @@ class DeltaLogReader(conf: Configuration) {
     val files = Jsons.obj()
     state.foreach { case (p, sz) => files.put(p, sz) }
     o.set[JsonNode]("files", files)
+    // commit timestamps the replay just harvested: persisting them makes
+    // timestamp start-offset resolution O(post-snapshot tail) forever after
+    val ts = Jsons.obj()
+    tsMemo.getOrElse(tablePath, Map.empty).filter(_._1 <= version)
+      .toSeq.sortBy(_._1).foreach { case (v, t) => ts.put(v.toString, t) }
+    o.set[JsonNode]("commit_ts", ts)
     Fs.atomicWriteJson(snapPath(dir, version), o, conf)
     // prune: keep newest MaxSnapshots
     val all = listSnapshots(dir)

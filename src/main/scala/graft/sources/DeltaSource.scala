@@ -130,7 +130,7 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
           case DeltaStartOffset.StartingVersion(v) =>
             Some(Position(v - 1, -1, isInitial = false))
           case DeltaStartOffset.StartingTimestamp(ts) =>
-            val v = log.versionForTimestamp(tablePath, ts)
+            val v = log.versionForTimestamp(tablePath, ts, Some(snapshotCacheDir))
               .getOrElse(latest.map(_ + 1).getOrElse(0L))
             Some(Position(v - 1, -1, isInitial = false))
         }

@@ -123,6 +123,29 @@ class DeltaLogReaderSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("timestamp resolution rides the snapshot cache, not O(versions) re-reads") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      writeLog(t, 0, ci(0), meta(), add("f0.parquet"))
+      (1L to 250L).foreach(v => writeLog(t, v, ci(v * 10), add(s"f$v.parquet")))
+      val cache = new org.apache.hadoop.fs.Path(s"$tmp/cache")
+      val log = new DeltaLogReader(hconf)
+      log.snapshotState(t, 250, Some(cache)) // replay harvests every commit ts
+      val before = log.commitReadCount
+      assert(log.versionForTimestamp(t, 1995, Some(cache)) === Some(200L))
+      assert(log.commitReadCount === before, "memoized timestamps: zero re-reads")
+      // fresh reader + persisted snapshot cache: still zero commit reads
+      val log2 = new DeltaLogReader(hconf)
+      assert(log2.versionForTimestamp(t, 1995, Some(cache)) === Some(200L))
+      assert(log2.commitReadCount === 0L,
+        s"expected cached resolution, got ${log2.commitReadCount} commit reads")
+      // commits past the snapshot cost exactly the uncovered tail
+      writeLog(t, 251, ci(9990), add("f251.parquet"))
+      assert(log2.versionForTimestamp(t, 9990, Some(cache)) === Some(251L))
+      assert(log2.commitReadCount === 1L)
+    }
+  }
+
   test("snapshot cache: written at multiples of SnapshotEvery and reused") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
