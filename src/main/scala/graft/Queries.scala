@@ -503,6 +503,36 @@ object Queries {
         .orderBy("doc_id"),
       Some("SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id")),
 
+    // ----- connected-components cluster resolution ------------------------
+    // Chains of 8 consecutive doc_ids; every node's component must resolve
+    // to its chain's smallest id through the iterative large-star/small-star
+    // contraction. Oracle = DuckDB recursive-CTE transitive closure — real
+    // SQL proving the distributed algorithm, including multi-round chains.
+    "d_connected_components" -> QueryDef(
+      (s, d) => {
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val pairs = ids
+          .join(ids.select(col("doc_id").as("doc_id2")),
+            col("doc_id2") === col("doc_id") + 1 &&
+              pmod(col("doc_id"), lit(8)) =!= 7)
+          .select(col("doc_id").as("id_a"), col("doc_id2").as("id_b"))
+        Dedup.connectedComponents(pairs).orderBy("id")
+      },
+      Some("""WITH RECURSIVE
+             |edges AS (
+             |  SELECT d1.doc_id AS a, d2.doc_id AS b
+             |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+             |  WHERE d1.doc_id % 8 <> 7),
+             |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+             |reach(id, r) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+             |nodes AS (SELECT DISTINCT a AS id FROM sym)
+             |SELECT n.id AS id, LEAST(n.id, MIN(reach.r)) AS component
+             |FROM nodes n JOIN reach ON reach.id = n.id
+             |GROUP BY n.id ORDER BY n.id""".stripMargin)),
+
     // ----- token counting -------------------------------------------------
     "d_token_count" -> QueryDef(
       (s, d) => t(s, d, "documents")

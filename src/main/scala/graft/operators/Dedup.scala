@@ -162,14 +162,102 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Rows that survive MinHash-LSH dedup: drop every row whose id appears
-    * as the larger member of a near-dup pair (smallest id wins). */
+  /** Rows that survive MinHash-LSH dedup. Default (`transitive = false`):
+    * drop every row whose id appears as the larger member of a near-dup
+    * pair — common practice, but it UNDER-deletes on star-shaped
+    * similarity graphs (leaves of a star centered on a big id never appear
+    * as a pair's larger member, so several rows of one near-dup cluster
+    * survive). `transitive = true` resolves the full similarity graph with
+    * [[connectedComponents]] and keeps exactly one row (the min id) per
+    * component. */
   def minhashLshDedup(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
-    val losers = minhashLshPairs(df, idCol, textCol, k = k, bands = bands,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      transitive: Boolean = false): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, k = k, bands = bands,
       threshold = threshold)
-      .select(col("id_b").as(idCol)).distinct()
+    val losers =
+      if (transitive)
+        connectedComponents(pairs).filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over a candidate-pair edge list — the principled
+    * cluster resolution for near-dup graphs: returns (id, component) with
+    * `component` = the smallest id reachable through any chain of pairs.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round is two
+    * group-by-min + join passes over the edge set, and the edge set
+    * contracts toward a star per component in O(log²) rounds — no vertex
+    * ever materializes its whole component in memory, which is what lets
+    * this run where a `collect`-based union-find cannot.
+    *
+    * Every round materializes its edge set to parquet under `workDir` and
+    * reads it back: iterative DataFrame self-reference otherwise grows the
+    * logical plan exponentially (each round references the previous 4×),
+    * and a disk round-trip both truncates lineage and keeps nothing pinned
+    * in executor storage memory — on a cluster, pass a shared `workDir`
+    * (the default JVM temp dir is only visible to a single-node session). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", workDir: Option[String] = None,
+      maxIterations: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val dir = workDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-cc-").toString)
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    var edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var prevSig = (-1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      it += 1
+      val path = s"$dir/iter_$it"
+      smallStar(largeStar(edges)).write.mode("overwrite").parquet(path)
+      edges = spark.read.parquet(path)
+      // edge sets are canonical (b < a, distinct): equal (count, hash-sum)
+      // signatures on consecutive rounds mean the contraction is done
+      val sigRow = edges.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L))).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+    }
+    if (!converged)
+      throw new graft.core.GraftError(
+        s"connected components did not converge in $maxIterations rounds")
+    // converged edges form stars: every non-root points straight at its
+    // component minimum; roots (and isolated nodes) map to themselves
+    val assign = edges.groupBy(col("a").as("id")).agg(min(col("b")).as("__comp"))
+    nodes.join(assign, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
+  }
+
+  /** Large-star round: every node connects its LARGER neighbors to the
+    * minimum of its neighborhood (including itself). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val mins = sym.groupBy("a").agg(min("b").as("mb"))
+      .select(col("a"), least(col("mb"), col("a")).as("m"))
+    sym.join(mins, "a").filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Small-star round: every node connects its smaller neighbors (and
+    * itself) to the minimum among them. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("b") < col("a"))
+    val mins = dir.groupBy("a").agg(min("b").as("m"))
+    dir.join(mins, "a")
+      .select(col("b").as("n"), col("m")).filter(col("n") =!= col("m"))
+      .select(col("n").as("a"), col("m").as("b"))
+      .union(mins.select(col("a"), col("m").as("b")))
+      .distinct()
   }
 
   /** SimHash of every row via the codegen'd [[graft.functions.SimHash64Expr]]

@@ -248,6 +248,42 @@ class DedupSuite extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L))
   }
 
+  test("connected components: star graphs, multi-round chains, multiple components") {
+    // star centered on the LARGEST id: pair-drop would keep BOTH leaves
+    // (neither 1 nor 2 is ever a pair's larger member) — component
+    // resolution keeps exactly the min
+    val star = Seq((1L, 5L), (2L, 5L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cc === Set((1L, 1L), (2L, 1L), (5L, 1L)))
+    val pairDropSurvivors = Set(1L, 2L) // ids never appearing as id_b
+    val ccSurvivors = cc.collect { case (id, comp) if id == comp => id }
+    assert(ccSurvivors === Set(1L))
+    assert(ccSurvivors !== pairDropSurvivors)
+    // a 64-node chain forces several contraction rounds
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain).collect()
+    assert(comps.length === 64 && comps.forall(_.getLong(1) === 1L))
+    // independent components stay independent
+    val two = Seq((10L, 20L), (20L, 30L), (100L, 200L)).toDF("id_a", "id_b")
+    val m = Dedup.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      100L -> 100L, 200L -> 100L))
+  }
+
+  test("transitive minhash dedup keeps one row per similarity component") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base), (2L, base + "!"), (5L, base + " twice"),
+      (9L, "completely different text about spark catalyst plans and delta logs"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minhashLshDedup(df, "doc_id", "text",
+      threshold = 0.3, k = 16, bands = 16, transitive = true)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(1L, 9L))
+  }
+
   test("simhash pairs finds near duplicates within hamming budget") {
     val base = "spark is a distributed engine for large scale data processing with catalyst"
     val near = base.replace("large", "big")
