@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus partition-batched decode / feature-extract /
   * frame-sample operators.
   *
-  * The actual codec step is STUBBED (no image/audio libraries on this
-  * classpath): `fakeDecode` produces a deterministic stand-in derived from
-  * the bytes, so the Spark-side plumbing — schema, batch shape,
-  * partition-iterator processing, metadata struct — is real and testable.
-  * Swapping in a real decoder means replacing only the body of
-  * `fakeDecode`.
+  * IMAGE decode is REAL: the JDK's built-in `javax.imageio` codecs
+  * (png/jpeg/gif/bmp ship with every JRE) extract true width/height/
+  * channels/brightness on the executors. Bytes no installed reader
+  * understands (video, audio, arbitrary blobs) fall back to `fakeDecode`,
+  * a deterministic stand-in derived from the bytes, so the Spark-side
+  * plumbing — schema, batch shape, partition-iterator processing — stays
+  * exercised end-to-end even for the formats whose codecs aren't on this
+  * classpath. Swapping in a video/audio decoder means replacing only the
+  * body of `fakeDecode`.
   *
   * Scale notes: media blobs ride in parquet binary columns; the decode
   * operators run as `mapPartitions` over whole partitions (one JVM-side
@@ -47,10 +50,46 @@ object Multimodal {
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
-  /** STUB decoder — deterministic fake: "decodes" a blob into
-    * (width, height, channels, brightness) derived from its bytes.
-    * ??? replace with a real image codec when one is on the classpath. */
-  private[operators] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+  /** Real image decode via JDK ImageIO. Returns None when no installed
+    * reader understands the bytes — the caller then falls back to the
+    * deterministic stub. Brightness is mean luminance over a bounded
+    * sample grid (≤ ~64×64 pixels), so a 100-megapixel scan costs the
+    * same as a thumbnail. */
+  private[graft] def imageDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file churn on executors
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getRaster.getNumBands
+        val sx = math.max(1, w / 64)
+        val sy = math.max(1, h / 64)
+        var sum = 0.0
+        var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        Some((w, h, channels, math.rint(sum / n / 255.0 * 10000) / 10000))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB decoder for non-image media — deterministic fake: "decodes" a
+    * blob into (width, height, channels, brightness) derived from its
+    * bytes. ??? replace with a real video/audio codec when one is on the
+    * classpath (images already decode for real via [[imageDecode]]). */
+  private[graft] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)
     else {
       val w = 16 + (math.abs(bytes.head.toInt) % 64)
@@ -76,7 +115,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val (w, h, c, bright) = fakeDecode(bytes)
+        val (w, h, c, bright) = imageDecode(bytes).getOrElse(fakeDecode(bytes))
         Row(id, bytes.length.toLong, w, h, c, bright)
       }
     }

@@ -496,6 +496,33 @@ class MultimodalSuite extends SparkSpec {
     assert(feats.toSeq === again.toSeq)
   }
 
+  test("real png and jpeg decode via JDK ImageIO: dimensions, channels, brightness") {
+    import java.awt.image.BufferedImage
+    def render(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+      bos.toByteArray
+    }
+    val png = render(40, 20, "png")
+    val jpg = render(64, 32, "jpg")
+    val media = Seq((1L, png), (2L, jpg)).toDF("media_id", "content")
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    // true dimensions, not the byte-derived stub's
+    assert((feats(0).getInt(2), feats(0).getInt(3), feats(0).getInt(4)) === ((40, 20, 3)))
+    assert((feats(1).getInt(2), feats(1).getInt(3), feats(1).getInt(4)) === ((64, 32, 3)))
+    // half black / half white -> mean luminance ~0.5 (jpeg is lossy: wider tolerance)
+    assert(math.abs(feats(0).getDouble(5) - 0.5) < 0.01, s"png brightness ${feats(0).getDouble(5)}")
+    assert(math.abs(feats(1).getDouble(5) - 0.5) < 0.05, s"jpg brightness ${feats(1).getDouble(5)}")
+    // non-image bytes still take the deterministic stub path
+    val txt = Seq((3L, "not an image".getBytes("UTF-8"))).toDF("media_id", "content")
+    val f = Multimodal.extractFeatures(txt).collect().head
+    // stub: w = 16 + ('n' % 64) = 62, h = 16 + ('e' % 64) = 53
+    assert((f.getInt(2), f.getInt(3), f.getInt(4)) === ((62, 53, 3)))
+  }
+
   test("frame sampling emits every stride-th fixed-size slice") {
     val media = Multimodal.asMedia(
       Seq((1L, "abcdefghij")).toDF("id", "payload"), "id", "payload", "video/fake")
