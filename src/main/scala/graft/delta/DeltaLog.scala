@@ -328,6 +328,33 @@ class DeltaLogReader(conf: Configuration) {
     }
   }
 
+  /** Newest version whose commit timestamp is <= tsMs — delta-spark's
+    * `timestampAsOf` time-travel semantics (read the table as it was AT
+    * that moment). Same memo/cache amortization as
+    * [[versionForTimestamp]]. */
+  def versionAtOrBeforeTimestamp(tablePath: String, tsMs: Long,
+      cacheDir: Option[Path] = None): Option[Long] = {
+    val versions = listVersions(tablePath)
+    for (d <- cacheDir; l <- versions.lastOption; cs <- newestCachedAtOrBelow(d, l))
+      memoTs(tablePath, cs.commitTs)
+    versions.filter { v =>
+      tsMemo.getOrElse(tablePath, Map.empty).get(v)
+        .orElse(readCommit(tablePath, v).timestampMs)
+        .exists(_ <= tsMs)
+    }.lastOption
+  }
+
+  /** Last metaData action at or below `version` (the schema the table had
+    * THEN — what a restore must revert to). JSON commits first, newest
+    * checkpoint at-or-below as the fallback base. */
+  def metaAt(tablePath: String, version: Long): Option[TableMeta] =
+    listVersions(tablePath).filter(_ <= version).reverseIterator
+      .map(v => (v, readCommit(tablePath, v).actions.collectFirst { case m: MetaData => m }))
+      .collectFirst { case (v, Some(m)) => TableMeta(m.id, m.schemaString, v) }
+      .orElse(checkpointAtOrBelow(tablePath, version).flatMap(cp =>
+        readCheckpointActions(tablePath, cp)
+          .collectFirst { case m: MetaData => TableMeta(m.id, m.schemaString, cp.version) }))
+
   /** Active file set (path -> size) at `version`.
     *
     * Replay base: the newest of (our cached JSON snapshot, the table's own

@@ -50,20 +50,62 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       ckptWriter.checkpoint(tablePath, Some(version))
 
   /** Read the table at its latest version, or time-travel with
-    * `versionAsOf` (delta-spark's option of the same name — any version
-    * whose snapshot is still reconstructible from surviving JSON commits /
-    * checkpoints; reading past the replay base fails loudly, never
-    * partially). */
-  def read(tablePath: String, versionAsOf: Option[Long] = None): DataFrame = {
+    * `versionAsOf` / `timestampAsOf` (delta-spark's options of the same
+    * names; `timestampAsOf` resolves to the newest commit at or before the
+    * given epoch-ms — any version whose snapshot is still reconstructible
+    * from surviving JSON commits / checkpoints; reading past the replay
+    * base fails loudly, never partially). */
+  def read(tablePath: String, versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
     val latest = log.latestVersion(tablePath)
       .orElse(log.listCheckpoints(tablePath).lastOption.map(_.version))
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
-    val version = versionAsOf.getOrElse(latest)
+    val version = versionAsOf
+      .orElse(timestampAsOf.map(ts => log.versionAtOrBeforeTimestamp(tablePath, ts)
+        .getOrElse(throw new GraftError(
+          s"no commit of $tablePath at or before timestamp $ts"))))
+      .getOrElse(latest)
     if (version > latest)
       throw new GraftError(s"versionAsOf $version is beyond latest $latest of $tablePath")
     val files = log.snapshotState(tablePath, version)
       .map { case (p, _) => log.resolvePath(tablePath, p) }
     scanFiles(tablePath, files)
+  }
+
+  /** RESTORE TABLE ... TO VERSION: make the state at `version` the newest
+    * state again with a METADATA-ONLY commit — add back the files active
+    * then (they're still on disk unless vacuumed; verified before
+    * committing), remove the files active now but not then, and revert the
+    * schema. No data is copied or rewritten: restore is O(#files) log
+    * work, delta-spark's RESTORE shape. */
+  def restore(tablePath: String, version: Long): Long = {
+    val latest = log.latestVersion(tablePath)
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    if (version > latest)
+      throw new GraftError(s"cannot restore $tablePath to $version: latest is $latest")
+    if (version == latest) return latest
+    val target = DeltaStats.activeAdds(log, tablePath, version)
+    val current = DeltaStats.activeAdds(log, tablePath, latest)
+    val targetPaths = target.map(_.path).toSet
+    val currentPaths = current.map(_.path).toSet
+    val toAdd = target.filterNot(a => currentPaths(a.path))
+    val toRemove = current.filterNot(a => targetPaths(a.path))
+    toAdd.foreach { a =>
+      val p = new Path(log.resolvePath(tablePath, a.path))
+      if (!Fs.exists(p, conf))
+        throw new GraftError(
+          s"cannot restore $tablePath to $version: ${a.path} was vacuumed")
+    }
+    val schema = log.metaAt(tablePath, version).flatMap(_.schemaString)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .getOrElse(StructType(Nil))
+    commit(tablePath, "RESTORE", schema,
+      toRemove.map(_.path),
+      toAdd.map(a => WrittenPart(a.path, a.size, a.stats, a.partitionValues)),
+      Seq.empty,
+      // layout order comes from a path, not partitionValues' map order
+      target.headOption.map(_.path.split('/').dropRight(1).filter(_.contains('='))
+        .map(seg => seg.take(seg.indexOf('='))).toSeq).getOrElse(Seq.empty))
   }
 
   /** Data-skipping read: files whose delta stats can't intersect every

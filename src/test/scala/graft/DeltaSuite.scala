@@ -616,6 +616,54 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("timestampAsOf reads the newest commit at or before the timestamp") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, "a")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      Thread.sleep(5)
+      w.write(Seq((2L, "b")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      Thread.sleep(5)
+      w.write(Seq((9L, "z")).toDF("id", "s"), t, DeltaWriteMode.Overwrite)
+      val log = new DeltaLogReader(conf)
+      val ts = (0L to 2L).map(v => log.readCommit(t, v).timestampMs.get)
+      assert(w.read(t, timestampAsOf = Some(ts(1))).collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L))
+      assert(w.read(t, timestampAsOf = Some(ts(0))).collect().map(_.getLong(0)).toSeq
+        === Seq(1L))
+      assert(w.read(t, timestampAsOf = Some(ts(2) + 1000)).collect()
+        .map(_.getLong(0)).toSeq === Seq(9L))
+      intercept[GraftError](w.read(t, timestampAsOf = Some(ts(0) - 1)))
+    }
+  }
+
+  test("restore to version is a metadata-only commit that re-activates old files") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, 10L)).toDF("id", "v"), t, DeltaWriteMode.Append)
+      w.write(Seq((2L, 20L)).toDF("id", "v"), t, DeltaWriteMode.Append)
+      w.write(Seq((9L, 90L)).toDF("id", "v"), t, DeltaWriteMode.Overwrite)
+      val log = new DeltaLogReader(conf)
+      val dataFilesBefore = graft.delta.DeltaStats.activeAdds(log, t, 1L).map(_.path)
+      val v = w.restore(t, 1L)
+      assert(v === 3L)
+      // restored state = the v1 table, served by the ORIGINAL files
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      val after = graft.delta.DeltaStats.activeAdds(log, t, v)
+      assert(after.map(_.path).sorted === dataFilesBefore.sorted,
+        "restore must re-reference the original files, not copy data")
+      assert(after.forall(_.stats.isDefined), "restored adds keep their stats")
+      // the restore commit itself wrote no parquet: its adds all pre-exist
+      val commit = log.readCommit(t, 3L)
+      assert(commit.adds.nonEmpty && commit.removes.nonEmpty)
+      // restoring past a vacuum fails loudly
+      w.write(Seq((5L, 50L)).toDF("id", "v"), t, DeltaWriteMode.Overwrite)
+      w.vacuum(t, retentionMs = -1000)
+      intercept[GraftError](w.restore(t, 1L))
+    }
+  }
+
   test("add actions carry footer stats; readSkipping schedules only matching files") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
@@ -1057,6 +1105,39 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(log.readCommit(t, 3).removes.isEmpty,
         "insert-only batch outside every file's range must rewrite nothing")
       assert(w.read(t).count() === 6)
+    }
+  }
+
+  test("CDC merge into a partitioned table keeps the layout and prunes by partition") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write((0L until 40L).map(i => (i, i % 4, i * 10L)).toDF("id", "bucket", "v"),
+        t, DeltaWriteMode.Append, partitionBy = Seq("bucket"))
+      val log = new DeltaLogReader(conf)
+      val before = graft.delta.DeltaStats.activeAdds(log, t, 0L)
+      val untouchedBuckets = before.filterNot(_.partitionValues("bucket") == "2").map(_.path)
+      // all change keys live in bucket 2 (ids 2, 6, ... ≡ 2 mod 4): key
+      // range [2,38] overlaps every file's id stats, but the merge keys
+      // include the partition column, so partition pruning must confine
+      // the rewrite to bucket=2 files
+      val changes = (0L until 10L).map(i => (i * 4 + 2, 2L, 9999L, "update_postimage", 1L))
+        .toDF("id", "bucket", "v", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      val res = DeltaCdc.applyCdcDelta(spark, changes, t, Seq("id", "bucket"))
+      assert(res.rowsOut === 40)
+      val commit1 = log.readCommit(t, 1)
+      assert(commit1.removes.map(_.path).forall(_.startsWith("bucket=2/")),
+        s"merge must only rewrite bucket=2 files, removed: ${commit1.removes.map(_.path)}")
+      assert(commit1.adds.map(_.path).forall(_.startsWith("bucket=2/")),
+        s"merged rows must stay hive-partitioned, added: ${commit1.adds.map(_.path)}")
+      val after = graft.delta.DeltaStats.activeAdds(log, t, 1L).map(_.path)
+      untouchedBuckets.foreach(p => assert(after.contains(p), s"$p must survive"))
+      assert(w.partitionColumnsOf(t) === Seq("bucket"))
+      val out = w.read(t)
+      assert(out.count() === 40)
+      assert(out.filter(col("v") === 9999L).count() === 10)
+      assert(out.filter(col("bucket") === 1).agg(sum("v")).head().getLong(0) ===
+        (0L until 40L).filter(_ % 4 == 1).map(_ * 10).sum)
     }
   }
 
