@@ -64,27 +64,82 @@ object Similarity {
       when(dot(vec, typedlit(srpPlane(p, dims))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** IVF-style ANN (FAISS IVF-Flat shape, random coarse quantizer): `nlist`
-    * deterministic centroids are sampled from the corpus (smallest
-    * xxhash64(id) — no stored model, reproducible), every corpus vector is
-    * assigned to its nearest centroid, and each query probes its `nprobe`
-    * nearest centroid buckets. One shuffle on the bucket key; the centroid
-    * table is driver-small and rides into the plan as a literal, exactly
-    * like a trained quantizer would be broadcast.
+  /** Deterministic quantizer init: the `nlist` corpus vectors with the
+    * smallest xxhash64(id) — no stored model, reproducible across runs.
+    * O(nlist·dims) driver memory: the model, never the data. */
+  private def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Float]] = corpus
+    .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+    .filter(col("v").isNotNull)
+    .orderBy("h").limit(nlist)
+    .collect().map(_.getSeq[Float](0).toArray)
+
+  /** Train the IVF coarse quantizer with Lloyd's k-means — what FAISS's
+    * IVF `train()` does, expressed as repeated one-shuffle aggregations:
+    * every iteration assigns each vector to its nearest centroid with the
+    * same literal-argmax codegen used at query time (cosine assignment,
+    * i.e. spherical k-means — matching how [[ivfTopK]] probes), then
+    * reduces per-cluster element-wise sums + counts via `dims` map-side-
+    * combined `sum()` columns. Only k·dims partial sums per partition ever
+    * shuffle; the vectors themselves never move, and the only driver-side
+    * state is the O(nlist·dims) model. Deterministic: hash-ordered init,
+    * fixed iteration count, empty clusters keep their previous centroid. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iterations: Int = 4): Array[Array[Float]] = {
+    val init = sampleCentroids(corpus, idCol, vecCol, nlist)
+    if (init.isEmpty) return init
+    val dims = init.head.length
+    var centroids = init
+    (1 to iterations).foreach { _ =>
+      val normed = centroids.map { c =>
+        val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+        if (n == 0) c else c.map(x => (x / n).toFloat)
+      }
+      val cents = typedlit(normed.map(_.toSeq).toSeq)
+      val dots = transform(sequence(lit(0), lit(normed.length - 1)),
+        i => dot(col("v"), element_at(cents, i + lit(1))))
+      val sums = (0 until dims).map(i =>
+        sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
+      val stats = corpus.select(col(vecCol).as("v"))
+        .filter(col("v").isNotNull && size(col("v")) === dims)
+        .withColumn("__dots", dots)
+        .withColumn("__b",
+          (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+        .groupBy("__b").agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val next = centroids.clone()
+      stats.foreach { r =>
+        val b = r.getInt(0)
+        val n = r.getLong(1)
+        if (n > 0 && b >= 0 && b < next.length)
+          next(b) = Array.tabulate(dims)(i => (r.getDouble(2 + i) / n).toFloat)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF-style ANN (FAISS IVF-Flat shape): `nlist` centroids — pass a
+    * [[trainIvfCentroids]] model via `quantizer`, or let a deterministic
+    * hash-ordered corpus sample stand in (random coarse quantizer) —
+    * every corpus vector is assigned to its nearest centroid, and each
+    * query probes its `nprobe` nearest centroid buckets. One shuffle on
+    * the bucket key; the centroid table is driver-small and rides into
+    * the plan as a literal, exactly like a trained quantizer would be
+    * broadcast.
     *
-    * Misses happen when a true neighbor hashes to an unprobed bucket —
-    * `nlist` trades bucket size against recall, `nprobe` buys recall back. */
+    * Misses happen when a true neighbor lands in an unprobed bucket —
+    * `nlist` trades bucket size against recall, `nprobe` buys recall
+    * back, and a trained quantizer shapes buckets to the data's actual
+    * clusters (higher recall at the same nprobe on clustered corpora). */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 2,
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    // deterministic "training": nlist centroids by hash order (collect is
-    // O(nlist * dims) — the quantizer, not the data, comes to the driver)
-    val centroids: Array[Array[Float]] = corpus
-      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(nlist)
-      .collect().map(_.getSeq[Float](0).toArray)
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      quantizer: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids: Array[Array[Float]] =
+      quantizer.getOrElse(sampleCentroids(corpus, idCol, vecCol, nlist))
     if (centroids.isEmpty)
       return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(0d).as("cosine"), lit(0).as("rank")).limit(0)

@@ -431,6 +431,33 @@ class SimilaritySuite extends SparkSpec {
     assert(out.length <= 20, s"candidates not bounded: ${out.length}")
   }
 
+  test("k-means IVF training converges centroids to the data's clusters") {
+    // two tight, well-separated clusters on orthogonal axes
+    val a = (0 until 40).map(i => (i.toLong, Array(1f, 0f, 0f, i * 1e-3f)))
+    val b = (0 until 40).map(i => (100L + i, Array(0f, 1f, i * 1e-3f, 0f)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val trained = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      nlist = 2, iterations = 4)
+    assert(trained.length === 2)
+    // each trained centroid sits on one cluster's dominant axis
+    val axes = trained.map(c => c.indexOf(c.max)).sorted
+    assert(axes.toSeq === Seq(0, 1), s"centroids not on cluster axes: ${trained.map(_.toSeq)}")
+    // and the dominant component is near the cluster mean (1.0), not a
+    // single sampled point's noise
+    trained.foreach(c => assert(math.abs(c.max - 1f) < 1e-3))
+    // determinism: training twice gives the identical model
+    val again = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      nlist = 2, iterations = 4)
+    assert(trained.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // the trained quantizer separates the clusters: querying an a-like
+    // vector with nprobe=1 returns only a-cluster neighbors
+    val q = Seq((999L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(q, corpus, "vec_id", "embedding", k = 5,
+      nlist = 2, nprobe = 1, quantizer = Some(trained)).collect()
+    assert(out.length === 5)
+    assert(out.forall(_.getLong(1) < 100L), "trained bucket must contain only cluster a")
+  }
+
   test("null vectors in the dims sample don't mask a live corpus") {
     val corpus = Seq(
       (0L, Option.empty[Array[Float]]),

@@ -151,4 +151,22 @@ class RecallSuite extends SparkSpec {
     info(s"ivf: queries=${truth.size} agree=$agree")
     assert(agree.toDouble / truth.size >= 0.8)
   }
+
+  test("trained IVF quantizer holds the recall bar with HALF the probes") {
+    val corpus = clustered(clusters = 20, members = 5, dims = 64)
+    def top1(df: DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1).select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val queries = corpus.filter(col("vec_id") % 5 === 0)
+    val truth = top1(Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 1))
+    val trained = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      nlist = 16, iterations = 3)
+    // k-means shapes buckets to the real clusters, so nprobe=2 suffices
+    // where the sampled quantizer needs 4
+    val found = top1(Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 1, nlist = 16, nprobe = 2, quantizer = Some(trained)))
+    val agree = truth.count { case (q, n) => found.get(q).contains(n) }
+    info(s"ivf trained: queries=${truth.size} agree=$agree")
+    assert(agree.toDouble / truth.size >= 0.8)
+  }
 }
