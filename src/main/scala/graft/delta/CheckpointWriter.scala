@@ -15,12 +15,13 @@ import org.apache.parquet.schema.MessageTypeParser
   * and every fresh reader replays all of them).
   *
   * The checkpoint is one `%020d.checkpoint.parquet` in `_delta_log` with
-  * the standard one-action-per-row layout (nullable `add` / `metaData`
-  * struct columns — the subset our reader folds; `txn`/`protocol` rows
-  * aren't written because the JSON commits never contain those actions
-  * either), plus the `_last_checkpoint` pointer. Written driver-side with
-  * parquet-mr: the snapshot state is already a driver-resident map, and
-  * the exact protocol file name can't come out of a distributed write.
+  * the standard one-action-per-row layout (nullable `add` / `metaData` /
+  * `txn` struct columns — the subset our reader folds; `txn` rows carry
+  * every writer's SetTransaction watermark so idempotent-sink state
+  * survives log expiry), plus the `_last_checkpoint` pointer. Written
+  * driver-side with parquet-mr: the snapshot state is already a
+  * driver-resident map, and the exact protocol file name can't come out
+  * of a distributed write.
   */
 class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
   private val log = new DeltaLogReader(conf)
@@ -37,6 +38,10 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |  optional group metaData {
       |    required binary id (STRING);
       |    optional binary schemaString (STRING);
+      |  }
+      |  optional group txn {
+      |    required binary appId (STRING);
+      |    optional int64 version;
       |  }
       |}""".stripMargin)
 
@@ -61,6 +66,7 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         // the checkpoint and skipping keeps working on pruned-log tables
         val state = DeltaStats.activeAdds(log, tablePath, version)
         val meta = log.resolveMeta(tablePath)
+        val txns = log.txnState(tablePath, version)
         val nParts = math.max(1, (state.size + ActionsPerPart - 1) / ActionsPerPart)
         val inst = CheckpointInstance(version,
           if (nParts > 1) Some(nParts) else None)
@@ -68,7 +74,8 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         val slices = state.grouped(ActionsPerPart).toSeq
           .padTo(nParts, Seq.empty[DeltaAction.AddFile])
         files.zip(slices).zipWithIndex.foreach { case ((target, slice), i) =>
-          writePart(target, slice, if (i == 0) meta else None)
+          writePart(target, slice, if (i == 0) meta else None,
+            if (i == 0) txns else Map.empty)
         }
         inst
       }
@@ -81,7 +88,8 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
   }
 
   private def writePart(target: org.apache.hadoop.fs.Path,
-      state: Seq[DeltaAction.AddFile], meta: Option[TableMeta]): Unit = {
+      state: Seq[DeltaAction.AddFile], meta: Option[TableMeta],
+      txns: Map[String, Long] = Map.empty): Unit = {
     val factory = new SimpleGroupFactory(Schema)
     val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(target, conf))
       .withType(Schema).withConf(conf).build()
@@ -91,6 +99,13 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         val md = g.addGroup("metaData")
         md.append("id", m.id)
         m.schemaString.foreach(s => md.append("schemaString", s))
+        writer.write(g)
+      }
+      txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
+        val g = factory.newGroup()
+        val t = g.addGroup("txn")
+        t.append("appId", appId)
+        t.append("version", v)
         writer.write(g)
       }
       state.foreach { a =>

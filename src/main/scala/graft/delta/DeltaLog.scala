@@ -32,6 +32,13 @@ object DeltaAction {
       partitionValues: Map[String, String] = Map.empty) extends DeltaAction
   case class RemoveFile(path: String, dataChange: Boolean) extends DeltaAction
   case class CdcFile(path: String, size: Long) extends DeltaAction
+  /** SetTransaction — the protocol's idempotent-writer watermark: the
+    * newest `version` a writer identified by `appId` has committed. A
+    * sink that stamps every commit with its (appId, batchId) and skips
+    * batches at-or-below [[DeltaLogReader.lastTxnVersion]] gets
+    * exactly-once output from an at-least-once pipeline (delta-spark's
+    * `txnAppId`/`txnVersion` idempotent writes). */
+  case class Txn(appId: String, version: Long) extends DeltaAction
 }
 
 /** One parsed commit. */
@@ -43,6 +50,7 @@ case class DeltaCommit(version: Long, actions: Seq[DeltaAction]) {
   def adds: Seq[AddFile] = actions.collect { case a: AddFile => a }
   def removes: Seq[RemoveFile] = actions.collect { case r: RemoveFile => r }
   def cdcs: Seq[CdcFile] = actions.collect { case c: CdcFile => c }
+  def txns: Seq[Txn] = actions.collect { case t: Txn => t }
 }
 
 /** A parquet checkpoint of the log at `version` (delta-spark writes one
@@ -168,7 +176,10 @@ class DeltaLogReader(conf: Configuration) {
     )).orElse(Jsons.optField(n, "remove").map(r =>
       RemoveFile(r.get("path").asText(), Jsons.optBool(r, "dataChange").getOrElse(true))
     )).orElse(Jsons.optField(n, "cdc").map(c =>
-      CdcFile(c.get("path").asText(), Jsons.optLong(c, "size").getOrElse(0L))))
+      CdcFile(c.get("path").asText(), Jsons.optLong(c, "size").getOrElse(0L))
+    )).orElse(Jsons.optField(n, "txn").map(t =>
+      Txn(Jsons.optStr(t, "appId").getOrElse(""),
+        Jsons.optLong(t, "version").getOrElse(-1L))))
   }
 
   // ---- parquet checkpoints (delta protocol `_last_checkpoint`) -----------
@@ -262,6 +273,10 @@ class DeltaLogReader(conf: Configuration) {
             strField(md, "id").foreach(id =>
               out += MetaData(id, strField(md, "schemaString")))
           }
+          grpField(rec, "txn").foreach { t =>
+            strField(t, "appId").foreach(app =>
+              out += Txn(app, longField(t, "version").getOrElse(-1L)))
+          }
         }
       } finally reader.close()
     }
@@ -342,6 +357,46 @@ class DeltaLogReader(conf: Configuration) {
         .orElse(readCommit(tablePath, v).timestampMs)
         .exists(_ <= tsMs)
     }.lastOption
+  }
+
+  /** Newest committed SetTransaction version for `appId` — the
+    * idempotent-writer watermark. Scans JSON commits NEWEST first (a sink
+    * stamping every batch is found in the most recent commit or two) and
+    * falls back to the newest checkpoint's txn rows, so an expiry-pruned
+    * table still answers from checkpoint + surviving tail. */
+  def lastTxnVersion(tablePath: String, appId: String): Option[Long] = {
+    val ckpt = latestVersion(tablePath)
+      .orElse(listCheckpoints(tablePath).lastOption.map(_.version))
+      .flatMap(l => checkpointAtOrBelow(tablePath, l))
+    // newest-first through the commits ABOVE the checkpoint (a sink
+    // stamping every batch hits in the first commit or two); anything
+    // below the checkpoint cannot beat the checkpointed watermark
+    val floor = ckpt.map(_.version).getOrElse(-1L)
+    val fromJson = listVersions(tablePath).filter(_ > floor).reverseIterator
+      .map(v => readCommit(tablePath, v).txns.filter(_.appId == appId))
+      .collectFirst { case ts if ts.nonEmpty => ts.map(_.version).max }
+    fromJson.orElse(ckpt.flatMap { cp =>
+      val ts = readCheckpointActions(tablePath, cp)
+        .collect { case t: Txn if t.appId == appId => t.version }
+      if (ts.isEmpty) None else Some(ts.max)
+    })
+  }
+
+  /** All writers' SetTransaction watermarks at `version` (newest per
+    * appId) — what a checkpoint must carry so expiry can't lose them. */
+  def txnState(tablePath: String, version: Long): Map[String, Long] = {
+    val ckpt = checkpointAtOrBelow(tablePath, version)
+    val base: Map[String, Long] = ckpt
+      .map(cp => readCheckpointActions(tablePath, cp)
+        .collect { case t: Txn => t.appId -> t.version }.toMap)
+      .getOrElse(Map.empty)
+    // only commits ABOVE the checkpoint replay on top — a surviving older
+    // commit must not roll a watermark back below the checkpointed value
+    val start = ckpt.map(_.version + 1).getOrElse(0L)
+    listVersions(tablePath).filter(v => v >= start && v <= version)
+      .foldLeft(base) { (acc, v) =>
+        readCommit(tablePath, v).txns.foldLeft(acc)((m, t) => m + (t.appId -> t.version))
+      }
   }
 
   /** Last metaData action at or below `version` (the schema the table had

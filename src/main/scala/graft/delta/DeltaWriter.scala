@@ -197,18 +197,30 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   def write(df: DataFrame, tablePath: String, mode: DeltaWriteMode,
       mergeSchema: Boolean = false,
       cdfChanges: Option[DataFrame] = None,
-      partitionBy: Seq[String] = Seq.empty): Long =
+      partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long =
     writeImpl(df, tablePath, mode, mergeSchema, cdfChanges, partitionBy,
       explicitRemoves = None,
       operation =
-        if (mode == DeltaWriteMode.Overwrite) "WRITE_OVERWRITE" else "WRITE_APPEND")
+        if (mode == DeltaWriteMode.Overwrite) "WRITE_OVERWRITE" else "WRITE_APPEND",
+      txn = txn)
+
+  /** Newest SetTransaction watermark committed by `appId` (None = never).
+    * A sink passing `txn = Some((appId, batchId))` to [[write]] and
+    * skipping batches at-or-below this value gets EXACTLY-once output
+    * from an at-least-once pipeline — a replayed batch is a no-op instead
+    * of a duplicate (delta-spark's txnAppId/txnVersion idempotent
+    * writes). */
+  def lastTxnVersion(tablePath: String, appId: String): Option[Long] =
+    if (!tableExists(tablePath)) None else log.lastTxnVersion(tablePath, appId)
 
   private def writeImpl(df: DataFrame, tablePath: String, mode: DeltaWriteMode,
       mergeSchema: Boolean,
       cdfChanges: Option[DataFrame],
       partitionBy: Seq[String],
       explicitRemoves: Option[Seq[String]],
-      operation: String): Long = {
+      operation: String,
+      txn: Option[(String, Long)] = None): Long = {
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
     fs.mkdirs(root)
@@ -260,7 +272,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           .getOrElse(Seq.empty)
       case _ => Seq.empty
     })
-    commit(tablePath, operation, outSchema, removed, parts, cdcParts, effectiveParts)
+    commit(tablePath, operation, outSchema, removed, parts, cdcParts,
+      effectiveParts, txn)
   }
 
   /** Write df's parquet parts RENAME-FREE into a fresh uniquely-named data
@@ -332,7 +345,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
   private def commit(tablePath: String, operation: String, schema: StructType,
       removed: Seq[String], adds: Seq[WrittenPart], cdcs: Seq[(String, Long)],
-      partitionCols: Seq[String]): Long = {
+      partitionCols: Seq[String], txn: Option[(String, Long)] = None): Long = {
     val tid = log.tableId(tablePath).getOrElse(UUID.randomUUID().toString)
     val firstVersion = log.latestVersion(tablePath).map(_ + 1).getOrElse(0L)
 
@@ -375,6 +388,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       md.set[JsonNode]("configuration", Jsons.obj())
       md.put("createdTime", now)
       lines += s"""{"metaData": ${Jsons.render(md)}}"""
+      txn.foreach { case (appId, v) =>
+        val t = Jsons.obj(); t.put("appId", appId); t.put("version", v)
+        t.put("lastUpdated", now)
+        lines += s"""{"txn": ${Jsons.render(t)}}"""
+      }
       removed.foreach { p =>
         val r = Jsons.obj(); r.put("path", p); r.put("dataChange", true)
         r.put("deletionTimestamp", now)

@@ -616,6 +616,42 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("txn watermarks make replayed batches no-ops, and survive log expiry") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      // an at-least-once pipeline: write batch iff newer than the watermark
+      def writeBatch(app: String, batchId: Long, rows: Seq[Long]): Boolean = {
+        if (w.lastTxnVersion(t, app).exists(_ >= batchId)) false
+        else {
+          w.write(rows.map((_, app)).toDF("id", "s"), t, DeltaWriteMode.Append,
+            txn = Some((app, batchId)))
+          true
+        }
+      }
+      assert(writeBatch("job1", 0L, Seq(1L, 2L)))
+      assert(writeBatch("job1", 1L, Seq(3L)))
+      // crash-replay of batch 1 must be skipped, not duplicated
+      assert(!writeBatch("job1", 1L, Seq(3L)))
+      assert(w.read(t).count() === 3)
+      // independent writers keep independent watermarks
+      assert(writeBatch("job2", 0L, Seq(10L)))
+      assert(w.lastTxnVersion(t, "job1") === Some(1L))
+      assert(w.lastTxnVersion(t, "job2") === Some(0L))
+      assert(w.lastTxnVersion(t, "nobody") === None)
+      // watermarks survive checkpoint + full log expiry
+      w.checkpoint(t)
+      w.expireLogs(t)
+      val fresh = new DeltaWriter(spark, conf)
+      assert(fresh.lastTxnVersion(t, "job1") === Some(1L))
+      assert(fresh.lastTxnVersion(t, "job2") === Some(0L))
+      assert(!writeBatch("job1", 1L, Seq(3L)), "expired log must not forget the watermark")
+      // and a genuinely new batch still lands
+      assert(writeBatch("job1", 2L, Seq(4L)))
+      assert(w.read(t).count() === 5)
+    }
+  }
+
   test("timestampAsOf reads the newest commit at or before the timestamp") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"

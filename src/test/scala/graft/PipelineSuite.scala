@@ -255,6 +255,47 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("exactly-once Delta sink: crash between sink write and WAL commit, no duplicates") {
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"; val table = s"$tmp/table"
+      writeBatchFile(in, "b0.parquet", Seq(1L, 2L, 3L))
+      // crash AFTER the Delta append succeeds but BEFORE the pipeline's
+      // WAL commit — the at-least-once window where a plain sink would
+      // double-write on replay
+      val crashAfterWrite = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def mk(): Pipeline = {
+        val ckpt = new FileStreamCheckpoint(cp, conf)
+        val source = new FileSource(in, ckpt, "parquet",
+          FileSourceOptions(pattern = "*.parquet", maxFilesPerTrigger = Some(1)))
+        new Pipeline(
+          source = source,
+          reader = ctx => source.readBatch(ctx.spark, BatchInfo(ctx.batchId,
+            ctx.files.map(p => FileEntry(p, 0, 0)), Jsons.obj())),
+          transform = None,
+          writer = (df, ctx) => {
+            val meta = graft.sinks.DeltaSink.writeBatch(df, table, "pipe1", ctx.batchId)
+            if (crashAfterWrite.getAndSet(false)) sys.error("crash post-sink")
+            meta
+          },
+          spark = spark)
+      }
+      intercept[WriterError](mk().runOnce())
+      // the data landed but the batch is uncommitted in the WAL
+      val w = new graft.delta.DeltaWriter(spark, conf)
+      assert(w.read(table).count() === 3)
+      assert(!new File(s"$cp/commits/0.json").exists())
+      // replay: same batch id, sink skips via its txn watermark
+      val id = mk().runOnce()
+      assert(id === Some(0L))
+      assert(w.read(table).count() === 3, "replayed batch must not append twice")
+      assert(w.lastTxnVersion(table, "pipe1") === Some(0L))
+      // a new file still flows through as a NEW batch
+      writeBatchFile(in, "b1.parquet", Seq(9L))
+      assert(mk().runOnce() === Some(1L))
+      assert(w.read(table).count() === 4)
+    }
+  }
+
   test("observer sees planned -> stages -> committed in order") {
     withTmpDir { tmp =>
       val in = s"$tmp/in"; val cp = s"$tmp/cp"; val out = s"$tmp/out"
