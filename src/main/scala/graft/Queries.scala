@@ -100,6 +100,65 @@ object Queries {
               |  STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS last_order
               |FROM orders""".stripMargin)),
 
+    // ----- ranking window functions (rank / lag over a partition) --------
+    "q_window_rank" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            rank().over(w).cast("long").as("rk"),
+            lag("o_orderkey", 1).over(w).as("prev_key"))
+          .filter(col("rk") <= 2)
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rk, prev_key FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    RANK() OVER w AS rk,
+             |    LAG(o_orderkey, 1) OVER w AS prev_key
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey
+             |               ORDER BY o_totalprice DESC, o_orderkey))
+             |WHERE rk <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ----- rollup (grouping-set subtotals + grand total) -----------------
+    // Spark's rollup and DuckDB's GROUP BY ROLLUP must agree cell for
+    // cell, including the NULL subtotal rows (Spark sorts nulls first by
+    // default; the oracle pins NULLS FIRST to match).
+    "q_rollup" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)),
+
+    // ----- exact interpolated percentiles --------------------------------
+    // Spark `percentile` and DuckDB `quantile_cont` both do linear
+    // interpolation over the sorted values; double inputs + decimal-rounded
+    // outputs make the comparison representation-stable.
+    "q_percentile" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("p50_raw"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.9)").as("p90_raw"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("p50_price_raw"))
+        .select(col("l_returnflag"),
+          dround(col("p50_raw")).as("p50_qty"),
+          dround(col("p90_raw")).as("p90_qty"),
+          dround(col("p50_price_raw")).as("p50_price"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  ${droundSql("quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)")} AS p50_qty,
+              |  ${droundSql("quantile_cont(CAST(l_quantity AS DOUBLE), 0.9)")} AS p90_qty,
+              |  ${droundSql("quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)")} AS p50_price
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- tumbling time window ------------------------------------------
     "q_window_tumbling" -> QueryDef(
       (s, d) => t(s, d, "events")
