@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape gates — the 100 TB design claims, pinned as tests
+  * instead of doc prose: pushdown reaches the scan, projections prune the
+  * read schema, dimension joins broadcast, aggregations combine map-side,
+  * and the one-shuffle operators really cost one exchange. A refactor that
+  * silently regresses a plan (a lost filter pushdown, a broadcast that
+  * became a sort-merge join, a second exchange in a dedup) fails here long
+  * before any benchmark notices.
+  */
+class PlanSuite extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+  private def available = new java.io.File(s"$sfDir/lineitem.parquet").exists()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Final adaptive plan — AQE only materializes codegen spans (the
+    * `*(n)` markers) and its re-planned exchanges once THIS query
+    * execution has run (count() would build a different one). Only the
+    * "Final Plan" section is returned, not the initial-plan echo. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def hasCodegen(plan: String): Boolean =
+    """\*\(\d+\)""".r.findFirstIn(plan).isDefined
+
+  test("filter and projection push down to the parquet scan") {
+    assume(available)
+    val plan = planOf(Queries.defs("q_filter_project").build(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n${plan.take(1500)}")
+    assert(plan.contains("GreaterThan(l_quantity"),
+      "the range predicate must reach the scan, not evaluate post-read")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"projection pruning lost — scan reads unneeded columns: $readSchema")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact table") {
+    assume(available)
+    val plan = planOf(Queries.defs("q_region_revenue").build(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation/region must broadcast-join:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("aggregations combine map-side before the shuffle") {
+    assume(available)
+    val plan = planOf(Queries.defs("q_agg_pricing").build(spark, sfDir))
+    assert(plan.contains("partial_"),
+      s"no partial aggregation — every row would shuffle:\n${plan.take(1500)}")
+  }
+
+  test("exact dedup costs exactly one exchange") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(Dedup.exact(docs, Seq("text"), "doc_id"))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size === 1,
+      s"exact dedup must shuffle once on the dedup key:\n$plan")
+  }
+
+  test("LSH band rows shuffle once; signature scan has no exchange below it") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val plan = finalPlanOf(pairs)
+    // the corpus-wide signature pass feeds the bucket aggregation through
+    // ONE hash exchange on (band, key); only candidate verification joins
+    // may add more — so the whole near-dup plan stays within a small,
+    // fixed exchange budget instead of growing with corpus size
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(exchanges <= 5, s"unexpected exchange growth ($exchanges):\n$plan")
+    assert(hasCodegen(plan), "signature computation must stay inside codegen")
+  }
+
+  test("token stats run in one codegen pass with no hash exchange") {
+    assume(available)
+    val plan = finalPlanOf(Queries.defs("d_token_count").build(spark, sfDir))
+    // d_token_count ends in an orderBy (a range exchange, there for the
+    // oracle's determinism); the feature extraction itself must be
+    // exchange-free map-side work
+    val hashExchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(hashExchanges === 0, s"per-document features must not shuffle:\n$plan")
+    assert(hasCodegen(plan))
+  }
+}
