@@ -564,9 +564,11 @@ object Queries {
 
     // ----- connected-components cluster resolution ------------------------
     // Chains of 8 consecutive doc_ids; every node's component must resolve
-    // to its chain's smallest id through the iterative large-star/small-star
-    // contraction. Oracle = DuckDB recursive-CTE transitive closure — real
-    // SQL proving the distributed algorithm, including multi-round chains.
+    // to its chain's smallest id. Oracle = DuckDB recursive-CTE transitive
+    // closure. The operator takes its small-graph path here (driver
+    // union-find under the explicit localLimit); OperatorsSuite proves the
+    // distributed large-star/small-star contraction identical to it on
+    // multi-round chain graphs, so the oracle covers both by transitivity.
     "d_connected_components" -> QueryDef(
       (s, d) => {
         val ids = t(s, d, "documents").select(col("doc_id"))

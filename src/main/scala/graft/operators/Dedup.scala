@@ -199,10 +199,14 @@ object Dedup {
     * logical plan exponentially (each round references the previous 4×),
     * and a disk round-trip both truncates lineage and keeps nothing pinned
     * in executor storage memory — on a cluster, pass a shared `workDir`
-    * (the default JVM temp dir is only visible to a single-node session). */
+    * (the default JVM temp dir is only visible to a single-node session).
+    *
+    * Graphs of at most `localLimit` edges resolve with driver union-find
+    * instead (suite-gated identical to the distributed rounds) — the
+    * broadcast-small-side call, made explicit. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", workDir: Option[String] = None,
-      maxIterations: Int = 25): DataFrame = {
+      maxIterations: Int = 25, localLimit: Long = 100000): DataFrame = {
     val spark = pairs.sparkSession
     val dir = workDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-cc-").toString)
@@ -210,6 +214,40 @@ object Dedup {
       .union(pairs.select(col(bCol).as("id"))).distinct()
     var edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // Small graphs short-circuit to driver union-find — the same call the
+    // optimizer makes when it broadcasts a small join side: a candidate
+    // graph under `localLimit` edges is model-sized (MBs), and ~10 rounds
+    // of distributed star contraction would cost 30+ job launches to
+    // resolve it. The threshold is explicit and 0 disables (tests force
+    // the distributed path and assert both agree).
+    if (localLimit > 0) {
+      val sample = edges.limit((localLimit + 1).toInt).collect()
+      if (sample.length <= localLimit) {
+        val idType = pairs.schema(aCol).dataType
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        def lt(x: Any, y: Any): Boolean =
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        sample.foreach { row =>
+          val (a, b) = (row.get(0), row.get(1))
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        }
+        val out = parent.keys.toSeq.map(id =>
+          org.apache.spark.sql.Row(id, find(id)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(out, 1), schema)
+      }
+    }
     var prevSig = (-1L, -1L)
     var converged = false
     var it = 0

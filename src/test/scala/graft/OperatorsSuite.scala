@@ -249,25 +249,31 @@ class DedupSuite extends SparkSpec {
   }
 
   test("connected components: star graphs, multi-round chains, multiple components") {
+    // every graph resolves through BOTH paths — driver union-find (the
+    // small-graph short-circuit) and the distributed star contraction
+    // (localLimit = 0) — and they must agree exactly
+    def ccBoth(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val local = Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dist = Dedup.connectedComponents(pairs, localLimit = 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(local === dist, "local union-find and star contraction must agree")
+      local
+    }
     // star centered on the LARGEST id: pair-drop would keep BOTH leaves
     // (neither 1 nor 2 is ever a pair's larger member) — component
     // resolution keeps exactly the min
-    val star = Seq((1L, 5L), (2L, 5L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(star).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cc = ccBoth(Seq((1L, 5L), (2L, 5L)).toDF("id_a", "id_b"))
     assert(cc === Set((1L, 1L), (2L, 1L), (5L, 1L)))
     val pairDropSurvivors = Set(1L, 2L) // ids never appearing as id_b
     val ccSurvivors = cc.collect { case (id, comp) if id == comp => id }
     assert(ccSurvivors === Set(1L))
     assert(ccSurvivors !== pairDropSurvivors)
     // a 64-node chain forces several contraction rounds
-    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(chain).collect()
-    assert(comps.length === 64 && comps.forall(_.getLong(1) === 1L))
+    val comps = ccBoth((1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    assert(comps.size === 64 && comps.forall(_._2 === 1L))
     // independent components stay independent
-    val two = Seq((10L, 20L), (20L, 30L), (100L, 200L)).toDF("id_a", "id_b")
-    val m = Dedup.connectedComponents(two).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = ccBoth(Seq((10L, 20L), (20L, 30L), (100L, 200L)).toDF("id_a", "id_b")).toMap
     assert(m === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
       100L -> 100L, 200L -> 100L))
   }
