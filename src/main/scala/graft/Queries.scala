@@ -159,6 +159,30 @@ object Queries {
               |  ${droundSql("quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)")} AS p50_price
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- interval join (stream-stream join semantics on batch data) -----
+    // Pairs of orders by the same customer within 7 days — the SAME
+    // Patterns.intervalJoin that powers the watermarked stream-stream join
+    // (StructuredRunnerSuite), oracle-gated here on static frames where
+    // watermarks are no-ops.
+    "q_interval_join" -> QueryDef(
+      (s, d) => {
+        val o1 = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey").as("k1"), col("o_orderdate").as("d1"))
+        val o2 = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey").as("k2"), col("o_orderdate").as("d2"))
+        graft.streaming.Patterns.intervalJoin(o1, "d1", o2, "d2",
+          Seq("o_custkey"), within = "7 days")
+          .filter(col("k1") =!= col("k2"))
+          .select(o1("o_custkey"), col("k1"), col("k2"))
+          .orderBy("o_custkey", "k1", "k2")
+      },
+      Some("""SELECT a.o_custkey AS o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2
+             |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+             |  AND b.o_orderdate >= a.o_orderdate
+             |  AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+             |  AND a.o_orderkey <> b.o_orderkey
+             |ORDER BY o_custkey, k1, k2""".stripMargin)),
+
     // ----- tumbling time window ------------------------------------------
     "q_window_tumbling" -> QueryDef(
       (s, d) => t(s, d, "events")

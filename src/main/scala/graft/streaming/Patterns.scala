@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Patterns {
 
+  /** Watermarked stream-stream interval join (Structured Streaming's
+    * stream-stream inner join): both sides declare watermarks, and the
+    * join condition carries the event-time interval
+    * (`0 <= rightTime - leftTime <= within`), which is what lets the
+    * state store EXPIRE buffered rows — without the time bound every
+    * left row must be kept forever awaiting a future right match, and
+    * state grows unboundedly at stream scale. Works identically on batch
+    * frames (watermarks are then no-ops), so the join semantics are
+    * oracle-testable on static data. */
+  def intervalJoin(
+      left: DataFrame, leftTimeCol: String,
+      right: DataFrame, rightTimeCol: String,
+      keys: Seq[String], within: String,
+      leftWatermark: String = "10 minutes",
+      rightWatermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTimeCol, leftWatermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTimeCol, rightWatermark) else right
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTimeCol) >= l(leftTimeCol) &&
+      r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $within")
+    l.join(r, cond, joinType)
+  }
+
   /** Outcome of a watermark split: rows to process now vs late arrivals. */
   case class WatermarkSplit(onTime: DataFrame, late: DataFrame, watermark: Option[Long])
 

@@ -42,6 +42,43 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches within the window, expires outside it") {
+    import graft.streaming.Patterns
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    withTmpDir { tmp =>
+      val impDir = s"$tmp/imp"; val clkDir = s"$tmp/clk"; val cp = s"$tmp/cp"
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val imps = Seq(
+        (1L, ts("2024-01-01 00:00:00")),
+        (2L, ts("2024-01-01 00:10:00"))).toDF("ad_id", "imp_ts")
+      val clicks = Seq(
+        (1L, ts("2024-01-01 00:02:00")), // 2 min after impression 1 -> match
+        (2L, ts("2024-01-01 00:20:00"))) // 10 min after impression 2 -> outside
+        .toDF("ad_id", "clk_ts")
+      imps.write.parquet(s"$impDir/b0")
+      clicks.write.parquet(s"$clkDir/b0")
+      val l = spark.readStream.schema(imps.schema).parquet(s"$impDir/*")
+      val r = spark.readStream.schema(clicks.schema).parquet(s"$clkDir/*")
+      val joined = Patterns.intervalJoin(l, "imp_ts", r, "clk_ts",
+        Seq("ad_id"), within = "5 minutes")
+      assert(joined.isStreaming, "join of two streams must stay a stream")
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(row =>
+            out += ((row.getLong(0), row.getTimestamp(3).toString)))
+        }
+        .start()
+      q.awaitTermination(120000)
+      assert(out.toSeq === Seq((1L, "2024-01-01 00:02:00.0")),
+        s"exactly the in-window click must join, got $out")
+    }
+  }
+
   test("windowed aggregation with watermark over a stream") {
     withTmpDir { tmp =>
       val in = s"$tmp/in"; val cp = s"$tmp/cp"
