@@ -618,6 +618,35 @@ object Queries {
              |FROM nodes n JOIN reach ON reach.id = n.id
              |GROUP BY n.id ORDER BY n.id""".stripMargin)),
 
+    // ----- explode / unnest ----------------------------------------------
+    "q_explode_tokens" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 50)
+        .orderBy(col("n").desc, col("token")),
+      Some("""SELECT token, COUNT(*) AS n FROM (
+             |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+             |WHERE LEN(token) > 0
+             |GROUP BY token HAVING COUNT(*) >= 50
+             |ORDER BY n DESC, token""".stripMargin)),
+
+    // ----- array aggregation (collect + sort + slice + join) --------------
+    // collect_list is order-nondeterministic in a distributed engine; the
+    // deterministic formulation sorts the collected array before any use —
+    // same rule DuckDB needs (LIST(...) has no inherent order either).
+    "q_array_agg" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 5), ",")
+            .as("first_ids"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:5], ',') AS first_ids
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ----- token counting -------------------------------------------------
     "d_token_count" -> QueryDef(
       (s, d) => t(s, d, "documents")
