@@ -39,6 +39,13 @@ object DeltaAction {
     * exactly-once output from an at-least-once pipeline (delta-spark's
     * `txnAppId`/`txnVersion` idempotent writes). */
   case class Txn(appId: String, version: Long) extends DeltaAction
+  /** The table's protocol requirements. Parsed so reads can REFUSE tables
+    * whose semantics we cannot honor — a reader that ignores
+    * `minReaderVersion`/`readerFeatures` and scans a deletion-vector table
+    * silently RESURFACES deleted rows (every add's parquet is read whole);
+    * wrong answers, not an error. */
+  case class Protocol(minReaderVersion: Int,
+      readerFeatures: Seq[String] = Seq.empty) extends DeltaAction
 }
 
 /** One parsed commit. */
@@ -158,6 +165,9 @@ class DeltaLogReader(conf: Configuration) {
         .toSeq
       val commit = DeltaCommit(version, actions)
       commit.timestampMs.foreach(ts => memoTs(tablePath, Map(version -> ts)))
+      // refuse unreadable protocols at PARSE time so every consumer —
+      // snapshot replay, stats, tailing, CDF — inherits the guard
+      actions.collect { case p: Protocol => p }.foreach(checkProtocol(tablePath, _))
       commit
     } finally reader.close()
   }
@@ -167,19 +177,50 @@ class DeltaLogReader(conf: Configuration) {
       CommitInfo(Jsons.optLong(ci, "timestamp"))
     ).orElse(Jsons.optField(n, "metaData").map(md =>
       MetaData(Jsons.optStr(md, "id").getOrElse(""), Jsons.optStr(md, "schemaString"))
-    )).orElse(Jsons.optField(n, "add").map(a =>
+    )).orElse(Jsons.optField(n, "add").map { a =>
+      // belt and braces under the protocol check: an add smuggling a DV
+      // past a mis-declared protocol must still never be scanned whole
+      if (Jsons.optField(a, "deletionVector").exists(!_.isNull))
+        throw new PlanningError(
+          "add action carries a deletionVector; this engine does not " +
+          "implement DV reads and scanning the file whole would resurface " +
+          "deleted rows")
       AddFile(a.get("path").asText(), Jsons.optLong(a, "size").getOrElse(0L),
         Jsons.optBool(a, "dataChange").getOrElse(true), Jsons.optStr(a, "stats"),
         Jsons.optField(a, "partitionValues").map(pv =>
           Jsons.fields(pv).map { case (k, v) => k -> v.asText() }.toMap)
           .getOrElse(Map.empty))
-    )).orElse(Jsons.optField(n, "remove").map(r =>
+    }).orElse(Jsons.optField(n, "remove").map(r =>
       RemoveFile(r.get("path").asText(), Jsons.optBool(r, "dataChange").getOrElse(true))
     )).orElse(Jsons.optField(n, "cdc").map(c =>
       CdcFile(c.get("path").asText(), Jsons.optLong(c, "size").getOrElse(0L))
     )).orElse(Jsons.optField(n, "txn").map(t =>
       Txn(Jsons.optStr(t, "appId").getOrElse(""),
-        Jsons.optLong(t, "version").getOrElse(-1L))))
+        Jsons.optLong(t, "version").getOrElse(-1L))
+    )).orElse(Jsons.optField(n, "protocol").map(p =>
+      Protocol(Jsons.optLong(p, "minReaderVersion").getOrElse(1L).toInt,
+        Jsons.optField(p, "readerFeatures").map(rf =>
+          Jsons.elems(rf).map(_.asText()).toSeq).getOrElse(Seq.empty))))
+  }
+
+  /** The features this reader actually implements. Protocol v3 tables
+    * list `readerFeatures` explicitly; any feature outside this set (or a
+    * v2 table, whose column-mapping requirement is implicit) must fail
+    * the read — see [[DeltaAction.Protocol]]. */
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint")
+
+  private def checkProtocol(tablePath: String, p: Protocol): Unit = {
+    val unsupported =
+      if (p.minReaderVersion == 3) p.readerFeatures.filterNot(SupportedReaderFeatures)
+      else if (p.minReaderVersion > 1) Seq(s"minReaderVersion=${p.minReaderVersion}")
+      else Seq.empty
+    if (unsupported.nonEmpty)
+      throw new PlanningError(
+        s"delta table $tablePath requires reader capabilities this engine " +
+        s"does not implement (${unsupported.mkString(", ")}); refusing to " +
+        "read rather than return wrong rows (e.g. deletion-vector tables " +
+        "would resurface deleted data)")
   }
 
   // ---- parquet checkpoints (delta protocol `_last_checkpoint`) -----------
@@ -244,6 +285,11 @@ class DeltaLogReader(conf: Configuration) {
   private def boolField(g: Group, f: String): Option[Boolean] =
     if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
       Some(g.getBoolean(f, 0)) else None
+  private def intField(g: Group, f: String): Option[Int] =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      scala.util.Try(g.getInteger(f, 0)).toOption
+        .orElse(scala.util.Try(g.getLong(f, 0).toInt).toOption)
+    else None
 
   /** Read the add/remove/metaData actions out of a checkpoint's parquet
     * part files (one row per action, each action kind a nullable struct
@@ -276,6 +322,13 @@ class DeltaLogReader(conf: Configuration) {
           grpField(rec, "txn").foreach { t =>
             strField(t, "appId").foreach(app =>
               out += Txn(app, longField(t, "version").getOrElse(-1L)))
+          }
+          grpField(rec, "protocol").foreach { p =>
+            val v = intField(p, "minReaderVersion").getOrElse(1)
+            // the example-API reader can't parse the readerFeatures list;
+            // features unknown -> conservatively unreadable for v3
+            if (v > 1) checkProtocol(tablePath,
+              Protocol(v, Seq(s"checkpoint-declared v$v, features unreadable")))
           }
         }
       } finally reader.close()

@@ -146,6 +146,33 @@ class DeltaLogReaderSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("deletion-vector / v3 protocol tables are refused, not silently misread") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/t1"
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"]}}""",
+        ci(0), meta(), add("a.parquet"))
+      val e = intercept[PlanningError](new DeltaLogReader(hconf).snapshotState(t, 0))
+      assert(e.getMessage.contains("deletionVectors"))
+      // v2 (implicit column mapping) also refused
+      val t2 = s"$tmp/t2"
+      writeLog(t2, 0, """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), meta(), add("a.parquet"))
+      intercept[PlanningError](new DeltaLogReader(hconf).snapshotState(t2, 0))
+      // v3 with only features we implement reads fine
+      val t3 = s"$tmp/t3"
+      writeLog(t3, 0,
+        """{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["timestampNtz"]}}""",
+        ci(0), meta(), add("a.parquet"))
+      assert(new DeltaLogReader(hconf).snapshotState(t3, 0).size === 1)
+      // an add smuggling a DV past a mis-declared protocol is caught too
+      val t4 = s"$tmp/t4"
+      writeLog(t4, 0, ci(0), meta(),
+        """{"add": {"path": "a.parquet", "size": 1, "dataChange": true, "deletionVector": {"storageType": "u", "pathOrInlineDv": "x", "offset": 1, "sizeInBytes": 1, "cardinality": 1}}}""")
+      intercept[PlanningError](new DeltaLogReader(hconf).snapshotState(t4, 0))
+    }
+  }
+
   test("snapshot cache: written at multiples of SnapshotEvery and reused") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
