@@ -190,6 +190,37 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("connected components equal reference union-find on random graphs") {
+    // random edge lists over a small id space force every shape — stars,
+    // chains, cycles, forests, self-loops, parallel edges — through the
+    // distributed star contraction, checked against an independent
+    // in-test union-find
+    val edgeGen = Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L))
+    forAllSampled(Gen.nonEmptyListOf(edgeGen).map(_.take(40)), 6) { edgeList =>
+      val edges = edgeList.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: classic union-find
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val expected = parent.keys.map(id => id -> find(id)).toMap
+        // distributed star contraction (localLimit=0 forces it)
+        val got = graft.operators.Dedup
+          .connectedComponents(edges.toDF("id_a", "id_b"), localLimit = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"edges=$edges")
+      }
+    }
+  }
+
   test("bounded buckets never exceed the cap for random bucket assignments") {
     forAllSampled(Gen.zip(Gen.choose(1, 200), Gen.choose(1, 5), Gen.choose(1, 20)), 8) {
       case (nRows, nBuckets, cap) =>
