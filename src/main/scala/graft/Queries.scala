@@ -183,6 +183,36 @@ object Queries {
              |  AND a.o_orderkey <> b.o_orderkey
              |ORDER BY o_custkey, k1, k2""".stripMargin)),
 
+    // ----- as-of join (vs DuckDB's NATIVE ASOF JOIN) ---------------------
+    // Every purchase matched to the user's latest click at or before it.
+    // The right side dedups per (user, ts) first — "latest row at t" is
+    // ambiguous under duplicate timestamps in any engine.
+    "q_asof_join" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("value").as("value"))
+        graft.operators.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"),
+          "ts", "ts", rightCols = Seq("ts", "value"))
+          .select(col("user_id"), col("event_id"),
+            // microsecond precision for the oracle compare: DuckDB's
+            // timestamp arithmetic is µs even on TIMESTAMP_NS columns
+            expr("asof_ts div 1000").as("click_ts"),
+            dround(col("asof_value")).as("click_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT p.user_id AS user_id, p.event_id AS event_id,
+              |  CAST(epoch_us(c.ts) AS BIGINT) AS click_ts,
+              |  ${droundSql("c.value")} AS click_value
+              |FROM (SELECT user_id, event_id, ts FROM events
+              |      WHERE event_type = 'purchase') p
+              |ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+              |                WHERE event_type = 'click' GROUP BY 1, 2) c
+              |  ON p.user_id = c.user_id AND c.ts <= p.ts
+              |ORDER BY user_id, event_id""".stripMargin)),
+
     // ----- tumbling time window ------------------------------------------
     "q_window_tumbling" -> QueryDef(
       (s, d) => t(s, d, "events")

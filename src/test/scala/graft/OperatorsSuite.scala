@@ -478,6 +478,33 @@ class SimilaritySuite extends SparkSpec {
   }
 }
 
+class AsofJoinSuite extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsofJoin
+
+  test("asof join picks the latest right row at or before each left time") {
+    val trades = Seq(
+      ("A", 10L, 100.0), ("A", 20L, 101.0), ("B", 15L, 50.0))
+      .toDF("sym", "t", "px")
+    val quotes = Seq(
+      ("A", 5L, 99.0), ("A", 10L, 99.5), ("A", 18L, 100.5), // t=10 tie matches
+      ("B", 99L, 48.0))                                     // after B's trade
+      .toDF("sym", "t", "bid")
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "t",
+      rightCols = Seq("t", "bid"))
+      .orderBy("sym", "t")
+      .select("sym", "t", "px", "asof_t", "asof_bid").collect()
+    // A@10: tie -> quote@10; A@20: quote@18; B@15: nothing before -> nulls
+    assert(out(0).getLong(3) === 10L && out(0).getDouble(4) === 99.5)
+    assert(out(1).getLong(3) === 18L && out(1).getDouble(4) === 100.5)
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+    // inner variant drops the unmatched left row
+    val inner = AsofJoin.asofJoinInner(trades, quotes, Seq("sym"), "t", "t",
+      rightCols = Seq("t", "bid"))
+    assert(inner.count() === 2)
+  }
+}
+
 class ZOrderSuite extends SparkSpec {
   import spark.implicits._
   import graft.operators.ZOrder
