@@ -183,6 +183,46 @@ object Queries {
              |  AND a.o_orderkey <> b.o_orderkey
              |ORDER BY o_custkey, k1, k2""".stripMargin)),
 
+    // ----- distinct-count aggregation ------------------------------------
+    "q_count_distinct" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+             |  COUNT(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- set operations: intersect / except ----------------------------
+    "q_set_ops" -> QueryDef(
+      (s, d) => {
+        val customers = t(s, d, "customer").select(col("c_custkey").as("k"))
+        val buyers = t(s, d, "orders").select(col("o_custkey").as("k"))
+        customers.intersect(buyers).withColumn("op", lit("both"))
+          .unionByName(customers.except(buyers).withColumn("op", lit("never_ordered")))
+          .orderBy("op", "k")
+      },
+      Some("""SELECT k, op FROM (
+             |  SELECT c_custkey AS k, 'both' AS op FROM customer
+             |  INTERSECT SELECT o_custkey, 'both' FROM orders
+             |  UNION ALL
+             |  SELECT * FROM (
+             |    SELECT c_custkey AS k, 'never_ordered' AS op FROM customer
+             |    EXCEPT SELECT o_custkey, 'never_ordered' FROM orders))
+             |ORDER BY op, k""".stripMargin)),
+
+    // ----- pivot (fixed value set) ---------------------------------------
+    "q_pivot" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag").pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+              |  ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- as-of join (vs DuckDB's NATIVE ASOF JOIN) ---------------------
     // Every purchase matched to the user's latest click at or before it.
     // The right side dedups per (user, ts) first — "latest row at t" is
