@@ -204,16 +204,17 @@ class DeltaLogReader(conf: Configuration) {
   }
 
   /** The features this reader actually implements. Protocol v3 tables
-    * list `readerFeatures` explicitly; any feature outside this set (or a
-    * v2 table, whose column-mapping requirement is implicit) must fail
-    * the read — see [[DeltaAction.Protocol]]. */
+    * list `readerFeatures` explicitly; any feature outside this set must
+    * fail the read — see [[DeltaAction.Protocol]]. v2 (= column mapping,
+    * implicit) is readable: [[DeltaWriter]] resolves flat name-mapped
+    * schemas via field-metadata physical names. */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint")
+    Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint", "columnMapping")
 
   private def checkProtocol(tablePath: String, p: Protocol): Unit = {
     val unsupported =
       if (p.minReaderVersion == 3) p.readerFeatures.filterNot(SupportedReaderFeatures)
-      else if (p.minReaderVersion > 1) Seq(s"minReaderVersion=${p.minReaderVersion}")
+      else if (p.minReaderVersion > 3) Seq(s"minReaderVersion=${p.minReaderVersion}")
       else Seq.empty
     if (unsupported.nonEmpty)
       throw new PlanningError(
@@ -326,8 +327,9 @@ class DeltaLogReader(conf: Configuration) {
           grpField(rec, "protocol").foreach { p =>
             val v = intField(p, "minReaderVersion").getOrElse(1)
             // the example-API reader can't parse the readerFeatures list;
-            // features unknown -> conservatively unreadable for v3
-            if (v > 1) checkProtocol(tablePath,
+            // features unknown -> conservatively unreadable for v3 (v2 =
+            // column mapping, which the writer resolves at scan time)
+            if (v > 2) checkProtocol(tablePath,
               Protocol(v, Seq(s"checkpoint-declared v$v, features unreadable")))
           }
         }

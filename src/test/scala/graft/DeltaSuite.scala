@@ -154,11 +154,11 @@ class DeltaLogReaderSuite extends SparkSpec with DeltaFixtures {
         ci(0), meta(), add("a.parquet"))
       val e = intercept[PlanningError](new DeltaLogReader(hconf).snapshotState(t, 0))
       assert(e.getMessage.contains("deletionVectors"))
-      // v2 (implicit column mapping) also refused
+      // v2 (column mapping) is READABLE — scan-time name resolution
       val t2 = s"$tmp/t2"
       writeLog(t2, 0, """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
         ci(0), meta(), add("a.parquet"))
-      intercept[PlanningError](new DeltaLogReader(hconf).snapshotState(t2, 0))
+      assert(new DeltaLogReader(hconf).snapshotState(t2, 0).size === 1)
       // v3 with only features we implement reads fine
       val t3 = s"$tmp/t3"
       writeLog(t3, 0,
@@ -640,6 +640,54 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(w.read(t).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
         === data.sorted)
       assert(new DeltaLogReader(conf).latestVersion(t) === Some(v))
+    }
+  }
+
+  test("column-mapped tables read with logical names; nested mapping refused") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // data lives under physical col-<uuid> names, as delta-spark writes
+      // for columnMapping.mode=name
+      Seq((1L, "a"), (2L, "b")).toDF("col-111-aaa", "col-222-bbb")
+        .coalesce(1).write.parquet(s"$tmp/stage")
+      val part = new File(s"$tmp/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(t))
+      Files.move(part.toPath, Paths.get(t, "data.parquet"))
+      def mapped(name: String, phys: String, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", 1L).build())
+      val logical = StructType(Seq(
+        mapped("id", "col-111-aaa", LongType),
+        mapped("s", "col-222-bbb", StringType)))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-table"); md.put("schemaString", logical.json)
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""",
+        add("data.parquet"))
+      val w = writer
+      val out = w.read(t).orderBy("id")
+      assert(out.columns.toSeq === Seq("id", "s"), "logical names must surface")
+      assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (2L, "b")))
+      // skipping path resolves too (no stats -> full scan, correct rows)
+      assert(w.readSkipping(t, Map("id" -> (Some(0d), Some(9d)))).count() === 2)
+      // nested mapped schema -> loud refusal, not wrong columns
+      val t2 = s"$tmp/t2"
+      val nested = StructType(Seq(
+        mapped("top", "col-1", LongType),
+        StructField("obj", StructType(Seq(mapped("inner", "col-2", LongType))))))
+      val md2 = graft.util.Jsons.obj()
+      md2.put("id", "cm-nested"); md2.put("schemaString", nested.json)
+      Files.createDirectories(Paths.get(t2))
+      writeLog(t2, 0, s"""{"metaData": ${graft.util.Jsons.render(md2)}}""",
+        ci(0), add("data.parquet"))
+      touchData(t2, "data.parquet")
+      intercept[GraftError](new DeltaWriter(spark, conf).read(t2).collect())
     }
   }
 
