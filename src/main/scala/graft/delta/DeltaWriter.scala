@@ -124,54 +124,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
   }
 
-  private val PhysicalNameKey = "delta.columnMapping.physicalName"
-
-  /** Read column-mapped files (delta `columnMapping.mode` name/id — both
-    * store data under physical `col-<uuid>` names with the logical name
-    * only in the schemaString's field metadata): scan with the PHYSICAL
-    * schema, project back to logical names. Flat schemas only — a nested
-    * mapped field or a mapped partitioned layout is refused rather than
-    * misread. */
-  private def scanMapped(files: Seq[String], declared: StructType,
-      partitioned: Boolean): DataFrame = {
-    def nestedMapped(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case st: StructType => st.fields.exists(f =>
-        f.metadata.contains(PhysicalNameKey) || nestedMapped(f.dataType))
-      case org.apache.spark.sql.types.ArrayType(et, _) => nestedMapped(et)
-      case org.apache.spark.sql.types.MapType(k, v, _) =>
-        nestedMapped(k) || nestedMapped(v)
-      case _ => false
-    }
-    if (declared.fields.exists(f => nestedMapped(f.dataType)))
-      throw new GraftError(
-        "column-mapped NESTED schemas are not supported; refusing to read " +
-        "rather than resolve nested fields wrong")
-    if (partitioned)
-      throw new GraftError(
-        "column-mapped partitioned tables are not supported (partition dirs " +
-        "use physical names); refusing to read rather than misattribute")
-    def phys(f: org.apache.spark.sql.types.StructField): String =
-      if (f.metadata.contains(PhysicalNameKey))
-        f.metadata.getString(PhysicalNameKey) else f.name
-    val physSchema = StructType(declared.fields.map(f =>
-      org.apache.spark.sql.types.StructField(phys(f), f.dataType, f.nullable)))
-    import org.apache.spark.sql.functions.col
-    spark.read.schema(physSchema).parquet(files: _*)
-      .select(declared.fields.toSeq.map(f => col(s"`${phys(f)}`").as(f.name)): _*)
-  }
-
   private def scanFiles(tablePath: String, files: Seq[String]): DataFrame = {
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         declared.getOrElse(new StructType()))
-    declared.filter(_.fields.exists(_.metadata.contains(PhysicalNameKey)))
-      .foreach { s =>
-        val partitioned0 =
-          files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
-        return scanMapped(files, s, partitioned0)
-      }
+    declared.filter(ColumnMapping.isMapped).foreach { s =>
+      return ColumnMapping.readMapped(spark, files, s,
+        partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('='))))
+    }
     // hive-layout tables: partition columns live in the directory names,
     // not the data files — read with basePath so Spark re-materializes
     // them, then align to the declared schema's column order/types

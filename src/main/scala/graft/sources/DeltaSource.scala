@@ -370,11 +370,21 @@ class DeltaSource(
   /** Hive-partitioned tables keep their partition columns: a path with a
     * `col=value` dir segment reads with `basePath` so Spark re-materializes
     * them (plain file reads would silently drop those columns from every
-    * streamed batch). */
+    * streamed batch). Column-mapped tables resolve physical `col-<uuid>`
+    * names to logical ones ([[graft.delta.ColumnMapping]] — a raw read
+    * would stream wrong column names); schema lookup is memo-amortized. */
   private def readDataFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val partitioned = paths.exists(_.split('/').dropRight(1).exists(_.contains('=')))
-    if (partitioned) spark.read.option("basePath", tablePath).parquet(paths: _*)
-    else spark.read.parquet(paths: _*)
+    val mapped = checkpoint.log.tableSchemaString(tablePath)
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .filter(graft.delta.ColumnMapping.isMapped)
+    mapped match {
+      case Some(s) => graft.delta.ColumnMapping.readMapped(spark, paths, s, partitioned)
+      case None =>
+        if (partitioned) spark.read.option("basePath", tablePath).parquet(paths: _*)
+        else spark.read.parquet(paths: _*)
+    }
   }
 
   /** CDF read: cdc files already carry `_change_type`; insert-fallback adds

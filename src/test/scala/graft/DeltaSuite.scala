@@ -676,6 +676,13 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
         Seq((1L, "a"), (2L, "b")))
       // skipping path resolves too (no stats -> full scan, correct rows)
       assert(w.readSkipping(t, Map("id" -> (Some(0d), Some(9d)))).count() === 2)
+      // the STREAMING source resolves the mapping as well — a raw read
+      // would stream physical col-uuid names
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(s"$tmp/cp", conf))
+      val b = src.planBatch().get
+      val sdf = src.readBatch(spark, b)
+      assert(sdf.columns.toSeq === Seq("id", "s"), s"streamed: ${sdf.columns.toSeq}")
+      assert(sdf.count() === 2)
       // nested mapped schema -> loud refusal, not wrong columns
       val t2 = s"$tmp/t2"
       val nested = StructType(Seq(
