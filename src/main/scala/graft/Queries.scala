@@ -265,6 +265,26 @@ object Queries {
               |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
               |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)),
 
+    // ----- sliding time window -------------------------------------------
+    // Spark's window(ts, 1h, 30m) assigns each event to the two 30m-aligned
+    // windows covering it; the oracle reconstructs exactly those starts.
+    "q_window_sliding" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .groupBy(window(tsCol, "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_events"))
+        .orderBy("window_start"),
+      Some("""SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  COUNT(*) AS n_events FROM (
+             |  SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS ws
+             |  FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+             |    - INTERVAL 30 MINUTE AS ws
+             |  FROM events)
+             |GROUP BY ws ORDER BY window_start""".stripMargin)),
+
     // ----- batch sessionization (session_window; oracle = lag/cumsum) ----
     // Spark's gap-based session window vs the classic SQL formulation: a
     // new session starts when the gap to the previous event is >= 30 min
