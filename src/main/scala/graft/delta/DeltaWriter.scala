@@ -241,6 +241,13 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
     val existingSchema = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    // writing into a column-mapped table would store LOGICAL names in the
+    // data files — real delta readers resolve physical names and would see
+    // nulls; refuse rather than corrupt a foreign table
+    if (existingSchema.exists(ColumnMapping.isMapped))
+      throw new GraftError(
+        s"table $tablePath uses delta column mapping; this writer reads " +
+        "such tables but will not write them")
     val outSchema = existingSchema match {
       case Some(es) if mode == DeltaWriteMode.Append =>
         val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))

@@ -683,6 +683,10 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       val sdf = src.readBatch(spark, b)
       assert(sdf.columns.toSeq === Seq("id", "s"), s"streamed: ${sdf.columns.toSeq}")
       assert(sdf.count() === 2)
+      // writes into a mapped table are refused (logical names in data
+      // files would corrupt it for physical-name readers)
+      intercept[GraftError](w.write(Seq((3L, "c")).toDF("id", "s"), t,
+        DeltaWriteMode.Append))
       // nested mapped schema -> loud refusal, not wrong columns
       val t2 = s"$tmp/t2"
       val nested = StructType(Seq(
