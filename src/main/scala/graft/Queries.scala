@@ -183,6 +183,23 @@ object Queries {
              |  AND a.o_orderkey <> b.o_orderkey
              |ORDER BY o_custkey, k1, k2""".stripMargin)),
 
+    // ----- higher-order array functions (filter/transform lambdas) -------
+    "q_array_hof" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(filter(col("toks"), t => length(t) > 5)).cast("long").as("n_long"),
+          array_join(
+            slice(array_sort(filter(col("toks"), t => length(t) > 5)), 1, 3), "|")
+            .as("first_long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  LEN(list_filter(string_split(text, ' '), t -> LEN(t) > 5)) AS n_long,
+             |  ARRAY_TO_STRING(
+             |    LIST_SORT(list_filter(string_split(text, ' '), t -> LEN(t) > 5))[1:3],
+             |    '|') AS first_long
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- distinct-count aggregation ------------------------------------
     "q_count_distinct" -> QueryDef(
       (s, d) => t(s, d, "lineitem")

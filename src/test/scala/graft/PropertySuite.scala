@@ -221,6 +221,35 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("asof join equals the per-row reference on random series") {
+    val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))
+    forAllSampled(Gen.zip(Gen.listOfN(15, rowGen), Gen.listOfN(15, rowGen)), 6) {
+      case (leftRows0, rightRows0) =>
+        val leftRows = leftRows0.distinct
+        // right side must be unique per (key, time): "latest row at t" is
+        // ambiguous otherwise (the operator's documented precondition)
+        val rightRows = rightRows0.distinct
+          .groupBy(identity).keys.toSeq
+          .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+        if (leftRows.nonEmpty && rightRows.nonEmpty) {
+          val left = leftRows.toDF("k", "t")
+          val right = rightRows.toDF("k", "t", "v")
+          val got = graft.operators.AsofJoin
+            .asofJoin(left, right, Seq("k"), "t", "t", rightCols = Seq("v"))
+            .collect()
+            .map(r => ((r.getLong(0), r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+          leftRows.foreach { case (k, t) =>
+            val expected = rightRows.filter(r => r._1 == k && r._2 <= t)
+              .sortBy(_._2).lastOption.map(_._3)
+            assert(got((k, t)) === expected,
+              s"left=($k,$t) right=$rightRows")
+          }
+        }
+    }
+  }
+
   test("bounded buckets never exceed the cap for random bucket assignments") {
     forAllSampled(Gen.zip(Gen.choose(1, 200), Gen.choose(1, 5), Gen.choose(1, 20)), 8) {
       case (nRows, nBuckets, cap) =>
