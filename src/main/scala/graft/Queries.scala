@@ -195,9 +195,9 @@ object Queries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  LEN(list_filter(string_split(text, ' '), t -> LEN(t) > 5)) AS n_long,
-             |  ARRAY_TO_STRING(
+             |  COALESCE(ARRAY_TO_STRING(
              |    LIST_SORT(list_filter(string_split(text, ' '), t -> LEN(t) > 5))[1:3],
-             |    '|') AS first_long
+             |    '|'), '') AS first_long
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----- distinct-count aggregation ------------------------------------
