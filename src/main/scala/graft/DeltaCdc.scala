@@ -44,6 +44,11 @@ case class MergeResult(
   * dereferenced in the log commit, never deleted before the new parts land.
   */
 object DeltaCdc {
+  /** `txn`: an optional SetTransaction (appId, batchVersion) stamped onto
+    * the SAME commit as the merge — the atomic watermark that lets an
+    * at-least-once caller skip replayed batches with
+    * [[graft.delta.DeltaWriter.lastTxnVersion]] (no window where data
+    * landed without its watermark). */
   def applyCdcDelta(
       spark: SparkSession,
       changes: DataFrame,
@@ -53,7 +58,8 @@ object DeltaCdc {
       changeCol: String = Cdc.ChangeTypeCol,
       changeTypeMap: Map[String, String] = Map.empty,
       dropDeletes: Boolean = false,
-      emitCdf: Boolean = false): MergeResult = {
+      emitCdf: Boolean = false,
+      txn: Option[(String, Long)] = None): MergeResult = {
     val writer = new DeltaWriter(spark, spark.sparkContext.hadoopConfiguration)
     val normalized = Cdc.normalizeChangeTypes(changes, changeCol, changeTypeMap)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -74,7 +80,7 @@ object DeltaCdc {
             changeCol, Map.empty, dropDeletes)
             .observe(outObs, count(lit(1)).as("rows_out"))
           writer.write(payload, tablePath, DeltaWriteMode.Append,
-            mergeSchema = true, cdfChanges = cdf)
+            mergeSchema = true, cdfChanges = cdf, txn = txn)
           val rowsOut = outObs.get("rows_out").asInstanceOf[Long]
           MergeResult(rowsIn, rowsOut, "append", changeTypes)
         case CdcMode.Merge if !writer.tableExists(tablePath) =>
@@ -82,7 +88,7 @@ object DeltaCdc {
             changeCol, Map.empty, dropDeletes)
             .observe(outObs, count(lit(1)).as("rows_out"))
           writer.write(merged, tablePath, DeltaWriteMode.Overwrite,
-            mergeSchema = true, cdfChanges = cdf)
+            mergeSchema = true, cdfChanges = cdf, txn = txn)
           MergeResult(rowsIn, outObs.get("rows_out").asInstanceOf[Long],
             "merge", changeTypes)
 
@@ -98,7 +104,7 @@ object DeltaCdc {
             changeCol, Map.empty, dropDeletes)
             .observe(outObs, count(lit(1)).as("rows_out"))
           writer.replaceFiles(merged, tablePath, touched.map(_.path),
-            mergeSchema = true, cdfChanges = cdf)
+            mergeSchema = true, cdfChanges = cdf, txn = txn)
           val written = outObs.get("rows_out").asInstanceOf[Long]
           val carried = untouched.map(numRecordsOf(_).getOrElse(0L)).sum
           MergeResult(rowsIn, written + carried, "merge", changeTypes)

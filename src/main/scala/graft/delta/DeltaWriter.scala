@@ -189,9 +189,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * forward — no rewrite, no re-add). The table keeps its partitioning. */
   def replaceFiles(df: DataFrame, tablePath: String, removePaths: Seq[String],
       mergeSchema: Boolean = false,
-      cdfChanges: Option[DataFrame] = None): Long =
+      cdfChanges: Option[DataFrame] = None,
+      txn: Option[(String, Long)] = None): Long =
     writeImpl(df, tablePath, DeltaWriteMode.Append, mergeSchema, cdfChanges,
-      Seq.empty, explicitRemoves = Some(removePaths), operation = "MERGE")
+      Seq.empty, explicitRemoves = Some(removePaths), operation = "MERGE",
+      txn = txn)
 
   /** Write `df` to the table; returns the committed version. `partitionBy`
     * lays data out hive-style (`col=value` dirs directly under the table
