@@ -758,9 +758,13 @@ object Queries {
     "d_token_count" -> QueryDef(
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.tokenCountBpeIsh(col("text")).as("n_bpe"),
           col("n_chars"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens, n_chars
+      Some("""SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             |  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |    AS n_bpe,
+             |  n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----- quality scoring ------------------------------------------------

@@ -18,10 +18,14 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish sub-word token estimate: words + punctuation clusters counted
-    * separately (a cheap stand-in for a real tokenizer's token count). */
+  /** BPE-ish sub-word token estimate: letter runs, digit runs, and single
+    * punctuation marks counted separately — the GPT-2 pre-tokenizer's
+    * split classes, as a cheap stand-in for a real tokenizer's count. The
+    * pattern avoids lookarounds so Java regex (Spark) and RE2 (DuckDB)
+    * agree token for token — what makes it oracle-testable. */
   def tokenCountBpeIsh(text: Column): Column =
-    size(filter(split(text, """(?<=\W)|(?=\W)"""), t => length(trim(t)) > 0))
+    size(regexp_extract_all(text,
+      lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0))).cast("long")
 
   /** Ratio of characters that are punctuation, rounded to 4 decimals. */
   def punctRatio(text: Column): Column =
