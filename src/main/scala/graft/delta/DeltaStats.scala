@@ -150,6 +150,20 @@ object DeltaStats {
     state.values.toSeq.sortBy(_.path)
   }
 
+  /** Exact partition-value pruning for EQUALITY predicates — the string
+    * case `prune`'s numeric intervals can't express (a `lang=en` dir on a
+    * language-partitioned corpus). A file is kept iff its
+    * `partitionValues` entry equals the requested value for every listed
+    * column; files without the partition column (unpartitioned tables,
+    * other layouts) are KEPT — skipping stays an optimization, never a
+    * filter. */
+  def prunePartitions(adds: Seq[DeltaAction.AddFile],
+      equals: Map[String, String]): (Seq[DeltaAction.AddFile], Int) = {
+    val kept = adds.filter(a =>
+      equals.forall { case (k, v) => a.partitionValues.get(k).forall(_ == v) })
+    (kept, adds.size - kept.size)
+  }
+
   /** Numeric interval per column: files whose [min,max] cannot intersect
     * every requested interval are skipped; files lacking stats for a
     * requested column are KEPT (skipping is an optimization, never a

@@ -124,6 +124,20 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
   }
 
+  /** Partition-pruned read by exact partition VALUES (string equality —
+    * the case numeric-interval `readSkipping` can't express): only files
+    * in the matching `col=value` dirs are scheduled. */
+  def readPartitions(tablePath: String, equal: Map[String, String],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val latest = log.latestVersion(tablePath)
+      .orElse(log.listCheckpoints(tablePath).lastOption.map(_.version))
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val version = versionAsOf.getOrElse(latest)
+    val adds = DeltaStats.activeAdds(log, tablePath, version)
+    val (kept, _) = DeltaStats.prunePartitions(adds, equal)
+    scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
+  }
+
   private def scanFiles(tablePath: String, files: Seq[String]): DataFrame = {
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])

@@ -948,6 +948,27 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("string partition values prune exactly via readPartitions") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      val langs = Seq("en", "de", "fr")
+      w.write((0L until 90L).map(i => (i, langs((i % 3).toInt), s"t$i"))
+        .toDF("id", "lang", "text"), t, DeltaWriteMode.Append,
+        partitionBy = Seq("lang"))
+      val en = w.readPartitions(t, Map("lang" -> "en"))
+      assert(en.inputFiles.forall(_.contains("lang=en")),
+        s"unpruned: ${en.inputFiles.filterNot(_.contains("lang=en")).toSeq}")
+      assert(en.count() === 30)
+      assert(en.select("lang").distinct().collect().map(_.getString(0)).toSeq === Seq("en"))
+      // unknown partition value -> empty, still with the declared schema
+      val none = w.readPartitions(t, Map("lang" -> "xx"))
+      assert(none.count() === 0 && none.columns.toSeq === Seq("id", "lang", "text"))
+      // a non-partition column can't prune (kept, never filtered)
+      assert(w.readPartitions(t, Map("nope" -> "v")).count() === 90)
+    }
+  }
+
   test("delta source streams partitioned tables with partition columns intact") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"; val cp = s"$tmp/cp"
