@@ -164,6 +164,46 @@ object DeltaStats {
     (kept, adds.size - kept.size)
   }
 
+  /** Lexicographic string-interval pruning — the complement of `prune`
+    * for string-keyed columns (ISO dates, id prefixes, hostnames): a file
+    * is skipped when its [min,max] string stats cannot intersect every
+    * requested inclusive interval. Files without usable stats for a
+    * column are KEPT; string partition values prune as exact points. */
+  def pruneStrings(adds: Seq[DeltaAction.AddFile],
+      ranges: Map[String, (Option[String], Option[String])])
+      : (Seq[DeltaAction.AddFile], Int) = {
+    def text(n: JsonNode): Option[String] =
+      if (n != null && n.isTextual) Some(n.asText()) else None
+    def partitionKeeps(a: DeltaAction.AddFile): Boolean =
+      ranges.forall { case (colName, (lo, hi)) =>
+        a.partitionValues.get(colName) match {
+          case Some(point) => lo.forall(point >= _) && hi.forall(point <= _)
+          case None => true
+        }
+      }
+    val kept = adds.filter { a =>
+      partitionKeeps(a) &&
+      a.stats.forall { s =>
+        val parsed = try Some(Jsons.parse(s)) catch { case NonFatal(_) => None }
+        parsed.forall { st =>
+          ranges.forall { case (colName, (lo, hi)) =>
+            val mn = Jsons.optField(st, "minValues").map(_.get(colName)).flatMap(text)
+            val mx = Jsons.optField(st, "maxValues").map(_.get(colName)).flatMap(text)
+            (mn, mx) match {
+              // NOTE: long string maxima are truncated out of the stats at
+              // write time (MaxStatString), which drops the column from
+              // both maps — so a present max is exact and safe to compare
+              case (Some(fileMin), Some(fileMax)) =>
+                lo.forall(fileMax >= _) && hi.forall(fileMin <= _)
+              case _ => true
+            }
+          }
+        }
+      }
+    }
+    (kept, adds.size - kept.size)
+  }
+
   /** Numeric interval per column: files whose [min,max] cannot intersect
     * every requested interval are skipped; files lacking stats for a
     * requested column are KEPT (skipping is an optimization, never a

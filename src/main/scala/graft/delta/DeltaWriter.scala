@@ -124,6 +124,21 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
   }
 
+  /** String-interval data-skipping read (lexicographic bounds — ISO
+    * dates, id prefixes): files whose string stats can't intersect every
+    * inclusive range are never scheduled. */
+  def readSkippingStrings(tablePath: String,
+      ranges: Map[String, (Option[String], Option[String])],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val latest = log.latestVersion(tablePath)
+      .orElse(log.listCheckpoints(tablePath).lastOption.map(_.version))
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val version = versionAsOf.getOrElse(latest)
+    val adds = DeltaStats.activeAdds(log, tablePath, version)
+    val (kept, _) = DeltaStats.pruneStrings(adds, ranges)
+    scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
+  }
+
   /** Partition-pruned read by exact partition VALUES (string equality —
     * the case numeric-interval `readSkipping` can't express): only files
     * in the matching `col=value` dirs are scheduled. */

@@ -948,6 +948,28 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("string-interval skipping schedules only lexically intersecting files") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      // 4 files with disjoint ISO-date ranges via range partitioning
+      val days = (0 until 120).map(i => (i.toLong, f"2024-01-${i % 30 + 1}%02d"))
+      w.write(days.toDF("id", "day").repartitionByRange(4, col("day")),
+        t, DeltaWriteMode.Append)
+      val jan5to8 = w.readSkippingStrings(t,
+        Map("day" -> (Some("2024-01-05"), Some("2024-01-08"))))
+      assert(jan5to8.inputFiles.length < 4,
+        s"no file skipped: ${jan5to8.inputFiles.length}")
+      assert(jan5to8.filter(col("day").between("2024-01-05", "2024-01-08"))
+        .count() === 16)
+      // unbounded keeps all; unknown column can't skip
+      assert(w.readSkippingStrings(t, Map("day" -> (None, None)))
+        .inputFiles.length === 4)
+      assert(w.readSkippingStrings(t, Map("nope" -> (Some("a"), Some("b"))))
+        .inputFiles.length === 4)
+    }
+  }
+
   test("string partition values prune exactly via readPartitions") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"

@@ -78,6 +78,22 @@ class PlanSuite extends SparkSpec {
     assert(hasCodegen(plan), "signature computation must stay inside codegen")
   }
 
+  test("asof join costs one hash exchange, not a range self-join") {
+    assume(available)
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val left = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val right = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val plan = finalPlanOf(graft.operators.AsofJoin.asofJoin(
+      left, right, Seq("user_id"), "ts", "ts", rightCols = Seq("value")))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size <= 2,
+      s"asof join must be union+window, not a join explosion:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "asof join must never plan a nested-loop/cartesian join")
+  }
+
   test("token stats run in one codegen pass with no hash exchange") {
     assume(available)
     val plan = finalPlanOf(Queries.defs("d_token_count").build(spark, sfDir))
