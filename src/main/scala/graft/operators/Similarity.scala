@@ -64,6 +64,30 @@ object Similarity {
       when(dot(vec, typedlit(srpPlane(p, dims))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Symmetric int8 quantization of an embedding column — the storage and
+    * shuffle-bandwidth lever a 100 TB embedding corpus needs (4× smaller
+    * than float32; unit-norm dot products stay within ~1%). Per-vector
+    * scale = max|x|/127 rides along in `scaleCol`; all-zero vectors
+    * quantize to zeros with scale 0. Pure codegen higher-order functions —
+    * no UDF, no shuffle, columnar in and out. */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+      outCol: String = "q", scaleCol: String = "q_scale"): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0f),
+      (acc, x) => greatest(acc, abs(x)))
+    df.withColumn(scaleCol, (maxAbs / 127f).cast("float"))
+      .withColumn(outCol,
+        when(col(scaleCol) === 0f,
+          transform(col(vecCol), _ => lit(0).cast("byte")))
+        .otherwise(transform(col(vecCol),
+          x => round(x / col(scaleCol)).cast("byte"))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: reconstruct approximate float vectors. */
+  def dequantizeInt8(df: DataFrame, qCol: String, scaleCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol,
+      transform(col(qCol), b => (b.cast("float") * col(scaleCol)).cast("float")))
+
   /** Deterministic quantizer init: the `nlist` corpus vectors with the
     * smallest xxhash64(id) — no stored model, reproducible across runs.
     * O(nlist·dims) driver memory: the model, never the data. */

@@ -464,6 +464,27 @@ class SimilaritySuite extends SparkSpec {
     assert(out.forall(_.getLong(1) < 100L), "trained bucket must contain only cluster a")
   }
 
+  test("int8 quantization round-trips embeddings within cosine 0.999") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(32)((rng.nextFloat() - 0.5f) * 4f))) :+ (99L, Array.fill(32)(0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+    val back = Similarity.dequantizeInt8(q, "q", "q_scale", "deq")
+    val rows = back.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("deq")).as("cos"),
+        array_max(col("q")).as("qmax"), array_min(col("q")).as("qmin"))
+      .collect()
+    rows.filter(_.getLong(0) != 99L).foreach { r =>
+      assert(r.getDouble(1) > 0.999, s"vec ${r.getLong(0)}: cosine ${r.getDouble(1)}")
+      assert(r.getByte(2) <= 127 && r.getByte(3) >= -127)
+    }
+    // the zero vector quantizes to zeros with scale 0, no div-by-zero nulls
+    val zero = back.filter(col("vec_id") === 99L)
+      .select(col("q_scale"), array_max(col("q"))).head()
+    assert(zero.getFloat(0) === 0f && zero.getByte(1) === 0)
+  }
+
   test("null vectors in the dims sample don't mask a live corpus") {
     val corpus = Seq(
       (0L, Option.empty[Array[Float]]),
