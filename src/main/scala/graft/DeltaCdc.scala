@@ -93,7 +93,12 @@ object DeltaCdc {
             "merge", changeTypes)
 
         case CdcMode.Merge =>
-          val adds = writer.activeAdds(tablePath)
+          // one captured version covers both the planning read and the
+          // commit's conflict check: anything landing after it is detected
+          // at commit time, not silently overwritten
+          val readVersion = writer.latestVersion(tablePath)
+          val adds = readVersion.map(writer.activeAddsAt(tablePath, _))
+            .getOrElse(Seq.empty)
           val (touched, untouched) = partitionByKeyBounds(normalized, keys, adds)
           // only files that can contain a matched key are read and merged;
           // an empty touched set means every change is a brand-new key and
@@ -104,7 +109,8 @@ object DeltaCdc {
             changeCol, Map.empty, dropDeletes)
             .observe(outObs, count(lit(1)).as("rows_out"))
           writer.replaceFiles(merged, tablePath, touched.map(_.path),
-            mergeSchema = true, cdfChanges = cdf, txn = txn)
+            mergeSchema = true, cdfChanges = cdf, txn = txn,
+            readVersion = readVersion)
           val written = outObs.get("rows_out").asInstanceOf[Long]
           val carried = untouched.map(numRecordsOf(_).getOrElse(0L)).sum
           MergeResult(rowsIn, written + carried, "merge", changeTypes)

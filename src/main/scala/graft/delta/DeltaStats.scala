@@ -190,11 +190,17 @@ object DeltaStats {
             val mn = Jsons.optField(st, "minValues").map(_.get(colName)).flatMap(text)
             val mx = Jsons.optField(st, "maxValues").map(_.get(colName)).flatMap(text)
             (mn, mx) match {
-              // NOTE: long string maxima are truncated out of the stats at
-              // write time (MaxStatString), which drops the column from
-              // both maps — so a present max is exact and safe to compare
+              // OUR writer omits >MaxStatString values entirely, but a
+              // foreign delta writer may store a truncated PREFIX as the
+              // max — a prefix only lower-bounds the true max, so a max at
+              // the truncation length is unbounded on the upper side
+              // (delta-spark increments the prefix instead; we can't tell
+              // which convention wrote the stat). A truncated MIN prefix is
+              // still a valid lower bound (a prefix sorts <= every string
+              // it prefixes) and stays safe to compare.
               case (Some(fileMin), Some(fileMax)) =>
-                lo.forall(fileMax >= _) && hi.forall(fileMin <= _)
+                (fileMax.length >= MaxStatString || lo.forall(fileMax >= _)) &&
+                  hi.forall(fileMin <= _)
               case _ => true
             }
           }

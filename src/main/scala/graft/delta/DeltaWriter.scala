@@ -103,6 +103,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       toRemove.map(_.path),
       toAdd.map(a => WrittenPart(a.path, a.size, a.stats, a.partitionValues)),
       Seq.empty,
+      readVersion = Some(latest),
+      partitionCols =
       // layout order comes from a path, not partitionValues' map order
       target.headOption.map(_.path.split('/').dropRight(1).filter(_.contains('='))
         .map(seg => seg.take(seg.indexOf('='))).toSeq).getOrElse(Seq.empty))
@@ -198,12 +200,24 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         .map(seg => seg.take(seg.indexOf('='))).toSeq)
       .getOrElse(Seq.empty)
 
+  /** Latest committed version (None = not a delta table). Capture this
+    * BEFORE planning a merge/overwrite from the snapshot and pass it to
+    * [[replaceFiles]]: commits racing the planning window are then
+    * conflict-checked instead of silently committed over. */
+  def latestVersion(tablePath: String): Option[Long] = log.latestVersion(tablePath)
+
   /** Active add actions (stats + partitionValues preserved) at the latest
     * version — the driver-side file inventory merge planning prunes over. */
   def activeAdds(tablePath: String): Seq[DeltaAction.AddFile] =
     log.latestVersion(tablePath)
       .map(v => DeltaStats.activeAdds(log, tablePath, v))
       .getOrElse(Seq.empty)
+
+  /** Active add actions at a SPECIFIC version — pair with [[latestVersion]]
+    * so merge planning and its commit-time conflict check share one
+    * snapshot version. */
+  def activeAddsAt(tablePath: String, version: Long): Seq[DeltaAction.AddFile] =
+    DeltaStats.activeAdds(log, tablePath, version)
 
   /** Scan only the given add files of the table (declared schema applies —
     * missing columns null-fill, hive partition values re-materialize). */
@@ -219,10 +233,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   def replaceFiles(df: DataFrame, tablePath: String, removePaths: Seq[String],
       mergeSchema: Boolean = false,
       cdfChanges: Option[DataFrame] = None,
-      txn: Option[(String, Long)] = None): Long =
+      txn: Option[(String, Long)] = None,
+      readVersion: Option[Long] = None): Long =
     writeImpl(df, tablePath, DeltaWriteMode.Append, mergeSchema, cdfChanges,
       Seq.empty, explicitRemoves = Some(removePaths), operation = "MERGE",
-      txn = txn)
+      txn = txn, plannedReadVersion = readVersion)
 
   /** Write `df` to the table; returns the committed version. `partitionBy`
     * lays data out hive-style (`col=value` dirs directly under the table
@@ -255,10 +270,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       partitionBy: Seq[String],
       explicitRemoves: Option[Seq[String]],
       operation: String,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      plannedReadVersion: Option[Long] = None): Long = {
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
     fs.mkdirs(root)
+    // the snapshot version every read below (schema, partitioning, and —
+    // for Overwrite — the remove set) is consistent with; the commit
+    // conflict-checks anything that lands after it (callers that planned
+    // even earlier, e.g. a MERGE's touched-file pruning, pass their own)
+    val readVersion = plannedReadVersion.orElse(log.latestVersion(tablePath))
     val existingParts = partitionColumnsOf(tablePath)
     val effectiveParts =
       if (partitionBy.nonEmpty) partitionBy
@@ -309,13 +330,13 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
     val removed: Seq[String] = explicitRemoves.getOrElse(mode match {
       case DeltaWriteMode.Overwrite =>
-        log.latestVersion(tablePath)
+        readVersion
           .map(v => log.snapshotState(tablePath, v).map(_._1))
           .getOrElse(Seq.empty)
       case _ => Seq.empty
     })
     commit(tablePath, operation, outSchema, removed, parts, cdcParts,
-      effectiveParts, txn)
+      effectiveParts, txn, readVersion)
   }
 
   /** Write df's parquet parts RENAME-FREE into a fresh uniquely-named data
@@ -387,7 +408,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
   private def commit(tablePath: String, operation: String, schema: StructType,
       removed: Seq[String], adds: Seq[WrittenPart], cdcs: Seq[(String, Long)],
-      partitionCols: Seq[String], txn: Option[(String, Long)] = None): Long = {
+      partitionCols: Seq[String], txn: Option[(String, Long)] = None,
+      readVersion: Option[Long] = None): Long = {
     val tid = log.tableId(tablePath).getOrElse(UUID.randomUUID().toString)
     val firstVersion = log.latestVersion(tablePath).map(_ + 1).getOrElse(0L)
 
@@ -460,7 +482,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     }
 
     commitWithRetry(tablePath, content,
-      DeltaWriter.conflictReason(operation, removed, _))
+      DeltaWriter.conflictReason(operation, removed, txn, _), readVersion)
   }
 
   /** Optimistic concurrency: attempt the commit at latest+1; when another
@@ -468,10 +490,28 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * file exists), re-read the log, validate the intervening commits with
     * `conflictCheck`, and re-attempt at the NEW latest+1 — delta's
     * optimistic-transaction shape. A non-conflict IO failure, a real
-    * semantic conflict, or `MaxCommitAttempts` exhaustion still fails. */
+    * semantic conflict, or `MaxCommitAttempts` exhaustion still fails.
+    *
+    * `readVersion` is the version the caller's remove set / txn guard was
+    * COMPUTED from: commits that landed between that snapshot read and now
+    * never trigger a version race (we'd happily commit at their latest+1),
+    * so they get the SAME conflictCheck up front — without it a concurrent
+    * commit landing in the planning window is silently committed over
+    * (an overwrite leaving an intervening append's files alive, a MERGE
+    * whose touched-file set a compaction just invalidated). */
   private def commitWithRetry(tablePath: String, content: Long => String,
-      conflictCheck: Seq[DeltaCommit] => Option[String]): Long = {
-    var version = log.latestVersion(tablePath).map(_ + 1).getOrElse(0L)
+      conflictCheck: Seq[DeltaCommit] => Option[String],
+      readVersion: Option[Long] = None): Long = {
+    val latestNow = log.latestVersion(tablePath)
+    for (rv <- readVersion; latest <- latestNow; if latest > rv) {
+      val intervening = ((rv + 1) to latest).map(log.readCommit(tablePath, _))
+      conflictCheck(intervening).foreach { reason =>
+        throw new CommitError(
+          s"delta commit conflict at $tablePath (commits landed after read " +
+          s"version $rv): $reason")
+      }
+    }
+    var version = latestNow.map(_ + 1).getOrElse(0L)
     var attempts = 0
     while (attempts < DeltaWriter.MaxCommitAttempts) {
       try {
@@ -589,7 +629,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     }
     val body = lines.result().mkString("\n")
     commitWithRetry(tablePath, _ => body,
-      DeltaWriter.conflictReason("OPTIMIZE", rewrites.flatMap(_._1.map(_.path)), _))
+      DeltaWriter.conflictReason("OPTIMIZE", rewrites.flatMap(_._1.map(_.path)), None, _),
+      readVersion = Some(latest))
   }
 
   /** Vacuum: delete data files not referenced by the current snapshot and
@@ -652,21 +693,38 @@ object DeltaWriter {
     *  - overwrite and merge computed their remove set from a snapshot, so
     *    ANY concurrent change to the table's file set (including a
     *    dataChange=false compaction, which swaps files they would not
-    *    remove) invalidates them; only metadata-only interveners are safe. */
+    *    remove) invalidates them; only metadata-only interveners are safe.
+    *
+    * Independent of the operation matrix, a pending SetTransaction
+    * conflicts with any intervening commit carrying a txn for the SAME
+    * appId at-or-above our batch version: that commit is another instance
+    * of the same idempotent writer (a zombie driver racing its
+    * replacement) landing the same-or-newer batch — committing over it
+    * would append the batch twice, and even blind appends must fail here
+    * (delta-spark's ConcurrentTransactionException). */
   private[graft] def conflictReason(operation: String, removedPaths: Seq[String],
-      intervening: Seq[DeltaCommit]): Option[String] = operation match {
-    case "WRITE_APPEND" => None
-    case "OPTIMIZE" =>
-      val ours = removedPaths.toSet
-      val gone = intervening.flatMap(_.removes.map(_.path)).filter(ours)
-      if (gone.nonEmpty)
-        Some("concurrent commits removed files this OPTIMIZE rewrites: " +
-          gone.take(3).mkString(", "))
-      else None
-    case _ =>
-      if (intervening.exists(c => c.adds.nonEmpty || c.removes.nonEmpty))
-        Some(s"$operation computed its file set from a snapshot that " +
-          "concurrent commits have changed")
-      else None
+      txn: Option[(String, Long)],
+      intervening: Seq[DeltaCommit]): Option[String] = {
+    val txnClash = txn.flatMap { case (appId, v) =>
+      intervening.flatMap(_.txns).find(t => t.appId == appId && t.version >= v)
+        .map(t => s"concurrent transaction for appId $appId: an intervening " +
+          s"commit already recorded batch ${t.version} (ours: $v)")
+    }
+    if (txnClash.isDefined) return txnClash
+    operation match {
+      case "WRITE_APPEND" => None
+      case "OPTIMIZE" =>
+        val ours = removedPaths.toSet
+        val gone = intervening.flatMap(_.removes.map(_.path)).filter(ours)
+        if (gone.nonEmpty)
+          Some("concurrent commits removed files this OPTIMIZE rewrites: " +
+            gone.take(3).mkString(", "))
+        else None
+      case _ =>
+        if (intervening.exists(c => c.adds.nonEmpty || c.removes.nonEmpty))
+          Some(s"$operation computed its file set from a snapshot that " +
+            "concurrent commits have changed")
+        else None
+    }
   }
 }

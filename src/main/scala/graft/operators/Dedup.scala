@@ -243,9 +243,15 @@ object Dedup {
           org.apache.spark.sql.Row(id, find(id)))
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", idType),
-          org.apache.spark.sql.types.StructField("component", idType)))
-        return spark.createDataFrame(
+          org.apache.spark.sql.types.StructField("__comp", idType)))
+        val assign = spark.createDataFrame(
           spark.sparkContext.parallelize(out, 1), schema)
+        // seed from `nodes`, not the edge map: ids appearing only in
+        // self-pairs have no edge (a =!= b filtered them) but are still
+        // their own singleton component — same left-join shape as the
+        // distributed path, so both sides of localLimit agree exactly
+        return nodes.join(assign, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
       }
     }
     var prevSig = (-1L, -1L)

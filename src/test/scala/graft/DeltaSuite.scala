@@ -970,6 +970,27 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("a string max at the truncation length never skips on the upper side") {
+    import graft.delta.{DeltaAction, DeltaStats}
+    // 64 chars = MaxStatString: a foreign writer may have stored a
+    // truncated PREFIX of a longer true max — only a lower bound
+    val trunc = "z" * 64
+    def add(path: String, mn: String, mx: String) = DeltaAction.AddFile(path, 1L,
+      dataChange = true, stats = Some(
+        s"""{"numRecords":1,"minValues":{"s":"$mn"},"maxValues":{"s":"$mx"}}"""))
+    val truncated = add("a.parquet", "a", trunc)
+    val exact = add("b.parquet", "a", "m")
+    // lo above both maxima: the exact max proves disjoint, the
+    // possibly-truncated one cannot
+    val (kept, _) = DeltaStats.pruneStrings(Seq(truncated, exact),
+      Map("s" -> (Some(trunc + "zzz"), None)))
+    assert(kept.map(_.path) === Seq("a.parquet"))
+    // a truncated MIN prefix is still a valid lower bound: hi below it skips
+    val (kept2, _) = DeltaStats.pruneStrings(Seq(truncated),
+      Map("s" -> (None, Some("Z"))))
+    assert(kept2.isEmpty)
+  }
+
   test("string partition values prune exactly via readPartitions") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
@@ -1188,14 +1209,64 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     val removeC = DeltaAction.RemoveFile("a.parquet", dataChange = false)
     val metaOnly = commitOf(DeltaAction.CommitInfo(Some(1L)))
     // blind append survives anything
-    assert(DW.conflictReason("WRITE_APPEND", Nil, Seq(commitOf(addC, removeC))).isEmpty)
+    assert(DW.conflictReason("WRITE_APPEND", Nil, None, Seq(commitOf(addC, removeC))).isEmpty)
     // optimize survives concurrent appends, dies when its input was removed
-    assert(DW.conflictReason("OPTIMIZE", Seq("a.parquet"), Seq(commitOf(addC))).isEmpty)
-    assert(DW.conflictReason("OPTIMIZE", Seq("a.parquet"), Seq(commitOf(removeC))).isDefined)
+    assert(DW.conflictReason("OPTIMIZE", Seq("a.parquet"), None, Seq(commitOf(addC))).isEmpty)
+    assert(DW.conflictReason("OPTIMIZE", Seq("a.parquet"), None, Seq(commitOf(removeC))).isDefined)
     // overwrite / merge survive only metadata-only interveners
-    assert(DW.conflictReason("WRITE_OVERWRITE", Seq("a.parquet"), Seq(metaOnly)).isEmpty)
-    assert(DW.conflictReason("WRITE_OVERWRITE", Seq("a.parquet"), Seq(commitOf(addC))).isDefined)
-    assert(DW.conflictReason("MERGE", Seq("a.parquet"), Seq(commitOf(removeC))).isDefined)
+    assert(DW.conflictReason("WRITE_OVERWRITE", Seq("a.parquet"), None, Seq(metaOnly)).isEmpty)
+    assert(DW.conflictReason("WRITE_OVERWRITE", Seq("a.parquet"), None, Seq(commitOf(addC))).isDefined)
+    assert(DW.conflictReason("MERGE", Seq("a.parquet"), None, Seq(commitOf(removeC))).isDefined)
+    // SetTransaction conflicts cut across the matrix: even a blind append
+    // dies when an intervening commit recorded the same appId's batch
+    // at-or-above ours (zombie writer racing its replacement)
+    val sameTxn = commitOf(DeltaAction.Txn("app", 7L))
+    assert(DW.conflictReason("WRITE_APPEND", Nil, Some(("app", 7L)), Seq(sameTxn)).isDefined)
+    assert(DW.conflictReason("WRITE_APPEND", Nil, Some(("app", 8L)), Seq(sameTxn)).isEmpty,
+      "an older intervening batch does not block a newer one")
+    assert(DW.conflictReason("WRITE_APPEND", Nil, Some(("other", 7L)), Seq(sameTxn)).isEmpty)
+    assert(DW.conflictReason("MERGE", Nil, Some(("app", 7L)), Seq(sameTxn)).isDefined)
+  }
+
+  test("commits landing in the planning window are conflict-checked on the first attempt") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, 10L)).toDF("id", "v"), t, DeltaWriteMode.Append) // v0
+      val planned = w.latestVersion(t) // plan a merge against v0's snapshot
+      val touched = w.activeAdds(t).map(_.path)
+      // a concurrent append lands BETWEEN planning and commit (v1): no
+      // version race ever happens (we'd commit at v2), so only the
+      // first-attempt readVersion check can catch it
+      w.write(Seq((2L, 20L)).toDF("id", "v"), t, DeltaWriteMode.Append) // v1
+      val e = intercept[graft.core.CommitError] {
+        w.replaceFiles(Seq((1L, 11L)).toDF("id", "v"), t, touched,
+          readVersion = planned)
+      }
+      assert(e.getMessage.contains("read version"), e.getMessage)
+      // the intervening append's file is still alive and the merge did not land
+      assert(w.read(t).count() === 2)
+    }
+  }
+
+  test("replayed txn batch racing its replacement fails instead of double-appending") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, 10L)).toDF("id", "v"), t, DeltaWriteMode.Append) // v0
+      val planned = w.latestVersion(t) // zombie checks lastTxnVersion here
+      assert(w.lastTxnVersion(t, "app").isEmpty)
+      // the replacement commits batch 5 first (v1)
+      w.write(Seq((2L, 20L)).toDF("id", "v"), t, DeltaWriteMode.Append,
+        txn = Some(("app", 5L)))
+      // the zombie replays batch 5 against its stale read: must conflict
+      val e = intercept[graft.core.CommitError] {
+        w.replaceFiles(Seq((3L, 30L)).toDF("id", "v"), t, Nil,
+          txn = Some(("app", 5L)), readVersion = planned)
+      }
+      assert(e.getMessage.contains("appId app"), e.getMessage)
+      assert(w.read(t).count() === 2, "the replayed batch must not land")
+    }
   }
 
   test("vacuum removes unreferenced files older than retention") {

@@ -276,6 +276,10 @@ class DedupSuite extends SparkSpec {
     val m = ccBoth(Seq((10L, 20L), (20L, 30L), (100L, 200L)).toDF("id_a", "id_b")).toMap
     assert(m === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
       100L -> 100L, 200L -> 100L))
+    // an id appearing ONLY in self-pairs has no edge but is still its own
+    // singleton component — both paths must emit it, not drop it
+    val selfs = ccBoth(Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")).toMap
+    assert(selfs === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
   }
 
   test("transitive minhash dedup keeps one row per similarity component") {
@@ -523,6 +527,31 @@ class AsofJoinSuite extends SparkSpec {
     val inner = AsofJoin.asofJoinInner(trades, quotes, Seq("sym"), "t", "t",
       rightCols = Seq("t", "bid"))
     assert(inner.count() === 2)
+  }
+
+  test("asof carries the matched right ROW atomically and ignores NULL right times") {
+    val left = Seq(("A", 10L)).toDF("sym", "t")
+    val right = Seq(
+      // older row fully populated, newest row NULL in one column: the match
+      // is the NEWEST row as a unit — its NULL must not splice in 1.0
+      (Some("A"), Some(1L), Some(1.0), Some(100.0)),
+      (Some("A"), Some(5L), Option.empty[Double], Some(200.0)),
+      // NULL right time never matches (right.t <= left.t is never true)
+      (Some("A"), Option.empty[Long], Some(999.0), Some(999.0)))
+      .toDF("sym", "t", "bid", "ask")
+    val out = AsofJoin.asofJoin(left, right, Seq("sym"), "t", "t",
+      rightCols = Seq("bid", "ask")).collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_bid")),
+      "bid must come from the matched t=5 row (NULL), not the older t=1 row")
+    assert(out(0).getDouble(out(0).fieldIndex("asof_ask")) === 200.0)
+    // inner keeps the row: a matched row with NULL columns is still a match
+    assert(AsofJoin.asofJoinInner(left, right, Seq("sym"), "t", "t",
+      rightCols = Seq("bid", "ask")).count() === 1)
+    // ...but drops a left row with no non-NULL-time right row at all
+    val left2 = Seq(("B", 10L)).toDF("sym", "t")
+    assert(AsofJoin.asofJoinInner(left2, right, Seq("sym"), "t", "t",
+      rightCols = Seq("bid", "ask")).count() === 0)
   }
 }
 
