@@ -156,5 +156,7 @@ object DeltaCdc {
     a.stats.flatMap { s =>
       try Jsons.optLong(Jsons.parse(s), "numRecords")
       catch { case NonFatal(_) => None }
-    }
+      // stats count PHYSICAL rows; a deletion vector hides `cardinality`
+      // of them, so the carried logical row count subtracts it
+    }.map(n => n - a.deletionVector.map(_.cardinality).getOrElse(0L))
 }

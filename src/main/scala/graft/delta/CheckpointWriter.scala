@@ -34,6 +34,7 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |    optional boolean dataChange;
       |    optional binary stats (STRING);
       |    optional binary partitionValuesJson (STRING);
+      |    optional binary deletionVectorJson (STRING);
       |  }
       |  optional group metaData {
       |    required binary id (STRING);
@@ -123,6 +124,11 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
           a.partitionValues.foreach { case (k, v) => pv.put(k, v) }
           add.append("partitionValuesJson", Jsons.render(pv))
         }
+        // JSON-string encoding, same trade as partitionValuesJson: only OUR
+        // checkpoints use it; dropping the DV instead would checkpoint a
+        // state that resurrects the file's deleted rows
+        a.deletionVector.foreach(d =>
+          add.append("deletionVectorJson", Jsons.render(DeltaWriter.dvNode(d))))
         writer.write(g)
       }
     } finally writer.close()

@@ -1,0 +1,239 @@
+package graft.delta
+
+import graft.core.PlanningError
+import graft.util.Fs
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.roaringbitmap.RoaringBitmap
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.UUID
+import java.util.zip.CRC32
+
+/** Delta-protocol deletion-vector descriptor, as carried on an add action
+  * (`{"storageType":"u|i|p","pathOrInlineDv":..,"offset":..,
+  * "sizeInBytes":..,"cardinality":..}`). The descriptor tells a reader
+  * which ROW INDICES of the add's parquet file are logically deleted —
+  * the file itself is never rewritten (that is the point: a delete
+  * touching one row of a 1 GB file costs a bitmap, not a rewrite).
+  *
+  *  - `u`: the bitmap lives in `deletion_vector_<uuid>.bin` under the
+  *    table root; `pathOrInlineDv` is `[prefix]<z85-uuid>` (the last 20
+  *    chars decode to the 16-byte UUID; anything before them is a random
+  *    path prefix).
+  *  - `i`: the bitmap bytes are z85-encoded inline in `pathOrInlineDv`.
+  *  - `p`: `pathOrInlineDv` is an absolute path to the `.bin` file.
+  */
+case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+    offset: Option[Long], sizeInBytes: Long, cardinality: Long)
+
+/** Reads (and, for fixtures/round-trips, writes) Delta deletion vectors:
+  * Z85 string coding, the `.bin` file framing (version byte; per-vector
+  * `[size:int32 BE][data][crc32:int32 BE]`), and the 64-bit
+  * RoaringBitmapArray "portable" format (magic + bitmap count, little
+  * endian, then standard-portable 32-bit RoaringBitmaps; row index
+  * `(i << 32) | low` is bit `low` of bitmap `i`).
+  *
+  * All formats are from the public Delta protocol spec
+  * (PROTOCOL.md "Deletion Vectors") and the Z85 spec (ZeroMQ RFC 32).
+  * Bitmaps are metadata-sized (one per data file, bounded by the file's
+  * row count), so loading happens driver-side and ships to executors by
+  * broadcast — never a per-row file open.
+  */
+object DeletionVector {
+
+  private val Z85Chars =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Index: Array[Int] = {
+    val idx = Array.fill(128)(-1)
+    Z85Chars.zipWithIndex.foreach { case (c, i) => idx(c.toInt) = i }
+    idx
+  }
+
+  /** RFC 32 Z85: every 5 chars decode to 4 bytes (big-endian base 85). */
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 length ${s.length} not a multiple of 5")
+    val out = ByteBuffer.allocate(s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var acc = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val v = if (c < 128) Z85Index(c.toInt) else -1
+        if (v < 0) throw new PlanningError(s"invalid z85 character '$c' in deletion vector")
+        acc = acc * 85 + v
+        j += 1
+      }
+      out.putInt(acc.toInt)
+      i += 5
+    }
+    out.array()
+  }
+
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, s"z85 input length ${bytes.length} not a multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) {
+      var acc = bb.getInt.toLong & 0xFFFFFFFFL
+      val chunk = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { chunk(j) = Z85Chars((acc % 85).toInt); acc /= 85; j -= 1 }
+      sb.appendAll(chunk)
+    }
+    sb.toString
+  }
+
+  /** Absolute path of a `u`/`p`-stored DV file (None for inline). */
+  def resolvePath(tablePath: String, d: DvDescriptor): Option[Path] =
+    d.storageType match {
+      case "p" => Some(new Path(d.pathOrInlineDv))
+      case "u" =>
+        val enc = d.pathOrInlineDv
+        require(enc.length >= 20, s"uuid dv reference too short: $enc")
+        val prefix = enc.dropRight(20)
+        val raw = z85Decode(enc.takeRight(20))
+        val bb = ByteBuffer.wrap(raw)
+        val uuid = new UUID(bb.getLong, bb.getLong)
+        val dir = if (prefix.isEmpty) new Path(tablePath) else new Path(tablePath, prefix)
+        Some(new Path(dir, s"deletion_vector_$uuid.bin"))
+      case "i" => None
+      case other => throw new PlanningError(s"unknown deletion vector storageType '$other'")
+    }
+
+  /** The serialized RoaringBitmapArray bytes for a descriptor — inline
+    * decode or a framed read of the `.bin` file (version byte checked,
+    * size and CRC32 validated: a bitmap read wrong silently resurfaces or
+    * over-deletes rows, so any mismatch is an error, never a fallback). */
+  def loadBytes(tablePath: String, d: DvDescriptor, conf: Configuration): Array[Byte] =
+    d.storageType match {
+      // inline z85 is zero-padded up to the 4-byte group; sizeInBytes
+      // recovers the true length
+      case "i" => z85Decode(d.pathOrInlineDv).take(d.sizeInBytes.toInt)
+      case _ =>
+        val p = resolvePath(tablePath, d).get
+        val in = Fs.fs(p, conf).open(p)
+        try {
+          val version = in.readByte()
+          if (version != 1)
+            throw new PlanningError(s"unsupported deletion vector file version $version at $p")
+          val off = d.offset.getOrElse(1L)
+          in.seek(off)
+          val size = in.readInt() // big-endian framing
+          if (size != d.sizeInBytes)
+            throw new PlanningError(
+              s"deletion vector size mismatch at $p: framed $size, descriptor ${d.sizeInBytes}")
+          val data = new Array[Byte](size)
+          in.readFully(data)
+          val checksum = in.readInt()
+          val crc = new CRC32(); crc.update(data)
+          if (crc.getValue.toInt != checksum)
+            throw new PlanningError(s"deletion vector checksum mismatch at $p")
+          data
+        } finally in.close()
+    }
+
+  private val Magic = 1681511377
+
+  /** Deserialize the portable RoaringBitmapArray; returns one 32-bit
+    * bitmap per high word (index i covers row indices [i<<32, (i+1)<<32)). */
+  def deserialize(bytes: Array[Byte]): Array[RoaringBitmap] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    if (magic != Magic)
+      throw new PlanningError(s"bad RoaringBitmapArray magic $magic (expected $Magic)")
+    val n = bb.getLong
+    if (n < 0 || n > Int.MaxValue)
+      throw new PlanningError(s"implausible RoaringBitmapArray bitmap count $n")
+    Array.fill(n.toInt) {
+      val rb = new RoaringBitmap()
+      val start = bb.position()
+      rb.deserialize(bb)
+      // deserialize(ByteBuffer) must not be trusted to advance: step by the
+      // canonical serialized size so multi-bitmap arrays parse exactly
+      bb.position(start + rb.serializedSizeInBytes())
+      rb
+    }
+  }
+
+  def serialize(bitmaps: Array[RoaringBitmap]): Array[Byte] = {
+    bitmaps.foreach(_.runOptimize())
+    val size = 4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Magic)
+    bb.putLong(bitmaps.length.toLong)
+    bitmaps.foreach(_.serialize(bb))
+    bb.array()
+  }
+
+  /** Inline descriptor for a set of deleted row indices (`storageType=i`,
+    * zero-padded z85). */
+  def inlineDescriptor(rows: Seq[Long]): DvDescriptor = {
+    val data = fromRowIndices(rows)
+    val padded = data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
+    DvDescriptor("i", z85Encode(padded), None, data.length.toLong,
+      rows.distinct.size.toLong)
+  }
+
+  /** Build the serialized array for a set of deleted row indices (test
+    * fixtures and future DV writes). */
+  def fromRowIndices(rows: Seq[Long]): Array[Byte] = {
+    require(rows.forall(_ >= 0), "row indices must be >= 0")
+    val byHigh = rows.groupBy(r => (r >>> 32).toInt)
+    val n = if (byHigh.isEmpty) 0 else byHigh.keys.max + 1
+    serialize(Array.tabulate(n) { i =>
+      val rb = new RoaringBitmap()
+      byHigh.getOrElse(i, Seq.empty).foreach(r => rb.add(r.toInt))
+      rb
+    })
+  }
+
+  /** Membership probe over a deserialized array. */
+  def contains(bitmaps: Array[RoaringBitmap], rowIndex: Long): Boolean = {
+    val high = (rowIndex >>> 32).toInt
+    high < bitmaps.length && bitmaps(high).contains(rowIndex.toInt)
+  }
+
+  /** Scheme-insensitive path key: `_metadata.file_path` URIs
+    * (`file:///a/b`) and Hadoop-qualified paths (`file:/a/b`) must hit the
+    * same map entry. */
+  def normUri(s: String): String =
+    if (s.contains(":")) try new java.net.URI(s).getPath catch {
+      case _: java.net.URISyntaxException => s
+    } else s
+
+  private val bitmapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[RoaringBitmap]]()
+
+  /** Executor-side deserialization cache: the broadcast ships BYTES (cheap
+    * to serialize); each task deserializes a file's bitmap at most once per
+    * executor. Bounded by a wholesale clear — entries are per (table, file)
+    * and a long-lived executor would otherwise accrete dead tables'. */
+  def cachedBitmaps(key: String, bytes: Array[Byte]): Array[RoaringBitmap] = {
+    if (bitmapCache.size > 4096) bitmapCache.clear()
+    bitmapCache.computeIfAbsent(key, _ => deserialize(bytes))
+  }
+
+  /** Write a framed single-vector `.bin` DV file (version byte + one
+    * `[size][data][crc]` frame) and return its descriptor with
+    * `storageType="u"` pointing at it — the fixture/round-trip producer
+    * for [[loadBytes]]. */
+  def writeDvFile(tablePath: String, rows: Seq[Long], conf: Configuration): DvDescriptor = {
+    val data = fromRowIndices(rows)
+    val uuid = UUID.randomUUID()
+    val p = new Path(tablePath, s"deletion_vector_$uuid.bin")
+    val out = Fs.fs(p, conf).create(p, false)
+    try {
+      out.writeByte(1)
+      out.writeInt(data.length)
+      out.write(data)
+      val crc = new CRC32(); crc.update(data)
+      out.writeInt(crc.getValue.toInt)
+    } finally out.close()
+    val uuidBytes = ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    DvDescriptor("u", z85Encode(uuidBytes.array()), Some(1L), data.length.toLong,
+      rows.distinct.size.toLong)
+  }
+}

@@ -29,7 +29,8 @@ object DeltaAction {
     * partition pruning without touching any footer. */
   case class AddFile(path: String, size: Long, dataChange: Boolean,
       stats: Option[String] = None,
-      partitionValues: Map[String, String] = Map.empty) extends DeltaAction
+      partitionValues: Map[String, String] = Map.empty,
+      deletionVector: Option[DvDescriptor] = None) extends DeltaAction
   case class RemoveFile(path: String, dataChange: Boolean) extends DeltaAction
   case class CdcFile(path: String, size: Long) extends DeltaAction
   /** SetTransaction — the protocol's idempotent-writer watermark: the
@@ -178,18 +179,12 @@ class DeltaLogReader(conf: Configuration) {
     ).orElse(Jsons.optField(n, "metaData").map(md =>
       MetaData(Jsons.optStr(md, "id").getOrElse(""), Jsons.optStr(md, "schemaString"))
     )).orElse(Jsons.optField(n, "add").map { a =>
-      // belt and braces under the protocol check: an add smuggling a DV
-      // past a mis-declared protocol must still never be scanned whole
-      if (Jsons.optField(a, "deletionVector").exists(!_.isNull))
-        throw new PlanningError(
-          "add action carries a deletionVector; this engine does not " +
-          "implement DV reads and scanning the file whole would resurface " +
-          "deleted rows")
       AddFile(a.get("path").asText(), Jsons.optLong(a, "size").getOrElse(0L),
         Jsons.optBool(a, "dataChange").getOrElse(true), Jsons.optStr(a, "stats"),
         Jsons.optField(a, "partitionValues").map(pv =>
           Jsons.fields(pv).map { case (k, v) => k -> v.asText() }.toMap)
-          .getOrElse(Map.empty))
+          .getOrElse(Map.empty),
+        parseDv(a))
     }).orElse(Jsons.optField(n, "remove").map(r =>
       RemoveFile(r.get("path").asText(), Jsons.optBool(r, "dataChange").getOrElse(true))
     )).orElse(Jsons.optField(n, "cdc").map(c =>
@@ -203,13 +198,27 @@ class DeltaLogReader(conf: Configuration) {
           Jsons.elems(rf).map(_.asText()).toSeq).getOrElse(Seq.empty))))
   }
 
+  private def parseDv(a: JsonNode): Option[DvDescriptor] =
+    Jsons.optField(a, "deletionVector").filterNot(_.isNull).map(parseDvNode)
+
+  private def parseDvNode(dv: JsonNode): DvDescriptor =
+    DvDescriptor(
+      Jsons.optStr(dv, "storageType").getOrElse(
+        throw new PlanningError("deletionVector without storageType")),
+      Jsons.optStr(dv, "pathOrInlineDv").getOrElse(
+        throw new PlanningError("deletionVector without pathOrInlineDv")),
+      Jsons.optLong(dv, "offset"),
+      Jsons.optLong(dv, "sizeInBytes").getOrElse(0L),
+      Jsons.optLong(dv, "cardinality").getOrElse(0L))
+
   /** The features this reader actually implements. Protocol v3 tables
     * list `readerFeatures` explicitly; any feature outside this set must
     * fail the read — see [[DeltaAction.Protocol]]. v2 (= column mapping,
     * implicit) is readable: [[DeltaWriter]] resolves flat name-mapped
     * schemas via field-metadata physical names. */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint", "columnMapping")
+    Set("timestampNtz", "vacuumProtocolCheck", "v2Checkpoint", "columnMapping",
+      "deletionVectors")
 
   private def checkProtocol(tablePath: String, p: Protocol): Unit = {
     val unsupported =
@@ -310,7 +319,8 @@ class DeltaLogReader(conf: Configuration) {
               strField(a, "partitionValuesJson").map(j =>
                 Jsons.fields(Jsons.parse(j))
                   .map { case (k, v) => k -> v.asText() }.toMap)
-                .getOrElse(Map.empty)))
+                .getOrElse(Map.empty),
+              strField(a, "deletionVectorJson").map(j => parseDvNode(Jsons.parse(j)))))
           }
           grpField(rec, "remove").foreach { r =>
             strField(r, "path").foreach(p => out += RemoveFile(p,

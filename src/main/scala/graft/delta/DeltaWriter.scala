@@ -20,7 +20,8 @@ object DeltaWriteMode {
 /** One parquet part a write produced: table-relative path, size, footer
   * stats, and (for partitioned writes) the hive-layout partition values. */
 private[delta] case class WrittenPart(path: String, size: Long,
-    stats: Option[String], partitionValues: Map[String, String])
+    stats: Option[String], partitionValues: Map[String, String],
+    deletionVector: Option[DvDescriptor] = None)
 
 /** Minimal Delta-table writer: parquet part files + an atomic
   * `_delta_log/N.json` commit of commitInfo/metaData/add/remove actions,
@@ -67,9 +68,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       .getOrElse(latest)
     if (version > latest)
       throw new GraftError(s"versionAsOf $version is beyond latest $latest of $tablePath")
-    val files = log.snapshotState(tablePath, version)
-      .map { case (p, _) => log.resolvePath(tablePath, p) }
-    scanFiles(tablePath, files)
+    scanAdds(tablePath, DeltaStats.activeAdds(log, tablePath, version))
   }
 
   /** RESTORE TABLE ... TO VERSION: make the state at `version` the newest
@@ -101,7 +100,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       .getOrElse(StructType(Nil))
     commit(tablePath, "RESTORE", schema,
       toRemove.map(_.path),
-      toAdd.map(a => WrittenPart(a.path, a.size, a.stats, a.partitionValues)),
+      toAdd.map(a => WrittenPart(a.path, a.size, a.stats, a.partitionValues,
+        a.deletionVector)),
       Seq.empty,
       readVersion = Some(latest),
       partitionCols =
@@ -123,7 +123,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val version = versionAsOf.getOrElse(latest)
     val adds = DeltaStats.activeAdds(log, tablePath, version)
     val (kept, _) = DeltaStats.prune(adds, ranges)
-    scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
+    scanAdds(tablePath, kept)
   }
 
   /** String-interval data-skipping read (lexicographic bounds — ISO
@@ -138,7 +138,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val version = versionAsOf.getOrElse(latest)
     val adds = DeltaStats.activeAdds(log, tablePath, version)
     val (kept, _) = DeltaStats.pruneStrings(adds, ranges)
-    scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
+    scanAdds(tablePath, kept)
   }
 
   /** Partition-pruned read by exact partition VALUES (string equality —
@@ -152,16 +152,27 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val version = versionAsOf.getOrElse(latest)
     val adds = DeltaStats.activeAdds(log, tablePath, version)
     val (kept, _) = DeltaStats.prunePartitions(adds, equal)
-    scanFiles(tablePath, kept.map(a => log.resolvePath(tablePath, a.path)))
+    scanAdds(tablePath, kept)
   }
 
-  private def scanFiles(tablePath: String, files: Seq[String]): DataFrame = {
+  private def scanAdds(tablePath: String, adds: Seq[DeltaAction.AddFile]): DataFrame = {
+    val files = adds.map(a => log.resolvePath(tablePath, a.path))
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         declared.getOrElse(new StructType()))
+    val dvByPath: Map[String, DvDescriptor] = adds
+      .flatMap(a => a.deletionVector.map(d =>
+        DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> d)).toMap
     declared.filter(ColumnMapping.isMapped).foreach { s =>
+      // DV filtering rides _metadata on OUR scans; the column-mapped read
+      // path builds its own projection — refuse the combination rather
+      // than resurface deleted rows
+      if (dvByPath.nonEmpty)
+        throw new graft.core.PlanningError(
+          s"table $tablePath combines column mapping and deletion vectors; " +
+          "this reader supports each alone but not together")
       return ColumnMapping.readMapped(spark, files, s,
         partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('='))))
     }
@@ -172,19 +183,46 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
     if (partitioned) {
       import org.apache.spark.sql.functions.{col, lit}
-      val raw = spark.read.option("basePath", tablePath).parquet(files: _*)
+      val raw = dvFilter(tablePath, dvByPath,
+        spark.read.option("basePath", tablePath).parquet(files: _*))
       declared match {
         case Some(s) => raw.select(s.fields.toSeq.map(f =>
           (if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
            else lit(null).cast(f.dataType)).as(f.name)): _*)
         case None => raw
       }
-    } else declared match {
-      // read with the declared schema so files written before a schema
-      // merge null-fill the newer columns
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+    } else {
+      val raw = declared match {
+        // read with the declared schema so files written before a schema
+        // merge null-fill the newer columns
+        case Some(s) => spark.read.schema(s).parquet(files: _*)
+        case None => spark.read.parquet(files: _*)
+      }
+      // _metadata is a hidden column: filtering on it leaves the visible
+      // schema untouched
+      dvFilter(tablePath, dvByPath, raw)
     }
+  }
+
+  /** Drop rows a deletion vector marks deleted: each DV-bearing file's
+    * bitmap is loaded ONCE on the driver (metadata-sized — bounded by the
+    * file's row count, not the table), broadcast, and probed per row
+    * against the parquet scan's `_metadata.file_path`/`row_index` columns.
+    * Files without a DV pass through untouched; plan shape (pushdown,
+    * pruning) is unchanged because the probe is a post-scan filter. */
+  private def dvFilter(tablePath: String, dvByPath: Map[String, DvDescriptor],
+      df: DataFrame): DataFrame = {
+    if (dvByPath.isEmpty) return df
+    import org.apache.spark.sql.functions.{col, not, udf}
+    val bytesByPath: Map[String, Array[Byte]] = dvByPath.map { case (p, d) =>
+      p -> DeletionVector.loadBytes(tablePath, d, conf) }
+    val bc = spark.sparkContext.broadcast(bytesByPath)
+    val deleted = udf((path: String, idx: Long) => {
+      val key = DeletionVector.normUri(path)
+      bc.value.get(key).exists(bytes =>
+        DeletionVector.contains(DeletionVector.cachedBitmaps(key, bytes), idx))
+    })
+    df.filter(not(deleted(col("_metadata.file_path"), col("_metadata.row_index"))))
   }
 
   def tableExists(tablePath: String): Boolean = log.isDeltaTable(tablePath)
@@ -220,9 +258,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     DeltaStats.activeAdds(log, tablePath, version)
 
   /** Scan only the given add files of the table (declared schema applies —
-    * missing columns null-fill, hive partition values re-materialize). */
+    * missing columns null-fill, hive partition values re-materialize,
+    * deletion vectors filter). */
   def readAdds(tablePath: String, adds: Seq[DeltaAction.AddFile]): DataFrame =
-    scanFiles(tablePath, adds.map(a => log.resolvePath(tablePath, a.path)))
+    scanAdds(tablePath, adds)
 
   /** Atomically replace a named subset of the table's files with `df`'s
     * newly written parts — delta MERGE's touched-files commit shape: the
@@ -471,6 +510,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           a.set[JsonNode]("partitionValues", pv)
         }
         part.stats.foreach(s => a.put("stats", s)) // protocol: stats is a JSON string
+        part.deletionVector.foreach(d =>
+          a.set[JsonNode]("deletionVector", DeltaWriter.dvNode(d)))
         lines += s"""{"add": ${Jsons.render(a)}}"""
       }
       cdcs.foreach { case (p, sz) =>
@@ -580,7 +621,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val groups = adds.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
     val rewrites = groups.flatMap { case (pv, groupAdds) =>
-      val small = groupAdds.filter(_.size < smallFileBytes)
+      // DV-bearing files are excluded: compaction reads parts verbatim, and
+      // folding one in without applying its bitmap would resurrect deleted
+      // rows into the compacted output
+      val small = groupAdds.filter(a =>
+        a.size < smallFileBytes && a.deletionVector.isEmpty)
       if (small.size < 2) None
       else {
         val paths = small.map(a => log.resolvePath(tablePath, a.path))
@@ -675,6 +720,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
 object DeltaWriter {
   private[delta] val MaxCommitAttempts = 10
+
+  private[delta] def dvNode(d: DvDescriptor): JsonNode = {
+    val n = Jsons.obj()
+    n.put("storageType", d.storageType)
+    n.put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(v => n.put("offset", v))
+    n.put("sizeInBytes", d.sizeInBytes)
+    n.put("cardinality", d.cardinality)
+    n
+  }
 
   /** Serializes [[DeltaWriter.writeWithProtocol]] across writer instances
     * sharing this JVM's session (the commit-protocol conf and the

@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.JsonNode
 import graft.Cdc
 import graft.core._
-import graft.delta.{DeltaAction, DeltaLogReader}
+import graft.delta.{DeltaAction, DeltaLogReader, DeltaStats}
 import graft.util.Jsons
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -192,6 +192,12 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     * flows through the CDF reader instead of being dropped. */
   private def planSnapshot(tablePath: String, tableId: String, pos: Position,
       opts: DeltaSourceOptions): Option[BatchInfo] = {
+    // first page only: one extra replay to prove no active file carries a
+    // deletion vector — the snapshot serves raw file paths, and scanning a
+    // DV-bearing file whole would stream its deleted rows
+    if (pos.index == 0L)
+      refuseDvAdds(DeltaStats.activeAdds(log, tablePath, pos.version),
+        tablePath, pos.version)
     val files = log.snapshotState(tablePath, pos.version, Some(snapshotCacheDir))
     if (pos.index >= files.size) {
       // snapshot finished -> switch to tailing after the snapshot version
@@ -231,6 +237,7 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     while (!stop && log.commitExists(tablePath, v)) {
       val commit = log.readCommit(tablePath, v)
       val adds = commit.adds.filter(_.dataChange)
+      refuseDvAdds(adds, tablePath, v)
       val removes = commit.removes.filter(_.dataChange)
       if (removes.nonEmpty && !opts.ignoreChanges) {
         if (adds.isEmpty && opts.ignoreDeletes) {
@@ -272,6 +279,19 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
       files.map { case (p, sz, _) => FileEntry(log.resolvePath(tablePath, p), sz, 0L) },
       offsetJson(tableId, endPos, Seq.empty)))
   }
+
+  /** This source serves RAW file paths to a plain parquet reader, which
+    * cannot apply a deletion vector — streaming a DV-bearing add would
+    * resurrect its deleted rows, so refuse loudly (batch reads via
+    * [[graft.delta.DeltaWriter.read]] DO apply DVs). */
+  private def refuseDvAdds(adds: Seq[DeltaAction.AddFile], tablePath: String,
+      version: Long): Unit =
+    adds.find(_.deletionVector.isDefined).foreach { a =>
+      throw new PlanningError(
+        s"add ${a.path} in commit version $version of $tablePath carries a " +
+        "deletion vector; this streaming source reads raw files and cannot " +
+        "apply it — consume the table with batch reads (DV-aware) or CDF")
+    }
 
   /** Throws when `nextVersion` is missing from the log while NEWER commits
     * survive — the tail position was pruned away and tailing can't resume
@@ -316,6 +336,7 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
             throw new ChangeDataFeedError(
               s"commit version $v of $tablePath updates data but has no cdc files; " +
               "cannot serve Change Data Feed")
+          refuseDvAdds(adds, tablePath, v)
           adds.map(a => CdfEntry(a.path, a.size, "insert", v, ts))
         }
       val fresh = entries.drop(skipInVersion.toInt)

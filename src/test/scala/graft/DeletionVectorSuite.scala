@@ -1,0 +1,165 @@
+package graft
+
+import graft.core.PlanningError
+import graft.delta.{DeletionVector, DeltaAction, DeltaWriteMode, DeltaWriter, DvDescriptor}
+import graft.sources.{DeltaSourceOptions, DeltaStartOffset, DeltaTableCheckpoint}
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Delta deletion-vector reads: the formats (Z85, framed `.bin`,
+  * RoaringBitmapArray) against spec vectors and round-trips, then the
+  * engine-level behavior — batch reads drop exactly the deleted row
+  * indices, time travel/restore/checkpoint preserve DV state, compaction
+  * refuses to fold DV files blind, and the raw-file streaming source
+  * refuses rather than resurrect. Formats follow the public Delta
+  * PROTOCOL.md "Deletion Vectors" section and ZeroMQ RFC 32 (Z85). */
+class DeletionVectorSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def writer = new DeltaWriter(spark, conf)
+
+  private def dvJson(d: DvDescriptor): String = {
+    val off = d.offset.map(o => s""""offset":$o,""").getOrElse("")
+    s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+      s"""$off"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+  }
+
+  /** Commit `version`: re-add `add` with a deletion vector (remove + add,
+    * delta's DELETE-with-DV commit shape; stats intentionally dropped —
+    * a foreign writer is not obliged to carry them). */
+  private def commitDv(t: String, version: Long, add: DeltaAction.AddFile,
+      d: DvDescriptor): Unit = {
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":${1000 + version}}}""",
+      s"""{"remove":{"path":"${add.path}","dataChange":true}}""",
+      s"""{"add":{"path":"${add.path}","size":${add.size},"dataChange":true,""" +
+        s""""deletionVector":${dvJson(d)}}}""")
+    Files.write(Paths.get(t, "_delta_log", f"$version%020d.json"),
+      lines.mkString("\n").getBytes, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  test("z85 codec matches the RFC 32 reference vector and round-trips") {
+    val hello = Array(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B).map(_.toByte)
+    assert(DeletionVector.z85Encode(hello) === "HelloWorld")
+    assert(DeletionVector.z85Decode("HelloWorld").toSeq === hello.toSeq)
+    val rnd = new scala.util.Random(7)
+    val bytes = Array.fill(40)(rnd.nextInt().toByte)
+    assert(DeletionVector.z85Decode(DeletionVector.z85Encode(bytes)).toSeq
+      === bytes.toSeq)
+  }
+
+  test("RoaringBitmapArray round-trips row indices including >2^32 high words") {
+    val rows = Seq(0L, 1L, 5L, 1000000L, (1L << 32) + 17L, (2L << 32) + 3L)
+    val bms = DeletionVector.deserialize(DeletionVector.fromRowIndices(rows))
+    assert(bms.length === 3)
+    rows.foreach(r => assert(DeletionVector.contains(bms, r), s"missing $r"))
+    Seq(2L, 999999L, (1L << 32) + 18L, (3L << 32) + 3L).foreach(r =>
+      assert(!DeletionVector.contains(bms, r), s"phantom $r"))
+  }
+
+  test("batch read drops exactly the DV'd row indices; time travel sees them") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 10).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      val add = w.activeAdds(t).head
+      val d = DeletionVector.writeDvFile(t, Seq(1L, 3L, 5L), conf)
+      commitDv(t, 1, add, d)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(0L, 2L, 4L, 6L, 7L, 8L, 9L))
+      assert(w.read(t, versionAsOf = Some(0)).count() === 10)
+    }
+  }
+
+  test("inline (storageType=i) deletion vectors filter the same") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 6).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      val add = w.activeAdds(t).head
+      commitDv(t, 1, add, DeletionVector.inlineDescriptor(Seq(0L, 4L)))
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 2L, 3L, 5L))
+    }
+  }
+
+  test("DVs filter multi-file tables per file and survive checkpoint + log expiry") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 5).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      w.write(spark.range(10, 15).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      // DV only the SECOND file (row indices are per file: drop 10 and 12)
+      val v1Adds = w.activeAdds(t)
+      val target = v1Adds.find(a =>
+        w.readAdds(t, Seq(a)).agg(org.apache.spark.sql.functions.min("id"))
+          .head().getLong(0) == 10L).get
+      commitDv(t, 2, target, DeletionVector.writeDvFile(t, Seq(0L, 2L), conf))
+      val expect = Seq(0L, 1L, 2L, 3L, 4L, 11L, 13L, 14L)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === expect)
+      // checkpoint carries the DV descriptor; expired JSON log still reads right
+      w.checkpoint(t)
+      w.expireLogs(t)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === expect,
+        "checkpoint must carry deletion vectors — dropping one resurrects rows")
+    }
+  }
+
+  test("CDC merge into a DV table does not resurrect deleted rows") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write((0L until 6L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1),
+        t, DeltaWriteMode.Append)
+      val add = w.activeAdds(t).head
+      // row indices 1 and 2 = ids 1 and 2 deleted
+      commitDv(t, 1, add, DeletionVector.writeDvFile(t, Seq(1L, 2L), conf))
+      val changes = Seq((0L, Some(99L), "update_postimage", 1L),
+        (7L, Some(70L), "insert", 1L))
+        .toDF("id", "v", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      val res = DeltaCdc.applyCdcDelta(spark, changes, t, Seq("id"))
+      val out = w.read(t).orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.toSeq === Seq((0L, 99L), (3L, 30L), (4L, 40L), (5L, 50L), (7L, 70L)))
+      assert(res.rowsOut === 5)
+    }
+  }
+
+  test("restore re-adds a DV'd file with its deletion vector intact") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 5).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      val add = w.activeAdds(t).head
+      commitDv(t, 1, add, DeletionVector.writeDvFile(t, Seq(0L), conf)) // drop id 0
+      w.write(spark.range(100, 103).toDF("id"), t, DeltaWriteMode.Overwrite) // v2
+      w.restore(t, 1)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 2L, 3L, 4L), "restore dropped the deletion vector")
+    }
+  }
+
+  test("compact leaves DV-bearing files alone; streaming source refuses DV adds") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 5).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      w.write(spark.range(10, 15).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      w.write(spark.range(20, 25).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      val dvAdd = w.activeAdds(t).head
+      commitDv(t, 3, dvAdd, DeletionVector.writeDvFile(t, Seq(1L), conf))
+      val before = w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      w.compact(t, smallFileBytes = 1024 * 1024)
+      val after = w.activeAdds(t)
+      assert(after.map(_.path).contains(dvAdd.path),
+        "the DV'd file must not be folded into a compacted part")
+      assert(after.size === 2, "the two non-DV small files should compact into one")
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === before)
+      val cp = new DeltaTableCheckpoint(s"$tmp/cp", conf)
+      val e = intercept[PlanningError] {
+        cp.planBatch(t, DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest))
+      }
+      assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    }
+  }
+}

@@ -146,30 +146,34 @@ class DeltaLogReaderSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
-  test("deletion-vector / v3 protocol tables are refused, not silently misread") {
+  test("protocol gate: supported features (incl. deletionVectors) read; unknown refuse") {
     withTmpDir { tmp =>
+      // deletionVectors is now an implemented reader feature: the protocol
+      // admits it and the add's descriptor is parsed, not dropped
       val t = s"$tmp/t1"
       writeLog(t, 0,
         """{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"]}}""",
         ci(0), meta(), add("a.parquet"))
-      val e = intercept[PlanningError](new DeltaLogReader(hconf).snapshotState(t, 0))
-      assert(e.getMessage.contains("deletionVectors"))
+      assert(new DeltaLogReader(hconf).snapshotState(t, 0).size === 1)
       // v2 (column mapping) is READABLE — scan-time name resolution
       val t2 = s"$tmp/t2"
       writeLog(t2, 0, """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
         ci(0), meta(), add("a.parquet"))
       assert(new DeltaLogReader(hconf).snapshotState(t2, 0).size === 1)
-      // v3 with only features we implement reads fine
+      // v3 with a feature we do NOT implement still refuses loudly
       val t3 = s"$tmp/t3"
       writeLog(t3, 0,
-        """{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["timestampNtz"]}}""",
+        """{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["rowTracking"]}}""",
         ci(0), meta(), add("a.parquet"))
-      assert(new DeltaLogReader(hconf).snapshotState(t3, 0).size === 1)
-      // an add smuggling a DV past a mis-declared protocol is caught too
+      val e = intercept[PlanningError](new DeltaLogReader(hconf).snapshotState(t3, 0))
+      assert(e.getMessage.contains("rowTracking"))
+      // a DV descriptor parses into the add action with its fields intact
       val t4 = s"$tmp/t4"
       writeLog(t4, 0, ci(0), meta(),
         """{"add": {"path": "a.parquet", "size": 1, "dataChange": true, "deletionVector": {"storageType": "u", "pathOrInlineDv": "x", "offset": 1, "sizeInBytes": 1, "cardinality": 1}}}""")
-      intercept[PlanningError](new DeltaLogReader(hconf).snapshotState(t4, 0))
+      val commit = new DeltaLogReader(hconf).readCommit(t4, 0)
+      val dv = commit.adds.head.deletionVector
+      assert(dv === Some(graft.delta.DvDescriptor("u", "x", Some(1L), 1L, 1L)))
     }
   }
 
