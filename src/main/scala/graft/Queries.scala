@@ -675,6 +675,32 @@ object Queries {
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // DELETE WHERE via deletion vectors, oracle-proven: a multi-file Delta
+    // table, two successive predicate deletes that rewrite NOTHING (bitmap
+    // commits only — the second unions into the first's vectors), and the
+    // read-back must equal DuckDB's NOT-predicate over the source parquet.
+    // A resurrected, double-deleted, or mis-indexed row changes the hash.
+    "q_delta_delete" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-dv").toString
+        val table = s"$tmp/orders_dv"
+        val w = new graft.delta.DeltaWriter(s, s.sparkContext.hadoopConfiguration)
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            dround(col("o_totalprice")).as("price"))
+          .repartitionByRange(6, col("o_orderkey"))
+        w.write(orders, table, graft.delta.DeltaWriteMode.Append)
+        w.deleteWhere(table, col("o_orderstatus") === "F")
+        w.deleteWhere(table, col("price") < 50000)
+        w.read(table).orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  ${droundSql("o_totalprice")} AS price
+             |FROM orders
+             |WHERE NOT (o_orderstatus = 'F')
+             |  AND NOT (${droundSql("o_totalprice")} < 50000)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ================= training-data pipeline operators ==================
 
     // ----- exact dedup ----------------------------------------------------

@@ -215,25 +215,90 @@ object DeletionVector {
     bitmapCache.computeIfAbsent(key, _ => deserialize(bytes))
   }
 
-  /** Write a framed single-vector `.bin` DV file (version byte + one
-    * `[size][data][crc]` frame) and return its descriptor with
-    * `storageType="u"` pointing at it — the fixture/round-trip producer
-    * for [[loadBytes]]. */
-  def writeDvFile(tablePath: String, rows: Seq[Long], conf: Configuration): DvDescriptor = {
-    val data = fromRowIndices(rows)
+  /** Write a framed `.bin` DV file (version byte, then one
+    * `[size:int32 BE][data][crc32:int32 BE]` frame per vector) and return
+    * one `storageType="u"` descriptor per input, offsets assigned in
+    * order — one file per COMMIT regardless of how many data files the
+    * delete touched, delta's packing. Cardinality is computed from the
+    * bytes themselves. */
+  def writeDvFrames(tablePath: String, datas: Seq[Array[Byte]],
+      conf: Configuration): Seq[DvDescriptor] = {
+    require(datas.nonEmpty, "no deletion vectors to write")
     val uuid = UUID.randomUUID()
     val p = new Path(tablePath, s"deletion_vector_$uuid.bin")
-    val out = Fs.fs(p, conf).create(p, false)
-    try {
-      out.writeByte(1)
-      out.writeInt(data.length)
-      out.write(data)
-      val crc = new CRC32(); crc.update(data)
-      out.writeInt(crc.getValue.toInt)
-    } finally out.close()
     val uuidBytes = ByteBuffer.allocate(16)
       .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
-    DvDescriptor("u", z85Encode(uuidBytes.array()), Some(1L), data.length.toLong,
-      rows.distinct.size.toLong)
+    val ref = z85Encode(uuidBytes.array())
+    val out = Fs.fs(p, conf).create(p, false)
+    val descs = Seq.newBuilder[DvDescriptor]
+    try {
+      out.writeByte(1)
+      var offset = 1L
+      datas.foreach { data =>
+        out.writeInt(data.length)
+        out.write(data)
+        val crc = new CRC32(); crc.update(data)
+        out.writeInt(crc.getValue.toInt)
+        val cardinality = deserialize(data).map(_.getLongCardinality).sum
+        descs += DvDescriptor("u", ref, Some(offset), data.length.toLong, cardinality)
+        offset += 4L + data.length + 4L
+      }
+    } finally out.close()
+    descs.result()
   }
+
+  /** Single-vector convenience over [[writeDvFrames]]. */
+  def writeDvFile(tablePath: String, rows: Seq[Long], conf: Configuration): DvDescriptor =
+    writeDvFrames(tablePath, Seq(fromRowIndices(rows)), conf).head
+
+  /** Union of two serialized arrays — a second DELETE on an already-DV'd
+    * file widens the existing bitmap instead of chaining vectors. */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = deserialize(a); val y = deserialize(b)
+    val n = math.max(x.length, y.length)
+    serialize(Array.tabulate(n) { i =>
+      val rb = new RoaringBitmap()
+      if (i < x.length) rb.or(x(i))
+      if (i < y.length) rb.or(y(i))
+      rb
+    })
+  }
+
+  /** Total deleted-row count of a serialized array. */
+  def cardinalityOf(bytes: Array[Byte]): Long =
+    deserialize(bytes).map(_.getLongCardinality).sum
+}
+
+/** Typed aggregator folding matched row indices into a serialized
+  * RoaringBitmapArray — the per-file reduction a DV delete shuffles.
+  * Partial aggregation runs map-side, so the exchange carries one
+  * bitmap-sized buffer per (partition, file), never a row-index list: a
+  * delete matching a billion rows still shuffles only #files bitmaps. */
+class DvRowAgg extends org.apache.spark.sql.expressions.Aggregator[
+    Long, Array[RoaringBitmap], Array[Byte]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  def zero: Array[RoaringBitmap] = Array.empty
+  def reduce(b: Array[RoaringBitmap], rowIdx: Long): Array[RoaringBitmap] = {
+    val high = (rowIdx >>> 32).toInt
+    val grown =
+      if (high < b.length) b
+      else b ++ Array.fill(high + 1 - b.length)(new RoaringBitmap())
+    grown(high).add(rowIdx.toInt)
+    grown
+  }
+  def merge(a: Array[RoaringBitmap], c: Array[RoaringBitmap]): Array[RoaringBitmap] = {
+    val n = math.max(a.length, c.length)
+    Array.tabulate(n) { i =>
+      val rb = new RoaringBitmap()
+      if (i < a.length) rb.or(a(i))
+      if (i < c.length) rb.or(c(i))
+      rb
+    }
+  }
+  def finish(b: Array[RoaringBitmap]): Array[Byte] = DeletionVector.serialize(b)
+  // RoaringBitmap is Externalizable; buffers only serialize at the
+  // partial-agg exchange boundary
+  def bufferEncoder: Encoder[Array[RoaringBitmap]] =
+    Encoders.javaSerialization(classOf[Array[RoaringBitmap]])
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }

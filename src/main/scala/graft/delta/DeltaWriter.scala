@@ -110,6 +110,84 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         .map(seg => seg.take(seg.indexOf('='))).toSeq).getOrElse(Seq.empty))
   }
 
+  /** DELETE WHERE via deletion vectors — the O(matched rows) delete: no
+    * data file is rewritten; matched row indices fold into one
+    * RoaringBitmap per file ([[DvRowAgg]] — map-side partial aggregation,
+    * so the single shuffle carries bitmap-sized buffers keyed by file, a
+    * few KB each even for a billion-row delete), the driver unions them
+    * with any existing vectors, and ONE commit re-adds the touched files
+    * with their new DVs (one packed `.bin` for the whole commit). A file
+    * whose every physical row is now deleted (stats numRecords == union
+    * cardinality) is plain-removed instead. At 100 TB this is the
+    * difference between a delete costing minutes of metadata work and
+    * hours of rewrite churn the vacuum horizon then absorbs; the trade is
+    * a bitmap probe per row at read time until OPTIMIZE rewrites.
+    * Returns the number of rows deleted (0 = no commit was made). */
+  def deleteWhere(tablePath: String, condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.{col, count, lit, udaf}
+    val readVersion = log.latestVersion(tablePath)
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val adds = DeltaStats.activeAdds(log, tablePath, readVersion)
+    if (adds.isEmpty) return 0L
+    val declared = log.tableSchemaString(tablePath)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    if (declared.exists(ColumnMapping.isMapped))
+      throw new GraftError(
+        s"table $tablePath uses delta column mapping; this writer reads " +
+        "such tables but will not write them")
+    val files = adds.map(a => log.resolvePath(tablePath, a.path))
+    val partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
+    val raw =
+      if (partitioned) spark.read.option("basePath", tablePath).parquet(files: _*)
+      else declared match {
+        case Some(s) => spark.read.schema(s).parquet(files: _*)
+        case None => spark.read.parquet(files: _*)
+      }
+    val dvByPath: Map[String, DvDescriptor] = adds
+      .flatMap(a => a.deletionVector.map(d =>
+        DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> d)).toMap
+    // rows already deleted by an existing DV must not count again
+    val matched = dvFilter(tablePath, dvByPath, raw).filter(condition).select(
+      col("_metadata.file_path").as("__fp"), col("_metadata.row_index").as("__ri"))
+    val dvAgg = udaf(new DvRowAgg(), Encoders.scalaLong)
+    val perFile = matched.groupBy("__fp")
+      .agg(dvAgg(col("__ri")).as("__dv"), count(lit(1)).as("__n")).collect()
+    if (perFile.isEmpty) return 0L
+
+    val byNorm = adds.map(a =>
+      DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> a).toMap
+    var deleted = 0L
+    val touched: Seq[(DeltaAction.AddFile, Array[Byte])] = perFile.toSeq.map { r =>
+      val add = byNorm.getOrElse(DeletionVector.normUri(r.getString(0)),
+        throw new GraftError(s"matched file ${r.getString(0)} not in snapshot"))
+      deleted += r.getLong(2)
+      val fresh = r.getAs[Array[Byte]](1)
+      val unioned = add.deletionVector match {
+        case Some(old) =>
+          DeletionVector.union(DeletionVector.loadBytes(tablePath, old, conf), fresh)
+        case None => fresh
+      }
+      (add, unioned)
+    }
+    def physRows(a: DeltaAction.AddFile): Option[Long] = a.stats.flatMap { s =>
+      try Jsons.optLong(Jsons.parse(s), "numRecords")
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val (gone, kept) = touched.partition { case (a, u) =>
+      physRows(a).contains(DeletionVector.cardinalityOf(u))
+    }
+    val descs =
+      if (kept.isEmpty) Seq.empty
+      else DeletionVector.writeDvFrames(tablePath, kept.map(_._2), conf)
+    val reAdds = kept.zip(descs).map { case ((a, _), d) =>
+      WrittenPart(a.path, a.size, a.stats, a.partitionValues, Some(d)) }
+    commit(tablePath, "DELETE", declared.getOrElse(StructType(Nil)),
+      touched.map(_._1.path), reAdds, Seq.empty, partitionColumnsOf(tablePath),
+      readVersion = Some(readVersion))
+    deleted
+  }
+
   /** Data-skipping read: files whose delta stats can't intersect every
     * given inclusive numeric interval are not even scheduled
     * ([[DeltaStats.prune]]); the caller's own filter still applies on the
@@ -214,13 +292,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       df: DataFrame): DataFrame = {
     if (dvByPath.isEmpty) return df
     import org.apache.spark.sql.functions.{col, not, udf}
-    val bytesByPath: Map[String, Array[Byte]] = dvByPath.map { case (p, d) =>
-      p -> DeletionVector.loadBytes(tablePath, d, conf) }
+    // the deserialization cache is keyed by the VECTOR's identity, not the
+    // data file's: a file re-added with a widened DV (second delete) must
+    // not hit the previous vector's cached bitmaps
+    val bytesByPath: Map[String, (String, Array[Byte])] = dvByPath.map { case (p, d) =>
+      p -> (s"${d.pathOrInlineDv}@${d.offset.getOrElse(0L)}",
+        DeletionVector.loadBytes(tablePath, d, conf)) }
     val bc = spark.sparkContext.broadcast(bytesByPath)
     val deleted = udf((path: String, idx: Long) => {
-      val key = DeletionVector.normUri(path)
-      bc.value.get(key).exists(bytes =>
-        DeletionVector.contains(DeletionVector.cachedBitmaps(key, bytes), idx))
+      bc.value.get(DeletionVector.normUri(path)).exists { case (cacheKey, bytes) =>
+        DeletionVector.contains(DeletionVector.cachedBitmaps(cacheKey, bytes), idx) }
     })
     df.filter(not(deleted(col("_metadata.file_path"), col("_metadata.row_index"))))
   }

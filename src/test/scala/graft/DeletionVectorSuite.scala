@@ -139,6 +139,56 @@ class DeletionVectorSuite extends SparkSpec {
     }
   }
 
+  test("deleteWhere deletes via bitmaps: no file rewrite, unions across deletes") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 100).toDF("id"), t, DeltaWriteMode.Append)
+      val pathsBefore = w.activeAdds(t).map(_.path).toSet
+      val v0 = w.latestVersion(t).get
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") % 10 === 3) === 10L)
+      // the delete is a metadata commit: every data file survives under its
+      // own path, only DV descriptors changed
+      assert(w.activeAdds(t).map(_.path).toSet === pathsBefore)
+      assert(w.activeAdds(t).exists(_.deletionVector.isDefined))
+      assert(w.read(t).count() === 90L)
+      assert(w.read(t).filter("id % 10 = 3").count() === 0L)
+      // a second delete unions into the existing vectors, never resurrects
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") < 20) === 18L)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === (20L until 100L).filterNot(_ % 10 == 3))
+      // matching nothing commits nothing
+      val v = w.latestVersion(t).get
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") > 1000) === 0L)
+      assert(w.latestVersion(t).get === v)
+      // time travel still sees the pre-delete state
+      assert(w.read(t, versionAsOf = Some(v0)).count() === 100L)
+    }
+  }
+
+  test("deleteWhere drops a fully-deleted file outright and respects partitions") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      val df = (0L until 40L).map(i => (i, if (i < 20) "a" else "b")).toDF("id", "part")
+      w.write(df, t, DeltaWriteMode.Append, partitionBy = Seq("part"))
+      // wipe partition a entirely: its files' physical rows are all deleted,
+      // so they leave the snapshot as removes, not DV adds
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("part") === "a") === 20L)
+      val adds = w.activeAdds(t)
+      assert(adds.forall(_.partitionValues.get("part").contains("b")))
+      assert(adds.forall(_.deletionVector.isEmpty),
+        s"fully-deleted files must be removed, not DV'd: $adds")
+      // partial delete inside partition b keeps the hive layout + pruning
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") === 25L) === 1L)
+      assert(w.partitionColumnsOf(t) === Seq("part"))
+      val pruned = w.readPartitions(t, Map("part" -> "b"))
+      assert(pruned.orderBy("id").collect().map(_.getLong(0)).toSeq
+        === ((20L until 40L).filterNot(_ == 25L)))
+      assert(w.read(t).count() === 19L)
+    }
+  }
+
   test("compact leaves DV-bearing files alone; streaming source refuses DV adds") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
