@@ -18,6 +18,20 @@ case class MergeResult(
     action: String,
     changeTypes: Map[String, Long])
 
+/** How a Merge materializes its changes.
+  *  - `Auto`: deletion-vector merge whenever eligible (every candidate
+  *    file has numRecords stats and the batch widens no columns),
+  *    otherwise the touched-file rewrite.
+  *  - `Rewrite`: always rewrite touched files (the delta-spark classic
+  *    MERGE shape; also the only shape that can merge schemas).
+  *  - `DeletionVectors`: require the DV shape; error if ineligible. */
+sealed trait MergeStrategy
+object MergeStrategy {
+  case object Auto extends MergeStrategy
+  case object Rewrite extends MergeStrategy
+  case object DeletionVectors extends MergeStrategy
+}
+
 /** CDC merge into a Delta table. Semantics follow the reference
   * (`sinks/delta.py:32-158`): keyed upsert/delete with latest-change-wins;
   * `append_only` dedups/strips and appends without rewriting (fast path
@@ -59,7 +73,8 @@ object DeltaCdc {
       changeTypeMap: Map[String, String] = Map.empty,
       dropDeletes: Boolean = false,
       emitCdf: Boolean = false,
-      txn: Option[(String, Long)] = None): MergeResult = {
+      txn: Option[(String, Long)] = None,
+      strategy: MergeStrategy = MergeStrategy.Auto): MergeResult = {
     val writer = new DeltaWriter(spark, spark.sparkContext.hadoopConfiguration)
     val normalized = Cdc.normalizeChangeTypes(changes, changeCol, changeTypeMap)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -100,20 +115,65 @@ object DeltaCdc {
           val adds = readVersion.map(writer.activeAddsAt(tablePath, _))
             .getOrElse(Seq.empty)
           val (touched, untouched) = partitionByKeyBounds(normalized, keys, adds)
-          // only files that can contain a matched key are read and merged;
-          // an empty touched set means every change is a brand-new key and
-          // the merge degenerates to writing just the change payload
-          val existing =
-            if (touched.isEmpty) None else Some(writer.readAdds(tablePath, touched))
-          val merged = Cdc.applyCdc(normalized, existing, keys, CdcMode.Merge,
-            changeCol, Map.empty, dropDeletes)
-            .observe(outObs, count(lit(1)).as("rows_out"))
-          writer.replaceFiles(merged, tablePath, touched.map(_.path),
-            mergeSchema = true, cdfChanges = cdf, txn = txn,
-            readVersion = readVersion)
-          val written = outObs.get("rows_out").asInstanceOf[Long]
           val carried = untouched.map(numRecordsOf(_).getOrElse(0L)).sum
-          MergeResult(rowsIn, written + carried, "merge", changeTypes)
+
+          // DV eligibility: every candidate file's logical row count is
+          // derivable (rows_out accounting) and the batch widens no
+          // columns (a DV merge never rewrites the old rows that would
+          // need null-filling under a wider schema)
+          val tableSchema = writer.tableSchema(tablePath)
+          val payloadCols = normalized.columns.filterNot(Cdc.MetaCols.contains)
+          val dvEligible = touched.nonEmpty &&
+            touched.forall(numRecordsOf(_).isDefined) &&
+            tableSchema.exists(ts => payloadCols.forall(ts.fieldNames.contains))
+          val useDv = strategy match {
+            case MergeStrategy.Rewrite => false
+            case MergeStrategy.Auto => dvEligible
+            case MergeStrategy.DeletionVectors =>
+              if (!dvEligible && touched.nonEmpty)
+                throw new graft.core.GraftError(
+                  s"deletion-vector merge into $tablePath is ineligible " +
+                  "(missing numRecords stats or schema widening); use " +
+                  "MergeStrategy.Auto or Rewrite")
+              touched.nonEmpty
+          }
+
+          if (useDv) {
+            // mark the old versions of every touched key deleted (per-file
+            // bitmaps; the change-key set broadcasts) and append only the
+            // changed keys' post-state: data volume is O(change batch),
+            // surviving rows of touched files are never read or rewritten
+            val touchedKeys = Cdc.dedupeLatest(
+              Cdc.prepareChanges(normalized, changeCol, CdcMode.Merge, dropDeletes),
+              keys).select(keys.map(col): _*).distinct()
+            val marked = writer.scanAddsWithRowMeta(tablePath, touched)
+              .join(broadcast(touchedKeys), keys, "left_semi")
+              .select(col(writer.RowMetaFile), col(writer.RowMetaIndex))
+            val payload = Cdc.applyCdc(normalized, None, keys, CdcMode.Merge,
+              changeCol, Map.empty, dropDeletes)
+              .observe(outObs, count(lit(1)).as("rows_out"))
+            val deleted = writer.dvMerge(tablePath, touched, marked, payload,
+              cdf, txn, readVersion.get)
+            val appended = outObs.get("rows_out").asInstanceOf[Long]
+            val touchedLogical = touched.flatMap(numRecordsOf).sum
+            MergeResult(rowsIn, carried + touchedLogical - deleted + appended,
+              "merge", changeTypes)
+          } else {
+            // rewrite shape: only files that can contain a matched key are
+            // read and merged; an empty touched set means every change is
+            // a brand-new key and the merge degenerates to writing just
+            // the change payload
+            val existing =
+              if (touched.isEmpty) None else Some(writer.readAdds(tablePath, touched))
+            val merged = Cdc.applyCdc(normalized, existing, keys, CdcMode.Merge,
+              changeCol, Map.empty, dropDeletes)
+              .observe(outObs, count(lit(1)).as("rows_out"))
+            writer.replaceFiles(merged, tablePath, touched.map(_.path),
+              mergeSchema = true, cdfChanges = cdf, txn = txn,
+              readVersion = readVersion)
+            val written = outObs.get("rows_out").asInstanceOf[Long]
+            MergeResult(rowsIn, written + carried, "merge", changeTypes)
+          }
       }
     } finally normalized.unpersist(blocking = false)
   }

@@ -124,12 +124,26 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * a bitmap probe per row at read time until OPTIMIZE rewrites.
     * Returns the number of rows deleted (0 = no commit was made). */
   def deleteWhere(tablePath: String, condition: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.functions.{col, count, lit, udaf}
+    import org.apache.spark.sql.functions.col
     val readVersion = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
     val adds = DeltaStats.activeAdds(log, tablePath, readVersion)
     if (adds.isEmpty) return 0L
+    val marked = scanAddsWithRowMeta(tablePath, adds).filter(condition)
+      .select(col(RowMetaFile), col(RowMetaIndex))
+    dvDeleteCommit(tablePath, adds, marked, Seq.empty, Seq.empty, None,
+      readVersion, "DELETE")._2
+  }
+
+  private[graft] val RowMetaFile = "__file_path"
+  private[graft] val RowMetaIndex = "__row_index"
+
+  /** DV-aware scan of `adds` that also exposes each row's provenance as
+    * [[RowMetaFile]]/[[RowMetaIndex]] columns — the frame DV deletes and
+    * DV merges mark rows in. */
+  private[graft] def scanAddsWithRowMeta(tablePath: String,
+      adds: Seq[DeltaAction.AddFile]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
     if (declared.exists(ColumnMapping.isMapped))
@@ -147,15 +161,35 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val dvByPath: Map[String, DvDescriptor] = adds
       .flatMap(a => a.deletionVector.map(d =>
         DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> d)).toMap
-    // rows already deleted by an existing DV must not count again
-    val matched = dvFilter(tablePath, dvByPath, raw).filter(condition).select(
-      col("_metadata.file_path").as("__fp"), col("_metadata.row_index").as("__ri"))
-    val dvAgg = udaf(new DvRowAgg(), Encoders.scalaLong)
-    val perFile = matched.groupBy("__fp")
-      .agg(dvAgg(col("__ri")).as("__dv"), count(lit(1)).as("__n")).collect()
-    if (perFile.isEmpty) return 0L
+    // rows already deleted by an existing DV must not match again
+    dvFilter(tablePath, dvByPath, raw)
+      .withColumn(RowMetaFile, col("_metadata.file_path"))
+      .withColumn(RowMetaIndex, col("_metadata.row_index"))
+  }
 
-    val byNorm = adds.map(a =>
+  /** The shared DV-delete commit: fold `marked` ([[RowMetaFile]],
+    * [[RowMetaIndex]]) into one bitmap per file ([[DvRowAgg]] — map-side
+    * partial aggregation, the exchange carries bitmaps, never row lists),
+    * union with existing vectors, drop files whose every physical row is
+    * now deleted, and commit the re-adds together with `extraParts` (a DV
+    * merge's appended payload) and `cdcParts` in ONE atomic commit.
+    * Returns (version, deletedRows); no-op (-1, 0) when nothing matched
+    * and nothing is appended. */
+  private[graft] def dvDeleteCommit(tablePath: String,
+      candidates: Seq[DeltaAction.AddFile], marked: DataFrame,
+      extraParts: Seq[WrittenPart], cdcParts: Seq[(String, Long)],
+      txn: Option[(String, Long)], readVersion: Long,
+      operation: String): (Long, Long) = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.{col, count, lit, udaf}
+    val declared = log.tableSchemaString(tablePath)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    val dvAgg = udaf(new DvRowAgg(), Encoders.scalaLong)
+    val perFile = marked.groupBy(RowMetaFile)
+      .agg(dvAgg(col(RowMetaIndex)).as("__dv"), count(lit(1)).as("__n")).collect()
+    if (perFile.isEmpty && extraParts.isEmpty && cdcParts.isEmpty) return (-1L, 0L)
+
+    val byNorm = candidates.map(a =>
       DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> a).toMap
     var deleted = 0L
     val touched: Seq[(DeltaAction.AddFile, Array[Byte])] = perFile.toSeq.map { r =>
@@ -174,7 +208,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       try Jsons.optLong(Jsons.parse(s), "numRecords")
       catch { case scala.util.control.NonFatal(_) => None }
     }
-    val (gone, kept) = touched.partition { case (a, u) =>
+    // a file whose every physical row is now deleted needs no vector at all
+    val (_, kept) = touched.partition { case (a, u) =>
       physRows(a).contains(DeletionVector.cardinalityOf(u))
     }
     val descs =
@@ -182,10 +217,43 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       else DeletionVector.writeDvFrames(tablePath, kept.map(_._2), conf)
     val reAdds = kept.zip(descs).map { case ((a, _), d) =>
       WrittenPart(a.path, a.size, a.stats, a.partitionValues, Some(d)) }
-    commit(tablePath, "DELETE", declared.getOrElse(StructType(Nil)),
-      touched.map(_._1.path), reAdds, Seq.empty, partitionColumnsOf(tablePath),
-      readVersion = Some(readVersion))
-    deleted
+    val version = commit(tablePath, operation, declared.getOrElse(StructType(Nil)),
+      touched.map(_._1.path), reAdds ++ extraParts, cdcParts,
+      partitionColumnsOf(tablePath), txn, readVersion = Some(readVersion))
+    (version, deleted)
+  }
+
+  /** DV-based MERGE primitive: in ONE atomic commit, bitmap-delete every
+    * row of `candidates` listed in `marked` and append `payload` (the
+    * post-state of the changed keys). The touched files' surviving rows
+    * are never read, rewritten, or shuffled — the merge's data volume is
+    * O(change batch), not O(touched files); delta-spark's low-shuffle
+    * MERGE shape. Payload must not widen the schema (callers fall back to
+    * the rewrite path for schema merges). Returns deleted-row count. */
+  private[graft] def dvMerge(tablePath: String, candidates: Seq[DeltaAction.AddFile],
+      marked: DataFrame, payload: DataFrame, cdfChanges: Option[DataFrame],
+      txn: Option[(String, Long)], readVersion: Long): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new Path(tablePath)
+    val fs = Fs.fs(root, conf)
+    val declared = log.tableSchemaString(tablePath)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .getOrElse(payload.schema)
+    val aligned = payload.select(declared.fields.toSeq.map(f =>
+      (if (payload.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
+    val effectiveParts = partitionColumnsOf(tablePath)
+    val parts =
+      if (effectiveParts.isEmpty) writeParts(aligned, root, fs, prefix = "part")
+      else writePartitionedParts(aligned, root, effectiveParts)
+    val cdcParts = cdfChanges.map { ch =>
+      val cdcDir = new Path(root, "_change_data")
+      fs.mkdirs(cdcDir)
+      writeParts(ch, cdcDir, fs, prefix = "cdc").map(p =>
+        (s"_change_data/${p.path}", p.size))
+    }.getOrElse(Seq.empty)
+    dvDeleteCommit(tablePath, candidates, marked, parts, cdcParts, txn,
+      readVersion, "MERGE")._2
   }
 
   /** Data-skipping read: files whose delta stats can't intersect every
@@ -307,6 +375,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   }
 
   def tableExists(tablePath: String): Boolean = log.isDeltaTable(tablePath)
+
+  /** The table's declared schema (None until a metaData action exists). */
+  def tableSchema(tablePath: String): Option[StructType] =
+    log.tableSchemaString(tablePath)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
 
   /** Partition columns of an existing table, in layout order (derived
     * from an active add's path — the authoritative record of the hive

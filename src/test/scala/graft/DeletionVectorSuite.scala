@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.PlanningError
-import graft.delta.{DeletionVector, DeltaAction, DeltaWriteMode, DeltaWriter, DvDescriptor}
+import graft.delta.{DeletionVector, DeltaAction, DeltaLogReader, DeltaWriteMode, DeltaWriter, DvDescriptor}
 import graft.sources.{DeltaSourceOptions, DeltaStartOffset, DeltaTableCheckpoint}
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -186,6 +186,67 @@ class DeletionVectorSuite extends SparkSpec {
       assert(pruned.orderBy("id").collect().map(_.getLong(0)).toSeq
         === ((20L until 40L).filterNot(_ == 25L)))
       assert(w.read(t).count() === 19L)
+    }
+  }
+
+  test("Auto CDC merge goes through deletion vectors and matches the rewrite result") {
+    withTmpDir { tmp =>
+      import org.apache.spark.sql.functions.col
+      val (t1, t2) = (s"$tmp/dv", s"$tmp/rw")
+      val w = writer
+      val base = (0L until 20L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartitionByRange(2, col("id"))
+      w.write(base, t1, DeltaWriteMode.Append)
+      w.write(base, t2, DeltaWriteMode.Append)
+      val pathsBefore = w.activeAdds(t1).map(_.path).toSet
+      val changes = Seq(
+        (3L, Some(333L), "update_postimage", 1L),
+        (5L, Option.empty[Long], "delete", 1L),
+        (100L, Some(1L), "insert", 1L))
+        .toDF("id", "v", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      val rDv = DeltaCdc.applyCdcDelta(spark, changes, t1, Seq("id"))
+      val rRw = DeltaCdc.applyCdcDelta(spark, changes, t2, Seq("id"),
+        strategy = MergeStrategy.Rewrite)
+      // identical externally-visible outcome...
+      assert(rDv.rowsOut === rRw.rowsOut)
+      assert(rDv.rowsOut === 20L) // 20 - 1 delete + 1 insert + update in place
+      def state(t: String) = w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(state(t1) === state(t2))
+      // ...but the DV merge rewrote nothing: every original file survives
+      // under its own path, the touched one now carrying a vector
+      val after = w.activeAdds(t1)
+      assert(pathsBefore.subsetOf(after.map(_.path).toSet),
+        "DV merge must not rewrite touched files")
+      assert(after.exists(_.deletionVector.isDefined))
+    }
+  }
+
+  test("DV merge stamps txn and CDF in the same commit; strict strategy rejects widening") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write((0L until 10L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+        t, DeltaWriteMode.Append)
+      val changes = Seq((1L, Some(11L), "update_postimage", 1L))
+        .toDF("id", "v", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      DeltaCdc.applyCdcDelta(spark, changes, t, Seq("id"),
+        emitCdf = true, txn = Some(("app", 9L)))
+      assert(w.lastTxnVersion(t, "app") === Some(9L),
+        "the txn watermark must ride the DV merge's own commit")
+      val commit = new DeltaLogReader(conf).readCommit(t, 1)
+      assert(commit.adds.exists(_.deletionVector.isDefined))
+      assert(commit.cdcs.nonEmpty, "CDF parts must land in the same commit")
+      // a schema-widening batch is ineligible: strict strategy refuses,
+      // Auto silently takes the rewrite path
+      val widening = Seq((2L, Some(22L), Some("x"), "update_postimage", 2L))
+        .toDF("id", "v", "extra", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      intercept[graft.core.GraftError] {
+        DeltaCdc.applyCdcDelta(spark, widening, t, Seq("id"),
+          strategy = MergeStrategy.DeletionVectors)
+      }
+      DeltaCdc.applyCdcDelta(spark, widening, t, Seq("id"))
+      assert(w.read(t).filter("extra = 'x'").count() === 1L)
     }
   }
 

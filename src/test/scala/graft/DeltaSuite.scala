@@ -1325,7 +1325,8 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
         (1000L, Some(11L), "update_postimage", 1L),
         (1002L, Some(3L), "insert", 1L))
         .toDF("id", "v", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
-      val res = DeltaCdc.applyCdcDelta(spark, changes, t, Seq("id"))
+      val res = DeltaCdc.applyCdcDelta(spark, changes, t, Seq("id"),
+        strategy = MergeStrategy.Rewrite)
       // rows_out counts carried-forward rows via untouched numRecords stats
       assert(res.rowsOut === 5, s"expected 5 rows out, got ${res.rowsOut}")
       val commit = log.readCommit(t, 2)
