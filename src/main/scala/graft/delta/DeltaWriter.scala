@@ -832,14 +832,79 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       readVersion = Some(latest))
   }
 
-  /** Vacuum: delete data files not referenced by the current snapshot and
-    * older than `retentionMs`. Returns number of deleted files. */
+  /** Rewrite every DV-bearing file with its deletion vector APPLIED and
+    * drop the vectors (delta's `REORG TABLE ... APPLY PURGE`): deletes
+    * are cheap to take (a bitmap commit) but cost a probe per read — once
+    * a table accumulates vectors, one purge rewrite re-amortizes reads,
+    * and [[vacuum]] can then reclaim both the shadowed rows and the
+    * `.bin` files. dataChange=false: tailing readers see no new data.
+    * Returns the number of files purged (0 = no commit). */
+  def purgeDeletionVectors(tablePath: String): Int = {
+    val readVersion = log.latestVersion(tablePath)
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val dvAdds = DeltaStats.activeAdds(log, tablePath, readVersion)
+      .filter(_.deletionVector.isDefined)
+    if (dvAdds.isEmpty) return 0
+    val root = new Path(tablePath)
+    val fs = Fs.fs(root, conf)
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo": {"timestamp": $now, "operation": "PURGE"}}"""
+    // per-partition groups keep hive layout, same shape as compact
+    dvAdds.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(",")).foreach { case (pv, group) =>
+      val df = readAdds(tablePath, group) // DV-aware: survivors only
+      val parts =
+        if (pv.isEmpty) writeParts(df, root, fs, prefix = "purged")
+        else {
+          val partDirRel = group.head.path.split('/').dropRight(1).mkString("/")
+          val partDir = new Path(root, partDirRel)
+          fs.mkdirs(partDir)
+          writeWithProtocol(df.write.mode("append").parquet(partDir.toString),
+              partDir.toString)
+            .sortBy(_.path).map(f =>
+              WrittenPart(s"$partDirRel/${new Path(f.path).getName}",
+                f.size, f.stats, pv))
+        }
+      group.foreach { a =>
+        val r = Jsons.obj(); r.put("path", a.path); r.put("dataChange", false)
+        r.put("deletionTimestamp", now)
+        lines += s"""{"remove": ${Jsons.render(r)}}"""
+      }
+      parts.foreach { part =>
+        val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
+        a.put("dataChange", false); a.put("modificationTime", now)
+        if (part.partitionValues.nonEmpty) {
+          val p = Jsons.obj()
+          part.partitionValues.foreach { case (k, v) => p.put(k, v) }
+          a.set[JsonNode]("partitionValues", p)
+        }
+        part.stats.foreach(s => a.put("stats", s))
+        lines += s"""{"add": ${Jsons.render(a)}}"""
+      }
+    }
+    val body = lines.result().mkString("\n")
+    commitWithRetry(tablePath, _ => body,
+      DeltaWriter.conflictReason("OPTIMIZE", dvAdds.map(_.path), None, _),
+      readVersion = Some(readVersion))
+    dvAdds.size
+  }
+
+  /** Vacuum: delete data files (and deletion-vector `.bin` files) not
+    * referenced by the current snapshot and older than `retentionMs`.
+    * Returns number of deleted files. */
   def vacuum(tablePath: String, retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val latest = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
     val active = log.snapshotState(tablePath, latest).map(_._1).toSet
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
+    // DV files referenced by the CURRENT snapshot, root-relative
+    val activeDvs = DeltaStats.activeAdds(log, tablePath, latest)
+      .flatMap(_.deletionVector)
+      .flatMap(d => DeletionVector.resolvePath(tablePath, d))
+      .map(p => p.toUri.getPath.stripPrefix(
+        root.toUri.getPath.stripSuffix("/") + "/")).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     var deleted = 0
     def walk(dir: Path, rel: String): Unit =
@@ -848,8 +913,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         val relPath = if (rel.isEmpty) name else s"$rel/$name"
         if (st.isDirectory) {
           if (name != "_delta_log" && !name.startsWith(".")) walk(st.getPath, relPath)
-        } else if (name.endsWith(".parquet") && !active.contains(relPath) &&
-            st.getModificationTime < cutoff) {
+        } else if (st.getModificationTime < cutoff &&
+            ((name.endsWith(".parquet") && !active.contains(relPath)) ||
+             (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
+               !activeDvs.contains(relPath)))) {
           fs.delete(st.getPath, false); deleted += 1
         }
       }

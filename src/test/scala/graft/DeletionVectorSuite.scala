@@ -250,6 +250,40 @@ class DeletionVectorSuite extends SparkSpec {
     }
   }
 
+  test("purgeDeletionVectors rewrites survivors, drops vectors, vacuum reclaims bins") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 50).toDF("id"), t, DeltaWriteMode.Append)
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") < 10) === 10L)
+      val before = w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      val purged = w.purgeDeletionVectors(t)
+      assert(purged > 0)
+      val after = w.activeAdds(t)
+      assert(after.forall(_.deletionVector.isEmpty), "purge must drop every vector")
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === before)
+      // purge is idempotent and invisible to tailing readers (dataChange=false)
+      assert(w.purgeDeletionVectors(t) === 0)
+      // vacuum reclaims the now-unreferenced .bin and shadowed parquet
+      val reclaimed = w.vacuum(t, retentionMs = -1000)
+      assert(reclaimed > 0)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === before)
+    }
+  }
+
+  test("vacuum keeps .bin files the current snapshot still references") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 30).toDF("id"), t, DeltaWriteMode.Append)
+      w.deleteWhere(t, org.apache.spark.sql.functions.col("id") === 7L)
+      val before = w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      w.vacuum(t, retentionMs = -1000)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === before,
+        "vacuum must never delete a LIVE deletion vector")
+    }
+  }
+
   test("compact leaves DV-bearing files alone; streaming source refuses DV adds") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
