@@ -701,6 +701,33 @@ object Queries {
              |  AND NOT (${droundSql("o_totalprice")} < 50000)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // PURGE closes the DV lifecycle under the same oracle: after the two
+    // deletes, every vector is applied-and-dropped by a rewrite commit and
+    // the vacuumed table must STILL equal DuckDB's NOT-predicate — a purge
+    // that resurrects, re-deletes, or mislays rows changes the hash.
+    "q_delta_purge" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-pg").toString
+        val table = s"$tmp/orders_pg"
+        val w = new graft.delta.DeltaWriter(s, s.sparkContext.hadoopConfiguration)
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            dround(col("o_totalprice")).as("price"))
+          .repartitionByRange(6, col("o_orderkey"))
+        w.write(orders, table, graft.delta.DeltaWriteMode.Append)
+        w.deleteWhere(table, col("o_orderstatus") === "F")
+        w.deleteWhere(table, col("price") < 50000)
+        w.purgeDeletionVectors(table)
+        w.vacuum(table, retentionMs = -1000)
+        w.read(table).orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  ${droundSql("o_totalprice")} AS price
+             |FROM orders
+             |WHERE NOT (o_orderstatus = 'F')
+             |  AND NOT (${droundSql("o_totalprice")} < 50000)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ================= training-data pipeline operators ==================
 
     // ----- exact dedup ----------------------------------------------------

@@ -284,6 +284,32 @@ class DeletionVectorSuite extends SparkSpec {
     }
   }
 
+  test("DV mark phase broadcasts change keys and partial-aggregates bitmaps") {
+    withTmpDir { tmp =>
+      import org.apache.spark.sql.{Encoders, functions => F}
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 1000).toDF("id"), t, DeltaWriteMode.Append)
+      val adds = w.activeAdds(t)
+      val changeKeys = Seq(5L, 6L, 7L).toDF("id")
+      val marked = w.scanAddsWithRowMeta(t, adds)
+        .join(F.broadcast(changeKeys), Seq("id"), "left_semi")
+        .select(F.col(w.RowMetaFile), F.col(w.RowMetaIndex))
+      val dvAgg = F.udaf(new graft.delta.DvRowAgg(), Encoders.scalaLong)
+      val agged = marked.groupBy(w.RowMetaFile)
+        .agg(dvAgg(F.col(w.RowMetaIndex)))
+      agged.collect()
+      val plan = agged.queryExecution.executedPlan.toString
+      // the change-key side broadcasts (the corpus never shuffles for the
+      // semi join) and the bitmap aggregation combines map-side, so the
+      // exchange carries one bitmap buffer per (partition, file)
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"change keys must broadcast:\n${plan.take(1200)}")
+      assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_"),
+        s"bitmap agg must partial-aggregate map-side:\n${plan.take(1200)}")
+    }
+  }
+
   test("compact leaves DV-bearing files alone; streaming source refuses DV adds") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
