@@ -263,4 +263,24 @@ class PropertySuite extends SparkSpec {
         assert(sizes.forall(s => s <= cap && s >= 2))
     }
   }
+
+  test("deleteWhere equals the per-row reference on random delete predicates") {
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import org.apache.spark.sql.functions.col
+    val w = new DeltaWriter(spark, spark.sparkContext.hadoopConfiguration)
+    // (table size, modulus, threshold): delete `id % m < k` — exercises
+    // multi-file bitmaps, empty matches, and full-file deletion
+    val caseGen = Gen.zip(Gen.choose(1, 120), Gen.choose(1L, 7L), Gen.choose(0L, 7L))
+    forAllSampled(caseGen, 8) { case (n, m, k) =>
+      val tmp = Files.createTempDirectory("graft-dv-prop-").toString
+      val t = s"$tmp/table"
+      w.write(spark.range(0, n.toLong).toDF("id")
+        .repartition(3), t, DeltaWriteMode.Append)
+      val expectDeleted = (0L until n.toLong).count(_ % m < k).toLong
+      val got = w.deleteWhere(t, col("id") % m < k)
+      assert(got === expectDeleted, s"n=$n m=$m k=$k")
+      val remaining = w.read(t).collect().map(_.getLong(0)).sorted.toSeq
+      assert(remaining === (0L until n.toLong).filterNot(_ % m < k), s"n=$n m=$m k=$k")
+    }
+  }
 }

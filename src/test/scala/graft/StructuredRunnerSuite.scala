@@ -79,6 +79,55 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("left-outer stream-stream join emits null rows after the watermark closes the window") {
+    import graft.streaming.Patterns
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    withTmpDir { tmp =>
+      val impDir = s"$tmp/imp"; val clkDir = s"$tmp/clk"; val cp = s"$tmp/cp"
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 0: one matched impression, one that will never see a click
+      Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:10:00")))
+        .toDF("ad_id", "imp_ts").write.parquet(s"$impDir/b0")
+      Seq((1L, ts("2024-01-01 00:02:00")))
+        .toDF("ad_id", "clk_ts").write.parquet(s"$clkDir/b0")
+      // batch 1: watermark pushers on BOTH sides — outer rows only emit
+      // once both watermarks pass the join window's end, which a
+      // single-batch run never triggers
+      Seq((99L, ts("2024-01-01 01:00:00")))
+        .toDF("ad_id", "imp_ts").write.parquet(s"$impDir/b1")
+      Seq((99L, ts("2024-01-01 01:00:00")))
+        .toDF("ad_id", "clk_ts").write.parquet(s"$clkDir/b1")
+      def src(dir: String, schema: org.apache.spark.sql.types.StructType) =
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/*")
+      val l = src(impDir, Seq((1L, ts("2024-01-01 00:00:00"))).toDF("ad_id", "imp_ts").schema)
+      val r = src(clkDir, Seq((1L, ts("2024-01-01 00:02:00"))).toDF("ad_id", "clk_ts").schema)
+      val joined = Patterns.intervalJoin(l, "imp_ts", r, "clk_ts",
+        Seq("ad_id"), within = "5 minutes",
+        leftWatermark = "1 minute", rightWatermark = "1 minute",
+        joinType = "left_outer")
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Option[String])]()
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(row =>
+            out += ((row.getLong(0),
+              if (row.isNullAt(3)) None else Some(row.getTimestamp(3).toString))))
+        }
+        .start()
+      q.awaitTermination(120000)
+      val byAd = out.toSeq.sortBy(_._1)
+      assert(byAd.contains((1L, Some("2024-01-01 00:02:00.0"))),
+        s"in-window click must join: $out")
+      assert(byAd.contains((2L, None)),
+        s"unmatched impression must emit with NULL once the window closes: $out")
+      assert(byAd.contains((99L, Some("2024-01-01 01:00:00.0"))), s"$out")
+    }
+  }
+
   test("windowed aggregation with watermark over a stream") {
     withTmpDir { tmp =>
       val in = s"$tmp/in"; val cp = s"$tmp/cp"
