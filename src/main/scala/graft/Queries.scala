@@ -728,6 +728,25 @@ object Queries {
              |  AND NOT (${droundSql("o_totalprice")} < 50000)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Time travel, oracle-proven: after an overwrite replaces the table
+    // with a filtered subset, versionAsOf(0) must reconstruct the FULL
+    // pre-overwrite snapshot from the log — a reader that folds removes
+    // wrongly or reads the live snapshot returns the subset and fails.
+    "q_delta_timetravel" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-tt").toString
+        val table = s"$tmp/nation_tt"
+        val w = new graft.delta.DeltaWriter(s, s.sparkContext.hadoopConfiguration)
+        val nation = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        w.write(nation, table, graft.delta.DeltaWriteMode.Append)
+        w.write(nation.filter(col("n_regionkey") === 0), table,
+          graft.delta.DeltaWriteMode.Overwrite)
+        w.read(table, versionAsOf = Some(0L)).orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // ================= training-data pipeline operators ==================
 
     // ----- exact dedup ----------------------------------------------------

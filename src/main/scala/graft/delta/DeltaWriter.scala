@@ -623,9 +623,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           .getOrElse(schema)
       val lines = Seq.newBuilder[String]
       // real delta readers (delta-spark, delta-rs, duckdb) REQUIRE a protocol
-      // action in the log; 1/2 = the base feature set, which is all we write.
-      // Our own parser skips unknown actions, so this is pure interop.
-      if (version == 0L)
+      // action in the log; 1/2 = the base feature set. A commit that carries
+      // DV adds must UPGRADE the protocol in the same commit (reader 3 /
+      // writer 7 + the deletionVectors feature): under 1/2 a compliant
+      // foreign reader would legally ignore the vectors and resurrect the
+      // deleted rows. Emitted on every DV commit — protocol actions
+      // override, so repetition is harmless and saves an O(versions) scan
+      // for "did we upgrade already".
+      if (adds.exists(_.deletionVector.isDefined))
+        lines += """{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}}"""
+      else if (version == 0L)
         lines += """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}"""
       val ci = Jsons.obj()
       ci.put("timestamp", now)

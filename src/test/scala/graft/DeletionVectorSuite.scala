@@ -163,6 +163,31 @@ class DeletionVectorSuite extends SparkSpec {
       assert(w.latestVersion(t).get === v)
       // time travel still sees the pre-delete state
       assert(w.read(t, versionAsOf = Some(v0)).count() === 100L)
+      // a DV commit upgrades the table protocol in the SAME commit — under
+      // reader 1/2 a compliant foreign reader may ignore the vectors
+      val protos = new DeltaLogReader(conf).readCommit(t, v0 + 1).actions.collect {
+        case p: DeltaAction.Protocol => p }
+      assert(protos.exists(p => p.minReaderVersion == 3 &&
+        p.readerFeatures.contains("deletionVectors")),
+        "DV-introducing commit must carry the protocol upgrade")
+    }
+  }
+
+  test("schema-merged appends null-fill DV'd files and vectors keep applying") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write((0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1),
+        t, DeltaWriteMode.Append)
+      w.deleteWhere(t, org.apache.spark.sql.functions.col("id") === 4L)
+      w.write(Seq((100L, 1L, "x")).toDF("id", "v", "tag"), t,
+        DeltaWriteMode.Append, mergeSchema = true)
+      val out = w.read(t).orderBy("id").collect()
+      assert(out.length === 10) // 10 - 1 deleted + 1 appended
+      assert(!out.map(_.getLong(0)).contains(4L),
+        "the DV must keep applying after a schema merge")
+      val old = out.find(_.getLong(0) === 0L).get
+      assert(old.isNullAt(old.fieldIndex("tag")), "pre-merge rows null-fill new cols")
     }
   }
 
