@@ -42,6 +42,17 @@ case class DvDescriptor(storageType: String, pathOrInlineDv: String,
   */
 object DeletionVector {
 
+  /** Bitmap BYTES materialized on the DRIVER (loads, unions, (de)serializes,
+    * frame writes) — the scale instrument for the DV write path: a DELETE /
+    * MERGE folds and writes its vectors in executor tasks, so the counter
+    * must not move on that path (DeletionVectorSuite pins this). Read-path
+    * broadcasts still load driver-side and are counted; they are bounded
+    * separately ([[graft.delta.DeltaWriter]] `MaxDvBroadcastBytes`). */
+  val driverBitmapBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def noteDriverBytes(n: Long): Unit =
+    if (org.apache.spark.TaskContext.get() == null) driverBitmapBytes.addAndGet(n)
+
   private val Z85Chars =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
   private val Z85Index: Array[Int] = {
@@ -130,6 +141,7 @@ object DeletionVector {
           val crc = new CRC32(); crc.update(data)
           if (crc.getValue.toInt != checksum)
             throw new PlanningError(s"deletion vector checksum mismatch at $p")
+          noteDriverBytes(data.length.toLong)
           data
         } finally in.close()
     }
@@ -139,6 +151,7 @@ object DeletionVector {
   /** Deserialize the portable RoaringBitmapArray; returns one 32-bit
     * bitmap per high word (index i covers row indices [i<<32, (i+1)<<32)). */
   def deserialize(bytes: Array[Byte]): Array[RoaringBitmap] = {
+    noteDriverBytes(bytes.length.toLong)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = bb.getInt
     if (magic != Magic)
@@ -160,6 +173,7 @@ object DeletionVector {
   def serialize(bitmaps: Array[RoaringBitmap]): Array[Byte] = {
     bitmaps.foreach(_.runOptimize())
     val size = 4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum
+    noteDriverBytes(size.toLong)
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic)
     bb.putLong(bitmaps.length.toLong)
@@ -251,6 +265,61 @@ object DeletionVector {
   def writeDvFile(tablePath: String, rows: Seq[Long], conf: Configuration): DvDescriptor =
     writeDvFrames(tablePath, Seq(fromRowIndices(rows)), conf).head
 
+  /** EXECUTOR-side body of the distributed DV write: one partition of
+    * freshly folded per-file bitmaps ([[DvFileFold]]) is unioned with each
+    * file's existing vector (loaded HERE, never on the driver), framed, and
+    * written into ONE `.bin` file for the whole partition; only the
+    * descriptor fields travel back ([[DvWriteResult]] — the driver commit
+    * sees O(#files) metadata, zero bitmap bytes). A file whose union
+    * cardinality equals its physical row count gets NO frame (it will be
+    * plain-removed); a partition where every file is fully deleted creates
+    * no `.bin` at all. This is the DV analogue of the parquet-stats rule
+    * ([[DirectCommitProtocol.commitTask]]): at 100 TB a wide DELETE touches
+    * millions of files, and their bitmaps must never funnel through one
+    * driver thread — delta-spark writes DV files from tasks the same way. */
+  def writeDvPartition(tablePath: String, conf: Configuration,
+      oldDvs: Map[String, DvDescriptor], physRows: Map[String, Long])(
+      folds: Iterator[DvFileFold]): Iterator[DvWriteResult] = {
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    var ref: String = null
+    var offset = 1L
+    val results = Seq.newBuilder[DvWriteResult]
+    try {
+      folds.foreach { fold =>
+        val norm = normUri(fold.path)
+        val unioned = oldDvs.get(norm) match {
+          case Some(old) => union(loadBytes(tablePath, old, conf), fold.dv)
+          case None => fold.dv
+        }
+        val card = cardinalityOf(unioned)
+        if (physRows.get(norm).contains(card)) {
+          // every physical row now deleted: plain remove, no vector
+          results += DvWriteResult(fold.path, fold.n, card, None, None, None)
+        } else {
+          if (out == null) {
+            val uuid = UUID.randomUUID()
+            val p = new Path(tablePath, s"deletion_vector_$uuid.bin")
+            val uuidBytes = ByteBuffer.allocate(16)
+              .putLong(uuid.getMostSignificantBits)
+              .putLong(uuid.getLeastSignificantBits)
+            ref = z85Encode(uuidBytes.array())
+            out = Fs.fs(p, conf).create(p, false)
+            out.writeByte(1)
+            offset = 1L
+          }
+          out.writeInt(unioned.length)
+          out.write(unioned)
+          val crc = new CRC32(); crc.update(unioned)
+          out.writeInt(crc.getValue.toInt)
+          results += DvWriteResult(fold.path, fold.n, card,
+            Some(ref), Some(offset), Some(unioned.length.toLong))
+          offset += 4L + unioned.length + 4L
+        }
+      }
+    } finally if (out != null) out.close()
+    results.result().iterator
+  }
+
   /** Union of two serialized arrays — a second DELETE on an already-DV'd
     * file widens the existing bitmap instead of chaining vectors. */
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
@@ -268,6 +337,16 @@ object DeletionVector {
   def cardinalityOf(bytes: Array[Byte]): Long =
     deserialize(bytes).map(_.getLongCardinality).sum
 }
+
+/** One touched file's freshly folded bitmap — the row shape shuffled from
+  * the [[DvRowAgg]] aggregation to the distributed DV writer tasks. */
+case class DvFileFold(path: String, dv: Array[Byte], n: Long)
+
+/** One touched file's outcome from a DV writer task: fresh-delete count,
+  * union cardinality, and the descriptor fields of its new vector (all
+  * None = the file is now fully deleted and gets plain-removed). */
+case class DvWriteResult(path: String, freshCount: Long, cardinality: Long,
+    ref: Option[String], offset: Option[Long], sizeInBytes: Option[Long])
 
 /** Typed aggregator folding matched row indices into a serialized
   * RoaringBitmapArray — the per-file reduction a DV delete shuffles.

@@ -170,11 +170,18 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   /** The shared DV-delete commit: fold `marked` ([[RowMetaFile]],
     * [[RowMetaIndex]]) into one bitmap per file ([[DvRowAgg]] — map-side
     * partial aggregation, the exchange carries bitmaps, never row lists),
-    * union with existing vectors, drop files whose every physical row is
-    * now deleted, and commit the re-adds together with `extraParts` (a DV
-    * merge's appended payload) and `cdcParts` in ONE atomic commit.
-    * Returns (version, deletedRows); no-op (-1, 0) when nothing matched
-    * and nothing is appended. */
+    * then hand the folded bitmaps to a bounded set of WRITER TASKS
+    * ([[DeletionVector.writeDvPartition]]) that union with existing
+    * vectors, drop files whose every physical row is now deleted, and
+    * write the `.bin` frames executor-side — the driver collects only
+    * `(path, descriptor)` rows and commits the re-adds together with
+    * `extraParts` (a DV merge's appended payload) and `cdcParts` in ONE
+    * atomic commit. No bitmap byte ever materializes on the driver
+    * ([[DeletionVector.driverBitmapBytes]] pins this): a delete touching
+    * millions of files holds millions of descriptors driver-side — the
+    * same O(#files) metadata any delta commit holds — not billions of
+    * deleted-row bits. Returns (version, deletedRows); no-op (-1, 0) when
+    * nothing matched and nothing is appended. */
   private[graft] def dvDeleteCommit(tablePath: String,
       candidates: Seq[DeltaAction.AddFile], marked: DataFrame,
       extraParts: Seq[WrittenPart], cdcParts: Seq[(String, Long)],
@@ -185,40 +192,47 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
     val dvAgg = udaf(new DvRowAgg(), Encoders.scalaLong)
-    val perFile = marked.groupBy(RowMetaFile)
-      .agg(dvAgg(col(RowMetaIndex)).as("__dv"), count(lit(1)).as("__n")).collect()
-    if (perFile.isEmpty && extraParts.isEmpty && cdcParts.isEmpty) return (-1L, 0L)
-
     val byNorm = candidates.map(a =>
       DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> a).toMap
-    var deleted = 0L
-    val touched: Seq[(DeltaAction.AddFile, Array[Byte])] = perFile.toSeq.map { r =>
-      val add = byNorm.getOrElse(DeletionVector.normUri(r.getString(0)),
-        throw new GraftError(s"matched file ${r.getString(0)} not in snapshot"))
-      deleted += r.getLong(2)
-      val fresh = r.getAs[Array[Byte]](1)
-      val unioned = add.deletionVector match {
-        case Some(old) =>
-          DeletionVector.union(DeletionVector.loadBytes(tablePath, old, conf), fresh)
-        case None => fresh
-      }
-      (add, unioned)
-    }
+    // metadata the writer tasks need, keyed by normalized file path —
+    // descriptors and row counts only, O(#files) small
+    val oldDvs: Map[String, DvDescriptor] = candidates.flatMap(a =>
+      a.deletionVector.map(d =>
+        DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> d)).toMap
     def physRows(a: DeltaAction.AddFile): Option[Long] = a.stats.flatMap { s =>
       try Jsons.optLong(Jsons.parse(s), "numRecords")
       catch { case scala.util.control.NonFatal(_) => None }
     }
-    // a file whose every physical row is now deleted needs no vector at all
-    val (_, kept) = touched.partition { case (a, u) =>
-      physRows(a).contains(DeletionVector.cardinalityOf(u))
+    val phys: Map[String, Long] = candidates.flatMap(a => physRows(a).map(n =>
+      DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> n)).toMap
+    // ~64 files' vectors per .bin keeps test-scale commits at one packed
+    // file (the pre-r7 shape) while a wide delete fans out to all cores
+    val numTasks = math.max(1, math.min((candidates.size + 63) / 64,
+      spark.sparkContext.defaultParallelism))
+    val serConf = new graft.util.SerializableConf(conf)
+    val results: Seq[DvWriteResult] = marked.groupBy(RowMetaFile)
+      .agg(dvAgg(col(RowMetaIndex)).as("dv"), count(lit(1)).as("n"))
+      .select(col(RowMetaFile).as("path"), col("dv"), col("n"))
+      .as(Encoders.product[DvFileFold])
+      .repartition(numTasks)
+      .mapPartitions(folds => DeletionVector.writeDvPartition(
+        tablePath, serConf.value, oldDvs, phys)(folds))(
+        Encoders.product[DvWriteResult])
+      .collect().toSeq
+    if (results.isEmpty && extraParts.isEmpty && cdcParts.isEmpty) return (-1L, 0L)
+
+    def addOf(path: String): DeltaAction.AddFile =
+      byNorm.getOrElse(DeletionVector.normUri(path),
+        throw new GraftError(s"matched file $path not in snapshot"))
+    val deleted = results.map(_.freshCount).sum
+    val reAdds = results.filter(_.ref.isDefined).map { r =>
+      val a = addOf(r.path)
+      WrittenPart(a.path, a.size, a.stats, a.partitionValues,
+        Some(DvDescriptor("u", r.ref.get, r.offset, r.sizeInBytes.get,
+          r.cardinality)))
     }
-    val descs =
-      if (kept.isEmpty) Seq.empty
-      else DeletionVector.writeDvFrames(tablePath, kept.map(_._2), conf)
-    val reAdds = kept.zip(descs).map { case ((a, _), d) =>
-      WrittenPart(a.path, a.size, a.stats, a.partitionValues, Some(d)) }
     val version = commit(tablePath, operation, declared.getOrElse(StructType(Nil)),
-      touched.map(_._1.path), reAdds ++ extraParts, cdcParts,
+      results.map(r => addOf(r.path).path), reAdds ++ extraParts, cdcParts,
       partitionColumnsOf(tablePath), txn, readVersion = Some(readVersion))
     (version, deleted)
   }

@@ -173,6 +173,30 @@ class DeletionVectorSuite extends SparkSpec {
     }
   }
 
+  test("DV delete path materializes zero bitmap bytes on the driver") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 1000).toDF("id").repartition(4), t, DeltaWriteMode.Append)
+      val before = DeletionVector.driverBitmapBytes.get()
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") % 10 === 3)
+        === 100L)
+      assert(DeletionVector.driverBitmapBytes.get() === before,
+        "DV fold/union/framing must run in executor tasks, never the driver")
+      // a SECOND delete's only legitimate driver-side bitmap traffic is the
+      // read path loading the existing vectors for the scan broadcast — the
+      // write side (union with old vectors + new frames) stays in tasks
+      val oldSizes = w.activeAdds(t).flatMap(_.deletionVector)
+        .map(_.sizeInBytes).sum
+      val before2 = DeletionVector.driverBitmapBytes.get()
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") % 10 === 4)
+        === 100L)
+      assert(DeletionVector.driverBitmapBytes.get() - before2 <= oldSizes,
+        "second delete may only load existing vectors for the read broadcast")
+      assert(w.read(t).count() === 800L)
+    }
+  }
+
   test("schema-merged appends null-fill DV'd files and vectors keep applying") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
