@@ -4,6 +4,7 @@ import graft.core.PlanningError
 import graft.util.Fs
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.roaringbitmap.RoaringBitmap
 
 import java.nio.{ByteBuffer, ByteOrder}
@@ -36,18 +37,20 @@ case class DvDescriptor(storageType: String, pathOrInlineDv: String,
   *
   * All formats are from the public Delta protocol spec
   * (PROTOCOL.md "Deletion Vectors") and the Z85 spec (ZeroMQ RFC 32).
-  * Bitmaps are metadata-sized (one per data file, bounded by the file's
-  * row count), so loading happens driver-side and ships to executors by
-  * broadcast — never a per-row file open.
+  * Bitmaps never funnel through the driver: scans broadcast descriptors
+  * and executors lazy-load the bytes ([[DvScan]], once per executor via
+  * [[DeletionVector.cachedBitmaps]] — never a per-row file open), and
+  * deletes fold and write vectors in tasks
+  * ([[DeletionVector.writeDvPartition]]).
   */
 object DeletionVector {
 
   /** Bitmap BYTES materialized on the DRIVER (loads, unions, (de)serializes,
-    * frame writes) — the scale instrument for the DV write path: a DELETE /
-    * MERGE folds and writes its vectors in executor tasks, so the counter
-    * must not move on that path (DeletionVectorSuite pins this). Read-path
-    * broadcasts still load driver-side and are counted; they are bounded
-    * separately ([[graft.delta.DeltaWriter]] `MaxDvBroadcastBytes`). */
+    * frame writes) — the scale instrument for the DV paths: DELETE/MERGE
+    * folds and writes vectors in executor tasks, and scans broadcast only
+    * descriptors with executors lazy-loading the bytes ([[DvScan]]), so
+    * this counter must not move on either path (DeletionVectorSuite pins
+    * the delete path). */
   val driverBitmapBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def noteDriverBytes(n: Long): Unit =
@@ -220,13 +223,14 @@ object DeletionVector {
   private val bitmapCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[RoaringBitmap]]()
 
-  /** Executor-side deserialization cache: the broadcast ships BYTES (cheap
-    * to serialize); each task deserializes a file's bitmap at most once per
-    * executor. Bounded by a wholesale clear — entries are per (table, file)
-    * and a long-lived executor would otherwise accrete dead tables'. */
-  def cachedBitmaps(key: String, bytes: Array[Byte]): Array[RoaringBitmap] = {
+  /** Executor-side lazy load-and-deserialize cache: the broadcast ships
+    * only DESCRIPTORS; each executor loads a vector's bytes on first probe
+    * and deserializes at most once. Bounded by a wholesale clear — entries
+    * are per (table, vector) and a long-lived executor would otherwise
+    * accrete dead tables'. */
+  def cachedBitmaps(key: String, load: () => Array[Byte]): Array[RoaringBitmap] = {
     if (bitmapCache.size > 4096) bitmapCache.clear()
-    bitmapCache.computeIfAbsent(key, _ => deserialize(bytes))
+    bitmapCache.computeIfAbsent(key, _ => deserialize(load()))
   }
 
   /** Write a framed `.bin` DV file (version byte, then one
@@ -336,6 +340,60 @@ object DeletionVector {
   /** Total deleted-row count of a serialized array. */
   def cardinalityOf(bytes: Array[Byte]): Long =
     deserialize(bytes).map(_.getLongCardinality).sum
+}
+
+/** DV application at scan time, shared by the batch reader
+  * ([[DeltaWriter]]) and the streaming source
+  * ([[graft.sources.DeltaSource]]): the broadcast carries only
+  * DESCRIPTORS (O(#files) metadata); each executor lazily loads and
+  * deserializes a vector's bytes on first probe and caches it
+  * ([[DeletionVector.cachedBitmaps]]) — the driver never touches a bitmap
+  * byte, delta-spark's read shape. Plan shape (pushdown, pruning) is
+  * unchanged: the probe is a post-scan filter on the hidden
+  * `_metadata.file_path`/`row_index` columns. */
+object DvScan {
+  /** Default ceiling on the summed DECLARED vector sizes one scan may
+    * carry (descriptor `sizeInBytes`, known without loading anything).
+    * Roaring bitmaps are ~2 bytes/row worst-case, so 1 GiB covers ~500M
+    * deleted rows in the scanned file set — a table so DV-laden it blows
+    * this needs `purgeDeletionVectors`, not a bigger heap. Override per
+    * session with spark conf `graft.delta.maxDvScanBytes`. */
+  val DefaultMaxScanBytes: Long = 1L << 30
+
+  def maxScanBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.delta.maxDvScanBytes").map(_.toLong)
+      .getOrElse(DefaultMaxScanBytes)
+
+  /** Drop rows whose file's deletion vector marks them deleted. Fails
+    * LOUDLY (never OOMs quietly) when the scanned vectors' declared sizes
+    * exceed the budget. */
+  def filterDeleted(spark: SparkSession, tablePath: String,
+      dvByPath: Map[String, DvDescriptor], df: DataFrame,
+      conf: Configuration): DataFrame = {
+    if (dvByPath.isEmpty) return df
+    import org.apache.spark.sql.functions.{col, not, udf}
+    val declared = dvByPath.valuesIterator.map(_.sizeInBytes).sum
+    val cap = maxScanBytes(spark)
+    if (declared > cap)
+      throw new PlanningError(
+        s"scan of $tablePath carries $declared bytes of deletion vectors " +
+        s"across ${dvByPath.size} files, over the ${cap}-byte budget " +
+        "(graft.delta.maxDvScanBytes); run purgeDeletionVectors to fold " +
+        "the vectors into a rewrite, or raise the budget")
+    // cache key = the VECTOR's identity, not the data file's: a file
+    // re-added with a widened DV (second delete) must not hit the previous
+    // vector's cached bitmaps
+    val meta: Map[String, (String, DvDescriptor)] = dvByPath.map { case (p, d) =>
+      p -> (s"${d.pathOrInlineDv}@${d.offset.getOrElse(0L)}", d) }
+    val bc = spark.sparkContext.broadcast(meta)
+    val serConf = new graft.util.SerializableConf(conf)
+    val deleted = udf((path: String, idx: Long) => {
+      bc.value.get(DeletionVector.normUri(path)).exists { case (key, d) =>
+        DeletionVector.contains(DeletionVector.cachedBitmaps(key,
+          () => DeletionVector.loadBytes(tablePath, d, serConf.value)), idx) }
+    })
+    df.filter(not(deleted(col("_metadata.file_path"), col("_metadata.row_index"))))
+  }
 }
 
 /** One touched file's freshly folded bitmap — the row shape shuffled from

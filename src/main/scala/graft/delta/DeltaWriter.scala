@@ -364,29 +364,13 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     }
   }
 
-  /** Drop rows a deletion vector marks deleted: each DV-bearing file's
-    * bitmap is loaded ONCE on the driver (metadata-sized — bounded by the
-    * file's row count, not the table), broadcast, and probed per row
-    * against the parquet scan's `_metadata.file_path`/`row_index` columns.
-    * Files without a DV pass through untouched; plan shape (pushdown,
-    * pruning) is unchanged because the probe is a post-scan filter. */
+  /** Drop rows a deletion vector marks deleted — see [[DvScan]]: the
+    * broadcast carries descriptors only, executors lazy-load the bitmaps,
+    * and a scan whose declared vector bytes exceed the budget fails
+    * loudly instead of OOMing. */
   private def dvFilter(tablePath: String, dvByPath: Map[String, DvDescriptor],
-      df: DataFrame): DataFrame = {
-    if (dvByPath.isEmpty) return df
-    import org.apache.spark.sql.functions.{col, not, udf}
-    // the deserialization cache is keyed by the VECTOR's identity, not the
-    // data file's: a file re-added with a widened DV (second delete) must
-    // not hit the previous vector's cached bitmaps
-    val bytesByPath: Map[String, (String, Array[Byte])] = dvByPath.map { case (p, d) =>
-      p -> (s"${d.pathOrInlineDv}@${d.offset.getOrElse(0L)}",
-        DeletionVector.loadBytes(tablePath, d, conf)) }
-    val bc = spark.sparkContext.broadcast(bytesByPath)
-    val deleted = udf((path: String, idx: Long) => {
-      bc.value.get(DeletionVector.normUri(path)).exists { case (cacheKey, bytes) =>
-        DeletionVector.contains(DeletionVector.cachedBitmaps(cacheKey, bytes), idx) }
-    })
-    df.filter(not(deleted(col("_metadata.file_path"), col("_metadata.row_index"))))
-  }
+      df: DataFrame): DataFrame =
+    DvScan.filterDeleted(spark, tablePath, dvByPath, df, conf)
 
   def tableExists(tablePath: String): Boolean = log.isDeltaTable(tablePath)
 

@@ -183,17 +183,31 @@ class DeletionVectorSuite extends SparkSpec {
         === 100L)
       assert(DeletionVector.driverBitmapBytes.get() === before,
         "DV fold/union/framing must run in executor tasks, never the driver")
-      // a SECOND delete's only legitimate driver-side bitmap traffic is the
-      // read path loading the existing vectors for the scan broadcast — the
-      // write side (union with old vectors + new frames) stays in tasks
-      val oldSizes = w.activeAdds(t).flatMap(_.deletionVector)
-        .map(_.sizeInBytes).sum
+      // a SECOND delete unions with existing vectors and scans a DV-bearing
+      // table — both the union (write side) and the scan's lazy loads
+      // (read side) happen in tasks, so the counter still must not move
       val before2 = DeletionVector.driverBitmapBytes.get()
       assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") % 10 === 4)
         === 100L)
-      assert(DeletionVector.driverBitmapBytes.get() - before2 <= oldSizes,
-        "second delete may only load existing vectors for the read broadcast")
       assert(w.read(t).count() === 800L)
+      assert(DeletionVector.driverBitmapBytes.get() === before2,
+        "DV scans broadcast descriptors; executors lazy-load the bitmaps")
+    }
+  }
+
+  test("a scan over the DV byte budget fails loudly and names the remedy") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 100).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") < 10) === 10L)
+      spark.conf.set("graft.delta.maxDvScanBytes", "4")
+      try {
+        val e = intercept[PlanningError](w.read(t).count())
+        assert(e.getMessage.contains("purgeDeletionVectors"))
+        assert(e.getMessage.contains("graft.delta.maxDvScanBytes"))
+      } finally spark.conf.unset("graft.delta.maxDvScanBytes")
+      assert(w.read(t).count() === 90L) // budget restored, scan works again
     }
   }
 
