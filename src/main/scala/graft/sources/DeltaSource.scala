@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.JsonNode
 import graft.Cdc
 import graft.core._
-import graft.delta.{DeltaAction, DeltaLogReader, DeltaStats}
+import graft.delta.{DeltaAction, DeltaLogReader, DeltaStats, DvDescriptor, DvScan}
 import graft.util.Jsons
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -69,7 +69,7 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
       Jsons.optBool(n, "is_initial").getOrElse(false))
 
   private def offsetJson(tableId: String, p: Position,
-      cdf: Seq[CdfEntry]): JsonNode = {
+      cdf: Seq[CdfEntry], dvs: Seq[(String, DvDescriptor)] = Seq.empty): JsonNode = {
     val o = Jsons.obj()
     o.put("source", "delta")
     o.put("table_id", tableId)
@@ -86,8 +86,16 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
       }
       o.set[JsonNode]("cdf_entries", arr)
     }
+    if (dvs.nonEmpty) o.set[JsonNode]("dv_files", DeltaTableCheckpoint.dvsToJson(dvs))
     o
   }
+
+  /** Deletion vectors of this batch's files, planned into the offset so
+    * [[DeltaSource.readBatch]] can apply them — descriptors only, the
+    * bitmap bytes load lazily on executors ([[graft.delta.DvScan]]). */
+  private[sources] def dvFilesOf(offset: JsonNode): Seq[(String, DvDescriptor)] =
+    Jsons.optField(offset, "dv_files").map(DeltaTableCheckpoint.dvsFromJson)
+      .getOrElse(Seq.empty)
 
   private[sources] def cdfEntriesOf(offset: JsonNode): Seq[CdfEntry] =
     Jsons.optField(offset, "cdf_entries").map(arr =>
@@ -192,12 +200,11 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     * flows through the CDF reader instead of being dropped. */
   private def planSnapshot(tablePath: String, tableId: String, pos: Position,
       opts: DeltaSourceOptions): Option[BatchInfo] = {
-    // first page only: one extra replay to prove no active file carries a
-    // deletion vector — the snapshot serves raw file paths, and scanning a
-    // DV-bearing file whole would stream its deleted rows
-    if (pos.index == 0L)
-      refuseDvAdds(DeltaStats.activeAdds(log, tablePath, pos.version),
-        tablePath, pos.version)
+    // DV-bearing actives: ONE extra replay on the first page (the snapshot
+    // version is frozen, so the map is too), memoized in WAL metadata for
+    // the remaining pages — a DV-free table stores an empty map and later
+    // pages cost nothing
+    val dvByPath = snapshotDvMap(tablePath, pos.version)
     val files = log.snapshotState(tablePath, pos.version, Some(snapshotCacheDir))
     if (pos.index >= files.size) {
       // snapshot finished -> switch to tailing after the snapshot version
@@ -221,15 +228,31 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
         taken.map { case (p, sz) => CdfEntry(p, sz, "insert", pos.version, ts) }
       }
     Some(BatchInfo(wal.nextBatchId(), entries,
-      offsetJson(tableId, Position(pos.version, newIndex, isInitial = true), cdf)))
+      offsetJson(tableId, Position(pos.version, newIndex, isInitial = true), cdf,
+        taken.flatMap { case (p, _) => dvByPath.get(p).map(p -> _) })))
   }
+
+  /** The snapshot version's DV-bearing actives (add path -> descriptor),
+    * computed once and memoized in WAL metadata (`snapshot_dvs`) — the
+    * snapshot is paged over many batches and the version never moves, so
+    * later pages must not pay the replay again. */
+  private def snapshotDvMap(tablePath: String,
+      version: Long): Map[String, DvDescriptor] =
+    wal.readMetadata().flatMap(m => Jsons.optField(m, "snapshot_dvs")) match {
+      case Some(node) => DeltaTableCheckpoint.dvsFromJson(node).toMap
+      case None =>
+        val dvs = DeltaStats.activeAdds(log, tablePath, version)
+          .flatMap(a => a.deletionVector.map(a.path -> _))
+        wal.updateMetadata("snapshot_dvs", DeltaTableCheckpoint.dvsToJson(dvs))
+        dvs.toMap
+    }
 
   /** Log tailing (reference delta.py:697-787). */
   private def planLog(tablePath: String, tableId: String, pos: Position,
       opts: DeltaSourceOptions): Option[BatchInfo] = {
     var v = if (pos.index == -1) pos.version + 1 else pos.version
     var skipInVersion = if (pos.index == -1) 0L else pos.index
-    val collected = Seq.newBuilder[(String, Long, Long)] // path, size, version
+    val collected = Seq.newBuilder[DeltaAction.AddFile]
     var nFiles = 0
     var bytes = 0L
     var endPos = pos
@@ -237,8 +260,11 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     while (!stop && log.commitExists(tablePath, v)) {
       val commit = log.readCommit(tablePath, v)
       val adds = commit.adds.filter(_.dataChange)
-      refuseDvAdds(adds, tablePath, v)
       val removes = commit.removes.filter(_.dataChange)
+      // a DELETE-with-DV commit is a remove + re-add of the same path: like
+      // any update it needs ignoreChanges, and the re-served file then
+      // streams its SURVIVING rows (vector applied at read) — delta-spark's
+      // contract: ignoreChanges re-emits updated files, never deleted rows
       if (removes.nonEmpty && !opts.ignoreChanges) {
         if (adds.isEmpty && opts.ignoreDeletes) {
           // delete-only commit, explicitly ignored
@@ -254,7 +280,7 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
       val taken =
         if (admitted.isEmpty && fresh.nonEmpty && nFiles == 0) fresh.take(1)
         else admitted
-      taken.foreach { a => collected += ((a.path, a.size, v)); nFiles += 1; bytes += a.size }
+      taken.foreach { a => collected += a; nFiles += 1; bytes += a.size }
       if ((truncated || (taken.size < fresh.size)) && fresh.nonEmpty) {
         endPos = Position(v, skipInVersion + taken.size, isInitial = false)
         stop = true
@@ -276,22 +302,10 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
       requireNotPruned(tablePath, v)
       None
     } else Some(BatchInfo(wal.nextBatchId(),
-      files.map { case (p, sz, _) => FileEntry(log.resolvePath(tablePath, p), sz, 0L) },
-      offsetJson(tableId, endPos, Seq.empty)))
+      files.map(a => FileEntry(log.resolvePath(tablePath, a.path), a.size, 0L)),
+      offsetJson(tableId, endPos, Seq.empty,
+        files.flatMap(a => a.deletionVector.map(a.path -> _)))))
   }
-
-  /** This source serves RAW file paths to a plain parquet reader, which
-    * cannot apply a deletion vector — streaming a DV-bearing add would
-    * resurrect its deleted rows, so refuse loudly (batch reads via
-    * [[graft.delta.DeltaWriter.read]] DO apply DVs). */
-  private def refuseDvAdds(adds: Seq[DeltaAction.AddFile], tablePath: String,
-      version: Long): Unit =
-    adds.find(_.deletionVector.isDefined).foreach { a =>
-      throw new PlanningError(
-        s"add ${a.path} in commit version $version of $tablePath carries a " +
-        "deletion vector; this streaming source reads raw files and cannot " +
-        "apply it — consume the table with batch reads (DV-aware) or CDF")
-    }
 
   /** Throws when `nextVersion` is missing from the log while NEWER commits
     * survive — the tail position was pruned away and tailing can't resume
@@ -316,6 +330,7 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     var v = if (pos.index == -1) pos.version + 1 else pos.version
     var skipInVersion = if (pos.index == -1) 0L else pos.index
     val collected = Seq.newBuilder[CdfEntry]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, DvDescriptor]
     var nFiles = 0
     var bytes = 0L
     var endPos = pos
@@ -336,7 +351,10 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
             throw new ChangeDataFeedError(
               s"commit version $v of $tablePath updates data but has no cdc files; " +
               "cannot serve Change Data Feed")
-          refuseDvAdds(adds, tablePath, v)
+          // insert-fallback adds may carry DVs (e.g. RESTORE re-adding a
+          // DV'd file): serve the surviving rows. Keyed by path, newest
+          // version wins — our own commits never reuse a data-file path
+          adds.foreach(a => a.deletionVector.foreach(d => dvs.put(a.path, d)))
           adds.map(a => CdfEntry(a.path, a.size, "insert", v, ts))
         }
       val fresh = entries.drop(skipInVersion.toInt)
@@ -359,13 +377,45 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     if (entries.isEmpty) {
       requireNotPruned(tablePath, v) // same silent-skip hazard as planLog
       None
-    } else Some(BatchInfo(wal.nextBatchId(),
-      entries.map(e => FileEntry(log.resolvePath(tablePath, e.path), e.size, e.tsMs)),
-      offsetJson(tableId, endPos, entries)))
+    } else {
+      val takenPaths = entries.map(_.path).toSet
+      Some(BatchInfo(wal.nextBatchId(),
+        entries.map(e => FileEntry(log.resolvePath(tablePath, e.path), e.size, e.tsMs)),
+        offsetJson(tableId, endPos, entries,
+          dvs.toSeq.filter { case (p, _) => takenPaths(p) })))
+    }
   }
 
   def commitBatch(batch: BatchInfo, metadata: Map[String, String]): Unit =
     wal.commit(batch.batchId, metadata)
+}
+
+object DeltaTableCheckpoint {
+  /** (addPath, descriptor) list <-> the offset JSON's `dv_files` array. */
+  private[sources] def dvsToJson(dvs: Seq[(String, DvDescriptor)]): JsonNode = {
+    val arr = Jsons.arr()
+    dvs.foreach { case (p, d) =>
+      val o = Jsons.obj()
+      o.put("path", p)
+      o.put("storage_type", d.storageType)
+      o.put("path_or_inline_dv", d.pathOrInlineDv)
+      d.offset.foreach(v => o.put("offset", v))
+      o.put("size_in_bytes", d.sizeInBytes)
+      o.put("cardinality", d.cardinality)
+      arr.add(o)
+    }
+    arr
+  }
+
+  private[sources] def dvsFromJson(n: JsonNode): Seq[(String, DvDescriptor)] =
+    Jsons.elems(n).map { o =>
+      o.get("path").asText() -> DvDescriptor(
+        o.get("storage_type").asText(),
+        o.get("path_or_inline_dv").asText(),
+        Jsons.optLong(o, "offset"),
+        o.get("size_in_bytes").asLong(),
+        o.get("cardinality").asLong())
+    }.toSeq
 }
 
 /** Source facade for Delta tables: planning via [[DeltaTableCheckpoint]],
@@ -385,8 +435,36 @@ class DeltaSource(
   def readBatch(spark: SparkSession, batch: BatchInfo): DataFrame = {
     if (options.readChangeFeed) return readCdfBatch(spark, batch)
     if (batch.files.isEmpty) spark.emptyDataFrame
-    else readDataFiles(spark, batch.paths)
+    else applyDvs(spark, batch, readDataFiles(spark, batch.paths))
   }
+
+  /** Apply the batch's planned deletion vectors (offset `dv_files`) so a
+    * DV-bearing add streams its SURVIVING rows — descriptors broadcast,
+    * bitmaps lazy-load on executors ([[graft.delta.DvScan]]). delta-spark
+    * streams DV tables the same way. */
+  private def applyDvs(spark: SparkSession, batch: BatchInfo,
+      df: DataFrame): DataFrame = {
+    val dvs = checkpoint.dvFilesOf(batch.offset)
+    if (dvs.isEmpty) return df
+    refuseMappedWithDvs()
+    val byPath = dvs.map { case (p, d) =>
+      graft.delta.DeletionVector.normUri(
+        checkpoint.log.resolvePath(tablePath, p)) -> d }.toMap
+    graft.delta.DvScan.filterDeleted(spark, tablePath, byPath, df, conf)
+  }
+
+  /** DV filtering rides `_metadata` on plain parquet scans; the
+    * column-mapped read path builds its own projection — refuse the
+    * combination rather than resurrect deleted rows (the batch reader
+    * draws the same line). */
+  private def refuseMappedWithDvs(): Unit =
+    if (checkpoint.log.tableSchemaString(tablePath)
+        .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .exists(graft.delta.ColumnMapping.isMapped))
+      throw new PlanningError(
+        s"table $tablePath combines column mapping and deletion vectors; " +
+        "this source supports each alone but not together")
 
   /** Hive-partitioned tables keep their partition columns: a path with a
     * `col=value` dir segment reads with `basePath` so Spark re-materializes
@@ -413,11 +491,22 @@ class DeltaSource(
   private def readCdfBatch(spark: SparkSession, batch: BatchInfo): DataFrame = {
     val entries = checkpoint.cdfEntriesOf(batch.offset)
     if (entries.isEmpty) return spark.emptyDataFrame
+    // DV filtering must sit directly on each group's scan: hidden
+    // _metadata columns do not resolve through the union below
+    val dvByPath = checkpoint.dvFilesOf(batch.offset).map { case (p, d) =>
+      graft.delta.DeletionVector.normUri(
+        checkpoint.log.resolvePath(tablePath, p)) -> d }.toMap
+    if (dvByPath.nonEmpty) refuseMappedWithDvs()
     val groups = entries.groupBy(e => (e.kind, e.version, e.tsMs)).toSeq
       .sortBy { case ((_, v, _), _) => v }
     val frames = groups.map { case ((kind, version, ts), es) =>
       val paths = es.map(e => checkpoint.log.resolvePath(tablePath, e.path))
-      val base = readDataFiles(spark, paths)
+      val scan = readDataFiles(spark, paths)
+      val base =
+        if (kind == "cdc") scan // cdc files never carry DVs
+        else graft.delta.DvScan.filterDeleted(spark, tablePath,
+          dvByPath.view.filterKeys(paths.map(
+            graft.delta.DeletionVector.normUri).toSet).toMap, scan, conf)
       val withType =
         if (kind == "cdc") base
         else base.withColumn(Cdc.ChangeTypeCol, lit("insert"))

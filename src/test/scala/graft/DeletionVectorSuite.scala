@@ -2,7 +2,7 @@ package graft
 
 import graft.core.PlanningError
 import graft.delta.{DeletionVector, DeltaAction, DeltaLogReader, DeltaWriteMode, DeltaWriter, DvDescriptor}
-import graft.sources.{DeltaSourceOptions, DeltaStartOffset, DeltaTableCheckpoint}
+import graft.sources.{DeltaSource, DeltaSourceOptions, DeltaStartOffset, DeltaTableCheckpoint}
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
@@ -373,7 +373,7 @@ class DeletionVectorSuite extends SparkSpec {
     }
   }
 
-  test("compact leaves DV-bearing files alone; streaming source refuses DV adds") {
+  test("compact leaves DV-bearing files alone; tailing a DV commit needs ignoreChanges") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
       val w = writer
@@ -389,11 +389,51 @@ class DeletionVectorSuite extends SparkSpec {
         "the DV'd file must not be folded into a compacted part")
       assert(after.size === 2, "the two non-DV small files should compact into one")
       assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === before)
+      // the DV commit is a remove + re-add: an update, so plain tailing
+      // refuses with the ignore_changes hint (delta-spark's contract) ...
       val cp = new DeltaTableCheckpoint(s"$tmp/cp", conf)
       val e = intercept[PlanningError] {
         cp.planBatch(t, DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest))
       }
-      assert(e.getMessage.contains("deletion vector"), e.getMessage)
+      assert(e.getMessage.contains("ignore_changes"), e.getMessage)
+      // ... and WITH ignoreChanges the re-served file streams its SURVIVING
+      // rows: the deleted id never appears, everything else does
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(s"$tmp/cp2", conf),
+        DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest,
+          ignoreChanges = true))
+      val b = src.planBatch().get
+      val ids = src.readBatch(spark, b).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === before.toSet,
+        "streamed rows must be exactly the survivors (DV applied at read)")
+    }
+  }
+
+  test("snapshot-start streaming after deleteWhere yields the surviving rows") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 50).toDF("id").repartition(2), t, DeltaWriteMode.Append)
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") % 5 === 0)
+        === 10L)
+      val cp = new DeltaTableCheckpoint(s"$tmp/cp", conf)
+      val src = new DeltaSource(t, cp, DeltaSourceOptions()) // snapshot start
+      val b = src.planBatch().get
+      val ids = src.readBatch(spark, b).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === (0L until 50L).filterNot(_ % 5 == 0).toSet,
+        "initial snapshot must apply the deletion vectors")
+      src.commitBatch(b, Map.empty)
+      // a LATER delete tails as an update; with ignoreChanges the re-added
+      // file streams survivors of BOTH vectors (old union new)
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") === 1L)
+        === 1L)
+      val src2 = new DeltaSource(t, cp, DeltaSourceOptions(ignoreChanges = true))
+      val b2 = src2.planBatch().get
+      val ids2 = src2.readBatch(spark, b2).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids2.nonEmpty && !ids2.contains(1L) && ids2.forall(_ % 5 != 0),
+        s"re-served file must stream survivors only, got $ids2")
     }
   }
 }
