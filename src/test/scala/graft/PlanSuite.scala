@@ -94,6 +94,20 @@ class PlanSuite extends SparkSpec {
       "asof join must never plan a nested-loop/cartesian join")
   }
 
+  test("interval join is a single equi-join with the range as condition") {
+    assume(available)
+    val plan = finalPlanOf(Queries.defs("q_interval_join").build(spark, sfDir))
+    // the 7-day bound must ride the o_custkey equi-join as a post-join
+    // condition — ONE join keyed on the customer, never a nested-loop or
+    // cartesian range join (which would be O(n^2) at scale); pins the r6
+    // bench swing so a plan regression can't pass as run variance
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must never plan a nested-loop/cartesian join:\n${plan.take(1500)}")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllMatchIn(plan).size
+    assert(joins === 1, s"interval join must be exactly one equi-join:\n${plan.take(1500)}")
+  }
+
   test("token stats run in one codegen pass with no hash exchange") {
     assume(available)
     val plan = finalPlanOf(Queries.defs("d_token_count").build(spark, sfDir))
