@@ -20,10 +20,11 @@ case class MergeResult(
 
 /** How a Merge materializes its changes.
   *  - `Auto`: deletion-vector merge whenever eligible (every candidate
-  *    file has numRecords stats and the batch widens no columns),
-  *    otherwise the touched-file rewrite.
+  *    file has numRecords stats), otherwise the touched-file rewrite.
+  *    Schema-widening batches stay DV-eligible: the commit widens the
+  *    metaData schema and old rows null-fill the new columns at read.
   *  - `Rewrite`: always rewrite touched files (the delta-spark classic
-  *    MERGE shape; also the only shape that can merge schemas).
+  *    MERGE shape).
   *  - `DeletionVectors`: require the DV shape; error if ineligible. */
 sealed trait MergeStrategy
 object MergeStrategy {
@@ -118,14 +119,11 @@ object DeltaCdc {
           val carried = untouched.map(numRecordsOf(_).getOrElse(0L)).sum
 
           // DV eligibility: every candidate file's logical row count is
-          // derivable (rows_out accounting) and the batch widens no
-          // columns (a DV merge never rewrites the old rows that would
-          // need null-filling under a wider schema)
-          val tableSchema = writer.tableSchema(tablePath)
-          val payloadCols = normalized.columns.filterNot(Cdc.MetaCols.contains)
+          // derivable (rows_out accounting). Schema widening does NOT
+          // disqualify — the DV commit grows the metaData schema and old
+          // rows null-fill the new columns at read (no rewrite needed)
           val dvEligible = touched.nonEmpty &&
-            touched.forall(numRecordsOf(_).isDefined) &&
-            tableSchema.exists(ts => payloadCols.forall(ts.fieldNames.contains))
+            touched.forall(numRecordsOf(_).isDefined)
           val useDv = strategy match {
             case MergeStrategy.Rewrite => false
             case MergeStrategy.Auto => dvEligible
@@ -133,7 +131,7 @@ object DeltaCdc {
               if (!dvEligible && touched.nonEmpty)
                 throw new graft.core.GraftError(
                   s"deletion-vector merge into $tablePath is ineligible " +
-                  "(missing numRecords stats or schema widening); use " +
+                  "(a candidate file lacks numRecords stats); use " +
                   "MergeStrategy.Auto or Rewrite")
               touched.nonEmpty
           }

@@ -887,16 +887,35 @@ object Queries {
         maxHamming = 16).orderBy("id_a", "id_b"),
       None),
 
-    // ----- char-ngram Jaccard near-dup pairs (rows-only) ------------------
-    // n=12 grams span 2-3 words, so same-vocabulary documents still get
-    // distinctive gram sets (short grams are degenerate on a small shared
-    // vocabulary: every pair looks similar and LSH candidates go
-    // quadratic); 4x4 banding keeps P(candidate) = 1-(1-j^4)^4 negligible
-    // at background similarity
+    // ----- char-ngram Jaccard near-dup pairs (EXACT, oracle-checked) ------
+    // the gram-inverted-index algorithm is complete by construction (any
+    // pair with J > 0 shares a distinct gram), so DuckDB can mirror it
+    // exactly with the same gram definition; the LSH-banded variant
+    // (charNgramJaccardPairs) stays recall-gated in RecallSuite — like
+    // d_minhash/d_simhash/d_winnow/e_ann_lsh it is approximate BY DESIGN
+    // (banding trades recall for never materializing all-pairs), so no
+    // ANSI oracle can reproduce its output
     "d_ngram_jaccard" -> QueryDef(
-      (s, d) => Dedup.charNgramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 12, threshold = 0.4, k = 16, bands = 4).orderBy("id_a", "id_b"),
-      None),
+      (s, d) => Dedup.charNgramJaccardExactPairs(t(s, d, "documents"), "doc_id",
+        "text", n = 12, threshold = 0.4).orderBy("id_a", "id_b"),
+      Some("""WITH grams AS (
+             |  SELECT doc_id, UNNEST(LIST_DISTINCT(
+             |    CASE WHEN LENGTH(text) < 12 THEN [text]
+             |         ELSE [text[i:i+11] FOR i IN RANGE(1, LENGTH(text) - 10)]
+             |    END)) AS g
+             |  FROM documents),
+             |counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+             |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+             |FROM inter
+             |JOIN counts ca ON ca.doc_id = inter.id_a
+             |JOIN counts cb ON cb.doc_id = inter.id_b
+             |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------

@@ -153,7 +153,9 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val files = adds.map(a => log.resolvePath(tablePath, a.path))
     val partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
     val raw =
-      if (partitioned) spark.read.option("basePath", tablePath).parquet(files: _*)
+      if (partitioned)
+        declared.foldLeft(spark.read.option("basePath", tablePath))(
+          (r, s) => r.schema(s)).parquet(files: _*)
       else declared match {
         case Some(s) => spark.read.schema(s).parquet(files: _*)
         case None => spark.read.parquet(files: _*)
@@ -186,7 +188,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       candidates: Seq[DeltaAction.AddFile], marked: DataFrame,
       extraParts: Seq[WrittenPart], cdcParts: Seq[(String, Long)],
       txn: Option[(String, Long)], readVersion: Long,
-      operation: String): (Long, Long) = {
+      operation: String,
+      schemaOverride: Option[StructType] = None): (Long, Long) = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions.{col, count, lit, udaf}
     val declared = log.tableSchemaString(tablePath)
@@ -231,7 +234,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         Some(DvDescriptor("u", r.ref.get, r.offset, r.sizeInBytes.get,
           r.cardinality)))
     }
-    val version = commit(tablePath, operation, declared.getOrElse(StructType(Nil)),
+    val version = commit(tablePath, operation,
+      schemaOverride.orElse(declared).getOrElse(StructType(Nil)),
       results.map(r => addOf(r.path).path), reAdds ++ extraParts, cdcParts,
       partitionColumnsOf(tablePath), txn, readVersion = Some(readVersion))
     (version, deleted)
@@ -242,8 +246,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * post-state of the changed keys). The touched files' surviving rows
     * are never read, rewritten, or shuffled — the merge's data volume is
     * O(change batch), not O(touched files); delta-spark's low-shuffle
-    * MERGE shape. Payload must not widen the schema (callers fall back to
-    * the rewrite path for schema merges). Returns deleted-row count. */
+    * MERGE shape. A payload that WIDENS the schema is supported in the
+    * same commit: the metaData action grows the new nullable columns, and
+    * old rows null-fill them at READ (Delta semantics make this free —
+    * scans apply the declared schema, absent columns read NULL — so
+    * widening costs no rewrite either). Returns deleted-row count. */
   private[graft] def dvMerge(tablePath: String, candidates: Seq[DeltaAction.AddFile],
       marked: DataFrame, payload: DataFrame, cdfChanges: Option[DataFrame],
       txn: Option[(String, Long)], readVersion: Long): Long = {
@@ -253,7 +260,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(payload.schema)
-    val aligned = payload.select(declared.fields.toSeq.map(f =>
+    val newCols = payload.schema.fields
+      .filterNot(f => declared.fieldNames.contains(f.name))
+    val outSchema = StructType(declared.fields ++ newCols.map(_.copy(nullable = true)))
+    val aligned = payload.select(outSchema.fields.toSeq.map(f =>
       (if (payload.columns.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)): _*)
     val effectiveParts = partitionColumnsOf(tablePath)
@@ -267,7 +277,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         (s"_change_data/${p.path}", p.size))
     }.getOrElse(Seq.empty)
     dvDeleteCommit(tablePath, candidates, marked, parts, cdcParts, txn,
-      readVersion, "MERGE")._2
+      readVersion, "MERGE",
+      schemaOverride = if (newCols.isEmpty) None else Some(outSchema))._2
   }
 
   /** Data-skipping read: files whose delta stats can't intersect every
@@ -343,8 +354,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
     if (partitioned) {
       import org.apache.spark.sql.functions.{col, lit}
-      val raw = dvFilter(tablePath, dvByPath,
-        spark.read.option("basePath", tablePath).parquet(files: _*))
+      // give the reader the declared schema: partition columns still
+      // re-materialize from the hive dirs, and Spark skips the footer
+      // schema-inference job (whose job count scales with file count)
+      val reader = declared.foldLeft(
+        spark.read.option("basePath", tablePath))((r, s) => r.schema(s))
+      val raw = dvFilter(tablePath, dvByPath, reader.parquet(files: _*))
       declared match {
         case Some(s) => raw.select(s.fields.toSeq.map(f =>
           (if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
@@ -771,69 +786,58 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * dataChange=false and ignores it too). Unpartitioned tables are the
     * single-group degenerate case. */
   def compact(tablePath: String, smallFileBytes: Long = 32L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.{col, concat_ws, monotonically_increasing_id, pmod, typedlit}
     val latest = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
     val adds = DeltaStats.activeAdds(log, tablePath, latest)
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
-    // deterministic partition order (map key order is not)
-    val groups = adds.groupBy(_.partitionValues).toSeq
-      .sortBy(_._1.toSeq.sorted.mkString(","))
-    val rewrites = groups.flatMap { case (pv, groupAdds) =>
-      // DV-bearing files are excluded: compaction reads parts verbatim, and
-      // folding one in without applying its bitmap would resurrect deleted
-      // rows into the compacted output
-      val small = groupAdds.filter(a =>
-        a.size < smallFileBytes && a.deletionVector.isEmpty)
-      if (small.size < 2) None
-      else {
-        val paths = small.map(a => log.resolvePath(tablePath, a.path))
-        val df = spark.read.parquet(paths: _*).coalesce(
+    // DV-bearing files are excluded: compaction reads parts verbatim, and
+    // folding one in without applying its bitmap would resurrect deleted
+    // rows into the compacted output. Groups of <2 small files gain
+    // nothing from a rewrite.
+    val groups = adds.groupBy(_.partitionValues)
+      .map { case (pv, g) => pv -> g.filter(a =>
+        a.size < smallFileBytes && a.deletionVector.isEmpty) }
+      .filter(_._2.size >= 2)
+    if (groups.isEmpty) return latest
+    val small = groups.values.flatten.toSeq
+    val partCols = partitionColumnsOf(tablePath)
+    val parts =
+      if (partCols.isEmpty) {
+        val df = spark.read.parquet(small.map(a =>
+          log.resolvePath(tablePath, a.path)): _*).coalesce(
           math.max(1, (small.map(_.size).sum / (128L * 1024 * 1024)).toInt))
-        val parts =
-          if (pv.isEmpty) writeParts(df, root, fs, prefix = "compacted")
-          else {
-            // write straight into the partition's hive dir; attribution of
-            // the new files comes from the commit protocol, same as
-            // partitioned appends
-            val partDirRel = small.head.path.split('/').dropRight(1).mkString("/")
-            val partDir = new Path(root, partDirRel)
-            fs.mkdirs(partDir)
-            writeWithProtocol(df.write.mode("append").parquet(partDir.toString),
-                partDir.toString)
-              .sortBy(_.path).map(f =>
-                WrittenPart(s"$partDirRel/${new Path(f.path).getName}",
-                  f.size, f.stats, pv))
-          }
-        Some((small, parts))
+        writeParts(df, root, fs, prefix = "compacted")
+      } else {
+        // ONE job for every partition group: scan all small files with
+        // partition columns re-materialized, route rows back to their hive
+        // dirs via a single partitionBy write. Consolidation comes from a
+        // hash repartition on (partition cols, salt) where each group's
+        // salt fans out to ceil(groupBytes / 128 MB) writer tasks — one
+        // ~128 MB output file per salt, independent of how many thousand
+        // hive partitions the table has (the old shape was one serial
+        // Spark job PER group: 10k partitions = 10k driver-looped jobs).
+        val targets: Map[String, Int] = groups.map { case (pv, g) =>
+          partCols.map(c => pv.getOrElse(c, "")).mkString(" ") ->
+            math.max(1, (g.map(_.size).sum / (128L * 1024 * 1024)).toInt)
+        }.toMap
+        val df = readAdds(tablePath, small)
+        // contiguous per-task ids cycle through each group's salt budget,
+        // spreading rows evenly without hashing arbitrary data columns
+        val salted = df.withColumn("__salt",
+          pmod(monotonically_increasing_id(),
+            typedlit[Map[String, Int]](targets)
+              .apply(concat_ws(" ", partCols.map(col): _*))))
+        val routed = salted
+          .repartition(math.max(targets.values.sum, 1),
+            (partCols :+ "__salt").map(col): _*)
+          .drop("__salt")
+        writePartitionedParts(routed, root, partCols)
       }
-    }
-    if (rewrites.isEmpty) return latest
-
-    val now = System.currentTimeMillis()
-    val lines = Seq.newBuilder[String]
-    lines += s"""{"commitInfo": {"timestamp": $now, "operation": "OPTIMIZE"}}"""
-    rewrites.foreach { case (small, parts) =>
-      small.foreach { a =>
-        val r = Jsons.obj(); r.put("path", a.path); r.put("dataChange", false)
-        r.put("deletionTimestamp", now)
-        lines += s"""{"remove": ${Jsons.render(r)}}"""
-      }
-      parts.foreach { part =>
-        val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
-        a.put("dataChange", false); a.put("modificationTime", now)
-        if (part.partitionValues.nonEmpty) {
-          val pv = Jsons.obj()
-          part.partitionValues.foreach { case (k, v) => pv.put(k, v) }
-          a.set[JsonNode]("partitionValues", pv)
-        }
-        part.stats.foreach(s => a.put("stats", s))
-        lines += s"""{"add": ${Jsons.render(a)}}"""
-      }
-    }
-    val body = lines.result().mkString("\n")
-    commitWithRetry(tablePath, _ => body,
-      DeltaWriter.conflictReason("OPTIMIZE", rewrites.flatMap(_._1.map(_.path)), None, _),
+    commitWithRetry(tablePath, _ =>
+        DeltaWriter.optimizeBody("OPTIMIZE", small, parts),
+      DeltaWriter.conflictReason("OPTIMIZE", small.map(_.path), None, _),
       readVersion = Some(latest))
   }
 
@@ -852,44 +856,20 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     if (dvAdds.isEmpty) return 0
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
-    val now = System.currentTimeMillis()
-    val lines = Seq.newBuilder[String]
-    lines += s"""{"commitInfo": {"timestamp": $now, "operation": "PURGE"}}"""
-    // per-partition groups keep hive layout, same shape as compact
-    dvAdds.groupBy(_.partitionValues).toSeq
-      .sortBy(_._1.toSeq.sorted.mkString(",")).foreach { case (pv, group) =>
-      val df = readAdds(tablePath, group) // DV-aware: survivors only
-      val parts =
-        if (pv.isEmpty) writeParts(df, root, fs, prefix = "purged")
-        else {
-          val partDirRel = group.head.path.split('/').dropRight(1).mkString("/")
-          val partDir = new Path(root, partDirRel)
-          fs.mkdirs(partDir)
-          writeWithProtocol(df.write.mode("append").parquet(partDir.toString),
-              partDir.toString)
-            .sortBy(_.path).map(f =>
-              WrittenPart(s"$partDirRel/${new Path(f.path).getName}",
-                f.size, f.stats, pv))
-        }
-      group.foreach { a =>
-        val r = Jsons.obj(); r.put("path", a.path); r.put("dataChange", false)
-        r.put("deletionTimestamp", now)
-        lines += s"""{"remove": ${Jsons.render(r)}}"""
-      }
-      parts.foreach { part =>
-        val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
-        a.put("dataChange", false); a.put("modificationTime", now)
-        if (part.partitionValues.nonEmpty) {
-          val p = Jsons.obj()
-          part.partitionValues.foreach { case (k, v) => p.put(k, v) }
-          a.set[JsonNode]("partitionValues", p)
-        }
-        part.stats.foreach(s => a.put("stats", s))
-        lines += s"""{"add": ${Jsons.render(a)}}"""
-      }
-    }
-    val body = lines.result().mkString("\n")
-    commitWithRetry(tablePath, _ => body,
+    val partCols = partitionColumnsOf(tablePath)
+    // ONE DV-aware scan of every vector-bearing file (survivors only,
+    // partition columns re-materialized) feeding ONE write job. No shuffle:
+    // scan tasks are file-aligned, so each task's rows already belong to
+    // one hive dir and partitionBy routes them straight back — output file
+    // count tracks input file count, and the job count is independent of
+    // how many thousand partitions the vectors touch (the old shape was a
+    // serial driver loop launching one Spark job per partition group).
+    val df = readAdds(tablePath, dvAdds)
+    val parts =
+      if (partCols.isEmpty) writeParts(df, root, fs, prefix = "purged")
+      else writePartitionedParts(df, root, partCols)
+    commitWithRetry(tablePath, _ =>
+        DeltaWriter.optimizeBody("PURGE", dvAdds, parts),
       DeltaWriter.conflictReason("OPTIMIZE", dvAdds.map(_.path), None, _),
       readVersion = Some(readVersion))
     dvAdds.size
@@ -897,21 +877,39 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
   /** Vacuum: delete data files (and deletion-vector `.bin` files) not
     * referenced by the current snapshot and older than `retentionMs`.
-    * Returns number of deleted files. */
-  def vacuum(tablePath: String, retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
-    val latest = log.latestVersion(tablePath)
+    * Returns number of deleted files.
+    *
+    * Concurrency: planning (walk the tree, collect unreferenced files) and
+    * deletion are separate phases, and a commit landing between them —
+    * most dangerously a RESTORE, which re-references an old file — would
+    * otherwise have its files deleted out from under it. Before deleting,
+    * the latest version is re-read; if ANY commit landed since planning,
+    * the candidate set is re-filtered against the NEW snapshot and the
+    * check repeats (bounded by [[DeltaWriter.MaxCommitAttempts]], then
+    * fails loudly rather than delete against a moving table). The
+    * remaining window between the final check and each unlink is covered
+    * the same way delta-spark covers it: RESTORE verifies its re-added
+    * files still exist before committing, and the retention horizon keeps
+    * vacuum away from anything a realistic restore would touch.
+    * `afterPlan` is a test seam that runs between planning and the
+    * re-check. */
+  def vacuum(tablePath: String, retentionMs: Long = 7L * 24 * 3600 * 1000,
+      afterPlan: () => Unit = () => ()): Int = {
+    val planned = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
-    val active = log.snapshotState(tablePath, latest).map(_._1).toSet
     val root = new Path(tablePath)
     val fs = Fs.fs(root, conf)
-    // DV files referenced by the CURRENT snapshot, root-relative
-    val activeDvs = DeltaStats.activeAdds(log, tablePath, latest)
-      .flatMap(_.deletionVector)
-      .flatMap(d => DeletionVector.resolvePath(tablePath, d))
-      .map(p => p.toUri.getPath.stripPrefix(
-        root.toUri.getPath.stripSuffix("/") + "/")).toSet
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    // (parquet paths, dv .bin paths) referenced by the snapshot at `v`
+    def referenced(v: Long): (Set[String], Set[String]) = (
+      log.snapshotState(tablePath, v).map(_._1).toSet,
+      DeltaStats.activeAdds(log, tablePath, v)
+        .flatMap(_.deletionVector)
+        .flatMap(d => DeletionVector.resolvePath(tablePath, d))
+        .map(_.toUri.getPath.stripPrefix(rootPrefix)).toSet)
+    val (active0, activeDvs0) = referenced(planned)
     val cutoff = System.currentTimeMillis() - retentionMs
-    var deleted = 0
+    val candidates = Seq.newBuilder[(Path, String)]
     def walk(dir: Path, rel: String): Unit =
       Fs.list(dir, conf).foreach { st =>
         val name = st.getPath.getName
@@ -919,14 +917,33 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         if (st.isDirectory) {
           if (name != "_delta_log" && !name.startsWith(".")) walk(st.getPath, relPath)
         } else if (st.getModificationTime < cutoff &&
-            ((name.endsWith(".parquet") && !active.contains(relPath)) ||
+            ((name.endsWith(".parquet") && !active0.contains(relPath)) ||
              (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
-               !activeDvs.contains(relPath)))) {
-          fs.delete(st.getPath, false); deleted += 1
-        }
+               !activeDvs0.contains(relPath))))
+          candidates += ((st.getPath, relPath))
       }
     walk(root, "")
-    deleted
+    afterPlan()
+    // conflict check: drop any candidate a commit re-referenced since
+    // planning (RESTORE is the op that legitimately does this)
+    var toDelete = candidates.result()
+    var checked = planned
+    var attempts = 0
+    var latestNow = log.latestVersion(tablePath).getOrElse(checked)
+    while (latestNow != checked) {
+      attempts += 1
+      if (attempts > DeltaWriter.MaxCommitAttempts)
+        throw new CommitError(
+          s"vacuum of $tablePath: table kept advancing during the " +
+          s"conflict re-check ($attempts attempts); re-run vacuum")
+      val (active, activeDvs) = referenced(latestNow)
+      toDelete = toDelete.filterNot { case (_, rel) =>
+        active.contains(rel) || activeDvs.contains(rel) }
+      checked = latestNow
+      latestNow = log.latestVersion(tablePath).getOrElse(checked)
+    }
+    toDelete.foreach { case (p, _) => fs.delete(p, false) }
+    toDelete.size
   }
 
   // (conflict rules live on the companion so tests can exercise them
@@ -946,6 +963,33 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
 object DeltaWriter {
   private[delta] val MaxCommitAttempts = 10
+
+  /** Commit body for a dataChange=false rewrite (OPTIMIZE / PURGE):
+    * removes every old file, adds every new part — readers tailing with
+    * ignore_changes skip it, and our own planner ignores it too. */
+  private[delta] def optimizeBody(operation: String,
+      removed: Seq[DeltaAction.AddFile], parts: Seq[WrittenPart]): String = {
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo": {"timestamp": $now, "operation": "$operation"}}"""
+    removed.foreach { a =>
+      val r = Jsons.obj(); r.put("path", a.path); r.put("dataChange", false)
+      r.put("deletionTimestamp", now)
+      lines += s"""{"remove": ${Jsons.render(r)}}"""
+    }
+    parts.foreach { part =>
+      val a = Jsons.obj(); a.put("path", part.path); a.put("size", part.size)
+      a.put("dataChange", false); a.put("modificationTime", now)
+      if (part.partitionValues.nonEmpty) {
+        val pv = Jsons.obj()
+        part.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+        a.set[JsonNode]("partitionValues", pv)
+      }
+      part.stats.foreach(s => a.put("stats", s))
+      lines += s"""{"add": ${Jsons.render(a)}}"""
+    }
+    lines.result().mkString("\n")
+  }
 
   private[delta] def dvNode(d: DvDescriptor): JsonNode = {
     val n = Jsons.obj()

@@ -449,4 +449,44 @@ object Dedup {
     lshPairsBy(df, idCol, textCol, charNgrams(_, n), k, bands, threshold,
       sigFn = Some(graft.functions.FusedMinHashFunctions.minhashCharNgrams(_, n, k)),
       maxBucket = maxBucket)
+
+  /** EXACT character-n-gram Jaccard pairs via a gram inverted index — the
+    * oracle-checkable complement to the LSH variant above: any pair with
+    * Jaccard > 0 shares at least one distinct gram, so the gram self-join
+    * reaches every qualifying pair by construction (no banding, no recall
+    * loss). One shuffle on the gram key; per-pair intersection counts come
+    * from a group-by, never an all-pairs comparison.
+    *
+    * `maxDf > 0` drops grams present in more than `maxDf` documents (the
+    * MOSS/stop-gram filter): a corpus-wide gram identifies nothing and its
+    * bucket is pure quadratic noise. The cap bounds the hot-gram join at
+    * 100 TB but makes the result approximate — a pair whose every shared
+    * gram is hot is missed. 0 (default) = exact.
+    *
+    * Same output contract as [[charNgramJaccardPairs]]: (id_a < id_b,
+    * jaccard rounded to 4) filtered at `threshold`. */
+  def charNgramJaccardExactPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.4, maxDf: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val grams = base.select(col("id"),
+      explode(array_distinct(charNgrams(col("text"), n))).as("g"))
+    val counts = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val kept =
+      if (maxDf <= 0) grams
+      else grams.join(
+        grams.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("g"),
+        Seq("g"))
+    val inter = kept.select(col("id").as("id_a"), col("g"))
+      .join(kept.select(col("id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n_grams").as("na")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("n_grams").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

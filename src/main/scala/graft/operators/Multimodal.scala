@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: the JDK's built-in `javax.imageio` codecs
   * (png/jpeg/gif/bmp ship with every JRE) extract true width/height/
-  * channels/brightness on the executors. Bytes no installed reader
-  * understands (video, audio, arbitrary blobs) fall back to `fakeDecode`,
-  * a deterministic stand-in derived from the bytes, so the Spark-side
-  * plumbing — schema, batch shape, partition-iterator processing — stays
-  * exercised end-to-end even for the formats whose codecs aren't on this
-  * classpath. Swapping in a video/audio decoder means replacing only the
-  * body of `fakeDecode`.
+  * channels/brightness on the executors. AUDIO decode is REAL for
+  * WAV/AU/AIFF via the JDK's `javax.sound.sampled` (header-only parse —
+  * sample rate, channels, frame count, duration). Bytes no installed
+  * reader understands (video, compressed audio, arbitrary blobs) fall
+  * back to deterministic stand-ins derived from the bytes, so the
+  * Spark-side plumbing — schema, batch shape, partition-iterator
+  * processing — stays exercised end-to-end even for the formats whose
+  * codecs aren't on this classpath. Swapping in a video decoder means
+  * replacing only the body of `fakeDecode`.
   *
   * Scale notes: media blobs ride in parquet binary columns; the decode
   * operators run as `mapPartitions` over whole partitions (one JVM-side
@@ -85,10 +87,33 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AU/AIFF
+    * codecs ship with every JRE, same as ImageIO's image codecs). Returns
+    * (sampleRateHz, channels, frames, durationMs); None when no installed
+    * reader understands the bytes. Only the header is parsed — the PCM
+    * payload is never buffered, so cost is O(1) per blob. */
+  private[graft] def audioDecode(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long)] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val rate = fmt.getSampleRate
+        if (rate <= 0 || frames < 0) None
+        else Some((rate.toInt, fmt.getChannels, frames,
+          (frames * 1000.0 / rate).toLong))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** STUB decoder for non-image media — deterministic fake: "decodes" a
     * blob into (width, height, channels, brightness) derived from its
-    * bytes. ??? replace with a real video/audio codec when one is on the
-    * classpath (images already decode for real via [[imageDecode]]). */
+    * bytes. ??? replace with a real video codec when one is on the
+    * classpath (images decode for real via [[imageDecode]], audio via
+    * [[audioDecode]]). */
   private[graft] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)
     else {
@@ -120,6 +145,36 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Audio decode + feature-extract, batched per partition like
+    * [[extractFeatures]]. Real for WAV/AU/AIFF (JDK codecs); bytes no
+    * reader understands fall back to a deterministic stand-in (sample
+    * rate 16 kHz, 1 channel, one "frame" per 32 bytes) so the plumbing
+    * stays exercised for compressed formats whose codecs aren't on this
+    * classpath. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val (rate, ch, frames, durMs) = audioDecode(bytes).getOrElse {
+          val frames = bytes.length / 32L
+          (16000, 1, frames, frames * 1000 / 16000)
+        }
+        Row(id, bytes.length.toLong, rate, ch, frames, durMs)
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
   /** Frame-sampling plumbing: split a blob into fixed-size "frames" and

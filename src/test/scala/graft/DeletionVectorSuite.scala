@@ -285,7 +285,7 @@ class DeletionVectorSuite extends SparkSpec {
     }
   }
 
-  test("DV merge stamps txn and CDF in the same commit; strict strategy rejects widening") {
+  test("DV merge stamps txn and CDF in the same commit; widening stays on the DV path") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
       val w = writer
@@ -300,16 +300,21 @@ class DeletionVectorSuite extends SparkSpec {
       val commit = new DeltaLogReader(conf).readCommit(t, 1)
       assert(commit.adds.exists(_.deletionVector.isDefined))
       assert(commit.cdcs.nonEmpty, "CDF parts must land in the same commit")
-      // a schema-widening batch is ineligible: strict strategy refuses,
-      // Auto silently takes the rewrite path
+      // a schema-widening batch takes the DV path too: the SAME commit
+      // widens the metaData schema, old rows null-fill `extra` at read
       val widening = Seq((2L, Some(22L), Some("x"), "update_postimage", 2L))
         .toDF("id", "v", "extra", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
-      intercept[graft.core.GraftError] {
-        DeltaCdc.applyCdcDelta(spark, widening, t, Seq("id"),
-          strategy = MergeStrategy.DeletionVectors)
-      }
-      DeltaCdc.applyCdcDelta(spark, widening, t, Seq("id"))
+      DeltaCdc.applyCdcDelta(spark, widening, t, Seq("id"),
+        strategy = MergeStrategy.DeletionVectors)
+      val widened = new DeltaLogReader(conf).readCommit(t, 2)
+      assert(widened.adds.exists(_.deletionVector.isDefined),
+        "widening merge must still commit via deletion vectors")
+      assert(w.tableSchema(t).exists(_.fieldNames.contains("extra")),
+        "the DV commit itself must widen the declared schema")
       assert(w.read(t).filter("extra = 'x'").count() === 1L)
+      assert(w.read(t).filter("extra IS NULL").count() === 9L,
+        "pre-widening rows must null-fill the new column at read")
+      assert(w.read(t).filter("id = 2 AND v = 22").count() === 1L)
     }
   }
 
@@ -332,6 +337,69 @@ class DeletionVectorSuite extends SparkSpec {
       assert(reclaimed > 0)
       assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq === before)
     }
+  }
+
+  /** Spark jobs launched while `body` runs (listener bus is async — poll
+    * until the count is stable before reading it). */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try body
+    finally {
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = n.get
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      spark.sparkContext.removeSparkListener(l)
+    }
+    n.get
+  }
+
+  test("purge and compact job counts are independent of partition count") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    def purgeJobs(nParts: Int): Int = withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(
+        spark.range(0, 60 * nParts).toDF("id")
+          .withColumn("part", pmod(col("id"), org.apache.spark.sql.functions.lit(nParts))),
+        t, DeltaWriteMode.Append, partitionBy = Seq("part"))
+      assert(w.deleteWhere(t, col("id") % 60 < 5) > 0) // DVs in EVERY partition
+      countJobs { assert(w.purgeDeletionVectors(t) > 0) }
+    }
+    // hold the FILE count constant (12) while varying the partition count:
+    // Spark's scan machinery may add an internal job as file counts grow,
+    // but the job count must not track the number of hive partitions (the
+    // old shape was one driver-looped write job per partition group)
+    def compactJobs(nParts: Int): Int = withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      val appends = 12 / nParts // nParts files per append
+      (0 until appends).foreach { _ =>
+        w.write(
+          spark.range(0, 60 * nParts).toDF("id")
+            .withColumn("part", pmod(col("id"), org.apache.spark.sql.functions.lit(nParts))),
+          t, DeltaWriteMode.Append, partitionBy = Seq("part"))
+      }
+      val jobs = countJobs { w.compact(t) }
+      assert(w.read(t).count() === 60L * nParts * appends, "compact must not lose rows")
+      assert(w.activeAdds(t).forall(_.partitionValues.nonEmpty),
+        "compacted files must keep their hive partition attribution")
+      jobs
+    }
+    val p2 = purgeJobs(2); val p6 = purgeJobs(6)
+    assert(p2 === p6, s"purge jobs must not scale with partitions ($p2 vs $p6)")
+    val c2 = compactJobs(2); val c6 = compactJobs(6)
+    assert(c2 === c6, s"compact jobs must not scale with partitions ($c2 vs $c6)")
+    // and the layout survives: both ops preserved hive dirs (checked by the
+    // lifecycle tests above reading back through partition re-materialization)
   }
 
   test("vacuum keeps .bin files the current snapshot still references") {

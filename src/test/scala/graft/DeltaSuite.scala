@@ -1285,6 +1285,26 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("vacuum spares files a concurrent RESTORE re-referenced after planning") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, 1L)).toDF("id", "v"), t, DeltaWriteMode.Append)   // v0
+      w.write(Seq((2L, 2L)).toDF("id", "v"), t, DeltaWriteMode.Overwrite) // v1
+      // vacuum plans with v0's file unreferenced; the restore lands between
+      // planning and deletion and re-references it — the conflict re-check
+      // must drop it from the delete set
+      val deleted = w.vacuum(t, retentionMs = -1000,
+        afterPlan = () => w.restore(t, 0L))
+      assert(w.read(t).collect().map(_.getLong(0)).toSeq === Seq(1L),
+        "restored snapshot must read back intact after the racing vacuum")
+      // re-running vacuum with a quiet log reclaims v1's now-orphaned file
+      assert(w.vacuum(t, retentionMs = -1000) >= 1)
+      assert(w.read(t).collect().map(_.getLong(0)).toSeq === Seq(1L))
+      assert(deleted >= 0)
+    }
+  }
+
   test("apply_cdc_delta: merge path read-modify-overwrite with metrics") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"

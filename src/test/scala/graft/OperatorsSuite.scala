@@ -248,6 +248,38 @@ class DedupSuite extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L))
   }
 
+  test("exact char-ngram Jaccard: hand-computed values, superset of the LSH pairs") {
+    // grams(3) of abcdef={abc,bcd,cde,def}, abcdeg={abc,bcd,cde,deg}:
+    // inter 3, union 5 -> J=0.6; "zzzzzz" shares nothing
+    val df = Seq((1L, "abcdef"), (2L, "abcdeg"), (3L, "zzzzzz")).toDF("id", "t")
+    val exact = Dedup.charNgramJaccardExactPairs(df, "id", "t", n = 3,
+      threshold = 0.5).collect()
+    assert(exact.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      === Seq((1L, 2L, 0.6)))
+    // short text (< n) collapses to a whole-text gram, same as charNgrams
+    val short = Seq((1L, "ab"), (2L, "ab"), (3L, "cd")).toDF("id", "t")
+    val sp = Dedup.charNgramJaccardExactPairs(short, "id", "t", n = 3,
+      threshold = 0.5).collect()
+    assert(sp.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      === Seq((1L, 2L, 1.0)))
+    // completeness: exact finds every pair the banded LSH variant finds
+    // (LSH output is exact-verified, so it is a subset by construction)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.charNgramJaccardPairs(docs, "doc_id", "text",
+      n = 12, threshold = 0.4, k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ex = Dedup.charNgramJaccardExactPairs(docs, "doc_id", "text",
+      n = 12, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(ex), s"LSH found pairs exact missed: ${lsh -- ex}")
+    assert(ex.nonEmpty)
+    // maxDf cap keeps output a subset of the uncapped exact result
+    val capped = Dedup.charNgramJaccardExactPairs(docs, "doc_id", "text",
+      n = 12, threshold = 0.4, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped.subsetOf(ex))
+  }
+
   test("connected components: star graphs, multi-round chains, multiple components") {
     // every graph resolves through BOTH paths — driver union-find (the
     // small-graph short-circuit) and the distributed star contraction
@@ -631,6 +663,32 @@ class MultimodalSuite extends SparkSpec {
     val f = Multimodal.extractFeatures(txt).collect().head
     // stub: w = 16 + ('n' % 64) = 62, h = 16 + ('e' % 64) = 53
     assert((f.getInt(2), f.getInt(3), f.getInt(4)) === ((62, 53, 3)))
+  }
+
+  test("real wav decode via JDK javax.sound: rate, channels, frames, duration") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def renderWav(rateHz: Int, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rateHz.toFloat, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val mono = renderWav(16000, 1, 8000)   // 500 ms
+    val stereo = renderWav(44100, 2, 44100) // 1000 ms
+    val media = Seq((1L, mono), (2L, stereo)).toDF("media_id", "content")
+    val feats = Multimodal.extractAudioFeatures(media).orderBy("media_id").collect()
+    assert((feats(0).getInt(2), feats(0).getInt(3), feats(0).getLong(4),
+      feats(0).getLong(5)) === ((16000, 1, 8000L, 500L)))
+    assert((feats(1).getInt(2), feats(1).getInt(3), feats(1).getLong(4),
+      feats(1).getLong(5)) === ((44100, 2, 44100L, 1000L)))
+    // non-audio bytes take the deterministic stand-in (16 kHz, mono,
+    // one frame per 32 bytes) — deterministic across runs
+    val txt = Seq((3L, ("x" * 64).getBytes("UTF-8"))).toDF("media_id", "content")
+    val f = Multimodal.extractAudioFeatures(txt).collect().head
+    assert((f.getInt(2), f.getInt(3), f.getLong(4)) === ((16000, 1, 2L)))
   }
 
   test("frame sampling emits every stride-th fixed-size slice") {
