@@ -895,9 +895,13 @@ object Queries {
     // d_minhash/d_simhash/d_winnow/e_ann_lsh it is approximate BY DESIGN
     // (banding trades recall for never materializing all-pairs), so no
     // ANSI oracle can reproduce its output
+    // threshold 0.8 = the canonical near-dup cutoff in dataset curation;
+    // it also keeps the AllPairs prefix at the rarest ~20% of each doc's
+    // grams (at 0.4 the prefix is 60% and the filter stops filtering on a
+    // high-background-similarity corpus: 1.4M candidates vs 248k at sf0.1)
     "d_ngram_jaccard" -> QueryDef(
       (s, d) => Dedup.charNgramJaccardExactPairs(t(s, d, "documents"), "doc_id",
-        "text", n = 12, threshold = 0.4).orderBy("id_a", "id_b"),
+        "text", n = 12, threshold = 0.8).orderBy("id_a", "id_b"),
       Some("""WITH grams AS (
              |  SELECT doc_id, UNNEST(LIST_DISTINCT(
              |    CASE WHEN LENGTH(text) < 12 THEN [text]
@@ -914,7 +918,7 @@ object Queries {
              |FROM inter
              |JOIN counts ca ON ca.doc_id = inter.id_a
              |JOIN counts cb ON cb.doc_id = inter.id_b
-             |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.4
+             |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the

@@ -93,11 +93,11 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     ShingleFunctions.wordShinglesFast(text, n)
 
-  /** Character `n`-grams. */
+  /** Character `n`-grams (codegen'd; see [[CharNgramsExpr]] — equals the
+    * `transform(sequence(...), i -> substr(text, i, n))` formulation with
+    * the whole-text collapse for short strings). */
   def charNgrams(text: Column, n: Int): Column =
-    when(length(text) < n, array(text))
-      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n))))
+    CharNgramFunctions.charNgramsFast(text, n)
 
   /** Jaccard similarity of two string arrays (as sets), rounded to 4. */
   def jaccard(a: Column, b: Column): Column = {

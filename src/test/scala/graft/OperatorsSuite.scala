@@ -47,6 +47,23 @@ class TextFunctionsSuite extends SparkSpec {
       === Seq("one two"))
   }
 
+  test("codegen char-ngrams match the HOF formulation, incl. distinct variant") {
+    import graft.functions.CharNgramFunctions.{charNgramsDistinct, charNgramsFast}
+    val texts = Seq("", "ab", "abc", "abcd", "abcabcabc", "aaaaaa",
+      "héllo wörld", "x" * 40).toDF("t")
+    val hof = when(length(col("t")) < 3, array(col("t")))
+      .otherwise(transform(sequence(lit(1), length(col("t")) - 2),
+        i => col("t").substr(i, lit(3))))
+    val rows = texts.select(
+      charNgramsFast(col("t"), 3).as("fast"), hof.as("ref"),
+      charNgramsDistinct(col("t"), 3).as("dfast"), array_distinct(hof).as("dref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(r.getSeq[String](2) === r.getSeq[String](3))
+    }
+  }
+
   test("simhash: identical texts equal, near texts close, far texts far") {
     val df = Seq(
       ("a", "spark query engine for incremental batch processing at scale"),

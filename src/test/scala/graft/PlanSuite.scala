@@ -78,6 +78,18 @@ class PlanSuite extends SparkSpec {
     assert(hasCodegen(plan), "signature computation must stay inside codegen")
   }
 
+  test("exact ngram-Jaccard plans equi-joins only, never a cartesian") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = finalPlanOf(Dedup.charNgramJaccardExactPairs(
+      docs, "doc_id", "text", n = 12, threshold = 0.8))
+    // AllPairs: prefix self-join on the gram hash, positional-filter
+    // aggregation, then a candidate-pair verify join — all equi-joins; an
+    // all-pairs comparison (cartesian/nested-loop) must never appear
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"exact ngram-Jaccard must never plan an all-pairs join:\n${plan.take(1500)}")
+  }
+
   test("asof join costs one hash exchange, not a range self-join") {
     assume(available)
     import org.apache.spark.sql.functions.col

@@ -221,6 +221,28 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("exact ngram-Jaccard pairs equal the brute-force reference on random corpora") {
+    // small alphabet + short docs force heavy gram sharing (the worst case
+    // for inverted-index completeness) and short-text whole-doc grams
+    val docGen = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    forAllSampled(Gen.listOfN(8, docGen), 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def grams(t: String): Set[String] =
+        if (t.length < 3) Set(t) else t.sliding(3).toSet
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        inter = (grams(ta) & grams(tb)).size.toDouble
+        union = (grams(ta) | grams(tb)).size.toDouble
+        j = math.rint(inter / union * 10000) / 10000 if j >= 0.3
+      } yield (ia, ib, j)).toSet
+      val got = graft.operators.Dedup
+        .charNgramJaccardExactPairs(docs.toDF("id", "t"), "id", "t",
+          n = 3, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"texts=$texts")
+    }
+  }
+
   test("asof join equals the per-row reference on random series") {
     val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))
     forAllSampled(Gen.zip(Gen.listOfN(15, rowGen), Gen.listOfN(15, rowGen)), 6) {
