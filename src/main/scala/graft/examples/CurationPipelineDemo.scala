@@ -1,0 +1,95 @@
+package graft.examples
+
+import graft._
+import graft.delta.{DeltaWriteMode, DeltaWriter}
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data curation pipeline: the LLM-operator family composed
+  * end-to-end the way a 100 TB pretraining-data job would run it —
+  * quality/language gating, exact dedup, transitive MinHash near-dup
+  * dedup, exact ngram-Jaccard near-dup audit, embedding-space near-dup
+  * removal, token accounting, and a Delta sink whose stats make the
+  * curated table skippable. Every stage is one of the library operators
+  * under its documented scale shape (banded LSH, bounded buckets,
+  * broadcast query sides — no all-pairs, no driver data paths).
+  *
+  * Run: sbt "runMain graft.examples.CurationPipelineDemo /tmp/graft-curate"
+  */
+object CurationPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft-curate")
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = GraftSession.local(8, "graft-curate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def n(df: DataFrame): Long = df.count()
+    val total = n(docs)
+
+    // 1. quality + language gate: single codegen pass, no shuffle
+    val stopwords = Seq("the", "and", "of", "to", "a", "der", "die", "und",
+      "le", "la", "et", "el", "los", "y")
+    val scored = docs.select(col("doc_id"), col("text"),
+      TextFunctions.qualityScore(col("text"), stopwords).as("quality"),
+      TextFunctions.langIdHeuristic(col("text")).as("lang"))
+    val gated = scored.filter(col("quality") >= 0.3 && col("lang") =!= "und")
+    val afterGate = n(gated)
+
+    // 2. exact dedup by content fingerprint: one shuffle on a 16-byte key
+    val exact = Dedup.byFingerprint(gated, "text", "doc_id")
+    val afterExact = n(exact)
+
+    // 3. transitive MinHash-LSH near-dup dedup: banded signatures, one
+    //    bucket shuffle, connected components keep one doc per cluster
+    val nearDeduped = Dedup.minhashLshDedup(exact, "doc_id", "text",
+      threshold = 0.5, transitive = true)
+    val afterNear = n(nearDeduped)
+
+    // 4. near-dup audit at the canonical 0.8 cutoff — EXACT pairs via the
+    //    AllPairs prefix join (what survived the probabilistic pass)
+    val residual = n(Dedup.charNgramJaccardExactPairs(
+      nearDeduped, "doc_id", "text", n = 12, threshold = 0.8))
+
+    // 5. embedding-space near-dups among survivors: SRP-bucketed cosine,
+    //    drop the larger id of each pair
+    val survivors = emb.join(
+      nearDeduped.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val embPairs = Dedup.embeddingCosinePairsLsh(
+      survivors, "vec_id", "embedding", threshold = 0.995, planes = 8)
+    val embLosers = embPairs.select(col("id_b").as("doc_id")).distinct()
+    val curated = nearDeduped.join(embLosers, Seq("doc_id"), "left_anti")
+    val afterEmb = n(curated)
+
+    // 6. token accounting over the curated corpus (codegen, no shuffle)
+    val tokens = curated.agg(
+      sum(TextFunctions.tokenCount(col("text"))).as("tokens"),
+      avg(TextFunctions.tokenCount(col("text"))).as("tokens_per_doc")).head()
+
+    // 7. curated Delta table: stats-bearing files, partitioned by language
+    val out = s"$work/curated"
+    val writer = new DeltaWriter(spark, spark.sparkContext.hadoopConfiguration)
+    writer.write(
+      scored.join(curated.select("doc_id"), Seq("doc_id"), "left_semi"),
+      out, DeltaWriteMode.Overwrite, partitionBy = Seq("lang"))
+    val readBack = writer.read(out).count()
+
+    println(f"ingested:            $total%6d docs")
+    println(f"quality+lang gate:   $afterGate%6d (-${total - afterGate})")
+    println(f"exact dedup:         $afterExact%6d (-${afterGate - afterExact})")
+    println(f"minhash near-dedup:  $afterNear%6d (-${afterExact - afterNear})")
+    println(f"residual 0.8-pairs:  $residual%6d (audit)")
+    println(f"embedding near-dup:  $afterEmb%6d (-${afterNear - afterEmb})")
+    println(f"curated tokens:      ${tokens.getLong(0)}%6d (${tokens.getDouble(1)}%.1f/doc)")
+    println(f"delta read-back:     $readBack%6d rows; " +
+      s"partitions=${writer.partitionColumnsOf(out).mkString(",")}")
+    val ok = readBack == afterEmb && afterEmb <= afterNear &&
+      afterNear <= afterExact && afterExact <= afterGate && afterGate <= total
+    println(s"funnel check: ${if (ok) "PASS" else "FAIL"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
