@@ -303,6 +303,15 @@ class PropertySuite extends SparkSpec {
       assert(got === expectDeleted, s"n=$n m=$m k=$k")
       val remaining = w.read(t).collect().map(_.getLong(0)).sorted.toSeq
       assert(remaining === (0L until n.toLong).filterNot(_ % m < k), s"n=$n m=$m k=$k")
+      // the maintenance lifecycle preserves the logical table: purge
+      // applies + drops every vector, compact folds small files, vacuum
+      // reclaims the shadowed bytes — read-back is identical throughout
+      w.purgeDeletionVectors(t)
+      assert(w.activeAdds(t).forall(_.deletionVector.isEmpty), s"n=$n m=$m k=$k")
+      w.compact(t, smallFileBytes = 1024 * 1024)
+      w.vacuum(t, retentionMs = -1000)
+      val after = w.read(t).collect().map(_.getLong(0)).sorted.toSeq
+      assert(after === remaining, s"purge/compact/vacuum changed rows: n=$n m=$m k=$k")
     }
   }
 }
