@@ -394,6 +394,46 @@ object DvScan {
     })
     df.filter(not(deleted(col("_metadata.file_path"), col("_metadata.row_index"))))
   }
+
+  /** Keep only the rows a DV update DELETED — the Change-Data-Feed
+    * reconstruction for deletion-vector commits: a row is a delta when
+    * the NEW vector contains it (no new vector = the whole file was
+    * removed, so every surviving row is a delta) and the OLD vector does
+    * not. Same broadcast-descriptor/lazy-load/budget shape as
+    * [[filterDeleted]]. */
+  def filterToDeltas(spark: SparkSession, tablePath: String,
+      newByPath: Map[String, DvDescriptor], oldByPath: Map[String, DvDescriptor],
+      df: DataFrame, conf: Configuration): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val declared = (newByPath.valuesIterator ++ oldByPath.valuesIterator)
+      .map(_.sizeInBytes).sum
+    val cap = maxScanBytes(spark)
+    if (declared > cap)
+      throw new PlanningError(
+        s"CDF reconstruction of $tablePath carries $declared bytes of " +
+        s"deletion vectors, over the ${cap}-byte budget " +
+        "(graft.delta.maxDvScanBytes); raise the budget or read the " +
+        "changes from a cdc-emitting writer")
+    def meta(m: Map[String, DvDescriptor]): Map[String, (String, DvDescriptor)] =
+      m.map { case (p, d) =>
+        p -> (s"${d.pathOrInlineDv}@${d.offset.getOrElse(0L)}", d) }
+    val bcNew = spark.sparkContext.broadcast(meta(newByPath))
+    val bcOld = spark.sparkContext.broadcast(meta(oldByPath))
+    val serConf = new graft.util.SerializableConf(conf)
+    def probe(entry: Option[(String, DvDescriptor)], idx: Long): Boolean =
+      entry.exists { case (key, d) =>
+        DeletionVector.contains(DeletionVector.cachedBitmaps(key,
+          () => DeletionVector.loadBytes(tablePath, d, serConf.value)), idx) }
+    val isDelta = udf((path: String, idx: Long) => {
+      val key = DeletionVector.normUri(path)
+      val inNew = bcNew.value.get(key) match {
+        case None => true // whole file removed: all survivors are deltas
+        case some => probe(some, idx)
+      }
+      inNew && !probe(bcOld.value.get(key), idx)
+    })
+    df.filter(isDelta(col("_metadata.file_path"), col("_metadata.row_index")))
+  }
 }
 
 /** One touched file's freshly folded bitmap — the row shape shuffled from

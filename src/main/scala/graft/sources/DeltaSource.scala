@@ -41,9 +41,14 @@ case class DeltaSourceOptions(
     ignoreChanges: Boolean = false,
     readChangeFeed: Boolean = false)
 
-/** A planned CDF entry: file + how to interpret it. */
+/** A planned CDF entry: file + how to interpret it. Kinds: `cdc` (a
+  * writer-emitted change file), `insert` (an add served as inserts),
+  * `dv_delete` (a deletion-vector update — the deltas are the rows in
+  * `newDv` minus `oldDv`), `dv_delete_full` (a file fully deleted via
+  * DVs — every row surviving `oldDv` is a delta). */
 private[sources] case class CdfEntry(path: String, size: Long, kind: String,
-    version: Long, tsMs: Long)
+    version: Long, tsMs: Long,
+    oldDv: Option[DvDescriptor] = None, newDv: Option[DvDescriptor] = None)
 
 /** Incremental Delta-table planner: initial-snapshot paging, log tailing
   * with the `ignoreDeletes`/`ignoreChanges`/`dataChange=false` matrix, and
@@ -82,6 +87,10 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
         val eo = Jsons.obj()
         eo.put("path", e.path); eo.put("size", e.size); eo.put("kind", e.kind)
         eo.put("version", e.version); eo.put("ts_ms", e.tsMs)
+        e.oldDv.foreach(d =>
+          eo.set[JsonNode]("old_dv", DeltaTableCheckpoint.dvToJson(d)))
+        e.newDv.foreach(d =>
+          eo.set[JsonNode]("new_dv", DeltaTableCheckpoint.dvToJson(d)))
         arr.add(eo)
       }
       o.set[JsonNode]("cdf_entries", arr)
@@ -101,7 +110,10 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
     Jsons.optField(offset, "cdf_entries").map(arr =>
       Jsons.elems(arr).map(e => CdfEntry(
         e.get("path").asText(), e.get("size").asLong(), e.get("kind").asText(),
-        e.get("version").asLong(), e.get("ts_ms").asLong())).toSeq
+        e.get("version").asLong(), e.get("ts_ms").asLong(),
+        oldDv = Jsons.optField(e, "old_dv").map(DeltaTableCheckpoint.dvFromJson),
+        newDv = Jsons.optField(e, "new_dv").map(DeltaTableCheckpoint.dvFromJson)))
+        .toSeq
     ).getOrElse(Seq.empty)
 
   // ---- table identity (reference delta.py:302-344) -----------------------
@@ -343,19 +355,41 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
           commit.cdcs.map(c => CdfEntry(c.path, c.size, "cdc", v, ts))
         else {
           val adds = commit.adds.filter(_.dataChange)
-          if (commit.removes.exists(_.dataChange) && adds.isEmpty)
-            throw new ChangeDataFeedError(
-              s"commit version $v of $tablePath removes data but has no cdc files; " +
-              "cannot serve Change Data Feed")
-          else if (commit.removes.exists(_.dataChange))
+          val removes = commit.removes.filter(_.dataChange)
+          val removePaths = removes.map(_.path).toSet
+          if (removes.nonEmpty &&
+              adds.forall(a => a.deletionVector.isDefined && removePaths(a.path))) {
+            // a DELETE commit, reconstructible WITHOUT cdc files per the
+            // delta protocol's CDF section: either the deletion-vector
+            // shape (every add re-adds a removed path with a widened
+            // vector — the deltas are new DV minus old DV) or a plain
+            // remove-only commit / fully-deleted file (all prior
+            // survivors of the removed file are the deltas). delta-spark
+            // serves CDF for DV deletes the same way. Rewrite-style
+            // updates (plain adds + removes) stay refusals below —
+            // rewritten files would double-emit carried rows as churn.
+            val prior = graft.delta.DeltaStats
+              .activeAdds(log, tablePath, v - 1).map(a => a.path -> a).toMap
+            val addPaths = adds.map(_.path).toSet
+            adds.map(a => CdfEntry(a.path, a.size, "dv_delete", v, ts,
+              oldDv = prior.get(a.path).flatMap(_.deletionVector),
+              newDv = a.deletionVector)) ++
+            removes.filterNot(r => addPaths(r.path))
+              .flatMap(r => prior.get(r.path)).map(pa =>
+                CdfEntry(pa.path, pa.size, "dv_delete_full", v, ts,
+                  oldDv = pa.deletionVector))
+          }
+          else if (removes.nonEmpty)
             throw new ChangeDataFeedError(
               s"commit version $v of $tablePath updates data but has no cdc files; " +
               "cannot serve Change Data Feed")
-          // insert-fallback adds may carry DVs (e.g. RESTORE re-adding a
-          // DV'd file): serve the surviving rows. Keyed by path, newest
-          // version wins — our own commits never reuse a data-file path
-          adds.foreach(a => a.deletionVector.foreach(d => dvs.put(a.path, d)))
-          adds.map(a => CdfEntry(a.path, a.size, "insert", v, ts))
+          else {
+            // insert-fallback adds may carry DVs (e.g. RESTORE re-adding a
+            // DV'd file): serve the surviving rows. Keyed by path, newest
+            // version wins — our own commits never reuse a data-file path
+            adds.foreach(a => a.deletionVector.foreach(d => dvs.put(a.path, d)))
+            adds.map(a => CdfEntry(a.path, a.size, "insert", v, ts))
+          }
         }
       val fresh = entries.drop(skipInVersion.toInt)
       val (admitted, truncated) = admit[CdfEntry](fresh, _.size, opts, nFiles, bytes)
@@ -391,31 +425,38 @@ class DeltaTableCheckpoint(val checkpointDir: String, val conf: Configuration) {
 }
 
 object DeltaTableCheckpoint {
+  /** One descriptor <-> offset-JSON object. */
+  private[sources] def dvToJson(d: DvDescriptor): JsonNode = {
+    val o = Jsons.obj()
+    o.put("storage_type", d.storageType)
+    o.put("path_or_inline_dv", d.pathOrInlineDv)
+    d.offset.foreach(v => o.put("offset", v))
+    o.put("size_in_bytes", d.sizeInBytes)
+    o.put("cardinality", d.cardinality)
+    o
+  }
+
+  private[sources] def dvFromJson(o: JsonNode): DvDescriptor =
+    DvDescriptor(
+      o.get("storage_type").asText(),
+      o.get("path_or_inline_dv").asText(),
+      Jsons.optLong(o, "offset"),
+      o.get("size_in_bytes").asLong(),
+      o.get("cardinality").asLong())
+
   /** (addPath, descriptor) list <-> the offset JSON's `dv_files` array. */
   private[sources] def dvsToJson(dvs: Seq[(String, DvDescriptor)]): JsonNode = {
     val arr = Jsons.arr()
     dvs.foreach { case (p, d) =>
-      val o = Jsons.obj()
+      val o = dvToJson(d).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       o.put("path", p)
-      o.put("storage_type", d.storageType)
-      o.put("path_or_inline_dv", d.pathOrInlineDv)
-      d.offset.foreach(v => o.put("offset", v))
-      o.put("size_in_bytes", d.sizeInBytes)
-      o.put("cardinality", d.cardinality)
       arr.add(o)
     }
     arr
   }
 
   private[sources] def dvsFromJson(n: JsonNode): Seq[(String, DvDescriptor)] =
-    Jsons.elems(n).map { o =>
-      o.get("path").asText() -> DvDescriptor(
-        o.get("storage_type").asText(),
-        o.get("path_or_inline_dv").asText(),
-        Jsons.optLong(o, "offset"),
-        o.get("size_in_bytes").asLong(),
-        o.get("cardinality").asLong())
-    }.toSeq
+    Jsons.elems(n).map(o => o.get("path").asText() -> dvFromJson(o)).toSeq
 }
 
 /** Source facade for Delta tables: planning via [[DeltaTableCheckpoint]],
@@ -496,20 +537,34 @@ class DeltaSource(
     val dvByPath = checkpoint.dvFilesOf(batch.offset).map { case (p, d) =>
       graft.delta.DeletionVector.normUri(
         checkpoint.log.resolvePath(tablePath, p)) -> d }.toMap
-    if (dvByPath.nonEmpty) refuseMappedWithDvs()
+    if (dvByPath.nonEmpty || entries.exists(_.kind.startsWith("dv_delete")))
+      refuseMappedWithDvs()
     val groups = entries.groupBy(e => (e.kind, e.version, e.tsMs)).toSeq
       .sortBy { case ((_, v, _), _) => v }
     val frames = groups.map { case ((kind, version, ts), es) =>
+      def norm(p: String) = graft.delta.DeletionVector.normUri(
+        checkpoint.log.resolvePath(tablePath, p))
       val paths = es.map(e => checkpoint.log.resolvePath(tablePath, e.path))
       val scan = readDataFiles(spark, paths)
-      val base =
-        if (kind == "cdc") scan // cdc files never carry DVs
-        else graft.delta.DvScan.filterDeleted(spark, tablePath,
+      val base = kind match {
+        case "cdc" => scan // cdc files never carry DVs
+        case "dv_delete" | "dv_delete_full" =>
+          // the DELETED rows of a DV commit: new vector minus old vector
+          // (no new vector = whole file removed, all survivors deleted)
+          graft.delta.DvScan.filterToDeltas(spark, tablePath,
+            es.flatMap(e => e.newDv.map(d => norm(e.path) -> d)).toMap,
+            es.flatMap(e => e.oldDv.map(d => norm(e.path) -> d)).toMap,
+            scan, conf)
+        case _ => graft.delta.DvScan.filterDeleted(spark, tablePath,
           dvByPath.view.filterKeys(paths.map(
             graft.delta.DeletionVector.normUri).toSet).toMap, scan, conf)
-      val withType =
-        if (kind == "cdc") base
-        else base.withColumn(Cdc.ChangeTypeCol, lit("insert"))
+      }
+      val withType = kind match {
+        case "cdc" => base
+        case "dv_delete" | "dv_delete_full" =>
+          base.withColumn(Cdc.ChangeTypeCol, lit("delete"))
+        case _ => base.withColumn(Cdc.ChangeTypeCol, lit("insert"))
+      }
       withType
         .withColumn(Cdc.CommitVersionCol, lit(version))
         .withColumn(Cdc.CommitTimestampCol, lit(new java.sql.Timestamp(ts)))

@@ -195,6 +195,33 @@ class DeletionVectorSuite extends SparkSpec {
     }
   }
 
+  test("a wide delete fans out to multiple DV writer tasks, one .bin per task") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      // 150 files > the 64-files-per-writer-task packing target -> the
+      // fold must fan out to >1 writer task and produce >1 packed .bin
+      w.write(spark.range(0, 1500).toDF("id").repartition(150), t,
+        DeltaWriteMode.Append)
+      assert(w.activeAdds(t).size === 150)
+      assert(w.deleteWhere(t, org.apache.spark.sql.functions.col("id") % 2 === 0)
+        === 750L)
+      val bins = new java.io.File(t).listFiles()
+        .filter(f => f.getName.startsWith("deletion_vector_") &&
+          f.getName.endsWith(".bin"))
+      assert(bins.length >= 2,
+        s"150 touched files must pack into >1 .bin (${bins.length})")
+      val adds = w.activeAdds(t)
+      assert(adds.forall(_.deletionVector.isDefined))
+      // every descriptor resolves into one of the task-written bins and
+      // the logical table reads back exactly
+      assert(adds.flatMap(_.deletionVector)
+        .flatMap(d => DeletionVector.resolvePath(t, d)).toSet.size === bins.length)
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === (1L until 1500L by 2).toSeq)
+    }
+  }
+
   test("a scan over the DV byte budget fails loudly and names the remedy") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
@@ -474,6 +501,32 @@ class DeletionVectorSuite extends SparkSpec {
         .map(_.getLong(0)).toSet
       assert(ids === before.toSet,
         "streamed rows must be exactly the survivors (DV applied at read)")
+    }
+  }
+
+  test("CDF serves deleteWhere commits by diffing vectors: deletes, no cdc files") {
+    withTmpDir { tmp =>
+      import org.apache.spark.sql.functions.col
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(spark.range(0, 10).toDF("id").coalesce(1), t, DeltaWriteMode.Append)   // v0: file A
+      w.write(spark.range(10, 20).toDF("id").coalesce(1), t, DeltaWriteMode.Append)  // v1: file B
+      assert(w.deleteWhere(t, col("id") < 3) === 3L)                                 // v2: DV on A
+      assert(w.deleteWhere(t, col("id") >= 3 && col("id") < 10) === 7L)              // v3: A fully deleted
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(s"$tmp/cp", conf),
+        DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest,
+          readChangeFeed = true))
+      val b = src.planBatch().get
+      val rows = src.readBatch(spark, b)
+        .select("id", Cdc.ChangeTypeCol, Cdc.CommitVersionCol).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expected =
+        (0L until 10L).map(i => (i, "insert", 0L)).toSet ++
+        (10L until 20L).map(i => (i, "insert", 1L)).toSet ++
+        (0L until 3L).map(i => (i, "delete", 2L)).toSet ++
+        (3L until 10L).map(i => (i, "delete", 3L)).toSet
+      assert(rows === expected,
+        "DV commits must reconstruct their deletes from old/new vector diffs")
     }
   }
 

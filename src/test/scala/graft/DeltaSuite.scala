@@ -449,7 +449,7 @@ class DeltaCheckpointSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
-  test("CDF: cdc actions preferred, insert fallback, delete-without-cdc raises") {
+  test("CDF: cdc preferred, insert fallback, remove-only reconstructs deletes") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
       writeLog(t, 0, ci(0), meta(), add("a.parquet"))
@@ -462,7 +462,19 @@ class DeltaCheckpointSuite extends SparkSpec with DeltaFixtures {
       // v0: add fallback (insert); v1: cdc file preferred over add+remove
       assert(names(b) === Seq("a.parquet", "cdc-1.parquet"))
       c.commitBatch(b, Map.empty)
+      // a remove-ONLY commit is reconstructible per the delta protocol's
+      // CDF section: the removed file's surviving rows ARE the deletes
       writeLog(t, 2, ci(20), remove("b.parquet"))
+      val b2 = c.planBatch(t, opts).get
+      assert(names(b2) === Seq("b.parquet"))
+      val kinds = graft.util.Jsons.elems(b2.offset.get("cdf_entries"))
+        .map(_.get("kind").asText()).toSeq
+      assert(kinds === Seq("dv_delete_full"),
+        "a plain remove must plan as a whole-file delete reconstruction")
+      c.commitBatch(b2, Map.empty)
+      // a REWRITE-style update (plain add + remove, no DVs, no cdc) still
+      // refuses: rewritten files would double-emit carried rows as churn
+      writeLog(t, 3, ci(30), add("e.parquet"), remove("a.parquet"))
       val e = intercept[ChangeDataFeedError](c.planBatch(t, opts))
       assert(e.getMessage.contains("no cdc files"))
     }
