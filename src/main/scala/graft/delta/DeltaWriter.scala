@@ -213,11 +213,20 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val numTasks = math.max(1, math.min((candidates.size + 63) / 64,
       spark.sparkContext.defaultParallelism))
     val serConf = new graft.util.SerializableConf(conf)
-    val results: Seq[DvWriteResult] = marked.groupBy(RowMetaFile)
+    val folded = marked.groupBy(RowMetaFile)
       .agg(dvAgg(col(RowMetaIndex)).as("dv"), count(lit(1)).as("n"))
       .select(col(RowMetaFile).as("path"), col("dv"), col("n"))
       .as(Encoders.product[DvFileFold])
-      .repartition(numTasks)
+    // single-writer commits (≤64 touched files, the common case) MERGE the
+    // aggregation's output into one task with coalesce — no second
+    // exchange; any file-to-task assignment is correct since each row is
+    // one file's complete folded bitmap. Wide deletes repartition for a
+    // deterministic fan-out (AQE may have coalesced the agg output below
+    // the wanted task count, and coalesce can only shrink).
+    val routed =
+      if (numTasks == 1) folded.coalesce(1)
+      else folded.repartition(numTasks)
+    val results: Seq[DvWriteResult] = routed
       .mapPartitions(folds => DeletionVector.writeDvPartition(
         tablePath, serConf.value, oldDvs, phys)(folds))(
         Encoders.product[DvWriteResult])
