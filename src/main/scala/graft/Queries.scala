@@ -921,6 +921,33 @@ object Queries {
              |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- benchmark decontamination (EXACT, oracle-checked) --------------
+    // docs 0,20,40,... stand in for an eval set; a training doc sharing
+    // >= 32 distinct 12-grams with any of them is contamination (32 picks
+    // out genuine text overlap on this template-heavy corpus — lower
+    // cutoffs match template noise). The benchmark gram index broadcasts;
+    // the corpus never shuffles.
+    "d_contamination" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.ngramContamination(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          n = 12, minShared = 32).orderBy("corpus_id", "bench_id")
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, UNNEST(LIST_DISTINCT(
+             |    CASE WHEN LENGTH(text) < 12 THEN [text]
+             |         ELSE [text[i:i+11] FOR i IN RANGE(1, LENGTH(text) - 10)]
+             |    END)) AS g
+             |  FROM documents)
+             |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+             |  COUNT(*) AS shared_grams
+             |FROM grams c JOIN grams b ON c.g = b.g
+             |WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 32
+             |ORDER BY corpus_id, bench_id""".stripMargin)),
+
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------
     "d_winnow_pairs" -> QueryDef(

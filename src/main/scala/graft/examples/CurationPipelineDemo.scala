@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
 /** Training-data curation pipeline: the LLM-operator family composed
   * end-to-end the way a 100 TB pretraining-data job would run it —
   * quality/language gating, exact dedup, transitive MinHash near-dup
-  * dedup, exact ngram-Jaccard near-dup audit, embedding-space near-dup
-  * removal, token accounting, and a Delta sink whose stats make the
-  * curated table skippable. Every stage is one of the library operators
-  * under its documented scale shape (banded LSH, bounded buckets,
-  * broadcast query sides — no all-pairs, no driver data paths).
+  * dedup, exact ngram-Jaccard near-dup audit, benchmark decontamination,
+  * embedding-space near-dup removal, token accounting, and a Delta sink
+  * whose stats make the curated table skippable. Every stage is one of
+  * the library operators under its documented scale shape (banded LSH,
+  * bounded buckets, broadcast query/benchmark sides — no all-pairs, no
+  * driver data paths).
   *
   * Run: sbt "runMain graft.examples.CurationPipelineDemo /tmp/graft-curate"
   */
@@ -54,14 +55,26 @@ object CurationPipelineDemo {
     val residual = n(Dedup.charNgramJaccardExactPairs(
       nearDeduped, "doc_id", "text", n = 12, threshold = 0.8))
 
+    // 4b. benchmark decontamination: drop training docs sharing heavy
+    //     n-gram overlap with the (stand-in) eval split — the benchmark
+    //     gram index broadcasts, the corpus never shuffles
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val contaminated = Dedup.ngramContamination(
+      nearDeduped.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+      evalSet, "doc_id", "text", n = 12, minShared = 32)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    val clean = nearDeduped.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val afterDecontam = n(clean)
+
     // 5. embedding-space near-dups among survivors: SRP-bucketed cosine,
     //    drop the larger id of each pair
     val survivors = emb.join(
-      nearDeduped.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      clean.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val embPairs = Dedup.embeddingCosinePairsLsh(
       survivors, "vec_id", "embedding", threshold = 0.995, planes = 8)
     val embLosers = embPairs.select(col("id_b").as("doc_id")).distinct()
-    val curated = nearDeduped.join(embLosers, Seq("doc_id"), "left_anti")
+    val curated = clean.join(embLosers, Seq("doc_id"), "left_anti")
     val afterEmb = n(curated)
 
     // 6. token accounting over the curated corpus (codegen, no shuffle)
@@ -82,12 +95,14 @@ object CurationPipelineDemo {
     println(f"exact dedup:         $afterExact%6d (-${afterGate - afterExact})")
     println(f"minhash near-dedup:  $afterNear%6d (-${afterExact - afterNear})")
     println(f"residual 0.8-pairs:  $residual%6d (audit)")
-    println(f"embedding near-dup:  $afterEmb%6d (-${afterNear - afterEmb})")
+    println(f"decontamination:     $afterDecontam%6d (-${afterNear - afterDecontam})")
+    println(f"embedding near-dup:  $afterEmb%6d (-${afterDecontam - afterEmb})")
     println(f"curated tokens:      ${tokens.getLong(0)}%6d (${tokens.getDouble(1)}%.1f/doc)")
     println(f"delta read-back:     $readBack%6d rows; " +
       s"partitions=${writer.partitionColumnsOf(out).mkString(",")}")
-    val ok = readBack == afterEmb && afterEmb <= afterNear &&
-      afterNear <= afterExact && afterExact <= afterGate && afterGate <= total
+    val ok = readBack == afterEmb && afterEmb <= afterDecontam &&
+      afterDecontam <= afterNear && afterNear <= afterExact &&
+      afterExact <= afterGate && afterGate <= total
     println(s"funnel check: ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

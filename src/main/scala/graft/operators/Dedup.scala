@@ -450,6 +450,33 @@ object Dedup {
       sigFn = Some(graft.functions.FusedMinHashFunctions.minhashCharNgrams(_, n, k)),
       maxBucket = maxBucket)
 
+  /** Benchmark DECONTAMINATION: corpus documents sharing at least
+    * `minShared` distinct character n-grams with any document of a
+    * benchmark/eval set — the standard pretraining-data hygiene pass that
+    * drops training documents contaminated with test data. Exact (no
+    * banding): every (corpus doc, benchmark doc, shared-gram count)
+    * with count ≥ `minShared` is returned.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval sets are
+    * thousands of docs against a 100 TB corpus), so its distinct gram
+    * index is broadcast — the corpus streams through a broadcast join and
+    * NEVER shuffles; only (corpus_id, bench_id) pair counts aggregate.
+    * Gram comparison is on the strings (not hashes), so an ANSI oracle
+    * can mirror the result exactly. */
+  def ngramContamination(corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 12, minShared: Int = 2): DataFrame = {
+    import graft.functions.CharNgramFunctions.charNgramsDistinct
+    def grams(df: DataFrame, id: String, text: String, idAs: String) =
+      df.select(col(id).as(idAs),
+        explode(charNgramsDistinct(col(text), n)).as("g"))
+    grams(corpus, corpusId, corpusText, "corpus_id")
+      .join(broadcast(grams(bench, benchId, benchText, "bench_id")), Seq("g"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** EXACT character-n-gram Jaccard pairs — the oracle-checkable
     * complement to the LSH variant above, via the AllPairs/PPJoin prefix
     * filter (Bayardo et al., WWW'07): J(A,B) ≥ t implies |A∩B| ≥

@@ -297,6 +297,26 @@ class DedupSuite extends SparkSpec {
     assert(capped.subsetOf(ex))
   }
 
+  test("ngram contamination finds planted benchmark overlap, corpus side never shuffles") {
+    val benchText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val bench = Seq((100L, benchText)).toDF("id", "t")
+    val corpus = Seq(
+      (1L, "completely unrelated text about cooking pasta with fresh tomatoes basil"),
+      (2L, s"prefix then $benchText and a suffix"), // contains the benchmark verbatim
+      (3L, benchText.replace("fox", "cat"))          // near-copy, still heavy overlap
+    ).toDF("id", "t")
+    val hits = Dedup.ngramContamination(corpus, "id", "t", bench, "id", "t",
+      n = 12, minShared = 8).orderBy("corpus_id").collect()
+    assert(hits.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(hits.forall(_.getLong(1) === 100L))
+    assert(hits.forall(_.getLong(2) >= 8L))
+    // scale shape: the benchmark gram index broadcasts
+    val plan = Dedup.ngramContamination(corpus, "id", "t", bench, "id", "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark side must broadcast:\n${plan.take(1200)}")
+  }
+
   test("connected components: star graphs, multi-round chains, multiple components") {
     // every graph resolves through BOTH paths — driver union-find (the
     // small-graph short-circuit) and the distributed star contraction
