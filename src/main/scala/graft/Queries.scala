@@ -921,6 +921,23 @@ object Queries {
              |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- Gopher-style repetition metrics (oracle-checked) ---------------
+    "d_repetition" -> QueryDef(
+      (s, d) => graft.operators.TextQuality.repetitionMetrics(
+        t(s, d, "documents"), "doc_id", "text").orderBy("id"),
+      Some("""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+             |bg AS (SELECT doc_id, UNNEST(CASE WHEN LEN(ws) < 2 THEN [ARRAY_TO_STRING(ws, ' ')]
+             |  ELSE [ws[i] || ' ' || ws[i+1] FOR i IN RANGE(1, LEN(ws))] END) AS g FROM w),
+             |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1,2),
+             |btop AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE)/SUM(c), 4) AS top_bigram_frac FROM bc GROUP BY 1),
+             |tg AS (SELECT doc_id, UNNEST(CASE WHEN LEN(ws) < 3 THEN [ARRAY_TO_STRING(ws, ' ')]
+             |  ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN RANGE(1, LEN(ws)-1)] END) AS g FROM w),
+             |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1,2),
+             |tdup AS (SELECT doc_id, ROUND(1.0 - CAST(COUNT(*) AS DOUBLE)/SUM(c), 4) AS dup_trigram_frac FROM tc GROUP BY 1)
+             |SELECT btop.doc_id AS id, top_bigram_frac, dup_trigram_frac
+             |FROM btop JOIN tdup ON btop.doc_id = tdup.doc_id
+             |ORDER BY id""".stripMargin)),
+
     // ----- benchmark decontamination (EXACT, oracle-checked) --------------
     // docs 0,20,40,... stand in for an eval set; a training doc sharing
     // >= 32 distinct 12-grams with any of them is contamination (32 picks

@@ -297,6 +297,20 @@ class DedupSuite extends SparkSpec {
     assert(capped.subsetOf(ex))
   }
 
+  test("repetition metrics: degenerate doc scores high, varied doc low") {
+    import graft.operators.TextQuality
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),  // 5 bigrams, all identical
+      (2L, "one two three four five six"),    // all bigrams distinct
+      (3L, "ab")                              // < 2 words: whole-text shingle
+    ).toDF("doc_id", "text")
+    val m = TextQuality.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    assert((m(0).getDouble(1), m(0).getDouble(2)) === ((1.0, 0.75)))
+    assert((m(1).getDouble(1), m(1).getDouble(2)) === ((0.2, 0.0)))
+    assert((m(2).getDouble(1), m(2).getDouble(2)) === ((1.0, 0.0)))
+  }
+
   test("ngram contamination finds planted benchmark overlap, corpus side never shuffles") {
     val benchText = "the quick brown fox jumps over the lazy dog near the river bank today"
     val bench = Seq((100L, benchText)).toDF("id", "t")
