@@ -921,6 +921,18 @@ object Queries {
              |WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- token-window chunking for training (oracle-checked) ------------
+    "d_chunks" -> QueryDef(
+      (s, d) => graft.operators.TextQuality.chunkTokens(
+        t(s, d, "documents"), "doc_id", "text", window = 16, overlap = 4)
+        .orderBy("id", "chunk_idx"),
+      Some("""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+             |c AS (SELECT doc_id, UNNEST([{'idx': i, 'txt': ARRAY_TO_STRING(ws[(i*12+1):(i*12+16)], ' ')}
+             |       FOR i IN RANGE(0, GREATEST(1, CAST(CEIL((LEN(ws) - 4) / 12.0) AS BIGINT)))]) AS ch FROM w)
+             |SELECT doc_id AS id, ch.idx AS chunk_idx, ch.txt AS chunk_text,
+             |  LEN(STRING_SPLIT(ch.txt, ' ')) AS n_tokens
+             |FROM c ORDER BY id, chunk_idx""".stripMargin)),
+
     // ----- Gopher-style repetition metrics (oracle-checked) ---------------
     "d_repetition" -> QueryDef(
       (s, d) => graft.operators.TextQuality.repetitionMetrics(

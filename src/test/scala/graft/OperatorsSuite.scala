@@ -297,6 +297,26 @@ class DedupSuite extends SparkSpec {
     assert(capped.subsetOf(ex))
   }
 
+  test("token chunking: overlapping windows cover every token, short docs intact") {
+    import graft.operators.TextQuality
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y")                  // shorter than one window
+    ).toDF("doc_id", "text")
+    val chunks = TextQuality.chunkTokens(docs, "doc_id", "text",
+      window = 4, overlap = 1).orderBy("id", "chunk_idx").collect()
+    val doc1 = chunks.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    // stride 3: ceil((10-1)/3)=3 chunks starting at tokens 1,4,7
+    assert(doc1.toSeq === Seq(
+      (0L, "a b c d", 4L), (1L, "d e f g", 4L), (2L, "g h i j", 4L)))
+    val doc2 = chunks.filter(_.getLong(0) == 2L)
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(doc2.toSeq === Seq((0L, "x y", 2L)))
+    // every source token appears in some chunk
+    assert(doc1.flatMap(_._2.split(" ")).toSet === "abcdefghij".map(_.toString).toSet)
+  }
+
   test("repetition metrics: degenerate doc scores high, varied doc low") {
     import graft.operators.TextQuality
     val docs = Seq(
