@@ -462,15 +462,29 @@ object Dedup {
     * index is broadcast — the corpus streams through a broadcast join and
     * NEVER shuffles; only (corpus_id, bench_id) pair counts aggregate.
     * Gram comparison is on the strings (not hashes), so an ANSI oracle
-    * can mirror the result exactly. */
+    * can mirror the result exactly. The match volume is
+    * Σ_g corpusDf(g)·benchDf(g): natural-language n of 12+ keeps it near
+    * the true-contamination count (the GPT-3-style 13-gram
+    * decontamination argument), but template-heavy corpora can blow it up
+    * through corpus-wide grams — `maxDf > 0` drops grams present in more
+    * than `maxDf` CORPUS documents first (approximate: a pair whose every
+    * shared gram is that hot is missed; such overlap is template noise,
+    * not contamination). 0 (default) = exact. */
   def ngramContamination(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchId: String, benchText: String,
-      n: Int = 12, minShared: Int = 2): DataFrame = {
+      n: Int = 12, minShared: Int = 2, maxDf: Int = 0): DataFrame = {
     import graft.functions.CharNgramFunctions.charNgramsDistinct
     def grams(df: DataFrame, id: String, text: String, idAs: String) =
       df.select(col(id).as(idAs),
         explode(charNgramsDistinct(col(text), n)).as("g"))
-    grams(corpus, corpusId, corpusText, "corpus_id")
+    val corpusGrams = grams(corpus, corpusId, corpusText, "corpus_id")
+    val kept =
+      if (maxDf <= 0) corpusGrams
+      else corpusGrams.join(
+        corpusGrams.groupBy("g").agg(count(lit(1)).as("df0"))
+          .filter(col("df0") <= maxDf).select("g"),
+        Seq("g"))
+    kept
       .join(broadcast(grams(bench, benchId, benchText, "bench_id")), Seq("g"))
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("shared_grams"))
