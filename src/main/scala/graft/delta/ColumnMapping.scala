@@ -28,6 +28,19 @@ object ColumnMapping {
     if (f.metadata.contains(PhysicalNameKey))
       f.metadata.getString(PhysicalNameKey) else f.name
 
+  /** Any field whose TYPE contains a mapped nested field (the flat-only
+    * support line: both read and write refuse these). */
+  def hasNestedMapping(schema: StructType): Boolean =
+    schema.fields.exists(f => nestedMapped(f.dataType))
+
+  /** Rename `df` (aligned to the LOGICAL `schema`, same order) to the
+    * physical column names for a data-file write: delta-spark's
+    * columnMapping.mode=name write shape — the parquet files carry
+    * `col-<uuid>` names and only the metaData schema knows the logical
+    * ones. */
+  def toPhysical(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map(f => col(s"`${f.name}`").as(physName(f))): _*)
+
   private def nestedMapped(dt: DataType): Boolean = dt match {
     case st: StructType => st.fields.exists(f =>
       f.metadata.contains(PhysicalNameKey) || nestedMapped(f.dataType))

@@ -508,14 +508,34 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
     val existingSchema = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
-    // writing into a column-mapped table would store LOGICAL names in the
-    // data files — real delta readers resolve physical names and would see
-    // nulls; refuse rather than corrupt a foreign table
-    if (existingSchema.exists(ColumnMapping.isMapped))
-      throw new GraftError(
-        s"table $tablePath uses delta column mapping; this writer reads " +
-        "such tables but will not write them")
+    // column-mapped tables write under the support line the reader draws:
+    // FLAT unpartitioned schemas, no column additions (schema evolution
+    // on a mapped table must mint physical names + bump maxColumnId —
+    // refused loudly rather than guessed). Data files carry the PHYSICAL
+    // col-<uuid> names (delta-spark's mode=name write shape); the
+    // metaData schema keeps the logical names + mapping metadata.
+    // Task-computed stats key on physical names too, so our logical-name
+    // skipping simply finds no bounds and keeps the file — conservative,
+    // never wrong.
+    val mappedSchema = existingSchema.filter(ColumnMapping.isMapped)
+    mappedSchema.foreach { es =>
+      if (ColumnMapping.hasNestedMapping(es))
+        throw new GraftError(
+          s"table $tablePath maps nested columns; writes support flat " +
+          "mapped schemas only")
+      if (existingParts.nonEmpty || partitionBy.nonEmpty)
+        throw new GraftError(
+          s"table $tablePath is column-mapped and partitioned (partition " +
+          "dirs use physical names); this writer refuses the combination")
+      val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))
+      if (newCols.nonEmpty)
+        throw new GraftError(
+          s"cannot add columns ${newCols.map(_.name).mkString(",")} to " +
+          s"column-mapped table $tablePath (needs physical-name minting); " +
+          "write the existing columns only")
+    }
     val outSchema = existingSchema match {
+      case Some(es) if mappedSchema.isDefined => es // overwrite keeps mapping
       case Some(es) if mode == DeltaWriteMode.Append =>
         val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))
         if (newCols.nonEmpty && !mergeSchema)
@@ -532,10 +552,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     }
+    val toWrite = mappedSchema
+      .map(es => ColumnMapping.toPhysical(aligned, es)).getOrElse(aligned)
 
     val parts =
-      if (effectiveParts.isEmpty) writeParts(aligned, root, fs, prefix = "part")
-      else writePartitionedParts(aligned, root, effectiveParts)
+      if (effectiveParts.isEmpty) writeParts(toWrite, root, fs, prefix = "part")
+      else writePartitionedParts(toWrite, root, effectiveParts)
     val cdcParts = cdfChanges.map { ch =>
       val cdcDir = new Path(root, "_change_data")
       fs.mkdirs(cdcDir)

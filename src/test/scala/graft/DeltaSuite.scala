@@ -699,10 +699,32 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       val sdf = src.readBatch(spark, b)
       assert(sdf.columns.toSeq === Seq("id", "s"), s"streamed: ${sdf.columns.toSeq}")
       assert(sdf.count() === 2)
-      // writes into a mapped table are refused (logical names in data
-      // files would corrupt it for physical-name readers)
-      intercept[GraftError](w.write(Seq((3L, "c")).toDF("id", "s"), t,
-        DeltaWriteMode.Append))
+      // APPENDS write under the PHYSICAL names (delta-spark mode=name
+      // shape) and read back logically
+      w.write(Seq((3L, "c")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      val newFile = w.activeAdds(t).map(_.path).filterNot(_ == "data.parquet").head
+      val rawCols = spark.read.parquet(s"$t/$newFile").columns.toSeq
+      assert(rawCols === Seq("col-111-aaa", "col-222-bbb"),
+        s"data files must carry physical names, got $rawCols")
+      // CDC merge into the mapped table (Auto falls back to the rewrite
+      // path; the merge reads logically and writes physically)
+      val changes = Seq((2L, Some("B"), "update_postimage", 1L))
+        .toDF("id", "s", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      DeltaCdc.applyCdcDelta(spark, changes, t, Seq("id"))
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // overwrite keeps the mapped schema; adding a column refuses loudly
+      w.write(Seq((9L, "z")).toDF("id", "s"), t, DeltaWriteMode.Overwrite)
+      assert(w.tableSchema(t).exists(graft.delta.ColumnMapping.isMapped),
+        "overwrite must preserve the mapping metadata")
+      assert(w.read(t).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((9L, "z")))
+      intercept[GraftError](w.write(
+        Seq((4L, "d", 1.0)).toDF("id", "s", "extra"), t, DeltaWriteMode.Append))
       // nested mapped schema -> loud refusal, not wrong columns
       val t2 = s"$tmp/t2"
       val nested = StructType(Seq(
