@@ -33,6 +33,12 @@ object ColumnMapping {
   def hasNestedMapping(schema: StructType): Boolean =
     schema.fields.exists(f => nestedMapped(f.dataType))
 
+  /** logical name -> physical name for every top-level field (identity
+    * for unmapped fields) — the translation stats skipping needs, since
+    * file stats key on the PHYSICAL names. */
+  def physicalNames(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> physName(f)).toMap
+
   /** Rename `df` (aligned to the LOGICAL `schema`, same order) to the
     * physical column names for a data-file write: delta-spark's
     * columnMapping.mode=name write shape — the parquet files carry

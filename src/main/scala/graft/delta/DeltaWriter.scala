@@ -290,6 +290,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       schemaOverride = if (newCols.isEmpty) None else Some(outSchema))._2
   }
 
+  /** Translate skipping-range keys to the PHYSICAL column names for
+    * column-mapped tables — file stats key on physical names, so a
+    * logical-name lookup would find no bounds and skip nothing. */
+  private def toPhysicalKeys[T](tablePath: String,
+      ranges: Map[String, T]): Map[String, T] =
+    tableSchema(tablePath).filter(ColumnMapping.isMapped).map { s =>
+      val m = ColumnMapping.physicalNames(s)
+      ranges.map { case (k, v) => m.getOrElse(k, k) -> v }
+    }.getOrElse(ranges)
+
   /** Data-skipping read: files whose delta stats can't intersect every
     * given inclusive numeric interval are not even scheduled
     * ([[DeltaStats.prune]]); the caller's own filter still applies on the
@@ -302,7 +312,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
     val version = versionAsOf.getOrElse(latest)
     val adds = DeltaStats.activeAdds(log, tablePath, version)
-    val (kept, _) = DeltaStats.prune(adds, ranges)
+    val (kept, _) = DeltaStats.prune(adds, toPhysicalKeys(tablePath, ranges))
     scanAdds(tablePath, kept)
   }
 
@@ -317,7 +327,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
     val version = versionAsOf.getOrElse(latest)
     val adds = DeltaStats.activeAdds(log, tablePath, version)
-    val (kept, _) = DeltaStats.pruneStrings(adds, ranges)
+    val (kept, _) = DeltaStats.pruneStrings(adds, toPhysicalKeys(tablePath, ranges))
     scanAdds(tablePath, kept)
   }
 

@@ -717,6 +717,12 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(w.read(t).orderBy("id").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq ===
         Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // stats skipping translates logical keys to physical stat keys:
+      // our appended file carries task stats under col-111-aaa, and a
+      // logical `id` range that misses it schedules NOTHING
+      assert(w.readSkipping(t, Map("id" -> (Some(100d), Some(200d))))
+        .inputFiles.isEmpty, "mapped stats skipping must prune by file")
+      assert(w.readSkipping(t, Map("id" -> (Some(0d), Some(9d)))).count() === 3)
       // overwrite keeps the mapped schema; adding a column refuses loudly
       w.write(Seq((9L, "z")).toDF("id", "s"), t, DeltaWriteMode.Overwrite)
       assert(w.tableSchema(t).exists(graft.delta.ColumnMapping.isMapped),
