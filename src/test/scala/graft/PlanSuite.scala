@@ -78,6 +78,16 @@ class PlanSuite extends SparkSpec {
     assert(hasCodegen(plan), "signature computation must stay inside codegen")
   }
 
+  test("token chunking is map-only: zero exchanges, stays in codegen") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.operators.TextQuality.chunkTokens(
+      docs, "doc_id", "text", window = 16, overlap = 4))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n${plan.take(1200)}")
+    assert(hasCodegen(plan), "chunking must stay inside codegen")
+  }
+
   test("exact ngram-Jaccard plans equi-joins only, never a cartesian") {
     assume(available)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -243,6 +243,28 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("token chunking reconstructs the document for random window/overlap") {
+    val caseGen = Gen.zip(Gen.choose(1, 40), Gen.choose(2, 8), Gen.choose(0, 3))
+    forAllSampled(caseGen, 10) { case (nTokens, window, overlap0) =>
+      val overlap = math.min(overlap0, window - 1)
+      val text = (1 to nTokens).map(i => s"t$i").mkString(" ")
+      val chunks = graft.operators.TextQuality.chunkTokens(
+        Seq((1L, text)).toDF("id", "text"), "id", "text", window, overlap)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getString(2), r.getLong(3)))
+      // stripping each chunk's leading overlap (except the first) and
+      // concatenating reconstructs the document exactly
+      val rebuilt = chunks.zipWithIndex.map { case ((txt, _), i) =>
+        val toks = txt.split(" ")
+        if (i == 0) toks else toks.drop(overlap)
+      }.flatten.mkString(" ")
+      assert(rebuilt === text, s"n=$nTokens w=$window o=$overlap")
+      // every full-size chunk reports window tokens; only the last may be short
+      chunks.dropRight(1).foreach { case (_, n) =>
+        assert(n === window, s"n=$nTokens w=$window o=$overlap") }
+    }
+  }
+
   test("asof join equals the per-row reference on random series") {
     val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L))
     forAllSampled(Gen.zip(Gen.listOfN(15, rowGen), Gen.listOfN(15, rowGen)), 6) {
