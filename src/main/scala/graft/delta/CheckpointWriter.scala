@@ -39,6 +39,7 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |  optional group metaData {
       |    required binary id (STRING);
       |    optional binary schemaString (STRING);
+      |    optional binary configurationJson (STRING);
       |  }
       |  optional group txn {
       |    required binary appId (STRING);
@@ -100,6 +101,7 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         val md = g.addGroup("metaData")
         md.append("id", m.id)
         m.schemaString.foreach(s => md.append("schemaString", s))
+        m.configurationJson.foreach(c => md.append("configurationJson", c))
         writer.write(g)
       }
       txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>

@@ -20,7 +20,8 @@ import scala.collection.concurrent.TrieMap
 sealed trait DeltaAction
 object DeltaAction {
   case class CommitInfo(timestampMs: Option[Long]) extends DeltaAction
-  case class MetaData(id: String, schemaString: Option[String]) extends DeltaAction
+  case class MetaData(id: String, schemaString: Option[String],
+      configurationJson: Option[String] = None) extends DeltaAction
   /** `stats` is the delta-protocol per-file statistics JSON string
     * (`{"numRecords":N,"minValues":{..},"maxValues":{..}}`) — present when
     * the writer collected parquet footer stats; readers use it for file
@@ -69,7 +70,8 @@ case class CheckpointInstance(version: Long, parts: Option[Int])
 
 /** Latest-known table metadata; `atVersion` is the newest log version the
   * resolution scan covered (the meta is current as of it). */
-case class TableMeta(id: String, schemaString: Option[String], atVersion: Long)
+case class TableMeta(id: String, schemaString: Option[String], atVersion: Long,
+    configurationJson: Option[String] = None)
 
 /** Reader for a Delta table's `_delta_log`: version listing, JSON-lines
   * action parsing, parquet-checkpoint interop, and snapshot-state
@@ -177,7 +179,11 @@ class DeltaLogReader(conf: Configuration) {
     Jsons.optField(n, "commitInfo").map(ci =>
       CommitInfo(Jsons.optLong(ci, "timestamp"))
     ).orElse(Jsons.optField(n, "metaData").map(md =>
-      MetaData(Jsons.optStr(md, "id").getOrElse(""), Jsons.optStr(md, "schemaString"))
+      MetaData(Jsons.optStr(md, "id").getOrElse(""), Jsons.optStr(md, "schemaString"),
+        // table properties (CDF, appendOnly, columnMapping.mode, ...) must
+        // survive OUR commits' metaData re-emission — carry the raw node
+        Jsons.optField(md, "configuration").filter(_.size() > 0)
+          .map(Jsons.render))
     )).orElse(Jsons.optField(n, "add").map { a =>
       AddFile(a.get("path").asText(), Jsons.optLong(a, "size").getOrElse(0L),
         Jsons.optBool(a, "dataChange").getOrElse(true), Jsons.optStr(a, "stats"),
@@ -328,7 +334,8 @@ class DeltaLogReader(conf: Configuration) {
           }
           grpField(rec, "metaData").foreach { md =>
             strField(md, "id").foreach(id =>
-              out += MetaData(id, strField(md, "schemaString")))
+              out += MetaData(id, strField(md, "schemaString"),
+                strField(md, "configurationJson")))
           }
           grpField(rec, "txn").foreach { t =>
             strField(t, "appId").foreach(app =>
@@ -366,13 +373,15 @@ class DeltaLogReader(conf: Configuration) {
         .flatMap(cs => cs.meta))
       .orElse(latest.flatMap(l => checkpointAtOrBelow(tablePath, l)).flatMap { cp =>
         readCheckpointActions(tablePath, cp)
-          .collectFirst { case m: MetaData => TableMeta(m.id, m.schemaString, cp.version) }
+          .collectFirst { case m: MetaData =>
+            TableMeta(m.id, m.schemaString, cp.version, m.configurationJson) }
       })
     val toScan = listVersions(tablePath).filter(v => floor.forall(_.atVersion < v))
     val fresh = toScan.reverseIterator
       .map(v => (v, readCommit(tablePath, v).actions.collectFirst { case m: MetaData => m }))
       .collectFirst { case (v, Some(m)) => TableMeta(m.id,
-        m.schemaString.orElse(floor.flatMap(_.schemaString)), v) }
+        m.schemaString.orElse(floor.flatMap(_.schemaString)), v,
+        m.configurationJson.orElse(floor.flatMap(_.configurationJson))) }
     // the scan covered every commit newer than the floor, so whatever we
     // resolved is current as of `latest` — memo that version so the next
     // call scans only commits newer still
@@ -389,6 +398,12 @@ class DeltaLogReader(conf: Configuration) {
   /** Latest schemaString (amortized via [[resolveMeta]]). */
   def tableSchemaString(tablePath: String, cacheDir: Option[Path] = None): Option[String] =
     resolveMeta(tablePath, cacheDir).flatMap(_.schemaString)
+
+  /** Latest metaData `configuration` as raw JSON (amortized via
+    * [[resolveMeta]]) — table properties a write must carry forward. */
+  def tableConfigurationJson(tablePath: String,
+      cacheDir: Option[Path] = None): Option[String] =
+    resolveMeta(tablePath, cacheDir).flatMap(_.configurationJson)
 
   /** First version whose commit timestamp is >= tsMs
     * (reference `delta.py:560-575`). Timestamps ride the same memo +
@@ -470,10 +485,12 @@ class DeltaLogReader(conf: Configuration) {
   def metaAt(tablePath: String, version: Long): Option[TableMeta] =
     listVersions(tablePath).filter(_ <= version).reverseIterator
       .map(v => (v, readCommit(tablePath, v).actions.collectFirst { case m: MetaData => m }))
-      .collectFirst { case (v, Some(m)) => TableMeta(m.id, m.schemaString, v) }
+      .collectFirst { case (v, Some(m)) =>
+        TableMeta(m.id, m.schemaString, v, m.configurationJson) }
       .orElse(checkpointAtOrBelow(tablePath, version).flatMap(cp =>
         readCheckpointActions(tablePath, cp)
-          .collectFirst { case m: MetaData => TableMeta(m.id, m.schemaString, cp.version) }))
+          .collectFirst { case m: MetaData =>
+            TableMeta(m.id, m.schemaString, cp.version, m.configurationJson) }))
 
   /** Active file set (path -> size) at `version`.
     *
@@ -495,7 +512,7 @@ class DeltaLogReader(conf: Configuration) {
         val actions = readCheckpointActions(tablePath, c)
         val st = actions.collect { case a: AddFile => a.path -> a.size }.toMap
         val m = actions.collectFirst { case md: MetaData =>
-          TableMeta(md.id, md.schemaString, c.version) }
+          TableMeta(md.id, md.schemaString, c.version, md.configurationJson) }
         (Some(c.version), st, m)
       case None => cached match {
         case Some(cs) => (Some(cs.version), cs.files, cs.meta)
@@ -527,7 +544,8 @@ class DeltaLogReader(conf: Configuration) {
       val commit = readCommit(tablePath, v)
       commit.actions.collectFirst { case m: MetaData => m }.foreach { md =>
         meta = Some(TableMeta(md.id,
-          md.schemaString.orElse(meta.flatMap(_.schemaString)), v))
+          md.schemaString.orElse(meta.flatMap(_.schemaString)), v,
+          md.configurationJson.orElse(meta.flatMap(_.configurationJson))))
       }
       val afterRemoves = commit.removes.foldLeft(acc)((m, r) => m - r.path)
       commit.adds.foldLeft(afterRemoves)((m, a) => m + (a.path -> a.size))
@@ -550,8 +568,10 @@ class DeltaLogReader(conf: Configuration) {
 
   private[delta] case class CachedSnapshot(version: Long, files: Map[String, Long],
       metaId: Option[String], schemaString: Option[String],
-      commitTs: Map[Long, Long] = Map.empty) {
-    def meta: Option[TableMeta] = metaId.map(id => TableMeta(id, schemaString, version))
+      commitTs: Map[Long, Long] = Map.empty,
+      configurationJson: Option[String] = None) {
+    def meta: Option[TableMeta] =
+      metaId.map(id => TableMeta(id, schemaString, version, configurationJson))
   }
 
   private def snapPath(dir: Path, version: Long) = new Path(dir, f"snapshot_$version%020d.json")
@@ -572,7 +592,8 @@ class DeltaLogReader(conf: Configuration) {
         Jsons.optStr(n, "meta_id"), Jsons.optStr(n, "schema_string"),
         Jsons.optField(n, "commit_ts").map(ct =>
           Jsons.fields(ct).map { case (v2, ts) => v2.toLong -> ts.asLong() }.toMap)
-          .getOrElse(Map.empty))
+          .getOrElse(Map.empty),
+        Jsons.optStr(n, "configuration_json"))
     }
 
   private def writeSnapshot(tablePath: String, dir: Path, version: Long,
@@ -583,6 +604,7 @@ class DeltaLogReader(conf: Configuration) {
     meta.foreach { m =>
       o.put("meta_id", m.id)
       m.schemaString.foreach(s => o.put("schema_string", s))
+      m.configurationJson.foreach(c => o.put("configuration_json", c))
     }
     val files = Jsons.obj()
     state.foreach { case (p, sz) => files.put(p, sz) }

@@ -703,7 +703,13 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       val pcols = Jsons.arr()
       partitionCols.foreach(pcols.add)
       md.set[JsonNode]("partitionColumns", pcols)
-      md.set[JsonNode]("configuration", Jsons.obj())
+      // carry the table's properties forward — emitting {} would CLOBBER a
+      // foreign table's configuration (delta.enableChangeDataFeed,
+      // delta.columnMapping.mode, delta.appendOnly, ...) and corrupt its
+      // semantics for real delta readers
+      md.set[JsonNode]("configuration",
+        log.tableConfigurationJson(tablePath).map(Jsons.parse)
+          .getOrElse(Jsons.obj()))
       md.put("createdTime", now)
       lines += s"""{"metaData": ${Jsons.render(md)}}"""
       txn.foreach { case (appId, v) =>

@@ -659,6 +659,39 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("writes carry a foreign table's configuration forward, incl. through checkpoints") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, "a")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      // a foreign writer sets table properties in a metaData action
+      val md = graft.util.Jsons.obj()
+      md.put("id", new DeltaLogReader(conf).tableId(t).get)
+      md.put("schemaString", w.tableSchema(t).get.json)
+      val cfg = graft.util.Jsons.obj()
+      cfg.put("delta.enableChangeDataFeed", "true")
+      cfg.put("delta.appendOnly", "false")
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", cfg)
+      writeLog(t, 1, ci(10), s"""{"metaData": ${graft.util.Jsons.render(md)}}""")
+      // OUR append must re-emit that configuration, not clobber it with {}
+      w.write(Seq((2L, "b")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      val raw = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${2L}%020d.json")))
+      assert(raw.contains(""""delta.enableChangeDataFeed":"true""""),
+        s"configuration clobbered:\n$raw")
+      // ... and survives a parquet-checkpoint replay base + pruned log
+      val cw = new graft.delta.CheckpointWriter(conf)
+      cw.checkpoint(t, Some(2L))
+      cw.expireLogs(t)
+      w.write(Seq((3L, "c")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      val raw2 = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${3L}%020d.json")))
+      assert(raw2.contains(""""delta.enableChangeDataFeed":"true""""),
+        s"configuration lost through the checkpoint:\n$raw2")
+      assert(w.read(t).count() === 3L)
+    }
+  }
+
   test("column-mapped tables read with logical names; nested mapping refused") {
     import org.apache.spark.sql.types._
     withTmpDir { tmp =>
