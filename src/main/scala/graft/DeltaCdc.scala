@@ -115,7 +115,15 @@ object DeltaCdc {
           val readVersion = writer.latestVersion(tablePath)
           val adds = readVersion.map(writer.activeAddsAt(tablePath, _))
             .getOrElse(Seq.empty)
-          val (touched, untouched) = partitionByKeyBounds(normalized, keys, adds)
+          // stats key on PHYSICAL names for column-mapped tables — prune
+          // with translated key names or the bounds match nothing and the
+          // merge degrades to a full rewrite
+          val statKeys = writer.tableSchema(tablePath)
+            .filter(graft.delta.ColumnMapping.isMapped)
+            .map(graft.delta.ColumnMapping.physicalNames)
+            .getOrElse(Map.empty[String, String])
+          val (touched, untouched) =
+            partitionByKeyBounds(normalized, keys, adds, statKeys)
           val carried = untouched.map(numRecordsOf(_).getOrElse(0L)).sum
 
           // DV eligibility: every candidate file's logical row count is
@@ -191,7 +199,8 @@ object DeltaCdc {
     * and no-numeric-keys-at-all degrades to touching everything (the
     * reference's full rewrite). */
   private def partitionByKeyBounds(changes: DataFrame, keys: Seq[String],
-      adds: Seq[DeltaAction.AddFile])
+      adds: Seq[DeltaAction.AddFile],
+      statKeys: Map[String, String] = Map.empty)
       : (Seq[DeltaAction.AddFile], Seq[DeltaAction.AddFile]) = {
     val numericKeys = keys.filter(k =>
       changes.schema.fields.exists(f =>
@@ -202,8 +211,9 @@ object DeltaCdc {
       Seq(min(col(k)).cast("double"), max(col(k)).cast("double")))
     val row = changes.agg(aggs.head, aggs.tail: _*).head()
     val ranges = numericKeys.zipWithIndex.map { case (k, i) =>
-      k -> (Option(row.get(2 * i)).map(_.asInstanceOf[Double]),
-            Option(row.get(2 * i + 1)).map(_.asInstanceOf[Double]))
+      statKeys.getOrElse(k, k) ->
+        (Option(row.get(2 * i)).map(_.asInstanceOf[Double]),
+         Option(row.get(2 * i + 1)).map(_.asInstanceOf[Double]))
     }.toMap
     val (kept, _) = DeltaStats.prune(adds, ranges)
     val keptPaths = kept.map(_.path).toSet

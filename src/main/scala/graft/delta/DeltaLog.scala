@@ -306,6 +306,21 @@ class DeltaLogReader(conf: Configuration) {
       scala.util.Try(g.getInteger(f, 0)).toOption
         .orElse(scala.util.Try(g.getLong(f, 0).toInt).toOption)
     else None
+  /** A parquet MAP<string,string> column (repeated `key_value` groups —
+    * how delta-spark checkpoints store metaData `configuration`). */
+  private def mapField(g: Group, f: String): Option[Map[String, String]] =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      scala.util.Try {
+        val m = g.getGroup(f, 0)
+        val kv = if (m.getType.containsField("key_value")) "key_value" else "map"
+        (0 until m.getFieldRepetitionCount(kv)).map { i =>
+          val e = m.getGroup(kv, i)
+          e.getString("key", 0) ->
+            (if (e.getFieldRepetitionCount("value") > 0) e.getString("value", 0)
+             else "")
+        }.toMap
+      }.toOption.filter(_.nonEmpty)
+    else None
 
   /** Read the add/remove/metaData actions out of a checkpoint's parquet
     * part files (one row per action, each action kind a nullable struct
@@ -333,9 +348,17 @@ class DeltaLogReader(conf: Configuration) {
               boolField(r, "dataChange").getOrElse(true)))
           }
           grpField(rec, "metaData").foreach { md =>
-            strField(md, "id").foreach(id =>
-              out += MetaData(id, strField(md, "schemaString"),
-                strField(md, "configurationJson")))
+            strField(md, "id").foreach { id =>
+              // our checkpoints store the raw JSON; foreign (delta-spark)
+              // checkpoints store a parquet MAP — read either
+              val config = strField(md, "configurationJson")
+                .orElse(mapField(md, "configuration").map { m =>
+                  val o = Jsons.obj()
+                  m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+                  Jsons.render(o)
+                })
+              out += MetaData(id, strField(md, "schemaString"), config)
+            }
           }
           grpField(rec, "txn").foreach { t =>
             strField(t, "appId").foreach(app =>

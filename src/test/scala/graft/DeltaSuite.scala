@@ -84,14 +84,16 @@ trait DeltaFixtures { self: SparkSpec =>
     CkRow(Some(CkAdd(path, size, dataChange = true)), None, None)
   def ckRemove(path: String): CkRow =
     CkRow(None, Some(CkRemove(path, dataChange = true)), None)
-  def ckMeta(id: String = "table-1", schema: Option[String] = None): CkRow =
-    CkRow(None, None, Some(CkMeta(id, schema)))
+  def ckMeta(id: String = "table-1", schema: Option[String] = None,
+      configuration: Option[Map[String, String]] = None): CkRow =
+    CkRow(None, None, Some(CkMeta(id, schema, configuration)))
 }
 
 // Top-level so Spark's product encoder needs no outer instance.
 case class CkAdd(path: String, size: Long, dataChange: Boolean)
 case class CkRemove(path: String, dataChange: Boolean)
-case class CkMeta(id: String, schemaString: Option[String])
+case class CkMeta(id: String, schemaString: Option[String],
+    configuration: Option[Map[String, String]] = None)
 case class CkRow(add: Option[CkAdd], remove: Option[CkRemove], metaData: Option[CkMeta])
 
 class DeltaLogReaderSuite extends SparkSpec with DeltaFixtures {
@@ -217,6 +219,23 @@ class DeltaLogReaderSuite extends SparkSpec with DeltaFixtures {
         Seq("f1.parquet", "f2.parquet", "f3.parquet"))
       // metaData comes from the checkpoint when no surviving JSON has one
       assert(log.tableId(t) === Some("ck-table"))
+    }
+  }
+
+  test("foreign checkpoint configuration MAP resolves and survives our appends") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // delta-spark-style checkpoint: configuration is a parquet MAP
+      writeCheckpointParquet(t, 10, Seq(
+        ckMeta("ck-cfg", Some(
+          """{"type":"struct","fields":[{"name":"id","type":"long","nullable":true,"metadata":{}},{"name":"s","type":"string","nullable":true,"metadata":{}}]}"""),
+          Some(Map("delta.enableChangeDataFeed" -> "true"))),
+        ckAdd("f1.parquet", 11)))
+      writeLastCheckpoint(t, 10)
+      writeLog(t, 11, ci(1100), add("f2.parquet"))
+      val log = new DeltaLogReader(hconf)
+      assert(log.tableConfigurationJson(t)
+        === Some("""{"delta.enableChangeDataFeed":"true"}"""))
     }
   }
 
@@ -750,6 +769,11 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(w.read(t).orderBy("id").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq ===
         Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // touched-file pruning worked through the mapping: the appended
+      // file's stats (physical keys, id=3) exclude change key 2, so the
+      // merge carried it forward unrewritten
+      assert(w.activeAdds(t).map(_.path).contains(newFile),
+        "stats-pruning must keep the disjoint mapped file untouched")
       // stats skipping translates logical keys to physical stat keys:
       // our appended file carries task stats under col-111-aaa, and a
       // logical `id` range that misses it schedules NOTHING
