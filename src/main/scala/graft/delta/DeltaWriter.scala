@@ -543,6 +543,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           s"cannot add columns ${newCols.map(_.name).mkString(",")} to " +
           s"column-mapped table $tablePath (needs physical-name minting); " +
           "write the existing columns only")
+      // cdc files would carry LOGICAL names that the mapped-aware CDF
+      // reader resolves as physical — refuse loudly, never misread
+      if (cdfChanges.isDefined)
+        throw new GraftError(
+          s"CDF emission into column-mapped table $tablePath is not " +
+          "supported (change files would mix name domains)")
     }
     val outSchema = existingSchema match {
       case Some(es) if mappedSchema.isDefined => es // overwrite keeps mapping

@@ -788,6 +788,12 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
         === Seq((9L, "z")))
       intercept[GraftError](w.write(
         Seq((4L, "d", 1.0)).toDF("id", "s", "extra"), t, DeltaWriteMode.Append))
+      // CDF emission into a mapped table would mix name domains in the
+      // change files — refused loudly
+      intercept[GraftError](DeltaCdc.applyCdcDelta(spark,
+        Seq((9L, Some("y"), "update_postimage", 2L))
+          .toDF("id", "s", Cdc.ChangeTypeCol, Cdc.CommitVersionCol),
+        t, Seq("id"), emitCdf = true))
       // nested mapped schema -> loud refusal, not wrong columns
       val t2 = s"$tmp/t2"
       val nested = StructType(Seq(
