@@ -505,13 +505,16 @@ object Dedup {
     * Candidates are then verified with exact Jaccard over the FULL gram
     * sets, so emitted values are exact regardless of the filter.
     *
-    * Cost shape at 100 TB: ONE explode of the corpus's grams, projected
-    * immediately to 8-byte hashes; a document-frequency window over the
-    * hash; a per-document ranking window (documents are bounded-size);
-    * the bounded prefix join with AllPairs size + PPJoin positional
-    * filters; and a candidate-pair verify join against per-doc gram
-    * arrays — no all-pairs stage anywhere, and gram strings never
-    * shuffle.
+    * Cost shape at 100 TB: the corpus's grams explode projected
+    * immediately to 8-byte hashes; document frequency is a partial-agg
+    * `groupBy(gh).count` joined back on the hash (skew-immune: map-side
+    * combine collapses a hot gram before the shuffle, and AQE can
+    * skew-split the join-back — a window over `gh` would pin every
+    * occurrence of one hot gram to a single task); a per-document
+    * ranking window (documents are bounded-size); the bounded prefix
+    * join with AllPairs size + PPJoin positional filters; and a
+    * candidate-pair verify join against per-doc gram arrays — no
+    * all-pairs stage anywhere, and gram strings never shuffle.
     *
     * `maxDf > 0` additionally DROPS grams present in more than `maxDf`
     * documents before candidate generation (MOSS stop-gram escape hatch
@@ -547,13 +550,19 @@ object Dedup {
         // gram strings never enter a Generate, a sort, or a shuffle
         transform(col("gr"), g => xxhash64(g)).as("ghs"))
       .select(col("id"), col("n_grams"), explode(col("ghs")).as("gh"))
-    // document frequency via a count window over the hash: ONE
-    // materialization of the exploded grams feeds both df and ranking (an
-    // agg + join-back re-explodes the corpus and measured slower despite
-    // avoiding the gh sort)
-    val withDf = gramsH.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("gh")))
-    val capped = if (maxDf <= 0) withDf else withDf.filter(col("df") <= maxDf)
+    // document frequency via groupBy + join-back, NOT a count window over
+    // the hash: partial (map-side) aggregation makes the count itself
+    // skew-immune, and the join-back is a shuffle join AQE can skew-split
+    // — whereas a window partition cannot combine map-side or be split,
+    // so one corpus-wide gram (df 10⁸ on a template-heavy 100 TB corpus)
+    // would land in ONE multi-gigabyte straggler task. The second
+    // materialization of the exploded hashes this costs is map-only work
+    // that parallelizes; the straggler does not.
+    val dfAgg = gramsH.groupBy("gh").agg(count(lit(1)).as("df"))
+    // maxDf applies to the AGG side, so over-hot grams drop during the
+    // join (no match) instead of surviving it just to be filtered
+    val dfKept = if (maxDf <= 0) dfAgg else dfAgg.filter(col("df") <= maxDf)
+    val capped = gramsH.join(dfKept, Seq("gh"))
     // `rk` ranks the doc's grams in the global rarest-first PREORDER
     // (df, gh) — rank(), not row_number(), so collided grams tie instead
     // of tie-breaking inconsistently across docs; a preorder keeps both

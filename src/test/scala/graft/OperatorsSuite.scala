@@ -297,6 +297,36 @@ class DedupSuite extends SparkSpec {
     assert(capped.subsetOf(ex))
   }
 
+  test("exact ngram-Jaccard stays exact with a gram planted in every document") {
+    // every document shares one template prefix — its grams have df =
+    // #docs, the worst skew shape (with the old df window this pinned the
+    // whole corpus's exploded rows into ONE task; the groupBy+join path
+    // collapses the hot gram map-side). Values must still be exact, so
+    // compare against a brute-force Jaccard over Scala-computed gram sets.
+    val n = 4
+    val docs = (1 to 120).map { i =>
+      (i.toLong, f"SHARED-TEMPLATE-HEADER uniq$i%03d tail${i * 7919}%d")
+    }
+    def grams(s: String): Set[String] =
+      if (s.length < n) Set(s) else s.sliding(n).toSet
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ga = grams(ta); gb = grams(tb)
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (ia, ib, jr)).toSet
+    assert(expected.nonEmpty, "test shape must produce qualifying pairs")
+    val out = Dedup.charNgramJaccardExactPairs(
+      docs.toDF("id", "t"), "id", "t", n = n, threshold = 0.5)
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition(gh#"),
+      "hot-gram df must not route through a single-task window partition")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
   test("token chunking: overlapping windows cover every token, short docs intact") {
     import graft.operators.TextQuality
     val docs = Seq(

@@ -100,6 +100,23 @@ class PlanSuite extends SparkSpec {
       s"exact ngram-Jaccard must never plan an all-pairs join:\n${plan.take(1500)}")
   }
 
+  test("exact ngram-Jaccard document frequency is a partial agg, never a gram window") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = finalPlanOf(Dedup.charNgramJaccardExactPairs(
+      docs, "doc_id", "text", n = 12, threshold = 0.8))
+    // a count window partitioned on the gram hash pins every occurrence
+    // of one hot gram into a single task — no map-side combine, and AQE
+    // cannot split a window partition; df must come from groupBy(gh) +
+    // join-back so a template gram present in 10⁸ documents collapses
+    // map-side and the join-back stays skew-splittable
+    assert(!plan.contains("windowspecdefinition(gh#"),
+      s"document frequency must not be a window over the gram hash:\n${plan.take(1500)}")
+    assert("""HashAggregate\(keys=\[gh#\d+L?\], functions=\[partial_count""".r
+      .findFirstIn(plan).isDefined,
+      s"document frequency must partially aggregate on the gram hash:\n${plan.take(1500)}")
+  }
+
   test("asof join costs one hash exchange, not a range self-join") {
     assume(available)
     import org.apache.spark.sql.functions.col
