@@ -6,7 +6,7 @@ import graft.util.{Fs, Jsons}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
 
 import java.util.UUID
 
@@ -519,14 +519,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val existingSchema = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
     // column-mapped tables write under the support line the reader draws:
-    // FLAT unpartitioned schemas, no column additions (schema evolution
-    // on a mapped table must mint physical names + bump maxColumnId —
-    // refused loudly rather than guessed). Data files carry the PHYSICAL
+    // FLAT unpartitioned schemas. Data files carry the PHYSICAL
     // col-<uuid> names (delta-spark's mode=name write shape); the
     // metaData schema keeps the logical names + mapping metadata.
     // Task-computed stats key on physical names too, so our logical-name
     // skipping simply finds no bounds and keeps the file — conservative,
-    // never wrong.
+    // never wrong. A mergeSchema APPEND may add columns: each new logical
+    // column mints a fresh physical col-<uuid> name + the next field id,
+    // and the same commit's configuration bumps
+    // delta.columnMapping.maxColumnId (delta-spark's evolution shape);
+    // other modes with new columns refuse loudly rather than guess.
     val mappedSchema = existingSchema.filter(ColumnMapping.isMapped)
     mappedSchema.foreach { es =>
       if (ColumnMapping.hasNestedMapping(es))
@@ -538,11 +540,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           s"table $tablePath is column-mapped and partitioned (partition " +
           "dirs use physical names); this writer refuses the combination")
       val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))
-      if (newCols.nonEmpty)
+      if (newCols.nonEmpty &&
+          !(mode == DeltaWriteMode.Append && mergeSchema))
         throw new GraftError(
           s"cannot add columns ${newCols.map(_.name).mkString(",")} to " +
-          s"column-mapped table $tablePath (needs physical-name minting); " +
-          "write the existing columns only")
+          s"column-mapped table $tablePath in this mode; use a mergeSchema " +
+          "append (mints physical names)")
       // cdc files would carry LOGICAL names that the mapped-aware CDF
       // reader resolves as physical — refuse loudly, never misread
       if (cdfChanges.isDefined)
@@ -550,8 +553,40 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           s"CDF emission into column-mapped table $tablePath is not " +
           "supported (change files would mix name domains)")
     }
+    // physical-name minting for a mergeSchema append on a mapped table:
+    // ids continue from maxColumnId (falling back to the highest field id
+    // when a foreign table never recorded the property), and the commit
+    // carries the bumped value so a foreign writer's next mint can't
+    // collide
+    val minted: Option[(Array[StructField], Long)] = mappedSchema.flatMap { es =>
+      val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))
+      if (newCols.isEmpty || mode != DeltaWriteMode.Append || !mergeSchema) None
+      else {
+        val maxId = log.tableConfigurationJson(tablePath)
+          .map(Jsons.parse)
+          .flatMap(n => Jsons.optStr(n, "delta.columnMapping.maxColumnId"))
+          .map(_.toLong)
+          .orElse(es.fields.flatMap(f =>
+            if (f.metadata.contains("delta.columnMapping.id"))
+              Some(f.metadata.getLong("delta.columnMapping.id")) else None)
+            .maxOption)
+          .getOrElse(0L)
+        val fields = newCols.zipWithIndex.map { case (f, i) =>
+          f.copy(nullable = true, metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", maxId + i + 1)
+            .putString(ColumnMapping.PhysicalNameKey,
+              s"col-${UUID.randomUUID().toString}")
+            .build())
+        }
+        Some((fields, maxId + newCols.length))
+      }
+    }
     val outSchema = existingSchema match {
-      case Some(es) if mappedSchema.isDefined => es // overwrite keeps mapping
+      case Some(es) if mappedSchema.isDefined =>
+        // overwrite keeps the mapped schema; mergeSchema append extends
+        // it with the freshly-minted fields (old files null-fill at read)
+        StructType(es.fields ++ minted.map(_._1).getOrElse(Array.empty[StructField]))
       case Some(es) if mode == DeltaWriteMode.Append =>
         val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))
         if (newCols.nonEmpty && !mergeSchema)
@@ -568,8 +603,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     }
-    val toWrite = mappedSchema
-      .map(es => ColumnMapping.toPhysical(aligned, es)).getOrElse(aligned)
+    // physical rename uses OUT schema so minted columns write under their
+    // fresh col-<uuid> names
+    val toWrite =
+      if (mappedSchema.isDefined) ColumnMapping.toPhysical(aligned, outSchema)
+      else aligned
 
     val parts =
       if (effectiveParts.isEmpty) writeParts(toWrite, root, fs, prefix = "part")
@@ -589,7 +627,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       case _ => Seq.empty
     })
     commit(tablePath, operation, outSchema, removed, parts, cdcParts,
-      effectiveParts, txn, readVersion)
+      effectiveParts, txn, readVersion, mintedMaxColumnId = minted.map(_._2))
   }
 
   /** Write df's parquet parts RENAME-FREE into a fresh uniquely-named data
@@ -662,7 +700,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   private def commit(tablePath: String, operation: String, schema: StructType,
       removed: Seq[String], adds: Seq[WrittenPart], cdcs: Seq[(String, Long)],
       partitionCols: Seq[String], txn: Option[(String, Long)] = None,
-      readVersion: Option[Long] = None): Long = {
+      readVersion: Option[Long] = None,
+      mintedMaxColumnId: Option[Long] = None): Long = {
     val tid = log.tableId(tablePath).getOrElse(UUID.randomUUID().toString)
     val firstVersion = log.latestVersion(tablePath).map(_ + 1).getOrElse(0L)
 
@@ -713,9 +752,18 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       // foreign table's configuration (delta.enableChangeDataFeed,
       // delta.columnMapping.mode, delta.appendOnly, ...) and corrupt its
       // semantics for real delta readers
-      md.set[JsonNode]("configuration",
-        log.tableConfigurationJson(tablePath).map(Jsons.parse)
-          .getOrElse(Jsons.obj()))
+      val cfgNode = log.tableConfigurationJson(tablePath).map(Jsons.parse)
+        .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+        .getOrElse(Jsons.obj())
+      mintedMaxColumnId.foreach { mid =>
+        // re-read per attempt: a concurrent winner may have minted further
+        // column ids — never regress maxColumnId below what the log holds
+        val cur = Jsons.optStr(cfgNode, "delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L)
+        cfgNode.put("delta.columnMapping.maxColumnId",
+          math.max(cur, mid).toString)
+      }
+      md.set[JsonNode]("configuration", cfgNode)
       md.put("createdTime", now)
       lines += s"""{"metaData": ${Jsons.render(md)}}"""
       txn.foreach { case (appId, v) =>

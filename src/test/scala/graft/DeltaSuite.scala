@@ -711,6 +711,90 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("mergeSchema append mints physical names on a column-mapped table") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // foreign mapped table: two columns under physical names, proper
+      // per-field ids and a recorded maxColumnId
+      Seq((1L, "a"), (2L, "b")).toDF("col-111-aaa", "col-222-bbb")
+        .coalesce(1).write.parquet(s"$tmp/stage")
+      val part = new File(s"$tmp/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(t))
+      Files.move(part.toPath, Paths.get(t, "data.parquet"))
+      def mapped(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        mapped("id", "col-111-aaa", 1L, LongType),
+        mapped("s", "col-222-bbb", 2L, StringType)))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-mint"); md.put("schemaString", logical.json)
+      val cfg = graft.util.Jsons.obj()
+      cfg.put("delta.columnMapping.mode", "name")
+      cfg.put("delta.columnMapping.maxColumnId", "2")
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", cfg)
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""",
+        add("data.parquet"))
+      val w = writer
+      // mergeSchema append with a NEW column: physical name minted, field
+      // id continues from maxColumnId, configuration bumped in-commit
+      w.write(Seq((3L, "c", 7.5)).toDF("id", "s", "extra"), t,
+        DeltaWriteMode.Append, mergeSchema = true)
+      val schema = w.tableSchema(t).get
+      assert(schema.fieldNames.toSeq === Seq("id", "s", "extra"))
+      val ef = schema("extra")
+      val physName = ef.metadata.getString("delta.columnMapping.physicalName")
+      assert(physName.startsWith("col-") && physName.length > 10,
+        s"minted physical name looks wrong: $physName")
+      assert(ef.metadata.getLong("delta.columnMapping.id") === 3L)
+      val raw = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${1L}%020d.json")))
+      assert(raw.contains(""""delta.columnMapping.maxColumnId":"3""""),
+        s"maxColumnId must bump in the same commit:\n$raw")
+      assert(raw.contains(""""delta.columnMapping.mode":"name""""),
+        "the rest of the configuration must carry forward")
+      // old files null-fill the minted column; new row carries its value
+      val rows = w.read(t).orderBy("id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(rows.take(2).forall(_.isNullAt(2)), "old files must null-fill")
+      assert(rows(2).getDouble(2) === 7.5)
+      // the data file carries ONLY physical names, incl. the minted one
+      val newFile = w.activeAdds(t).map(_.path).filterNot(_ == "data.parquet").head
+      val rawCols = spark.read.parquet(s"$t/$newFile").columns.toSeq
+      assert(rawCols === Seq("col-111-aaa", "col-222-bbb", physName),
+        s"data file must use physical names: $rawCols")
+      // stats skipping prunes on the minted column (stats key on the
+      // physical name; the old file has no bounds and is kept
+      // conservatively)
+      assert(!w.readSkipping(t, Map("extra" -> (Some(100d), Some(200d))))
+        .inputFiles.exists(_.contains(newFile.split('/').last)),
+        "range missing the new file's values must prune it")
+      assert(w.readSkipping(t, Map("extra" -> (Some(0d), Some(9d)))).count() === 3)
+      // a second mint continues the id sequence
+      w.write(Seq((4L, "d", 1.0, 11L)).toDF("id", "s", "extra", "extra2"), t,
+        DeltaWriteMode.Append, mergeSchema = true)
+      val s2 = w.tableSchema(t).get
+      assert(s2("extra2").metadata.getLong("delta.columnMapping.id") === 4L)
+      assert(s2("extra2").metadata
+        .getString("delta.columnMapping.physicalName") !== physName)
+      val raw2 = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${2L}%020d.json")))
+      assert(raw2.contains(""""delta.columnMapping.maxColumnId":"4""""))
+      assert(w.read(t).count() === 4)
+      // plain append (no mergeSchema) with new columns still refuses
+      intercept[GraftError](w.write(
+        Seq((5L, "e", 0.0, 0L, "x")).toDF("id", "s", "extra", "extra2", "x5"),
+        t, DeltaWriteMode.Append))
+    }
+  }
+
   test("column-mapped tables read with logical names; nested mapping refused") {
     import org.apache.spark.sql.types._
     withTmpDir { tmp =>
