@@ -1,8 +1,7 @@
 package graft.delta
 
-import graft.core.GraftError
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, struct, transform, transform_keys, transform_values, when}
 import org.apache.spark.sql.types._
 
 /** Delta column mapping (reader v2 / `columnMapping` feature) resolution,
@@ -13,39 +12,44 @@ import org.apache.spark.sql.types._
   * without resolving the mapping surfaces physical names — silently wrong
   * columns — so every scan path must come through here.
   *
-  * Flat schemas only: a nested mapped field or a mapped partitioned
-  * layout (partition dirs use physical names) is refused rather than
-  * misread.
+  * Nested mapping resolves recursively: struct fields (at any depth,
+  * including through arrays and maps) rebuild with relabeled names in
+  * both directions. Partitioned mapped tables read with `basePath` so the
+  * physical-named `col-<uuid>=value` dirs re-materialize, then project to
+  * logical names like any other column.
   */
 object ColumnMapping {
 
   val PhysicalNameKey = "delta.columnMapping.physicalName"
 
   def isMapped(schema: StructType): Boolean =
-    schema.fields.exists(_.metadata.contains(PhysicalNameKey))
+    schema.fields.exists(_.metadata.contains(PhysicalNameKey)) ||
+      hasNestedMapping(schema)
 
   private def physName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey))
       f.metadata.getString(PhysicalNameKey) else f.name
 
-  /** Any field whose TYPE contains a mapped nested field (the flat-only
-    * support line: both read and write refuse these). */
+  /** Any field whose TYPE contains a mapped nested field. */
   def hasNestedMapping(schema: StructType): Boolean =
     schema.fields.exists(f => nestedMapped(f.dataType))
 
   /** logical name -> physical name for every top-level field (identity
-    * for unmapped fields) — the translation stats skipping needs, since
-    * file stats key on the PHYSICAL names. */
+    * for unmapped fields) — the translation stats skipping and partition
+    * pruning need, since file stats and `partitionValues` key on the
+    * PHYSICAL names. */
   def physicalNames(schema: StructType): Map[String, String] =
     schema.fields.map(f => f.name -> physName(f)).toMap
 
   /** Rename `df` (aligned to the LOGICAL `schema`, same order) to the
     * physical column names for a data-file write: delta-spark's
     * columnMapping.mode=name write shape — the parquet files carry
-    * `col-<uuid>` names and only the metaData schema knows the logical
-    * ones. */
+    * `col-<uuid>` names (nested fields included) and only the metaData
+    * schema knows the logical ones. */
   def toPhysical(df: DataFrame, schema: StructType): DataFrame =
-    df.select(schema.fields.toSeq.map(f => col(s"`${f.name}`").as(physName(f))): _*)
+    df.select(schema.fields.toSeq.map(f =>
+      relabel(col(s"`${f.name}`"), f.dataType, toLogical = false)
+        .as(physName(f))): _*)
 
   private def nestedMapped(dt: DataType): Boolean = dt match {
     case st: StructType => st.fields.exists(f =>
@@ -55,21 +59,66 @@ object ColumnMapping {
     case _ => false
   }
 
+  /** The physical twin of a logical type: nested struct fields renamed to
+    * their physical names, mapping metadata stripped. */
+  def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physName(f), physicalType(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(physicalType(et), n)
+    case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+    case other => other
+  }
+
+  /** Logical names with metadata stripped — the cast target for the
+    * null branch of a struct rebuild. */
+  private def plainType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, plainType(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(plainType(et), n)
+    case MapType(k, v, n) => MapType(plainType(k), plainType(v), n)
+    case other => other
+  }
+
+  /** Rebuild `c` with the other name domain at every nesting level.
+    * Structs reconstruct field-by-field (guarded so a NULL struct stays
+    * NULL instead of becoming a struct of NULLs); arrays and maps relabel
+    * their element/key/value types in place. Identity when the subtree
+    * carries no mapping. */
+  private def relabel(c: Column, dt: DataType, toLogical: Boolean): Column =
+    dt match {
+      case st: StructType if nestedMapped(st) =>
+        val target = if (toLogical) plainType(st) else physicalType(st)
+        val rebuilt = struct(st.fields.toSeq.map { f =>
+          val from = if (toLogical) physName(f) else f.name
+          val to = if (toLogical) f.name else physName(f)
+          relabel(c.getField(from), f.dataType, toLogical).as(to)
+        }: _*)
+        when(c.isNull, lit(null).cast(target)).otherwise(rebuilt)
+      case ArrayType(et, _) if nestedMapped(et) =>
+        transform(c, x => relabel(x, et, toLogical))
+      case MapType(k, v, _) if nestedMapped(k) || nestedMapped(v) =>
+        val keyed =
+          if (nestedMapped(k)) transform_keys(c, (key, _) => relabel(key, k, toLogical))
+          else c
+        if (nestedMapped(v))
+          transform_values(keyed, (_, value) => relabel(value, v, toLogical))
+        else keyed
+      case _ => c
+    }
+
   /** Scan `files` with the physical schema and project back to logical
-    * names. `partitioned` = any file lives under a `col=value` dir. */
+    * names (nested fields included). `basePath` must be the table root
+    * when any file lives under a hive `col-<uuid>=value` partition dir,
+    * so the physical-named partition columns re-materialize before the
+    * logical projection. */
   def readMapped(spark: SparkSession, files: Seq[String], declared: StructType,
-      partitioned: Boolean): DataFrame = {
-    if (declared.fields.exists(f => nestedMapped(f.dataType)))
-      throw new GraftError(
-        "column-mapped NESTED schemas are not supported; refusing to read " +
-        "rather than resolve nested fields wrong")
-    if (partitioned)
-      throw new GraftError(
-        "column-mapped partitioned tables are not supported (partition dirs " +
-        "use physical names); refusing to read rather than misattribute")
+      basePath: Option[String]): DataFrame = {
     val physSchema = StructType(declared.fields.map(f =>
-      StructField(physName(f), f.dataType, f.nullable)))
-    spark.read.schema(physSchema).parquet(files: _*)
-      .select(declared.fields.toSeq.map(f => col(s"`${physName(f)}`").as(f.name)): _*)
+      StructField(physName(f), physicalType(f.dataType), f.nullable)))
+    val reader = basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
+    reader.schema(physSchema).parquet(files: _*)
+      .select(declared.fields.toSeq.map(f =>
+        relabel(col(s"`${physName(f)}`"), f.dataType, toLogical = true)
+          .as(f.name)): _*)
   }
 }

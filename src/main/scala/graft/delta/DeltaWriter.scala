@@ -341,7 +341,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
     val version = versionAsOf.getOrElse(latest)
     val adds = DeltaStats.activeAdds(log, tablePath, version)
-    val (kept, _) = DeltaStats.prunePartitions(adds, equal)
+    // partitionValues key on PHYSICAL names for mapped tables
+    val (kept, _) = DeltaStats.prunePartitions(adds, toPhysicalKeys(tablePath, equal))
     scanAdds(tablePath, kept)
   }
 
@@ -363,8 +364,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         throw new graft.core.PlanningError(
           s"table $tablePath combines column mapping and deletion vectors; " +
           "this reader supports each alone but not together")
+      val anyPartitioned =
+        files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
       return ColumnMapping.readMapped(spark, files, s,
-        partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('='))))
+        basePath = if (anyPartitioned) Some(tablePath) else None)
     }
     // hive-layout tables: partition columns live in the directory names,
     // not the data files — read with basePath so Spark re-materializes
@@ -505,9 +508,32 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     // conflict-checks anything that lands after it (callers that planned
     // even earlier, e.g. a MERGE's touched-file pruning, pass their own)
     val readVersion = plannedReadVersion.orElse(log.latestVersion(tablePath))
+    val existingSchema = log.tableSchemaString(tablePath)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    // column-mapped tables: data files carry the PHYSICAL col-<uuid>
+    // names at every nesting level (delta-spark's mode=name write shape);
+    // the metaData schema keeps the logical names + mapping metadata.
+    // Task-computed stats key on physical names too, so skipping
+    // translates keys ([[toPhysicalKeys]]). Partition dirs and add-action
+    // partitionValues also use physical names — the caller speaks logical
+    // names, translated both ways below. A mergeSchema APPEND may add
+    // top-level columns: each new logical column mints a fresh physical
+    // col-<uuid> name + the next field id, and the same commit's
+    // configuration bumps delta.columnMapping.maxColumnId (delta-spark's
+    // evolution shape); other modes with new columns refuse loudly.
+    val mappedSchema = existingSchema.filter(ColumnMapping.isMapped)
+    // partition columns derive from add-file PATHS, which carry physical
+    // names on a mapped table — translate so caller-facing checks and the
+    // metaData partitionColumns speak logical names
+    val physToLogical: Map[String, String] = mappedSchema
+      .map(es => ColumnMapping.physicalNames(es).map(_.swap)).getOrElse(Map.empty)
     val existingParts = partitionColumnsOf(tablePath)
+      .map(p => physToLogical.getOrElse(p, p))
+    // accept either name domain from callers (maintenance paths hand back
+    // path-derived physical names); all checks below run on logical
+    val partitionByLogical = partitionBy.map(p => physToLogical.getOrElse(p, p))
     val effectiveParts =
-      if (partitionBy.nonEmpty) partitionBy
+      if (partitionByLogical.nonEmpty) partitionByLogical
       else if (mode == DeltaWriteMode.Append) existingParts
       else Seq.empty
     if (existingParts.nonEmpty && mode == DeltaWriteMode.Append &&
@@ -516,29 +542,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         s"table $tablePath is partitioned by ${existingParts.mkString(",")}; " +
         s"append requested ${effectiveParts.mkString(",")}")
 
-    val existingSchema = log.tableSchemaString(tablePath)
-      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
-    // column-mapped tables write under the support line the reader draws:
-    // FLAT unpartitioned schemas. Data files carry the PHYSICAL
-    // col-<uuid> names (delta-spark's mode=name write shape); the
-    // metaData schema keeps the logical names + mapping metadata.
-    // Task-computed stats key on physical names too, so our logical-name
-    // skipping simply finds no bounds and keeps the file — conservative,
-    // never wrong. A mergeSchema APPEND may add columns: each new logical
-    // column mints a fresh physical col-<uuid> name + the next field id,
-    // and the same commit's configuration bumps
-    // delta.columnMapping.maxColumnId (delta-spark's evolution shape);
-    // other modes with new columns refuse loudly rather than guess.
-    val mappedSchema = existingSchema.filter(ColumnMapping.isMapped)
     mappedSchema.foreach { es =>
-      if (ColumnMapping.hasNestedMapping(es))
-        throw new GraftError(
-          s"table $tablePath maps nested columns; writes support flat " +
-          "mapped schemas only")
-      if (existingParts.nonEmpty || partitionBy.nonEmpty)
-        throw new GraftError(
-          s"table $tablePath is column-mapped and partitioned (partition " +
-          "dirs use physical names); this writer refuses the combination")
       val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))
       if (newCols.nonEmpty &&
           !(mode == DeltaWriteMode.Append && mergeSchema))
@@ -609,9 +613,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       if (mappedSchema.isDefined) ColumnMapping.toPhysical(aligned, outSchema)
       else aligned
 
+    // the hive layout uses PHYSICAL partition column names on a mapped
+    // table (toWrite's columns are already physical); metaData
+    // partitionColumns below stay logical
+    val physParts = mappedSchema.map { _ =>
+      val m = ColumnMapping.physicalNames(outSchema)
+      effectiveParts.map(p => m.getOrElse(p, p))
+    }.getOrElse(effectiveParts)
     val parts =
       if (effectiveParts.isEmpty) writeParts(toWrite, root, fs, prefix = "part")
-      else writePartitionedParts(toWrite, root, effectiveParts)
+      else writePartitionedParts(toWrite, root, physParts)
     val cdcParts = cdfChanges.map { ch =>
       val cdcDir = new Path(root, "_change_data")
       fs.mkdirs(cdcDir)
@@ -906,9 +917,15 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val partCols = partitionColumnsOf(tablePath)
     val parts =
       if (partCols.isEmpty) {
-        val df = spark.read.parquet(small.map(a =>
-          log.resolvePath(tablePath, a.path)): _*).coalesce(
-          math.max(1, (small.map(_.size).sum / (128L * 1024 * 1024)).toInt))
+        // read through the declared schema (a raw multi-file read infers
+        // ONE file's footer schema, silently dropping columns a schema
+        // merge added to the others); mapped tables rename back to
+        // physical so the rewrite lands in the file name domain
+        val df0 = readAdds(tablePath, small)
+        val df = tableSchema(tablePath).filter(ColumnMapping.isMapped)
+          .map(s => ColumnMapping.toPhysical(df0, s)).getOrElse(df0)
+          .coalesce(
+            math.max(1, (small.map(_.size).sum / (128L * 1024 * 1024)).toInt))
         writeParts(df, root, fs, prefix = "compacted")
       } else {
         // ONE job for every partition group: scan all small files with
@@ -923,7 +940,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           partCols.map(c => pv.getOrElse(c, "")).mkString(" ") ->
             math.max(1, (g.map(_.size).sum / (128L * 1024 * 1024)).toInt)
         }.toMap
-        val df = readAdds(tablePath, small)
+        // readAdds surfaces LOGICAL names on a mapped table; the rewrite
+        // must land back under PHYSICAL names (and partCols, derived from
+        // paths, already are physical) — rename before routing
+        val df0 = readAdds(tablePath, small)
+        val df = tableSchema(tablePath).filter(ColumnMapping.isMapped)
+          .map(s => ColumnMapping.toPhysical(df0, s)).getOrElse(df0)
         // contiguous per-task ids cycle through each group's salt budget,
         // spreading rows evenly without hashing arbitrary data columns
         val salted = df.withColumn("__salt",

@@ -520,7 +520,8 @@ class DeltaSource(
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .filter(graft.delta.ColumnMapping.isMapped)
     mapped match {
-      case Some(s) => graft.delta.ColumnMapping.readMapped(spark, paths, s, partitioned)
+      case Some(s) => graft.delta.ColumnMapping.readMapped(spark, paths, s,
+        basePath = if (partitioned) Some(tablePath) else None)
       case None =>
         if (partitioned) spark.read.option("basePath", tablePath).parquet(paths: _*)
         else spark.read.parquet(paths: _*)

@@ -795,7 +795,7 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
-  test("column-mapped tables read with logical names; nested mapping refused") {
+  test("column-mapped tables read with logical names, write physically") {
     import org.apache.spark.sql.types._
     withTmpDir { tmp =>
       val t = s"$tmp/table"
@@ -878,18 +878,168 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
         Seq((9L, Some("y"), "update_postimage", 2L))
           .toDF("id", "s", Cdc.ChangeTypeCol, Cdc.CommitVersionCol),
         t, Seq("id"), emitCdf = true))
-      // nested mapped schema -> loud refusal, not wrong columns
-      val t2 = s"$tmp/t2"
-      val nested = StructType(Seq(
-        mapped("top", "col-1", LongType),
-        StructField("obj", StructType(Seq(mapped("inner", "col-2", LongType))))))
-      val md2 = graft.util.Jsons.obj()
-      md2.put("id", "cm-nested"); md2.put("schemaString", nested.json)
-      Files.createDirectories(Paths.get(t2))
-      writeLog(t2, 0, s"""{"metaData": ${graft.util.Jsons.render(md2)}}""",
-        ci(0), add("data.parquet"))
-      touchData(t2, "data.parquet")
-      intercept[GraftError](new DeltaWriter(spark, conf).read(t2).collect())
+    }
+  }
+
+  test("nested column-mapped schemas round-trip: logical names at every level") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // foreign file: physical names at BOTH levels (col-top long,
+      // col-obj struct{col-a string, col-b long})
+      Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("t", "a", "b")
+        .select(col("t").as("col-top"),
+          struct(col("a").as("col-a"), col("b").as("col-b")).as("col-obj"))
+        .coalesce(1).write.parquet(s"$tmp/stage")
+      val part = new File(s"$tmp/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(t))
+      Files.move(part.toPath, Paths.get(t, "data.parquet"))
+      def m(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        m("top", "col-top", 1L, LongType),
+        m("obj", "col-obj", 2L, StructType(Seq(
+          m("a", "col-a", 3L, StringType),
+          m("b", "col-b", 4L, LongType))))))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-nested"); md.put("schemaString", logical.json)
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""",
+        add("data.parquet"))
+      val w = writer
+      val out = w.read(t).orderBy("top")
+      assert(out.columns.toSeq === Seq("top", "obj"))
+      assert(out.schema("obj").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq === Seq("a", "b"), "nested logical names must surface")
+      assert(out.collect().map(r =>
+        (r.getLong(0), r.getStruct(1).getString(0), r.getStruct(1).getLong(1)))
+        .toSeq === Seq((1L, "x", 10L), (2L, "y", 20L)))
+      // appends relabel nested fields to physical names on disk; a NULL
+      // struct stays NULL through the rebuild
+      val addDf = Seq((3L, Some(("z", 30L))), (4L, None))
+        .toDF("top", "obj")
+        .select(col("top"), col("obj").cast(
+          StructType(Seq(StructField("a", StringType), StructField("b", LongType))))
+          .as("obj"))
+      w.write(addDf, t, DeltaWriteMode.Append)
+      val back = w.read(t).orderBy("top").collect()
+      assert(back.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+      assert(back(2).getStruct(1).getString(0) === "z")
+      assert(back(3).isNullAt(1), "null struct must stay null, not struct-of-nulls")
+      val newFile = w.activeAdds(t).map(_.path).filterNot(_ == "data.parquet").head
+      val rawSchema = spark.read.parquet(s"$t/$newFile").schema
+      assert(rawSchema.fieldNames.toSeq === Seq("col-top", "col-obj"))
+      assert(rawSchema("col-obj").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq === Seq("col-a", "col-b"),
+        "nested physical names must reach the data file")
+      // the streaming source resolves nested mapping too
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(s"$tmp/cp", conf))
+      val sdf = src.readBatch(spark, src.planBatch().get)
+      assert(sdf.schema("obj").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq === Seq("a", "b"))
+      assert(sdf.count() === 4)
+    }
+  }
+
+  test("partitioned column-mapped tables: physical dirs, logical surface, pruning") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // foreign layout: hive dir under the PHYSICAL partition name
+      Seq((1L, 10L), (2L, 20L)).toDF("col-iii", "col-vvv")
+        .coalesce(1).write.parquet(s"$tmp/stage")
+      val part = new File(s"$tmp/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(t, "col-ppp=1"))
+      Files.move(part.toPath, Paths.get(t, "col-ppp=1", "data.parquet"))
+      def m(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        m("id", "col-iii", 1L, LongType),
+        m("v", "col-vvv", 2L, LongType),
+        m("p", "col-ppp", 3L, LongType)))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-part"); md.put("schemaString", logical.json)
+      val pc = graft.util.Jsons.arr(); pc.add("p")
+      md.set[com.fasterxml.jackson.databind.JsonNode]("partitionColumns", pc)
+      val foreignAdd =
+        """{"add": {"path": "col-ppp=1/data.parquet", "size": 10, """ +
+        """"dataChange": true, "partitionValues": {"col-ppp": "1"}, """ +
+        """"stats": "{\"numRecords\":2,\"minValues\":{\"col-iii\":1},\"maxValues\":{\"col-iii\":2}}"}}"""
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""", foreignAdd)
+      val w = writer
+      // read: logical names incl. the re-materialized partition column
+      val out = w.read(t).orderBy("id")
+      assert(out.columns.toSeq === Seq("id", "v", "p"))
+      assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq === Seq((1L, 10L, 1L), (2L, 20L, 1L)))
+      // append with LOGICAL partition names lands under the PHYSICAL dir
+      w.write(Seq((5L, 50L, 2L)).toDF("id", "v", "p"), t,
+        DeltaWriteMode.Append, partitionBy = Seq("p"))
+      val newAdd = w.activeAdds(t).find(_.path.contains("col-ppp=2")).getOrElse(
+        fail(s"append must land under the physical dir: " +
+          s"${w.activeAdds(t).map(_.path)}"))
+      assert(newAdd.partitionValues === Map("col-ppp" -> "2"),
+        "partitionValues must key on the physical name")
+      val raw = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${1L}%020d.json")))
+      assert(raw.contains(""""partitionColumns":["p"]"""),
+        s"metaData partitionColumns must stay logical:\n$raw")
+      assert(w.read(t).count() === 3)
+      // partition-pruned reads translate logical keys to physical
+      assert(w.readPartitions(t, Map("p" -> "2")).collect()
+        .map(_.getLong(0)).toSeq === Seq(5L))
+      assert(w.readPartitions(t, Map("p" -> "1")).count() === 2)
+      // CDC merge keyed on the partition column prunes whole partitions:
+      // the change touches only p=2, so the p=1 file survives untouched
+      val changes = Seq((7L, 70L, 2L, "update_postimage", 1L))
+        .toDF("id", "v", "p", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      DeltaCdc.applyCdcDelta(spark, changes, t, Seq("p"))
+      assert(w.activeAdds(t).map(_.path).contains("col-ppp=1/data.parquet"),
+        "partition pruning must carry the untouched partition forward")
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq((1L, 10L, 1L), (2L, 20L, 1L), (7L, 70L, 2L)))
+      // compact rewrites within the PHYSICAL hive layout
+      w.write(Seq((3L, 30L, 1L)).toDF("id", "v", "p"), t, DeltaWriteMode.Append)
+      w.compact(t, smallFileBytes = 1024 * 1024)
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq((1L, 10L, 1L), (2L, 20L, 1L), (3L, 30L, 1L), (7L, 70L, 2L)))
+      val compacted = w.activeAdds(t)
+        .find(a => a.path.contains("col-ppp=1") && a.path != "col-ppp=1/data.parquet")
+        .getOrElse(fail(s"no compacted file: ${w.activeAdds(t).map(_.path)}"))
+      assert(spark.read.parquet(s"$t/${compacted.path}").columns.toSeq ===
+        Seq("col-iii", "col-vvv"),
+        "compacted files must keep physical column names")
+    }
+  }
+
+  test("compact keeps schema-merged column values intact") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, "a")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      w.write(Seq((2L, "b", 9.5)).toDF("id", "s", "extra"), t,
+        DeltaWriteMode.Append, mergeSchema = true)
+      // a raw (schema-inferring) compact read could pick the FIRST file's
+      // footer and silently drop `extra` from the second — the rewrite
+      // must go through the declared schema
+      w.compact(t, smallFileBytes = 1024 * 1024)
+      val rows = w.read(t).orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 9.5,
+        "compaction must not lose schema-merged column values")
     }
   }
 
