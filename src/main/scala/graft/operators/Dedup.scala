@@ -461,15 +461,22 @@ object Dedup {
     * thousands of docs against a 100 TB corpus), so its distinct gram
     * index is broadcast — the corpus streams through a broadcast join and
     * NEVER shuffles; only (corpus_id, bench_id) pair counts aggregate.
-    * Gram comparison is on the strings (not hashes), so an ANSI oracle
-    * can mirror the result exactly. The match volume is
+    * The candidate join runs on 8-byte `xxhash64` gram hashes (a ~3×
+    * smaller broadcast map and a fixed-width probe instead of a string
+    * compare); since equal grams always hash equal, the candidate pair
+    * set is a superset of the true result, and a second pass re-counts
+    * the CANDIDATE corpus docs' grams against the benchmark's gram
+    * STRINGS — emitted counts are exact (collision-proof), so an ANSI
+    * oracle mirrors the result. The verify scan is semi-join-filtered to
+    * candidate docs BEFORE exploding, so its cost tracks the (tiny)
+    * contaminated fraction, not the corpus. The match volume is
     * Σ_g corpusDf(g)·benchDf(g): natural-language n of 12+ keeps it near
     * the true-contamination count (the GPT-3-style 13-gram
     * decontamination argument), but template-heavy corpora can blow it up
-    * through corpus-wide grams — `maxDf > 0` drops grams present in more
-    * than `maxDf` CORPUS documents first (approximate: a pair whose every
-    * shared gram is that hot is missed; such overlap is template noise,
-    * not contamination). 0 (default) = exact. */
+    * through corpus-wide grams — `maxDf > 0` drops grams whose hash is
+    * present in more than `maxDf` CORPUS documents first (approximate: a
+    * pair whose every shared gram is that hot is missed; such overlap is
+    * template noise, not contamination). 0 (default) = exact. */
   def ngramContamination(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchId: String, benchText: String,
       n: Int = 12, minShared: Int = 2, maxDf: Int = 0): DataFrame = {
@@ -477,14 +484,37 @@ object Dedup {
     def grams(df: DataFrame, id: String, text: String, idAs: String) =
       df.select(col(id).as(idAs),
         explode(charNgramsDistinct(col(text), n)).as("g"))
-    val corpusGrams = grams(corpus, corpusId, corpusText, "corpus_id")
-    val kept =
-      if (maxDf <= 0) corpusGrams
-      else corpusGrams.join(
-        corpusGrams.groupBy("g").agg(count(lit(1)).as("df0"))
-          .filter(col("df0") <= maxDf).select("g"),
-        Seq("g"))
-    kept
+    // hash at ARRAY level so only 8-byte longs enter the explode
+    def gramHashes(df: DataFrame, id: String, text: String, idAs: String) =
+      df.select(col(id).as(idAs),
+        explode(transform(charNgramsDistinct(col(text), n),
+          g => xxhash64(g))).as("gh"))
+    val corpusH = gramHashes(corpus, corpusId, corpusText, "corpus_id")
+    val hotHashes =
+      if (maxDf <= 0) None
+      else Some(corpusH.groupBy("gh").agg(count(lit(1)).as("df0"))
+        .filter(col("df0") > maxDf).select("gh"))
+    val keptH = hotHashes.map(h => corpusH.join(h, Seq("gh"), "left_anti"))
+      .getOrElse(corpusH)
+    // candidate pass: hash-only broadcast + probe; collisions can only ADD
+    // candidate pairs, never lose one
+    val candidates = keptH
+      .join(broadcast(gramHashes(bench, benchId, benchText, "bench_id")),
+        Seq("gh"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("sh"))
+      .filter(col("sh") >= minShared)
+    // verify pass: exact gram strings, but only for docs that produced a
+    // candidate pair — any true pair's doc is in this set, so the output
+    // equals the all-strings join exactly
+    val candDocs = corpus.join(
+      broadcast(candidates.select(col("corpus_id"))),
+      col(corpusId) === col("corpus_id"), "left_semi")
+    val candGrams = grams(candDocs, corpusId, corpusText, "corpus_id")
+    val candKept = hotHashes
+      .map(h => candGrams.join(h, xxhash64(col("g")) === col("gh"), "left_anti"))
+      .getOrElse(candGrams)
+    candKept
       .join(broadcast(grams(bench, benchId, benchText, "bench_id")), Seq("g"))
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("shared_grams"))

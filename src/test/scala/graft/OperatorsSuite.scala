@@ -379,6 +379,21 @@ class DedupSuite extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"the benchmark side must broadcast:\n${plan.take(1200)}")
+    // ... and the candidate probe runs on the 8-byte gram hash, not the
+    // gram string (the string join exists only in the verify pass, which
+    // is semi-join-bounded to candidate docs)
+    assert("""BroadcastHashJoin \[gh#""".r.findFirstIn(plan).isDefined,
+      s"candidate join must key on the gram hash:\n${plan.take(1500)}")
+    // stop-gram hatch: grams shared by docs 2 AND 3 (df=2) drop at
+    // maxDf=1, so doc 3 (whose every bench overlap is df-2) falls below
+    // minShared while doc 2 survives on its df-1 grams (the ones spanning
+    // "fox", which doc 3's cat-substitution lacks) with a smaller count
+    val capped = Dedup.ngramContamination(corpus, "id", "t", bench, "id", "t",
+      n = 12, minShared = 8, maxDf = 1).collect()
+    assert(capped.map(_.getLong(0)).toSeq === Seq(2L),
+      s"maxDf=1 must drop doc 3's df-2 overlap: ${capped.toSeq}")
+    assert(capped(0).getLong(2) < hits(0).getLong(2),
+      "the capped shared count must shrink")
   }
 
   test("connected components: star graphs, multi-round chains, multiple components") {
