@@ -892,7 +892,7 @@ object Queries {
     // pair with J > 0 shares a distinct gram), so DuckDB can mirror it
     // exactly with the same gram definition; the LSH-banded variant
     // (charNgramJaccardPairs) stays recall-gated in RecallSuite — like
-    // d_minhash/d_simhash/d_winnow/e_ann_lsh it is approximate BY DESIGN
+    // d_minhash/d_simhash/d_winnow it is approximate BY DESIGN
     // (banding trades recall for never materializing all-pairs), so no
     // ANSI oracle can reproduce its output
     // threshold 0.8 = the canonical near-dup cutoff in dataset curation;
@@ -1009,16 +1009,57 @@ object Queries {
            |GROUP BY a.vec_id ORDER BY query_id""".stripMargin
       }),
 
-    // ----- ANN: LSH-bucketed variant (rows-only: approximate) -------------
+    // ----- ANN: LSH-bucketed variant, recall-gated in-query ---------------
+    // The LSH output itself is banding-dependent (no ANSI oracle can
+    // reproduce which bucket a query probes), but its QUALITY is a
+    // checkable invariant: the emitted rows are the EXACT top-1 (which
+    // DuckDB mirrors, same as e_ann_top1) plus a recall_ok column — the
+    // whole-result average of "LSH found the true nearest cosine" gated
+    // at ≥ 0.9. The oracle emits literal TRUE, so an LSH recall
+    // regression flips the column for every row and fails the hash
+    // check; the same trick does NOT transfer to the pair-set queries
+    // (d_minhash/d_simhash/d_winnow): their outputs are pair SETS whose
+    // membership is banding-dependent, with no exact counterpart row set
+    // of the same shape to gate against — they stay recall-gated in
+    // RecallSuite instead.
     "e_ann_lsh" -> QueryDef(
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.lshTopK(
-          emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 1, planes = 4)
-          .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        val queries = emb.filter(col("vec_id") < 50)
+        // planes=3/tables=16: multi-table SRP holds recall@1 ≥ 0.98 on
+        // these (weakly clustered) embeddings at sf0.001/0.01/0.1 —
+        // measured, with the 0.9 gate as the regression floor
+        val lsh = Similarity.lshTopK(
+          queries, emb, "vec_id", "embedding", k = 1, planes = 3, tables = 16)
+          .select(col("query_id"), round(col("cosine"), 4).as("lsh_cosine"))
+        val exact = Similarity.bruteForceTopK(
+          queries, emb, "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"))
+        // recall@1 on rounded cosines (a tie at the top is equally near);
+        // the 50-row global window is bounded by the query-set size
+        exact.join(lsh, Seq("query_id"), "left")
+          .withColumn("recall_ok",
+            avg(when(col("lsh_cosine").isNotNull &&
+              col("lsh_cosine") === col("cosine"), 1d).otherwise(0d))
+              .over(org.apache.spark.sql.expressions.Window.partitionBy()) >= 0.9)
+          .select("query_id", "neighbor_id", "cosine", "recall_ok")
           .orderBy("query_id")
       },
-      None),
+      Some {
+        val dotAB = "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        def dotSelf(x: String) =
+          s"LIST_SUM(LIST_TRANSFORM($x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        val cos = s"$dotAB / (SQRT(${dotSelf("a")}) * SQRT(${dotSelf("b")}))"
+        s"""SELECT a.vec_id AS query_id,
+           |  ARG_MAX(b.vec_id, $cos) AS neighbor_id,
+           |  ROUND(MAX($cos), 4) AS cosine,
+           |  TRUE AS recall_ok
+           |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |WHERE a.vec_id < 50
+           |GROUP BY a.vec_id ORDER BY query_id""".stripMargin
+      }),
 
     // ----- embedding norms per label --------------------------------------
     "e_norms_by_label" -> QueryDef(

@@ -58,10 +58,13 @@ object Similarity {
   /** Signed-random-projection bucket key. The hyperplanes are literal
     * float arrays, so each sign test is one codegen'd [[dot]] against a
     * constant — no per-dimension hashing in the hot path (the previous
-    * formulation hashed a string per plane per dimension, interpreted). */
-  def srpBucket(vec: Column, planes: Int, dims: Int): Column =
+    * formulation hashed a string per plane per dimension, interpreted).
+    * `planeOffset` selects an independent plane family — hash table `t`
+    * of a multi-table index passes `t * planes`. */
+  def srpBucket(vec: Column, planes: Int, dims: Int, planeOffset: Int = 0): Column =
     (0 until planes).map { p =>
-      when(dot(vec, typedlit(srpPlane(p, dims))) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(vec, typedlit(srpPlane(planeOffset + p, dims))) > 0,
+        lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Symmetric int8 quantization of an embedding column — the storage and
@@ -230,19 +233,30 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: queries and corpus bucketed by SRP signature; each
-    * query searches only its bucket. Misses are possible (that's the
-    * "approximate"); `planes` trades recall for bucket size.
+    * query searches only its bucket(s). Misses are possible (that's the
+    * "approximate"); `planes` trades recall for bucket size, and `tables`
+    * unions candidates from that many INDEPENDENT plane families
+    * (classic multi-table LSH: per-table miss probability (1−p) compounds
+    * to (1−p)^tables — the standard recall lever when the corpus has weak
+    * cluster structure).
+    *
+    * Scale shape with tables > 1: the bucket join carries only
+    * (id, table, bucket) rows — vectors do NOT replicate per table; the
+    * surviving candidate PAIRS dedupe and then fetch vectors through one
+    * AQE-splittable join on neighbor_id plus the query broadcast.
     *
     * The corpus side of the bucket join is capped at `maxBucket` members
-    * per bucket (rank filter, smallest id first — deterministic): all-zero
-    * or near-zero vectors fail every hyperplane sign test and collapse
-    * into bucket 0, and without the cap a zero-heavy corpus turns the join
-    * into a hot-key near-cross-join. Capping drops candidates (recall,
-    * never precision); `maxBucket = 0` disables. */
+    * per (table, bucket) (rank filter, smallest id first —
+    * deterministic): all-zero or near-zero vectors fail every hyperplane
+    * sign test and collapse into bucket 0, and without the cap a
+    * zero-heavy corpus turns the join into a hot-key near-cross-join.
+    * Capping drops candidates (recall, never precision); `maxBucket = 0`
+    * disables. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8,
-      dims: Int = 0, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      dims: Int = 0, maxBucket: Int = Dedup.DefaultMaxBucket,
+      tables: Int = 1): DataFrame = {
     // hyperplanes need the dimensionality; sample a NON-NULL vector if not
     // supplied (a sampled null would mistake a live corpus for empty) —
     // empty/all-null corpora yield an empty result, not a failed inference
@@ -255,18 +269,46 @@ object Similarity {
             lit(0d).as("cosine"), lit(0).as("rank")).limit(0)
         case rows => rows(0).getInt(0)
       }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", srpBucket(col("qv"), planes, d))
-    val cAll = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("bucket", srpBucket(col("nv"), planes, d))
-    val c =
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    def buckets(vcol: String): Column = array((0 until tables).map(t =>
+      srpBucket(col(vcol), planes, d, planeOffset = t * planes)): _*)
+    if (tables <= 1) {
+      // single-table: vectors ride the bucket join directly (no fetch join)
+      val q = qv.withColumn("bucket", srpBucket(col("qv"), planes, d))
+      val cAll = nv.withColumn("bucket", srpBucket(col("nv"), planes, d))
+      val c =
+        if (maxBucket > 0) {
+          val wb = Window.partitionBy(col("bucket")).orderBy(col("neighbor_id"))
+          cAll.withColumn("__rn", row_number().over(wb))
+            .filter(col("__rn") <= maxBucket).drop("__rn")
+        } else cAll
+      val joined = c.join(q, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("nv")).as("cosine"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      return joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+    val qb = qv.select(col("query_id"),
+      posexplode(buckets("qv")).as(Seq("tbl", "bucket")))
+    val cb0 = nv.select(col("neighbor_id"),
+      posexplode(buckets("nv")).as(Seq("tbl", "bucket")))
+    val cb =
       if (maxBucket > 0) {
-        val wb = Window.partitionBy(col("bucket")).orderBy(col("neighbor_id"))
-        cAll.withColumn("__rn", row_number().over(wb))
+        val wb = Window.partitionBy(col("tbl"), col("bucket"))
+          .orderBy(col("neighbor_id"))
+        cb0.withColumn("__rn", row_number().over(wb))
           .filter(col("__rn") <= maxBucket).drop("__rn")
-      } else cAll
-    val joined = c.join(q, Seq("bucket"))
+      } else cb0
+    val cands = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct() // a pair can meet in several tables
+    val joined = cands
+      .join(nv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cosine"))
     val w = Window.partitionBy("query_id")

@@ -576,6 +576,13 @@ class SimilaritySuite extends SparkSpec {
     assert(out.length <= 10, s"candidates not bounded: ${out.length}")
     // deterministic truncation: the 10 smallest corpus ids in bucket 0
     assert(out.map(_.getLong(1)).toSet.subsetOf((0L until 10L).toSet))
+    // the multi-table branch caps per (table, bucket) the same way: every
+    // table's bucket 0 truncates to the same 10 smallest ids, so the
+    // deduped candidate set stays bounded
+    val multi = Similarity.lshTopK(queries, corpus, "vec_id", "embedding",
+      k = 100, planes = 4, maxBucket = 10, tables = 3).collect()
+    assert(multi.length <= 10, s"multi-table candidates not bounded: ${multi.length}")
+    assert(multi.map(_.getLong(1)).toSet.subsetOf((0L until 10L).toSet))
   }
 
   test("ivf topk bounds a clustered hot bucket") {

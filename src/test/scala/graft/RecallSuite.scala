@@ -136,6 +136,15 @@ class RecallSuite extends SparkSpec {
     info(s"ann lsh: queries=${truth.size} agree=$agree")
     assert(truth.nonEmpty)
     assert(agree.toDouble / truth.size >= 0.8)
+    // multi-table: unioning independent plane families can only add
+    // candidates — recall must not drop below the single table's, and the
+    // fetch-join path must return the same row shape
+    val multi = top1(Similarity.lshTopK(queries, corpus, "vec_id", "embedding",
+      k = 1, planes = 8, tables = 4))
+    val agreeMulti = truth.count { case (q, n) => multi.get(q).contains(n) }
+    info(s"ann lsh 4 tables: agree=$agreeMulti")
+    assert(agreeMulti >= agree,
+      s"multi-table recall regressed: $agreeMulti < $agree")
   }
 
   test("IVF top-1 agrees with brute force for >= 0.8 of clustered queries") {
