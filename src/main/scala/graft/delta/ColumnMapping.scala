@@ -110,15 +110,20 @@ object ColumnMapping {
     * names (nested fields included). `basePath` must be the table root
     * when any file lives under a hive `col-<uuid>=value` partition dir,
     * so the physical-named partition columns re-materialize before the
-    * logical projection. */
+    * logical projection. `passthrough` columns live OUTSIDE the mapping
+    * (protocol metadata columns like cdc files' `_change_type` are stored
+    * under their literal names) and project through unrenamed. */
   def readMapped(spark: SparkSession, files: Seq[String], declared: StructType,
-      basePath: Option[String]): DataFrame = {
+      basePath: Option[String],
+      passthrough: Seq[StructField] = Nil): DataFrame = {
     val physSchema = StructType(declared.fields.map(f =>
-      StructField(physName(f), physicalType(f.dataType), f.nullable)))
+      StructField(physName(f), physicalType(f.dataType), f.nullable)) ++
+      passthrough)
     val reader = basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
     reader.schema(physSchema).parquet(files: _*)
       .select(declared.fields.toSeq.map(f =>
         relabel(col(s"`${physName(f)}`"), f.dataType, toLogical = true)
-          .as(f.name)): _*)
+          .as(f.name)) ++
+        passthrough.map(f => col(s"`${f.name}`")): _*)
   }
 }

@@ -513,7 +513,8 @@ class DeltaSource(
     * streamed batch). Column-mapped tables resolve physical `col-<uuid>`
     * names to logical ones ([[graft.delta.ColumnMapping]] — a raw read
     * would stream wrong column names); schema lookup is memo-amortized. */
-  private def readDataFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  private def readDataFiles(spark: SparkSession, paths: Seq[String],
+      passthrough: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
     val partitioned = paths.exists(_.split('/').dropRight(1).exists(_.contains('=')))
     val mapped = checkpoint.log.tableSchemaString(tablePath)
       .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
@@ -521,8 +522,10 @@ class DeltaSource(
       .filter(graft.delta.ColumnMapping.isMapped)
     mapped match {
       case Some(s) => graft.delta.ColumnMapping.readMapped(spark, paths, s,
-        basePath = if (partitioned) Some(tablePath) else None)
+        basePath = if (partitioned) Some(tablePath) else None,
+        passthrough = passthrough)
       case None =>
+        // raw reads surface every file column, passthrough included
         if (partitioned) spark.read.option("basePath", tablePath).parquet(paths: _*)
         else spark.read.parquet(paths: _*)
     }
@@ -546,7 +549,14 @@ class DeltaSource(
       def norm(p: String) = graft.delta.DeletionVector.normUri(
         checkpoint.log.resolvePath(tablePath, p))
       val paths = es.map(e => checkpoint.log.resolvePath(tablePath, e.path))
-      val scan = readDataFiles(spark, paths)
+      // cdc files store `_change_type` under its literal (unmapped) name —
+      // on a column-mapped table the logical projection must pass it
+      // through or every change row loses its type
+      val scan =
+        if (kind == "cdc") readDataFiles(spark, paths, passthrough = Seq(
+          org.apache.spark.sql.types.StructField(Cdc.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType)))
+        else readDataFiles(spark, paths)
       val base = kind match {
         case "cdc" => scan // cdc files never carry DVs
         case "dv_delete" | "dv_delete_full" =>

@@ -1453,6 +1453,63 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("CDF reads from a foreign column-mapped table resolve logical names") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"; val cp = s"$tmp/cp"
+      var stageN = 0
+      def stage(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+        stageN += 1
+        val sd = s"$tmp/stage$stageN"
+        df.coalesce(1).write.parquet(sd)
+        val part = new File(sd).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.createDirectories(Paths.get(dest).getParent)
+        Files.move(part.toPath, Paths.get(dest))
+      }
+      // foreign mapped table: v0 insert, v1 update with a cdc file — all
+      // files carry PHYSICAL names; the cdc file's _change_type column is
+      // protocol metadata stored under its literal name
+      stage(Seq((1L, "a")).toDF("col-111", "col-222"), s"$t/data0.parquet")
+      stage(Seq((1L, "A")).toDF("col-111", "col-222"), s"$t/data1.parquet")
+      stage(Seq((1L, "A", "update_postimage"))
+        .toDF("col-111", "col-222", "_change_type"),
+        s"$t/_change_data/cdc-0.parquet")
+      def mapped(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        mapped("id", "col-111", 1L, LongType),
+        mapped("s", "col-222", 2L, StringType)))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-cdf"); md.put("schemaString", logical.json)
+      val cfg = graft.util.Jsons.obj()
+      cfg.put("delta.enableChangeDataFeed", "true")
+      cfg.put("delta.columnMapping.mode", "name")
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", cfg)
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""",
+        add("data0.parquet"))
+      writeLog(t, 1, ci(10), add("data1.parquet"), remove("data0.parquet"),
+        cdc("_change_data/cdc-0.parquet"))
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(cp, conf),
+        DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest,
+          readChangeFeed = true))
+      val b = src.planBatch().get
+      val df = src.readBatch(spark, b)
+      assert(df.columns.take(2).toSeq === Seq("id", "s"),
+        s"logical names must surface: ${df.columns.toSeq}")
+      val rows = df.select(col("id"), col("s"), col(Cdc.ChangeTypeCol),
+        col(Cdc.CommitVersionCol)).orderBy(Cdc.CommitVersionCol).collect()
+      assert(rows.map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq ===
+        Seq((1L, "a", "insert", 0L), (1L, "A", "update_postimage", 1L)))
+    }
+  }
+
   test("CDF write + CDF read round-trip with metadata columns") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"; val cp = s"$tmp/cp"
