@@ -26,6 +26,11 @@ import org.apache.parquet.schema.MessageTypeParser
 class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
   private val log = new DeltaLogReader(conf)
 
+  // Protocol-shaped columns (delta-spark's checkpoint schema subset):
+  // partitionValues and configuration are parquet MAPs, deletionVector a
+  // struct — a foreign reader following `_last_checkpoint` after log
+  // expiry sees standard fields, not private JSON-string encodings. Our
+  // reader still parses the legacy *Json columns from older checkpoints.
   private val Schema = MessageTypeParser.parseMessageType(
     """message checkpoint {
       |  optional group add {
@@ -33,13 +38,29 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |    optional int64 size;
       |    optional boolean dataChange;
       |    optional binary stats (STRING);
-      |    optional binary partitionValuesJson (STRING);
-      |    optional binary deletionVectorJson (STRING);
+      |    optional group partitionValues (MAP) {
+      |      repeated group key_value {
+      |        required binary key (STRING);
+      |        optional binary value (STRING);
+      |      }
+      |    }
+      |    optional group deletionVector {
+      |      optional binary storageType (STRING);
+      |      optional binary pathOrInlineDv (STRING);
+      |      optional int32 offset;
+      |      optional int32 sizeInBytes;
+      |      optional int64 cardinality;
+      |    }
       |  }
       |  optional group metaData {
       |    required binary id (STRING);
       |    optional binary schemaString (STRING);
-      |    optional binary configurationJson (STRING);
+      |    optional group configuration (MAP) {
+      |      repeated group key_value {
+      |        required binary key (STRING);
+      |        optional binary value (STRING);
+      |      }
+      |    }
       |  }
       |  optional group txn {
       |    required binary appId (STRING);
@@ -101,7 +122,17 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         val md = g.addGroup("metaData")
         md.append("id", m.id)
         m.schemaString.foreach(s => md.append("schemaString", s))
-        m.configurationJson.foreach(c => md.append("configurationJson", c))
+        // the protocol configuration map — an explicitly-empty {} writes
+        // an empty map group (present, no entries), preserving the
+        // cleared-vs-absent distinction through the checkpoint
+        m.configurationJson.foreach { c =>
+          val cg = md.addGroup("configuration")
+          Jsons.fields(Jsons.parse(c)).toSeq.sortBy(_._1).foreach { case (k, v) =>
+            val e = cg.addGroup("key_value")
+            e.append("key", k)
+            e.append("value", v.asText())
+          }
+        }
         writer.write(g)
       }
       txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
@@ -119,18 +150,21 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         add.append("dataChange", true)
         a.stats.foreach(s => add.append("stats", s))
         if (a.partitionValues.nonEmpty) {
-          // JSON-string encoding (not the protocol's map type — parquet-mr's
-          // example API has no map writer); only OUR checkpoint files use
-          // this, JSON commits carry the standard partitionValues object
-          val pv = Jsons.obj()
-          a.partitionValues.foreach { case (k, v) => pv.put(k, v) }
-          add.append("partitionValuesJson", Jsons.render(pv))
+          val pv = add.addGroup("partitionValues")
+          a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            val e = pv.addGroup("key_value")
+            e.append("key", k)
+            e.append("value", v)
+          }
         }
-        // JSON-string encoding, same trade as partitionValuesJson: only OUR
-        // checkpoints use it; dropping the DV instead would checkpoint a
-        // state that resurrects the file's deleted rows
-        a.deletionVector.foreach(d =>
-          add.append("deletionVectorJson", Jsons.render(DeltaWriter.dvNode(d))))
+        a.deletionVector.foreach { d =>
+          val dv = add.addGroup("deletionVector")
+          dv.append("storageType", d.storageType)
+          dv.append("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(o => dv.append("offset", o.toInt))
+          dv.append("sizeInBytes", d.sizeInBytes.toInt)
+          dv.append("cardinality", d.cardinality)
+        }
         writer.write(g)
       }
     } finally writer.close()

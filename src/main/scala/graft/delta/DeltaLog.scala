@@ -181,9 +181,12 @@ class DeltaLogReader(conf: Configuration) {
     ).orElse(Jsons.optField(n, "metaData").map(md =>
       MetaData(Jsons.optStr(md, "id").getOrElse(""), Jsons.optStr(md, "schemaString"),
         // table properties (CDF, appendOnly, columnMapping.mode, ...) must
-        // survive OUR commits' metaData re-emission — carry the raw node
-        Jsons.optField(md, "configuration").filter(_.size() > 0)
-          .map(Jsons.render))
+        // survive OUR commits' metaData re-emission — carry the raw node.
+        // An explicitly EMPTY {} is kept as Some("{}"): metaData actions
+        // REPLACE configuration wholesale, so a foreign UNSET of every
+        // property must not resurrect the older config; only a truly
+        // ABSENT field falls back (our pre-r7 commits omitted it)
+        Jsons.optField(md, "configuration").map(Jsons.render))
     )).orElse(Jsons.optField(n, "add").map { a =>
       AddFile(a.get("path").asText(), Jsons.optLong(a, "size").getOrElse(0L),
         Jsons.optBool(a, "dataChange").getOrElse(true), Jsons.optStr(a, "stats"),
@@ -307,7 +310,10 @@ class DeltaLogReader(conf: Configuration) {
         .orElse(scala.util.Try(g.getLong(f, 0).toInt).toOption)
     else None
   /** A parquet MAP<string,string> column (repeated `key_value` groups —
-    * how delta-spark checkpoints store metaData `configuration`). */
+    * how delta-spark checkpoints store metaData `configuration` and add
+    * `partitionValues`, and how ours do since round 8). A present-but-
+    * empty map reads as Some(empty) — "explicitly cleared" is distinct
+    * from "field absent". */
   private def mapField(g: Group, f: String): Option[Map[String, String]] =
     if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
       scala.util.Try {
@@ -319,8 +325,19 @@ class DeltaLogReader(conf: Configuration) {
             (if (e.getFieldRepetitionCount("value") > 0) e.getString("value", 0)
              else "")
         }.toMap
-      }.toOption.filter(_.nonEmpty)
+      }.toOption
     else None
+
+  /** The protocol's checkpoint deletionVector struct (offset and
+    * sizeInBytes are int32 in the checkpoint schema). */
+  private def parseDvGroup(g: Group): Option[DvDescriptor] =
+    for {
+      st <- strField(g, "storageType")
+      p <- strField(g, "pathOrInlineDv")
+    } yield DvDescriptor(st, p,
+      intField(g, "offset").map(_.toLong),
+      intField(g, "sizeInBytes").map(_.toLong).getOrElse(0L),
+      longField(g, "cardinality").getOrElse(0L))
 
   /** Read the add/remove/metaData actions out of a checkpoint's parquet
     * part files (one row per action, each action kind a nullable struct
@@ -337,11 +354,17 @@ class DeltaLogReader(conf: Configuration) {
               longField(a, "size").getOrElse(0L),
               boolField(a, "dataChange").getOrElse(true),
               strField(a, "stats"),
-              strField(a, "partitionValuesJson").map(j =>
-                Jsons.fields(Jsons.parse(j))
-                  .map { case (k, v) => k -> v.asText() }.toMap)
+              // protocol MAP column (ours since round 8 + delta-spark);
+              // legacy JSON-string column from our older checkpoints
+              mapField(a, "partitionValues")
+                .orElse(strField(a, "partitionValuesJson").map(j =>
+                  Jsons.fields(Jsons.parse(j))
+                    .map { case (k, v) => k -> v.asText() }.toMap))
                 .getOrElse(Map.empty),
-              strField(a, "deletionVectorJson").map(j => parseDvNode(Jsons.parse(j)))))
+              // protocol struct column, then the legacy JSON string
+              grpField(a, "deletionVector").flatMap(parseDvGroup)
+                .orElse(strField(a, "deletionVectorJson")
+                  .map(j => parseDvNode(Jsons.parse(j))))))
           }
           grpField(rec, "remove").foreach { r =>
             strField(r, "path").foreach(p => out += RemoveFile(p,
@@ -349,14 +372,15 @@ class DeltaLogReader(conf: Configuration) {
           }
           grpField(rec, "metaData").foreach { md =>
             strField(md, "id").foreach { id =>
-              // our checkpoints store the raw JSON; foreign (delta-spark)
-              // checkpoints store a parquet MAP — read either
-              val config = strField(md, "configurationJson")
-                .orElse(mapField(md, "configuration").map { m =>
+              // the protocol MAP (delta-spark + ours since round 8), then
+              // the legacy JSON string from our older checkpoints; an
+              // EMPTY map stays Some("{}") — explicitly cleared properties
+              val config = mapField(md, "configuration").map { m =>
                   val o = Jsons.obj()
                   m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
                   Jsons.render(o)
-                })
+                }
+                .orElse(strField(md, "configurationJson"))
               out += MetaData(id, strField(md, "schemaString"), config)
             }
           }

@@ -808,8 +808,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       lines.result().mkString("\n")
     }
 
+    // the metaData state our re-emission was planned from — evaluated
+    // only when intervening commits actually need conflict-checking
+    lazy val metaBaseline = readVersion.flatMap(v => log.metaAt(tablePath, v))
     commitWithRetry(tablePath, content,
-      DeltaWriter.conflictReason(operation, removed, txn, _), readVersion)
+      DeltaWriter.conflictReason(operation, removed, txn, _, metaBaseline),
+      readVersion)
   }
 
   /** Optimistic concurrency: attempt the commit at latest+1; when another
@@ -898,7 +902,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * dataChange=false and ignores it too). Unpartitioned tables are the
     * single-group degenerate case. */
   def compact(tablePath: String, smallFileBytes: Long = 32L * 1024 * 1024): Long = {
-    import org.apache.spark.sql.functions.{col, concat_ws, monotonically_increasing_id, pmod, typedlit}
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, monotonically_increasing_id, pmod, typedlit}
     val latest = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
     val adds = DeltaStats.activeAdds(log, tablePath, latest)
@@ -936,8 +940,20 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         // ~128 MB output file per salt, independent of how many thousand
         // hive partitions the table has (the old shape was one serial
         // Spark job PER group: 10k partitions = 10k driver-looped jobs).
+        // group keys must match the DataFrame-side lookup COLLISION-FREE:
+        // a non-printable separator (a space inside a partition value
+        // would shift fields) and an explicit null sentinel (concat_ws
+        // silently DROPS null slots; hive's null dir name maps to the
+        // same sentinel) — a missed lookup would null the salt and
+        // collapse the fan-out
+        val NullPv = "\u0000"
+        val Sep = "\u0001"
+        def pvKey(pv: Map[String, String]): String =
+          partCols.map(c => pv.get(c)
+            .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+            .getOrElse(NullPv)).mkString(Sep)
         val targets: Map[String, Int] = groups.map { case (pv, g) =>
-          partCols.map(c => pv.getOrElse(c, "")).mkString(" ") ->
+          pvKey(pv) ->
             math.max(1, (g.map(_.size).sum / (128L * 1024 * 1024)).toInt)
         }.toMap
         // readAdds surfaces LOGICAL names on a mapped table; the rewrite
@@ -948,10 +964,15 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           .map(s => ColumnMapping.toPhysical(df0, s)).getOrElse(df0)
         // contiguous per-task ids cycle through each group's salt budget,
         // spreading rows evenly without hashing arbitrary data columns
+        val keyExpr = concat_ws(Sep, partCols.map(c =>
+          coalesce(col(s"`$c`").cast("string"), lit(NullPv))): _*)
         val salted = df.withColumn("__salt",
           pmod(monotonically_increasing_id(),
-            typedlit[Map[String, Int]](targets)
-              .apply(concat_ws(" ", partCols.map(col): _*))))
+            // a lookup can only miss if path-decoding and column values
+            // disagree in some unforeseen way — degrade to salt 0 (one
+            // output file for that group), never a null-salt collapse
+            coalesce(typedlit[Map[String, Int]](targets).apply(keyExpr),
+              lit(1))))
         val routed = salted
           .repartition(math.max(targets.values.sum, 1),
             (partCols :+ "__salt").map(col): _*)
@@ -1152,13 +1173,29 @@ object DeltaWriter {
     * (delta-spark's ConcurrentTransactionException). */
   private[graft] def conflictReason(operation: String, removedPaths: Seq[String],
       txn: Option[(String, Long)],
-      intervening: Seq[DeltaCommit]): Option[String] = {
+      intervening: Seq[DeltaCommit],
+      metaBaseline: Option[TableMeta] = None): Option[String] = {
     val txnClash = txn.flatMap { case (appId, v) =>
       intervening.flatMap(_.txns).find(t => t.appId == appId && t.version >= v)
         .map(t => s"concurrent transaction for appId $appId: an intervening " +
           s"commit already recorded batch ${t.version} (ours: $v)")
     }
     if (txnClash.isDefined) return txnClash
+    // every commit of ours re-emits metaData built from its planning
+    // snapshot — an intervening commit that CHANGED the table's
+    // configuration or non-additively changed its schema would be
+    // clobbered with our stale copy (delta-spark fails concurrent
+    // metadata updates too). Same-content re-emissions (every concurrent
+    // append does one) and purely ADDITIVE schema growth compose: the
+    // retry path folds new columns into our metaData instead.
+    val metaClash = metaBaseline.flatMap { base =>
+      intervening.flatMap(_.actions).collectFirst {
+        case m: DeltaAction.MetaData if metaConflicts(base, m) =>
+          s"an intervening commit changed the table's metaData " +
+          "(configuration or non-additive schema change); re-plan the write"
+      }
+    }
+    if (metaClash.isDefined) return metaClash
     operation match {
       case "WRITE_APPEND" => None
       case "OPTIMIZE" =>
@@ -1173,6 +1210,26 @@ object DeltaWriter {
           Some(s"$operation computed its file set from a snapshot that " +
             "concurrent commits have changed")
         else None
+    }
+  }
+
+  /** True when `m` is a REAL metadata change relative to the planning
+    * snapshot: configuration differs (order-insensitive JSON compare,
+    * absent == {}), or the schema changed in a way column-folding can't
+    * absorb (anything but adding new fields). */
+  private def metaConflicts(base: TableMeta, m: DeltaAction.MetaData): Boolean = {
+    def cfg(j: Option[String]): JsonNode =
+      Jsons.parse(j.getOrElse("{}"))
+    if (cfg(base.configurationJson) != cfg(m.configurationJson)) return true
+    (base.schemaString, m.schemaString) match {
+      case (bs, ms) if bs == ms => false
+      case (Some(bs), Some(ms)) =>
+        val baseFields = DataType.fromJson(bs).asInstanceOf[StructType].fields
+        val newFields = DataType.fromJson(ms).asInstanceOf[StructType].fields
+          .map(f => f.name -> f.dataType).toMap
+        // additive = every base field survives with its type
+        !baseFields.forall(f => newFields.get(f.name).contains(f.dataType))
+      case _ => true
     }
   }
 }

@@ -679,6 +679,7 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
   }
 
   test("writes carry a foreign table's configuration forward, incl. through checkpoints") {
+    import org.apache.spark.sql.types._
     withTmpDir { tmp =>
       val t = s"$tmp/table"
       val w = writer
@@ -708,6 +709,31 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(raw2.contains(""""delta.enableChangeDataFeed":"true""""),
         s"configuration lost through the checkpoint:\n$raw2")
       assert(w.read(t).count() === 3L)
+      // ... and the checkpoint parquet stores the PROTOCOL's configuration
+      // map, not a private JSON-string column — a foreign reader following
+      // _last_checkpoint sees standard fields
+      val ck = spark.read.parquet(s"$t/_delta_log/${"%020d".format(2L)}.checkpoint.parquet")
+      val mdType = ck.schema("metaData").dataType.asInstanceOf[StructType]
+      assert(mdType("configuration").dataType.isInstanceOf[MapType],
+        s"checkpoint configuration must be a parquet MAP: ${mdType("configuration").dataType}")
+      val cfgRow = ck.filter(col("metaData").isNotNull)
+        .select(col("metaData.configuration")).head().getMap[String, String](0)
+      assert(cfgRow.get("delta.enableChangeDataFeed").contains("true"))
+      // a foreign UNSET of every property (explicitly empty {}) must NOT
+      // be resurrected by our next commit's re-emission
+      val md2 = graft.util.Jsons.obj()
+      md2.put("id", new DeltaLogReader(conf).tableId(t).get)
+      md2.put("schemaString", w.tableSchema(t).get.json)
+      md2.set[com.fasterxml.jackson.databind.JsonNode]("configuration",
+        graft.util.Jsons.obj())
+      writeLog(t, 4, ci(40), s"""{"metaData": ${graft.util.Jsons.render(md2)}}""")
+      w.write(Seq((4L, "d")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      val raw5 = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${5L}%020d.json")))
+      assert(raw5.contains(""""configuration":{}"""),
+        s"an explicit UNSET must stay cleared:\n$raw5")
+      assert(!raw5.contains("enableChangeDataFeed"),
+        s"cleared properties must not resurrect:\n$raw5")
     }
   }
 
@@ -1289,6 +1315,30 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("compact salt routing survives spaces and NULLs in partition values") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      // partition values with a space (would shift a space-joined key) and
+      // NULL (concat_ws drops the slot entirely) — both made the salt-map
+      // lookup miss and nulled the fan-out before the sentinel encoding
+      val vals = Seq("a b", "a", null)
+      (0 until 6).foreach { i =>
+        w.write(Seq((i.toLong, vals(i % 3))).toDF("id", "p"), t,
+          DeltaWriteMode.Append, partitionBy = Seq("p"))
+      }
+      val v = w.compact(t, smallFileBytes = 1024 * 1024)
+      val log = new DeltaLogReader(conf)
+      val after = graft.delta.DeltaStats.activeAdds(log, t, v)
+      assert(after.size === 3,
+        s"expected one compacted file per partition: ${after.map(_.path)}")
+      val rows = w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1))))
+      assert(rows.toSeq === (0 until 6).map(i =>
+        (i.toLong, Option(vals(i % 3)))))
+    }
+  }
+
   test("string-interval skipping schedules only lexically intersecting files") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
@@ -1624,6 +1674,34 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       "an older intervening batch does not block a newer one")
     assert(DW.conflictReason("WRITE_APPEND", Nil, Some(("other", 7L)), Seq(sameTxn)).isEmpty)
     assert(DW.conflictReason("MERGE", Nil, Some(("app", 7L)), Seq(sameTxn)).isDefined)
+    // intervening metaData: a same-content re-emission (every concurrent
+    // append does one) and purely additive schema growth compose; a
+    // configuration change or a non-additive schema change conflicts —
+    // our commit would clobber it with the stale planning copy
+    import org.apache.spark.sql.types._
+    val baseSchema = StructType(Seq(StructField("id", LongType)))
+    val widened = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    val retyped = StructType(Seq(StructField("id", StringType)))
+    val base = graft.delta.TableMeta("t", Some(baseSchema.json), 0L,
+      Some("""{"delta.appendOnly":"false"}"""))
+    def metaCommit(schema: StructType, cfg: Option[String]) =
+      commitOf(DeltaAction.MetaData("t", Some(schema.json), cfg))
+    assert(DW.conflictReason("WRITE_APPEND", Nil, None,
+      Seq(metaCommit(baseSchema, Some("""{"delta.appendOnly":"false"}"""))),
+      Some(base)).isEmpty, "same-content re-emission must compose")
+    assert(DW.conflictReason("WRITE_APPEND", Nil, None,
+      Seq(metaCommit(widened, Some("""{"delta.appendOnly":"false"}"""))),
+      Some(base)).isEmpty, "additive schema growth must compose (retry folds it)")
+    assert(DW.conflictReason("WRITE_APPEND", Nil, None,
+      Seq(metaCommit(baseSchema, Some("""{"delta.appendOnly":"true"}"""))),
+      Some(base)).isDefined, "a configuration change must conflict")
+    assert(DW.conflictReason("WRITE_APPEND", Nil, None,
+      Seq(metaCommit(baseSchema, Some("{}"))),
+      Some(base)).isDefined, "clearing the configuration must conflict")
+    assert(DW.conflictReason("WRITE_APPEND", Nil, None,
+      Seq(metaCommit(retyped, Some("""{"delta.appendOnly":"false"}"""))),
+      Some(base)).isDefined, "a column type change must conflict")
   }
 
   test("commits landing in the planning window are conflict-checked on the first attempt") {
