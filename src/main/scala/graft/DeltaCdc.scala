@@ -128,15 +128,13 @@ object DeltaCdc {
 
           // DV eligibility: every candidate file's logical row count is
           // derivable (rows_out accounting). Schema widening does NOT
-          // disqualify — the DV commit grows the metaData schema and old
-          // rows null-fill the new columns at read (no rewrite needed).
-          // Column-mapped tables take the rewrite path: the DV mark scan
-          // rides _metadata on plain reads, which the mapped projection
-          // doesn't carry.
+          // disqualify — the DV commit grows the metaData schema (minting
+          // physical names on mapped tables) and old rows null-fill the
+          // new columns at read (no rewrite needed). Column-mapped tables
+          // are eligible too: the mark scan keeps _metadata through the
+          // mapped projection and the payload writes physically.
           val dvEligible = touched.nonEmpty &&
-            touched.forall(numRecordsOf(_).isDefined) &&
-            !writer.tableSchema(tablePath)
-              .exists(graft.delta.ColumnMapping.isMapped)
+            touched.forall(numRecordsOf(_).isDefined)
           val useDv = strategy match {
             case MergeStrategy.Rewrite => false
             case MergeStrategy.Auto => dvEligible

@@ -115,7 +115,8 @@ object ColumnMapping {
     * under their literal names) and project through unrenamed. */
   def readMapped(spark: SparkSession, files: Seq[String], declared: StructType,
       basePath: Option[String],
-      passthrough: Seq[StructField] = Nil): DataFrame = {
+      passthrough: Seq[StructField] = Nil,
+      keepMeta: Boolean = false): DataFrame = {
     val physSchema = StructType(declared.fields.map(f =>
       StructField(physName(f), physicalType(f.dataType), f.nullable)) ++
       passthrough)
@@ -124,6 +125,21 @@ object ColumnMapping {
       .select(declared.fields.toSeq.map(f =>
         relabel(col(s"`${physName(f)}`"), f.dataType, toLogical = true)
           .as(f.name)) ++
-        passthrough.map(f => col(s"`${f.name}`")): _*)
+        passthrough.map(f => col(s"`${f.name}`")) ++
+        // deletion-vector filtering needs each row's provenance; the
+        // hidden scan column survives the projection only if selected
+        (if (keepMeta) Seq(col("_metadata")) else Nil): _*)
   }
+
+  /** Change-file (cdc) rows for a mapped table: the table's columns
+    * relabel to physical names; protocol metadata columns in `keep`
+    * (`_change_type`) stay verbatim; anything else is dropped — a cdc
+    * file must contain exactly the table columns plus the change type,
+    * or foreign readers misparse it. */
+  def cdcToPhysical(df: DataFrame, schema: StructType,
+      keep: Seq[String]): DataFrame =
+    df.select(schema.fields.toSeq.filter(f => df.columns.contains(f.name))
+      .map(f => relabel(col(s"`${f.name}`"), f.dataType, toLogical = false)
+        .as(physName(f))) ++
+      keep.filter(df.columns.contains).map(c => col(s"`$c`")): _*)
 }

@@ -146,20 +146,22 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     import org.apache.spark.sql.functions.col
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
-    if (declared.exists(ColumnMapping.isMapped))
-      throw new GraftError(
-        s"table $tablePath uses delta column mapping; this writer reads " +
-        "such tables but will not write them")
     val files = adds.map(a => log.resolvePath(tablePath, a.path))
     val partitioned = files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
-    val raw =
-      if (partitioned)
-        declared.foldLeft(spark.read.option("basePath", tablePath))(
-          (r, s) => r.schema(s)).parquet(files: _*)
-      else declared match {
-        case Some(s) => spark.read.schema(s).parquet(files: _*)
-        case None => spark.read.parquet(files: _*)
-      }
+    val raw = declared.filter(ColumnMapping.isMapped) match {
+      // the mapped projection keeps _metadata explicitly so provenance
+      // survives to the row-meta columns below
+      case Some(s) => ColumnMapping.readMapped(spark, files, s,
+        basePath = if (partitioned) Some(tablePath) else None, keepMeta = true)
+      case None =>
+        if (partitioned)
+          declared.foldLeft(spark.read.option("basePath", tablePath))(
+            (r, s) => r.schema(s)).parquet(files: _*)
+        else declared match {
+          case Some(s) => spark.read.schema(s).parquet(files: _*)
+          case None => spark.read.parquet(files: _*)
+        }
+    }
     val dvByPath: Map[String, DvDescriptor] = adds
       .flatMap(a => a.deletionVector.map(d =>
         DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> d)).toMap
@@ -167,6 +169,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     dvFilter(tablePath, dvByPath, raw)
       .withColumn(RowMetaFile, col("_metadata.file_path"))
       .withColumn(RowMetaIndex, col("_metadata.row_index"))
+      .drop("_metadata")
   }
 
   /** The shared DV-delete commit: fold `marked` ([[RowMetaFile]],
@@ -189,7 +192,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       extraParts: Seq[WrittenPart], cdcParts: Seq[(String, Long)],
       txn: Option[(String, Long)], readVersion: Long,
       operation: String,
-      schemaOverride: Option[StructType] = None): (Long, Long) = {
+      schemaOverride: Option[StructType] = None,
+      mintedMaxColumnId: Option[Long] = None): (Long, Long) = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions.{col, count, lit, udaf}
     val declared = log.tableSchemaString(tablePath)
@@ -243,10 +247,19 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         Some(DvDescriptor("u", r.ref.get, r.offset, r.sizeInBytes.get,
           r.cardinality)))
     }
+    // path-derived partition columns are physical on a mapped table;
+    // metaData partitionColumns stay logical
+    val partColsLogical = {
+      val physToLogical = declared.filter(ColumnMapping.isMapped)
+        .map(s => ColumnMapping.physicalNames(s).map(_.swap))
+        .getOrElse(Map.empty[String, String])
+      partitionColumnsOf(tablePath).map(p => physToLogical.getOrElse(p, p))
+    }
     val version = commit(tablePath, operation,
       schemaOverride.orElse(declared).getOrElse(StructType(Nil)),
       results.map(r => addOf(r.path).path), reAdds ++ extraParts, cdcParts,
-      partitionColumnsOf(tablePath), txn, readVersion = Some(readVersion))
+      partColsLogical, txn, readVersion = Some(readVersion),
+      mintedMaxColumnId = mintedMaxColumnId)
     (version, deleted)
   }
 
@@ -269,25 +282,42 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val declared = log.tableSchemaString(tablePath)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(payload.schema)
+    val mapped = ColumnMapping.isMapped(declared)
     val newCols = payload.schema.fields
       .filterNot(f => declared.fieldNames.contains(f.name))
-    val outSchema = StructType(declared.fields ++ newCols.map(_.copy(nullable = true)))
+    // widening on a mapped table mints physical names + bumps maxColumnId
+    // in the same commit, like writeImpl's mergeSchema append
+    val minted: Option[(Array[StructField], Long)] =
+      if (mapped && newCols.nonEmpty)
+        Some(mintMappedColumns(tablePath, declared, newCols))
+      else None
+    val outSchema = StructType(declared.fields ++
+      minted.map(_._1).getOrElse(newCols.map(_.copy(nullable = true))))
     val aligned = payload.select(outSchema.fields.toSeq.map(f =>
       (if (payload.columns.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)): _*)
+    // appended payload files carry physical names on a mapped table; the
+    // hive layout (path-derived partCols) is already physical there
+    val toWrite =
+      if (mapped) ColumnMapping.toPhysical(aligned, outSchema) else aligned
     val effectiveParts = partitionColumnsOf(tablePath)
     val parts =
-      if (effectiveParts.isEmpty) writeParts(aligned, root, fs, prefix = "part")
-      else writePartitionedParts(aligned, root, effectiveParts)
+      if (effectiveParts.isEmpty) writeParts(toWrite, root, fs, prefix = "part")
+      else writePartitionedParts(toWrite, root, effectiveParts)
     val cdcParts = cdfChanges.map { ch =>
       val cdcDir = new Path(root, "_change_data")
       fs.mkdirs(cdcDir)
-      writeParts(ch, cdcDir, fs, prefix = "cdc").map(p =>
+      val out =
+        if (mapped) ColumnMapping.cdcToPhysical(ch, outSchema,
+          keep = Seq(graft.Cdc.ChangeTypeCol))
+        else ch
+      writeParts(out, cdcDir, fs, prefix = "cdc").map(p =>
         (s"_change_data/${p.path}", p.size))
     }.getOrElse(Seq.empty)
     dvDeleteCommit(tablePath, candidates, marked, parts, cdcParts, txn,
       readVersion, "MERGE",
-      schemaOverride = if (newCols.isEmpty) None else Some(outSchema))._2
+      schemaOverride = if (newCols.isEmpty) None else Some(outSchema),
+      mintedMaxColumnId = minted.map(_._2))._2
   }
 
   /** Translate skipping-range keys to the PHYSICAL column names for
@@ -357,17 +387,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       .flatMap(a => a.deletionVector.map(d =>
         DeletionVector.normUri(log.resolvePath(tablePath, a.path)) -> d)).toMap
     declared.filter(ColumnMapping.isMapped).foreach { s =>
-      // DV filtering rides _metadata on OUR scans; the column-mapped read
-      // path builds its own projection — refuse the combination rather
-      // than resurface deleted rows
-      if (dvByPath.nonEmpty)
-        throw new graft.core.PlanningError(
-          s"table $tablePath combines column mapping and deletion vectors; " +
-          "this reader supports each alone but not together")
       val anyPartitioned =
         files.exists(_.split('/').dropRight(1).exists(_.contains('=')))
-      return ColumnMapping.readMapped(spark, files, s,
-        basePath = if (anyPartitioned) Some(tablePath) else None)
+      // DV filtering needs row provenance, which the mapped projection
+      // would drop — keep the _metadata struct through it, filter, then
+      // drop the helper column
+      val mappedDf = ColumnMapping.readMapped(spark, files, s,
+        basePath = if (anyPartitioned) Some(tablePath) else None,
+        keepMeta = dvByPath.nonEmpty)
+      return if (dvByPath.isEmpty) mappedDf
+        else dvFilter(tablePath, dvByPath, mappedDf).drop("_metadata")
     }
     // hive-layout tables: partition columns live in the directory names,
     // not the data files — read with basePath so Spark re-materializes
@@ -492,6 +521,33 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   def lastTxnVersion(tablePath: String, appId: String): Option[Long] =
     if (!tableExists(tablePath)) None else log.lastTxnVersion(tablePath, appId)
 
+  /** Fresh physical `col-<uuid>` names + field ids for new logical
+    * columns on a mapped table; returns (minted fields, new maxColumnId).
+    * Ids continue from delta.columnMapping.maxColumnId, falling back to
+    * the highest existing field id when a foreign table never recorded
+    * the property. */
+  private def mintMappedColumns(tablePath: String, es: StructType,
+      newCols: Array[StructField]): (Array[StructField], Long) = {
+    val maxId = log.tableConfigurationJson(tablePath)
+      .map(Jsons.parse)
+      .flatMap(n => Jsons.optStr(n, "delta.columnMapping.maxColumnId"))
+      .map(_.toLong)
+      .orElse(es.fields.flatMap(f =>
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(f.metadata.getLong("delta.columnMapping.id")) else None)
+        .maxOption)
+      .getOrElse(0L)
+    val fields = newCols.zipWithIndex.map { case (f, i) =>
+      f.copy(nullable = true, metadata = new MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", maxId + i + 1)
+        .putString(ColumnMapping.PhysicalNameKey,
+          s"col-${UUID.randomUUID().toString}")
+        .build())
+    }
+    (fields, maxId + newCols.length)
+  }
+
   private def writeImpl(df: DataFrame, tablePath: String, mode: DeltaWriteMode,
       mergeSchema: Boolean,
       cdfChanges: Option[DataFrame],
@@ -550,41 +606,14 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
           s"cannot add columns ${newCols.map(_.name).mkString(",")} to " +
           s"column-mapped table $tablePath in this mode; use a mergeSchema " +
           "append (mints physical names)")
-      // cdc files would carry LOGICAL names that the mapped-aware CDF
-      // reader resolves as physical — refuse loudly, never misread
-      if (cdfChanges.isDefined)
-        throw new GraftError(
-          s"CDF emission into column-mapped table $tablePath is not " +
-          "supported (change files would mix name domains)")
     }
-    // physical-name minting for a mergeSchema append on a mapped table:
-    // ids continue from maxColumnId (falling back to the highest field id
-    // when a foreign table never recorded the property), and the commit
-    // carries the bumped value so a foreign writer's next mint can't
-    // collide
+    // physical-name minting for a mergeSchema append on a mapped table;
+    // the commit carries the bumped maxColumnId so a foreign writer's
+    // next mint can't collide
     val minted: Option[(Array[StructField], Long)] = mappedSchema.flatMap { es =>
       val newCols = df.schema.fields.filterNot(f => es.fieldNames.contains(f.name))
       if (newCols.isEmpty || mode != DeltaWriteMode.Append || !mergeSchema) None
-      else {
-        val maxId = log.tableConfigurationJson(tablePath)
-          .map(Jsons.parse)
-          .flatMap(n => Jsons.optStr(n, "delta.columnMapping.maxColumnId"))
-          .map(_.toLong)
-          .orElse(es.fields.flatMap(f =>
-            if (f.metadata.contains("delta.columnMapping.id"))
-              Some(f.metadata.getLong("delta.columnMapping.id")) else None)
-            .maxOption)
-          .getOrElse(0L)
-        val fields = newCols.zipWithIndex.map { case (f, i) =>
-          f.copy(nullable = true, metadata = new MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("delta.columnMapping.id", maxId + i + 1)
-            .putString(ColumnMapping.PhysicalNameKey,
-              s"col-${UUID.randomUUID().toString}")
-            .build())
-        }
-        Some((fields, maxId + newCols.length))
-      }
+      else Some(mintMappedColumns(tablePath, es, newCols))
     }
     val outSchema = existingSchema match {
       case Some(es) if mappedSchema.isDefined =>
@@ -626,7 +655,14 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val cdcParts = cdfChanges.map { ch =>
       val cdcDir = new Path(root, "_change_data")
       fs.mkdirs(cdcDir)
-      writeParts(ch, cdcDir, fs, prefix = "cdc").map(p =>
+      // mapped tables' change files carry the PHYSICAL column names plus
+      // the literal _change_type, exactly like delta-spark's — the
+      // mapped-aware CDF reader resolves them back to logical
+      val out = mappedSchema
+        .map(_ => ColumnMapping.cdcToPhysical(ch, outSchema,
+          keep = Seq(graft.Cdc.ChangeTypeCol)))
+        .getOrElse(ch)
+      writeParts(out, cdcDir, fs, prefix = "cdc").map(p =>
         (s"_change_data/${p.path}", p.size))
     }.getOrElse(Seq.empty)
 

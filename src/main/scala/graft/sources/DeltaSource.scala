@@ -476,36 +476,29 @@ class DeltaSource(
   def readBatch(spark: SparkSession, batch: BatchInfo): DataFrame = {
     if (options.readChangeFeed) return readCdfBatch(spark, batch)
     if (batch.files.isEmpty) spark.emptyDataFrame
-    else applyDvs(spark, batch, readDataFiles(spark, batch.paths))
+    else {
+      val hasDvs = checkpoint.dvFilesOf(batch.offset).nonEmpty
+      applyDvs(spark, batch,
+        readDataFiles(spark, batch.paths, keepMeta = hasDvs))
+    }
   }
 
   /** Apply the batch's planned deletion vectors (offset `dv_files`) so a
     * DV-bearing add streams its SURVIVING rows — descriptors broadcast,
     * bitmaps lazy-load on executors ([[graft.delta.DvScan]]). delta-spark
-    * streams DV tables the same way. */
+    * streams DV tables the same way. Mapped tables keep `_metadata`
+    * through their projection (readDataFiles keepMeta) so the filter can
+    * resolve provenance; the helper column is dropped afterwards. */
   private def applyDvs(spark: SparkSession, batch: BatchInfo,
       df: DataFrame): DataFrame = {
     val dvs = checkpoint.dvFilesOf(batch.offset)
     if (dvs.isEmpty) return df
-    refuseMappedWithDvs()
     val byPath = dvs.map { case (p, d) =>
       graft.delta.DeletionVector.normUri(
         checkpoint.log.resolvePath(tablePath, p)) -> d }.toMap
     graft.delta.DvScan.filterDeleted(spark, tablePath, byPath, df, conf)
+      .drop("_metadata")
   }
-
-  /** DV filtering rides `_metadata` on plain parquet scans; the
-    * column-mapped read path builds its own projection — refuse the
-    * combination rather than resurrect deleted rows (the batch reader
-    * draws the same line). */
-  private def refuseMappedWithDvs(): Unit =
-    if (checkpoint.log.tableSchemaString(tablePath)
-        .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .exists(graft.delta.ColumnMapping.isMapped))
-      throw new PlanningError(
-        s"table $tablePath combines column mapping and deletion vectors; " +
-        "this source supports each alone but not together")
 
   /** Hive-partitioned tables keep their partition columns: a path with a
     * `col=value` dir segment reads with `basePath` so Spark re-materializes
@@ -514,7 +507,8 @@ class DeltaSource(
     * names to logical ones ([[graft.delta.ColumnMapping]] — a raw read
     * would stream wrong column names); schema lookup is memo-amortized. */
   private def readDataFiles(spark: SparkSession, paths: Seq[String],
-      passthrough: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
+      passthrough: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      keepMeta: Boolean = false): DataFrame = {
     val partitioned = paths.exists(_.split('/').dropRight(1).exists(_.contains('=')))
     val mapped = checkpoint.log.tableSchemaString(tablePath)
       .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
@@ -523,9 +517,10 @@ class DeltaSource(
     mapped match {
       case Some(s) => graft.delta.ColumnMapping.readMapped(spark, paths, s,
         basePath = if (partitioned) Some(tablePath) else None,
-        passthrough = passthrough)
+        passthrough = passthrough, keepMeta = keepMeta)
       case None =>
-        // raw reads surface every file column, passthrough included
+        // raw reads surface every file column, passthrough included, and
+        // _metadata stays resolvable as a hidden scan column
         if (partitioned) spark.read.option("basePath", tablePath).parquet(paths: _*)
         else spark.read.parquet(paths: _*)
     }
@@ -541,8 +536,6 @@ class DeltaSource(
     val dvByPath = checkpoint.dvFilesOf(batch.offset).map { case (p, d) =>
       graft.delta.DeletionVector.normUri(
         checkpoint.log.resolvePath(tablePath, p)) -> d }.toMap
-    if (dvByPath.nonEmpty || entries.exists(_.kind.startsWith("dv_delete")))
-      refuseMappedWithDvs()
     val groups = entries.groupBy(e => (e.kind, e.version, e.tsMs)).toSeq
       .sortBy { case ((_, v, _), _) => v }
     val frames = groups.map { case ((kind, version, ts), es) =>
@@ -551,13 +544,14 @@ class DeltaSource(
       val paths = es.map(e => checkpoint.log.resolvePath(tablePath, e.path))
       // cdc files store `_change_type` under its literal (unmapped) name —
       // on a column-mapped table the logical projection must pass it
-      // through or every change row loses its type
+      // through or every change row loses its type; DV-filtered kinds keep
+      // `_metadata` through the mapped projection for row provenance
       val scan =
         if (kind == "cdc") readDataFiles(spark, paths, passthrough = Seq(
           org.apache.spark.sql.types.StructField(Cdc.ChangeTypeCol,
             org.apache.spark.sql.types.StringType)))
-        else readDataFiles(spark, paths)
-      val base = kind match {
+        else readDataFiles(spark, paths, keepMeta = true)
+      val base = (kind match {
         case "cdc" => scan // cdc files never carry DVs
         case "dv_delete" | "dv_delete_full" =>
           // the DELETED rows of a DV commit: new vector minus old vector
@@ -569,7 +563,7 @@ class DeltaSource(
         case _ => graft.delta.DvScan.filterDeleted(spark, tablePath,
           dvByPath.view.filterKeys(paths.map(
             graft.delta.DeletionVector.normUri).toSet).toMap, scan, conf)
-      }
+      }).drop("_metadata")
       val withType = kind match {
         case "cdc" => base
         case "dv_delete" | "dv_delete_full" =>

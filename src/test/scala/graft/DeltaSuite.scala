@@ -898,12 +898,111 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
         === Seq((9L, "z")))
       intercept[GraftError](w.write(
         Seq((4L, "d", 1.0)).toDF("id", "s", "extra"), t, DeltaWriteMode.Append))
-      // CDF emission into a mapped table would mix name domains in the
-      // change files — refused loudly
-      intercept[GraftError](DeltaCdc.applyCdcDelta(spark,
+      // CDF emission into a mapped table writes cdc files under PHYSICAL
+      // names plus the literal _change_type (delta-spark's shape), and
+      // the mapped-aware CDF source reads them back logically
+      val cdfSrc = new DeltaSource(t, new DeltaTableCheckpoint(s"$tmp/cdfcp", conf),
+        DeltaSourceOptions(startOffset = DeltaStartOffset.Latest,
+          readChangeFeed = true))
+      assert(cdfSrc.planBatch().isEmpty) // positioned at latest
+      DeltaCdc.applyCdcDelta(spark,
         Seq((9L, Some("y"), "update_postimage", 2L))
           .toDF("id", "s", Cdc.ChangeTypeCol, Cdc.CommitVersionCol),
-        t, Seq("id"), emitCdf = true))
+        t, Seq("id"), emitCdf = true)
+      assert(w.read(t).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((9L, "y")))
+      val cdcRaw = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$t/_change_data")
+      assert(cdcRaw.columns.toSet ===
+        Set("col-111-aaa", "col-222-bbb", Cdc.ChangeTypeCol),
+        s"cdc files must carry physical names: ${cdcRaw.columns.toSeq}")
+      val cdfBatch = cdfSrc.planBatch().get
+      val cdfRows = cdfSrc.readBatch(spark, cdfBatch)
+        .select("id", "s", Cdc.ChangeTypeCol).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(cdfRows.toSeq === Seq((9L, "y", "update_postimage")),
+        s"mapped CDF must read back logically: ${cdfRows.toSeq}")
+    }
+  }
+
+  test("deletion vectors work on column-mapped tables: delete, stream, widen-merge") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // start from OUR writes into a foreign-declared mapped table
+      Seq((1L, "a")).toDF("col-111", "col-222")
+        .coalesce(1).write.parquet(s"$tmp/stage")
+      val part = new File(s"$tmp/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(t))
+      Files.move(part.toPath, Paths.get(t, "data.parquet"))
+      def mapped(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        mapped("id", "col-111", 1L, LongType),
+        mapped("s", "col-222", 2L, StringType)))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-dv"); md.put("schemaString", logical.json)
+      val cfg = graft.util.Jsons.obj()
+      cfg.put("delta.columnMapping.mode", "name")
+      cfg.put("delta.columnMapping.maxColumnId", "2")
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", cfg)
+      // stats (physical keys) let the widen-merge below prune this file
+      // out of its DV candidate set
+      val foreignAdd =
+        """{"add": {"path": "data.parquet", "size": 10, "dataChange": true, """ +
+        """"stats": "{\"numRecords\":1,\"minValues\":{\"col-111\":1},\"maxValues\":{\"col-111\":1}}"}}"""
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""",
+        foreignAdd)
+      val w = writer
+      // one file with two rows, so the delete must BITMAP one of them
+      // (a single-row file would optimize into a whole-file remove)
+      w.write(Seq((2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1), t,
+        DeltaWriteMode.Append)
+      assert(w.deleteWhere(t, col("id") === 2L) === 1L)
+      assert(w.activeAdds(t).exists(_.deletionVector.isDefined),
+        "delete must land as a deletion vector, not a rewrite")
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (3L, "c")))
+      // streaming a mapped DV table serves SURVIVING rows logically
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(s"$tmp/cp", conf),
+        DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest,
+          ignoreChanges = true))
+      val streamed = Iterator.continually(src.planBatch())
+        .takeWhile(_.isDefined).take(5).flatMap { b =>
+          val rows = src.readBatch(spark, b.get)
+            .select("id", "s").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          src.commitBatch(b.get, Map.empty)
+          rows
+        }.toSeq
+      assert(streamed.sorted.distinct === Seq((1L, "a"), (3L, "c")),
+        s"mapped DV stream must serve survivors logically: $streamed")
+      // a WIDENING DV merge mints a physical name in the same commit
+      val changes = Seq((3L, Some("C"), Some(7.5), "update_postimage", 1L))
+        .toDF("id", "s", "score", Cdc.ChangeTypeCol, Cdc.CommitVersionCol)
+      DeltaCdc.applyCdcDelta(spark, changes, t, Seq("id"),
+        strategy = MergeStrategy.DeletionVectors)
+      val schema = w.tableSchema(t).get
+      assert(schema.fieldNames.toSeq === Seq("id", "s", "score"))
+      assert(schema("score").metadata
+        .getString("delta.columnMapping.physicalName").startsWith("col-"))
+      assert(schema("score").metadata.getLong("delta.columnMapping.id") === 3L)
+      val rows = w.read(t).orderBy("id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (3L, "C")))
+      assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 7.5,
+        "old rows null-fill the minted column; merged row carries its value")
+      val raw = new String(Files.readAllBytes(Paths.get(t, "_delta_log",
+        f"${new DeltaLogReader(conf).latestVersion(t).get}%020d.json")))
+      assert(raw.contains(""""delta.columnMapping.maxColumnId":"3""""),
+        s"widening DV merge must bump maxColumnId:\n$raw")
     }
   }
 
