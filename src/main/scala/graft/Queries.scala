@@ -977,6 +977,80 @@ object Queries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 32
              |ORDER BY corpus_id, bench_id""".stripMargin)),
 
+    // ----- PII redaction (C4/Dolma-style scrub) ----------------------------
+    // The synthetic corpus carries no natural PII, so the query PLANTS
+    // deterministic emails/phones/IPs from doc_id on BOTH sides — the
+    // oracle builds the identical text and must replace byte-for-byte
+    // (patterns stay in the Java-regex/RE2 common subset).
+    "d_pii_redact" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit(" call 555-867-5309")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".7"))).otherwise(lit(""))).as("text"))
+        planted.select(col("doc_id"),
+          Curation.redactPii(col("text")).as("clean"),
+          Curation.piiCount(col("text")).as("n_pii"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val Seq(email, ssn, phone, ip) =
+          graft.operators.Curation.PiiPatterns.map(_._1)
+        s"""WITH planted AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 3 = 0
+           |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           |      ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0
+           |      THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           |      ELSE '' END AS text
+           |  FROM documents),
+           |r1 AS (SELECT doc_id, LEN(regexp_extract_all(text, '$email')) AS c1,
+           |  regexp_replace(text, '$email', '<EMAIL>', 'g') AS t FROM planted),
+           |r2 AS (SELECT doc_id, c1, LEN(regexp_extract_all(t, '$ssn')) AS c2,
+           |  regexp_replace(t, '$ssn', '<SSN>', 'g') AS t FROM r1),
+           |r3 AS (SELECT doc_id, c1, c2, LEN(regexp_extract_all(t, '$phone')) AS c3,
+           |  regexp_replace(t, '$phone', '<PHONE>', 'g') AS t FROM r2),
+           |r4 AS (SELECT doc_id, c1, c2, c3, LEN(regexp_extract_all(t, '$ip')) AS c4,
+           |  regexp_replace(t, '$ip', '<IP>', 'g') AS t FROM r3)
+           |SELECT doc_id, t AS clean, c1 + c2 + c3 + c4 AS n_pii
+           |FROM r4 ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- deterministic mixture sampling (data mixing) --------------------
+    // Hash-mod sampling: reproducible across engines and runs (Knuth
+    // multiplicative hash in plain modular arithmetic), so the oracle
+    // computes the IDENTICAL sample — no RNG, no seed drift.
+    "d_sample_mix" -> QueryDef(
+      (s, d) => graft.operators.Curation.hashModSample(
+        t(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1))
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 <
+             |  CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+             |              WHEN 'src2' THEN 10 ELSE 100 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- mixture accounting (per-source token shares) --------------------
+    "d_mixture" -> QueryDef(
+      (s, d) => graft.operators.Curation.mixtureReport(
+        t(s, d, "documents"), "source", "text").orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+             |  ROUND(SUM(LEN(STRING_SPLIT(text, ' '))) /
+             |    SUM(SUM(LEN(STRING_SPLIT(text, ' ')))) OVER (), 6)
+             |    AS token_share
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------
     "d_winnow_pairs" -> QueryDef(

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation passes a pretraining pipeline runs between dedup and
+  * packing: PII redaction, deterministic mixture sampling, and mixture
+  * accounting. All three are MAP-ONLY (or one partial-agg) shapes — at
+  * 100 TB they stream through the scan with no shuffle beyond the final
+  * per-stratum reduction.
+  *
+  * Reference scope note: the reference engine has no curation family;
+  * these extend its relational surface the way its own operators are
+  * composed (pure built-in expressions, oracle-checkable).
+  */
+object Curation {
+
+  /** The classic PII patterns a public-corpus scrub redacts (the
+    * C4/Dolma-style pass): emails, North-American phone shapes, IPv4
+    * addresses, SSN-shaped ids. Pattern syntax stays in the
+    * Java-regex/RE2 COMMON SUBSET (character classes, bounded repeats,
+    * alternation — no lookaround, no backrefs) so an ANSI oracle
+    * (DuckDB = RE2) replaces byte-for-byte identically. Order matters:
+    * SSN before phone (both match 3-2-4 vs 3-3-4 digit runs), email
+    * before ip (a dotted quad inside a mail domain is the email's). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "[+]?[0-9]{0,2}[ ]?[(]?[0-9]{3}[)]?[- ][0-9]{3}-[0-9]{4}" -> "<PHONE>",
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}" -> "<IP>")
+
+  /** Redacted text column: every pattern replaced in order. Pure
+    * `regexp_replace` chain — codegen'd, zero shuffle, the 100 TB shape
+    * is one streaming pass over the scan. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag) }
+
+  /** How many redactions [[redactPii]] performed on `text` (sum of
+    * per-pattern match counts, counted on the progressively-redacted
+    * text so overlapping patterns never double-count). */
+  def piiCount(text: Column): Column = {
+    val (total, _) = PiiPatterns.foldLeft((lit(0L), text)) {
+      case ((acc, cur), (pat, tag)) =>
+        (acc + regexp_count(cur, lit(pat)).cast("long"),
+          regexp_replace(cur, pat, tag))
+    }
+    total
+  }
+
+  /** Deterministic mixture sampling — the "data mixing" primitive that
+    * downsamples each stratum (source/domain/language) to a target
+    * weight. A row survives iff
+    * `knuthHash(id) % 100 < weights(stratum) * 100`: pure modular
+    * arithmetic (Knuth's multiplicative hash, 2654435761 = ⌊2³²/φ⌋), so
+    * the sample is reproducible across engines and runs — an ANSI oracle
+    * computes the identical row set, and re-running a 100 TB pipeline
+    * keeps the same sample (no RNG state, no seed drift). Map-only: the
+    * filter fuses into the scan, strata missing from `weights` keep
+    * everything (weight 1.0). */
+  def hashModSample(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val pct = typedlit(weights.map { case (k, w) =>
+      k -> math.round(w * 100).toInt })
+    // id folds through a prime first so the product stays far from Long
+    // overflow (DuckDB's BIGINT arithmetic is checked; a wrap would
+    // desync the oracle — and 64-bit wrap semantics differ by engine)
+    val bucket = pmod(pmod(col(idCol).cast("long"), lit(1000003L)) *
+      lit(2654435761L), lit(4294967296L)) % 100
+    df.filter(bucket < coalesce(pct(col(strataCol)), lit(100)))
+  }
+
+  /** Mixture accounting: per-stratum document and token counts plus each
+    * stratum's share of the corpus's tokens — the report a mixing step
+    * is tuned against. One partial-agg shuffle on the stratum key; the
+    * share division happens on the tiny aggregated frame (broadcast-size
+    * window, bounded by the stratum count). */
+  def mixtureReport(df: DataFrame, strataCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // single-space split = the repo-wide token convention (mirrors
+    // DuckDB's STRING_SPLIT(text, ' ') exactly, same as d_token_count)
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ", -1))).as("n_tokens"))
+      .withColumn("token_share",
+        round(col("n_tokens") / sum(col("n_tokens"))
+          .over(Window.partitionBy()), 6))
+  }
+}

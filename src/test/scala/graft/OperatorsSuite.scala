@@ -527,6 +527,58 @@ class DedupSuite extends SparkSpec {
   }
 }
 
+class CurationSuite extends SparkSpec {
+  import graft.operators.Curation
+  import spark.implicits._
+
+  test("pii redaction: each pattern family, counts, and clean text untouched") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "ssn 123-45-6789 phone (415) 555-2671 or +1 650-555-1234"),
+      (3L, "server 192.168.0.1 fallback 10.0.0.7"),
+      (4L, "nothing sensitive here 12-34")).toDF("id", "t")
+    val out = df.select($"id", Curation.redactPii($"t").as("clean"),
+      Curation.piiCount($"t").as("n")).orderBy("id").collect()
+    assert(out(0).getString(1) === "mail <EMAIL> now")
+    assert(out(0).getLong(2) === 1L)
+    assert(out(1).getString(1).contains("<SSN>"))
+    assert(out(1).getString(1).contains("<PHONE>"))
+    assert(!out(1).getString(1).exists(_.isDigit),
+      s"all digit runs must be redacted: ${out(1).getString(1)}")
+    assert(out(1).getLong(2) === 3L)
+    assert(out(2).getString(1) === "server <IP> fallback <IP>")
+    assert(out(2).getLong(2) === 2L)
+    assert(out(3).getString(1) === "nothing sensitive here 12-34")
+    assert(out(3).getLong(2) === 0L)
+  }
+
+  test("hash-mod sampling: deterministic, weight-monotone, unlisted strata intact") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    def ids(w: Map[String, Double]): Set[Long] =
+      Curation.hashModSample(df, "id", "src", w).select("id")
+        .collect().map(_.getLong(0)).toSet
+    val half = ids(Map("src0" -> 0.5))
+    assert(half === ids(Map("src0" -> 0.5)), "sampling must be deterministic")
+    // unlisted strata keep every row; the listed one thins to ~weight
+    assert(half.count(_ % 4 != 0) === 750)
+    val kept0 = half.count(_ % 4 == 0)
+    assert(kept0 > 75 && kept0 < 175, s"~50% of 250 expected, got $kept0")
+    // a smaller weight keeps a SUBSET (nested samples — the hash-mod
+    // property that makes mixtures tunable without resampling churn)
+    val tenth = ids(Map("src0" -> 0.1))
+    assert(tenth.filter(_ % 4 == 0).subsetOf(half.filter(_ % 4 == 0)))
+  }
+
+  test("mixture report shares sum to 1 and match hand counts") {
+    val df = Seq(
+      (1L, "a", "w x y"), (2L, "a", "w x"), (3L, "b", "w")).toDF("id", "src", "t")
+    val rows = Curation.mixtureReport(df, "src", "t").orderBy("src").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 2L, 5L), ("b", 1L, 1L)))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+  }
+}
+
 class SimilaritySuite extends SparkSpec {
   import spark.implicits._
 
