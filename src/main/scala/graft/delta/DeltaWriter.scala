@@ -1044,7 +1044,12 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     // count tracks input file count, and the job count is independent of
     // how many thousand partitions the vectors touch (the old shape was a
     // serial driver loop launching one Spark job per partition group).
-    val df = readAdds(tablePath, dvAdds)
+    // readAdds surfaces LOGICAL names on a mapped table; the purged
+    // rewrite must land back under PHYSICAL names (partCols, derived
+    // from paths, already are physical)
+    val df0 = readAdds(tablePath, dvAdds)
+    val df = tableSchema(tablePath).filter(ColumnMapping.isMapped)
+      .map(s => ColumnMapping.toPhysical(df0, s)).getOrElse(df0)
     val parts =
       if (partCols.isEmpty) writeParts(df, root, fs, prefix = "purged")
       else writePartitionedParts(df, root, partCols)

@@ -960,16 +960,17 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
         ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""",
         foreignAdd)
       val w = writer
-      // one file with two rows, so the delete must BITMAP one of them
-      // (a single-row file would optimize into a whole-file remove)
-      w.write(Seq((2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1), t,
-        DeltaWriteMode.Append)
+      // one file with three rows, so the delete must BITMAP one of them
+      // and a survivor keeps the vector alive through the merge below
+      // (a fully-deleted file would optimize into a whole-file remove)
+      w.write(Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s").coalesce(1),
+        t, DeltaWriteMode.Append)
       assert(w.deleteWhere(t, col("id") === 2L) === 1L)
       assert(w.activeAdds(t).exists(_.deletionVector.isDefined),
         "delete must land as a deletion vector, not a rewrite")
       assert(w.read(t).orderBy("id").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq ===
-        Seq((1L, "a"), (3L, "c")))
+        Seq((1L, "a"), (3L, "c"), (4L, "d")))
       // streaming a mapped DV table serves SURVIVING rows logically
       val src = new DeltaSource(t, new DeltaTableCheckpoint(s"$tmp/cp", conf),
         DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest,
@@ -982,7 +983,7 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
           src.commitBatch(b.get, Map.empty)
           rows
         }.toSeq
-      assert(streamed.sorted.distinct === Seq((1L, "a"), (3L, "c")),
+      assert(streamed.sorted.distinct === Seq((1L, "a"), (3L, "c"), (4L, "d")),
         s"mapped DV stream must serve survivors logically: $streamed")
       // a WIDENING DV merge mints a physical name in the same commit
       val changes = Seq((3L, Some("C"), Some(7.5), "update_postimage", 1L))
@@ -996,13 +997,32 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(schema("score").metadata.getLong("delta.columnMapping.id") === 3L)
       val rows = w.read(t).orderBy("id").collect()
       assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
-        Seq((1L, "a"), (3L, "C")))
-      assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 7.5,
+        Seq((1L, "a"), (3L, "C"), (4L, "d")))
+      assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 7.5 &&
+        rows(2).isNullAt(2),
         "old rows null-fill the minted column; merged row carries its value")
       val raw = new String(Files.readAllBytes(Paths.get(t, "_delta_log",
         f"${new DeltaLogReader(conf).latestVersion(t).get}%020d.json")))
       assert(raw.contains(""""delta.columnMapping.maxColumnId":"3""""),
         s"widening DV merge must bump maxColumnId:\n$raw")
+      // PURGE rewrites vector-bearing files under PHYSICAL names and
+      // drops the vectors; data and mapping survive
+      assert(w.purgeDeletionVectors(t) >= 1)
+      assert(w.activeAdds(t).forall(_.deletionVector.isEmpty))
+      val purged = w.activeAdds(t).find(_.path.startsWith("purged-"))
+        .getOrElse(fail(s"no purged file: ${w.activeAdds(t).map(_.path)}"))
+      assert(spark.read.parquet(s"$t/${purged.path}").columns
+        .forall(_.startsWith("col-")),
+        "purged files must keep physical names")
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (3L, "C"), (4L, "d")))
+      // z-order rewrite keeps the mapping and the rows
+      w.optimizeZOrder(t, Seq("id"), numFiles = 2)
+      assert(w.tableSchema(t).exists(graft.delta.ColumnMapping.isMapped))
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (3L, "C"), (4L, "d")))
     }
   }
 
