@@ -77,16 +77,27 @@ object CurationPipelineDemo {
     val curated = clean.join(embLosers, Seq("doc_id"), "left_anti")
     val afterEmb = n(curated)
 
-    // 6. token accounting over the curated corpus (codegen, no shuffle)
-    val tokens = curated.agg(
+    // 6. PII scrub (map-only regexp chain) + deterministic mixture
+    //    sampling (hash-mod, reproducible — no RNG state to checkpoint)
+    import graft.operators.Curation
+    val docSources = docs.select(col("doc_id"), col("source"))
+    val scrubbed = curated.join(docSources, Seq("doc_id"))
+      .select(col("doc_id"), Curation.redactPii(col("text")).as("text"),
+        col("source"))
+    val mixed = Curation.hashModSample(scrubbed, "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.5))
+    val afterMix = n(mixed)
+
+    // 7. token accounting over the curated corpus (codegen, no shuffle)
+    val tokens = mixed.agg(
       sum(TextFunctions.tokenCount(col("text"))).as("tokens"),
       avg(TextFunctions.tokenCount(col("text"))).as("tokens_per_doc")).head()
 
-    // 7. curated Delta table: stats-bearing files, partitioned by language
+    // 8. curated Delta table: stats-bearing files, partitioned by language
     val out = s"$work/curated"
     val writer = new DeltaWriter(spark, spark.sparkContext.hadoopConfiguration)
     writer.write(
-      scored.join(curated.select("doc_id"), Seq("doc_id"), "left_semi"),
+      scored.join(mixed.select("doc_id"), Seq("doc_id"), "left_semi"),
       out, DeltaWriteMode.Overwrite, partitionBy = Seq("lang"))
     val readBack = writer.read(out).count()
 
@@ -97,10 +108,12 @@ object CurationPipelineDemo {
     println(f"residual 0.8-pairs:  $residual%6d (audit)")
     println(f"decontamination:     $afterDecontam%6d (-${afterNear - afterDecontam})")
     println(f"embedding near-dup:  $afterEmb%6d (-${afterDecontam - afterEmb})")
+    println(f"pii scrub + mixing:  $afterMix%6d (-${afterEmb - afterMix})")
     println(f"curated tokens:      ${tokens.getLong(0)}%6d (${tokens.getDouble(1)}%.1f/doc)")
     println(f"delta read-back:     $readBack%6d rows; " +
       s"partitions=${writer.partitionColumnsOf(out).mkString(",")}")
-    val ok = readBack == afterEmb && afterEmb <= afterDecontam &&
+    val ok = readBack == afterMix && afterMix <= afterEmb &&
+      afterEmb <= afterDecontam &&
       afterDecontam <= afterNear && afterNear <= afterExact &&
       afterExact <= afterGate && afterGate <= total
     println(s"funnel check: ${if (ok) "PASS" else "FAIL"}")
