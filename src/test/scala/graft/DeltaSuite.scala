@@ -1091,6 +1091,61 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("mapping relabels through arrays and maps of structs") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // physical file: arr = array<struct<col-a>>, m = map<string, struct<col-b>>
+      Seq(1L).toDF("k")
+        .select(col("k").as("col-k"),
+          array(struct(lit(10L).as("col-a"))).as("col-arr"),
+          map(lit("x"), struct(lit(20L).as("col-b"))).as("col-m"))
+        .coalesce(1).write.parquet(s"$tmp/stage")
+      val part = new File(s"$tmp/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(t))
+      Files.move(part.toPath, Paths.get(t, "data.parquet"))
+      def m(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        m("k", "col-k", 1L, LongType),
+        m("arr", "col-arr", 2L,
+          ArrayType(StructType(Seq(m("a", "col-a", 3L, LongType))))),
+        m("m", "col-m", 4L,
+          MapType(StringType, StructType(Seq(m("b", "col-b", 5L, LongType)))))))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-deep"); md.put("schemaString", logical.json)
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""",
+        add("data.parquet"))
+      val w = writer
+      val out = w.read(t)
+      assert(out.schema("arr").dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType].fieldNames.toSeq === Seq("a"))
+      assert(out.schema("m").dataType.asInstanceOf[MapType]
+        .valueType.asInstanceOf[StructType].fieldNames.toSeq === Seq("b"))
+      val row = out.head()
+      assert(row.getSeq[org.apache.spark.sql.Row](1).head.getLong(0) === 10L)
+      assert(row.getMap[String, org.apache.spark.sql.Row](2)("x").getLong(0) === 20L)
+      // write round-trip: appended file carries physical names at depth
+      val addDf = Seq(2L).toDF("k")
+        .select(col("k"), array(struct(lit(11L).as("a"))).as("arr"),
+          map(lit("y"), struct(lit(21L).as("b"))).as("m"))
+      w.write(addDf, t, DeltaWriteMode.Append)
+      assert(w.read(t).count() === 2)
+      val newFile = w.activeAdds(t).map(_.path).filterNot(_ == "data.parquet").head
+      val rawSchema = spark.read.parquet(s"$t/$newFile").schema
+      assert(rawSchema("col-arr").dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType].fieldNames.toSeq === Seq("col-a"))
+      assert(rawSchema("col-m").dataType.asInstanceOf[MapType]
+        .valueType.asInstanceOf[StructType].fieldNames.toSeq === Seq("col-b"))
+    }
+  }
+
   test("partitioned column-mapped tables: physical dirs, logical surface, pruning") {
     import org.apache.spark.sql.types._
     withTmpDir { tmp =>
@@ -1155,6 +1210,13 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(w.read(t).orderBy("id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
         Seq((1L, 10L, 1L), (2L, 20L, 1L), (7L, 70L, 2L)))
+      // the streaming source resolves partitioned mapping too (basePath
+      // re-materializes the physical dirs before the logical projection)
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(s"$tmp/cp", conf))
+      val sdf = src.readBatch(spark, src.planBatch().get)
+      assert(sdf.columns.toSeq === Seq("id", "v", "p"),
+        s"streamed mapped partitioned columns: ${sdf.columns.toSeq}")
+      assert(sdf.count() === 3)
       // compact rewrites within the PHYSICAL hive layout
       w.write(Seq((3L, 30L, 1L)).toDF("id", "v", "p"), t, DeltaWriteMode.Append)
       w.compact(t, smallFileBytes = 1024 * 1024)
