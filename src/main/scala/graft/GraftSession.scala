@@ -33,6 +33,10 @@ object GraftSession {
       shufflePartitions = math.max(threads, 8))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // graft_* SQL functions (codegen'd Catalyst expressions) ride every
+    // engine session; external sessions opt in via
+    // spark.sql.extensions=graft.GraftExtensions
+    GraftExtensions.register(s)
     s
   }
 }

@@ -60,6 +60,11 @@ object Curation {
     * everything (weight 1.0). */
   def hashModSample(df: DataFrame, idCol: String, strataCol: String,
       weights: Map[String, Double]): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"hashModSample needs a numeric id column; '$idCol' is " +
+      s"${df.schema(idCol).dataType.simpleString} (a non-numeric cast " +
+      "would null out and silently drop every row)")
     val pct = typedlit(weights.map { case (k, w) =>
       k -> math.round(w * 100).toInt })
     // id folds through a prime first so the product stays far from Long

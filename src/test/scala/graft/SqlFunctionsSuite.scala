@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The graft_* SQL surface must agree exactly with the DataFrame API's
+  * expression constructors — same Catalyst expressions, two spellings. */
+class SqlFunctionsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_* SQL functions equal their DataFrame counterparts") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("sqlfns")
+    val viaSql = spark.sql(
+      """SELECT graft_char_ngrams(text, 5) AS ngrams,
+        |  graft_char_ngrams_distinct(text, 5) AS ngrams_d,
+        |  graft_word_shingles(text, 2) AS shingles,
+        |  graft_minhash(graft_word_shingles(text, 2), 16) AS mh,
+        |  graft_minhash_char_ngrams(text, 5, 16) AS mh_cn,
+        |  graft_minhash_word_shingles(text, 2, 16) AS mh_ws,
+        |  graft_simhash64(graft_word_shingles(text, 2)) AS sh,
+        |  graft_winnow(text, 5, 4) AS wn
+        |FROM sqlfns""".stripMargin).head()
+    val viaApi = df.select(
+      graft.functions.CharNgramFunctions.charNgramsFast($"text", 5).as("ngrams"),
+      graft.functions.CharNgramFunctions.charNgramsDistinct($"text", 5).as("ngrams_d"),
+      graft.functions.TextFunctions.wordShingles($"text", 2).as("shingles"),
+      graft.functions.MinHashFunctions.minhashSig(
+        graft.functions.TextFunctions.wordShingles($"text", 2), 16).as("mh"),
+      graft.functions.FusedMinHashFunctions.minhashCharNgrams($"text", 5, 16).as("mh_cn"),
+      graft.functions.FusedMinHashFunctions.minhashWordShingles($"text", 2, 16).as("mh_ws"),
+      graft.functions.SimHashFunctions.simhash(
+        graft.functions.TextFunctions.wordShingles($"text", 2)).as("sh"),
+      graft.functions.WinnowingFunctions.winnowFingerprints($"text", 5, 4).as("wn")).head()
+    (0 until viaSql.length).foreach { i =>
+      assert(viaSql.get(i) === viaApi.get(i), s"column $i diverged")
+    }
+    // vec dot through SQL
+    val dot = spark.sql(
+      "SELECT graft_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(dot === 11.0)
+    // non-literal tuning argument fails loudly, not silently wrong
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_char_ngrams(text, id + 1) FROM sqlfns").collect())
+    assert(e.getMessage.contains("literal integer") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal integer")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("graft_* functions stay inside whole-stage codegen from SQL") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    // a parquet-backed scan, so the projection can't constant-fold into
+    // a LocalTableScan
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("sqlfns_plan")
+    val plan = spark.sql(
+      "SELECT graft_minhash_char_ngrams(text, 5, 16) FROM sqlfns_plan")
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+      s"SQL-invoked expression must stay codegen'd:\n$plan")
+  }
+}
