@@ -977,6 +977,39 @@ object Queries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 32
              |ORDER BY corpus_id, bench_id""".stripMargin)),
 
+    // ----- substring-span dedup (EXACT, oracle-checked) -------------------
+    // Lee et al. ACL'22: token spans >= 10 that recur anywhere in the
+    // corpus, marked everywhere but their first occurrence and merged
+    // into maximal [start, end) intervals. The oracle replays the same
+    // rule over raw gram strings; the engine shuffles only 128-bit gram
+    // hashes (SpanDedup scaladoc has the collision math).
+    "d_span_dedup" -> QueryDef(
+      (s, d) => graft.operators.SpanDedup.spans(
+        t(s, d, "documents"), "doc_id", "text", n = 10)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+             |grams AS (
+             |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+             |         ARRAY_TO_STRING(w[g.i : g.i + 9], ' ') AS gram
+             |  FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 8)) AS i) g),
+             |owners AS (SELECT gram, MIN(ROW(doc_id, pos)) AS own, COUNT(*) AS occ
+             |           FROM grams GROUP BY gram),
+             |marked AS (
+             |  SELECT g.doc_id, g.pos FROM grams g JOIN owners o ON g.gram = o.gram
+             |  WHERE o.occ > 1 AND ROW(g.doc_id, g.pos) <> o.own),
+             |islands AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN pos <= MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         THEN 0 ELSE 1 END AS brk
+             |  FROM marked),
+             |grp AS (SELECT doc_id, pos,
+             |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |        FROM islands)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 10 AS span_end
+             |FROM grp GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // ----- PII redaction (C4/Dolma-style scrub) ----------------------------
     // The synthetic corpus carries no natural PII, so the query PLANTS
     // deterministic emails/phones/IPs from doc_id on BOTH sides — the

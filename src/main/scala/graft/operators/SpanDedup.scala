@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-span deduplication, after Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better" (ACL'22): any run of `n`
+  * or more consecutive tokens that also occurs elsewhere in the corpus
+  * is marked everywhere EXCEPT its canonical (first) occurrence, and
+  * overlapping/adjacent marks merge into maximal spans. Unlike document-
+  * level dedup (exact/MinHash/SimHash, [[Dedup]]), this removes the
+  * duplicated *text* while keeping the surrounding novel prose — the
+  * form of dedup the paper shows matters most for memorization.
+  *
+  * The reference corpus tooling stops at document granularity
+  * (`polars-incremental` has no sub-document dedup); this operator is
+  * part of the training-data curation family layered on top.
+  *
+  * Algorithm (all relational, no suffix array):
+  *  1. tokenize, then per-position token-`n`-gram keys computed at ARRAY
+  *     level in a map stage — only 16-byte hash structs enter the
+  *     explode/shuffle, never gram strings;
+  *  2. canonical occurrence per gram = `min(struct(doc_id, pos))` via
+  *     `groupBy(key).agg` — partial (map-side) aggregation collapses a
+  *     corpus-wide hot gram before the shuffle, so document skew cannot
+  *     pin one gram's occurrences to one task (same skew-immune
+  *     agg+join-back shape as [[Dedup.charNgramJaccardExactPairs]]'s
+  *     document frequency — a window over the gram key would not split).
+  *     Spark plans min-over-struct as a partial SortAggregate (struct
+  *     buffers aren't hash-mutable); the map-side combine is what kills
+  *     the straggler, the sort is a per-partition constant factor;
+  *  3. join occurrences back on the key (AQE-skew-splittable), mark
+  *     everything that is not its gram's canonical occurrence;
+  *  4. merge marks into maximal half-open token spans `[start, end)`
+  *     with a per-document gaps-and-islands window (bounded by document
+  *     length, safe at any corpus scale).
+  *
+  * Exactness: gram identity is 128 bits (two independent `xxhash64`
+  * seeds). A wrong span requires two distinct grams colliding on both
+  * hashes — probability < 1e-15 even at 10^12 grams (100 TB), versus
+  * the observable cost of a second string-carrying corpus scan; this is
+  * the same trade the published suffix-array pipelines make. The DuckDB
+  * oracle computes the same spans over the raw gram STRINGS, so any
+  * collision at test scale would surface as a hash mismatch.
+  */
+object SpanDedup {
+
+  private def gramStrings(w: Column, n: Int, delim: String): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(delim, slice(w, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 128-bit gram key: two xxhash64 passes with distinct seeds. */
+  private def gramKeys(gs: Column): Column =
+    transform(gs, g => struct(xxhash64(g).as("h1"),
+      xxhash64(g, lit(0x9E3779B9L)).as("h2")))
+
+  /** Maximal duplicated token spans per document:
+    * `(doc_id, span_start, span_end)` with `[span_start, span_end)` in
+    * token indices (0-based), sorted ascending within a document. A span
+    * covers every `n`-token gram occurrence whose gram also occurs at a
+    * lexicographically smaller `(doc_id, pos)` anywhere in the corpus. */
+  def spans(df: DataFrame, idCol: String, textCol: String, n: Int = 10,
+      delim: String = " "): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), delim).as("w"))
+    // hash before explode: the Generate emits (pos, {h1,h2}) longs only
+    val occ = toks
+      .select(col("doc_id"),
+        posexplode(gramKeys(gramStrings(col("w"), n, delim))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gh"))
+    val owners = occ.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("own"),
+        count(lit(1)).as("occ_n"))
+      .filter(col("occ_n") >= 2)
+      .select(col("gh"), col("own"))
+    val marked = occ.join(owners, Seq("gh"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("own"))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands merge; windows are per-document, bounded by doc
+    // length — never a corpus-scale partition
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + n)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("brk",
+        when(col("pos") <= prevEnd, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** The corpus with every duplicated span's tokens removed (canonical
+    * occurrences stay). Adds `clean_text` and `n_tokens_removed`; all
+    * original columns pass through. Token filtering is higher-order
+    * functions over the split array — map-side, codegen, no extra
+    * shuffle beyond [[spans]]. */
+  def clean(df: DataFrame, idCol: String, textCol: String, n: Int = 10,
+      delim: String = " "): DataFrame = {
+    val sp = spans(df, idCol, textCol, n, delim)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
+      .withColumnRenamed("doc_id", "_sd_id")
+    val covered: (Column, Column) => Column = (spansCol, i) =>
+      exists(spansCol, s =>
+        i >= s.getField("span_start") && i < s.getField("span_end"))
+    df.join(sp, col(idCol).cast("long") === col("_sd_id"), "left")
+      .drop("_sd_id")
+      .withColumn("_w", split(col(textCol), delim))
+      .withColumn("clean_text",
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("_w"), (tok, i) => !covered(col("_spans"), i)),
+            delim)))
+      .withColumn("n_tokens_removed",
+        when(col("_spans").isNull, lit(0L))
+          .otherwise(aggregate(col("_spans"), lit(0L),
+            (acc, s) => acc +
+              (s.getField("span_end") - s.getField("span_start")))))
+      .drop("_spans", "_w")
+  }
+}

@@ -117,6 +117,36 @@ class PlanSuite extends SparkSpec {
       s"document frequency must partially aggregate on the gram hash:\n${plan.take(1500)}")
   }
 
+  test("span dedup owners are a partial agg; no window over the gram key") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // structural gate on the pre-execution plan: AQE's final-plan print
+    // collapses already-materialized stages to bare QueryStage nodes, so
+    // the owners subtree is only visible before execution
+    val plan = planOf(graft.operators.SpanDedup.spans(
+      docs, "doc_id", "text", n = 10))
+    // canonical-occurrence selection must collapse a corpus-wide hot gram
+    // map-side (groupBy(gh).agg(min, count)) and reach marking through an
+    // AQE-skew-splittable join-back; a window partitioned on the gram key
+    // would pin every occurrence of one hot gram into a single task
+    assert(!plan.contains("windowspecdefinition(gh#"),
+      s"no window may partition on the gram key:\n${plan.take(1500)}")
+    // min(struct) is sort-based in Spark (struct buffers aren't hash-
+    // mutable) — what matters at scale is the PARTIAL mode: a hot gram
+    // still collapses map-side before the shuffle
+    assert("""(Sort|Hash)Aggregate\(keys?=\[gh#\d+\], functions=\[partial_min""".r
+      .findFirstIn(plan).isDefined,
+      s"owners must partially aggregate on the gram key:\n${plan.take(1500)}")
+    // the only windows are the per-document interval merge
+    val windowParts = """windowspecdefinition\((\w+)#""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(windowParts.subsetOf(Set("doc_id")),
+      s"unexpected window partition keys $windowParts:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never plan a nested-loop/cartesian join")
+  }
+
   test("asof join costs one hash exchange, not a range self-join") {
     assume(available)
     import org.apache.spark.sql.functions.col
