@@ -44,9 +44,21 @@ object CurationPipelineDemo {
     val exact = Dedup.byFingerprint(gated, "text", "doc_id")
     val afterExact = n(exact)
 
-    // 3. transitive MinHash-LSH near-dup dedup: banded signatures, one
-    //    bucket shuffle, connected components keep one doc per cluster
-    val nearDeduped = Dedup.minhashLshDedup(exact, "doc_id", "text",
+    // 3. substring-span dedup (Lee et al., before fuzzy doc-dedup as in
+    //    the paper): token runs >= 10 recurring anywhere are excised
+    //    everywhere but their first occurrence — the copies' NOVEL
+    //    residue survives instead of the whole doc being dropped
+    val spanned = graft.operators.SpanDedup.clean(
+      exact, "doc_id", "text", n = 10)
+    val spanTokens = spanned.agg(
+      coalesce(sum("n_tokens_removed"), lit(0L))).head().getLong(0)
+    val spanCleaned = spanned
+      .select(col("doc_id"), col("clean_text").as("text"))
+
+    // 3b. transitive MinHash-LSH near-dup dedup on the cleaned text:
+    //     banded signatures, one bucket shuffle, connected components
+    //     keep one doc per cluster
+    val nearDeduped = Dedup.minhashLshDedup(spanCleaned, "doc_id", "text",
       threshold = 0.5, transitive = true)
     val afterNear = n(nearDeduped)
 
@@ -94,16 +106,19 @@ object CurationPipelineDemo {
       avg(TextFunctions.tokenCount(col("text"))).as("tokens_per_doc")).head()
 
     // 8. curated Delta table: stats-bearing files, partitioned by language
+    //    — the PROCESSED text (span-cleaned, scrubbed), not the raw input
     val out = s"$work/curated"
     val writer = new DeltaWriter(spark, spark.sparkContext.hadoopConfiguration)
     writer.write(
-      scored.join(mixed.select("doc_id"), Seq("doc_id"), "left_semi"),
+      mixed.select("doc_id", "text")
+        .join(scored.select("doc_id", "quality", "lang"), Seq("doc_id")),
       out, DeltaWriteMode.Overwrite, partitionBy = Seq("lang"))
     val readBack = writer.read(out).count()
 
     println(f"ingested:            $total%6d docs")
     println(f"quality+lang gate:   $afterGate%6d (-${total - afterGate})")
     println(f"exact dedup:         $afterExact%6d (-${afterGate - afterExact})")
+    println(f"span dedup:          $spanTokens%6d duplicated tokens excised")
     println(f"minhash near-dedup:  $afterNear%6d (-${afterExact - afterNear})")
     println(f"residual 0.8-pairs:  $residual%6d (audit)")
     println(f"decontamination:     $afterDecontam%6d (-${afterNear - afterDecontam})")
