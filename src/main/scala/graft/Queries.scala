@@ -1010,6 +1010,32 @@ object Queries {
              |FROM grp GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // ----- sequence packing (EXACT, oracle-checked) -----------------------
+    // GPT-style concatenate-then-chunk: the token stream in doc_id order
+    // cut into 128-token packs, one row per doc×pack segment. The engine
+    // computes the global prefix sum as a two-pass distributed scan
+    // (quantile buckets + O(#buckets) driver offsets — Packing scaladoc);
+    // the oracle can afford the plain ordered window at test scale.
+    "d_packing" -> QueryDef(
+      (s, d) => graft.operators.Packing.packAssignments(
+        t(s, d, "documents"), "doc_id", "text", budget = 128)
+        .orderBy("doc_id", "pack_id"),
+      Some("""WITH c AS (SELECT doc_id,
+             |            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+             |            FROM documents),
+             |s AS (SELECT doc_id, n_tok,
+             |      CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS BIGINT) AS st
+             |      FROM c),
+             |seg AS (SELECT doc_id, n_tok, st,
+             |        UNNEST(RANGE(st // 128, (st + n_tok - 1) // 128 + 1)) AS pack_id
+             |        FROM s WHERE n_tok > 0)
+             |SELECT doc_id, pack_id,
+             |  GREATEST(pack_id * 128 - st, 0) AS tok_start,
+             |  LEAST((pack_id + 1) * 128 - st, n_tok) AS tok_end
+             |FROM seg ORDER BY doc_id, pack_id""".stripMargin)),
+
     // ----- PII redaction (C4/Dolma-style scrub) ----------------------------
     // The synthetic corpus carries no natural PII, so the query PLANTS
     // deterministic emails/phones/IPs from doc_id on BOTH sides — the

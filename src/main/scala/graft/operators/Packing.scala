@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: the corpus's token stream, in
+  * `idCol` order, cut into consecutive fixed-`budget` packs
+  * (concatenate-then-chunk — the GPT-style packing that wastes no pad
+  * tokens; documents may straddle pack boundaries). Emits one row per
+  * (document × pack) segment, so a trainer can assemble pack `p` by
+  * concatenating `tokens[tok_start, tok_end)` of its member docs in
+  * doc order.
+  *
+  * The interesting part at 100 TB is the GLOBAL PREFIX SUM of document
+  * token counts. A corpus-wide `sum().over(Window.orderBy(id))` is one
+  * unsplittable task holding the entire corpus — the exact shape this
+  * library's plan gates exist to forbid. Instead, the classic two-pass
+  * distributed scan:
+  *  1. order-preserving bucket ids from `approxQuantile` over `idCol`
+  *     (deterministic — unlike `repartitionByRange`, whose sampled
+  *     boundaries change per execution and would let the offset pass
+  *     and the main pass disagree);
+  *  2. per-bucket token totals via `groupBy(pid).agg(sum)` — partial
+  *     aggregation, collected to the driver at O(#buckets) (bounded:
+  *     buckets ~ shuffle partitions, kilobytes even at cluster scale);
+  *  3. exclusive bucket offsets broadcast back as a map literal; the
+  *     within-bucket running sum is a window partitioned by `pid` —
+  *     each window partition is one count-balanced bucket, never the
+  *     corpus.
+  * Two eager jobs (quantiles, bucket sums) run at call time; the
+  * returned frame is lazy. Segment emission is a map-only explode.
+  *
+  * Output is independent of bucketing (a prefix sum in id order is
+  * well-defined regardless of partition boundaries), so the DuckDB
+  * oracle can replay it with a plain ordered window at test scale. */
+object Packing {
+
+  /** `(doc_id, pack_id, tok_start, tok_end)`: document `doc_id`
+    * contributes its tokens `[tok_start, tok_end)` (0-based, half-open)
+    * to pack `pack_id`. Every pack holds exactly `budget` tokens except
+    * the last. Docs tokenize by `delim`; empty docs contribute their
+    * single empty token like the tokenizer family does. */
+  def packAssignments(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, delim: String = " ", buckets: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val nBuckets = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val counts = df.select(col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), delim)).cast("long").as("n_tok"))
+    // order-preserving, count-balanced, DETERMINISTIC bucket boundaries
+    val bounds =
+      if (nBuckets <= 1) Array.empty[Long]
+      else counts.stat.approxQuantile("doc_id",
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+    // pid = #boundaries strictly below doc_id — a codegen'd HOF fold,
+    // no join, no udf
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(typedlit(bounds.toSeq), lit(0),
+        (acc, b) => acc + when(col("doc_id") > b, 1).otherwise(0))
+    val withPid = counts.withColumn("pid", pid)
+    // bucket totals: partial agg, O(#buckets) driver rows
+    val perPid = withPid.groupBy("pid").agg(sum("n_tok").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = perPid
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (p, s)) => (p, acc + s) }
+      .sliding(2).collect { case Array((_, acc), (p, _)) => p -> acc }
+      .toMap
+    val run = sum(col("n_tok"))
+      .over(Window.partitionBy("pid").orderBy("doc_id"))
+    val withStart = withPid
+      .withColumn("gstart", run - col("n_tok") +
+        coalesce(element_at(typedlit(offsets), col("pid")), lit(0L)))
+    // a doc starting at gstart spans packs gstart/B .. (gstart+n-1)/B;
+    // `div` keeps the arithmetic integral (floor(x/y) on doubles loses
+    // exactness past 2^53 tokens)
+    withStart.filter(col("n_tok") > 0)
+      .withColumn("pack_id",
+        explode(sequence(expr(s"gstart div $budget"),
+          expr(s"(gstart + n_tok - 1) div $budget"))))
+      .select(col("doc_id"), col("pack_id"),
+        greatest(col("pack_id") * budget - col("gstart"), lit(0L))
+          .as("tok_start"),
+        least((col("pack_id") + 1) * budget - col("gstart"), col("n_tok"))
+          .as("tok_end"))
+  }
+}

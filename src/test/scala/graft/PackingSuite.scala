@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+class PackingSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) = (0 until n)
+    .map(i => (i.toLong, (0 until (i % 37 + 1)).map(j => s"t${i}_$j").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("every pack except the last holds exactly `budget` tokens") {
+    val packs = Packing.packAssignments(corpus(200), "doc_id", "text", budget = 64)
+      .groupBy("pack_id").agg(sum(col("tok_end") - col("tok_start")).as("sz"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val last = packs.keys.max
+    packs.foreach { case (p, sz) =>
+      if (p < last) assert(sz === 64L, s"pack $p holds $sz")
+      else assert(sz <= 64L && sz > 0L, s"last pack holds $sz")
+    }
+  }
+
+  test("per-doc segments are consecutive, disjoint, and cover the doc") {
+    val df = corpus(150)
+    val nTok = df.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perDoc = Packing.packAssignments(df, "doc_id", "text", budget = 64)
+      .orderBy("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(perDoc.keySet === nTok.keySet)
+    perDoc.foreach { case (doc, segs) =>
+      assert(segs.head._3 === 0L, s"doc $doc first segment must start at 0")
+      assert(segs.last._4 === nTok(doc), s"doc $doc must be covered to its end")
+      segs.sliding(2).foreach {
+        case Array((_, p1, _, e1), (_, p2, s2, _)) =>
+          assert(p2 === p1 + 1 && s2 === e1,
+            s"doc $doc segments must be consecutive and adjacent")
+        case _ =>
+      }
+    }
+  }
+
+  test("output is independent of the bucket count (prefix-sum correctness)") {
+    val df = corpus(120)
+    def run(buckets: Int) = Packing
+      .packAssignments(df, "doc_id", "text", budget = 50, buckets = buckets)
+      .orderBy("doc_id", "pack_id").collect().map(_.toSeq).toSeq
+    val one = run(1) // single bucket = the trivially-correct global scan
+    assert(run(7) === one)
+    assert(run(32) === one)
+  }
+
+  test("deterministic across invocations") {
+    val df = corpus(90)
+    def run() = Packing.packAssignments(df, "doc_id", "text", budget = 64)
+      .orderBy("doc_id", "pack_id").collect().map(_.toSeq).toSeq
+    assert(run() === run())
+  }
+
+  test("empty text counts as its single empty token") {
+    val df = Seq((0L, "a b c"), (1L, ""), (2L, "d e")).toDF("doc_id", "text")
+    val segs = Packing.packAssignments(df, "doc_id", "text", budget = 4)
+      .orderBy("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // stream: a b c | "" d e  -> doc1's empty token is position 3 (pack 0)
+    assert(segs.toSeq === Seq((0L, 0L, 0L, 3L), (1L, 0L, 0L, 1L),
+      (2L, 1L, 0L, 2L)))
+  }
+}

@@ -147,6 +147,21 @@ class PlanSuite extends SparkSpec {
       "span dedup must never plan a nested-loop/cartesian join")
   }
 
+  test("sequence packing never plans a corpus-wide (partition-less) window") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.operators.Packing.packAssignments(
+      docs, "doc_id", "text", budget = 128))
+    // the global prefix sum must be the two-pass bucket scan — a window
+    // whose spec starts with an ORDER BY (no partition columns) would
+    // funnel the whole corpus into one task
+    assert(!"""windowspecdefinition\(\w+#\d+L? ASC""".r.findFirstIn(plan).isDefined,
+      s"partition-less window in the packing plan:\n${plan.take(1500)}")
+    // the running sum partitions on the quantile bucket id
+    assert(plan.contains("windowspecdefinition(pid#"),
+      s"expected the per-bucket running-sum window:\n${plan.take(1500)}")
+  }
+
   test("asof join costs one hash exchange, not a range self-join") {
     assume(available)
     import org.apache.spark.sql.functions.col
