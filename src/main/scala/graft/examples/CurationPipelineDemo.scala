@@ -105,6 +105,15 @@ object CurationPipelineDemo {
       sum(TextFunctions.tokenCount(col("text"))).as("tokens"),
       avg(TextFunctions.tokenCount(col("text"))).as("tokens_per_doc")).head()
 
+    // 7b. sequence packing: the curated token stream cut into 512-token
+    //     training packs (two-pass distributed prefix sum — no
+    //     corpus-wide window)
+    val packs = graft.operators.Packing.packAssignments(
+      mixed, "doc_id", "text", budget = 512)
+    val packStats = packs.agg(
+      (max(col("pack_id")) + 1).as("n_packs"),
+      sum(col("tok_end") - col("tok_start")).as("packed_tokens")).head()
+
     // 8. curated Delta table: stats-bearing files, partitioned by language
     //    — the PROCESSED text (span-cleaned, scrubbed), not the raw input
     val out = s"$work/curated"
@@ -125,9 +134,12 @@ object CurationPipelineDemo {
     println(f"embedding near-dup:  $afterEmb%6d (-${afterDecontam - afterEmb})")
     println(f"pii scrub + mixing:  $afterMix%6d (-${afterEmb - afterMix})")
     println(f"curated tokens:      ${tokens.getLong(0)}%6d (${tokens.getDouble(1)}%.1f/doc)")
+    println(f"packed sequences:    ${packStats.getLong(0)}%6d x 512 tokens " +
+      s"(${packStats.getLong(1)} packed)")
     println(f"delta read-back:     $readBack%6d rows; " +
       s"partitions=${writer.partitionColumnsOf(out).mkString(",")}")
-    val ok = readBack == afterMix && afterMix <= afterEmb &&
+    val ok = packStats.getLong(1) > 0 &&
+      readBack == afterMix && afterMix <= afterEmb &&
       afterEmb <= afterDecontam &&
       afterDecontam <= afterNear && afterNear <= afterExact &&
       afterExact <= afterGate && afterGate <= total

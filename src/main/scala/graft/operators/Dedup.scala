@@ -395,6 +395,65 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-dup pairs bounded by spherical k-means clusters —
+    * candidates only meet INSIDE a cluster, then exact cosine verifies
+    * against the raw vectors. The complement to [[embeddingCosinePairsLsh]]
+    * when the corpus is genuinely clustered: a trained quantizer shapes
+    * buckets to the data's actual modes, where fixed SRP planes cut
+    * clusters arbitrarily.
+    *
+    * Cost shape at 100 TB: the k-means model is O(nlist·dims) driver
+    * state trained by [[Similarity.trainIvfCentroids]]'s one-shuffle
+    * iterations; assignment is a per-row argmax against the literal
+    * model (no explode, no shuffle); pairing is the shared
+    * bounded-bucket machinery (membership capped at `maxBucket` before
+    * aggregation); verification touches candidate vectors only. Misses
+    * happen when a near-dup pair straddles a cluster boundary — the
+    * paper accepts this by design; the suite gates recall on a corpus
+    * with planted clusters.
+    *
+    * Same output contract as the other pair operators:
+    * (id_a < id_b, cosine rounded to 4) at `threshold`. */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 64, iterations: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val model = Similarity.trainIvfCentroids(df, idCol, vecCol, nlist,
+      iterations)
+    if (model.isEmpty)
+      return base.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0d).as("cosine")).limit(0)
+    val normed = Similarity.l2NormalizeModel(model)
+    val bucketRows = base.select(col("id"),
+      Similarity.nearestCentroid(col("v"), normed).as("bucket"))
+    val candidates = candidatePairs(bucketRows, Seq("bucket"), maxBucket)
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Keep-one SemDeDup: rows whose embedding is a semantic duplicate of
+    * a smaller-id row are dropped ([[semDedupPairs]] edges; `transitive`
+    * resolves duplicate CHAINS with connected components, like
+    * [[minhashLshDedup]]). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 64, iterations: Int = 4,
+      transitive: Boolean = false): DataFrame = {
+    val pairs = semDedupPairs(df, idCol, vecCol, threshold, nlist, iterations)
+    val losers =
+      if (transitive)
+        connectedComponents(pairs).filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Copy/quotation candidate pairs by winnowing fingerprints
     * ([[graft.functions.Winnowing]] — MOSS): documents sharing ANY
     * selected k-gram fingerprint meet in a bucket (guaranteed whenever

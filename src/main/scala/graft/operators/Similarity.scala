@@ -94,6 +94,27 @@ object Similarity {
   /** Deterministic quantizer init: the `nlist` corpus vectors with the
     * smallest xxhash64(id) — no stored model, reproducible across runs.
     * O(nlist·dims) driver memory: the model, never the data. */
+  /** L2-normalized copy of a centroid model (zero vectors kept as-is),
+    * so plain dots are cosine-ordered. */
+  private[operators] def l2NormalizeModel(
+      cs: Array[Array[Float]]): Array[Array[Float]] =
+    cs.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      if (n == 0) c else c.map(x => (x / n).toFloat)
+    }
+
+  /** Nearest-centroid index for a vector column: a per-row argmax over
+    * the literal (driver-small, broadcast-in-plan) model — no explode,
+    * no window, NO shuffle of the corpus; ties break to the lowest
+    * index. Pass an [[l2NormalizeModel]]-normalized model. */
+  private[operators] def nearestCentroid(vec: Column,
+      normed: Array[Array[Float]]): Column = {
+    val cents = typedlit(normed.map(_.toSeq).toSeq)
+    val dots = transform(sequence(lit(0), lit(normed.length - 1)),
+      i => dot(vec, element_at(cents, i + lit(1))))
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
   private def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Array[Array[Float]] = corpus
     .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
@@ -118,10 +139,7 @@ object Similarity {
     val dims = init.head.length
     var centroids = init
     (1 to iterations).foreach { _ =>
-      val normed = centroids.map { c =>
-        val n = math.sqrt(c.map(x => x.toDouble * x).sum)
-        if (n == 0) c else c.map(x => (x / n).toFloat)
-      }
+      val normed = l2NormalizeModel(centroids)
       val cents = typedlit(normed.map(_.toSeq).toSeq)
       val dots = transform(sequence(lit(0), lit(normed.length - 1)),
         i => dot(col("v"), element_at(cents, i + lit(1))))
@@ -171,10 +189,7 @@ object Similarity {
       return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(0d).as("cosine"), lit(0).as("rank")).limit(0)
     // L2-normalized so a plain dot is cosine-ordered for the argmax
-    val normed = centroids.map { c =>
-      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
-      if (n == 0) c else c.map(x => (x / n).toFloat)
-    }
+    val normed = l2NormalizeModel(centroids)
     val cents = typedlit(normed.map(_.toSeq).toSeq)
 
     /** Per-vector centroid dots against the literal centroid array. */

@@ -123,6 +123,33 @@ class RecallSuite extends SparkSpec {
     assert(found.subsetOf(truth)) // exact-cosine verification: no false positives
   }
 
+  test("SemDeDup pair recall >= 0.9 vs exact cosine; keep-one collapses clusters") {
+    val corpus = clustered(clusters = 20, members = 5, dims = 64)
+    val truth = pairSet(Dedup.embeddingCosinePairs(corpus, "vec_id", "embedding", 0.95))
+    val found = pairSet(Dedup.semDedupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.95, nlist = 20, iterations = 3))
+    val r = recall(found, truth)
+    info(s"semdedup pairs: truth=${truth.size} found=${found.size} recall=$r")
+    assert(truth.nonEmpty, "truth set empty — gate is vacuous")
+    // precision is exact by construction (cosine verified); emitted pairs
+    // must be a subset of the brute-force truth
+    assert(found.subsetOf(truth), s"false positives: ${found.diff(truth).take(5)}")
+    assert(r >= 0.9, s"semdedup recall $r below the trained-cluster bar")
+    // keep-one: with a trained quantizer matching the planted clusters,
+    // each 5-member cluster must collapse to its smallest id
+    val kept = Dedup.semDedup(corpus, "vec_id", "embedding",
+      threshold = 0.95, nlist = 20, iterations = 3, transitive = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size < corpus.count(),
+      "keep-one dedup removed nothing on a clustered corpus")
+    // survivors are exactly the component roots: no kept id may be the
+    // larger end of a found pair whose smaller end is also kept
+    found.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)),
+        s"pair ($a,$b) above threshold but both survived keep-one dedup")
+    }
+  }
+
   test("ANN LSH top-1 agrees with brute force for >= 0.8 of clustered queries") {
     val corpus = clustered(clusters = 100, members = 5, dims = 64)
     def top1(df: DataFrame): Map[Long, Long] =
