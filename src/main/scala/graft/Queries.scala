@@ -1010,6 +1010,50 @@ object Queries {
              |FROM grp GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // ----- span-dedup text excision (EXACT, oracle-checked) ---------------
+    // the clean() side of d_span_dedup: duplicated spans removed in place,
+    // canonical copies and novel prose kept; the oracle rebuilds the text
+    // by index-filtering the token array against the same spans
+    "d_span_clean" -> QueryDef(
+      (s, d) => graft.operators.SpanDedup.clean(
+        t(s, d, "documents"), "doc_id", "text", n = 10)
+        .select(col("doc_id"), col("clean_text"), col("n_tokens_removed"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w
+             |              FROM documents),
+             |grams AS (
+             |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+             |         ARRAY_TO_STRING(w[g.i : g.i + 9], ' ') AS gram
+             |  FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 8)) AS i) g),
+             |owners AS (SELECT gram, MIN(ROW(doc_id, pos)) AS own, COUNT(*) AS occ
+             |           FROM grams GROUP BY gram),
+             |marked AS (
+             |  SELECT g.doc_id, g.pos FROM grams g JOIN owners o ON g.gram = o.gram
+             |  WHERE o.occ > 1 AND ROW(g.doc_id, g.pos) <> o.own),
+             |islands AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN pos <= MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         THEN 0 ELSE 1 END AS brk
+             |  FROM marked),
+             |grp AS (SELECT doc_id, pos,
+             |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |        FROM islands),
+             |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 10 AS e
+             |          FROM grp GROUP BY doc_id, island),
+             |agg AS (SELECT doc_id, LIST({'s': s, 'e': e}) AS sp,
+             |        CAST(SUM(e - s) AS BIGINT) AS rem FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id AS doc_id,
+             |  CASE WHEN a.sp IS NULL THEN t.text
+             |       ELSE COALESCE(ARRAY_TO_STRING([t.w[i]
+             |         FOR i IN RANGE(1, LEN(t.w) + 1)
+             |         IF LEN(LIST_FILTER(a.sp, x -> x.s <= i - 1 AND i - 1 < x.e)) = 0],
+             |         ' '), '')
+             |  END AS clean_text,
+             |  COALESCE(a.rem, 0) AS n_tokens_removed
+             |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // ----- sequence packing (EXACT, oracle-checked) -----------------------
     // GPT-style concatenate-then-chunk: the token stream in doc_id order
     // cut into 128-token packs, one row per doc×pack segment. The engine
