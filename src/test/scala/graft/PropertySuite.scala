@@ -243,6 +243,73 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("span dedup spans equal the brute-force reference on random corpora") {
+    // 3-token alphabet forces dense gram sharing: many overlapping marks,
+    // multi-gram islands, whole-doc spans — the merge logic's worst case
+    val docGen = Gen.choose(1, 10)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf("a", "b", "c")))
+      .map(_.mkString(" "))
+    val n = 3
+    forAllSampled(Gen.listOfN(6, docGen), 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val occ = for {
+        (id, t) <- docs
+        w = t.split(" ", -1).toSeq
+        p <- 0 to w.length - n
+      } yield (w.slice(p, p + n).mkString(" "), id, p.toLong)
+      val marked = occ.groupBy(_._1).filter(_._2.size >= 2).values.flatMap { os =>
+        val keys = os.map(o => (o._2, o._3))
+        keys.filterNot(_ == keys.min)
+      }
+      val expected = marked.groupBy(_._1).flatMap { case (id, ps) =>
+        ps.map(_._2).toSeq.distinct.sorted
+          .foldLeft(List.empty[(Long, Long)]) { case (acc, p) =>
+            acc match {
+              case (s, e) :: tail if p <= e => (s, math.max(e, p + n)) :: tail
+              case _ => (p, p + n) :: acc
+            }
+          }.map { case (s, e) => (id, s, e) }
+      }.toSet
+      val got = graft.operators.SpanDedup
+        .spans(docs.toDF("id", "t"), "id", "t", n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"texts=$texts")
+    }
+  }
+
+  test("sequence packing partitions the token stream for random corpora and budgets") {
+    val docGen = Gen.choose(0, 9)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf("x", "y"))).map(_.mkString(" "))
+    val caseGen = Gen.zip(Gen.choose(1, 9), Gen.listOfN(7, docGen))
+    forAllSampled(caseGen, 8) { case (budget, texts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val nTok = docs.map { case (_, t) => t.split(" ", -1).length.toLong }.sum
+      val segs = graft.operators.Packing
+        .packAssignments(docs.toDF("id", "t"), "id", "t", budget = budget,
+          buckets = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // total conservation + exact pack sizes
+      assert(segs.map(s => s._4 - s._3).sum === nTok)
+      val byPack = segs.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum)
+      val lastPack = byPack.keys.max
+      byPack.foreach { case (p, sz) =>
+        if (p < lastPack) assert(sz === budget.toLong, s"pack $p size $sz")
+        else assert(sz > 0L && sz <= budget.toLong)
+      }
+      // every doc covered [0, len) by adjacent segments in pack order
+      segs.groupBy(_._1).foreach { case (id, ss) =>
+        val sorted = ss.sortBy(_._2)
+        assert(sorted.head._3 === 0L)
+        assert(sorted.last._4 === docs(id.toInt)._2.split(" ", -1).length.toLong)
+        sorted.sliding(2).foreach {
+          case Array((_, p1, _, e1), (_, p2, s2, _)) =>
+            assert(p2 === p1 + 1 && s2 === e1)
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("token chunking reconstructs the document for random window/overlap") {
     val caseGen = Gen.zip(Gen.choose(1, 40), Gen.choose(2, 8), Gen.choose(0, 3))
     forAllSampled(caseGen, 10) { case (nTokens, window, overlap0) =>
