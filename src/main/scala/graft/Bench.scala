@@ -37,7 +37,14 @@ object Bench {
     val rounds = (1 to repeat).map { round =>
       val results = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop sink, NOT count(): counting lets Catalyst prune every
+        // subtree whose columns the count doesn't reference (a left join
+        // against an aggregate with unique keys vanishes entirely, a
+        // projection thins to the grouping columns), so count() times a
+        // DIFFERENT, lighter plan than the query's consumers run. The
+        // noop write materializes every output row in full.
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
         // isolation between queries: a query that leaks a cache must not
         // poison its successors' timings (and a leak should be VISIBLE —
