@@ -40,7 +40,12 @@ object Packing {
     * contributes its tokens `[tok_start, tok_end)` (0-based, half-open)
     * to pack `pack_id`. Every pack holds exactly `budget` tokens except
     * the last. Docs tokenize by `delim`; empty docs contribute their
-    * single empty token like the tokenizer family does. */
+    * single empty token like the tokenizer family does.
+    *
+    * `idCol` values must be UNIQUE: the stream position of a document is
+    * its rank in id order, and tied ids would share one running-sum
+    * value (a RANGE-frame window), producing overlapping packs. Dedup
+    * first ([[Dedup.exact]]) if ids can repeat. */
   def packAssignments(df: DataFrame, idCol: String, textCol: String,
       budget: Int, delim: String = " ", buckets: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
