@@ -61,7 +61,11 @@ object Packing {
         (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
         .map(_.toLong).distinct.sorted
     // pid = #boundaries strictly below doc_id — a codegen'd HOF fold,
-    // no join, no udf
+    // no join, no udf. Linear in #buckets per row, which is noise next
+    // to tokenizing the same row: buckets only need each bucket's DOC
+    // COUNT to fit one window task (rows here are (doc_id, n_tok)
+    // pairs, ~24 bytes each), so even a 10^10-doc corpus needs only
+    // ~10^4 buckets => ~10^4 long-compares per row
     val pid =
       if (bounds.isEmpty) lit(0)
       else aggregate(typedlit(bounds.toSeq), lit(0),

@@ -147,6 +147,26 @@ class PlanSuite extends SparkSpec {
       "span dedup must never plan a nested-loop/cartesian join")
   }
 
+  test("semdedup assignment is a map-side argmax; pairing never goes cartesian") {
+    assume(available)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = planOf(graft.operators.Dedup.semDedupPairs(
+      emb, "vec_id", "embedding", threshold = 0.9, nlist = 8, iterations = 1))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semdedup must never plan an all-pairs join:\n${plan.take(1500)}")
+    // cluster assignment is a literal-model argmax — the corpus must not
+    // explode over centroids (one Generate is expected AFTER the bounded
+    // bucket aggregation, none before it)
+    val genIdx = plan.indexOf("Generate")
+    val aggIdx = plan.indexOf("ObjectHashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0,
+      s"expected the bounded-bucket explode and aggregation:\n${plan.take(1500)}")
+    // plans print top-down, so executing AFTER the agg = printed ABOVE it
+    assert(genIdx < aggIdx,
+      s"corpus exploded before the bucket aggregation:\n${plan.take(1500)}")
+  }
+
   test("sequence packing never plans a corpus-wide (partition-less) window") {
     assume(available)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
