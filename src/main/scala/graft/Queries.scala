@@ -1054,6 +1054,33 @@ object Queries {
              |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
 
+    // ----- dedup-key normalization (EXACT, oracle-checked) ----------------
+    // C4-style canonicalization before fingerprinting; the corpus is
+    // already clean lowercase, so the query PLANTS case/punct noise from
+    // doc_id on BOTH sides and both engines must normalize byte-for-byte
+    // (and agree on the md5 dedup key)
+    "d_normalize" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("  <P>Mixed, CASE!! #"), col("doc_id").cast("string"),
+            lit("&nbsp; -- "), col("text"), lit(" .. (end)")).as("text"))
+        planted.select(col("doc_id"),
+          Curation.normalizeText(col("text")).as("norm_text"),
+          md5(Curation.normalizeText(col("text"))).as("dedup_key"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (SELECT doc_id,
+             |  '  <P>Mixed, CASE!! #' || CAST(doc_id AS VARCHAR) ||
+             |  '&nbsp; -- ' || text || ' .. (end)' AS text
+             |  FROM documents),
+             |norm AS (SELECT doc_id,
+             |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+             |  FROM planted)
+             |SELECT doc_id, norm_text, MD5(norm_text) AS dedup_key
+             |FROM norm ORDER BY doc_id""".stripMargin)),
+
     // ----- sequence packing (EXACT, oracle-checked) -----------------------
     // GPT-style concatenate-then-chunk: the token stream in doc_id order
     // cut into 128-token packs, one row per doc×pack segment. The engine

@@ -48,6 +48,18 @@ object Curation {
     total
   }
 
+  /** C4-style text normalization for DEDUP KEYS: lowercase, strip
+    * everything outside `[a-z0-9 ]`, collapse whitespace runs, trim.
+    * Exact/fuzzy dedup keyed on `md5(normalizeText(text))` instead of
+    * the raw bytes catches case/punctuation-only re-encodings of the
+    * same content — the canonicalization the C4 and Dolma dedup passes
+    * apply before fingerprinting. Pure codegen'd expression chain in
+    * the Java-regex/RE2 common subset (oracle replays byte-for-byte);
+    * map-only, fuses into the scan. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Deterministic mixture sampling — the "data mixing" primitive that
     * downsamples each stratum (source/domain/language) to a target
     * weight. A row survives iff

@@ -552,6 +552,25 @@ class CurationSuite extends SparkSpec {
     assert(out(3).getLong(2) === 0L)
   }
 
+  test("normalizeText canonicalizes case/punct/whitespace re-encodings together") {
+    val df = Seq(
+      (1L, "The  quick,   BROWN fox!"),
+      (2L, "the QUICK brown--fox"),
+      (3L, "  [the] (quick) {brown} <fox>  "),
+      (4L, "a completely different doc")).toDF("id", "t")
+    val out = df.select($"id", Curation.normalizeText($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1) === "the quick brown fox")
+    assert(out(2) === "the quick brown fox")
+    assert(out(3) === "the quick brown fox")
+    assert(out(4) === "a completely different doc")
+    // the dedup-key use: three re-encodings of one doc collapse to a
+    // single fingerprint under exact dedup
+    val deduped = graft.operators.Dedup.exact(
+      df.select($"id", Curation.normalizeText($"t").as("t")), Seq("t"), "id")
+    assert(deduped.count() === 2L)
+  }
+
   test("hash-mod sampling: deterministic, weight-monotone, unlisted strata intact") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     def ids(w: Map[String, Double]): Set[Long] =
