@@ -70,10 +70,12 @@ object IncrementalCurationDemo {
         writer = (df, ctx) => {
           val w = new DeltaWriter(ctx.spark, conf)
           val appId = "icurate"
-          // in-batch exact dedup on the content fingerprint, then the
-          // history anti-join: only never-seen content survives
+          // in-batch exact dedup on the NORMALIZED content fingerprint
+          // (case/punct re-encodings share a key), then the history
+          // anti-join: only never-seen content survives
           val batch = Dedup.exact(
-            df.withColumn("fp", md5(col("text"))), Seq("fp"), "doc_id")
+            df.withColumn("fp", md5(Curation.normalizeText(col("text")))),
+            Seq("fp"), "doc_id")
           val fresh =
             (if (w.tableExists(fpHistory))
               batch.join(w.read(fpHistory), Seq("fp"), "left_anti")
@@ -148,7 +150,8 @@ object IncrementalCurationDemo {
 
     val curatedDf = w.read(curated)
     val rows = curatedDf.count()
-    val distinctFp = curatedDf.select(md5(col("text"))).distinct().count()
+    val distinctFp = curatedDf
+      .select(md5(Curation.normalizeText(col("text")))).distinct().count()
     val resentSurvivors = curatedDf
       .filter(col("doc_id") >= 10000 && col("doc_id") < 20000).count()
     val novelSurvivors = curatedDf.filter(col("doc_id") >= 20000).count()
