@@ -525,6 +525,15 @@ class DedupSuite extends SparkSpec {
     assert(Dedup.embeddingCosinePairsLsh(empty, "vec_id", "embedding", 0.5).columns.toSeq
       === Seq("id_a", "id_b", "cosine"))
   }
+
+  test("semdedup on empty input returns empty with the pair contract") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val pairs = Dedup.semDedupPairs(empty, "vec_id", "embedding", 0.9, nlist = 4)
+    assert(pairs.count() === 0)
+    assert(pairs.columns.toSeq === Seq("id_a", "id_b", "cosine"))
+    assert(Dedup.semDedup(empty, "vec_id", "embedding", 0.9, nlist = 4)
+      .count() === 0)
+  }
 }
 
 class CurationSuite extends SparkSpec {

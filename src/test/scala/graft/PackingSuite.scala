@@ -50,6 +50,7 @@ class PackingSuite extends SparkSpec {
     val one = run(1) // single bucket = the trivially-correct global scan
     assert(run(7) === one)
     assert(run(32) === one)
+    assert(run(500) === one) // more buckets than docs: boundaries dedupe
   }
 
   test("deterministic across invocations") {

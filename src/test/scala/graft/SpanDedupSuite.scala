@@ -70,6 +70,20 @@ class SpanDedupSuite extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 13L)))
   }
 
+  test("newline delimiter gives line-level spans (the C4 line-dedup mode)") {
+    val boiler = (1 to 3).map(i => s"boilerplate line $i").mkString("\n")
+    val df = Seq(
+      (1L, boiler + "\nunique footer one"),
+      (2L, boiler + "\nunique footer two")).toDF("doc_id", "text")
+    val got = SpanDedup.spans(df, "doc_id", "text", n = 3, delim = "\n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 3-line boilerplate block recurs: doc 2's copy is one [0,3) span
+    assert(got.toSeq === Seq((2L, 0L, 3L)))
+    val cleaned = SpanDedup.clean(df, "doc_id", "text", n = 3, delim = "\n")
+      .orderBy("doc_id").collect()
+    assert(cleaned(1).getAs[String]("clean_text") === "unique footer two")
+  }
+
   test("clean removes exactly the spanned tokens and keeps other columns") {
     val a2j = toks('a' to 'j': _*)
     val df = Seq(
