@@ -28,12 +28,25 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
     val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
-    def fmt(results: Seq[(String, Double)], metric: String): String = {
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def fmt(results: Seq[(String, Double)], metric: String,
+        errors: Map[String, String]): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // A query that throws must be VISIBLE in the JSON line: a silent
+      // catch times the failure at near-zero and a bench-only breakage
+      // (e.g. a sink incompatibility) masquerades as a speedup.
+      val errField =
+        if (errors.isEmpty) ""
+        else errors.toSeq.sortBy(_._1)
+          .map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
+          .mkString(""","errors":{""", ",", "}")
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
     }
+    var failed = Map.empty[String, String]
     val rounds = (1 to repeat).map { round =>
       val results = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -44,7 +57,10 @@ object Bench {
         // DIFFERENT, lighter plan than the query's consumers run. The
         // noop write materializes every output row in full.
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed += name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
+          System.err.println(s"[bench] $name FAILED: $e")
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         // isolation between queries: a query that leaks a cache must not
         // poison its successors' timings (and a leak should be VISIBLE —
@@ -59,12 +75,13 @@ object Bench {
         spark.catalog.clearCache()
         name -> sec
       }
-      System.err.println(fmt(results, s"round$round"))
+      System.err.println(fmt(results, s"round$round", failed))
       results
     }
     val best = rounds.transpose.map(series =>
       series.head._1 -> series.map(_._2).min)
-    println(fmt(best, "total"))
+    println(fmt(best, "total", failed))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

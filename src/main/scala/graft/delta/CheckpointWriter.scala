@@ -16,9 +16,11 @@ import org.apache.parquet.schema.MessageTypeParser
   *
   * The checkpoint is one `%020d.checkpoint.parquet` in `_delta_log` with
   * the standard one-action-per-row layout (nullable `add` / `metaData` /
-  * `txn` struct columns — the subset our reader folds; `txn` rows carry
-  * every writer's SetTransaction watermark so idempotent-sink state
-  * survives log expiry), plus the `_last_checkpoint` pointer. Written
+  * `txn` / `protocol` struct columns — the subset our reader folds; `txn`
+  * rows carry every writer's SetTransaction watermark so idempotent-sink
+  * state survives log expiry, and the single `protocol` row carries the
+  * table's reader/writer requirements so a DV table's 3/7 upgrade
+  * survives it too), plus the `_last_checkpoint` pointer. Written
   * driver-side with parquet-mr: the snapshot state is already a
   * driver-resident map, and the exact protocol file name can't come out
   * of a distributed write.
@@ -66,6 +68,20 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |    required binary appId (STRING);
       |    optional int64 version;
       |  }
+      |  optional group protocol {
+      |    optional int32 minReaderVersion;
+      |    optional int32 minWriterVersion;
+      |    optional group readerFeatures (LIST) {
+      |      repeated group list {
+      |        optional binary element (STRING);
+      |      }
+      |    }
+      |    optional group writerFeatures (LIST) {
+      |      repeated group list {
+      |        optional binary element (STRING);
+      |      }
+      |    }
+      |  }
       |}""".stripMargin)
 
   /** Files per checkpoint part (`actionsPerPart`): beyond this the
@@ -90,6 +106,19 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         val state = DeltaStats.activeAdds(log, tablePath, version)
         val meta = log.resolveMeta(tablePath)
         val txns = log.txnState(tablePath, version)
+        // the spec requires exactly one protocol action per checkpoint:
+        // a DV table's reader-3/writer-7 upgrade lives only in JSON
+        // commits, so after expireLogs a protocol-less checkpoint leaves
+        // foreign readers either unable to load the snapshot or legally
+        // defaulting to 1/2 — ignoring deletion vectors and RESURRECTING
+        // deleted rows. Resolve from the log; a foreign protocol-less log
+        // falls back to what the snapshot itself requires (DV adds
+        // present -> 3/7 + deletionVectors, else the base 1/2).
+        val protocol = log.resolveProtocol(tablePath, version).getOrElse {
+          if (state.exists(_.deletionVector.isDefined))
+            DeltaAction.Protocol(3, Seq("deletionVectors"), 7, Seq("deletionVectors"))
+          else DeltaAction.Protocol(1, Seq.empty, 2, Seq.empty)
+        }
         val nParts = math.max(1, (state.size + ActionsPerPart - 1) / ActionsPerPart)
         val inst = CheckpointInstance(version,
           if (nParts > 1) Some(nParts) else None)
@@ -98,7 +127,8 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
           .padTo(nParts, Seq.empty[DeltaAction.AddFile])
         files.zip(slices).zipWithIndex.foreach { case ((target, slice), i) =>
           writePart(target, slice, if (i == 0) meta else None,
-            if (i == 0) txns else Map.empty)
+            if (i == 0) txns else Map.empty,
+            if (i == 0) Some(protocol) else None)
         }
         inst
       }
@@ -112,11 +142,29 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
 
   private def writePart(target: org.apache.hadoop.fs.Path,
       state: Seq[DeltaAction.AddFile], meta: Option[TableMeta],
-      txns: Map[String, Long] = Map.empty): Unit = {
+      txns: Map[String, Long] = Map.empty,
+      protocol: Option[DeltaAction.Protocol] = None): Unit = {
     val factory = new SimpleGroupFactory(Schema)
     val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(target, conf))
       .withType(Schema).withConf(conf).build()
     try {
+      protocol.foreach { p =>
+        val g = factory.newGroup()
+        val pr = g.addGroup("protocol")
+        pr.append("minReaderVersion", p.minReaderVersion)
+        pr.append("minWriterVersion", p.minWriterVersion)
+        // 3-level LIST layout (delta-spark's checkpoint feature lists);
+        // v1/v2 protocols omit the lists entirely, as the spec does
+        if (p.readerFeatures.nonEmpty) {
+          val rf = pr.addGroup("readerFeatures")
+          p.readerFeatures.foreach(f => rf.addGroup("list").append("element", f))
+        }
+        if (p.writerFeatures.nonEmpty) {
+          val wf = pr.addGroup("writerFeatures")
+          p.writerFeatures.foreach(f => wf.addGroup("list").append("element", f))
+        }
+        writer.write(g)
+      }
       meta.foreach { m =>
         val g = factory.newGroup()
         val md = g.addGroup("metaData")

@@ -13,10 +13,11 @@ import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import scala.collection.concurrent.TrieMap
 
-/** Delta-protocol actions we understand — the subset the reference's
-  * from-scratch `_delta_log` parser handles
-  * (reference `src/polars_incremental/checkpoints/delta.py:346-390`):
-  * commitInfo/metaData/add/remove/cdc. Protocol/txn actions are ignored. */
+/** Delta-protocol actions we understand — a superset of what the
+  * reference's from-scratch `_delta_log` parser handles
+  * (reference `src/polars_incremental/checkpoints/delta.py:346-390`:
+  * commitInfo/metaData/add/remove/cdc; it ignores protocol/txn, which we
+  * parse for the capability guard and idempotent-writer watermarks). */
 sealed trait DeltaAction
 object DeltaAction {
   case class CommitInfo(timestampMs: Option[Long]) extends DeltaAction
@@ -47,7 +48,9 @@ object DeltaAction {
     * silently RESURFACES deleted rows (every add's parquet is read whole);
     * wrong answers, not an error. */
   case class Protocol(minReaderVersion: Int,
-      readerFeatures: Seq[String] = Seq.empty) extends DeltaAction
+      readerFeatures: Seq[String] = Seq.empty,
+      minWriterVersion: Int = 2,
+      writerFeatures: Seq[String] = Seq.empty) extends DeltaAction
 }
 
 /** One parsed commit. */
@@ -204,7 +207,10 @@ class DeltaLogReader(conf: Configuration) {
     )).orElse(Jsons.optField(n, "protocol").map(p =>
       Protocol(Jsons.optLong(p, "minReaderVersion").getOrElse(1L).toInt,
         Jsons.optField(p, "readerFeatures").map(rf =>
-          Jsons.elems(rf).map(_.asText()).toSeq).getOrElse(Seq.empty))))
+          Jsons.elems(rf).map(_.asText()).toSeq).getOrElse(Seq.empty),
+        Jsons.optLong(p, "minWriterVersion").getOrElse(2L).toInt,
+        Jsons.optField(p, "writerFeatures").map(wf =>
+          Jsons.elems(wf).map(_.asText()).toSeq).getOrElse(Seq.empty))))
   }
 
   private def parseDv(a: JsonNode): Option[DvDescriptor] =
@@ -328,6 +334,22 @@ class DeltaLogReader(conf: Configuration) {
       }.toOption
     else None
 
+  /** A parquet LIST<string> column (3-level `list`/`element` layout —
+    * how delta-spark checkpoints store protocol reader/writerFeatures,
+    * and how ours do since round 9). None when absent or unparseable —
+    * the caller decides whether unparseable features are fatal. */
+  private def listStrField(g: Group, f: String): Option[Seq[String]] =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+      scala.util.Try {
+        val lg = g.getGroup(f, 0)
+        val rep = if (lg.getType.containsField("list")) "list" else "array"
+        (0 until lg.getFieldRepetitionCount(rep)).map { i =>
+          val e = lg.getGroup(rep, i)
+          e.getString("element", 0)
+        }.toSeq
+      }.toOption
+    else None
+
   /** The protocol's checkpoint deletionVector struct (offset and
     * sizeInBytes are int32 in the checkpoint schema). */
   private def parseDvGroup(g: Group): Option[DvDescriptor] =
@@ -390,11 +412,19 @@ class DeltaLogReader(conf: Configuration) {
           }
           grpField(rec, "protocol").foreach { p =>
             val v = intField(p, "minReaderVersion").getOrElse(1)
-            // the example-API reader can't parse the readerFeatures list;
-            // features unknown -> conservatively unreadable for v3 (v2 =
-            // column mapping, which the writer resolves at scan time)
-            if (v > 2) checkProtocol(tablePath,
-              Protocol(v, Seq(s"checkpoint-declared v$v, features unreadable")))
+            // 3-level LIST features parse via listStrField (delta-spark's
+            // layout + ours since round 9); a v3 protocol whose feature
+            // list is ABSENT or unparseable stays conservatively
+            // unreadable (v2 = column mapping, resolved at scan time)
+            val rf = listStrField(p, "readerFeatures")
+            val parsed = Protocol(v,
+              rf.getOrElse(
+                if (v > 2) Seq(s"checkpoint-declared v$v, features unreadable")
+                else Seq.empty),
+              intField(p, "minWriterVersion").getOrElse(2),
+              listStrField(p, "writerFeatures").getOrElse(Seq.empty))
+            if (v > 2) checkProtocol(tablePath, parsed)
+            out += parsed
           }
         }
       } finally reader.close()
@@ -525,6 +555,21 @@ class DeltaLogReader(conf: Configuration) {
         readCommit(tablePath, v).txns.foldLeft(acc)((m, t) => m + (t.appId -> t.version))
       }
   }
+
+  /** Last protocol action at or below `version` — the table's protocol
+    * requirements THEN. Protocol actions only ever upgrade (the spec
+    * forbids downgrades), so the newest one wins. JSON commits newest
+    * first, the newest checkpoint at-or-below as the fallback base (a
+    * checkpoint must carry the protocol or foreign readers of an
+    * expiry-pruned log can't load the snapshot at all). */
+  def resolveProtocol(tablePath: String, version: Long): Option[DeltaAction.Protocol] =
+    listVersions(tablePath).filter(_ <= version).reverseIterator
+      .map(v => readCommit(tablePath, v).actions
+        .collectFirst { case p: Protocol => p })
+      .collectFirst { case Some(p) => p }
+      .orElse(checkpointAtOrBelow(tablePath, version).flatMap(cp =>
+        readCheckpointActions(tablePath, cp)
+          .collectFirst { case p: Protocol => p }))
 
   /** Last metaData action at or below `version` (the schema the table had
     * THEN — what a restore must revert to). JSON commits first, newest

@@ -6,7 +6,7 @@ import graft.util.{Fs, Jsons}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, MetadataBuilder, StructField, StructType}
 
 import java.util.UUID
 
@@ -521,21 +521,33 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   def lastTxnVersion(tablePath: String, appId: String): Option[Long] =
     if (!tableExists(tablePath)) None else log.lastTxnVersion(tablePath, appId)
 
+  /** Every `delta.columnMapping.id` in the schema, NESTED fields
+    * included (struct/array/map element traversal mirrors
+    * [[ColumnMapping.physicalType]]): on a foreign table the highest id
+    * can live inside a struct, and a top-level-only scan would re-mint
+    * an existing id — a protocol violation delta-spark readers reject. */
+  private def mappedFieldIds(dt: DataType): Seq[Long] = dt match {
+    case st: StructType => st.fields.toSeq.flatMap(f =>
+      (if (f.metadata.contains("delta.columnMapping.id"))
+        Seq(f.metadata.getLong("delta.columnMapping.id")) else Nil) ++
+      mappedFieldIds(f.dataType))
+    case ArrayType(et, _) => mappedFieldIds(et)
+    case MapType(k, v, _) => mappedFieldIds(k) ++ mappedFieldIds(v)
+    case _ => Nil
+  }
+
   /** Fresh physical `col-<uuid>` names + field ids for new logical
     * columns on a mapped table; returns (minted fields, new maxColumnId).
     * Ids continue from delta.columnMapping.maxColumnId, falling back to
-    * the highest existing field id when a foreign table never recorded
-    * the property. */
+    * the highest existing field id (nested fields included) when a
+    * foreign table never recorded the property. */
   private def mintMappedColumns(tablePath: String, es: StructType,
       newCols: Array[StructField]): (Array[StructField], Long) = {
     val maxId = log.tableConfigurationJson(tablePath)
       .map(Jsons.parse)
       .flatMap(n => Jsons.optStr(n, "delta.columnMapping.maxColumnId"))
       .map(_.toLong)
-      .orElse(es.fields.flatMap(f =>
-        if (f.metadata.contains("delta.columnMapping.id"))
-          Some(f.metadata.getLong("delta.columnMapping.id")) else None)
-        .maxOption)
+      .orElse(mappedFieldIds(es).maxOption)
       .getOrElse(0L)
     val fields = newCols.zipWithIndex.map { case (f, i) =>
       f.copy(nullable = true, metadata = new MetadataBuilder()
@@ -803,8 +815,11 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
         .getOrElse(Jsons.obj())
       mintedMaxColumnId.foreach { mid =>
-        // re-read per attempt: a concurrent winner may have minted further
-        // column ids — never regress maxColumnId below what the log holds
+        // defense in depth, not concurrency handling: a concurrent mint
+        // changes `configuration`, which metaConflicts flags and aborts
+        // BEFORE any retry rebuilds this node — so the max() below never
+        // arbitrates live races; it only guarantees that, whatever config
+        // this attempt read, maxColumnId never regresses below it
         val cur = Jsons.optStr(cfgNode, "delta.columnMapping.maxColumnId")
           .map(_.toLong).getOrElse(0L)
         cfgNode.put("delta.columnMapping.maxColumnId",

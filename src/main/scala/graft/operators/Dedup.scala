@@ -631,8 +631,10 @@ object Dedup {
     // ONE explode feeds the whole candidate stage, and only 8-byte gram
     // HASHES leave it (a collision can only ADD a candidate; verification
     // is exact downstream). |X| comes from the array size — no count
-    // window — and document frequency comes from a window over the hash —
-    // no agg+join, no second materialization of the exploded grams.
+    // window — and document frequency comes from a partial-agg
+    // `groupBy(gh).count` joined back on the hash (see dfAgg below): a
+    // window over the hash would pin every occurrence of a hot gram to a
+    // single unsplittable task, the exact straggler the agg+join avoids.
     val gramsH = gramArrs
       .select(col("id"), size(col("gr")).as("n_grams"),
         // hash at ARRAY level so the explode generates 8-byte longs —

@@ -49,6 +49,12 @@ object Packing {
   def packAssignments(df: DataFrame, idCol: String, textCol: String,
       budget: Int, delim: String = " ", buckets: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(df.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"packAssignments needs a numeric id column; '$idCol' is " +
+      s"${df.schema(idCol).dataType.simpleString} (a non-numeric cast " +
+      "would null out doc_id, desync the quantile bounds, and silently " +
+      "drop rows from the pack stream)")
     val spark = df.sparkSession
     val nBuckets = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -257,8 +257,10 @@ object Similarity {
     *
     * Scale shape with tables > 1: the bucket join carries only
     * (id, table, bucket) rows — vectors do NOT replicate per table; the
-    * surviving candidate PAIRS dedupe and then fetch vectors through one
-    * AQE-splittable join on neighbor_id plus the query broadcast.
+    * surviving candidate PAIRS dedupe and then fetch vectors through
+    * AQE-splittable joins (no forced broadcast — a driver-small query
+    * set still broadcasts via AQE's threshold; a large one shuffle-joins
+    * instead of OOMing).
     *
     * The corpus side of the bucket join is capped at `maxBucket` members
     * per (table, bucket) (rank filter, smallest id first —
@@ -317,13 +319,19 @@ object Similarity {
         cb0.withColumn("__rn", row_number().over(wb))
           .filter(col("__rn") <= maxBucket).drop("__rn")
       } else cb0
-    val cands = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+    // no broadcast HINTS on the query side: the API puts no bound on the
+    // query-set size, and a forced broadcast of tables× query rows (or
+    // the query vectors) would OOM on a large query frame where a shuffle
+    // join works fine. AQE still broadcasts automatically whenever the
+    // query side is under the threshold — the common driver-small case
+    // keeps its broadcast plan without the hint's unbounded downside.
+    val cands = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct() // a pair can meet in several tables
     val joined = cands
       .join(nv, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
+      .join(qv, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cosine"))
     val w = Window.partitionBy("query_id")

@@ -1622,6 +1622,56 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("checkpoints carry a protocol row; a DV table's 3/7 upgrade survives log expiry") {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    withTmpDir { tmp =>
+      val w = writer
+      val log = new DeltaLogReader(conf)
+      // plain table: the base 1/2 protocol row lands in the checkpoint
+      val t0 = s"$tmp/plain"
+      w.write(Seq((1L, "a")).toDF("id", "s"), t0, DeltaWriteMode.Append)
+      w.checkpoint(t0)
+      w.expireLogs(t0)
+      assert(log.resolveProtocol(t0, 0L) ===
+        Some(graft.delta.DeltaAction.Protocol(1, Seq.empty, 2, Seq.empty)))
+      // DV table: deleteWhere upgrades to reader 3 / writer 7 in its JSON
+      // commit; after checkpoint + FULL expiry (keepVersions = 0) the
+      // upgrade must survive in the checkpoint parquet, or a foreign
+      // reader legally defaults to 1/2, ignores the deletion vectors, and
+      // resurrects the deleted rows
+      val t = s"$tmp/dv"
+      w.write(spark.range(0, 10).toDF("id").coalesce(1), t, DeltaWriteMode.Append)
+      assert(w.deleteWhere(t, col("id") < 3) === 3L)
+      val dv = log.latestVersion(t).get // the DV delete's commit
+      w.checkpoint(t)
+      w.expireLogs(t)
+      assert(log.listVersions(t) === Seq(dv), "expiry must leave only the checkpointed tail")
+      val p = log.resolveProtocol(t, dv)
+      assert(p.map(_.minReaderVersion) === Some(3))
+      assert(p.map(_.minWriterVersion) === Some(7))
+      assert(p.exists(_.readerFeatures.contains("deletionVectors")))
+      assert(p.exists(_.writerFeatures.contains("deletionVectors")))
+      // a foreign reader (Spark's parquet scan) sees standard protocol
+      // columns: int versions + array<string> feature lists, not private
+      // encodings
+      val ck = spark.read.parquet(
+        s"$t/_delta_log/${"%020d".format(dv)}.checkpoint.parquet")
+      val pt = ck.schema("protocol").dataType.asInstanceOf[StructType]
+      assert(pt("readerFeatures").dataType.isInstanceOf[ArrayType],
+        s"readerFeatures must be a parquet LIST: ${pt("readerFeatures").dataType}")
+      val prow = ck.filter(col("protocol").isNotNull)
+        .select("protocol.minReaderVersion", "protocol.minWriterVersion",
+          "protocol.readerFeatures").head()
+      assert(prow.getInt(0) === 3 && prow.getInt(1) === 7)
+      assert(prow.getSeq[String](2) === Seq("deletionVectors"))
+      assert(ck.filter(col("protocol").isNotNull).count() === 1,
+        "exactly one protocol action per checkpoint")
+      // and our own reader still reconstructs the DV-filtered table
+      assert(w.read(t).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+        (3L until 10L))
+    }
+  }
+
   test("large snapshots checkpoint multi-part and round-trip") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"
