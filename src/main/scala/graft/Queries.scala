@@ -1181,6 +1181,53 @@ object Queries {
              |    AS token_share
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ----- SemDeDup (Abbas et al.) — oracle-checked via planted clusters --
+    // The testdata embeddings carry no semantic near-dups (max pairwise
+    // cosine 0.48), so the query PLANTS them from doc_id on BOTH sides:
+    // 10 tight clusters of integer-valued 16-dim vectors (cluster base
+    // scaled 1000x + per-doc perturbation). Integer elements are exact in
+    // float32 AND double, and every dot/norm² partial sum stays an exact
+    // integer < 2^53 — the cosines are bit-identical across engines with
+    // zero FP fuzz. Cross-cluster cosine maxes at 0.34 (measured over the
+    // quadratic-residue base family), so truth at 0.9 is exactly the
+    // within-cluster pairs. Emitted rows are the EXACT brute-force pairs
+    // (which DuckDB mirrors) plus a recall_ok column gating semDedupPairs
+    // against them at >= 0.9 — the e_ann_lsh trick: a clustering or
+    // recall regression flips the column on every row and fails the hash.
+    "d_semdedup" -> QueryDef(
+      (s, d) => {
+        val g = col("doc_id") % 10
+        val planted = t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(15)), j =>
+              (((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000 +
+                ((col("doc_id") * 13 + j * 7) % 17 - 8)).cast("float")).as("v"))
+        val exact = Dedup.embeddingCosinePairs(planted, "doc_id", "v", 0.9)
+        val found = Dedup.semDedupPairs(planted, "doc_id", "v",
+          threshold = 0.9, nlist = 10, iterations = 4)
+          .select(col("id_a"), col("id_b"), lit(1d).as("__hit"))
+        exact.join(found, Seq("id_a", "id_b"), "left")
+          .withColumn("recall_ok",
+            avg(coalesce(col("__hit"), lit(0d))).over(Window.partitionBy()) >= 0.9)
+          .select("id_a", "id_b", "cosine", "recall_ok")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id,
+             |    LIST_TRANSFORM(RANGE(0, 16), j -> CAST(
+             |      (((doc_id % 10) * 31 + j * 17 + (doc_id % 10) * j * 13) % 23 - 11)
+             |        * 1000 + ((doc_id * 13 + j * 7) % 17 - 8) AS DOUBLE)) AS emb
+             |  FROM documents WHERE doc_id < 200),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb),
+             |        x -> x[1] * x[2])) /
+             |      (SQRT(LIST_SUM(LIST_TRANSFORM(a.emb, x -> x * x))) *
+             |       SQRT(LIST_SUM(LIST_TRANSFORM(b.emb, x -> x * x)))), 4) AS cosine
+             |  FROM v a JOIN v b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, cosine, TRUE AS recall_ok
+             |FROM p WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------
     "d_winnow_pairs" -> QueryDef(
