@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions._
   *  1. tokenize, then per-position token-`n`-gram keys computed at ARRAY
   *     level in a map stage — only 16-byte hash structs enter the
   *     explode/shuffle, never gram strings;
-  *  2. canonical occurrence per gram = `min(struct(doc_id, pos))` via
+  *  2. canonical occurrence per gram = min over the PACKED owner key
+  *     `doc_id * 2^32 + pos` (order-isomorphic to lexicographic
+  *     `(doc_id, pos)` while doc_id fits 31 bits and pos 32 — guarded
+  *     per row, and `packedOwners = false` falls back to the
+  *     `min(struct(doc_id, pos))` formulation for out-of-range ids) via
   *     `groupBy(key).agg` — partial (map-side) aggregation collapses a
   *     corpus-wide hot gram before the shuffle, so document skew cannot
   *     pin one gram's occurrences to one task (same skew-immune
   *     agg+join-back shape as [[Dedup.charNgramJaccardExactPairs]]'s
   *     document frequency — a window over the gram key would not split).
-  *     Spark plans min-over-struct as a partial SortAggregate (struct
-  *     buffers aren't hash-mutable); the map-side combine is what kills
-  *     the straggler, the sort is a per-partition constant factor;
+  *     The packed long min is hash-aggregable (plans as HashAggregate,
+  *     PlanSuite-gated), where min-over-struct planned as a partial
+  *     SortAggregate (struct buffers aren't hash-mutable);
   *  3. join occurrences back on the key (AQE-skew-splittable), mark
   *     everything that is not its gram's canonical occurrence;
   *  4. merge marks into maximal half-open token spans `[start, end)`
@@ -63,22 +67,35 @@ object SpanDedup {
     * covers every `n`-token gram occurrence whose gram also occurs at a
     * lexicographically smaller `(doc_id, pos)` anywhere in the corpus. */
   def spans(df: DataFrame, idCol: String, textCol: String, n: Int = 10,
-      delim: String = " "): DataFrame = {
+      delim: String = " ", packedOwners: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), delim).as("w"))
     // hash before explode: the Generate emits (pos, {h1,h2}) longs only
-    val occ = toks
+    val occBase = toks
       .select(col("doc_id"),
         posexplode(gramKeys(gramStrings(col("w"), n, delim))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("gh"))
+    // owner key: packed long (hash-aggregable min) by default, guarded
+    // per row so an out-of-range id fails LOUDLY naming the fallback
+    // instead of silently mis-ordering; struct fallback preserves exact
+    // semantics for arbitrary long ids at SortAggregate cost
+    val occ =
+      if (packedOwners)
+        occBase.withColumn("okey",
+          when(assert_true(
+            col("doc_id") >= 0 && col("doc_id") < 2147483648L &&
+              col("pos") < 4294967296L,
+            lit("spans: doc_id/pos exceed the 31/32-bit packed-owner " +
+              "range; call spans(..., packedOwners = false)")).isNull,
+            col("doc_id") * 4294967296L + col("pos")))
+      else occBase.withColumn("okey", struct(col("doc_id"), col("pos")))
     val owners = occ.groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("own"),
-        count(lit(1)).as("occ_n"))
+      .agg(min(col("okey")).as("own"), count(lit(1)).as("occ_n"))
       .filter(col("occ_n") >= 2)
       .select(col("gh"), col("own"))
     val marked = occ.join(owners, Seq("gh"))
-      .filter(struct(col("doc_id"), col("pos")) =!= col("own"))
+      .filter(col("okey") =!= col("own"))
       .select(col("doc_id"), col("pos"))
     // gaps-and-islands merge; windows are per-document, bounded by doc
     // length — never a corpus-scale partition

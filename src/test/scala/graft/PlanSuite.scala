@@ -131,12 +131,15 @@ class PlanSuite extends SparkSpec {
     // would pin every occurrence of one hot gram into a single task
     assert(!plan.contains("windowspecdefinition(gh#"),
       s"no window may partition on the gram key:\n${plan.take(1500)}")
-    // min(struct) is sort-based in Spark (struct buffers aren't hash-
-    // mutable) — what matters at scale is the PARTIAL mode: a hot gram
-    // still collapses map-side before the shuffle
-    assert("""(Sort|Hash)Aggregate\(keys?=\[gh#\d+\], functions=\[partial_min""".r
+    // the packed owner key (doc_id * 2^32 + pos) is a plain long, so the
+    // owners stage must be a HASH aggregate with a partial mode — the
+    // min(struct) formulation planned as SortAggregate (struct buffers
+    // aren't hash-mutable), paying a per-partition sort for nothing
+    assert("""HashAggregate\(keys?=\[gh#\d+\], functions=\[partial_min""".r
       .findFirstIn(plan).isDefined,
-      s"owners must partially aggregate on the gram key:\n${plan.take(1500)}")
+      s"owners must hash-partial-aggregate on the gram key:\n${plan.take(1500)}")
+    assert(!plan.contains("SortAggregate"),
+      s"no sort-based aggregate may remain in the span plan:\n${plan.take(1500)}")
     // the only windows are the per-document interval merge
     val windowParts = """windowspecdefinition\((\w+)#""".r
       .findAllMatchIn(plan).map(_.group(1)).toSet

@@ -70,6 +70,32 @@ class SpanDedupSuite extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 13L)))
   }
 
+  test("struct-owner fallback matches the packed-owner default; out-of-range ids fail loudly") {
+    val a2j = toks('a' to 'j': _*)
+    val df = Seq(
+      (1L, a2j + " " + toks('k' to 't': _*)),
+      (2L, toks('x', 'y', 'z') + " " + a2j + " q r s"),
+      (3L, a2j + " novel tail here")).toDF("doc_id", "text")
+    def rows(packed: Boolean) =
+      SpanDedup.spans(df, "doc_id", "text", n = 10, packedOwners = packed)
+        .orderBy("doc_id", "span_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(packed = true) === rows(packed = false))
+    // a doc_id beyond 31 bits must error NAMING the fallback, never
+    // silently mis-order the canonical-owner selection
+    val big = Seq((1L << 40, a2j), (2L, a2j)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      SpanDedup.spans(big, "doc_id", "text", n = 10).collect()
+    }
+    assert(e.getMessage.contains("packedOwners"),
+      s"expected the packed-owner guard message, got: ${e.getMessage}")
+    // the fallback handles the same ids exactly
+    val got = SpanDedup.spans(big, "doc_id", "text", n = 10,
+      packedOwners = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(((1L << 40), 0L, 10L)))
+  }
+
   test("newline delimiter gives line-level spans (the C4 line-dedup mode)") {
     val boiler = (1 to 3).map(i => s"boilerplate line $i").mkString("\n")
     val df = Seq(
