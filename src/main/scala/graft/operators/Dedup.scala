@@ -601,9 +601,12 @@ object Dedup {
     * skew-split the join-back — a window over `gh` would pin every
     * occurrence of one hot gram to a single task); a per-document
     * ranking window (documents are bounded-size); the bounded prefix
-    * join with AllPairs size + PPJoin positional filters; and a
-    * candidate-pair verify join against per-doc gram arrays — no
-    * all-pairs stage anywhere, and gram strings never shuffle.
+    * join with AllPairs size + PPJoin positional filters; and a MELTED
+    * candidate-pair verify (one row per pair side, ONE fetch join
+    * against the per-doc gram arrays, folded back per pair) so the gram
+    * arrays materialize once for verification, not once per side — no
+    * all-pairs stage anywhere, and gram strings never shuffle beyond
+    * the matched candidate rows.
     *
     * `maxDf > 0` additionally DROPS grams present in more than `maxDf`
     * documents before candidate generation (MOSS stop-gram escape hatch
@@ -686,9 +689,23 @@ object Dedup {
       .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
         lit(tf / (1 + tf)) * (col("na") + col("nb")))
       .select("id_a", "id_b")
-    candidates
-      .join(gramArrs.select(col("id").as("id_a"), col("gr").as("gr_a")), Seq("id_a"))
-      .join(gramArrs.select(col("id").as("id_b"), col("gr").as("gr_b")), Seq("id_b"))
+    // verify via a MELTED single fetch join: each candidate pair unpivots
+    // to one row per side, joins the per-doc gram arrays ONCE, and folds
+    // back per pair — so the charNgramsDistinct subtree (the string-
+    // heaviest map stage in the query) materializes once for the verify
+    // stage instead of once per pair side, and the candidate subtree is
+    // referenced exactly once (a semi-join-bounded fetch was measured
+    // SLOWER here: deriving the candidate-id set re-references the whole
+    // candidate pipeline, which costs more than a corpus-wide map pass)
+    val melted = candidates
+      .select(col("id_a"), col("id_b"), explode(array(
+        struct(lit("a").as("side"), col("id_a").as("id")),
+        struct(lit("b").as("side"), col("id_b").as("id")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.side").as("side"), col("m.id").as("id"))
+    melted.join(gramArrs, Seq("id"))
+      .groupBy("id_a", "id_b")
+      .agg(first(when(col("side") === "a", col("gr")), ignoreNulls = true).as("gr_a"),
+        first(when(col("side") === "b", col("gr")), ignoreNulls = true).as("gr_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("gr_a"), col("gr_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
