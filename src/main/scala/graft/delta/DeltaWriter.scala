@@ -560,6 +560,105 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     (fields, maxId + newCols.length)
   }
 
+  /** Rename a logical column on a column-mapped table WITHOUT rewriting
+    * data (delta-spark's ALTER TABLE .. RENAME COLUMN under
+    * columnMapping.mode=name — the mapping's raison d'être): the field
+    * keeps its physical `col-<uuid>` name and field id, so existing
+    * files, partition dirs, and stats keys — which all address the
+    * physical name — read under the new logical name immediately, old
+    * and new files alike. Metadata-only commit: intervening metaData
+    * changes conflict ([[metaConflicts]]); a concurrent append planned
+    * against the old name conflicts on ITS retry (the rename is a
+    * non-additive schema change to it). */
+  def renameColumn(tablePath: String, oldName: String, newName: String): Long =
+    alterMappedSchema(tablePath, "RENAME COLUMN") { es =>
+      if (!es.fieldNames.contains(oldName))
+        throw new GraftError(s"no column '$oldName' on $tablePath")
+      if (es.fieldNames.contains(newName))
+        throw new GraftError(s"column '$newName' already exists on $tablePath")
+      StructType(es.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+    }
+
+  /** Drop a logical column on a column-mapped table without rewriting
+    * data: the field leaves the metaData schema; files are untouched
+    * (the physical column is dead bytes until a rewrite compacts it
+    * away). A later mergeSchema re-add of the same logical name mints a
+    * FRESH physical name + field id ([[mintMappedColumns]] — maxColumnId
+    * is monotone across the drop), so dropped data can never resurrect
+    * under the new column: the column-mapping protocol's core invariant.
+    * Partition columns cannot drop (the hive layout is keyed on them). */
+  def dropColumn(tablePath: String, name: String): Long =
+    alterMappedSchema(tablePath, "DROP COLUMN") { es =>
+      if (!es.fieldNames.contains(name))
+        throw new GraftError(s"no column '$name' on $tablePath")
+      val physToLogical = ColumnMapping.physicalNames(es).map(_.swap)
+      if (partitionColumnsOf(tablePath).map(p => physToLogical.getOrElse(p, p))
+          .contains(name))
+        throw new GraftError(s"cannot drop partition column '$name' of $tablePath")
+      if (es.fields.length == 1)
+        throw new GraftError(s"cannot drop the last column of $tablePath")
+      StructType(es.fields.filterNot(_.name == name))
+    }
+
+  /** Shared metadata-only ALTER commit for [[renameColumn]]/[[dropColumn]]:
+    * one metaData action with the transformed schema, the table's
+    * configuration carried forward, and partitionColumns re-derived in
+    * the NEW logical name domain (so renaming a partition column carries
+    * its new name). Refuses unmapped tables — without physical names a
+    * rename/drop would orphan every existing file's data. */
+  private def alterMappedSchema(tablePath: String, operation: String)(
+      transform: StructType => StructType): Long = {
+    val readVersion = log.latestVersion(tablePath)
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val es = tableSchema(tablePath)
+      .getOrElse(throw new GraftError(s"no schema on $tablePath"))
+    if (!ColumnMapping.isMapped(es))
+      throw new GraftError(
+        s"$operation requires column mapping on $tablePath: without " +
+        "physical names, the change would orphan existing files' data")
+    val newSchema = transform(es)
+    val tid = log.tableId(tablePath)
+      .getOrElse(throw new GraftError(s"no table id on $tablePath"))
+    val physToLogicalNew = ColumnMapping.physicalNames(newSchema).map(_.swap)
+    val partsLogical = partitionColumnsOf(tablePath)
+      .map(p => physToLogicalNew.getOrElse(p, p))
+    def content(version: Long): String = {
+      val now = System.currentTimeMillis()
+      val lines = Seq.newBuilder[String]
+      val ci = Jsons.obj()
+      ci.put("timestamp", now)
+      ci.put("operation", operation)
+      lines += s"""{"commitInfo": ${Jsons.render(ci)}}"""
+      val md = Jsons.obj()
+      md.put("id", tid)
+      val fmt = Jsons.obj(); fmt.put("provider", "parquet")
+      fmt.set[JsonNode]("options", Jsons.obj())
+      md.set[JsonNode]("format", fmt)
+      md.put("schemaString", newSchema.json)
+      val pcols = Jsons.arr()
+      partsLogical.foreach(pcols.add)
+      md.set[JsonNode]("partitionColumns", pcols)
+      val cfgNode = log.tableConfigurationJson(tablePath).map(Jsons.parse)
+        .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+        .getOrElse(Jsons.obj())
+      md.set[JsonNode]("configuration", cfgNode)
+      md.put("createdTime", now)
+      lines += s"""{"metaData": ${Jsons.render(md)}}"""
+      lines.result().mkString("\n")
+    }
+    lazy val metaBaseline = log.metaAt(tablePath, readVersion)
+    commitWithRetry(tablePath, content,
+      intervening => metaBaseline.flatMap { base =>
+        intervening.flatMap(_.actions).collectFirst {
+          case m: DeltaAction.MetaData if DeltaWriter.metaConflicts(base, m) =>
+            s"an intervening commit changed the table's metaData; " +
+            s"re-plan the $operation"
+        }
+      },
+      Some(readVersion))
+  }
+
   private def writeImpl(df: DataFrame, tablePath: String, mode: DeltaWriteMode,
       mergeSchema: Boolean,
       cdfChanges: Option[DataFrame],

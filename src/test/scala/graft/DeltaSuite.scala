@@ -821,6 +821,145 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("mapped-table column rename/drop: files untouched, re-add mints fresh") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // foreign mapped table (same fixture as the mint test)
+      Seq((1L, "a"), (2L, "b")).toDF("col-111-aaa", "col-222-bbb")
+        .coalesce(1).write.parquet(s"$tmp/stage")
+      val part = new File(s"$tmp/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(t))
+      Files.move(part.toPath, Paths.get(t, "data.parquet"))
+      def mapped(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        mapped("id", "col-111-aaa", 1L, LongType),
+        mapped("s", "col-222-bbb", 2L, StringType)))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-alter"); md.put("schemaString", logical.json)
+      val cfg = graft.util.Jsons.obj()
+      cfg.put("delta.columnMapping.mode", "name")
+      cfg.put("delta.columnMapping.maxColumnId", "2")
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", cfg)
+      writeLog(t, 0,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""",
+        add("data.parquet"))
+      val w = writer
+      // one append through OUR writer so the table mixes foreign + own files
+      w.write(Seq((3L, "c")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      val filesBefore = w.activeAdds(t).map(_.path).toSet
+      assert(filesBefore.size === 2)
+
+      // RENAME: metadata-only — same physical name + field id, zero new
+      // files, and BOTH the foreign and our own file read under the new
+      // logical name immediately
+      w.renameColumn(t, "s", "label")
+      assert(w.activeAdds(t).map(_.path).toSet === filesBefore,
+        "rename must not touch data files")
+      val s1 = w.tableSchema(t).get
+      assert(s1.fieldNames.toSeq === Seq("id", "label"))
+      assert(s1("label").metadata
+        .getString("delta.columnMapping.physicalName") === "col-222-bbb")
+      assert(s1("label").metadata.getLong("delta.columnMapping.id") === 2L)
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // configuration carries through the metadata-only commit
+      val rawRen = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", f"${2L}%020d.json")))
+      assert(rawRen.contains(""""delta.columnMapping.mode":"name""""))
+      intercept[GraftError](w.renameColumn(t, "missing", "x"))
+      intercept[GraftError](w.renameColumn(t, "id", "label"))
+
+      // DROP: field leaves the schema, files stay
+      w.dropColumn(t, "label")
+      assert(w.activeAdds(t).map(_.path).toSet === filesBefore,
+        "drop must not touch data files")
+      assert(w.tableSchema(t).get.fieldNames.toSeq === Seq("id"))
+      assert(w.read(t).columns.toSeq === Seq("id"))
+
+      // re-adding the same logical name mints a FRESH physical name and a
+      // fresh field id — the dropped column's data may NOT resurrect
+      w.write(Seq((4L, "new")).toDF("id", "label"), t,
+        DeltaWriteMode.Append, mergeSchema = true)
+      val s2 = w.tableSchema(t).get
+      assert(s2("label").metadata
+        .getString("delta.columnMapping.physicalName") !== "col-222-bbb",
+        "re-add must mint a fresh physical name (no data resurrection)")
+      assert(s2("label").metadata.getLong("delta.columnMapping.id") === 3L,
+        "field id must continue past the dropped column's id")
+      val rows = w.read(t).orderBy("id").collect()
+      assert(rows.filter(_.getLong(0) < 4L).forall(_.isNullAt(1)),
+        "pre-drop rows must null-fill the re-added column, not resurrect")
+      assert(rows.find(_.getLong(0) === 4L).get.getString(1) === "new")
+
+      // guards: last column, unmapped table
+      w.dropColumn(t, "label")
+      intercept[GraftError](w.dropColumn(t, "id"))
+      val plain = s"$tmp/plain"
+      w.write(Seq((1L, "a")).toDF("id", "s"), plain, DeltaWriteMode.Append)
+      intercept[GraftError](w.renameColumn(plain, "s", "label"))
+      intercept[GraftError](w.dropColumn(plain, "s"))
+    }
+  }
+
+  test("renaming a mapped partition column keeps pruning and layout") {
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      // our writer lays out hive dirs under the PHYSICAL partition name,
+      // so start from a self-built mapped table: v0 metaData declares the
+      // mapping, then a partitioned append writes through it
+      def mapped(name: String, phys: String, id: Long, dt: DataType) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        mapped("id", "col-aaa", 1L, LongType),
+        mapped("bucket", "col-bbb", 2L, LongType)))
+      val md = graft.util.Jsons.obj()
+      md.put("id", "cm-part-ren"); md.put("schemaString", logical.json)
+      val cfg = graft.util.Jsons.obj()
+      cfg.put("delta.columnMapping.mode", "name")
+      cfg.put("delta.columnMapping.maxColumnId", "2")
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", cfg)
+      writeLog(t, 0, ci(0), s"""{"metaData": ${graft.util.Jsons.render(md)}}""")
+      val w = writer
+      w.write((0L until 20L).map(i => (i, i % 4)).toDF("id", "bucket"), t,
+        DeltaWriteMode.Append, partitionBy = Seq("bucket"))
+      // partition dirs are physical
+      assert(w.activeAdds(t).forall(_.path.startsWith("col-bbb=")),
+        s"expected physical partition dirs: ${w.activeAdds(t).map(_.path).take(3)}")
+      w.renameColumn(t, "bucket", "shard")
+      // metaData partitionColumns speak the NEW logical name
+      val raw = new String(Files.readAllBytes(Paths.get(t, "_delta_log",
+        f"${2L}%020d.json")))
+      assert(raw.contains(""""partitionColumns":["shard"]"""),
+        s"partitionColumns must carry the new logical name:\n$raw")
+      // reads surface the new name; pruning still works on it
+      val back = w.read(t)
+      assert(back.columns.toSeq === Seq("id", "shard"))
+      assert(back.filter(col("shard") === 2L).count() === 5)
+      val pruned = w.readSkipping(t, Map("shard" -> (Some(3d), Some(3d))))
+      assert(pruned.inputFiles.forall(_.contains("col-bbb=3")),
+        s"pruning must hold after rename: ${pruned.inputFiles.toSeq}")
+      assert(pruned.count() === 5)
+      // appends keep composing after the rename
+      w.write(Seq((100L, 2L)).toDF("id", "shard"), t, DeltaWriteMode.Append,
+        partitionBy = Seq("shard"))
+      assert(w.read(t).count() === 21)
+      // dropping the partition column refuses
+      intercept[GraftError](w.dropColumn(t, "shard"))
+    }
+  }
+
   test("column-mapped tables read with logical names, write physically") {
     import org.apache.spark.sql.types._
     withTmpDir { tmp =>
