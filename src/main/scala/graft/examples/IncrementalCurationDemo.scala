@@ -3,7 +3,7 @@ package graft.examples
 import graft._
 import graft.delta.{DeltaWriteMode, DeltaWriter}
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, SpanDedup}
 import graft.sources._
 import org.apache.spark.sql.functions._
 
@@ -11,20 +11,28 @@ import org.apache.spark.sql.functions._
   * checkpointed pipeline driver — the composition that is this library's
   * reason to exist (the reference is an incremental engine; the curation
   * ops are what a pretraining pipeline runs through it). Documents
-  * arrive file-by-file; each batch is quality-gated, PII-scrubbed, and
+  * arrive file-by-file; each batch is quality-gated, PII-scrubbed,
   * exact-deduped BOTH in-batch and against the fingerprint history of
-  * every prior batch, then appended to a curated Delta table while the
-  * new fingerprints land in a history Delta table.
+  * every prior batch, and SPAN-deduped against the gram-owner history of
+  * every prior batch (Lee et al. substring dedup, incremental: a >=10
+  * token run first seen in batch 3 is excised when batch 7 quotes it),
+  * then appended to a curated Delta table while the new fingerprints and
+  * gram owners land in history Delta tables.
   *
-  * Exactly-once: both tables are stamped with the same SetTransaction
-  * (appId, batchId) and each append is independently guarded by
-  * [[DeltaWriter.lastTxnVersion]], so a crash ANYWHERE between the two
-  * commits replays into no-ops for whatever already landed — the
-  * recomputed survivor set is identical on replay because the history
-  * table is exactly as the failed attempt saw it.
+  * Exactly-once: all three tables are stamped with the same
+  * SetTransaction (appId, batchId) and each append is independently
+  * guarded by [[DeltaWriter.lastTxnVersion]], so a crash ANYWHERE
+  * between the commits replays into no-ops for whatever already landed.
+  * COMMIT ORDER is load-bearing for replay determinism: outputs commit
+  * before the history tables their recomputation READS — curated text
+  * (reads both histories) first, the span-gram index (reads only the
+  * fingerprint history) second, the fingerprint history last. Any crash
+  * point then replays with every not-yet-committed payload's inputs
+  * unchanged, so the recomputed rows are identical.
   *
-  * At 100 TB the shapes hold: fingerprints are 16-byte md5 keys, the
-  * history check is one anti-join Catalyst can broadcast or
+  * At 100 TB the shapes hold: fingerprints are 16-byte md5 keys, gram
+  * owners are 4-long rows aggregated per gram before any join, the
+  * history checks are equi-joins Catalyst can broadcast or
   * shuffle-split, per-batch work never touches prior batches' text.
   *
   * Run: sbt "runMain graft.examples.IncrementalCurationDemo /tmp/graft-icur"
@@ -40,6 +48,7 @@ object IncrementalCurationDemo {
 
     val in = s"$work/in"; val cp = s"$work/checkpoint"
     val curated = s"$work/curated"; val fpHistory = s"$work/fingerprints"
+    val spanHistory = s"$work/span_grams"
 
     // stage the documents table as 3 arriving files
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -68,6 +77,7 @@ object IncrementalCurationDemo {
             TextFunctions.langIdHeuristic(col("text")).as("lang"))
           .filter(col("quality") >= 0.3 && col("lang") =!= "und")),
         writer = (df, ctx) => {
+          import ctx.spark.implicits._
           val w = new DeltaWriter(ctx.spark, conf)
           val appId = "icurate"
           // in-batch exact dedup on the NORMALIZED content fingerprint
@@ -77,20 +87,40 @@ object IncrementalCurationDemo {
             df.withColumn("fp", md5(Curation.normalizeText(col("text")))),
             Seq("fp"), "doc_id")
           val fresh =
-            (if (w.tableExists(fpHistory))
+            if (w.tableExists(fpHistory))
               batch.join(w.read(fpHistory), Seq("fp"), "left_anti")
-            else batch).cache()
+            else batch
+          // cross-batch substring-span dedup: any >=10-token run already
+          // seen in a prior batch (or earlier in this one) is excised
+          // from the curated text; the canonical first occurrence stays
+          val grams =
+            if (w.tableExists(spanHistory)) w.read(spanHistory)
+            else Seq.empty[(Long, Long, Long, Long)]
+              .toDF("h1", "h2", "own", "occ")
+          val sp = SpanDedup.spansWithHistory(
+            fresh, grams, "doc_id", "text", n = 10)
+          val excised = SpanDedup.applySpans(fresh, sp, "doc_id", "text")
+            .cache()
           try {
+            // commit order is load-bearing — see the class doc
+            val curatedOut = excised.select(col("doc_id"),
+              col("clean_text").as("text"), col("quality"), col("lang"),
+              col("fp"), col("n_tokens_removed"))
             if (!w.lastTxnVersion(curated, appId).exists(_ >= ctx.batchId))
-              w.write(fresh.drop("fp"), curated, DeltaWriteMode.Append,
+              w.write(curatedOut, curated, DeltaWriteMode.Append,
                 txn = Some((appId, ctx.batchId)))
             if (crashBetweenCommits)
               throw new RuntimeException("injected crash between commits")
-            if (!w.lastTxnVersion(fpHistory, appId).exists(_ >= ctx.batchId))
-              w.write(fresh.select("fp"), fpHistory, DeltaWriteMode.Append,
+            if (!w.lastTxnVersion(spanHistory, appId).exists(_ >= ctx.batchId))
+              w.write(
+                SpanDedup.ownerIndex(fresh, "doc_id", "text", n = 10),
+                spanHistory, DeltaWriteMode.Append,
                 txn = Some((appId, ctx.batchId)))
-            Map("curated" -> fresh.count().toString)
-          } finally fresh.unpersist()
+            if (!w.lastTxnVersion(fpHistory, appId).exists(_ >= ctx.batchId))
+              w.write(excised.select("fp"), fpHistory, DeltaWriteMode.Append,
+                txn = Some((appId, ctx.batchId)))
+            Map("curated" -> excised.count().toString)
+          } finally excised.unpersist()
         },
         observer = new LoggingObserver,
         spark = spark)
@@ -150,15 +180,26 @@ object IncrementalCurationDemo {
 
     val curatedDf = w.read(curated)
     val rows = curatedDf.count()
-    val distinctFp = curatedDf
-      .select(md5(Curation.normalizeText(col("text")))).distinct().count()
+    val distinctFp = curatedDf.select("fp").distinct().count()
     val resentSurvivors = curatedDf
       .filter(col("doc_id") >= 10000 && col("doc_id") < 20000).count()
     val novelSurvivors = curatedDf.filter(col("doc_id") >= 20000).count()
+    // run 3's novel docs EMBED a batch-0/1/2 document verbatim after a
+    // novel preamble: the fingerprint differs (novel content), but the
+    // quoted body is a cross-batch duplicated span — the incremental
+    // span history must excise it in the later batch
+    val run3Novel = curatedDf
+      .filter(col("doc_id") >= 20000 && col("doc_id") < 30000).count()
+    val lateSpanExcised = curatedDf
+      .filter(col("doc_id") >= 20000 && col("doc_id") < 30000 &&
+        col("n_tokens_removed") > 0).count()
     val fpRows = w.read(fpHistory).count()
+    val gramRows = w.read(spanHistory).count()
     println(s"curated rows=$rows distinct-content=$distinctFp " +
       s"resent-survivors=$resentSurvivors novel-survivors=$novelSurvivors " +
-      s"fingerprint-history=$fpRows")
+      s"fingerprint-history=$fpRows gram-history=$gramRows")
+    println(s"cross-batch span excision: $lateSpanExcised of " +
+      s"$run3Novel run-3 novel docs lost their quoted earlier-batch body")
     val ok = r1.batchesProcessed == 3 && r2.batchesProcessed == 0 &&
       r3.batchesProcessed == 1 &&
       crashed && r4.batchesProcessed == 1 && // WAL replayed the crashed batch
@@ -166,7 +207,10 @@ object IncrementalCurationDemo {
       rows == distinctFp &&          // nothing curated twice, ever
       resentSurvivors == 0 &&        // cross-batch dupes all caught
       novelSurvivors > 0 &&          // new content still flows
-      fpRows == rows                 // history covers exactly the curated set
+      run3Novel > 0 &&
+      lateSpanExcised == run3Novel && // quoted bodies excised cross-batch
+      fpRows == rows &&              // history covers exactly the curated set
+      gramRows > 0
     println(s"incremental curation check: ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

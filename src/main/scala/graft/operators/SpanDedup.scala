@@ -61,13 +61,11 @@ object SpanDedup {
     transform(gs, g => struct(xxhash64(g).as("h1"),
       xxhash64(g, lit(0x9E3779B9L)).as("h2")))
 
-  /** Maximal duplicated token spans per document:
-    * `(doc_id, span_start, span_end)` with `[span_start, span_end)` in
-    * token indices (0-based), sorted ascending within a document. A span
-    * covers every `n`-token gram occurrence whose gram also occurs at a
-    * lexicographically smaller `(doc_id, pos)` anywhere in the corpus. */
-  def spans(df: DataFrame, idCol: String, textCol: String, n: Int = 10,
-      delim: String = " ", packedOwners: Boolean = true): DataFrame = {
+  /** Per-occurrence gram rows `(doc_id, pos, gh, okey)`; `okey` is the
+    * canonical-owner ordering key — packed long by default (hash-
+    * aggregable), struct fallback for out-of-31/32-bit ids. */
+  private def occWithKey(df: DataFrame, idCol: String, textCol: String,
+      n: Int, delim: String, packedOwners: Boolean): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), delim).as("w"))
     // hash before explode: the Generate emits (pos, {h1,h2}) longs only
@@ -80,25 +78,21 @@ object SpanDedup {
     // per row so an out-of-range id fails LOUDLY naming the fallback
     // instead of silently mis-ordering; struct fallback preserves exact
     // semantics for arbitrary long ids at SortAggregate cost
-    val occ =
-      if (packedOwners)
-        occBase.withColumn("okey",
-          when(assert_true(
-            col("doc_id") >= 0 && col("doc_id") < 2147483648L &&
-              col("pos") < 4294967296L,
-            lit("spans: doc_id/pos exceed the 31/32-bit packed-owner " +
-              "range; call spans(..., packedOwners = false)")).isNull,
-            col("doc_id") * 4294967296L + col("pos")))
-      else occBase.withColumn("okey", struct(col("doc_id"), col("pos")))
-    val owners = occ.groupBy(col("gh"))
-      .agg(min(col("okey")).as("own"), count(lit(1)).as("occ_n"))
-      .filter(col("occ_n") >= 2)
-      .select(col("gh"), col("own"))
-    val marked = occ.join(owners, Seq("gh"))
-      .filter(col("okey") =!= col("own"))
-      .select(col("doc_id"), col("pos"))
-    // gaps-and-islands merge; windows are per-document, bounded by doc
-    // length — never a corpus-scale partition
+    if (packedOwners)
+      occBase.withColumn("okey",
+        when(assert_true(
+          col("doc_id") >= 0 && col("doc_id") < 2147483648L &&
+            col("pos") < 4294967296L,
+          lit("spans: doc_id/pos exceed the 31/32-bit packed-owner " +
+            "range; call spans(..., packedOwners = false)")).isNull,
+          col("doc_id") * 4294967296L + col("pos")))
+    else occBase.withColumn("okey", struct(col("doc_id"), col("pos")))
+  }
+
+  /** Gaps-and-islands merge of `(doc_id, pos)` marks into maximal
+    * half-open `[span_start, span_end)` spans; windows are per-document,
+    * bounded by doc length — never a corpus-scale partition. */
+  private def mergeMarks(marked: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + n)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -112,14 +106,97 @@ object SpanDedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Maximal duplicated token spans per document:
+    * `(doc_id, span_start, span_end)` with `[span_start, span_end)` in
+    * token indices (0-based), sorted ascending within a document. A span
+    * covers every `n`-token gram occurrence whose gram also occurs at a
+    * lexicographically smaller `(doc_id, pos)` anywhere in the corpus. */
+  def spans(df: DataFrame, idCol: String, textCol: String, n: Int = 10,
+      delim: String = " ", packedOwners: Boolean = true): DataFrame = {
+    val occ = occWithKey(df, idCol, textCol, n, delim, packedOwners)
+    val owners = occ.groupBy(col("gh"))
+      .agg(min(col("okey")).as("own"), count(lit(1)).as("occ_n"))
+      .filter(col("occ_n") >= 2)
+      .select(col("gh"), col("own"))
+    val marked = occ.join(owners, Seq("gh"))
+      .filter(col("okey") =!= col("own"))
+      .select(col("doc_id"), col("pos"))
+    mergeMarks(marked, n)
+  }
+
+  /** The batch's per-gram owner index — the unit a CROSS-BATCH
+    * incremental pipeline persists (append-per-batch into a history
+    * Delta table, the same pattern the fingerprint history uses): one
+    * row per distinct gram with the batch-local canonical owner (packed
+    * `doc_id * 2^32 + pos`) and occurrence count, flat
+    * `(h1, h2, own, occ)` longs for friendly storage and stats. Readers
+    * aggregate multi-batch rows with `min(own)` / `sum(occ)` —
+    * [[spansWithHistory]] does. Size is O(distinct grams) * 32 bytes per
+    * batch — the same order as the corpus itself, the trade every exact
+    * substring-dedup index (suffix arrays included) makes. */
+  def ownerIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10, delim: String = " "): DataFrame =
+    occWithKey(df, idCol, textCol, n, delim, packedOwners = true)
+      .groupBy(col("gh"))
+      .agg(min(col("okey")).as("own"), count(lit(1)).as("occ"))
+      .select(col("gh.h1").as("h1"), col("gh.h2").as("h2"),
+        col("own"), col("occ"))
+
+  /** [[spans]] for ONE batch against the accumulated [[ownerIndex]] of
+    * every PRIOR batch: a batch occurrence is marked when its gram's
+    * total occurrence count (history + batch) reaches 2 and the
+    * occurrence is not the canonical owner. First-seen wins: a gram
+    * already in history keeps its HISTORICAL owner (`coalesce(hist,
+    * batch)`, never `least`) — the canonical copy was already curated in
+    * a past batch, so every current-batch occurrence is a duplicate even
+    * when a current doc_id sorts smaller; only history-free grams elect
+    * their owner within the batch (plain [[spans]] semantics).
+    *
+    * Cost shape: history aggregates per gram BEFORE the join (partial
+    * agg, skew-immune like the in-batch owners), then one equi-join
+    * batch-grams x history-grams on the 128-bit key; prior batches'
+    * TEXT is never touched. Replay-deterministic: owner selection
+    * depends only on (history table, batch content), so a crashed
+    * batch recomputes identical spans as long as its own index append
+    * had not landed — the SetTransaction-guarded dual-commit order
+    * (curated first, index second) guarantees exactly that. */
+  def spansWithHistory(df: DataFrame, history: DataFrame, idCol: String,
+      textCol: String, n: Int = 10, delim: String = " "): DataFrame = {
+    val occ = occWithKey(df, idCol, textCol, n, delim, packedOwners = true)
+      .select(col("doc_id"), col("pos"), col("okey"),
+        col("gh.h1").as("h1"), col("gh.h2").as("h2"))
+    val batchIdx = occ.groupBy(col("h1"), col("h2"))
+      .agg(min(col("okey")).as("bown"), count(lit(1)).as("bocc"))
+    val hist = history.groupBy(col("h1"), col("h2"))
+      .agg(min(col("own")).as("hown"), sum(col("occ")).as("hocc"))
+    val merged = batchIdx.join(hist, Seq("h1", "h2"), "left")
+      .select(col("h1"), col("h2"),
+        coalesce(col("hown"), col("bown")).as("own"),
+        (col("bocc") + coalesce(col("hocc"), lit(0L))).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h1"), col("h2"), col("own"))
+    val marked = occ.join(merged, Seq("h1", "h2"))
+      .filter(col("okey") =!= col("own"))
+      .select(col("doc_id"), col("pos"))
+    mergeMarks(marked, n)
+  }
+
   /** The corpus with every duplicated span's tokens removed (canonical
     * occurrences stay). Adds `clean_text` and `n_tokens_removed`; all
     * original columns pass through. Token filtering is higher-order
     * functions over the split array — map-side, codegen, no extra
     * shuffle beyond [[spans]]. */
   def clean(df: DataFrame, idCol: String, textCol: String, n: Int = 10,
-      delim: String = " "): DataFrame = {
-    val sp = spans(df, idCol, textCol, n, delim)
+      delim: String = " "): DataFrame =
+    applySpans(df, spans(df, idCol, textCol, n, delim), idCol, textCol, delim)
+
+  /** Excise an externally-computed span set (from [[spans]] or
+    * [[spansWithHistory]]) from `df` — the application half of [[clean]],
+    * exposed so an incremental pipeline can clean a batch against
+    * cross-batch spans. */
+  def applySpans(df: DataFrame, spansDf: DataFrame, idCol: String,
+      textCol: String, delim: String = " "): DataFrame = {
+    val sp = spansDf
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("_spans"))

@@ -1,6 +1,9 @@
 package graft
 
+import graft.core.WriterError
+import graft.delta.{DeltaWriteMode, DeltaWriter}
 import graft.operators.SpanDedup
+import graft.sources._
 import org.apache.spark.sql.functions._
 
 class SpanDedupSuite extends SparkSpec {
@@ -108,6 +111,130 @@ class SpanDedupSuite extends SparkSpec {
     val cleaned = SpanDedup.clean(df, "doc_id", "text", n = 3, delim = "\n")
       .orderBy("doc_id").collect()
     assert(cleaned(1).getAs[String]("clean_text") === "unique footer two")
+  }
+
+  test("spansWithHistory: history owner wins; in-batch dups still caught") {
+    val run = toks('a' to 'l': _*) // 12 tokens = one 12-gram per copy
+    // history from a PRIOR batch: doc 10 owns the run
+    val hist = SpanDedup.ownerIndex(
+      Seq((10L, run)).toDF("doc_id", "text"), "doc_id", "text", n = 12)
+    // current batch: doc 5 repeats the run (SMALLER id than the
+    // historical owner — first-seen must still win), docs 6+7 share an
+    // in-batch-only run, doc 8 is novel
+    val other = toks('A' to 'L': _*)
+    val batch = Seq(
+      (5L, "p q r " + run),
+      (6L, other),
+      (7L, "x y " + other),
+      (8L, toks('0' to '9': _*) + " zz yy")).toDF("doc_id", "text")
+    val got = SpanDedup.spansWithHistory(batch, hist, "doc_id", "text", n = 12)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 5: historical dup at [3,15); doc 7: in-batch dup (doc 6 owns,
+    // smaller id) at [2,14); docs 6 and 8 clean
+    assert(got.toSeq === Seq((5L, 3L, 15L), (7L, 2L, 14L)))
+  }
+
+  test("cross-batch incremental span dedup is exactly-once under an injected crash") {
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"; val histT = s"$tmp/gram_history"
+      val run = toks('a' to 'l': _*) // the duplicated 12-token run
+      def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/.stage")
+        val part = new java.io.File(s"$tmp/.stage").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(in, name))
+      }
+      val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def mk(): Pipeline = {
+        val ckpt = new FileStreamCheckpoint(cp, conf)
+        val source = new FileSource(in, ckpt, "parquet",
+          FileSourceOptions(pattern = "*.parquet", maxFilesPerTrigger = Some(1)))
+        new Pipeline(
+          source = source,
+          reader = ctx => ctx.spark.read.parquet(ctx.files: _*),
+          transform = None,
+          writer = (df, ctx) => {
+            val w = new DeltaWriter(spark, conf)
+            val appId = "span-hist"
+            val hist =
+              if (w.tableExists(histT)) w.read(histT)
+              else Seq.empty[(Long, Long, Long, Long)]
+                .toDF("h1", "h2", "own", "occ")
+            val sp = SpanDedup.spansWithHistory(
+              df, hist, "doc_id", "text", n = 12)
+            val cleaned = SpanDedup.applySpans(df, sp, "doc_id", "text")
+            // dual SetTransaction-guarded commits, curated FIRST: a crash
+            // between them replays with the history exactly as this
+            // attempt saw it, so the recomputed spans are identical
+            if (!w.lastTxnVersion(curated, appId).exists(_ >= ctx.batchId))
+              w.write(cleaned, curated, DeltaWriteMode.Append,
+                txn = Some((appId, ctx.batchId)))
+            if (crash.getAndSet(false)) sys.error("crash between commits")
+            if (!w.lastTxnVersion(histT, appId).exists(_ >= ctx.batchId))
+              w.write(SpanDedup.ownerIndex(df, "doc_id", "text", n = 12),
+                histT, DeltaWriteMode.Append, txn = Some((appId, ctx.batchId)))
+            Map("rows" -> cleaned.count().toString)
+          },
+          spark = spark)
+      }
+      // batch 0: doc 10 carries the canonical run; doc 11 is novel
+      stage("b0.parquet", Seq((10L, run), (11L, toks('m' to 'x': _*))))
+      // batch 1: doc 5 repeats the run ACROSS batches (smaller id than
+      // the owner — history must still win); doc 6 novel
+      stage("b1.parquet", Seq(
+        (5L, "p q r " + run), (6L, toks('A' to 'N': _*))))
+      val r1 = mk().run(RunOptions(once = false, sleepMs = 0))
+      assert(r1.batchesProcessed === 2)
+      val w = new DeltaWriter(spark, conf)
+      val byId = w.read(curated).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))
+        .toMap
+      assert(byId(10L) === (run, 0L), "canonical first-batch copy untouched")
+      assert(byId(5L) === ("p q r", 12L),
+        "later-batch duplicate must excise against history")
+      assert(byId(6L)._2 === 0L && byId(11L)._2 === 0L)
+      // batch 2 arrives and the writer CRASHES between the two commits
+      stage("b2.parquet", Seq((7L, "z z2 " + run), (8L, toks('0' to '9': _*) + " q8 q9")))
+      crash.set(true)
+      intercept[WriterError](mk().runOnce())
+      // curated landed, history did not — recovery completes exactly-once
+      assert(w.read(curated).filter(col("doc_id") === 7L).count() === 1)
+      assert(w.lastTxnVersion(histT, "span-hist") === Some(1L))
+      val r2 = mk().run(RunOptions(once = false, sleepMs = 0))
+      assert(r2.batchesProcessed === 1) // the WAL replays the crashed batch
+      val after = w.read(curated).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))
+      assert(after.count(_._1 == 7L) === 1, "replay must not duplicate doc 7")
+      assert(after.toMap.apply(7L) === ("z z2", 12L),
+        "crashed batch's duplicate still excised on recovery")
+      // the run's gram appears in history exactly three times (one owner
+      // row per batch), never double-counted by the replay
+      val runKey = SpanDedup.ownerIndex(
+        Seq((0L, run)).toDF("doc_id", "text"), "doc_id", "text", n = 12)
+        .select("h1", "h2").head()
+      val occSum = w.read(histT)
+        .filter(col("h1") === runKey.getLong(0) &&
+          col("h2") === runKey.getLong(1))
+        .agg(sum("occ")).head().getLong(0)
+      assert(occSum === 3L,
+        s"history must hold exactly one occurrence per batch, got $occSum")
+      // history stores each batch's LOCAL owner (first-seen-wins is the
+      // MERGE rule in spansWithHistory, not a storage property): one row
+      // per batch with that batch's minimal packed (doc_id, pos)
+      val owns = w.read(histT)
+        .filter(col("h1") === runKey.getLong(0) &&
+          col("h2") === runKey.getLong(1))
+        .select("own").collect().map(_.getLong(0)).sorted.toSeq
+      assert(owns === Seq((5L << 32) + 3L, (7L << 32) + 2L, 10L << 32),
+        s"per-batch local owners expected, got $owns")
+    }
   }
 
   test("clean removes exactly the spanned tokens and keeps other columns") {
