@@ -53,6 +53,32 @@ object Queries {
     * microsecond precision. */
   private def tsColExact: Column = timestamp_micros(expr("ts div 1000"))
 
+  /** Planted cluster embeddings for the vector-operator oracles
+    * (d_semdedup, e_ivf_top1): 10 tight clusters of integer-valued
+    * 16-dim vectors derived from doc_id on BOTH engines. Integer
+    * elements are exact in float32 AND double, and every dot/norm²
+    * partial sum stays an exact integer < 2^53, so the cosines are
+    * bit-identical across engines with zero FP fuzz; cross-cluster
+    * cosine maxes at 0.34 (measured over this quadratic-residue base
+    * family). */
+  private def plantedVecs(s: SparkSession, d: String): DataFrame = {
+    val g = col("doc_id") % 10
+    t(s, d, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          (((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000 +
+            ((col("doc_id") * 13 + j * 7) % 17 - 8)).cast("float")).as("v"))
+  }
+
+  /** The matching DuckDB CTE body for [[plantedVecs]] (double-typed list
+    * column `emb`). */
+  private val plantedVecsSql: String =
+    """SELECT doc_id,
+      |    LIST_TRANSFORM(RANGE(0, 16), j -> CAST(
+      |      (((doc_id % 10) * 31 + j * 17 + (doc_id % 10) * j * 13) % 23 - 11)
+      |        * 1000 + ((doc_id * 13 + j * 7) % 17 - 8) AS DOUBLE)) AS emb
+      |  FROM documents WHERE doc_id < 200""".stripMargin
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 
   val defs: Map[String, QueryDef] = Map(
@@ -1170,6 +1196,42 @@ object Queries {
              |              WHEN 'src2' THEN 10 ELSE 100 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----- Gopher quality rules (Rae et al. A1.1) --------------------------
+    // Document-level heuristic filter: word-count bounds, mean word
+    // length, symbol ratio, alphabetic-word fraction, stopword hits —
+    // every measure rounded to 4 before thresholding so both engines
+    // compare identical doubles.
+    "d_gopher_rules" -> QueryDef(
+      (s, d) => graft.operators.Curation.gopherRules(
+        t(s, d, "documents"), "text", stopwords)
+        .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+          "symbol_ratio", "stopword_hits", "gopher_pass")
+        .orderBy("doc_id"),
+      Some {
+        val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w
+           |           FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(LEN(w) AS BIGINT) AS n_words,
+           |  ROUND(CAST(LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) AS DOUBLE)
+           |    / LEN(w), 4) AS mean_word_len,
+           |  ROUND(CAST(LEN(LIST_FILTER(w, x -> REGEXP_MATCHES(x, '[A-Za-z]')))
+           |    AS DOUBLE) / LEN(w), 4) AS alpha_frac,
+           |  ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '#')) +
+           |    LEN(REGEXP_EXTRACT_ALL(text, '\\.\\.\\.')) AS DOUBLE)
+           |    / LEN(w), 4) AS symbol_ratio,
+           |  CAST(LEN(LIST_FILTER(w, x ->
+           |    LIST_CONTAINS($stopList, LOWER(x)))) AS BIGINT) AS stopword_hits
+           |  FROM t)
+           |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+           |  stopword_hits,
+           |  (n_words >= 50 AND n_words <= 100000 AND
+           |   mean_word_len >= 3 AND mean_word_len <= 10 AND
+           |   alpha_frac >= 0.8 AND symbol_ratio <= 0.1 AND
+           |   stopword_hits >= 2) AS gopher_pass
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
     // ----- mixture accounting (per-source token shares) --------------------
     "d_mixture" -> QueryDef(
       (s, d) => graft.operators.Curation.mixtureReport(
@@ -1196,12 +1258,7 @@ object Queries {
     // recall regression flips the column on every row and fails the hash.
     "d_semdedup" -> QueryDef(
       (s, d) => {
-        val g = col("doc_id") % 10
-        val planted = t(s, d, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id"),
-            transform(sequence(lit(0), lit(15)), j =>
-              (((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000 +
-                ((col("doc_id") * 13 + j * 7) % 17 - 8)).cast("float")).as("v"))
+        val planted = plantedVecs(s, d)
         val exact = Dedup.embeddingCosinePairs(planted, "doc_id", "v", 0.9)
         val found = Dedup.semDedupPairs(planted, "doc_id", "v",
           threshold = 0.9, nlist = 10, iterations = 4)
@@ -1212,12 +1269,8 @@ object Queries {
           .select("id_a", "id_b", "cosine", "recall_ok")
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH v AS (
-             |  SELECT doc_id,
-             |    LIST_TRANSFORM(RANGE(0, 16), j -> CAST(
-             |      (((doc_id % 10) * 31 + j * 17 + (doc_id % 10) * j * 13) % 23 - 11)
-             |        * 1000 + ((doc_id * 13 + j * 7) % 17 - 8) AS DOUBLE)) AS emb
-             |  FROM documents WHERE doc_id < 200),
+      Some(s"""WITH v AS (
+             |  $plantedVecsSql),
              |p AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |    ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb),
@@ -1227,6 +1280,50 @@ object Queries {
              |  FROM v a JOIN v b ON a.doc_id < b.doc_id)
              |SELECT id_a, id_b, cosine, TRUE AS recall_ok
              |FROM p WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- IVF ANN with a TRAINED quantizer — oracle-checked ---------------
+    // Same planted clusters as d_semdedup (IVF's home turf: a trained
+    // coarse quantizer shapes buckets to the data's modes). Emitted rows
+    // are the EXACT brute-force top-1 (which DuckDB mirrors) plus a
+    // recall_ok column: the whole-result average of "IVF found the true
+    // nearest cosine" gated at >= 0.9 — a trainer or probe regression
+    // flips every row and fails the hash (the e_ann_lsh contract).
+    "e_ivf_top1" -> QueryDef(
+      (s, d) => {
+        val planted = plantedVecs(s, d)
+        val queries = planted.filter(col("doc_id") < 50)
+        val model = Similarity.trainIvfCentroids(
+          planted, "doc_id", "v", nlist = 10, iterations = 4)
+        val ivf = Similarity.ivfTopK(queries, planted, "doc_id", "v",
+          k = 1, nlist = 10, nprobe = 2, quantizer = Some(model))
+          .select(col("query_id"), round(col("cosine"), 4).as("ivf_cosine"))
+        val exact = Similarity.bruteForceTopK(queries, planted, "doc_id", "v", k = 1)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"))
+        exact.join(ivf, Seq("query_id"), "left")
+          .withColumn("recall_ok",
+            avg(when(col("ivf_cosine").isNotNull &&
+              col("ivf_cosine") === col("cosine"), 1d).otherwise(0d))
+              .over(Window.partitionBy()) >= 0.9)
+          .select("query_id", "neighbor_id", "cosine", "recall_ok")
+          .orderBy("query_id")
+      },
+      Some {
+        val dotAB = "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb), " +
+          "p -> p[1] * p[2]))"
+        def dotSelf(x: String) =
+          s"LIST_SUM(LIST_TRANSFORM($x.emb, v -> v * v))"
+        val cos = s"$dotAB / (SQRT(${dotSelf("a")}) * SQRT(${dotSelf("b")}))"
+        s"""WITH v AS (
+           |  $plantedVecsSql)
+           |SELECT a.doc_id AS query_id,
+           |  ARG_MAX(b.doc_id, $cos) AS neighbor_id,
+           |  ROUND(MAX($cos), 4) AS cosine,
+           |  TRUE AS recall_ok
+           |FROM v a JOIN v b ON a.doc_id <> b.doc_id
+           |WHERE a.doc_id < 50
+           |GROUP BY a.doc_id ORDER BY query_id""".stripMargin
+      }),
 
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------

@@ -87,6 +87,44 @@ object Curation {
     df.filter(bucket < coalesce(pct(col(strataCol)), lit(100)))
   }
 
+  /** Gopher quality rules (Rae et al., "Scaling Language Models: ...
+    * Gopher", arXiv:2112.11446 Appendix A1.1) — the document-level
+    * heuristic filter subset expressible in the ANSI/RE2 common surface:
+    * word-count bounds, mean word length in [3, 10], symbol-to-word
+    * ratio (# and ellipsis) <= 0.1, >= 80% of words containing an
+    * alphabetic character, and >= 2 stopword hits. Adds the per-rule
+    * measure columns plus a combined `gopher_pass`; every measure is
+    * rounded to 4 before thresholding so both engines compare identical
+    * doubles. Pure codegen'd expressions — map-only, fuses into the
+    * scan; at 100 TB this is a streaming pass with zero shuffle. */
+  def gopherRules(df: DataFrame, textCol: String, stopwords: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val w = split(col(textCol), " ", -1)
+    val nWords = size(w).cast("long")
+    val meanLen = round(
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        nWords, 4)
+    val alphaFrac = round(
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nWords, 4)
+    val symbolRatio = round(
+      (regexp_count(col(textCol), lit("#")) +
+        regexp_count(col(textCol), lit("\\.\\.\\."))).cast("double") /
+        nWords, 4)
+    val stopHits =
+      size(filter(w, x => lower(x).isin(stopwords: _*))).cast("long")
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("stopword_hits", stopHits)
+      .withColumn("gopher_pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3d && col("mean_word_len") <= 10d &&
+          col("alpha_frac") >= 0.8 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("stopword_hits") >= 2L)
+  }
+
   /** Mixture accounting: per-stratum document and token counts plus each
     * stratum's share of the corpus's tokens — the report a mixing step
     * is tuned against. One partial-agg shuffle on the stratum key; the

@@ -605,6 +605,26 @@ class CurationSuite extends SparkSpec {
       Seq(("a", 2L, 5L), ("b", 1L, 1L)))
     assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6)
   }
+
+  test("gopher rules: each rule independently fails the right document") {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    val good = (("the word count " + Seq.tabulate(60)(i => s"word$i").mkString(" ")
+      + " is a fine document"))
+    val df = Seq(
+      (1L, good),                                        // passes everything
+      (2L, "the short one is a doc"),                    // < 50 words
+      (3L, ("the " * 30 + "a " * 30).trim
+        .replaceAll("the", "antidisestablishmentarianism")), // mean len > 10
+      (4L, good.replaceAll("word(\\d+)", "fill#$1")),    // symbol ratio > 0.1
+      (5L, good.replaceAll("word(\\d+)", "90$1")),       // alpha frac < 0.8
+      (6L, good.replaceAll("\\b(the|is|a)\\b", "xx"))    // < 2 stopword hits
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRules(df, "text", stop)
+      .select("doc_id", "gopher_pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L), "the control document must pass")
+    (2L to 6L).foreach(i => assert(!out(i), s"doc $i must fail its rule"))
+  }
 }
 
 class SimilaritySuite extends SparkSpec {

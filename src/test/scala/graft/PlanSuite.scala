@@ -215,11 +215,11 @@ class PlanSuite extends SparkSpec {
     assert(joins === 1, s"interval join must be exactly one equi-join:\n${plan.take(1500)}")
   }
 
-  test("pii redaction and mixture sampling are map-only passes") {
+  test("pii redaction, mixture sampling, and gopher rules are map-only passes") {
     assume(available)
-    // both end in an orderBy for oracle determinism (one range exchange);
-    // the scrub/filter itself must be exchange-free streaming work
-    for (q <- Seq("d_pii_redact", "d_sample_mix")) {
+    // all end in an orderBy for oracle determinism (one range exchange);
+    // the scrub/filter/score itself must be exchange-free streaming work
+    for (q <- Seq("d_pii_redact", "d_sample_mix", "d_gopher_rules")) {
       val plan = finalPlanOf(Queries.defs(q).build(spark, sfDir))
       val hashExchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
       assert(hashExchanges === 0, s"$q must not shuffle:\n${plan.take(1200)}")
