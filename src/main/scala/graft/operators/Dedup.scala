@@ -183,6 +183,76 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** One MinHash index row per document — the unit a CROSS-BATCH
+    * incremental pipeline persists per batch into a signature-history
+    * Delta table (the near-dup sibling of the fingerprint history and
+    * [[SpanDedup.ownerIndex]]): the k-entry signature plus the banded
+    * bucket keys, `(doc_id, sig array<long>, bands
+    * array<struct<band,key>>)`. History size is O(docs) · (k + bands)
+    * longs — a couple hundred bytes per document at the defaults,
+    * orders of magnitude under the text it summarizes. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = graft.functions.FusedMinHashFunctions
+      .minhashWordShingles(col(textCol), shingleWords, k)
+    df.select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
+      .withColumn("bands",
+        zip_with(sequence(lit(0), lit(bands - 1)),
+          lshBandKeys(col("sig"), bands, rows),
+          (b, key) => struct(b.cast("int").as("band"), key.as("key"))))
+  }
+
+  /** Batch documents that are near-duplicates of any PRIOR batch's
+    * document: band-bucket candidates against the accumulated
+    * [[minhashIndex]] history, verified by SIGNATURE agreement — the
+    * estimated Jaccard (fraction of equal signature entries) — at
+    * `threshold`. Prior batches' TEXT is never touched: the batch
+    * variant's exact-Jaccard verify needs both texts, while an
+    * incremental pipeline deliberately persists only the O(k) signature
+    * per document; the estimate's resolution is 1/k and its std at J=t
+    * is sqrt(t(1-t)/k) — raise `k` in the index when the cut must be
+    * sharp (both sides must be indexed with the SAME shingleWords/k/
+    * bands). Returns distinct `(doc_id, hist_id, est_jaccard)` pairs;
+    * callers anti-join `doc_id` to drop the later copies (the
+    * fingerprint-history pattern in IncrementalCurationDemo).
+    *
+    * Scale shape: only (id, band, key) triples shuffle into the bucket
+    * join; history buckets rank-cap at `maxBucket` BEFORE the join
+    * (hot boilerplate buckets stay bounded, same guard as every LSH
+    * operator here); signatures fetch once per surviving candidate
+    * side through AQE-splittable equi-joins. */
+  def minhashAgainstHistory(df: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val batchIdx = minhashIndex(df, idCol, textCol, shingleWords, k, bands)
+    val bb = batchIdx
+      .select(col("doc_id"), explode(col("bands")).as("m"))
+      .select(col("doc_id"), col("m.band").as("band"), col("m.key").as("key"))
+    val hb0 = history
+      .select(col("doc_id").as("hist_id"), explode(col("bands")).as("m"))
+      .select(col("hist_id"), col("m.band").as("band"), col("m.key").as("key"))
+    val hb =
+      if (maxBucket > 0) {
+        val w = Window.partitionBy("band", "key").orderBy("hist_id")
+        hb0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      } else hb0
+    val cands = bb.join(hb, Seq("band", "key"))
+      .select("doc_id", "hist_id").distinct()
+    val est = round(
+      aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / k, 4)
+    cands
+      .join(batchIdx.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+      .join(history.select(col("doc_id").as("hist_id"), col("sig").as("sig_b")),
+        Seq("hist_id"))
+      .select(col("doc_id"), col("hist_id"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Connected components over a candidate-pair edge list — the principled
     * cluster resolution for near-dup graphs: returns (id, component) with
     * `component` = the smallest id reachable through any chain of pairs.

@@ -159,6 +159,52 @@ class TextFunctionsSuite extends SparkSpec {
 class DedupSuite extends SparkSpec {
   import spark.implicits._
 
+  test("cross-batch minhash: signature history flags later near-dups, novel passes") {
+    import graft.operators.Dedup
+    val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val hist = Dedup.minhashIndex(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text")
+    // batch 2: a lightly-edited copy of doc 1 (high J), plus novel text
+    val aEdit = a.replace("alpha5 ", "edited5 ")
+    val novel = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val batch2 = Seq((10L, aEdit), (11L, novel)).toDF("doc_id", "text")
+    val flagged = Dedup.minhashAgainstHistory(
+      batch2, hist, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.map(p => (p._1, p._2)).toSet === Set((10L -> 1L)),
+      s"only the edited copy may flag: ${flagged.toSeq}")
+    assert(flagged.head._3 >= 0.5 && flagged.head._3 < 1.0,
+      s"estimate must reflect a near-but-not-exact match: ${flagged.head._3}")
+    // a byte-identical later copy estimates exactly 1.0
+    val exact = Dedup.minhashAgainstHistory(
+      Seq((20L, b)).toDF("doc_id", "text"), hist, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.toSeq === Seq((20L, 2L, 1.0)))
+    // deterministic: same inputs, same pairs and estimates on re-run
+    val again = Dedup.minhashAgainstHistory(
+      batch2, hist, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq.sorted === flagged.toSeq.sorted)
+    // the drop pattern: anti-join the flagged ids — only novel survives
+    val survivors = batch2.join(
+      Dedup.minhashAgainstHistory(batch2, hist, "doc_id", "text", 0.5)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(11L))
+    // the index round-trips through the hand-built Delta writer — the
+    // incremental pipeline's persistence path (array + struct columns)
+    withTmpDir { tmp =>
+      val w = new graft.delta.DeltaWriter(spark, conf)
+      w.write(hist, s"$tmp/idx", graft.delta.DeltaWriteMode.Append)
+      val flagged2 = Dedup.minhashAgainstHistory(
+        batch2, w.read(s"$tmp/idx"), "doc_id", "text", 0.5)
+        .select("doc_id", "hist_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged2 === Set((10L, 1L)))
+    }
+  }
+
   test("winnowing: deterministic sorted sketch; short and empty docs behave") {
     import graft.functions.WinnowingFunctions.winnowFingerprints
     val df = Seq(
