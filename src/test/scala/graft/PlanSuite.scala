@@ -150,6 +150,41 @@ class PlanSuite extends SparkSpec {
       "span dedup must never plan a nested-loop/cartesian join")
   }
 
+  test("incremental span/minhash history operators keep the batch plan shapes") {
+    assume(available)
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // a synthetic one-batch history with the persisted schemas
+    val gramHist = graft.operators.SpanDedup.ownerIndex(
+      docs.filter(col("doc_id") < 100), "doc_id", "text", n = 10)
+    val spanPlan = planOf(graft.operators.SpanDedup.spansWithHistory(
+      docs.filter(col("doc_id") >= 100), gramHist, "doc_id", "text", n = 10))
+    // same guarantees as the batch variant: no window may partition on
+    // the gram key (both the batch and HISTORY aggregations must stay
+    // partial-agg + join-back), no all-pairs joins, hash aggregation
+    assert(!spanPlan.contains("windowspecdefinition(h1#") &&
+      !spanPlan.contains("windowspecdefinition(gh#"),
+      s"no window may partition on the gram key:\n${spanPlan.take(1500)}")
+    assert(!spanPlan.contains("SortAggregate"),
+      s"owner/history aggregation must stay hash-based:\n${spanPlan.take(1500)}")
+    assert(!spanPlan.contains("CartesianProduct") &&
+      !spanPlan.contains("BroadcastNestedLoopJoin"),
+      "incremental span dedup must never plan an all-pairs join")
+    val sigHist = graft.operators.Dedup.minhashIndex(
+      docs.filter(col("doc_id") < 100), "doc_id", "text")
+    val mhPlan = planOf(graft.operators.Dedup.minhashAgainstHistory(
+      docs.filter(col("doc_id") >= 100), sigHist, "doc_id", "text"))
+    assert(!mhPlan.contains("CartesianProduct") &&
+      !mhPlan.contains("BroadcastNestedLoopJoin"),
+      "signature-history near-dup must never plan an all-pairs join")
+    // the bucket-cap window shares the (band, key) bucket domain — the
+    // only window allowed; nothing may window over a doc-global key
+    val windowParts = """windowspecdefinition\((\w+)#""".r
+      .findAllMatchIn(mhPlan).map(_.group(1)).toSet
+    assert(windowParts.subsetOf(Set("band", "key")),
+      s"unexpected window partition keys $windowParts:\n${mhPlan.take(1500)}")
+  }
+
   test("semdedup assignment is a map-side argmax; pairing never goes cartesian") {
     assume(available)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
