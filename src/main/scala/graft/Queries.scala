@@ -773,6 +773,39 @@ object Queries {
       Some("""SELECT n_nationkey, n_name, n_regionkey
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // ----- column mapping lifecycle: upgrade -> rename -> append -> drop --
+    // The mapping's reason to exist, end-to-end against the oracle: a
+    // plain table upgrades to columnMapping.mode=name (physical names =
+    // current names, no rewrite), a column renames metadata-only, an
+    // append lands under the NEW logical name, and a drop removes a
+    // column with files untouched. The final read must equal DuckDB
+    // recomputing the surviving columns from the raw inputs — a rename
+    // that loses old files, an append that mismatches the mapping, or a
+    // drop that leaks its column all change the hash.
+    "q_delta_rename" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-delta-rn").toString
+        val table = s"$tmp/docs_rn"
+        val w = new graft.delta.DeltaWriter(s, s.sparkContext.hadoopConfiguration)
+        w.write(t(s, d, "documents").select("doc_id", "text", "source"),
+          table, graft.delta.DeltaWriteMode.Append)
+        w.upgradeToColumnMapping(table)
+        w.renameColumn(table, "source", "origin")
+        // post-rename append speaks the NEW logical name; its file lands
+        // under the unchanged physical name
+        w.write(t(s, d, "documents").filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+            col("source").as("origin")),
+          table, graft.delta.DeltaWriteMode.Append)
+        w.dropColumn(table, "text")
+        w.read(table).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source AS origin FROM documents
+             |UNION ALL
+             |SELECT doc_id + 100000 AS doc_id, source AS origin
+             |FROM documents WHERE doc_id < 10
+             |ORDER BY doc_id""".stripMargin)),
+
     // ================= training-data pipeline operators ==================
 
     // ----- exact dedup ----------------------------------------------------

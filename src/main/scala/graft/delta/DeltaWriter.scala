@@ -601,19 +601,76 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       StructType(es.fields.filterNot(_.name == name))
     }
 
-  /** Shared metadata-only ALTER commit for [[renameColumn]]/[[dropColumn]]:
-    * one metaData action with the transformed schema, the table's
-    * configuration carried forward, and partitionColumns re-derived in
-    * the NEW logical name domain (so renaming a partition column carries
-    * its new name). Refuses unmapped tables — without physical names a
-    * rename/drop would orphan every existing file's data. */
+  /** Upgrade a plain table to `columnMapping.mode=name` — delta-spark's
+    * `ALTER TABLE .. SET TBLPROPERTIES('delta.columnMapping.mode'='name')`
+    * shape: every EXISTING column's physical name becomes its current
+    * name (existing files keep reading without any rewrite — their
+    * columns already carry those names), field ids assign sequentially,
+    * configuration gains `mode=name` + `maxColumnId`, and the same
+    * commit raises the protocol to the mapping floor (reader 2 /
+    * writer 5; a v3 table instead adds the `columnMapping` feature to
+    * its lists, never downgrading a DV upgrade). Idempotent: an
+    * already-mapped table returns its latest version untouched. After
+    * the upgrade, [[renameColumn]]/[[dropColumn]] compose and
+    * mergeSchema appends mint fresh `col-<uuid>` names. */
+  def upgradeToColumnMapping(tablePath: String): Long = {
+    val latest = log.latestVersion(tablePath)
+      .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
+    val es = tableSchema(tablePath)
+      .getOrElse(throw new GraftError(s"no schema on $tablePath"))
+    if (ColumnMapping.isMapped(es)) return latest
+    val nCols = es.fields.length
+    val curP = log.resolveProtocol(tablePath, latest)
+    val protocolLine: Seq[String] = curP match {
+      case Some(p) if p.minReaderVersion >= 3 =>
+        def l(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(", ")
+        val rf = (p.readerFeatures :+ "columnMapping").distinct
+        val wf = (p.writerFeatures :+ "columnMapping").distinct
+        Seq(s"""{"protocol": {"minReaderVersion": ${p.minReaderVersion}, """ +
+          s""""minWriterVersion": ${math.max(p.minWriterVersion, 7)}, """ +
+          s""""readerFeatures": [${l(rf)}], "writerFeatures": [${l(wf)}]}}""")
+      case Some(p) if p.minReaderVersion >= 2 && p.minWriterVersion >= 5 =>
+        Seq.empty
+      case _ =>
+        Seq("""{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""")
+    }
+    alterSchema(tablePath, "UPGRADE COLUMN MAPPING",
+      requireMapped = false,
+      mutateConfig = { cfg =>
+        cfg.put("delta.columnMapping.mode", "name")
+        cfg.put("delta.columnMapping.maxColumnId", nCols.toString)
+      },
+      extraLines = protocolLine) { old =>
+      StructType(old.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString(ColumnMapping.PhysicalNameKey, f.name).build())
+      })
+    }
+  }
+
+  /** Shared metadata-only ALTER commit for [[renameColumn]]/[[dropColumn]]
+    * /[[upgradeToColumnMapping]]: one metaData action with the
+    * transformed schema, the table's configuration carried forward
+    * (optionally mutated), and partitionColumns re-derived in the NEW
+    * logical name domain (so renaming a partition column carries its
+    * new name). `requireMapped` (the rename/drop default) refuses
+    * unmapped tables — without physical names those changes would
+    * orphan every existing file's data. */
   private def alterMappedSchema(tablePath: String, operation: String)(
+      transform: StructType => StructType): Long =
+    alterSchema(tablePath, operation, requireMapped = true)(transform)
+
+  private def alterSchema(tablePath: String, operation: String,
+      requireMapped: Boolean,
+      mutateConfig: com.fasterxml.jackson.databind.node.ObjectNode => Unit = _ => (),
+      extraLines: Seq[String] = Seq.empty)(
       transform: StructType => StructType): Long = {
     val readVersion = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
     val es = tableSchema(tablePath)
       .getOrElse(throw new GraftError(s"no schema on $tablePath"))
-    if (!ColumnMapping.isMapped(es))
+    if (requireMapped && !ColumnMapping.isMapped(es))
       throw new GraftError(
         s"$operation requires column mapping on $tablePath: without " +
         "physical names, the change would orphan existing files' data")
@@ -626,6 +683,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     def content(version: Long): String = {
       val now = System.currentTimeMillis()
       val lines = Seq.newBuilder[String]
+      lines ++= extraLines
       val ci = Jsons.obj()
       ci.put("timestamp", now)
       ci.put("operation", operation)
@@ -642,6 +700,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       val cfgNode = log.tableConfigurationJson(tablePath).map(Jsons.parse)
         .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
         .getOrElse(Jsons.obj())
+      mutateConfig(cfgNode)
       md.set[JsonNode]("configuration", cfgNode)
       md.put("createdTime", now)
       lines += s"""{"metaData": ${Jsons.render(md)}}"""

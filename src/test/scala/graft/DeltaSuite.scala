@@ -909,6 +909,50 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("upgradeToColumnMapping: no rewrite, protocol floor, DV tables keep 3/7") {
+    withTmpDir { tmp =>
+      val w = writer
+      val log = new DeltaLogReader(conf)
+      val t = s"$tmp/up"
+      w.write(Seq((1L, "a")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      val files = w.activeAdds(t).map(_.path).toSet
+      val v = w.upgradeToColumnMapping(t)
+      // metadata-only: same files, physical names = current names,
+      // sequential ids, maxColumnId recorded
+      assert(w.activeAdds(t).map(_.path).toSet === files)
+      val sc = w.tableSchema(t).get
+      assert(sc("id").metadata
+        .getString("delta.columnMapping.physicalName") === "id")
+      assert(sc("s").metadata.getLong("delta.columnMapping.id") === 2L)
+      // the same commit raises the protocol to the mapping floor
+      val p = log.resolveProtocol(t, v).get
+      assert(p.minReaderVersion === 2 && p.minWriterVersion === 5)
+      // idempotent: a second upgrade is a no-op at the same version
+      assert(w.upgradeToColumnMapping(t) === v)
+      // the mapping lifecycle composes: rename, read old data, mint-add
+      w.renameColumn(t, "s", "label")
+      assert(w.read(t).columns.toSeq === Seq("id", "label"))
+      assert(w.read(t).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a")))
+      w.write(Seq((2L, "b", 1.5)).toDF("id", "label", "score"), t,
+        DeltaWriteMode.Append, mergeSchema = true)
+      assert(w.tableSchema(t).get("score").metadata
+        .getString("delta.columnMapping.physicalName").startsWith("col-"))
+      // a DV table (reader 3 / writer 7) must NOT downgrade: the upgrade
+      // adds the columnMapping feature to the existing lists
+      val t2 = s"$tmp/dv"
+      w.write(spark.range(0, 6).toDF("id").coalesce(1), t2, DeltaWriteMode.Append)
+      w.deleteWhere(t2, col("id") < 2)
+      val v2 = w.upgradeToColumnMapping(t2)
+      val p2 = log.resolveProtocol(t2, v2).get
+      assert(p2.minReaderVersion === 3 && p2.minWriterVersion === 7)
+      assert(p2.readerFeatures.toSet === Set("deletionVectors", "columnMapping"))
+      assert(p2.writerFeatures.toSet === Set("deletionVectors", "columnMapping"))
+      assert(w.read(t2).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === (2L until 6L))
+    }
+  }
+
   test("renaming a mapped partition column keeps pruning and layout") {
     import org.apache.spark.sql.types._
     withTmpDir { tmp =>
