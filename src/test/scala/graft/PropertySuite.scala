@@ -277,6 +277,37 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("incremental span dedup over id-ordered batches equals the one-shot result") {
+    // when batches arrive in id order (the append-only pipeline case),
+    // first-seen-wins owners coincide with the batch variant's global
+    // lexicographic min — so folding spansWithHistory over accumulated
+    // ownerIndex rows must reproduce spans(whole corpus) EXACTLY, for
+    // any corpus; this pins the merge rule, the occ accounting, and the
+    // empty-history path in one property
+    val docGen = Gen.choose(1, 10)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf("a", "b", "c")))
+      .map(_.mkString(" "))
+    val n = 3
+    forAllSampled(Gen.listOfN(9, docGen), 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val oneShot = graft.operators.SpanDedup
+        .spans(docs.toDF("id", "t"), "id", "t", n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      var hist = Seq.empty[(Long, Long, Long, Long)]
+        .toDF("h1", "h2", "own", "occ")
+      val incremental = docs.grouped(3).flatMap { b =>
+        val bdf = b.toDF("id", "t")
+        val sp = graft.operators.SpanDedup
+          .spansWithHistory(bdf, hist, "id", "t", n = n)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        hist = hist.unionByName(
+          graft.operators.SpanDedup.ownerIndex(bdf, "id", "t", n = n))
+        sp
+      }.toSet
+      assert(incremental === oneShot, s"texts=$texts")
+    }
+  }
+
   test("sequence packing partitions the token stream for random corpora and budgets") {
     val docGen = Gen.choose(0, 9)
       .flatMap(k => Gen.listOfN(k, Gen.oneOf("x", "y"))).map(_.mkString(" "))
