@@ -217,11 +217,14 @@ object Dedup {
     * callers anti-join `doc_id` to drop the later copies (the
     * fingerprint-history pattern in IncrementalCurationDemo).
     *
-    * Scale shape: only (id, band, key) triples shuffle into the bucket
-    * join; history buckets rank-cap at `maxBucket` BEFORE the join
-    * (hot boilerplate buckets stay bounded, same guard as every LSH
-    * operator here); signatures fetch once per surviving candidate
-    * side through AQE-splittable equi-joins. */
+    * Scale shape — the history is CUMULATIVE, so the batch drives every
+    * history access: exploded history band rows first SEMI-JOIN to the
+    * batch's (band, key) set, so only buckets the batch actually probes
+    * survive into the cap and the join (the cap still bounds each
+    * probed bucket's membership — unprobed buckets are irrelevant by
+    * construction); only (id, band, key) triples shuffle; signatures
+    * fetch once per surviving candidate side through AQE-splittable
+    * equi-joins. */
   def minhashAgainstHistory(df: DataFrame, history: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
       shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
@@ -233,6 +236,7 @@ object Dedup {
     val hb0 = history
       .select(col("doc_id").as("hist_id"), explode(col("bands")).as("m"))
       .select(col("hist_id"), col("m.band").as("band"), col("m.key").as("key"))
+      .join(bb.select("band", "key").distinct(), Seq("band", "key"), "left_semi")
     val hb =
       if (maxBucket > 0) {
         val w = Window.partitionBy("band", "key").orderBy("hist_id")

@@ -152,14 +152,18 @@ object SpanDedup {
     * when a current doc_id sorts smaller; only history-free grams elect
     * their owner within the batch (plain [[spans]] semantics).
     *
-    * Cost shape: history aggregates per gram BEFORE the join (partial
-    * agg, skew-immune like the in-batch owners), then one equi-join
-    * batch-grams x history-grams on the 128-bit key; prior batches'
-    * TEXT is never touched. Replay-deterministic: owner selection
-    * depends only on (history table, batch content), so a crashed
-    * batch recomputes identical spans as long as its own index append
-    * had not landed — the SetTransaction-guarded dual-commit order
-    * (curated first, index second) guarantees exactly that. */
+    * Cost shape — the history is CUMULATIVE (it outgrows any batch by
+    * orders of magnitude), so the batch drives every history access:
+    * history rows first SEMI-JOIN to the batch's distinct gram keys
+    * (only grams the batch actually contains are read into the
+    * aggregation — an aggregate-the-whole-history-then-join shape would
+    * re-reduce every gram ever seen, every batch), then aggregate per
+    * gram and join back; prior batches' TEXT is never touched.
+    * Replay-deterministic: owner selection depends only on (history
+    * table, batch content), so a crashed batch recomputes identical
+    * spans as long as its own index append had not landed — the
+    * SetTransaction-guarded dual-commit order (curated first, index
+    * second) guarantees exactly that. */
   def spansWithHistory(df: DataFrame, history: DataFrame, idCol: String,
       textCol: String, n: Int = 10, delim: String = " "): DataFrame = {
     val occ = occWithKey(df, idCol, textCol, n, delim, packedOwners = true)
@@ -167,7 +171,9 @@ object SpanDedup {
         col("gh.h1").as("h1"), col("gh.h2").as("h2"))
     val batchIdx = occ.groupBy(col("h1"), col("h2"))
       .agg(min(col("okey")).as("bown"), count(lit(1)).as("bocc"))
-    val hist = history.groupBy(col("h1"), col("h2"))
+    val hist = history
+      .join(batchIdx.select("h1", "h2"), Seq("h1", "h2"), "left_semi")
+      .groupBy(col("h1"), col("h2"))
       .agg(min(col("own")).as("hown"), sum(col("occ")).as("hocc"))
     val merged = batchIdx.join(hist, Seq("h1", "h2"), "left")
       .select(col("h1"), col("h2"),
