@@ -867,7 +867,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     // size + stats come from the tasks' commit messages — the driver never
     // opens a footer (see DirectCommitProtocol.commitTask)
     writeWithProtocol(df.write.mode("append").parquet(dataDir.toString),
-        dataDir.toString)
+        dataDir.toString, df.sparkSession)
       .sortBy(_.path)
       .map(f => WrittenPart(s"${dataDir.getName}/${new Path(f.path).getName}",
         f.size, f.stats, Map.empty))
@@ -883,7 +883,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val rootStr = root.toUri.getPath.stripSuffix("/")
     writeWithProtocol(
         df.write.partitionBy(partitionBy: _*).mode("append").parquet(root.toString),
-        root.toString).sortBy(_.path).map { f =>
+        root.toString, df.sparkSession).sortBy(_.path).map { f =>
       // task paths come back qualified (file:/...); compare scheme-free
       val rel = new Path(f.path).toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
       val pv = rel.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
@@ -895,21 +895,28 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   }
 
   /** Run one data write under [[DirectCommitProtocol]] and return the
-    * files its tasks reported. The session's commit-protocol conf is
-    * session-GLOBAL and the registry key for partitioned writes is the
-    * table root, so concurrent DeltaWriter writes in one JVM serialize
-    * here (commit-time version races are cross-process and stay fully
+    * files its tasks reported. The commit-protocol conf swaps on the
+    * session the WRITTEN DataFrame executes under (`df.sparkSession`),
+    * NOT the writer's constructor session — Structured Streaming's
+    * foreachBatch hands over frames bound to a CLONED session with an
+    * isolated conf, and swapping the wrong session's conf would run the
+    * write under the default protocol: zero files reported, an empty
+    * commit, silent data loss. The conf is session-GLOBAL and the
+    * registry key for partitioned writes is the table root, so
+    * concurrent DeltaWriter writes in one JVM serialize here
+    * (commit-time version races are cross-process and stay fully
     * concurrent — [[commitWithRetry]] handles those). */
-  private def writeWithProtocol(write: => Unit, popKey: String): Seq[TaskWrittenFile] =
+  private def writeWithProtocol(write: => Unit, popKey: String,
+      sess: SparkSession): Seq[TaskWrittenFile] =
     DeltaWriter.sessionWriteLock.synchronized {
       DirectCommitProtocol.pop(popKey) // clear any stale entry
       val key = "spark.sql.sources.commitProtocolClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, classOf[DirectCommitProtocol].getName)
+      val prev = sess.conf.getOption(key)
+      sess.conf.set(key, classOf[DirectCommitProtocol].getName)
       try write
       finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+        case Some(v) => sess.conf.set(key, v)
+        case None => sess.conf.unset(key)
       }
       DirectCommitProtocol.pop(popKey)
     }
