@@ -45,9 +45,18 @@ object Packing {
     * `idCol` values must be UNIQUE: the stream position of a document is
     * its rank in id order, and tied ids would share one running-sum
     * value (a RANGE-frame window), producing overlapping packs. Dedup
-    * first ([[Dedup.exact]]) if ids can repeat. */
+    * first ([[Dedup.exact]]) if ids can repeat.
+    *
+    * `tokenOffset` makes packing INCREMENTAL: pass the cumulative token
+    * count of every prior batch and this batch's stream continues where
+    * the last ended — pack ids are global, and the boundary pack is
+    * shared between the batches exactly as a one-shot run would fill it
+    * (the per-batch state to persist, e.g. in [[graft.state.JobState]],
+    * is one long: offset + this batch's token total). */
   def packAssignments(df: DataFrame, idCol: String, textCol: String,
-      budget: Int, delim: String = " ", buckets: Int = 0): DataFrame = {
+      budget: Int, delim: String = " ", buckets: Int = 0,
+      tokenOffset: Long = 0L): DataFrame = {
+    require(tokenOffset >= 0, s"tokenOffset must be >= 0, got $tokenOffset")
     require(budget > 0, s"budget must be positive, got $budget")
     require(df.schema(idCol).dataType.isInstanceOf[
       org.apache.spark.sql.types.NumericType],
@@ -87,7 +96,7 @@ object Packing {
     val run = sum(col("n_tok"))
       .over(Window.partitionBy("pid").orderBy("doc_id"))
     val withStart = withPid
-      .withColumn("gstart", run - col("n_tok") +
+      .withColumn("gstart", run - col("n_tok") + lit(tokenOffset) +
         coalesce(element_at(typedlit(offsets), col("pid")), lit(0L)))
     // a doc starting at gstart spans packs gstart/B .. (gstart+n-1)/B;
     // `div` keeps the arithmetic integral (floor(x/y) on doubles loses

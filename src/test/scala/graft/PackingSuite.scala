@@ -60,6 +60,26 @@ class PackingSuite extends SparkSpec {
     assert(run() === run())
   }
 
+  test("incremental packing with tokenOffset equals the one-shot stream") {
+    val df = corpus(120)
+    val oneShot = Packing.packAssignments(df, "doc_id", "text", budget = 64)
+      .orderBy("doc_id", "pack_id").collect().map(_.toSeq).toSeq
+    // two id-ordered batches; batch 2 continues at batch 1's token total
+    val b1 = df.filter(col("doc_id") < 60)
+    val b2 = df.filter(col("doc_id") >= 60)
+    val b1Tokens = b1.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    val incremental =
+      (Packing.packAssignments(b1, "doc_id", "text", budget = 64)
+        .orderBy("doc_id", "pack_id").collect().map(_.toSeq) ++
+       Packing.packAssignments(b2, "doc_id", "text", budget = 64,
+         tokenOffset = b1Tokens)
+        .orderBy("doc_id", "pack_id").collect().map(_.toSeq)).toSeq
+    assert(incremental === oneShot,
+      "batch-continued packing must reproduce the global pack stream " +
+      "(shared boundary pack included)")
+  }
+
   test("empty text counts as its single empty token") {
     val df = Seq((0L, "a b c"), (1L, ""), (2L, "d e")).toDF("doc_id", "text")
     val segs = Packing.packAssignments(df, "doc_id", "text", budget = 4)
