@@ -164,6 +164,28 @@ object Similarity {
     centroids
   }
 
+  /** Persist a trained quantizer as a tiny parquet table
+    * `(idx int, centroid array<float>)` — the incremental-similarity
+    * state: train ONCE on early batches ([[trainIvfCentroids]]), then
+    * every later batch [[loadQuantizer]]s and probes ([[ivfTopK]],
+    * [[graft.operators.Dedup.semDedupPairs]]) without touching prior
+    * batches' vectors or re-running Lloyd iterations. O(nlist · dims)
+    * bytes — model-sized, like the driver state it round-trips. */
+  def saveQuantizer(spark: org.apache.spark.sql.SparkSession, path: String,
+      model: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    model.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveQuantizer]]; centroid order restores by `idx` (the
+    * bucket ids assigned at index time stay meaningful). */
+  def loadQuantizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] =
+    spark.read.parquet(path).orderBy("idx")
+      .collect().map(_.getSeq[Float](1).toArray)
+
   /** IVF-style ANN (FAISS IVF-Flat shape): `nlist` centroids — pass a
     * [[trainIvfCentroids]] model via `quantizer`, or let a deterministic
     * hash-ordered corpus sample stand in (random coarse quantizer) —

@@ -700,6 +700,32 @@ class SimilaritySuite extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq === Seq(1, 2))
   }
 
+  test("quantizer save/load round-trips; loaded model probes identically") {
+    withTmpDir { tmp =>
+      val rng = new scala.util.Random(11)
+      val corpus = (0 until 60).map { i =>
+        val c = i % 4
+        (i.toLong, Array.tabulate(8)(j =>
+          (if (j % 4 == c) 10f else 0f) + 0.01f * rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      val model = Similarity.trainIvfCentroids(
+        corpus, "vec_id", "embedding", nlist = 4, iterations = 3)
+      Similarity.saveQuantizer(spark, s"$tmp/quant", model)
+      val loaded = Similarity.loadQuantizer(spark, s"$tmp/quant")
+      assert(loaded.length === model.length)
+      model.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      // a LATER batch probes the persisted model without retraining and
+      // gets the same neighbors the in-memory model gives
+      val queries = corpus.filter($"vec_id" < 8)
+      def top1(q: Array[Array[Float]]) = Similarity.ivfTopK(
+        queries, corpus, "vec_id", "embedding", k = 1, nlist = 4, nprobe = 1,
+        quantizer = Some(q))
+        .filter($"rank" === 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(top1(loaded) === top1(model))
+    }
+  }
+
   test("lsh topk puts identical vectors in the same bucket") {
     val vecs = Seq(
       (0L, Array(1f, 2f, 3f, 4f)),
