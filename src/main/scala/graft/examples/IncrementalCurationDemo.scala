@@ -200,6 +200,18 @@ object IncrementalCurationDemo {
       s"fingerprint-history=$fpRows gram-history=$gramRows")
     println(s"cross-batch span excision: $lateSpanExcised of " +
       s"$run3Novel run-3 novel docs lost their quoted earlier-batch body")
+    // maintenance composes with the incremental state: the history tables
+    // accrue one small file per batch forever; compact consolidates them
+    // (dataChange=false — tailing readers unaffected) and every invariant
+    // must survive the rewrite
+    val filesBefore = Seq(fpHistory, spanHistory).map(w.activeAdds(_).size).sum
+    Seq(fpHistory, spanHistory).foreach(t => w.compact(t, smallFileBytes = 32L * 1024 * 1024))
+    val filesAfter = Seq(fpHistory, spanHistory).map(w.activeAdds(_).size).sum
+    val fpRowsCompacted = w.read(fpHistory).count()
+    val gramRowsCompacted = w.read(spanHistory).count()
+    println(s"history compaction: $filesBefore files -> $filesAfter; " +
+      s"rows preserved: fp=${fpRowsCompacted == fpRows} " +
+      s"grams=${gramRowsCompacted == gramRows}")
     val ok = r1.batchesProcessed == 3 && r2.batchesProcessed == 0 &&
       r3.batchesProcessed == 1 &&
       crashed && r4.batchesProcessed == 1 && // WAL replayed the crashed batch
@@ -210,7 +222,10 @@ object IncrementalCurationDemo {
       run3Novel > 0 &&
       lateSpanExcised == run3Novel && // quoted bodies excised cross-batch
       fpRows == rows &&              // history covers exactly the curated set
-      gramRows > 0
+      gramRows > 0 &&
+      filesAfter < filesBefore &&    // compaction actually consolidated
+      fpRowsCompacted == fpRows &&   // ... losslessly
+      gramRowsCompacted == gramRows
     println(s"incremental curation check: ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)
