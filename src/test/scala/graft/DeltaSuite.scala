@@ -953,6 +953,42 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("CDF reads resolve renamed logical names across the rename boundary") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"; val cp = s"$tmp/cp"
+      val w = writer
+      // v0: plain append; v1: upgrade to mapping; v2: rename s -> label;
+      // v3: append WITH a cdc file — the cdc file carries the UNCHANGED
+      // physical name ("s") plus _change_type, and the v0 data file also
+      // carries "s"; both must surface under the NEW logical name
+      w.write(Seq((1L, "a")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      w.upgradeToColumnMapping(t)
+      w.renameColumn(t, "s", "label")
+      val changes = Seq((2L, "b", "insert"))
+        .toDF("id", "label", Cdc.ChangeTypeCol)
+      w.write(Seq((2L, "b")).toDF("id", "label"), t, DeltaWriteMode.Append,
+        cdfChanges = Some(changes))
+      val src = new DeltaSource(t, new DeltaTableCheckpoint(cp, conf),
+        DeltaSourceOptions(startOffset = DeltaStartOffset.Earliest,
+          readChangeFeed = true))
+      val b = src.planBatch().get
+      val df = src.readBatch(spark, b)
+      assert(df.columns.take(2).toSeq === Seq("id", "label"),
+        s"CDF must speak the renamed logical names: ${df.columns.toSeq}")
+      val rows = df.select(col("id"), col("label"), col(Cdc.ChangeTypeCol),
+        col(Cdc.CommitVersionCol)).orderBy(Cdc.CommitVersionCol).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(rows.toSeq === Seq((1L, "a", "insert", 0L), (2L, "b", "insert", 3L)),
+        "pre-rename files and post-rename cdc files must both resolve")
+      // the cdc file itself is stored under the PHYSICAL column name
+      val cdcFiles = new DeltaLogReader(conf).readCommit(t, 3L).cdcs
+      assert(cdcFiles.nonEmpty)
+      val rawCdc = spark.read.parquet(s"$t/${cdcFiles.head.path}")
+      assert(rawCdc.columns.contains("s") && !rawCdc.columns.contains("label"),
+        s"cdc file must carry physical names: ${rawCdc.columns.toSeq}")
+    }
+  }
+
   test("renaming a mapped partition column keeps pruning and layout") {
     import org.apache.spark.sql.types._
     withTmpDir { tmp =>
