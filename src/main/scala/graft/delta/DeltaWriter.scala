@@ -619,7 +619,24 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     val es = tableSchema(tablePath)
       .getOrElse(throw new GraftError(s"no schema on $tablePath"))
     if (ColumnMapping.isMapped(es)) return latest
-    val nCols = es.fields.length
+    // the protocol requires EVERY struct field — nested included — to
+    // carry a field id + physical name once mapping is on; a top-level-
+    // only assignment would emit metadata foreign readers may reject
+    var idCounter = 0L
+    def nextId(): Long = { idCounter += 1; idCounter }
+    def mapType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        f.copy(dataType = mapType(f.dataType),
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", nextId())
+            .putString(ColumnMapping.PhysicalNameKey, f.name).build())
+      })
+      case ArrayType(et, n) => ArrayType(mapType(et), n)
+      case MapType(k, v, n) => MapType(mapType(k), mapType(v), n)
+      case other => other
+    }
+    val mappedSchema = mapType(es).asInstanceOf[StructType]
+    val nCols = idCounter
     val curP = log.resolveProtocol(tablePath, latest)
     val protocolLine: Seq[String] = curP match {
       case Some(p) if p.minReaderVersion >= 3 =>
@@ -640,13 +657,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         cfg.put("delta.columnMapping.mode", "name")
         cfg.put("delta.columnMapping.maxColumnId", nCols.toString)
       },
-      extraLines = protocolLine) { old =>
-      StructType(old.fields.zipWithIndex.map { case (f, i) =>
-        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putLong("delta.columnMapping.id", i + 1L)
-          .putString(ColumnMapping.PhysicalNameKey, f.name).build())
-      })
-    }
+      extraLines = protocolLine)(_ => mappedSchema)
   }
 
   /** Shared metadata-only ALTER commit for [[renameColumn]]/[[dropColumn]]

@@ -950,6 +950,42 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(p2.writerFeatures.toSet === Set("deletionVectors", "columnMapping"))
       assert(w.read(t2).orderBy("id").collect().map(_.getLong(0)).toSeq
         === (2L until 6L))
+      // NESTED schemas map recursively — the protocol requires every
+      // struct field (any depth) to carry an id + physical name, or
+      // foreign readers may reject the table
+      val t3 = s"$tmp/nested"
+      w.write(Seq((1L, ("x", 2L))).toDF("id", "payload"), t3, DeltaWriteMode.Append)
+      w.upgradeToColumnMapping(t3)
+      val s3 = w.tableSchema(t3).get
+      val payload = s3("payload")
+      assert(payload.metadata.contains("delta.columnMapping.id"))
+      val inner = payload.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      inner.fields.foreach { f =>
+        assert(f.metadata.contains("delta.columnMapping.id"),
+          s"nested field ${f.name} must carry a field id")
+        assert(f.metadata.getString("delta.columnMapping.physicalName") === f.name)
+      }
+      // ids are unique across ALL levels and maxColumnId covers them
+      val allIds = {
+        def ids(dt: org.apache.spark.sql.types.DataType): Seq[Long] = dt match {
+          case st: org.apache.spark.sql.types.StructType => st.fields.toSeq.flatMap(f =>
+            (if (f.metadata.contains("delta.columnMapping.id"))
+              Seq(f.metadata.getLong("delta.columnMapping.id")) else Nil) ++
+            ids(f.dataType))
+          case org.apache.spark.sql.types.ArrayType(et, _) => ids(et)
+          case org.apache.spark.sql.types.MapType(k, v, _) => ids(k) ++ ids(v)
+          case _ => Nil
+        }
+        ids(s3)
+      }
+      assert(allIds.distinct.size === allIds.size && allIds.size === 4)
+      val raw3 = new String(Files.readAllBytes(Paths.get(t3, "_delta_log",
+        f"${log.latestVersion(t3).get}%020d.json")))
+      assert(raw3.contains(""""delta.columnMapping.maxColumnId":"4""""))
+      // the upgraded nested table still reads (identity physical names)
+      val back = w.read(t3).collect()
+      assert(back.map(r => (r.getLong(0), r.getStruct(1).getString(0))).toSeq
+        === Seq((1L, "x")))
     }
   }
 
