@@ -571,13 +571,27 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * against the old name conflicts on ITS retry (the rename is a
     * non-additive schema change to it). */
   def renameColumn(tablePath: String, oldName: String, newName: String): Long =
+    renameColumnPath(tablePath, Seq(oldName), newName)
+
+  /** [[renameColumn]] for a NESTED field (delta-spark's
+    * `ALTER TABLE .. RENAME COLUMN a.b TO a.c`): `path` names the field
+    * through its enclosing structs — segments dive through arrays and
+    * map values implicitly (renaming a field of a struct-in-array needs
+    * no `element` segment). Metadata-only like the top-level form: the
+    * nested field keeps its physical name + id. */
+  def renameColumnPath(tablePath: String, path: Seq[String],
+      newName: String): Long =
     alterMappedSchema(tablePath, "RENAME COLUMN") { es =>
-      if (!es.fieldNames.contains(oldName))
-        throw new GraftError(s"no column '$oldName' on $tablePath")
-      if (es.fieldNames.contains(newName))
-        throw new GraftError(s"column '$newName' already exists on $tablePath")
-      StructType(es.fields.map(f =>
-        if (f.name == oldName) f.copy(name = newName) else f))
+      rewriteStructAt(es, path, tablePath) { (st, old) =>
+        if (!st.fieldNames.contains(old))
+          throw new GraftError(s"no column '${path.mkString(".")}' on $tablePath")
+        if (st.fieldNames.contains(newName))
+          throw new GraftError(
+            s"column '$newName' already exists beside " +
+            s"'${path.mkString(".")}' on $tablePath")
+        StructType(st.fields.map(f =>
+          if (f.name == old) f.copy(name = newName) else f))
+      }
     }
 
   /** Drop a logical column on a column-mapped table without rewriting
@@ -589,17 +603,55 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     * under the new column: the column-mapping protocol's core invariant.
     * Partition columns cannot drop (the hive layout is keyed on them). */
   def dropColumn(tablePath: String, name: String): Long =
+    dropColumnPath(tablePath, Seq(name))
+
+  /** [[dropColumn]] for a NESTED field; same path semantics as
+    * [[renameColumnPath]]. Refuses to empty any struct (parquet cannot
+    * represent an empty group) and to drop a partition column. */
+  def dropColumnPath(tablePath: String, path: Seq[String]): Long =
     alterMappedSchema(tablePath, "DROP COLUMN") { es =>
-      if (!es.fieldNames.contains(name))
-        throw new GraftError(s"no column '$name' on $tablePath")
-      val physToLogical = ColumnMapping.physicalNames(es).map(_.swap)
-      if (partitionColumnsOf(tablePath).map(p => physToLogical.getOrElse(p, p))
-          .contains(name))
-        throw new GraftError(s"cannot drop partition column '$name' of $tablePath")
-      if (es.fields.length == 1)
-        throw new GraftError(s"cannot drop the last column of $tablePath")
-      StructType(es.fields.filterNot(_.name == name))
+      if (path.length == 1) {
+        val physToLogical = ColumnMapping.physicalNames(es).map(_.swap)
+        if (partitionColumnsOf(tablePath).map(p => physToLogical.getOrElse(p, p))
+            .contains(path.head))
+          throw new GraftError(
+            s"cannot drop partition column '${path.head}' of $tablePath")
+      }
+      rewriteStructAt(es, path, tablePath) { (st, last) =>
+        if (!st.fieldNames.contains(last))
+          throw new GraftError(s"no column '${path.mkString(".")}' on $tablePath")
+        val remaining = st.fields.filterNot(_.name == last)
+        if (remaining.isEmpty)
+          throw new GraftError(
+            s"cannot drop '${path.mkString(".")}': it is the last field " +
+            s"of its struct on $tablePath")
+        StructType(remaining)
+      }
     }
+
+  /** Apply `leaf` to the struct containing the LAST segment of `path`,
+    * rebuilding every enclosing level (diving through arrays and map
+    * values). The alter operators' shared path walker. */
+  private def rewriteStructAt(st: StructType, path: Seq[String],
+      tablePath: String)(
+      leaf: (StructType, String) => StructType): StructType = path match {
+    case Seq() => throw new GraftError("empty column path")
+    case Seq(last) => leaf(st, last)
+    case head +: rest =>
+      val idx = st.fieldNames.indexOf(head)
+      if (idx < 0)
+        throw new GraftError(s"no column '$head' on $tablePath")
+      val f = st.fields(idx)
+      def dive(dt: DataType): DataType = dt match {
+        case inner: StructType => rewriteStructAt(inner, rest, tablePath)(leaf)
+        case ArrayType(et, n) => ArrayType(dive(et), n)
+        case MapType(k, v, n) => MapType(k, dive(v), n)
+        case _ => throw new GraftError(
+          s"'$head' is not a struct on $tablePath; cannot address " +
+          s"'${path.mkString(".")}'")
+      }
+      StructType(st.fields.updated(idx, f.copy(dataType = dive(f.dataType))))
+  }
 
   /** Upgrade a plain table to `columnMapping.mode=name` — delta-spark's
     * `ALTER TABLE .. SET TBLPROPERTIES('delta.columnMapping.mode'='name')`

@@ -989,6 +989,54 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("nested column rename/drop: metadata-only through enclosing structs") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/nested"
+      val w = writer
+      val log = new DeltaLogReader(conf)
+      w.write(Seq((1L, ("x", 2L), Seq(("inA", 5L)))).toDF("id", "payload", "items"),
+        t, DeltaWriteMode.Append)
+      w.upgradeToColumnMapping(t)
+      val filesBefore = w.activeAdds(t).map(_.path).toSet
+      // rename a struct field: payload._1 -> label (toDF names are _1/_2)
+      val inner0 = w.tableSchema(t).get("payload").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val firstName = inner0.fields.head.name
+      w.renameColumnPath(t, Seq("payload", firstName), "label")
+      assert(w.activeAdds(t).map(_.path).toSet === filesBefore,
+        "nested rename must not touch data files")
+      val inner1 = w.tableSchema(t).get("payload").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(inner1.fields.head.name === "label")
+      // physical name + id survive the rename (the mapping invariant)
+      assert(inner1.fields.head.metadata
+        .getString("delta.columnMapping.physicalName") === firstName)
+      assert(inner1.fields.head.metadata.getLong("delta.columnMapping.id") ===
+        inner0.fields.head.metadata.getLong("delta.columnMapping.id"))
+      // the renamed nested field reads old data under its new name
+      assert(w.read(t).select("payload.label").head().getString(0) === "x")
+      // rename through an ARRAY of structs (no `element` segment needed)
+      val itemField = w.tableSchema(t).get("items").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.head.name
+      w.renameColumnPath(t, Seq("items", itemField), "tag")
+      assert(w.read(t).selectExpr("items[0].tag").head().getString(0) === "inA")
+      // drop a nested field; the struct keeps its sibling
+      w.dropColumnPath(t, Seq("payload", inner1.fields(1).name))
+      val inner2 = w.tableSchema(t).get("payload").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(inner2.fieldNames.toSeq === Seq("label"))
+      assert(w.read(t).select("payload.label").head().getString(0) === "x")
+      // guards: emptying a struct, bad paths
+      intercept[GraftError](w.dropColumnPath(t, Seq("payload", "label")))
+      intercept[GraftError](w.renameColumnPath(t, Seq("missing", "x"), "y"))
+      intercept[GraftError](w.renameColumnPath(t, Seq("id", "x"), "y"))
+      assert(w.activeAdds(t).map(_.path).toSet === filesBefore,
+        "every nested alter is metadata-only")
+    }
+  }
+
   test("CDF reads resolve renamed logical names across the rename boundary") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"; val cp = s"$tmp/cp"
