@@ -1037,6 +1037,26 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("restore reverts a rename: two metadata-only operations compose") {
+    withTmpDir { tmp =>
+      val t = s"$tmp/table"
+      val w = writer
+      w.write(Seq((1L, "a")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      val vUp = w.upgradeToColumnMapping(t)
+      w.renameColumn(t, "s", "label")
+      assert(w.read(t).columns.toSeq === Seq("id", "label"))
+      // restore to the pre-rename version: the OLD logical name returns,
+      // same files, same physical name underneath
+      w.restore(t, vUp)
+      assert(w.read(t).columns.toSeq === Seq("id", "s"))
+      assert(w.read(t).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a")))
+      // and the mapping survives the restore: rename composes again
+      w.renameColumn(t, "s", "label2")
+      assert(w.read(t).columns.toSeq === Seq("id", "label2"))
+    }
+  }
+
   test("CDF reads resolve renamed logical names across the rename boundary") {
     withTmpDir { tmp =>
       val t = s"$tmp/table"; val cp = s"$tmp/cp"
