@@ -1069,6 +1069,47 @@ object Queries {
              |FROM grp GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // ----- CROSS-BATCH incremental span dedup (EXACT, oracle-checked) -----
+    // The incremental path itself under the oracle: batch 2 (doc_id >=
+    // 250) spans computed against batch 1's persisted gram-owner index.
+    // With id-ordered batches, first-seen-wins owners coincide with the
+    // global lexicographic min (the PropertySuite invariant), so DuckDB's
+    // ONE-SHOT replay of the mark-and-merge rule over the whole corpus,
+    // restricted to batch-2 documents, is an exact oracle for the
+    // history-driven path.
+    "d_span_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val hist = graft.operators.SpanDedup.ownerIndex(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", n = 10)
+        graft.operators.SpanDedup.spansWithHistory(
+          docs.filter(col("doc_id") >= 250), hist, "doc_id", "text", n = 10)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+             |grams AS (
+             |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+             |         ARRAY_TO_STRING(w[g.i : g.i + 9], ' ') AS gram
+             |  FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 8)) AS i) g),
+             |owners AS (SELECT gram, MIN(ROW(doc_id, pos)) AS own, COUNT(*) AS occ
+             |           FROM grams GROUP BY gram),
+             |marked AS (
+             |  SELECT g.doc_id, g.pos FROM grams g JOIN owners o ON g.gram = o.gram
+             |  WHERE o.occ > 1 AND ROW(g.doc_id, g.pos) <> o.own
+             |    AND g.doc_id >= 250),
+             |islands AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN pos <= MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         THEN 0 ELSE 1 END AS brk
+             |  FROM marked),
+             |grp AS (SELECT doc_id, pos,
+             |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |        FROM islands)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 10 AS span_end
+             |FROM grp GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // ----- span-dedup text excision (EXACT, oracle-checked) ---------------
     // the clean() side of d_span_dedup: duplicated spans removed in place,
     // canonical copies and novel prose kept; the oracle rebuilds the text
