@@ -200,18 +200,42 @@ object IncrementalCurationDemo {
       s"fingerprint-history=$fpRows gram-history=$gramRows")
     println(s"cross-batch span excision: $lateSpanExcised of " +
       s"$run3Novel run-3 novel docs lost their quoted earlier-batch body")
-    // maintenance composes with the incremental state: the history tables
-    // accrue one small file per batch forever; compact consolidates them
-    // (dataChange=false — tailing readers unaffected) and every invariant
-    // must survive the rewrite
+    // maintenance composes with the incremental state. The fingerprint
+    // history is already one row per curated doc — FILE-level compaction
+    // (concatenate small per-batch files, dataChange=false) is all it
+    // needs. The span-gram history is different: per-batch appends hold
+    // one row per (batch, gram), so overlapping batches grow it toward B
+    // copies of every hot gram and EVERY batch re-reads all of them
+    // (uniform hash keys defeat min/max skipping — row count is the only
+    // lever on that scan). Its compaction must AGGREGATE:
+    // SpanDedup.compactIndex caps it at one row per distinct gram (min
+    // owner, occ saturated at 2) with identical spansWithHistory results,
+    // so the per-batch history read tracks the corpus's distinct grams,
+    // not its batch lifetime.
     val filesBefore = Seq(fpHistory, spanHistory).map(w.activeAdds(_).size).sum
-    Seq(fpHistory, spanHistory).foreach(t => w.compact(t, smallFileBytes = 32L * 1024 * 1024))
+    val gramDistinct = w.read(spanHistory)
+      .select("h1", "h2").distinct().count()
+    w.compact(fpHistory, smallFileBytes = 32L * 1024 * 1024)
+    w.write(SpanDedup.compactIndex(w.read(spanHistory)), spanHistory,
+      DeltaWriteMode.Overwrite)
     val filesAfter = Seq(fpHistory, spanHistory).map(w.activeAdds(_).size).sum
     val fpRowsCompacted = w.read(fpHistory).count()
     val gramRowsCompacted = w.read(spanHistory).count()
     println(s"history compaction: $filesBefore files -> $filesAfter; " +
-      s"rows preserved: fp=${fpRowsCompacted == fpRows} " +
-      s"grams=${gramRowsCompacted == gramRows}")
+      s"fp rows preserved=${fpRowsCompacted == fpRows} " +
+      s"gram rows bounded to distinct=${gramRowsCompacted == gramDistinct} " +
+      s"(was $gramRows)")
+    // the compacted history must still resolve cross-batch spans: a probe
+    // quoting an already-curated body loses it
+    val probe = w.read(curated)
+      .filter(col("doc_id") < 10000 && col("n_tokens_removed") === 0 &&
+        size(split(col("text"), " ")) >= 10)
+      .orderBy("doc_id").limit(1)
+      .select(lit(90000L).as("doc_id"),
+        concat(lit("probe prefix "), col("text")).as("text"))
+    val probeSpans = SpanDedup.spansWithHistory(
+      probe, w.read(spanHistory), "doc_id", "text", n = 10).count()
+    println(s"post-compaction probe: $probeSpans span(s) resolved")
     val ok = r1.batchesProcessed == 3 && r2.batchesProcessed == 0 &&
       r3.batchesProcessed == 1 &&
       crashed && r4.batchesProcessed == 1 && // WAL replayed the crashed batch
@@ -224,8 +248,10 @@ object IncrementalCurationDemo {
       fpRows == rows &&              // history covers exactly the curated set
       gramRows > 0 &&
       filesAfter < filesBefore &&    // compaction actually consolidated
-      fpRowsCompacted == fpRows &&   // ... losslessly
-      gramRowsCompacted == gramRows
+      fpRowsCompacted == fpRows &&   // file-concat side is lossless
+      gramRowsCompacted == gramDistinct && // span side is ROW-BOUNDED ...
+      gramRowsCompacted < gramRows &&      // ... and actually shrank
+      probeSpans > 0                 // ... without losing resolution
     println(s"incremental curation check: ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

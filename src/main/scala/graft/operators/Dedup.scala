@@ -193,6 +193,10 @@ object Dedup {
     * orders of magnitude under the text it summarizes. */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"minhashIndex needs bands to divide k exactly; k=$k, bands=$bands " +
+      "would silently truncate trailing signature entries and change " +
+      "banding recall")
     val rows = k / bands
     val sig = graft.functions.FusedMinHashFunctions
       .minhashWordShingles(col(textCol), shingleWords, k)
@@ -229,6 +233,10 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.5,
       shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"minhashAgainstHistory needs bands to divide k exactly; k=$k, " +
+      s"bands=$bands would probe history buckets under a different " +
+      "banding than the index was built with")
     val batchIdx = minhashIndex(df, idCol, textCol, shingleWords, k, bands)
     val bb = batchIdx
       .select(col("doc_id"), explode(col("bands")).as("m"))

@@ -56,6 +56,27 @@ object SpanDedup {
         i => concat_ws(delim, slice(w, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Span joins key on `cast(idCol as long)`; a non-numeric id column
+    * casts to null, every row misses the join, and duplicated spans pass
+    * through UNEXCISED with no error — the same silent-wrong-answer trap
+    * [[Packing.packAssignments]] guards against. Fail loudly instead. */
+  private def requireNumericId(df: DataFrame, idCol: String): Unit =
+    require(df.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"SpanDedup needs a numeric id column; '$idCol' is " +
+      s"${df.schema(idCol).dataType.simpleString} (a non-numeric cast " +
+      "would null the doc_id join keys and silently leave duplicated " +
+      "spans unexcised)")
+
+  /** The id contract of the INCREMENTAL path ([[ownerIndex]] /
+    * [[spansWithHistory]]): the persisted history schema is packed-long
+    * only, so `doc_id` must fit 31 bits and token positions 32. There is
+    * no struct-owner fallback across batches — re-key documents into
+    * `[0, 2^31)` before indexing (the remedy the in-row guard names). */
+  private val IncrementalIdRemedy =
+    "the cross-batch history schema is packed-long only (no struct " +
+    "fallback); re-key documents into [0, 2^31) before indexing"
+
   /** 128-bit gram key: two xxhash64 passes with distinct seeds. */
   private def gramKeys(gs: Column): Column =
     transform(gs, g => struct(xxhash64(g).as("h1"),
@@ -65,7 +86,10 @@ object SpanDedup {
     * canonical-owner ordering key — packed long by default (hash-
     * aggregable), struct fallback for out-of-31/32-bit ids. */
   private def occWithKey(df: DataFrame, idCol: String, textCol: String,
-      n: Int, delim: String, packedOwners: Boolean): DataFrame = {
+      n: Int, delim: String, packedOwners: Boolean,
+      packedRangeRemedy: String = "call spans(..., packedOwners = false)")
+      : DataFrame = {
+    requireNumericId(df, idCol)
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), delim).as("w"))
     // hash before explode: the Generate emits (pos, {h1,h2}) longs only
@@ -84,7 +108,7 @@ object SpanDedup {
           col("doc_id") >= 0 && col("doc_id") < 2147483648L &&
             col("pos") < 4294967296L,
           lit("spans: doc_id/pos exceed the 31/32-bit packed-owner " +
-            "range; call spans(..., packedOwners = false)")).isNull,
+            s"range; $packedRangeRemedy")).isNull,
           col("doc_id") * 4294967296L + col("pos")))
     else occBase.withColumn("okey", struct(col("doc_id"), col("pos")))
   }
@@ -133,14 +157,48 @@ object SpanDedup {
     * aggregate multi-batch rows with `min(own)` / `sum(occ)` —
     * [[spansWithHistory]] does. Size is O(distinct grams) * 32 bytes per
     * batch — the same order as the corpus itself, the trade every exact
-    * substring-dedup index (suffix arrays included) makes. */
+    * substring-dedup index (suffix arrays included) makes; compact the
+    * accumulated table with [[compactIndex]] to hold that bound across
+    * overlapping batches. ID CONTRACT: `doc_id` must fit 31 bits (packed
+    * history schema — the in-row guard fails loudly otherwise). */
   def ownerIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 10, delim: String = " "): DataFrame =
-    occWithKey(df, idCol, textCol, n, delim, packedOwners = true)
+    occWithKey(df, idCol, textCol, n, delim, packedOwners = true,
+      packedRangeRemedy = IncrementalIdRemedy)
       .groupBy(col("gh"))
       .agg(min(col("okey")).as("own"), count(lit(1)).as("occ"))
       .select(col("gh.h1").as("h1"), col("gh.h2").as("h2"),
         col("own"), col("occ"))
+
+  /** AGGREGATING compaction of an accumulated [[ownerIndex]] history:
+    * one row per DISTINCT gram — `min(own)` (the global first-seen
+    * owner; min is idempotent under re-aggregation) and
+    * `least(sum(occ), 2)` (downstream only distinguishes `occ >= 2`
+    * from `= 1`, so the count saturates instead of growing without
+    * bound). [[spansWithHistory]] over the compacted rows is IDENTICAL
+    * to over the raw per-batch rows: it re-aggregates with the same
+    * `min(own)` / `sum(occ)`, and the saturated count crosses its
+    * `>= 2` gate exactly when the true total does (any gram present in
+    * history at all makes every batch occurrence a duplicate — `bocc >=
+    * 1` always).
+    *
+    * This is what bounds the per-batch history SCAN at 100 TB: raw
+    * appends hold one row per (batch, gram), so across B overlapping
+    * batches the table grows toward B copies of every hot gram and each
+    * batch re-reads all of them; compacted, the table is capped at
+    * O(corpus distinct grams) rows no matter how many batches ran —
+    * per-batch read I/O tracks the corpus's distinct-gram count, not
+    * its batch LIFETIME. Uniform hash keys defeat min/max file
+    * skipping, so row-count reduction is the only lever that shrinks
+    * this scan. Rewrite the history table with the result (Overwrite —
+    * a genuine dataChange; safe because the history is re-read in full
+    * each batch, never tailed, and SetTransaction watermarks survive an
+    * overwrite commit). One shuffle on the gram key with map-side
+    * partial aggregation; no joins. */
+  def compactIndex(history: DataFrame): DataFrame =
+    history.groupBy(col("h1"), col("h2"))
+      .agg(min(col("own")).as("own"),
+        least(sum(col("occ")), lit(2L)).as("occ"))
 
   /** [[spans]] for ONE batch against the accumulated [[ownerIndex]] of
     * every PRIOR batch: a batch occurrence is marked when its gram's
@@ -166,7 +224,8 @@ object SpanDedup {
     * second) guarantees exactly that. */
   def spansWithHistory(df: DataFrame, history: DataFrame, idCol: String,
       textCol: String, n: Int = 10, delim: String = " "): DataFrame = {
-    val occ = occWithKey(df, idCol, textCol, n, delim, packedOwners = true)
+    val occ = occWithKey(df, idCol, textCol, n, delim, packedOwners = true,
+      packedRangeRemedy = IncrementalIdRemedy)
       .select(col("doc_id"), col("pos"), col("okey"),
         col("gh.h1").as("h1"), col("gh.h2").as("h2"))
     val batchIdx = occ.groupBy(col("h1"), col("h2"))
@@ -202,6 +261,7 @@ object SpanDedup {
     * cross-batch spans. */
   def applySpans(df: DataFrame, spansDf: DataFrame, idCol: String,
       textCol: String, delim: String = " "): DataFrame = {
+    requireNumericId(df, idCol)
     val sp = spansDf
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end")))

@@ -237,6 +237,79 @@ class SpanDedupSuite extends SparkSpec {
     }
   }
 
+  test("compactIndex: one row per gram, occ saturates at 2, spansWithHistory identical") {
+    val run = toks('a' to 'l': _*)
+    val other = toks('A' to 'L': _*)
+    // three overlapping "batches": the hot run appears in every one, so
+    // the raw accumulated history holds three rows for its gram
+    val batches = Seq(
+      Seq((10L, run), (11L, "n1 " + other)),
+      Seq((20L, "p q " + run), (21L, toks('m' to 'x': _*))),
+      Seq((30L, run + " tail30"), (31L, "z9 " + other)))
+    val raw = batches.map(b =>
+      SpanDedup.ownerIndex(b.toDF("doc_id", "text"), "doc_id", "text",
+        n = 12)).reduce(_ unionByName _)
+    val compacted = SpanDedup.compactIndex(raw)
+    // ROW BOUND: compacted row count == distinct grams, not sum of
+    // per-batch rows (the raw table has duplicates for run and other)
+    val distinctGrams = raw.select("h1", "h2").distinct().count()
+    assert(raw.count() > distinctGrams, "fixture must have overlap")
+    assert(compacted.count() === distinctGrams)
+    // occ saturates at 2; owner is the global first-seen minimum
+    val runKey = SpanDedup.ownerIndex(
+      Seq((0L, run)).toDF("doc_id", "text"), "doc_id", "text", n = 12)
+      .select("h1", "h2").head()
+    val hot = compacted
+      .filter(col("h1") === runKey.getLong(0) &&
+        col("h2") === runKey.getLong(1)).head()
+    assert(hot.getAs[Long]("occ") === 2L)
+    assert(hot.getAs[Long]("own") === (10L << 32))
+    // EQUIVALENCE: a probe batch resolves identical spans against the
+    // compacted history and the raw one — including a single-occurrence
+    // history gram completed by the batch (occ 1 + 1 >= 2)
+    val probe = Seq(
+      (40L, "head " + run),              // hot gram: historical owner wins
+      (41L, "x " + toks('m' to 'x': _*)), // gram seen ONCE in history
+      (42L, toks('0' to '9': _*) + " aa bb")).toDF("doc_id", "text")
+    def resolved(h: org.apache.spark.sql.DataFrame) =
+      SpanDedup.spansWithHistory(probe, h, "doc_id", "text", n = 12)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(resolved(compacted) === resolved(raw))
+    assert(resolved(compacted) === Seq((40L, 1L, 13L), (41L, 1L, 13L)))
+  }
+
+  test("applySpans and the incremental path refuse non-numeric id columns") {
+    val a2j = toks('a' to 'j': _*)
+    val strIds = Seq(("u-1", a2j), ("u-2", a2j)).toDF("doc_id", "text")
+    // applySpans on a string id would cast the join key to null and
+    // silently leave every duplicated span UNEXCISED — must fail loudly
+    val spansDf = Seq((1L, 0L, 10L)).toDF("doc_id", "span_start", "span_end")
+    val e1 = intercept[IllegalArgumentException] {
+      SpanDedup.applySpans(strIds, spansDf, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("numeric id"))
+    val e2 = intercept[IllegalArgumentException] {
+      SpanDedup.ownerIndex(strIds, "doc_id", "text", n = 10)
+    }
+    assert(e2.getMessage.contains("numeric id"))
+  }
+
+  test("incremental path's out-of-range id error names the re-key remedy, not a fallback it lacks") {
+    val a2j = toks('a' to 'j': _*)
+    val big = Seq((1L << 40, a2j), (2L, a2j)).toDF("doc_id", "text")
+    // ownerIndex/spansWithHistory hardcode the packed-long history
+    // schema; there is no packedOwners=false escape hatch there, so the
+    // guard must name the actual contract (re-key into [0, 2^31))
+    val e = intercept[Exception] {
+      SpanDedup.ownerIndex(big, "doc_id", "text", n = 10).collect()
+    }
+    assert(e.getMessage.contains("re-key"),
+      s"expected the re-key remedy, got: ${e.getMessage}")
+    assert(!e.getMessage.contains("packedOwners = false"),
+      "must not advertise a fallback the incremental path doesn't have")
+  }
+
   test("clean removes exactly the spanned tokens and keeps other columns") {
     val a2j = toks('a' to 'j': _*)
     val df = Seq(
