@@ -63,6 +63,11 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |        optional binary value (STRING);
       |      }
       |    }
+      |    optional group partitionColumns (LIST) {
+      |      repeated group list {
+      |        optional binary element (STRING);
+      |      }
+      |    }
       |  }
       |  optional group txn {
       |    required binary appId (STRING);
@@ -105,6 +110,10 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         // the checkpoint and skipping keeps working on pruned-log tables
         val state = DeltaStats.activeAdds(log, tablePath, version)
         val meta = log.resolveMeta(tablePath)
+        // the spec's checkpoint metaData carries partitionColumns; without
+        // it, a reader replaying an EMPTY partitioned table from this
+        // checkpoint (post-expiry, all adds removed) loses the layout
+        val partCols = log.partitionColumnsAt(tablePath, version)
         val txns = log.txnState(tablePath, version)
         // the spec requires exactly one protocol action per checkpoint:
         // a DV table's reader-3/writer-7 upgrade lives only in JSON
@@ -128,7 +137,8 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         files.zip(slices).zipWithIndex.foreach { case ((target, slice), i) =>
           writePart(target, slice, if (i == 0) meta else None,
             if (i == 0) txns else Map.empty,
-            if (i == 0) Some(protocol) else None)
+            if (i == 0) Some(protocol) else None,
+            partCols)
         }
         inst
       }
@@ -143,7 +153,8 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
   private def writePart(target: org.apache.hadoop.fs.Path,
       state: Seq[DeltaAction.AddFile], meta: Option[TableMeta],
       txns: Map[String, Long] = Map.empty,
-      protocol: Option[DeltaAction.Protocol] = None): Unit = {
+      protocol: Option[DeltaAction.Protocol] = None,
+      partCols: Seq[String] = Seq.empty): Unit = {
     val factory = new SimpleGroupFactory(Schema)
     val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(target, conf))
       .withType(Schema).withConf(conf).build()
@@ -181,6 +192,9 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
             e.append("value", v.asText())
           }
         }
+        // always present (empty list = unpartitioned), like delta-spark's
+        val pc = md.addGroup("partitionColumns")
+        partCols.foreach(c => pc.addGroup("list").append("element", c))
         writer.write(g)
       }
       txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>

@@ -21,8 +21,13 @@ import scala.collection.concurrent.TrieMap
 sealed trait DeltaAction
 object DeltaAction {
   case class CommitInfo(timestampMs: Option[Long]) extends DeltaAction
+  /** `partitionColumns` are the protocol's LOGICAL partition column
+    * names — the fallback record of the hive layout when a table has no
+    * active add files left to infer it from (a de-partitioning silent
+    * data reshape otherwise). */
   case class MetaData(id: String, schemaString: Option[String],
-      configurationJson: Option[String] = None) extends DeltaAction
+      configurationJson: Option[String] = None,
+      partitionColumns: Seq[String] = Seq.empty) extends DeltaAction
   /** `stats` is the delta-protocol per-file statistics JSON string
     * (`{"numRecords":N,"minValues":{..},"maxValues":{..}}`) — present when
     * the writer collected parquet footer stats; readers use it for file
@@ -189,7 +194,9 @@ class DeltaLogReader(conf: Configuration) {
         // REPLACE configuration wholesale, so a foreign UNSET of every
         // property must not resurrect the older config; only a truly
         // ABSENT field falls back (our pre-r7 commits omitted it)
-        Jsons.optField(md, "configuration").map(Jsons.render))
+        Jsons.optField(md, "configuration").map(Jsons.render),
+        Jsons.optField(md, "partitionColumns").map(pc =>
+          Jsons.elems(pc).map(_.asText()).toSeq).getOrElse(Seq.empty))
     )).orElse(Jsons.optField(n, "add").map { a =>
       AddFile(a.get("path").asText(), Jsons.optLong(a, "size").getOrElse(0L),
         Jsons.optBool(a, "dataChange").getOrElse(true), Jsons.optStr(a, "stats"),
@@ -403,7 +410,8 @@ class DeltaLogReader(conf: Configuration) {
                   Jsons.render(o)
                 }
                 .orElse(strField(md, "configurationJson"))
-              out += MetaData(id, strField(md, "schemaString"), config)
+              out += MetaData(id, strField(md, "schemaString"), config,
+                listStrField(md, "partitionColumns").getOrElse(Seq.empty))
             }
           }
           grpField(rec, "txn").foreach { t =>
@@ -583,6 +591,21 @@ class DeltaLogReader(conf: Configuration) {
         readCheckpointActions(tablePath, cp)
           .collectFirst { case m: MetaData =>
             TableMeta(m.id, m.schemaString, cp.version, m.configurationJson) }))
+
+  /** Logical `partitionColumns` of the last metaData action at or below
+    * `version` — the protocol's record of the hive layout, needed when a
+    * table has NO active add files left to infer it from (a fully
+    * deleted partitioned table must not silently de-partition on its
+    * next write or ALTER). JSON commits first, newest checkpoint
+    * at-or-below as the fallback base (expiry keeps a checkpoint). */
+  def partitionColumnsAt(tablePath: String, version: Long): Seq[String] =
+    listVersions(tablePath).filter(_ <= version).reverseIterator
+      .map(v => readCommit(tablePath, v).actions.collectFirst { case m: MetaData => m })
+      .collectFirst { case Some(m) => m.partitionColumns }
+      .orElse(checkpointAtOrBelow(tablePath, version).flatMap(cp =>
+        readCheckpointActions(tablePath, cp)
+          .collectFirst { case m: MetaData => m.partitionColumns }))
+      .getOrElse(Seq.empty)
 
   /** Active file set (path -> size) at `version`.
     *

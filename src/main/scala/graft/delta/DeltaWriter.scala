@@ -447,14 +447,23 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
   /** Partition columns of an existing table, in layout order (derived
     * from an active add's path — the authoritative record of the hive
-    * layout actually on disk). Empty for unpartitioned tables. */
+    * layout actually on disk; PHYSICAL names on mapped tables). A table
+    * with NO active adds (fully deleted / emptied by an overwrite) falls
+    * back to the last metaData action's `partitionColumns` mapped into
+    * the physical domain — without that, the next append or ALTER would
+    * silently DE-PARTITION the table (and dropColumn's partition-column
+    * guard could never fire). Empty for unpartitioned tables. */
   def partitionColumnsOf(tablePath: String): Seq[String] =
-    log.latestVersion(tablePath)
-      .map(v => DeltaStats.activeAdds(log, tablePath, v))
-      .flatMap(_.headOption)
-      .map(_.path.split('/').dropRight(1).filter(_.contains('='))
-        .map(seg => seg.take(seg.indexOf('='))).toSeq)
-      .getOrElse(Seq.empty)
+    log.latestVersion(tablePath).map { v =>
+      DeltaStats.activeAdds(log, tablePath, v).headOption
+        .map(_.path.split('/').dropRight(1).filter(_.contains('='))
+          .map(seg => seg.take(seg.indexOf('='))).toSeq)
+        .getOrElse {
+          val toPhys = tableSchema(tablePath).map(ColumnMapping.physicalNames)
+            .getOrElse(Map.empty[String, String])
+          log.partitionColumnsAt(tablePath, v).map(p => toPhys.getOrElse(p, p))
+        }
+    }.getOrElse(Seq.empty)
 
   /** Latest committed version (None = not a delta table). Capture this
     * BEFORE planning a merge/overwrite from the snapshot and pass it to
@@ -668,48 +677,88 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   def upgradeToColumnMapping(tablePath: String): Long = {
     val latest = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
-    val es = tableSchema(tablePath)
+    val es0 = tableSchema(tablePath)
       .getOrElse(throw new GraftError(s"no schema on $tablePath"))
-    if (ColumnMapping.isMapped(es)) return latest
+    if (ColumnMapping.isMapped(es0)) return latest
     // the protocol requires EVERY struct field — nested included — to
     // carry a field id + physical name once mapping is on; a top-level-
-    // only assignment would emit metadata foreign readers may reject
-    var idCounter = 0L
-    def nextId(): Long = { idCounter += 1; idCounter }
-    def mapType(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map { f =>
-        f.copy(dataType = mapType(f.dataType),
-          metadata = new MetadataBuilder().withMetadata(f.metadata)
-            .putLong("delta.columnMapping.id", nextId())
-            .putString(ColumnMapping.PhysicalNameKey, f.name).build())
-      })
-      case ArrayType(et, n) => ArrayType(mapType(et), n)
-      case MapType(k, v, n) => MapType(mapType(k), mapType(v), n)
-      case other => other
+    // only assignment would emit metadata foreign readers may reject.
+    // The mapped schema, the maxColumnId property, and the protocol line
+    // all derive from the ONE schema/version alterSchema captures — a
+    // commit landing after that point is `intervening` for the
+    // metaConflicts guard, so a concurrent mergeSchema append's column
+    // can never be silently dropped by an upgrade planned against a
+    // staler read.
+    def mapped(es: StructType): StructType = {
+      var idCounter = 0L
+      def nextId(): Long = { idCounter += 1; idCounter }
+      def mapType(dt: DataType): DataType = dt match {
+        case st: StructType => StructType(st.fields.map { f =>
+          f.copy(dataType = mapType(f.dataType),
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", nextId())
+              .putString(ColumnMapping.PhysicalNameKey, f.name).build())
+        })
+        case ArrayType(et, n) => ArrayType(mapType(et), n)
+        case MapType(k, v, n) => MapType(mapType(k), mapType(v), n)
+        case other => other
+      }
+      mapType(es).asInstanceOf[StructType]
     }
-    val mappedSchema = mapType(es).asInstanceOf[StructType]
-    val nCols = idCounter
-    val curP = log.resolveProtocol(tablePath, latest)
-    val protocolLine: Seq[String] = curP match {
+    alterSchema(tablePath, "UPGRADE COLUMN MAPPING",
+      requireMapped = false,
+      mutateConfig = { (cfg, newSchema) =>
+        cfg.put("delta.columnMapping.mode", "name")
+        cfg.put("delta.columnMapping.maxColumnId",
+          mappedFieldIds(newSchema).maxOption.getOrElse(0L).toString)
+      },
+      extraLinesAt = rv =>
+        mappingProtocolLines(log.resolveProtocol(tablePath, rv))) { es =>
+      if (ColumnMapping.isMapped(es))
+        throw new GraftError(
+          s"concurrent columnMapping upgrade detected on $tablePath; " +
+          "the table is already mapped at the planned read version")
+      mapped(es)
+    }
+  }
+
+  /** The protocol action (if any) a columnMapping upgrade must commit,
+    * given the table's current protocol. NEVER downgrades: a legacy
+    * protocol rises to the mapping floor componentwise
+    * (`max(reader, 2)` / `max(writer, 5)` — writer-only capability
+    * versions like 6 survive), and any table already speaking writer
+    * features (minWriterVersion 7, with or without a v3 reader) goes
+    * through the feature-list branch so its existing features are
+    * PRESERVED with `columnMapping` added — a blanket (2,5) there would
+    * erase constraints other writers rely on, a spec-forbidden
+    * downgrade. */
+  private def mappingProtocolLines(
+      curP: Option[DeltaAction.Protocol]): Seq[String] = {
+    def l(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(", ")
+    curP match {
       case Some(p) if p.minReaderVersion >= 3 =>
-        def l(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(", ")
         val rf = (p.readerFeatures :+ "columnMapping").distinct
         val wf = (p.writerFeatures :+ "columnMapping").distinct
         Seq(s"""{"protocol": {"minReaderVersion": ${p.minReaderVersion}, """ +
           s""""minWriterVersion": ${math.max(p.minWriterVersion, 7)}, """ +
           s""""readerFeatures": [${l(rf)}], "writerFeatures": [${l(wf)}]}}""")
+      case Some(p) if p.minWriterVersion >= 7 =>
+        // writer-features table with a legacy reader: keep the feature
+        // list (plus columnMapping), raise only the reader floor — the
+        // spec puts readerFeatures on v3 readers only, so the mapping's
+        // reader requirement is expressed as minReaderVersion 2
+        val wf = (p.writerFeatures :+ "columnMapping").distinct
+        Seq(s"""{"protocol": {"minReaderVersion": ${math.max(p.minReaderVersion, 2)}, """ +
+          s""""minWriterVersion": ${p.minWriterVersion}, """ +
+          s""""writerFeatures": [${l(wf)}]}}""")
       case Some(p) if p.minReaderVersion >= 2 && p.minWriterVersion >= 5 =>
         Seq.empty
-      case _ =>
+      case Some(p) =>
+        Seq(s"""{"protocol": {"minReaderVersion": ${math.max(p.minReaderVersion, 2)}, """ +
+          s""""minWriterVersion": ${math.max(p.minWriterVersion, 5)}}}""")
+      case None =>
         Seq("""{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""")
     }
-    alterSchema(tablePath, "UPGRADE COLUMN MAPPING",
-      requireMapped = false,
-      mutateConfig = { cfg =>
-        cfg.put("delta.columnMapping.mode", "name")
-        cfg.put("delta.columnMapping.maxColumnId", nCols.toString)
-      },
-      extraLines = protocolLine)(_ => mappedSchema)
   }
 
   /** Shared metadata-only ALTER commit for [[renameColumn]]/[[dropColumn]]
@@ -726,20 +775,30 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
   private def alterSchema(tablePath: String, operation: String,
       requireMapped: Boolean,
-      mutateConfig: com.fasterxml.jackson.databind.node.ObjectNode => Unit = _ => (),
-      extraLines: Seq[String] = Seq.empty)(
+      mutateConfig: (com.fasterxml.jackson.databind.node.ObjectNode, StructType) => Unit = (_, _) => (),
+      extraLinesAt: Long => Seq[String] = _ => Seq.empty)(
       transform: StructType => StructType): Long = {
+    // ONE consistent read point: the schema the transform rebuilds, the
+    // table id and configuration carried forward, and any protocol line
+    // (extraLinesAt) all resolve AT readVersion. A commit landing after
+    // this capture is `intervening` for commitWithRetry's metaConflicts
+    // guard — the stale-plan race (schema read before a concurrent
+    // mergeSchema append, guard never firing because the append was
+    // at-or-below a later-captured readVersion) is structurally closed.
     val readVersion = log.latestVersion(tablePath)
       .getOrElse(throw new GraftError(s"not a delta table: $tablePath"))
-    val es = tableSchema(tablePath)
+    val metaBaseline = log.metaAt(tablePath, readVersion)
+      .getOrElse(throw new GraftError(s"no metaData on $tablePath"))
+    val es = metaBaseline.schemaString
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(throw new GraftError(s"no schema on $tablePath"))
     if (requireMapped && !ColumnMapping.isMapped(es))
       throw new GraftError(
         s"$operation requires column mapping on $tablePath: without " +
         "physical names, the change would orphan existing files' data")
     val newSchema = transform(es)
-    val tid = log.tableId(tablePath)
-      .getOrElse(throw new GraftError(s"no table id on $tablePath"))
+    val tid = metaBaseline.id
+    val extraLines = extraLinesAt(readVersion)
     val physToLogicalNew = ColumnMapping.physicalNames(newSchema).map(_.swap)
     val partsLogical = partitionColumnsOf(tablePath)
       .map(p => physToLogicalNew.getOrElse(p, p))
@@ -760,23 +819,23 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       val pcols = Jsons.arr()
       partsLogical.foreach(pcols.add)
       md.set[JsonNode]("partitionColumns", pcols)
-      val cfgNode = log.tableConfigurationJson(tablePath).map(Jsons.parse)
+      // pre-r7 commits omitted configuration entirely — only a truly
+      // absent field falls back to the resolver's chained view
+      val cfgNode = metaBaseline.configurationJson
+        .orElse(log.tableConfigurationJson(tablePath)).map(Jsons.parse)
         .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
         .getOrElse(Jsons.obj())
-      mutateConfig(cfgNode)
+      mutateConfig(cfgNode, newSchema)
       md.set[JsonNode]("configuration", cfgNode)
       md.put("createdTime", now)
       lines += s"""{"metaData": ${Jsons.render(md)}}"""
       lines.result().mkString("\n")
     }
-    lazy val metaBaseline = log.metaAt(tablePath, readVersion)
     commitWithRetry(tablePath, content,
-      intervening => metaBaseline.flatMap { base =>
-        intervening.flatMap(_.actions).collectFirst {
-          case m: DeltaAction.MetaData if DeltaWriter.metaConflicts(base, m) =>
-            s"an intervening commit changed the table's metaData; " +
-            s"re-plan the $operation"
-        }
+      intervening => intervening.flatMap(_.actions).collectFirst {
+        case m: DeltaAction.MetaData if DeltaWriter.metaConflicts(metaBaseline, m) =>
+          s"an intervening commit changed the table's metaData; " +
+          s"re-plan the $operation"
       },
       Some(readVersion))
   }
@@ -821,10 +880,13 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     // accept either name domain from callers (maintenance paths hand back
     // path-derived physical names); all checks below run on logical
     val partitionByLogical = partitionBy.map(p => physToLogical.getOrElse(p, p))
+    // both append AND overwrite keep the table's existing layout when the
+    // caller doesn't name one (delta-spark parity: partition columns are
+    // table metadata an overwrite cannot silently change — an explicit
+    // partitionBy is the only way to re-layout)
     val effectiveParts =
       if (partitionByLogical.nonEmpty) partitionByLogical
-      else if (mode == DeltaWriteMode.Append) existingParts
-      else Seq.empty
+      else existingParts
     if (existingParts.nonEmpty && mode == DeltaWriteMode.Append &&
         effectiveParts != existingParts)
       throw new GraftError(
