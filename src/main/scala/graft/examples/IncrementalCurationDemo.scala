@@ -3,8 +3,10 @@ package graft.examples
 import graft._
 import graft.delta.{DeltaWriteMode, DeltaWriter}
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, SpanDedup}
+import graft.operators.{Curation, Dedup, Similarity, SpanDedup}
 import graft.sources._
+import graft.util.Fs
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** INCREMENTAL curation: the LLM-operator family running under the
@@ -19,16 +21,32 @@ import org.apache.spark.sql.functions._
   * then appended to a curated Delta table while the new fingerprints and
   * gram owners land in history Delta tables.
   *
-  * Exactly-once: all three tables are stamped with the same
+  * Round 10 adds the FOURTH incremental granularity: SEMANTIC dedup — a
+  * quantizer trains once on the first batch ([[graft.operators.Similarity
+  * .trainIvfCentroids]], persisted under the checkpoint), and every later
+  * batch probes the accumulated embedding index
+  * ([[graft.operators.Dedup.semDedupAgainstHistory]]) to drop documents
+  * whose text is novel but whose embedding near-duplicates an
+  * already-curated doc's.
+  *
+  * Exactly-once: all FOUR tables are stamped with the same
   * SetTransaction (appId, batchId) and each append is independently
   * guarded by [[DeltaWriter.lastTxnVersion]], so a crash ANYWHERE
   * between the commits replays into no-ops for whatever already landed.
   * COMMIT ORDER is load-bearing for replay determinism: outputs commit
   * before the history tables their recomputation READS — curated text
-  * (reads both histories) first, the span-gram index (reads only the
-  * fingerprint history) second, the fingerprint history last. Any crash
-  * point then replays with every not-yet-committed payload's inputs
-  * unchanged, so the recomputed rows are identical.
+  * (reads all three histories) first, the span-gram index second, the
+  * sem index third, the fingerprint history last. Any crash point then
+  * replays with every not-yet-committed payload's inputs unchanged, so
+  * the recomputed rows are identical. Two structural guards make the
+  * middle payloads safe to replay after their OWN append landed: the
+  * span path is idempotent against a history containing the batch's own
+  * index (own-owner rows never mark their canonical occurrence and
+  * cannot change owners), and the sem probe filters the index to
+  * `batch_id < current` so a batch can never flag itself against its
+  * own rows. The quantizer file is outside the transaction but training
+  * is DETERMINISTIC — a replay retrains bit-identically and overwrites
+  * the same content.
   *
   * At 100 TB the shapes hold: fingerprints are 16-byte md5 keys, gram
   * owners are 4-long rows aggregated per gram before any join, the
@@ -49,6 +67,24 @@ object IncrementalCurationDemo {
     val in = s"$work/in"; val cp = s"$work/checkpoint"
     val curated = s"$work/curated"; val fpHistory = s"$work/fingerprints"
     val spanHistory = s"$work/span_grams"
+    val semHistory = s"$work/sem_index"; val quantizerPath = s"$cp/quantizer"
+
+    // deterministic synthetic embedding, a pure function of doc_id (the
+    // image/text encoder stand-in — replay recomputes it bit-identically):
+    // 32 xxhash64-mixed small-integer components. Ids in [40000, 50000)
+    // are PLANTED SEMANTIC TWINS of doc_id - 40000: same base embedding,
+    // one component nudged, so cosine ~0.9997 while their TEXT is novel —
+    // only the semantic granularity can catch them.
+    def embOf(base: Column): Column =
+      transform(sequence(lit(0), lit(31)),
+        j => (pmod(xxhash64(base, j), lit(23)) - lit(11)).cast("float"))
+    def embCol: Column = {
+      val twin = col("doc_id").between(40000L, 49999L)
+      val base = when(twin, col("doc_id") - 40000L).otherwise(col("doc_id"))
+      when(twin,
+        transform(embOf(base), (x, i) => when(i === 0, x + 1.0f).otherwise(x)))
+        .otherwise(embOf(base))
+    }
 
     // stage the documents table as 3 arriving files
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -74,7 +110,8 @@ object IncrementalCurationDemo {
           .select(col("doc_id"),
             Curation.redactPii(col("text")).as("text"),
             TextFunctions.qualityScore(col("text"), stopwords).as("quality"),
-            TextFunctions.langIdHeuristic(col("text")).as("lang"))
+            TextFunctions.langIdHeuristic(col("text")).as("lang"),
+            embCol.as("emb"))
           .filter(col("quality") >= 0.3 && col("lang") =!= "und")),
         writer = (df, ctx) => {
           import ctx.spark.implicits._
@@ -90,6 +127,29 @@ object IncrementalCurationDemo {
             if (w.tableExists(fpHistory))
               batch.join(w.read(fpHistory), Seq("fp"), "left_anti")
             else batch
+          // cross-batch SEMANTIC dedup: the quantizer trains ONCE on the
+          // first batch and persists under the checkpoint (deterministic
+          // training — a replay retrains bit-identically); later batches
+          // probe the embedding history under the SAME model. The probe
+          // reads only rows with batch_id < this batch, so a partially
+          // replayed batch can never flag itself against its own index
+          val quant =
+            if (Fs.exists(path(quantizerPath), conf))
+              Similarity.loadQuantizer(ctx.spark, quantizerPath)
+            else {
+              val m = Similarity.trainIvfCentroids(
+                fresh, "doc_id", "emb", nlist = 8)
+              Similarity.saveQuantizer(ctx.spark, quantizerPath, m)
+              m
+            }
+          val kept =
+            if (w.tableExists(semHistory) && quant.nonEmpty) {
+              val flagged = Dedup.semDedupAgainstHistory(
+                fresh, w.read(semHistory).filter(col("batch_id") < ctx.batchId),
+                "doc_id", "emb", threshold = 0.92, quantizer = quant)
+                .select("doc_id").distinct()
+              fresh.join(flagged, Seq("doc_id"), "left_anti")
+            } else fresh
           // cross-batch substring-span dedup: any >=10-token run already
           // seen in a prior batch (or earlier in this one) is excised
           // from the curated text; the canonical first occurrence stays
@@ -98,8 +158,8 @@ object IncrementalCurationDemo {
             else Seq.empty[(Long, Long, Long, Long)]
               .toDF("h1", "h2", "own", "occ")
           val sp = SpanDedup.spansWithHistory(
-            fresh, grams, "doc_id", "text", n = 10)
-          val excised = SpanDedup.applySpans(fresh, sp, "doc_id", "text")
+            kept, grams, "doc_id", "text", n = 10)
+          val excised = SpanDedup.applySpans(kept, sp, "doc_id", "text")
             .cache()
           try {
             // commit order is load-bearing — see the class doc
@@ -113,8 +173,14 @@ object IncrementalCurationDemo {
               throw new RuntimeException("injected crash between commits")
             if (!w.lastTxnVersion(spanHistory, appId).exists(_ >= ctx.batchId))
               w.write(
-                SpanDedup.ownerIndex(fresh, "doc_id", "text", n = 10),
+                SpanDedup.ownerIndex(kept, "doc_id", "text", n = 10),
                 spanHistory, DeltaWriteMode.Append,
+                txn = Some((appId, ctx.batchId)))
+            if (!w.lastTxnVersion(semHistory, appId).exists(_ >= ctx.batchId))
+              w.write(
+                Dedup.semDedupIndex(kept, "doc_id", "emb", quant)
+                  .withColumn("batch_id", lit(ctx.batchId)),
+                semHistory, DeltaWriteMode.Append,
                 txn = Some((appId, ctx.batchId)))
             if (!w.lastTxnVersion(fpHistory, appId).exists(_ >= ctx.batchId))
               w.write(excised.select("fp"), fpHistory, DeltaWriteMode.Append,
@@ -137,8 +203,18 @@ object IncrementalCurationDemo {
     println(s"run2: batches=${r2.batchesProcessed}")
 
     // a fourth file arrives: re-sent copies of already-curated docs under
-    // NEW ids (same text -> same fingerprint) plus genuinely new docs
-    println("== run 3: late file with 30 cross-batch dupes + 20 new docs ==")
+    // NEW ids (same text -> same fingerprint), genuinely new docs, and 15
+    // SEMANTIC TWINS — novel text (fresh fingerprint, no quoted >=10-token
+    // run reaches the span stage: the sem filter runs first) whose
+    // embedding is a nudged copy of an already-curated run-1 doc's; only
+    // the embedding-history granularity can catch them. Twin bases are
+    // picked FROM the curated table so each base is guaranteed to be in
+    // the sem index.
+    println("== run 3: late file with 30 cross-batch dupes + 20 new docs " +
+      "+ 15 semantic twins ==")
+    val semBases = w.read(curated).filter(col("doc_id") < 10000)
+      .orderBy("doc_id").limit(15).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
     val resent = docs.filter(col("doc_id") < 30)
       .select((col("doc_id") + 10000).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"))
@@ -147,7 +223,12 @@ object IncrementalCurationDemo {
         concat(lit("entirely novel prose about batch "), col("doc_id"),
           lit(" "), col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    resent.unionByName(novel).coalesce(1)
+    val semTwins = docs.filter(col("doc_id").isin(semBases: _*))
+      .select((col("doc_id") + 40000).as("doc_id"),
+        concat(lit("semantically twinned fresh note "), col("doc_id"),
+          lit(" "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    resent.unionByName(novel).unionByName(semTwins).coalesce(1)
       .write.mode("overwrite").parquet(s"$work/late")
     fs.rename(fs.globStatus(path(s"$work/late/*.parquet"))(0).getPath,
       path(s"$in/docs_late.parquet"))
@@ -195,11 +276,30 @@ object IncrementalCurationDemo {
         col("n_tokens_removed") > 0).count()
     val fpRows = w.read(fpHistory).count()
     val gramRows = w.read(spanHistory).count()
+    // the 15 semantic twins: novel text, near-identical embedding — only
+    // the embedding-history granularity can drop them, and it must drop
+    // ALL of them (every twin's base is a curated doc, so its vector is
+    // guaranteed to be in the sem index)
+    val semSurvivors = curatedDf
+      .filter(col("doc_id") >= 40000 && col("doc_id") < 50000).count()
+    val semRows = w.read(semHistory).count()
+    // the persisted state (quantizer + sem index) must flag a fresh
+    // semantic twin directly through the operator surface too
+    val semProbe = docs.filter(col("doc_id") === semBases.head)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        lit("operator probe").as("text"))
+      .withColumn("emb", embCol)
+    val probeSem = Dedup.semDedupAgainstHistory(
+      semProbe, w.read(semHistory), "doc_id", "emb", threshold = 0.92,
+      quantizer = Similarity.loadQuantizer(spark, quantizerPath)).count()
     println(s"curated rows=$rows distinct-content=$distinctFp " +
       s"resent-survivors=$resentSurvivors novel-survivors=$novelSurvivors " +
-      s"fingerprint-history=$fpRows gram-history=$gramRows")
+      s"fingerprint-history=$fpRows gram-history=$gramRows " +
+      s"sem-index=$semRows")
     println(s"cross-batch span excision: $lateSpanExcised of " +
       s"$run3Novel run-3 novel docs lost their quoted earlier-batch body")
+    println(s"cross-batch semantic dedup: ${semBases.size} planted twins, " +
+      s"$semSurvivors survived; operator probe flags=$probeSem")
     // maintenance composes with the incremental state. The fingerprint
     // history is already one row per curated doc — FILE-level compaction
     // (concatenate small per-batch files, dataChange=false) is all it
@@ -245,6 +345,10 @@ object IncrementalCurationDemo {
       novelSurvivors > 0 &&          // new content still flows
       run3Novel > 0 &&
       lateSpanExcised == run3Novel && // quoted bodies excised cross-batch
+      semBases.size == 15 &&
+      semSurvivors == 0 &&           // all semantic twins caught
+      semRows == rows &&             // sem index covers exactly the curated set
+      probeSem >= 1 &&               // persisted quantizer+index flag a twin
       fpRows == rows &&              // history covers exactly the curated set
       gramRows > 0 &&
       filesAfter < filesBefore &&    // compaction actually consolidated

@@ -520,6 +520,70 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** One semantic-index row per document — the unit a CROSS-BATCH
+    * incremental pipeline persists per batch into an embedding-history
+    * Delta table (the semantic sibling of the fingerprint history,
+    * [[SpanDedup.ownerIndex]], and [[minhashIndex]]): `(doc_id,
+    * v array<float>, bucket int)`, the raw embedding plus its cluster
+    * under a FIXED trained quantizer ([[Similarity.trainIvfCentroids]]
+    * persisted via [[Similarity.saveQuantizer]] — train once on early
+    * batches, probe every later batch with the SAME model so bucket ids
+    * stay comparable across batches). History size is O(docs · dims)
+    * floats — the embedding store a SemDeDup pipeline keeps anyway
+    * (arXiv:2303.09540 verifies candidate cosines against raw
+    * embeddings). */
+  def semDedupIndex(df: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Float]]): DataFrame = {
+    require(quantizer.nonEmpty, "semDedupIndex needs a trained quantizer")
+    val normed = Similarity.l2NormalizeModel(quantizer)
+    df.select(col(idCol).cast("long").as("doc_id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("bucket", Similarity.nearestCentroid(col("v"), normed))
+  }
+
+  /** Batch documents that are SEMANTIC near-duplicates of any PRIOR
+    * batch's document: batch embeddings assign to clusters under the
+    * same persisted quantizer the history was indexed with, candidates
+    * meet inside a cluster, and exact cosine verifies against the
+    * history's raw vectors at `threshold`. Completes the incremental
+    * dedup family's fourth granularity (exact → span → near-dup →
+    * semantic). Returns distinct `(doc_id, hist_id, cosine)`; callers
+    * anti-join `doc_id` (the fingerprint-history pattern).
+    *
+    * Scale shape — the history is CUMULATIVE, so the batch drives every
+    * history access: history rows first SEMI-JOIN to the batch's
+    * cluster set (the batch side is the small one — Catalyst
+    * broadcasts it; only clusters the batch actually probes survive),
+    * then each probed cluster's membership is CAPPED at `maxBucket`
+    * before the pair join, so a mega-cluster can neither OOM nor
+    * near-cross-join. The quantizer is an O(nlist·dims) literal in the
+    * plan — no join, no shuffle for assignment. Misses happen when a
+    * near-dup pair straddles a cluster boundary, exactly as in-batch
+    * [[semDedupPairs]] accepts by design. */
+  def semDedupAgainstHistory(df: DataFrame, history: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      quantizer: Array[Array[Float]],
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(quantizer.nonEmpty,
+      "semDedupAgainstHistory needs the SAME trained quantizer the " +
+      "history was indexed with (Similarity.loadQuantizer)")
+    val batch = semDedupIndex(df, idCol, vecCol, quantizer)
+    val hb0 = history
+      .select(col("doc_id").as("hist_id"), col("v").as("vh"), col("bucket"))
+      .join(batch.select("bucket").distinct(), Seq("bucket"), "left_semi")
+    val hb =
+      if (maxBucket > 0) {
+        val w = Window.partitionBy("bucket").orderBy("hist_id")
+        hb0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      } else hb0
+    batch.join(hb, Seq("bucket"))
+      .select(col("doc_id"), col("hist_id"),
+        round(Similarity.cosine(col("v"), col("vh")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** Keep-one SemDeDup: rows whose embedding is a semantic duplicate of
     * a smaller-id row are dropped ([[semDedupPairs]] edges; `transitive`
     * resolves duplicate CHAINS with connected components, like

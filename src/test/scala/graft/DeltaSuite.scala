@@ -909,6 +909,98 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("upgradeToColumnMapping never downgrades writer-only protocols") {
+    withTmpDir { tmp =>
+      val w = writer
+      val log = new DeltaLogReader(conf)
+      // (1,7)+writerFeatures: writer features with a LEGACY reader — the
+      // upgrade must preserve the feature list and writer version (a
+      // blanket (2,5) would erase constraints other writers rely on, a
+      // spec-forbidden downgrade), raising only the reader floor to the
+      // mapping's 2
+      val t = s"$tmp/wf"
+      w.write(Seq((1L, "a")).toDF("id", "s"), t, DeltaWriteMode.Append)
+      writeLog(t, log.latestVersion(t).get + 1,
+        """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7, """ +
+          """"writerFeatures": ["domainMetadata"]}}""",
+        ci(1L))
+      val v = w.upgradeToColumnMapping(t)
+      val p = log.resolveProtocol(t, v).get
+      assert(p.minReaderVersion === 2)
+      assert(p.minWriterVersion === 7)
+      assert(p.writerFeatures.toSet === Set("domainMetadata", "columnMapping"))
+      // (1,6): legacy writer-only capability version (identity columns)
+      // — the writer version survives at 6, never drops to 5
+      val t2 = s"$tmp/w6"
+      w.write(Seq((1L, "a")).toDF("id", "s"), t2, DeltaWriteMode.Append)
+      writeLog(t2, log.latestVersion(t2).get + 1,
+        """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}""",
+        ci(2L))
+      val p2 = log.resolveProtocol(t2, w.upgradeToColumnMapping(t2)).get
+      assert(p2.minReaderVersion === 2 && p2.minWriterVersion === 6)
+    }
+  }
+
+  test("an emptied partitioned table keeps its hive layout (metaData fallback)") {
+    withTmpDir { tmp =>
+      val w = writer
+      val t = s"$tmp/ep"
+      val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "s", "part")
+      w.write(df, t, DeltaWriteMode.Append, partitionBy = Seq("part"))
+      // empty the table completely: no active add remains to infer the
+      // layout from — partitionColumnsOf must fall back to the last
+      // metaData's partitionColumns instead of de-partitioning
+      w.write(df.filter(lit(false)), t, DeltaWriteMode.Overwrite)
+      assert(w.activeAdds(t).forall(_.stats.exists(_.contains("\"numRecords\":0"))),
+        "an emptied table must hold no live rows")
+      assert(w.read(t).count() === 0L)
+      assert(w.partitionColumnsOf(t) === Seq("part"))
+      // and with adds FULLY removed (a foreign full delete), the
+      // metaData fallback is the only layout record left
+      val log0 = new DeltaLogReader(conf)
+      val live = w.activeAdds(t).map(_.path)
+      if (live.nonEmpty)
+        writeLog(t, log0.latestVersion(t).get + 1,
+          (Seq(ci(5L)) ++ live.map(p => remove(p))): _*)
+      assert(w.activeAdds(t).isEmpty, "fixture needs zero active adds")
+      assert(w.partitionColumnsOf(t) === Seq("part"))
+      // the next append still lands under the hive layout
+      w.write(Seq((3L, "c", "z")).toDF("id", "s", "part"), t,
+        DeltaWriteMode.Append)
+      val paths = w.activeAdds(t).map(_.path)
+      assert(paths.nonEmpty && paths.forall(_.contains("part=")),
+        s"append to an emptied partitioned table must keep the layout: $paths")
+      assert(w.read(t).select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+      // the layout also survives log EXPIRY on an emptied table: the
+      // checkpoint's metaData now carries partitionColumns (spec shape)
+      val t2 = s"$tmp/ck"
+      w.write(df, t2, DeltaWriteMode.Append, partitionBy = Seq("part"))
+      w.write(df.filter(lit(false)), t2, DeltaWriteMode.Overwrite)
+      val cw = new graft.delta.CheckpointWriter(conf)
+      cw.checkpoint(t2)
+      assert(cw.expireLogs(t2) > 0)
+      assert(w.partitionColumnsOf(t2) === Seq("part"))
+      // mapped lifecycle on an emptied table: renaming the partition
+      // column must commit the NEW logical name, not [] — the fallback
+      // maps old-logical -> physical -> new-logical
+      val t3 = s"$tmp/mp"
+      w.write(df, t3, DeltaWriteMode.Append, partitionBy = Seq("part"))
+      w.upgradeToColumnMapping(t3)
+      w.write(df.filter(lit(false)), t3, DeltaWriteMode.Overwrite)
+      val log = new DeltaLogReader(conf)
+      val live3 = w.activeAdds(t3).map(_.path)
+      if (live3.nonEmpty)
+        writeLog(t3, log.latestVersion(t3).get + 1,
+          (Seq(ci(6L)) ++ live3.map(p => remove(p))): _*)
+      assert(w.activeAdds(t3).isEmpty)
+      w.renameColumn(t3, "part", "region")
+      assert(log.partitionColumnsAt(t3, log.latestVersion(t3).get)
+        === Seq("region"))
+      // and dropColumn's partition guard can still fire without adds
+      intercept[GraftError](w.dropColumn(t3, "region"))
+    }
+  }
+
   test("upgradeToColumnMapping: no rewrite, protocol floor, DV tables keep 3/7") {
     withTmpDir { tmp =>
       val w = writer

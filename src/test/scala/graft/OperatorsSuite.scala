@@ -205,6 +205,52 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("cross-batch semantic dedup: embedding history flags twins under a persisted quantizer") {
+    import graft.operators.{Dedup, Similarity}
+    // three well-separated base directions in 8 dims + noise dims
+    def vec(axis: Int, mag: Float, nudge: Float = 0f): Seq[Float] =
+      Seq.tabulate(8)(j => (if (j == axis) mag else 0.1f * (j + 1)) +
+        (if (j == (axis + 1) % 8) nudge else 0f))
+    val hist0 = Seq(
+      (1L, vec(0, 10f)), (2L, vec(3, 10f)), (3L, vec(6, 10f)))
+      .toDF("doc_id", "v")
+    // the quantizer trains on the FIRST batch and persists — later
+    // batches must probe under the SAME model (bucket ids comparable)
+    val model = Similarity.trainIvfCentroids(hist0, "doc_id", "v", nlist = 3)
+    withTmpDir { tmp =>
+      Similarity.saveQuantizer(spark, s"$tmp/q", model)
+      val loaded = Similarity.loadQuantizer(spark, s"$tmp/q")
+      val w = new graft.delta.DeltaWriter(spark, conf)
+      w.write(Dedup.semDedupIndex(hist0, "doc_id", "v", loaded),
+        s"$tmp/idx", graft.delta.DeltaWriteMode.Append)
+      // batch 2: a nudged twin of doc 2 (cosine ~0.999) + a novel doc on
+      // an unused direction mix
+      val batch2 = Seq(
+        (10L, vec(3, 10f, nudge = 0.5f)),
+        (11L, vec(1, 10f))).toDF("doc_id", "v")
+      val flagged = Dedup.semDedupAgainstHistory(
+        batch2, w.read(s"$tmp/idx"), "doc_id", "v", threshold = 0.95,
+        quantizer = loaded)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(flagged.map(p => (p._1, p._2)).toSet === Set((10L, 2L)),
+        s"only the twin may flag: ${flagged.toSeq}")
+      assert(flagged.head._3 >= 0.95 && flagged.head._3 <= 1.0)
+      // the anti-join drop pattern: only the novel doc survives
+      val survivors = batch2.join(
+        Dedup.semDedupAgainstHistory(batch2, w.read(s"$tmp/idx"),
+          "doc_id", "v", 0.95, loaded).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors === Set(11L))
+      // quantizer mismatch is the silent-recall trap — the require names it
+      val e = intercept[IllegalArgumentException] {
+        Dedup.semDedupAgainstHistory(batch2, w.read(s"$tmp/idx"),
+          "doc_id", "v", 0.95, Array.empty[Array[Float]])
+      }
+      assert(e.getMessage.contains("quantizer"))
+    }
+  }
+
   test("winnowing: deterministic sorted sketch; short and empty docs behave") {
     import graft.functions.WinnowingFunctions.winnowFingerprints
     val df = Seq(

@@ -183,6 +183,27 @@ class PlanSuite extends SparkSpec {
       .findAllMatchIn(mhPlan).map(_.group(1)).toSet
     assert(windowParts.subsetOf(Set("band", "key")),
       s"unexpected window partition keys $windowParts:\n${mhPlan.take(1500)}")
+    // the semantic history probe: same discipline — quantizer assignment
+    // is a literal argmax (no explode before the cap), the only window
+    // partitions on the cluster bucket, and nothing goes all-pairs
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = graft.operators.Similarity.trainIvfCentroids(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", nlist = 4,
+      iterations = 1)
+    val semHist = graft.operators.Dedup.semDedupIndex(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", model)
+    val semPlan = planOf(graft.operators.Dedup.semDedupAgainstHistory(
+      emb.filter(col("vec_id") >= 100), semHist, "vec_id", "embedding",
+      threshold = 0.9, quantizer = model))
+    assert(!semPlan.contains("CartesianProduct") &&
+      !semPlan.contains("BroadcastNestedLoopJoin"),
+      s"embedding-history near-dup must never plan an all-pairs join:\n${semPlan.take(1500)}")
+    val semWindowParts = """windowspecdefinition\((\w+)#""".r
+      .findAllMatchIn(semPlan).map(_.group(1)).toSet
+    assert(semWindowParts.subsetOf(Set("bucket")),
+      s"unexpected window partition keys $semWindowParts:\n${semPlan.take(1500)}")
+    assert(!semPlan.contains("Generate"),
+      s"quantizer assignment must not explode the corpus:\n${semPlan.take(1500)}")
   }
 
   test("semdedup assignment is a map-side argmax; pairing never goes cartesian") {
