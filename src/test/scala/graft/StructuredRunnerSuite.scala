@@ -220,6 +220,101 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("span + minhash history operators under the streaming engine, across checkpoint loss") {
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.{Dedup, SpanDedup}
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"
+      val gramHist = s"$tmp/grams"; val sigHist = s"$tmp/sigs"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      val run = ('a' to 'l').map(_.toString).mkString(" ") // 12-token run
+      val novelA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+      file(0, Seq((10L, run), (11L, novelA)))
+      // batch 1: doc 5 QUOTES batch 0's run (cross-batch span excision);
+      // doc 6 is a lightly-edited copy of doc 11 (cross-batch minhash
+      // near-dup — dropped whole); doc 7 is novel
+      file(1, Seq(
+        (5L, "p q r " + run),
+        (6L, novelA.replace("alpha5 ", "edited5 ")),
+        (7L, (1 to 40).map(i => s"gamma$i").mkString(" "))))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            // the foreachBatch cloned-session bug class: every
+            // cross-batch READ here goes through tables written by
+            // earlier micro-batches of the same query
+            val w = new DeltaWriter(spark, conf)
+            val appId = "shist"
+            // near-dup drop against the signature history; the probe
+            // reads only rows with batch_id < this batch, so a replayed
+            // batch can never flag itself against its own index
+            val kept =
+              if (w.tableExists(sigHist)) {
+                val flagged = Dedup.minhashAgainstHistory(
+                  batch, w.read(sigHist).filter(col("batch_id") < batchId),
+                  "doc_id", "text", threshold = 0.5)
+                  .select("doc_id").distinct()
+                batch.join(flagged, Seq("doc_id"), "left_anti")
+              } else batch
+            // span excision against the gram-owner history (idempotent
+            // against a history containing this batch's own index —
+            // replay-safe at any crash point)
+            val grams =
+              if (w.tableExists(gramHist)) w.read(gramHist)
+              else Seq.empty[(Long, Long, Long, Long)]
+                .toDF("h1", "h2", "own", "occ")
+            val sp = SpanDedup.spansWithHistory(
+              kept, grams, "doc_id", "text", n = 12)
+            val cleaned = SpanDedup.applySpans(kept, sp, "doc_id", "text")
+            if (!w.lastTxnVersion(curated, appId).exists(_ >= batchId))
+              w.write(cleaned, curated, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(gramHist, appId).exists(_ >= batchId))
+              w.write(SpanDedup.ownerIndex(kept, "doc_id", "text", n = 12),
+                gramHist, DeltaWriteMode.Append, txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(sigHist, appId).exists(_ >= batchId))
+              w.write(Dedup.minhashIndex(kept, "doc_id", "text")
+                  .withColumn("batch_id", lit(batchId)),
+                sigHist, DeltaWriteMode.Append, txn = Some((appId, batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def state() = w.read(curated).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))
+        .toMap
+      val s1 = state()
+      assert(s1.keySet === Set(10L, 11L, 5L, 7L),
+        "near-dup doc 6 must drop against the signature history")
+      assert(s1(5L) === ("p q r", 12L),
+        "a later micro-batch must lose the span quoted from an earlier one")
+      assert(s1(10L)._2 === 0L && s1(11L)._2 === 0L && s1(7L)._2 === 0L)
+      // idle re-run admits nothing
+      runOnce()
+      assert(state() === s1)
+      // LOSE the streaming checkpoint: the engine replays every file
+      // under fresh batch ids — SetTransaction watermarks + the batch_id
+      // probe filter must make the replay byte-identical
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(state() === s1,
+        "replay after checkpoint loss must not duplicate or re-excise")
+      assert(w.read(sigHist).filter(col("doc_id") === 6L).count() === 0L)
+    }
+  }
+
   test("sessionize: gap-break closes inline, watermark timeout closes idle keys") {
     import graft.streaming.{Session, Sessionize}
     withTmpDir { tmp =>
