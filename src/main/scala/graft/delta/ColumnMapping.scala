@@ -6,10 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Delta column mapping (reader v2 / `columnMapping` feature) resolution,
   * shared by the batch reader ([[DeltaWriter]]) and the streaming source
-  * ([[graft.sources.DeltaSource]]): `columnMapping.mode` name/id tables
-  * store data under physical `col-<uuid>` names, with the logical name
-  * only in the schemaString's per-field metadata. Reading such files
-  * without resolving the mapping surfaces physical names — silently wrong
+  * ([[graft.sources.DeltaSource]]). `mode=name` tables store data under
+  * physical `col-<uuid>` names, with the logical name only in the
+  * schemaString's per-field metadata — resolution matches files by
+  * PHYSICAL NAME. `mode=id` tables (typically Iceberg-converted) match
+  * by PARQUET FIELD ID instead (`byFieldId` on [[readMapped]], driven by
+  * [[isIdMode]]): their files may carry arbitrary column names — often
+  * the pre-conversion originals — and only the field ids line up, so
+  * name-based matching would silently null every column. Reading such
+  * files without resolving the mapping surfaces physical names — wrong
   * columns — so every scan path must come through here.
   *
   * Nested mapping resolves recursively: struct fields (at any depth,
@@ -21,6 +26,17 @@ import org.apache.spark.sql.types._
 object ColumnMapping {
 
   val PhysicalNameKey = "delta.columnMapping.physicalName"
+  val FieldIdKey = "delta.columnMapping.id"
+
+  /** `columnMapping.mode=id` from a table's configuration JSON: id-mode
+    * files (typically Iceberg-converted tables) are resolved by PARQUET
+    * FIELD ID, not by physical name — their data files may carry
+    * arbitrary column names. */
+  def isIdMode(configurationJson: Option[String]): Boolean =
+    configurationJson.exists { c =>
+      graft.util.Jsons.optStr(graft.util.Jsons.parse(c),
+        "delta.columnMapping.mode").contains("id")
+    }
 
   def isMapped(schema: StructType): Boolean =
     schema.fields.exists(_.metadata.contains(PhysicalNameKey)) ||
@@ -45,11 +61,20 @@ object ColumnMapping {
     * physical column names for a data-file write: delta-spark's
     * columnMapping.mode=name write shape — the parquet files carry
     * `col-<uuid>` names (nested fields included) and only the metaData
-    * schema knows the logical ones. */
+    * schema knows the logical ones. Top-level columns also carry their
+    * `parquet.field.id` (Spark's `fieldId.write` emits them into the
+    * footer), so files appended to a `mode=id` table resolve by field id
+    * like the table's foreign originals; a nested field's id does not
+    * survive the struct rebuild — an id-mode reader then refuses that
+    * nested field LOUDLY rather than matching it wrong. */
   def toPhysical(df: DataFrame, schema: StructType): DataFrame =
-    df.select(schema.fields.toSeq.map(f =>
-      relabel(col(s"`${f.name}`"), f.dataType, toLogical = false)
-        .as(physName(f))): _*)
+    df.select(schema.fields.toSeq.map { f =>
+      val c = relabel(col(s"`${f.name}`"), f.dataType, toLogical = false)
+      if (f.metadata.contains(FieldIdKey))
+        c.as(physName(f), new MetadataBuilder()
+          .putLong("parquet.field.id", f.metadata.getLong(FieldIdKey)).build())
+      else c.as(physName(f))
+    }: _*)
 
   private def nestedMapped(dt: DataType): Boolean = dt match {
     case st: StructType => st.fields.exists(f =>
@@ -113,13 +138,47 @@ object ColumnMapping {
     * logical projection. `passthrough` columns live OUTSIDE the mapping
     * (protocol metadata columns like cdc files' `_change_type` are stored
     * under their literal names) and project through unrenamed. */
+  /** The physical twin carrying `parquet.field.id` metadata at every
+    * level — the request-schema shape that makes Spark's parquet reader
+    * match columns BY FIELD ID (`spark.sql.parquet.fieldId.read.enabled`)
+    * instead of by name: how delta-spark reads `mode=id` tables, whose
+    * files may carry arbitrary column names (Iceberg-converted tables
+    * keep their original names; only the ids line up). Refuses a field
+    * without an id — matching it by a physical name the file doesn't
+    * have would return silent nulls. */
+  private def physFieldWithId(f: StructField): StructField = {
+    if (!f.metadata.contains(FieldIdKey))
+      throw new graft.core.PlanningError(
+        s"columnMapping.mode=id table has field '${f.name}' without a " +
+        s"$FieldIdKey — refusing to read (name-based matching against an " +
+        "id-mode file's arbitrary column names would return wrong columns)")
+    StructField(physName(f), physicalTypeWithIds(f.dataType), f.nullable,
+      new MetadataBuilder()
+        .putLong("parquet.field.id", f.metadata.getLong(FieldIdKey)).build())
+  }
+
+  private def physicalTypeWithIds(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(physFieldWithId))
+    case ArrayType(et, n) => ArrayType(physicalTypeWithIds(et), n)
+    case MapType(k, v, n) => MapType(physicalTypeWithIds(k), physicalTypeWithIds(v), n)
+    case other => other
+  }
+
   def readMapped(spark: SparkSession, files: Seq[String], declared: StructType,
       basePath: Option[String],
       passthrough: Seq[StructField] = Nil,
-      keepMeta: Boolean = false): DataFrame = {
-    val physSchema = StructType(declared.fields.map(f =>
-      StructField(physName(f), physicalType(f.dataType), f.nullable)) ++
-      passthrough)
+      keepMeta: Boolean = false,
+      byFieldId: Boolean = false): DataFrame = {
+    val physSchema =
+      if (byFieldId) {
+        // the conf gates the reader's id lookup; only request schemas
+        // carrying parquet.field.id metadata are affected, so enabling
+        // it session-wide cannot change name-mode reads
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        StructType(declared.fields.map(physFieldWithId) ++ passthrough)
+      } else StructType(declared.fields.map(f =>
+        StructField(physName(f), physicalType(f.dataType), f.nullable)) ++
+        passthrough)
     val reader = basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
     reader.schema(physSchema).parquet(files: _*)
       .select(declared.fields.toSeq.map(f =>

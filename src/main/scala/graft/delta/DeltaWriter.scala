@@ -152,7 +152,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       // the mapped projection keeps _metadata explicitly so provenance
       // survives to the row-meta columns below
       case Some(s) => ColumnMapping.readMapped(spark, files, s,
-        basePath = if (partitioned) Some(tablePath) else None, keepMeta = true)
+        basePath = if (partitioned) Some(tablePath) else None, keepMeta = true,
+        byFieldId = ColumnMapping.isIdMode(log.tableConfigurationJson(tablePath)))
       case None =>
         if (partitioned)
           declared.foldLeft(spark.read.option("basePath", tablePath))(
@@ -394,7 +395,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       // drop the helper column
       val mappedDf = ColumnMapping.readMapped(spark, files, s,
         basePath = if (anyPartitioned) Some(tablePath) else None,
-        keepMeta = dvByPath.nonEmpty)
+        keepMeta = dvByPath.nonEmpty,
+        byFieldId = ColumnMapping.isIdMode(log.tableConfigurationJson(tablePath)))
       return if (dvByPath.isEmpty) mappedDf
         else dvFilter(tablePath, dvByPath, mappedDf).drop("_metadata")
     }

@@ -517,7 +517,9 @@ class DeltaSource(
     mapped match {
       case Some(s) => graft.delta.ColumnMapping.readMapped(spark, paths, s,
         basePath = if (partitioned) Some(tablePath) else None,
-        passthrough = passthrough, keepMeta = keepMeta)
+        passthrough = passthrough, keepMeta = keepMeta,
+        byFieldId = graft.delta.ColumnMapping.isIdMode(
+          checkpoint.log.tableConfigurationJson(tablePath)))
       case None =>
         // raw reads surface every file column, passthrough included, and
         // _metadata stays resolvable as a hidden scan column

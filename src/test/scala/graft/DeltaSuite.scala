@@ -909,6 +909,74 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
     }
   }
 
+  test("columnMapping mode=id resolves by parquet field id (Iceberg-converted shape)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    withTmpDir { tmp =>
+      val t = s"$tmp/idmode"
+      // the data file was written by a FOREIGN writer before conversion:
+      // it carries the ORIGINAL column names + parquet field ids — NOT
+      // the physical col-<uuid> names the delta metaData declares, so
+      // only the field ids line up
+      val fileSchema = StructType(Seq(
+        StructField("customer_id", LongType, true,
+          new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+        StructField("customer_name", StringType, true,
+          new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val rows = spark.createDataFrame(
+        java.util.Arrays.asList(Row(1L, "ada"), Row(2L, "grace")), fileSchema)
+      rows.coalesce(1).write.parquet(s"$tmp/stage")
+      Files.createDirectories(Paths.get(t))
+      val part = new File(s"$tmp/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(t, "data-0.parquet"))
+      def mappedField(logical: String, phys: String, id: Long, dt: DataType) =
+        StructField(logical, dt, true, new MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build())
+      val declared = StructType(Seq(
+        mappedField("id", "col-aaa", 1L, LongType),
+        mappedField("name", "col-bbb", 2L, StringType)))
+      val schemaLit = graft.util.Jsons.render(
+        com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+          .textNode(declared.json))
+      writeLog(t, 0L,
+        """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}""",
+        s"""{"metaData": {"id": "t-id", "schemaString": $schemaLit, """ +
+          """"partitionColumns": [], """ +
+          """"configuration": {"delta.columnMapping.mode": "id"}}}""",
+        add("data-0.parquet", Files.size(Paths.get(t, "data-0.parquet"))))
+      val w = writer
+      val got = w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((1L, "ada"), (2L, "grace")),
+        "id-mode files must resolve by field id, not physical name")
+      // OUR append writes field ids alongside the physical names, so the
+      // mixed table (foreign-named file + ours) still reads whole by id
+      w.write(Seq((3L, "lin")).toDF("id", "name"), t, DeltaWriteMode.Append)
+      assert(w.read(t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "ada"), (2L, "grace"), (3L, "lin")))
+      // an id-mode schema MISSING a field id refuses loudly — matching
+      // by a physical name the file doesn't carry would be silent nulls
+      val noId = StructType(Seq(
+        mappedField("id", "col-aaa", 1L, LongType),
+        StructField("name", StringType, true, new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-bbb").build())))
+      val noIdLit = graft.util.Jsons.render(
+        com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+          .textNode(noId.json))
+      writeLog(t, new DeltaLogReader(conf).latestVersion(t).get + 1,
+        s"""{"metaData": {"id": "t-id", "schemaString": $noIdLit, """ +
+          """"partitionColumns": [], """ +
+          """"configuration": {"delta.columnMapping.mode": "id"}}}""")
+      val e = intercept[Exception](w.read(t).collect())
+      assert(e.getMessage.contains("delta.columnMapping.id"),
+        s"expected the missing-field-id refusal, got: ${e.getMessage}")
+    }
+  }
+
   test("upgradeToColumnMapping never downgrades writer-only protocols") {
     withTmpDir { tmp =>
       val w = writer
