@@ -790,14 +790,20 @@ object Dedup {
         // gram strings never enter a Generate, a sort, or a shuffle
         transform(col("gr"), g => xxhash64(g)).as("ghs"))
       .select(col("id"), col("n_grams"), explode(col("ghs")).as("gh"))
+      // ONE exchange on the gram hash feeds BOTH the document-frequency
+      // aggregation and the join-back below: the repartition makes the
+      // two consumers' required distributions identical, so Catalyst
+      // plans a ReusedExchange and the string-heaviest subtree
+      // (charNgramsDistinct + hash + explode) materializes ONCE instead
+      // of once per consumer. Net shuffle volume does not grow — the
+      // join-back side already shuffled every exploded row on gh; the df
+      // branch's partial-count shuffle is simply absorbed into it.
+      .repartition(col("gh"))
     // document frequency via groupBy + join-back, NOT a count window over
-    // the hash: partial (map-side) aggregation makes the count itself
-    // skew-immune, and the join-back is a shuffle join AQE can skew-split
-    // — whereas a window partition cannot combine map-side or be split,
-    // so one corpus-wide gram (df 10⁸ on a template-heavy 100 TB corpus)
-    // would land in ONE multi-gigabyte straggler task. The second
-    // materialization of the exploded hashes this costs is map-only work
-    // that parallelizes; the straggler does not.
+    // the hash: the count is a cheap streaming pass over the exchanged
+    // partition, whereas a window partition would pin every occurrence
+    // of one corpus-wide hot gram (df 10⁸ on a template-heavy 100 TB
+    // corpus) into ONE task carrying the whole window BUFFER.
     val dfAgg = gramsH.groupBy("gh").agg(count(lit(1)).as("df"))
     // maxDf applies to the AGG side, so over-hot grams drop during the
     // join (no match) instead of surviving it just to be filtered
