@@ -198,7 +198,14 @@ object ColumnMapping {
   def cdcToPhysical(df: DataFrame, schema: StructType,
       keep: Seq[String]): DataFrame =
     df.select(schema.fields.toSeq.filter(f => df.columns.contains(f.name))
-      .map(f => relabel(col(s"`${f.name}`"), f.dataType, toLogical = false)
-        .as(physName(f))) ++
+      .map { f =>
+        val c = relabel(col(s"`${f.name}`"), f.dataType, toLogical = false)
+        // same id carry as toPhysical: cdc files on a mode=id table must
+        // resolve by field id like the data files they describe
+        if (f.metadata.contains(FieldIdKey))
+          c.as(physName(f), new MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong(FieldIdKey)).build())
+        else c.as(physName(f))
+      } ++
       keep.filter(df.columns.contains).map(c => col(s"`$c`")): _*)
 }

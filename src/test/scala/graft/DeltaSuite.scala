@@ -958,6 +958,24 @@ class DeltaWriterSuite extends SparkSpec with DeltaFixtures {
       assert(w.read(t).orderBy("id").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
         === Seq((1L, "ada"), (2L, "grace"), (3L, "lin")))
+      // CDF on an id-mode table: change files must carry field ids like
+      // the data files they describe — the by-field-id reader ignores
+      // names, so a cdc file with physical names alone would not resolve
+      val cdfSrc = new graft.sources.DeltaSource(t,
+        new DeltaTableCheckpoint(s"$tmp/idcdf", conf),
+        graft.sources.DeltaSourceOptions(
+          startOffset = graft.sources.DeltaStartOffset.Latest,
+          readChangeFeed = true))
+      assert(cdfSrc.planBatch().isEmpty) // positioned at latest
+      graft.DeltaCdc.applyCdcDelta(spark,
+        Seq((3L, Some("lovelace"), "update_postimage", 9L))
+          .toDF("id", "name", Cdc.ChangeTypeCol, Cdc.CommitVersionCol),
+        t, Seq("id"), emitCdf = true)
+      val cdfRows = cdfSrc.readBatch(spark, cdfSrc.planBatch().get)
+        .select("id", "name", Cdc.ChangeTypeCol).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(cdfRows.toSeq === Seq((3L, "lovelace", "update_postimage")),
+        s"id-mode CDF must resolve by field id: ${cdfRows.toSeq}")
       // an id-mode schema MISSING a field id refuses loudly — matching
       // by a physical name the file doesn't carry would be silent nulls
       val noId = StructType(Seq(
