@@ -73,6 +73,11 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       |    required binary appId (STRING);
       |    optional int64 version;
       |  }
+      |  optional group domainMetadata {
+      |    required binary domain (STRING);
+      |    optional binary configuration (STRING);
+      |    optional boolean removed;
+      |  }
       |  optional group protocol {
       |    optional int32 minReaderVersion;
       |    optional int32 minWriterVersion;
@@ -115,6 +120,10 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         // checkpoint (post-expiry, all adds removed) loses the layout
         val partCols = log.partitionColumnsAt(tablePath, version)
         val txns = log.txnState(tablePath, version)
+        // domainMetadata preservation (the writer feature's obligation):
+        // the newest action per domain — tombstones included — must ride
+        // the checkpoint, or expireLogs erases another writer's state
+        val domains = log.domainMetadataState(tablePath, version)
         // the spec requires exactly one protocol action per checkpoint:
         // a DV table's reader-3/writer-7 upgrade lives only in JSON
         // commits, so after expireLogs a protocol-less checkpoint leaves
@@ -138,7 +147,8 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
           writePart(target, slice, if (i == 0) meta else None,
             if (i == 0) txns else Map.empty,
             if (i == 0) Some(protocol) else None,
-            partCols)
+            partCols,
+            if (i == 0) domains else Seq.empty)
         }
         inst
       }
@@ -154,7 +164,8 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
       state: Seq[DeltaAction.AddFile], meta: Option[TableMeta],
       txns: Map[String, Long] = Map.empty,
       protocol: Option[DeltaAction.Protocol] = None,
-      partCols: Seq[String] = Seq.empty): Unit = {
+      partCols: Seq[String] = Seq.empty,
+      domains: Seq[DeltaAction.DomainMetadata] = Seq.empty): Unit = {
     val factory = new SimpleGroupFactory(Schema)
     val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(target, conf))
       .withType(Schema).withConf(conf).build()
@@ -202,6 +213,14 @@ class CheckpointWriter(conf: Configuration, actionsPerPart: Int = 100000) {
         val t = g.addGroup("txn")
         t.append("appId", appId)
         t.append("version", v)
+        writer.write(g)
+      }
+      domains.foreach { d =>
+        val g = factory.newGroup()
+        val dm = g.addGroup("domainMetadata")
+        dm.append("domain", d.domain)
+        dm.append("configuration", d.configurationJson)
+        dm.append("removed", d.removed)
         writer.write(g)
       }
       state.foreach { a =>

@@ -56,6 +56,15 @@ object DeltaAction {
       readerFeatures: Seq[String] = Seq.empty,
       minWriterVersion: Int = 2,
       writerFeatures: Seq[String] = Seq.empty) extends DeltaAction
+  /** The protocol's `domainMetadata` action — an opaque per-domain
+    * configuration blob other writers (delta-spark clustering, sharing
+    * metadata, ...) attach to the table. We never interpret it, but the
+    * writer feature's obligation is PRESERVATION: the newest action per
+    * domain (tombstones included — `removed=true` must keep overriding
+    * older live entries) has to survive our checkpoints, or `expireLogs`
+    * silently erases another writer's state. */
+  case class DomainMetadata(domain: String, configurationJson: String,
+      removed: Boolean) extends DeltaAction
 }
 
 /** One parsed commit. */
@@ -217,7 +226,11 @@ class DeltaLogReader(conf: Configuration) {
           Jsons.elems(rf).map(_.asText()).toSeq).getOrElse(Seq.empty),
         Jsons.optLong(p, "minWriterVersion").getOrElse(2L).toInt,
         Jsons.optField(p, "writerFeatures").map(wf =>
-          Jsons.elems(wf).map(_.asText()).toSeq).getOrElse(Seq.empty))))
+          Jsons.elems(wf).map(_.asText()).toSeq).getOrElse(Seq.empty))
+    )).orElse(Jsons.optField(n, "domainMetadata").map(dm =>
+      DomainMetadata(Jsons.optStr(dm, "domain").getOrElse(""),
+        Jsons.optStr(dm, "configuration").getOrElse(""),
+        Jsons.optBool(dm, "removed").getOrElse(false))))
   }
 
   private def parseDv(a: JsonNode): Option[DvDescriptor] =
@@ -254,6 +267,92 @@ class DeltaLogReader(conf: Configuration) {
         "read rather than return wrong rows (e.g. deletion-vector tables " +
         "would resurface deleted data)")
   }
+
+  /** The writer features whose protocol obligations this engine actually
+    * discharges — the spec forbids writing to a table whose features we
+    * would silently violate, the same way [[SupportedReaderFeatures]]
+    * forbids reading one. How each obligation is met:
+    * enforcement (`appendOnly`/`invariants`/`checkConstraints`/
+    * `generatedColumns` — [[DeltaWriter]] validates or computes on every
+    * data write), implementation (`columnMapping`/`deletionVectors`/
+    * `changeDataFeed`/`timestampNtz`/`vacuumProtocolCheck`), or
+    * preservation (`domainMetadata` — the newest action per domain rides
+    * our checkpoints; `identityColumns` — allowed only while the schema
+    * carries no `delta.identity.*` column, since we don't maintain the
+    * high watermark a live identity column requires). Absent from the
+    * set: `rowTracking` (every new add needs a baseRowId we can't
+    * assign), `icebergCompatV1/V2` (parallel Iceberg metadata we don't
+    * write). */
+  private val SupportedWriterFeatures =
+    Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
+      "changeDataFeed", "columnMapping", "deletionVectors", "identityColumns",
+      "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint", "domainMetadata")
+
+  /** Refuse to COMMIT to a table whose writer protocol this engine cannot
+    * honor — the write-side twin of [[checkProtocol]]. A writer that
+    * ignores `minWriterVersion`/`writerFeatures` corrupts invariants
+    * other writers rely on (e.g. appends rows a CHECK constraint forbids,
+    * or breaks row tracking by adding files without baseRowIds); the spec
+    * requires refusal, not best-effort. Identity columns gate on the
+    * SCHEMA, not just the feature flag: the feature is harmless until a
+    * column actually carries `delta.identity.*` metadata, at which point
+    * any append must maintain its high watermark. No-op on a path with
+    * no log yet (first write defines the protocol). */
+  /** Memoized latest protocol per table. Protocol actions only upgrade,
+    * so a cached answer at version v stays correct until a NEWER commit
+    * carries a protocol action — the refresh folds only commits above
+    * the cached version (same amortization as the meta memo; a replaced
+    * table, detected by any cache/version mismatch, falls back to a full
+    * [[resolveProtocol]]). Keeps the per-commit write gate O(new
+    * commits), not O(log length). */
+  private val protocolMemo = TrieMap.empty[String, (Long, Option[Protocol])]
+
+  def latestProtocol(tablePath: String): Option[Protocol] =
+    latestVersion(tablePath).flatMap { v =>
+      protocolMemo.get(tablePath) match {
+        case Some((cv, cp)) if cv == v => cp
+        case Some((cv, cp)) if cv < v =>
+          val newer = listVersions(tablePath).filter(x => x > cv && x <= v)
+            .flatMap(x => readCommit(tablePath, x).actions
+              .collectFirst { case p: Protocol => p })
+            .lastOption
+          val res = newer.orElse(cp)
+          protocolMemo.put(tablePath, (v, res))
+          res
+        case _ =>
+          val res = resolveProtocol(tablePath, v)
+          protocolMemo.put(tablePath, (v, res))
+          res
+      }
+    }
+
+  def checkWriteProtocol(tablePath: String): Unit = {
+      latestProtocol(tablePath).foreach { p =>
+        val unsupported =
+          if (p.minWriterVersion == 7) p.writerFeatures.filterNot(SupportedWriterFeatures)
+          else if (p.minWriterVersion > 7) Seq(s"minWriterVersion=${p.minWriterVersion}")
+          else Seq.empty
+        if (unsupported.nonEmpty)
+          throw new PlanningError(
+            s"delta table $tablePath requires writer capabilities this " +
+            s"engine does not implement (${unsupported.mkString(", ")}); " +
+            "refusing to write rather than corrupt invariants other " +
+            "writers rely on")
+        val identityPossible = p.minWriterVersion == 6 ||
+          (p.minWriterVersion == 7 && p.writerFeatures.contains("identityColumns"))
+        if (identityPossible) {
+          val hasIdentity = tableSchemaString(tablePath)
+            .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .exists(_.fields.exists(_.metadata.json.contains("delta.identity.")))
+          if (hasIdentity)
+            throw new PlanningError(
+              s"delta table $tablePath has identity columns; this engine " +
+              "does not maintain identity high watermarks — refusing to " +
+              "write rather than mint colliding identity values")
+        }
+      }
+    }
 
   // ---- parquet checkpoints (delta protocol `_last_checkpoint`) -----------
 
@@ -418,6 +517,12 @@ class DeltaLogReader(conf: Configuration) {
             strField(t, "appId").foreach(app =>
               out += Txn(app, longField(t, "version").getOrElse(-1L)))
           }
+          grpField(rec, "domainMetadata").foreach { dm =>
+            strField(dm, "domain").foreach(d =>
+              out += DomainMetadata(d,
+                strField(dm, "configuration").getOrElse(""),
+                boolField(dm, "removed").getOrElse(false)))
+          }
           grpField(rec, "protocol").foreach { p =>
             val v = intField(p, "minReaderVersion").getOrElse(1)
             // 3-level LIST features parse via listStrField (delta-spark's
@@ -562,6 +667,30 @@ class DeltaLogReader(conf: Configuration) {
       .foldLeft(base) { (acc, v) =>
         readCommit(tablePath, v).txns.foldLeft(acc)((m, t) => m + (t.appId -> t.version))
       }
+  }
+
+  /** Newest `domainMetadata` action per domain at `version` — what a
+    * checkpoint must carry so `expireLogs` can't erase another writer's
+    * per-domain state. Tombstones (`removed=true`) are KEPT: a checkpoint
+    * that drops one would let a surviving older commit resurrect the
+    * removed domain on the next replay. Same replay shape as
+    * [[txnState]]: newest checkpoint at-or-below as the base, only the
+    * JSON commits above it fold on top. */
+  def domainMetadataState(tablePath: String,
+      version: Long): Seq[DeltaAction.DomainMetadata] = {
+    val ckpt = checkpointAtOrBelow(tablePath, version)
+    val base: Map[String, DeltaAction.DomainMetadata] = ckpt
+      .map(cp => readCheckpointActions(tablePath, cp)
+        .collect { case d: DomainMetadata => d.domain -> d }.toMap)
+      .getOrElse(Map.empty)
+    val start = ckpt.map(_.version + 1).getOrElse(0L)
+    listVersions(tablePath).filter(v => v >= start && v <= version)
+      .foldLeft(base) { (acc, v) =>
+        readCommit(tablePath, v).actions.foldLeft(acc) {
+          case (m, d: DomainMetadata) => m + (d.domain -> d)
+          case (m, _) => m
+        }
+      }.values.toSeq.sortBy(_.domain)
   }
 
   /** Last protocol action at or below `version` — the table's protocol

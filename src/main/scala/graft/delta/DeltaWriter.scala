@@ -763,6 +763,82 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
     }
   }
 
+  /** ADD CONSTRAINT (delta `ALTER TABLE ... ADD CONSTRAINT name CHECK
+    * (sql)`): validates the EXISTING data satisfies `sql` (one
+    * distributed pass — delta-spark does the same scan), then commits
+    * `delta.constraints.<name>` in the table configuration with the
+    * protocol raised to the checkConstraints floor (legacy writer 3,
+    * preserved feature lists on v7 tables — never a downgrade). Every
+    * subsequent write validates rows inline ([[WriteChecks]]); foreign
+    * writers see the protocol requirement and must do the same or
+    * refuse. The conflict check also flags intervening DATA commits, not
+    * just metaData: rows appended between the validation scan and the
+    * commit were never validated, so the ADD must re-plan. */
+  def addCheckConstraint(tablePath: String, name: String, sql: String): Long = {
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    require(key.nonEmpty && key.matches("[a-z0-9_]+"),
+      s"constraint name must be [a-zA-Z0-9_]+, got '$name'")
+    val existing = WriteChecks.constraintsOf(log.tableConfigurationJson(tablePath))
+    if (existing.exists(_._1 == key))
+      throw new GraftError(
+        s"constraint $key already exists on $tablePath " +
+        s"(${existing.toMap.apply(key)}); drop it first")
+    WriteChecks.requireHolds(read(tablePath), key, sql)
+    alterSchema(tablePath, "ADD CONSTRAINT",
+      requireMapped = false,
+      mutateConfig = (cfg, _) => cfg.put(s"delta.constraints.$key", sql),
+      extraLinesAt = rv =>
+        constraintProtocolLines(log.resolveProtocol(tablePath, rv)),
+      extraConflict = intervening => intervening.flatMap(_.actions).collectFirst {
+        case a: DeltaAction.AddFile if a.dataChange =>
+          s"an intervening commit added data the constraint scan never " +
+          s"validated; re-plan the ADD CONSTRAINT"
+      })(identity)
+  }
+
+  /** DROP CONSTRAINT: removes `delta.constraints.<name>` (metadata-only;
+    * the protocol stays — other constraints may exist and protocol
+    * downgrades are forbidden anyway). Refuses an unknown name loudly:
+    * a silent no-op here would leave the caller believing a constraint
+    * stopped applying when it never existed (delta-spark requires
+    * IF EXISTS to opt into that). */
+  def dropCheckConstraint(tablePath: String, name: String): Long = {
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    val existing = WriteChecks.constraintsOf(log.tableConfigurationJson(tablePath))
+    if (!existing.exists(_._1 == key))
+      throw new GraftError(
+        s"no constraint named $key on $tablePath " +
+        s"(existing: ${existing.map(_._1).mkString(", ")})")
+    alterSchema(tablePath, "DROP CONSTRAINT",
+      requireMapped = false,
+      mutateConfig = (cfg, _) => { cfg.remove(s"delta.constraints.$key"); () })(
+      identity)
+  }
+
+  /** The protocol action an ADD CONSTRAINT must commit — the
+    * checkConstraints floor is legacy writer 3; same never-downgrade
+    * discipline as [[mappingProtocolLines]]. */
+  private def constraintProtocolLines(
+      curP: Option[DeltaAction.Protocol]): Seq[String] = {
+    def l(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(", ")
+    curP match {
+      case Some(p) if p.minWriterVersion >= 7 =>
+        val wf = (p.writerFeatures :+ "checkConstraints").distinct
+        val rf =
+          if (p.minReaderVersion >= 3) s""""readerFeatures": [${l(p.readerFeatures)}], """
+          else ""
+        Seq(s"""{"protocol": {"minReaderVersion": ${p.minReaderVersion}, """ +
+          s""""minWriterVersion": ${p.minWriterVersion}, """ + rf +
+          s""""writerFeatures": [${l(wf)}]}}""")
+      case Some(p) if p.minWriterVersion >= 3 => Seq.empty
+      case Some(p) =>
+        Seq(s"""{"protocol": {"minReaderVersion": ${p.minReaderVersion}, """ +
+          s""""minWriterVersion": 3}}""")
+      case None =>
+        Seq("""{"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}}""")
+    }
+  }
+
   /** Shared metadata-only ALTER commit for [[renameColumn]]/[[dropColumn]]
     * /[[upgradeToColumnMapping]]: one metaData action with the
     * transformed schema, the table's configuration carried forward
@@ -778,7 +854,8 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   private def alterSchema(tablePath: String, operation: String,
       requireMapped: Boolean,
       mutateConfig: (com.fasterxml.jackson.databind.node.ObjectNode, StructType) => Unit = (_, _) => (),
-      extraLinesAt: Long => Seq[String] = _ => Seq.empty)(
+      extraLinesAt: Long => Seq[String] = _ => Seq.empty,
+      extraConflict: Seq[DeltaCommit] => Option[String] = _ => None)(
       transform: StructType => StructType): Long = {
     // ONE consistent read point: the schema the transform rebuilds, the
     // table id and configuration carried forward, and any protocol line
@@ -838,7 +915,7 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         case m: DeltaAction.MetaData if DeltaWriter.metaConflicts(metaBaseline, m) =>
           s"an intervening commit changed the table's metaData; " +
           s"re-plan the $operation"
-      },
+      }.orElse(extraConflict(intervening)),
       Some(readVersion))
   }
 
@@ -926,18 +1003,34 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
         StructType(es.fields ++ newCols.map(_.copy(nullable = true)))
       case _ => df.schema
     }
-    // conform df to outSchema column order (missing -> null)
+    val tableConfig = log.tableConfigurationJson(tablePath)
+    if (mode == DeltaWriteMode.Overwrite && DeltaWriter.isAppendOnly(tableConfig))
+      throw new GraftError(
+        s"delta table $tablePath is append-only (delta.appendOnly=true); " +
+        "overwrite would replace existing data")
+    // conform df to outSchema column order; a missing column null-fills
+    // UNLESS it is a generated column, which must be COMPUTED (the
+    // generatedColumns writer obligation — a null-filled generated column
+    // diverges from what every other engine derives from the same row)
+    val generatedExprs = WriteChecks.generatedOf(outSchema).toMap
     val aligned = {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.{col, expr, lit}
       df.select(outSchema.fields.map(f =>
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+        else generatedExprs.get(f.name)
+          .map(g => expr(g).cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))).toSeq: _*)
     }
+    // CHECK constraints / column invariants / provided generated columns
+    // validate INSIDE the write projection (no second pass; see
+    // [[WriteChecks]]) — a violating row fails the job before any commit
+    val checked = WriteChecks.enforce(aligned, outSchema, tableConfig,
+      df.columns.toSet)
     // physical rename uses OUT schema so minted columns write under their
     // fresh col-<uuid> names
     val toWrite =
-      if (mappedSchema.isDefined) ColumnMapping.toPhysical(aligned, outSchema)
-      else aligned
+      if (mappedSchema.isDefined) ColumnMapping.toPhysical(checked, outSchema)
+      else checked
 
     // the hive layout uses PHYSICAL partition column names on a mapped
     // table (toWrite's columns are already physical); metaData
@@ -1055,6 +1148,16 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       mintedMaxColumnId: Option[Long] = None): Long = {
     val tid = log.tableId(tablePath).getOrElse(UUID.randomUUID().toString)
     val firstVersion = log.latestVersion(tablePath).map(_ + 1).getOrElse(0L)
+    // delta.appendOnly: every remove reaching THIS funnel is a
+    // dataChange=true remove (delete/overwrite/merge/restore) — exactly
+    // what the feature forbids. OPTIMIZE/PURGE rewrites commit through
+    // their own dataChange=false body and stay legal, as the spec allows.
+    if (removed.nonEmpty && DeltaWriter.isAppendOnly(
+        log.tableConfigurationJson(tablePath)))
+      throw new GraftError(
+        s"delta table $tablePath is append-only (delta.appendOnly=true); " +
+        s"$operation would remove ${removed.size} data file(s) — the " +
+        "appendOnly writer feature forbids removing data")
 
     def content(version: Long): String = {
       val now = System.currentTimeMillis()
@@ -1176,6 +1279,10 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
   private def commitWithRetry(tablePath: String, content: Long => String,
       conflictCheck: Seq[DeltaCommit] => Option[String],
       readVersion: Option[Long] = None): Long = {
+    // EVERY commit funnels through here — the one place the write-side
+    // protocol gate can't be bypassed (writes, merges, ALTERs, OPTIMIZE,
+    // restores). Reads have the same guard at parse time (checkProtocol).
+    log.checkWriteProtocol(tablePath)
     val latestNow = log.latestVersion(tablePath)
     for (rv <- readVersion; latest <- latestNow; if latest > rv) {
       val intervening = ((rv + 1) to latest).map(log.readCommit(tablePath, _))
@@ -1455,6 +1562,14 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
 
 object DeltaWriter {
   private[delta] val MaxCommitAttempts = 10
+
+  /** `delta.appendOnly=true` in the table configuration — the appendOnly
+    * writer feature's switch (the legacy writer-2 table property and the
+    * v7 feature share it). */
+  private[delta] def isAppendOnly(configJson: Option[String]): Boolean =
+    configJson.map(Jsons.parse)
+      .flatMap(c => Jsons.optStr(c, "delta.appendOnly"))
+      .exists(_.equalsIgnoreCase("true"))
 
   /** Commit body for a dataChange=false rewrite (OPTIMIZE / PURGE):
     * removes every old file, adds every new part — readers tailing with
