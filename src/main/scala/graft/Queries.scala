@@ -63,17 +63,11 @@ object Queries {
   private def droundSql(e: String): String =
     s"CAST(ROUND(CAST($e AS DECIMAL(30,6)), 2) AS DOUBLE)"
 
-  /** events.ts arrives as nano-epoch LongType in Spark (nanosAsLong) and as
-    * TIMESTAMP_NS in DuckDB; convert on the Spark side where a timestamp is
-    * needed. */
-  private def tsCol: Column = timestamp_micros((col("ts") / 1000L).cast("long"))
-
-  /** Nano-epoch -> microsecond timestamp with INTEGRAL division: `/` on
-    * longs is double division in Spark, and doubles can't represent
-    * nano-epoch values exactly — off-by-one microseconds vs DuckDB's
-    * exact DATE_TRUNC. Needed wherever the oracle compares at full
-    * microsecond precision. */
-  private def tsColExact: Column = timestamp_micros(expr("ts div 1000"))
+  /** events.ts dispatches on the READ dtype — nano-epoch LongType under
+    * the TIMESTAMP(NANOS) generation, TimestampNTZ under TIMESTAMP_MICROS
+    * — via [[graft.util.EventTime]]; DuckDB sees a native TIMESTAMP either
+    * way, so the oracle SQL is generation-independent. */
+  private def tsCol(df: DataFrame): Column = graft.util.EventTime.asTimestamp(df)
 
   /** Planted cluster embeddings for the vector-operator oracles
     * (d_semdedup, e_ivf_top1): 10 tight clusters of integer-valued
@@ -299,12 +293,13 @@ object Queries {
           .select(col("user_id"), col("event_id"), col("ts"))
         val clicks = ev.filter(col("event_type") === "click")
           .groupBy("user_id", "ts").agg(max("value").as("value"))
-        graft.operators.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"),
-          "ts", "ts", rightCols = Seq("ts", "value"))
+        val joined = graft.operators.AsofJoin.asofJoin(purchases, clicks,
+          Seq("user_id"), "ts", "ts", rightCols = Seq("ts", "value"))
+        joined
           .select(col("user_id"), col("event_id"),
             // microsecond precision for the oracle compare: DuckDB's
-            // timestamp arithmetic is µs even on TIMESTAMP_NS columns
-            expr("asof_ts div 1000").as("click_ts"),
+            // epoch_us is µs whatever the physical ts type
+            graft.util.EventTime.asEpochMicros(joined, "asof_ts").as("click_ts"),
             dround(col("asof_value")).as("click_value"))
           .orderBy("user_id", "event_id")
       },
@@ -320,12 +315,14 @@ object Queries {
 
     // ----- tumbling time window ------------------------------------------
     "q_window_tumbling" -> QueryDef(
-      (s, d) => t(s, d, "events")
-        .groupBy(window(tsCol, "1 hour").as("w"))
+      (s, d) => {
+        val e = t(s, d, "events")
+        e.groupBy(window(tsCol(e), "1 hour").as("w"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("n_events"), col("total_value"))
-        .orderBy("window_start"),
+        .orderBy("window_start")
+      },
       Some(s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
               |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
               |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)),
@@ -334,12 +331,14 @@ object Queries {
     // Spark's window(ts, 1h, 30m) assigns each event to the two 30m-aligned
     // windows covering it; the oracle reconstructs exactly those starts.
     "q_window_sliding" -> QueryDef(
-      (s, d) => t(s, d, "events")
-        .groupBy(window(tsCol, "1 hour", "30 minutes").as("w"))
+      (s, d) => {
+        val e = t(s, d, "events")
+        e.groupBy(window(tsCol(e), "1 hour", "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("n_events"))
-        .orderBy("window_start"),
+        .orderBy("window_start")
+      },
       Some("""SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
              |  COUNT(*) AS n_events FROM (
              |  SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS ws
@@ -358,13 +357,15 @@ object Queries {
     // streaming/Sessionize.scala with its own suite; this row oracle-gates
     // the session SEMANTICS on batch data.
     "q_sessionize" -> QueryDef(
-      (s, d) => t(s, d, "events")
-        .groupBy(col("user_id"), session_window(tsColExact, "30 minutes").as("sw"))
+      (s, d) => {
+        val e = t(s, d, "events")
+        e.groupBy(col("user_id"), session_window(tsCol(e), "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .select(col("user_id"),
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
           col("n_events"), col("total_value"))
-        .orderBy("user_id", "session_start"),
+        .orderBy("user_id", "session_start")
+      },
       Some(s"""WITH o AS (
               |  SELECT user_id, DATE_TRUNC('microseconds', ts) AS ts, value,
               |    CASE WHEN DATE_TRUNC('microseconds', ts)
@@ -597,9 +598,19 @@ object Queries {
     "q_watermark" -> QueryDef(
       (s, d) => {
         val e = t(s, d, "events")
-        val cutoff = e.agg(max(col("ts"))).head().getLong(0) - 24L * 3600 * 1000000000L
-        e.filter(col("ts") >= cutoff)
-          .groupBy("user_id").agg(count(lit(1)).as("recent_events"))
+        // dispatch on the read dtype: nano-epoch files filter at full nano
+        // precision (as DuckDB does on TIMESTAMP_NS); timestamp files at
+        // their native µs precision
+        val recent =
+          if (graft.util.EventTime.isNanoLong(e)) {
+            val cutoff = e.agg(max(col("ts"))).head().getLong(0) - 24L * 3600 * 1000000000L
+            e.filter(col("ts") >= cutoff)
+          } else {
+            val us = graft.util.EventTime.asEpochMicros(e)
+            val cutoff = e.agg(max(us)).head().getLong(0) - 24L * 3600 * 1000000L
+            e.filter(us >= cutoff)
+          }
+        recent.groupBy("user_id").agg(count(lit(1)).as("recent_events"))
           .orderBy("user_id")
       },
       Some("""SELECT user_id, COUNT(*) AS recent_events FROM events

@@ -20,7 +20,11 @@ object StatefulDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val in = s"$work/in"; val cp = s"$work/checkpoint"; val out = s"$work/out"
 
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // stage with ts normalized to nano-epoch long whatever the generation's
+    // physical type — watermarkSplit's documented numeric contract
+    val events = raw.withColumn("ts",
+      graft.util.EventTime.asEpochMicros(raw) * 1000L)
     events.withColumn("bucket", pmod(col("event_id"), lit(3)))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$work/staged")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

@@ -19,8 +19,9 @@ object StreamingDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val in = s"$work/in"; val cp = s"$work/cp"; val out = s"$work/out"
 
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = raw
+      .withColumn("event_ts", graft.util.EventTime.asTimestamp(raw))
       .drop("ts")
     events.write.mode("overwrite").parquet(s"$in/seed")
 
