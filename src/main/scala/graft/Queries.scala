@@ -839,6 +839,73 @@ object Queries {
              |FROM documents WHERE doc_id < 10
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----- write-side data quality: CHECK constraint + generated column --
+    // The protocol's writer obligations, oracle-proven end-to-end: a table
+    // CREATED with a generated column (computed when omitted, validated
+    // when provided), an ADD CONSTRAINT that scans existing data, a
+    // conforming append, and a VIOLATING append that must abort BEFORE the
+    // commit — the final read equals DuckDB recomputing every surviving
+    // row, so a constraint that admits the bad row, a generated value that
+    // diverges, or an abort that half-commits all change the hash.
+    "q_delta_constraints" -> QueryDef(
+      (s, d) => {
+        val tmp = scratch(s, "ck")
+        val table = s"$tmp/cust_ck"
+        val w = new graft.delta.DeltaWriter(s, s.sparkContext.hadoopConfiguration)
+        val genSql = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"
+        val genMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", genSql).build()
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        // create: even keys PROVIDE the generated column (validated
+        // consistent); the schema metadata declares the expression
+        w.write(cust.filter(col("c_custkey") % 2 === 0)
+          .withColumn("bal_band", expr(genSql).as("bal_band", genMeta)),
+          table, graft.delta.DeltaWriteMode.Append)
+        // ADD CONSTRAINT validates existing rows in one distributed pass
+        w.addCheckConstraint(table, "bal_domain",
+          "c_acctbal BETWEEN -1000 AND 10000")
+        // append the odd keys OMITTING bal_band -> computed, not null-filled
+        w.write(cust.filter(col("c_custkey") % 2 === 1),
+          table, graft.delta.DeltaWriteMode.Append)
+        // a violating row must abort the write job PRE-COMMIT, naming the
+        // constraint; the final hash proves the table stayed untouched
+        val bad = s.range(1).select(lit(999999L).as("c_custkey"),
+          lit(99999.0).as("c_acctbal"), lit("BAD").as("c_mktsegment"))
+        val aborted =
+          try { w.write(bad, table, graft.delta.DeltaWriteMode.Append); false }
+          catch { case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse("") +
+              Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+            require(msg.contains("bal_domain"),
+              s"violating append failed for the wrong reason: $msg")
+            true
+          }
+        require(aborted, "violating append must abort pre-commit")
+        // a provided generated value that DISAGREES with the expression
+        // must also abort (divergence from every other engine's derivation)
+        val lying = s.range(1).select(lit(777L).as("c_custkey"),
+          lit(50.0).as("c_acctbal"), lit("OK").as("c_mktsegment"),
+          lit(42L).as("bal_band"))
+        val abortedGen =
+          try { w.write(lying, table, graft.delta.DeltaWriteMode.Append); false }
+          catch { case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse("") +
+              Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+            require(msg.contains("generated column bal_band"),
+              s"disagreeing generated value failed for the wrong reason: $msg")
+            true
+          }
+        require(abortedGen, "disagreeing generated value must abort pre-commit")
+        w.read(table)
+          .select(col("c_custkey"), dround(col("c_acctbal")).as("c_acctbal"),
+            col("c_mktsegment"), col("bal_band"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, ${droundSql("c_acctbal")} AS c_acctbal,
+              |  c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+              |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // ================= training-data pipeline operators ==================
 
     // ----- exact dedup ----------------------------------------------------

@@ -1185,8 +1185,14 @@ class DeltaWriter(spark: SparkSession, conf: Configuration,
       // for "did we upgrade already".
       if (adds.exists(_.deletionVector.isDefined))
         lines += """{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}}"""
-      else if (version == 0L)
-        lines += """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}"""
+      else if (version == 0L) {
+        // a table CREATED with generated columns must declare the
+        // generatedColumns writer obligation (legacy writer 4) — under
+        // 2 a compliant foreign writer would legally null-fill or skip
+        // the generation expression and silently diverge
+        val floor = if (WriteChecks.generatedOf(schemaNow).nonEmpty) 4 else 2
+        lines += s"""{"protocol": {"minReaderVersion": 1, "minWriterVersion": $floor}}"""
+      }
       val ci = Jsons.obj()
       ci.put("timestamp", now)
       ci.put("operation", operation)

@@ -315,6 +315,92 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("incremental SemDeDup under the streaming engine, across checkpoint loss") {
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.{Dedup, Similarity}
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"; val semHist = s"$tmp/sem"
+      // the quantizer persists OUTSIDE the streaming checkpoint: losing
+      // the checkpoint loses batch ids, not the model the history's
+      // bucket ids were assigned under (and retraining is deterministic
+      // anyway — IncrementalCurationDemo pins that)
+      val qPath = s"$tmp/quantizer"
+      def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+      def file(n: Int, rows: Seq[(Long, Seq[Float])]): Unit = {
+        rows.toDF("doc_id", "emb").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 0: two orthogonal docs; batch 1: doc 3 is a SEMANTIC twin
+      // of batch 0's doc 1 (cosine ≈ 0.990 ≥ 0.95), doc 4 is novel
+      file(0, Seq((1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0))))
+      file(1, Seq((3L, vec(0.99, 0.14, 0, 0)), (4L, vec(0, 0, 1, 0))))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, vec(1))).toDF("doc_id", "emb").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            // the foreachBatch cloned-session bug class: every
+            // cross-batch read goes through tables written by earlier
+            // micro-batches of the same query
+            val w = new DeltaWriter(spark, conf)
+            val appId = "semhist"
+            // train ONCE on the first batch, probe every later batch
+            // under the SAME persisted model (bucket ids stay comparable)
+            val quant =
+              if (new java.io.File(qPath).exists())
+                Similarity.loadQuantizer(spark, qPath)
+              else {
+                val m = Similarity.trainIvfCentroids(
+                  batch, "doc_id", "emb", nlist = 2)
+                Similarity.saveQuantizer(spark, qPath, m)
+                m
+              }
+            // drop semantic twins of PRIOR batches' docs; batch_id <
+            // batchId keeps a replayed batch from flagging itself
+            // against its own index
+            val kept =
+              if (w.tableExists(semHist) && quant.nonEmpty) {
+                val flagged = Dedup.semDedupAgainstHistory(
+                  batch, w.read(semHist).filter(col("batch_id") < batchId),
+                  "doc_id", "emb", threshold = 0.95, quantizer = quant)
+                  .select("doc_id").distinct()
+                batch.join(flagged, Seq("doc_id"), "left_anti")
+              } else batch
+            if (!w.lastTxnVersion(curated, appId).exists(_ >= batchId))
+              w.write(kept, curated, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(semHist, appId).exists(_ >= batchId))
+              w.write(Dedup.semDedupIndex(kept, "doc_id", "emb", quant)
+                  .withColumn("batch_id", lit(batchId)),
+                semHist, DeltaWriteMode.Append, txn = Some((appId, batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def curatedIds() = w.read(curated).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(curatedIds() === Set(1L, 2L, 4L),
+        "a later micro-batch's semantic twin must drop against the history")
+      // idle re-run admits nothing
+      runOnce()
+      assert(curatedIds() === Set(1L, 2L, 4L))
+      // LOSE the streaming checkpoint: replay under fresh batch ids must
+      // be a no-op end to end (SetTransaction guards + batch_id probe)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(curatedIds() === Set(1L, 2L, 4L),
+        "replay after checkpoint loss must not duplicate or re-drop")
+      assert(w.read(semHist).count() === 3L,
+        "the semantic index must hold exactly the three curated docs")
+    }
+  }
+
   test("sessionize: gap-break closes inline, watermark timeout closes idle keys") {
     import graft.streaming.{Session, Sessionize}
     withTmpDir { tmp =>
