@@ -22,6 +22,14 @@ object GraftSession {
       // mixing in minhash/simhash), no div-by-zero errors.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet field-id resolution for columnMapping.mode=id Delta
+      // tables. A SESSION default, deliberately: Spark ignores the key
+      // as a per-read option (FieldIdProbeSuite pins this), and a read
+      // path silently flipping session conf is the foreachBatch
+      // protocol-swap bug class. Only request schemas CARRYING
+      // parquet.field.id metadata are affected — name-mode reads are
+      // untouched (also suite-pinned).
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

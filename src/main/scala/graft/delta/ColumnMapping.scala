@@ -171,9 +171,14 @@ object ColumnMapping {
       byFieldId: Boolean = false): DataFrame = {
     val physSchema =
       if (byFieldId) {
-        // the conf gates the reader's id lookup; only request schemas
-        // carrying parquet.field.id metadata are affected, so enabling
-        // it session-wide cannot change name-mode reads
+        // ONE-WAY LATCH, and a documented one: GraftSession sessions
+        // already run with fieldId.read.enabled=true as a session
+        // default; this set only fires for FOREIGN sessions that didn't
+        // come through GraftSession. Spark ignores the key as a per-read
+        // DataFrameReader option (FieldIdProbeSuite pins the probe), so
+        // session scope is the only scope there is. Safe session-wide:
+        // only request schemas carrying parquet.field.id metadata
+        // resolve by id — name-mode reads are untouched (suite-pinned).
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         StructType(declared.fields.map(physFieldWithId) ++ passthrough)
       } else StructType(declared.fields.map(f =>
