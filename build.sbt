@@ -32,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default, measured not guessed (round 11): the 71-query bench in
+  // one 8g JVM pays ~17% total GC tax (85.5 -> 71.0 s at 24g on an idle
+  // box; string-heavy d_ngram_jaccard alone 10.3 -> 9.2 s). The box has
+  // 128 GiB; local[32] with string-heavy shuffles is undersized at 8g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
