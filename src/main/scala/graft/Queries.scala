@@ -69,6 +69,16 @@ object Queries {
     * way, so the oracle SQL is generation-independent. */
   private def tsCol(df: DataFrame): Column = graft.util.EventTime.asTimestamp(df)
 
+  /** orders with o_orderdate through the same dtype dispatch
+    * (SCHEMA-ASSUMPTION: the generator has flipped timestamp physical
+    * types before — events.ts, round 11; date columns would break the
+    * same way). l_shipdate is unused by the inventory; add the same
+    * wrapper if a query ever touches it. */
+  private def tOrders(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    o.withColumn("o_orderdate", graft.util.EventTime.asTimestamp(o, "o_orderdate"))
+  }
+
   /** Planted cluster embeddings for the vector-operator oracles
     * (d_semdedup, e_ivf_top1): 10 tight clusters of integer-valued
     * 16-dim vectors derived from doc_id on BOTH engines. Integer
@@ -131,7 +141,7 @@ object Queries {
 
     // ----- global aggregation --------------------------------------------
     "q_agg_global" -> QueryDef(
-      (s, d) => t(s, d, "orders").agg(
+      (s, d) => tOrders(s, d).agg(
         count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_revenue"),
         date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_order"),
@@ -208,9 +218,9 @@ object Queries {
     // watermarks are no-ops.
     "q_interval_join" -> QueryDef(
       (s, d) => {
-        val o1 = t(s, d, "orders")
+        val o1 = tOrders(s, d)
           .select(col("o_custkey"), col("o_orderkey").as("k1"), col("o_orderdate").as("d1"))
-        val o2 = t(s, d, "orders")
+        val o2 = tOrders(s, d)
           .select(col("o_custkey"), col("o_orderkey").as("k2"), col("o_orderdate").as("d2"))
         graft.streaming.Patterns.intervalJoin(o1, "d1", o2, "d2",
           Seq("o_custkey"), within = "7 days")
@@ -522,7 +532,7 @@ object Queries {
 
     // ----- datetime extraction -------------------------------------------
     "q_datetime_parts" -> QueryDef(
-      (s, d) => t(s, d, "orders")
+      (s, d) => tOrders(s, d)
         .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy("o_year", "o_month"),
@@ -639,7 +649,7 @@ object Queries {
 
     // ----- non-strict timestamp parsing (strptime strict=False) -----------
     "q_strptime" -> QueryDef(
-      (s, d) => t(s, d, "orders")
+      (s, d) => tOrders(s, d)
         // round-trip: format to string, parse back non-strict (ANSI off ->
         // null on failure), bucket by quarter
         .select(to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
