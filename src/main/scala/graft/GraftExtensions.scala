@@ -56,6 +56,16 @@ object GraftExtensions {
       CharNgramsExpr(args(0), intArg("graft_char_ngrams_distinct", 1, args),
         distinct = true)
     },
+    "graft_char_ngram_hashes" -> { args =>
+      arity("graft_char_ngram_hashes", 2, args)
+      CharNgramHashesExpr(args(0), intArg("graft_char_ngram_hashes", 1, args),
+        distinct = false)
+    },
+    "graft_char_ngram_hashes_distinct" -> { args =>
+      arity("graft_char_ngram_hashes_distinct", 2, args)
+      CharNgramHashesExpr(args(0),
+        intArg("graft_char_ngram_hashes_distinct", 1, args), distinct = true)
+    },
     "graft_word_shingles" -> { args =>
       arity("graft_word_shingles", 2, args)
       WordShinglesExpr(args(0), intArg("graft_word_shingles", 1, args))

@@ -689,11 +689,13 @@ object Dedup {
     def grams(df: DataFrame, id: String, text: String, idAs: String) =
       df.select(col(id).as(idAs),
         explode(charNgramsDistinct(col(text), n)).as("g"))
-    // hash at ARRAY level so only 8-byte longs enter the explode
+    // hash IN PLACE over the text buffer (CharNgramHashesExpr) so only
+    // 8-byte longs enter the explode — the corpus-wide candidate pass
+    // never allocates a gram string
     def gramHashes(df: DataFrame, id: String, text: String, idAs: String) =
       df.select(col(id).as(idAs),
-        explode(transform(charNgramsDistinct(col(text), n),
-          g => xxhash64(g))).as("gh"))
+        explode(graft.functions.CharNgramHashFunctions
+          .charNgramHashesDistinct(col(text), n)).as("gh"))
     val corpusH = gramHashes(corpus, corpusId, corpusText, "corpus_id")
     val hotHashes =
       if (maxDf <= 0) None
@@ -778,23 +780,31 @@ object Dedup {
     val gramArrs = base.select(col("id"),
       graft.functions.CharNgramFunctions.charNgramsDistinct(col("text"), n).as("gr"))
     // ONE explode feeds the whole candidate stage, and only 8-byte gram
-    // HASHES leave it (a collision can only ADD a candidate; verification
-    // is exact downstream). |X| comes from the array size — no count
+    // HASHES leave it (an inter-document collision can only ADD a
+    // candidate, and an intra-document collision — ~2⁻⁶⁴ per gram pair
+    // within one doc — perturbs |X| by one, shifting the conservative
+    // prefix bounds infinitesimally; verification is exact downstream
+    // either way). |X| comes from the hash array size — no count
     // window — and document frequency comes from a partial-agg
     // `groupBy(gh).count` joined back on the hash (see dfAgg below): a
     // window over the hash would pin every occurrence of a hot gram to a
     // single unsplittable task, the exact straggler the agg+join avoids.
-    val gramsH = gramArrs
-      .select(col("id"), size(col("gr")).as("n_grams"),
-        // hash at ARRAY level so the explode generates 8-byte longs —
-        // gram strings never enter a Generate, a sort, or a shuffle
-        transform(col("gr"), g => xxhash64(g)).as("ghs"))
-      .select(col("id"), col("n_grams"), explode(col("ghs")).as("gh"))
+    val gramsH = base
+      .select(col("id"),
+        // hash IN PLACE over the text buffer (CharNgramHashesExpr): the
+        // candidate stage never materializes a gram string at all —
+        // |X| comes from the hash array's size (== the distinct-gram
+        // count modulo intra-doc 64-bit collisions, which the exact
+        // verify downstream tolerates), and the explode generates
+        // 8-byte longs
+        graft.functions.CharNgramHashFunctions
+          .charNgramHashesDistinct(col("text"), n).as("ghs"))
+      .select(col("id"), size(col("ghs")).as("n_grams"), explode(col("ghs")).as("gh"))
       // ONE exchange on the gram hash feeds BOTH the document-frequency
       // aggregation and the join-back below: the repartition makes the
       // two consumers' required distributions identical, so Catalyst
-      // plans a ReusedExchange and the string-heaviest subtree
-      // (charNgramsDistinct + hash + explode) materializes ONCE instead
+      // plans a ReusedExchange and the hottest map subtree
+      // (charNgramHashesDistinct + explode) materializes ONCE instead
       // of once per consumer. Net shuffle volume does not grow — the
       // join-back side already shuffled every exploded row on gh; the df
       // branch's partial-count shuffle is simply absorbed into it.

@@ -48,6 +48,36 @@ class SqlFunctionsSuite extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("char_ngram_hashes is bit-identical to transform(char_ngrams, xxhash64)") {
+    import graft.functions.{CharNgramFunctions, CharNgramHashFunctions}
+    import org.apache.spark.sql.functions.{transform, xxhash64}
+    // multi-byte UTF-8, repeats (distinct path), short text (whole-text
+    // gram), empty string, plus real corpus rows below
+    val df = Seq("hello hello world", "héllo wörld héllo", "ab", "",
+      "ααββγγ ααββγγ", "a" * 500).toDF("text")
+    Seq(3, 5, 12).foreach { n =>
+      val mismatch = df.select(
+          CharNgramHashFunctions.charNgramHashes($"text", n).as("fast"),
+          transform(CharNgramFunctions.charNgramsFast($"text", n),
+            g => xxhash64(g)).as("ref"),
+          CharNgramHashFunctions.charNgramHashesDistinct($"text", n).as("fast_d"),
+          transform(CharNgramFunctions.charNgramsDistinct($"text", n),
+            g => xxhash64(g)).as("ref_d"))
+        .filter($"fast" =!= $"ref" || $"fast_d" =!= $"ref_d")
+      assert(mismatch.count() === 0, s"n=$n diverged")
+    }
+    val sfDir = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$sfDir/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bad = docs.select(
+          CharNgramHashFunctions.charNgramHashesDistinct($"text", 12).as("fast"),
+          transform(CharNgramFunctions.charNgramsDistinct($"text", 12),
+            g => xxhash64(g)).as("ref"))
+        .filter($"fast" =!= $"ref").count()
+      assert(bad === 0, "corpus parity failed")
+    }
+  }
+
   test("graft_* functions stay inside whole-stage codegen from SQL") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
