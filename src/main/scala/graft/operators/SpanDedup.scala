@@ -40,21 +40,20 @@ import org.apache.spark.sql.functions._
   *     with a per-document gaps-and-islands window (bounded by document
   *     length, safe at any corpus scale).
   *
-  * Exactness: gram identity is 128 bits (two independent `xxhash64`
-  * seeds). A wrong span requires two distinct grams colliding on both
-  * hashes — probability < 1e-15 even at 10^12 grams (100 TB), versus
-  * the observable cost of a second string-carrying corpus scan; this is
-  * the same trade the published suffix-array pipelines make. The DuckDB
-  * oracle computes the same spans over the raw gram STRINGS, so any
-  * collision at test scale would surface as a hash mismatch.
+  * Exactness: gram identity is 128 bits — two XXH64 passes over the
+  * gram bytes with INDEPENDENT seeds ([[graft.functions
+  * .WordGramHashesExpr]]; before r11 the second hash chained off the
+  * first and the key was effectively 64-bit — see the expression's
+  * scaladoc). A wrong span requires two distinct grams colliding on
+  * both hashes — probability < 1e-15 even at 10^12 grams (100 TB),
+  * versus the observable cost of a second string-carrying corpus scan;
+  * this is the same trade the published suffix-array pipelines make.
+  * The DuckDB oracle computes the same spans over the raw gram
+  * STRINGS, so any collision at test scale would surface as a hash
+  * mismatch.
   */
 object SpanDedup {
 
-  private def gramStrings(w: Column, n: Int, delim: String): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(delim, slice(w, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
 
   /** Span joins key on `cast(idCol as long)`; a non-numeric id column
     * casts to null, every row misses the join, and duplicated spans pass
@@ -77,10 +76,14 @@ object SpanDedup {
     "the cross-batch history schema is packed-long only (no struct " +
     "fallback); re-key documents into [0, 2^31) before indexing"
 
-  /** 128-bit gram key: two xxhash64 passes with distinct seeds. */
-  private def gramKeys(gs: Column): Column =
-    transform(gs, g => struct(xxhash64(g).as("h1"),
-      xxhash64(g, lit(0x9E3779B9L)).as("h2")))
+  // 128-bit gram keys now come from WordGramHashesExpr — two genuinely
+  // independent XXH64 seeds over the joined window bytes, assembled in
+  // a reused buffer (no slice array / gram string per window). The old
+  // column formulation's second hash `xxhash64(g, lit(seed))` CHAINED
+  // (= hashLong(seed, h1)), silently degrading the key to 64 bits; the
+  // dependence is pinned in WordGramHashesSuite so it can't return.
+  // r11 HISTORY NOTE: h2's definition changed — rebuild gram-owner
+  // histories written before r11 (h1 unchanged).
 
   /** Per-occurrence gram rows `(doc_id, pos, gh, okey)`; `okey` is the
     * canonical-owner ordering key — packed long by default (hash-
@@ -95,7 +98,8 @@ object SpanDedup {
     // hash before explode: the Generate emits (pos, {h1,h2}) longs only
     val occBase = toks
       .select(col("doc_id"),
-        posexplode(gramKeys(gramStrings(col("w"), n, delim))))
+        posexplode(graft.functions.WordGramHashFunctions
+          .wordGramHashes(col("w"), n, delim)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("gh"))
     // owner key: packed long (hash-aggregable min) by default, guarded
