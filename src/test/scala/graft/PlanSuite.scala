@@ -125,6 +125,33 @@ class PlanSuite extends SparkSpec {
       s"the exploded-hash exchange must be shared between df agg and join-back:\n${plan.take(3000)}")
   }
 
+  test("gram candidate stages hash in place — no transform+xxhash64 regression") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the fused expressions removed the per-gram string materialization
+    // from the corpus-wide candidate passes (ngram-jaccard 7.6 -> 4.7 s,
+    // contamination ~4.9 -> 2.3 s, span family ~2 -> ~1 s isolated
+    // sf0.1); a refactor that reverts to transform(char_ngrams, xxhash64)
+    // or the CHAINED two-seed struct (the r11 64-bit-key bug) changes
+    // these plan strings
+    val ngram = finalPlanOf(Dedup.charNgramJaccardExactPairs(
+      docs, "doc_id", "text", n = 12, threshold = 0.8))
+    assert(ngram.contains("char_ngram_hashes"),
+      s"ngram-jaccard candidates must use the in-place hash expression:\n${ngram.take(1200)}")
+    val contamination = finalPlanOf(Dedup.ngramContamination(
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+      n = 12, minShared = 32))
+    assert(contamination.contains("char_ngram_hashes"),
+      s"contamination candidates must use the in-place hash expression:\n${contamination.take(1200)}")
+    val spans = finalPlanOf(graft.operators.SpanDedup.spans(
+      docs, "doc_id", "text", n = 10))
+    assert(spans.contains("word_gram_hashes"),
+      s"span grams must use the independent-seed fused expression:\n${spans.take(1200)}")
+    assert(!spans.contains("concat_ws"),
+      "span gram strings must not materialize in the plan")
+  }
+
   test("span dedup owners are a partial agg; no window over the gram key") {
     assume(available)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
