@@ -776,7 +776,13 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // per-doc distinct gram ARRAYS, computed exactly once — verification
     // intersects these, never re-derives grams per candidate pair (the
-    // per-pair recompute was a 9× regression at sf0.1)
+    // per-pair recompute was a 9× regression at sf0.1). DEAD END,
+    // measured: swapping these for 128-bit struct{h1,h2} key arrays (to
+    // kill the last string materialization) took the query 4.7 → 75 s at
+    // sf0.1 — ArrayIntersect/ArrayUnion only have their hash-set fast
+    // path for ATOMIC element types and fall back to O(n·m) pairwise
+    // comparison on structs; string arrays keep the fast path AND the
+    // unconditional exactness the operator is named for.
     val gramArrs = base.select(col("id"),
       graft.functions.CharNgramFunctions.charNgramsDistinct(col("text"), n).as("gr"))
     // ONE explode feeds the whole candidate stage, and only 8-byte gram
