@@ -118,6 +118,56 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("gram-hash expressions: random-text parity with their HOF formulations") {
+    import graft.functions.{CharNgramFunctions, CharNgramHashFunctions, WordGramHashFunctions}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    // text over a unicode-heavy alphabet: multi-byte code points stress
+    // the byte-offset walk; spaces stress tokenization windows
+    val alphabet = Gen.oneOf(('a' to 'e') ++ Seq(' ', 'é', 'ω', '中', ' '))
+    val textGen = for {
+      len <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(len, alphabet)
+    } yield cs.mkString
+    forAllSampled(Gen.zip(Gen.listOfN(8, textGen), Gen.choose(1, 7)), 12) {
+      case (texts, n) =>
+        val df = texts.toDF("text")
+        // char-ngram hashes == transform(char_ngrams, xxhash64), both modes
+        val bad = df.select(
+            CharNgramHashFunctions.charNgramHashes($"text", n).as("f"),
+            transform(CharNgramFunctions.charNgramsFast($"text", n),
+              g => xxhash64(g)).as("r"),
+            CharNgramHashFunctions.charNgramHashesDistinct($"text", n).as("fd"),
+            transform(CharNgramFunctions.charNgramsDistinct($"text", n),
+              g => xxhash64(g)).as("rd"))
+          .filter($"f" =!= $"r" || $"fd" =!= $"rd").count()
+        assert(bad === 0, s"char-ngram hash parity failed at n=$n for $texts")
+        // word-gram h1 == xxhash64(concat_ws window); h2 independent seed
+        val rows = df.select(split($"text", " ").as("w"))
+          .select(
+            WordGramHashFunctions.wordGramHashes($"w", n, " ").as("k"),
+            when(size($"w") >= n,
+              transform(sequence(lit(0), size($"w") - n),
+                i => concat_ws(" ", slice($"w", i + lit(1), lit(n)))))
+              .otherwise(array().cast("array<string>")).as("g"))
+          .collect()
+        rows.foreach { r =>
+          val ks = r.getSeq[org.apache.spark.sql.Row](0)
+          val gs = r.getSeq[String](1)
+          assert(ks.length === gs.length)
+          ks.zip(gs).foreach { case (k, g) =>
+            val bytes = g.getBytes("UTF-8")
+            val off = Platform.BYTE_ARRAY_OFFSET
+            assert(k.getLong(0) ===
+              XXH64.hashUnsafeBytes(bytes, off, bytes.length, 42L))
+            assert(k.getLong(1) ===
+              XXH64.hashUnsafeBytes(bytes, off, bytes.length, 0x9E3779B9L))
+          }
+        }
+    }
+  }
+
   test("TOML: rendered flat documents round-trip through the parser") {
     val key = Gen.identifier.map(_.take(12)).suchThat(_.nonEmpty)
     val value: Gen[Any] = Gen.oneOf(
