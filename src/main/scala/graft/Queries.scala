@@ -1119,6 +1119,56 @@ object Queries {
              |FROM btop JOIN tdup ON btop.doc_id = tdup.doc_id
              |ORDER BY id""".stripMargin)),
 
+    // ----- TF-IDF top terms per document (oracle-checked) -----------------
+    // ranked by the exact-rational relevance (tf*N)/df — bit-identical
+    // across correctly-rounding engines (Relevance scaladoc has the
+    // determinism argument); the log-idf score is emitted, never sorted on
+    "d_tfidf" -> QueryDef(
+      (s, d) => graft.operators.Relevance.tfIdfTopTerms(
+        t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("id", "rnk"),
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS rel,
+             |    ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY doc_id ORDER BY rel DESC, term ASC) AS rnk
+             |  FROM scored)
+             |SELECT doc_id AS id, rnk, term, tf, df, tfidf FROM ranked
+             |WHERE rnk <= 5 ORDER BY id, rnk""".stripMargin)),
+
+    // ----- BM25 retrieval scoring (oracle-checked) ------------------------
+    // Lucene-style non-negative idf; per-term partials decimal-summed so
+    // addition order cannot move the hash; the corpus' token stream is
+    // pruned map-side to query-term hits before any shuffle
+    "d_bm25" -> QueryDef(
+      (s, d) => graft.operators.Relevance.bm25(
+        t(s, d, "documents"), "doc_id", "text",
+        query = Seq("join", "vector", "stream")).orderBy("id"),
+      Some("""WITH q AS (SELECT UNNEST(['join', 'vector', 'stream']) AS term),
+             |base AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
+             |    LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+             |stats AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+             |hits AS (SELECT doc_id, dl, UNNEST(ws) AS term FROM base),
+             |tf AS (SELECT h.doc_id, h.term, COUNT(*) AS tf, MAX(h.dl) AS dl
+             |  FROM hits h JOIN q USING (term) GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |part AS (
+             |  SELECT tf.doc_id,
+             |    LN(1 + ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)))
+             |      * ((tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))) AS p
+             |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+             |SELECT doc_id AS id,
+             |  ROUND(CAST(SUM(CAST(p AS DECIMAL(30,9))) AS DOUBLE), 4) AS bm25
+             |FROM part GROUP BY 1 ORDER BY id""".stripMargin)),
+
     // ----- benchmark decontamination (EXACT, oracle-checked) --------------
     // docs 0,20,40,... stand in for an eval set; a training doc sharing
     // >= 32 distinct 12-grams with any of them is contamination (32 picks

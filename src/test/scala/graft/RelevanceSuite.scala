@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Relevance
+
+/** TF-IDF / BM25 relevance scoring against hand-computed fixtures. */
+class RelevanceSuite extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, known term statistics
+  private def corpus = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana cherry cherry cherry"),
+    (3L, "apple date"),
+    (4L, "elderberry date date")).toDF("doc_id", "text")
+
+  test("tfIdfTopTerms ranks by tf*N/df with term tie-break and exact counts") {
+    val out = Relevance.tfIdfTopTerms(corpus, "doc_id", "text", k = 2)
+      .orderBy("id", "rnk").collect()
+    // doc 1: apple tf=2 df=2 rel=2*4/2=4 ; banana tf=1 df=2 rel=2 ; cherry tf=1 df=2 rel=2
+    //   -> rnk1 apple, rnk2 banana (tie with cherry broken by term asc)
+    val d1 = out.filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getString(2)))
+    assert(d1.toSeq === Seq((1L, "apple"), (2L, "banana")))
+    // doc 2: cherry tf=3 df=2 rel=6 tops banana tf=1 df=2 rel=2
+    val d2 = out.filter(_.getLong(0) == 2L).map(_.getString(2))
+    assert(d2.toSeq === Seq("cherry", "banana"))
+    // doc 4: date tf=2 df=2 rel=4 vs elderberry tf=1 df=1 rel=4 — equal
+    //   rationals, tie broken by term: date first
+    val d4 = out.filter(_.getLong(0) == 4L).map(_.getString(2))
+    assert(d4.toSeq === Seq("date", "elderberry"))
+    // tfidf value: doc1 apple = round(2 * ln(4/2), 4) = 1.3863
+    val a1 = out.find(r => r.getLong(0) == 1L && r.getString(2) == "apple").get
+    assert(a1.getLong(3) === 2L) // tf
+    assert(a1.getLong(4) === 2L) // df
+    assert(a1.getDouble(5) === math.rint(2 * math.log(2) * 1e4) / 1e4)
+  }
+
+  test("bm25 matches a hand-computed score and skips non-matching docs") {
+    val out = Relevance.bm25(corpus, "doc_id", "text", query = Seq("apple"))
+      .orderBy("id").collect()
+    // only docs 1 and 3 contain "apple"
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // N=4 docs, df(apple)=2, dl = (4,4,2,3), avgdl = 13/4 = 3.25
+    val idf = math.log(1d + (4 - 2 + 0.5) / (2 + 0.5))
+    def sat(tf: Long, dl: Long) =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.25)))
+    val exp1 = BigDecimal(idf * sat(2, 4)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val exp3 = BigDecimal(idf * sat(1, 2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(0).getDouble(1) === exp1.toDouble)
+    assert(out(1).getDouble(1) === exp3.toDouble)
+  }
+
+  test("bm25 sums per-term partials for multi-term queries") {
+    val out = Relevance.bm25(corpus, "doc_id", "text",
+      query = Seq("banana", "cherry")).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // doc 2 has both terms; its score strictly exceeds either single-term run
+    val single = Relevance.bm25(corpus, "doc_id", "text", query = Seq("cherry"))
+      .filter($"id" === 2L).head().getDouble(1)
+    val both = out.find(_.getLong(0) == 2L).get.getDouble(1)
+    assert(both > single)
+  }
+}
