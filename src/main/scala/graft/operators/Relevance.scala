@@ -12,12 +12,13 @@ import org.apache.spark.sql.types.DecimalType
   * Probabilistic Relevance Framework: BM25 and Beyond").
   *
   * Scale shapes (the 100 TB story):
-  *  - [[tfIdfTopTerms]] is the canonical three-shuffle plan — tf keyed by
-  *    (doc, term) with map-side partial aggregation, df derived FROM the
-  *    tf relation (terms only, never re-reading the corpus), a term-keyed
-  *    shuffle join tf⋈df (the vocabulary of a 100 TB corpus is itself
-  *    huge, so df is NOT broadcast), and a doc-keyed window for top-k.
-  *    Nothing is quadratic; no full-vocabulary driver state.
+  *  - [[tfIdfTopTerms]] is the classic MapReduce word-count shape: the
+  *    token stream shuffles ONCE by term, and that single exchange
+  *    satisfies the tf aggregation (term ⊆ {doc,term}), the df
+  *    aggregation, and both sides of the tf⋈df join (the vocabulary of a
+  *    100 TB corpus is itself huge, so df is NOT broadcast); a doc-keyed
+  *    window takes top-k. Two exchanges total, one corpus scan, nothing
+  *    quadratic, no full-vocabulary driver state.
   *  - [[bm25]] broadcasts the QUERY-term set into a map-side `isin`
   *    filter, so the corpus' token stream is pruned to query-term hits
   *    before anything shuffles — per-doc length comes from `size(split)`
@@ -41,8 +42,19 @@ object Relevance {
     * determinism note above), ties broken by term ascending. */
   def tfIdfTopTerms(ds: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
+    // ONE term-keyed exchange below every aggregate — the classic MR
+    // word-count shape. Term-partitioning satisfies the ClusteredDistri-
+    // bution of the tf agg (term ⊆ {id,term}), the df agg, AND both sides
+    // of the tf⋈df join, so the whole operator costs exactly two
+    // exchanges (this one + the top-k window) and the corpus scan+explode
+    // materializes ONCE as a ReusedExchange. The alternative — groupBy
+    // first for map-side combine — plans the explode subtree into BOTH
+    // the tf and df branches (the optimizer rewrites the df copy to a
+    // keys-only aggregate, killing exchange reuse), i.e. trades a whole
+    // second corpus scan for a ~1.3× smaller shuffle: strictly worse.
     val toks = ds.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("term"))
+      .repartition(col("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = ds.select(count(lit(1)).as("n"))
@@ -70,11 +82,18 @@ object Relevance {
       .withColumn("dl", size(col("ws")).cast("long"))
     val stats = base.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // map-side prune to query-term hits BEFORE any shuffle
+    // map-side prune to query-term hits BEFORE any shuffle, then ONE
+    // term-keyed exchange below every aggregate (see tfIdfTopTerms note):
+    // tf, df, and the join all run on the same term-partitioned stream,
+    // and the corpus scan+explode+filter materializes once
     val hits = base.select(col("id"), col("dl"), explode(col("ws")).as("term"))
       .filter(col("term").isin(query: _*))
-    val tf = hits.groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .repartition(col("term"))
+    // dl rides as a GROUPING key (functionally dependent on id, so the
+    // groups are unchanged) rather than a first() aggregate: grouping keys
+    // survive column pruning, so the df branch's copy of this subtree
+    // stays canonically identical to the tf side and the exchange reuses
+    val tf = hits.groupBy("id", "term", "dl").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // expression trees mirror the ANSI oracle token-for-token: every op is
     // correctly-rounded IEEE except ln, whose ulp noise dies in round(.,4)

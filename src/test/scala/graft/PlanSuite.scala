@@ -318,6 +318,59 @@ class PlanSuite extends SparkSpec {
     }
   }
 
+  test("tfidf top-k windows per doc, combines map-side, and never goes cartesian") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = finalPlanOf(graft.operators.Relevance.tfIdfTopTerms(
+      docs, "doc_id", "text", k = 5))
+    // tf must combine map-side before its (doc, term) shuffle, the top-k
+    // window must partition on the doc id (a partition-less window funnels
+    // the corpus into one task), and no stage may plan an all-pairs join
+    assert(plan.contains("partial_"),
+      s"tf must partial-aggregate before the shuffle:\n${plan.take(1500)}")
+    assert(!"""windowspecdefinition\(\w+#\d+L? ASC""".r.findFirstIn(plan).isDefined,
+      s"partition-less window in the tfidf plan:\n${plan.take(1500)}")
+    assert(plan.contains("windowspecdefinition(id#"),
+      s"expected the per-doc top-k window:\n${plan.take(1500)}")
+    // the ONLY nested-loop join allowed is the 1-row scalar N attach
+    // (crossJoin of a grouping-less aggregate); anything else is a blow-up
+    assert(!plan.contains("CartesianProduct"),
+      "tfidf must never plan a cartesian join")
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size <= 1,
+      s"unexpected nested-loop joins beyond the scalar N attach:\n${plan.take(2000)}")
+    // distinct-exchange budget (reused stages share a plan_id): the
+    // term-keyed token shuffle + the per-doc top-k window, nothing else —
+    // tf, df, and the tf⋈df join must all ride the ONE term exchange, and
+    // the corpus explode pass must materialize once, never per consumer
+    val exIds = """Exchange (?:hash|range)partitioning[^\]]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exIds.size <= 2,
+      s"tfidf exchange budget exceeded (${exIds.size}):\n${plan.take(3000)}")
+  }
+
+  test("bm25 prunes to query-term hits before any exchange") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Relevance.bm25(
+      docs, "doc_id", "text", query = Seq("join", "vector", "stream"))
+    val plan = finalPlanOf(df)
+    // the term isin filter prunes the exploded token stream map-side, so
+    // only query-term hits ever shuffle: (id,term) tf, per-term df, and
+    // the final per-doc sum — a bounded exchange budget, with the
+    // |query|-row df relation broadcast, never shuffled into a join
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      s"query-term pruning lost:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-term df must broadcast-join:\n${plan.take(1500)}")
+    // count DISTINCT exchanges — AQE prints a reused shuffle stage as a
+    // second full subtree with the SAME plan_id, so raw text occurrences
+    // overcount: the term-keyed hit shuffle + the final per-doc sum = 2
+    val exIds = """Exchange hashpartitioning[^\]]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exIds.size <= 2,
+      s"bm25 exchange budget exceeded (${exIds.size}):\n${plan.take(3000)}")
+  }
+
   test("token stats run in one codegen pass with no hash exchange") {
     assume(available)
     val plan = finalPlanOf(Queries.defs("d_token_count").build(spark, sfDir))
