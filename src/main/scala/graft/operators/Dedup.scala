@@ -728,6 +728,56 @@ object Dedup {
       .filter(col("shared_grams") >= minShared)
   }
 
+  /** Persistable benchmark gram index for INCREMENTAL decontamination:
+    * one row per (bench_id, distinct n-gram) with both the gram STRING
+    * (exact verify) and its XXH64 (fast probe; identical to the in-place
+    * hash the batch side computes — parity suite-pinned). Built once per
+    * eval-set release and persisted; eval sets are thousands of docs, so
+    * the index is megabytes and broadcasts whole. Unlike the dedup
+    * histories this index is STATIC — screening is stateless per batch,
+    * so it composes under any driver (batch, foreachBatch, readStream)
+    * with no cross-batch bookkeeping. */
+  def benchmarkGramIndex(bench: DataFrame, benchId: String,
+      benchText: String, n: Int = 12): DataFrame = {
+    import graft.functions.CharNgramFunctions.charNgramsDistinct
+    bench.select(col(benchId).cast("long").as("bench_id"),
+        explode(charNgramsDistinct(col(benchText), n)).as("g"))
+      .withColumn("gh", xxhash64(col("g")))
+  }
+
+  /** Screen an incoming batch against a persisted [[benchmarkGramIndex]]:
+    * returns exact (corpus_id, bench_id, shared_grams) with
+    * `shared_grams >= minShared`, bit-identical to running
+    * [[ngramContamination]] against the index's source benchmark. Same
+    * two-pass shape as the batch operator: a hash-only candidate probe
+    * (the batch's grams hash IN PLACE — no gram string materializes on
+    * the corpus side; collisions can only ADD candidates), then an exact
+    * gram-string verify over the candidate docs only. The index
+    * broadcasts on both passes and the batch never shuffles — at 100 TB
+    * each arriving batch pays one map-side probe over its own rows. */
+  def contaminationAgainstIndex(batch: DataFrame, corpusId: String,
+      corpusText: String, index: DataFrame, n: Int = 12,
+      minShared: Int = 2): DataFrame = {
+    import graft.functions.CharNgramFunctions.charNgramsDistinct
+    val corpusH = batch.select(col(corpusId).as("corpus_id"),
+      explode(graft.functions.CharNgramHashFunctions
+        .charNgramHashesDistinct(col(corpusText), n)).as("gh"))
+    val candidates = corpusH
+      .join(broadcast(index.select(col("bench_id"), col("gh"))), Seq("gh"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("sh"))
+      .filter(col("sh") >= minShared)
+    val candDocs = batch.join(
+      broadcast(candidates.select(col("corpus_id"))),
+      col(corpusId) === col("corpus_id"), "left_semi")
+    candDocs.select(col(corpusId).as("corpus_id"),
+        explode(charNgramsDistinct(col(corpusText), n)).as("g"))
+      .join(broadcast(index.select(col("bench_id"), col("g"))), Seq("g"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** EXACT character-n-gram Jaccard pairs — the oracle-checkable
     * complement to the LSH variant above, via the AllPairs/PPJoin prefix
     * filter (Bayardo et al., WWW'07): J(A,B) ≥ t implies |A∩B| ≥

@@ -488,6 +488,45 @@ class DedupSuite extends SparkSpec {
       "the capped shared count must shrink")
   }
 
+  test("contamination against a persisted index matches the batch operator exactly") {
+    val benchText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val bench = Seq((100L, benchText),
+      (200L, "completely different benchmark prompt about solving equations step by step")
+    ).toDF("id", "t")
+    val corpus = Seq(
+      (1L, "unrelated text about cooking pasta with fresh tomatoes and basil leaves"),
+      (2L, s"prefix then $benchText and a suffix"),
+      (3L, benchText.replace("fox", "cat")),
+      (4L, "students keep solving equations step by step until the answers converge")
+    ).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cidx").toString
+    Dedup.benchmarkGramIndex(bench, "id", "t", n = 12)
+      .write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val incr = Dedup.contaminationAgainstIndex(corpus, "id", "t", idx,
+      n = 12, minShared = 8).orderBy("corpus_id", "bench_id").collect()
+    val batch = Dedup.ngramContamination(corpus, "id", "t", bench, "id", "t",
+      n = 12, minShared = 8).orderBy("corpus_id", "bench_id").collect()
+    assert(incr.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(incr.nonEmpty, "the planted overlaps must surface")
+    // stateless screening: a second "batch" sees only its own hits, and
+    // the index needs no rebuild between batches
+    val batch2 = Seq((9L, s"new arrival quoting $benchText verbatim"),
+      (10L, "benign new arrival")).toDF("id", "t")
+    val hits2 = Dedup.contaminationAgainstIndex(batch2, "id", "t", idx,
+      n = 12, minShared = 8).collect()
+    assert(hits2.map(_.getLong(0)).toSeq === Seq(9L))
+    // scale shape: both passes broadcast the index; the probe keys on the
+    // 8-byte hash so no corpus gram string exists before the verify pass
+    val plan = Dedup.contaminationAgainstIndex(corpus, "id", "t", idx)
+      .queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin \[gh#""".r.findFirstIn(plan).isDefined,
+      s"candidate probe must broadcast-join on the gram hash:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the screen may shuffle-join:\n${plan.take(1500)}")
+  }
+
   test("connected components: star graphs, multi-round chains, multiple components") {
     // every graph resolves through BOTH paths — driver union-find (the
     // small-graph short-circuit) and the distributed star contraction
