@@ -293,6 +293,62 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("tfidf top-k equals the brute-force reference on random corpora") {
+    // tiny vocabulary forces heavy df collisions and rank ties — the
+    // worst case for the exact-rational ranking's tie-breaks
+    val docGen = Gen.choose(1, 6)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf("x", "y", "z", "w")))
+      .map(_.mkString(" "))
+    forAllSampled(Gen.listOfN(6, docGen), 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val n = docs.size
+      val tf = docs.flatMap { case (id, t) =>
+        t.split(" ").groupBy(identity).map { case (w, o) => (id, w, o.length.toLong) } }
+      val dfm = tf.groupBy(_._2).map { case (w, rows) => w -> rows.size.toLong }
+      val expected = tf.groupBy(_._1).flatMap { case (id, rows) =>
+        rows.map { case (_, w, c) => (w, c, dfm(w), (c * n).toDouble / dfm(w)) }
+          .sortBy { case (w, _, _, rel) => (-rel, w) }
+          .take(2).zipWithIndex
+          .map { case ((w, c, d, _), i) => (id, (i + 1).toLong, w, c, d) }
+      }.toSet
+      val got = graft.operators.Relevance
+        .tfIdfTopTerms(docs.toDF("doc_id", "text"), "doc_id", "text", k = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === expected, s"texts=$texts")
+    }
+  }
+
+  test("bm25 equals the brute-force reference on random corpora") {
+    val docGen = Gen.choose(1, 8)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf("x", "y", "z", "w")))
+      .map(_.mkString(" "))
+    forAllSampled(Gen.listOfN(5, docGen), 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val query = Seq("x", "z")
+      val n = docs.size
+      val dls = docs.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+      val avgdl = dls.values.sum.toDouble / n
+      val tf = docs.flatMap { case (id, t) =>
+        t.split(" ").filter(query.contains).groupBy(identity)
+          .map { case (w, o) => (id, w, o.length.toLong) } }
+      val dfm = tf.groupBy(_._2).map { case (w, rows) => w -> rows.size.toLong }
+      val expected = tf.groupBy(_._1).map { case (id, rows) =>
+        val s = rows.map { case (_, w, c) =>
+          val idf = math.log(1d + ((n - dfm(w)).toDouble + 0.5) / (dfm(w).toDouble + 0.5))
+          val p = idf * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * (dls(id) / avgdl))))
+          BigDecimal(p).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (id, s.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val got = graft.operators.Relevance
+        .bm25(docs.toDF("doc_id", "text"), "doc_id", "text", query)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === expected, s"texts=$texts")
+    }
+  }
+
   test("span dedup spans equal the brute-force reference on random corpora") {
     // 3-token alphabet forces dense gram sharing: many overlapping marks,
     // multi-gram islands, whole-doc spans — the merge logic's worst case
