@@ -1024,6 +1024,42 @@ object Queries {
               |    / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS mean_token_len
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- model-based quality scoring (CCNet-style LM surprisal) ---------
+    // char-trigram LM trained on the doc_id % 10 == 0 reference slice,
+    // add-one smoothing; remaining docs scored by mean per-window
+    // surprisal. The model is bounded by the trigram alphabet and rides
+    // a broadcast map literal — scoring is a zero-shuffle map pass.
+    // Per-window terms decimal-sum (addition-order-proof); ln ulp noise
+    // dies in round(·,2) behind the 1e-9-resolution decimal sum.
+    "d_lm_surprisal" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lm = graft.operators.Curation.ngramLm(
+          docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+        graft.operators.Curation.surprisalScore(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", lm)
+          .orderBy("id")
+      },
+      Some("""WITH model AS (
+             |  SELECT g, COUNT(*) AS c FROM (
+             |    SELECT UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+             |      ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+             |      END) AS g
+             |    FROM documents WHERE doc_id % 10 = 0) GROUP BY 1),
+             |stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM model),
+             |grams AS (
+             |  SELECT doc_id, UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+             |    ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+             |    END) AS g
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |scored AS (
+             |  SELECT doc_id, CAST(-LN(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+             |      / (total + v + 1)) AS DECIMAL(30,9)) AS t
+             |  FROM grams LEFT JOIN model m USING (g) CROSS JOIN stats)
+             |SELECT doc_id AS id,
+             |  ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 2) AS nll
+             |FROM scored GROUP BY 1 ORDER BY id""".stripMargin)),
+
     // ----- language ID heuristic -----------------------------------------
     "d_lang_id" -> QueryDef(
       (s, d) => t(s, d, "documents")

@@ -125,6 +125,61 @@ object Curation {
           col("stopword_hits") >= 2L)
   }
 
+  /** A character-n-gram language model for CCNet-style model-based
+    * quality scoring (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", arXiv:1911.00359 — there
+    * a KenLM 5-gram; here the classpath-free char-trigram analogue):
+    * add-one-smoothed surprisal under a reference corpus. `counts` is
+    * BOUNDED by the n-gram alphabet (O(|charset|^n), tens of thousands
+    * for natural-language trigrams) NO MATTER the reference size — the
+    * same bounded-model argument as the IVF centroid collect — so it
+    * broadcasts as a literal and scoring is a zero-shuffle map pass. */
+  case class NgramLm(counts: Map[String, Long], total: Long, vocab: Long, n: Int) {
+    require(total > 0, "ngramLm: empty reference corpus")
+  }
+
+  /** Train [[NgramLm]] on a reference slice. The aggregation is one
+    * partial-agg shuffle over the reference's grams; the collect is the
+    * bounded model, not the data. */
+  def ngramLm(ref: DataFrame, textCol: String, n: Int = 3): NgramLm = {
+    val rows = ref.select(explode(graft.functions.CharNgramFunctions
+        .charNgramsFast(col(textCol), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .collect()
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    NgramLm(m, m.values.sum, m.size.toLong, n)
+  }
+
+  /** (id, nll): mean add-one surprisal per n-gram window,
+    * `-ln((count(g)+1) / (total+vocab+1))` averaged over the document's
+    * windows and rounded to 2 — high = unlike the reference corpus (the
+    * CCNet head/middle/tail cut is a quantile over exactly this score).
+    * Per-window terms go through DECIMAL(30,9) before summing so float
+    * addition order cannot move the result, and the ln ulp noise (the
+    * only non-correctly-rounded op) dies in the final round(·,2).
+    * Scale shape: the model rides a map literal — no join, no shuffle;
+    * the whole score fuses into the scan. */
+  def surprisalScore(df: DataFrame, idCol: String, textCol: String,
+      lm: NgramLm): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val denom = lm.total + lm.vocab + 1L
+    val model = typedlit(lm.counts)
+    val grams = graft.functions.CharNgramFunctions
+      .charNgramsFast(col(textCol), lm.n)
+    val nll = transform(grams, g =>
+      -log((coalesce(element_at(model, g), lit(0L)) + lit(1L)).cast("double") /
+        lit(denom)))
+    // the merge re-casts to (30,9) each step: Spark widens decimal
+    // addition to (31,9) -> overflow-trims at (38,*) by dropping scale,
+    // which would silently change the 9-digit term quantization; the
+    // re-cast is exact at these magnitudes (nll sums < 10^8)
+    df.select(col(idCol).as("id"),
+      round(aggregate(nll, lit(0).cast(DecimalType(30, 9)),
+          (acc, x) => (acc + x.cast(DecimalType(30, 9)))
+            .cast(DecimalType(30, 9))).cast("double") /
+        size(grams), 2).as("nll"))
+  }
+
   /** Mixture accounting: per-stratum document and token counts plus each
     * stratum's share of the corpus's tokens — the report a mixing step
     * is tuned against. One partial-agg shuffle on the stratum key; the

@@ -692,6 +692,35 @@ class CurationSuite extends SparkSpec {
     assert(out(3).getLong(2) === 0L)
   }
 
+  test("LM surprisal: in-domain text scores low, out-of-domain high, exact fixture math") {
+    // reference corpus: "ababab" -> trigrams aba, bab, aba, bab
+    // model: {aba->2, bab->2}, total=4, vocab=2, denom=7
+    val ref = Seq((0L, "ababab")).toDF("doc_id", "text")
+    val lm = Curation.ngramLm(ref, "text", n = 3)
+    assert(lm.counts === Map("aba" -> 2L, "bab" -> 2L))
+    assert((lm.total, lm.vocab) === ((4L, 2L)))
+    val docs = Seq(
+      (1L, "ababa"),   // aba, bab, aba: all seen, nll = -ln(3/7)
+      (2L, "xyzxy"),   // xyz, yzx, zxy: all unseen, nll = -ln(1/7)
+      (3L, "ab")       // shorter than n: one whole-text gram, unseen
+    ).toDF("doc_id", "text")
+    val out = Curation.surprisalScore(docs, "doc_id", "text", lm)
+      .orderBy("id").collect()
+    def r2(x: Double) = BigDecimal(
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(1) === r2(-math.log(3d / 7)))
+    assert(out(1).getDouble(1) === r2(-math.log(1d / 7)))
+    assert(out(2).getDouble(1) === r2(-math.log(1d / 7)))
+    assert(out(0).getDouble(1) < out(1).getDouble(1),
+      "in-domain text must score below out-of-domain")
+    // scale shape: the model is a literal — scoring plans zero exchanges
+    val plan = Curation.surprisalScore(docs, "doc_id", "text", lm)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"surprisal scoring must not shuffle:\n${plan.take(1200)}")
+  }
+
   test("normalizeText canonicalizes case/punct/whitespace re-encodings together") {
     val df = Seq(
       (1L, "The  quick,   BROWN fox!"),
