@@ -168,6 +168,46 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("surprisal expression: random-text parity with the HOF map-literal formulation") {
+    import graft.functions.CharNgramFunctions
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val alphabet = Gen.oneOf(('a' to 'd') ++ Seq(' ', 'é', '中'))
+    val textGen = for {
+      len <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(len, alphabet)
+    } yield cs.mkString
+    forAllSampled(Gen.zip(Gen.listOfN(3, textGen), Gen.listOfN(6, textGen),
+        Gen.choose(1, 4)), 10) { case (refTexts, docTexts, n) =>
+      val refNonEmpty = refTexts.map(t => if (t.isEmpty) "a" else t)
+      val lm = Curation.ngramLm(
+        refNonEmpty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text"), "text", n)
+      val docs = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fast = Curation.surprisalScore(docs, "doc_id", "text", lm)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // the reference formulation the expression must equal bit-for-bit:
+      // per-window -ln over a count-map literal, decimal(30,9)-quantized
+      // terms, exact decimal sum, mean over windows, round 2
+      val denom = lm.total + lm.vocab + 1L
+      val model = typedlit(lm.counts)
+      val grams = CharNgramFunctions.charNgramsFast(col("text"), n)
+      val nll = transform(grams, g =>
+        -log((coalesce(element_at(model, g), lit(0L)) + lit(1L)).cast("double") /
+          lit(denom)))
+      val slow = docs.select(col("doc_id").as("id"),
+          round(aggregate(nll, lit(0).cast(DecimalType(30, 9)),
+              (acc, x) => (acc + x.cast(DecimalType(30, 9)))
+                .cast(DecimalType(30, 9))).cast("double") /
+            size(grams), 2).as("nll"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(fast.toSeq === slow.toSeq,
+        s"surprisal parity failed at n=$n ref=$refNonEmpty docs=$docTexts")
+    }
+  }
+
   test("TOML: rendered flat documents round-trip through the parser") {
     val key = Gen.identifier.map(_.take(12)).suchThat(_.nonEmpty)
     val value: Gen[Any] = Gen.oneOf(
