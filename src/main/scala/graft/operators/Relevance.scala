@@ -11,19 +11,27 @@ import org.apache.spark.sql.types.DecimalType
   * retrieval, and topic filtering (Robertson & Zaragoza 2009, "The
   * Probabilistic Relevance Framework: BM25 and Beyond").
   *
-  * Scale shapes (the 100 TB story):
-  *  - [[tfIdfTopTerms]] is the classic MapReduce word-count shape: the
-  *    token stream shuffles ONCE by term, and that single exchange
-  *    satisfies the tf aggregation (term ⊆ {doc,term}), the df
-  *    aggregation, and both sides of the tf⋈df join (the vocabulary of a
-  *    100 TB corpus is itself huge, so df is NOT broadcast); a doc-keyed
-  *    window takes top-k. Two exchanges total, one corpus scan, nothing
-  *    quadratic, no full-vocabulary driver state.
+  * Scale shapes (the 100 TB story). The governing constraint is Zipf
+  * skew: ANY stage that shuffles raw per-occurrence rows keyed by the
+  * term alone pins every occurrence of "the" (~5% of all tokens) into
+  * ONE task, and AQE cannot split a skewed partition feeding an
+  * aggregate — only joins. So every exchange here is one of the three
+  * skew-tolerant kinds:
+  *  - [[tfIdfTopTerms]]: tf combines map-side behind a FINE-GRAINED
+  *    (doc, term) exchange (hot terms spread across docs); df
+  *    partial-aggregates per map partition before its term-keyed
+  *    exchange (a hot term ships one partial count per map partition,
+  *    never its occurrences); the tf⋈df join's term-keyed side is a
+  *    JOIN input, which AQE skew-splits (the vocabulary of a 100 TB
+  *    corpus is itself huge, so df is NOT broadcast); top-k windows per
+  *    doc. The corpus scan+explode materializes ONCE — the df branch
+  *    reuses tf's exchange.
   *  - [[bm25]] broadcasts the QUERY-term set into a map-side `isin`
   *    filter, so the corpus' token stream is pruned to query-term hits
   *    before anything shuffles — per-doc length comes from `size(split)`
-  *    without ever exploding tokens. At 100 TB the only shuffled rows are
-  *    (doc, query-term) hits: O(matching docs × |query|).
+  *    without ever exploding tokens; per-term df (O(|query|) rows)
+  *    broadcasts into the join. At 100 TB the only shuffled rows are
+  *    (doc, query-term, count) partials.
   *
   * Determinism (these queries are hash-compared against a DuckDB oracle):
   * top-k ranks by `rel = (tf·N)/df` — one exact integer product under
@@ -42,21 +50,22 @@ object Relevance {
     * determinism note above), ties broken by term ascending. */
   def tfIdfTopTerms(ds: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    // ONE term-keyed exchange below every aggregate — the classic MR
-    // word-count shape. Term-partitioning satisfies the ClusteredDistri-
-    // bution of the tf agg (term ⊆ {id,term}), the df agg, AND both sides
-    // of the tf⋈df join, so the whole operator costs exactly two
-    // exchanges (this one + the top-k window) and the corpus scan+explode
-    // materializes ONCE as a ReusedExchange. The alternative — groupBy
-    // first for map-side combine — plans the explode subtree into BOTH
-    // the tf and df branches (the optimizer rewrites the df copy to a
-    // keys-only aggregate, killing exchange reuse), i.e. trades a whole
-    // second corpus scan for a ~1.3× smaller shuffle: strictly worse.
+    // NOT repartition(term) before the aggregates: that would shuffle
+    // every raw token occurrence keyed by term alone — a Zipf-head term
+    // lands whole in one task and no optimizer can split an
+    // aggregate-feeding partition. Combine-first is the skew-safe shape.
     val toks = ds.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("term"))
-      .repartition(col("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df = row count per term, spelled sum(I(tf > 0)) — semantically
+    // count(1) (tf >= 1 always), but the reference to tf's count keeps
+    // the optimizer from rewriting this branch's copy of the tf subtree
+    // into a keys-only aggregate (RemoveRedundantAggregates), which
+    // would de-canonicalize the two copies and plan the corpus
+    // scan+explode TWICE instead of reusing tf's exchange. The plan
+    // test pins the reuse via the distinct-exchange budget.
+    val dfreq = tf.groupBy("term")
+      .agg(sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("df"))
     val n = ds.select(count(lit(1)).as("n"))
     val w = Window.partitionBy("id").orderBy(col("rel").desc, col("term").asc)
     tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -82,19 +91,21 @@ object Relevance {
       .withColumn("dl", size(col("ws")).cast("long"))
     val stats = base.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // map-side prune to query-term hits BEFORE any shuffle, then ONE
-    // term-keyed exchange below every aggregate (see tfIdfTopTerms note):
-    // tf, df, and the join all run on the same term-partitioned stream,
-    // and the corpus scan+explode+filter materializes once
+    // map-side prune to query-term hits BEFORE any shuffle; tf then
+    // combines map-side behind a fine-grained (id, term, dl) exchange —
+    // never a raw-occurrence shuffle keyed by term alone (Zipf-skew
+    // fatal at scale; see tfIdfTopTerms). dl rides as a GROUPING key
+    // (functionally dependent on id, so the groups are unchanged) rather
+    // than a first() aggregate: grouping keys survive column pruning, so
+    // the df branch's copy of this subtree stays canonically identical
+    // to the tf side and tf's exchange reuses instead of re-scanning.
     val hits = base.select(col("id"), col("dl"), explode(col("ws")).as("term"))
       .filter(col("term").isin(query: _*))
-      .repartition(col("term"))
-    // dl rides as a GROUPING key (functionally dependent on id, so the
-    // groups are unchanged) rather than a first() aggregate: grouping keys
-    // survive column pruning, so the df branch's copy of this subtree
-    // stays canonically identical to the tf side and the exchange reuses
     val tf = hits.groupBy("id", "term", "dl").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // sum(I(tf > 0)) = count(1), spelled to reference tf's count so the
+    // shared subtree stays canonical (see tfIdfTopTerms)
+    val dfreq = tf.groupBy("term")
+      .agg(sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("df"))
     // expression trees mirror the ANSI oracle token-for-token: every op is
     // correctly-rounded IEEE except ln, whose ulp noise dies in round(.,4)
     val idf = log(lit(1d) + ((col("n") - col("df")).cast("double") + lit(0.5)) /

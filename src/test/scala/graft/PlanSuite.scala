@@ -326,8 +326,14 @@ class PlanSuite extends SparkSpec {
     // tf must combine map-side before its (doc, term) shuffle, the top-k
     // window must partition on the doc id (a partition-less window funnels
     // the corpus into one task), and no stage may plan an all-pairs join
-    assert(plan.contains("partial_"),
+    assert(plan.contains("partial_count"),
       s"tf must partial-aggregate before the shuffle:\n${plan.take(1500)}")
+    // Zipf-skew gate: raw token occurrences must NEVER shuffle keyed by
+    // the term alone (a hot term would land whole in one task that no
+    // AQE rule can split) — every term-keyed exchange must sit above an
+    // aggregate, i.e. no REPARTITION_BY_COL anywhere in the plan
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      s"raw-occurrence repartition by term is Zipf-fatal:\n${plan.take(2000)}")
     assert(!"""windowspecdefinition\(\w+#\d+L? ASC""".r.findFirstIn(plan).isDefined,
       s"partition-less window in the tfidf plan:\n${plan.take(1500)}")
     assert(plan.contains("windowspecdefinition(id#"),
@@ -338,13 +344,15 @@ class PlanSuite extends SparkSpec {
       "tfidf must never plan a cartesian join")
     assert("BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size <= 1,
       s"unexpected nested-loop joins beyond the scalar N attach:\n${plan.take(2000)}")
-    // distinct-exchange budget (reused stages share a plan_id): the
-    // term-keyed token shuffle + the per-doc top-k window, nothing else —
-    // tf, df, and the tf⋈df join must all ride the ONE term exchange, and
-    // the corpus explode pass must materialize once, never per consumer
+    // distinct-exchange budget (reused stages share a plan_id): tf's
+    // fine-grained (id,term) exchange — REUSED by the df branch, so the
+    // corpus scan+explode materializes once —, df's partial-agg'd term
+    // exchange, the join's tf-side term exchange (AQE-skew-splittable),
+    // and the per-doc top-k window. A 5th distinct exchange means the
+    // reuse broke and the corpus is being scanned twice.
     val exIds = """Exchange (?:hash|range)partitioning[^\]]*\[plan_id=(\d+)\]""".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(exIds.size <= 2,
+    assert(exIds.size <= 4,
       s"tfidf exchange budget exceeded (${exIds.size}):\n${plan.take(3000)}")
   }
 
@@ -364,11 +372,16 @@ class PlanSuite extends SparkSpec {
       s"per-term df must broadcast-join:\n${plan.take(1500)}")
     // count DISTINCT exchanges — AQE prints a reused shuffle stage as a
     // second full subtree with the SAME plan_id, so raw text occurrences
-    // overcount: the term-keyed hit shuffle + the final per-doc sum = 2
+    // overcount: tf's fine-grained (id,term,dl) exchange (reused by the
+    // df branch — one corpus scan), df's term exchange over tf partials,
+    // and the final per-doc sum = 3. No raw-occurrence term repartition
+    // (Zipf-fatal; see the tfidf test).
     val exIds = """Exchange hashpartitioning[^\]]*\[plan_id=(\d+)\]""".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(exIds.size <= 2,
+    assert(exIds.size <= 3,
       s"bm25 exchange budget exceeded (${exIds.size}):\n${plan.take(3000)}")
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      s"raw-occurrence repartition by term is Zipf-fatal:\n${plan.take(2000)}")
   }
 
   test("token stats run in one codegen pass with no hash exchange") {
