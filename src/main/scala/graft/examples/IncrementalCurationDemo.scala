@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   * whose text is novel but whose embedding near-duplicates an
   * already-curated doc's.
   *
+  * Round 12 adds eval-set DECONTAMINATION as the first gate: a benchmark
+  * gram index ([[graft.operators.Dedup.benchmarkGramIndex]]) persists
+  * once before the pipeline starts — a static read-only input like the
+  * quantizer, NOT transactional state — and every arriving batch drops
+  * docs sharing >= 28 distinct 12-grams with an eval doc
+  * ([[graft.operators.Dedup.contaminationAgainstIndex]]): the eval
+  * members themselves in run 1, and run-3 "leak" arrivals that quote an
+  * eval doc behind a fresh preamble (novel fingerprint, novel spans —
+  * only this gate can stop them).
+  *
   * Exactly-once: all FOUR tables are stamped with the same
   * SetTransaction (appId, batchId) and each append is independently
   * guarded by [[DeltaWriter.lastTxnVersion]], so a crash ANYWHERE
@@ -99,6 +109,20 @@ object IncrementalCurationDemo {
     val stopwords = Seq("the", "and", "of", "to", "a", "der", "die", "und",
       "le", "la", "et", "el", "los", "y")
 
+    // eval-set registry: four corpus docs stand in for benchmark prompts.
+    // The gram index is built ONCE (per eval-set release, in production)
+    // and persisted OUTSIDE the transactional state — it is a static
+    // read-only input like the quantizer, so screening is stateless per
+    // batch. Indexed over the SAME preprocessing (PII scrub) the
+    // arriving batches get, so redaction can't mask a leak.
+    val benchIds = Seq(101L, 113L, 256L, 444L)
+    val benchIdx = s"$work/bench_index"
+    Dedup.benchmarkGramIndex(
+      docs.filter(col("doc_id").isin(benchIds: _*))
+        .select(col("doc_id"), Curation.redactPii(col("text")).as("text")),
+      "doc_id", "text", n = 12)
+      .write.mode("overwrite").parquet(benchIdx)
+
     def pipeline(crashBetweenCommits: Boolean = false) = {
       val ckpt = new FileStreamCheckpoint(cp, conf)
       val source = new FileSource(in, ckpt, "parquet",
@@ -117,11 +141,25 @@ object IncrementalCurationDemo {
           import ctx.spark.implicits._
           val w = new DeltaWriter(ctx.spark, conf)
           val appId = "icurate"
+          // eval-set decontamination FIRST (cheapest gate: broadcast
+          // index, map-side hash probe): any arriving doc sharing >= 28
+          // distinct 12-grams with a benchmark doc — the eval members
+          // themselves or later docs quoting them — never enters the
+          // curated table. 28 clears this corpus's template noise (the
+          // max spurious overlap measured 24) while a verbatim quote
+          // shares hundreds.
+          val screened = {
+            val hits = Dedup.contaminationAgainstIndex(
+              df, "doc_id", "text", ctx.spark.read.parquet(benchIdx),
+              n = 12, minShared = 28)
+              .select(col("corpus_id").as("doc_id")).distinct()
+            df.join(hits, Seq("doc_id"), "left_anti")
+          }
           // in-batch exact dedup on the NORMALIZED content fingerprint
           // (case/punct re-encodings share a key), then the history
           // anti-join: only never-seen content survives
           val batch = Dedup.exact(
-            df.withColumn("fp", md5(Curation.normalizeText(col("text")))),
+            screened.withColumn("fp", md5(Curation.normalizeText(col("text")))),
             Seq("fp"), "doc_id")
           val fresh =
             if (w.tableExists(fpHistory))
@@ -228,7 +266,17 @@ object IncrementalCurationDemo {
         concat(lit("semantically twinned fresh note "), col("doc_id"),
           lit(" "), col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    resent.unionByName(novel).unionByName(semTwins).coalesce(1)
+    // ... plus 2 LEAK ATTEMPTS: new ids quoting an eval doc's full text
+    // after a novel preamble — fresh fingerprint, novel spans relative
+    // to the CURATED corpus (eval members never entered it), so only the
+    // decontamination screen can stop them
+    val leaks = docs.filter(col("doc_id").isin(101L, 256L))
+      .select((col("doc_id") + 50000).as("doc_id"),
+        concat(lit("attempted eval leak "), col("doc_id"), lit(" "),
+          col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    resent.unionByName(novel).unionByName(semTwins).unionByName(leaks)
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$work/late")
     fs.rename(fs.globStatus(path(s"$work/late/*.parquet"))(0).getPath,
       path(s"$in/docs_late.parquet"))
@@ -300,6 +348,13 @@ object IncrementalCurationDemo {
       s"$run3Novel run-3 novel docs lost their quoted earlier-batch body")
     println(s"cross-batch semantic dedup: ${semBases.size} planted twins, " +
       s"$semSurvivors survived; operator probe flags=$probeSem")
+    // the decontamination screen must have stopped the eval members in
+    // their original batches AND the run-3 leak attempts quoting them
+    val benchLeaks = curatedDf
+      .filter(col("doc_id").isin(benchIds: _*) || col("doc_id") >= 50000L)
+      .count()
+    println(s"decontamination: ${benchIds.size} eval members + 2 quoting " +
+      s"leak attempts screened, $benchLeaks reached the curated table")
     // maintenance composes with the incremental state. The fingerprint
     // history is already one row per curated doc — FILE-level compaction
     // (concatenate small per-batch files, dataChange=false) is all it
@@ -349,6 +404,7 @@ object IncrementalCurationDemo {
       semSurvivors == 0 &&           // all semantic twins caught
       semRows == rows &&             // sem index covers exactly the curated set
       probeSem >= 1 &&               // persisted quantizer+index flag a twin
+      benchLeaks == 0 &&             // eval members + quoting leaks all screened
       fpRows == rows &&              // history covers exactly the curated set
       gramRows > 0 &&
       filesAfter < filesBefore &&    // compaction actually consolidated
