@@ -31,6 +31,19 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // Contention telemetry baked into the artifact (round 12: the box
+    // showed 2-3x run-to-run variance with a clean loadavg at START —
+    // only per-round load/steal numbers let a later reader tell a code
+    // regression from a noisy window without re-running anything).
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(1).mkString
+      catch { case _: Exception => "-1" }
+    def stealJiffies: Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+"))
+        .filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+      catch { case _: Exception => -1L }
     def fmt(results: Seq[(String, Double)], metric: String,
         errors: Map[String, String]): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -44,7 +57,8 @@ object Bench {
         else errors.toSeq.sortBy(_._1)
           .map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
           .mkString(""","errors":{""", ",", "}")
-      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs$errField,""" +
+        s""""loadavg":$loadavg,"steal_jiffies":$stealJiffies,"sf":"$sfDir"}"""
     }
     var failed = Map.empty[String, String]
     val rounds = (1 to repeat).map { round =>
