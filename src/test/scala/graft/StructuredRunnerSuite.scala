@@ -315,6 +315,67 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("decontamination screen under the streaming engine, across checkpoint loss") {
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Dedup
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"; val idxPath = s"$tmp/bench_index"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // the eval registry persists BEFORE the stream starts — a static
+      // read-only input, so the screen is stateless per micro-batch
+      val evalText = "the canonical benchmark prompt asks the model to " +
+        "summarize the quarterly revenue table in exactly three sentences"
+      Dedup.benchmarkGramIndex(
+        Seq((900L, evalText)).toDF("doc_id", "text"), "doc_id", "text", n = 12)
+        .write.mode("overwrite").parquet(idxPath)
+      // batch 0: a clean doc AND the eval member itself; batch 1: a leak
+      // quoting the eval text behind a fresh preamble, plus a clean doc
+      file(0, Seq((1L, (1 to 30).map(i => s"alpha$i").mkString(" ")),
+        (2L, evalText)))
+      file(1, Seq((3L, "novel framing before the quote " + evalText),
+        (4L, (1 to 30).map(i => s"beta$i").mkString(" "))))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val hits = Dedup.contaminationAgainstIndex(
+              batch, "doc_id", "text", spark.read.parquet(idxPath),
+              n = 12, minShared = 20)
+              .select(col("corpus_id").as("doc_id")).distinct()
+            val screened = batch.join(hits, Seq("doc_id"), "left_anti")
+            if (!w.lastTxnVersion(curated, "decon").exists(_ >= batchId))
+              w.write(screened, curated, DeltaWriteMode.Append,
+                txn = Some(("decon", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def ids() = w.read(curated).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids() === Set(1L, 4L),
+        "the eval member (batch 0) and the quoting leak (batch 1) must " +
+        "both be screened; clean docs must flow")
+      // idle re-run admits nothing; checkpoint loss replays into no-ops
+      runOnce()
+      assert(ids() === Set(1L, 4L))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(ids() === Set(1L, 4L),
+        "replay after checkpoint loss must not re-admit screened docs")
+    }
+  }
+
   test("incremental SemDeDup under the streaming engine, across checkpoint loss") {
     import graft.delta.{DeltaWriteMode, DeltaWriter}
     import graft.operators.{Dedup, Similarity}
