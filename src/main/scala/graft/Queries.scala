@@ -1232,6 +1232,40 @@ object Queries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 32
              |ORDER BY corpus_id, bench_id""".stripMargin)),
 
+    // ----- corpus duplication profile (EXACT, oracle-checked) -------------
+    // the pre-dedup diagnostic a curation run reports before choosing
+    // thresholds (Lee et al. ACL'22 report exactly these corpus stats):
+    // how many distinct 12-grams exist, what fraction of gram-doc rows
+    // sit in cross-document duplicates, and the hottest gram's document
+    // frequency. One explode -> one partial-agg'd gram shuffle -> a
+    // singleton reduce; skew-safe (a hot gram combines map-side).
+    "d_dup_profile" -> QueryDef(
+      (s, d) => {
+        val dfs = t(s, d, "documents")
+          .select(explode(graft.functions.CharNgramFunctions
+            .charNgramsDistinct(col("text"), 12)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("df"))
+        dfs.agg(
+          count(lit(1)).as("distinct_grams"),
+          sum(col("df")).as("gram_doc_rows"),
+          round(sum(when(col("df") > 1, col("df")).otherwise(0L)).cast("double") /
+            sum(col("df")), 4).as("dup_row_frac"),
+          max(col("df")).as("max_df"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, UNNEST(LIST_DISTINCT(
+             |    CASE WHEN LENGTH(text) < 12 THEN [text]
+             |         ELSE [text[i:i+11] FOR i IN RANGE(1, LENGTH(text) - 10)]
+             |    END)) AS g
+             |  FROM documents),
+             |dfs AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+             |  CAST(SUM(df) AS BIGINT) AS gram_doc_rows,
+             |  ROUND(CAST(SUM(CASE WHEN df > 1 THEN df ELSE 0 END) AS DOUBLE)
+             |    / SUM(df), 4) AS dup_row_frac,
+             |  CAST(MAX(df) AS BIGINT) AS max_df
+             |FROM dfs""".stripMargin)),
+
     // ----- incremental decontamination via persisted index (EXACT) --------
     // the benchmark gram index is built ONCE, persisted to parquet, read
     // back, and the corpus screened against it — the arriving-batch path
