@@ -1232,6 +1232,25 @@ object Queries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 32
              |ORDER BY corpus_id, bench_id""".stripMargin)),
 
+    // ----- exact-count stratified sample (oracle-checked) -----------------
+    // exactly 40 docs per language by deterministic Knuth-hash order —
+    // the exact-count companion to d_sample_mix's proportional sampler.
+    // Scale-safe: row_number <= k plans as WindowGroupLimit (map-side
+    // partial top-k per stratum), pinned in PlanSuite.
+    "d_sample_stratified" -> QueryDef(
+      (s, d) => graft.operators.Curation.stratifiedSample(
+        t(s, d, "documents"), "doc_id", "lang", k = 40)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id"),
+      Some("""WITH keyed AS (
+             |  SELECT doc_id, lang,
+             |    ((doc_id % 1000003) * 2654435761) % 4294967296 AS sk
+             |  FROM documents),
+             |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+             |    PARTITION BY lang ORDER BY sk, doc_id) AS rn FROM keyed)
+             |SELECT doc_id, lang FROM r WHERE rn <= 40
+             |ORDER BY lang, doc_id""".stripMargin)),
+
     // ----- corpus duplication profile (EXACT, oracle-checked) -------------
     // the pre-dedup diagnostic a curation run reports before choosing
     // thresholds (Lee et al. ACL'22 report exactly these corpus stats):

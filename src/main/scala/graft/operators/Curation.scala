@@ -125,6 +125,39 @@ object Curation {
           col("stopword_hits") >= 2L)
   }
 
+  /** EXACT-count stratified sample: exactly `k` rows per stratum (fewer
+    * iff the stratum is smaller), chosen deterministically by Knuth-hash
+    * order over the id — the companion to [[hashModSample]] for when the
+    * mixture recipe demands exact counts ("50k docs per language") and
+    * not proportions. No RNG state: re-running a 100 TB pipeline keeps
+    * the identical sample, and an ANSI oracle replays the arithmetic.
+    *
+    * Scale shape: a per-stratum rank would naively funnel each stratum
+    * through one task (Zipf-fatal for a hot language) — but Spark plans
+    * `row_number <= k` as a WindowGroupLimit: every map task keeps only
+    * its own top-k per stratum BEFORE the shuffle, so the stratum task
+    * receives O(k · #map-partitions) rows, not the stratum
+    * (plan-pinned in PlanSuite). Hash ties break on the id, so the
+    * selection is total-order deterministic. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(df.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"stratifiedSample needs a numeric id column; '$idCol' is " +
+      s"${df.schema(idCol).dataType.simpleString}")
+    import org.apache.spark.sql.expressions.Window
+    // same overflow-safe Knuth arithmetic as hashModSample (prime fold
+    // keeps the product under 2^53 for the oracle's checked BIGINTs)
+    val key = pmod(pmod(col(idCol).cast("long"), lit(1000003L)) *
+      lit(2654435761L), lit(4294967296L))
+    df.withColumn("__sk", key)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col("__sk"), col(idCol))))
+      .filter(col("__rn") <= k)
+      .drop("__sk", "__rn")
+  }
+
   /** A character-n-gram language model for CCNet-style model-based
     * quality scoring (Wenzek et al., "CCNet: Extracting High Quality
     * Monolingual Datasets from Web Crawl Data", arXiv:1911.00359 — there

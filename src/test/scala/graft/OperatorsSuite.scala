@@ -692,6 +692,25 @@ class CurationSuite extends SparkSpec {
     assert(out(3).getLong(2) === 0L)
   }
 
+  test("stratified sample: exactly k per stratum, deterministic, small strata whole") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "en" else if (i <= 97) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val s1 = Curation.stratifiedSample(df, "doc_id", "lang", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exact counts: en capped at 5, de capped at 5, fr (3 rows) whole
+    val byLang = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 5, "de" -> 5, "fr" -> 3))
+    // deterministic: a re-run selects the identical ids
+    val s2 = Curation.stratifiedSample(df, "doc_id", "lang", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet === s2.toSet)
+    // selection follows Knuth-hash order, not id order (the sample must
+    // not just be "first k ids")
+    val enIds = s1.filter(_._2 == "en").map(_._1).sorted
+    assert(enIds.toSeq !== (1L to 5L).toSeq,
+      s"hash order must not degenerate to id order: ${enIds.toSeq}")
+  }
+
   test("LM surprisal: in-domain text scores low, out-of-domain high, exact fixture math") {
     // reference corpus: "ababab" -> trigrams aba, bab, aba, bab
     // model: {aba->2, bab->2}, total=4, vocab=2, denom=7

@@ -384,6 +384,20 @@ class PlanSuite extends SparkSpec {
       s"raw-occurrence repartition by term is Zipf-fatal:\n${plan.take(2000)}")
   }
 
+  test("stratified sample plans a WindowGroupLimit: map-side top-k per stratum") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = finalPlanOf(graft.operators.Curation.stratifiedSample(
+      docs, "doc_id", "lang", k = 40))
+    // without the group-limit pushdown every stratum funnels WHOLE into
+    // one window task (Zipf-fatal for a hot language); with it each map
+    // task pre-trims to its own k before the shuffle
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push down as a group limit:\n${plan.take(1500)}")
+    assert("WindowGroupLimit".r.findAllMatchIn(plan).size >= 2,
+      "expected BOTH the partial (map-side) and final group limits")
+  }
+
   test("token stats run in one codegen pass with no hash exchange") {
     assume(available)
     val plan = finalPlanOf(Queries.defs("d_token_count").build(spark, sfDir))
