@@ -208,6 +208,58 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("index-based contamination equals the batch operator on random corpora") {
+    // short docs over a tiny alphabet force heavy accidental gram sharing
+    // and whole-text grams — the worst case for candidate completeness
+    val docGen = Gen.choose(0, 20)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf('a', 'b', 'c', ' ')))
+      .map(_.mkString)
+    forAllSampled(Gen.zip(Gen.listOfN(3, docGen), Gen.listOfN(6, docGen),
+        Gen.choose(1, 3)), 8) { case (benchTexts, corpusTexts, minShared) =>
+      val bench = benchTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("id", "t")
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val viaIndex = graft.operators.Dedup.contaminationAgainstIndex(
+        corpus, "id", "t",
+        graft.operators.Dedup.benchmarkGramIndex(bench, "id", "t", n = 4),
+        n = 4, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaBatch = graft.operators.Dedup.ngramContamination(
+        corpus, "id", "t", bench, "id", "t", n = 4, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaIndex === viaBatch,
+        s"bench=$benchTexts corpus=$corpusTexts minShared=$minShared")
+    }
+  }
+
+  test("stratified sample: per-stratum counts, determinism, and subset on random data") {
+    val rowGen = for {
+      id <- Gen.choose(1L, 500L)
+      s <- Gen.oneOf("en", "de", "fr", "es")
+    } yield (id, s)
+    forAllSampled(Gen.zip(Gen.listOfN(60, rowGen), Gen.choose(1, 7)), 8) {
+      case (rows0, k) =>
+        val rows = rows0.distinctBy(_._1) // ids unique like a real table
+        val df = rows.toDF("doc_id", "lang")
+        val got = graft.operators.Curation
+          .stratifiedSample(df, "doc_id", "lang", k)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        // exactly min(k, |stratum|) rows per stratum, drawn FROM the input
+        val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+        val gotSizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+        sizes.foreach { case (s, n) =>
+          assert(gotSizes.getOrElse(s, 0) === math.min(k, n), s"stratum $s")
+        }
+        assert(got.toSet.subsetOf(rows.toSet))
+        // deterministic under re-evaluation
+        val again = graft.operators.Curation
+          .stratifiedSample(df, "doc_id", "lang", k)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(got.toSet === again.toSet)
+    }
+  }
+
   test("TOML: rendered flat documents round-trip through the parser") {
     val key = Gen.identifier.map(_.take(12)).suchThat(_.nonEmpty)
     val value: Gen[Any] = Gen.oneOf(
