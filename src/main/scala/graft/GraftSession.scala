@@ -31,6 +31,11 @@ object GraftSession {
       // untouched (also suite-pinned).
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // explicit, not just default-true: several operators' 100 TB
+      // stories LEAN on AQE skew-splitting their join-side shuffles
+      // (ngram-Jaccard join-back, tf⋈df in tfidf, span join-back) — a
+      // deployment that disables it inherits hot-key stragglers
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
