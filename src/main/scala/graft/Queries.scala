@@ -934,6 +934,29 @@ object Queries {
         .orderBy("doc_id"),
       Some("SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id")),
 
+    // ----- bloom-screened incremental exact dedup -------------------------
+    // The against-history novelty gate with the history-never-shuffles
+    // plan: bloom-definite-novel rows skip all join work; suspects confirm
+    // via broadcast semi/anti joins. History = the doc_id % 3 == 0 slice's
+    // fingerprints; result is EXACTLY the plain anti-join (the bloom has no
+    // false negatives), which is what the oracle replays.
+    "d_dedup_bloom" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val fp = TextFunctions.fingerprint(col("text")).as("fp")
+        val batch = docs.select(col("doc_id"), col("n_chars"), fp)
+        val history = docs.filter(col("doc_id") % 3 === 0).select(fp)
+        Dedup.bloomNoveltyScreen(batch, history, "fp",
+          expectedItems = 100000L, fpp = 0.01)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT d.doc_id, d.n_chars FROM documents d
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM documents h
+             |  WHERE h.doc_id % 3 = 0 AND MD5(h.text) = MD5(d.text))
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ----- connected-components cluster resolution ------------------------
     // Chains of 8 consecutive doc_ids; every node's component must resolve
     // to its chain's smallest id. Oracle = DuckDB recursive-CTE transitive
@@ -1024,6 +1047,34 @@ object Queries {
               |    / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS mean_token_len
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- per-source reputation gate (RefinedWeb/Dolma domain filtering) -
+    // Source-level quality stats — corpus-wide duplication rate and mean
+    // stopword ratio per source — with a keep flag; downstream drops
+    // flagged sources wholesale. Mean determinism: per-doc round(·,4)
+    // ratios decimal-sum before the division (dsum pattern).
+    "d_source_reputation" -> QueryDef(
+      (s, d) => graft.operators.Curation.sourceReputation(
+        t(s, d, "documents"), "source", "text", stopwords,
+        maxDupRate = 0.2, minStopword = 0.05).orderBy("source"),
+      Some(s"""WITH fp AS (
+              |  SELECT source, MD5(text) AS f,
+              |    ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              |      t -> t IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+              |      / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS sr
+              |  FROM documents),
+              |cnt AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY 1)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / COUNT(*), 4) AS dup_rate,
+              |  ROUND(CAST(SUM(CAST(sr AS DECIMAL(20,6))) AS DOUBLE)
+              |    / COUNT(*), 4) AS mean_stopword_ratio,
+              |  (ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |      / COUNT(*), 4) <= 0.2
+              |    AND ROUND(CAST(SUM(CAST(sr AS DECIMAL(20,6))) AS DOUBLE)
+              |      / COUNT(*), 4) >= 0.05) AS keep
+              |FROM fp JOIN cnt USING (f)
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
     // ----- model-based quality scoring (CCNet-style LM surprisal) ---------
     // char-trigram LM trained on the doc_id % 10 == 0 reference slice,
     // add-one smoothing; remaining docs scored by mean per-window
@@ -1058,6 +1109,51 @@ object Queries {
              |  FROM grams LEFT JOIN model m USING (g) CROSS JOIN stats)
              |SELECT doc_id AS id,
              |  ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 2) AS nll
+             |FROM scored GROUP BY 1 ORDER BY id""".stripMargin)),
+
+    // ----- DSIR importance weighting (data selection) ---------------------
+    // Xie et al. arXiv:2302.03169: log importance ratio between a target-
+    // domain LM (here the English slice) and the raw-corpus LM, the score
+    // DSIR resamples pretraining data by. Both models are bounded literals;
+    // scoring is two fused codegen expressions over ONE scan, zero shuffle.
+    "d_dsir_weights" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tgt = graft.operators.Curation.ngramLm(
+          docs.filter(col("lang") === "en"), "text", n = 3)
+        val src = graft.operators.Curation.ngramLm(docs, "text", n = 3)
+        graft.operators.Curation.dsirLogRatio(docs, "doc_id", "text", tgt, src)
+          .orderBy("id")
+      },
+      Some("""WITH tgt AS (
+             |  SELECT g, COUNT(*) AS c FROM (
+             |    SELECT UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+             |      ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+             |      END) AS g
+             |    FROM documents WHERE lang = 'en') GROUP BY 1),
+             |src AS (
+             |  SELECT g, COUNT(*) AS c FROM (
+             |    SELECT UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+             |      ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+             |      END) AS g
+             |    FROM documents) GROUP BY 1),
+             |tstats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM tgt),
+             |sstats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM src),
+             |grams AS (
+             |  SELECT doc_id, UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+             |    ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+             |    END) AS g
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CAST(-LN(CAST(COALESCE(s.c, 0) + 1 AS DOUBLE)
+             |      / (sstats.total + sstats.v + 1)) AS DECIMAL(30,9)) AS snll,
+             |    CAST(-LN(CAST(COALESCE(tg.c, 0) + 1 AS DOUBLE)
+             |      / (tstats.total + tstats.v + 1)) AS DECIMAL(30,9)) AS tnll
+             |  FROM grams LEFT JOIN src s USING (g) LEFT JOIN tgt tg USING (g)
+             |  CROSS JOIN sstats CROSS JOIN tstats)
+             |SELECT doc_id AS id,
+             |  ROUND(CAST(SUM(snll) - SUM(tnll) AS DOUBLE), 2) + 0.0 AS log_w
              |FROM scored GROUP BY 1 ORDER BY id""".stripMargin)),
 
     // ----- language ID heuristic -----------------------------------------

@@ -202,18 +202,106 @@ object Curation {
     * two formulations is property-pinned.) */
   def surprisalScore(df: DataFrame, idCol: String, textCol: String,
       lm: NgramLm): DataFrame = {
+    val windows = greatest(length(col(textCol)) - lit(lm.n - 1), lit(1))
+    df.select(col(idCol).as("id"),
+      round(surprisalSumCol(col(textCol), lm).cast("double") /
+        windows, 2).as("nll"))
+  }
+
+  /** The exact DECIMAL(30,9) per-document surprisal sum under `lm` as a
+    * column (the [[NgramSurprisalExpr]] pre-quantized model path —
+    * model entries quantize once at plan construction, each window is an
+    * in-place hash + binary search + long add, zero shuffle). */
+  private def surprisalSumCol(text: Column, lm: NgramLm): Column = {
     import graft.functions.NgramSurprisalExpr
     val denomD = (lm.total + lm.vocab + 1L).toDouble
     val entries = lm.counts.toArray.map { case (g, c) =>
       (NgramSurprisalExpr.gramHash(g),
         NgramSurprisalExpr.nll9(-math.log((c + 1L).toDouble / denomD)))
     }.sortBy(_._1)
-    val windows = greatest(length(col(textCol)) - lit(lm.n - 1), lit(1))
+    graft.functions.NgramSurprisalFunctions.surprisalSum(
+      text, lm.n, entries.map(_._1), entries.map(_._2),
+      NgramSurprisalExpr.nll9(-math.log(1.0 / denomD)))
+  }
+
+  /** DSIR-style importance log-ratio (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * `log w(x) = Σ_g log p_target(g) − Σ_g log p_raw(g)` over the
+    * document's n-gram windows — DSIR's hashed-ngram bigram features
+    * replaced by the repo's oracle-proven char-n-gram add-one LMs.
+    * Documents that look more like the target corpus than the raw
+    * corpus score high; a selection step resamples by this weight.
+    * Emitted as `(id, log_w)` with `log_w = S_raw − S_tgt` (surprisal
+    * sums, so the sign matches the probability-ratio form), rounded
+    * to 2 after exact decimal subtraction.
+    *
+    * Determinism: both sums quantize per-window through DECIMAL(30,9)
+    * ([[NgramSurprisalExpr]]), so the subtraction is exact long
+    * arithmetic and addition order can never move the hash; the only
+    * FP noise (ln's last ulp, once per MODEL ENTRY) dies in the final
+    * round(·,2) exactly as in [[surprisalScore]].
+    *
+    * Scale shape: two bounded model literals (each O(|charset|^n),
+    * independent of corpus size — the [[NgramLm]] bounded-model
+    * argument), two fused codegen expressions over one scan, ZERO
+    * shuffle. At 100 TB this is a streaming map pass; only the two
+    * model trainings aggregate, each one partial-agg'd gram shuffle
+    * over its reference slice. */
+  def dsirLogRatio(df: DataFrame, idCol: String, textCol: String,
+      target: NgramLm, source: NgramLm): DataFrame = {
+    require(target.n == source.n,
+      s"dsirLogRatio: model widths differ (${target.n} vs ${source.n})")
+    // `+ 0.0` canonicalizes IEEE negative zero: a 1e-9 double→decimal
+    // rounding-boundary skew between engines can land the difference at
+    // -ε, whose round(·,2) is -0.0 — a hash mismatch against +0.0.
     df.select(col(idCol).as("id"),
-      round(graft.functions.NgramSurprisalFunctions.surprisalSum(
-          col(textCol), lm.n, entries.map(_._1), entries.map(_._2),
-          NgramSurprisalExpr.nll9(-math.log(1.0 / denomD))).cast("double") /
-        windows, 2).as("nll"))
+      (round((surprisalSumCol(col(textCol), source)
+        - surprisalSumCol(col(textCol), target)).cast("double"), 2) + lit(0.0))
+        .as("log_w"))
+  }
+
+  /** Per-source reputation report — the domain-level quality gate of the
+    * RefinedWeb / Dolma pipelines (there keyed by URL domain; here by the
+    * corpus's `source` column): for each source its document count, its
+    * duplication rate (share of docs whose content fingerprint appears
+    * more than once ACROSS the corpus — a high rate marks a mirror or
+    * scraper trap), and its mean stopword ratio (a low mean marks
+    * keyword-stuffed or non-prose sources), plus a keep flag at
+    * `dupRate <= maxDupRate AND meanStopword >= minStopword`.
+    * Downstream, docs from flagged sources are
+    * dropped wholesale — cheaper than per-doc scoring and catches
+    * systematic junk per-doc filters miss.
+    *
+    * Determinism: per-doc stopword ratios are already round(·,4)
+    * quantized; they sum as DECIMAL(20,6) so addition order cannot move
+    * the mean (the dsum pattern).
+    *
+    * Scale shape: one fingerprint-keyed exchange for the corpus-wide
+    * duplicate counts (partial-agg'd groupBy + join-back, not a window —
+    * a viral duplicate combines map-side instead of pinning one task),
+    * then one partial-agg'd exchange on the source key; the report is
+    * O(#sources). */
+  def sourceReputation(df: DataFrame, srcCol: String, textCol: String,
+      stopwords: Seq[String], maxDupRate: Double,
+      minStopword: Double): DataFrame = {
+    val fp = md5(col(textCol)).as("__fp")
+    val docs = df.select(col(srcCol).as("source"), fp,
+      graft.functions.TextFunctions.stopwordRatio(col(textCol), stopwords)
+        .as("__sr"))
+    val fpCounts = docs.groupBy("__fp").agg(count(lit(1)).as("__fpc"))
+    docs.join(fpCounts, Seq("__fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__fpc") > 1, 1L).otherwise(0L)).as("__ndup"),
+        sum(col("__sr").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .as("__srsum"))
+      .select(col("source"), col("n_docs"),
+        round(col("__ndup").cast("double") / col("n_docs"), 4).as("dup_rate"),
+        round(col("__srsum").cast("double") / col("n_docs"), 4)
+          .as("mean_stopword_ratio"),
+        ((round(col("__ndup").cast("double") / col("n_docs"), 4) <= maxDupRate)
+          && (round(col("__srsum").cast("double") / col("n_docs"), 4)
+            >= minStopword)).as("keep"))
   }
 
   /** Mixture accounting: per-stratum document and token counts plus each

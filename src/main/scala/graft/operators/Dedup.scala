@@ -928,4 +928,50 @@ object Dedup {
         jaccard(col("gr_a"), col("gr_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Bloom-screened novelty filter against a dedup-key history: returns
+    * exactly `batch.join(history, key, "left_anti")` — the incremental
+    * exact-dedup gate — but with a plan in which THE HISTORY IS NEVER
+    * SHUFFLED, the property that matters when the history is the 100 TB
+    * side and the batch is one arriving micro-batch:
+    *
+    *  1. One aggregation pass over the history builds a Bloom filter of
+    *     its keys (`DataFrameStatFunctions.bloomFilter` — per-partition
+    *     bitsets OR-merged on the driver, O(bits) memory, no row ever
+    *     moves). The filter has NO false negatives, so every batch row
+    *     it rejects is DEFINITELY novel and passes with zero join work —
+    *     at a typical novel-heavy batch that is almost every row.
+    *  2. The remaining suspects (true dups + `fpp` false positives, both
+    *     bounded by the BATCH size, never the history) are confirmed by
+    *     broadcasting their distinct keys INTO a map-side semi-join over
+    *     the history scan — history is read, filtered in place, and only
+    *     the matched keys (≤ suspects) come back — then one broadcast
+    *     anti-join of the suspects against that confirmed-key set.
+    *
+    * Every join touching the history is map-side; the only exchanges in
+    * the plan move key sets bounded by the batch. The plain anti-join by
+    * contrast shuffles BOTH sides on the key — at a 100 TB history that
+    * is the whole table through the wire per batch. (Spark's own runtime
+    * row-group bloom pruning can't replace this: it still plans the
+    * two-sided shuffle.) The batch side is referenced twice (screen +
+    * suspects) — in `foreachBatch` it is an in-memory micro-batch, and
+    * its second scan is O(batch).
+    *
+    * The probe UDF is the one non-codegen op; it gates rows BEFORE the
+    * exchanges it eliminates, which is the right trade. Correctness does
+    * not depend on `expectedItems`: an under-sized filter only raises the
+    * false-positive rate (more suspects to confirm), never the result. */
+  def bloomNoveltyScreen(batch: DataFrame, history: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = history.stat.bloomFilter(key, math.max(expectedItems, 1L), fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val definitelyNovel = batch.filter(!might(col(key)))
+    val suspects = batch.filter(might(col(key)))
+    val confirmed = history.select(col(key))
+      .join(broadcast(suspects.select(col(key)).distinct()), Seq(key), "left_semi")
+      .distinct()
+    definitelyNovel.unionByName(
+      suspects.join(broadcast(confirmed), Seq(key), "left_anti"))
+  }
 }

@@ -740,6 +740,85 @@ class CurationSuite extends SparkSpec {
       s"surprisal scoring must not shuffle:\n${plan.take(1200)}")
   }
 
+  test("DSIR log-ratio: target-like text scores high, exact fixture math, zero shuffle") {
+    // target LM on "ababab": {aba->2, bab->2}, total=4, vocab=2, denom=7
+    // source LM on "ababab"+"xyzxyz": adds {xyz,yzx,zxy,xyz}, total=8, vocab=5, denom=14
+    val tgt = Curation.ngramLm(Seq((0L, "ababab")).toDF("doc_id", "text"), "text", 3)
+    val src = Curation.ngramLm(
+      Seq((0L, "ababab"), (1L, "xyzxyz")).toDF("doc_id", "text"), "text", 3)
+    val docs = Seq(
+      (1L, "ababa"),  // target-like: 3 windows seen by both models
+      (2L, "xyzxy")   // source-only: seen by src, unseen by tgt
+    ).toDF("doc_id", "text")
+    val out = Curation.dsirLogRatio(docs, "doc_id", "text", tgt, src)
+      .orderBy("id").collect()
+    def q9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r2(x: BigDecimal) = x.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: each window nll_src = -ln(3/14), nll_tgt = -ln(3/7)
+    val d1 = r2((q9(-math.log(3d / 14)) - q9(-math.log(3d / 7))) * 3)
+    // doc 2: xyz seen twice in src (-ln(3/14)), yzx/zxy once (-ln(2/14));
+    // tgt: all unseen (-ln(1/7))
+    val d2 = r2(q9(-math.log(3d / 14)) + q9(-math.log(2d / 14)) * 2
+      - q9(-math.log(1d / 7)) * 3)
+    assert(out(0).getDouble(1) === d1)
+    assert(out(1).getDouble(1) === d2)
+    assert(out(0).getDouble(1) > out(1).getDouble(1),
+      "target-like text must carry the higher importance weight")
+    val plan = Curation.dsirLogRatio(docs, "doc_id", "text", tgt, src)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"DSIR scoring must not shuffle:\n${plan.take(1200)}")
+  }
+
+  test("bloom novelty screen: exact anti-join result, history-side joins all broadcast") {
+    val batch = (0L until 400L).map(i => (i, s"doc-${i % 150}"))
+      .toDF("id", "text")
+      .withColumn("fp", org.apache.spark.sql.functions.md5($"text"))
+    val history = (0L until 90L).map(i => (s"doc-$i"))
+      .toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("fp"))
+    val expected = batch.join(history, Seq("fp"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val out = Dedup.bloomNoveltyScreen(batch, history, "fp", 1000L, 0.01)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(expected))
+    // an under-sized filter (all-suspects degenerate case) stays correct
+    val tiny = Dedup.bloomNoveltyScreen(batch, history, "fp", 1L, 0.5)
+    assert(tiny.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(expected))
+    // scale shape: both joins that touch the history are broadcast —
+    // the history is never the shuffled side of an exchange-keyed join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"history joins must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join may touch the history:\n${plan.take(1500)}")
+  }
+
+  test("source reputation: mirror source flagged by dup rate, keyword soup by stopwords") {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    val rows =
+      // clean source: unique prose-like docs, stopword-rich
+      (0 until 10).map(i => (s"good", s"the quick fox $i is in a den of foxes")) ++
+      // mirror: every doc a copy of one body (corpus-wide dups)
+      (0 until 10).map(_ => ("mirror", "the same mirrored body of text in a loop")) ++
+      // keyword soup: unique but stopword-free
+      (0 until 10).map(i => (s"soup", s"buy cheap widget$i deal sale offer now"))
+    val df = rows.toDF("source", "text")
+    val rep = Curation.sourceReputation(df, "source", "text", stop,
+      maxDupRate = 0.2, minStopword = 0.05)
+      .orderBy("source").collect()
+    val bySrc = rep.map(r => r.getString(0) ->
+      (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(bySrc("good")._1 === 0.0)
+    assert(bySrc("good")._3, "clean source must keep")
+    assert(bySrc("mirror")._1 === 1.0)
+    assert(!bySrc("mirror")._3, "mirror source must be dropped by dup rate")
+    assert(bySrc("soup")._1 === 0.0)
+    assert(bySrc("soup")._2 < 0.05)
+    assert(!bySrc("soup")._3, "stopword-free source must be dropped")
+  }
+
   test("normalizeText canonicalizes case/punct/whitespace re-encodings together") {
     val df = Seq(
       (1L, "The  quick,   BROWN fox!"),
