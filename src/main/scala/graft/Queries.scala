@@ -1775,6 +1775,52 @@ object Queries {
            |GROUP BY a.doc_id ORDER BY query_id""".stripMargin
       }),
 
+    // ----- IVF-PQ ANN (product-quantized codes + exact re-rank) -----------
+    // Same planted clusters and contract as e_ivf_top1: emitted rows are
+    // the exact brute-force top-1, plus recall_ok = "IVF-PQ's candidate
+    // path found the true nearest" averaged >= 0.9 — a codebook, encode,
+    // ADC, or re-rank regression flips every row and fails the hash. The
+    // bucket join carries m=4 byte codes instead of 16 floats.
+    "e_ivfpq_top1" -> QueryDef(
+      (s, d) => {
+        val planted = plantedVecs(s, d)
+        val queries = planted.filter(col("doc_id") < 50)
+        val coarse = Similarity.trainIvfCentroids(
+          planted, "doc_id", "v", nlist = 10, iterations = 4)
+        val pq = Similarity.trainPq(planted, "doc_id", "v",
+          m = 4, ksub = 16, sampleN = 200, iterations = 6)
+        val approx = Similarity.ivfPqTopK(queries, planted, "doc_id", "v",
+          k = 1, pq, nlist = 10, nprobe = 2, rerank = 40,
+          quantizer = Some(coarse))
+          .select(col("query_id"), round(col("cosine"), 4).as("pq_cosine"))
+        val exact = Similarity.bruteForceTopK(queries, planted, "doc_id", "v", k = 1)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"))
+        exact.join(approx, Seq("query_id"), "left")
+          .withColumn("recall_ok",
+            avg(when(col("pq_cosine").isNotNull &&
+              col("pq_cosine") === col("cosine"), 1d).otherwise(0d))
+              .over(Window.partitionBy()) >= 0.9)
+          .select("query_id", "neighbor_id", "cosine", "recall_ok")
+          .orderBy("query_id")
+      },
+      Some {
+        val dotAB = "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb), " +
+          "p -> p[1] * p[2]))"
+        def dotSelf(x: String) =
+          s"LIST_SUM(LIST_TRANSFORM($x.emb, v -> v * v))"
+        val cos = s"$dotAB / (SQRT(${dotSelf("a")}) * SQRT(${dotSelf("b")}))"
+        s"""WITH v AS (
+           |  $plantedVecsSql)
+           |SELECT a.doc_id AS query_id,
+           |  ARG_MAX(b.doc_id, $cos) AS neighbor_id,
+           |  ROUND(MAX($cos), 4) AS cosine,
+           |  TRUE AS recall_ok
+           |FROM v a JOIN v b ON a.doc_id <> b.doc_id
+           |WHERE a.doc_id < 50
+           |GROUP BY a.doc_id ORDER BY query_id""".stripMargin
+      }),
+
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------
     "d_winnow_pairs" -> QueryDef(

@@ -269,6 +269,199 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** A product-quantization model (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 — the FAISS `PQ` codec):
+    * the `dims`-dim space splits into `m` subspaces of `dsub` dims, each
+    * with its own `ksub`-centroid codebook; a vector encodes as `m`
+    * one-byte codes. `codebooks(j)(c)` is subspace `j`'s centroid `c`.
+    * O(m·ksub·dsub) floats — model-sized, rides plans as a literal. */
+  case class PqModel(m: Int, ksub: Int, dsub: Int,
+      codebooks: Array[Array[Array[Float]]]) {
+    require(ksub >= 1 && ksub <= 256, s"ksub must fit one byte, got $ksub")
+    def dims: Int = m * dsub
+  }
+
+  /** Train PQ codebooks with per-subspace Lloyd k-means on a BOUNDED
+    * hash-ordered corpus sample (what FAISS `train()` does on its
+    * training set). The collect is O(sampleN·dims) — the training
+    * sample, never the corpus; deterministic: hash-ordered sample,
+    * first-`ksub`-distinct init per subspace, fixed iteration count,
+    * empty clusters keep their previous centroid. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int = 16, sampleN: Int = 2048,
+      iterations: Int = 8): PqModel = {
+    val sample = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+      .filter(col("v").isNotNull)
+      .orderBy("h").limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "trainPq: empty corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"trainPq: dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    val codebooks = Array.tabulate(m) { j =>
+      val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      val init = subs.distinct.take(ksub)
+      var cents = init
+      (1 to iterations).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0d; var i = 0
+            while (i < dsub) {
+              val diff = s(i) - cents(c)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += s(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+    PqModel(m, codebooks.map(_.length).min, dsub, codebooks)
+  }
+
+  /** Persist / restore a [[PqModel]] as a tiny parquet table — the
+    * incremental-index state, like [[saveQuantizer]]: train once, encode
+    * every later batch under the SAME codebooks so codes stay mutually
+    * comparable. */
+  def savePqModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      model: PqModel): Unit = {
+    import spark.implicits._
+    (for (j <- model.codebooks.indices; c <- model.codebooks(j).indices)
+      yield (j, c, model.codebooks(j)(c).toSeq))
+      .toDF("sub", "idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqModel = {
+    val rows = spark.read.parquet(path).orderBy("sub", "idx").collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Float](2).toArray)).toArray
+    PqModel(books.length, books.map(_.length).min, books.head.head.length, books)
+  }
+
+  /** PQ-encode a vector column: `m` one-byte codes (nearest codebook
+    * entry per subspace, L2, ties to the lowest index) plus the true L2
+    * norm for cosine reconstruction. Pure literal-argmin codegen, map
+    * only, NO shuffle — and the index a 100 TB corpus stores/shuffled
+    * afterwards is `m + 4` bytes per vector instead of `4·dims`
+    * (16× smaller at dims=64, m=16). */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+      codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame = {
+    val codes = array((0 until model.m).map { j =>
+      val sub = slice(col(vecCol), j * model.dsub + 1, model.dsub)
+      val cbJ = typedlit(model.codebooks(j).map(_.toSeq).toSeq)
+      val cn2J = typedlit(model.codebooks(j)
+        .map(c => c.map(x => x.toDouble * x).sum).toSeq)
+      // ||x−c||² = ||x||² − 2x·c + ||c||²; ||x||² is constant per row
+      val dists = transform(sequence(lit(0), lit(model.codebooks(j).length - 1)),
+        c => element_at(cn2J, c + 1) - lit(2d) * dot(sub, element_at(cbJ, c + 1)))
+      (array_position(dists, array_min(dists)) - 1).cast("byte")
+    }: _*)
+    df.withColumn(codesCol, codes).withColumn(normCol, l2Norm(col(vecCol)).cast("float"))
+  }
+
+  /** IVF-PQ ANN (the FAISS `IVFPQ` shape, flat — codes over raw vectors):
+    * coarse-quantizer buckets prune the corpus exactly as [[ivfTopK]],
+    * but the bucket join carries `m`-byte PQ codes instead of float
+    * vectors, and candidates rank by asymmetric-distance (ADC) lookups —
+    * each query precomputes its `m × ksub` table of subspace dots ONCE
+    * (O(dims·ksub) work per QUERY), so scoring a candidate is `m`
+    * array lookups + adds, not a `dims`-length dot. The top `rerank`
+    * candidates per query then re-rank by EXACT cosine against the true
+    * vectors (fetched through an AQE-splittable join keyed by id — only
+    * queries × rerank rows, never the corpus).
+    *
+    * At 100 TB: the corpus-side state that moves through the bucket join
+    * is (id, bucket, codes, norm) ≈ m+12 bytes/row — the 16-64× shrink
+    * vs raw vectors is the difference between an index that fits in
+    * shuffle memory and one that doesn't. Recall follows IVF probing
+    * (nlist/nprobe) degraded by PQ approximation; `rerank` buys exactness
+    * of the final ORDER back once the true neighbor is among candidates. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      pq: PqModel, nlist: Int = 16, nprobe: Int = 2, rerank: Int = 32,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      quantizer: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids: Array[Array[Float]] = quantizer.getOrElse(
+      corpus.select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+        .filter(col("v").isNotNull).orderBy("h").limit(nlist)
+        .collect().map(_.getSeq[Float](0).toArray))
+    if (centroids.isEmpty)
+      return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0d).as("cosine"), lit(0).as("rank")).limit(0)
+    val normed = l2NormalizeModel(centroids)
+
+    // corpus: coarse bucket (literal argmax, no shuffle) + PQ codes + norm
+    val cAll = pqEncode(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+        .withColumn("bucket", nearestCentroid(col("nv"), normed)),
+      "nv", pq).drop("nv")
+    val c =
+      if (maxBucket > 0) {
+        val wb = Window.partitionBy(col("bucket")).orderBy(col("neighbor_id"))
+        cAll.withColumn("__rn", row_number().over(wb))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      } else cAll
+
+    // queries: nprobe nearest buckets + the per-query ADC table
+    val cents = typedlit(normed.map(_.toSeq).toSeq)
+    val qtab = array((0 until pq.m).map { j =>
+      val sub = slice(col("qv"), j * pq.dsub + 1, pq.dsub)
+      val cbJ = typedlit(pq.codebooks(j).map(_.toSeq).toSeq)
+      transform(sequence(lit(0), lit(pq.codebooks(j).length - 1)),
+        cc => dot(sub, element_at(cbJ, cc + 1)))
+    }: _*)
+    val wq = Window.partitionBy("query_id").orderBy(col("__cdot").desc, col("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", explode(array((normed.indices).map(lit): _*)))
+      .withColumn("__cdot", dot(col("qv"), element_at(cents, col("bucket") + 1)))
+      .withColumn("__cr", row_number().over(wq))
+      .filter(col("__cr") <= nprobe)
+      .drop("__cdot", "__cr")
+      .withColumn("qtab", qtab)
+      .withColumn("qnorm", l2Norm(col("qv")))
+
+    // ADC score: m table lookups + adds per candidate
+    val approx = (0 until pq.m).map(j =>
+      element_at(element_at(col("qtab"), j + 1),
+        element_at(col("pq_codes"), j + 1).cast("int") + 1)).reduce(_ + _)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val cands = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx",
+        approx / (col("qnorm") * greatest(col("pq_norm"), lit(1e-30f))))
+      .select("query_id", "neighbor_id", "__approx")
+      .distinct() // a pair can meet in more than one probed bucket
+      .withColumn("__ar", row_number().over(wr))
+      .filter(col("__ar") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank over the true vectors: queries × rerank rows only
+    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.join(nv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: queries and corpus bucketed by SRP signature; each
     * query searches only its bucket(s). Misses are possible (that's the
     * "approximate"); `planes` trades recall for bucket size, and `tables`

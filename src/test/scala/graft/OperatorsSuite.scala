@@ -938,6 +938,55 @@ class SimilaritySuite extends SparkSpec {
     }
   }
 
+  test("PQ: encode shape, save/load parity, IVF-PQ finds true neighbors on clustered data") {
+    withTmpDir { tmp =>
+      val rng = new scala.util.Random(7)
+      // 4 tight clusters in 8 dims
+      val corpus = (0 until 120).map { i =>
+        val c = i % 4
+        (i.toLong, Array.tabulate(8)(j =>
+          (if (j / 2 == c) 10f else 0f) + 0.05f * rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      val pq = Similarity.trainPq(corpus, "vec_id", "embedding",
+        m = 4, ksub = 8, sampleN = 120, iterations = 5)
+      assert(pq.dsub === 2 && pq.m === 4)
+      // encode: m byte codes per vector, deterministic, no shuffle
+      val enc = Similarity.pqEncode(corpus, "embedding", pq)
+      val row = enc.filter($"vec_id" === 3L).select("pq_codes").head()
+      assert(row.getSeq[Byte](0).length === 4)
+      val plan = enc.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"PQ encode must not shuffle:\n${plan.take(1200)}")
+      // save/load gives byte-identical codes
+      Similarity.savePqModel(spark, s"$tmp/pq", pq)
+      val loaded = Similarity.loadPqModel(spark, s"$tmp/pq")
+      val a = Similarity.pqEncode(corpus, "embedding", pq)
+        .select("vec_id", "pq_codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+      val b = Similarity.pqEncode(corpus, "embedding", loaded)
+        .select("vec_id", "pq_codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+      assert(a === b)
+      // recall: IVF-PQ top-1 == brute-force top-1 for >= 90% of queries
+      val queries = corpus.filter($"vec_id" < 20)
+      val coarse = Similarity.trainIvfCentroids(
+        corpus, "vec_id", "embedding", nlist = 4, iterations = 3)
+      // rerank must cover the home cluster (30 members): inside a tight
+      // cluster every vector shares codes, ADC ties, and a smaller rerank
+      // would cut the true neighbor on the id tiebreak
+      val got = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+        k = 1, pq, nlist = 4, nprobe = 2, rerank = 40,
+        quantizer = Some(coarse))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Similarity.bruteForceTopK(
+        queries, corpus, "vec_id", "embedding", k = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hits = want.count { case (q, n) => got.get(q).contains(n) }
+      assert(hits >= (want.size * 9) / 10,
+        s"IVF-PQ recall too low: $hits of ${want.size}")
+    }
+  }
+
   test("lsh topk puts identical vectors in the same bucket") {
     val vecs = Seq(
       (0L, Array(1f, 2f, 3f, 4f)),
