@@ -189,6 +189,122 @@ object Queries {
               |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
         .stripMargin)),
 
+    // ----- CUBE with grouping_id ------------------------------------------
+    // All four grouping-set combinations in one pass; grouping_id
+    // disambiguates a genuine NULL group key from a rolled-up one (both
+    // engines put the first cube column in the most-significant bit).
+    "q_cube" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  GROUPING(l_returnflag, l_linestatus) AS gid,
+              |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)),
+
+    // ----- explicit GROUPING SETS (SQL surface) ---------------------------
+    // An asymmetric set list CUBE/ROLLUP can't express: per-flag, per-status,
+    // and grand total — but never the (flag, status) pairs.
+    "q_grouping_sets" -> QueryDef(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("gs_lineitem")
+        s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                 |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_qty
+                 |FROM gs_lineitem
+                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+          .stripMargin)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)),
+
+    // ----- regexp_extract_all (pattern in the Java/RE2 common subset) -----
+    "q_regexp_extract_all" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)))
+            .as("n_long_words"),
+          concat_ws(",", slice(
+            regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)), 1, 3))
+            .as("first3"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{5,}')) AS n_long_words,
+             |  ARRAY_TO_STRING(LIST_SLICE(
+             |    REGEXP_EXTRACT_ALL(text, '[a-z]{5,}'), 1, 3), ',') AS first3
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- Pearson correlation / regression slope from exact sums ---------
+    // corr()'s one-pass co-moment accumulation is addition-order-dependent,
+    // so both engines instead compute the five EXACT decimal sums and then
+    // evaluate the IDENTICAL double expression tree — every FP op
+    // correctly-rounded on identical inputs, bit-stable across engines.
+    "q_stats_corr" -> QueryDef(
+      (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        val agg = t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+        agg.select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta_qp"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH a AS (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag,
+             |  ROUND((n * sxy - sx * sy) /
+             |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qp,
+             |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta_qp
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- RANGE-frame window (value-based, not row-based) ----------------
+    // Running revenue per customer over an ORDER-KEY DISTANCE window: rows
+    // whose key is within 5 of the current row's — a peer-inclusive frame
+    // ROWS BETWEEN cannot express.
+    "q_window_range" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderkey").cast("long")).rangeBetween(-5L, 0L)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
+              .cast("double"), 2).as("near_rev"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey
+             |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             |    AS near_rev
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ----- exact interpolated percentiles --------------------------------
     // Spark `percentile` and DuckDB `quantile_cont` both do linear
     // interpolation over the sorted values; double inputs + decimal-rounded
