@@ -305,6 +305,78 @@ object Queries {
              |    AS near_rev
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ----- mergeable HLL distinct-count sketches ---------------------------
+    // The 100 TB distinct-count story: per-partition Apache DataSketches
+    // HLL sketches union WITHOUT re-scanning (register-max merge is
+    // order-independent, so the estimate is deterministic) — here per-flag
+    // sketches union into the global estimate, checked against the exact
+    // count within 5% (the recall_ok contract: emitted values are EXACT,
+    // the sketch only contributes a gate flag any estimator regression
+    // flips).
+    "q_approx_distinct" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val perFlag = li.groupBy("l_returnflag")
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
+            countDistinct(col("l_orderkey")).as("exact_nd"))
+        val flagRows = perFlag.select(col("l_returnflag"), col("exact_nd"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_nd")) <=
+            col("exact_nd") * 0.05).as("approx_ok"))
+        val globalExact = li.agg(
+          countDistinct(col("l_orderkey")).as("exact_nd"))
+        val merged = perFlag.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(globalExact)
+          .select(lit("ALL").as("l_returnflag"), col("exact_nd"),
+            (abs(col("est") - col("exact_nd")) <= col("exact_nd") * 0.05)
+              .as("approx_ok"))
+        flagRows.unionByName(merged).orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd,
+             |  TRUE AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag
+             |UNION ALL
+             |SELECT 'ALL', COUNT(DISTINCT l_orderkey), TRUE FROM lineitem
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- navigation window functions (lead/lag/first/nth/ntile) ---------
+    "q_window_leadlag" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            first(col("o_orderkey")).over(w).as("first_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  LAG(o_orderkey, 1) OVER w AS prev_key,
+             |  LEAD(o_orderkey, 1) OVER w AS next_key,
+             |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+             |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+             |  NTILE(4) OVER w AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ----- UNPIVOT (wide → long; the inverse of q_pivot) ------------------
+    "q_unpivot" -> QueryDef(
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retail"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retail")), "metric", "val")
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, metric, val FROM (
+             |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+             |    CAST(p_retailprice AS DOUBLE) AS retail FROM part)
+             |UNPIVOT (val FOR metric IN (size, retail))
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
     // ----- exact interpolated percentiles --------------------------------
     // Spark `percentile` and DuckDB `quantile_cont` both do linear
     // interpolation over the sorted values; double inputs + decimal-rounded
@@ -1235,9 +1307,8 @@ object Queries {
     "d_dsir_weights" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val tgt = graft.operators.Curation.ngramLm(
-          docs.filter(col("lang") === "en"), "text", n = 3)
-        val src = graft.operators.Curation.ngramLm(docs, "text", n = 3)
+        val (tgt, src) = graft.operators.Curation.ngramLmPair(
+          docs, "text", col("lang") === "en", n = 3)
         graft.operators.Curation.dsirLogRatio(docs, "doc_id", "text", tgt, src)
           .orderBy("id")
       },

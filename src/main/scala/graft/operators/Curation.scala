@@ -208,6 +208,26 @@ object Curation {
         windows, 2).as("nll"))
   }
 
+  /** Train the DSIR target and source LMs from ONE corpus scan: the
+    * source model counts every gram, the target model only grams from
+    * rows matching `targetFilter` — one explode + one partial-agg'd gram
+    * exchange instead of two (the two-model sibling of [[ngramLm]];
+    * equality with two separate trainings is suite-pinned). */
+  def ngramLmPair(ref: DataFrame, textCol: String, targetFilter: Column,
+      n: Int = 3): (NgramLm, NgramLm) = {
+    val rows = ref.select(explode(graft.functions.CharNgramFunctions
+        .charNgramsFast(col(textCol), n)).as("g"), targetFilter.as("__t"))
+      .groupBy("g").agg(count(lit(1)).as("c"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("tc"))
+      .collect()
+    val src = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tgt = rows.collect {
+      case r if r.getLong(2) > 0 => r.getString(0) -> r.getLong(2)
+    }.toMap
+    (NgramLm(tgt, tgt.values.sum, tgt.size.toLong, n),
+      NgramLm(src, src.values.sum, src.size.toLong, n))
+  }
+
   /** The exact DECIMAL(30,9) per-document surprisal sum under `lm` as a
     * column (the [[NgramSurprisalExpr]] pre-quantized model path —
     * model entries quantize once at plan construction, each window is an

@@ -403,19 +403,44 @@ object Similarity {
     if (centroids.isEmpty)
       return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(0d).as("cosine"), lit(0).as("rank")).limit(0)
-    val normed = l2NormalizeModel(centroids)
+    ivfPqTopKFromIndex(queries,
+      pqIndexBatch(corpus, idCol, vecCol, pq, centroids),
+      corpus, idCol, vecCol, k, pq, nprobe, rerank, maxBucket, centroids)
+  }
 
-    // corpus: coarse bucket (literal argmax, no shuffle) + PQ codes + norm
-    val cAll = pqEncode(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+  /** Encode one arriving batch into PQ INDEX rows
+    * `(id, bucket, pq_codes, pq_norm)` under a FIXED persisted model pair
+    * (coarse quantizer + PQ codebooks — both train once, like the
+    * SemDeDup quantizer): append the result to an index table and later
+    * batches' codes stay mutually comparable. Map-only, no shuffle; the
+    * appended state is m+12 bytes per vector, never the vectors. */
+  def pqIndexBatch(batch: DataFrame, idCol: String, vecCol: String,
+      pq: PqModel, quantizer: Array[Array[Float]]): DataFrame = {
+    val normed = l2NormalizeModel(quantizer)
+    pqEncode(
+      batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
         .withColumn("bucket", nearestCentroid(col("nv"), normed)),
       "nv", pq).drop("nv")
+  }
+
+  /** ANN over an ACCUMULATED PQ code index ([[pqIndexBatch]] appends):
+    * candidate generation touches only the m-byte codes; the exact
+    * re-rank fetches true vectors from `vectors` by id (queries × rerank
+    * rows). This is the incremental-similarity shape: the raw history
+    * vectors are read ONLY for the final candidate fetch, never scanned
+    * or shuffled for search. */
+  def ivfPqTopKFromIndex(
+      queries: DataFrame, index: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      pq: PqModel, nprobe: Int, rerank: Int,
+      maxBucket: Int, quantizer: Array[Array[Float]]): DataFrame = {
+    val normed = l2NormalizeModel(quantizer)
     val c =
       if (maxBucket > 0) {
         val wb = Window.partitionBy(col("bucket")).orderBy(col("neighbor_id"))
-        cAll.withColumn("__rn", row_number().over(wb))
+        index.withColumn("__rn", row_number().over(wb))
           .filter(col("__rn") <= maxBucket).drop("__rn")
-      } else cAll
+      } else index
 
     // queries: nprobe nearest buckets + the per-query ADC table
     val cents = typedlit(normed.map(_.toSeq).toSeq)
@@ -452,7 +477,7 @@ object Similarity {
       .select("query_id", "neighbor_id")
 
     // exact re-rank over the true vectors: queries × rerank rows only
-    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val nv = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))

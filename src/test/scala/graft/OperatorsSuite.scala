@@ -770,6 +770,17 @@ class CurationSuite extends SparkSpec {
       s"DSIR scoring must not shuffle:\n${plan.take(1200)}")
   }
 
+  test("ngramLmPair equals two separate trainings (one-scan optimization)") {
+    val docs = Seq(
+      (0L, "en", "ababab"), (1L, "de", "xyzxyz"), (2L, "en", "abxy"),
+      (3L, "fr", "zz")).toDF("doc_id", "lang", "text")
+    val (tgt, src) = Curation.ngramLmPair(docs, "text", $"lang" === "en", 3)
+    val tgt2 = Curation.ngramLm(docs.filter($"lang" === "en"), "text", 3)
+    val src2 = Curation.ngramLm(docs, "text", 3)
+    assert(tgt === tgt2)
+    assert(src === src2)
+  }
+
   test("bloom novelty screen: exact anti-join result, history-side joins all broadcast") {
     val batch = (0L until 400L).map(i => (i, s"doc-${i % 150}"))
       .toDF("id", "text")
@@ -985,6 +996,33 @@ class SimilaritySuite extends SparkSpec {
       assert(hits >= (want.size * 9) / 10,
         s"IVF-PQ recall too low: $hits of ${want.size}")
     }
+  }
+
+  test("PQ code index accumulated batch-by-batch answers identically to one-shot") {
+    val rng = new scala.util.Random(13)
+    val corpus = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j / 3 == c) 10f else 0f) + 0.05f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val pq = Similarity.trainPq(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleN = 90, iterations = 5)
+    val coarse = Similarity.trainIvfCentroids(
+      corpus, "vec_id", "embedding", nlist = 3, iterations = 3)
+    // three arriving batches encode under the SAME fixed models and the
+    // index rows union — the later-batch codes stay comparable
+    val idx = (0 until 3).map(b => Similarity.pqIndexBatch(
+        corpus.filter($"vec_id" % 3 === b), "vec_id", "embedding", pq, coarse))
+      .reduce(_ unionByName _)
+    val queries = corpus.filter($"vec_id" < 10)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fromIndex = Similarity.ivfPqTopKFromIndex(queries, idx, corpus,
+      "vec_id", "embedding", k = 1, pq, nprobe = 2, rerank = 40,
+      maxBucket = 4096, quantizer = coarse)
+    val oneShot = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      k = 1, pq, nlist = 3, nprobe = 2, rerank = 40, quantizer = Some(coarse))
+    assert(res(fromIndex) === res(oneShot))
   }
 
   test("lsh topk puts identical vectors in the same bucket") {
