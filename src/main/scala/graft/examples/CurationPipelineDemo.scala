@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 
 /** Training-data curation pipeline: the LLM-operator family composed
   * end-to-end the way a 100 TB pretraining-data job would run it —
-  * quality/language gating, exact dedup, transitive MinHash near-dup
-  * dedup, exact ngram-Jaccard near-dup audit, benchmark decontamination,
-  * embedding-space near-dup removal, token accounting, and a Delta sink
+  * quality/language gating, per-source reputation filtering, exact
+  * dedup, transitive MinHash near-dup dedup, exact ngram-Jaccard
+  * near-dup audit, benchmark decontamination, embedding-space near-dup
+  * removal, DSIR importance-based data selection, token accounting, and
+  * a Delta sink
   * whose stats make the curated table skippable. Every stage is one of
   * the library operators under its documented scale shape (banded LSH,
   * bounded buckets, broadcast query/benchmark sides — no all-pairs, no
@@ -37,8 +39,21 @@ object CurationPipelineDemo {
     val scored = docs.select(col("doc_id"), col("text"),
       TextFunctions.qualityScore(col("text"), stopwords).as("quality"),
       TextFunctions.langIdHeuristic(col("text")).as("lang"))
-    val gated = scored.filter(col("quality") >= 0.3 && col("lang") =!= "und")
-    val afterGate = n(gated)
+    val gated0 = scored.filter(col("quality") >= 0.3 && col("lang") =!= "und")
+    val afterGate = n(gated0)
+
+    // 1b. per-source reputation gate (domain-level filtering): sources
+    //     with a high corpus-wide duplication rate or a stopword-free
+    //     profile drop WHOLESALE — systematic junk per-doc filters miss
+    import graft.operators.Curation
+    val docSources = docs.select(col("doc_id"), col("source"))
+    val reputation = Curation.sourceReputation(docs, "source", "text",
+      stopwords, maxDupRate = 0.2, minStopword = 0.05)
+    val keptSources = reputation.filter(col("keep")).select("source")
+    val gated = gated0.join(docSources, Seq("doc_id"))
+      .join(broadcast(keptSources), Seq("source"), "left_semi")
+      .drop("source")
+    val afterRep = n(gated)
 
     // 2. exact dedup by content fingerprint: one shuffle on a 16-byte key
     val exact = Dedup.byFingerprint(gated, "text", "doc_id")
@@ -86,13 +101,33 @@ object CurationPipelineDemo {
     val embPairs = Dedup.embeddingCosinePairsLsh(
       survivors, "vec_id", "embedding", threshold = 0.995, planes = 8)
     val embLosers = embPairs.select(col("id_b").as("doc_id")).distinct()
-    val curated = clean.join(embLosers, Seq("doc_id"), "left_anti")
-    val afterEmb = n(curated)
+    // STAGE BOUNDARY: materialize the dedup survivors before the
+    // selection/packaging stages. Every action below would otherwise
+    // replay the whole dedup lineage (minhash CC, AllPairs,
+    // decontamination) per count — a real pipeline cuts stages at
+    // durable tables for exactly this reason.
+    clean.join(embLosers, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$work/stage_dedup")
+    val afterEmbDf = spark.read.parquet(s"$work/stage_dedup")
+    val afterEmb = n(afterEmbDf)
+
+    // 5b. DSIR data selection (importance resampling toward the target
+    //     domain): both LMs train from ONE corpus scan; per-doc weights
+    //     are a zero-shuffle codegen pass; the cutoff is the exact 10th
+    //     percentile so the bottom decile of target-unlike docs drops
+    val (tgtLm, srcLm) = Curation.ngramLmPair(
+      docs, "text", col("lang") === "en", n = 3)
+    val weights = Curation.dsirLogRatio(afterEmbDf, "doc_id", "text",
+      tgtLm, srcLm)
+    val dsirCut = weights.agg(expr("percentile(log_w, 0.1)"))
+      .head().getDouble(0)
+    val curated = afterEmbDf.join(
+      weights.filter(col("log_w") >= dsirCut).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val afterDsir = n(curated)
 
     // 6. PII scrub (map-only regexp chain) + deterministic mixture
     //    sampling (hash-mod, reproducible — no RNG state to checkpoint)
-    import graft.operators.Curation
-    val docSources = docs.select(col("doc_id"), col("source"))
     val scrubbed = curated.join(docSources, Seq("doc_id"))
       .select(col("doc_id"), Curation.redactPii(col("text")).as("text"),
         col("source"))
@@ -126,23 +161,27 @@ object CurationPipelineDemo {
 
     println(f"ingested:            $total%6d docs")
     println(f"quality+lang gate:   $afterGate%6d (-${total - afterGate})")
-    println(f"exact dedup:         $afterExact%6d (-${afterGate - afterExact})")
+    println(f"source reputation:   $afterRep%6d (-${afterGate - afterRep}; " +
+      s"${reputation.filter(!col("keep")).count()} sources dropped)")
+    println(f"exact dedup:         $afterExact%6d (-${afterRep - afterExact})")
     println(f"span dedup:          $spanTokens%6d duplicated tokens excised")
     println(f"minhash near-dedup:  $afterNear%6d (-${afterExact - afterNear})")
     println(f"residual 0.8-pairs:  $residual%6d (audit)")
     println(f"decontamination:     $afterDecontam%6d (-${afterNear - afterDecontam})")
     println(f"embedding near-dup:  $afterEmb%6d (-${afterDecontam - afterEmb})")
-    println(f"pii scrub + mixing:  $afterMix%6d (-${afterEmb - afterMix})")
+    println(f"dsir selection:      $afterDsir%6d (-${afterEmb - afterDsir}; " +
+      f"cutoff log_w >= $dsirCut%.2f)")
+    println(f"pii scrub + mixing:  $afterMix%6d (-${afterDsir - afterMix})")
     println(f"curated tokens:      ${tokens.getLong(0)}%6d (${tokens.getDouble(1)}%.1f/doc)")
     println(f"packed sequences:    ${packStats.getLong(0)}%6d x 512 tokens " +
       s"(${packStats.getLong(1)} packed)")
     println(f"delta read-back:     $readBack%6d rows; " +
       s"partitions=${writer.partitionColumnsOf(out).mkString(",")}")
     val ok = packStats.getLong(1) > 0 &&
-      readBack == afterMix && afterMix <= afterEmb &&
-      afterEmb <= afterDecontam &&
+      readBack == afterMix && afterMix <= afterDsir &&
+      afterDsir <= afterEmb && afterEmb <= afterDecontam &&
       afterDecontam <= afterNear && afterNear <= afterExact &&
-      afterExact <= afterGate && afterGate <= total
+      afterExact <= afterRep && afterRep <= afterGate && afterGate <= total
     println(s"funnel check: ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -220,6 +220,65 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("bloom novelty gate under the streaming engine, across checkpoint loss") {
+    // the bloom-screened history gate is a drop-in for the plain anti-join
+    // (identical result set, history-never-shuffles plan) — so it must
+    // satisfy the same streaming contract: exactly-once across checkpoint
+    // deletion under the SetTransaction watermarks
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.{Curation, Dedup}
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"; val fpHist = s"$tmp/fp"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      file(0, Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different second document")))
+      file(1, Seq((3L, "The QUICK brown fox, jumps over the lazy dog!!"),
+        (4L, "a genuinely novel fourth document")))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val appId = "sbloom"
+            val keyed = Dedup.exact(batch.withColumn("fp",
+              md5(Curation.normalizeText(col("text")))), Seq("fp"), "doc_id")
+            val fresh =
+              if (w.tableExists(fpHist))
+                Dedup.bloomNoveltyScreen(keyed, w.read(fpHist), "fp",
+                  expectedItems = 1000L, fpp = 0.01)
+              else keyed
+            if (!w.lastTxnVersion(curated, appId).exists(_ >= batchId))
+              w.write(fresh.drop("fp"), curated, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(fpHist, appId).exists(_ >= batchId))
+              w.write(fresh.select("fp"), fpHist, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def curatedIds() = w.read(curated).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(curatedIds() === Set(1L, 2L, 4L),
+        "the bloom gate must drop the cross-batch re-encoding")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(curatedIds() === Set(1L, 2L, 4L),
+        "replay after checkpoint loss must not duplicate any batch")
+      assert(w.read(fpHist).count() === 3L)
+    }
+  }
+
   test("span + minhash history operators under the streaming engine, across checkpoint loss") {
     import graft.delta.{DeltaWriteMode, DeltaWriter}
     import graft.operators.{Dedup, SpanDedup}
