@@ -305,6 +305,59 @@ object Queries {
              |    AS near_rev
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ----- correlated EXISTS / NOT EXISTS subqueries ----------------------
+    // The SQL decorrelation surface: Catalyst rewrites both predicates into
+    // the same semi/anti joins the DataFrame API plans — the point is that
+    // the SQL spelling reaches the identical physical shape.
+    "q_exists_subquery" -> QueryDef(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("ex_customer")
+        tOrders(s, d).createOrReplaceTempView("ex_orders")
+        s.sql("""SELECT c_custkey, c_mktsegment FROM ex_customer c
+                |WHERE EXISTS (SELECT 1 FROM ex_orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 150000)
+                |  AND NOT EXISTS (SELECT 1 FROM ex_orders o
+                |                  WHERE o.o_custkey = c.c_custkey
+                |                    AND o.o_orderstatus = 'F'
+                |                    AND o.o_totalprice < 5000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 150000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderstatus = 'F'
+             |                    AND o.o_totalprice < 5000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ----- correlated scalar subqueries -----------------------------------
+    // Orders above their customer's own average — the decorrelated
+    // aggregate-join rewrite. "price > avg" is spelled as the EXACT
+    // cross-multiplication `price * n > sum` (integer count, exact
+    // decimal sum) so no engine's average rounding can flip a row that
+    // sits on the boundary.
+    "q_scalar_subquery" -> QueryDef(
+      (s, d) => {
+        tOrders(s, d).createOrReplaceTempView("sc_orders")
+        s.sql("""SELECT o_orderkey, o_custkey FROM sc_orders o
+                |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+                |    (SELECT COUNT(*) FROM sc_orders i
+                |     WHERE i.o_custkey = o.o_custkey) >
+                |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                |   FROM sc_orders i WHERE i.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders o
+             |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+             |    (SELECT COUNT(*) FROM orders i
+             |     WHERE i.o_custkey = o.o_custkey) >
+             |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ----- mergeable HLL distinct-count sketches ---------------------------
     // The 100 TB distinct-count story: per-partition Apache DataSketches
     // HLL sketches union WITHOUT re-scanning (register-max merge is
