@@ -305,6 +305,57 @@ object Queries {
              |    AS near_rev
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ----- FILTER-clause conditional aggregates ---------------------------
+    "q_agg_filter" -> QueryDef(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("af_lineitem")
+        s.sql(s"""SELECT l_returnflag,
+                 |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+                 |  COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+                 |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+                 |    FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2)
+                 |    AS qty_discounted
+                 |FROM af_lineitem GROUP BY l_returnflag
+                 |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag,
+              |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+              |  COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+              |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+              |    FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2)
+              |    AS qty_discounted
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- approximate percentile with a rank-error gate ------------------
+    // Spark's approx_percentile (Greenwald-Khanna) guarantees RANK error
+    // <= eps*n, never value error — so the oracle-checkable contract is
+    // the rank of the returned value: the fraction of rows at or below
+    // the approx median must sit in [0.5 - eps, 0.5 + eps] (plus ties).
+    // Emitted values are the exact counts and the gate flag (recall_ok
+    // pattern); the approximate value itself never reaches the hash.
+    "q_approx_percentile" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val ap = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)")
+            .as("ap"), count(lit(1)).as("n"))
+        li.join(ap, Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(first(col("n")).as("n_rows"),
+            sum(when(col("l_extendedprice").cast("double") <= col("ap"), 1L)
+              .otherwise(0L)).as("__le"),
+            sum(when(col("l_extendedprice").cast("double") < col("ap"), 1L)
+              .otherwise(0L)).as("__lt"))
+          .select(col("l_returnflag"), col("n_rows"),
+            (col("__lt") <= col("n_rows") * 0.501 &&
+              col("__le") >= col("n_rows") * 0.499).as("rank_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS rank_ok
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ----- correlated EXISTS / NOT EXISTS subqueries ----------------------
     // The SQL decorrelation surface: Catalyst rewrites both predicates into
     // the same semi/anti joins the DataFrame API plans — the point is that
