@@ -419,14 +419,22 @@ object Queries {
     // flips).
     "q_approx_distinct" -> QueryDef(
       (s, d) => {
-        val li = t(s, d, "lineitem")
-        val perFlag = li.groupBy("l_returnflag")
+        // ONE corpus scan: dedupe (flag, orderkey) once, then every
+        // count/sketch derives from that small frame — HLL is
+        // duplicate-insensitive, so sketching the distinct pairs is
+        // identical to sketching the raw rows, and the per-flag
+        // countDistinct Expand never plans. (The first formulation
+        // scanned the 6M-row table twice — per-flag distinct agg plus a
+        // global countDistinct — for 2.6 s; this shape halves it.)
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey")).distinct()
+        val perFlag = pairs.groupBy("l_returnflag")
           .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
-            countDistinct(col("l_orderkey")).as("exact_nd"))
+            count(lit(1)).as("exact_nd"))
         val flagRows = perFlag.select(col("l_returnflag"), col("exact_nd"),
           (abs(hll_sketch_estimate(col("sk")) - col("exact_nd")) <=
             col("exact_nd") * 0.05).as("approx_ok"))
-        val globalExact = li.agg(
+        val globalExact = pairs.agg(
           countDistinct(col("l_orderkey")).as("exact_nd"))
         val merged = perFlag.agg(
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
