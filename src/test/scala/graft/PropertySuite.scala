@@ -208,6 +208,46 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("bloom novelty screen equals the plain anti-join on random batches") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.md5
+    val gen = Gen.zip(
+      Gen.choose(1, 60),       // distinct texts in the batch key space
+      Gen.choose(0, 40),       // history size (overlapping key space)
+      Gen.oneOf(0.01, 0.2, 0.5)) // fpp incl. degenerate-suspect regimes
+    forAllSampled(gen, 12) { case (nBatch, nHist, fpp) =>
+      val batch = (0 until 80).map(i => (i.toLong, s"t-${i % nBatch}"))
+        .toDF("id", "text").withColumn("fp", md5($"text"))
+      val history = (0 until nHist).map(i => s"t-$i").toDF("text")
+        .select(md5($"text").as("fp"))
+      val expected = batch.join(history, Seq("fp"), "left_anti")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = Dedup.bloomNoveltyScreen(batch, history, "fp",
+          expectedItems = math.max(nHist.toLong, 1L), fpp = fpp)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expected,
+        s"bloom screen diverged at nBatch=$nBatch nHist=$nHist fpp=$fpp")
+    }
+  }
+
+  test("DSIR log-ratio is exactly zero when target and source models coincide") {
+    import graft.operators.Curation
+    val textGen = Gen.listOfN(6,
+      Gen.chooseNum(0, 40).map(n => Gen.listOfN(n,
+        Gen.oneOf('a', 'b', 'c', ' ', 'ß', '中')).map(_.mkString)
+        .apply(Gen.Parameters.default, Seed(n.toLong)).getOrElse("")))
+    forAllSampled(textGen, 10) { texts =>
+      // doc 0 pins a non-empty reference slice (NgramLm refuses empty)
+      val docs = ("abcabc" +: texts).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val lm = Curation.ngramLm(docs.filter($"doc_id" % 2 === 0), "text", 3)
+      val out = Curation.dsirLogRatio(docs, "doc_id", "text", lm, lm)
+        .collect().map(_.getDouble(1))
+      assert(out.forall(_ == 0.0),
+        s"identical models must give zero log-ratio: ${out.toSeq}")
+    }
+  }
+
   test("index-based contamination equals the batch operator on random corpora") {
     // short docs over a tiny alphabet force heavy accidental gram sharing
     // and whole-text grams — the worst case for candidate completeness
