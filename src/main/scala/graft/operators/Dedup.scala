@@ -408,8 +408,19 @@ object Dedup {
     * misses any pair whose differing bits hit the prefix — ~1/4 chance per
     * bit). Same one-shuffle shape, 4× the (block, key, id, sh) rows. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hash64Pairs(simhashByRow(df, idCol, textCol), "id", "sh",
+      maxHamming, maxBucket)
+
+  /** Near-dup pairs among PRECOMPUTED 64-bit signatures — the Manku
+    * 4-block bucketing factored out of [[simhashPairs]] so any 64-bit
+    * perceptual/locality hash (simhash, image dHash, audio fingerprint)
+    * shares the one-shuffle pair generation and its Hamming ≤ 3 exact-
+    * recall guarantee (a pair differing in ≤ 3 bits cannot touch all
+    * four disjoint 16-bit blocks). */
+  def hash64Pairs(sigs: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val blockRows = simhashByRow(df, idCol, textCol)
+    val blockRows = sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .select(col("id"), col("sh"),
         posexplode(array((0 until SimhashBlocks).map(j =>
           shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xffffL))): _*))

@@ -198,4 +198,89 @@ object Multimodal {
   def resizeBlob(media: DataFrame, targetBytes: Int): DataFrame =
     media.withColumn("content",
       substring(col("content"), 1, targetBytes))
+
+  /** 64-bit difference hash (dHash) of a REAL decoded image: 9×8
+    * point-sampled luminances, one bit per horizontal gradient sign —
+    * the standard perceptual near-dup fingerprint (crop-resistant within
+    * a few bits, compression/resize-invariant). None when no installed
+    * ImageIO reader understands the bytes. Cost is 72 pixel reads per
+    * blob regardless of resolution. */
+  private[graft] def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val lum = Array.ofDim[Double](8, 9)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val px = math.min(w - 1, x * w / 9)
+            val py = math.min(h - 1, y * h / 8)
+            val rgb = img.getRGB(px, py)
+            lum(y)(x) =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var bit = 0
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (lum(y)(x) > lum(y)(x + 1)) hash |= (1L << bit)
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Per-blob dHash extraction, batched per partition like
+    * [[extractFeatures]]. Non-decodable blobs carry `decoded = false`
+    * with a deterministic byte-derived stand-in hash (FNV-1a) so the
+    * plumbing runs on any corpus; [[imageNearDupPairs]] drops them —
+    * a byte-hash is content-exact, and exact dups are the fingerprint
+    * operator's job, not the perceptual one's. */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        imageDHash(bytes) match {
+          case Some(hs) => Row(id, hs, true)
+          case None =>
+            var h = 0xcbf29ce484222325L
+            bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+            Row(id, h, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, dHashSchema)
+  }
+
+  /** Perceptual image near-dup pairs: dHash per blob, then the Manku
+    * 4-block bucketing shared with simhash ([[Dedup.hash64Pairs]]) —
+    * exact recall for Hamming ≤ 3, one shuffle on the block keys, never
+    * all-pairs. At 100 TB of images only (id, 8-byte hash) rows enter
+    * the pair stage; the blobs never shuffle. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.hash64Pairs(imageDHashes(media).filter(col("decoded")),
+      "media_id", "dhash", maxHamming, maxBucket)
 }

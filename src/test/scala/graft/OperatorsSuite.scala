@@ -1232,6 +1232,52 @@ class MultimodalSuite extends SparkSpec {
     assert(feats.toSeq === again.toSeq)
   }
 
+  test("image dHash: perceptual near-dups pair up, distinct images don't, stubs excluded") {
+    import java.awt.image.BufferedImage
+    def gradient(w: Int, h: Int, tweak: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255 / math.max(w - 1, 1)) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      // a near-dup: flip a single pixel block (perceptually ~identical)
+      if (tweak > 0) img.setRGB(0, 0, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    def checker(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x / 4 + y / 4) % 2 == 0) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, gradient(64, 32, 0)),
+      (2L, gradient(64, 32, 1)),         // near-dup of 1
+      (3L, gradient(128, 64, 0)),        // RESIZED copy of 1 — dHash invariant
+      (4L, checker(64, 32)),             // genuinely different
+      (5L, "not an image".getBytes("UTF-8"))) // stub path, must be excluded
+      .toDF("media_id", "content")
+    val hashes = Multimodal.imageDHashes(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(hashes(1)._2 && hashes(4)._2, "real images must decode")
+    assert(!hashes(5)._2, "non-image must take the stub path")
+    // resize invariance: the scaled copy hashes identically
+    assert(hashes(3)._1 === hashes(1)._1, "dHash must be resize-invariant")
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)),
+      s"near-dup gradient pair must be found: $pairs")
+    assert(pairs.contains((1L, 3L)), s"resized copy must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the checkerboard must not pair with gradients: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "stub hashes must never reach the pair stage")
+  }
+
   test("real png and jpeg decode via JDK ImageIO: dimensions, channels, brightness") {
     import java.awt.image.BufferedImage
     def render(w: Int, h: Int, format: String): Array[Byte] = {
