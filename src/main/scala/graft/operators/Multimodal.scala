@@ -283,4 +283,89 @@ object Multimodal {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     Dedup.hash64Pairs(imageDHashes(media).filter(col("decoded")),
       "media_id", "dhash", maxHamming, maxBucket)
+
+  /** 64-bit energy-envelope fingerprint of a REAL decoded audio blob —
+    * the dHash idea on the time axis (a Chromaprint-style acoustic
+    * fingerprint without the FFT): the PCM stream's mean absolute
+    * amplitude over 65 equal windows, one bit per consecutive-window
+    * energy gradient. Duration/sample-rate-invariant by construction
+    * (windows are fractions of the clip); robust to gain changes (sign
+    * of the gradient survives scaling). None when no installed reader
+    * understands the bytes (JDK codecs: WAV/AU/AIFF). */
+  private[graft] def audioEnvelopeHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frameSize = fmt.getFrameSize
+        val nFrames = in.getFrameLength
+        if (frameSize <= 0 || nFrames <= 0) return None
+        val pcm = in.readAllBytes()
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val big = fmt.isBigEndian
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val totalSamples = pcm.length / bytesPerSample
+        if (totalSamples < 65) return None
+        def sampleAbs(i: Int): Double = {
+          val off = i * bytesPerSample
+          val v = bytesPerSample match {
+            case 1 => if (signed) pcm(off).toInt else (pcm(off) & 0xff) - 128
+            case _ =>
+              val (hi, lo) = if (big) (pcm(off), pcm(off + 1))
+                else (pcm(off + 1), pcm(off))
+              (hi.toInt << 8) | (lo & 0xff)
+          }
+          math.abs(v.toDouble)
+        }
+        val env = new Array[Double](65)
+        var w = 0
+        while (w < 65) {
+          val start = (w.toLong * totalSamples / 65).toInt
+          val end = ((w + 1).toLong * totalSamples / 65).toInt
+          var s = 0.0; var i = start
+          while (i < end) { s += sampleAbs(i); i += 1 }
+          env(w) = if (end > start) s / (end - start) else 0.0
+          w += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (env(b) > env(b + 1)) hash |= (1L << b)
+          b += 1
+        }
+        Some(hash)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-blob audio fingerprints ([[audioEnvelopeHash]]), stub-flagged
+    * like [[imageDHashes]]. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        audioEnvelopeHash(bytes) match {
+          case Some(hs) => Row(id, hs, true)
+          case None =>
+            var h = 0xcbf29ce484222325L
+            bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+            Row(id, h, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, dHashSchema)
+  }
+
+  /** Acoustic near-dup pairs over real decoded audio — the audio sibling
+    * of [[imageNearDupPairs]], riding the same [[Dedup.hash64Pairs]]
+    * block bucketing; only (id, 8-byte hash) rows enter the pair stage. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.hash64Pairs(audioFingerprints(media).filter(col("decoded")),
+      "media_id", "dhash", maxHamming, maxBucket)
 }

@@ -1331,6 +1331,49 @@ class MultimodalSuite extends SparkSpec {
     assert((f.getInt(2), f.getInt(3), f.getLong(4)) === ((16000, 1, 2L)))
   }
 
+  test("audio envelope fingerprint: re-encodings pair, different content doesn't") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // amplitude-modulated tone; the envelope profile is the content
+    def renderTone(rateHz: Int, ms: Int, envPeriodMs: Int,
+        gain: Double): Array[Byte] = {
+      val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false)
+      val frames = rateHz * ms / 1000
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val t = i.toDouble / rateHz
+        val env = 0.5 + 0.5 * math.sin(2 * math.Pi * t * 1000 / envPeriodMs)
+        val s = (math.sin(2 * math.Pi * 440 * t) * env * gain * 12000).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, renderTone(16000, 650, 200, 1.0)),
+      (2L, renderTone(16000, 650, 200, 0.7)),  // same content, gain change
+      (3L, renderTone(8000, 650, 200, 1.0)),   // same content, resampled
+      (4L, renderTone(16000, 650, 57, 1.0)),   // different envelope
+      (5L, "not audio at all".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val fps = Multimodal.audioFingerprints(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(fps(1)._2 && fps(4)._2, "real wavs must decode")
+    assert(!fps(5)._2, "non-audio must take the stub path")
+    // gain invariance is exact: scaling flips no gradient sign
+    assert(fps(2)._1 === fps(1)._1, "gain change must not move the hash")
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"gain re-encoding must pair: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 1L)),
+      s"resampled copy must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"different envelope must not pair: $pairs")
+  }
+
   test("frame sampling emits every stride-th fixed-size slice") {
     val media = Multimodal.asMedia(
       Seq((1L, "abcdefghij")).toDF("id", "payload"), "id", "payload", "video/fake")
