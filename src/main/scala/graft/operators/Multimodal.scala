@@ -113,8 +113,8 @@ object Multimodal {
     * blob into (width, height, channels, brightness) derived from its
     * bytes. ??? replace with a real video codec when one is on the
     * classpath (images decode for real via [[imageDecode]], audio via
-    * [[audioDecode]]; classpath re-checked through round 9 — still no
-    * jcodec/javacv/ffmpeg jar under /opt/spark/jars). */
+    * [[audioDecode]]; classpath re-checked through round 13 — still no
+    * jcodec/javacv/ffmpeg/bytedeco jar under /opt/spark/jars). */
   private[graft] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)
     else {

@@ -521,6 +521,37 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("dropDuplicatesWithinWatermark: in-window dups collapse, expired keys re-admit") {
+    // Spark's MANAGED streaming dedup beside the engine's state-table
+    // pattern: duplicates arriving within the watermark delay of a key's
+    // first occurrence drop; once the watermark passes the key's window
+    // its state evicts and a later arrival is a fresh row.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDF().toDF("id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = df.writeStream.format("memory").queryName("ddww")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1000L), (1L, 2000L), (2L, 1500L))
+      q.processAllAvailable()
+      input.addData((1L, 3000L)) // in-window duplicate -> dropped
+      q.processAllAvailable()
+      input.addData((9L, 60000L)) // watermark -> 50 s, evicts id 1's state
+      q.processAllAvailable()
+      input.addData((1L, 61000L)) // fresh epoch -> re-admitted
+      q.processAllAvailable()
+      val ids = spark.table("ddww").select("id").collect().map(_.getLong(0))
+      assert(ids.count(_ == 1L) === 2,
+        s"id 1 must emit once per watermark epoch: ${ids.toSeq}")
+      assert(ids.count(_ == 2L) === 1)
+      assert(ids.count(_ == 9L) === 1)
+    } finally q.stop()
+  }
+
   test("sessionize: gap-break closes inline, watermark timeout closes idle keys") {
     import graft.streaming.{Session, Sessionize}
     withTmpDir { tmp =>
