@@ -2224,7 +2224,112 @@ object Queries {
           .orderBy("media_id")
       },
       Some("""SELECT doc_id AS media_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ----- training-output materialization (operators/Mixing.scala) --------
+    // All three ride ONE portable hash (3-round Lehmer MINSTD — every
+    // intermediate an exact integer < 2^47), so DuckDB replays the
+    // identical shuffle/sample bit-for-bit: the randomness IS the oracle.
+
+    // Deterministic global shuffle into shards: (doc, shard, position).
+    "d_global_shuffle" -> QueryDef(
+      (s, d) => graft.operators.Mixing.globalShuffle(
+        t(s, d, "documents"), "doc_id", numShards = 8)
+        .orderBy("shard", "pos"),
+      Some {
+        val h = graft.operators.Mixing.minstdSql("doc_id", 41L)
+        s"""WITH k AS (SELECT doc_id, $h AS skey FROM documents)
+           |SELECT doc_id, CAST(skey % 8 AS INT) AS shard,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8
+           |    ORDER BY skey, doc_id) AS INT) AS pos
+           |FROM k ORDER BY shard, pos""".stripMargin
+      }),
+
+    // Temperature-flattened mixture sampling (T5 §3.4.3, τ=2): expected
+    // 30% of the corpus with per-source rates ∝ √count. Selection is the
+    // cross-multiplied integer compare — no division, no float boundary.
+    "d_mix_temperature" -> QueryDef(
+      (s, d) => graft.operators.Mixing.temperatureSample(
+        t(s, d, "documents"), "doc_id", "source", targetFrac = 0.3)
+        .orderBy("doc_id"),
+      Some {
+        val h = graft.operators.Mixing.minstdSql("d.doc_id", 41L)
+        s"""WITH dom AS (SELECT source, COUNT(*) AS n_d,
+           |  CAST(ROUND(SQRT(COUNT(*)) * 1000000, 0) AS BIGINT) AS ss_d
+           |  FROM documents GROUP BY source),
+           |z AS (SELECT SUM(ss_d) AS z6,
+           |  CAST(FLOOR(SUM(n_d) * 0.3) AS BIGINT) AS t FROM dom)
+           |SELECT d.doc_id, d.source
+           |FROM documents d JOIN dom ON d.source = dom.source CROSS JOIN z
+           |WHERE (($h - 1) % 1000000) * z.z6 * dom.n_d < z.t * dom.ss_d * 1000000
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // Token-budget epoch planning (LLaMA-style repeat table): src0's
+    // budget caps at maxEpochs, src1 gets 1 full + partial, src2 partial
+    // only, every other source 0 — all four regimes in one result.
+    "d_epoch_plan" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("n_tok",
+          size(split(col("text"), " ")).cast("long"))
+        graft.operators.Mixing.epochPlan(docs, "doc_id", "source", "n_tok",
+          budgets = Map("src0" -> 5000L, "src1" -> 2000L, "src2" -> 700L),
+          maxEpochs = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = graft.operators.Mixing.minstdSql("d.doc_id", 41L)
+        s"""WITH docs AS (SELECT doc_id, source,
+           |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |dom AS (SELECT source, SUM(n_tokens) AS avail,
+           |  CAST(CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000
+           |       WHEN 'src2' THEN 700 ELSE 0 END AS BIGINT) AS budget
+           |  FROM docs GROUP BY source),
+           |dom2 AS (SELECT source, avail,
+           |  LEAST(budget // avail, 3) AS full_epochs,
+           |  CASE WHEN budget // avail >= 3 THEN 0
+           |       ELSE budget - (budget // avail) * avail END AS rem
+           |  FROM dom)
+           |SELECT d.doc_id, d.source, d.n_tokens,
+           |  CAST(dom2.full_epochs + CASE WHEN (($h - 1) % 1000000) * dom2.avail
+           |    < dom2.rem * 1000000 THEN 1 ELSE 0 END AS INT) AS epochs
+           |FROM docs d JOIN dom2 ON d.source = dom2.source
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // ----- ordered string aggregation (listagg) ---------------------------
+    // Deterministic by construction: collect_set → array_sort → join —
+    // the concatenation order is data-defined, never partition-defined.
+    "q_listagg" -> QueryDef(
+      (s, d) => t(s, d, "region")
+        .join(t(s, d, "nation"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_set(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name"),
+      Some("""SELECT r.r_name, STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations,
+             |  COUNT(*) AS n
+             |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)),
+
+    // ----- bitwise aggregates ---------------------------------------------
+    // AND/OR/XOR fold over group members — order-independent, so exact
+    // across engines with no decimal scaffolding.
+    "q_bitagg" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("bit_and(o_orderkey)").as("and_key"),
+          expr("bit_or(o_orderkey)").as("or_key"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, BIT_AND(o_orderkey) AS and_key,
+             |  BIT_OR(o_orderkey) AS or_key, BIT_XOR(o_orderkey) AS xor_key,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-output materialization: the operators that sit BETWEEN a
+  * curated corpus and the trainer's data loader — a deterministic global
+  * shuffle into shards, temperature-flattened mixture sampling (the
+  * sampling rule behind multilingual/multi-source training mixes, e.g.
+  * mC4/PaLM's p_d ∝ w_d^(1/τ)), and token-budget epoch planning (how
+  * many passes each source gets when its budget exceeds or undershoots
+  * its available tokens, the LLaMA-style repeat table).
+  *
+  * Everything here is DRIVEN BY ONE PORTABLE HASH, a 3-round Lehmer
+  * MINSTD chain ([[Mixing.minstd]]): every intermediate stays an exact
+  * integer below 2^47, so Spark and a SQL oracle (DuckDB) replay the
+  * identical shuffle/sample bit-for-bit — no engine RNG, no float
+  * rounding, re-runs are reproducible by construction (the property a
+  * training pipeline actually needs: the shuffle IS the random seed).
+  *
+  * Scale shapes (100 TB rules):
+  *  - [[globalShuffle]]: map-only key derivation; the per-shard position
+  *    window partitions by shard — shards are sized so one shard = one
+  *    output file = one task (the standard sorted-shard write); the hash
+  *    is uniform, so shards are count-balanced by construction.
+  *  - [[temperatureSample]]: one tiny domain-count aggregation (partial
+  *    agg; #domains rows), broadcast back, then a MAP-ONLY filter. The
+  *    corpus never shuffles.
+  *  - [[epochPlan]]: same shape — two tiny aggs + broadcast + map-only
+  *    arithmetic. The partial-epoch membership is a hash threshold
+  *    (expected-token coverage), NOT a prefix scan, precisely so no
+  *    per-domain ordered window exists to become the hot task.
+  *
+  * Reference behavior: the reference's mixture tooling samples sources
+  * by fixed ratios (polars-incremental scripts/sample_sources.py); the
+  * temperature generalization and epoch planning follow the published
+  * recipes (Raffel et al. T5 §3.4.3 temperature mixing; Touvron et al.
+  * LLaMA Table 1 epoch counts).
+  */
+object Mixing {
+
+  private val M = 2147483647L // 2^31 - 1, prime (Lehmer modulus)
+
+  /** 3-round MINSTD hash of a non-negative integer column: value in
+    * [1, M-1]. Every intermediate < 2^47 — exact in any 64-bit integer
+    * engine, so an oracle can replay it verbatim. */
+  def minstd(c: Column, seed: Long, rounds: Int = 3): Column = {
+    var h: Column = pmod(c.cast("long") + lit(seed), lit(M - 1)) + lit(1L)
+    (1 to rounds).foreach(_ => h = pmod(h * lit(48271L), lit(M)))
+    h
+  }
+
+  /** The same chain as DuckDB SQL (ids must be non-negative). */
+  def minstdSql(expr: String, seed: Long, rounds: Int = 3): String = {
+    var h = s"(($expr + $seed) % ${M - 1} + 1)"
+    (1 to rounds).foreach(_ => h = s"($h * 48271 % $M)")
+    h
+  }
+
+  /** Deterministic global shuffle into `numShards` shards:
+    * `(id, shard, pos)` — document `id` lands in shard `shard` at
+    * 1-based position `pos` of that shard's hash-ordered stream. The
+    * mapping is a pure function of (id, seed): re-running yields the
+    * identical shuffle, and a resumed job can recompute any shard
+    * without global state.
+    *
+    * At materialization scale, shards are sized to one output file each
+    * (corpus_bytes / target_file_bytes shards), so the per-shard
+    * position window is exactly the per-file write task — hash
+    * uniformity makes the shards count-balanced, and no corpus-wide
+    * ordered window ever exists. */
+  def globalShuffle(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 41L): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = minstd(col(idCol), seed)
+    df.select(col(idCol), key.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("skey"), col(idCol))))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Temperature-flattened mixture sampling, p_d ∝ w_d^(1/τ): draws an
+    * expected `targetFrac` of the corpus with per-domain rates
+    * flattened by temperature `tau` (τ=1 is proportional/no-op
+    * flattening, τ→∞ is uniform-over-domains; τ=2 — the common
+    * published setting — uses IEEE-exact sqrt, keeping the whole
+    * computation bit-reproducible across engines).
+    *
+    * Selection is exact integer arithmetic end to end: per-domain counts
+    * n_d; ss_d = round(√n_d · 10^6) as a LONG (√ and ·2^k-free double
+    * multiply are correctly rounded by IEEE 754, so both engines hold
+    * the identical double; round-half-up-to-integer of the same double
+    * is the same integer, ≤ 10^12 — exact); Z6 = Σ ss_d (exact
+    * long sum, order-independent); a row of domain d is kept iff
+    *    u · Z6 · n_d < T · ss_d · 10^6,   u = (minstd(id) - 1) mod 10^6,
+    * where T = floor(targetFrac · N) — the cross-multiplied form of
+    * u/10^6 < T·ss_d/(Z6·n_d). The products run in DECIMAL(20,0)·…
+    * (scale stays 0, so Spark's decimal math is EXACT as long as the
+    * value fits 38 digits — it does for any sane mix: u·Z6·n_d ≤
+    * 10^6 · #domains·10^12 · 10^12, within 38 digits up to ~10^8
+    * domains); the oracle replays the same products in 64-bit integers
+    * at test scale. No division ever happens, so no engine's rounding
+    * can flip a boundary row.
+    *
+    * Only τ=2 is oracle-exact; other τ go through `pow`, whose last ulp
+    * is implementation-defined — fine for production, not for a
+    * cross-engine hash compare. */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+      targetFrac: Double, tau: Double = 2.0, seed: Long = 41L): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"targetFrac must be in (0,1], got $targetFrac")
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    val flat: Column => Column =
+      if (tau == 2.0) sqrt
+      else n => pow(n, 1.0 / tau)
+    val dec = DecimalType(20, 0)
+    // (domain, n_d, ss_d): one partial-aggregated pass, #domains rows
+    val dom = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_d"))
+      .withColumn("ss_d", round(flat(col("n_d")) * 1000000L, 0).cast("long"))
+    // Z6 and T: a 1-row aggregate, cross-joined back (broadcast by size)
+    val z = dom.agg(sum(col("ss_d")).as("z6"),
+      floor(sum(col("n_d")) * targetFrac).cast("long").as("t_target"))
+    val rates = dom.crossJoin(z)
+    val u = pmod(minstd(col(idCol), seed) - 1, lit(1000000L))
+    df.join(broadcast(rates), domainCol)
+      .filter(u.cast(dec) * col("z6").cast(dec) * col("n_d").cast(dec) <
+        col("t_target").cast(dec) * col("ss_d").cast(dec) * lit(1000000L).cast(dec))
+      .select(col(idCol), col(domainCol))
+  }
+
+  /** Token-budget epoch planning: given a per-domain token budget, how
+    * many times does each document appear in the training stream?
+    * Every document of domain d gets `floor(budget_d / avail_d)` full
+    * epochs (capped at `maxEpochs`); the REMAINDER budget selects a
+    * hash-random subset for one extra partial epoch, sized so the
+    * expected token draw equals the remainder:
+    *    doc in partial epoch iff u · avail_d < rem_d · 10^6.
+    * Domains absent from `budgets` get 0 epochs (dropped from the mix).
+    *
+    * The partial-epoch rule is deliberately a PER-ROW hash threshold,
+    * not an exact prefix-sum cut: an ordered cumulative scan per domain
+    * would serialize a domain into one window task at corpus scale
+    * (hitting the budget exactly to the token buys nothing — training
+    * budgets are targets, not invariants). Shape: one partial-agg'd
+    * domain aggregation, broadcast join, map-only arithmetic.
+    *
+    * Output: `(id, domain, n_tokens, epochs)` with `epochs >= 0`. A
+    * trainer materializes epoch e by filtering `epochs >= e`. */
+  def epochPlan(df: DataFrame, idCol: String, domainCol: String,
+      tokenCol: String, budgets: Map[String, Long], maxEpochs: Int = 4,
+      seed: Long = 41L): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val budget = coalesce(
+      element_at(typedlit(budgets), col(domainCol)), lit(0L))
+    val dom = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol).cast("long")).as("avail"))
+      .withColumn("budget", budget)
+      .withColumn("full_epochs",
+        least(expr("budget div avail"), lit(maxEpochs.toLong)))
+      .withColumn("rem",
+        when(col("full_epochs") >= maxEpochs, lit(0L))
+          .otherwise(col("budget") - col("full_epochs") * col("avail")))
+    val u = pmod(minstd(col(idCol), seed) - 1, lit(1000000L))
+    // u·avail vs rem·10^6 in DECIMAL(20,0): exact (scale 0) and immune
+    // to 64-bit wrap — u·avail reaches 10^22 for a 10^16-token domain
+    val dec = DecimalType(20, 0)
+    df.select(col(idCol), col(domainCol), col(tokenCol).cast("long").as("n_tokens"))
+      .join(broadcast(dom), domainCol)
+      .withColumn("epochs", (col("full_epochs") +
+        when(u.cast(dec) * col("avail").cast(dec) <
+          col("rem").cast(dec) * lit(1000000L).cast(dec), 1L).otherwise(0L))
+        .cast("int"))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("epochs"))
+  }
+}
