@@ -2298,6 +2298,58 @@ object Queries {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // Mix-steering incremental sampler: two skewed-target batches with the
+    // realized counts of batch 1 steering batch 2's acceptance — the full
+    // cross-batch evolution (deficit arithmetic, history coupling, MINSTD
+    // draw) replayed exactly by the oracle.
+    "d_mix_steered" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val targets = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.15,
+          "src3" -> 0.1, "src4" -> 0.05)
+        val b1 = docs.filter(col("doc_id") < 250)
+        val b2 = docs.filter(col("doc_id") >= 250)
+        val noHistory = graft.operators.Mixing.acceptedCounts(
+          docs.limit(0).select(col("doc_id"), col("source")), "source")
+        val acc1 = graft.operators.Mixing.steeredSample(
+          b1, "doc_id", "source", targets, noHistory, acceptFrac = 0.2)
+        val acc2 = graft.operators.Mixing.steeredSample(
+          b2, "doc_id", "source", targets,
+          graft.operators.Mixing.acceptedCounts(acc1, "source"),
+          acceptFrac = 0.2)
+        acc1.withColumn("batch", lit(1))
+          .unionByName(acc2.withColumn("batch", lit(2)))
+          .orderBy("doc_id")
+      },
+      Some {
+        def h(e: String) = graft.operators.Mixing.minstdSql(e, 41L)
+        s"""WITH b1 AS (SELECT doc_id, source FROM documents WHERE doc_id < 250),
+           |b2 AS (SELECT doc_id, source FROM documents WHERE doc_id >= 250),
+           |t(source, t6) AS (VALUES ('src0', 400000), ('src1', 300000),
+           |  ('src2', 150000), ('src3', 100000), ('src4', 50000)),
+           |c1 AS (SELECT source, COUNT(*) AS b_d FROM b1 GROUP BY source),
+           |a1 AS (SELECT CAST(FLOOR(SUM(b_d) * 0.2) AS BIGINT) AS a_total FROM c1),
+           |d1 AS (SELECT c1.source, c1.b_d, GREATEST(0, LEAST(c1.b_d,
+           |    COALESCE(t.t6, 0) * a1.a_total // 1000000 - 0)) AS a_d
+           |  FROM c1 LEFT JOIN t ON c1.source = t.source CROSS JOIN a1),
+           |acc1 AS (SELECT b1.doc_id, b1.source FROM b1 JOIN d1 ON b1.source = d1.source
+           |  WHERE ((${h("b1.doc_id")} - 1) % 1000000) * d1.b_d < d1.a_d * 1000000),
+           |h AS (SELECT source, COUNT(*) AS have FROM acc1 GROUP BY source),
+           |ht AS (SELECT COALESCE(SUM(have), 0) AS have_total FROM h),
+           |c2 AS (SELECT source, COUNT(*) AS b_d FROM b2 GROUP BY source),
+           |a2 AS (SELECT CAST(FLOOR(SUM(b_d) * 0.2) AS BIGINT) AS a_total FROM c2),
+           |d2 AS (SELECT c2.source, c2.b_d, GREATEST(0, LEAST(c2.b_d,
+           |    COALESCE(t.t6, 0) * (a2.a_total + ht.have_total) // 1000000
+           |      - COALESCE(h.have, 0))) AS a_d
+           |  FROM c2 LEFT JOIN t ON c2.source = t.source
+           |  LEFT JOIN h ON c2.source = h.source CROSS JOIN a2 CROSS JOIN ht),
+           |acc2 AS (SELECT b2.doc_id, b2.source FROM b2 JOIN d2 ON b2.source = d2.source
+           |  WHERE ((${h("b2.doc_id")} - 1) % 1000000) * d2.b_d < d2.a_d * 1000000)
+           |SELECT doc_id, source, 1 AS batch FROM acc1
+           |UNION ALL SELECT doc_id, source, 2 AS batch FROM acc2
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ----- ordered string aggregation (listagg) ---------------------------
     // Deterministic by construction: collect_set → array_sort → join —
     // the concatenation order is data-defined, never partition-defined.

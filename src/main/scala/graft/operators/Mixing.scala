@@ -131,6 +131,70 @@ object Mixing {
       .select(col(idCol), col(domainCol))
   }
 
+  /** Mix-steering incremental sampler: accept arriving rows at per-domain
+    * rates that drive the CUMULATIVE realized mix toward target shares —
+    * the batch-mode [[temperatureSample]] assumes it sees the whole
+    * corpus at once; under incremental ingestion with skewed arrival
+    * order (one crawl dump is all one domain), fixed rates let the
+    * realized mix drift arbitrarily far from target. Steering closes the
+    * loop: each batch accepts from domain d up to its current DEFICIT
+    *    a_d = clamp(floor(t_d · (N_have + A)) − have_d, 0, b_d),
+    * where have_d comes from a persisted (domain, have) stats table,
+    * b_d is the domain's batch count, and A = floor(acceptFrac · |batch|)
+    * is the batch's acceptance budget. Row selection inside a domain is
+    * the MINSTD threshold (accept iff u · b_d < a_d · 10^6 — expected
+    * a_d accepts), so the draw is reproducible and the oracle can replay
+    * the whole multi-batch evolution exactly.
+    *
+    * `history` is the realized-count state: (domainCol, "have" long) —
+    * persist `acceptedCounts(accepted) ∪ history` re-aggregated between
+    * batches (a [[graft.state.JobState]]-sized table: one row per
+    * domain). Pass an empty frame for the first batch.
+    *
+    * Shape: two tiny aggregations (batch domain counts — partial-agg'd;
+    * history is already per-domain), broadcast back, map-only filter.
+    * The batch never shuffles. */
+  def steeredSample(batch: DataFrame, idCol: String, domainCol: String,
+      targets: Map[String, Double], history: DataFrame,
+      acceptFrac: Double = 0.5, seed: Long = 41L): DataFrame = {
+    require(acceptFrac > 0 && acceptFrac <= 1,
+      s"acceptFrac must be in (0,1], got $acceptFrac")
+    require(targets.values.forall(v => v >= 0 && v <= 1), "target shares in [0,1]")
+    val dec = DecimalType(20, 0)
+    // targets scaled to exact integer millionths — share arithmetic stays
+    // integral (floor(t_d · n) = t6_d · n div 10^6)
+    val t6 = targets.map { case (k, v) => k -> math.round(v * 1e6) }
+    val bCounts = batch.groupBy(col(domainCol)).agg(count(lit(1)).as("b_d"))
+    val have = history.groupBy(col(domainCol)).agg(sum("have").as("have"))
+    val tot = bCounts.agg(
+      floor(sum("b_d") * acceptFrac).cast("long").as("a_total"))
+    val haveTot = have.agg(coalesce(sum("have"), lit(0L)).as("have_total"))
+    val dom = bCounts.join(have, Seq(domainCol), "left")
+      .na.fill(0L, Seq("have"))
+      .crossJoin(tot).crossJoin(haveTot)
+      .withColumn("t6", coalesce(
+        element_at(typedlit(t6), col(domainCol)), lit(0L)))
+      // deficit = floor(t_d·(N_have+A)) − have_d, clamped to [0, b_d].
+      // t6·n_after runs in LONG: exact up to ~9·10^12 cumulative rows
+      // (Long.Max/10^6) — ten trillion documents; past that, shard the
+      // steering by corpus slice before this ever rounds.
+      .withColumn("n_after", col("a_total") + col("have_total"))
+      .withColumn("a_d", greatest(lit(0L), least(col("b_d"),
+        expr("t6 * n_after div 1000000") - col("have"))))
+    val u = pmod(minstd(col(idCol), seed) - 1, lit(1000000L))
+    batch.join(broadcast(dom.select(col(domainCol), col("b_d"), col("a_d"))),
+        domainCol)
+      .filter(u.cast(dec) * col("b_d").cast(dec) <
+        col("a_d").cast(dec) * lit(1000000L).cast(dec))
+      .select(col(idCol), col(domainCol))
+  }
+
+  /** Per-domain realized counts of an accepted batch, shaped for
+    * [[steeredSample]]'s `history` input. Union with the prior history
+    * frame between batches (steeredSample re-aggregates). */
+  def acceptedCounts(accepted: DataFrame, domainCol: String): DataFrame =
+    accepted.groupBy(col(domainCol)).agg(count(lit(1)).as("have"))
+
   /** Token-budget epoch planning: given a per-domain token budget, how
     * many times does each document appear in the training stream?
     * Every document of domain d gets `floor(budget_d / avail_d)` full

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
 class MixingSuite extends SparkSpec {
   import spark.implicits._
 
-  private def docs(n: Int, domains: Seq[(String, Int)]): DataFrame = {
-    // domains: (name, count) — ids are globally unique across domains
-    val rows = domains.foldLeft((Seq.empty[(Long, String)], 0L)) {
+  private def docs(base: Int, domains: Seq[(String, Int)]): DataFrame = {
+    // domains: (name, count) — ids start at `base`, unique across domains
+    val rows = domains.foldLeft((Seq.empty[(Long, String)], base.toLong)) {
       case ((acc, base), (dom, k)) =>
         (acc ++ (0 until k).map(i => (base + i, dom)), base + k)
     }._1
@@ -85,6 +85,49 @@ class MixingSuite extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("steeredSample pulls the cumulative mix toward target under skewed arrivals") {
+    val targets = Map("a" -> 0.5, "b" -> 0.5)
+    def share(counts: Map[String, Long], d: String): Double =
+      counts.getOrElse(d, 0L).toDouble / counts.values.sum
+    val emptyHist = docs(0, Seq("a" -> 1)).limit(0)
+      .select(col("id"), col("dom")).groupBy("dom").agg(count(lit(1)).as("have"))
+    // batch 1: ALL domain a (the one-crawl-dump-one-domain arrival)
+    val b1 = docs(0, Seq("a" -> 200))
+    val acc1 = Mixing.steeredSample(b1, "id", "dom", targets, emptyHist)
+    val c1 = Mixing.acceptedCounts(acc1, "dom").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only a available: budget 100, target share 0.5 → deficit 50
+    assert(c1.keySet === Set("a"))
+    assert(c1("a") >= 35 && c1("a") <= 65, s"got $c1")
+    // batch 2: ALL domain b — steering must favor b to close the gap
+    val b2 = docs(1000, Seq("b" -> 200))
+    val acc2 = Mixing.steeredSample(b2, "id", "dom", targets,
+      Mixing.acceptedCounts(acc1, "dom"))
+    val c2all = (acc1.unionByName(acc2)).groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b's deficit = 0.5·(have_a + 100) − 0, larger than a's was → the
+    // cumulative shares should be near balanced now
+    assert(math.abs(share(c2all, "a") - 0.5) < 0.2,
+      s"steering failed to rebalance: $c2all")
+    // batch 3: mixed arrivals keep converging, never reverse
+    val b3 = docs(2000, Seq("a" -> 100, "b" -> 100))
+    val acc3 = Mixing.steeredSample(b3, "id", "dom", targets,
+      Mixing.acceptedCounts(acc1.unionByName(acc2), "dom"))
+    val c3all = (acc1.unionByName(acc2).unionByName(acc3))
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(share(c3all, "a") - 0.5) <= math.abs(share(c2all, "a") - 0.5) + 0.05,
+      s"batch 3 diverged: $c2all -> $c3all")
+    // unbudgeted domain is never accepted
+    val b4 = docs(3000, Seq("c" -> 50))
+    val acc4 = Mixing.steeredSample(b4, "id", "dom", targets, emptyHist)
+    assert(acc4.count() === 0)
+    // deterministic re-run
+    assert(Mixing.steeredSample(b1, "id", "dom", targets, emptyHist)
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      acc1.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
   test("epochPlan: cap, full+partial, partial-only, and unbudgeted regimes") {
