@@ -521,6 +521,76 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("mix-steering sampler under the streaming engine, across checkpoint loss") {
+    // the steered sampler's realized-count state is a Delta table updated
+    // per batch — the same cross-batch contract as the dedup histories:
+    // SetTransaction-guarded appends, exactly-once across checkpoint
+    // deletion, and the cumulative mix must converge even though each
+    // arriving file is single-domain skewed
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Mixing
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val accepted = s"$tmp/accepted"; val countsHist = s"$tmp/counts"
+      val targets = Map("a" -> 0.5, "b" -> 0.5)
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "dom").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // skewed arrival: all-a, then all-b, then mixed
+      file(0, (0L until 40L).map(i => (i, "a")))
+      file(1, (100L until 140L).map(i => (i, "b")))
+      file(2, (200L until 220L).map(i => (i, "a")) ++
+        (300L until 320L).map(i => (i, "b")))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "dom").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val appId = "ssteer"
+            val history =
+              if (w.tableExists(countsHist)) w.read(countsHist)
+              else batch.limit(0).select(col("dom"),
+                lit(0L).as("have")).filter(lit(false))
+            val acc = Mixing.steeredSample(batch, "doc_id", "dom",
+              targets, history, acceptFrac = 0.5)
+            if (!w.lastTxnVersion(accepted, appId).exists(_ >= batchId))
+              w.write(acc, accepted, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(countsHist, appId).exists(_ >= batchId))
+              w.write(Mixing.acceptedCounts(acc, "dom"), countsHist,
+                DeltaWriteMode.Append, txn = Some((appId, batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def mix() = w.read(accepted).groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val m1 = mix()
+      // both domains represented and near balanced despite skewed files
+      assert(m1.keySet === Set("a", "b"), s"got $m1")
+      val shareA = m1("a").toDouble / m1.values.sum
+      assert(shareA > 0.3 && shareA < 0.7, s"steering failed: $m1")
+      val ids1 = w.read(accepted).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // checkpoint loss: replay must not duplicate or re-decide batches
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(w.read(accepted).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq === ids1,
+        "replay after checkpoint loss must leave the accepted set unchanged")
+      assert(w.read(countsHist).agg(sum("have")).collect()(0).getLong(0)
+        === ids1.length.toLong,
+        "realized-count state must equal the accepted rows exactly once")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: in-window dups collapse, expired keys re-admit") {
     // Spark's MANAGED streaming dedup beside the engine's state-table
     // pattern: duplicates arriving within the watermark delay of a key's
