@@ -131,6 +131,31 @@ object Mixing {
       .select(col(idCol), col(domainCol))
   }
 
+  /** The materialized form of [[globalShuffle]]: write the corpus as
+    * `numShards` hash-shuffled, internally hash-ORDERED parquet
+    * directories `shard=K/`. One task per shard writes one run of files
+    * in stream order, so a trainer reads `shard=K` sequentially and
+    * sees exactly the [[globalShuffle]] stream for that shard — no
+    * corpus-wide sort, no driver involvement, shards count-balanced by
+    * hash uniformity.
+    *
+    * The exchange is `repartition(numShards, shard)`: hash collisions
+    * may co-locate two shard VALUES in one task, but `partitionBy`
+    * still splits them into their own directories and the sort keys
+    * lead with `shard`, so per-directory order is unaffected — worst
+    * case is one task writing two shards' runs back to back (a
+    * throughput wobble, never a correctness issue). */
+  def writeShards(df: DataFrame, idCol: String, outDir: String,
+      numShards: Int, seed: Long = 41L): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = minstd(col(idCol), seed)
+    df.withColumn("skey", key)
+      .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+  }
+
   /** Mix-steering incremental sampler: accept arriving rows at per-domain
     * rates that drive the CUMULATIVE realized mix toward target shares —
     * the batch-mode [[temperatureSample]] assumes it sees the whole

@@ -56,6 +56,25 @@ class MixingSuite extends SparkSpec {
     assert(other.toSet !== out.toSet)
   }
 
+  test("writeShards materializes the globalShuffle stream per shard directory") {
+    val df = docs(0, Seq("a" -> 300)).select("id")
+    withTmpDir { dir =>
+      val out = s"$dir/shards"
+      graft.operators.Mixing.writeShards(df, "id", out, numShards = 4)
+      val want = graft.operators.Mixing.globalShuffle(df, "id", 4).collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      (0 until 4).foreach { s =>
+        val rows = spark.read.parquet(s"$out/shard=$s")
+          .select("id", "skey").collect()
+        val skeys = rows.map(_.getLong(1)).toSeq
+        assert(skeys === skeys.sorted, s"shard $s rows not in stream order")
+        assert(rows.map(_.getLong(0)).toSeq === want(s),
+          s"shard $s content/order disagrees with globalShuffle")
+      }
+    }
+  }
+
   test("temperatureSample flattens toward small domains and hits the target") {
     // heavily skewed: 1600 vs 100 docs. τ=2 rates ∝ √n, so the small
     // domain's KEEP RATE is √(1600/100) = 4x the big one's.
