@@ -2350,6 +2350,35 @@ object Queries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ----- edit-distance similarity join (Ed-Join prefix filter) ----------
+    // Keys are 32-char document prefixes with a PLANTED deterministic
+    // single-char mutation on doc_id % 5 == 3 rows (both engines build
+    // the identical key), so the result exercises ed 0, 1, and 2 — the
+    // corpus's own near-dups are exact-prefix copies. The oracle is the
+    // brute-force quadratic join; the engine must reach the same exact
+    // pair set through the prefix filter.
+    "d_fuzzy_join" -> QueryDef(
+      (s, d) => {
+        val keyed = t(s, d, "documents")
+          .withColumn("k0", substring(col("text"), 1, 32))
+          .withColumn("k", when(col("doc_id") % 5 === 3,
+            concat(expr("substring(k0, 1, doc_id % 20)"), lit("q"),
+              expr("substring(k0, doc_id % 20 + 2, 32)")))
+            .otherwise(col("k0")))
+        graft.operators.FuzzyJoin.editDistanceJoin(
+          keyed.select("doc_id", "k"), "doc_id", "k", maxDist = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH s0 AS (SELECT doc_id, SUBSTR(text, 1, 32) AS k0 FROM documents),
+             |s AS (SELECT doc_id, CASE WHEN doc_id % 5 = 3 THEN
+             |    SUBSTR(k0, 1, doc_id % 20) || 'q' || SUBSTR(k0, doc_id % 20 + 2)
+             |  ELSE k0 END AS k FROM s0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.k, b.k) AS INT) AS ed
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE levenshtein(a.k, b.k) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- ordered string aggregation (listagg) ---------------------------
     // Deterministic by construction: collect_set → array_sort → join —
     // the concatenation order is data-defined, never partition-defined.

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.FuzzyJoin
+
+class FuzzyJoinSuite extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Levenshtein (classic DP) for brute-force comparison. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh"
+    val bases = (0 until 60).map(_ =>
+      (0 until (6 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(8))).mkString)
+    bases.zipWithIndex.flatMap { case (s, i) =>
+      val subs = s.updated(rnd.nextInt(s.length), 'z')
+      val del = s.substring(1)
+      val ins = s + "q"
+      Seq((i * 10L, s), (i * 10L + 1, subs), (i * 10L + 2, del),
+        (i * 10L + 3, ins))
+    } ++ Seq((9001L, "a"), (9002L, "b"), (9003L, ""), (9004L, "ab"),
+      (9005L, "xyz"), (9006L, "abc")) // the short-key corner
+  }
+
+  test("editDistanceJoin equals brute force, planted typos and short keys included") {
+    val rows = corpus
+    val got = FuzzyJoin.editDistanceJoin(rows.toDF("id", "s"), "id", "s",
+        maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (i, si) <- rows; (j, sj) <- rows if i < j
+      d = lev(si, sj) if d <= 2
+    } yield (i, j, d)).toSet
+    // the short-key corner must actually fire: "a"-"b", "a"-"ab", ""-"a"...
+    assert(want.exists { case (a, b, _) => a >= 9001L && b >= 9001L })
+    assert(got === want)
+    // and at k=3 "xyz"/"abc" (no shared gram, both short) must appear
+    val got3 = FuzzyJoin.editDistanceJoin(rows.toDF("id", "s"), "id", "s",
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got3.contains((9005L, 9006L, 3)),
+      "gramless short pair must survive via the sentinel bucket")
+    val want3 = (for {
+      (i, si) <- rows; (j, sj) <- rows if i < j
+      d = lev(si, sj) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(got3 === want3)
+  }
+
+  test("plan: candidate generation is equi-join only, prefix rank map-side trimmed") {
+    val plan = FuzzyJoin.editDistanceJoin(
+      corpus.toDF("id", "s"), "id", "s", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"),
+      "prefix ranking must pre-trim map-side:\n" + plan)
+  }
+}
