@@ -56,42 +56,101 @@ object FuzzyJoin {
       maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
-    val prefixLen = q * maxDist + 1
-    val sentinel = "#" * (q + 1)
-    val base = df.select(col(idCol).cast("long").as("sid"),
-      col(strCol).cast("string").as("s"))
-      .withColumn("len", length(col("s")))
-    // 1. positional q-grams, distinct per key (the filter reasons about
-    // gram IDENTITY; multiplicity adds nothing)
-    val realGrams = base.filter(col("len") >= q)
-      .select(col("sid"), col("len"),
-        explode(array_distinct(transform(sequence(lit(0), col("len") - q),
-          i => col("s").substr(i + lit(1), lit(q))))).as("g"))
-    // 2. gram document frequency
-    val dfreq = realGrams.groupBy("g").agg(count(lit(1)).as("gdf"))
-    // 3. per-key prefix grams under the (df, gram) total order; the
-    // short-key sentinel rows bypass ranking (always kept)
-    val ranked = realGrams
-      .join(dfreq, "g")
-      .withColumn("r", row_number().over(
-        Window.partitionBy("sid").orderBy(col("gdf"), col("g"))))
-      .filter(col("r") <= prefixLen)
-      .select("sid", "len", "g")
-      .unionByName(base.filter(col("len") < q * (maxDist + 1))
-        .select(col("sid"), col("len"), lit(sentinel).as("g")))
-    // 4. candidate pairs: shared prefix gram + length filter
+    val base = keyed(df, idCol, strCol)
+    // batch-local gram document frequency is the rank order
+    val dfreq = realGrams(base, q).groupBy("g").agg(count(lit(1)).as("gdf"))
+    val ranked = rankedPrefix(base, maxDist, q, dfreq)
+    // candidate pairs: shared prefix gram + length filter
     val a = ranked.select(col("sid").as("id_a"), col("len").as("len_a"), col("g"))
     val b = ranked.select(col("sid").as("id_b"), col("len").as("len_b"), col("g"))
     val cands = a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
       .select("id_a", "id_b").distinct()
-    // 5. verify with the real strings
+    // verify with the real strings
     cands
       .join(base.select(col("sid").as("id_a"), col("s").as("s_a")), "id_a")
       .join(base.select(col("sid").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("ed", levenshtein(col("s_a"), col("s_b")))
       .filter(col("ed") <= maxDist)
       .select(col("id_a"), col("id_b"), col("ed").cast("int").as("ed"))
+  }
+
+  private def keyed(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("sid"),
+      col(strCol).cast("string").as("s"))
+      .withColumn("len", length(col("s")))
+
+  /** Distinct positional q-grams per key (gram IDENTITY is what the
+    * filter reasons about; multiplicity adds nothing). */
+  private def realGrams(base: DataFrame, q: Int): DataFrame =
+    base.filter(col("len") >= q)
+      .select(col("sid"), col("len"), col("s"),
+        explode(array_distinct(transform(sequence(lit(0), col("len") - q),
+          i => col("s").substr(i + lit(1), lit(q))))).as("g"))
+
+  /** Per-key prefix grams `(sid, len, s, g)` under the (df, gram) total
+    * order given by `order` (g, gdf); grams absent from `order` rank as
+    * df 0 (rarest). Short keys append the sentinel row unranked. */
+  private def rankedPrefix(base: DataFrame, maxDist: Int, q: Int,
+      order: DataFrame): DataFrame = {
+    val prefixLen = q * maxDist + 1
+    val sentinel = "#" * (q + 1)
+    realGrams(base, q)
+      .join(order, Seq("g"), "left")
+      .na.fill(0L, Seq("gdf"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("sid").orderBy(col("gdf"), col("g"))))
+      .filter(col("r") <= prefixLen)
+      .select("sid", "len", "s", "g")
+      .unionByName(base.filter(col("len") < q * (maxDist + 1))
+        .select(col("sid"), col("len"), col("s"), lit(sentinel).as("g")))
+  }
+
+  /** FIXED gram-order model for cross-batch fuzzy matching: gram
+    * document frequencies over a reference slice, persisted once (the
+    * persisted-quantizer discipline — SemDeDup's quantizer, IVF-PQ's
+    * codebooks). The prefix-filter theorem needs BOTH sides of a
+    * candidate join to rank grams under the SAME total order; ranking
+    * each batch by its own local df would silently break exactness
+    * across batches. Unseen grams rank as df 0 — rarest, which only
+    * ever ENLARGES a prefix's selectivity, never drops a pair.
+    * O(gram alphabet observed in the reference) rows. */
+  def gramOrderModel(ref: DataFrame, strCol: String, q: Int = 2): DataFrame =
+    realGrams(keyed(ref.withColumn("__id", monotonically_increasing_id()),
+      "__id", strCol), q)
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+
+  /** This batch's searchable fuzzy-match state: prefix-gram rows
+    * `(sid, len, s, g)` under the FIXED `order` model. Append each
+    * batch's rows to a history table; q*k+1 short rows per key — the
+    * key string rides along so history probes never re-fetch raw
+    * documents. */
+  def prefixIndex(batch: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, order: DataFrame, q: Int = 2): DataFrame =
+    rankedPrefix(keyed(batch, idCol, strCol), maxDist, q, order)
+
+  /** Cross-batch fuzzy matches: `(id_new, id_old, ed)` for every pair of
+    * a batch key within `maxDist` of a HISTORY key (history = appended
+    * [[prefixIndex]] rows under the same `order` model). Shape: the
+    * batch's prefix rows equi-join the history index on gram — the
+    * history never re-shuffles per batch beyond this AQE-splittable
+    * join — then candidate-bounded levenshtein verify with both strings
+    * already on the row. */
+  def editDistanceAgainstHistory(batch: DataFrame, history: DataFrame,
+      idCol: String, strCol: String, maxDist: Int, order: DataFrame,
+      q: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val bp = prefixIndex(batch, idCol, strCol, maxDist, order, q)
+      .select(col("sid").as("id_new"), col("len").as("len_n"),
+        col("s").as("s_n"), col("g"))
+    val hp = history.select(col("sid").as("id_old"), col("len").as("len_o"),
+      col("s").as("s_o"), col("g"))
+    bp.join(hp, Seq("g"))
+      .filter(abs(col("len_n") - col("len_o")) <= maxDist)
+      .select("id_new", "id_old", "s_n", "s_o").distinct()
+      .withColumn("ed", levenshtein(col("s_n"), col("s_o")))
+      .filter(col("ed") <= maxDist)
+      .select(col("id_new"), col("id_old"), col("ed").cast("int").as("ed"))
   }
 }

@@ -56,6 +56,39 @@ class FuzzyJoinSuite extends SparkSpec {
     assert(got3 === want3)
   }
 
+  test("incremental fuzzy matching equals brute force across batches under a fixed order model") {
+    val rows = corpus
+    // interleaved split so near-dup families straddle the batch boundary
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    // the order model comes from batch 1 ONLY - batch 2 contains grams
+    // the model has never seen (the 'z'/'q' mutations), which must rank
+    // as df-0 rarest without dropping pairs
+    val order = FuzzyJoin.gramOrderModel(b1.toDF("id", "s"), "s")
+    val idx1 = FuzzyJoin.prefixIndex(b1.toDF("id", "s"), "id", "s",
+      maxDist = 2, order)
+    val cross = FuzzyJoin.editDistanceAgainstHistory(b2.toDF("id", "s"),
+        idx1, "id", "s", maxDist = 2, order)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (i, si) <- b2; (j, sj) <- b1
+      d = lev(si, sj) if d <= 2
+    } yield (i, j, d)).toSet
+    assert(want.nonEmpty)
+    assert(cross === want)
+    // appending batch 2's index and probing a third batch still exact
+    val idx = idx1.unionByName(FuzzyJoin.prefixIndex(b2.toDF("id", "s"),
+      "id", "s", maxDist = 2, order))
+    val b3 = Seq((70001L, rows.head._2), (70002L, "zz"))
+    val cross3 = FuzzyJoin.editDistanceAgainstHistory(b3.toDF("id", "s"),
+        idx, "id", "s", maxDist = 2, order)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want3 = (for {
+      (i, si) <- b3; (j, sj) <- rows
+      d = lev(si, sj) if d <= 2
+    } yield (i, j, d)).toSet
+    assert(cross3 === want3)
+  }
+
   test("plan: candidate generation is equi-join only, prefix rank map-side trimmed") {
     val plan = FuzzyJoin.editDistanceJoin(
       corpus.toDF("id", "s"), "id", "s", maxDist = 2)
