@@ -591,6 +591,77 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("fuzzy-match history under the streaming engine, across checkpoint loss") {
+    // cross-batch fuzzy dedup: a later batch's typo'd copy of an earlier
+    // key must be dropped by probing the prefix-gram index table; the
+    // order model is FIXED before the stream starts (the persisted-
+    // quantizer discipline), and replay after checkpoint loss must not
+    // re-admit or duplicate anything
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.FuzzyJoin
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"; val idxTable = s"$tmp/idx"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "k").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      file(0, Seq((1L, "the quick brown fox"), (2L, "pack my box with jugs")))
+      file(1, Seq((3L, "the quikc brown fox"), // 2 edits from doc 1
+        (4L, "a wholly novel key here")))
+      file(2, Seq((5L, "pack my box with jugz"), // 1 edit from doc 2
+        (6L, "the quikc brown fox!")))          // 1 edit from doc 3
+      // order model from the first file's keys only - later grams unseen
+      val order = FuzzyJoin.gramOrderModel(
+        Seq("the quick brown fox", "pack my box with jugs").toDF("k"), "k")
+      order.write.parquet(s"$tmp/order")
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "k").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val appId = "sfuzzy"
+            val om = spark.read.parquet(s"$tmp/order")
+            val fresh =
+              if (w.tableExists(idxTable)) {
+                val hit = FuzzyJoin.editDistanceAgainstHistory(batch,
+                  w.read(idxTable), "doc_id", "k", maxDist = 2, om)
+                  .select(col("id_new").as("doc_id")).distinct()
+                batch.join(hit, Seq("doc_id"), "left_anti")
+              } else batch
+            if (!w.lastTxnVersion(curated, appId).exists(_ >= batchId))
+              w.write(fresh, curated, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(idxTable, appId).exists(_ >= batchId))
+              w.write(FuzzyJoin.prefixIndex(fresh, "doc_id", "k",
+                maxDist = 2, om), idxTable, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def ids() = w.read(curated).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // 3 is a 2-edit copy of 1 -> dropped; 5 is 1-edit of 2 -> dropped;
+      // 6 is 1-edit of 3, but 3 never entered the index, and 6 is 3 edits
+      // from 1 -> kept
+      assert(ids() === Set(1L, 2L, 4L, 6L), s"got ${ids()}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(ids() === Set(1L, 2L, 4L, 6L),
+        "replay after checkpoint loss must not re-decide the fuzzy gate")
+      // index holds exactly the survivors' prefix rows
+      assert(w.read(idxTable).select("sid").distinct().collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 6L))
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: in-window dups collapse, expired keys re-admit") {
     // Spark's MANAGED streaming dedup beside the engine's state-table
     // pattern: duplicates arriving within the watermark delay of a key's
