@@ -2350,6 +2350,71 @@ object Queries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ----- hybrid retrieval: one-scan multi-query BM25 + ANN, RRF-fused ---
+    // Five queries retrieve lexically (bm25Multi — ONE corpus scan for
+    // all queries) and semantically (brute-force cosine over the planted
+    // vectors, query = docs 0-4), fused by reciprocal-rank fusion.
+    // Deterministic end to end: bm25 scores decimal-summed + rounded,
+    // cosines exact-integer products, rank ties break on id, and the
+    // fused score is a FIXED-ORDER sum of two correctly-rounded
+    // divisions — both engines produce the identical double.
+    "d_hybrid_retrieval" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = Map(0 -> Seq("join", "spark"), 1 -> Seq("stream", "window"),
+          2 -> Seq("filter", "sort"), 3 -> Seq("merge", "table"),
+          4 -> Seq("hash", "scan"))
+        val lex = graft.operators.Relevance.bm25Multi(docs, "doc_id", "text", qs)
+          .select(col("query_id"), col("id"), col("bm25").as("score"))
+        val planted = plantedVecs(s, d)
+        val sem = Similarity.bruteForceTopK(
+          planted.filter(col("doc_id") < 5), planted, "doc_id", "v", k = 100)
+          .select(col("query_id"), col("neighbor_id").as("id"),
+            col("cosine").as("score"))
+        graft.operators.Relevance.rrfFuse(lex, sem, rrfK = 60,
+          innerTop = 100, k = 10)
+          .orderBy("query_id", "rrf_rank")
+      },
+      Some(s"""WITH v AS (
+             |  $plantedVecsSql),
+             |q(query_id, term) AS (VALUES (0,'join'),(0,'spark'),(1,'stream'),(1,'window'),
+             |  (2,'filter'),(2,'sort'),(3,'merge'),(3,'table'),(4,'hash'),(4,'scan')),
+             |base AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws,
+             |  LEN(STRING_SPLIT(text,' ')) AS dl FROM documents),
+             |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM base),
+             |hits AS (SELECT doc_id, dl, UNNEST(ws) AS term FROM base),
+             |tf AS (SELECT h.doc_id, h.term, COUNT(*) AS tf, MAX(h.dl) AS dl
+             |  FROM hits h JOIN (SELECT DISTINCT term FROM q) t USING (term) GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |part AS (SELECT q.query_id, tf.doc_id,
+             |    LN(1 + ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)))
+             |      * ((tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))) AS p
+             |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN stats),
+             |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS id,
+             |    ROUND(CAST(SUM(CAST(p AS DECIMAL(30,9))) AS DOUBLE), 4) AS score
+             |  FROM part GROUP BY 1, 2),
+             |lexr AS (SELECT query_id, id, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, id) AS r_a FROM lex
+             |  QUALIFY r_a <= 100),
+             |sem AS (SELECT a.doc_id AS query_id, b.doc_id AS id,
+             |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb), x -> x[1] * x[2])) /
+             |      (SQRT(LIST_SUM(LIST_TRANSFORM(a.emb, x -> x * x))) *
+             |       SQRT(LIST_SUM(LIST_TRANSFORM(b.emb, x -> x * x)))) AS score
+             |  FROM v a JOIN v b ON a.doc_id < 5 AND b.doc_id <> a.doc_id),
+             |semr AS (SELECT query_id, id, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, id) AS r_b FROM sem
+             |  QUALIFY r_b <= 100),
+             |f AS (SELECT COALESCE(la.query_id, sb.query_id) AS query_id,
+             |    COALESCE(la.id, sb.id) AS id,
+             |    COALESCE(1.0/(60 + la.r_a), 0) + COALESCE(1.0/(60 + sb.r_b), 0) AS rrf
+             |  FROM lexr la FULL OUTER JOIN semr sb
+             |    ON la.query_id = sb.query_id AND la.id = sb.id)
+             |SELECT query_id, CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY rrf DESC, id) AS INT) AS rrf_rank,
+             |  id, ROUND(rrf, 6) AS rrf_score
+             |FROM f QUALIFY rrf_rank <= 10
+             |ORDER BY query_id, rrf_rank""".stripMargin)),
+
     // ----- edit-distance similarity join (Ed-Join prefix filter) ----------
     // Keys are 32-char document prefixes with a PLANTED deterministic
     // single-char mutation on doc_id % 5 == 3 rows (both engines build

@@ -117,4 +117,83 @@ object Relevance {
       .groupBy("id")
       .agg(round(sum(col("p").cast(DecimalType(30, 9))).cast("double"), 4).as("bm25"))
   }
+
+  /** Multi-query BM25 in ONE corpus scan: `(query_id, id, bm25)` for
+    * every (query, matching document) pair. The union of all queries'
+    * terms prunes the token stream map-side exactly as [[bm25]] does;
+    * per-(doc, term) tf and per-term df are computed ONCE, then the
+    * tiny (query_id, term) table broadcasts into the scored partials —
+    * N queries cost one scan plus an O(Σ|query|) broadcast, not N
+    * scans. Per-(query, doc) partials decimal-sum (order-independent),
+    * so the result is bit-identical to calling [[bm25]] per query
+    * (suite-pinned parity). */
+  def bm25Multi(ds: DataFrame, idCol: String, textCol: String,
+      queries: Map[Int, Seq[String]],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25Multi: no queries")
+    require(queries.values.forall(_.nonEmpty), "bm25Multi: empty query")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val allTerms = queries.values.flatten.toSeq.distinct
+    val qtab = queries.toSeq
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val base = ds.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits = base.select(col("id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+    val tf = hits.groupBy("id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("df"))
+    val idf = log(lit(1d) + ((col("n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val sat = (col("tf") * (lit(k1) + lit(1d))) /
+      (col("tf") + lit(k1) * (lit(1d) - lit(b) + lit(b) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("p", idf * sat)
+      .join(broadcast(qtab), "term")
+      .groupBy("query_id", "id")
+      .agg(round(sum(col("p").cast(DecimalType(30, 9))).cast("double"), 4).as("bm25"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher SIGIR'09) of two
+    * retrieval lists: `(query_id, rrf_rank, id, rrf_score)` where
+    * `rrf_score = 1/(rrfK + rank_a) + 1/(rrfK + rank_b)` over each
+    * side's top-`innerTop` by (score desc, id) — the standard hybrid
+    * lexical+semantic retrieval combiner, rank-based so the two score
+    * scales never need calibration.
+    *
+    * Inputs must both be shaped `(query_id, id, score)`. Determinism:
+    * ranks come from per-query windows with id tie-breaks (map-side
+    * trimmed — WindowGroupLimit); the fused score is a FIXED-ORDER sum
+    * of two correctly-rounded divisions of identical operands, so both
+    * engines produce the identical double; final ranking ties break on
+    * id. Scale: per-query candidate lists are rank-cut to `innerTop`
+    * BEFORE the fuse join, so the full-outer join touches
+    * O(#queries · innerTop) rows no matter the corpus size. */
+  def rrfFuse(a: DataFrame, b: DataFrame, rrfK: Int = 60,
+      innerTop: Int = 100, k: Int = 10): DataFrame = {
+    require(rrfK >= 1 && innerTop >= 1 && k >= 1,
+      s"rrfFuse: bad params rrfK=$rrfK innerTop=$innerTop k=$k")
+    def ranked(df: DataFrame, rc: String): DataFrame = df
+      .select(col("query_id").cast("long").as("query_id"),
+        col("id").cast("long").as("id"), col("score"))
+      .withColumn(rc, row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))))
+      .filter(col(rc) <= innerTop)
+      .select("query_id", "id", rc)
+    val fused = ranked(a, "r_a").join(ranked(b, "r_b"),
+        Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1d) / (lit(rrfK) + col("r_a")), lit(0d)) +
+        coalesce(lit(1d) / (lit(rrfK) + col("r_b")), lit(0d)))
+    fused
+      .withColumn("rrf_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("id"))))
+      .filter(col("rrf_rank") <= k)
+      .select(col("query_id"), col("rrf_rank"), col("id"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
 }

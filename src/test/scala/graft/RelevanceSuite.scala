@@ -59,4 +59,37 @@ class RelevanceSuite extends SparkSpec {
     val both = out.find(_.getLong(0) == 2L).get.getDouble(1)
     assert(both > single)
   }
+
+  test("bm25Multi is bit-identical to per-query bm25 from one scan") {
+    val qs = Map(0 -> Seq("banana", "cherry"), 1 -> Seq("apple"),
+      2 -> Seq("banana"))
+    val multi = Relevance.bm25Multi(corpus, "doc_id", "text", qs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    qs.foreach { case (qid, terms) =>
+      val solo = Relevance.bm25(corpus, "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = multi.collect { case ((q, id), s) if q == qid => id -> s }.toMap
+      assert(got === solo, s"query $qid diverged")
+    }
+  }
+
+  test("rrfFuse ranks by reciprocal-rank sum with id tie-breaks") {
+    // lex: ids 1,2,3 ranked 1,2,3; sem: ids 2,4 ranked 1,2
+    val lex = Seq((0L, 1L, 3.0), (0L, 2L, 2.0), (0L, 3L, 1.0))
+      .toDF("query_id", "id", "score")
+    val sem = Seq((0L, 2L, 9.0), (0L, 4L, 8.0))
+      .toDF("query_id", "id", "score")
+    val out = Relevance.rrfFuse(lex, sem, rrfK = 60, innerTop = 10, k = 10)
+      .orderBy("rrf_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // id2 appears in both lists: 1/62 + 1/61; then id1 (1/61), id4 (1/62), id3 (1/63)
+    assert(out.map(_._2).toSeq === Seq(2L, 1L, 4L, 3L))
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._3 === rd(1d / 62 + 1d / 61))
+    assert(out(1)._3 === rd(1d / 61))
+    // innerTop cuts a list before fusing
+    val cut = Relevance.rrfFuse(lex, sem, rrfK = 60, innerTop = 1, k = 10)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(cut === Set(1L, 2L), s"got $cut")
+  }
 }
