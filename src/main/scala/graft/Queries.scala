@@ -2431,7 +2431,7 @@ object Queries {
               expr("substring(k0, doc_id % 20 + 2, 32)")))
             .otherwise(col("k0")))
         graft.operators.FuzzyJoin.editDistanceJoin(
-          keyed.select("doc_id", "k"), "doc_id", "k", maxDist = 2)
+          keyed.select("doc_id", "k"), "doc_id", "k", maxDist = 2, q = 3)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH s0 AS (SELECT doc_id, SUBSTR(text, 1, 32) AS k0 FROM documents),

@@ -67,12 +67,14 @@ object FuzzyJoin {
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
       .select("id_a", "id_b").distinct()
-    // verify with the real strings
+    // verify with the real strings; the thresholded levenshtein runs the
+    // banded O(k*n) DP and returns -1 past the bound - the verify is the
+    // candidate-volume hot path, so the 6x narrower band matters
     cands
       .join(base.select(col("sid").as("id_a"), col("s").as("s_a")), "id_a")
       .join(base.select(col("sid").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("ed", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("ed") <= maxDist)
+      .withColumn("ed", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("ed") >= 0 && col("ed") <= maxDist)
       .select(col("id_a"), col("id_b"), col("ed").cast("int").as("ed"))
   }
 
@@ -149,8 +151,8 @@ object FuzzyJoin {
     bp.join(hp, Seq("g"))
       .filter(abs(col("len_n") - col("len_o")) <= maxDist)
       .select("id_new", "id_old", "s_n", "s_o").distinct()
-      .withColumn("ed", levenshtein(col("s_n"), col("s_o")))
-      .filter(col("ed") <= maxDist)
+      .withColumn("ed", levenshtein(col("s_n"), col("s_o"), maxDist))
+      .filter(col("ed") >= 0 && col("ed") <= maxDist)
       .select(col("id_new"), col("id_old"), col("ed").cast("int").as("ed"))
   }
 }
