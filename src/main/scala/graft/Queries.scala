@@ -1289,6 +1289,61 @@ object Queries {
              |FROM nodes n JOIN reach ON reach.id = n.id
              |GROUP BY n.id ORDER BY n.id""".stripMargin)),
 
+    // ----- cluster canonicalization (dedup resolution table) --------------
+    // Real pipelines keep the BEST cluster member, not the smallest id:
+    // the resolution table maps every doc to its component and the
+    // component's canonical member (max n_chars, ties to the lower id —
+    // an order-independent max(struct) aggregate, never a window over
+    // the corpus). Singletons are their own canonical. Same chain graph
+    // as d_connected_components; the oracle re-derives components via
+    // the recursive CTE and picks the same argmax.
+    "d_cluster_canonical" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val ids = docs.select(col("doc_id"))
+        val pairs = ids
+          .join(ids.select(col("doc_id").as("doc_id2")),
+            col("doc_id2") === col("doc_id") + 1 &&
+              pmod(col("doc_id"), lit(8)) =!= 7)
+          .select(col("doc_id").as("id_a"), col("doc_id2").as("id_b"))
+        val cc = Dedup.connectedComponents(pairs)
+        val comp = docs.join(cc, docs("doc_id") === cc("id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .select(col("doc_id"), col("n_chars"), col("component"))
+        val best = comp.groupBy("component")
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+          .select(col("component"), (-col("m.nid")).as("canonical_id"))
+        comp.join(best, "component")
+          .select(col("doc_id"), col("component"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |edges AS (
+             |  SELECT d1.doc_id AS a, d2.doc_id AS b
+             |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+             |  WHERE d1.doc_id % 8 <> 7),
+             |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+             |reach(id, r) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+             |nodes AS (SELECT DISTINCT a AS id FROM sym),
+             |compmap AS (
+             |  SELECT n.id AS id, LEAST(n.id, MIN(reach.r)) AS component
+             |  FROM nodes n JOIN reach ON reach.id = n.id GROUP BY n.id),
+             |allmap AS (
+             |  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+             |  FROM documents d LEFT JOIN compmap c ON c.id = d.doc_id),
+             |best AS (SELECT component, doc_id AS canonical_id FROM (
+             |  SELECT component, doc_id, ROW_NUMBER() OVER (
+             |    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM allmap) WHERE rn = 1)
+             |SELECT a.doc_id, a.component, b.canonical_id,
+             |  a.doc_id = b.canonical_id AS keep
+             |FROM allmap a JOIN best b USING (component)
+             |ORDER BY a.doc_id""".stripMargin)),
+
     // ----- explode / unnest ----------------------------------------------
     "q_explode_tokens" -> QueryDef(
       (s, d) => t(s, d, "documents")
