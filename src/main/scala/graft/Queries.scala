@@ -1289,6 +1289,34 @@ object Queries {
              |FROM nodes n JOIN reach ON reach.id = n.id
              |GROUP BY n.id ORDER BY n.id""".stripMargin)),
 
+    // ----- distribution windows (percent_rank / cume_dist / ntile) --------
+    // Exact-rational outputs: percent_rank = (rank-1)/(n-1) and
+    // cume_dist = peers/n are single correctly-rounded divisions of the
+    // same integers in both engines — no rounding scaffolding needed.
+    "q_window_dist" -> QueryDef(
+      (s, d) => {
+        // total window order: ntile buckets by ROW position, so ties in
+        // l_quantity must be broken identically in both engines
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") <= 300)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             |  PERCENT_RANK() OVER w AS pct_rank,
+             |  CUME_DIST() OVER w AS cume,
+             |  CAST(NTILE(4) OVER w AS INT) AS quartile
+             |FROM lineitem WHERE l_orderkey <= 300
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |  ORDER BY l_quantity, l_orderkey, l_linenumber)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ----- cluster canonicalization (dedup resolution table) --------------
     // Real pipelines keep the BEST cluster member, not the smallest id:
     // the resolution table maps every doc to its component and the
