@@ -78,6 +78,7 @@ object IncrementalCurationDemo {
     val curated = s"$work/curated"; val fpHistory = s"$work/fingerprints"
     val spanHistory = s"$work/span_grams"
     val semHistory = s"$work/sem_index"; val quantizerPath = s"$cp/quantizer"
+    val trainMix = s"$work/train_mix"; val mixCounts = s"$work/mix_counts"
 
     // deterministic synthetic embedding, a pure function of doc_id (the
     // image/text encoder stand-in — replay recomputes it bit-identically):
@@ -131,7 +132,7 @@ object IncrementalCurationDemo {
         source = source,
         reader = ctx => ctx.spark.read.parquet(ctx.files: _*),
         transform = Some((df, _) => df
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("source"),
             Curation.redactPii(col("text")).as("text"),
             TextFunctions.qualityScore(col("text"), stopwords).as("quality"),
             TextFunctions.langIdHeuristic(col("text")).as("lang"),
@@ -201,7 +202,7 @@ object IncrementalCurationDemo {
             .cache()
           try {
             // commit order is load-bearing — see the class doc
-            val curatedOut = excised.select(col("doc_id"),
+            val curatedOut = excised.select(col("doc_id"), col("source"),
               col("clean_text").as("text"), col("quality"), col("lang"),
               col("fp"), col("n_tokens_removed"))
             if (!w.lastTxnVersion(curated, appId).exists(_ >= ctx.batchId))
@@ -219,6 +220,31 @@ object IncrementalCurationDemo {
                 Dedup.semDedupIndex(kept, "doc_id", "emb", quant)
                   .withColumn("batch_id", lit(ctx.batchId)),
                 semHistory, DeltaWriteMode.Append,
+                txn = Some((appId, ctx.batchId)))
+            // train-mix stage: the curated stream's language mix steers
+            // toward target shares ACROSS batches (arrival order is not
+            // language-balanced) via the deficit sampler against the
+            // realized-count state table. On a crash replay the upstream
+            // gates recompute identically (their histories for this batch
+            // never landed — fp commits last) and the txn guards skip the
+            // landed half, so accepted ∪ counts stay consistent.
+            // skewed shares so BOTH regimes show in the report: src0/src1
+            // saturate at their availability (deficit clamps to b_d),
+            // src2/src3 stay threshold-limited (graded acceptance)
+            val mixTargets = Map("src0" -> 0.5, "src1" -> 0.25,
+              "src2" -> 0.15, "src3" -> 0.1)
+            val mixHist =
+              if (w.tableExists(mixCounts)) w.read(mixCounts)
+              else Seq.empty[(String, Long)].toDF("source", "have")
+            val mixAccepted = graft.operators.Mixing.steeredSample(
+              curatedOut.select("doc_id", "source"), "doc_id", "source",
+              mixTargets, mixHist, acceptFrac = 0.25)
+            if (!w.lastTxnVersion(trainMix, appId).exists(_ >= ctx.batchId))
+              w.write(mixAccepted, trainMix, DeltaWriteMode.Append,
+                txn = Some((appId, ctx.batchId)))
+            if (!w.lastTxnVersion(mixCounts, appId).exists(_ >= ctx.batchId))
+              w.write(graft.operators.Mixing.acceptedCounts(mixAccepted, "source"),
+                mixCounts, DeltaWriteMode.Append,
                 txn = Some((appId, ctx.batchId)))
             if (!w.lastTxnVersion(fpHistory, appId).exists(_ >= ctx.batchId))
               w.write(excised.select("fp"), fpHistory, DeltaWriteMode.Append,
@@ -391,7 +417,24 @@ object IncrementalCurationDemo {
     val probeSpans = SpanDedup.spansWithHistory(
       probe, w.read(spanHistory), "doc_id", "text", n = 10).count()
     println(s"post-compaction probe: $probeSpans span(s) resolved")
+    // train-mix accounting: exactly-once across the crash (every accepted
+    // doc once, counts table == accepted rows), mix ⊆ curated, and the
+    // steering state actually shifted shares toward the targets
+    val mixDf = w.read(trainMix)
+    val mixTotal = mixDf.count()
+    val mixDistinct = mixDf.select("doc_id").distinct().count()
+    val mixOutsideCurated = mixDf.select("doc_id")
+      .join(curatedDf.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    val mixCountsSum = w.read(mixCounts)
+      .agg(coalesce(sum("have"), lit(0L))).head.getLong(0)
+    val mixBySrc = mixDf.groupBy("source").count().orderBy("source")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"train-mix: $mixTotal docs accepted ($mixBySrc; steered " +
+      s"toward src0=.5 src1=.25 src2=.15 src3=.1), counts-state sum=$mixCountsSum")
     val ok = r1.batchesProcessed == 3 && r2.batchesProcessed == 0 &&
+      mixTotal > 0 && mixTotal == mixDistinct &&  // mix exactly-once
+      mixCountsSum == mixTotal &&                 // state == realized
+      mixOutsideCurated == 0 &&                   // mix ⊆ curated
       r3.batchesProcessed == 1 &&
       crashed && r4.batchesProcessed == 1 && // WAL replayed the crashed batch
       afterR4 > afterR3 &&           // the crashed batch's docs DID land
