@@ -1289,6 +1289,37 @@ object Queries {
              |FROM nodes n JOIN reach ON reach.id = n.id
              |GROUP BY n.id ORDER BY n.id""".stripMargin)),
 
+    // ----- byte-entropy quality signal (codegen histogram, zero shuffle) --
+    // The cheap gibberish/boilerplate detector: natural text sits in a
+    // narrow entropy band, repeated filler far below it. A planted
+    // repeat('ab') row pins the low-entropy branch (exactly 1 bit). The
+    // term sum quantizes each k·ln k through DECIMAL(30,9) (the
+    // d_lm_surprisal recipe), so addition order can't move the hash.
+    "d_entropy" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionByName(s.range(1).select(lit(9999L).as("doc_id"),
+            expr("repeat('ab', 150)").as("text")))
+        docs.select(col("doc_id"),
+            TextFunctions.byteEntropy(col("text")).as("entropy"))
+          .withColumn("low_entropy", col("entropy") < 3.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 9999 AS doc_id, REPEAT('ab', 150) AS text),
+             |cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM (
+             |    SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS c FROM docs)
+             |  GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, SUM(k) AS n,
+             |    CAST(SUM(CAST(k * LN(CAST(k AS DOUBLE)) AS DECIMAL(30,9)))
+             |      AS DOUBLE) AS s
+             |  FROM cnt GROUP BY 1)
+             |SELECT doc_id,
+             |  ROUND((LN(CAST(n AS DOUBLE)) - s / n) / LN(2), 4) AS entropy,
+             |  ROUND((LN(CAST(n AS DOUBLE)) - s / n) / LN(2), 4) < 3.0 AS low_entropy
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ----- distribution windows (percent_rank / cume_dist / ntile) --------
     // Exact-rational outputs: percent_rank = (rank-1)/(n-1) and
     // cume_dist = peers/n are single correctly-rounded divisions of the

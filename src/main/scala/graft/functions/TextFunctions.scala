@@ -79,6 +79,20 @@ object TextFunctions {
       .otherwise("es")
   }
 
+  /** Shannon entropy (bits) of the byte distribution — the cheap
+    * gibberish/boilerplate signal: ~1 bit for binary filler, ~4.1 for
+    * natural English, ~6+ for random bytes. The data-dependent term sum
+    * is one codegen'd histogram pass ([[ByteEntropySumExpr]], zero
+    * shuffle); this wrapper assembles `H = (ln n − Σ/n) / ln 2` in plain
+    * Column arithmetic mirrored token-for-token by the SQL oracle.
+    * Empty strings score 0. */
+  def byteEntropy(text: Column): Column = {
+    val nB = length(text.cast("binary")).cast("double")
+    val s = ByteEntropyFunctions.byteEntropySum(text).cast("double")
+    when(nB <= 0, lit(0d)).otherwise(
+      round((log(nB) - s / nB) / lit(math.log(2.0)), 4))
+  }
+
   /** Content fingerprint (md5 hex) for exact dedup — stable across engines. */
   def fingerprint(text: Column): Column = md5(text)
 

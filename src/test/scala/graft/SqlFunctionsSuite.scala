@@ -78,6 +78,32 @@ class SqlFunctionsSuite extends SparkSpec {
     }
   }
 
+  test("byteEntropy: known values, empty guard, codegen parity") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "ab" * 150),     // two symbols equiprobable -> exactly 1 bit
+      (2L, "aaaa"),         // one symbol -> 0
+      (3L, ""),             // empty -> 0 by the guard
+      (4L, "abcd" * 10),    // four equiprobable -> exactly 2 bits
+      (5L, "the quick brown fox jumps over the lazy dog"))
+    val out = rows.toDF("id", "text")
+      .select($"id", TextFunctions.byteEntropy($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 1.0)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+    assert(out(4L) === 2.0)
+    assert(out(5L) > 3.0 && out(5L) < 4.5, s"natural text band: ${out(5L)}")
+    // the shared helper (interpreted-eval path) must agree bit-for-bit
+    // with the codegen'd DataFrame value
+    val interp = graft.functions.ByteEntropySumExpr.termSum(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab" * 150))
+    val viaDf = rows.toDF("id", "text").filter($"id" === 1L)
+      .select(graft.functions.ByteEntropyFunctions.byteEntropySum($"text"))
+      .head().getDecimal(0)
+    assert(interp.toBigDecimal === BigDecimal(viaDf))
+  }
+
   test("graft_* functions stay inside whole-stage codegen from SQL") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
