@@ -1,0 +1,112 @@
+package graft.examples
+
+import graft.GraftSession
+import graft.operators.{Mixing, Packing}
+import org.apache.spark.sql.functions._
+
+/** The training-export path end to end: curated documents -> token-budget
+  * EPOCH PLAN (how many passes each source gets) -> materialized sample
+  * stream (one row per document x epoch) -> SEQUENCE PACKING into
+  * fixed-budget packs (GPT-style concatenate-then-chunk, zero pad
+  * waste) -> deterministic GLOBAL SHUFFLE of the packs -> sorted SHARD
+  * DIRECTORIES a data loader streams sequentially.
+  *
+  * Every stage is the deterministic operator the oracle gate checks
+  * (epochPlan / packAssignments / globalShuffle / writeShards), so the
+  * whole export replays bit-identically from the same inputs — the
+  * property a training run actually needs: the data order IS part of
+  * the experiment.
+  *
+  * The demo proves, and prints, the invariants that matter:
+  *  - token conservation: sum of pack-segment lengths == sum of stream
+  *    tokens (packing loses and pads nothing);
+  *  - exact pack budgets: every pack except the last holds exactly
+  *    `budget` tokens;
+  *  - shard balance and per-shard stream order;
+  *  - end-to-end determinism: a re-run produces the identical shards.
+  *
+  * Run: sbt "runMain graft.examples.TrainingExportDemo /tmp/graft-export"
+  */
+object TrainingExportDemo {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft-export")
+    val spark = GraftSession.local(4, "graft-export-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+
+    // 1. epoch plan: src0 over-budget (caps at 2 epochs), src1 one full
+    // pass + a hash-drawn partial, src2 partial only, everything else 0
+    val budgets = Map("src0" -> 4000L, "src1" -> 2000L, "src2" -> 700L)
+    val plan = Mixing.epochPlan(docs, "doc_id", "source", "n_tok",
+      budgets, maxEpochs = 2)
+    val byRegime = plan.groupBy("source", "epochs").count()
+      .orderBy("source", "epochs")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .filter(r => Set("src0", "src1", "src2").contains(r._1))
+    println("epoch plan (source, epochs, docs): " +
+      byRegime.map { case (s, e, c) => s"$s/$e:$c" }.mkString(" "))
+
+    // 2. materialize the sample stream: one row per (doc, epoch), with a
+    // unique numeric sample id so packing's prefix sum has a total order
+    val stream = plan.filter(col("epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("epochs").cast("long"))))
+      .withColumn("sample_id", col("doc_id") * 10L + col("epoch"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .select("sample_id", "text", "n_tokens")
+    val streamTokens = stream.agg(sum("n_tokens")).head().getLong(0)
+    val streamDocs = stream.count()
+
+    // 3. pack into fixed 256-token sequences
+    val budget = 256
+    val packs = Packing.packAssignments(stream, "sample_id", "text", budget)
+      .cache()
+    val segTokens = packs
+      .agg(sum(col("tok_end") - col("tok_start"))).head().getLong(0)
+    val perPack = packs.groupBy("pack_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("t"))
+    val nPacks = perPack.count()
+    val fullPacks = perPack.filter(col("t") === budget).count()
+    println(s"stream: $streamDocs samples, $streamTokens tokens -> " +
+      s"$nPacks packs of $budget ($fullPacks exactly full)")
+
+    // 4. deterministic shuffle of pack ids into 4 shards + sorted write
+    val packIds = perPack.select(col("pack_id"))
+    val outDir = s"$work/shards"
+    Mixing.writeShards(packIds, "pack_id", outDir, numShards = 4)
+    val assign = Mixing.globalShuffle(packIds, "pack_id", numShards = 4)
+    val shardSizes = assign.groupBy("shard").count().orderBy("shard")
+      .collect().map(r => r.getLong(1))
+    println(s"shards: ${shardSizes.mkString("/")} packs per shard")
+
+    // 5. invariants
+    def shardContents(dir: String): Seq[Seq[Long]] =
+      (0 until 4).map { s =>
+        spark.read.parquet(s"$dir/shard=$s")
+          .select("pack_id", "skey").collect()
+          .sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+      }
+    val got = shardContents(outDir)
+    val want = assign.collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val orderOk = (0 until 4).forall(s => got(s) == want(s))
+    // end-to-end determinism: re-export and compare directories
+    val outDir2 = s"$work/shards_rerun"
+    Mixing.writeShards(packIds, "pack_id", outDir2, numShards = 4)
+    val rerunOk = shardContents(outDir2) == got
+
+    val ok = streamTokens == segTokens &&          // token conservation
+      fullPacks >= nPacks - 1 &&                   // exact budgets
+      byRegime.exists(r => r._1 == "src0" && r._2 == 2) &&  // cap regime
+      byRegime.exists(r => r._1 == "src2" && r._2 == 1) &&  // partial draw
+      shardSizes.sum == nPacks && shardSizes.forall(_ > 0) &&
+      orderOk && rerunOk
+    println(s"token conservation: $streamTokens == $segTokens; " +
+      s"shard order ok=$orderOk; deterministic re-export=$rerunOk")
+    println(s"training export check: ${if (ok) "PASS" else "FAIL"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
