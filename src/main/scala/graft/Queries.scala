@@ -1289,6 +1289,35 @@ object Queries {
              |FROM nodes n JOIN reach ON reach.id = n.id
              |GROUP BY n.id ORDER BY n.id""".stripMargin)),
 
+    // ----- approx heavy hitters gated by the exact answer -----------------
+    // The q_approx_distinct contract: emitted values are the EXACT top-10
+    // token counts (which DuckDB mirrors); the mergeable approx_top_k
+    // sketch contributes a gate column — its reported set must cover >=
+    // 80% of the exact top-10 or every row flips and the hash fails. At
+    // 100 TB the sketch is the point: per-partition sketches merge
+    // without re-scanning, the exact pass exists only as the test gate.
+    "q_approx_topk" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+        val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(10)
+        val approxSet = toks.agg(expr("approx_top_k(token, 10)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("token"), lit(1).as("__hit"))
+        val overlap = exact.join(approxSet, Seq("token"), "left")
+          .agg((sum(coalesce(col("__hit"), lit(0))) >= 8).as("topk_ok"))
+        exact.crossJoin(broadcast(overlap))
+          .orderBy(col("n").desc, col("token"))
+      },
+      Some("""SELECT token, n, TRUE AS topk_ok FROM (
+             |  SELECT token, COUNT(*) AS n FROM (
+             |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+             |  WHERE LEN(token) > 0
+             |  GROUP BY token ORDER BY n DESC, token LIMIT 10)
+             |ORDER BY n DESC, token""".stripMargin)),
+
     // ----- byte-entropy quality signal (codegen histogram, zero shuffle) --
     // The cheap gibberish/boilerplate detector: natural text sits in a
     // narrow entropy band, repeated filler far below it. A planted
