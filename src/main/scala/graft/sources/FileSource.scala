@@ -50,7 +50,8 @@ object FormatInference {
     if (i < 0 || i == name.length - 1) None
     else {
       val ext = normalize(name.substring(i + 1))
-      if (Set("parquet", "csv", "json", "ndjson", "avro", "excel", "text").contains(ext)) Some(ext)
+      if (Set("parquet", "csv", "json", "ndjson", "avro", "excel", "text",
+        "orc").contains(ext)) Some(ext)
       else None
     }
   }
@@ -60,9 +61,9 @@ object FormatInference {
   * dispatch (reference `sources/file.py:101-174`).
   *
   * Formats: parquet (vectorized scan), csv, json (multiLine), ndjson
-  * (json-lines), text, avro (via [[AvroSupport]] — avro core/mapred, no
-  * spark-avro needed), excel/xlsx (via [[XlsxSupport]] — JDK zip+StAX, no
-  * POI needed) (SURVEY §2.A-A2).
+  * (json-lines), text, orc (native vectorized scan), avro (via
+  * [[AvroSupport]] — avro core/mapred, no spark-avro needed), excel/xlsx
+  * (via [[XlsxSupport]] — JDK zip+StAX, no POI needed) (SURVEY §2.A-A2).
   */
 class FileSource(
     val inputDir: String,
@@ -89,6 +90,7 @@ class FileSource(
       case "ndjson" => reader.json(paths: _*)
       case "json" => reader.option("multiLine", "true").json(paths: _*)
       case "text" => reader.text(paths: _*)
+      case "orc" => reader.orc(paths: _*)
       case "avro" => AvroSupport.read(spark, paths)
       case "excel" => XlsxSupport.read(spark, paths, schema)
       case other =>

@@ -44,6 +44,22 @@ class FileFormatsSuite extends SparkSpec {
     }
   }
 
+  test("orc round-trip via the native vectorized reader") {
+    import spark.implicits._
+    withTmpDir { tmp =>
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+        .coalesce(1).write.orc(s"$tmp/data")
+      val f = new java.io.File(s"$tmp/data").listFiles()
+        .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+      val df = source(tmp, "orc", None).readBatch(spark, batchOf(f))
+      assert(df.count() === 2)
+      assert(df.columns.sorted.toSeq === Seq("id", "v"))
+      // inference from extension picks orc too
+      assert(graft.sources.FormatInference.infer(
+        s"$tmp/data", None, Some("*.orc"), conf) === "orc")
+    }
+  }
+
   test("multiline json") {
     withTmpDir { tmp =>
       val f = write(tmp, "a.json", """[{"id": 1}, {"id": 2}, {"id": 3}]""")
