@@ -1289,6 +1289,42 @@ object Queries {
              |FROM nodes n JOIN reach ON reach.id = n.id
              |GROUP BY n.id ORDER BY n.id""".stripMargin)),
 
+    // ----- per-doc novelty vs a reference gram index ----------------------
+    // The inverse of contamination: what fraction of a doc's distinct
+    // 12-grams has the reference slice (docs 0,20,40,...) never seen?
+    // Drives novelty-weighted sampling / curriculum ordering. The index
+    // broadcasts; the probe joins gram STRINGS, so no hash collision can
+    // move the ratio.
+    "d_novelty" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val idx = Dedup.benchmarkGramIndex(
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 12)
+        Dedup.noveltyAgainstIndex(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", idx, n = 12)
+          .orderBy("id")
+      },
+      Some("""WITH refd AS (SELECT DISTINCT g FROM (
+             |    SELECT UNNEST(LIST_DISTINCT(
+             |      CASE WHEN LENGTH(text) < 12 THEN [text]
+             |           ELSE [text[i:i+11] FOR i IN RANGE(1, LENGTH(text) - 10)]
+             |      END)) AS g
+             |    FROM documents WHERE doc_id % 20 = 0)),
+             |dg AS (SELECT doc_id, UNNEST(LIST_DISTINCT(
+             |    CASE WHEN LENGTH(text) < 12 THEN [text]
+             |         ELSE [text[i:i+11] FOR i IN RANGE(1, LENGTH(text) - 10)]
+             |    END)) AS g
+             |  FROM documents WHERE doc_id % 20 <> 0),
+             |tot AS (SELECT doc_id, COUNT(*) AS total_grams FROM dg GROUP BY 1),
+             |sn AS (SELECT dg.doc_id, COUNT(*) AS seen
+             |  FROM dg JOIN refd USING (g) GROUP BY 1)
+             |SELECT t.doc_id AS id, t.total_grams,
+             |  t.total_grams - COALESCE(sn.seen, 0) AS novel_grams,
+             |  ROUND(CAST(t.total_grams - COALESCE(sn.seen, 0) AS DOUBLE)
+             |    / t.total_grams, 4) AS novelty
+             |FROM tot t LEFT JOIN sn ON t.doc_id = sn.doc_id
+             |ORDER BY id""".stripMargin)),
+
     // ----- approx heavy hitters gated by the exact answer -----------------
     // The q_approx_distinct contract: emitted values are the EXACT top-10
     // token counts (which DuckDB mirrors); the mergeable approx_top_k

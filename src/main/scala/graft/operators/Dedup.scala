@@ -739,6 +739,36 @@ object Dedup {
       .filter(col("shared_grams") >= minShared)
   }
 
+  /** Per-document NOVELTY against a reference gram index: what fraction
+    * of a doc's distinct n-grams has the reference corpus never seen?
+    * The inverse of contamination — high novelty drives curriculum
+    * ordering and novelty-weighted sampling (keep what the model hasn't
+    * seen); near-zero novelty is boilerplate. `(id, total_grams,
+    * novel_grams, novelty)` with novelty = round(novel/total, 4).
+    *
+    * Shape: the reference index broadcasts (the [[benchmarkGramIndex]]
+    * contract — megabytes for real reference slices); the batch pays
+    * one distinct-gram explode and a broadcast semi-join probe — the
+    * batch never shuffles beyond its per-doc count aggregation. Exact
+    * by construction: the probe joins gram STRINGS (the index carries
+    * them), so no hash-collision miscount enters the ratio. */
+  def noveltyAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, n: Int = 12): DataFrame = {
+    import graft.functions.CharNgramFunctions.charNgramsDistinct
+    val g = batch.select(col(idCol).as("id"),
+        charNgramsDistinct(col(textCol), n).as("hs"))
+      .select(col("id"), size(col("hs")).cast("long").as("total_grams"),
+        explode(col("hs")).as("g"))
+    val seen = g.join(broadcast(index.select("g").distinct()), Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("seen"))
+    g.select("id", "total_grams").distinct()
+      .join(seen, Seq("id"), "left").na.fill(0L, Seq("seen"))
+      .select(col("id"), col("total_grams"),
+        (col("total_grams") - col("seen")).as("novel_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("total_grams"), 4))
+  }
+
   /** Persistable benchmark gram index for INCREMENTAL decontamination:
     * one row per (bench_id, distinct n-gram) with both the gram STRING
     * (exact verify) and its XXH64 (fast probe; identical to the in-place
