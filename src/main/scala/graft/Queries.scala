@@ -1289,6 +1289,42 @@ object Queries {
              |FROM nodes n JOIN reach ON reach.id = n.id
              |GROUP BY n.id ORDER BY n.id""".stripMargin)),
 
+    // ----- incremental connected components (cross-batch fold) ------------
+    // The SAME edge set as d_connected_components arrives in three
+    // interleaved batches (edge source id mod 3) so chains are split
+    // across batches and every fold step merges components created by
+    // earlier ones; the folded assignment must equal the one-shot batch
+    // answer, so the oracle is the identical recursive CTE.
+    "d_cc_incremental" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val pairs = ids
+          .join(ids.select(col("doc_id").as("doc_id2")),
+            col("doc_id2") === col("doc_id") + 1 &&
+              pmod(col("doc_id"), lit(8)) =!= 7)
+          .select(col("doc_id").as("id_a"), col("doc_id2").as("id_b"))
+        var history = Seq.empty[(Long, Long)].toDF("id", "component")
+        for (k <- 0 until 3)
+          history = Dedup.componentsWithHistory(
+            pairs.filter(pmod(col("id_a"), lit(3)) === k), history)
+        history.orderBy("id")
+      },
+      Some("""WITH RECURSIVE
+             |edges AS (
+             |  SELECT d1.doc_id AS a, d2.doc_id AS b
+             |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+             |  WHERE d1.doc_id % 8 <> 7),
+             |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+             |reach(id, r) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+             |nodes AS (SELECT DISTINCT a AS id FROM sym)
+             |SELECT n.id AS id, LEAST(n.id, MIN(reach.r)) AS component
+             |FROM nodes n JOIN reach ON reach.id = n.id
+             |GROUP BY n.id ORDER BY n.id""".stripMargin)),
+
     // ----- per-doc novelty vs a reference gram index ----------------------
     // The inverse of contamination: what fraction of a doc's distinct
     // 12-grams has the reference slice (docs 0,20,40,...) never seen?

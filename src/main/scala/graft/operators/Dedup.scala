@@ -362,6 +362,59 @@ object Dedup {
       .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
   }
 
+  /** CROSS-BATCH incremental connected components — the cluster-resolution
+    * sibling of the minhash/span/sem histories: fold near-dup candidate
+    * edges batch by batch while keeping a persisted `(id, component)`
+    * assignment table exactly equal to [[connectedComponents]] over the
+    * UNION of every edge seen so far (component = min reachable id).
+    *
+    * The trick that makes it incremental: a maintained assignment IS a
+    * star forest, so the new batch's edges can be translated to
+    * REPRESENTATIVE space first (`a → rep(a)`, two broadcast-shaped left
+    * joins against the history — coalesce to self for unseen ids) and the
+    * expensive star-contraction loop then runs over O(batch) translated
+    * edges only — never over the corpus graph. Its output maps touched
+    * old representatives to their merged new minimum; that change map is
+    * O(components touched by the batch) rows, so the history update is a
+    * map-only broadcast-hash left join (`component → coalesce(new, old)`)
+    * — the corpus-sized side never shuffles, and unmerged components
+    * don't move. Returns the full updated assignment; persist it with an
+    * atomic replace (JobState table) or, when the history lives in a
+    * component-keyed Delta table, MERGE the change map so stats pruning
+    * rewrites only the files that can contain a touched component.
+    *
+    * Correctness of min-id canonicality under translation: every history
+    * representative is the minimum of its component, so the minimum over
+    * a set of merged representatives equals the minimum over the union of
+    * their members; a NEW id smaller than an old representative enters
+    * the translated graph as itself and wins the min the same way. */
+  def componentsWithHistory(pairs: DataFrame, history: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      workDir: Option[String] = None, localLimit: Long = 100000): DataFrame = {
+    val rep = history.select(col("id").as("__rid"), col("component").as("__rc"))
+    def translate(c: Column): Column = coalesce(col("__rc"), c)
+    val ta = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(rep.withColumnRenamed("__rid", "__a"), Seq("__a"), "left")
+      .select(translate(col("__a")).as("ra"), col("__b"))
+      .join(rep.withColumnRenamed("__rid", "__b"), Seq("__b"), "left")
+      .select(col("ra").as("id_a"), translate(col("__b")).as("id_b"))
+    // contraction over translated (representative-space) edges only
+    val merged = connectedComponents(ta, "id_a", "id_b", workDir,
+      localLimit = localLimit)
+    // old rep (or brand-new id) -> merged minimum; identity rows dropped
+    // so the change map stays O(touched components) and broadcastable
+    val changed = merged.filter(col("id") =!= col("component"))
+      .select(col("id").as("__old"), col("component").as("__new"))
+    val updated = history
+      .join(broadcast(changed).withColumnRenamed("__old", "component"),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
+    // batch ids not yet in the history enter with their merged component
+    val fresh = merged.select(col("id"), col("component"))
+      .join(history.select("id"), Seq("id"), "left_anti")
+    updated.unionByName(fresh)
+  }
+
   /** Large-star round: every node connects its LARGER neighbors to the
     * minimum of its neighborhood (including itself). */
   private def largeStar(edges: DataFrame): DataFrame = {

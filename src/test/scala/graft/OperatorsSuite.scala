@@ -561,6 +561,42 @@ class DedupSuite extends SparkSpec {
     assert(selfs === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
   }
 
+  test("incremental connected components equals batch CC over all edges seen") {
+    // Fold batches through componentsWithHistory; after every batch the
+    // assignment must equal connectedComponents over the UNION of edges
+    // so far. Batches are chosen to exercise every merge direction:
+    //   b1: two separate components {1,5}, {10,20}
+    //   b2: a NEW smaller id (0) joins {1,5} (new id wins the min);
+    //       a chain edge merges {10,20} with a new id 30
+    //   b3: a bridge merges the two surviving components into one
+    val batches = Seq(
+      Seq((1L, 5L), (10L, 20L)),
+      Seq((0L, 5L), (20L, 30L)),
+      Seq((5L, 30L)))
+    var history = spark.emptyDataset[(Long, Long)].toDF("id", "component")
+    var sofar = Seq.empty[(Long, Long)]
+    for ((b, i) <- batches.zipWithIndex) {
+      sofar ++= b
+      history = Dedup.componentsWithHistory(
+        b.toDF("id_a", "id_b"), history)
+      val got = history.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Dedup.connectedComponents(sofar.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"after batch $i")
+      // one row per id — the history rewrite must never duplicate
+      assert(history.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    }
+    assert(history.collect().map(r => r.getLong(1)).toSet === Set(0L),
+      "final graph is one component rooted at the new minimum 0")
+    // scale shape: the history update is a broadcast-hash join — the
+    // corpus-sized assignment side must never shuffle for the rewrite
+    val plan = Dedup.componentsWithHistory(
+      Seq((5L, 30L)).toDF("id_a", "id_b"), history)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"change-map application must broadcast:\n${plan.take(1500)}")
+  }
+
   test("transitive minhash dedup keeps one row per similarity component") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq(

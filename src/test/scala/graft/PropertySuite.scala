@@ -403,6 +403,34 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("incremental connected components equal batch CC under random batch splits") {
+    // the fold invariant — history after batch i equals batch CC over the
+    // union of edges so far — must hold for ANY edge order and ANY split
+    // point, including batches that only merge existing components and
+    // batches of pure self-loops
+    import spark.implicits._
+    val edgeGen = Gen.zip(Gen.choose(0L, 16L), Gen.choose(0L, 16L))
+    val caseGen = for {
+      edges <- Gen.nonEmptyListOf(edgeGen).map(_.take(24))
+      cut <- Gen.choose(0, edges.size)
+    } yield (edges, cut)
+    forAllSampled(caseGen, 6) { case (edges, cut) =>
+      val (b1, b2) = edges.splitAt(cut)
+      var history = spark.emptyDataset[(Long, Long)].toDF("id", "component")
+      var sofar = Seq.empty[(Long, Long)]
+      for (b <- Seq(b1, b2) if b.nonEmpty) {
+        sofar ++= b
+        history = graft.operators.Dedup
+          .componentsWithHistory(b.toDF("id_a", "id_b"), history)
+        val got = history.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = graft.operators.Dedup
+          .connectedComponents(sofar.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"edges=$edges cut=$cut")
+      }
+    }
+  }
+
   test("exact ngram-Jaccard pairs equal the brute-force reference on random corpora") {
     // small alphabet + short docs force heavy gram sharing (the worst case
     // for inverted-index completeness) and short-text whole-doc grams
