@@ -1304,10 +1304,18 @@ object Queries {
             col("doc_id2") === col("doc_id") + 1 &&
               pmod(col("doc_id"), lit(8)) =!= 7)
           .select(col("doc_id").as("id_a"), col("doc_id2").as("id_b"))
+        // the history is PERSISTED between batches (the operator's real
+        // contract — atomic-replace state table): materializing per fold
+        // also keeps each fold's plan O(batch), where a lazily-chained
+        // fold would recompute every earlier batch inside each later one
+        val dir = scratch(s, "cc_incr")
         var history = Seq.empty[(Long, Long)].toDF("id", "component")
-        for (k <- 0 until 3)
-          history = Dedup.componentsWithHistory(
+        for (k <- 0 until 3) {
+          Dedup.componentsWithHistory(
             pairs.filter(pmod(col("id_a"), lit(3)) === k), history)
+            .write.mode("overwrite").parquet(s"$dir/h$k")
+          history = s.read.parquet(s"$dir/h$k")
+        }
         history.orderBy("id")
       },
       Some("""WITH RECURSIVE

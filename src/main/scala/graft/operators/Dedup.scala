@@ -488,6 +488,53 @@ object Dedup {
       .distinct()
   }
 
+  /** One SimHash index row per document, `(doc_id, sh)` — the 8-byte
+    * unit a cross-batch pipeline persists per batch into a signature
+    * history (the bit-level sibling of [[minhashIndex]]); feed batches of
+    * these to [[hash64AgainstHistory]]. */
+  def simhashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashByRow(df, idCol, textCol).select(col("id").as("doc_id"), col("sh"))
+
+  /** Batch signatures that are near-duplicates (Hamming ≤ `maxHamming`)
+    * of any PRIOR batch's signature — the cross-batch incremental stage
+    * for EVERY 64-bit locality hash the engine produces (text simhash,
+    * image dHash, audio envelope hash), sharing [[hash64Pairs]]'s Manku
+    * 4-block bucketing and its Hamming ≤ 3 exact-recall guarantee.
+    * `history` carries `(doc_id, sh)` rows ([[simhashIndex]] per batch);
+    * returns distinct `(doc_id, hist_id, hamming)`; callers anti-join
+    * `doc_id` to drop the later copies.
+    *
+    * Scale shape — mirrors [[minhashAgainstHistory]]: the cumulative
+    * history explodes only after a SEMI-JOIN to the batch's (block, key)
+    * set, so just the probed buckets survive into the cap and the join;
+    * only (id, block, key) triples shuffle, and the 8-byte signatures ride
+    * along — prior batches' media/text bytes are never touched. */
+  def hash64AgainstHistory(sigs: DataFrame, history: DataFrame,
+      idCol: String = "doc_id", hashCol: String = "sh",
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def blocks(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), col("__h"),
+        posexplode(array((0 until SimhashBlocks).map(j =>
+          shiftrightunsigned(col("__h"), 16 * j).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("block", "key")))
+    val bb = blocks(sigs.select(col(idCol).as("doc_id"),
+      col(hashCol).as("__h")), "doc_id")
+    val hb0 = blocks(history.select(col(idCol).as("hist_id"),
+      col(hashCol).as("__h")), "hist_id")
+      .join(bb.select("block", "key").distinct(), Seq("block", "key"), "left_semi")
+    val hb =
+      if (maxBucket > 0) {
+        val w = Window.partitionBy("block", "key").orderBy("hist_id")
+        hb0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      } else hb0
+    bb.join(hb.withColumnRenamed("__h", "__hh"), Seq("block", "key"))
+      .select(col("doc_id"), col("hist_id"),
+        hamming64(col("__h"), col("__hh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** N-gram Jaccard near-dup pairs, LSH-bucketed by minhash so the
     * all-pairs comparison never materializes. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -597,6 +597,52 @@ class DedupSuite extends SparkSpec {
       s"change-map application must broadcast:\n${plan.take(1500)}")
   }
 
+  test("hash64 against history: exact recall at hamming<=3, history text untouched") {
+    // planted signatures: h2 = h1 with 3 bits flipped ACROSS three
+    // different 16-bit blocks (the worst case a single-prefix bucketing
+    // misses), h3 far from both
+    val h1 = 0x1234_5678_9abc_def0L
+    val h2 = h1 ^ (1L << 3) ^ (1L << 20) ^ (1L << 50)
+    val h3 = ~h1
+    val history = Seq((1L, h1), (2L, h3)).toDF("doc_id", "sh")
+    val batch = Seq((10L, h2), (11L, 0x0f0f_0f0f_0f0f_0f0fL)).toDF("doc_id", "sh")
+    val got = Dedup.hash64AgainstHistory(batch, history)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((10L, 1L, 3)))
+    // brute-force exact-recall gate on pseudo-random signatures: every
+    // cross-batch pair at hamming<=3 MUST be found (Manku guarantee),
+    // none above the budget may appear
+    val rnd = new scala.util.Random(42)
+    val hist2 = (0L until 40L).map(i => (i, rnd.nextLong()))
+    val bat2 = hist2.take(12).map { case (i, h) =>
+      // flip 0..5 bits of an existing signature
+      val flips = (0 until (i % 6).toInt).map(k => 1L << ((i * 7 + k * 13) % 64))
+      (100L + i, flips.foldLeft(h)(_ ^ _))
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val want = (for {
+      (bi, bh) <- bat2; (hi, hh) <- hist2 if ham(bh, hh) <= 3
+    } yield (bi, hi)).toSet
+    val found = Dedup.hash64AgainstHistory(
+      bat2.toDF("doc_id", "sh"), hist2.toDF("doc_id", "sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(found), s"missed pairs: ${want -- found}")
+    assert(found.forall { case (b, h) =>
+      ham(bat2.toMap.apply(b), hist2.toMap.apply(h)) <= 3 })
+    // the text path composes: a later batch's near-identical doc is
+    // flagged against a simhashIndex history without re-reading its text
+    val base = "spark is a distributed engine for large scale data processing with catalyst"
+    val idx = Dedup.simhashIndex(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val flagged = Dedup.hash64AgainstHistory(
+      Dedup.simhashIndex(Seq((7L, base.replace("large", "big")),
+        (8L, "cooking pasta requires boiling salted water and fresh tomatoes"))
+        .toDF("doc_id", "text"), "doc_id", "text"),
+      idx, maxHamming = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(7L))
+  }
+
   test("transitive minhash dedup keeps one row per similarity component") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq(
