@@ -22,11 +22,12 @@ object Bench {
     // cores mid-bench) then cannot masquerade as a code regression, and
     // the min of repeated runs is the standard steady-state estimator.
     // Per-round lines go to stderr; stdout carries exactly ONE JSON line.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // comma = OR of substrings, so one run can time an exact set of queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt)
     // deterministic execution order (stable JIT profile run to run)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -26,6 +26,23 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] plus a spread across the session's cores — for the COMPUTE-heavy
+    * operators (gram explosion, signatures, edit distance, LM scoring)
+    * whose input here is a single-row-group local parquet: Spark cannot
+    * split one parquet row group, so without this the expensive map stage
+    * runs as ONE task no matter the core count (measured 4.5× on
+    * d_novelty). The shuffled bytes are just the small table itself; at
+    * corpus scale the source arrives many-partitioned and callers use the
+    * plain scan. Cheap scan-dominated queries keep [[t]] — an extra
+    * exchange would cost more than it spreads. Measured per-query before
+    * adopting: keep only where it won (novelty 5.8→1.3, ngram_jaccard
+    * 7.1→4.9, dup_profile 2.2→1.1, dsir 2.1→1.6); it LOSES where the
+    * design keeps the corpus shuffle-free (contamination: index
+    * broadcasts, +0.6 s) or where repartition strips the scan stats a
+    * broadcast decision needs (fuzzy_join 4.6→9.8). */
+  private def tSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** Scratch dir for the Delta lifecycle queries: a FIXED per-process
     * path per tag, recursively cleared on every invocation — bench
     * repeat rounds and correctness runs reuse one table copy instead of
@@ -1341,7 +1358,7 @@ object Queries {
     // move the ratio.
     "d_novelty" -> QueryDef(
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tSpread(s, d, "documents")
         val idx = Dedup.benchmarkGramIndex(
           docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 12)
         Dedup.noveltyAgainstIndex(
@@ -1641,7 +1658,7 @@ object Queries {
     // scoring is two fused codegen expressions over ONE scan, zero shuffle.
     "d_dsir_weights" -> QueryDef(
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tSpread(s, d, "documents")
         val (tgt, src) = graft.operators.Curation.ngramLmPair(
           docs, "text", col("lang") === "en", n = 3)
         graft.operators.Curation.dsirLogRatio(docs, "doc_id", "text", tgt, src)
@@ -1723,7 +1740,7 @@ object Queries {
     // grams (at 0.4 the prefix is 60% and the filter stops filtering on a
     // high-background-similarity corpus: 1.4M candidates vs 248k at sf0.1)
     "d_ngram_jaccard" -> QueryDef(
-      (s, d) => Dedup.charNgramJaccardExactPairs(t(s, d, "documents"), "doc_id",
+      (s, d) => Dedup.charNgramJaccardExactPairs(tSpread(s, d, "documents"), "doc_id",
         "text", n = 12, threshold = 0.8).orderBy("id_a", "id_b"),
       Some("""WITH grams AS (
              |  SELECT doc_id, UNNEST(LIST_DISTINCT(
@@ -1831,6 +1848,9 @@ object Queries {
     // the corpus never shuffles.
     "d_contamination" -> QueryDef(
       (s, d) => {
+        // plain [[t]]: the whole design is that the corpus side NEVER
+        // shuffles (the gram index broadcasts) — tSpread re-adds exactly
+        // that shuffle and measured slower (2.9 -> 3.6 s).
         val docs = t(s, d, "documents")
         Dedup.ngramContamination(
           docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
@@ -1878,7 +1898,7 @@ object Queries {
     // singleton reduce; skew-safe (a hot gram combines map-side).
     "d_dup_profile" -> QueryDef(
       (s, d) => {
-        val dfs = t(s, d, "documents")
+        val dfs = tSpread(s, d, "documents")
           .select(explode(graft.functions.CharNgramFunctions
             .charNgramsDistinct(col("text"), 12)).as("g"))
           .groupBy("g").agg(count(lit(1)).as("df"))
@@ -1911,6 +1931,7 @@ object Queries {
     // the batch operator, hence the SAME oracle as d_contamination.
     "d_contamination_incr" -> QueryDef(
       (s, d) => {
+        // plain [[t]] — same no-corpus-shuffle rationale as d_contamination
         val docs = t(s, d, "documents")
         val idxPath = scratch(s, "contamination_idx")
         Dedup.benchmarkGramIndex(
@@ -2647,6 +2668,10 @@ object Queries {
     // pair set through the prefix filter.
     "d_fuzzy_join" -> QueryDef(
       (s, d) => {
+        // plain [[t]], NOT tSpread: the repartition strips the scan's size
+        // stats, flipping this query's small-side broadcast to sort-merge
+        // (measured 4.6 -> 9.8 s) — the levenshtein stage is already spread
+        // by the gram-explode exchange.
         val keyed = t(s, d, "documents")
           .withColumn("k0", substring(col("text"), 1, 32))
           .withColumn("k", when(col("doc_id") % 5 === 3,

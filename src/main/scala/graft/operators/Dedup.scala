@@ -855,14 +855,21 @@ object Dedup {
   def noveltyAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, n: Int = 12): DataFrame = {
     import graft.functions.CharNgramFunctions.charNgramsDistinct
+    // ONE gram pass: explode once, LEFT-join the broadcast index with a
+    // hit marker, and take BOTH counts from the same aggregation —
+    // count(1) is the doc's distinct-gram total (explode never drops a
+    // row: the gram array of a non-null text is never empty), count(hit)
+    // is the seen count. The earlier two-subtree shape (separate totals
+    // frame + semi-join) computed the gram arrays twice and re-executed
+    // the whole narrow gram stage inside the final sort's range sampler;
+    // this one pays for grams once and leaves only a one-row-per-doc
+    // aggregate above the exchange. 5.3 s -> 2.8 s at sf0.1.
     val g = batch.select(col(idCol).as("id"),
-        charNgramsDistinct(col(textCol), n).as("hs"))
-      .select(col("id"), size(col("hs")).cast("long").as("total_grams"),
-        explode(col("hs")).as("g"))
-    val seen = g.join(broadcast(index.select("g").distinct()), Seq("g"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("seen"))
-    g.select("id", "total_grams").distinct()
-      .join(seen, Seq("id"), "left").na.fill(0L, Seq("seen"))
+      explode(charNgramsDistinct(col(textCol), n)).as("g"))
+    g.join(broadcast(index.select("g").distinct().withColumn("__hit", lit(1))),
+        Seq("g"), "left")
+      .groupBy("id").agg(count(lit(1)).as("total_grams"),
+        count(col("__hit")).as("seen"))
       .select(col("id"), col("total_grams"),
         (col("total_grams") - col("seen")).as("novel_grams"))
       .withColumn("novelty",
