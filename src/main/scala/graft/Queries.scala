@@ -140,7 +140,7 @@ object Queries {
 
     // ----- aggregation (TPC-H Q1 shape) ----------------------------------
     "q_agg_pricing" -> QueryDef(
-      (s, d) => t(s, d, "lineitem")
+      (s, d) => tSpread(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -510,6 +510,10 @@ object Queries {
     // Spark `percentile` and DuckDB `quantile_cont` both do linear
     // interpolation over the sorted values; double inputs + decimal-rounded
     // outputs make the comparison representation-stable.
+    // plain [[t]], NOT tSpread: percentile is a TypedImperativeAggregate
+    // whose partial state is the value buffer itself — 32 spread partials
+    // serialize and re-merge every value and measured SLOWER than one
+    // in-place partial (1.47 -> 1.96 s).
     "q_percentile" -> QueryDef(
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -775,7 +779,7 @@ object Queries {
 
     // ----- multi-way join (TPC-H Q5 shape) --------------------------------
     "q_region_revenue" -> QueryDef(
-      (s, d) => t(s, d, "lineitem")
+      (s, d) => tSpread(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -2411,7 +2415,7 @@ object Queries {
     // RecallSuite instead.
     "e_ann_lsh" -> QueryDef(
       (s, d) => {
-        val emb = t(s, d, "embeddings")
+        val emb = tSpread(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 50)
         // planes=3/tables=16: multi-table SRP holds recall@1 ≥ 0.98 on
         // these (weakly clustered) embeddings at sf0.001/0.01/0.1 —
