@@ -138,30 +138,39 @@ object Similarity {
     if (init.isEmpty) return init
     val dims = init.head.length
     var centroids = init
-    (1 to iterations).foreach { _ =>
-      val normed = l2NormalizeModel(centroids)
-      val cents = typedlit(normed.map(_.toSeq).toSeq)
-      val dots = transform(sequence(lit(0), lit(normed.length - 1)),
-        i => dot(col("v"), element_at(cents, i + lit(1))))
-      val sums = (0 until dims).map(i =>
-        sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
-      val stats = corpus.select(col(vecCol).as("v"))
-        .filter(col("v").isNotNull && size(col("v")) === dims)
-        .withColumn("__dots", dots)
-        .withColumn("__b",
-          (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
-        .groupBy("__b").agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
-      val next = centroids.clone()
-      stats.foreach { r =>
-        val b = r.getInt(0)
-        val n = r.getLong(1)
-        if (n > 0 && b >= 0 && b < next.length)
-          next(b) = Array.tabulate(dims)(i => (r.getDouble(2 + i) / n).toFloat)
+    // Every iteration re-reads only THIS cached projection, not the
+    // source: the vectors are the training set and Lloyd's loop is the
+    // textbook iterative-reuse case (same reason MLlib's KMeans caches
+    // its norm-augmented input). Unpersisted before returning — trainers
+    // must not leak executor memory into the query that follows.
+    val vecs = corpus.select(col(vecCol).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (1 to iterations).foreach { _ =>
+        val normed = l2NormalizeModel(centroids)
+        val cents = typedlit(normed.map(_.toSeq).toSeq)
+        val dots = transform(sequence(lit(0), lit(normed.length - 1)),
+          i => dot(col("v"), element_at(cents, i + lit(1))))
+        val sums = (0 until dims).map(i =>
+          sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
+        val stats = vecs
+          .withColumn("__dots", dots)
+          .withColumn("__b",
+            (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+          .groupBy("__b").agg(count(lit(1)).as("n"), sums: _*)
+          .collect()
+        val next = centroids.clone()
+        stats.foreach { r =>
+          val b = r.getInt(0)
+          val n = r.getLong(1)
+          if (n > 0 && b >= 0 && b < next.length)
+            next(b) = Array.tabulate(dims)(i => (r.getDouble(2 + i) / n).toFloat)
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    centroids
+      centroids
+    } finally vecs.unpersist(false)
   }
 
   /** Persist a trained quantizer as a tiny parquet table
