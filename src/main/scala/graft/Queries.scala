@@ -1575,6 +1575,41 @@ object Queries {
              |  n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----- vocabulary tokenization to ids (the step after counting and
+    // before packing: a training export materializes id sequences) ------
+    // Vocab = top-16 words of a reference slice ranked (count DESC, token)
+    // — a total order both engines reproduce exactly; OOV -> 0. The
+    // corpus side is map-only zero-exchange (vocab rides into codegen as
+    // a reference object); the tiny 16 forces a real OOV population out
+    // of this corpus's ~31-word alphabet so the unk path is exercised.
+    "d_tokenize_ids" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = graft.operators.Curation.buildWordVocab(
+          docs.filter(col("doc_id") % 10 === 0), "text", size = 16)
+        graft.operators.Curation.tokenizeToIds(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+             |toks AS (
+             |  SELECT doc_id, UNNEST(
+             |    [{'ord': i, 'tok': ws[i]} FOR i IN RANGE(1, LEN(ws)+1)],
+             |    recursive := true)
+             |  FROM docs),
+             |vocab AS (
+             |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+             |    AS INTEGER) AS id
+             |  FROM (SELECT tok, COUNT(*) AS cnt FROM toks
+             |        WHERE doc_id % 10 = 0 GROUP BY tok
+             |        ORDER BY cnt DESC, tok LIMIT 16))
+             |SELECT t.doc_id,
+             |  ARRAY_AGG(COALESCE(v.id, 0) ORDER BY t.ord) AS ids,
+             |  COUNT(*) AS n_tokens,
+             |  COUNT(*) FILTER (v.id IS NULL) AS n_oov
+             |FROM toks t LEFT JOIN vocab v USING (tok)
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
+
     // ----- quality scoring ------------------------------------------------
     "d_quality" -> QueryDef(
       (s, d) => t(s, d, "documents")

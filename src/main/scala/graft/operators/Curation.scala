@@ -324,6 +324,59 @@ object Curation {
             >= minStopword)).as("keep"))
   }
 
+  /** Frequency-ranked word vocabulary from a reference slice — the
+    * training step of [[tokenizeToIds]]. Ids are 1-based ranks under the
+    * total (count DESC, token ASC) order, so the mapping is deterministic
+    * under ties and reproducible across engines. One partial-agg'd
+    * exchange on the token key; the collect is the O(size) model itself
+    * (the quantizer-centroid contract — the vocabulary IS driver state,
+    * like every tokenizer ships its vocab file). */
+  def buildWordVocab(ref: DataFrame, textCol: String,
+      size: Int): Seq[(String, Int)] = {
+    require(size > 0, "vocab size must be positive")
+    ref.select(explode(split(col(textCol), " ", -1)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(size)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1) }.toSeq
+  }
+
+  /** Map every document to its token-id sequence under a fixed
+    * vocabulary — the step between token counting and sequence packing:
+    * ids, not counts, are what a training export materializes. Map-only
+    * (zero exchanges: the vocab rides into codegen as a reference
+    * object, [[graft.functions.VocabIdsExpr]]); out-of-vocabulary tokens
+    * map to `unk`, and `n_oov` makes the vocabulary's coverage a
+    * per-document signal (an OOV-heavy doc under an in-domain vocab is a
+    * domain-shift flag). The corpus never shuffles. */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Int)], unk: Int = 0): DataFrame = {
+    require(!vocab.exists(_._2 == unk),
+      s"unk id $unk collides with a vocabulary id — n_oov would miscount")
+    df.select(col(idCol),
+        graft.functions.VocabFunctions.vocabIds(col(textCol), vocab, unk)
+          .as("ids"))
+      .select(col(idCol), col("ids"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), x => x === lit(unk))).cast("long").as("n_oov"))
+  }
+
+  /** Persist / restore a vocabulary as a tiny parquet table — the
+    * incremental-index state, like the IVF quantizer: build ONCE on a
+    * reference slice, then tokenize every later batch under the SAME
+    * mapping so id sequences stay mutually comparable. */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession, path: String,
+      vocab: Seq[(String, Int)]): Unit = {
+    import spark.implicits._
+    vocab.toDF("tok", "id").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Int)] =
+    spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+
   /** Mixture accounting: per-stratum document and token counts plus each
     * stratum's share of the corpus's tokens — the report a mixing step
     * is tuned against. One partial-agg shuffle on the stratum key; the

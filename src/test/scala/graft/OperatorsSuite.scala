@@ -976,6 +976,50 @@ class CurationSuite extends SparkSpec {
     assert(out(1L), "the control document must pass")
     (2L to 6L).foreach(i => assert(!out(i), s"doc $i must fail its rule"))
   }
+
+  test("word vocab: frequency-ranked ids, deterministic under ties") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("id", "text")
+    // counts: a=3, b=3, c=2, d=1 → rank by (cnt DESC, token): a=1, b=2, c=3
+    val vocab = Curation.buildWordVocab(docs, "text", size = 3)
+    assert(vocab === Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("tokenizeToIds: ids in token order, OOV to unk, zero exchanges") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b d"), (3L, "x y")).toDF("id", "text")
+    val vocab = Curation.buildWordVocab(docs, "text", size = 3)
+    val out = Curation.tokenizeToIds(docs, "id", "text", vocab).orderBy("id")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getSeq[Int](1), r.getLong(2), r.getLong(3)))
+    assert(rows(0) === ((1L, Seq(2, 1, 1, 3, 2, 1), 6L, 0L)))
+    assert(rows(1) === ((2L, Seq(3, 2, 0), 3L, 1L)))     // d is OOV
+    assert(rows(2) === ((3L, Seq(0, 0), 2L, 2L)))        // fully OOV
+    // map-only: the corpus side must not shuffle
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the single exchange is the final orderBy's range partitioning
+    assert(exchanges.length <= 1, out.queryExecution.executedPlan.toString)
+  }
+
+  test("vocab save/load round-trips and tokenizes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    val docs = Seq((1L, "b a a c b a d e"), (2L, "c b d x")).toDF("id", "text")
+    val vocab = Curation.buildWordVocab(docs, "text", size = 4)
+    Curation.saveVocab(spark, s"$dir/v", vocab)
+    val loaded = Curation.loadVocab(spark, s"$dir/v")
+    assert(loaded === vocab)
+    val a = Curation.tokenizeToIds(docs, "id", "text", vocab).orderBy("id").collect()
+    val b = Curation.tokenizeToIds(docs, "id", "text", loaded).orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("tokenizeToIds refuses a vocab id colliding with unk") {
+    val docs = Seq((1L, "a")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.tokenizeToIds(docs, "id", "text", Seq(("a", 0)), unk = 0)
+    }
+    assert(e.getMessage.contains("unk"))
+  }
 }
 
 class SimilaritySuite extends SparkSpec {
@@ -1486,4 +1530,5 @@ class SkewSuite extends SparkSpec {
       .select(Skew.salt($"id", 4)).distinct().count()
     assert(salts > 1)
   }
+
 }

@@ -208,6 +208,38 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("vocab-ids expression: random-text parity with the HOF map-literal formulation") {
+    import graft.functions.VocabFunctions
+    import org.apache.spark.sql.functions._
+    // spaces are frequent so empty tokens (leading/trailing/double-space)
+    // are exercised; multi-byte code points stress the 0x20 byte scan
+    val alphabet = Gen.oneOf(Seq('a', 'b', 'c', ' ', ' ', 'é', '中'))
+    val textGen = for {
+      len <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(len, alphabet)
+    } yield cs.mkString
+    val vocabGen = Gen.listOfN(6, for {
+      len <- Gen.choose(0, 3) // includes the empty token as a vocab entry
+      cs <- Gen.listOfN(len, alphabet)
+    } yield cs.mkString)
+    forAllSampled(Gen.zip(Gen.listOfN(6, textGen), vocabGen), 12) {
+      case (texts, vocabToks) =>
+        val vocab = vocabToks.distinct.zipWithIndex.map { case (t, i) => (t, i + 1) }
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+        val fast = df.select($"id",
+            VocabFunctions.vocabIds($"text", vocab, unk = 0).as("ids"))
+          .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+        val vmap = typedlit(vocab.toMap)
+        val slow = df.select($"id",
+            transform(split($"text", " ", -1),
+              w => coalesce(element_at(vmap, w), lit(0))).as("ids"))
+          .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+        assert(fast.toSeq === slow.toSeq,
+          s"vocab-ids parity failed for vocab=$vocab texts=$texts")
+    }
+  }
+
   test("bloom novelty screen equals the plain anti-join on random batches") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.md5
