@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *    tokens (packing loses and pads nothing);
   *  - exact pack budgets: every pack except the last holds exactly
   *    `budget` tokens;
+  *  - id payloads conserve too: materializing each pack's ACTUAL
+  *    token-id sequence (tokenized under a persisted vocabulary,
+  *    segment-sliced, concatenated in stream order) reproduces the same
+  *    totals — tokenization and packing agree token for token;
   *  - shard balance and per-shard stream order;
   *  - end-to-end determinism: a re-run produces the identical shards.
   *
@@ -71,6 +75,32 @@ object TrainingExportDemo {
     println(s"stream: $streamDocs samples, $streamTokens tokens -> " +
       s"$nPacks packs of $budget ($fullPacks exactly full)")
 
+    // 3b. pack PAYLOADS: the actual token-id sequences a data loader
+    // consumes — tokenize the stream under a persisted vocabulary (save
+    // then load: later export runs must reuse the same mapping or their
+    // shards aren't comparable), slice each sample's ids to its pack
+    // segment, and concatenate segments in stream order within the pack.
+    graft.operators.Curation.saveVocab(spark, s"$work/vocab",
+      graft.operators.Curation.buildWordVocab(docs, "text", size = 32))
+    val vocab = graft.operators.Curation.loadVocab(spark, s"$work/vocab")
+    val sampleIds = graft.operators.Curation.tokenizeToIds(
+      stream, "sample_id", "text", vocab)
+    val payload = packs
+      .join(sampleIds, packs("doc_id") === sampleIds("sample_id"))
+      .select(col("pack_id"), col("sample_id"),
+        slice(col("ids"), col("tok_start").cast("int") + 1,
+          (col("tok_end") - col("tok_start")).cast("int")).as("seg"))
+      .groupBy("pack_id")
+      .agg(flatten(transform(array_sort(
+        collect_list(struct(col("sample_id"), col("seg")))),
+        s => s.getField("seg"))).as("ids"))
+    val paySizes = payload.select(col("pack_id"), size(col("ids")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val payTotal = paySizes.map(_._2.toLong).sum
+    val payFullOk = paySizes.dropRight(1).forall(_._2 == budget)
+    println(s"pack payloads: ${paySizes.length} packs, $payTotal ids " +
+      s"(all-but-last exactly $budget: $payFullOk)")
+
     // 4. deterministic shuffle of pack ids into 4 shards + sorted write
     val packIds = perPack.select(col("pack_id"))
     val outDir = s"$work/shards"
@@ -99,6 +129,7 @@ object TrainingExportDemo {
 
     val ok = streamTokens == segTokens &&          // token conservation
       fullPacks >= nPacks - 1 &&                   // exact budgets
+      payTotal == streamTokens && payFullOk &&     // id payloads conserve too
       byRegime.exists(r => r._1 == "src0" && r._2 == 2) &&  // cap regime
       byRegime.exists(r => r._1 == "src2" && r._2 == 1) &&  // partial draw
       shardSizes.sum == nPacks && shardSizes.forall(_ > 0) &&
