@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   *  4. candidates: equi-join of prefix grams with id_a < id_b and the
   *     length filter |len_a - len_b| <= k (a join, so AQE splits any
   *     residual hot gram), deduped per pair;
-  *  5. verify: fetch both strings by id (candidate-bounded equi-joins),
-  *     keep `levenshtein <= k` - Spark's native codegen'd expression.
-  * Only (id, gram) prefix rows and candidate id-pairs ever shuffle;
-  * full strings move only for verified-candidate fetches.
+  *  5. verify: keep `levenshtein <= k` - Spark's native codegen'd
+  *     thresholded expression - directly on the pair, the KEY strings
+  *     having ridden the prefix rows through the join (keys are short
+  *     by contract; two join-backs would shuffle the key table twice
+  *     more to avoid carrying a few hundred bytes).
+  * Only (id, key, gram) prefix rows and deduped candidate pairs ever
+  * shuffle - never documents: fuzzy joins run on KEYS.
   *
   * Reference scope: the reference's dedup strategies are key-equality
   * (`ex/advanced-patterns/deduplication_strategies.py`); this extends
@@ -57,22 +60,34 @@ object FuzzyJoin {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val base = keyed(df, idCol, strCol)
+    // ONE gram-keyed exchange feeds BOTH the df aggregation and the
+    // ranking join (ReusedExchange): without the explicit repartition the
+    // gram explosion materializes twice — once under the groupBy's
+    // exchange, once under the join's (the d_ngram_jaccard lesson).
+    val grams = realGrams(base, q).repartition(col("g"))
     // batch-local gram document frequency is the rank order
-    val dfreq = realGrams(base, q).groupBy("g").agg(count(lit(1)).as("gdf"))
-    val ranked = rankedPrefix(base, maxDist, q, dfreq)
-    // candidate pairs: shared prefix gram + length filter
-    val a = ranked.select(col("sid").as("id_a"), col("len").as("len_a"), col("g"))
-    val b = ranked.select(col("sid").as("id_b"), col("len").as("len_b"), col("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val ranked = rankedPrefix(base, maxDist, q, dfreq, Some(grams))
+    // candidate pairs: shared prefix gram + length filter. The key
+    // strings RIDE THROUGH the self-join (they already ride the prefix
+    // rows — rankedPrefix emits them), so verification needs no
+    // join-back: two fewer shuffles of the corpus keys. Right because
+    // this operator's inputs are KEYS (titles, author strings, 32-char
+    // prefixes, <=, say, a few hundred bytes) — for document-length
+    // strings a fetch-by-id verify would win; that variant is the
+    // history-probe shape in [[fuzzyAgainstHistory]].
+    val a = ranked.select(col("sid").as("id_a"), col("len").as("len_a"),
+      col("s").as("s_a"), col("g"))
+    val b = ranked.select(col("sid").as("id_b"), col("len").as("len_b"),
+      col("s").as("s_b"), col("g"))
     val cands = a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
-      .select("id_a", "id_b").distinct()
-    // verify with the real strings; the thresholded levenshtein runs the
-    // banded O(k*n) DP and returns -1 past the bound - the verify is the
-    // candidate-volume hot path, so the 6x narrower band matters
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+    // the thresholded levenshtein runs the banded O(k*n) DP and returns
+    // -1 past the bound - the verify is the candidate-volume hot path,
+    // so the 6x narrower band matters
     cands
-      .join(base.select(col("sid").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(base.select(col("sid").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("ed", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("ed") >= 0 && col("ed") <= maxDist)
       .select(col("id_a"), col("id_b"), col("ed").cast("int").as("ed"))
@@ -95,10 +110,10 @@ object FuzzyJoin {
     * order given by `order` (g, gdf); grams absent from `order` rank as
     * df 0 (rarest). Short keys append the sentinel row unranked. */
   private def rankedPrefix(base: DataFrame, maxDist: Int, q: Int,
-      order: DataFrame): DataFrame = {
+      order: DataFrame, grams: Option[DataFrame] = None): DataFrame = {
     val prefixLen = q * maxDist + 1
     val sentinel = "#" * (q + 1)
-    realGrams(base, q)
+    grams.getOrElse(realGrams(base, q))
       .join(order, Seq("g"), "left")
       .na.fill(0L, Seq("gdf"))
       .withColumn("r", row_number().over(

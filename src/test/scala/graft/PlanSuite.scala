@@ -125,6 +125,25 @@ class PlanSuite extends SparkSpec {
       s"the exploded-hash exchange must be shared between df agg and join-back:\n${plan.take(3000)}")
   }
 
+  test("fuzzy join shares one gram exchange and verifies without join-backs") {
+    assume(available)
+    val keyed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("k"))
+    val plan = finalPlanOf(graft.operators.FuzzyJoin.editDistanceJoin(
+      keyed, "doc_id", "k", maxDist = 2, q = 3))
+    // the gram explosion must materialize ONCE: its repartition(g) feeds
+    // both the df aggregation and the ranking join as a reused stage
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      """Exchange hashpartitioning\(g#\d+""".r.findAllIn(plan).size == 1,
+      s"the gram exchange must be shared between df agg and ranking join:\n${plan.take(3000)}")
+    // key strings ride the prefix rows through the self-join; a verify
+    // join-back would show as a SINGLE-id-keyed exchange (the pair-dedup
+    // exchange legitimately carries both ids plus both strings)
+    assert(!"""Exchange hashpartitioning\(id_[ab]#\d+L?, \d+\)""".r
+      .findFirstIn(plan).isDefined,
+      s"verification must not join the key table back by id:\n${plan.take(3000)}")
+  }
+
   test("gram candidate stages hash in place — no transform+xxhash64 regression") {
     assume(available)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
