@@ -2165,6 +2165,68 @@ object Queries {
              |  LEAST((pack_id + 1) * 128 - st, n_tok) AS tok_end
              |FROM seg ORDER BY doc_id, pack_id""".stripMargin)),
 
+    // ----- pack payloads: packing × tokenization (the materialized
+    // training shard content: pack_id -> concatenated token ids) --------
+    // Each sample's ids slice to its pack segment and concatenate in
+    // stream (doc_id) order — packing's oracle composed with
+    // d_tokenize_ids' vocab. Every pack but the last must hold exactly
+    // budget ids; the id arrays themselves reach the hash compare, so a
+    // segment slicing off-by-one or an ordering leak cannot pass.
+    "d_pack_payloads" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = graft.operators.Curation.buildWordVocab(
+          docs.filter(col("doc_id") % 10 === 0), "text", size = 16)
+        val ids = graft.operators.Curation.tokenizeToIds(
+          docs, "doc_id", "text", vocab).select("doc_id", "ids")
+        val packs = graft.operators.Packing.packAssignments(
+          docs, "doc_id", "text", budget = 128)
+        packs.join(ids, "doc_id")
+          .select(col("pack_id"), col("doc_id"),
+            slice(col("ids"), col("tok_start").cast("int") + 1,
+              (col("tok_end") - col("tok_start")).cast("int")).as("seg"))
+          .groupBy("pack_id")
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("seg")))),
+            x => x.getField("seg"))).as("ids"))
+          .select(col("pack_id"), col("ids"),
+            size(col("ids")).cast("long").as("n_ids"))
+          .orderBy("pack_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+             |toks AS (
+             |  SELECT doc_id, UNNEST(
+             |    [{'ord': i, 'tok': ws[i]} FOR i IN RANGE(1, LEN(ws)+1)],
+             |    recursive := true)
+             |  FROM docs),
+             |vocab AS (
+             |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+             |    AS INTEGER) AS id
+             |  FROM (SELECT tok, COUNT(*) AS cnt FROM toks
+             |        WHERE doc_id % 10 = 0 GROUP BY tok
+             |        ORDER BY cnt DESC, tok LIMIT 16)),
+             |ids AS (
+             |  SELECT t.doc_id, ARRAY_AGG(COALESCE(v.id, 0) ORDER BY t.ord) AS ids
+             |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+             |c AS (SELECT doc_id,
+             |      CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+             |      FROM documents),
+             |s AS (SELECT doc_id, n_tok,
+             |      CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS BIGINT) AS st
+             |      FROM c),
+             |seg AS (SELECT doc_id, n_tok, st,
+             |        UNNEST(RANGE(st // 128, (st + n_tok - 1) // 128 + 1)) AS pack_id
+             |        FROM s WHERE n_tok > 0),
+             |segs AS (SELECT g.doc_id, g.pack_id,
+             |    i.ids[CAST(GREATEST(pack_id * 128 - st, 0) AS INT) + 1 :
+             |          CAST(LEAST((pack_id + 1) * 128 - st, n_tok) AS INT)] AS seg
+             |  FROM seg g JOIN ids i USING (doc_id))
+             |SELECT pack_id, FLATTEN(LIST(seg ORDER BY doc_id)) AS ids,
+             |  CAST(LEN(FLATTEN(LIST(seg ORDER BY doc_id))) AS BIGINT) AS n_ids
+             |FROM segs GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
+
     // ----- PII redaction (C4/Dolma-style scrub) ----------------------------
     // The synthetic corpus carries no natural PII, so the query PLANTS
     // deterministic emails/phones/IPs from doc_id on BOTH sides — the

@@ -662,6 +662,63 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("vocab tokenization under the streaming engine, across checkpoint loss") {
+    // id-mapping is cross-batch STATE even though the map itself is
+    // static: every batch must tokenize under the SAME persisted
+    // vocabulary (ids comparable across the whole export) — built before
+    // the stream starts, the persisted-quantizer discipline — and replay
+    // after checkpoint loss must reproduce identical id rows, including
+    // the unk mapping for words the vocab never saw
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Curation
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"; val out = s"$tmp/tokens"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      file(0, Seq((1L, "a b a c"), (2L, "b b a")))
+      file(1, Seq((3L, "c a zz b"), (4L, "zz zz")))   // zz is OOV
+      // vocab from the first batch's words only, persisted up front
+      Curation.saveVocab(spark, s"$tmp/vocab",
+        Curation.buildWordVocab(Seq("a b a c", "b b a").toDF("text"), "text", 3))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val vocab = Curation.loadVocab(spark, s"$tmp/vocab")
+            if (!w.lastTxnVersion(out, "svocab").exists(_ >= batchId))
+              w.write(Curation.tokenizeToIds(batch, "doc_id", "text", vocab),
+                out, DeltaWriteMode.Append, txn = Some(("svocab", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def rows() = w.read(out)
+        .select("doc_id", "ids", "n_tokens", "n_oov").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // a=1 (3 hits), b=2 (3 hits), c=3; zz -> 0
+      val want = Seq(
+        (1L, Seq(1, 2, 1, 3), 4L, 0L),
+        (2L, Seq(2, 2, 1), 3L, 0L),
+        (3L, Seq(3, 1, 0, 2), 4L, 1L),
+        (4L, Seq(0, 0), 2L, 2L))
+      assert(rows() === want, s"got ${rows()}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(rows() === want,
+        "replay after checkpoint loss must re-tokenize to identical ids")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: in-window dups collapse, expired keys re-admit") {
     // Spark's MANAGED streaming dedup beside the engine's state-table
     // pattern: duplicates arriving within the watermark delay of a key's
