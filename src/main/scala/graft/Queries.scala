@@ -2227,6 +2227,67 @@ object Queries {
              |  CAST(LEN(FLATTEN(LIST(seg ORDER BY doc_id))) AS BIGINT) AS n_ids
              |FROM segs GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
 
+    // ----- fill-in-the-middle sample construction (PSM reorder) ---------
+    // Half the docs (doc_id % 2 = 0, length >= 3) FIM-reorder under
+    // deterministic doc_id-derived boundaries both engines compute
+    // identically; the other half pass through autoregressive — both
+    // branches reach the hash compare, sentinels ride in-band as
+    // negative ids. Map-only over the tokenized frame.
+    "d_fim_splits" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = graft.operators.Curation.buildWordVocab(
+          docs.filter(col("doc_id") % 10 === 0), "text", size = 16)
+        val sized = graft.operators.Curation.tokenizeToIds(
+            docs, "doc_id", "text", vocab)
+          .select(col("doc_id"), col("ids"), col("n_tokens").as("n"))
+        val a = when(col("n") >= 3,
+          lit(1) + col("doc_id") % (col("n") - 2)).otherwise(lit(1L))
+        val app = col("doc_id") % 2 === 0 && col("n") >= 3
+        val b = when(app,
+          a + 1 + (col("doc_id") * 31 % 97) % (col("n") - a - 1))
+          .otherwise(a + 1)
+        sized.select(col("doc_id"),
+            graft.operators.Curation.fimReorder(col("ids"), a, b, app)
+              .as("fim_ids"),
+            when(app, col("n") + 3).otherwise(col("n")).as("n_fim"),
+            app.as("fim_applied"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+             |toks AS (
+             |  SELECT doc_id, UNNEST(
+             |    [{'ord': i, 'tok': ws[i]} FOR i IN RANGE(1, LEN(ws)+1)],
+             |    recursive := true)
+             |  FROM docs),
+             |vocab AS (
+             |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+             |    AS INTEGER) AS id
+             |  FROM (SELECT tok, COUNT(*) AS cnt FROM toks
+             |        WHERE doc_id % 10 = 0 GROUP BY tok
+             |        ORDER BY cnt DESC, tok LIMIT 16)),
+             |ids AS (
+             |  SELECT t.doc_id, ARRAY_AGG(COALESCE(v.id, 0) ORDER BY t.ord) AS ids
+             |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+             |sized AS (SELECT doc_id, ids, CAST(LEN(ids) AS BIGINT) AS n FROM ids),
+             |bounds AS (SELECT doc_id, ids, n,
+             |    (doc_id % 2 = 0 AND n >= 3) AS app,
+             |    CASE WHEN n >= 3 THEN 1 + doc_id % (n - 2) ELSE 1 END AS a
+             |  FROM sized),
+             |bounds2 AS (SELECT *,
+             |    CASE WHEN app THEN a + 1 + (doc_id * 31 % 97) % (n - a - 1)
+             |         ELSE a + 1 END AS b
+             |  FROM bounds)
+             |SELECT doc_id,
+             |  CASE WHEN app THEN
+             |    [CAST(-1 AS INTEGER)] || ids[1 : CAST(a AS INT)] ||
+             |    [CAST(-2 AS INTEGER)] || ids[CAST(b AS INT) + 1 : CAST(n AS INT)] ||
+             |    [CAST(-3 AS INTEGER)] || ids[CAST(a AS INT) + 1 : CAST(b AS INT)]
+             |  ELSE ids END AS fim_ids,
+             |  CAST(CASE WHEN app THEN n + 3 ELSE n END AS BIGINT) AS n_fim,
+             |  app AS fim_applied
+             |FROM bounds2 ORDER BY doc_id""".stripMargin)),
+
     // ----- PII redaction (C4/Dolma-style scrub) ----------------------------
     // The synthetic corpus carries no natural PII, so the query PLANTS
     // deterministic emails/phones/IPs from doc_id on BOTH sides — the

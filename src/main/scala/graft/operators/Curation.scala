@@ -362,6 +362,29 @@ object Curation {
         size(filter(col("ids"), x => x === lit(unk))).cast("long").as("n_oov"))
   }
 
+  /** Fill-in-the-middle (FIM) sample construction over a token-id array
+    * (Bavarian et al. 2207.14255, PSM order): where `applyFim` holds,
+    * the sequence [P, M, S] reorders to [pre] P [suf] S [mid] M with
+    * sentinel ids riding in-band (negative by convention — real vocab
+    * ids are positive, so no reservation is needed); elsewhere the
+    * autoregressive sequence passes through unchanged. Boundary columns
+    * are CALLER policy (deterministic arithmetic, a hash draw, a
+    * curriculum) — the operator is the pure slicing/reorder, map-only
+    * codegen HOFs, zero exchanges. Caller contract where `applyFim`:
+    * `1 <= a < b < size(ids)` — all three parts nonempty. */
+  def fimReorder(ids: Column, a: Column, b: Column, applyFim: Column,
+      preTok: Int = -1, sufTok: Int = -2, midTok: Int = -3): Column = {
+    val ai = a.cast("int"); val bi = b.cast("int")
+    val n = size(ids)
+    val prefix = slice(ids, lit(1), ai)
+    val middle = slice(ids, ai + 1, bi - ai)
+    val suffix = slice(ids, bi + 1, n - bi)
+    when(applyFim,
+      concat(array(lit(preTok)), prefix, array(lit(sufTok)), suffix,
+        array(lit(midTok)), middle))
+      .otherwise(ids)
+  }
+
   /** Persist / restore a vocabulary as a tiny parquet table — the
     * incremental-index state, like the IVF quantizer: build ONCE on a
     * reference slice, then tokenize every later batch under the SAME

@@ -1013,6 +1013,24 @@ class CurationSuite extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("fimReorder: PSM structure reconstructs the original; AR passes through") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, Seq(10, 11, 12, 13, 14)), (1L, Seq(20, 21, 22)))
+      .toDF("id", "ids")
+    // doc 0: a=2, b=4 -> P=[10,11] M=[12,13] S=[14]; doc 1: AR
+    val out = df.select($"id",
+        Curation.fimReorder($"ids", lit(2), lit(4), $"id" === 0L).as("fim"))
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    assert(out(0) === Seq(-1, 10, 11, -2, 14, -3, 12, 13))
+    assert(out(1) === Seq(20, 21, 22))
+    // reconstruction: P ++ M ++ S == original
+    val fim = out(0)
+    val p = fim.slice(1, fim.indexOf(-2))
+    val s = fim.slice(fim.indexOf(-2) + 1, fim.indexOf(-3))
+    val m = fim.drop(fim.indexOf(-3) + 1)
+    assert(p ++ m ++ s === Seq(10, 11, 12, 13, 14))
+  }
+
   test("tokenizeToIds refuses a vocab id colliding with unk") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
