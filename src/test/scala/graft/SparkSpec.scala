@@ -16,7 +16,15 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     try f(dir.toString)
     finally {
       import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      def sweep(): Unit = Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      try sweep()
+      catch { case _: java.nio.file.DirectoryNotEmptyException =>
+        // a background writer (the RocksDB state store's maintenance
+        // thread, an async commit upload) recreated files mid-sweep;
+        // let it settle and take one more pass
+        Thread.sleep(2000); sweep()
+      }
     }
   }
 }

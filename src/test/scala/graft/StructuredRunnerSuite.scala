@@ -719,6 +719,74 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("transformWithState: running totals accumulate and TTL dedup gates, on RocksDB") {
+    // the Spark-4 arbitrary-state API beside the classic
+    // flatMapGroupsWithState shapes: typed ValueState handles on the
+    // RocksDB store, state surviving a stream restart from checkpoint
+    import graft.streaming.StatefulOps
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // keep the store's maintenance thread out of this short-lived test's
+    // checkpoint dirs (it races tmp-dir cleanup)
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+    try withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      def file(n: Int, rows: Seq[(String, Long)]): Unit =
+        rows.toDF("key", "n").coalesce(1).write.parquet(s"$in/b$n")
+      file(0, Seq(("src0", 5L), ("src1", 3L), ("src0", 2L)))
+      file(1, Seq(("src0", 1L), ("src2", 4L)))
+      val schema = Seq(("x", 1L)).toDF("key", "n").schema
+      def runTotals(): Seq[(String, Long, Long)] = {
+        val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        val ds = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$in/*").as[(String, Long)]
+        val q = StatefulOps.runningTotals(ds)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.RunningTotal], _: Long) =>
+            got ++= batch.collect().map(r => (r.key, r.batchAdd, r.total)): Unit
+          }
+          .start()
+        q.awaitTermination(120000)
+        got.toSeq.sorted
+      }
+      val got1 = runTotals()
+      // batch 0: src0 adds 7 (total 7), src1 adds 3; batch 1: src0 adds
+      // 1 on top of the STORED 7, src2 adds 4
+      assert(got1 === Seq(("src0", 1L, 8L), ("src0", 7L, 7L),
+        ("src1", 3L, 3L), ("src2", 4L, 4L)), s"got $got1")
+      // restart from checkpoint with a NEW file: totals continue
+      file(2, Seq(("src1", 10L)))
+      val got2 = runTotals()
+      assert(got2 === Seq(("src1", 10L, 13L)),
+        s"restart must resume per-key state from the store, got $got2")
+
+      // TTL dedup: repeats suppress within and across batches (the TTL
+      // is generous — expiry timing is not what this test pins)
+      val cp2 = s"$tmp/cp2"
+      val ds2 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+        .select(col("key"), col("n").cast("string"))
+        .as[(String, String)]
+      val adm = scala.collection.mutable.ArrayBuffer[String]()
+      val q2 = StatefulOps.ttlDedup(ds2, java.time.Duration.ofMinutes(10))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.Admitted], _: Long) =>
+          adm ++= batch.collect().map(_.key): Unit
+        }
+        .start()
+      q2.awaitTermination(120000)
+      assert(adm.sorted.toSeq === Seq("src0", "src1", "src2"),
+        s"each key admits exactly once, got $adm")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.stateStore.maintenanceInterval")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: in-window dups collapse, expired keys re-admit") {
     // Spark's MANAGED streaming dedup beside the engine's state-table
     // pattern: duplicates arriving within the watermark delay of a key's
