@@ -2558,6 +2558,68 @@ object Queries {
            |GROUP BY a.vec_id ORDER BY query_id""".stripMargin
       }),
 
+    // ----- quantizer drift report (incremental-ANN maintenance signal) -----
+    // Two batches against one FIXED arithmetic quantizer (the planted
+    // clusters' noise-free centers, reproduced by both engines):
+    // in-distribution vectors assign near-perfectly (retrain=false); a
+    // batch from a DIFFERENT base family assigns poorly and trips the
+    // retrain flag — both regimes reach the hash compare. Map-only dots
+    // against the literal model + one global aggregate; the batch never
+    // shuffles.
+    "e_quantizer_drift" -> QueryDef(
+      (s, d) => {
+        val quant = Array.tabulate(10)(g => Array.tabulate(16)(j =>
+          (((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000).toFloat))
+        val g2 = col("doc_id") % 10
+        val shifted = t(s, d, "documents")
+          .filter(col("doc_id") >= 200 && col("doc_id") < 400)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(15)), j =>
+              (((g2 * 37 + j * 29 + g2 * j * 7) % 19 - 9) * 1000 +
+                ((col("doc_id") * 11 + j * 5) % 13 - 6)).cast("float")).as("v"))
+        Similarity.quantizerDrift(plantedVecs(s, d), "doc_id", "v", quant,
+            minAssignCos = 0.99, maxLowFrac = 0.1)
+          .withColumn("batch", lit("in_dist"))
+          .unionByName(Similarity.quantizerDrift(shifted, "doc_id", "v", quant,
+              minAssignCos = 0.99, maxLowFrac = 0.1)
+            .withColumn("batch", lit("shifted")))
+          .select("batch", "n", "mean_assign_cos", "frac_low", "retrain")
+          .orderBy("batch")
+      },
+      Some {
+        def driftSql(batch: String, label: String) =
+          s"""SELECT '$label' AS batch, n, mean_assign_cos, frac_low,
+             |  frac_low > 0.1 AS retrain FROM (
+             |  SELECT COUNT(*) AS n,
+             |    ROUND(CAST(SUM(CAST(cc AS DECIMAL(20,6))) AS DOUBLE)
+             |      / COUNT(*), 4) AS mean_assign_cos,
+             |    ROUND(CAST(SUM(CASE WHEN cc < 0.99 THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / COUNT(*), 4) AS frac_low
+             |  FROM (
+             |    SELECT doc_id, ROUND(MAX(
+             |      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(emb, c),
+             |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |      / SQRT(LIST_SUM(LIST_TRANSFORM(emb, x -> x * x))
+             |           * LIST_SUM(LIST_TRANSFORM(c, x -> x * x)))), 4) AS cc
+             |    FROM $batch, cents GROUP BY doc_id))""".stripMargin
+        s"""WITH cents AS (
+           |  SELECT g, LIST_TRANSFORM(RANGE(0, 16), j -> CAST(
+           |    ((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000 AS DOUBLE)) AS c
+           |  FROM RANGE(0, 10) t(g)),
+           |b1 AS (
+           |  $plantedVecsSql),
+           |b2 AS (SELECT doc_id,
+           |    LIST_TRANSFORM(RANGE(0, 16), j -> CAST(
+           |      (((doc_id % 10) * 37 + j * 29 + (doc_id % 10) * j * 7) % 19 - 9)
+           |        * 1000 + ((doc_id * 11 + j * 5) % 13 - 6) AS DOUBLE)) AS emb
+           |  FROM documents WHERE doc_id >= 200 AND doc_id < 400)
+           |SELECT * FROM (
+           |  ${driftSql("b1", "in_dist")}
+           |  UNION ALL
+           |  ${driftSql("b2", "shifted")})
+           |ORDER BY batch""".stripMargin
+      }),
+
     // ----- ANN: LSH-bucketed variant, recall-gated in-query ---------------
     // The LSH output itself is banding-dependent (no ANSI oracle can
     // reproduce which bucket a query probes), but its QUALITY is a

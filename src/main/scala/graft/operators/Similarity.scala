@@ -173,6 +173,45 @@ object Similarity {
     } finally vecs.unpersist(false)
   }
 
+  /** Drift report for a persisted quantizer against a new batch — the
+    * maintenance signal of the incremental-similarity family: the
+    * quantizer trains ONCE ([[trainIvfCentroids]] + [[saveQuantizer]])
+    * and every later batch indexes under it, which silently degrades if
+    * the data distribution moves. Per vector, the max cosine to any
+    * centroid (the assignment quality ivfTopK's probe depends on);
+    * aggregated to one row: `n`, `mean_assign_cos`, `frac_low` (share
+    * of vectors assigning below `minAssignCos`), and `retrain` when
+    * that share exceeds `maxLowFrac` — the cue to re-run Lloyd and
+    * re-key the index, exactly the FAISS-operational "retrain when nprobe
+    * recall sags" check made measurable per batch.
+    *
+    * Plan shape: literal-centroid dots (the [[nearestCentroid]]
+    * machinery), map-only, then ONE global aggregate — no shuffle of
+    * the batch, O(k·dims) plan constant. Cosines round at 4 decimals
+    * before aggregation (the e_ann determinism recipe) and the mean
+    * uses exact decimal summation, so the report is engine-exact. */
+  def quantizerDrift(batch: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Float]], minAssignCos: Double,
+      maxLowFrac: Double): DataFrame = {
+    require(quantizer.nonEmpty, "quantizerDrift: empty quantizer")
+    val dims = quantizer.head.length
+    val cents = typedlit(quantizer.map(_.toSeq).toSeq)
+    val v = col(vecCol)
+    val cos = round(array_max(transform(
+      sequence(lit(0), lit(quantizer.length - 1)), i => {
+        val c = element_at(cents, i + lit(1))
+        dot(v, c) / sqrt(dot(v, v) * dot(c, c))
+      })), 4)
+    batch.filter(v.isNotNull && size(v) === dims)
+      .select(cos.as("c"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double") / count(lit(1)), 4).as("mean_assign_cos"),
+        round(sum(when(col("c") < minAssignCos, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("frac_low"))
+      .withColumn("retrain", col("frac_low") > maxLowFrac)
+  }
+
   /** Persist a trained quantizer as a tiny parquet table
     * `(idx int, centroid array<float>)` — the incremental-similarity
     * state: train ONCE on early batches ([[trainIvfCentroids]]), then

@@ -1093,6 +1093,27 @@ class SimilaritySuite extends SparkSpec {
     }
   }
 
+  test("quantizer drift: aligned batch passes, shifted batch trips retrain") {
+    val rng = new scala.util.Random(23)
+    def clustered(shift: Float) = (0 until 60).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j % 4 == c) 10f else shift) + 0.01f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.trainIvfCentroids(
+      clustered(0f), "vec_id", "embedding", nlist = 4, iterations = 3)
+    val ok = Similarity.quantizerDrift(clustered(0f), "vec_id", "embedding",
+      model, minAssignCos = 0.95, maxLowFrac = 0.1).head()
+    assert(!ok.getBoolean(3), s"aligned batch must not trip retrain: $ok")
+    assert(ok.getLong(0) === 60L)
+    // a batch whose off-axes flooded to 10 no longer matches any centroid
+    val bad = Similarity.quantizerDrift(clustered(10f), "vec_id", "embedding",
+      model, minAssignCos = 0.95, maxLowFrac = 0.1).head()
+    assert(bad.getBoolean(3), s"shifted batch must trip retrain: $bad")
+    assert(bad.getDouble(1) < ok.getDouble(1),
+      "mean assignment cosine must degrade under drift")
+  }
+
   test("PQ: encode shape, save/load parity, IVF-PQ finds true neighbors on clustered data") {
     withTmpDir { tmp =>
       val rng = new scala.util.Random(7)
