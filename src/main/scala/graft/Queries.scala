@@ -2227,6 +2227,62 @@ object Queries {
              |  CAST(LEN(FLATTEN(LIST(seg ORDER BY doc_id))) AS BIGINT) AS n_ids
              |FROM segs GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
 
+    // ----- vocab coverage drift (persisted-vocab staleness signal) ------
+    // Mirror of e_quantizer_drift for the tokenization family: the
+    // corpus under its own vocab passes (rebuild=false); the same docs
+    // with 'a'→'4' mutated (translate/REPLACE, byte-identical on both
+    // engines) go OOV-heavy and trip the rebuild flag. Both regimes
+    // reach the hash compare.
+    "d_vocab_drift" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = graft.operators.Curation.buildWordVocab(
+          docs.filter(col("doc_id") % 10 === 0), "text", size = 64)
+        val shifted = docs.select(col("doc_id"),
+          translate(col("text"), "a", "4").as("text"))
+        graft.operators.Curation.vocabDrift(docs, "doc_id", "text", vocab,
+            maxDocOov = 0.2, maxHighFrac = 0.2)
+          .withColumn("batch", lit("in_dist"))
+          .unionByName(graft.operators.Curation.vocabDrift(shifted,
+              "doc_id", "text", vocab, maxDocOov = 0.2, maxHighFrac = 0.2)
+            .withColumn("batch", lit("shifted")))
+          .select("batch", "n_docs", "n_tokens", "n_oov", "oov_rate",
+            "frac_high", "rebuild")
+          .orderBy("batch")
+      },
+      Some {
+        def driftSql(src: String, label: String) =
+          s"""SELECT '$label' AS batch, n_docs, n_tokens, n_oov, oov_rate,
+             |  frac_high, frac_high > 0.2 AS rebuild FROM (
+             |  SELECT COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+             |    SUM(oo) AS n_oov,
+             |    ROUND(CAST(SUM(oo) AS DOUBLE)
+             |      / GREATEST(SUM(nt), 1), 4) AS oov_rate,
+             |    ROUND(CAST(SUM(CASE WHEN CAST(oo AS DOUBLE)
+             |        / GREATEST(nt, 1) > 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      / COUNT(*), 4) AS frac_high
+             |  FROM (
+             |    SELECT t.doc_id, COUNT(*) AS nt,
+             |      COUNT(*) FILTER (v.id IS NULL) AS oo
+             |    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+             |          FROM $src) t
+             |    LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id))""".stripMargin
+        s"""WITH vocab AS (
+           |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+           |    AS INTEGER) AS id
+           |  FROM (SELECT tok, COUNT(*) AS cnt
+           |        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+           |              FROM documents) WHERE doc_id % 10 = 0 GROUP BY tok
+           |        ORDER BY cnt DESC, tok LIMIT 64)),
+           |shifted AS (SELECT doc_id, REPLACE(text, 'a', '4') AS text
+           |  FROM documents)
+           |SELECT * FROM (
+           |  ${driftSql("documents", "in_dist")}
+           |  UNION ALL
+           |  ${driftSql("shifted", "shifted")})
+           |ORDER BY batch""".stripMargin
+      }),
+
     // ----- fill-in-the-middle sample construction (PSM reorder) ---------
     // Half the docs (doc_id % 2 = 0, length >= 3) FIM-reorder under
     // deterministic doc_id-derived boundaries both engines compute

@@ -385,6 +385,32 @@ object Curation {
       .otherwise(ids)
   }
 
+  /** Vocabulary coverage drift for a new batch — the staleness signal
+    * of the persisted-vocab discipline, mirroring
+    * [[Similarity.quantizerDrift]] for the similarity family: a vocab
+    * built once degrades silently when the corpus moves (new domain,
+    * new language, new jargon), and rising OOV is the measurable
+    * symptom. One row: token totals, corpus-level `oov_rate`,
+    * `frac_high` (share of documents whose own OOV rate exceeds
+    * `maxDocOov`), and `rebuild` when that share exceeds
+    * `maxHighFrac`. Map-only tokenization + one global aggregate; the
+    * batch never shuffles. */
+  def vocabDrift(batch: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Int)], maxDocOov: Double,
+      maxHighFrac: Double): DataFrame =
+    tokenizeToIds(batch, idCol, textCol, vocab)
+      .select(col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1L)) > maxDocOov).as("high"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_oov")).as("n_oov"),
+        round(sum(col("n_oov")).cast("double") /
+          greatest(sum(col("n_tokens")), lit(1L)), 4).as("oov_rate"),
+        round(sum(when(col("high"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("frac_high"))
+      .withColumn("rebuild", col("frac_high") > maxHighFrac)
+
   /** Persist / restore a vocabulary as a tiny parquet table — the
     * incremental-index state, like the IVF quantizer: build ONCE on a
     * reference slice, then tokenize every later batch under the SAME
