@@ -1114,6 +1114,37 @@ class SimilaritySuite extends SparkSpec {
       "mean assignment cosine must degrade under drift")
   }
 
+  test("drift-triggered retrain cycle: flag fires, retrain clears it") {
+    // the maintenance loop the drift signals exist for: batches index
+    // under the persisted model until drift fires, then a retrain on the
+    // drifted batch restores assignment quality (and the index must be
+    // re-keyed under the new model — the SpanDedup re-key discipline)
+    val rng = new scala.util.Random(31)
+    def batch(twoHot: Boolean) = (0 until 60).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j % 4 == c || (twoHot && (j + 1) % 4 == c)) 10f else 0f) +
+          0.01f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val model0 = Similarity.trainIvfCentroids(
+      batch(twoHot = false), "vec_id", "embedding", nlist = 4, iterations = 3)
+    def drift(b: org.apache.spark.sql.DataFrame, m: Array[Array[Float]]) =
+      Similarity.quantizerDrift(b, "vec_id", "embedding", m,
+        minAssignCos = 0.95, maxLowFrac = 0.1).head()
+    assert(!drift(batch(twoHot = false), model0).getBoolean(3),
+      "in-dist batch clean")
+    // two-hot clusters: cosine to any one-hot centroid ~= 1/sqrt(2)
+    val shifted = batch(twoHot = true)
+    assert(drift(shifted, model0).getBoolean(3), "drift must fire")
+    // nlist > true cluster count: hash-ordered init can seed two
+    // centroids in one cluster, and a merged model would leave a cluster
+    // uncovered — over-provisioning is the standard Lloyd hedge
+    val model1 = Similarity.trainIvfCentroids(
+      shifted, "vec_id", "embedding", nlist = 8, iterations = 5)
+    assert(!drift(shifted, model1).getBoolean(3),
+      "retraining on the drifted batch must clear the flag")
+  }
+
   test("PQ: encode shape, save/load parity, IVF-PQ finds true neighbors on clustered data") {
     withTmpDir { tmp =>
       val rng = new scala.util.Random(7)
