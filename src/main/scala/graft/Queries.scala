@@ -2972,6 +2972,54 @@ object Queries {
              |WHERE levenshtein(a.k, b.k) <= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- gram-order-model drift (fuzzy-family staleness signal) -------
+    // Third of the staleness trio (quantizer, vocab, gram order). A
+    // stale order model stays EXACT (unseen grams rank rarest, prefixes
+    // only grow) but stops being selective — the symptom is the share
+    // of batch grams the model never saw. In-dist keys under their own
+    // slice's model pass; 'a'→'4' mutated keys trip the rebuild flag.
+    "d_gram_order_drift" -> QueryDef(
+      (s, d) => {
+        val s0 = t(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 32).as("k"))
+        val order = graft.operators.FuzzyJoin.gramOrderModel(
+          s0.filter(col("doc_id") % 10 === 0), "k", q = 3)
+        val shifted = s0.select(col("doc_id"),
+          translate(col("k"), "a", "4").as("k"))
+        graft.operators.FuzzyJoin.gramOrderDrift(s0, "doc_id", "k", order,
+            q = 3, maxUnseenFrac = 0.2)
+          .withColumn("batch", lit("in_dist"))
+          .unionByName(graft.operators.FuzzyJoin.gramOrderDrift(shifted,
+              "doc_id", "k", order, q = 3, maxUnseenFrac = 0.2)
+            .withColumn("batch", lit("shifted")))
+          .select("batch", "n_keys", "n_grams", "n_unseen", "unseen_frac",
+            "rebuild")
+          .orderBy("batch")
+      },
+      Some {
+        def driftSql(src: String, label: String) =
+          s"""SELECT '$label' AS batch, n_keys, n_grams, n_unseen,
+             |  unseen_frac, unseen_frac > 0.2 AS rebuild FROM (
+             |  SELECT COUNT(DISTINCT t.doc_id) AS n_keys, COUNT(*) AS n_grams,
+             |    COUNT(*) FILTER (m.g IS NULL) AS n_unseen,
+             |    ROUND(CAST(COUNT(*) FILTER (m.g IS NULL) AS DOUBLE)
+             |      / GREATEST(COUNT(*), 1), 4) AS unseen_frac
+             |  FROM (SELECT doc_id, UNNEST(LIST_DISTINCT(
+             |      [SUBSTR(k, i, 3) FOR i IN RANGE(1, LEN(k) - 1)])) AS g
+             |    FROM $src WHERE LEN(k) >= 3) t
+             |  LEFT JOIN model m USING (g))""".stripMargin
+        s"""WITH s0 AS (SELECT doc_id, SUBSTR(text, 1, 32) AS k FROM documents),
+           |model AS (SELECT DISTINCT UNNEST(LIST_DISTINCT(
+           |    [SUBSTR(k, i, 3) FOR i IN RANGE(1, LEN(k) - 1)])) AS g
+           |  FROM s0 WHERE doc_id % 10 = 0 AND LEN(k) >= 3),
+           |shifted AS (SELECT doc_id, REPLACE(k, 'a', '4') AS k FROM s0)
+           |SELECT * FROM (
+           |  ${driftSql("s0", "in_dist")}
+           |  UNION ALL
+           |  ${driftSql("shifted", "shifted")})
+           |ORDER BY batch""".stripMargin
+      }),
+
     // ----- ordered string aggregation (listagg) ---------------------------
     // Deterministic by construction: collect_set → array_sort → join —
     // the concatenation order is data-defined, never partition-defined.

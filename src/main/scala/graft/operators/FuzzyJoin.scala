@@ -138,6 +138,32 @@ object FuzzyJoin {
       "__id", strCol), q)
       .groupBy("g").agg(count(lit(1)).as("gdf"))
 
+  /** Gram-order-model drift for a new batch — the staleness signal of
+    * the fixed-order discipline, completing the trio with
+    * [[graft.operators.Similarity.quantizerDrift]] and
+    * [[graft.operators.Curation.vocabDrift]]. A stale order model stays
+    * CORRECT (unseen grams rank df-0/rarest, which only enlarges
+    * prefixes — the exactness note on [[gramOrderModel]]) but degrades
+    * PERFORMANCE: df-0 grams flood into every prefix, prefixes stop
+    * being selective, and candidate volume inflates. The measurable
+    * symptom is the share of the batch's distinct-per-key grams the
+    * model has never seen. One row: `n_keys`, `n_grams`, `n_unseen`,
+    * `unseen_frac`, and `rebuild` past `maxUnseenFrac`. One gram
+    * explosion + a model join (model is O(gram alphabet), broadcast by
+    * size) + one global aggregate. */
+  def gramOrderDrift(batch: DataFrame, idCol: String, strCol: String,
+      order: DataFrame, q: Int = 2,
+      maxUnseenFrac: Double = 0.2): DataFrame =
+    realGrams(keyed(batch, idCol, strCol), q)
+      .join(order.select(col("g")).distinct().withColumn("__hit", lit(1)),
+        Seq("g"), "left")
+      .agg(countDistinct(col("sid")).as("n_keys"),
+        count(lit(1)).as("n_grams"),
+        (count(lit(1)) - count(col("__hit"))).as("n_unseen"),
+        round((count(lit(1)) - count(col("__hit"))).cast("double") /
+          greatest(count(lit(1)), lit(1L)), 4).as("unseen_frac"))
+      .withColumn("rebuild", col("unseen_frac") > maxUnseenFrac)
+
   /** This batch's searchable fuzzy-match state: prefix-gram rows
     * `(sid, len, s, g)` under the FIXED `order` model. Append each
     * batch's rows to a history table; q*k+1 short rows per key — the
