@@ -91,7 +91,13 @@ object StatefulOps {
     * `ttl = null` for never-expiring state (exact all-time first-seen).
     * Within one batch the first iterator row wins — key on a content
     * fingerprint so every suppressed payload is equivalent and the
-    * choice cannot matter across retries. */
+    * choice cannot matter across retries.
+    *
+    * Driver note for the TTL mode: TTL forces TimeMode.ProcessingTime,
+    * and a ProcessingTime-mode query does NOT self-terminate under
+    * `Trigger.AvailableNow` — drive it as a continuous query (or
+    * `processAllAvailable()` + `stop()` in tests). The exact mode
+    * (`ttl = null`) runs TimeMode.None and drains normally. */
   def ttlDedup(ds: Dataset[(String, String)],
       ttl: java.time.Duration): Dataset[Admitted] = {
     import ds.sparkSession.implicits._
