@@ -1734,6 +1734,37 @@ object Queries {
              |  ROUND(CAST(SUM(snll) - SUM(tnll) AS DOUBLE), 2) + 0.0 AS log_w
              |FROM scored GROUP BY 1 ORDER BY id""".stripMargin)),
 
+    // ----- importance resampling (the selection step DSIR ends with) ----
+    // Planted exact log-weights (half-integer multiples — bit-identical
+    // on both engines); the bin thresholds are computed ONCE driver-side
+    // (the only exp) and inlined into BOTH plans as integer literals, so
+    // the engines compare exact integers and no libm ulp can flip a
+    // boundary row. Acceptance is a pure function of (doc_id, logw,
+    // seed): the portable MINSTD draw against the bin's threshold.
+    "d_importance_resample" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("log_w", (col("doc_id") % 13 - 6) * lit(0.5))
+        graft.operators.Curation.importanceResample(docs, "doc_id", "log_w",
+            lrMin = -3.0, lrMax = 3.5, binWidth = 0.5)
+          .select("doc_id", "bin", "threshold")
+          .orderBy("doc_id")
+      },
+      Some {
+        val ts = graft.operators.Curation
+          .importanceThresholds(-3.0, 3.5, 0.5)
+          .map(t => s"CAST($t AS BIGINT)").mkString("[", ", ", "]")
+        s"""WITH w AS (SELECT doc_id, (doc_id % 13 - 6) * 0.5 AS lr
+           |  FROM documents),
+           |b AS (SELECT doc_id, LEAST(GREATEST(
+           |    CAST(FLOOR((lr + 3.0) / 0.5) AS INT), 0), 12) AS bin FROM w),
+           |t AS (SELECT doc_id, bin, ($ts)[bin + 1] AS threshold FROM b)
+           |SELECT doc_id, bin, threshold FROM t
+           |WHERE (${graft.operators.Mixing.minstdSql("doc_id", 41L)} - 1)
+           |  % 1000000 < threshold
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ----- language ID heuristic -----------------------------------------
     "d_lang_id" -> QueryDef(
       (s, d) => t(s, d, "documents")

@@ -426,6 +426,53 @@ object Curation {
     spark.read.parquet(path).orderBy("id")
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
 
+  /** Importance resampling over a log-weight column — the SELECTION step
+    * DSIR ends with (keep each document with probability ∝ exp(logw),
+    * Xie et al. 2302.03169 §2): [[dsirLogRatio]] scores, this draws.
+    *
+    * Cross-engine-exact by construction: log-weights quantize into FIXED
+    * driver-declared bins (floor arithmetic on the exact score — no
+    * data-dependent quantiles, no corpus-wide window), each bin's
+    * acceptance probability exp(mid - topMid) is evaluated ONCE on the
+    * driver and rides into BOTH plans as an integer threshold literal
+    * (the only transcendental runs outside either engine — the
+    * temperatureSample discipline: engines compare exact integers, so no
+    * libm ulp can flip a boundary row), and the per-row draw is the
+    * portable [[Mixing.minstd]] hash. Map-only; the corpus never
+    * shuffles; acceptance is a pure function of (id, logw, seed).
+    *
+    * Emits the accepted rows with their `bin` and the applied
+    * `threshold` (audit columns). Rows below `lrMin` clamp into bin 0,
+    * above `lrMax` into the top bin (probability 1·`scale`). */
+  def importanceResample(df: DataFrame, idCol: String, logwCol: String,
+      lrMin: Double, lrMax: Double, binWidth: Double,
+      scale: Double = 1.0, seed: Long = 41L): DataFrame = {
+    require(lrMax > lrMin && binWidth > 0, "degenerate bin spec")
+    require(scale > 0 && scale <= 1, s"scale must be in (0,1], got $scale")
+    val nBins = math.ceil((lrMax - lrMin) / binWidth).toInt
+    val thresholds = importanceThresholds(lrMin, lrMax, binWidth, scale)
+    val bin = least(greatest(
+      floor((col(logwCol) - lit(lrMin)) / lit(binWidth)).cast("int"),
+      lit(0)), lit(nBins - 1))
+    val u = pmod(Mixing.minstd(col(idCol), seed) - 1, lit(1000000L))
+    df.withColumn("bin", bin)
+      .withColumn("threshold",
+        element_at(typedlit(thresholds), col("bin") + 1))
+      .filter(u < col("threshold"))
+  }
+
+  /** The threshold literals [[importanceResample]] embeds — exposed so an
+    * oracle (or an audit) can replay the identical acceptance rule. */
+  def importanceThresholds(lrMin: Double, lrMax: Double, binWidth: Double,
+      scale: Double = 1.0): Seq[Long] = {
+    val nBins = math.ceil((lrMax - lrMin) / binWidth).toInt
+    val topMid = lrMin + (nBins - 0.5) * binWidth
+    (0 until nBins).map { b =>
+      val mid = lrMin + (b + 0.5) * binWidth
+      math.round(math.min(1.0, math.exp(mid - topMid)) * scale * 1e6)
+    }
+  }
+
   /** Mixture accounting: per-stratum document and token counts plus each
     * stratum's share of the corpus's tokens — the report a mixing step
     * is tuned against. One partial-agg shuffle on the stratum key; the

@@ -1031,6 +1031,36 @@ class CurationSuite extends SparkSpec {
     assert(p ++ m ++ s === Seq(10, 11, 12, 13, 14))
   }
 
+  test("importance resample: acceptance tracks exp(logw), deterministic in seed") {
+    val docs = (0 until 4000).map(i => (i.toLong, (i % 13 - 6) * 0.5))
+      .toDF("id", "log_w")
+    val kept = Curation.importanceResample(docs, "id", "log_w",
+      lrMin = -3.0, lrMax = 3.5, binWidth = 0.5)
+    val byBin = kept.groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // acceptance is monotone in the bin, and the top bin keeps ~all its
+    // rows while a 3-nats-lower bin keeps ~e^-3 of them
+    val bins = byBin.keys.toSeq.sorted
+    assert(bins.zip(bins.tail).forall { case (a, b) => byBin(a) <= byBin(b) * 2 },
+      s"acceptance must be near-monotone in weight: $byBin")
+    assert(byBin(12) > 250 && byBin.getOrElse(6, 0L) < 40,
+      s"top bin ~full, mid bin ~e^-3: $byBin")
+    // re-running with the same seed reproduces the identical set;
+    // a different seed draws a different one
+    val again = Curation.importanceResample(docs, "id", "log_w",
+      -3.0, 3.5, 0.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("id").collect().map(_.getLong(0)).toSet)
+    val other = Curation.importanceResample(docs, "id", "log_w",
+      -3.0, 3.5, 0.5, seed = 97L).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(other !== again)
+    // the exposed thresholds are what the operator applied
+    val ts = Curation.importanceThresholds(-3.0, 3.5, 0.5)
+    val applied = kept.select("bin", "threshold").distinct().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    applied.foreach { case (b, t) => assert(ts(b) === t) }
+  }
+
   test("tokenizeToIds refuses a vocab id colliding with unk") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
