@@ -1362,9 +1362,12 @@ object Queries {
     // move the ratio.
     "d_novelty" -> QueryDef(
       (s, d) => {
+        // the broadcast index builds from its own plain scan (the
+        // d_contamination split); only the probed corpus spreads
         val docs = tSpread(s, d, "documents")
         val idx = Dedup.benchmarkGramIndex(
-          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 12)
+          t(s, d, "documents").filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 12)
         Dedup.noveltyAgainstIndex(
           docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", idx, n = 12)
           .orderBy("id")
@@ -1918,12 +1921,15 @@ object Queries {
     // the corpus never shuffles.
     "d_contamination" -> QueryDef(
       (s, d) => {
-        // plain [[t]]: the whole design is that the corpus side NEVER
-        // shuffles (the gram index broadcasts) — tSpread re-adds exactly
-        // that shuffle and measured slower (2.9 -> 3.6 s).
+        // spread ONLY the corpus side: wrapping the shared frame serialized
+        // the broadcast bench subtrees behind the full-corpus shuffle and
+        // measured slower (2.9 -> 3.6 s); with the bench side on its own
+        // plain scan, the heavy gram-explode passes parallelize while the
+        // broadcast builds stay independent 1-task scans.
         val docs = t(s, d, "documents")
         Dedup.ngramContamination(
-          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          tSpread(s, d, "documents").filter(col("doc_id") % 20 =!= 0),
+          "doc_id", "text",
           docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
           n = 12, minShared = 32).orderBy("corpus_id", "bench_id")
       },
@@ -2001,14 +2007,17 @@ object Queries {
     // the batch operator, hence the SAME oracle as d_contamination.
     "d_contamination_incr" -> QueryDef(
       (s, d) => {
-        // plain [[t]] — same no-corpus-shuffle rationale as d_contamination
-        val docs = t(s, d, "documents")
+        // corpus side spread, index build on its own plain scan — the
+        // d_contamination split (a shared spread frame serializes the
+        // broadcast index build behind the full-corpus shuffle)
         val idxPath = scratch(s, "contamination_idx")
         Dedup.benchmarkGramIndex(
-          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 12)
+          t(s, d, "documents").filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 12)
           .write.mode("overwrite").parquet(idxPath)
         Dedup.contaminationAgainstIndex(
-          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          tSpread(s, d, "documents").filter(col("doc_id") % 20 =!= 0),
+          "doc_id", "text",
           s.read.parquet(idxPath), n = 12, minShared = 32)
           .orderBy("corpus_id", "bench_id")
       },
