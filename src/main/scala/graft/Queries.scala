@@ -2267,6 +2267,27 @@ object Queries {
              |  CAST(LEN(FLATTEN(LIST(seg ORDER BY doc_id))) AS BIGINT) AS n_ids
              |FROM segs GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
 
+    // ----- tokenize → detokenize round trip ------------------------------
+    // Decode is O(1) literal-array indexing per id. Under a vocab that
+    // covers the corpus (31 distinct words at every SF; size 64 here),
+    // rejoining the decoded tokens must reproduce the original text
+    // byte-for-byte — the oracle emits literal TRUE/0, so a single
+    // decode defect flips the hash (the e_ann_lsh contract).
+    "d_detokenize" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = graft.operators.Curation.buildWordVocab(docs, "text", 64)
+        graft.operators.Curation.tokenizeToIds(docs, "doc_id", "text", vocab)
+          .join(docs.select("doc_id", "text"), "doc_id")
+          .select(col("doc_id"),
+            (array_join(graft.operators.Curation.idsToTokens(col("ids"), vocab),
+              " ") === col("text")).as("roundtrip_ok"),
+            col("n_oov"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS roundtrip_ok, CAST(0 AS BIGINT) AS n_oov
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- vocab coverage drift (persisted-vocab staleness signal) ------
     // Mirror of e_quantizer_drift for the tokenization family: the
     // corpus under its own vocab passes (rebuild=false); the same docs

@@ -385,6 +385,27 @@ object Curation {
       .otherwise(ids)
   }
 
+  /** Decode direction of [[tokenizeToIds]]: ids back to tokens under the
+    * same vocabulary — the debugging/inspection path every tokenizer
+    * ships. Ids are dense 1-based ranks, so decode is O(1) literal-array
+    * indexing per token (no join, no map scan); `unk` ids render as
+    * `unkToken`. Round trip: for a document with zero OOV,
+    * `array_join(idsToTokens(tokenizeToIds(text)), ' ') == text` exactly
+    * (suite- and oracle-pinned). Map-only, zero exchanges. */
+  def idsToTokens(ids: Column, vocab: Seq[(String, Int)],
+      unkToken: String = "<unk>"): Column = {
+    val maxId = if (vocab.isEmpty) 0 else vocab.map(_._2).max
+    // element_at is 1-based: slot id-1 of the literal array holds id's token
+    val table = Array.fill(maxId)(unkToken)
+    vocab.foreach { case (t, id) =>
+      require(id >= 1 && id <= maxId, s"vocab ids must be dense 1-based, got $id")
+      table(id - 1) = t
+    }
+    transform(ids, id =>
+      when(id >= 1 && id <= maxId, element_at(typedlit(table.toSeq), id))
+        .otherwise(lit(unkToken)))
+  }
+
   /** Vocabulary coverage drift for a new batch — the staleness signal
     * of the persisted-vocab discipline, mirroring
     * [[Similarity.quantizerDrift]] for the similarity family: a vocab

@@ -1061,6 +1061,23 @@ class CurationSuite extends SparkSpec {
     applied.foreach { case (b, t) => assert(ts(b) === t) }
   }
 
+  test("idsToTokens: decode round-trips; unk and out-of-range ids render <unk>") {
+    import org.apache.spark.sql.functions.{array_join, col, typedlit}
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("id", "text")
+    val vocab = Curation.buildWordVocab(docs, "text", size = 3) // d is OOV
+    val out = Curation.tokenizeToIds(docs, "id", "text", vocab)
+      .select(col("id"),
+        array_join(Curation.idsToTokens(col("ids"), vocab), " ").as("t"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) === "b a a c b a")          // zero-OOV doc round-trips
+    assert(out(1) === "c b <unk>")            // OOV decodes to the marker
+    // out-of-range ids (corrupt data) also render the marker, not throw
+    val weird = Seq(Seq(1, 99, -5, 0)).toDF("ids")
+      .select(array_join(Curation.idsToTokens(col("ids"), vocab), " "))
+      .head().getString(0)
+    assert(weird === "a <unk> <unk> <unk>")
+  }
+
   test("tokenizeToIds refuses a vocab id colliding with unk") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
