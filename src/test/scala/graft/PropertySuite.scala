@@ -240,6 +240,53 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("tokenize∘detokenize law on random text: unk-substituted original") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.{array_join, col}
+    val alphabet = Gen.oneOf(Seq('a', 'b', ' ', ' ', 'é'))
+    val textGen = for {
+      len <- Gen.choose(0, 30)
+      cs <- Gen.listOfN(len, alphabet)
+    } yield cs.mkString
+    forAllSampled(Gen.zip(Gen.listOfN(5, textGen), Gen.choose(1, 6)), 10) {
+      case (texts, vs) =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+        val vocab = Curation.buildWordVocab(docs, "text", vs)
+        val inVocab = vocab.map(_._1).toSet
+        val got = Curation.tokenizeToIds(docs, "id", "text", vocab)
+          .select(col("id"),
+            array_join(Curation.idsToTokens(col("ids"), vocab), " ").as("t"))
+          .orderBy("id").collect().map(_.getString(1))
+        val want = texts.map(_.split(" ", -1)
+          .map(w => if (inVocab(w)) w else "<unk>").mkString(" "))
+        assert(got.toSeq === want,
+          s"roundtrip law failed for vocab=$vocab texts=$texts")
+    }
+  }
+
+  test("fim reorder reconstructs the original for random arrays and bounds") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.{col, lit}
+    val gen = for {
+      n <- Gen.choose(3, 20)
+      ids <- Gen.listOfN(n, Gen.choose(1, 100))
+      a <- Gen.choose(1, n - 2)
+      b <- Gen.choose(a + 1, n - 1)
+    } yield (ids, a, b)
+    forAllSampled(gen, 20) { case (ids, a, b) =>
+      val fim = Seq(ids).toDF("ids")
+        .select(Curation.fimReorder(col("ids"), lit(a), lit(b), lit(true)))
+        .head().getSeq[Int](0)
+      val iSuf = fim.indexOf(-2); val iMid = fim.indexOf(-3)
+      val p = fim.slice(1, iSuf)
+      val s = fim.slice(iSuf + 1, iMid)
+      val m = fim.drop(iMid + 1)
+      assert(p ++ m ++ s === ids, s"ids=$ids a=$a b=$b fim=$fim")
+      assert(p.nonEmpty && m.nonEmpty && s.nonEmpty)
+    }
+  }
+
   test("bloom novelty screen equals the plain anti-join on random batches") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.md5
