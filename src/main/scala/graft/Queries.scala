@@ -2228,9 +2228,14 @@ object Queries {
           .groupBy("pack_id")
           .agg(flatten(transform(
             array_sort(collect_list(struct(col("doc_id"), col("seg")))),
-            x => x.getField("seg"))).as("ids"))
+            x => x.getField("seg"))).as("ids"),
+            // per-segment lengths in stream order — the pack's document
+            // boundaries, i.e. the attention-reset metadata a trainer
+            // needs to mask cross-document attention in packed sequences
+            transform(array_sort(collect_list(struct(col("doc_id"), col("seg")))),
+              x => size(x.getField("seg"))).as("seg_lens"))
           .select(col("pack_id"), col("ids"),
-            size(col("ids")).cast("long").as("n_ids"))
+            size(col("ids")).cast("long").as("n_ids"), col("seg_lens"))
           .orderBy("pack_id")
       },
       Some("""WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
@@ -2264,7 +2269,8 @@ object Queries {
              |          CAST(LEAST((pack_id + 1) * 128 - st, n_tok) AS INT)] AS seg
              |  FROM seg g JOIN ids i USING (doc_id))
              |SELECT pack_id, FLATTEN(LIST(seg ORDER BY doc_id)) AS ids,
-             |  CAST(LEN(FLATTEN(LIST(seg ORDER BY doc_id))) AS BIGINT) AS n_ids
+             |  CAST(LEN(FLATTEN(LIST(seg ORDER BY doc_id))) AS BIGINT) AS n_ids,
+             |  LIST(CAST(LEN(seg) AS INT) ORDER BY doc_id) AS seg_lens
              |FROM segs GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
 
     // ----- tokenize → detokenize round trip ------------------------------
