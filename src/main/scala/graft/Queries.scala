@@ -2836,6 +2836,26 @@ object Queries {
            |FROM k ORDER BY shard, pos""".stripMargin
       }),
 
+    // Curriculum ordering: difficulty bands visited in order, MINSTD-
+    // shuffled within — bands here from a deterministic length bin
+    // (longer docs = later band), 4 shards per band. The position window
+    // partitions by (band, shard), never band-wide.
+    "d_curriculum" -> QueryDef(
+      (s, d) => graft.operators.Mixing.curriculumOrder(
+        t(s, d, "documents"), "doc_id",
+        band = least(floor(col("n_chars") / 150), lit(5)), numShards = 4)
+        .orderBy("band", "shard", "pos"),
+      Some {
+        val h = graft.operators.Mixing.minstdSql("doc_id", 41L)
+        s"""WITH k AS (SELECT doc_id,
+           |    CAST(LEAST(FLOOR(n_chars / 150), 5) AS INT) AS band,
+           |    $h AS skey FROM documents)
+           |SELECT doc_id, band, CAST(skey % 4 AS INT) AS shard,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY band, skey % 4
+           |    ORDER BY skey, doc_id) AS INT) AS pos
+           |FROM k ORDER BY band, shard, pos""".stripMargin
+      }),
+
     // Temperature-flattened mixture sampling (T5 §3.4.3, τ=2): expected
     // 30% of the corpus with per-source rates ∝ √count. Selection is the
     // cross-multiplied integer compare — no division, no float boundary.

@@ -82,6 +82,32 @@ object Mixing {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Curriculum ordering: the training stream visits difficulty BANDS in
+    * order and shuffles WITHIN each band (Bengio et al.'s curriculum
+    * learning, materialized the way [[globalShuffle]] materializes plain
+    * shuffling): `(id, band, shard, pos)` — the loader reads bands
+    * ascending, shards within a band in order, rows within a shard by
+    * `pos`. The banding column is CALLER policy (a quality score bin, a
+    * novelty bin, sequence length); within a band the order is the
+    * deterministic MINSTD draw, so re-running reproduces the identical
+    * curriculum and any (band, shard) file can be recomputed
+    * independently.
+    *
+    * Scale: the position window partitions by (band, shard) — shards are
+    * sized to one output file exactly as in [[globalShuffle]], so no
+    * corpus-wide or band-wide ordered window ever exists; a band 100×
+    * larger than another just spans more shards. */
+  def curriculumOrder(df: DataFrame, idCol: String, band: Column,
+      numShards: Int, seed: Long = 41L): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    df.select(col(idCol), band.cast("int").as("band"),
+        minstd(col(idCol), seed).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("band", "shard").orderBy(col("skey"), col(idCol))))
+      .select(col(idCol), col("band"), col("shard"), col("pos"))
+  }
+
   /** Temperature-flattened mixture sampling, p_d ∝ w_d^(1/τ): draws an
     * expected `targetFrac` of the corpus with per-domain rates
     * flattened by temperature `tau` (τ=1 is proportional/no-op

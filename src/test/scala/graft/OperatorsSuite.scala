@@ -1061,6 +1061,29 @@ class CurationSuite extends SparkSpec {
     applied.foreach { case (b, t) => assert(ts(b) === t) }
   }
 
+  test("curriculum order: band-major, deterministic, within-band shuffled") {
+    import graft.operators.Mixing
+    import org.apache.spark.sql.functions.{col, lit, floor}
+    val docs = (0 until 300).map(i => (i.toLong, i % 3)).toDF("id", "difficulty")
+    val cur = Mixing.curriculumOrder(docs, "id", col("difficulty"), numShards = 4)
+    val rows = cur.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // every doc appears exactly once, in its own band
+    assert(rows.length === 300)
+    assert(rows.forall { case (id, b, _, _) => b === (id % 3).toInt })
+    // positions are dense 1..n within each (band, shard)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length))
+    }
+    // within a band the id order is shuffled, not ascending
+    val band0 = rows.filter(_._2 == 0).sortBy(r => (r._3, r._4)).map(_._1)
+    assert(band0.toSeq !== band0.sorted.toSeq, "within-band order must shuffle")
+    // deterministic: a re-run reproduces the identical assignment
+    val again = Mixing.curriculumOrder(docs, "id", col("difficulty"), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+  }
+
   test("idsToTokens: decode round-trips; unk and out-of-range ids render <unk>") {
     import org.apache.spark.sql.functions.{array_join, col, typedlit}
     val docs = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("id", "text")
