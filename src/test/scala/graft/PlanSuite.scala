@@ -125,6 +125,39 @@ class PlanSuite extends SparkSpec {
       s"the exploded-hash exchange must be shared between df agg and join-back:\n${plan.take(3000)}")
   }
 
+  test("tokenization family is map-only: the corpus never shuffles") {
+    assume(available)
+    import graft.operators.Curation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vocab = Curation.buildWordVocab(docs, "text", 16)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.length
+    }
+    // id mapping: vocab rides as a codegen reference object — zero exchanges
+    assert(exchanges(Curation.tokenizeToIds(docs, "doc_id", "text", vocab)) === 0)
+    // FIM reorder over the tokenized frame: still zero
+    val ids = Curation.tokenizeToIds(docs, "doc_id", "text", vocab)
+    assert(exchanges(ids.select(
+      Curation.fimReorder(col("ids"), lit(1), lit(2),
+        col("n_tokens") >= 3))) === 0)
+    // vocab drift: one global aggregate above the map pass, nothing keyed
+    val drift = Curation.vocabDrift(docs, "doc_id", "text", vocab, 0.2, 0.2)
+    drift.collect()
+    val keyed = drift.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if !e.outputPartitioning.toString.contains("SinglePartition") => e
+    }
+    assert(keyed.isEmpty,
+      s"vocab drift must not shuffle the batch on any key:\n${drift.queryExecution.executedPlan.toString.take(2000)}")
+    // importance resample: map-only — acceptance is a pure row function
+    assert(exchanges(Curation.importanceResample(
+      docs.withColumn("log_w", (col("doc_id") % 13 - 6) * lit(0.5)),
+      "doc_id", "log_w", -3.0, 3.5, 0.5)) === 0)
+  }
+
   test("fuzzy join shares one gram exchange and verifies without join-backs") {
     assume(available)
     val keyed = spark.read.parquet(s"$sfDir/documents.parquet")
