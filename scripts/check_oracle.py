@@ -3,32 +3,53 @@
 against DuckDB oracle SQL on the same parquet tables and compare.
 
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
-(Driver-side python: duckdb + pyarrow are available here, not in the engine.)
+(Driver-side python: duckdb + pyarrow + pandas are available here, not in
+the engine.)
+
+FAITHFUL TO THE DRIVER (round-12 alignment): the compare is pandas-based
+with NO normalization the driver doesn't do —
+  * rows sort via DataFrame.sort_values over ALL columns: a non-scalar
+    (array) output column raises "unhashable type: numpy.ndarray" and the
+    query records an err (exactly the driver's r11 failure mode for
+    d_tokenize_ids/d_pack_payloads/d_fim_splits);
+  * no numeric coercion: DuckDB HUGEINT lands as float64 and a Spark
+    int64 column hashes differently (the driver's r11 d_vocab_drift red);
+    cells stringify with plain str(), so 27165 != 27165.0.
+Repo rule enforced downstream: no query lands with a non-scalar output
+column (see QueriesShapeSuite).
 """
+import hashlib
 import json
 import sys
+import traceback
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return f"{v:.6f}"
-    if v is None:
-        return "NULL"
-    return str(v)
+def canon(df):
+    """Driver-style canonicalization: sort columns by name, then rows by
+    all columns. Raises on unsortable (array) cells — by design."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def canon(rows, cols):
-    """Sort columns by name, then rows; stringify cells (driver-style)."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [c for c in sorted(cols)], out
+def df_hash(df):
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False, name=None):
+        for v in row:
+            if v is None or v != v:  # None or NaN
+                h.update(b"\x00NULL")
+            else:
+                h.update(str(v).encode())
+            h.update(b"\x01")
+        h.update(b"\x02")
+    return h.hexdigest()
 
 
 def main(sf_dir, out_dir):
@@ -45,37 +66,55 @@ def main(sf_dir, out_dir):
             print(f"MISSING  {name} (no spark output)")
             n_fail += 1
             continue
-        spark_rel = con.execute(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        spark_cols = [d[0] for d in spark_rel.description]
-        spark_rows = spark_rel.fetchall()
         try:
-            o_rel = con.execute(oracle[name])
-            o_cols = [d[0] for d in o_rel.description]
-            o_rows = o_rel.fetchall()
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+            odf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_fail += 1
             continue
-        sc, sr = canon(spark_rows, spark_cols)
-        oc, orows = canon(o_rows, o_cols)
-        if sc != oc:
-            print(f"SCHEMA   {name}: spark={sc} oracle={oc}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"SCHEMA   {name}: spark={sorted(sdf.columns)} "
+                  f"oracle={sorted(odf.columns)}")
             n_fail += 1
-        elif sr != orows:
+            continue
+        try:
+            sc, oc = canon(sdf), canon(odf)
+        except Exception:
+            # the driver records this as err with no correctness signal —
+            # a red row. Usually an array-typed output column.
+            tb = traceback.format_exc().strip().splitlines()[-1]
+            print(f"ERR      {name}: compare crashed (driver-red): {tb}")
             n_fail += 1
-            print(f"ROWS     {name}: spark={len(sr)} oracle={len(orows)}")
-            diffs = [(a, b) for a, b in zip(sr, orows) if a != b]
-            for a, b in diffs[:3]:
-                print(f"         spark : {a}\n         oracle: {b}")
+            continue
+        if len(sc) != len(oc):
+            print(f"ROWS     {name}: spark={len(sc)} oracle={len(oc)}")
+            n_fail += 1
+        elif df_hash(sc) != df_hash(oc):
+            n_fail += 1
+            print(f"HASH     {name}: {len(sc)} rows; dtypes "
+                  f"spark={list(sc.dtypes.astype(str))} "
+                  f"oracle={list(oc.dtypes.astype(str))}")
+            diffs = 0
+            for i in range(len(sc)):
+                a = tuple(str(v) for v in sc.iloc[i])
+                b = tuple(str(v) for v in oc.iloc[i])
+                if a != b:
+                    print(f"         row {i} spark : {a}\n"
+                          f"         row {i} oracle: {b}")
+                    diffs += 1
+                    if diffs >= 3:
+                        break
         else:
             n_pass += 1
-            print(f"OK       {name} ({len(sr)} rows)")
+            print(f"OK       {name} ({len(sc)} rows)")
     # rows-only queries (no oracle): check non-empty output exists
     for qdir in sorted(Path(out_dir).iterdir()):
         if qdir.is_dir() and qdir.name not in oracle:
             n = con.execute(
-                f"SELECT COUNT(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
+                f"SELECT COUNT(*) FROM read_parquet('{qdir}/*.parquet')"
+            ).fetchone()[0]
             print(f"ROWSONLY {qdir.name}: {n} rows")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

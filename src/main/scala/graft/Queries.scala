@@ -1590,7 +1590,11 @@ object Queries {
         val docs = t(s, d, "documents")
         val vocab = graft.operators.Curation.buildWordVocab(
           docs.filter(col("doc_id") % 10 === 0), "text", size = 16)
+        // ids stringify via array_join: the driver's pandas compare
+        // cannot sort raw array cells (q_array_agg precedent) — the
+        // content is still byte-exact in the hash.
         graft.operators.Curation.tokenizeToIds(docs, "doc_id", "text", vocab)
+          .withColumn("ids", array_join(col("ids"), ","))
           .orderBy("doc_id")
       },
       Some("""WITH docs AS (
@@ -1607,7 +1611,8 @@ object Queries {
              |        WHERE doc_id % 10 = 0 GROUP BY tok
              |        ORDER BY cnt DESC, tok LIMIT 16))
              |SELECT t.doc_id,
-             |  ARRAY_AGG(COALESCE(v.id, 0) ORDER BY t.ord) AS ids,
+             |  ARRAY_TO_STRING(ARRAY_AGG(COALESCE(v.id, 0) ORDER BY t.ord), ',')
+             |    AS ids,
              |  COUNT(*) AS n_tokens,
              |  COUNT(*) FILTER (v.id IS NULL) AS n_oov
              |FROM toks t LEFT JOIN vocab v USING (tok)
@@ -2234,8 +2239,11 @@ object Queries {
             // needs to mask cross-document attention in packed sequences
             transform(array_sort(collect_list(struct(col("doc_id"), col("seg")))),
               x => size(x.getField("seg"))).as("seg_lens"))
-          .select(col("pack_id"), col("ids"),
-            size(col("ids")).cast("long").as("n_ids"), col("seg_lens"))
+          // stringified for the driver's pandas compare (q_array_agg
+          // precedent); content stays byte-exact in the hash
+          .select(col("pack_id"), array_join(col("ids"), ",").as("ids"),
+            size(col("ids")).cast("long").as("n_ids"),
+            array_join(col("seg_lens"), ",").as("seg_lens"))
           .orderBy("pack_id")
       },
       Some("""WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
@@ -2268,9 +2276,11 @@ object Queries {
              |    i.ids[CAST(GREATEST(pack_id * 128 - st, 0) AS INT) + 1 :
              |          CAST(LEAST((pack_id + 1) * 128 - st, n_tok) AS INT)] AS seg
              |  FROM seg g JOIN ids i USING (doc_id))
-             |SELECT pack_id, FLATTEN(LIST(seg ORDER BY doc_id)) AS ids,
+             |SELECT pack_id,
+             |  ARRAY_TO_STRING(FLATTEN(LIST(seg ORDER BY doc_id)), ',') AS ids,
              |  CAST(LEN(FLATTEN(LIST(seg ORDER BY doc_id))) AS BIGINT) AS n_ids,
-             |  LIST(CAST(LEN(seg) AS INT) ORDER BY doc_id) AS seg_lens
+             |  ARRAY_TO_STRING(LIST(CAST(LEN(seg) AS INT) ORDER BY doc_id), ',')
+             |    AS seg_lens
              |FROM segs GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
 
     // ----- tokenize → detokenize round trip ------------------------------
@@ -2321,8 +2331,9 @@ object Queries {
         def driftSql(src: String, label: String) =
           s"""SELECT '$label' AS batch, n_docs, n_tokens, n_oov, oov_rate,
              |  frac_high, frac_high > 0.2 AS rebuild FROM (
-             |  SELECT COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
-             |    SUM(oo) AS n_oov,
+             |  SELECT COUNT(*) AS n_docs,
+             |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(oo) AS BIGINT) AS n_oov,
              |    ROUND(CAST(SUM(oo) AS DOUBLE)
              |      / GREATEST(SUM(nt), 1), 4) AS oov_rate,
              |    ROUND(CAST(SUM(CASE WHEN CAST(oo AS DOUBLE)
@@ -2370,9 +2381,11 @@ object Queries {
         val b = when(app,
           a + 1 + (col("doc_id") * 31 % 97) % (col("n") - a - 1))
           .otherwise(a + 1)
+        // fim_ids stringify via array_join: driver pandas compare can't
+        // sort raw array cells (q_array_agg precedent)
         sized.select(col("doc_id"),
-            graft.operators.Curation.fimReorder(col("ids"), a, b, app)
-              .as("fim_ids"),
+            array_join(graft.operators.Curation.fimReorder(
+              col("ids"), a, b, app), ",").as("fim_ids"),
             when(app, col("n") + 3).otherwise(col("n")).as("n_fim"),
             app.as("fim_applied"))
           .orderBy("doc_id")
@@ -2402,11 +2415,11 @@ object Queries {
              |         ELSE a + 1 END AS b
              |  FROM bounds)
              |SELECT doc_id,
-             |  CASE WHEN app THEN
+             |  ARRAY_TO_STRING(CASE WHEN app THEN
              |    [CAST(-1 AS INTEGER)] || ids[1 : CAST(a AS INT)] ||
              |    [CAST(-2 AS INTEGER)] || ids[CAST(b AS INT) + 1 : CAST(n AS INT)] ||
              |    [CAST(-3 AS INTEGER)] || ids[CAST(a AS INT) + 1 : CAST(b AS INT)]
-             |  ELSE ids END AS fim_ids,
+             |  ELSE ids END, ',') AS fim_ids,
              |  CAST(CASE WHEN app THEN n + 3 ELSE n END AS BIGINT) AS n_fim,
              |  app AS fim_applied
              |FROM bounds2 ORDER BY doc_id""".stripMargin)),

@@ -36,7 +36,22 @@ object PlanAudit {
     var flagged = List.empty[String]
     Queries.defs.toSeq.sortBy(_._1).foreach { case (name, qd) =>
       try {
-        val plan = qd.build(spark, sfDir).queryExecution.executedPlan.toString
+        val df = qd.build(spark, sfDir)
+        // Repo rule (round 12): no ORACLE-GATED query may emit a
+        // non-scalar output column — the driver's pandas compare cannot
+        // sort array/map/struct cells and records an err with NO
+        // correctness signal (the r11 tokenize/pack/fim reds).
+        // Stringify with array_join / ARRAY_TO_STRING instead
+        // (q_array_agg precedent). Rows-only queries are exempt.
+        val nonScalar =
+          if (qd.oracle.isEmpty) Nil
+          else df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+              s"${f.name}:${f.dataType.simpleString}"
+          }.toList
+        val plan = df.queryExecution.executedPlan.toString
         val scalarBnlj = "BroadcastNestedLoopJoin BuildRight, Cross"
         val bnljCount = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
         val scalarCount = scalarBnlj.r.findAllMatchIn(plan).size
@@ -47,7 +62,10 @@ object PlanAudit {
           if (bnljCount > scalarCount) Some("non-scalar BroadcastNestedLoopJoin")
           else None,
           if ("""windowspecdefinition\(\w+#\d+L? ASC""".r.findFirstIn(plan).isDefined)
-            Some("partition-less window") else None
+            Some("partition-less window") else None,
+          if (nonScalar.nonEmpty)
+            Some(s"non-scalar oracle-gated output (${nonScalar.mkString(", ")})")
+          else None
         ).flatten
         if (issues.nonEmpty && !waived.contains(name)) {
           flagged ::= s"$name: ${issues.mkString(", ")}"

@@ -104,6 +104,12 @@ object VocabFunctions {
     * unk))` (parity property-pinned). Takes (token, id) pairs in any
     * order; sorting for the binary search happens here, once per plan. */
   def vocabIds(text: Column, vocab: Seq[(String, Int)], unk: Int): Column = {
+    // A token under two ids would map nondeterministically (binarySearch
+    // lands on an arbitrary duplicate) — reject up front.
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      s"vocabIds: duplicate tokens in vocab: ${
+        vocab.groupBy(_._1).collect { case (t, vs) if vs.size > 1 => t }
+          .take(5).mkString(", ")}")
     val pairs = vocab.map { case (t, id) => (UTF8String.fromString(t), id) }
       .sortBy(_._1)
     Bridge.column(VocabIdsExpr(Bridge.expression(text),

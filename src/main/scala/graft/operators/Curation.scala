@@ -423,13 +423,17 @@ object Curation {
       .select(col("n_tokens"), col("n_oov"),
         (col("n_oov").cast("double") /
           greatest(col("n_tokens"), lit(1L)) > maxDocOov).as("high"))
+      // Empty-batch contract (the quantizerDrift discipline): zero rows
+      // is not drift evidence — coalesce NULL sums to 0 and guard the
+      // frac_high divisor so rebuild reads false, never NULL.
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        sum(col("n_oov")).as("n_oov"),
-        round(sum(col("n_oov")).cast("double") /
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_oov")), lit(0L)).as("n_oov"),
+        round(coalesce(sum(col("n_oov")), lit(0L)).cast("double") /
           greatest(sum(col("n_tokens")), lit(1L)), 4).as("oov_rate"),
-        round(sum(when(col("high"), 1L).otherwise(0L)).cast("double") /
-          count(lit(1)), 4).as("frac_high"))
+        round(coalesce(sum(when(col("high"), 1L).otherwise(0L)), lit(0L))
+          .cast("double") / greatest(count(lit(1)), lit(1L)), 4)
+          .as("frac_high"))
       .withColumn("rebuild", col("frac_high") > maxHighFrac)
 
   /** Persist / restore a vocabulary as a tiny parquet table — the

@@ -500,6 +500,15 @@ object Dedup {
     * for EVERY 64-bit locality hash the engine produces (text simhash,
     * image dHash, audio envelope hash), sharing [[hash64Pairs]]'s Manku
     * 4-block bucketing and its Hamming ≤ 3 exact-recall guarantee.
+    *
+    * RECALL CAVEAT (the [[hash64Pairs]] trade-off): the guarantee holds
+    * provided no probed (block, key) bucket exceeds `maxBucket` history
+    * rows — beyond it the skew cap keeps the lowest `hist_id`s and true
+    * matches can drop. Exact duplicates share one signature, so a hot
+    * signature CAN legitimately exceed the cap; screen exact dupes
+    * first (the fingerprint-history anti-join pattern,
+    * IncrementalCurationDemo), pass `maxBucket = 0` to uncap, or
+    * measure the exposure with [[hash64HistoryOversizedBuckets]].
     * `history` carries `(doc_id, sh)` rows ([[simhashIndex]] per batch);
     * returns distinct `(doc_id, hist_id, hamming)`; callers anti-join
     * `doc_id` to drop the later copies.
@@ -533,6 +542,32 @@ object Dedup {
         hamming64(col("__h"), col("__hh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Truncation exposure of [[hash64AgainstHistory]]'s skew cap: the
+    * count of PROBED history (block, key) buckets holding more than
+    * `maxBucket` rows — each is a bucket where the cap may have dropped
+    * true matches (see the RECALL CAVEAT above). Zero means the run's
+    * exact-recall guarantee held unconditionally. An eager action (the
+    * [[oversizedBuckets]] discipline): call from tests, maintenance, or
+    * an observability hook, not the hot path. */
+  def hash64HistoryOversizedBuckets(sigs: DataFrame, history: DataFrame,
+      idCol: String = "doc_id", hashCol: String = "sh",
+      maxBucket: Int = DefaultMaxBucket): Long = {
+    if (maxBucket <= 0) return 0L
+    def blocks(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), col("__h"),
+        posexplode(array((0 until SimhashBlocks).map(j =>
+          shiftrightunsigned(col("__h"), 16 * j).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("block", "key")))
+    val probed = blocks(sigs.select(col(idCol).as("doc_id"),
+      col(hashCol).as("__h")), "doc_id").select("block", "key").distinct()
+    blocks(history.select(col(idCol).as("hist_id"),
+      col(hashCol).as("__h")), "hist_id")
+      .join(probed, Seq("block", "key"), "left_semi")
+      .groupBy("block", "key").count()
+      .filter(col("count") > maxBucket)
+      .count()
   }
 
   /** N-gram Jaccard near-dup pairs, LSH-bucketed by minhash so the

@@ -202,13 +202,21 @@ object Similarity {
         val c = element_at(cents, i + lit(1))
         dot(v, c) / sqrt(dot(v, v) * dot(c, c))
       })), 4)
+    // Empty-batch contract: zero rows is NOT drift evidence — sums are
+    // NULL and a bare /count would make retrain NULL (a silent
+    // non-answer to a consumer branching on the flag). Coalesce sums to
+    // 0 and guard the divisor so the report reads n=0, ratios 0.0,
+    // retrain=false.
     batch.filter(v.isNotNull && size(v) === dims)
       .select(cos.as("c"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
-          .cast("double") / count(lit(1)), 4).as("mean_assign_cos"),
-        round(sum(when(col("c") < minAssignCos, 1L).otherwise(0L))
-          .cast("double") / count(lit(1)), 4).as("frac_low"))
+        round(coalesce(
+          sum(col("c").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+            .cast("double"), lit(0d)) / greatest(count(lit(1)), lit(1L)), 4)
+          .as("mean_assign_cos"),
+        round(coalesce(sum(when(col("c") < minAssignCos, 1L).otherwise(0L))
+          .cast("double"), lit(0d)) / greatest(count(lit(1)), lit(1L)), 4)
+          .as("frac_low"))
       .withColumn("retrain", col("frac_low") > maxLowFrac)
   }
 

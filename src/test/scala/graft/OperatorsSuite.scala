@@ -643,6 +643,34 @@ class DedupSuite extends SparkSpec {
     assert(flagged === Set(7L))
   }
 
+  test("hash64 history cap: truncation exposure is countable, uncapped recall restores") {
+    // 6 exact dupes share one signature in history — a maxBucket below 6
+    // truncates their (block, key) buckets and CAN drop true matches
+    // (the documented RECALL CAVEAT); the diagnostic must surface it
+    val h = 0x1234_5678_9abc_def0L
+    val history = (1L to 6L).map(i => (i, h)).toDF("doc_id", "sh")
+    val batch = Seq((10L, h ^ 1L)).toDF("doc_id", "sh")
+    // the batch sig flips a bit in block 0, so 3 of its 4 (block, key)
+    // probes land on the hot history buckets — all 3 exceed the cap
+    assert(Dedup.hash64HistoryOversizedBuckets(batch, history, maxBucket = 4) === 3L,
+      "the 3 probed blocks of the hot signature exceed the cap")
+    assert(Dedup.hash64HistoryOversizedBuckets(batch, history, maxBucket = 6) === 0L)
+    assert(Dedup.hash64HistoryOversizedBuckets(batch, history, maxBucket = 0) === 0L)
+    // unprobed history buckets don't count: a far-away signature's
+    // buckets never meet the batch
+    val far = history.union(Seq((7L, ~h), (8L, ~h), (9L, ~h), (11L, ~h),
+      (12L, ~h)).toDF("doc_id", "sh"))
+    assert(Dedup.hash64HistoryOversizedBuckets(batch, far, maxBucket = 4) === 3L)
+    // capped run still finds the pair via the surviving lowest hist_ids;
+    // uncapped returns every witness
+    val capped = Dedup.hash64AgainstHistory(batch, history, maxBucket = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(capped === Set(1L, 2L, 3L, 4L))
+    val uncapped = Dedup.hash64AgainstHistory(batch, history, maxBucket = 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(uncapped === (1L to 6L).toSet)
+  }
+
   test("transitive minhash dedup keeps one row per similarity component") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq(
@@ -1182,6 +1210,36 @@ class SimilaritySuite extends SparkSpec {
     assert(bad.getBoolean(3), s"shifted batch must trip retrain: $bad")
     assert(bad.getDouble(1) < ok.getDouble(1),
       "mean assignment cosine must degrade under drift")
+  }
+
+  test("drift signals on an EMPTY batch read zeros and false, never NULL") {
+    // an empty batch carries no drift evidence — a NULL retrain/rebuild
+    // (0/0) would be a silent non-answer to a consumer branching on it
+    val model = Array(Array(1f, 0f), Array(0f, 1f))
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = Similarity.quantizerDrift(emptyVecs, "vec_id", "embedding",
+      model, minAssignCos = 0.9, maxLowFrac = 0.1).head()
+    assert(q.getLong(0) === 0L)
+    assert(!q.isNullAt(1) && q.getDouble(1) === 0.0, s"mean NULL/dirty: $q")
+    assert(!q.isNullAt(2) && q.getDouble(2) === 0.0)
+    assert(!q.isNullAt(3) && !q.getBoolean(3), s"retrain must be false: $q")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val v = graft.operators.Curation.vocabDrift(emptyDocs, "doc_id", "text",
+      Seq(("a", 1)), maxDocOov = 0.2, maxHighFrac = 0.2).head()
+    assert(v.getLong(0) === 0L && v.getLong(1) === 0L && v.getLong(2) === 0L)
+    assert(!v.isNullAt(3) && v.getDouble(3) === 0.0)
+    assert(!v.isNullAt(4) && v.getDouble(4) === 0.0)
+    assert(!v.isNullAt(5) && !v.getBoolean(5), s"rebuild must be false: $v")
+  }
+
+  test("vocabIds rejects a vocab mapping one token under two ids") {
+    // binarySearch would land on an arbitrary duplicate — nondeterminism
+    // the constructor must refuse
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.VocabFunctions.vocabIds(
+        col("text"), Seq(("the", 1), ("the", 2), ("a", 3)), 0)
+    }
+    assert(e.getMessage.contains("duplicate tokens"))
   }
 
   test("drift-triggered retrain cycle: flag fires, retrain clears it") {
