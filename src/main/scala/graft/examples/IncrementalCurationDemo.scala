@@ -3,7 +3,7 @@ package graft.examples
 import graft._
 import graft.delta.{DeltaWriteMode, DeltaWriter}
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, Similarity, SpanDedup}
+import graft.operators.{Curation, Dedup, FuzzyJoin, Similarity, SpanDedup}
 import graft.sources._
 import graft.util.Fs
 import org.apache.spark.sql.Column
@@ -181,6 +181,12 @@ object IncrementalCurationDemo {
               Similarity.saveQuantizer(ctx.spark, quantizerPath, m)
               m
             }
+          // sem-index format gate (the span-history discipline): the
+          // assignment derivation must match before any probe
+          graft.state.HistoryFormat.ensure(
+            spark.sparkContext.hadoopConfiguration, semHistory,
+            graft.state.HistoryFormat.ClusterAssignment,
+            hasData = w.tableExists(semHistory))
           val kept =
             if (w.tableExists(semHistory) && quant.nonEmpty) {
               val flagged = Dedup.semDedupAgainstHistory(
@@ -192,6 +198,13 @@ object IncrementalCurationDemo {
           // cross-batch substring-span dedup: any >=10-token run already
           // seen in a prior batch (or earlier in this one) is excised
           // from the curated text; the canonical first occurrence stays
+          // format gate BEFORE the probe: a stale-format gram history
+          // (e.g. pre-r11 chained-h2 keys) would silently match nothing —
+          // refuse loudly instead (HistoryFormat names the rebuild remedy)
+          graft.state.HistoryFormat.ensure(
+            spark.sparkContext.hadoopConfiguration, spanHistory,
+            graft.state.HistoryFormat.SpanGramOwner,
+            hasData = w.tableExists(spanHistory))
           val grams =
             if (w.tableExists(spanHistory)) w.read(spanHistory)
             else Seq.empty[(Long, Long, Long, Long)]
@@ -431,7 +444,62 @@ object IncrementalCurationDemo {
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     println(s"train-mix: $mixTotal docs accepted ($mixBySrc; steered " +
       s"toward src0=.5 src1=.25 src2=.15 src3=.1), counts-state sum=$mixCountsSum")
+    // ----- model-maintenance drift cycles (vocab + gram-order) -------
+    // the quantizer's drift→retrain→re-probe loop extended to the other
+    // two persisted models: a vocab and a gram-order model built on the
+    // curated corpus degrade when the stream shifts (here: a vowel→digit
+    // mutation standing in for a domain/language move); drift fires, the
+    // rebuild on the shifted batch clears it and restores coverage
+    // (vocab: OOV rate) / selectivity (gram order: prefix-candidate
+    // volume — a stale model ranks every unseen gram df-0, so hot grams
+    // stop being pushed out of prefixes and candidates inflate)
+    val maintSample = w.read(curated)
+      .filter(col("doc_id") < 10000).orderBy("doc_id").limit(200)
+      .select("doc_id", "text").cache()
+    val vocab0 = Curation.buildWordVocab(maintSample, "text", size = 256)
+    val shiftedDocs = maintSample.select(col("doc_id"),
+      translate(col("text"), "aeiou", "43105").as("text"))
+    def vd(b: org.apache.spark.sql.DataFrame, v: Seq[(String, Int)]) =
+      Curation.vocabDrift(b, "doc_id", "text", v,
+        maxDocOov = 0.2, maxHighFrac = 0.2).head()
+    val vdIn = vd(maintSample, vocab0)
+    val vdShift = vd(shiftedDocs, vocab0)
+    val vocab1 = Curation.buildWordVocab(shiftedDocs, "text", size = 256)
+    val vdRebuilt = vd(shiftedDocs, vocab1)
+    println(s"vocab drift cycle: in-dist rebuild=${vdIn.getBoolean(5)}, " +
+      s"shifted rebuild=${vdShift.getBoolean(5)}, post-rebuild " +
+      s"rebuild=${vdRebuilt.getBoolean(5)} " +
+      s"(oov ${vdShift.getDouble(3)} -> ${vdRebuilt.getDouble(3)})")
+    val keys = maintSample.select(col("doc_id"),
+      substring(col("text"), 1, 24).as("k"))
+    val shiftedKeys = shiftedDocs.select(col("doc_id"),
+      substring(col("text"), 1, 24).as("k"))
+    val order0 = FuzzyJoin.gramOrderModel(keys, "k")
+    def candVolume(order: org.apache.spark.sql.DataFrame): Long = {
+      val pi = FuzzyJoin.prefixIndex(shiftedKeys, "doc_id", "k",
+        maxDist = 1, order = order)
+      pi.select(col("sid").as("ia"), col("g"))
+        .join(pi.select(col("sid").as("ib"), col("g")), Seq("g"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct().count()
+    }
+    val goShift = FuzzyJoin.gramOrderDrift(shiftedKeys, "doc_id", "k", order0)
+      .head()
+    val order1 = FuzzyJoin.gramOrderModel(shiftedKeys, "k")
+    val goRebuilt = FuzzyJoin.gramOrderDrift(shiftedKeys, "doc_id", "k", order1)
+      .head()
+    val (vStale, vFresh) = (candVolume(order0), candVolume(order1))
+    println(s"gram-order drift cycle: shifted rebuild=${goShift.getBoolean(4)}, " +
+      s"post-rebuild rebuild=${goRebuilt.getBoolean(4)} " +
+      s"(prefix candidates $vStale -> $vFresh)")
+    val driftCyclesOk =
+      !vdIn.getBoolean(5) && vdShift.getBoolean(5) &&
+        !vdRebuilt.getBoolean(5) &&
+        vdRebuilt.getDouble(3) < vdShift.getDouble(3) &&
+        goShift.getBoolean(4) && !goRebuilt.getBoolean(4) &&
+        vFresh < vStale
     val ok = r1.batchesProcessed == 3 && r2.batchesProcessed == 0 &&
+      driftCyclesOk &&               // drift→rebuild→re-probe restores both models
       mixTotal > 0 && mixTotal == mixDistinct &&  // mix exactly-once
       mixCountsSum == mixTotal &&                 // state == realized
       mixOutsideCurated == 0 &&                   // mix ⊆ curated

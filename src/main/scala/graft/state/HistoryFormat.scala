@@ -1,0 +1,113 @@
+package graft.state
+
+import graft.util.{Fs, Jsons}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Format/version markers for persisted cross-batch history tables.
+  *
+  * A history index is only useful if its keys were computed EXACTLY the
+  * way the current engine computes them — and a key-derivation change is
+  * invisible at the table level: an old-format span-gram history simply
+  * stops matching anything (silent no-matches, every duplicate sails
+  * through), which is the exact failure class the drift trio exists to
+  * catch elsewhere. The r11 `WordGramHashesExpr` h2 fix (chained →
+  * independent xxhash64 passes) is the motivating case: its HISTORY
+  * FORMAT NOTE documents that old-h2 indexes won't match, but nothing
+  * DETECTED one.
+  *
+  * So: every persisted history table carries a tiny JSON marker
+  * `_graft_history_format.json` INSIDE its directory (Delta and parquet
+  * readers both ignore unknown non-data files). [[ensure]] refuses
+  * loudly — naming the rebuild remedy — when the marker names a
+  * different format version, or when the table already has data but no
+  * marker (a pre-versioning legacy index whose keys are unverifiable).
+  * A fresh (empty) table is stamped with the current version.
+  */
+object HistoryFormat {
+  /** A named key-derivation format at a specific version. Bump `version`
+    * whenever the persisted keys' derivation changes incompatibly. */
+  final case class Format(name: String, version: Int, rebuildRemedy: String)
+
+  /** Span-dedup gram-owner history ([[graft.operators.SpanDedup.ownerIndex]]).
+    * v2 = independent two-pass h2 (r11 `WordGramHashesExpr` fix); v1 was
+    * the chained-xxhash64 h2, whose keys no longer match. */
+  val SpanGramOwner: Format = Format("span-gram-owner", 2,
+    "re-run SpanDedup.ownerIndex over the full curated corpus and " +
+      "overwrite the history table")
+
+  /** MinHash signature history ([[graft.operators.Dedup.minhashIndex]]):
+    * v1 = xxhash64 word-shingle minhash, k permutations in column order. */
+  val MinhashSignature: Format = Format("minhash-signature", 1,
+    "re-run Dedup.minhashIndex over the full curated corpus and " +
+      "overwrite the history table")
+
+  /** 64-bit locality-hash signature history
+    * ([[graft.operators.Dedup.simhashIndex]] and the media dHash/envelope
+    * hashes): v1 = xxhash64 token-feature simhash. */
+  val Hash64Signature: Format = Format("hash64-signature", 1,
+    "re-run the signature index (Dedup.simhashIndex / media hashes) over " +
+      "the full curated corpus and overwrite the history table")
+
+  /** Embedding/SemDeDup cluster-assignment history keyed by a persisted
+    * quantizer: v1 = nearest-centroid bucket under cosine. (Quantizer
+    * CONTENT staleness is the drift trio's job; this guards the
+    * derivation shape.) */
+  val ClusterAssignment: Format = Format("cluster-assignment", 1,
+    "re-run the cluster assignment under the current quantizer and " +
+      "overwrite the history table")
+
+  private val MarkerFile = "_graft_history_format.json"
+
+  private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)
+
+  /** Validate-or-initialize the marker for a history table.
+    *
+    * @param hasData whether the table already holds committed rows (the
+    *   caller knows — `DeltaWriter.tableExists`, parquet dir non-empty…).
+    *   Data without a marker is a legacy unverifiable index → refuse.
+    * @throws IllegalStateException naming the rebuild remedy when the
+    *   persisted format cannot be verified to match `fmt`. */
+  def ensure(conf: Configuration, tableDir: String, fmt: Format,
+      hasData: Boolean): Unit = {
+    val p = markerPath(tableDir)
+    if (Fs.exists(p, conf)) {
+      val node = Fs.readJson(p, conf)
+      val name = Jsons.optStr(node, "format").getOrElse("?")
+      val ver = Jsons.optLong(node, "version").getOrElse(-1L)
+      if (name != fmt.name || ver != fmt.version)
+        throw new IllegalStateException(
+          s"history table $tableDir is format $name v$ver but the engine " +
+            s"writes ${fmt.name} v${fmt.version}: its keys will not match " +
+            s"this engine's hashes (silent no-matches). Rebuild required: " +
+            s"${fmt.rebuildRemedy}, then re-stamp with HistoryFormat.stamp.")
+    } else if (hasData) {
+      throw new IllegalStateException(
+        s"history table $tableDir has data but no $MarkerFile marker — a " +
+          s"pre-versioning index whose key derivation cannot be verified " +
+          s"against ${fmt.name} v${fmt.version}. If it was built by THIS " +
+          s"engine version, stamp it with HistoryFormat.stamp; otherwise " +
+          s"rebuild: ${fmt.rebuildRemedy}.")
+    } else stamp(conf, tableDir, fmt)
+  }
+
+  /** Write (or overwrite) the marker — for fresh tables and for
+    * explicitly acknowledged rebuilds/migrations. */
+  def stamp(conf: Configuration, tableDir: String, fmt: Format): Unit = {
+    val o = Jsons.obj()
+    o.put("format", fmt.name)
+    o.put("version", fmt.version)
+    Fs.atomicWriteJson(markerPath(tableDir), o, conf)
+  }
+
+  /** The marker currently on disk, if any — `(format, version)`. */
+  def read(conf: Configuration, tableDir: String): Option[(String, Long)] = {
+    val p = markerPath(tableDir)
+    if (!Fs.exists(p, conf)) None
+    else {
+      val node = Fs.readJson(p, conf)
+      Some((Jsons.optStr(node, "format").getOrElse("?"),
+        Jsons.optLong(node, "version").getOrElse(-1L)))
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.FuzzyJoin
+import org.apache.spark.sql.functions.col
 
 class FuzzyJoinSuite extends SparkSpec {
   import spark.implicits._
@@ -97,5 +98,42 @@ class FuzzyJoinSuite extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("WindowGroupLimit"),
       "prefix ranking must pre-trim map-side:\n" + plan)
+  }
+
+  test("gram-order drift cycle: stale model inflates candidates, rebuild restores selectivity") {
+    // every key shares the hot prefix "aaaa" (grams "aa"); its tail is
+    // unique. A FRESH df model ranks "aa" last (hottest), pushing it out
+    // of every prefix — candidates only meet on genuinely rare grams. A
+    // STALE model that never saw this alphabet ranks everything df-0, so
+    // ordering degenerates to lexicographic and "aa" (smallest) lands in
+    // EVERY prefix: the all-pairs bucket the ranking exists to prevent.
+    // tails with pairwise-unique bigrams: each key holds 5 distinct
+    // grams ("aa", the bridge, 3 tail bigrams) against prefixLen 3, so
+    // the ranking genuinely SELECTS — under df order the hot "aa" is
+    // pushed out; under lexicographic-on-df-0 it leads every prefix
+    val tails = Seq("bcde", "fghi", "jklm", "nopq", "rstu", "vwxy")
+    val keys = tails.zipWithIndex
+      .map { case (t, i) => (i.toLong, "aaaa" + t) }
+      .toDF("id", "k")
+    val staleOrder = FuzzyJoin.gramOrderModel(
+      Seq("0123456789").toDF("s"), "s") // disjoint alphabet
+    val drift = FuzzyJoin.gramOrderDrift(keys, "id", "k", staleOrder).head()
+    assert(drift.getBoolean(4), s"stale model must trip rebuild: $drift")
+    def candVolume(order: org.apache.spark.sql.DataFrame): Long = {
+      val pi = FuzzyJoin.prefixIndex(keys, "id", "k", maxDist = 1, order)
+      pi.select(col("sid").as("ia"), col("g"))
+        .join(pi.select(col("sid").as("ib"), col("g")), Seq("g"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct().count()
+    }
+    val rebuilt = FuzzyJoin.gramOrderModel(keys.select("k"), "k")
+    val driftAfter = FuzzyJoin.gramOrderDrift(keys, "id", "k", rebuilt).head()
+    assert(!driftAfter.getBoolean(4), "rebuild must clear the flag")
+    val (vStale, vFresh) = (candVolume(staleOrder), candVolume(rebuilt))
+    val n = tails.size.toLong
+    assert(vStale === n * (n - 1) / 2,
+      s"stale ranking admits the all-pairs hot bucket: $vStale")
+    assert(vFresh === 0L,
+      s"df ranking excludes the hot gram from every prefix: $vFresh")
   }
 }

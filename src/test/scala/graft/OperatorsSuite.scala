@@ -1029,6 +1029,32 @@ class CurationSuite extends SparkSpec {
     assert(exchanges.length <= 1, out.queryExecution.executedPlan.toString)
   }
 
+  test("vocab drift cycle: flag fires on a shifted batch, rebuild restores coverage") {
+    // the quantizer retrain-cycle discipline for the vocab model: a
+    // vocab built on the reference slice covers in-dist batches; a
+    // shifted batch (vowel→digit mutation) goes OOV-heavy and trips
+    // rebuild; rebuilding ON the shifted batch clears the flag and
+    // drops the OOV rate back to zero
+    val docs = (0L until 20L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val vocab0 = Curation.buildWordVocab(docs, "text", size = 16)
+    def drift(b: org.apache.spark.sql.DataFrame, v: Seq[(String, Int)]) =
+      Curation.vocabDrift(b, "doc_id", "text", v,
+        maxDocOov = 0.2, maxHighFrac = 0.2).head()
+    val inDist = drift(docs, vocab0)
+    assert(!inDist.getBoolean(5) && inDist.getDouble(3) === 0.0)
+    val shifted = docs.select(col("doc_id"),
+      translate(col("text"), "aeiou", "43105").as("text"))
+    val d1 = drift(shifted, vocab0)
+    assert(d1.getBoolean(5), s"shifted batch must trip rebuild: $d1")
+    assert(d1.getDouble(3) > 0.5, s"most tokens must be OOV: $d1")
+    val vocab1 = Curation.buildWordVocab(shifted, "text", size = 16)
+    val d2 = drift(shifted, vocab1)
+    assert(!d2.getBoolean(5), "rebuild on the drifted batch must clear the flag")
+    assert(d2.getDouble(3) === 0.0, s"rebuilt vocab must cover the batch: $d2")
+  }
+
   test("vocab save/load round-trips and tokenizes identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vocab").toString
     val docs = Seq((1L, "b a a c b a d e"), (2L, "c b d x")).toDF("id", "text")

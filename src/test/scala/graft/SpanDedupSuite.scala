@@ -335,4 +335,36 @@ class SpanDedupSuite extends SparkSpec {
       assert(clean === orig - r.getAs[Long]("n_tokens_removed"))
     }
   }
+
+  test("history format marker: fresh stamps, match round-trips, stale or unmarked data refuses") {
+    withTmpDir { tmp =>
+      import graft.state.HistoryFormat
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = s"$tmp/span_grams"
+      // fresh (no data yet): ensure stamps the current version
+      HistoryFormat.ensure(conf, dir, HistoryFormat.SpanGramOwner, hasData = false)
+      assert(HistoryFormat.read(conf, dir) === Some(("span-gram-owner", 2L)))
+      // round trip: a later batch over the stamped table passes
+      HistoryFormat.ensure(conf, dir, HistoryFormat.SpanGramOwner, hasData = true)
+      // stale format version (the pre-r11 chained-h2 index) refuses
+      // loudly, naming the rebuild remedy
+      HistoryFormat.stamp(conf, dir,
+        HistoryFormat.Format("span-gram-owner", 1, ""))
+      val e = intercept[IllegalStateException] {
+        HistoryFormat.ensure(conf, dir, HistoryFormat.SpanGramOwner,
+          hasData = true)
+      }
+      assert(e.getMessage.contains("Rebuild required"))
+      assert(e.getMessage.contains("ownerIndex"), s"remedy must name the rebuild: ${e.getMessage}")
+      // acknowledged rebuild re-stamps and the gate reopens
+      HistoryFormat.stamp(conf, dir, HistoryFormat.SpanGramOwner)
+      HistoryFormat.ensure(conf, dir, HistoryFormat.SpanGramOwner, hasData = true)
+      // legacy: data with NO marker is unverifiable — refuse
+      val e2 = intercept[IllegalStateException] {
+        HistoryFormat.ensure(conf, s"$tmp/legacy",
+          HistoryFormat.SpanGramOwner, hasData = true)
+      }
+      assert(e2.getMessage.contains("no _graft_history_format.json"))
+    }
+  }
 }

@@ -873,4 +873,225 @@ class StructuredRunnerSuite extends SparkSpec {
       assert(!byKey.contains("Z"))
     }
   }
+
+  test("incremental connected components under the streaming engine, across checkpoint loss") {
+    // componentsWithHistory's rep-space fold as a genuine micro-batch
+    // writer: each batch's edges contract against the persisted
+    // assignment table (Overwrite + SetTransaction), and the final map
+    // must equal batch CC over ALL edges — including after checkpoint
+    // deletion forces a replay under fresh batch ids
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Dedup
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"; val hist = s"$tmp/cc"
+      def file(n: Int, rows: Seq[(Long, Long)]): Unit = {
+        rows.toDF("id_a", "id_b").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 0: two components; batch 1: an edge MERGES them; batch 2:
+      // a new component plus a new global minimum 0 rewriting reps
+      val b0 = Seq((1L, 2L), (3L, 4L))
+      val b1 = Seq((2L, 3L))
+      val b2 = Seq((5L, 6L), (4L, 0L))
+      file(0, b0); file(1, b1); file(2, b2)
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, 1L)).toDF("id_a", "id_b").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val appId = "cchist"
+            if (!w.lastTxnVersion(hist, appId).exists(_ >= batchId)) {
+              val prior =
+                if (w.tableExists(hist)) w.read(hist)
+                else Seq.empty[(Long, Long)].toDF("id", "component")
+              w.write(Dedup.componentsWithHistory(batch, prior),
+                hist, DeltaWriteMode.Overwrite, txn = Some((appId, batchId)))
+            }
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def assignment() = w.read(hist).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Dedup.connectedComponents((b0 ++ b1 ++ b2).toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(assignment() === want,
+        "streamed fold must equal batch CC over all edges")
+      assert(assignment().values.toSet === Set(0L, 5L),
+        "late minimum 0 must rewrite the merged component's rep")
+      // idle re-run changes nothing; checkpoint loss replays as a no-op
+      runOnce()
+      assert(assignment() === want)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(assignment() === want,
+        "replay after checkpoint loss must leave the assignment fixed")
+    }
+  }
+
+  test("hash64 signature history under the streaming engine, across checkpoint loss") {
+    // the 64-bit locality-hash near-dup gate as a micro-batch writer:
+    // per-batch simhashIndex rows append into a signature history and a
+    // later batch's near-identical doc drops against it — prior batches'
+    // TEXT is never re-read, only the 8-byte signatures
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Dedup
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"; val sigHist = s"$tmp/sigs"
+      val base = "spark is a distributed engine for large scale data processing with catalyst"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 1's doc 3 is a near-dup of batch 0's doc 1; doc 4 is novel
+      file(0, Seq((1L, base),
+        (2L, "cooking pasta requires boiling salted water and fresh tomatoes")))
+      file(1, Seq((3L, base.replace("large", "big")),
+        (4L, "completely different text about delta logs and checkpoints today")))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val appId = "sighist"
+            val sigs = Dedup.simhashIndex(batch, "doc_id", "text")
+            // batch_id < batchId keeps a replayed batch from flagging
+            // itself against its own appended signatures (the semdedup
+            // history discipline)
+            val kept =
+              if (w.tableExists(sigHist)) {
+                val flagged = Dedup.hash64AgainstHistory(sigs,
+                  w.read(sigHist).filter(col("batch_id") < batchId),
+                  maxHamming = 16)
+                  .select("doc_id").distinct()
+                batch.join(flagged, Seq("doc_id"), "left_anti")
+              } else batch
+            if (!w.lastTxnVersion(curated, appId).exists(_ >= batchId))
+              w.write(kept, curated, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(sigHist, appId).exists(_ >= batchId))
+              w.write(Dedup.simhashIndex(kept, "doc_id", "text")
+                  .withColumn("batch_id", lit(batchId)),
+                sigHist, DeltaWriteMode.Append, txn = Some((appId, batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def curatedIds() = w.read(curated).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(curatedIds() === Set(1L, 2L, 4L),
+        "the near-identical later doc must drop against the signature history")
+      runOnce()
+      assert(curatedIds() === Set(1L, 2L, 4L))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(curatedIds() === Set(1L, 2L, 4L),
+        "replay after checkpoint loss must not duplicate or re-drop")
+      assert(w.read(sigHist).count() === 3L,
+        "the signature history holds exactly the three curated docs")
+    }
+  }
+
+  test("PQ code index under the streaming engine, across checkpoint loss") {
+    // the incremental-ANN state: model pair (coarse quantizer + PQ
+    // codebooks) trains ONCE on the first batch and persists OUTSIDE the
+    // checkpoint; every batch appends m+12-byte pqIndexBatch rows; a
+    // query over the ACCUMULATED index finds an early batch's vector
+    // without that batch's vectors ever re-shuffling for search
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Similarity
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val idx = s"$tmp/pqindex"; val vecs = s"$tmp/vectors"
+      val qPath = s"$tmp/quantizer"; val pqPath = s"$tmp/pqmodel"
+      val rng = new scala.util.Random(7)
+      def clusterVec(c: Int): Seq[Float] = (0 until 8).map(j =>
+        (if (j / 2 == c) 10f else 0f) + 0.05f * rng.nextGaussian().toFloat)
+      def file(n: Int, rows: Seq[(Long, Seq[Float])]): Unit = {
+        rows.toDF("vec_id", "emb").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 0 covers all 4 clusters (trains the models); batch 1 adds
+      // more corpus, none nearer to the planted target than doc 17
+      file(0, (0L until 60L).map(i => (i, clusterVec((i % 4).toInt))))
+      file(1, (100L until 160L).map(i => (i, clusterVec((i % 4).toInt))))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, Seq(1f))).toDF("vec_id", "emb").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val appId = "pqhist"
+            val quant =
+              if (new java.io.File(qPath).exists())
+                Similarity.loadQuantizer(spark, qPath)
+              else {
+                val m = Similarity.trainIvfCentroids(
+                  batch, "vec_id", "emb", nlist = 4, iterations = 3)
+                Similarity.saveQuantizer(spark, qPath, m)
+                m
+              }
+            val pq =
+              if (new java.io.File(pqPath).exists())
+                Similarity.loadPqModel(spark, pqPath)
+              else {
+                val m = Similarity.trainPq(batch, "vec_id", "emb",
+                  m = 4, ksub = 8, sampleN = 60, iterations = 5)
+                Similarity.savePqModel(spark, pqPath, m)
+                m
+              }
+            if (!w.lastTxnVersion(idx, appId).exists(_ >= batchId))
+              w.write(Similarity.pqIndexBatch(batch, "vec_id", "emb", pq, quant),
+                idx, DeltaWriteMode.Append, txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(vecs, appId).exists(_ >= batchId))
+              w.write(batch, vecs, DeltaWriteMode.Append,
+                txn = Some((appId, batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      assert(w.read(idx).count() === 120L)
+      // probe the ACCUMULATED index with an exact copy of batch-0 doc 17:
+      // the re-ranked top-1 must be doc 17 itself at cosine ~1
+      val target = w.read(vecs).filter(col("vec_id") === 17L)
+        .select("emb").head().getSeq[Float](0)
+      val query = Seq((9999L, target)).toDF("vec_id", "emb")
+      val quant = Similarity.loadQuantizer(spark, qPath)
+      val pq = Similarity.loadPqModel(spark, pqPath)
+      // rerank must cover the probed bucket: in-cluster ADC scores are
+      // near-ties (noise is 0.005 of the axis), so a small rerank can cut
+      // the true copy on the neighbor_id tiebreak before exact scoring
+      val top = Similarity.ivfPqTopKFromIndex(query, w.read(idx),
+        w.read(vecs), "vec_id", "emb", k = 1, pq,
+        nprobe = 2, rerank = 64, maxBucket = 4096, quantizer = quant)
+        .head()
+      assert(top.getLong(1) === 17L, s"expected doc 17, got $top")
+      assert(top.getDouble(2) > 0.9999)
+      // idle re-run and checkpoint-loss replay append nothing
+      runOnce()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(w.read(idx).count() === 120L,
+        "replay after checkpoint loss must not re-append index rows")
+      assert(w.read(vecs).count() === 120L)
+    }
+  }
 }
