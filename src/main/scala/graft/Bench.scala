@@ -62,7 +62,19 @@ object Bench {
         s""""loadavg":$loadavg,"steal_jiffies":$stealJiffies,"sf":"$sfDir"}"""
     }
     var failed = Map.empty[String, String]
-    val rounds = (1 to repeat).map { round =>
+    // Steal-checked windows (round 12): BENCH_r11's recording caught a
+    // 505k-jiffy steal burst and the README's clean band had to carry
+    // the story externally. Now each round measures its OWN Δsteal; a
+    // round stolen beyond the tolerance doesn't count toward the
+    // requested repeat and the suite re-runs (bounded extra rounds), so
+    // the artifact's min is taken over clean windows whenever the box
+    // allows one. 2000 jiffies ≈ 20 CPU-seconds across the run — noise
+    // level here; the r11 burst was 250x that.
+    val stealTolerance =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_TOLERANCE", "2000").toLong
+    val maxExtraRounds = 3
+    def runRound(round: Int): (Seq[(String, Double)], Long) = {
+      val steal0 = stealJiffies
       val results = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink, NOT count(): counting lets Catalyst prune every
@@ -90,12 +102,31 @@ object Bench {
         spark.catalog.clearCache()
         name -> sec
       }
-      System.err.println(fmt(results, s"round$round", failed))
-      results
+      val dSteal = (stealJiffies, steal0) match {
+        case (a, b) if a >= 0 && b >= 0 => a - b
+        case _ => 0L // counter unavailable: can't adjudicate, count clean
+      }
+      System.err.println(fmt(results, s"round$round", failed)
+        .stripSuffix("}") + s""","steal_delta":$dSteal}""")
+      (results, dSteal)
     }
-    val best = rounds.transpose.map(series =>
+    var allRounds = Vector.empty[(Seq[(String, Double)], Long)]
+    var roundNo = 0
+    while (allRounds.count(_._2 <= stealTolerance) < repeat &&
+        roundNo < repeat + maxExtraRounds) {
+      roundNo += 1
+      allRounds :+= runRound(roundNo)
+    }
+    val cleanRounds = allRounds.filter(_._2 <= stealTolerance)
+    // min over clean windows when the box granted any; otherwise min over
+    // everything (and the artifact says so via clean_rounds)
+    val pool = (if (cleanRounds.nonEmpty) cleanRounds else allRounds).map(_._1)
+    val best = pool.transpose.map(series =>
       series.head._1 -> series.map(_._2).min)
-    println(fmt(best, "total", failed))
+    println(fmt(best, "total", failed).stripSuffix("}") +
+      s""","rounds_run":${allRounds.size},"clean_rounds":${cleanRounds.size},""" +
+      s""""steal_tolerance":$stealTolerance,""" +
+      s""""steal_deltas":${allRounds.map(_._2).mkString("[", ",", "]")}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

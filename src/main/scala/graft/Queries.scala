@@ -2922,6 +2922,42 @@ object Queries {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // Deterministic train/val/test split assignment: 10000-band MINSTD
+    // draw, named splits own contiguous integer bands — assignment is a
+    // pure function of (doc_id, seed), so every row's split reaches the
+    // hash compare and a band-boundary defect cannot pass. Map-only.
+    "d_split_assign" -> QueryDef(
+      (s, d) => graft.operators.Mixing.splitAssign(
+        t(s, d, "documents"), "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id"),
+      Some {
+        val h = graft.operators.Mixing.minstdSql("doc_id", 97L)
+        s"""SELECT doc_id, source,
+           |  CASE WHEN ($h - 1) % 10000 < 9000 THEN 'train'
+           |       WHEN ($h - 1) % 10000 < 9500 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Exactly-k uniform deterministic sample: the k smallest rows under
+    // the MINSTD hash order. Plans as TakeOrderedAndProject (map-side
+    // partial top-k, no global sort — PlanSuite-pinned); the oracle
+    // replays the identical hash order and cut.
+    "d_sample_exact_n" -> QueryDef(
+      (s, d) => graft.operators.Mixing.sampleExactN(
+        t(s, d, "documents"), "doc_id", k = 100)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+      Some {
+        val h = graft.operators.Mixing.minstdSql("doc_id", 53L)
+        s"""SELECT doc_id, source, lang FROM (
+           |  SELECT doc_id, source, lang FROM documents
+           |  ORDER BY $h, doc_id LIMIT 100)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // Mix-steering incremental sampler: two skewed-target batches with the
     // realized counts of batch 1 steering batch 2's acceptance — the full
     // cross-batch evolution (deficit arithmetic, history coupling, MINSTD

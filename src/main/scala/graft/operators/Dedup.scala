@@ -890,6 +890,15 @@ object Dedup {
   def noveltyAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, n: Int = 12): DataFrame = {
     import graft.functions.CharNgramFunctions.charNgramsDistinct
+    // In-place gram hashing (CharNgramHashesExpr) REJECTED here, unlike
+    // contaminationAgainstIndex: the output IS a per-doc exact count
+    // ratio over every gram, so there is no candidate set to verify —
+    // a hash-probe false hit would bias `seen` upward with no second
+    // pass able to correct it (the contamination operator's
+    // hash-probe-then-string-verify split needs a bounded candidate
+    // set, which a ratio over all docs doesn't have). The string
+    // explode is one pass over the batch and the r11 one-gram-pass
+    // rework already made this scan-dominated (5.8 -> 1.4 s at sf0.1).
     // ONE gram pass: explode once, LEFT-join the broadcast index with a
     // hit marker, and take BOTH counts from the same aggregation —
     // count(1) is the doc's distinct-gram total (explode never drops a

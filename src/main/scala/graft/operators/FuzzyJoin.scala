@@ -99,7 +99,16 @@ object FuzzyJoin {
       .withColumn("len", length(col("s")))
 
   /** Distinct positional q-grams per key (gram IDENTITY is what the
-    * filter reasons about; multiplicity adds nothing). */
+    * filter reasons about; multiplicity adds nothing).
+    *
+    * In-place gram hashing (the CharNgramHashesExpr family) REJECTED
+    * here: fuzzy joins run on KEYS (<= a few hundred bytes by contract,
+    * q=2 grams), so the gram stage is join- not scan-dominated, and the
+    * gram-order model persists gram STRINGS — hashing the corpus side
+    * would either break the model join or force the model to 8-byte
+    * keys, where a collision merges two grams' dfs and can demote a
+    * rare gram out of prefixes (a RECALL loss, not just a miscount,
+    * since prefix selection drives candidate generation). */
   private def realGrams(base: DataFrame, q: Int): DataFrame =
     base.filter(col("len") >= q)
       .select(col("sid"), col("len"), col("s"),

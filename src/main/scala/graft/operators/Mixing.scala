@@ -291,4 +291,59 @@ object Mixing {
         .cast("int"))
       .select(col(idCol), col(domainCol), col("n_tokens"), col("epochs"))
   }
+
+  /** Deterministic train/val/test split assignment: each id draws
+    * `u ∈ [0, 10000)` via the portable MINSTD chain and named splits own
+    * contiguous integer bands (cumulative `round(frac · 10000)`
+    * thresholds, computed ONCE on the driver) — so membership is a pure
+    * function of (id, seed), stable across runs, engines, partitionings
+    * and corpus growth (a doc's split never changes when other docs
+    * arrive: the property that keeps eval sets honest as the corpus
+    * accretes). Integer compares only (the temperature discipline); a
+    * map-only pass, the corpus never shuffles.
+    *
+    * Band resolution is 1/10000 of the corpus — fractions finer than
+    * that need a wider draw, so they're rejected rather than silently
+    * rounded to an empty band. */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 97L): DataFrame = {
+    require(splits.nonEmpty, "splitAssign: no splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "splitAssign: duplicate split names")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * 10000))
+    require(bounds.last == 10000L,
+      "splitAssign: rounding drift — use fractions expressible in 1/10000")
+    require(bounds.zip(0L +: bounds.init).forall { case (b, prev) => b > prev },
+      "splitAssign: a fraction rounds to an empty band; use >= 0.0001")
+    val u = pmod(minstd(col(idCol), seed) - 1, lit(10000L))
+    val named = splits.map(_._1).zip(bounds)
+    val assigned = named.init.foldRight(lit(named.last._1): Column) {
+      case ((name, b), acc) => when(u < lit(b), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Exactly-`k` uniform deterministic sample: the `k` smallest rows
+    * under the MINSTD hash order (ties broken by id). Complements the
+    * PROPORTIONAL samplers (hash-mod, stratified-k-per-group) with the
+    * "give me exactly 10M docs from the whole corpus" cut a training
+    * run actually requests.
+    *
+    * Scale shape: `orderBy(hash).limit(k)` plans as
+    * TakeOrderedAndProject — a map-side partial top-k per partition and
+    * a driver merge of `k` rows per partition's survivors, never a
+    * global sort or corpus shuffle (PlanSuite-pinned). `k` is therefore
+    * driver-bounded by contract (sample sizes, not corpus sizes); for
+    * corpus-fraction cuts use [[graft.operators.Curation.hashModSample]]. */
+  def sampleExactN(df: DataFrame, idCol: String, k: Int,
+      seed: Long = 53L): DataFrame = {
+    require(k >= 0, s"sampleExactN: k must be >= 0, got $k")
+    df.withColumn("__sk", minstd(col(idCol), seed))
+      .orderBy(col("__sk"), col(idCol))
+      .limit(k)
+      .drop("__sk")
+  }
 }

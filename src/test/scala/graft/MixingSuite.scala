@@ -186,4 +186,62 @@ class MixingSuite extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("splitAssign: bands are exact, stable under corpus growth, fractions validated") {
+    val docs = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Mixing.splitAssign(docs, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000L)
+    // the MINSTD draw is uniform: realized shares track the bands
+    assert(counts("train") > 1700 && counts("train") < 1900, s"$counts")
+    assert(counts("val") > 60 && counts("val") < 140, s"$counts")
+    // STABILITY: a doc's split never changes when other docs arrive —
+    // the property that keeps eval sets honest as the corpus accretes
+    val half = Mixing.splitAssign(docs.filter(col("doc_id") < 1000),
+      "doc_id", Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.foreach { case (id, sp) => assert(full(id) === sp, s"doc $id moved") }
+    // deterministic across invocations
+    assert(Mixing.splitAssign(docs, "doc_id", Seq(("a", 0.5), ("b", 0.5)))
+      .collect().map(_.getString(2)).toSeq ===
+      Mixing.splitAssign(docs, "doc_id", Seq(("a", 0.5), ("b", 0.5)))
+        .collect().map(_.getString(2)).toSeq)
+    // validation: fractions must sum to 1; sub-resolution bands refuse
+    intercept[IllegalArgumentException] {
+      Mixing.splitAssign(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.splitAssign(docs, "doc_id", Seq(("a", 0.99999), ("b", 0.00001)))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.splitAssign(docs, "doc_id", Seq(("a", 0.5), ("a", 0.5)))
+    }
+    // map-only: assignment must not shuffle the corpus
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, out.queryExecution.executedPlan.toString)
+  }
+
+  test("sampleExactN: exactly k, deterministic, subset-monotone, top-k plan") {
+    val docs = (0L until 500L).map(i => (i, i % 7)).toDF("doc_id", "grp")
+    val s100 = Mixing.sampleExactN(docs, "doc_id", 100)
+    assert(s100.count() === 100L)
+    assert(s100.columns.toSeq === Seq("doc_id", "grp"), "helper column must drop")
+    // deterministic and NESTED: the k=50 sample is a prefix of the k=100
+    // sample under the same hash order (growable sample sizes)
+    val ids100 = s100.collect().map(_.getLong(0)).toSet
+    val ids50 = Mixing.sampleExactN(docs, "doc_id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids50.subsetOf(ids100))
+    assert(Mixing.sampleExactN(docs, "doc_id", 0).count() === 0L)
+    // scale shape: top-k, never a global sort
+    val plan = s100.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"exact-N sample must plan as top-k:\n$plan")
+  }
 }
