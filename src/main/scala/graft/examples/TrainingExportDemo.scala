@@ -127,7 +127,23 @@ object TrainingExportDemo {
     Mixing.writeShards(packIds, "pack_id", outDir2, numShards = 4)
     val rerunOk = shardContents(outDir2) == got
 
+    // 6. crash-resumable export: the manifest-committed variant resumes
+    // a lost shard without touching finished ones and lands on the
+    // identical content (determinism makes the partial rewrite safe)
+    val outDir3 = s"$work/shards_resumable"
+    val (w1, k1) = Mixing.writeShardsResumable(packIds, "pack_id", outDir3, 4)
+    val fsR = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fsR.delete(new org.apache.hadoop.fs.Path(s"$outDir3/_manifest/1.json"), false)
+    fsR.delete(new org.apache.hadoop.fs.Path(s"$outDir3/shard=1"), true)
+    val (w2, k2) = Mixing.writeShardsResumable(packIds, "pack_id", outDir3, 4)
+    val resumeOk = (w1, k1) == ((4, 0)) && (w2, k2) == ((1, 3)) &&
+      shardContents(outDir3) == got
+    println(s"resumable export: full=($w1 written) crash-resume=" +
+      s"($w2 written, $k2 skipped), content identical=$resumeOk")
+
     val ok = streamTokens == segTokens &&          // token conservation
+      resumeOk &&                                  // crash-resume exactness
       fullPacks >= nPacks - 1 &&                   // exact budgets
       payTotal == streamTokens && payFullOk &&     // id payloads conserve too
       byRegime.exists(r => r._1 == "src0" && r._2 == 2) &&  // cap regime

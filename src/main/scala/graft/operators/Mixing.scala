@@ -182,6 +182,73 @@ object Mixing {
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
   }
 
+  /** Resumable [[writeShards]]: per-shard atomic commit with a manifest,
+    * so a crashed/killed export resumes by materializing ONLY the
+    * missing shards — at 100 TB an export runs for hours and a retry
+    * that rewrites finished shards makes the failure tail quadratic.
+    * Layout:
+    * {{{
+    *   outDir/shard=<s>/...parquet    one hash-sorted stream per shard
+    *   outDir/_manifest/<s>.json      {"shard":s,"rows":n,"key_xor":x}
+    * }}}
+    * A shard is COMMITTED iff its manifest file exists. Data renames in
+    * BEFORE the manifest writes, so any crash point leaves either
+    * nothing, an uncommitted partial (deleted and rewritten on resume),
+    * or a committed shard (skipped untouched). Correct because a
+    * shard's row set AND order are pure functions of
+    * (corpus, seed, numShards) — the [[globalShuffle]] determinism
+    * contract — so a resumed write reproduces the identical shard.
+    *
+    * The manifest's `key_xor` (commutative XOR fold of the MINSTD shard
+    * keys) is an order-invariant content fingerprint: an auditor can
+    * re-verify a shard against its manifest without re-running the
+    * export. One aggregation pass (map-combined, O(numShards) driver
+    * rows) + one write of only the missing shards' rows.
+    *
+    * Returns (shards written this call, shards skipped as committed). */
+  def writeShardsResumable(df: DataFrame, idCol: String, outDir: String,
+      numShards: Int, seed: Long = 41L): (Int, Int) = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(hconf)
+    val manifestDir = new org.apache.hadoop.fs.Path(out, "_manifest")
+    fs.mkdirs(manifestDir)
+    val committed: Set[Int] = fs.listStatus(manifestDir)
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toInt).toSet
+    val missing = (0 until numShards).filterNot(committed)
+    if (missing.isEmpty) return (0, committed.size)
+    val staging = new org.apache.hadoop.fs.Path(out, "_staging")
+    if (fs.exists(staging)) fs.delete(staging, true) // prior crash's debris
+    val keyed = df.withColumn("skey", minstd(col(idCol), seed))
+      .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)).cast("int"))
+      .filter(col("shard").isin(missing: _*))
+    val stats = keyed.groupBy("shard")
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(skey)").as("key_xor"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    keyed.repartition(missing.size, col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(staging.toString)
+    missing.foreach { s =>
+      val src = new org.apache.hadoop.fs.Path(staging, s"shard=$s")
+      val dst = new org.apache.hadoop.fs.Path(out, s"shard=$s")
+      if (fs.exists(dst)) fs.delete(dst, true) // uncommitted partial
+      if (fs.exists(src)) {
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"shard commit rename failed: $dst")
+      } else fs.mkdirs(dst) // shard legitimately empty at this corpus size
+      val (rows, keyXor) = stats.getOrElse(s, (0L, 0L))
+      val o = graft.util.Jsons.obj()
+      o.put("shard", s); o.put("rows", rows); o.put("key_xor", keyXor)
+      graft.util.Fs.atomicWriteJson(
+        new org.apache.hadoop.fs.Path(manifestDir, s"$s.json"), o, hconf)
+    }
+    fs.delete(staging, true)
+    (missing.size, committed.size)
+  }
+
   /** Mix-steering incremental sampler: accept arriving rows at per-domain
     * rates that drive the CUMULATIVE realized mix toward target shares —
     * the batch-mode [[temperatureSample]] assumes it sees the whole

@@ -244,4 +244,47 @@ class MixingSuite extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"exact-N sample must plan as top-k:\n$plan")
   }
+
+  test("writeShardsResumable: crash-resume writes only missing shards, committed stay untouched") {
+    withTmpDir { tmp =>
+      val out = s"$tmp/shards"
+      val docs = (0L until 400L).map(i => (i, s"doc $i payload")).toDF("doc_id", "text")
+      // full export commits every shard
+      val (w1, s1) = Mixing.writeShardsResumable(docs, "doc_id", out, numShards = 8)
+      assert((w1, s1) === ((8, 0)))
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def p(x: String) = new org.apache.hadoop.fs.Path(x)
+      // reference content from the plain writer (same layout contract)
+      val want = spark.read.parquet(out).select("doc_id", "shard", "skey")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // simulate a crash that lost shards 2 and 5: manifests gone, one of
+      // them also left an uncommitted partial dir
+      Seq(2, 5).foreach(i => fs.delete(p(s"$out/_manifest/$i.json"), false))
+      fs.delete(p(s"$out/shard=2"), true)
+      // shard 5's dir stays on disk but is UNCOMMITTED -> must rewrite
+      val mtimesBefore = (0 until 8).filterNot(Set(2, 5)).map(i =>
+        i -> fs.getFileStatus(p(s"$out/shard=$i")).getModificationTime).toMap
+      val (w2, s2) = Mixing.writeShardsResumable(docs, "doc_id", out, numShards = 8)
+      assert((w2, s2) === ((2, 6)), "resume writes exactly the missing shards")
+      // committed shards' directories were never touched
+      mtimesBefore.foreach { case (i, t) =>
+        assert(fs.getFileStatus(p(s"$out/shard=$i")).getModificationTime === t,
+          s"shard $i was rewritten on resume") }
+      // resumed content identical to the full export
+      val got = spark.read.parquet(out).select("doc_id", "shard")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got === want)
+      assert(got.size === 400)
+      // idempotent once complete
+      assert(Mixing.writeShardsResumable(docs, "doc_id", out, 8) === ((0, 8)))
+      // manifest audit: rows and key_xor match the committed data
+      val m2 = graft.util.Fs.readJson(p(s"$out/_manifest/2.json"),
+        spark.sparkContext.hadoopConfiguration)
+      val shard2 = spark.read.parquet(s"$out/shard=2")
+      assert(m2.get("rows").asLong === shard2.count())
+      val xor = shard2.selectExpr("bit_xor(skey)").head().getLong(0)
+      assert(m2.get("key_xor").asLong === xor)
+    }
+  }
 }
