@@ -2941,6 +2941,48 @@ object Queries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Train/test split-leakage audit — the composition the split exists
+    // for: after a deterministic hash split, which TRAIN docs still
+    // share >= 32 distinct 12-grams with a TEST doc (near-dupe leakage a
+    // random split cannot prevent, only dedup can)? splitAssign feeds
+    // the contamination operator with the test side as the persisted
+    // gram index: the index broadcasts, the train side never shuffles
+    // (hash probe + candidate-bounded string verify).
+    "d_split_leakage" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val split = graft.operators.Mixing.splitAssign(docs, "doc_id",
+          Seq(("train", 0.95), ("test", 0.05)))
+        val idx = Dedup.benchmarkGramIndex(
+          split.filter(col("split") === "test")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 12)
+        Dedup.contaminationAgainstIndex(
+          split.filter(col("split") === "train"), "doc_id", "text", idx,
+          n = 12, minShared = 32)
+          .withColumnRenamed("corpus_id", "train_id")
+          .withColumnRenamed("bench_id", "test_id")
+          .orderBy("train_id", "test_id")
+      },
+      Some {
+        val h = graft.operators.Mixing.minstdSql("doc_id", 97L)
+        s"""WITH sp AS (SELECT doc_id, text,
+           |  CASE WHEN ($h - 1) % 10000 < 9500 THEN 'train'
+           |       ELSE 'test' END AS split
+           |  FROM documents),
+           |grams AS (SELECT doc_id, split, UNNEST(LIST_DISTINCT(
+           |    CASE WHEN LENGTH(text) < 12 THEN [text]
+           |         ELSE [text[i:i+11] FOR i IN RANGE(1, LENGTH(text) - 10)]
+           |    END)) AS g
+           |  FROM sp)
+           |SELECT c.doc_id AS train_id, b.doc_id AS test_id,
+           |  COUNT(*) AS shared_grams
+           |FROM grams c JOIN grams b ON c.g = b.g
+           |WHERE c.split = 'train' AND b.split = 'test'
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 32
+           |ORDER BY train_id, test_id""".stripMargin
+      }),
+
     // Exactly-k uniform deterministic sample: the k smallest rows under
     // the MINSTD hash order. Plans as TakeOrderedAndProject (map-side
     // partial top-k, no global sort — PlanSuite-pinned); the oracle

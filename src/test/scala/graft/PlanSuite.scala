@@ -450,6 +450,21 @@ class PlanSuite extends SparkSpec {
       "expected BOTH the partial (map-side) and final group limits")
   }
 
+  test("split-leakage audit: test-side gram index broadcasts, train side joins broadcast-only") {
+    assume(available)
+    val plan = finalPlanOf(Queries.defs("d_split_leakage").build(spark, sfDir))
+    // the composition inherits contaminationAgainstIndex's shape: the
+    // test split's gram index rides broadcast on BOTH passes (hash probe
+    // + string verify) and the train corpus never shuffles for the
+    // candidate join — only the per-(train,test) counts aggregate
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the gram index must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the train corpus must never sort-merge against the index:\n${plan.take(1500)}")
+    assert(plan.contains("char_ngram_hashes"),
+      "the train-side candidate probe must hash grams in place")
+  }
+
   test("token stats run in one codegen pass with no hash exchange") {
     assume(available)
     val plan = finalPlanOf(Queries.defs("d_token_count").build(spark, sfDir))
