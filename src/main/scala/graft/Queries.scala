@@ -190,6 +190,34 @@ object Queries {
              |               ORDER BY o_totalprice DESC, o_orderkey))
              |WHERE rk <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ----- distribution-rank windows (ntile / percent_rank / cume_dist) --
+    // The remaining ranking family: tile assignment and the two
+    // distribution ranks, all over a fully-deterministic order (price
+    // desc, key tiebreak). percent_rank is (rank-1)/(n-1) — a ratio of
+    // small exact integers, so the double is bit-identical cross-engine;
+    // round(·,4) belts it anyway. One window exchange per partition key.
+    "q_window_ntile" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cdist"))
+          .filter(col("quartile") === 1)
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, quartile, pct_rank, cdist FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             |    ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+             |    ROUND(CUME_DIST() OVER w, 4) AS cdist
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey
+             |               ORDER BY o_totalprice DESC, o_orderkey))
+             |WHERE quartile = 1 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ----- rollup (grouping-set subtotals + grand total) -----------------
     // Spark's rollup and DuckDB's GROUP BY ROLLUP must agree cell for
     // cell, including the NULL subtotal rows (Spark sorts nulls first by
