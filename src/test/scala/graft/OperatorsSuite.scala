@@ -1348,6 +1348,80 @@ class SimilaritySuite extends SparkSpec {
     }
   }
 
+  test("ANN drift cycle: stale quantizer crowds buckets past the cap, re-key restores recall") {
+    // the quantizer/vocab/gram-order retrain discipline closed for the
+    // ANN index: drifted vectors all assign to whatever stale centroid
+    // is least-bad, the hot bucket exceeds maxBucket, the cap truncates,
+    // and exact twins go missing. The remedy is retrain AND RE-KEY (old
+    // bucket ids are meaningless under the new model — the SpanDedup
+    // re-key rule); retraining without re-keying must NOT restore.
+    val rng = new scala.util.Random(19)
+    // regime A: clusters on axis pairs (0,1) (2,3) (4,5) (6,7)
+    val a = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j / 2 == c) 10f else 0f) + 0.02f * rng.nextGaussian().toFloat))
+    }
+    // regime B (drifted): TWO mutually-orthogonal clusters on the
+    // cross-pair combos (0,2) and (1,3) — each sits at cosine ~0.707
+    // from its best regime-A centroid (drift fires), and both tie onto
+    // the SAME least-bad stale centroid (argmax tie breaks by index), so
+    // the stale model funnels 120 vectors into one bucket
+    def bvec(axes: (Int, Int)): Array[Float] = Array.tabulate(8)(j =>
+      (if (j == axes._1 || j == axes._2) 10f else 0f) +
+        0.02f * rng.nextGaussian().toFloat)
+    val b1 = (200 until 260).map(i => (i.toLong, bvec((0, 2))))
+    val b2 = (300 until 360).map(i => (i.toLong, bvec((1, 3))))
+    val b = b1 ++ b2
+    val dfA = a.toDF("vec_id", "embedding")
+    val dfAll = (a ++ b).toDF("vec_id", "embedding")
+    val model0 = Similarity.trainIvfCentroids(dfA, "vec_id", "embedding",
+      nlist = 4, iterations = 4)
+    val pq = Similarity.trainPq(dfA, "vec_id", "embedding",
+      m = 4, ksub = 8, sampleN = 80, iterations = 5)
+    assert(Similarity.quantizerDrift(b.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", model0, minAssignCos = 0.9, maxLowFrac = 0.1)
+      .head().getBoolean(3), "regime shift must trip retrain")
+    // exact-twin queries: the TAIL of the crowded bucket (b2's last 40
+    // ids) — exactly the rows the maxBucket cap evicts (it keeps the
+    // lowest neighbor_ids)
+    val targets = b2.takeRight(40)
+    val queries = targets.map { case (i, v) => (10000L + i, v) }
+      .toDF("vec_id", "embedding")
+    def recallFrom(index: org.apache.spark.sql.DataFrame,
+        model: Array[Array[Float]]): Double = {
+      val top = Similarity.ivfPqTopKFromIndex(queries, index, dfAll,
+        "vec_id", "embedding", k = 1, pq, nprobe = 1, rerank = 64,
+        maxBucket = 64, quantizer = model)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      targets.count { case (i, _) => top.get(10000L + i).contains(i) }
+        .toDouble / targets.size
+    }
+    def keyed(model: Array[Array[Float]]) =
+      Similarity.pqIndexBatch(dfAll, "vec_id", "embedding", pq, model)
+    // per-vector noise splits the centroid tie, so regime B smears over
+    // TWO crowded buckets rather than one — still far past the cap, and
+    // the tail twins mostly evict (observed ~0.35-0.4 recall)
+    val stale = recallFrom(keyed(model0), model0)
+    assert(stale < 0.6,
+      s"stale model must lose the crowded buckets' tails to the cap, recall=$stale")
+    // retrain on the drifted corpus (over-provisioned nlist, the Lloyd
+    // hedge) and RE-KEY the full index under the new model: the two
+    // orthogonal B clusters get their own <= 64-row buckets
+    val model1 = Similarity.trainIvfCentroids(dfAll, "vec_id", "embedding",
+      nlist = 8, iterations = 5)
+    val rekeyed = recallFrom(keyed(model1), model1)
+    assert(rekeyed > 0.9,
+      s"retrain + re-key must restore twin recall, got $rekeyed")
+    // retrain WITHOUT re-key: old index rows probed under new query
+    // assignment — bucket ids disagree across models, recall must NOT
+    // restore (the rule the re-key/HistoryFormat discipline enforces)
+    val mixedRecall = recallFrom(keyed(model0), model1)
+    assert(mixedRecall < rekeyed,
+      s"new model over an un-re-keyed index must not restore recall " +
+        s"(mixed=$mixedRecall, rekeyed=$rekeyed)")
+  }
+
   test("PQ code index accumulated batch-by-batch answers identically to one-shot") {
     val rng = new scala.util.Random(13)
     val corpus = (0 until 90).map { i =>
