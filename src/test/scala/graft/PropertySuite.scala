@@ -779,4 +779,67 @@ class PropertySuite extends SparkSpec {
       assert(after === remaining, s"purge/compact/vacuum changed rows: n=$n m=$m k=$k")
     }
   }
+
+  test("splitAssign laws: total partition, engine-side draw matches scala replay, subset-stable") {
+    import graft.operators.Mixing
+    import org.apache.spark.sql.functions.col
+    val M = 2147483647L
+    def minstdLocal(id: Long, seed: Long): Long = {
+      var h = (id + seed) % (M - 1) + 1
+      (1 to 3).foreach(_ => h = h * 48271L % M)
+      h
+    }
+    val fracGen = Gen.chooseNum(1, 9998)
+    forAllSampled(Gen.zip(fracGen, Gen.listOfN(40, Gen.chooseNum(0L, 500000L))), 12) {
+      case (bp, idsRaw) =>
+        val ids = idsRaw.distinct
+        val splits = Seq(("x", bp / 10000.0), ("y", (10000 - bp) / 10000.0))
+        val df = ids.map(i => Tuple1(i)).toDF("id")
+        val got = Mixing.splitAssign(df, "id", splits)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        // total: every id assigned to exactly one split
+        assert(got.keySet === ids.toSet)
+        // the engine's draw matches an independent scala replay of the
+        // published band rule — pins the MINSTD chain AND the band edges
+        ids.foreach { i =>
+          val u = (minstdLocal(i, 97L) - 1) % 10000
+          val want = if (u < bp) "x" else "y"
+          assert(got(i) === want, s"id $i u=$u bp=$bp")
+        }
+        // subset stability: assignment over any subset is the restriction
+        val sub = ids.take(ids.size / 2)
+        val gotSub = Mixing.splitAssign(sub.map(Tuple1(_)).toDF("id"),
+          "id", splits).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        sub.foreach(i => assert(gotSub(i) === got(i)))
+    }
+  }
+
+  test("writeShardsResumable: resume from ANY committed subset lands on the full-export content") {
+    import graft.operators.Mixing
+    val docs = (0L until 200L).map(i => (i, s"p$i")).toDF("doc_id", "text")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def contents(out: String): Set[(Long, Int)] =
+      spark.read.parquet(out).select("doc_id", "shard")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val ref = {
+      val out = Files.createTempDirectory("graft-shards-ref").toString + "/s"
+      Mixing.writeShardsResumable(docs, "doc_id", out, 6)
+      contents(out)
+    }
+    forAllSampled(Gen.someOf(0 until 6), 8) { lost =>
+      val out = Files.createTempDirectory("graft-shards-prop").toString + "/s"
+      Mixing.writeShardsResumable(docs, "doc_id", out, 6)
+      lost.foreach { i =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$out/_manifest/$i.json"), false)
+        // half the lost shards also lose their data dir, half keep an
+        // uncommitted partial — both must rewrite
+        if (i % 2 == 0)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$out/shard=$i"), true)
+      }
+      val (w, k) = Mixing.writeShardsResumable(docs, "doc_id", out, 6)
+      assert(w === lost.size && k === 6 - lost.size)
+      assert(contents(out) === ref, s"lost=$lost diverged")
+    }
+  }
 }
