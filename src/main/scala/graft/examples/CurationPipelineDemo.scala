@@ -177,7 +177,49 @@ object CurationPipelineDemo {
       s"(${packStats.getLong(1)} packed)")
     println(f"delta read-back:     $readBack%6d rows; " +
       s"partitions=${writer.partitionColumnsOf(out).mkString(",")}")
+
+    // 9. split + leakage audit + resumable export — the step between a
+    //    curated table and a training run. The split is a pure function
+    //    of (doc_id, seed); the audit asks what the whole dedup funnel
+    //    exists to guarantee: does any TRAIN doc still share a long
+    //    character run with a TEST doc? Post-dedup the answer should be
+    //    (near) zero — the funnel's operators are what make a hash split
+    //    honest. The export commits per-shard manifests, so a crashed
+    //    materialization resumes without rewriting finished shards.
+    import graft.operators.Mixing
+    val curatedOut = writer.read(out)
+    val splitDf = Mixing.splitAssign(curatedOut, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    val splitCounts = splitDf.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val leakIdx = Dedup.benchmarkGramIndex(
+      splitDf.filter(col("split") === "test").select("doc_id", "text"),
+      "doc_id", "text", n = 12)
+    val leaks = Dedup.contaminationAgainstIndex(
+      splitDf.filter(col("split") === "train"), "doc_id", "text",
+      leakIdx, n = 12, minShared = 32).count()
+    // pre-funnel control: the RAW corpus under the same split leaks —
+    // the funnel, not the split, is what removed the overlap
+    val rawSplit = Mixing.splitAssign(docs.select("doc_id", "text"),
+      "doc_id", Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    val rawLeaks = Dedup.contaminationAgainstIndex(
+      rawSplit.filter(col("split") === "train"), "doc_id", "text",
+      Dedup.benchmarkGramIndex(
+        rawSplit.filter(col("split") === "test").select("doc_id", "text"),
+        "doc_id", "text", n = 12), n = 12, minShared = 32).count()
+    val exportDir = s"$work/export"
+    val (shardsW, _) = Mixing.writeShardsResumable(
+      splitDf.filter(col("split") === "train").select("doc_id"),
+      "doc_id", exportDir, numShards = 4)
+    println(f"split:               train=${splitCounts.getOrElse("train", 0L)}%d " +
+      s"val=${splitCounts.getOrElse("val", 0L)} " +
+      s"test=${splitCounts.getOrElse("test", 0L)}; " +
+      s"train->test leakage pairs: $leaks (raw corpus control: $rawLeaks); " +
+      s"export: $shardsW shards committed")
     val ok = packStats.getLong(1) > 0 &&
+      splitCounts.values.sum == readBack &&  // split is total
+      leaks < rawLeaks &&                    // the funnel removed overlap
+      shardsW == 4 &&
       readBack == afterMix && afterMix <= afterDsir &&
       afterDsir <= afterEmb && afterEmb <= afterDecontam &&
       afterDecontam <= afterNear && afterNear <= afterExact &&
