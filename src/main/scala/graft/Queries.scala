@@ -2978,15 +2978,21 @@ object Queries {
     // (hash probe + candidate-bounded string verify).
     "d_split_leakage" -> QueryDef(
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val split = graft.operators.Mixing.splitAssign(docs, "doc_id",
-          Seq(("train", 0.95), ("test", 0.05)))
+        // spread ONLY the train (corpus) side — the d_contamination
+        // pattern: the heavy gram map passes parallelize past the
+        // testdata's single row group while the test-side index builds
+        // stay independent 1-task scans feeding broadcasts
+        val split = (df: org.apache.spark.sql.DataFrame) =>
+          graft.operators.Mixing.splitAssign(df, "doc_id",
+            Seq(("train", 0.95), ("test", 0.05)))
         val idx = Dedup.benchmarkGramIndex(
-          split.filter(col("split") === "test")
+          split(t(s, d, "documents"))
+            .filter(col("split") === "test")
             .select(col("doc_id"), col("text")),
           "doc_id", "text", n = 12)
         Dedup.contaminationAgainstIndex(
-          split.filter(col("split") === "train"), "doc_id", "text", idx,
+          split(tSpread(s, d, "documents"))
+            .filter(col("split") === "train"), "doc_id", "text", idx,
           n = 12, minShared = 32)
           .withColumnRenamed("corpus_id", "train_id")
           .withColumnRenamed("bench_id", "test_id")
