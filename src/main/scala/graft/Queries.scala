@@ -2692,6 +2692,9 @@ object Queries {
 
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------
+    // tSpread A/B REJECTED here (1.92 -> 2.03 s isolated sf0.1): the
+    // rolling-hash fingerprint pass is cheap enough that repartitioning
+    // full document text costs more than the parallelism buys
     "d_winnow_pairs" -> QueryDef(
       (s, d) => Dedup.winnowingPairs(t(s, d, "documents"), "doc_id", "text",
         k = 16, w = 32, threshold = 0.2).orderBy("id_a", "id_b"),
