@@ -2953,6 +2953,83 @@ object Queries {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // URL canonicalization + domain blocklist (the C4/RefinedWeb crawl
+    // dedup step). The corpus carries no URLs, so the query PLANTS
+    // deterministic variants from doc_id on BOTH sides (the d_pii_redact
+    // discipline): four decorations of one base page — case-shuffled
+    // scheme/host, a www. prefix, reordered query params, a fragment —
+    // must collapse to ONE canonical form; dedup keeps the min doc_id
+    // per canonical; domains ex0.com flag blocked. Map-only except the
+    // per-canonical keep window.
+    "d_url_canonical" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        val b = col("doc_id") % 50
+        val v = col("doc_id") % 4
+        val site = concat(lit("site"), b, lit(".ex"), b % 10, lit(".com"))
+        val pathQ = concat(lit("/Page/"), b)
+        val url = when(v === 0,
+            concat(lit("https://"), site, pathQ, lit("?a=1&b=2")))
+          .when(v === 1,
+            concat(lit("HTTPS://WWW."), upper(site), pathQ, lit("?a=1&b=2")))
+          .when(v === 2,
+            concat(lit("https://"), site, pathQ, lit("?b=2&a=1")))
+          .otherwise(
+            concat(lit("https://"), site, pathQ, lit("?a=1&b=2#sec")))
+        val canon = graft.operators.Curation.canonicalizeUrl(col("url"))
+        val w = Window.partitionBy("canon").orderBy("doc_id")
+        docs.withColumn("url", url)
+          .withColumn("canon", canon)
+          .withColumn("domain", graft.operators.Curation.urlDomain(col("url")))
+          .withColumn("blocked", col("domain") === "ex0.com")
+          .withColumn("keep", row_number().over(w) === 1 && !col("blocked"))
+          .select("doc_id", "url", "canon", "domain", "blocked", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    'site' || (doc_id % 50) || '.ex' || (doc_id % 50 % 10)
+             |      || '.com' AS site,
+             |    '/Page/' || (doc_id % 50) AS pathq,
+             |    doc_id % 4 AS v
+             |  FROM documents),
+             |urls AS (
+             |  SELECT doc_id,
+             |    CASE v
+             |      WHEN 0 THEN 'https://' || site || pathq || '?a=1&b=2'
+             |      WHEN 1 THEN 'HTTPS://WWW.' || UPPER(site) || pathq
+             |        || '?a=1&b=2'
+             |      WHEN 2 THEN 'https://' || site || pathq || '?b=2&a=1'
+             |      ELSE 'https://' || site || pathq || '?a=1&b=2#sec'
+             |    END AS url
+             |  FROM planted),
+             |parts AS (
+             |  SELECT doc_id, url,
+             |    LOWER(REGEXP_EXTRACT(url, '^[A-Za-z]+', 0)) AS scheme,
+             |    REGEXP_REPLACE(LOWER(
+             |      REGEXP_EXTRACT(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+             |      '^www[.]', '') AS host,
+             |    REGEXP_EXTRACT(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS p,
+             |    REGEXP_EXTRACT(url, '[?]([^#]*)', 1) AS qs
+             |  FROM urls),
+             |canoned AS (
+             |  SELECT doc_id, url,
+             |    scheme || '://' || host ||
+             |      (CASE WHEN p = '' THEN '/' ELSE p END) ||
+             |      (CASE WHEN qs = '' THEN '' ELSE '?' ||
+             |        ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(qs, '&')), '&')
+             |       END) AS canon,
+             |    host,
+             |    CASE WHEN LEN(STRING_SPLIT(host, '.')) <= 2 THEN host
+             |         ELSE ARRAY_TO_STRING(STRING_SPLIT(host, '.')[-2:], '.')
+             |    END AS domain
+             |  FROM parts)
+             |SELECT doc_id, url, canon, domain,
+             |  domain = 'ex0.com' AS blocked,
+             |  (ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) = 1
+             |    AND NOT domain = 'ex0.com') AS keep
+             |FROM canoned ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split assignment: 10000-band MINSTD
     // draw, named splits own contiguous integer bands — assignment is a
     // pure function of (doc_id, seed), so every row's split reaches the

@@ -29,6 +29,51 @@ object Curation {
     "[+]?[0-9]{0,2}[ ]?[(]?[0-9]{3}[)]?[- ][0-9]{3}-[0-9]{4}" -> "<PHONE>",
     "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}" -> "<IP>")
 
+  /** Canonical form of a URL column for URL-keyed dedup — the C4/
+    * RefinedWeb crawl-dedup step, where the same page arrives under
+    * case-shuffled hosts, `www.` prefixes, reordered query params, and
+    * fragments. Rules (the conservative standard set): scheme and host
+    * lowercase, a leading `www.` strips, the fragment drops, query
+    * parameters sort lexicographically as whole `k=v` strings, an empty
+    * path normalizes to `/`. Path CASE is preserved (paths are
+    * case-sensitive by spec — lowercasing them would merge distinct
+    * pages). Pure codegen expression chain, zero shuffle; patterns stay
+    * in the Java-regex/RE2 common subset so an ANSI oracle replays the
+    * rules verbatim (the redactPii discipline). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^[A-Za-z]+", 0))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)),
+      "^www[.]", "")
+    val path0 = regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qs = regexp_extract(url, "[?]([^#]*)", 1)
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(
+        concat(lit("?"), array_join(array_sort(split(qs, "&")), "&"))))
+  }
+
+  /** Registered-ish domain of a URL (last two host labels, `www.`
+    * stripped) — the blocklist key for domain-level source filtering. */
+  def urlDomain(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)),
+      "^www[.]", "")
+    val labels = split(host, "[.]")
+    when(size(labels) <= 2, host)
+      .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+
+  /** Domain blocklist gate: keep rows whose [[urlDomain]] is not in
+    * `blocked`. The blocklist is driver-small by nature (curated lists
+    * run to thousands of domains) and rides into codegen as a literal
+    * set — map-only, the corpus never shuffles. */
+  def domainBlocklistGate(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "domainBlocklistGate: empty blocklist")
+    df.filter(!urlDomain(col(urlCol)).isin(blocked: _*))
+  }
+
   /** Redacted text column: every pattern replaced in order. Pure
     * `regexp_replace` chain — codegen'd, zero shuffle, the 100 TB shape
     * is one streaming pass over the scan. */

@@ -1005,6 +1005,42 @@ class CurationSuite extends SparkSpec {
     (2L to 6L).foreach(i => assert(!out(i), s"doc $i must fail its rule"))
   }
 
+  test("url canonicalization: case/www/fragment/param-order collapse, edges hold") {
+    val urls = Seq(
+      // the four decorations of one page collapse to one form
+      ("https://site1.ex1.com/Page/1?a=1&b=2",
+        "https://site1.ex1.com/Page/1?a=1&b=2"),
+      ("HTTPS://WWW.SITE1.EX1.COM/Page/1?b=2&a=1#frag",
+        "https://site1.ex1.com/Page/1?a=1&b=2"),
+      // path case PRESERVED (case-sensitive by spec), empty path -> "/"
+      ("http://Host.COM", "http://host.com/"),
+      ("http://host.com/UPPER/Case", "http://host.com/UPPER/Case"),
+      // bare query / trailing fragment-only
+      ("http://host.com/?z=9&a=0", "http://host.com/?a=0&z=9"),
+      ("http://host.com/p#only-frag", "http://host.com/p"),
+      // www inside the host (not a prefix) survives
+      ("http://notwww.www-like.com/x", "http://notwww.www-like.com/x"))
+    val got = urls.map(_._1).toDF("url")
+      .select(col("url"), graft.operators.Curation.canonicalizeUrl(col("url"))
+        .as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    urls.foreach { case (u, want) => assert(got(u) === want, s"url $u") }
+    val dom = Seq("https://www.a.b.example.co/x", "http://one.com/",
+      "HTTP://WWW.TOP.COM").toDF("url")
+      .select(graft.operators.Curation.urlDomain(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(dom === Seq("example.co", "one.com", "top.com"))
+    // blocklist gate: literal-set filter, map-only
+    val df = Seq((1L, "http://keep.com/a"), (2L, "http://bad.com/b"),
+      (3L, "http://www.bad.com/c")).toDF("id", "url")
+    val kept = graft.operators.Curation.domainBlocklistGate(df, "url",
+      Seq("bad.com")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+    val plan = graft.operators.Curation.domainBlocklistGate(df, "url",
+      Seq("bad.com")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must be map-only:\n$plan")
+  }
+
   test("word vocab: frequency-ranked ids, deterministic under ties") {
     val docs = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("id", "text")
     // counts: a=3, b=3, c=2, d=1 → rank by (cnt DESC, token): a=1, b=2, c=3
