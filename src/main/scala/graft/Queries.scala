@@ -2953,6 +2953,54 @@ object Queries {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // Boilerplate line removal (CCNet/RefinedWeb line-wise filtering).
+    // The corpus text has no newlines, so the query PLANTS multi-line
+    // docs from doc_id on BOTH sides: a corpus-wide HEADER (df 500),
+    // a FOOTER on even ids (df 250), a body line shared by the doc's
+    // base-50 group (df ~10), and a unique line. minDf=100 must drop
+    // exactly the header and footer, preserve line order, and count the
+    // removals — every clean_text reaches the hash compare.
+    "d_line_dedup" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+          .withColumn("text", concat_ws("\n",
+            lit("HEADER cookie notice"),
+            concat(lit("body of group "), col("doc_id") % 50),
+            concat(lit("unique line "), col("doc_id")),
+            when(col("doc_id") % 2 === 0, lit("FOOTER terms apply"))))
+        graft.operators.Curation.removeBoilerplateLines(
+          docs, "doc_id", "text", minDf = 100)
+          .select("doc_id", "clean_text", "n_lines_removed")
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    'HEADER cookie notice' || CHR(10) ||
+             |    'body of group ' || (doc_id % 50) || CHR(10) ||
+             |    'unique line ' || doc_id ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN CHR(10) || 'FOOTER terms apply' ELSE '' END AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, UNNEST(
+             |    [{'pos': i, 'line': l[i]} FOR i IN RANGE(1, LEN(l)+1)],
+             |    recursive := true)
+             |  FROM (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS l
+             |        FROM planted)),
+             |hot AS (SELECT line FROM lines GROUP BY line
+             |        HAVING COUNT(*) >= 100),
+             |kept AS (SELECT doc_id,
+             |    ARRAY_TO_STRING(LIST(line ORDER BY pos), CHR(10)) AS clean_text,
+             |    COUNT(*) AS n_kept
+             |  FROM lines WHERE line NOT IN (SELECT line FROM hot)
+             |  GROUP BY doc_id)
+             |SELECT p.doc_id,
+             |  COALESCE(k.clean_text, '') AS clean_text,
+             |  CAST(LEN(STRING_SPLIT(p.text, CHR(10))) - COALESCE(k.n_kept, 0)
+             |    AS BIGINT) AS n_lines_removed
+             |FROM planted p LEFT JOIN kept k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // URL canonicalization + domain blocklist (the C4/RefinedWeb crawl
     // dedup step). The corpus carries no URLs, so the query PLANTS
     // deterministic variants from doc_id on BOTH sides (the d_pii_redact

@@ -29,6 +29,43 @@ object Curation {
     "[+]?[0-9]{0,2}[ ]?[(]?[0-9]{3}[)]?[- ][0-9]{3}-[0-9]{4}" -> "<PHONE>",
     "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}" -> "<IP>")
 
+  /** Corpus-level boilerplate LINE removal (the CCNet §4.1 / RefinedWeb
+    * line-wise filtering step): drop every line whose EXACT duplicate
+    * count across the corpus reaches `minDf` — navigation, cookie
+    * banners, licence headers — and reassemble each document's
+    * remaining lines in their original order. Adds `clean_text` and
+    * `n_lines_removed`; all original columns pass through.
+    *
+    * Scale shape: one line explode feeds a partial-aggregated df count
+    * (hot lines combine map-side — a corpus-wide banner ships one
+    * partial per map partition, never its occurrences); the hot-line
+    * set is SMALL by nature (distinct boilerplate, not occurrences), so
+    * the anti-join's build side broadcasts under AQE stats; the only
+    * corpus-sized exchange is the per-document reassembly groupBy.
+    * Reassembly sorts the collected (pos, line) structs — collect_list
+    * order is not deterministic in a distributed engine (the
+    * q_array_agg rule). */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 3): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val hot = lines.groupBy("__line").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__line")
+    val rebuilt = lines.join(hot, Seq("__line"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), "\n").as("__clean"),
+        count(lit(1)).as("__kept"))
+    df.join(rebuilt, col(idCol) === col("__id"), "left")
+      .withColumn("clean_text", coalesce(col("__clean"), lit("")))
+      .withColumn("n_lines_removed",
+        (size(split(col(textCol), "\n")) - coalesce(col("__kept"), lit(0L)))
+          .cast("long"))
+      .drop("__id", "__clean", "__kept")
+  }
+
   /** Canonical form of a URL column for URL-keyed dedup — the C4/
     * RefinedWeb crawl-dedup step, where the same page arrives under
     * case-shuffled hosts, `www.` prefixes, reordered query params, and

@@ -1005,6 +1005,38 @@ class CurationSuite extends SparkSpec {
     (2L to 6L).foreach(i => assert(!out(i), s"doc $i must fail its rule"))
   }
 
+  test("boilerplate line removal: df gate, order preserved, all-removed doc empties") {
+    val docs = Seq(
+      (1L, "BANNER\nalpha\nBANNER2", "s1"),
+      (2L, "BANNER\nbeta\nBANNER2", "s1"),
+      (3L, "BANNER\ngamma", "s2"),
+      (4L, "BANNER", "s2"), // nothing survives
+      (5L, "delta\nBANNER\nepsilon", "s3")) // boilerplate mid-doc
+      .toDF("doc_id", "text", "src")
+    val out = graft.operators.Curation.removeBoilerplateLines(
+      docs, "doc_id", "text", minDf = 2)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines_removed"))).toMap
+    // BANNER df=5, BANNER2 df=2 -> both drop; singles survive in order
+    assert(byId(1L) === (("alpha", 2L)))
+    assert(byId(2L) === (("beta", 2L)))
+    assert(byId(3L) === (("gamma", 1L)))
+    assert(byId(4L) === (("", 1L)), "a fully-boilerplate doc must empty, not vanish")
+    assert(byId(5L) === (("delta\nepsilon", 1L)), "line order must survive removal")
+    // passthrough columns stay
+    assert(out.map(_.getAs[String]("src")).toSeq === Seq("s1", "s1", "s2", "s2", "s3"))
+    // line-count invariant on every row
+    out.foreach { r =>
+      val orig = r.getAs[String]("text").split("\n", -1).length
+      val kept = r.getAs[String]("clean_text") match {
+        case "" => 0
+        case s  => s.split("\n", -1).length
+      }
+      assert(kept === orig - r.getAs[Long]("n_lines_removed"))
+    }
+  }
+
   test("url canonicalization: case/www/fragment/param-order collapse, edges hold") {
     val urls = Seq(
       // the four decorations of one page collapse to one form
