@@ -3001,6 +3001,54 @@ object Queries {
              |FROM planted p LEFT JOIN kept k USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Keep-first line dedup (Dolma dedupe_paragraphs): same planted
+    // corpus as d_line_dedup, but duplicated lines keep their canonical
+    // min-(doc_id,pos) occurrence instead of vanishing everywhere —
+    // doc 0 (first by id) retains the header/footer/group lines that
+    // every later doc loses. Both rules reach the hash compare.
+    "d_line_dedup_first" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+          .withColumn("text", concat_ws("\n",
+            lit("HEADER cookie notice"),
+            concat(lit("body of group "), col("doc_id") % 50),
+            concat(lit("unique line "), col("doc_id")),
+            when(col("doc_id") % 2 === 0, lit("FOOTER terms apply"))))
+        graft.operators.Curation.dedupLines(docs, "doc_id", "text", minDf = 2)
+          .select("doc_id", "clean_text", "n_lines_removed")
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    'HEADER cookie notice' || CHR(10) ||
+             |    'body of group ' || (doc_id % 50) || CHR(10) ||
+             |    'unique line ' || doc_id ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN CHR(10) || 'FOOTER terms apply' ELSE '' END AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, UNNEST(
+             |    [{'pos': i, 'line': l[i]} FOR i IN RANGE(1, LEN(l)+1)],
+             |    recursive := true)
+             |  FROM (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS l
+             |        FROM planted)),
+             |owners AS (SELECT line, COUNT(*) AS df,
+             |    MIN(struct_pack(doc_id := doc_id, pos := pos)) AS own
+             |  FROM lines GROUP BY line),
+             |kept AS (SELECT l.doc_id,
+             |    ARRAY_TO_STRING(LIST(l.line ORDER BY l.pos), CHR(10))
+             |      AS clean_text,
+             |    COUNT(*) AS n_kept
+             |  FROM lines l JOIN owners o USING (line)
+             |  WHERE o.df < 2 OR (o.own.doc_id = l.doc_id AND o.own.pos = l.pos)
+             |  GROUP BY l.doc_id)
+             |SELECT p.doc_id,
+             |  COALESCE(k.clean_text, '') AS clean_text,
+             |  CAST(LEN(STRING_SPLIT(p.text, CHR(10))) - COALESCE(k.n_kept, 0)
+             |    AS BIGINT) AS n_lines_removed
+             |FROM planted p LEFT JOIN kept k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // URL canonicalization + domain blocklist (the C4/RefinedWeb crawl
     // dedup step). The corpus carries no URLs, so the query PLANTS
     // deterministic variants from doc_id on BOTH sides (the d_pii_redact

@@ -66,6 +66,39 @@ object Curation {
       .drop("__id", "__clean", "__kept")
   }
 
+  /** Keep-FIRST line deduplication (the Dolma `dedupe_paragraphs`
+    * rule, complementing [[removeBoilerplateLines]]'s drop-ALL-copies):
+    * a line occurring `minDf`+ times corpus-wide keeps only its
+    * canonical first occurrence — min (doc_id, pos) — and every later
+    * copy excises; unique lines pass untouched. Same scale shape as the
+    * boilerplate pass, with the owner riding the df aggregation as a
+    * packed `min(struct(doc_id, pos))` (one aggregate, no second
+    * window) and an AQE-splittable join-back instead of an anti-join —
+    * every line row needs its owner, not just membership. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = df.select(col(idCol).cast("long").as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val owners = lines.groupBy("__line")
+      .agg(count(lit(1)).as("__df"),
+        min(struct(col("__id"), col("__pos"))).as("__own"))
+    val rebuilt = lines.join(owners, Seq("__line"))
+      .filter(col("__df") < minDf ||
+        (col("__own.__id") === col("__id") && col("__own.__pos") === col("__pos")))
+      .groupBy("__id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), "\n").as("__clean"),
+        count(lit(1)).as("__kept"))
+    df.join(rebuilt, col(idCol).cast("long") === col("__id"), "left")
+      .withColumn("clean_text", coalesce(col("__clean"), lit("")))
+      .withColumn("n_lines_removed",
+        (size(split(col(textCol), "\n")) - coalesce(col("__kept"), lit(0L)))
+          .cast("long"))
+      .drop("__id", "__clean", "__kept")
+  }
+
   /** Canonical form of a URL column for URL-keyed dedup — the C4/
     * RefinedWeb crawl-dedup step, where the same page arrives under
     * case-shuffled hosts, `www.` prefixes, reordered query params, and

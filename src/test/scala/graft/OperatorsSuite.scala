@@ -1037,6 +1037,23 @@ class CurationSuite extends SparkSpec {
     }
   }
 
+  test("keep-first line dedup: canonical occurrence survives, later copies excise") {
+    val docs = Seq(
+      (1L, "DUP\nalpha\nDUP"),     // doc-internal repeat: pos 0 owns
+      (2L, "beta\nDUP"),
+      (3L, "DUP\ngamma"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = graft.operators.Curation.dedupLines(docs, "doc_id", "text",
+      minDf = 2).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines_removed"))).toMap
+    assert(byId(1L) === (("DUP\nalpha", 1L)),
+      "the min-(doc,pos) copy keeps; the SAME doc's later copy excises")
+    assert(byId(2L) === (("beta", 1L)))
+    assert(byId(3L) === (("gamma", 1L)))
+    assert(byId(4L) === (("solo", 0L)), "unique lines pass untouched")
+  }
+
   test("url canonicalization: case/www/fragment/param-order collapse, edges hold") {
     val urls = Seq(
       // the four decorations of one page collapse to one form
