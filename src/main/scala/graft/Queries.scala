@@ -3001,6 +3001,73 @@ object Queries {
              |FROM planted p LEFT JOIN kept k USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Cross-batch incremental line dedup: docs < 250 are the persisted
+    // line-df history ([[lineIndex]] — 32-byte rows, text never
+    // re-read); docs >= 250 arrive as the batch. History-owned lines
+    // (header/footer/group bodies — first seen in the history half)
+    // excise from EVERY batch copy; the batch-only "late group" line
+    // exercises in-batch first-seen ownership; unique lines pass.
+    "d_line_dedup_incr" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+          .withColumn("text", concat_ws("\n",
+            lit("HEADER cookie notice"),
+            concat(lit("body of group "), col("doc_id") % 50),
+            concat(lit("unique line "), col("doc_id")),
+            when(col("doc_id") >= 250,
+              concat(lit("late group "), col("doc_id") % 7)),
+            when(col("doc_id") % 2 === 0, lit("FOOTER terms apply"))))
+        val hist = graft.operators.Curation.lineIndex(
+          docs.filter(col("doc_id") < 250), "doc_id", "text")
+        graft.operators.Curation.dedupLinesAgainstHistory(
+          docs.filter(col("doc_id") >= 250), hist, "doc_id", "text",
+          minDf = 2)
+          .select("doc_id", "clean_text", "n_lines_removed")
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    'HEADER cookie notice' || CHR(10) ||
+             |    'body of group ' || (doc_id % 50) || CHR(10) ||
+             |    'unique line ' || doc_id ||
+             |    CASE WHEN doc_id >= 250
+             |      THEN CHR(10) || 'late group ' || (doc_id % 7)
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN CHR(10) || 'FOOTER terms apply' ELSE '' END AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, UNNEST(
+             |    [{'pos': i, 'line': l[i]} FOR i IN RANGE(1, LEN(l)+1)],
+             |    recursive := true)
+             |  FROM (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS l
+             |        FROM planted)),
+             |hist AS (SELECT line, COUNT(*) AS hdf,
+             |    MIN(struct_pack(doc_id := doc_id, pos := pos)) AS hown
+             |  FROM lines WHERE doc_id < 250 GROUP BY line),
+             |bidx AS (SELECT line, COUNT(*) AS bdf,
+             |    MIN(struct_pack(doc_id := doc_id, pos := pos)) AS bown
+             |  FROM lines WHERE doc_id >= 250 GROUP BY line),
+             |merged AS (SELECT b.line,
+             |    COALESCE(h.hown, b.bown) AS own,
+             |    b.bdf + COALESCE(h.hdf, 0) AS df
+             |  FROM bidx b LEFT JOIN hist h USING (line)),
+             |kept AS (SELECT l.doc_id,
+             |    ARRAY_TO_STRING(LIST(l.line ORDER BY l.pos), CHR(10))
+             |      AS clean_text,
+             |    COUNT(*) AS n_kept
+             |  FROM lines l JOIN merged m USING (line)
+             |  WHERE l.doc_id >= 250 AND (m.df < 2 OR
+             |    (m.own.doc_id = l.doc_id AND m.own.pos = l.pos))
+             |  GROUP BY l.doc_id)
+             |SELECT p.doc_id,
+             |  COALESCE(k.clean_text, '') AS clean_text,
+             |  CAST(LEN(STRING_SPLIT(p.text, CHR(10))) - COALESCE(k.n_kept, 0)
+             |    AS BIGINT) AS n_lines_removed
+             |FROM planted p LEFT JOIN kept k USING (doc_id)
+             |WHERE p.doc_id >= 250
+             |ORDER BY doc_id""".stripMargin)),
+
     // Keep-first line dedup (Dolma dedupe_paragraphs): same planted
     // corpus as d_line_dedup, but duplicated lines keep their canonical
     // min-(doc_id,pos) occurrence instead of vanishing everywhere —

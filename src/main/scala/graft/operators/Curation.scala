@@ -99,6 +99,92 @@ object Curation {
       .drop("__id", "__clean", "__kept")
   }
 
+  /** 128-bit line key: two genuinely independent XXH64 passes over the
+    * line bytes. Second hash seeds via a LEADING literal —
+    * `xxhash64(lit, line)` hashes the LINE bytes under a derived seed;
+    * the reverse argument order would chain into a function of h1 alone
+    * (the r11 WordGramHashes lesson, suite-pinned there). */
+  private def lineKeys(line: Column): (Column, Column) =
+    (xxhash64(line), xxhash64(lit(0x9E3779B97F4A7C15L), line))
+
+  private def packedLineOwner(id: Column, pos: Column): Column = {
+    val guard = when(id < 0 || id > Int.MaxValue.toLong,
+      raise_error(concat(lit("lineIndex: doc_id out of packed range: "),
+        id.cast("string"), lit(" — the cross-batch line-history schema " +
+          "is packed-long only; re-key documents into [0, 2^31) before " +
+          "indexing"))))
+    coalesce(guard.cast("long"), id.cast("long") * lit(4294967296L) + pos)
+  }
+
+  /** Per-batch LINE index for cross-batch line dedup — one row per
+    * distinct line: `(h1, h2, own, df)` with the canonical first owner
+    * packed as `doc_id · 2^32 + pos` and the batch's occurrence count.
+    * Append per batch into a history table (stamp it
+    * `HistoryFormat("line-df", 1)`); compact with
+    * `min(own)` / `sum(df)` ([[compactLineIndex]]) — O(corpus distinct
+    * lines) · 32 B, the ownerIndex discipline at line granularity. */
+  def lineIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val (h1, h2) = lineKeys(col("__line"))
+    lines.select(h1.as("h1"), h2.as("h2"),
+        packedLineOwner(col("__id"), col("__pos")).as("okey"))
+      .groupBy("h1", "h2")
+      .agg(min(col("okey")).as("own"), count(lit(1)).as("df"))
+  }
+
+  /** AGGREGATING compaction of an accumulated [[lineIndex]] history:
+    * one row per distinct line — `min(own)` is idempotent, `sum(df)`
+    * preserves the true corpus-wide count (the threshold is the
+    * caller's `minDf`, so unlike the span history's `>= 2` gate the
+    * count cannot saturate). */
+  def compactLineIndex(history: DataFrame): DataFrame =
+    history.groupBy(col("h1"), col("h2"))
+      .agg(min(col("own")).as("own"), sum(col("df")).as("df"))
+
+  /** [[dedupLines]] for ONE batch against the accumulated [[lineIndex]]
+    * of every prior batch: a batch line excises when its corpus-wide
+    * count (history + batch) reaches `minDf` and the occurrence is not
+    * the canonical owner — first-seen wins (`coalesce(hist, batch)`,
+    * the spansWithHistory rule), so a line already curated in a past
+    * batch keeps ITS copy and every current occurrence excises. The
+    * history semi-joins to the batch's distinct line keys before
+    * aggregating — prior batches' text is never touched, only 32-byte
+    * index rows the batch actually probes. */
+  def dedupLinesAgainstHistory(batch: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = batch.select(col(idCol).cast("long").as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val (h1, h2) = lineKeys(col("__line"))
+    val occ = lines.select(col("__id"), col("__pos"), col("__line"),
+      h1.as("h1"), h2.as("h2"),
+      packedLineOwner(col("__id"), col("__pos")).as("okey"))
+    val bIdx = occ.groupBy("h1", "h2")
+      .agg(min(col("okey")).as("bown"), count(lit(1)).as("bdf"))
+    val hist = history
+      .join(bIdx.select("h1", "h2"), Seq("h1", "h2"), "left_semi")
+      .groupBy("h1", "h2")
+      .agg(min(col("own")).as("hown"), sum(col("df")).as("hdf"))
+    val merged = bIdx.join(hist, Seq("h1", "h2"), "left")
+      .select(col("h1"), col("h2"),
+        coalesce(col("hown"), col("bown")).as("own"),
+        (col("bdf") + coalesce(col("hdf"), lit(0L))).as("df"))
+    val rebuilt = occ.join(merged, Seq("h1", "h2"))
+      .filter(col("df") < minDf || col("okey") === col("own"))
+      .groupBy("__id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), "\n").as("__clean"),
+        count(lit(1)).as("__kept"))
+    batch.join(rebuilt, col(idCol).cast("long") === col("__id"), "left")
+      .withColumn("clean_text", coalesce(col("__clean"), lit("")))
+      .withColumn("n_lines_removed",
+        (size(split(col(textCol), "\n")) - coalesce(col("__kept"), lit(0L)))
+          .cast("long"))
+      .drop("__id", "__clean", "__kept")
+  }
+
   /** Canonical form of a URL column for URL-keyed dedup — the C4/
     * RefinedWeb crawl-dedup step, where the same page arrives under
     * case-shuffled hosts, `www.` prefixes, reordered query params, and

@@ -49,6 +49,13 @@ object HistoryFormat {
     "re-run the signature index (Dedup.simhashIndex / media hashes) over " +
       "the full curated corpus and overwrite the history table")
 
+  /** Cross-batch line-df history ([[graft.operators.Curation.lineIndex]]):
+    * v1 = two independent XXH64 passes over the line bytes (h2 seeded
+    * via a leading literal), packed `doc_id · 2^32 + pos` owners. */
+  val LineDf: Format = Format("line-df", 1,
+    "re-run Curation.lineIndex over the full curated corpus and " +
+      "overwrite the history table")
+
   /** Embedding/SemDeDup cluster-assignment history keyed by a persisted
     * quantizer: v1 = nearest-centroid bucket under cosine. (Quantizer
     * CONTENT staleness is the drift trio's job; this guards the

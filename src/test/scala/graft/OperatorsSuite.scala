@@ -1054,6 +1054,49 @@ class CurationSuite extends SparkSpec {
     assert(byId(4L) === (("solo", 0L)), "unique lines pass untouched")
   }
 
+  test("cross-batch line dedup: history owner wins, in-batch ownership, compaction-stable") {
+    import graft.operators.Curation
+    val minDf = 2
+    val b1 = Seq((1L, "SHARED\nfirst-only"), (2L, "b1-unique")).toDF("doc_id", "text")
+    val hist1 = Curation.lineIndex(b1, "doc_id", "text")
+    // batch 2: a doc quoting SHARED (history owner wins — excises), a doc
+    // repeating SHARED twice internally (both excise), and a NEW line
+    // duplicated across two batch-2 docs (in-batch ownership: min id keeps)
+    val b2 = Seq(
+      (10L, "SHARED\nnovel ten"),
+      (11L, "SHARED\nNEWDUP\nSHARED"),
+      (12L, "NEWDUP\ntwelve")).toDF("doc_id", "text")
+    def cleanOf(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    val out2 = Curation.dedupLinesAgainstHistory(b2, hist1,
+      "doc_id", "text", minDf).orderBy("doc_id").collect()
+    val c2 = cleanOf(out2)
+    assert(c2(10L) === "novel ten", "history-owned line must excise")
+    assert(c2(11L) === "NEWDUP", "both later SHARED copies excise; first NEWDUP keeps")
+    assert(c2(12L) === "twelve", "the higher-id NEWDUP copy excises in-batch")
+    // threshold respects CUMULATIVE df: a line seen once in history and
+    // once in this batch reaches minDf=2 exactly
+    val b3 = Seq((20L, "first-only\nlast line")).toDF("doc_id", "text")
+    val hist12 = hist1.unionByName(Curation.lineIndex(b2, "doc_id", "text"))
+    val c3 = cleanOf(Curation.dedupLinesAgainstHistory(b3, hist12,
+      "doc_id", "text", minDf).collect())
+    assert(c3(20L) === "last line",
+      "history df 1 + batch df 1 crosses the threshold")
+    // compaction is probe-equivalent (min(own)/sum(df) idempotent)
+    val compacted = Curation.compactLineIndex(hist12)
+    assert(compacted.count() < hist12.count() ||
+      hist12.groupBy("h1", "h2").count().filter(col("count") > 1).count() === 0)
+    val c3c = cleanOf(Curation.dedupLinesAgainstHistory(b3, compacted,
+      "doc_id", "text", minDf).collect())
+    assert(c3c === c3, "compacted history must probe identically")
+    // packed-owner guard fires loudly on out-of-range ids
+    val bad = Seq((Long.MaxValue, "x")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Curation.lineIndex(bad, "doc_id", "text").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("url canonicalization: case/www/fragment/param-order collapse, edges hold") {
     val urls = Seq(
       // the four decorations of one page collapse to one form
