@@ -3001,6 +3001,70 @@ object Queries {
              |FROM planted p LEFT JOIN kept k USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // CCNet head/middle/tail bucketing: LM surprisal scores cut at exact
+    // tercile thresholds — ONE aggregate broadcasts two numbers, the
+    // classification is a map-only comparison chain (no corpus-wide
+    // ntile window). Threshold literals render from the same Scala
+    // doubles on both sides, so the quantile interpolation is
+    // bit-identical (the q_percentile percentile≡quantile_cont pairing).
+    "d_ccnet_buckets" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lm = graft.operators.Curation.ngramLm(
+          docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+        val scored = graft.operators.Curation.surprisalScore(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", lm)
+        graft.operators.Curation.scoreBuckets(scored, "nll",
+          Seq("head", "middle", "tail"))
+          .select("id", "nll", "bucket")
+          .orderBy("id")
+      },
+      Some {
+        val p1 = (1.0 / 3).toString
+        val p2 = (2.0 / 3).toString
+        s"""WITH model AS (
+           |  SELECT g, COUNT(*) AS c FROM (
+           |    SELECT UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+           |      ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+           |      END) AS g
+           |    FROM documents WHERE doc_id % 10 = 0) GROUP BY 1),
+           |stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM model),
+           |grams AS (
+           |  SELECT doc_id, UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+           |    ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+           |    END) AS g
+           |  FROM documents WHERE doc_id % 10 <> 0),
+           |scored AS (
+           |  SELECT doc_id AS id,
+           |    ROUND(CAST(SUM(CAST(-LN(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+           |        / (total + v + 1)) AS DECIMAL(30,9))) AS DOUBLE)
+           |      / COUNT(*), 2) AS nll
+           |  FROM grams LEFT JOIN model m USING (g) CROSS JOIN stats
+           |  GROUP BY 1),
+           |th AS (SELECT quantile_cont(nll, [$p1, $p2]) AS t FROM scored)
+           |SELECT id, nll,
+           |  CASE WHEN nll <= t[1] THEN 'head'
+           |       WHEN nll <= t[2] THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM scored CROSS JOIN th ORDER BY id""".stripMargin
+      }),
+
+    // Corpus report card: every CUBE cell over (lang, source) with doc
+    // count, exact token total, distinct-content count and the exact-dup
+    // rate — the one-pass per-snapshot summary a pipeline run emits.
+    "d_corpus_report" -> QueryDef(
+      (s, d) => graft.operators.Curation.corpusReport(
+        t(s, d, "documents"), "text", Seq("lang", "source"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first),
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+             |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+             |  COUNT(DISTINCT MD5(text)) AS n_distinct,
+             |  ROUND(1 - CAST(COUNT(DISTINCT MD5(text)) AS DOUBLE)
+             |    / COUNT(*), 4) AS dup_rate
+             |FROM documents
+             |GROUP BY CUBE (lang, source)
+             |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
+
     // Cross-batch incremental line dedup: docs < 250 are the persisted
     // line-df history ([[lineIndex]] — 32-byte rows, text never
     // re-read); docs >= 250 arrive as the batch. History-owned lines

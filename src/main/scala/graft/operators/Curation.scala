@@ -99,6 +99,56 @@ object Curation {
       .drop("__id", "__clean", "__kept")
   }
 
+  /** CCNet-style score bucketing (head/middle/tail by LM perplexity,
+    * Wenzek et al. §4.3): classify every row into one of `labels` by
+    * EXACT score percentiles. The thresholds are `labels.size - 1`
+    * numbers from ONE aggregate that broadcast back; classification is
+    * a map-only comparison chain — never a corpus-wide ordered window
+    * or ntile, which would funnel the corpus into one task (the
+    * epochPlan rule). Rows at a threshold classify into the lower
+    * bucket (`<=`), deterministically on both engines: scores are
+    * caller-rounded and the interpolated threshold either equals a
+    * score exactly (tied neighbors) or sits strictly between two
+    * rounding steps. */
+  def scoreBuckets(df: DataFrame, scoreCol: String,
+      labels: Seq[String]): DataFrame = {
+    require(labels.size >= 2, "scoreBuckets: need at least 2 labels")
+    require(labels.distinct.size == labels.size, "scoreBuckets: duplicate labels")
+    val k = labels.size
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val th = df.agg(expr(
+      s"percentile(CAST($scoreCol AS DOUBLE), array(${probs.mkString(",")}))")
+      .as("__th"))
+    val bucket = labels.init.zipWithIndex
+      .foldRight(lit(labels.last): Column) { case ((lab, i), acc) =>
+        when(col(scoreCol).cast("double") <= element_at(col("__th"), i + 1),
+          lit(lab)).otherwise(acc)
+      }
+    df.crossJoin(broadcast(th)).withColumn("bucket", bucket).drop("__th")
+  }
+
+  /** Corpus report card — the one-pass operational summary a pipeline
+    * run emits per corpus snapshot: for every CUBE cell over `dims`
+    * (each dim, each pair, the grand total), document count, exact
+    * whitespace-token total, distinct-content count (md5) and the
+    * derived exact-dup rate. One aggregation (Expand feeds a single
+    * partial-agg'd exchange); the only heavyweight metric is
+    * COUNT(DISTINCT md5), which Spark plans as the standard two-phase
+    * distinct-aggregate expansion — still one scan of the corpus. */
+  def corpusReport(df: DataFrame, textCol: String,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "corpusReport: no dimensions")
+    df.withColumn("__tok",
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__fp", md5(col(textCol)))
+      .cube(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        countDistinct(col("__fp")).as("n_distinct"),
+        round(lit(1d) - countDistinct(col("__fp")).cast("double") /
+          count(lit(1)), 4).as("dup_rate"))
+  }
+
   /** 128-bit line key: two genuinely independent XXH64 passes over the
     * line bytes. Second hash seeds via a LEADING literal —
     * `xxhash64(lit, line)` hashes the LINE bytes under a derived seed;
