@@ -3001,6 +3001,29 @@ object Queries {
              |FROM planted p LEFT JOIN kept k USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Word-blocklist safety filter (the C4 badwords rule): drop any doc
+    // containing a blocked word as a WHOLE token (substring matching
+    // over-blocks — "assess" is not "ass"); emit the per-doc blocked
+    // ratio and keep flag so both regimes hash-compare. Map-only.
+    "d_badword_filter" -> QueryDef(
+      (s, d) => {
+        val blocked = Seq("merge", "window") // stand-in list; corpus words
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextFunctions.stopwordRatio(col("text"), blocked)
+              .as("blocked_ratio"))
+          .withColumn("keep", col("blocked_ratio") === 0.0)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             |    t -> t IN ('merge', 'window'))) AS DOUBLE)
+             |    / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4)
+             |    AS blocked_ratio,
+             |  LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             |    t -> t IN ('merge', 'window'))) = 0 AS keep
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // CCNet head/middle/tail bucketing: LM surprisal scores cut at exact
     // tercile thresholds — ONE aggregate broadcasts two numbers, the
     // classification is a map-only comparison chain (no corpus-wide

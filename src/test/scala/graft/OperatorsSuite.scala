@@ -1054,6 +1054,31 @@ class CurationSuite extends SparkSpec {
     assert(byId(4L) === (("solo", 0L)), "unique lines pass untouched")
   }
 
+  test("scoreBuckets: tercile cuts, boundary rows classify low, validation") {
+    // 9 scores 1..9: terciles at interpolated 3.67/6.33 — 1-3 head,
+    // 4-6 middle, 7-9 tail
+    val df = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val got = graft.operators.Curation.scoreBuckets(df, "s",
+      Seq("head", "middle", "tail"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1 to 3).forall(i => got(i) == "head"), got)
+    assert((4 to 6).forall(i => got(i) == "middle"), got)
+    assert((7 to 9).forall(i => got(i) == "tail"), got)
+    // a row EXACTLY at a threshold classifies into the lower bucket:
+    // 4 equal scores -> median threshold equals the score, <= keeps low
+    val ties = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0))
+      .toDF("id", "s")
+    val t2 = graft.operators.Curation.scoreBuckets(ties, "s", Seq("lo", "hi"))
+      .collect().map(_.getString(2)).toSet
+    assert(t2 === Set("lo"), "all-tied scores sit AT the threshold -> lower bucket")
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.scoreBuckets(df, "s", Seq("only"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.scoreBuckets(df, "s", Seq("a", "a"))
+    }
+  }
+
   test("cross-batch line dedup: history owner wins, in-batch ownership, compaction-stable") {
     import graft.operators.Curation
     val minDf = 2
