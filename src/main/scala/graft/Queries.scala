@@ -3008,11 +3008,15 @@ object Queries {
     "d_badword_filter" -> QueryDef(
       (s, d) => {
         val blocked = Seq("merge", "window") // stand-in list; corpus words
+        // keep derives from an EXACT membership test, not the rounded
+        // ratio: a single blocked token among > 20k would round to
+        // ratio 0.0 and sail through the safety gate
         t(s, d, "documents")
           .select(col("doc_id"),
             TextFunctions.stopwordRatio(col("text"), blocked)
-              .as("blocked_ratio"))
-          .withColumn("keep", col("blocked_ratio") === 0.0)
+              .as("blocked_ratio"),
+            (!arrays_overlap(split(col("text"), " "),
+              typedlit(blocked))).as("keep"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
@@ -3079,7 +3083,10 @@ object Queries {
       (s, d) => graft.operators.Curation.corpusReport(
         t(s, d, "documents"), "text", Seq("lang", "source"))
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first),
-      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+      Some("""SELECT lang, source,
+             |  GROUPING(lang) = 1 AS lang_agg,
+             |  GROUPING(source) = 1 AS source_agg,
+             |  COUNT(*) AS n_docs,
              |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
              |  COUNT(DISTINCT MD5(text)) AS n_distinct,
              |  ROUND(1 - CAST(COUNT(DISTINCT MD5(text)) AS DOUBLE)

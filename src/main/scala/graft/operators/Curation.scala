@@ -48,12 +48,28 @@ object Curation {
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       minDf: Int = 3): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val lines = df.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val lines = explodedLines(df, idCol, textCol)
     val hot = lines.groupBy("__line").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("__line")
-    val rebuilt = lines.join(hot, Seq("__line"), "left_anti")
-      .groupBy("__id")
+    rebuildLines(df, idCol, textCol,
+      lines.join(hot, Seq("__line"), "left_anti"))
+  }
+
+  /** Shared line-family plumbing: exploded `(__id, __pos, __line)` rows
+    * with the id UNCAST (any orderable id type works where the operator
+    * doesn't need packed owners) ... */
+  private def explodedLines(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+
+  /** ... and the reassembly epilogue: surviving rows group per doc,
+    * sort by position (collect_list order is nondeterministic — the
+    * q_array_agg rule), rejoin to the original frame, and docs whose
+    * every line was removed read clean_text='' rather than vanishing. */
+  private def rebuildLines(df: DataFrame, idCol: String, textCol: String,
+      kept: DataFrame): DataFrame = {
+    val rebuilt = kept.groupBy("__id")
       .agg(array_join(transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           x => x.getField("__line")), "\n").as("__clean"),
@@ -65,6 +81,17 @@ object Curation {
           .cast("long"))
       .drop("__id", "__clean", "__kept")
   }
+
+  /** Guard for the operators whose persisted/packed state needs numeric
+    * ids: a non-numeric id would NULL out under the (non-ANSI) long
+    * cast and silently collapse every document into one NULL group —
+    * total data loss, not an error (the hashModSample precedent). */
+  private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op needs a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} (a non-numeric cast " +
+        "would null every id and silently destroy the output)")
 
   /** Keep-FIRST line deduplication (the Dolma `dedupe_paragraphs`
     * rule, complementing [[removeBoilerplateLines]]'s drop-ALL-copies):
@@ -78,25 +105,18 @@ object Curation {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minDf: Int = 2): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val lines = df.select(col(idCol).cast("long").as("__id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    // no id cast: the canonical owner is min (id, pos) under the id
+    // type's own ordering, so string/UUID ids work here (only the
+    // packed cross-batch variant requires numeric ids)
+    val lines = explodedLines(df, idCol, textCol)
     val owners = lines.groupBy("__line")
       .agg(count(lit(1)).as("__df"),
         min(struct(col("__id"), col("__pos"))).as("__own"))
-    val rebuilt = lines.join(owners, Seq("__line"))
-      .filter(col("__df") < minDf ||
-        (col("__own.__id") === col("__id") && col("__own.__pos") === col("__pos")))
-      .groupBy("__id")
-      .agg(array_join(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          x => x.getField("__line")), "\n").as("__clean"),
-        count(lit(1)).as("__kept"))
-    df.join(rebuilt, col(idCol).cast("long") === col("__id"), "left")
-      .withColumn("clean_text", coalesce(col("__clean"), lit("")))
-      .withColumn("n_lines_removed",
-        (size(split(col(textCol), "\n")) - coalesce(col("__kept"), lit(0L)))
-          .cast("long"))
-      .drop("__id", "__clean", "__kept")
+    rebuildLines(df, idCol, textCol,
+      lines.join(owners, Seq("__line"))
+        .filter(col("__df") < minDf ||
+          (col("__own.__id") === col("__id") &&
+            col("__own.__pos") === col("__pos"))))
   }
 
   /** CCNet-style score bucketing (head/middle/tail by LM perplexity,
@@ -119,11 +139,16 @@ object Curation {
     val th = df.agg(expr(
       s"percentile(CAST($scoreCol AS DOUBLE), array(${probs.mkString(",")}))")
       .as("__th"))
-    val bucket = labels.init.zipWithIndex
+    val chain = labels.init.zipWithIndex
       .foldRight(lit(labels.last): Column) { case ((lab, i), acc) =>
         when(col(scoreCol).cast("double") <= element_at(col("__th"), i + 1),
           lit(lab)).otherwise(acc)
       }
+    // an unscored row must NOT silently classify into the last (worst)
+    // bucket — every comparison in the chain is NULL and the fallthrough
+    // would label it `labels.last`; emit a NULL bucket instead so the
+    // caller decides what unscored means
+    val bucket = when(col(scoreCol).isNull, lit(null: String)).otherwise(chain)
     df.crossJoin(broadcast(th)).withColumn("bucket", bucket).drop("__th")
   }
 
@@ -138,15 +163,20 @@ object Curation {
   def corpusReport(df: DataFrame, textCol: String,
       dims: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "corpusReport: no dimensions")
+    // per-dim `<dim>_agg` flags disambiguate a roll-up subtotal row from
+    // a group whose dimension VALUE is genuinely NULL — without
+    // grouping(), a NULL-lang corpus makes the two cells unreadable
+    val flags = dims.map(d => (grouping(col(d)) === 1).as(s"${d}_agg"))
     df.withColumn("__tok",
         graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
       .withColumn("__fp", md5(col(textCol)))
       .cube(dims.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(flags.head, flags.tail ++ Seq(
+        count(lit(1)).as("n_docs"),
         sum(col("__tok")).as("n_tokens"),
         countDistinct(col("__fp")).as("n_distinct"),
         round(lit(1d) - countDistinct(col("__fp")).cast("double") /
-          count(lit(1)), 4).as("dup_rate"))
+          count(lit(1)), 4).as("dup_rate")): _*)
   }
 
   /** 128-bit line key: two genuinely independent XXH64 passes over the
@@ -174,6 +204,7 @@ object Curation {
     * `min(own)` / `sum(df)` ([[compactLineIndex]]) — O(corpus distinct
     * lines) · 32 B, the ownerIndex discipline at line granularity. */
   def lineIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    requireNumericId(df, idCol, "lineIndex")
     val lines = df.select(col(idCol).cast("long").as("__id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val (h1, h2) = lineKeys(col("__line"))
@@ -204,6 +235,7 @@ object Curation {
   def dedupLinesAgainstHistory(batch: DataFrame, history: DataFrame,
       idCol: String, textCol: String, minDf: Int = 2): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    requireNumericId(batch, idCol, "dedupLinesAgainstHistory")
     val lines = batch.select(col(idCol).cast("long").as("__id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val (h1, h2) = lineKeys(col("__line"))
@@ -277,7 +309,17 @@ object Curation {
   def domainBlocklistGate(df: DataFrame, urlCol: String,
       blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "domainBlocklistGate: empty blocklist")
-    df.filter(!urlDomain(col(urlCol)).isin(blocked: _*))
+    // normalize entries to urlDomain's form (lowercase, www. stripped,
+    // last two labels): curated lists arrive as "Bad.com", "www.bad.com"
+    // or "tracker.bad.com", and a verbatim compare against the
+    // normalized domain would silently match nothing — a safety filter
+    // that filters nothing
+    val norm = blocked.map { b =>
+      val lc = b.toLowerCase.stripPrefix("www.")
+      val labels = lc.split('.')
+      if (labels.length <= 2) lc else labels.takeRight(2).mkString(".")
+    }.distinct
+    df.filter(!urlDomain(col(urlCol)).isin(norm: _*))
   }
 
   /** Redacted text column: every pattern replaced in order. Pure

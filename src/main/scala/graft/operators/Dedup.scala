@@ -471,13 +471,20 @@ object Dedup {
     * shares the one-shuffle pair generation and its Hamming ≤ 3 exact-
     * recall guarantee (a pair differing in ≤ 3 bits cannot touch all
     * four disjoint 16-bit blocks). */
+  /** The Manku 4-block bucketing key: `(block, key)` pairs from the four
+    * disjoint 16-bit windows of a 64-bit signature — THE shared
+    * derivation of hash64Pairs, hash64AgainstHistory, and the
+    * truncation diagnostic; a change here changes all three together
+    * (the diagnostic must always measure the bucketing the join uses). */
+  private def manku16BlockKeys(h: Column): Column =
+    posexplode(array((0 until SimhashBlocks).map(j =>
+      shiftrightunsigned(h, 16 * j).bitwiseAND(lit(0xffffL))): _*))
+
   def hash64Pairs(sigs: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val blockRows = sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .select(col("id"), col("sh"),
-        posexplode(array((0 until SimhashBlocks).map(j =>
-          shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("block", "key")))
+        manku16BlockKeys(col("sh")).as(Seq("block", "key")))
     val buckets = boundedBuckets(blockRows, Seq("block", "key"),
       collect_set(struct(col("id"), col("sh"))), maxBucket)
     buckets.select(array_sort(col("items")).as("sorted_items"))
@@ -523,9 +530,7 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     def blocks(df: DataFrame, id: String): DataFrame =
       df.select(col(id), col("__h"),
-        posexplode(array((0 until SimhashBlocks).map(j =>
-          shiftrightunsigned(col("__h"), 16 * j).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("block", "key")))
+        manku16BlockKeys(col("__h")).as(Seq("block", "key")))
     val bb = blocks(sigs.select(col(idCol).as("doc_id"),
       col(hashCol).as("__h")), "doc_id")
     val hb0 = blocks(history.select(col(idCol).as("hist_id"),
@@ -557,9 +562,7 @@ object Dedup {
     if (maxBucket <= 0) return 0L
     def blocks(df: DataFrame, id: String): DataFrame =
       df.select(col(id), col("__h"),
-        posexplode(array((0 until SimhashBlocks).map(j =>
-          shiftrightunsigned(col("__h"), 16 * j).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("block", "key")))
+        manku16BlockKeys(col("__h")).as(Seq("block", "key")))
     val probed = blocks(sigs.select(col(idCol).as("doc_id"),
       col(hashCol).as("__h")), "doc_id").select("block", "key").distinct()
     blocks(history.select(col(idCol).as("hist_id"),

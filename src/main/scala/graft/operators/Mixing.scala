@@ -215,8 +215,33 @@ object Mixing {
     val fs = out.getFileSystem(hconf)
     val manifestDir = new org.apache.hadoop.fs.Path(out, "_manifest")
     fs.mkdirs(manifestDir)
+    // export-level parameter marker: resuming under a DIFFERENT
+    // numShards or seed would mix two incompatible layouts (committed
+    // shards keyed mod-N, new ones mod-M — rows duplicated and lost,
+    // and the call would still report success). Refuse loudly instead —
+    // the HistoryFormat rule applied to the export (the marker rides
+    // _manifest/, a name no shard uses).
+    val paramsPath = new org.apache.hadoop.fs.Path(manifestDir, "_export.json")
+    if (graft.util.Fs.exists(paramsPath, hconf)) {
+      val node = graft.util.Fs.readJson(paramsPath, hconf)
+      val pn = graft.util.Jsons.optLong(node, "num_shards").getOrElse(-1L)
+      val ps = graft.util.Jsons.optLong(node, "seed").getOrElse(-1L)
+      if (pn != numShards.toLong || ps != seed)
+        throw new IllegalStateException(
+          s"resumable export at $outDir was started with numShards=$pn " +
+            s"seed=$ps but this call passes numShards=$numShards " +
+            s"seed=$seed — resuming would mix incompatible shard " +
+            "layouts. Finish with the original parameters, or delete " +
+            "the export directory to start over.")
+    } else {
+      val o = graft.util.Jsons.obj()
+      o.put("num_shards", numShards)
+      o.put("seed", seed)
+      graft.util.Fs.atomicWriteJson(paramsPath, o, hconf)
+    }
     val committed: Set[Int] = fs.listStatus(manifestDir)
       .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .filterNot(_ == "_export.json")
       .map(_.stripSuffix(".json").toInt).toSet
     val missing = (0 until numShards).filterNot(committed)
     if (missing.isEmpty) return (0, committed.size)
@@ -359,6 +384,16 @@ object Mixing {
       .select(col(idCol), col(domainCol), col("n_tokens"), col("epochs"))
   }
 
+  /** Guard for the MINSTD-draw operators: a non-numeric id NULLs out
+    * under the (non-ANSI) long cast, every comparison against the draw
+    * goes NULL, and rows silently fall through to the LAST branch —
+    * e.g. a string-id corpus 100% assigned to the final split. */
+  private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op needs a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString}")
+
   /** Deterministic train/val/test split assignment: each id draws
     * `u ∈ [0, 10000)` via the portable MINSTD chain and named splits own
     * contiguous integer bands (cumulative `round(frac · 10000)`
@@ -374,6 +409,7 @@ object Mixing {
     * rounded to an empty band. */
   def splitAssign(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], seed: Long = 97L): DataFrame = {
+    requireNumericId(df, idCol, "splitAssign")
     require(splits.nonEmpty, "splitAssign: no splits")
     require(splits.map(_._1).distinct.size == splits.size,
       "splitAssign: duplicate split names")
@@ -407,6 +443,7 @@ object Mixing {
     * corpus-fraction cuts use [[graft.operators.Curation.hashModSample]]. */
   def sampleExactN(df: DataFrame, idCol: String, k: Int,
       seed: Long = 53L): DataFrame = {
+    requireNumericId(df, idCol, "sampleExactN")
     require(k >= 0, s"sampleExactN: k must be >= 0, got $k")
     df.withColumn("__sk", minstd(col(idCol), seed))
       .orderBy(col("__sk"), col(idCol))

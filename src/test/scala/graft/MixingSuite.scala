@@ -278,6 +278,24 @@ class MixingSuite extends SparkSpec {
       assert(got.size === 400)
       // idempotent once complete
       assert(Mixing.writeShardsResumable(docs, "doc_id", out, 8) === ((0, 8)))
+      // resuming under DIFFERENT parameters would mix incompatible shard
+      // layouts — must refuse loudly, not report success
+      val pe = intercept[IllegalStateException] {
+        Mixing.writeShardsResumable(docs, "doc_id", out, numShards = 4)
+      }
+      assert(pe.getMessage.contains("incompatible"), pe.getMessage)
+      intercept[IllegalStateException] {
+        Mixing.writeShardsResumable(docs, "doc_id", out, 8, seed = 99L)
+      }
+      // non-numeric split ids refuse up front (NULL-cast would send the
+      // whole corpus to the last split)
+      val strDocs = Seq(("a", 1)).toDF("doc_id", "v")
+      intercept[IllegalArgumentException] {
+        Mixing.splitAssign(strDocs, "doc_id", Seq(("x", 0.5), ("y", 0.5)))
+      }
+      intercept[IllegalArgumentException] {
+        Mixing.sampleExactN(strDocs, "doc_id", 1)
+      }
       // manifest audit: rows and key_xor match the committed data
       val m2 = graft.util.Fs.readJson(p(s"$out/_manifest/2.json"),
         spark.sparkContext.hadoopConfiguration)

@@ -1071,6 +1071,15 @@ class CurationSuite extends SparkSpec {
     val t2 = graft.operators.Curation.scoreBuckets(ties, "s", Seq("lo", "hi"))
       .collect().map(_.getString(2)).toSet
     assert(t2 === Set("lo"), "all-tied scores sit AT the threshold -> lower bucket")
+    // an unscored (NULL) row must not silently classify as the worst
+    // bucket — it reads NULL and the caller decides
+    val withNull = Seq((1L, Some(1.0)), (2L, Some(9.0)), (3L, None))
+      .toDF("id", "s")
+    val nb = graft.operators.Curation.scoreBuckets(withNull, "s",
+      Seq("lo", "hi")).collect().map(r => r.getLong(0) ->
+        Option(r.getString(2))).toMap
+    assert(nb(3L).isEmpty, s"NULL score must give NULL bucket: $nb")
+    assert(nb(1L) === Some("lo") && nb(2L) === Some("hi"))
     intercept[IllegalArgumentException] {
       graft.operators.Curation.scoreBuckets(df, "s", Seq("only"))
     }
@@ -1120,6 +1129,24 @@ class CurationSuite extends SparkSpec {
       Curation.lineIndex(bad, "doc_id", "text").collect()
     }
     assert(e.getMessage != null)
+    // a non-numeric id refuses up front instead of NULL-casting every
+    // id into one group (total silent data loss)
+    val strIds = Seq(("a", "x\ny"), ("b", "x\nz")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.lineIndex(strIds, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("numeric id"))
+    intercept[IllegalArgumentException] {
+      Curation.dedupLinesAgainstHistory(strIds,
+        Curation.lineIndex(Seq((1L, "x")).toDF("doc_id", "text"),
+          "doc_id", "text"), "doc_id", "text")
+    }
+    // the IN-BATCH variants accept any orderable id (no packed state)
+    val strOut = Curation.dedupLines(strIds, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getAs[String]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(strOut("a") === "x\ny" && strOut("b") === "z",
+      "string ids must work for in-batch line dedup")
   }
 
   test("url canonicalization: case/www/fragment/param-order collapse, edges hold") {
@@ -1153,6 +1180,14 @@ class CurationSuite extends SparkSpec {
     val kept = graft.operators.Curation.domainBlocklistGate(df, "url",
       Seq("bad.com")).collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L))
+    // curated lists arrive non-normalized: case, www., subdomains —
+    // all must still match the normalized domain
+    Seq(Seq("Bad.com"), Seq("www.bad.com"), Seq("WWW.Tracker.BAD.com"))
+      .foreach { bl =>
+        val k = graft.operators.Curation.domainBlocklistGate(df, "url", bl)
+          .collect().map(_.getLong(0)).toSet
+        assert(k === Set(1L), s"blocklist form $bl must normalize")
+      }
     val plan = graft.operators.Curation.domainBlocklistGate(df, "url",
       Seq("bad.com")).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"gate must be map-only:\n$plan")
