@@ -1094,4 +1094,76 @@ class StructuredRunnerSuite extends SparkSpec {
       assert(w.read(vecs).count() === 120L)
     }
   }
+
+  test("line-df history under the streaming engine, across checkpoint loss") {
+    // the line-dedup history as a micro-batch writer: per-batch
+    // lineIndex rows append into a history Delta table and a later
+    // batch's boilerplate copy excises against it — prior batches' text
+    // is never re-read, only 32-byte line-index rows
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Curation
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"; val lineHist = s"$tmp/lines"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 1's docs quote batch 0's BANNER line; their own lines stay
+      file(0, Seq((1L, "BANNER\nalpha"), (2L, "BANNER\nbeta")))
+      file(1, Seq((10L, "BANNER\ngamma"), (11L, "delta\nBANNER")))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val appId = "linehist"
+            graft.state.HistoryFormat.ensure(conf, lineHist,
+              graft.state.HistoryFormat.LineDf,
+              hasData = w.tableExists(lineHist))
+            val hist =
+              if (w.tableExists(lineHist))
+                w.read(lineHist).filter(col("batch_id") < batchId)
+                  .drop("batch_id")
+              else Seq.empty[(Long, Long, Long, Long)]
+                .toDF("h1", "h2", "own", "df")
+            val cleaned = Curation.dedupLinesAgainstHistory(
+              batch, hist, "doc_id", "text", minDf = 2)
+            if (!w.lastTxnVersion(curated, appId).exists(_ >= batchId))
+              w.write(cleaned.select("doc_id", "clean_text"),
+                curated, DeltaWriteMode.Append, txn = Some((appId, batchId)))
+            if (!w.lastTxnVersion(lineHist, appId).exists(_ >= batchId))
+              w.write(Curation.lineIndex(batch, "doc_id", "text")
+                  .withColumn("batch_id", lit(batchId)),
+                lineHist, DeltaWriteMode.Append, txn = Some((appId, batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def cleans() = w.read(curated).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val c1 = cleans()
+      // batch 0: BANNER duplicated IN-BATCH (df 2) — doc 1's copy owns
+      assert(c1(1L) === "BANNER\nalpha" && c1(2L) === "beta",
+        s"in-batch ownership must keep the min-(id,pos) copy: $c1")
+      // batch 1: every BANNER copy excises against the history
+      assert(c1(10L) === "gamma" && c1(11L) === "delta", s"$c1")
+      // idle re-run and checkpoint-loss replay change nothing
+      runOnce()
+      assert(cleans() === c1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(cleans() === c1,
+        "replay after checkpoint loss must not duplicate or re-clean")
+      // format marker rode along; a stale-version history refuses
+      assert(graft.state.HistoryFormat.read(conf, lineHist)
+        === Some(("line-df", 1L)))
+    }
+  }
 }
