@@ -218,6 +218,36 @@ object Queries {
              |               ORDER BY o_totalprice DESC, o_orderkey))
              |WHERE quartile = 1 ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ----- error-tolerant functions (TRY family) --------------------------
+    // NULL-on-failure semantics pinned cell by cell: malformed casts,
+    // division by zero, and bigint overflow all read NULL instead of
+    // failing the job — the ingestion posture a dirty 100 TB corpus
+    // needs. The oracle replays each failure condition explicitly
+    // (DuckDB TRY_CAST matches; overflow/zero-div spell out as CASEs —
+    // fractional strings stay out of the plant: the engines round
+    // string→int differently and that's a cast-dialect gap, not a TRY
+    // semantics one).
+    "q_try_funcs" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("doc_id").cast("string"))
+            .when(col("doc_id") % 3 === 1, lit("junk"))
+            .otherwise(lit("")).as("raw"))
+        .select(col("doc_id"),
+          expr("try_cast(raw AS BIGINT)").as("parsed"),
+          round(expr("try_divide(doc_id, doc_id % 5)"), 4).as("ratio"),
+          expr("try_add(9223372036854775800L, doc_id)").as("near_max"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+             |    WHEN doc_id % 3 = 1 THEN 'junk' ELSE '' END AS BIGINT)
+             |    AS parsed,
+             |  ROUND(CAST(doc_id AS DOUBLE) / NULLIF(doc_id % 5, 0), 4)
+             |    AS ratio,
+             |  CASE WHEN doc_id > 7 THEN NULL
+             |       ELSE 9223372036854775800 + doc_id END AS near_max
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- rollup (grouping-set subtotals + grand total) -----------------
     // Spark's rollup and DuckDB's GROUP BY ROLLUP must agree cell for
     // cell, including the NULL subtotal rows (Spark sorts nulls first by

@@ -465,6 +465,23 @@ class PlanSuite extends SparkSpec {
       "the train-side candidate probe must hash grams in place")
   }
 
+  test("line dedup: df combines map-side, no corpus-wide window, anti-join probes the hot set") {
+    assume(available)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", concat_ws("\n", col("text"),
+        lit("BANNER"), col("text")))
+    val plan = finalPlanOf(graft.operators.Curation.removeBoilerplateLines(
+      docs, "doc_id", "text", minDf = 100))
+    // a corpus-wide banner must ship one PARTIAL count per map
+    // partition, never its occurrences
+    assert(plan.contains("partial_count"),
+      s"line df must combine map-side:\n${plan.take(1500)}")
+    // no window anywhere: ownership/df never funnel through a
+    // partition-less (or line-keyed) window buffer
+    assert(!plan.contains("Window"),
+      s"the boilerplate pass must not plan a window:\n${plan.take(1500)}")
+  }
+
   test("token stats run in one codegen pass with no hash exchange") {
     assume(available)
     val plan = finalPlanOf(Queries.defs("d_token_count").build(spark, sfDir))
