@@ -2720,6 +2720,46 @@ object Queries {
            |GROUP BY a.doc_id ORDER BY query_id""".stripMargin
       }),
 
+    // ----- sampled LSH recall audit (the production recall monitor) ------
+    // Exact word-shingle Jaccard pairs among a 400-doc deterministic
+    // hash sample (the truth side — oracle-replayable), with ONE
+    // declarative recall_ok gate over the full-corpus LSH's recovery of
+    // those pairs (the e_ann_lsh contract: a banding recall regression
+    // flips every row and fails the hash). At 100 TB this is how recall
+    // is actually monitored — exact truth on a bounded sample, never
+    // the corpus.
+    "d_minhash_recall" -> QueryDef(
+      (s, d) => Dedup.minhashRecallAudit(t(s, d, "documents"),
+        "doc_id", "text", sampleN = 250, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val h = graft.operators.Mixing.minstdSql("doc_id", 53L)
+        s"""WITH sample AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text FROM documents
+           |    ORDER BY $h, doc_id LIMIT 250)),
+           |sh AS (
+           |  SELECT doc_id, LIST_DISTINCT(
+           |    CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
+           |      ELSE [ARRAY_TO_STRING(w[i : i + 2], ' ')
+           |            FOR i IN RANGE(1, LEN(w) - 1)] END) AS g
+           |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM sample))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  ROUND(CAST(LEN(LIST_FILTER(a.g, x -> LIST_CONTAINS(b.g, x)))
+           |      AS DOUBLE) /
+           |    (LEN(a.g) + LEN(b.g)
+           |      - LEN(LIST_FILTER(a.g, x -> LIST_CONTAINS(b.g, x)))), 4)
+           |    AS jaccard,
+           |  TRUE AS recall_ok
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE ROUND(CAST(LEN(LIST_FILTER(a.g, x -> LIST_CONTAINS(b.g, x)))
+           |      AS DOUBLE) /
+           |    (LEN(a.g) + LEN(b.g)
+           |      - LEN(LIST_FILTER(a.g, x -> LIST_CONTAINS(b.g, x)))), 4)
+           |    >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // ----- winnowing (MOSS) quotation/copy detection (rows-only; the
     // w+k-1 shared-substring guarantee is suite-gated) ---------------------
     // tSpread A/B REJECTED here (1.92 -> 2.03 s isolated sf0.1): the
