@@ -3165,6 +3165,24 @@ object Queries {
              |GROUP BY CUBE (lang, source)
              |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
 
+    // Incremental corpus report (rows-only BY DESIGN: n_distinct is a
+    // DataSketches HLL estimate no ANSI engine reproduces bit-for-bit;
+    // the fold-equals-one-shot law and the estimate tolerance are
+    // suite-gated instead). Two batch states union and merge into the
+    // full CUBE report — the corpus-to-date report card from
+    // O(#cells · KB) state, no batch re-read.
+    "d_corpus_report_incr" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = graft.operators.Curation.corpusReportBatch(
+            docs.filter(col("doc_id") < 250), "text", Seq("lang", "source"))
+          .unionByName(graft.operators.Curation.corpusReportBatch(
+            docs.filter(col("doc_id") >= 250), "text", Seq("lang", "source")))
+        graft.operators.Curation.mergeCorpusReport(state, Seq("lang", "source"))
+          .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+      },
+      None),
+
     // Cross-batch incremental line dedup: docs < 250 are the persisted
     // line-df history ([[lineIndex]] — 32-byte rows, text never
     // re-read); docs >= 250 arrive as the batch. History-owned lines

@@ -179,6 +179,49 @@ object Curation {
           count(lit(1)), 4).as("dup_rate")): _*)
   }
 
+  /** Per-batch STATE for an incremental [[corpusReport]]: one row per
+    * LEAF (dims…) cell with the batch's doc count, exact token sum, and
+    * a DataSketches HLL sketch of the content fingerprints. Append per
+    * batch into a report-state table; [[mergeCorpusReport]] folds the
+    * accumulated rows into the full CUBE report at any time. The sketch
+    * is the trade that makes the report FOLDABLE: exact distinct cannot
+    * merge without re-reading every batch, an HLL union merges in
+    * O(sketch bytes) with ~±2% relative error at the default lgK=12 —
+    * the corpus-to-date dup rate from O(#cells · KB) state. Leaf cells
+    * only; subtotals roll up at merge time, so the state stays one row
+    * per live cell no matter how many batches land. */
+  def corpusReportBatch(df: DataFrame, textCol: String,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "corpusReportBatch: no dimensions")
+    df.withColumn("__tok",
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__fp", md5(col(textCol)))
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        hll_sketch_agg(col("__fp")).as("fp_sketch"))
+  }
+
+  /** Fold accumulated [[corpusReportBatch]] rows into the
+    * [[corpusReport]] shape — every CUBE cell with grouping flags,
+    * counts exact, `n_distinct`/`dup_rate` HLL-estimated. Doubles as
+    * the state COMPACTION: merging the output of one batch's worth of
+    * leaf rows back to leaf granularity keeps the table bounded
+    * (group by the dims without cube for that). */
+  def mergeCorpusReport(state: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "mergeCorpusReport: no dimensions")
+    val flags = dims.map(d => (grouping(col(d)) === 1).as(s"${d}_agg"))
+    state.cube(dims.map(col): _*)
+      .agg(flags.head, flags.tail ++ Seq(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("fp_sketch")))
+          .as("n_distinct")): _*)
+      .withColumn("dup_rate",
+        round(greatest(lit(0d), lit(1d) -
+          col("n_distinct").cast("double") / col("n_docs")), 4))
+  }
+
   /** 128-bit line key: two genuinely independent XXH64 passes over the
     * line bytes. Second hash seeds via a LEADING literal —
     * `xxhash64(lit, line)` hashes the LINE bytes under a derived seed;

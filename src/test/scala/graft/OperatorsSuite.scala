@@ -1054,6 +1054,49 @@ class CurationSuite extends SparkSpec {
     assert(byId(4L) === (("solo", 0L)), "unique lines pass untouched")
   }
 
+  test("incremental corpus report: batch sketches fold to the one-shot report") {
+    import graft.operators.Curation
+    val mk = (ids: Range, src: String) => ids.map(i =>
+      (i.toLong, src, if (i % 4 == 0) "DUPLICATE BODY" else s"text $i"))
+    val b1 = mk(0 until 300, "a") ++ mk(300 until 500, "b")
+    val b2 = mk(500 until 700, "a") ++ mk(700 until 1100, "c")
+    val all = (b1 ++ b2).toDF("doc_id", "src", "text")
+    // fold: per-batch LEAF state unioned, merged at read time
+    val state = Curation.corpusReportBatch(
+        b1.toDF("doc_id", "src", "text"), "text", Seq("src"))
+      .unionByName(Curation.corpusReportBatch(
+        b2.toDF("doc_id", "src", "text"), "text", Seq("src")))
+    val merged = Curation.mergeCorpusReport(state, Seq("src"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val oneShot = Curation.corpusReport(all, "text", Seq("src"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged.keySet === oneShot.keySet)
+    merged.foreach { case (k, (agg, n, tok, dist)) =>
+      val (oAgg, oN, oTok, oDist) = oneShot(k)
+      assert(agg === oAgg && n === oN && tok === oTok,
+        s"counts must fold exactly for $k")
+      // the distinct count is HLL-estimated: within 5% of exact
+      assert(math.abs(dist - oDist) <= math.max(2L, (0.05 * oDist).toLong),
+        s"cell $k: estimated $dist vs exact $oDist")
+    }
+    // state COMPACTION: re-merging leaf-granularity state probes the same
+    val compact = state.groupBy("src")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        expr("hll_union_agg(fp_sketch)").as("fp_sketch"))
+    // NOT exact equality: DataSketches HLL union estimates can shift a
+    // fraction of a percent with merge ORDER (mode promotion inside the
+    // union), so compaction is probe-EQUIVALENT within tolerance, not
+    // bit-identical
+    val mergedC = Curation.mergeCorpusReport(compact, Seq("src"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(4)).toMap
+    mergedC.foreach { case (k, est) =>
+      val want = merged(k)._4
+      assert(math.abs(est - want) <= math.max(2L, (0.02 * want).toLong),
+        s"cell $k: compacted $est vs raw-fold $want") }
+  }
+
   test("scoreBuckets: tercile cuts, boundary rows classify low, validation") {
     // 9 scores 1..9: terciles at interpolated 3.67/6.33 — 1-3 head,
     // 4-6 middle, 7-9 tail
