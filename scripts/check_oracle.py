@@ -16,7 +16,7 @@ with NO normalization the driver doesn't do —
     int64 column hashes differently (the driver's r11 d_vocab_drift red);
     cells stringify with plain str(), so 27165 != 27165.0.
 Repo rule enforced downstream: no query lands with a non-scalar output
-column (see QueriesShapeSuite).
+column (enforced by the PlanAudit schema sweep, examples/PlanAudit.scala).
 """
 import hashlib
 import json

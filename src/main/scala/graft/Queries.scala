@@ -124,6 +124,111 @@ object Queries {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
 
+  /** Planted BPE model for the subword-tokenization oracles — a FIXED
+    * model artifact, the way a real pipeline ships one (training is
+    * separately oracle-gated by d_bpe_train). Base alphabet = the
+    * corpus's observed code points (a-y, no x/z) MINUS 'q' — so 'query'
+    * exercises the unk path, the d_tokenize_ids tiny-vocab trick at
+    * char level — plus the ' ' separator; merges = the first 8 merges
+    * Bpe.train learns on the full sf0.01 corpus (none involves 'q'). */
+  private lazy val plantedBpe: graft.operators.Bpe.BpeModel =
+    graft.operators.Bpe.BpeModel(
+      " abcdefghijklmnoprstuvwy".map(_.toString),
+      Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+        "m" -> "er", "a" -> "t", "l" -> "u"))
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB replay of [[graft.functions.BpeCodec.segment]]'s greedy
+    * rank rule as shared CTEs: `wids(w, ids)` maps every DISTINCT word
+    * to its id sequence under [[plantedBpe]] (recursion runs over word
+    * TYPES — ~31 here — never word instances), `docw(doc_id, ord, wd)`
+    * positions each document's words. Each recursion step merges the
+    * LEFTMOST occurrence of the MINIMUM-rank adjacent pair — exactly
+    * equal to classic exhaustive-per-merge application (BpeCodec's
+    * equivalence note) and to the Spark expression. `nullif(...,0)`
+    * because DuckDB list_position signals a miss as 0. */
+  private def bpeEncodeCtes: String = {
+    val ml = plantedBpe.merges.map { case (l, r) => sqlStr(l + " " + r) }
+      .mkString("[", ",", "]")
+    val sl = plantedBpe.symbols.map(sqlStr).mkString("[", ",", "]")
+    s"""words AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)),
+       |seg AS (
+       |  SELECT w, [w[i] FOR i IN range(1, LEN(w)+1)] AS syms, 0 AS step
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:],
+       |    step + 1
+       |  FROM (
+       |    SELECT w, syms, step, list_min(ranks) AS br,
+       |           list_position(ranks, list_min(ranks)) AS p
+       |    FROM (SELECT w, syms, step,
+       |            [coalesce(nullif(list_position($ml,
+       |               syms[i] || ' ' || syms[i+1]), 0), 999999)
+       |             FOR i IN range(1, LEN(syms))] AS ranks
+       |          FROM seg))
+       |  WHERE br < 999999),
+       |wids AS (
+       |  SELECT w, [coalesce(nullif(list_position($sl, s), 0), 0)
+       |             FOR s IN syms] AS ids
+       |  FROM (SELECT w, syms FROM seg
+       |        QUALIFY row_number() OVER (PARTITION BY w
+       |          ORDER BY step DESC) = 1)),
+       |docw AS (
+       |  SELECT doc_id, UNNEST([{'ord': i, 'wd': ws[i]}
+       |      FOR i IN range(1, LEN(ws)+1)], recursive := true)
+       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+       |        FROM documents))""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Bpe.trainMerges]]: `n` unrolled
+    * iterations, each = one weighted adjacent-pair count over the word-
+    * type segmentations (UNNEST counts overlapping occurrences, the
+    * Sennrich get_stats rule), one (cnt DESC, l, r) argmax, and one
+    * recursive leftmost-merge application of the winner. seg0 seeds
+    * from code points; segK carries the table forward, mirroring the
+    * incremental application every real trainer uses. */
+  private def bpeTrainOracleSql(n: Int): String = {
+    val head =
+      s"""wf AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+         |    FROM documents WHERE doc_id % 10 = 0)
+         |  WHERE LEN(w) > 0 GROUP BY w),
+         |seg0 AS (SELECT w, freq, [w[i] FOR i IN range(1, LEN(w)+1)] AS syms
+         |  FROM wf)""".stripMargin
+    val iters = (1 to n).map { k =>
+      s"""p$k AS (
+         |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, UNNEST([{'l': syms[i], 'r': syms[i+1]}
+         |        FOR i IN range(1, LEN(syms))], recursive := true)
+         |    FROM seg${k - 1})
+         |  GROUP BY l, r),
+         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |r$k AS (
+         |  SELECT w, freq, syms, 0 AS step FROM seg${k - 1}
+         |  UNION ALL
+         |  SELECT w, freq, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:],
+         |    step + 1
+         |  FROM (SELECT w, freq, syms, step,
+         |          list_position([syms[i] || ' ' || syms[i+1]
+         |              FOR i IN range(1, LEN(syms))],
+         |            (SELECT l || ' ' || r FROM m$k)) AS p
+         |        FROM r$k)
+         |  WHERE p >= 1),
+         |seg$k AS (SELECT w, freq, syms FROM r$k
+         |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1)"""
+        .stripMargin
+    }
+    val union = (1 to n)
+      .map(k => s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, cnt FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"WITH RECURSIVE $head,\n${iters.mkString(",\n")}\n" +
+      s"SELECT * FROM (\n$union)\nORDER BY merge_rank"
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----- filter / projection -------------------------------------------
@@ -2419,6 +2524,76 @@ object Queries {
            |ORDER BY batch""".stripMargin
       }),
 
+    // ----- BPE subword training (the trainer-real tokenizer family) -----
+    // Six merges learned on the doc_id%10 slice, each row the winning
+    // pair with its weighted count — the full training TRACE is the
+    // output, so a single tie-break or pair-count divergence anywhere
+    // in the iteration flips the hash. The oracle unrolls all six
+    // iterations (pair count → argmax → leftmost-merge recursion).
+    "d_bpe_train" -> QueryDef(
+      (s, d) => {
+        val ms = graft.operators.Bpe.trainMerges(
+          t(s, d, "documents").filter(col("doc_id") % 10 === 0), "text", 6)
+        import s.implicits._
+        ms.zipWithIndex.map { case ((l, r, c), i) => (i + 1, l, r, c) }
+          .toDF("merge_rank", "lhs", "rhs", "cnt")
+          .orderBy("merge_rank")
+      },
+      Some(bpeTrainOracleSql(6))),
+
+    // ----- BPE subword encode (text -> trainer-real ids) ----------------
+    // The full corpus under the planted fixed model; 'q' is outside the
+    // base alphabet so 'query' populates the unk path. Spark side is
+    // the map-only zero-exchange codegen expression; the oracle
+    // replays the greedy rank rule over DISTINCT words (~31) and joins
+    // back. Ids stringify via array_join (non-scalar-output rule).
+    "d_bpe_ids" -> QueryDef(
+      (s, d) => graft.operators.Bpe.encode(
+          t(s, d, "documents"), "doc_id", "text", plantedBpe)
+        .withColumn("ids", array_join(col("ids"), ","))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $bpeEncodeCtes,
+              |flat AS (
+              |  SELECT d.doc_id,
+              |    flatten(LIST(list_append(i.ids, ${plantedBpe.spaceId})
+              |      ORDER BY d.ord)) AS idsp
+              |  FROM docw d JOIN wids i ON d.wd = i.w
+              |  GROUP BY d.doc_id)
+              |SELECT doc_id,
+              |  ARRAY_TO_STRING(idsp[1:LEN(idsp)-1], ',') AS ids,
+              |  CAST(LEN(idsp) - 1 AS BIGINT) AS n_tokens,
+              |  CAST(LEN(LIST_FILTER(idsp[1:LEN(idsp)-1], x -> x = 0))
+              |    AS BIGINT) AS n_oov
+              |FROM flat ORDER BY doc_id""".stripMargin)),
+
+    // ----- BPE model drift (persisted-merge-table staleness signal) -----
+    // d_vocab_drift's pattern over the subword model: unknown-symbol
+    // rate under the planted alphabet (the 'q' gap supplies a real OOV
+    // population), with the per-doc high-OOV share driving the rebuild
+    // flag. One map-only encode + one global aggregate.
+    "d_bpe_drift" -> QueryDef(
+      (s, d) => graft.operators.Bpe.drift(
+        t(s, d, "documents"), "doc_id", "text", plantedBpe,
+        maxDocOov = 0.01, maxHighFrac = 0.3),
+      Some(s"""WITH RECURSIVE $bpeEncodeCtes,
+              |pd AS (
+              |  SELECT d.doc_id,
+              |    SUM(LEN(i.ids)) + COUNT(*) - 1 AS nt,
+              |    SUM(LEN(LIST_FILTER(i.ids, x -> x = 0))) AS oo
+              |  FROM docw d JOIN wids i ON d.wd = i.w
+              |  GROUP BY d.doc_id)
+              |SELECT n_docs, n_tokens, n_oov, oov_rate, frac_high,
+              |  frac_high > 0.3 AS rebuild FROM (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+              |    CAST(SUM(oo) AS BIGINT) AS n_oov,
+              |    ROUND(CAST(SUM(oo) AS DOUBLE)
+              |      / GREATEST(SUM(nt), 1), 4) AS oov_rate,
+              |    ROUND(CAST(SUM(CASE WHEN CAST(oo AS DOUBLE)
+              |        / GREATEST(nt, 1) > 0.01 THEN 1 ELSE 0 END) AS DOUBLE)
+              |      / GREATEST(COUNT(*), 1), 4) AS frac_high
+              |  FROM pd)""".stripMargin)),
+
     // ----- fill-in-the-middle sample construction (PSM reorder) ---------
     // Half the docs (doc_id % 2 = 0, length >= 3) FIM-reorder under
     // deterministic doc_id-derived boundaries both engines compute
@@ -2721,8 +2896,10 @@ object Queries {
       }),
 
     // ----- sampled LSH recall audit (the production recall monitor) ------
-    // Exact word-shingle Jaccard pairs among a 400-doc deterministic
-    // hash sample (the truth side — oracle-replayable), with ONE
+    // Exact word-shingle Jaccard pairs among a 250-doc deterministic
+    // hash sample (the truth side — oracle-replayable; the 400-doc
+    // figures quoted in Dedup.scala are from the timing experiments,
+    // not this query's budget), with ONE
     // declarative recall_ok gate over the full-corpus LSH's recovery of
     // those pairs (the e_ann_lsh contract: a banding recall regression
     // flips every row and fails the hash). At 100 TB this is how recall
@@ -3140,8 +3317,8 @@ object Queries {
            |  GROUP BY 1),
            |th AS (SELECT quantile_cont(nll, [$p1, $p2]) AS t FROM scored)
            |SELECT id, nll,
-           |  CASE WHEN nll <= t[1] THEN 'head'
-           |       WHEN nll <= t[2] THEN 'middle'
+           |  CASE WHEN nll <= ROUND(t[1], 6) THEN 'head'
+           |       WHEN nll <= ROUND(t[2], 6) THEN 'middle'
            |       ELSE 'tail' END AS bucket
            |FROM scored CROSS JOIN th ORDER BY id""".stripMargin
       }),

@@ -82,16 +82,14 @@ object Curation {
       .drop("__id", "__clean", "__kept")
   }
 
-  /** Guard for the operators whose persisted/packed state needs numeric
-    * ids: a non-numeric id would NULL out under the (non-ANSI) long
-    * cast and silently collapse every document into one NULL group —
-    * total data loss, not an error (the hashModSample precedent). */
+  /** Guard for the operators whose persisted/packed state needs INTEGRAL
+    * ids (shared [[IdGuard]]): a non-numeric id NULLs out under the
+    * (non-ANSI) long cast — one NULL group, total data loss — and a
+    * fractional one truncates, collapsing distinct ids into one packed
+    * owner (the hashModSample precedent, quieter). */
   private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
-    require(df.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$op needs a numeric id column; '$idCol' is " +
-        s"${df.schema(idCol).dataType.simpleString} (a non-numeric cast " +
-        "would null every id and silently destroy the output)")
+    IdGuard.requireIntegralId(df, idCol, op,
+      "a lossy cast would corrupt the packed owners silently")
 
   /** Keep-FIRST line deduplication (the Dolma `dedupe_paragraphs`
     * rule, complementing [[removeBoilerplateLines]]'s drop-ALL-copies):
@@ -126,10 +124,13 @@ object Curation {
     * a map-only comparison chain — never a corpus-wide ordered window
     * or ntile, which would funnel the corpus into one task (the
     * epochPlan rule). Rows at a threshold classify into the lower
-    * bucket (`<=`), deterministically on both engines: scores are
-    * caller-rounded and the interpolated threshold either equals a
-    * score exactly (tied neighbors) or sits strictly between two
-    * rounding steps. */
+    * bucket (`<=`), deterministically on both engines: the interpolated
+    * thresholds ROUND to 6 decimals before the comparison, so with
+    * caller-rounded (coarser, e.g. 2-decimal) scores a 1-ulp
+    * interpolation difference between Spark's percentile and another
+    * engine's quantile_cont can never flip a bucket — the rounded
+    * threshold either equals a representable score exactly on both
+    * engines or sits strictly between two score rounding steps. */
   def scoreBuckets(df: DataFrame, scoreCol: String,
       labels: Seq[String]): DataFrame = {
     require(labels.size >= 2, "scoreBuckets: need at least 2 labels")
@@ -141,7 +142,8 @@ object Curation {
       .as("__th"))
     val chain = labels.init.zipWithIndex
       .foldRight(lit(labels.last): Column) { case ((lab, i), acc) =>
-        when(col(scoreCol).cast("double") <= element_at(col("__th"), i + 1),
+        when(col(scoreCol).cast("double")
+            <= round(element_at(col("__th"), i + 1), 6),
           lit(lab)).otherwise(acc)
       }
     // an unscored row must NOT silently classify into the last (worst)
@@ -231,11 +233,20 @@ object Curation {
     (xxhash64(line), xxhash64(lit(0x9E3779B97F4A7C15L), line))
 
   private def packedLineOwner(id: Column, pos: Column): Column = {
+    // both halves guarded: an id outside 31 bits OR a pos outside 32
+    // bits would bleed across the doc_id·2^32+pos bit boundary and
+    // silently corrupt owner ordering rather than raise
     val guard = when(id < 0 || id > Int.MaxValue.toLong,
       raise_error(concat(lit("lineIndex: doc_id out of packed range: "),
         id.cast("string"), lit(" — the cross-batch line-history schema " +
           "is packed-long only; re-key documents into [0, 2^31) before " +
           "indexing"))))
+      .otherwise(when(pos < 0 || pos > 4294967295L,
+        raise_error(concat(lit("lineIndex: line position out of packed " +
+          "range: "), pos.cast("string"),
+          lit(" — a document may hold at most 2^32 lines under the " +
+            "packed-long owner schema; split oversized documents " +
+            "before indexing")))))
     coalesce(guard.cast("long"), id.cast("long") * lit(4294967296L) + pos)
   }
 

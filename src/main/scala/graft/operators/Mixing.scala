@@ -384,15 +384,14 @@ object Mixing {
       .select(col(idCol), col(domainCol), col("n_tokens"), col("epochs"))
   }
 
-  /** Guard for the MINSTD-draw operators: a non-numeric id NULLs out
-    * under the (non-ANSI) long cast, every comparison against the draw
-    * goes NULL, and rows silently fall through to the LAST branch —
-    * e.g. a string-id corpus 100% assigned to the final split. */
+  /** Guard for the MINSTD-draw operators (shared [[IdGuard]]): a
+    * non-numeric id NULLs out under the (non-ANSI) long cast — rows
+    * silently fall through to the LAST branch, e.g. a string-id corpus
+    * 100% assigned to the final split — and a fractional id truncates,
+    * so distinct ids share one draw. */
   private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
-    require(df.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$op needs a numeric id column; '$idCol' is " +
-        s"${df.schema(idCol).dataType.simpleString}")
+    IdGuard.requireIntegralId(df, idCol, op,
+      "a lossy cast would corrupt or collapse the per-id draws silently")
 
   /** Deterministic train/val/test split assignment: each id draws
     * `u ∈ [0, 10000)` via the portable MINSTD chain and named splits own

@@ -58,14 +58,12 @@ object SpanDedup {
   /** Span joins key on `cast(idCol as long)`; a non-numeric id column
     * casts to null, every row misses the join, and duplicated spans pass
     * through UNEXCISED with no error — the same silent-wrong-answer trap
-    * [[Packing.packAssignments]] guards against. Fail loudly instead. */
+    * [[Packing.packAssignments]] guards against; a fractional id
+    * truncates, merging distinct docs' spans. Shared [[IdGuard]]. */
   private def requireNumericId(df: DataFrame, idCol: String): Unit =
-    require(df.schema(idCol).dataType.isInstanceOf[
-      org.apache.spark.sql.types.NumericType],
-      s"SpanDedup needs a numeric id column; '$idCol' is " +
-      s"${df.schema(idCol).dataType.simpleString} (a non-numeric cast " +
-      "would null the doc_id join keys and silently leave duplicated " +
-      "spans unexcised)")
+    IdGuard.requireIntegralId(df, idCol, "SpanDedup",
+      "a lossy cast would null or collapse the doc_id join keys and " +
+        "silently leave duplicated spans unexcised")
 
   /** The id contract of the INCREMENTAL path ([[ownerIndex]] /
     * [[spansWithHistory]]): the persisted history schema is packed-long

@@ -64,6 +64,16 @@ object HistoryFormat {
     "re-run the cluster assignment under the current quantizer and " +
       "overwrite the history table")
 
+  /** Persisted BPE subword model ([[graft.operators.Bpe.save]]): v1 =
+    * sorted code-point base alphabet + ordered pair merges, ids =
+    * 1-based position in (base ++ merges), id 0 reserved for unk. The
+    * id space is positional, so ANY change to alphabet derivation or
+    * merge order silently re-ids every persisted token sequence. */
+  val BpeMerges: Format = Format("bpe-merges", 1,
+    "re-train the BPE model (Bpe.train) on the reference slice, re-save " +
+      "it, and re-encode any persisted id sequences produced under the " +
+      "old model")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)
