@@ -1956,6 +1956,83 @@ object Queries {
              |  ELSE 'es' END AS lang_pred, COUNT(*) AS n_docs
              |FROM scored GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
 
+    // ----- per-language routing (profile lang-id, Cavnar-Trenkle) -------
+    // Three planted "languages" derived deterministically from the corpus
+    // (raw text; vowels→odd digits; r/s/t/l/n→even digits — disjoint
+    // trigram distributions), one bounded char-trigram LM each trained
+    // on its doc_id%10 slice; every doc routes by argmin mean surprisal
+    // with (nll, lang) tie-break. routed_ok pins that routing recovers
+    // the plant — a single misroute anywhere flips the hash. Scoring is
+    // K fused codegen models over ONE scan, zero exchanges.
+    "d_lang_route" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def v2(c: Column) = translate(c, "aeiou", "13579")
+        def v3(c: Column) = translate(c, "rstln", "24680")
+        val slice = docs.filter(col("doc_id") % 10 === 0)
+        val models = Seq(
+          "l1" -> graft.operators.Curation.ngramLm(
+            slice.select(col("text")), "text", 3),
+          "l2" -> graft.operators.Curation.ngramLm(
+            slice.select(v2(col("text")).as("text")), "text", 3),
+          "l3" -> graft.operators.Curation.ngramLm(
+            slice.select(v3(col("text")).as("text")), "text", 3))
+        val batch = docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1, v2(col("text")))
+            .otherwise(v3(col("text"))).as("text"))
+        graft.operators.Curation.langRoute(batch, "doc_id", "text", models)
+          .withColumn("expected",
+            concat(lit("l"), (col("id") % 3 + 1).cast("string")))
+          .withColumn("routed_ok", col("lang") === col("expected"))
+          .orderBy("id")
+      },
+      Some {
+        def modelSql(k: Int, tx: String) =
+          s"""m$k AS (
+             |  SELECT g, COUNT(*) AS c FROM (
+             |    SELECT UNNEST(CASE WHEN LENGTH($tx) < 3 THEN [$tx]
+             |      ELSE [$tx[i:i+2] FOR i IN RANGE(1, LENGTH($tx) - 1)]
+             |      END) AS g
+             |    FROM v WHERE doc_id % 10 = 0) GROUP BY 1),
+             |s$k AS (SELECT SUM(c) AS total, COUNT(*) AS vv FROM m$k)"""
+            .stripMargin
+        def scoreSql(k: Int) =
+          s"""sc$k AS (
+             |  SELECT doc_id, 'l$k' AS lang,
+             |    ROUND(CAST(SUM(CAST(-LN(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+             |        / (total + vv + 1)) AS DECIMAL(30,9))) AS DOUBLE)
+             |      / COUNT(*), 2) AS nll
+             |  FROM grams LEFT JOIN m$k m USING (g) CROSS JOIN s$k
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH v AS (
+           |  SELECT doc_id, text AS t1,
+           |    translate(text, 'aeiou', '13579') AS t2,
+           |    translate(text, 'rstln', '24680') AS t3
+           |  FROM documents),
+           |${modelSql(1, "t1")},
+           |${modelSql(2, "t2")},
+           |${modelSql(3, "t3")},
+           |batch AS (
+           |  SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+           |    WHEN 0 THEN t1 WHEN 1 THEN t2 ELSE t3 END AS bt FROM v),
+           |grams AS (
+           |  SELECT doc_id, UNNEST(CASE WHEN LENGTH(bt) < 3 THEN [bt]
+           |    ELSE [bt[i:i+2] FOR i IN RANGE(1, LENGTH(bt) - 1)] END) AS g
+           |  FROM batch),
+           |${scoreSql(1)},
+           |${scoreSql(2)},
+           |${scoreSql(3)}
+           |SELECT doc_id AS id, lang, nll,
+           |  'l' || CAST(doc_id % 3 + 1 AS VARCHAR) AS expected,
+           |  lang = 'l' || CAST(doc_id % 3 + 1 AS VARCHAR) AS routed_ok
+           |FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2
+           |      UNION ALL SELECT * FROM sc3)
+           |QUALIFY row_number() OVER (PARTITION BY doc_id
+           |  ORDER BY nll, lang) = 1
+           |ORDER BY id""".stripMargin
+      }),
+
     // ----- MinHash-LSH near-dup pairs (rows-only: not ANSI-expressible) ---
     "d_minhash_pairs" -> QueryDef(
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
@@ -2593,6 +2670,46 @@ object Queries {
               |        / GREATEST(nt, 1) > 0.01 THEN 1 ELSE 0 END) AS DOUBLE)
               |      / GREATEST(COUNT(*), 1), 4) AS frac_high
               |  FROM pd)""".stripMargin)),
+
+    // ----- HTML main-content extraction (the crawl-ingest step) ---------
+    // Deterministically planted markup around every document: chrome the
+    // classifier must DROP (2-word title, style+script payloads — the
+    // script contains a raw '<' and a fake close tag, exercising the
+    // raw-text skip — an all-link nav, a half-link footer at density
+    // 0.5 > 0.4) and blocks it must KEEP (a 4-word heading, the document
+    // body, an entity-bearing paragraph, and for doc_id%7 a conditional
+    // appendix so both plant branches reach the hash). The oracle
+    // constructs the expected extraction from the same inputs — both
+    // engines strip the same plant.
+    "d_html_extract" -> QueryDef(
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>site index</title>" +
+            "<style>p{color:red}</style>" +
+            "<script>if (1 < 2) { var x = \"</p>\"; }</script></head><body>" +
+            "<nav><a href='/'>Home</a> <a href='/a'>About us</a> " +
+            "<a>Contact</a></nav><h1>report for doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- boilerplate --><p>"), col("text"),
+          lit("</p><p>copy &amp; paste &lt;ok&gt;</p>"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("<blockquote>retained appendix for doc "),
+              col("doc_id").cast("string"), lit("</blockquote>")))
+            .otherwise(lit("")),
+          lit("<div><a href='/t'>Terms</a> <a>Privacy</a> (c) 2024</div>" +
+            "</body></html>"))
+        graft.operators.Curation.extractMainContent(
+          t(s, d, "documents").withColumn("html", html),
+          "doc_id", "html", minWords = 3, maxLinkDensity = 0.4)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'report for doc ' || doc_id || chr(10) || text || chr(10)
+             |  || 'copy & paste <ok>'
+             |  || CASE WHEN doc_id % 7 = 0
+             |       THEN chr(10) || 'retained appendix for doc ' || doc_id
+             |       ELSE '' END AS content
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----- fill-in-the-middle sample construction (PSM reorder) ---------
     // Half the docs (doc_id % 2 = 0, length >= 3) FIM-reorder under

@@ -28,10 +28,36 @@ object CurationPipelineDemo {
     val spark = GraftSession.local(8, "graft-curate")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rawDocs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def n(df: DataFrame): Long = df.count()
-    val total = n(docs)
+    val total = n(rawDocs)
+
+    // 0. HTML main-content extraction — the crawl-ingest step AHEAD of
+    //    every text stage: the corpus arrives here as markup (planted
+    //    deterministically around each document: nav links, script
+    //    payloads, a half-link footer), and the Boilerpipe/jusText-style
+    //    block classifier must strip exactly the chrome and keep exactly
+    //    the body before normalization/quality see any text. The gate is
+    //    exact: extraction must recover every document's original text.
+    import graft.operators.Curation
+    val markup = rawDocs.withColumn("html", concat(
+      lit("<html><head><title>site index</title>" +
+        "<script>var nav = '<div>';</script></head><body>" +
+        "<nav><a href='/'>Home</a> <a href='/a'>About us</a> " +
+        "<a>Contact</a></nav><p>"),
+      col("text"),
+      lit("</p><div><a href='/t'>Terms</a> <a>Privacy</a> (c) 2024</div>" +
+        "</body></html>")))
+    val extracted = Curation.extractMainContent(
+      markup, "doc_id", "html", minWords = 3, maxLinkDensity = 0.4)
+    val extractionExact = n(extracted
+      .join(rawDocs.select("doc_id", "text"), "doc_id")
+      .filter(col("content") =!= col("text")))
+    println(f"html extraction:  $total%6d docs de-chromed " +
+      s"(content==original text for all: ${extractionExact == 0L})")
+    val docs = extracted.select(col("doc_id"), col("content").as("text"))
+      .join(rawDocs.drop("text"), "doc_id")
 
     // 1. quality + language gate: single codegen pass, no shuffle
     val stopwords = Seq("the", "and", "of", "to", "a", "der", "die", "und",
@@ -45,7 +71,6 @@ object CurationPipelineDemo {
     // 1b. per-source reputation gate (domain-level filtering): sources
     //     with a high corpus-wide duplication rate or a stopword-free
     //     profile drop WHOLESALE — systematic junk per-doc filters miss
-    import graft.operators.Curation
     val docSources = docs.select(col("doc_id"), col("source"))
     val reputation = Curation.sourceReputation(docs, "source", "text",
       stopwords, maxDupRate = 0.2, minStopword = 0.05)
@@ -217,6 +242,7 @@ object CurationPipelineDemo {
       s"train->test leakage pairs: $leaks (raw corpus control: $rawLeaks); " +
       s"export: $shardsW shards committed")
     val ok = packStats.getLong(1) > 0 &&
+      extractionExact == 0L &&               // de-chroming is exact
       splitCounts.values.sum == readBack &&  // split is total
       leaks < rawLeaks &&                    // the funnel removed overlap
       shardsW == 4 &&

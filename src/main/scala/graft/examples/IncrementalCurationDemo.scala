@@ -79,6 +79,8 @@ object IncrementalCurationDemo {
     val spanHistory = s"$work/span_grams"
     val semHistory = s"$work/sem_index"; val quantizerPath = s"$cp/quantizer"
     val trainMix = s"$work/train_mix"; val mixCounts = s"$work/mix_counts"
+    val lineHistory = s"$work/line_df"; val pqIndex = s"$work/pq_codes"
+    val pqModelPath = s"$cp/pq_model"
 
     // deterministic synthetic embedding, a pure function of doc_id (the
     // image/text encoder stand-in — replay recomputes it bit-identically):
@@ -181,36 +183,53 @@ object IncrementalCurationDemo {
               Similarity.saveQuantizer(ctx.spark, quantizerPath, m)
               m
             }
-          // sem-index format gate (the span-history discipline): the
-          // assignment derivation must match before any probe
+          // PQ codebooks under the same train-once discipline: the
+          // pq-codes history below is only meaningful under this exact
+          // (quantizer, codebook) pair (its HistoryFormat guards the
+          // derivation shape)
+          val pqm =
+            if (Fs.exists(path(pqModelPath), conf))
+              Similarity.loadPqModel(ctx.spark, pqModelPath)
+            else {
+              val m = Similarity.trainPq(fresh, "doc_id", "emb", m = 4)
+              Similarity.savePqModel(ctx.spark, pqModelPath, m)
+              m
+            }
+          // sem-index format gate: fresh tables stamp here; existing
+          // tables re-validate INSIDE the *Table probe operator (the
+          // operator-enforced HistoryFormat contract)
           graft.state.HistoryFormat.ensure(
             spark.sparkContext.hadoopConfiguration, semHistory,
             graft.state.HistoryFormat.ClusterAssignment,
             hasData = w.tableExists(semHistory))
           val kept =
             if (w.tableExists(semHistory) && quant.nonEmpty) {
-              val flagged = Dedup.semDedupAgainstHistory(
-                fresh, w.read(semHistory).filter(col("batch_id") < ctx.batchId),
-                "doc_id", "emb", threshold = 0.92, quantizer = quant)
+              val flagged = Dedup.semDedupAgainstHistoryTable(
+                fresh, semHistory,
+                "doc_id", "emb", threshold = 0.92, quantizer = quant,
+                histFilter = _.filter(col("batch_id") < ctx.batchId))
                 .select("doc_id").distinct()
               fresh.join(flagged, Seq("doc_id"), "left_anti")
             } else fresh
           // cross-batch substring-span dedup: any >=10-token run already
           // seen in a prior batch (or earlier in this one) is excised
           // from the curated text; the canonical first occurrence stays
-          // format gate BEFORE the probe: a stale-format gram history
-          // (e.g. pre-r11 chained-h2 keys) would silently match nothing —
-          // refuse loudly instead (HistoryFormat names the rebuild remedy)
+          // format gate: a stale-format gram history (e.g. pre-r11
+          // chained-h2 keys) would silently match nothing. Fresh tables
+          // stamp here; existing tables refuse loudly from INSIDE
+          // spansWithHistoryTable (operator-enforced, remedy named)
           graft.state.HistoryFormat.ensure(
             spark.sparkContext.hadoopConfiguration, spanHistory,
             graft.state.HistoryFormat.SpanGramOwner,
             hasData = w.tableExists(spanHistory))
-          val grams =
-            if (w.tableExists(spanHistory)) w.read(spanHistory)
-            else Seq.empty[(Long, Long, Long, Long)]
-              .toDF("h1", "h2", "own", "occ")
-          val sp = SpanDedup.spansWithHistory(
-            kept, grams, "doc_id", "text", n = 10)
+          val sp =
+            if (w.tableExists(spanHistory))
+              SpanDedup.spansWithHistoryTable(
+                kept, spanHistory, "doc_id", "text", n = 10)
+            else SpanDedup.spansWithHistory(
+              kept, Seq.empty[(Long, Long, Long, Long)]
+                .toDF("h1", "h2", "own", "occ"),
+              "doc_id", "text", n = 10)
           val excised = SpanDedup.applySpans(kept, sp, "doc_id", "text")
             .cache()
           try {
@@ -233,6 +252,33 @@ object IncrementalCurationDemo {
                 Dedup.semDedupIndex(kept, "doc_id", "emb", quant)
                   .withColumn("batch_id", lit(ctx.batchId)),
                 semHistory, DeltaWriteMode.Append,
+                txn = Some((appId, ctx.batchId)))
+            // two more history families, maintained index-only here (their
+            // dedup gates live in the line/PQ suites): the PQ code index
+            // (m+4 B/vector searchable ANN state) and a line-df index over
+            // a line-per-word rendering (the corpus is single-line word
+            // soup; the rendering supplies real line granularity for the
+            // maintenance stage). Fresh tables stamp their HistoryFormat
+            // here; the end-of-run probes re-validate INSIDE the *Table
+            // operators.
+            graft.state.HistoryFormat.ensure(conf, pqIndex,
+              graft.state.HistoryFormat.PqCodes,
+              hasData = w.tableExists(pqIndex))
+            if (quant.nonEmpty &&
+                !w.lastTxnVersion(pqIndex, appId).exists(_ >= ctx.batchId))
+              w.write(
+                Similarity.pqIndexBatch(kept, "doc_id", "emb", pqm, quant),
+                pqIndex, DeltaWriteMode.Append,
+                txn = Some((appId, ctx.batchId)))
+            graft.state.HistoryFormat.ensure(conf, lineHistory,
+              graft.state.HistoryFormat.LineDf,
+              hasData = w.tableExists(lineHistory))
+            if (!w.lastTxnVersion(lineHistory, appId).exists(_ >= ctx.batchId))
+              w.write(
+                Curation.lineIndex(kept.select(col("doc_id"),
+                    regexp_replace(col("text"), " ", "\n").as("ltext")),
+                  "doc_id", "ltext"),
+                lineHistory, DeltaWriteMode.Append,
                 txn = Some((appId, ctx.batchId)))
             // train-mix stage: the curated stream's language mix steers
             // toward target shares ACROSS batches (arrival order is not
@@ -430,6 +476,54 @@ object IncrementalCurationDemo {
     val probeSpans = SpanDedup.spansWithHistory(
       probe, w.read(spanHistory), "doc_id", "text", n = 10).count()
     println(s"post-compaction probe: $probeSpans span(s) resolved")
+    // the remaining history families under the same maintenance pass:
+    // sem + PQ rows are one-per-curated-vector — FILE-level compaction,
+    // row-preserving; the line-df history holds per-(batch, line) rows —
+    // AGGREGATING compaction (min owner, summed df) bounded by the
+    // corpus's distinct lines. All five persisted histories compact in
+    // this one stage, and the post-compaction probes run through the
+    // OPERATOR-ENFORCED *Table surfaces (marker re-validated inside).
+    val extraFilesBefore = Seq(semHistory, pqIndex, lineHistory)
+      .map(w.activeAdds(_).size).sum
+    val semRowsBefore = w.read(semHistory).count()
+    val pqRowsBefore = w.read(pqIndex).count()
+    val lineRowsBefore = w.read(lineHistory).count()
+    val lineDistinct = w.read(lineHistory).select("h1", "h2").distinct().count()
+    w.compact(semHistory, smallFileBytes = 32L * 1024 * 1024)
+    w.compact(pqIndex, smallFileBytes = 32L * 1024 * 1024)
+    w.write(Curation.compactLineIndex(w.read(lineHistory)), lineHistory,
+      DeltaWriteMode.Overwrite)
+    val extraFilesAfter = Seq(semHistory, pqIndex, lineHistory)
+      .map(w.activeAdds(_).size).sum
+    val semRowsAfter = w.read(semHistory).count()
+    val pqRowsAfter = w.read(pqIndex).count()
+    val lineRowsAfter = w.read(lineHistory).count()
+    println(s"history compaction (sem/pq/line): files $extraFilesBefore -> " +
+      s"$extraFilesAfter; sem rows preserved=${semRowsAfter == semRowsBefore} " +
+      s"pq rows preserved=${pqRowsAfter == pqRowsBefore} " +
+      s"line rows bounded to distinct=${lineRowsAfter == lineDistinct} " +
+      s"(was $lineRowsBefore)")
+    // post-compaction probes through the *Table operators: a known
+    // curated line still excises, and a nudged copy of a curated
+    // embedding still resolves to its base as exact-cosine top-1
+    val lineProbe = Curation.dedupLinesAgainstHistoryTable(
+      w.read(curated).filter(col("doc_id") < 10000).orderBy("doc_id").limit(1)
+        .select(lit(91000L).as("doc_id"),
+          element_at(split(col("text"), " "), 1).as("text")),
+      lineHistory, "doc_id", "text")
+      .agg(coalesce(sum("n_lines_removed"), lit(0L))).head.getLong(0)
+    val pqProbeBase = semBases.head
+    val pqVectors = curatedDf.select(col("doc_id"), embCol.as("emb"))
+    val pqProbeHit = Similarity.ivfPqTopKFromIndexTable(
+      docs.filter(col("doc_id") === pqProbeBase)
+        .select((col("doc_id") + 40000).as("doc_id"))
+        .withColumn("emb", embCol),
+      pqIndex, pqVectors, "doc_id", "emb", k = 1,
+      Similarity.loadPqModel(spark, pqModelPath), nprobe = 2, rerank = 16,
+      maxBucket = 0, quantizer = Similarity.loadQuantizer(spark, quantizerPath))
+      .filter(col("neighbor_id") === pqProbeBase).count()
+    println(s"post-compaction probes (line/pq): line excised=$lineProbe, " +
+      s"pq top-1 resolves to base=${pqProbeHit == 1}")
     // train-mix accounting: exactly-once across the crash (every accepted
     // doc once, counts table == accepted rows), mix ⊆ curated, and the
     // steering state actually shifted shares toward the targets
@@ -522,7 +616,14 @@ object IncrementalCurationDemo {
       fpRowsCompacted == fpRows &&   // file-concat side is lossless
       gramRowsCompacted == gramDistinct && // span side is ROW-BOUNDED ...
       gramRowsCompacted < gramRows &&      // ... and actually shrank
-      probeSpans > 0                 // ... without losing resolution
+      probeSpans > 0 &&              // ... without losing resolution
+      extraFilesAfter < extraFilesBefore &&   // sem/pq/line consolidated
+      semRowsAfter == semRowsBefore &&        // file-concat sides lossless
+      pqRowsAfter == pqRowsBefore &&
+      lineRowsAfter == lineDistinct &&        // line side row-bounded ...
+      lineRowsAfter < lineRowsBefore &&       // ... and actually shrank
+      lineProbe >= 1 &&              // line history resolves post-compaction
+      pqProbeHit == 1                // pq index resolves post-compaction
     println(s"incremental curation check: ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

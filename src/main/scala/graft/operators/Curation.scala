@@ -91,6 +91,18 @@ object Curation {
     IdGuard.requireIntegralId(df, idCol, op,
       "a lossy cast would corrupt the packed owners silently")
 
+  /** Main-content extraction from HTML — the crawl-ingest step UPSTREAM
+    * of every text operator here (normalization, quality, dedup all
+    * assume markup is already gone). Adds `content`: the kept blocks of
+    * [[graft.functions.HtmlCodec]]'s Boilerpipe/jusText-style
+    * length+link-density classifier, newline-joined. Map-only codegen;
+    * the corpus never shuffles. */
+  def extractMainContent(df: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 3, maxLinkDensity: Double = 0.4): DataFrame =
+    df.select(col(idCol),
+      graft.functions.HtmlFunctions.htmlExtract(col(htmlCol), minWords,
+        maxLinkDensity).as("content"))
+
   /** Keep-FIRST line deduplication (the Dolma `dedupe_paragraphs`
     * rule, complementing [[removeBoilerplateLines]]'s drop-ALL-copies):
     * a line occurring `minDf`+ times corpus-wide keeps only its
@@ -276,6 +288,18 @@ object Curation {
   def compactLineIndex(history: DataFrame): DataFrame =
     history.groupBy(col("h1"), col("h2"))
       .agg(min(col("own")).as("own"), sum(col("df")).as("df"))
+
+  /** [[dedupLinesAgainstHistory]] reading the persisted line-df index
+    * from its table directory — validates the
+    * [[graft.state.HistoryFormat.LineDf]] marker BEFORE any probe
+    * (operator-enforced; the DataFrame overload leaves the check to the
+    * caller, which cannot be avoided without the directory). */
+  def dedupLinesAgainstHistoryTable(batch: DataFrame, historyDir: String,
+      idCol: String, textCol: String, minDf: Int = 2): DataFrame =
+    dedupLinesAgainstHistory(batch,
+      graft.state.HistoryTables.readChecked(batch.sparkSession, historyDir,
+        graft.state.HistoryFormat.LineDf),
+      idCol, textCol, minDf)
 
   /** [[dedupLines]] for ONE batch against the accumulated [[lineIndex]]
     * of every prior batch: a batch line excises when its corpus-wide
@@ -553,6 +577,43 @@ object Curation {
     df.select(col(idCol).as("id"),
       round(surprisalSumCol(col(textCol), lm).cast("double") /
         windows, 2).as("nll"))
+  }
+
+  /** Per-language routing — lang-id worth the name (the Cavnar-Trenkle
+    * n-gram profile / langid.py design, public): one bounded char-ngram
+    * LM per language, each trained on its labelled reference slice
+    * ([[ngramLm]]); a document routes to the language whose model gives
+    * it the LOWEST mean add-one surprisal, ties broken by label. The
+    * argmin is `least` over `(nll, lang)` structs — lexicographic
+    * struct comparison, so routing is deterministic and replayable by
+    * an ANSI oracle on the same rounded scores.
+    *
+    * Scale shape: K bounded model literals fused into ONE scan (the
+    * [[dsirLogRatio]] two-model pattern generalized), zero exchanges —
+    * at 100 TB routing on 100+ languages is a pure map pass whose cost
+    * is K in-place hash probes per window; only the K model trainings
+    * aggregate, each one partial-agg'd gram shuffle over its reference
+    * slice. */
+  def langRoute(df: DataFrame, idCol: String, textCol: String,
+      models: Seq[(String, NgramLm)]): DataFrame = {
+    require(models.nonEmpty, "langRoute: need at least one language model")
+    require(models.map(_._1).distinct.size == models.size,
+      s"langRoute: duplicate language labels")
+    require(models.map(_._2.n).distinct.size == 1,
+      "langRoute: models must share the same n-gram width (scores under " +
+        "different widths are not comparable)")
+    val n = models.head._2.n
+    val windows = greatest(length(col(textCol)) - lit(n - 1), lit(1))
+    val cands = models.map { case (lab, lm) =>
+      struct(
+        round(surprisalSumCol(col(textCol), lm).cast("double") / windows, 2)
+          .as("nll"),
+        lit(lab).as("lang"))
+    }
+    val best = if (cands.size == 1) cands.head else least(cands: _*)
+    df.select(col(idCol).as("id"), best.as("__best"))
+      .select(col("id"), col("__best.lang").as("lang"),
+        col("__best.nll").as("nll"))
   }
 
   /** Train the DSIR target and source LMs from ONE corpus scan: the

@@ -293,6 +293,21 @@ object Dedup {
           (b, key) => struct(b.cast("int").as("band"), key.as("key"))))
   }
 
+  /** [[minhashAgainstHistory]] reading the persisted index from its
+    * table directory — validates the
+    * [[graft.state.HistoryFormat.MinhashSignature]] marker BEFORE any
+    * probe, so a stale-format index refuses from the operator with the
+    * rebuild remedy named. The DataFrame overload cannot know the
+    * table's directory; there the CALLER owns the marker check. */
+  def minhashAgainstHistoryTable(df: DataFrame, historyDir: String,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashAgainstHistory(df,
+      graft.state.HistoryTables.readChecked(df.sparkSession, historyDir,
+        graft.state.HistoryFormat.MinhashSignature),
+      idCol, textCol, threshold, shingleWords, k, bands, maxBucket)
+
   /** Batch documents that are near-duplicates of any PRIOR batch's
     * document: band-bucket candidates against the accumulated
     * [[minhashIndex]] history, verified by SIGNATURE agreement — the
@@ -588,6 +603,19 @@ object Dedup {
   def simhashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashByRow(df, idCol, textCol).select(col("id").as("doc_id"), col("sh"))
 
+  /** [[hash64AgainstHistory]] reading the persisted signature index
+    * from its table directory — validates the
+    * [[graft.state.HistoryFormat.Hash64Signature]] marker BEFORE any
+    * probe (operator-enforced; the DataFrame overload leaves the check
+    * to the caller, which cannot be avoided without the directory). */
+  def hash64AgainstHistoryTable(sigs: DataFrame, historyDir: String,
+      idCol: String = "doc_id", hashCol: String = "sh",
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hash64AgainstHistory(sigs,
+      graft.state.HistoryTables.readChecked(sigs.sparkSession, historyDir,
+        graft.state.HistoryFormat.Hash64Signature),
+      idCol, hashCol, maxHamming, maxBucket)
+
   /** Batch signatures that are near-duplicates (Hamming ≤ `maxHamming`)
     * of any PRIOR batch's signature — the cross-batch incremental stage
     * for EVERY 64-bit locality hash the engine produces (text simhash,
@@ -775,6 +803,22 @@ object Dedup {
       .filter(col("v").isNotNull)
       .withColumn("bucket", Similarity.nearestCentroid(col("v"), normed))
   }
+
+  /** [[semDedupAgainstHistory]] reading the persisted cluster-assignment
+    * index from its table directory — validates the
+    * [[graft.state.HistoryFormat.ClusterAssignment]] marker BEFORE any
+    * probe (operator-enforced; the DataFrame overload leaves the check
+    * to the caller). `histFilter` narrows the history AFTER the checked
+    * read (e.g. `batch_id < current` in a replay-safe pipeline). */
+  def semDedupAgainstHistoryTable(df: DataFrame, historyDir: String,
+      idCol: String, vecCol: String, threshold: Double,
+      quantizer: Array[Array[Float]],
+      maxBucket: Int = DefaultMaxBucket,
+      histFilter: DataFrame => DataFrame = identity): DataFrame =
+    semDedupAgainstHistory(df,
+      histFilter(graft.state.HistoryTables.readChecked(df.sparkSession,
+        historyDir, graft.state.HistoryFormat.ClusterAssignment)),
+      idCol, vecCol, threshold, quantizer, maxBucket)
 
   /** Batch documents that are SEMANTIC near-duplicates of any PRIOR
     * batch's document: batch embeddings assign to clusters under the

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.functions.HashedFeaturesFunctions
+import graft.state.HistoryFormat
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Learned quality classification — the DCLM/fastText-style sibling of
+  * the rule-based Gopher gates: a LINEAR classifier over hashed
+  * unigram+bigram word features (the hashing trick bounds the model at
+  * `nBuckets` weights no matter the vocabulary), scoring as a map-only
+  * pass with the weight vector riding into the plan as a literal.
+  *
+  * Everything is INTEGER-EXACT by construction: features hash with the
+  * portable poly-31 fold ([[graft.functions.HashedFeaturesCodec]]),
+  * weights are longs, a document's score is a bounded integer sum — so
+  * an ANSI oracle replays scoring bit-for-bit, and training (batch
+  * perceptron, Rosenblatt '58 — the integer-exact cousin of DCLM's
+  * logistic fit) is partition-order independent: each epoch computes
+  * ALL mistakes under the CURRENT weights, then applies one summed
+  * integer update (one partial-agg'd exchange per epoch; the update
+  * collect is O(nBuckets), the model itself).
+  *
+  * Scale shape: scoring never shuffles (fused feature hash + literal
+  * lookup sum); an epoch shuffles only (bucket, err) pairs, partial-
+  * aggregated map-side — at 100 TB each epoch is one cheap aggregate
+  * over the mistake set, and the model stays O(2^b) driver state
+  * persisted like the quantizer ([[save]]/[[load]] with the
+  * [[HistoryFormat.QualityClfWeights]] marker: the feature-hash fold is
+  * part of the format — weights under a different fold silently
+  * mis-score everything, so a mismatched marker refuses loudly). */
+object QualityClf {
+
+  /** A trained (or planted) linear model: `score(doc) = bias +
+    * Σ_{f ∈ features(doc)} weights(f)`; classify keep when score > 0. */
+  final case class Model(weights: Array[Long], bias: Long) {
+    require(weights.nonEmpty, "empty weight vector")
+    def nBuckets: Int = weights.length
+    override def equals(o: Any): Boolean = o match {
+      case m: Model => m.bias == bias &&
+        java.util.Arrays.equals(m.weights, weights)
+      case _ => false
+    }
+    override def hashCode: Int =
+      java.util.Arrays.hashCode(weights) * 31 + bias.toInt
+  }
+
+  /** The per-document integer score column under `model` — hashed
+    * features fused into the scan, weights a plan literal, zero
+    * exchanges. */
+  def scoreCol(text: Column, model: Model): Column = {
+    val w = typedlit(model.weights.toSeq)
+    aggregate(
+      transform(HashedFeaturesFunctions.hashedFeatures(text, model.nBuckets),
+        b => element_at(w, b + 1)),
+      lit(model.bias), (acc, x) => acc + x)
+  }
+
+  /** Score every document: `(id, score, n_features, keep)`. */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame =
+    df.select(col(idCol),
+        scoreCol(col(textCol), model).as("score"),
+        size(HashedFeaturesFunctions.hashedFeatures(col(textCol),
+          model.nBuckets)).cast("long").as("n_features"))
+      .withColumn("keep", col("score") > 0)
+
+  /** Batch-perceptron training on a labelled slice (`labelCol` boolean:
+    * true = quality). Deterministic: every epoch scores ALL rows under
+    * the epoch's weights, collects one summed integer update over the
+    * mistakes (y ∈ {+1,-1} per feature OCCURRENCE — count-weighted, the
+    * perceptron x·y), and stops early on an epoch with zero mistakes.
+    * Reordering or repartitioning the input cannot change the result
+    * (suite-pinned). */
+  def train(df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      nBuckets: Int = 1024, epochs: Int = 20): Model = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val feats = df.select(
+      when(col(labelCol), 1L).otherwise(-1L).as("__y"),
+      HashedFeaturesFunctions.hashedFeatures(col(textCol), nBuckets)
+        .as("__fb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val weights = new Array[Long](nBuckets)
+      var bias = 0L
+      var epoch = 0
+      var converged = false
+      while (epoch < epochs && !converged) {
+        val wLit = typedlit(weights.toSeq)
+        val s = aggregate(
+          transform(col("__fb"), b => element_at(wLit, b + 1)),
+          lit(bias), (acc, x) => acc + x)
+        val mistakes = feats.withColumn("__s", s)
+          .filter(col("__y") * col("__s") <= 0)
+        val upd = mistakes
+          .select(col("__y"), explode(col("__fb")).as("__b"))
+          .groupBy("__b").agg(sum(col("__y")).as("__g"))
+          .collect()
+        if (upd.isEmpty) converged = true
+        else {
+          upd.foreach(r => weights(r.getInt(0)) += r.getLong(1))
+          bias += mistakes.agg(coalesce(sum(col("__y")), lit(0L)))
+            .head.getLong(0)
+          epoch += 1
+        }
+      }
+      Model(weights, bias)
+    } finally { feats.unpersist(false); () }
+  }
+
+  /** Persist as a tiny parquet table stamped with the
+    * [[HistoryFormat.QualityClfWeights]] marker. */
+  def save(spark: SparkSession, path: String, model: Model): Unit = {
+    import spark.implicits._
+    (model.weights.zipWithIndex.map { case (w, i) => (i, w) }
+      :+ ((-1, model.bias)))
+      .toDF("bucket", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    HistoryFormat.stamp(spark.sparkContext.hadoopConfiguration, path,
+      HistoryFormat.QualityClfWeights)
+  }
+
+  /** Inverse of [[save]]; refuses a missing or mismatched format marker
+    * (operator-enforced — a weight vector under a different feature-
+    * hash fold mis-scores silently). */
+  def load(spark: SparkSession, path: String): Model = {
+    HistoryFormat.ensure(spark.sparkContext.hadoopConfiguration, path,
+      HistoryFormat.QualityClfWeights, hasData = true)
+    val rows = spark.read.parquet(path).collect()
+    val bias = rows.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
+    val ws = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0)).map(_.getLong(1))
+    Model(ws, bias)
+  }
+}

@@ -479,6 +479,22 @@ object Similarity {
       "nv", pq).drop("nv")
   }
 
+  /** [[ivfPqTopKFromIndex]] reading the persisted code index from its
+    * table directory — validates the
+    * [[graft.state.HistoryFormat.PqCodes]] marker BEFORE any probe, so
+    * codes produced under a different (quantizer, codebook) derivation
+    * refuse from the operator with the re-encode remedy named. The
+    * DataFrame overload leaves the check to the caller. */
+  def ivfPqTopKFromIndexTable(
+      queries: DataFrame, indexDir: String, vectors: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      pq: PqModel, nprobe: Int, rerank: Int,
+      maxBucket: Int, quantizer: Array[Array[Float]]): DataFrame =
+    ivfPqTopKFromIndex(queries,
+      graft.state.HistoryTables.readChecked(queries.sparkSession, indexDir,
+        graft.state.HistoryFormat.PqCodes),
+      vectors, idCol, vecCol, k, pq, nprobe, rerank, maxBucket, quantizer)
+
   /** ANN over an ACCUMULATED PQ code index ([[pqIndexBatch]] appends):
     * candidate generation touches only the m-byte codes; the exact
     * re-rank fetches true vectors from `vectors` by id (queries × rerank

@@ -225,7 +225,25 @@ object SpanDedup {
     * SetTransaction-guarded dual-commit order (curated first, index
     * second) guarantees exactly that. */
   def spansWithHistory(df: DataFrame, history: DataFrame, idCol: String,
-      textCol: String, n: Int = 10, delim: String = " "): DataFrame = {
+      textCol: String, n: Int = 10, delim: String = " "): DataFrame =
+    spansWithHistoryImpl(df, history, idCol, textCol, n, delim)
+
+  /** [[spansWithHistory]] reading the persisted gram-owner index from
+    * its table directory — validates the
+    * [[graft.state.HistoryFormat.SpanGramOwner]] marker BEFORE any
+    * probe, so a stale-format index (the exact r11 h2-derivation
+    * hazard) refuses from the operator with the rebuild remedy named.
+    * The DataFrame overload leaves the check to the caller. */
+  def spansWithHistoryTable(df: DataFrame, historyDir: String,
+      idCol: String, textCol: String, n: Int = 10,
+      delim: String = " "): DataFrame =
+    spansWithHistoryImpl(df,
+      graft.state.HistoryTables.readChecked(df.sparkSession, historyDir,
+        graft.state.HistoryFormat.SpanGramOwner),
+      idCol, textCol, n, delim)
+
+  private def spansWithHistoryImpl(df: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, n: Int, delim: String): DataFrame = {
     val occ = occWithKey(df, idCol, textCol, n, delim, packedOwners = true,
       packedRangeRemedy = IncrementalIdRemedy)
       .select(col("doc_id"), col("pos"), col("okey"),

@@ -64,6 +64,27 @@ object HistoryFormat {
     "re-run the cluster assignment under the current quantizer and " +
       "overwrite the history table")
 
+  /** Accumulated PQ code index ([[graft.operators.Similarity.pqIndexBatch]]
+    * appends): v1 = IVF bucket under the persisted coarse quantizer +
+    * per-subspace PQ codebook indices + residual norm. Codes are only
+    * meaningful under the exact (quantizer, PQ codebook) pair that
+    * produced them — a retrained model silently mis-ranks every stored
+    * code. (Model CONTENT staleness is quantizerDrift's job; this
+    * guards the derivation shape.) */
+  val PqCodes: Format = Format("pq-codes", 1,
+    "re-encode the vector history under the current quantizer + PQ " +
+      "model (Similarity.pqIndexBatch) and overwrite the code index")
+
+  /** Persisted hashed-feature linear quality classifier
+    * ([[graft.operators.QualityClf.save]]): v1 = poly-31 modular fold
+    * over code points, word unigram+bigram features, integer weights
+    * indexed by bucket with the bias at bucket -1. The feature-hash
+    * fold is part of the format — weights applied under a different
+    * fold silently mis-score every document. */
+  val QualityClfWeights: Format = Format("quality-clf-weights", 1,
+    "re-train the classifier (QualityClf.train) on the labelled " +
+      "reference slice under the current feature hash and re-save")
+
   /** Persisted BPE subword model ([[graft.operators.Bpe.save]]): v1 =
     * sorted code-point base alphabet + ordered pair merges, ids =
     * 1-based position in (base ++ merges), id 0 reserved for unk. The

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Similarity, SpanDedup}
+import graft.state.{HistoryFormat, HistoryTables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Operator-enforced HistoryFormat markers: every path-taking history
+  * probe (`*Table` overloads) must itself refuse a stale-format or
+  * unmarked index — naming the rebuild remedy — instead of silently
+  * matching nothing. One case per persisted-history family. */
+class HistoryEnforcementSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "a completely different document about spark aggregation plans"))
+    .toDF("doc_id", "text")
+
+  private def stampStale(dir: String, name: String): Unit =
+    HistoryFormat.stamp(conf, dir, HistoryFormat.Format(name, 999, "x"))
+
+  /** Write a history table, then drive the probe through its three
+    * regimes: valid marker → works; stale version → refuses with the
+    * remedy; marker deleted under data → legacy refusal. */
+  private def checkFamily(dir: String, index: DataFrame,
+      fmt: HistoryFormat.Format, remedyFragment: String)(
+      probe: String => Long): Unit = {
+    index.write.mode("overwrite").parquet(dir)
+    HistoryFormat.stamp(conf, dir, fmt)
+    assert(probe(dir) >= 0L, "valid marker must probe cleanly")
+    stampStale(dir, fmt.name)
+    val e = intercept[IllegalStateException](probe(dir))
+    assert(e.getMessage.contains("Rebuild required") &&
+      e.getMessage.contains(remedyFragment),
+      s"stale refusal must name the remedy; got: ${e.getMessage}")
+    new java.io.File(s"$dir/_graft_history_format.json").delete()
+    val e2 = intercept[IllegalStateException](probe(dir))
+    assert(e2.getMessage.contains("no _graft_history_format.json"))
+  }
+
+  test("minhash history probe enforces the signature format marker") {
+    withTmpDir { tmp =>
+      checkFamily(s"$tmp/mh",
+        Dedup.minhashIndex(docs, "doc_id", "text"),
+        HistoryFormat.MinhashSignature, "Dedup.minhashIndex") { dir =>
+        Dedup.minhashAgainstHistoryTable(docs, dir, "doc_id", "text").count()
+      }
+    }
+  }
+
+  test("hash64 history probe enforces the signature format marker") {
+    withTmpDir { tmp =>
+      val sigs = Dedup.simhashIndex(docs, "doc_id", "text")
+      checkFamily(s"$tmp/h64", sigs,
+        HistoryFormat.Hash64Signature, "signature index") { dir =>
+        Dedup.hash64AgainstHistoryTable(sigs, dir).count()
+      }
+    }
+  }
+
+  test("span gram-owner probe enforces the format marker") {
+    withTmpDir { tmp =>
+      checkFamily(s"$tmp/span",
+        SpanDedup.ownerIndex(docs, "doc_id", "text", n = 4),
+        HistoryFormat.SpanGramOwner, "SpanDedup.ownerIndex") { dir =>
+        SpanDedup.spansWithHistoryTable(docs, dir, "doc_id", "text", n = 4)
+          .count()
+      }
+    }
+  }
+
+  test("line-df history probe enforces the format marker") {
+    withTmpDir { tmp =>
+      val lined = docs.withColumn("text",
+        regexp_replace(col("text"), " over ", "\nover\n"))
+      checkFamily(s"$tmp/line",
+        Curation.lineIndex(lined, "doc_id", "text"),
+        HistoryFormat.LineDf, "Curation.lineIndex") { dir =>
+        Curation.dedupLinesAgainstHistoryTable(lined, dir, "doc_id", "text")
+          .count()
+      }
+    }
+  }
+
+  test("sem-index probe enforces the cluster-assignment marker") {
+    withTmpDir { tmp =>
+      val vecs = (0 until 8).map(i =>
+        (i.toLong, Array.tabulate(4)(j => (i % 2 * 10 + j).toFloat)))
+        .toDF("doc_id", "emb")
+      val quant = Similarity.trainIvfCentroids(vecs, "doc_id", "emb",
+        nlist = 2)
+      checkFamily(s"$tmp/sem",
+        Dedup.semDedupIndex(vecs, "doc_id", "emb", quant),
+        HistoryFormat.ClusterAssignment, "cluster assignment") { dir =>
+        Dedup.semDedupAgainstHistoryTable(vecs, dir, "doc_id", "emb",
+          threshold = 0.9, quantizer = quant).count()
+      }
+    }
+  }
+
+  test("PQ code-index probe enforces the pq-codes marker") {
+    withTmpDir { tmp =>
+      val vecs = (0 until 12).map(i =>
+        (i.toLong, Array.tabulate(4)(j => (i * 3 + j * 7 % 5).toFloat)))
+        .toDF("vec_id", "emb")
+      val quant = Similarity.trainIvfCentroids(vecs, "vec_id", "emb",
+        nlist = 2)
+      val pq = Similarity.trainPq(vecs, "vec_id", "emb", m = 2, ksub = 4,
+        sampleN = 12)
+      checkFamily(s"$tmp/pq",
+        Similarity.pqIndexBatch(vecs, "vec_id", "emb", pq, quant),
+        HistoryFormat.PqCodes, "re-encode the vector history") { dir =>
+        Similarity.ivfPqTopKFromIndexTable(vecs.limit(2), dir, vecs,
+          "vec_id", "emb", k = 1, pq, nprobe = 2, rerank = 4,
+          maxBucket = 0, quantizer = quant).count()
+      }
+    }
+  }
+
+  test("probing an absent history table is a loud error, not a no-op") {
+    withTmpDir { tmp =>
+      val e = intercept[IllegalStateException](
+        HistoryTables.readChecked(spark, s"$tmp/nothing",
+          HistoryFormat.MinhashSignature))
+      assert(e.getMessage.contains("no history table"))
+    }
+  }
+}

@@ -1178,7 +1178,16 @@ class CurationSuite extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       Curation.lineIndex(strIds, "doc_id", "text")
     }
-    assert(e2.getMessage.contains("numeric id"))
+    assert(e2.getMessage.contains("integral (byte/short/int/long) id"))
+    // a FRACTIONAL numeric id truncates under the long cast — distinct
+    // ids 1.2 and 1.7 would silently collapse into one packed owner, so
+    // the guard demands integral, not merely numeric
+    val fracIds = Seq((1.2, "x\ny"), (1.7, "x\nz")).toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      Curation.lineIndex(fracIds, "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("integral (byte/short/int/long) id") &&
+      e3.getMessage.contains("double"))
     intercept[IllegalArgumentException] {
       Curation.dedupLinesAgainstHistory(strIds,
         Curation.lineIndex(Seq((1L, "x")).toDF("doc_id", "text"),

@@ -288,11 +288,11 @@ class SpanDedupSuite extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       SpanDedup.applySpans(strIds, spansDf, "doc_id", "text")
     }
-    assert(e1.getMessage.contains("numeric id"))
+    assert(e1.getMessage.contains("integral (byte/short/int/long) id"))
     val e2 = intercept[IllegalArgumentException] {
       SpanDedup.ownerIndex(strIds, "doc_id", "text", n = 10)
     }
-    assert(e2.getMessage.contains("numeric id"))
+    assert(e2.getMessage.contains("integral (byte/short/int/long) id"))
   }
 
   test("incremental path's out-of-range id error names the re-key remedy, not a fallback it lacks") {
