@@ -2033,6 +2033,48 @@ object Queries {
            |ORDER BY id""".stripMargin
       }),
 
+    // ----- learned quality classifier (DCLM/fastText-style linear) -------
+    // Scoring under a PLANTED integer weight vector (w(b) = (b·37 mod 21)
+    // − 10, bias 3 — deterministic, so the oracle needs no weights
+    // table): hashed unigram+bigram features via the portable poly-31
+    // fold, score = bias + Σ w(bucket), keep = score > 0. DuckDB replays
+    // the fold per word with LIST_REDUCE and chains bigrams as the fold
+    // of "w1 w2" (the stepwise mod makes concatenation-fold ≡ chained
+    // fold). Training determinism is suite-pinned (QualityClfSuite) —
+    // an iterative perceptron fit is not ANSI-expressible, planted
+    // weights make scoring bit-for-bit checkable.
+    "d_quality_clf" -> QueryDef(
+      (s, d) => {
+        val model = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+        graft.operators.QualityClf.score(t(s, d, "documents"), "doc_id",
+          "text", model).orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0) AS ws
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)]
+             |    ||
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(ws[i] || ' ' || ws[i + 1], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws))] AS fb
+             |  FROM w)
+             |SELECT doc_id,
+             |  CAST(3 + COALESCE(LIST_SUM(
+             |    [((b * 37) % 21) - 10 FOR b IN fb]), 0) AS BIGINT) AS score,
+             |  CAST(LEN(fb) AS BIGINT) AS n_features,
+             |  (3 + COALESCE(LIST_SUM(
+             |    [((b * 37) % 21) - 10 FOR b IN fb]), 0)) > 0 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     // ----- MinHash-LSH near-dup pairs (rows-only: not ANSI-expressible) ---
     "d_minhash_pairs" -> QueryDef(
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",

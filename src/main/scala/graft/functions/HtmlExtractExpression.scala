@@ -106,7 +106,10 @@ object HtmlCodec {
               // raw-text element: everything to the matching close tag is
               // content (a '<' inside is NOT markup) and none of it is text
               val close = "</" + name
-              var k = s.toLowerCase(java.util.Locale.ROOT).indexOf(close, i)
+              var k = i
+              while (k >= 0 && k <= n - close.length &&
+                  !s.regionMatches(true, k, close, 0, close.length)) k += 1
+              if (k > n - close.length) k = -1
               if (k < 0) i = n
               else {
                 val gt = s.indexOf('>', k)

@@ -55,12 +55,18 @@ object Bpe {
         "produce the same symbol string — ids would be ambiguous")
     // every merge side must be a symbol formed EARLIER (base or a prior
     // merge): a forward reference could never occur in a segmentation,
-    // so it marks a corrupt or hand-edited model
-    merges.zipWithIndex.foreach { case ((l, r), k) =>
-      val known = (baseSymbols ++ merges.take(k).map(m => m._1 + m._2)).toSet
-      require(known(l) && known(r),
-        s"merge #${k + 1} ($l, $r) references a symbol no earlier merge " +
-          "or base symbol produces — corrupt model")
+    // so it marks a corrupt or hand-edited model. One accumulating set
+    // keeps validation O(m) — a ~30k-merge model must load in
+    // milliseconds, not minutes
+    locally {
+      val known = new scala.collection.mutable.HashSet[String]()
+      baseSymbols.foreach(known.add)
+      merges.zipWithIndex.foreach { case ((l, r), k) =>
+        require(known(l) && known(r),
+          s"merge #${k + 1} ($l, $r) references a symbol no earlier merge " +
+            "or base symbol produces — corrupt model")
+        known.add(l + r)
+      }
     }
 
     val spaceId: Int = baseSymbols.indexOf(" ") + 1

@@ -97,11 +97,16 @@ object QualityClf {
           .select(col("__y"), explode(col("__fb")).as("__b"))
           .groupBy("__b").agg(sum(col("__y")).as("__g"))
           .collect()
-        if (upd.isEmpty) converged = true
+        // the bias delta sees EVERY mistake, including zero-feature docs
+        // that contribute no exploded rows — converge only when both the
+        // weight update and the bias update are zero, else an all-empty-doc
+        // mistake set would falsely read as converged
+        val biasDelta = mistakes.agg(coalesce(sum(col("__y")), lit(0L)))
+          .head.getLong(0)
+        if (upd.isEmpty && biasDelta == 0L) converged = true
         else {
           upd.foreach(r => weights(r.getInt(0)) += r.getLong(1))
-          bias += mistakes.agg(coalesce(sum(col("__y")), lit(0L)))
-            .head.getLong(0)
+          bias += biasDelta
           epoch += 1
         }
       }
@@ -113,7 +118,7 @@ object QualityClf {
     * [[HistoryFormat.QualityClfWeights]] marker. */
   def save(spark: SparkSession, path: String, model: Model): Unit = {
     import spark.implicits._
-    (model.weights.zipWithIndex.map { case (w, i) => (i, w) }
+    (model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
       :+ ((-1, model.bias)))
       .toDF("bucket", "w")
       .coalesce(1).write.mode("overwrite").parquet(path)
