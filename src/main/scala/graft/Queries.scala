@@ -2075,6 +2075,88 @@ object Queries {
              |    [((b * 37) % 21) - 10 FOR b IN fb]), 0)) > 0 AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // ----- classifier-weights coverage drift (persisted-model staleness) --
+    // d_vocab_drift's pattern over the classifier family: weights fit
+    // once degrade silently when the corpus moves, and the symptom is
+    // features landing in buckets the fit never touched (weight 0). The
+    // weight vector here is the coverage model over the doc_id%10 slice
+    // — deterministic single-aggregate construction with the same
+    // format and zero-set semantics as a trained vector, so DuckDB can
+    // rebuild it exactly. In-dist batch stays quiet; the a→4 translate
+    // re-hashes every word into mostly-unseen buckets and trips rebuild.
+    // Both regimes reach the hash compare.
+    "d_clf_drift" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cov = graft.operators.QualityClf.featureCoverage(
+          docs.filter(col("doc_id") % 10 === 0), "text", 4096)
+        val model = graft.operators.QualityClf.Model(cov, 0L)
+        val shifted = docs.select(col("doc_id"),
+          translate(col("text"), "a", "4").as("text"))
+        graft.operators.QualityClf.drift(docs, "doc_id", "text", model,
+            maxDocZero = 0.2, maxHighFrac = 0.2)
+          .withColumn("batch", lit("in_dist"))
+          .unionByName(graft.operators.QualityClf.drift(shifted, "doc_id",
+              "text", model, maxDocZero = 0.2, maxHighFrac = 0.2)
+            .withColumn("batch", lit("shifted")))
+          .select("batch", "n_docs", "n_features", "n_zero", "zero_rate",
+            "frac_high", "rebuild")
+          .orderBy("batch")
+      },
+      Some {
+        def feats(src: String, tx: String, out: String) =
+          s"""w$out AS (
+             |  SELECT doc_id,
+             |    LIST_FILTER(STRING_SPLIT($tx, ' '), t -> LENGTH(t) > 0) AS ws
+             |  FROM $src),
+             |f$out AS (
+             |  SELECT doc_id, LIST_CONCAT(
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 4096)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)],
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(CONCAT(ws[i], ' ', ws[i + 1]), '')]),
+             |       (h, cp) -> (h * 31 + cp) % 4096)
+             |     FOR i IN RANGE(1, LEN(ws))]) AS fb
+             |  FROM w$out)""".stripMargin
+        def driftSql(out: String, label: String) =
+          s"""e$out AS (SELECT doc_id, UNNEST(fb) AS b FROM f$out),
+             |z$out AS (
+             |  SELECT e$out.doc_id, COUNT(*) AS nf,
+             |    SUM(CASE WHEN cov.b IS NULL THEN 1 ELSE 0 END) AS nz
+             |  FROM e$out LEFT JOIN cov ON e$out.b = cov.b GROUP BY 1),
+             |d$out AS (
+             |  SELECT v.doc_id, COALESCE(z$out.nf, 0) AS nf,
+             |    COALESCE(z$out.nz, 0) AS nz
+             |  FROM v LEFT JOIN z$out USING (doc_id)),
+             |a$out AS (
+             |  SELECT '$label' AS batch, COUNT(*) AS n_docs,
+             |    CAST(SUM(nf) AS BIGINT) AS n_features,
+             |    CAST(SUM(nz) AS BIGINT) AS n_zero,
+             |    ROUND(CAST(SUM(nz) AS DOUBLE) / GREATEST(SUM(nf), 1), 4)
+             |      AS zero_rate,
+             |    ROUND(CAST(SUM(CASE WHEN CAST(nz AS DOUBLE) / GREATEST(nf, 1)
+             |        > 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      / GREATEST(COUNT(*), 1), 4) AS frac_high,
+             |    ROUND(CAST(SUM(CASE WHEN CAST(nz AS DOUBLE) / GREATEST(nf, 1)
+             |        > 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      / GREATEST(COUNT(*), 1), 4) > 0.2 AS rebuild
+             |  FROM d$out)""".stripMargin
+        s"""WITH v AS (
+           |  SELECT doc_id, text AS t1, translate(text, 'a', '4') AS t2
+           |  FROM documents),
+           |${feats("v", "t1", "1")},
+           |${feats("v", "t2", "2")},
+           |cov AS (SELECT DISTINCT UNNEST(fb) AS b FROM f1
+           |        WHERE doc_id % 10 = 0),
+           |${driftSql("1", "in_dist")},
+           |${driftSql("2", "shifted")}
+           |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+           |ORDER BY batch""".stripMargin
+      }),
+
     // ----- MinHash-LSH near-dup pairs (rows-only: not ANSI-expressible) ---
     "d_minhash_pairs" -> QueryDef(
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",

@@ -80,6 +80,29 @@ object CurationPipelineDemo {
       .drop("source")
     val afterRep = n(gated)
 
+    // 1c. learned gate distillation (audit): train the DCLM-style linear
+    //     classifier on the RULE gate's own labels over a 20% slice,
+    //     then score the full corpus — the learned sibling must agree
+    //     with the rules it distilled (fastText-over-hashed-features
+    //     replicating a Gopher-style gate, the DCLM construction). The
+    //     model round-trips through its marker-stamped persistence, so
+    //     the path a production scorer would load from is the path
+    //     audited here. Scoring is map-only; training shuffles only
+    //     (bucket, err) pairs per epoch.
+    import graft.operators.QualityClf
+    val labelled = scored.withColumn("label",
+      col("quality") >= 0.3 && col("lang") =!= "und")
+    val clf0 = QualityClf.train(labelled.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", "label", nBuckets = 1024, epochs = 15)
+    QualityClf.save(spark, s"$work/clf_weights", clf0)
+    val clf = QualityClf.load(spark, s"$work/clf_weights")
+    val agree = QualityClf.score(labelled, "doc_id", "text", clf)
+      .join(labelled.select("doc_id", "label"), "doc_id")
+      .agg(avg(when(col("keep") === col("label"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    println(f"learned gate distillation: agreement with rule gate $agree%.3f " +
+      s"(weights round-tripped via marker-stamped store: ${clf == clf0})")
+
     // 2. exact dedup by content fingerprint: one shuffle on a 16-byte key
     val exact = Dedup.byFingerprint(gated, "text", "doc_id")
     val afterExact = n(exact)
@@ -243,6 +266,7 @@ object CurationPipelineDemo {
       s"export: $shardsW shards committed")
     val ok = packStats.getLong(1) > 0 &&
       extractionExact == 0L &&               // de-chroming is exact
+      agree >= 0.8 && clf == clf0 &&         // distilled gate tracks the rules
       splitCounts.values.sum == readBack &&  // split is total
       leaks < rawLeaks &&                    // the funnel removed overlap
       shardsW == 4 &&

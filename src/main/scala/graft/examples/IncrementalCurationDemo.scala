@@ -586,12 +586,40 @@ object IncrementalCurationDemo {
     println(s"gram-order drift cycle: shifted rebuild=${goShift.getBoolean(4)}, " +
       s"post-rebuild rebuild=${goRebuilt.getBoolean(4)} " +
       s"(prefix candidates $vStale -> $vFresh)")
+    // classifier-weights drift cycle: the fourth persisted model. The
+    // weight vector fit on the curated corpus (coverage model — same
+    // format and zero-set semantics as a trained one) goes stale under
+    // the same vowel→digit move: features land in never-touched buckets,
+    // drift fires, the refit on the shifted batch clears it. The stale
+    // and fresh models both travel through the marker-stamped store —
+    // the load path a production scorer would use.
+    import graft.operators.QualityClf
+    val clf0 = QualityClf.Model(
+      QualityClf.featureCoverage(maintSample, "text", 4096), 0L)
+    QualityClf.save(spark, s"$work/clf_weights", clf0)
+    def cd(b: org.apache.spark.sql.DataFrame, m: QualityClf.Model) =
+      QualityClf.drift(b, "doc_id", "text", m,
+        maxDocZero = 0.2, maxHighFrac = 0.2).head()
+    val cdIn = cd(maintSample, QualityClf.load(spark, s"$work/clf_weights"))
+    val cdShift = cd(shiftedDocs, clf0)
+    val clf1 = QualityClf.Model(
+      QualityClf.featureCoverage(shiftedDocs, "text", 4096), 0L)
+    QualityClf.save(spark, s"$work/clf_weights", clf1)
+    val cdRebuilt = cd(shiftedDocs,
+      QualityClf.load(spark, s"$work/clf_weights"))
+    println(s"clf-weights drift cycle: in-dist rebuild=${cdIn.getBoolean(5)}, " +
+      s"shifted rebuild=${cdShift.getBoolean(5)}, post-rebuild " +
+      s"rebuild=${cdRebuilt.getBoolean(5)} " +
+      s"(zero-bucket rate ${cdShift.getDouble(3)} -> ${cdRebuilt.getDouble(3)})")
     val driftCyclesOk =
       !vdIn.getBoolean(5) && vdShift.getBoolean(5) &&
         !vdRebuilt.getBoolean(5) &&
         vdRebuilt.getDouble(3) < vdShift.getDouble(3) &&
         goShift.getBoolean(4) && !goRebuilt.getBoolean(4) &&
-        vFresh < vStale
+        vFresh < vStale &&
+        !cdIn.getBoolean(5) && cdShift.getBoolean(5) &&
+        !cdRebuilt.getBoolean(5) &&
+        cdRebuilt.getDouble(3) < cdShift.getDouble(3)
     val ok = r1.batchesProcessed == 3 && r2.batchesProcessed == 0 &&
       driftCyclesOk &&               // drift→rebuild→re-probe restores both models
       mixTotal > 0 && mixTotal == mixDistinct &&  // mix exactly-once

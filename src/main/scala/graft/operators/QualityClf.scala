@@ -114,6 +114,58 @@ object QualityClf {
     } finally { feats.unpersist(false); () }
   }
 
+  /** Per-bucket feature-occurrence counts over a reference slice — ONE
+    * partial-agg'd exchange, O(nBuckets) collect (the model itself).
+    * Useful two ways: as the deterministic, oracle-replayable stand-in
+    * for a trained weight vector (same format, same zero-set semantics
+    * — a bucket is zero iff the slice never produced it), and as the
+    * count table a frequency-prior model would start from. */
+  def featureCoverage(slice: DataFrame, textCol: String,
+      nBuckets: Int): Array[Long] = {
+    val counts = slice
+      .select(explode(HashedFeaturesFunctions.hashedFeatures(col(textCol),
+        nBuckets)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+      .collect()
+    val w = new Array[Long](nBuckets)
+    counts.foreach(r => w(r.getInt(0)) = r.getLong(1))
+    w
+  }
+
+  /** Model-coverage drift for a new batch — the staleness signal of the
+    * persisted-weights discipline, mirroring `Curation.vocabDrift` for
+    * the classifier family: a weight vector fit once degrades silently
+    * when the corpus moves, and the measurable symptom is features
+    * landing in buckets the fit never saw (weight exactly 0 — untouched
+    * slots). One row: feature totals, corpus-level `zero_rate`,
+    * `frac_high` (share of documents whose own zero-bucket rate exceeds
+    * `maxDocZero`), and `rebuild` when that share exceeds
+    * `maxHighFrac`. Map-only feature hashing against a literal zero-set
+    * mask + one global aggregate; the batch never shuffles. */
+  def drift(batch: DataFrame, idCol: String, textCol: String, model: Model,
+      maxDocZero: Double, maxHighFrac: Double): DataFrame = {
+    val zeroMask = typedlit(model.weights.map(_ == 0L).toSeq)
+    val fb = HashedFeaturesFunctions.hashedFeatures(col(textCol),
+      model.nBuckets)
+    batch
+      .select(size(fb).cast("long").as("__nf"),
+        size(filter(fb, b => element_at(zeroMask, b + 1))).cast("long")
+          .as("__nz"))
+      .withColumn("__high", col("__nz").cast("double") /
+        greatest(col("__nf"), lit(1L)) > maxDocZero)
+      // Empty-batch contract (the quantizerDrift/vocabDrift discipline):
+      // zero rows is not drift evidence — rebuild reads false, never NULL
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__nf")), lit(0L)).as("n_features"),
+        coalesce(sum(col("__nz")), lit(0L)).as("n_zero"),
+        round(coalesce(sum(col("__nz")), lit(0L)).cast("double") /
+          greatest(sum(col("__nf")), lit(1L)), 4).as("zero_rate"),
+        round(coalesce(sum(when(col("__high"), 1L).otherwise(0L)), lit(0L))
+          .cast("double") / greatest(count(lit(1)), lit(1L)), 4)
+          .as("frac_high"))
+      .withColumn("rebuild", col("frac_high") > maxHighFrac)
+  }
+
   /** Persist as a tiny parquet table stamped with the
     * [[HistoryFormat.QualityClfWeights]] marker. */
   def save(spark: SparkSession, path: String, model: Model): Unit = {

@@ -93,6 +93,40 @@ class QualityClfSuite extends SparkSpec {
     assert(kept == 3L)
   }
 
+  test("featureCoverage counts every feature occurrence per bucket") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "aa")).toDF("doc_id", "text")
+    val cov = QualityClf.featureCoverage(docs, "text", 32)
+    val expected = new Array[Long](32)
+    docs.collect().foreach(r =>
+      refFeatures(r.getString(1), 32).foreach(b => expected(b) += 1))
+    assert(cov.toSeq == expected.toSeq)
+  }
+
+  test("drift trips on a shifted batch and stays quiet in-distribution") {
+    val docs = (1 to 30)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon word$i"))
+      .toDF("doc_id", "text")
+    val model = Model(QualityClf.featureCoverage(docs, "text", 4096), 0L)
+    val inDist = QualityClf.drift(docs, "doc_id", "text", model,
+      maxDocZero = 0.5, maxHighFrac = 0.2).head
+    assert(!inDist.getBoolean(5), "self-coverage must not read as drift")
+    assert(inDist.getLong(2) == 0L, "n_zero must be 0 on the fit slice")
+    val shifted = docs.select(col("doc_id"),
+      translate(col("text"), "abcde", "01234").as("text"))
+    val out = QualityClf.drift(shifted, "doc_id", "text", model,
+      maxDocZero = 0.5, maxHighFrac = 0.2).head
+    assert(out.getBoolean(5), "re-hashed batch must trip rebuild")
+  }
+
+  test("drift on an empty batch reads rebuild=false, never NULL") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val model = Model(QualityClf.featureCoverage(docs, "text", 64), 0L)
+    val row = QualityClf.drift(docs.filter(col("doc_id") < 0), "doc_id",
+      "text", model, maxDocZero = 0.2, maxHighFrac = 0.2).head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L &&
+      row.getLong(2) == 0L && !row.getBoolean(5))
+  }
+
   test("save/load round-trips and the load path enforces the marker") {
     withTmpDir { tmp =>
       val dir = s"$tmp/clf"
