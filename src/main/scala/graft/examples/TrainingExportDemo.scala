@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *  - exact pack budgets: every pack except the last holds exactly
   *    `budget` tokens;
   *  - id payloads conserve too: materializing each pack's ACTUAL
-  *    token-id sequence (tokenized under a persisted vocabulary,
+  *    subword-id sequence (encoded once under a persisted BPE model,
   *    segment-sliced, concatenated in stream order) reproduces the same
-  *    totals — tokenization and packing agree token for token;
+  *    totals — tokenization and packing agree token for token, and the
+  *    whole export runs in the id space a trainer consumes;
   *  - shard balance and per-shard stream order;
   *  - end-to-end determinism: a re-run produces the identical shards.
   *
@@ -37,12 +38,34 @@ object TrainingExportDemo {
     val spark = GraftSession.local(4, "graft-export-demo")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // 0. the tokenizer IS part of the export format: train a subword
+    // (BPE) model once, persist it under its format marker, and reload
+    // through the marker-enforcing path — every count, pack boundary,
+    // and payload id below is in the SUBWORD id space a trainer
+    // actually consumes, not whitespace-token space. Later export runs
+    // must reuse the same persisted model or their shards aren't
+    // comparable (and a stale-format model refuses loudly).
+    graft.operators.Bpe.save(spark, s"$work/bpe",
+      graft.operators.Bpe.train(raw, "text", numMerges = 48))
+    val bpe = graft.operators.Bpe.load(spark, s"$work/bpe")
+    val docTok = graft.operators.Bpe.encode(raw, "doc_id", "text", bpe)
+    val bpeOov = docTok.agg(coalesce(sum("n_oov"), lit(0L))).head.getLong(0)
+    val docs = raw.join(docTok.withColumnRenamed("n_tokens", "n_tok")
+      .select("doc_id", "ids", "n_tok"), "doc_id")
 
     // 1. epoch plan: src0 over-budget (caps at 2 epochs), src1 one full
-    // pass + a hash-drawn partial, src2 partial only, everything else 0
-    val budgets = Map("src0" -> 4000L, "src1" -> 2000L, "src2" -> 700L)
+    // pass + a hash-drawn partial, src2 partial only, everything else 0.
+    // Budgets derive from each source's SUBWORD total so the three
+    // regimes hold regardless of the tokenizer's fertility (BPE counts
+    // run higher than whitespace counts)
+    val srcTotals = docs.groupBy("source").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = Map(
+      "src0" -> srcTotals("src0") * 3,       // cap regime
+      "src1" -> srcTotals("src1") * 3 / 2,   // full pass + partial draw
+      "src2" -> srcTotals("src2") / 3)       // partial only
     val plan = Mixing.epochPlan(docs, "doc_id", "source", "n_tok",
       budgets, maxEpochs = 2)
     val byRegime = plan.groupBy("source", "epochs").count()
@@ -57,15 +80,17 @@ object TrainingExportDemo {
     val stream = plan.filter(col("epochs") > 0)
       .withColumn("epoch", explode(sequence(lit(1L), col("epochs").cast("long"))))
       .withColumn("sample_id", col("doc_id") * 10L + col("epoch"))
-      .join(docs.select("doc_id", "text"), "doc_id")
-      .select("sample_id", "text", "n_tokens")
+      .join(docs.select("doc_id", "ids"), "doc_id")
+      .select(col("sample_id"), col("ids"),
+        size(col("ids")).cast("long").as("n_tokens"))
     val streamTokens = stream.agg(sum("n_tokens")).head().getLong(0)
     val streamDocs = stream.count()
 
-    // 3. pack into fixed 256-token sequences
+    // 3. pack into fixed 256-SUBWORD sequences — the pack boundaries cut
+    // where the BPE ids actually are, via the count-based entry point
     val budget = 256
-    val packs = Packing.packAssignments(stream, "sample_id", "text", budget)
-      .cache()
+    val packs = Packing.packAssignmentsByCount(stream, "sample_id",
+      "n_tokens", budget).cache()
     val segTokens = packs
       .agg(sum(col("tok_end") - col("tok_start"))).head().getLong(0)
     val perPack = packs.groupBy("pack_id")
@@ -75,16 +100,12 @@ object TrainingExportDemo {
     println(s"stream: $streamDocs samples, $streamTokens tokens -> " +
       s"$nPacks packs of $budget ($fullPacks exactly full)")
 
-    // 3b. pack PAYLOADS: the actual token-id sequences a data loader
-    // consumes — tokenize the stream under a persisted vocabulary (save
-    // then load: later export runs must reuse the same mapping or their
-    // shards aren't comparable), slice each sample's ids to its pack
-    // segment, and concatenate segments in stream order within the pack.
-    graft.operators.Curation.saveVocab(spark, s"$work/vocab",
-      graft.operators.Curation.buildWordVocab(docs, "text", size = 32))
-    val vocab = graft.operators.Curation.loadVocab(spark, s"$work/vocab")
-    val sampleIds = graft.operators.Curation.tokenizeToIds(
-      stream, "sample_id", "text", vocab)
+    // 3b. pack PAYLOADS: the actual subword-id sequences a data loader
+    // consumes — slice each sample's BPE ids to its pack segment and
+    // concatenate segments in stream order within the pack. The ids
+    // were computed ONCE under the persisted model; packing and
+    // payloads cannot disagree about where a token is.
+    val sampleIds = stream.select("sample_id", "ids")
     val payload = packs
       .join(sampleIds, packs("doc_id") === sampleIds("sample_id"))
       .select(col("pack_id"), col("sample_id"),
@@ -98,8 +119,9 @@ object TrainingExportDemo {
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
     val payTotal = paySizes.map(_._2.toLong).sum
     val payFullOk = paySizes.dropRight(1).forall(_._2 == budget)
-    println(s"pack payloads: ${paySizes.length} packs, $payTotal ids " +
-      s"(all-but-last exactly $budget: $payFullOk)")
+    println(s"pack payloads: ${paySizes.length} packs, $payTotal subword ids " +
+      s"under the persisted ${bpe.merges.size}-merge BPE model " +
+      s"(all-but-last exactly $budget: $payFullOk; oov=$bpeOov)")
 
     // 4. deterministic shuffle of pack ids into 4 shards + sorted write
     val packIds = perPack.select(col("pack_id"))
@@ -143,6 +165,7 @@ object TrainingExportDemo {
       s"($w2 written, $k2 skipped), content identical=$resumeOk")
 
     val ok = streamTokens == segTokens &&          // token conservation
+      bpeOov == 0L &&                              // base alphabet covers corpus
       resumeOk &&                                  // crash-resume exactness
       fullPacks >= nPacks - 1 &&                   // exact budgets
       payTotal == streamTokens && payFullOk &&     // id payloads conserve too

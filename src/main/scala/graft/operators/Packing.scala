@@ -55,7 +55,26 @@ object Packing {
     * is one long: offset + this batch's token total). */
   def packAssignments(df: DataFrame, idCol: String, textCol: String,
       budget: Int, delim: String = " ", buckets: Int = 0,
-      tokenOffset: Long = 0L): DataFrame = {
+      tokenOffset: Long = 0L): DataFrame =
+    packCounts(df, idCol,
+      size(split(col(textCol), delim)).cast("long"), budget, buckets,
+      tokenOffset)
+
+  /** [[packAssignments]] over a PRECOMPUTED per-document token count —
+    * the entry point for packing in a learned-tokenizer id space (BPE
+    * subword counts differ from whitespace counts, and the pack
+    * boundaries must be cut where the ids actually are:
+    * `packAssignmentsByCount(Bpe.encode(...), id, "n_tokens", B)`).
+    * Zero-count documents contribute no segments. */
+  def packAssignmentsByCount(df: DataFrame, idCol: String,
+      countCol: String, budget: Int, buckets: Int = 0,
+      tokenOffset: Long = 0L): DataFrame =
+    packCounts(df, idCol, col(countCol).cast("long"), budget, buckets,
+      tokenOffset)
+
+  private def packCounts(df: DataFrame, idCol: String, countExpr:
+      org.apache.spark.sql.Column, budget: Int, buckets: Int,
+      tokenOffset: Long): DataFrame = {
     require(tokenOffset >= 0, s"tokenOffset must be >= 0, got $tokenOffset")
     require(budget > 0, s"budget must be positive, got $budget")
     require(df.schema(idCol).dataType.isInstanceOf[
@@ -68,7 +87,7 @@ object Packing {
     val nBuckets = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val counts = df.select(col(idCol).cast("long").as("doc_id"),
-      size(split(col(textCol), delim)).cast("long").as("n_tok"))
+      countExpr.as("n_tok"))
     // order-preserving, count-balanced, DETERMINISTIC bucket boundaries
     val bounds =
       if (nBuckets <= 1) Array.empty[Long]

@@ -21,6 +21,28 @@ class PackingSuite extends SparkSpec {
     }
   }
 
+  test("packAssignmentsByCount equals the text path given the same counts") {
+    val df = corpus(120)
+    val byText = Packing.packAssignments(df, "doc_id", "text", budget = 64)
+      .orderBy("doc_id", "pack_id").collect().toSeq
+    val withCount = df.withColumn("n", size(split(col("text"), " ")))
+    val byCount = Packing.packAssignmentsByCount(withCount, "doc_id", "n",
+      budget = 64).orderBy("doc_id", "pack_id").collect().toSeq
+    assert(byText == byCount,
+      "count-based packing must cut identical segments")
+  }
+
+  test("packAssignmentsByCount skips zero-count docs but keeps the stream") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, 3L)).toDF("doc_id", "n")
+    val segs = Packing.packAssignmentsByCount(df, "doc_id", "n", budget = 4)
+      .orderBy("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: tokens [0,5) -> packs 0 [0,4) and 1 [4,5); doc 2: nothing;
+    // doc 3: continues at global offset 5 -> pack 1 [0,3)
+    assert(segs.toSeq == Seq((1L, 0L, 0L, 4L), (1L, 1L, 4L, 5L),
+      (3L, 1L, 0L, 3L)))
+  }
+
   test("per-doc segments are consecutive, disjoint, and cover the doc") {
     val df = corpus(150)
     val nTok = df.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
