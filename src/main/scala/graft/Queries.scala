@@ -26,6 +26,25 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic conversation derivation shared by the SFT family's
+    * Spark side and its oracles: conv = doc_id div 4, turn order =
+    * doc_id % 4, roles alternate user/assistant by doc parity.
+    * `turn_doc_id` retains the source doc_id so queries can plant
+    * per-turn structure (e.g. the assistant-dedup answer cycle). */
+  private def sftTurns(docs: DataFrame): DataFrame =
+    docs.select(expr("doc_id div 4").as("conv_id"),
+      (col("doc_id") % 4).as("turn_idx"),
+      when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+      col("text").as("content"), col("doc_id").as("turn_doc_id"))
+
+  /** The DuckDB CTE mirroring [[sftTurns]] (spliced as `WITH $SftTurnsSql`). */
+  private val SftTurnsSql: String =
+    """turns AS (
+      |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text AS content, doc_id AS turn_doc_id
+      |  FROM documents)""".stripMargin
+
   /** [[t]] plus a spread across the session's cores — for the COMPUTE-heavy
     * operators (gram explosion, signatures, edit distance, LM scoring)
     * whose input here is a single-row-group local parquet: Spark cannot
@@ -2075,6 +2094,74 @@ object Queries {
              |    [((b * 37) % 21) - 10 FOR b IN fb]), 0)) > 0 AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // ----- perceptron TRAINING replay (the fit itself, cross-engine) -----
+    // d_bpe_train's discipline applied to the classifier: not just
+    // scoring but the TRAINING ALGORITHM is integer-exact and
+    // partition-order independent, so an ANSI engine can replay it.
+    // Two batch-perceptron epochs unroll as CTEs: epoch 1 under zero
+    // weights marks every row a mistake (y·0 <= 0), so u1 sums y over
+    // ALL feature occurrences and bias1 over all rows; epoch 2 scores
+    // under (u1, bias1), takes mistakes, and accumulates u2/bias2. The
+    // emitted rows ARE the persisted-model format ((bucket, w) + the
+    // (-1, bias) row) — convergence-skipped updates equal adding zero,
+    // so the unroll is exact whether or not epoch 2 finds mistakes.
+    "d_clf_train" -> QueryDef(
+      (s, d) => {
+        val slice = t(s, d, "documents").filter(col("doc_id") % 10 < 3)
+          .withColumn("label", col("doc_id") % 3 === 0)
+        val m = graft.operators.QualityClf.train(slice, "doc_id", "text",
+          "label", nBuckets = 16, epochs = 2)
+        import s.implicits._
+        (m.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+          :+ ((-1, m.bias)))
+          .toDF("bucket", "w")
+          .select(col("bucket").cast("int").as("bucket"),
+            col("w").cast("long").as("w"))
+          .orderBy("bucket")
+      },
+      Some("""WITH sl AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END AS y,
+             |    LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0) AS ws
+             |  FROM documents WHERE doc_id % 10 < 3),
+             |f AS (
+             |  SELECT doc_id, y, LIST_CONCAT(
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 16)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)],
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(CONCAT(ws[i], ' ', ws[i + 1]), '')]),
+             |       (h, cp) -> (h * 31 + cp) % 16)
+             |     FOR i IN RANGE(1, LEN(ws))]) AS fb
+             |  FROM sl),
+             |ex AS (SELECT doc_id, y, UNNEST(fb) AS b FROM f),
+             |u1 AS (SELECT b, CAST(SUM(y) AS BIGINT) AS g FROM ex GROUP BY b),
+             |bias1 AS (SELECT CAST(SUM(y) AS BIGINT) AS v FROM sl),
+             |s2a AS (
+             |  SELECT ex.doc_id, CAST(SUM(COALESCE(u1.g, 0)) AS BIGINT) AS fs
+             |  FROM ex LEFT JOIN u1 USING (b) GROUP BY 1),
+             |s2 AS (
+             |  SELECT f.doc_id, f.y,
+             |    (SELECT v FROM bias1) + COALESCE(s2a.fs, 0) AS s
+             |  FROM f LEFT JOIN s2a USING (doc_id)),
+             |m2 AS (SELECT doc_id, y FROM s2 WHERE y * s <= 0),
+             |u2 AS (
+             |  SELECT ex.b, CAST(SUM(ex.y) AS BIGINT) AS g
+             |  FROM ex JOIN (SELECT doc_id FROM m2) m USING (doc_id)
+             |  GROUP BY 1),
+             |bias2 AS (
+             |  SELECT COALESCE(CAST(SUM(y) AS BIGINT), 0) AS v FROM m2)
+             |SELECT CAST(r.i AS INTEGER) AS bucket,
+             |  CAST(COALESCE(u1.g, 0) + COALESCE(u2.g, 0) AS BIGINT) AS w
+             |FROM RANGE(0, 16) r(i)
+             |LEFT JOIN u1 ON u1.b = r.i LEFT JOIN u2 ON u2.b = r.i
+             |UNION ALL
+             |SELECT -1 AS bucket,
+             |  (SELECT v FROM bias1) + (SELECT v FROM bias2) AS w
+             |ORDER BY bucket""".stripMargin)),
+
     // ----- classifier-weights coverage drift (persisted-model staleness) --
     // d_vocab_drift's pattern over the classifier family: weights fit
     // once degrade silently when the corpus moves, and the symptom is
@@ -4106,7 +4193,183 @@ object Queries {
              |  BIT_OR(o_orderkey) AS or_key, BIT_XOR(o_orderkey) AS xor_key,
              |  COUNT(*) AS n
              |FROM orders GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ===== SFT / chat-data family (operators/Sft.scala) ===================
+    // The post-training half of the pipeline. Conversations derive
+    // deterministically from documents (conv = doc_id div 4, alternating
+    // user/assistant roles) so both engines construct the same corpus.
+
+    // ----- chat-template rendering ----------------------------------------
+    // Turns serialize under a ChatML-style template in turn order — the
+    // string the tokenizer consumes. One partial-agg'd exchange; the
+    // sort is within each collected conversation, never the corpus.
+    "d_chat_render" -> QueryDef(
+      (s, d) => graft.operators.Sft.renderChatML(
+          sftTurns(t(s, d, "documents")), "conv_id", "turn_idx", "role",
+          "content")
+        .orderBy("conv_id"),
+      Some(s"""WITH $SftTurnsSql
+             |SELECT conv_id,
+             |  STRING_AGG('<|' || role || '|>' || content || '<|end|>', ''
+             |    ORDER BY turn_idx) AS rendered,
+             |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+             |  CAST(COUNT(*) FILTER (role = 'assistant') AS BIGINT)
+             |    AS n_assistant
+             |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin)),
+
+    // ----- loss-mask spans ------------------------------------------------
+    // Per-turn token spans in conversation-local coordinates — the loss
+    // mask in run-length form (trainable marks assistant turns). The
+    // prefix sum windows by conversation: thousands of bounded window
+    // groups, never a corpus-wide ordering.
+    "d_loss_mask" -> QueryDef(
+      (s, d) => graft.operators.Sft.turnSpansByCount(
+          sftTurns(t(s, d, "documents")).withColumn("n",
+            size(split(col("content"), " ")).cast("long")),
+          "conv_id", "turn_idx", "role", "n")
+        .orderBy("conv_id", "turn_idx"),
+      Some(s"""WITH $SftTurnsSql,
+             |n AS (SELECT conv_id, turn_idx, role,
+             |    CAST(LEN(STRING_SPLIT(content, ' ')) AS BIGINT) AS nt
+             |  FROM turns)
+             |SELECT conv_id, turn_idx, role,
+             |  CAST(SUM(nt) OVER w - nt AS BIGINT) AS tok_start,
+             |  CAST(SUM(nt) OVER w AS BIGINT) AS tok_end,
+             |  role = 'assistant' AS trainable
+             |FROM n WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+             |ORDER BY conv_id, turn_idx""".stripMargin)),
+
+    // ----- loss-mask-preserving sequence packing --------------------------
+    // Conversations concatenate into fixed-budget packs with the
+    // turn-level mask carried through as intersected segments — what a
+    // trainer actually loads. Packing is the two-pass distributed
+    // prefix sum (packAssignmentsByCount); the oracle replays it with a
+    // plain ordered window at test scale, then intersects intervals.
+    "d_sft_pack" -> QueryDef(
+      (s, d) => {
+        val spans = graft.operators.Sft.turnSpansByCount(
+          sftTurns(t(s, d, "documents")).withColumn("n",
+            size(split(col("content"), " ")).cast("long")),
+          "conv_id", "turn_idx", "role", "n")
+        graft.operators.Sft.maskedPackSegments(spans, budget = 256)
+          .orderBy("pack_id", "conv_id", "turn_idx")
+      },
+      Some(s"""WITH $SftTurnsSql,
+             |n AS (SELECT conv_id, turn_idx, role,
+             |    CAST(LEN(STRING_SPLIT(content, ' ')) AS BIGINT) AS nt
+             |  FROM turns),
+             |spans AS (
+             |  SELECT conv_id, turn_idx, role,
+             |    CAST(SUM(nt) OVER w - nt AS BIGINT) AS tok_start,
+             |    CAST(SUM(nt) OVER w AS BIGINT) AS tok_end,
+             |    role = 'assistant' AS trainable
+             |  FROM n WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+             |tot AS (SELECT conv_id, MAX(tok_end) AS n_tok
+             |  FROM spans GROUP BY conv_id),
+             |g AS (SELECT conv_id, n_tok,
+             |    CAST(SUM(n_tok) OVER (ORDER BY conv_id) - n_tok AS BIGINT)
+             |      AS gstart
+             |  FROM tot),
+             |packs AS (
+             |  SELECT conv_id, gstart,
+             |    UNNEST(RANGE(gstart // 256, (gstart + n_tok - 1) // 256 + 1))
+             |      AS pack_id
+             |  FROM g WHERE n_tok > 0),
+             |pseg AS (
+             |  SELECT conv_id, CAST(pack_id AS BIGINT) AS pack_id,
+             |    CAST(GREATEST(pack_id * 256 - gstart, 0) AS BIGINT) AS p_start,
+             |    CAST((pack_id + 1) * 256 - gstart AS BIGINT) AS p_end
+             |  FROM packs)
+             |SELECT p.pack_id, s.conv_id, s.turn_idx, s.role,
+             |  GREATEST(p.p_start, s.tok_start) AS seg_start,
+             |  LEAST(p.p_end, s.tok_end) AS seg_end, s.trainable
+             |FROM pseg p JOIN spans s USING (conv_id)
+             |WHERE LEAST(p.p_end, s.tok_end) > GREATEST(p.p_start, s.tok_start)
+             |ORDER BY pack_id, conv_id, turn_idx""".stripMargin)),
+
+    // ----- assistant-side conversation dedup ------------------------------
+    // Two conversations with different user phrasings but identical
+    // assistant answers are the SFT duplicate that matters. Assistant
+    // contents are planted as a 5-way cycle so duplicate answer sets
+    // actually occur; fingerprint is MD5 (portable), keep-first by
+    // conv_id. Two partial-agg'd exchanges.
+    "d_assistant_dedup" -> QueryDef(
+      (s, d) => graft.operators.Sft.assistantDedup(
+          sftTurns(t(s, d, "documents")).withColumn("content",
+            when(col("role") === "assistant", concat(lit("reply "),
+              (col("turn_doc_id") % 5).cast("string")))
+              .otherwise(col("content"))),
+          "conv_id", "turn_idx", "role", "content")
+        .orderBy("conv_id"),
+      Some(s"""WITH $SftTurnsSql,
+             |pt AS (SELECT conv_id, turn_idx, role,
+             |    CASE WHEN role = 'assistant'
+             |      THEN 'reply ' || CAST(turn_doc_id % 5 AS VARCHAR)
+             |      ELSE content END AS content
+             |  FROM turns),
+             |fp AS (SELECT conv_id,
+             |    MD5(COALESCE(STRING_AGG(
+             |      CASE WHEN role = 'assistant' THEN content END,
+             |      chr(10) ORDER BY turn_idx), '')) AS fp
+             |  FROM pt GROUP BY conv_id),
+             |k AS (SELECT fp, MIN(conv_id) AS keep_id FROM fp GROUP BY fp)
+             |SELECT f.conv_id, f.fp, f.conv_id = k.keep_id AS keep
+             |FROM fp f JOIN k USING (fp) ORDER BY f.conv_id""".stripMargin)),
+
+    // ----- sliding-window chunking (embedding/retrieval prep) -------------
+    // A long document embeds as window-sized passages, not one vector:
+    // fixed windows at a stride, the LAST window right-aligned so every
+    // chunk is exactly `window` tokens unless the doc is shorter (no
+    // runt tails). Map-only — one sequence explode, no exchange.
+    "d_chunk_windows" -> QueryDef(
+      (s, d) => graft.operators.Sft.chunkWindows(
+          t(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n")),
+          "doc_id", "n", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH n AS (SELECT doc_id,
+             |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |c AS (SELECT doc_id, nt,
+             |    CASE WHEN nt <= 64 THEN 1
+             |         ELSE (nt - 64 + 47) // 48 + 1 END AS nc
+             |  FROM n WHERE nt > 0),
+             |u AS (SELECT doc_id, nt, UNNEST(RANGE(0, nc)) AS chunk_id FROM c)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(LEAST(chunk_id * 48, GREATEST(nt - 64, 0)) AS BIGINT)
+             |    AS tok_start,
+             |  CAST(LEAST(LEAST(chunk_id * 48, GREATEST(nt - 64, 0)) + 64, nt)
+             |    AS BIGINT) AS tok_end
+             |FROM u ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ----- chunk text materialization -------------------------------------
+    // The retrieval-indexer form: the chunk's actual text slice rides
+    // along. Map-only (split/slice/rejoin in one projection — the
+    // document never joins back to its own chunks).
+    "d_chunk_text" -> QueryDef(
+      (s, d) => graft.operators.Sft.chunkText(
+          t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |n AS (SELECT doc_id, ws, CAST(LEN(ws) AS BIGINT) AS nt
+             |  FROM w WHERE LEN(ws) > 0),
+             |c AS (SELECT doc_id, ws, nt,
+             |    CASE WHEN nt <= 32 THEN 1
+             |         ELSE (nt - 32 + 23) // 24 + 1 END AS nc
+             |  FROM n),
+             |u AS (SELECT doc_id, ws, nt, UNNEST(RANGE(0, nc)) AS chunk_id
+             |  FROM c),
+             |s AS (SELECT doc_id, ws, nt, chunk_id,
+             |    LEAST(chunk_id * 24, GREATEST(nt - 32, 0)) AS st FROM u)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(st AS BIGINT) AS tok_start,
+             |  CAST(LEAST(st + 32, nt) AS BIGINT) AS tok_end,
+             |  ARRAY_TO_STRING(LIST_SLICE(ws, CAST(st + 1 AS BIGINT),
+             |    CAST(LEAST(st + 32, nt) AS BIGINT)), ' ') AS chunk
+             |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -719,6 +719,119 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("BPE encoding under the streaming engine, across checkpoint loss") {
+    // the subword model is cross-batch state like the word vocab: every
+    // batch must encode under the SAME persisted merge table (loaded
+    // through the marker-enforcing path) or id sequences stop being
+    // comparable, and replay after checkpoint loss must reproduce
+    // identical subword rows — including unk for code points outside
+    // the base alphabet
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Bpe
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"; val out = s"$tmp/ids"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      file(0, Seq((1L, "ab ab"), (2L, "abc b")))
+      file(1, Seq((3L, "ab ad"), (4L, "c c")))   // 'd' is outside the alphabet
+      // model from the first batch's text only, persisted up front
+      Bpe.save(spark, s"$tmp/bpe",
+        Bpe.train(Seq("ab ab", "abc b").toDF("text"), "text", numMerges = 2))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val model = Bpe.load(spark, s"$tmp/bpe")
+            if (!w.lastTxnVersion(out, "sbpe").exists(_ >= batchId))
+              w.write(Bpe.encode(batch, "doc_id", "text", model),
+                out, DeltaWriteMode.Append, txn = Some(("sbpe", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def rows() = w.read(out)
+        .select("doc_id", "ids", "n_tokens", "n_oov").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // merges learned: (a,b)->ab, (ab,c)->abc; symbols " "=1 a=2 b=3
+      // c=4 ab=5 abc=6; spaces are ids too
+      val want = Seq(
+        (1L, Seq(5, 1, 5), 3L, 0L),
+        (2L, Seq(6, 1, 3), 3L, 0L),
+        (3L, Seq(5, 1, 2, 0), 4L, 1L),
+        (4L, Seq(4, 1, 4), 3L, 0L))
+      assert(rows() === want, s"got ${rows()}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(rows() === want,
+        "replay after checkpoint loss must re-encode to identical ids")
+    }
+  }
+
+  test("classifier scoring under the streaming engine, across checkpoint loss") {
+    // persisted weights are cross-batch state like the vocab: every
+    // batch scores under the SAME marker-stamped weight vector, stream
+    // output must equal the one-shot batch scoring of the union, and
+    // replay after checkpoint loss must reproduce identical rows
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.QualityClf
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"; val out = s"$tmp/scores"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      val b0 = Seq((1L, "good prose here"), (2L, "nav nav nav"))
+      val b1 = Seq((3L, "more good prose"), (4L, ""))
+      file(0, b0); file(1, b1)
+      QualityClf.save(spark, s"$tmp/clf", QualityClf.Model(
+        Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val m = QualityClf.load(spark, s"$tmp/clf")
+            if (!w.lastTxnVersion(out, "sclf").exists(_ >= batchId))
+              w.write(QualityClf.score(batch, "doc_id", "text", m),
+                out, DeltaWriteMode.Append, txn = Some(("sclf", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def rows() = w.read(out)
+        .select("doc_id", "score", "n_features", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+      // stream == one-shot batch scoring of the union under the same model
+      val want = QualityClf.score((b0 ++ b1).toDF("doc_id", "text"),
+          "doc_id", "text", QualityClf.load(spark, s"$tmp/clf"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+      assert(rows() === want, s"got ${rows()}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(rows() === want,
+        "replay after checkpoint loss must re-score to identical rows")
+    }
+  }
+
   test("transformWithState: running totals accumulate and TTL dedup gates, on RocksDB") {
     // the Spark-4 arbitrary-state API beside the classic
     // flatMapGroupsWithState shapes: typed ValueState handles on the
