@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning (chat) data preparation — the post-training
+  * half of a training-data pipeline. The pretraining family treats a
+  * document as one undifferentiated token stream; SFT data is
+  * CONVERSATIONS, and three things change: rendering (turns serialize
+  * under a chat template before tokenization), loss masking (the
+  * trainer learns only on assistant turns — user/system tokens get
+  * loss weight 0), and dedup granularity (two conversations with
+  * different user phrasings but identical assistant answers are the
+  * duplicate that matters).
+  *
+  * Input shape for every operator here: a TURNS frame with one row per
+  * turn — `(conv, turn_idx, role, content)` columns named by the
+  * caller. Turn indexes must be unique within a conversation (they are
+  * the serialization order).
+  *
+  * Scale shape: conversations are the unit of work and are individually
+  * tiny (tens of turns), so every window below partitions by the
+  * conversation id — thousands of parallel window groups, never a
+  * corpus-wide ordering. Rendering and fingerprinting are one
+  * partial-agg'd exchange each; packing delegates to
+  * [[Packing.packAssignmentsByCount]]'s two-pass distributed prefix
+  * sum; mask segmentation after the pack join is map-only interval
+  * arithmetic.
+  */
+object Sft {
+
+  /** Default trainable role set: learn on the model's own side only. */
+  val TrainableRoles: Seq[String] = Seq("assistant")
+
+  /** Serialize each conversation under a ChatML-style template:
+    * `<|role|>content<|end|>` per turn, concatenated in `turnIdxCol`
+    * order. One row per conversation: `(conv_id, rendered, n_turns,
+    * n_assistant)`. The rendered string is what the tokenizer family
+    * ([[Bpe.encode]], [[Curation.tokenizeToIds]]) consumes downstream.
+    *
+    * One exchange (the per-conversation aggregate); the sort happens
+    * inside each collected conversation (array_sort over tens of
+    * turns), never across the corpus. */
+  def renderChatML(turns: DataFrame, convCol: String, turnIdxCol: String,
+      roleCol: String, contentCol: String): DataFrame =
+    turns
+      .groupBy(col(convCol).as("conv_id"))
+      .agg(collect_list(struct(col(turnIdxCol).cast("long").as("i"),
+        col(roleCol).as("r"), col(contentCol).as("c"))).as("ts"))
+      .select(col("conv_id"),
+        array_join(transform(array_sort(col("ts")),
+          t => concat(lit("<|"), t.getField("r"), lit("|>"),
+            t.getField("c"), lit("<|end|>"))), "").as("rendered"),
+        size(col("ts")).cast("long").as("n_turns"),
+        size(filter(col("ts"), t => t.getField("r") === lit("assistant")))
+          .cast("long").as("n_assistant"))
+
+  /** Per-turn token spans in conversation-local coordinates:
+    * `(conv_id, turn_idx, role, tok_start, tok_end, trainable)` — turn
+    * `turn_idx` occupies ids `[tok_start, tok_end)` of its
+    * conversation's concatenated token stream, and `trainable` marks
+    * the turns the loss applies to. This IS the loss mask, in the
+    * run-length form a trainer consumes (a 0/1 vector materializes as
+    * `tok_end - tok_start` copies of `trainable`).
+    *
+    * `countCol` is each turn's PRECOMPUTED token count — the
+    * [[Packing.packAssignmentsByCount]] discipline, so the spans are
+    * cut in whatever id space the export ships (BPE subword counts via
+    * `Bpe.encode(...)("n_tokens")`, whitespace counts for a quick
+    * audit). The prefix sum is a window partitioned by the conversation
+    * id: each window group is one conversation, bounded by its turn
+    * count, never the corpus. */
+  def turnSpansByCount(turns: DataFrame, convCol: String,
+      turnIdxCol: String, roleCol: String, countCol: String,
+      trainableRoles: Seq[String] = TrainableRoles): DataFrame =
+    turns
+      .select(col(convCol).as("conv_id"),
+        col(turnIdxCol).cast("long").as("turn_idx"),
+        col(roleCol).as("role"), col(countCol).cast("long").as("__n"))
+      .withColumn("tok_end", sum(col("__n")).over(
+        Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        (col("tok_end") - col("__n")).as("tok_start"), col("tok_end"),
+        col("role").isin(trainableRoles: _*).as("trainable"))
+
+  /** Loss-mask-preserving sequence packing: conversations concatenate
+    * into fixed-`budget` packs (a conversation may straddle packs), and
+    * each pack segment carries its turn-level mask. One row per
+    * (pack × conversation × turn) overlap: `(pack_id, conv_id,
+    * turn_idx, role, seg_start, seg_end, trainable)` with `[seg_start,
+    * seg_end)` in CONVERSATION-LOCAL token coordinates — a trainer
+    * assembles pack `p` by concatenating its conversations' id slices
+    * in conv order (the [[Packing]] contract) and the mask segments
+    * line up by construction.
+    *
+    * Takes the SPANS frame ([[turnSpansByCount]] output). Per-conv
+    * totals derive from the spans (max tok_end — one partial agg);
+    * packing is the two-pass distributed prefix sum; the segment
+    * emission is one equi-join on conv_id followed by map-only interval
+    * intersection. Empty turns (tok_start == tok_end) emit nothing. */
+  def maskedPackSegments(spans: DataFrame, budget: Int,
+      buckets: Int = 0, tokenOffset: Long = 0L): DataFrame = {
+    val totals = spans.groupBy("conv_id")
+      .agg(max("tok_end").as("n_tok"))
+    val packs = Packing.packAssignmentsByCount(totals, "conv_id", "n_tok",
+        budget, buckets, tokenOffset)
+      .withColumnRenamed("doc_id", "conv_id")
+      .withColumnRenamed("tok_start", "p_start")
+      .withColumnRenamed("tok_end", "p_end")
+    packs.join(spans, "conv_id")
+      .select(col("pack_id"), col("conv_id"), col("turn_idx"), col("role"),
+        greatest(col("p_start"), col("tok_start")).as("seg_start"),
+        least(col("p_end"), col("tok_end")).as("seg_end"),
+        col("trainable"))
+      .filter(col("seg_end") > col("seg_start"))
+  }
+
+  /** Conversation dedup at the granularity that matters for SFT: the
+    * ASSISTANT side. `(conv_id, fp, keep)` — `fp` is the MD5 of the
+    * assistant turns' contents joined in turn order (user phrasing is
+    * free to vary; a duplicated answer set is the duplicate), `keep`
+    * marks the lowest conv_id per fingerprint (keep-first, the
+    * [[Dedup.exact]] tiebreak). Conversations with NO assistant turn
+    * fingerprint the empty string and dedup among themselves — they
+    * carry no training signal, so collapsing them is correct.
+    *
+    * Two exchanges: the per-conversation fingerprint aggregate, then
+    * the per-fingerprint min — both partial-agg'd. */
+  def assistantDedup(turns: DataFrame, convCol: String,
+      turnIdxCol: String, roleCol: String, contentCol: String): DataFrame = {
+    val fp = turns
+      .groupBy(col(convCol).as("conv_id"))
+      .agg(collect_list(when(col(roleCol) === "assistant",
+        struct(col(turnIdxCol).cast("long").as("i"),
+          col(contentCol).as("c")))).as("ts"))
+      .select(col("conv_id"), TextFunctions.fingerprint(
+        array_join(transform(array_sort(col("ts")), t => t.getField("c")),
+          "\n")).as("fp"))
+    val first = fp.groupBy("fp").agg(min("conv_id").as("__keep_id"))
+    fp.join(first, "fp")
+      .select(col("conv_id"), col("fp"),
+        (col("conv_id") === col("__keep_id")).as("keep"))
+  }
+
+  /** Sliding token windows over each document — the chunking step of an
+    * embedding/retrieval pipeline (a 100k-token document embeds as
+    * many window-sized passages, not one vector). `(doc_id, chunk_id,
+    * tok_start, tok_end)`: chunk `i` starts at `i * stride`, except the
+    * LAST chunk is right-aligned to end exactly at the document's end —
+    * every chunk is exactly `window` tokens unless the whole document
+    * is shorter (no runt tails, the property an embedding model wants).
+    * Zero-token documents emit nothing.
+    *
+    * `countCol` is the precomputed per-document token count (the
+    * by-count discipline — BPE or whitespace, caller's id space).
+    * Map-only: one `sequence` explode, no exchange. */
+  def chunkWindows(df: DataFrame, idCol: String, countCol: String,
+      window: Int, stride: Int): DataFrame =
+    chunkCounts(df, idCol, col(countCol), window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("tok_end"))
+
+  /** [[chunkWindows]] over whitespace tokens, with the chunk TEXT
+    * materialized — the form a retrieval indexer ingests directly:
+    * `(doc_id, chunk_id, tok_start, tok_end, chunk)`. Map-only (the
+    * token array splits, slices, and rejoins inside one projection —
+    * the document never joins back to its own chunks). */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    chunkCounts(
+      df.select(col(idCol), split(col(textCol), " ").as("__ws")),
+      idCol, size(col("__ws")), window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("tok_end"),
+        array_join(slice(col("__ws"), col("tok_start").cast("int") + 1,
+          (col("tok_end") - col("tok_start")).cast("int")), " ").as("chunk"))
+
+  private def chunkCounts(df: DataFrame, idCol: String, countExpr: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val n = countExpr.cast("long")
+    // chunk count: 1 when the doc fits one window, else
+    // ceil((n - window) / stride) + 1 — integral throughout (`div`),
+    // exact past 2^53 tokens
+    df.filter(n > 0)
+      .withColumn("__n", n)
+      .withColumn("__nc", when(n <= window, lit(1L))
+        .otherwise(expr(s"(__n - $window + ${stride - 1}) div $stride") + 1L))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__nc") - 1)))
+      .withColumn("tok_start",
+        least(col("chunk_id") * stride, greatest(col("__n") - window, lit(0L))))
+      .withColumn("tok_end",
+        least(col("tok_start") + window, col("__n")))
+      .withColumn("doc_id", col(idCol))
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.{Bpe, Packing, Sft}
+import org.apache.spark.sql.functions._
+
+/** The SFT/chat-data family: template rendering, loss-mask spans,
+  * mask-preserving packing, assistant-side dedup, and sliding-window
+  * chunking. Pins the conservation laws (masks partition the token
+  * stream; packs partition the mask segments; chunks cover every
+  * token) and the composition with the BPE id space. */
+class SftSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def turns() = Seq(
+    // conv 0: user/assistant/user/assistant
+    (0L, 0L, "user", "hello there"),
+    (0L, 1L, "assistant", "hi how can i help"),
+    (0L, 2L, "user", "tell me a fact"),
+    (0L, 3L, "assistant", "water is wet"),
+    // conv 1: system turn + pair
+    (1L, 0L, "system", "be terse"),
+    (1L, 1L, "user", "sum of two and two"),
+    (1L, 2L, "assistant", "four"),
+    // conv 2: same assistant answers as conv 0, different user phrasing
+    (2L, 0L, "user", "yo"),
+    (2L, 1L, "assistant", "hi how can i help"),
+    (2L, 2L, "user", "give me trivia"),
+    (2L, 3L, "assistant", "water is wet"),
+    // conv 3: no assistant turn at all
+    (3L, 0L, "user", "anyone here")
+  ).toDF("conv_id", "turn_idx", "role", "content")
+
+  test("renderChatML serializes turns in index order under the template") {
+    val r = Sft.renderChatML(turns(), "conv_id", "turn_idx", "role", "content")
+      .orderBy("conv_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r(0) === ((0L,
+      "<|user|>hello there<|end|><|assistant|>hi how can i help<|end|>" +
+        "<|user|>tell me a fact<|end|><|assistant|>water is wet<|end|>",
+      4L, 2L)))
+    assert(r(1) === ((1L,
+      "<|system|>be terse<|end|><|user|>sum of two and two<|end|>" +
+        "<|assistant|>four<|end|>", 3L, 1L)))
+    assert(r(3) === ((3L, "<|user|>anyone here<|end|>", 1L, 0L)))
+  }
+
+  test("renderChatML is insensitive to input row order and partitioning") {
+    val base = Sft.renderChatML(turns(), "conv_id", "turn_idx", "role",
+      "content").orderBy("conv_id").collect().toSeq
+    val shuffled = Sft.renderChatML(
+      turns().orderBy(col("content")).repartition(7), "conv_id",
+      "turn_idx", "role", "content").orderBy("conv_id").collect().toSeq
+    assert(base === shuffled)
+  }
+
+  test("turnSpansByCount: spans tile the conversation stream exactly") {
+    val withN = turns().withColumn("n", size(split(col("content"), " ")))
+    val spans = Sft.turnSpansByCount(withN, "conv_id", "turn_idx", "role", "n")
+    // conv 0 counts: 2, 5, 4, 3 -> spans [0,2) [2,7) [7,11) [11,14)
+    val c0 = spans.filter(col("conv_id") === 0).orderBy("turn_idx").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(c0 === Array((0L, 2L, false), (2L, 7L, true), (7L, 11L, false),
+      (11L, 14L, true)))
+    // tiling law on every conversation: sorted spans are gapless from 0
+    val bad = spans.withColumn("prev_end", lag("tok_end", 1, 0L)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("conv_id").orderBy("turn_idx")))
+      .filter(col("tok_start") =!= col("prev_end")).count()
+    assert(bad === 0L)
+  }
+
+  test("turnSpansByCount composes with the BPE id space") {
+    val model = Bpe.train(Seq("hi hi ho").toDF("text"), "text", numMerges = 1)
+    // conservation: the conversation total equals the sum of its turns'
+    // subword counts when spans are cut by those counts
+    val turnsN = turns().withColumn("__rid", concat_ws("#",
+        col("conv_id"), col("turn_idx")))
+    val encN = Bpe.encode(turnsN, "__rid", "content", model)
+      .select(col("__rid"), col("n_tokens"))
+    val spans = Sft.turnSpansByCount(
+      turnsN.join(encN, "__rid"), "conv_id", "turn_idx", "role", "n_tokens")
+    val convTotal = spans.groupBy("conv_id").agg(max("tok_end").as("t"))
+    val direct = turnsN.join(encN, "__rid").groupBy("conv_id")
+      .agg(sum("n_tokens").as("t2"))
+    assert(convTotal.join(direct, "conv_id")
+      .filter(col("t") =!= col("t2")).count() === 0L)
+  }
+
+  test("maskedPackSegments: packs tile, masks preserve, trainable conserved") {
+    val withN = turns().withColumn("n", size(split(col("content"), " ")))
+    val spans = Sft.turnSpansByCount(withN, "conv_id", "turn_idx", "role", "n")
+    val segs = Sft.maskedPackSegments(spans, budget = 6)
+    // total tokens across all conversations
+    val total = spans.agg(sum(col("tok_end") - col("tok_start"))).head.getLong(0)
+    val packed = segs.agg(sum(col("seg_end") - col("seg_start"))).head.getLong(0)
+    assert(packed === total, "pack segments must cover every token once")
+    // every pack holds exactly budget tokens except the last
+    val perPack = segs.groupBy("pack_id")
+      .agg(sum(col("seg_end") - col("seg_start")).as("n"))
+      .orderBy("pack_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lastPack = perPack.map(_._1).max
+    perPack.foreach { case (p, n) =>
+      if (p != lastPack) assert(n === 6L, s"pack $p holds $n != budget")
+    }
+    // trainable-token conservation: assistant tokens in == out
+    val aIn = spans.filter(col("trainable"))
+      .agg(sum(col("tok_end") - col("tok_start"))).head.getLong(0)
+    val aOut = segs.filter(col("trainable"))
+      .agg(sum(col("seg_end") - col("seg_start"))).head.getLong(0)
+    assert(aIn === aOut)
+    // segments stay within their turn's span and their pack's window
+    val viol = segs.join(spans, Seq("conv_id", "turn_idx"))
+      .filter(col("seg_start") < col("tok_start") ||
+        col("seg_end") > col("tok_end")).count()
+    assert(viol === 0L)
+  }
+
+  test("assistantDedup collapses duplicate answer sets, keeps first") {
+    val r = Sft.assistantDedup(turns(), "conv_id", "turn_idx", "role",
+      "content").orderBy("conv_id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(2)))
+    // conv 2's assistant side duplicates conv 0's -> conv 0 kept, 2 dropped
+    assert(r === Array((0L, true), (1L, true), (2L, false), (3L, true)))
+    // and the duplicate pair shares a fingerprint
+    val fps = Sft.assistantDedup(turns(), "conv_id", "turn_idx", "role",
+      "content").select("conv_id", "fp").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(fps(0L) === fps(2L))
+    assert(fps(0L) !== fps(1L))
+  }
+
+  test("chunkWindows: fixed windows, right-aligned tail, full coverage") {
+    val df = Seq((1L, 10L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L))
+      .toDF("doc_id", "n")
+    val r = Sft.chunkWindows(df, "doc_id", "n", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r === Array(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 7L), (1L, 2L, 6L, 10L),
+      (2L, 0L, 0L, 3L),
+      (3L, 0L, 0L, 4L),
+      (4L, 0L, 0L, 4L), (4L, 1L, 1L, 5L)))
+    // law: every token of every doc is covered by >= 1 chunk, and every
+    // chunk is exactly `window` long unless the doc is shorter
+    r.groupBy(_._1).foreach { case (_, cs) =>
+      val n = cs.map(_._4).max
+      assert(cs.head._3 === 0L && cs.last._4 === n)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 <= a._4, "gap between chunks")
+        case _ =>
+      }
+      cs.foreach(c => assert(c._4 - c._3 === math.min(4L, n)))
+    }
+  }
+
+  test("chunkText materializes the exact token slices") {
+    val df = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
+    val r = Sft.chunkText(df, "doc_id", "text", window = 3, stride = 2)
+      .orderBy("chunk_id").collect()
+      .map(x => (x.getLong(1), x.getString(4)))
+    assert(r === Array((0L, "a b c"), (1L, "c d e"), (2L, "e f g")))
+  }
+
+  test("maskedPackSegments composes with BPE counts end to end") {
+    // the real export path: per-turn BPE counts -> spans -> packs; the
+    // pack totals must equal the corpus's subword total exactly
+    val model = Bpe.train(turns().select("content"), "content", numMerges = 3)
+    val keyed = turns().withColumn("__rid",
+      concat_ws("#", col("conv_id"), col("turn_idx")))
+    val enc = Bpe.encode(keyed, "__rid", "content", model)
+      .select("__rid", "n_tokens")
+    val spans = Sft.turnSpansByCount(keyed.join(enc, "__rid"),
+      "conv_id", "turn_idx", "role", "n_tokens")
+    val segs = Sft.maskedPackSegments(spans, budget = 8)
+    val corpusTotal = enc.agg(sum("n_tokens")).head.getLong(0)
+    val packTotal = segs.agg(sum(col("seg_end") - col("seg_start")))
+      .head.getLong(0)
+    assert(packTotal === corpusTotal)
+  }
+}
