@@ -164,7 +164,49 @@ object TrainingExportDemo {
     println(s"resumable export: full=($w1 written) crash-resume=" +
       s"($w2 written, $k2 skipped), content identical=$resumeOk")
 
-    val ok = streamTokens == segTokens &&          // token conservation
+    // 7. the SFT branch: the SAME persisted tokenizer serves the chat
+    // side. Conversations derive from the curated docs, dedup on the
+    // assistant side, take per-turn subword counts under the persisted
+    // model, and pack with their loss masks carried through — the
+    // trainable-token total must survive packing exactly.
+    import graft.operators.Sft
+    val turns = raw.select(expr("doc_id div 4").as("conv_id"),
+      (col("doc_id") % 4).as("turn_idx"),
+      when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+      col("text").as("content"))
+    val nConvs = turns.select("conv_id").distinct().count()
+    val keepTbl = Sft.assistantDedup(turns, "conv_id", "turn_idx", "role",
+      "content")
+    val kept = turns.join(keepTbl.filter(col("keep")).select("conv_id"),
+      "conv_id")
+    val nKept = kept.select("conv_id").distinct().count()
+    val rendered = Sft.renderChatML(kept, "conv_id", "turn_idx", "role",
+      "content")
+    val nAssist = rendered.agg(sum("n_assistant")).head.getLong(0)
+    val keyed = kept.withColumn("__rid",
+      concat_ws("#", col("conv_id"), col("turn_idx")))
+    val turnEnc = graft.operators.Bpe.encode(keyed, "__rid", "content", bpe)
+      .select("__rid", "n_tokens")
+    val spans = Sft.turnSpansByCount(keyed.join(turnEnc, "__rid"),
+      "conv_id", "turn_idx", "role", "n_tokens")
+    val sftSegs = Sft.maskedPackSegments(spans, budget)
+    val sftTotal = spans.agg(sum(col("tok_end") - col("tok_start")))
+      .head.getLong(0)
+    val sftPacked = sftSegs.agg(sum(col("seg_end") - col("seg_start")))
+      .head.getLong(0)
+    val trainIn = spans.filter(col("trainable"))
+      .agg(sum(col("tok_end") - col("tok_start"))).head.getLong(0)
+    val trainOut = sftSegs.filter(col("trainable"))
+      .agg(sum(col("seg_end") - col("seg_start"))).head.getLong(0)
+    val sftPacks = sftSegs.select("pack_id").distinct().count()
+    println(s"sft branch: $nConvs convs -> $nKept after assistant dedup, " +
+      s"$nAssist assistant turns; $sftTotal subword tokens -> $sftPacks " +
+      s"packs of $budget; trainable $trainIn in == $trainOut out")
+    val sftOk = sftTotal == sftPacked && trainIn == trainOut &&
+      trainIn > 0 && nKept <= nConvs
+
+    val ok = sftOk &&                              // SFT mask conservation
+      streamTokens == segTokens &&                 // token conservation
       bpeOov == 0L &&                              // base alphabet covers corpus
       resumeOk &&                                  // crash-resume exactness
       fullPacks >= nPacks - 1 &&                   // exact budgets
