@@ -4369,7 +4369,80 @@ object Queries {
              |  CAST(LEAST(st + 32, nt) AS BIGINT) AS tok_end,
              |  ARRAY_TO_STRING(LIST_SLICE(ws, CAST(st + 1 AS BIGINT),
              |    CAST(LEAST(st + 32, nt) AS BIGINT)), ' ') AS chunk
-             |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ----- whole-document (next-fit) packing ------------------------------
+    // The no-straddle packer: docs pack whole, padding the remainder —
+    // what a masked/SFT export wants (a conversation split across two
+    // sequences trains on half an answer). The fold is non-associative,
+    // so the operator buckets it (one sequential fold per deterministic
+    // id-quantile bucket); with buckets=1 it is textbook next-fit in id
+    // order, which the oracle replays with a recursive CTE (the
+    // d_connected_components precedent).
+    "d_nextfit_pack" -> QueryDef(
+      (s, d) => graft.operators.Packing.packWholeDocs(
+          t(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n")),
+          "doc_id", "n", budget = 256, buckets = 1)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)
+             |      AS n_tok,
+             |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+             |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) > 0),
+             |f AS (
+             |  SELECT rn, doc_id, n_tok, CAST(0 AS BIGINT) AS pack_id,
+             |    n_tok AS fill
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.rn, o.doc_id, o.n_tok,
+             |    CASE WHEN f.fill + o.n_tok > 256 THEN f.pack_id + 1
+             |         ELSE f.pack_id END,
+             |    CASE WHEN f.fill + o.n_tok > 256 THEN o.n_tok
+             |         ELSE f.fill + o.n_tok END
+             |  FROM f JOIN ord o ON o.rn = f.rn + 1)
+             |SELECT doc_id, pack_id, n_tok FROM f
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- cross-batch assistant dedup (persisted fp history) -------------
+    // The incremental form: prior batches persist only the 16-byte
+    // answer-set fingerprint per conversation; a new batch collapses
+    // in-batch keep-first AND drops any fingerprint class the history
+    // has seen. History = the conv%5==0 slice's fingerprints; batch =
+    // the rest; the planted 5-way answer cycle guarantees real hits.
+    "d_assistant_dedup_incr" -> QueryDef(
+      (s, d) => {
+        val pt = sftTurns(t(s, d, "documents")).withColumn("content",
+          when(col("role") === "assistant", concat(lit("reply "),
+            (col("turn_doc_id") % 5).cast("string")))
+            .otherwise(col("content")))
+        val hist = graft.operators.Sft.assistantFingerprints(
+          pt.filter(col("conv_id") % 5 === 0), "conv_id", "turn_idx",
+          "role", "content")
+        graft.operators.Sft.assistantDedupAgainstHistory(
+            pt.filter(col("conv_id") % 5 =!= 0), "conv_id", "turn_idx",
+            "role", "content", hist)
+          .orderBy("conv_id")
+      },
+      Some(s"""WITH $SftTurnsSql,
+             |pt AS (SELECT conv_id, turn_idx, role,
+             |    CASE WHEN role = 'assistant'
+             |      THEN 'reply ' || CAST(turn_doc_id % 5 AS VARCHAR)
+             |      ELSE content END AS content
+             |  FROM turns),
+             |allfp AS (SELECT conv_id,
+             |    MD5(COALESCE(STRING_AGG(
+             |      CASE WHEN role = 'assistant' THEN content END,
+             |      chr(10) ORDER BY turn_idx), '')) AS fp
+             |  FROM pt GROUP BY conv_id),
+             |hist AS (SELECT DISTINCT fp FROM allfp WHERE conv_id % 5 = 0),
+             |batch AS (SELECT * FROM allfp WHERE conv_id % 5 <> 0),
+             |k AS (SELECT fp, MIN(conv_id) AS keep_id FROM batch GROUP BY fp)
+             |SELECT b.conv_id, b.fp,
+             |  b.conv_id = k.keep_id AND h.fp IS NULL AS keep
+             |FROM batch b JOIN k USING (fp)
+             |LEFT JOIN hist h ON h.fp = b.fp
+             |ORDER BY b.conv_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

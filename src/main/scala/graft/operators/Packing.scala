@@ -72,6 +72,86 @@ object Packing {
     packCounts(df, idCol, col(countCol).cast("long"), budget, buckets,
       tokenOffset)
 
+  /** Whole-document (next-fit) packing: documents NEVER straddle pack
+    * boundaries — each pack holds whole documents up to `budget` tokens
+    * and pads the remainder. The shape masked/SFT exports prefer (a
+    * conversation split across two sequences trains on half an answer);
+    * [[packAssignments]]' concatenate-then-chunk trades the opposite
+    * way (zero pad waste, docs may straddle). Next-fit in id order: a
+    * document that would overflow the current pack's remaining space
+    * starts a new pack. Docs longer than `budget` REJECT loudly —
+    * truncate or chunk ([[Sft.chunkWindows]]) first; zero-count docs
+    * emit nothing (the [[packAssignments]] convention).
+    *
+    * Output `(doc_id, pack_id, n_tok)` — one row per document (whole,
+    * by construction). Pack fill/waste is one groupBy over the output.
+    *
+    * Scale shape: the next-fit fold is NON-ASSOCIATIVE (each decision
+    * depends on the running fill), so it cannot be a window or prefix
+    * sum. Instead the [[packCounts]] bucket discipline: deterministic
+    * `approxQuantile` id cuts, then ONE sorted sequential fold per
+    * bucket (`mapPartitions` — the genuine per-partition imperative
+    * case this library reserves it for). Buckets are independent, so
+    * the fold parallelizes to #buckets tasks; the cost of that
+    * independence is at most one partially-filled pack per bucket seam
+    * — the same boundary an incremental per-batch run has anyway. Pack
+    * ids are `bucket << 40 | seq` — globally unique, ordered within a
+    * bucket, NOT dense across buckets (a pack id is a name, not an
+    * index). Waste bound per bucket: every pack except its last closed
+    * only because the next doc overflowed, so its fill exceeds
+    * `budget - max(n_tok)`.
+    *
+    * With `buckets = 1` the fold is the exact textbook next-fit over
+    * the whole corpus in id order — the form the DuckDB oracle replays
+    * with a recursive CTE; a suite law pins multi-bucket output to the
+    * per-bucket-slice composition of single-bucket runs. */
+  def packWholeDocs(df: DataFrame, idCol: String, countCol: String,
+      budget: Int, buckets: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(df.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"packWholeDocs needs a numeric id column; '$idCol' is " +
+      s"${df.schema(idCol).dataType.simpleString}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val counts = df.select(col(idCol).cast("long").as("doc_id"),
+      col(countCol).cast("long").as("n_tok")).filter(col("n_tok") > 0)
+    val bounds =
+      if (nBuckets <= 1) Array.empty[Long]
+      else counts.stat.approxQuantile("doc_id",
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(typedlit(bounds.toSeq), lit(0),
+        (acc, b) => acc + when(col("doc_id") > b, 1).otherwise(0))
+    counts.withColumn("pid", pid.cast("int"))
+      .select(col("pid"), col("doc_id"), col("n_tok"))
+      .repartition(col("pid"))
+      .sortWithinPartitions("pid", "doc_id")
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        // several buckets can hash to one partition; rows arrive
+        // grouped by pid ascending, so the fold resets at each seam
+        var curPid = Int.MinValue
+        var fill = 0L
+        var seq = -1L
+        it.map { case (p, id, n) =>
+          if (n > budget) throw new IllegalArgumentException(
+            s"doc $id has $n tokens > budget $budget — packWholeDocs " +
+              "never splits a document; chunk or truncate oversize docs " +
+              "first (Sft.chunkWindows)")
+          if (p != curPid) { curPid = p; fill = 0L; seq = -1L }
+          if (seq < 0L || fill + n > budget) { seq += 1L; fill = n }
+          else fill += n
+          (id, (p.toLong << 40) | seq, n)
+        }
+      }
+      .toDF("doc_id", "pack_id", "n_tok")
+  }
+
   private def packCounts(df: DataFrame, idCol: String, countExpr:
       org.apache.spark.sql.Column, budget: Int, buckets: Int,
       tokenOffset: Long): DataFrame = {

@@ -130,7 +130,25 @@ object Sft {
     * the per-fingerprint min — both partial-agg'd. */
   def assistantDedup(turns: DataFrame, convCol: String,
       turnIdxCol: String, roleCol: String, contentCol: String): DataFrame = {
-    val fp = turns
+    val fp = assistantFingerprints(turns, convCol, turnIdxCol, roleCol,
+      contentCol)
+    val first = fp.groupBy("fp").agg(min("conv_id").as("__keep_id"))
+    fp.join(first, "fp")
+      .select(col("conv_id"), col("fp"),
+        (col("conv_id") === col("__keep_id")).as("keep"))
+  }
+
+  /** One `(conv_id, fp)` row per conversation — the assistant-side
+    * fingerprint [[assistantDedup]] keys on, and the rows an incremental
+    * pipeline APPENDS to its persisted dedup history after each batch
+    * (16 B + hash per conversation — an index, never the turns). Persist
+    * under the [[graft.state.HistoryFormat.SftAssistantFp]] marker: the
+    * fingerprint derivation (assistant contents, turn order, newline
+    * join, MD5) is a FORMAT — derived differently, every stored key
+    * silently stops matching. */
+  def assistantFingerprints(turns: DataFrame, convCol: String,
+      turnIdxCol: String, roleCol: String, contentCol: String): DataFrame =
+    turns
       .groupBy(col(convCol).as("conv_id"))
       .agg(collect_list(when(col(roleCol) === "assistant",
         struct(col(turnIdxCol).cast("long").as("i"),
@@ -138,11 +156,40 @@ object Sft {
       .select(col("conv_id"), TextFunctions.fingerprint(
         array_join(transform(array_sort(col("ts")), t => t.getField("c")),
           "\n")).as("fp"))
-    val first = fp.groupBy("fp").agg(min("conv_id").as("__keep_id"))
-    fp.join(first, "fp")
+
+  /** Cross-batch [[assistantDedup]]: `keep` additionally requires the
+    * answer-set fingerprint to be NOVEL against the accumulated history
+    * of prior batches' fingerprints (any column set containing `fp`).
+    * In-batch duplicates still collapse keep-first; a history hit drops
+    * the whole fingerprint class. The probe is one anti-join on the
+    * 16-byte key — prior batches' turns are never touched (the
+    * fingerprint-history discipline of [[Dedup]]'s exact family). */
+  def assistantDedupAgainstHistory(turns: DataFrame, convCol: String,
+      turnIdxCol: String, roleCol: String, contentCol: String,
+      history: DataFrame): DataFrame = {
+    val batch = assistantDedup(turns, convCol, turnIdxCol, roleCol,
+      contentCol)
+    val seen = history.select(col("fp")).distinct()
+      .withColumn("__seen", lit(true))
+    batch.join(seen, Seq("fp"), "left")
       .select(col("conv_id"), col("fp"),
-        (col("conv_id") === col("__keep_id")).as("keep"))
+        (col("keep") && coalesce(col("__seen"), lit(false)) === false)
+          .as("keep"))
   }
+
+  /** [[assistantDedupAgainstHistory]] reading the persisted index from
+    * its table directory — validates the
+    * [[graft.state.HistoryFormat.SftAssistantFp]] marker BEFORE any
+    * probe, so a stale-format index refuses from the operator with the
+    * rebuild remedy named. The DataFrame overload cannot know the
+    * table's directory; there the CALLER owns the marker check. */
+  def assistantDedupAgainstHistoryTable(turns: DataFrame, convCol: String,
+      turnIdxCol: String, roleCol: String, contentCol: String,
+      historyDir: String): DataFrame =
+    assistantDedupAgainstHistory(turns, convCol, turnIdxCol, roleCol,
+      contentCol,
+      graft.state.HistoryTables.readChecked(turns.sparkSession, historyDir,
+        graft.state.HistoryFormat.SftAssistantFp))
 
   /** Sliding token windows over each document — the chunking step of an
     * embedding/retrieval pipeline (a 100k-token document embeds as

@@ -95,6 +95,15 @@ object HistoryFormat {
       "it, and re-encode any persisted id sequences produced under the " +
       "old model")
 
+  /** Cross-batch SFT assistant-side dedup history
+    * ([[graft.operators.Sft.assistantFingerprints]]): v1 = MD5 over the
+    * conversation's assistant contents joined with `\n` in turn order.
+    * Any change to role selection, join order, or separator silently
+    * stops every stored fingerprint from matching. */
+  val SftAssistantFp: Format = Format("sft-assistant-fp", 1,
+    "re-run Sft.assistantFingerprints over the full kept conversation " +
+      "corpus and overwrite the history table")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)

@@ -111,4 +111,80 @@ class PackingSuite extends SparkSpec {
     assert(segs.toSeq === Seq((0L, 0L, 0L, 3L), (1L, 0L, 0L, 1L),
       (2L, 1L, 0L, 2L)))
   }
+
+  test("packWholeDocs: textbook next-fit in id order, docs never straddle") {
+    import spark.implicits._
+    val df = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 10L), (5L, 2L),
+      (6L, 6L), (7L, 0L)).toDF("doc_id", "n")
+    val r = Packing.packWholeDocs(df, "doc_id", "n", budget = 10,
+        buckets = 1)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // 4+5=9 | 3 (10 overflows) | 10 | 2+6=8; zero-count doc 7 emits nothing
+    assert(r === Array((1L, 0L, 4L), (2L, 0L, 5L), (3L, 1L, 3L),
+      (4L, 2L, 10L), (5L, 3L, 2L), (6L, 3L, 6L)))
+  }
+
+  test("packWholeDocs: no pack exceeds budget; waste bound holds") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, 1L + (i * 7) % 40))
+      .toDF("doc_id", "n")
+    val out = Packing.packWholeDocs(df, "doc_id", "n", budget = 64,
+      buckets = 4)
+    // one whole row per doc
+    assert(out.count() === 400L)
+    assert(out.select("doc_id").distinct().count() === 400L)
+    val fills = out.groupBy("pack_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tok").as("fill"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fills.forall(_._2 <= 64L), "a pack exceeded its budget")
+    // waste bound: within each bucket every pack but its LAST closed
+    // only because the next doc overflowed -> fill > budget - max(n)
+    val maxN = 40L
+    val lastPerBucket = fills.map(_._1).groupBy(_ >> 40)
+      .map { case (_, ids) => ids.max }.toSet
+    fills.filterNot(f => lastPerBucket(f._1)).foreach { case (p, fill) =>
+      assert(fill > 64L - maxN, s"pack $p fill $fill violates next-fit bound")
+    }
+    // token conservation
+    val inTok = (1L to 400L).map(i => 1L + (i * 7) % 40).sum
+    assert(fills.map(_._2).sum === inTok)
+  }
+
+  test("packWholeDocs: bucket composition law and input-order independence") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, 1L + (i * 13) % 50))
+      .toDF("doc_id", "n")
+    val multi = Packing.packWholeDocs(
+        df.orderBy(org.apache.spark.sql.functions.rand(7)).repartition(5),
+        "doc_id", "n", budget = 80, buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // the multi-bucket run equals single-bucket next-fit applied to each
+    // bucket's id slice independently (packs renumbered per bucket)
+    val byBucket = multi.groupBy(_._2 >> 40).toSeq.sortBy(_._1)
+    val seen = scala.collection.mutable.Set[Long]()
+    byBucket.foreach { case (_, rows) =>
+      val ids = rows.map(_._1).sorted
+      seen ++= ids
+      val solo = Packing.packWholeDocs(
+          df.filter(org.apache.spark.sql.functions.col("doc_id")
+            .isin(ids: _*)), "doc_id", "n", budget = 80, buckets = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1) & ((1L << 40) - 1)))
+        .sortBy(_._1)
+      assert(rows.map(x => (x._1, x._2 & ((1L << 40) - 1))).sortBy(_._1)
+        .toSeq === solo.toSeq)
+    }
+    assert(seen.size === 300)
+  }
+
+  test("packWholeDocs rejects docs longer than the budget, loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 4L), (2L, 99L)).toDF("doc_id", "n")
+    val e = intercept[org.apache.spark.SparkException] {
+      Packing.packWholeDocs(df, "doc_id", "n", budget = 10, buckets = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("never splits") ||
+      Option(e.getCause).exists(_.getMessage.contains("never splits")))
+  }
 }

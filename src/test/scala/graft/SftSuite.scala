@@ -161,6 +161,46 @@ class SftSuite extends SparkSpec {
     assert(r === Array((0L, "a b c"), (1L, "c d e"), (2L, "e f g")))
   }
 
+  test("assistantDedupAgainstHistory drops seen answer sets, keeps novel") {
+    val hist = Sft.assistantFingerprints(
+      turns().filter(col("conv_id") === 0), "conv_id", "turn_idx", "role",
+      "content")
+    val r = Sft.assistantDedupAgainstHistory(
+        turns().filter(col("conv_id") =!= 0), "conv_id", "turn_idx",
+        "role", "content", hist)
+      .orderBy("conv_id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(2)))
+    // conv 2 duplicates conv 0's (now-historical) answer set -> dropped
+    // even though it is first IN BATCH; conv 1 and 3 are novel
+    assert(r === Array((1L, true), (2L, false), (3L, true)))
+  }
+
+  test("assistantDedupAgainstHistoryTable enforces the format marker") {
+    import graft.state.{HistoryFormat, HistoryTables}
+    withTmpDir { tmp =>
+      val dir = s"$tmp/sft_fp"
+      Sft.assistantFingerprints(turns().filter(col("conv_id") === 0),
+        "conv_id", "turn_idx", "role", "content")
+        .write.parquet(dir)
+      // data without a marker = legacy unverifiable index -> refuses
+      val e = intercept[IllegalStateException] {
+        Sft.assistantDedupAgainstHistoryTable(
+          turns().filter(col("conv_id") =!= 0), "conv_id", "turn_idx",
+          "role", "content", dir).collect()
+      }
+      assert(e.getMessage.contains("sft-assistant-fp") ||
+        e.getMessage.contains("marker"))
+      // stamped -> probes fine and matches the DataFrame overload
+      HistoryFormat.stamp(spark.sparkContext.hadoopConfiguration, dir,
+        HistoryFormat.SftAssistantFp)
+      val viaTable = Sft.assistantDedupAgainstHistoryTable(
+          turns().filter(col("conv_id") =!= 0), "conv_id", "turn_idx",
+          "role", "content", dir)
+        .orderBy("conv_id").collect().map(x => (x.getLong(0), x.getBoolean(2)))
+      assert(viaTable === Array((1L, true), (2L, false), (3L, true)))
+    }
+  }
+
   test("maskedPackSegments composes with BPE counts end to end") {
     // the real export path: per-turn BPE counts -> spans -> packs; the
     // pack totals must equal the corpus's subword total exactly

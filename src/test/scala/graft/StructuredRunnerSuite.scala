@@ -719,6 +719,70 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("SFT assistant-fp history under the streaming engine, across checkpoint loss") {
+    // the assistant-side dedup history is cross-batch state like the
+    // fingerprint history: each batch collapses in-batch keep-first,
+    // drops any answer set a PRIOR batch kept, and appends its own kept
+    // fingerprints — and replay after checkpoint loss must leave the
+    // kept table byte-identical (SetTransaction-guarded appends)
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Sft
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val out = s"$tmp/kept"; val hist = s"$tmp/fp_hist"
+      def file(n: Int, rows: Seq[(Long, Long, String, String)]): Unit = {
+        rows.toDF("conv_id", "turn_idx", "role", "content")
+          .coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 0: conv 2 duplicates conv 1's answer IN BATCH
+      file(0, Seq((1L, 0L, "user", "hi"), (1L, 1L, "assistant", "ans A"),
+        (2L, 0L, "user", "yo"), (2L, 1L, "assistant", "ans A")))
+      // batch 1: conv 3 duplicates against HISTORY, conv 4 is novel
+      file(1, Seq((3L, 0L, "user", "hej"), (3L, 1L, "assistant", "ans A"),
+        (4L, 0L, "user", "hola"), (4L, 1L, "assistant", "ans B")))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, 1L, "x", "y"))
+          .toDF("conv_id", "turn_idx", "role", "content").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val res =
+              if (w.tableExists(hist))
+                Sft.assistantDedupAgainstHistory(batch, "conv_id",
+                  "turn_idx", "role", "content", w.read(hist))
+              else Sft.assistantDedup(batch, "conv_id", "turn_idx",
+                "role", "content")
+            val kept = res.filter(col("keep")).select("conv_id", "fp")
+            if (!w.lastTxnVersion(out, "sftd").exists(_ >= batchId))
+              w.write(kept, out, DeltaWriteMode.Append,
+                txn = Some(("sftd", batchId)))
+            if (!w.lastTxnVersion(hist, "sftdh").exists(_ >= batchId))
+              w.write(kept.select("fp"), hist, DeltaWriteMode.Append,
+                txn = Some(("sftdh", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def keptIds() = w.read(out).select("conv_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      // conv 2 collapsed in batch 0; conv 3 dropped against history
+      assert(keptIds() === Seq(1L, 4L), s"got ${keptIds()}")
+      assert(w.read(hist).count() === 2L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(keptIds() === Seq(1L, 4L),
+        "replay after checkpoint loss must not re-append or re-drop")
+      assert(w.read(hist).count() === 2L)
+    }
+  }
+
   test("BPE encoding under the streaming engine, across checkpoint loss") {
     // the subword model is cross-batch state like the word vocab: every
     // batch must encode under the SAME persisted merge table (loaded
