@@ -45,6 +45,35 @@ object Queries {
       |    text AS content, doc_id AS turn_doc_id
       |  FROM documents)""".stripMargin
 
+  /** Deterministic preference-pair derivation shared by the RLHF-QC
+    * queries and their oracles: adjacent docs pair up (even=chosen,
+    * odd=rejected), prompts cycle 50 ways so duplicates occur, and
+    * pair_id%17==3 plants degenerate pairs. */
+  private def prefPairs(docs: DataFrame): DataFrame = {
+    val p0 = docs.groupBy(expr("doc_id div 2").as("pair_id"))
+      .agg(max(when(col("doc_id") % 2 === 0, col("text"))).as("chosen"),
+        max(when(col("doc_id") % 2 === 1, col("text"))).as("rejected"))
+    p0.filter(col("chosen").isNotNull && col("rejected").isNotNull)
+      .select(col("pair_id"),
+        concat(lit("q "), (col("pair_id") % 50).cast("string")).as("prompt"),
+        col("chosen"),
+        when(col("pair_id") % 17 === 3, col("chosen"))
+          .otherwise(col("rejected")).as("rejected"))
+  }
+
+  /** The DuckDB CTE mirroring [[prefPairs]] (spliced as `WITH $PrefPairsSql`). */
+  private val PrefPairsSql: String =
+    """p0 AS (
+      |  SELECT doc_id // 2 AS pair_id,
+      |    MAX(CASE WHEN doc_id % 2 = 0 THEN text END) AS chosen,
+      |    MAX(CASE WHEN doc_id % 2 = 1 THEN text END) AS rejected
+      |  FROM documents GROUP BY doc_id // 2),
+      |pairs AS (
+      |  SELECT pair_id, 'q ' || CAST(pair_id % 50 AS VARCHAR) AS prompt,
+      |    chosen,
+      |    CASE WHEN pair_id % 17 = 3 THEN chosen ELSE rejected END AS rejected
+      |  FROM p0 WHERE chosen IS NOT NULL AND rejected IS NOT NULL)""".stripMargin
+
   /** [[t]] plus a spread across the session's cores — for the COMPUTE-heavy
     * operators (gram explosion, signatures, edit distance, LM scoring)
     * whose input here is a single-row-group local parquet: Spark cannot
@@ -4442,7 +4471,104 @@ object Queries {
              |  b.conv_id = k.keep_id AND h.fp IS NULL AS keep
              |FROM batch b JOIN k USING (fp)
              |LEFT JOIN hist h ON h.fp = b.fp
-             |ORDER BY b.conv_id""".stripMargin))
+             |ORDER BY b.conv_id""".stripMargin)),
+
+    // ----- whole-conversation masked packing ------------------------------
+    // maskedPackSegments over the NO-STRADDLE packer: each conversation
+    // lands in exactly one next-fit pack, so the mask segments are the
+    // turn spans with a pack id attached — the form a real SFT trainer
+    // loads (pad waste instead of half-answer training). Oracle =
+    // recursive-CTE next-fit over conversation totals joined to the
+    // span replay.
+    "d_sft_pack_whole" -> QueryDef(
+      (s, d) => {
+        val spans = graft.operators.Sft.turnSpansByCount(
+          sftTurns(t(s, d, "documents")).withColumn("n",
+            size(split(col("content"), " ")).cast("long")),
+          "conv_id", "turn_idx", "role", "n")
+        graft.operators.Sft.maskedPackWhole(spans, budget = 512,
+            buckets = 1)
+          .orderBy("pack_id", "conv_id", "turn_idx")
+      },
+      Some(s"""WITH RECURSIVE $SftTurnsSql,
+             |n AS (SELECT conv_id, turn_idx, role,
+             |    CAST(LEN(STRING_SPLIT(content, ' ')) AS BIGINT) AS nt
+             |  FROM turns),
+             |spans AS (
+             |  SELECT conv_id, turn_idx, role,
+             |    CAST(SUM(nt) OVER w - nt AS BIGINT) AS tok_start,
+             |    CAST(SUM(nt) OVER w AS BIGINT) AS tok_end,
+             |    role = 'assistant' AS trainable
+             |  FROM n WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+             |ord AS (SELECT conv_id, MAX(tok_end) AS n_tok,
+             |    ROW_NUMBER() OVER (ORDER BY conv_id) AS rn
+             |  FROM spans GROUP BY conv_id HAVING MAX(tok_end) > 0),
+             |f AS (
+             |  SELECT rn, conv_id, CAST(0 AS BIGINT) AS pack_id,
+             |    n_tok AS fill
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.rn, o.conv_id,
+             |    CASE WHEN f.fill + o.n_tok > 512 THEN f.pack_id + 1
+             |         ELSE f.pack_id END,
+             |    CASE WHEN f.fill + o.n_tok > 512 THEN o.n_tok
+             |         ELSE f.fill + o.n_tok END
+             |  FROM f JOIN ord o ON o.rn = f.rn + 1)
+             |SELECT f.pack_id, s.conv_id, s.turn_idx, s.role,
+             |  s.tok_start AS seg_start, s.tok_end AS seg_end, s.trainable
+             |FROM f JOIN spans s USING (conv_id)
+             |ORDER BY pack_id, conv_id, turn_idx""".stripMargin)),
+
+    // ===== preference-pair (RLHF/DPO) QC ==================================
+    // Pairs derive from adjacent documents (even=chosen, odd=rejected);
+    // prompts cycle 50 ways so duplicates occur, and pair_id%17==3
+    // plants degenerate pairs (rejected := chosen).
+
+    // ----- per-pair audit -------------------------------------------------
+    "d_pref_audit" -> QueryDef(
+      (s, d) => graft.operators.Sft.preferenceAudit(prefPairs(
+          t(s, d, "documents")), "pair_id", "prompt", "chosen", "rejected")
+        .orderBy("pair_id"),
+      Some(s"""WITH $PrefPairsSql
+             |, a AS (SELECT pair_id,
+             |    CAST(LEN(STRING_SPLIT(chosen, ' ')) AS BIGINT) AS chosen_tok,
+             |    CAST(LEN(STRING_SPLIT(rejected, ' ')) AS BIGINT)
+             |      AS rejected_tok,
+             |    chosen = rejected AS degenerate, prompt
+             |  FROM pairs),
+             |fstp AS (SELECT prompt, MIN(pair_id) AS first_id
+             |  FROM a GROUP BY prompt)
+             |SELECT a.pair_id, a.chosen_tok, a.rejected_tok,
+             |  a.chosen_tok - a.rejected_tok AS len_gap, a.degenerate,
+             |  a.chosen_tok > a.rejected_tok AS chosen_longer,
+             |  a.pair_id <> f.first_id AS prompt_dup
+             |FROM a JOIN fstp f USING (prompt)
+             |ORDER BY pair_id""".stripMargin)),
+
+    // ----- corpus roll-up -------------------------------------------------
+    // chosen_longer_frac is THE length-bias number (0.5 = unbiased);
+    // fractions divide exact integer sums once, so both engines land on
+    // the same double.
+    "d_pref_report" -> QueryDef(
+      (s, d) => graft.operators.Sft.preferenceReport(prefPairs(
+          t(s, d, "documents")), "pair_id", "prompt", "chosen", "rejected"),
+      Some(s"""WITH $PrefPairsSql
+             |, a AS (SELECT pair_id, prompt,
+             |    CAST(LEN(STRING_SPLIT(chosen, ' ')) AS BIGINT) AS ct,
+             |    CAST(LEN(STRING_SPLIT(rejected, ' ')) AS BIGINT) AS rt,
+             |    chosen = rejected AS degenerate
+             |  FROM pairs),
+             |fstp AS (SELECT prompt, MIN(pair_id) AS first_id
+             |  FROM a GROUP BY prompt)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(COUNT(*) FILTER (degenerate) AS BIGINT) AS n_degenerate,
+             |  CAST(COUNT(*) FILTER (a.pair_id <> f.first_id) AS BIGINT)
+             |    AS n_prompt_dup,
+             |  ROUND(CAST(COUNT(*) FILTER (ct > rt) AS DOUBLE)
+             |    / GREATEST(COUNT(*), 1), 4) AS chosen_longer_frac,
+             |  ROUND(CAST(SUM(ct - rt) AS DOUBLE) / GREATEST(COUNT(*), 1), 4)
+             |    AS mean_len_gap
+             |FROM a JOIN fstp f USING (prompt)""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -117,6 +117,29 @@ object Sft {
       .filter(col("seg_end") > col("seg_start"))
   }
 
+  /** [[maskedPackSegments]] over the WHOLE-conversation packer: each
+    * conversation lands in exactly one pack ([[Packing.packWholeDocs]]
+    * next-fit — no straddling, the remainder pads), so the mask
+    * segments ARE the turn spans with their pack id attached. Same
+    * output shape as [[maskedPackSegments]] (`pack_id, conv_id,
+    * turn_idx, role, seg_start, seg_end, trainable`), interchangeable
+    * downstream; the trade is pad waste for never training on half an
+    * answer. Conversations longer than `budget` reject loudly (split
+    * them upstream or raise the budget). Pack fill — and hence pad
+    * waste `budget - fill` — is one groupBy over the output. */
+  def maskedPackWhole(spans: DataFrame, budget: Int,
+      buckets: Int = 0): DataFrame = {
+    val totals = spans.groupBy("conv_id").agg(max("tok_end").as("n_tok"))
+    val packs = Packing.packWholeDocs(totals, "conv_id", "n_tok", budget,
+        buckets)
+      .withColumnRenamed("doc_id", "conv_id")
+      .select("conv_id", "pack_id")
+    packs.join(spans, "conv_id")
+      .select(col("pack_id"), col("conv_id"), col("turn_idx"), col("role"),
+        col("tok_start").as("seg_start"), col("tok_end").as("seg_end"),
+        col("trainable"))
+  }
+
   /** Conversation dedup at the granularity that matters for SFT: the
     * ASSISTANT side. `(conv_id, fp, keep)` — `fp` is the MD5 of the
     * assistant turns' contents joined in turn order (user phrasing is
@@ -190,6 +213,55 @@ object Sft {
       contentCol,
       graft.state.HistoryTables.readChecked(turns.sparkSession, historyDir,
         graft.state.HistoryFormat.SftAssistantFp))
+
+  /** Preference-pair (RLHF/DPO) data QC — per-pair audit flags for the
+    * three measurable ways a preference set rots: DEGENERATE pairs
+    * (chosen == rejected: zero preference signal, a DPO gradient of
+    * noise), DUPLICATED prompts (the same prompt judged twice
+    * over-weights its preference and leaks across splits), and LENGTH
+    * BIAS (annotators prefer longer; a model trained on it learns
+    * verbosity — the best-documented preference artifact, the reason
+    * length-controlled evals exist). Input: one row per pair
+    * `(pair_id, prompt, chosen, rejected)`.
+    *
+    * Output per pair: token counts both sides, `len_gap`,
+    * `degenerate`, `chosen_longer`, and `prompt_dup` (not the first
+    * pair_id carrying this prompt). Map-only plus one per-prompt min —
+    * a single partial-agg'd exchange on the prompt key. */
+  def preferenceAudit(pairs: DataFrame, pairIdCol: String,
+      promptCol: String, chosenCol: String, rejectedCol: String): DataFrame = {
+    val base = pairs.select(col(pairIdCol).cast("long").as("pair_id"),
+        col(promptCol).as("__p"), col(chosenCol).as("__c"),
+        col(rejectedCol).as("__r"))
+      .withColumn("chosen_tok", size(split(col("__c"), " ")).cast("long"))
+      .withColumn("rejected_tok", size(split(col("__r"), " ")).cast("long"))
+    val firstPrompt = base.groupBy("__p").agg(min("pair_id").as("__first"))
+    base.join(firstPrompt, "__p")
+      .select(col("pair_id"), col("chosen_tok"), col("rejected_tok"),
+        (col("chosen_tok") - col("rejected_tok")).as("len_gap"),
+        (col("__c") === col("__r")).as("degenerate"),
+        (col("chosen_tok") > col("rejected_tok")).as("chosen_longer"),
+        (col("pair_id") =!= col("__first")).as("prompt_dup"))
+  }
+
+  /** One-row corpus roll-up of [[preferenceAudit]]: pair count, the two
+    * defect counts, the length-bias rate (`chosen_longer_frac` — 0.5 is
+    * unbiased; real human-pref sets run 0.6–0.7), and the mean token
+    * gap. The fractions divide exact integer sums once, so both engines
+    * land on the same double. */
+  def preferenceReport(pairs: DataFrame, pairIdCol: String,
+      promptCol: String, chosenCol: String, rejectedCol: String): DataFrame =
+    preferenceAudit(pairs, pairIdCol, promptCol, chosenCol, rejectedCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("degenerate"), 1L).otherwise(0L)), lit(0L))
+          .as("n_degenerate"),
+        coalesce(sum(when(col("prompt_dup"), 1L).otherwise(0L)), lit(0L))
+          .as("n_prompt_dup"),
+        round(coalesce(sum(when(col("chosen_longer"), 1L).otherwise(0L)),
+          lit(0L)).cast("double") / greatest(count(lit(1)), lit(1L)), 4)
+          .as("chosen_longer_frac"),
+        round(coalesce(sum(col("len_gap")), lit(0L)).cast("double") /
+          greatest(count(lit(1)), lit(1L)), 4).as("mean_len_gap"))
 
   /** Sliding token windows over each document — the chunking step of an
     * embedding/retrieval pipeline (a 100k-token document embeds as

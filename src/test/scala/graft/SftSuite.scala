@@ -161,6 +161,53 @@ class SftSuite extends SparkSpec {
     assert(r === Array((0L, "a b c"), (1L, "c d e"), (2L, "e f g")))
   }
 
+  test("maskedPackWhole: one pack per conversation, spans ride unchanged") {
+    val withN = turns().withColumn("n", size(split(col("content"), " ")))
+    val spans = Sft.turnSpansByCount(withN, "conv_id", "turn_idx", "role", "n")
+    // conv totals: c0=14, c1=8, c2=12, c3=2; budget 20 next-fit in id
+    // order -> pack0: c0 (14; +8 overflows), pack1: c1+c2 (20), pack2: c3
+    val segs = Sft.maskedPackWhole(spans, budget = 20, buckets = 1)
+    val byConv = segs.select("conv_id", "pack_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(byConv === Array((0L, 0L), (1L, 1L), (2L, 1L), (3L, 2L)),
+      s"got ${byConv.toSeq}")
+    // segments ARE the spans (no straddling, no clipping)
+    val roundTrip = segs.select(col("conv_id"), col("turn_idx"), col("role"),
+        col("seg_start").as("tok_start"), col("seg_end").as("tok_end"),
+        col("trainable"))
+    assert(roundTrip.exceptAll(spans).count() === 0L)
+    assert(spans.exceptAll(roundTrip).count() === 0L)
+    // no pack over budget
+    val fills = segs.groupBy("pack_id")
+      .agg(sum(col("seg_end") - col("seg_start")).as("f")).collect()
+    assert(fills.forall(_.getLong(1) <= 20L))
+  }
+
+  test("preferenceAudit flags degenerate pairs, prompt dups, length bias") {
+    val pairs = Seq(
+      (0L, "q 0", "a b c", "a b"),          // chosen longer
+      (1L, "q 1", "x", "y z w"),            // rejected longer
+      (2L, "q 0", "m n", "m n"),            // degenerate + dup prompt
+      (3L, "q 2", "p q r s", "t")           // chosen longer
+    ).toDF("pair_id", "prompt", "chosen", "rejected")
+    val a = Sft.preferenceAudit(pairs, "pair_id", "prompt", "chosen",
+        "rejected").orderBy("pair_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(a === Array(
+      (0L, 3L, 2L, 1L, false, true, false),
+      (1L, 1L, 3L, -2L, false, false, false),
+      (2L, 2L, 2L, 0L, true, false, true),
+      (3L, 4L, 1L, 3L, false, true, false)))
+    val rep = Sft.preferenceReport(pairs, "pair_id", "prompt", "chosen",
+      "rejected").collect()(0)
+    assert(rep.getLong(0) === 4L)        // n_pairs
+    assert(rep.getLong(1) === 1L)        // n_degenerate
+    assert(rep.getLong(2) === 1L)        // n_prompt_dup
+    assert(rep.getDouble(3) === 0.5)     // chosen_longer_frac
+    assert(rep.getDouble(4) === 0.5)     // mean_len_gap (1-2+0+3)/4
+  }
+
   test("assistantDedupAgainstHistory drops seen answer sets, keeps novel") {
     val hist = Sft.assistantFingerprints(
       turns().filter(col("conv_id") === 0), "conv_id", "turn_idx", "role",
