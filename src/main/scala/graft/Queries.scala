@@ -4568,7 +4568,91 @@ object Queries {
              |    / GREATEST(COUNT(*), 1), 4) AS chosen_longer_frac,
              |  ROUND(CAST(SUM(ct - rt) AS DOUBLE) / GREATEST(COUNT(*), 1), 4)
              |    AS mean_len_gap
-             |FROM a JOIN fstp f USING (prompt)""".stripMargin))
+             |FROM a JOIN fstp f USING (prompt)""".stripMargin)),
+
+    // ----- turn-boundary conversation splitting ---------------------------
+    // The upstream step packWholeDocs' oversize rejection demands:
+    // conversations longer than the budget split at TURN boundaries
+    // (greedy next-fit over turns), never mid-answer. The per-conv fold
+    // runs inside a codegen'd aggregate HOF; the oracle replays it with
+    // a recursive CTE advancing every conversation one turn per step.
+    "d_conv_split" -> QueryDef(
+      (s, d) => graft.operators.Sft.splitConversations(
+          sftTurns(t(s, d, "documents")).withColumn("n",
+            size(split(col("content"), " ")).cast("long")),
+          "conv_id", "turn_idx", "n", budget = 120)
+        .orderBy("conv_id", "turn_idx"),
+      Some(s"""WITH RECURSIVE $SftTurnsSql,
+             |r AS (SELECT conv_id, turn_idx,
+             |    CAST(LEN(STRING_SPLIT(content, ' ')) AS BIGINT) AS nt,
+             |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             |      AS rn
+             |  FROM turns),
+             |f AS (
+             |  SELECT conv_id, turn_idx, nt, rn, CAST(0 AS BIGINT) AS sub_id,
+             |    nt AS fill
+             |  FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.conv_id, o.turn_idx, o.nt, o.rn,
+             |    CASE WHEN f.fill + o.nt > 120 AND f.fill > 0
+             |         THEN f.sub_id + 1 ELSE f.sub_id END,
+             |    CASE WHEN f.fill + o.nt > 120 AND f.fill > 0
+             |         THEN o.nt ELSE f.fill + o.nt END
+             |  FROM f JOIN r o
+             |    ON o.conv_id = f.conv_id AND o.rn = f.rn + 1)
+             |SELECT conv_id, turn_idx, sub_id FROM f
+             |ORDER BY conv_id, turn_idx""".stripMargin)),
+
+    // ----- reward-proxy margin audit --------------------------------------
+    // The learned quality signal scores both sides of every preference
+    // pair; inverted pairs (scorer prefers the REJECTED side) are the
+    // label-noise queue. Planted integer weights make both scores
+    // bit-for-bit replayable (the d_quality_clf discipline).
+    "d_pref_margin" -> QueryDef(
+      (s, d) => {
+        val model = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+        graft.operators.Sft.preferenceMargin(prefPairs(
+            t(s, d, "documents")), "pair_id", "chosen", "rejected", model)
+          .orderBy("pair_id")
+      },
+      Some {
+        // no '|' characters in this helper: the OUTER stripMargin below
+        // runs over the spliced text too, and would eat the first pipe
+        // of a '||' concat (hence LIST_CONCAT / CONCAT here)
+        def feats(side: String) =
+          s"""LIST_CONCAT(
+    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws_$side[i], '')]),
+       (h, cp) -> (h * 31 + cp) % 64)
+     FOR i IN RANGE(1, LEN(ws_$side) + 1)],
+    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+       [CAST(ascii(c) AS BIGINT)
+        FOR c IN STRING_SPLIT(CONCAT(ws_$side[i], ' ', ws_$side[i + 1]), '')]),
+       (h, cp) -> (h * 31 + cp) % 64)
+     FOR i IN RANGE(1, LEN(ws_$side))])"""
+        def score(fb: String) =
+          s"CAST(3 + COALESCE(LIST_SUM([((b * 37) % 21) - 10 FOR b IN $fb]), 0) AS BIGINT)"
+        s"""WITH $PrefPairsSql,
+           |w AS (SELECT pair_id,
+           |    LIST_FILTER(STRING_SPLIT(chosen, ' '), t -> LENGTH(t) > 0)
+           |      AS ws_c,
+           |    LIST_FILTER(STRING_SPLIT(rejected, ' '), t -> LENGTH(t) > 0)
+           |      AS ws_r
+           |  FROM pairs),
+           |f AS (SELECT pair_id,
+           |    ${feats("c")} AS fb_c,
+           |    ${feats("r")} AS fb_r
+           |  FROM w),
+           |sc AS (SELECT pair_id,
+           |    ${score("fb_c")} AS chosen_score,
+           |    ${score("fb_r")} AS rejected_score
+           |  FROM f)
+           |SELECT pair_id, chosen_score, rejected_score,
+           |  chosen_score - rejected_score AS margin,
+           |  chosen_score - rejected_score < 0 AS inverted
+           |FROM sc ORDER BY pair_id""".stripMargin
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

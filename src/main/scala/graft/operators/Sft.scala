@@ -214,6 +214,49 @@ object Sft {
       graft.state.HistoryTables.readChecked(turns.sparkSession, historyDir,
         graft.state.HistoryFormat.SftAssistantFp))
 
+  /** Split over-budget conversations at TURN boundaries: greedy
+    * next-fit over each conversation's turns in turn order — a turn
+    * that would push the running sub-conversation past `budget` starts
+    * a new one. `(conv_id, turn_idx, sub_id)`: recombine as
+    * `(conv_id, sub_id)` sub-conversations and [[packWholeDocs]]'s
+    * oversize rejection can no longer fire (unless a SINGLE turn
+    * exceeds the budget — such a turn still gets its own sub, since
+    * splitting below turn granularity would cut an answer mid-stream;
+    * truncate or chunk those upstream).
+    *
+    * One partial-agg'd exchange; the fold runs INSIDE each collected
+    * conversation as a codegen'd `aggregate` HOF over tens of turns —
+    * per-conversation sequential is free parallelism, unlike the
+    * corpus-level fold [[Packing.packWholeDocs]] has to bucket. */
+  def splitConversations(turns: DataFrame, convCol: String,
+      turnIdxCol: String, countCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val init = struct(lit(0L).as("fill"), lit(0L).as("sub"),
+      array().cast("array<struct<i:bigint,sub:bigint>>").as("out"))
+    val folded = aggregate(
+      array_sort(col("ts")), init,
+      (acc, t) => {
+        val overflow = (acc.getField("fill") + t.getField("n") > budget) &&
+          acc.getField("fill") > 0
+        val sub = when(overflow, acc.getField("sub") + 1)
+          .otherwise(acc.getField("sub"))
+        val fill = when(overflow, t.getField("n"))
+          .otherwise(acc.getField("fill") + t.getField("n"))
+        struct(fill.as("fill"), sub.as("sub"),
+          concat(acc.getField("out"),
+            array(struct(t.getField("i").as("i"), sub.as("sub"))))
+            .as("out"))
+      },
+      acc => acc.getField("out"))
+    turns
+      .groupBy(col(convCol).as("conv_id"))
+      .agg(collect_list(struct(col(turnIdxCol).cast("long").as("i"),
+        col(countCol).cast("long").as("n"))).as("ts"))
+      .select(col("conv_id"), explode(folded).as("t"))
+      .select(col("conv_id"), col("t.i").as("turn_idx"),
+        col("t.sub").as("sub_id"))
+  }
+
   /** Preference-pair (RLHF/DPO) data QC — per-pair audit flags for the
     * three measurable ways a preference set rots: DEGENERATE pairs
     * (chosen == rejected: zero preference signal, a DPO gradient of
@@ -243,6 +286,23 @@ object Sft {
         (col("chosen_tok") > col("rejected_tok")).as("chosen_longer"),
         (col("pair_id") =!= col("__first")).as("prompt_dup"))
   }
+
+  /** Reward-proxy margin audit: score BOTH sides of each preference
+    * pair under a persisted [[QualityClf]] model and report the margin
+    * — `(pair_id, chosen_score, rejected_score, margin, inverted)`.
+    * `inverted` pairs (the scorer prefers the REJECTED side) are the
+    * label-noise candidates a preference pipeline routes to re-review,
+    * and the inverted share is the agreement rate between annotators
+    * and the learned quality signal. Map-only: two scoring expressions
+    * fused into the scan, weights plan literals, zero exchanges. */
+  def preferenceMargin(pairs: DataFrame, pairIdCol: String,
+      chosenCol: String, rejectedCol: String,
+      model: QualityClf.Model): DataFrame =
+    pairs.select(col(pairIdCol).cast("long").as("pair_id"),
+        QualityClf.scoreCol(col(chosenCol), model).as("chosen_score"),
+        QualityClf.scoreCol(col(rejectedCol), model).as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .withColumn("inverted", col("margin") < 0)
 
   /** One-row corpus roll-up of [[preferenceAudit]]: pair count, the two
     * defect counts, the length-bias rate (`chosen_longer_frac` — 0.5 is

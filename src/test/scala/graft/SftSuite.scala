@@ -208,6 +208,65 @@ class SftSuite extends SparkSpec {
     assert(rep.getDouble(4) === 0.5)     // mean_len_gap (1-2+0+3)/4
   }
 
+  test("splitConversations: turn-boundary next-fit, oversize turns kept whole") {
+    val t = Seq(
+      (0L, 0L, 50L), (0L, 1L, 80L), (0L, 2L, 30L), (0L, 3L, 70L),
+      (1L, 0L, 150L),                    // single turn over budget
+      (2L, 0L, 10L), (2L, 1L, 20L)       // fits in one sub
+    ).toDF("conv_id", "turn_idx", "n")
+    val r = Sft.splitConversations(t, "conv_id", "turn_idx", "n",
+        budget = 100)
+      .orderBy("conv_id", "turn_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r === Array(
+      (0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 2L),
+      (1L, 0L, 0L),
+      (2L, 0L, 0L), (2L, 1L, 0L)))
+  }
+
+  test("splitConversations closes packWholeDocs' oversize rejection") {
+    // a conversation over the pack budget splits into subs that the
+    // whole-doc packer then accepts — the composition the operator
+    // exists for (given no single turn exceeds the budget)
+    val withN = turns().withColumn("n", size(split(col("content"), " ")))
+    val subs = Sft.splitConversations(withN, "conv_id", "turn_idx", "n",
+      budget = 8)
+    val keyed = withN.join(subs, Seq("conv_id", "turn_idx"))
+      .withColumn("sub_conv", col("conv_id") * 100 + col("sub_id"))
+    val spans = Sft.turnSpansByCount(keyed, "sub_conv", "turn_idx",
+      "role", "n")
+    // every sub fits the budget (max turn count here is 5 <= 8)
+    val tooBig = spans.groupBy("conv_id").agg(max("tok_end").as("t"))
+      .filter(col("t") > 8).count()
+    assert(tooBig === 0L)
+    // and the whole-doc packer runs without rejecting
+    val segs = Sft.maskedPackWhole(spans, budget = 8, buckets = 1)
+    val total = withN.agg(sum("n")).head.getLong(0)
+    val packed = segs.agg(sum(col("seg_end") - col("seg_start")))
+      .head.getLong(0)
+    assert(packed === total)
+  }
+
+  test("preferenceMargin scores both sides, flags inverted pairs") {
+    import graft.operators.QualityClf
+    val model = QualityClf.Model(Array.fill(8)(1L), 0L)
+    // all-ones weights + zero bias => score == feature count
+    val pairs = Seq(
+      (0L, "a b", "c"),     // 3 features vs 1 -> margin 2
+      (1L, "x", "y z"),     // 1 vs 3 -> margin -2, inverted
+      (2L, "m n", "m n")    // degenerate -> margin 0
+    ).toDF("pair_id", "chosen", "rejected")
+    val r = Sft.preferenceMargin(pairs, "pair_id", "chosen", "rejected",
+        model)
+      .orderBy("pair_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))
+    assert(r === Array(
+      (0L, 3L, 1L, 2L, false),
+      (1L, 1L, 3L, -2L, true),
+      (2L, 3L, 3L, 0L, false)))
+  }
+
   test("assistantDedupAgainstHistory drops seen answer sets, keeps novel") {
     val hist = Sft.assistantFingerprints(
       turns().filter(col("conv_id") === 0), "conv_id", "turn_idx", "role",
