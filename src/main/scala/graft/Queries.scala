@@ -4652,7 +4652,80 @@ object Queries {
            |  chosen_score - rejected_score AS margin,
            |  chosen_score - rejected_score < 0 AS inverted
            |FROM sc ORDER BY pair_id""".stripMargin
-      })
+      }),
+
+    // ----- tokenizer fertility report (per-source QC) ---------------------
+    // Subword tokens per whitespace word, by source: high fertility on
+    // one source means its text is being shredded to characters — it
+    // costs proportionally more context window and trains worse. The
+    // oracle reuses the greedy-encode replay (word-TYPE recursion) and
+    // aggregates the same per-doc totals the drift oracle derives.
+    "d_bpe_fertility" -> QueryDef(
+      (s, d) => graft.operators.Bpe.fertility(
+          t(s, d, "documents"), "doc_id", "text", "source", plantedBpe)
+        .orderBy("source"),
+      Some(s"""WITH RECURSIVE $bpeEncodeCtes,
+              |pd AS (
+              |  SELECT d.doc_id,
+              |    CAST(SUM(LEN(i.ids)) + COUNT(*) - 1 AS BIGINT) AS nt,
+              |    CAST(SUM(LEN(LIST_FILTER(i.ids, x -> x = 0))) AS BIGINT)
+              |      AS oo
+              |  FROM docw d JOIN wids i ON d.wd = i.w
+              |  GROUP BY d.doc_id),
+              |j AS (SELECT doc.source, pd.nt, pd.oo,
+              |    CAST(LEN(STRING_SPLIT(doc.text, ' ')) AS BIGINT) AS nw
+              |  FROM pd JOIN documents doc USING (doc_id))
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(nw) AS BIGINT) AS n_words,
+              |  CAST(SUM(nt) AS BIGINT) AS n_subwords,
+              |  CAST(SUM(oo) AS BIGINT) AS n_oov,
+              |  ROUND(CAST(SUM(nt) AS DOUBLE) / GREATEST(SUM(nw), 1), 4)
+              |    AS fertility,
+              |  ROUND(CAST(SUM(oo) AS DOUBLE) / GREATEST(SUM(nt), 1), 4)
+              |    AS oov_rate
+              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----- classifier calibration report (per-source QC) ------------------
+    // The learned gate's deployment check: per-source keep rates under
+    // the planted weight vector — a collapsed or saturated source means
+    // mis-calibration long before coverage drift trips. Scoring replay
+    // is the d_quality_clf SQL aggregated by source.
+    "d_clf_calibration" -> QueryDef(
+      (s, d) => {
+        val model = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+        graft.operators.QualityClf.calibration(t(s, d, "documents"),
+          "doc_id", "text", "source", model).orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT source,
+             |    LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0) AS ws
+             |  FROM documents),
+             |f AS (
+             |  SELECT source,
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)]
+             |    ||
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(ws[i] || ' ' || ws[i + 1], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws))] AS fb
+             |  FROM w),
+             |sc AS (SELECT source,
+             |    CAST(3 + COALESCE(LIST_SUM(
+             |      [((b * 37) % 21) - 10 FOR b IN fb]), 0) AS BIGINT) AS s
+             |  FROM f)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(*) FILTER (s > 0) AS BIGINT) AS n_keep,
+             |  ROUND(CAST(COUNT(*) FILTER (s > 0) AS DOUBLE)
+             |    / GREATEST(COUNT(*), 1), 4) AS keep_rate,
+             |  ROUND(CAST(SUM(s) AS DOUBLE) / GREATEST(COUNT(*), 1), 4)
+             |    AS mean_score,
+             |  MIN(s) AS min_score, MAX(s) AS max_score
+             |FROM sc GROUP BY source ORDER BY source""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -199,6 +199,30 @@ object Bpe {
     * own OOV rate exceeds `maxDocOov`), `rebuild` when that share
     * exceeds `maxHighFrac`. Map-only encode + one global aggregate; the
     * batch never shuffles. */
+  /** Tokenizer-fertility report — the QC number a tokenizer ships with:
+    * subword tokens per whitespace word, by source. High fertility on
+    * one source means its text (script, code, another language) is
+    * being shredded to characters: its documents cost proportionally
+    * more of the context window and train worse. One row per source:
+    * doc/word/subword/oov totals, `fertility` (subwords per word),
+    * `oov_rate`. Map-only encode + one partial-agg'd exchange on the
+    * source key; fractions divide exact integer sums once. */
+  def fertility(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, model: BpeModel): DataFrame =
+    df.select(col(idCol), col(sourceCol).as("source"),
+        size(split(col(textCol), " ", -1)).cast("long").as("__nw"))
+      .join(encode(df, idCol, textCol, model)
+        .select(col(idCol), col("n_tokens"), col("n_oov")), idCol)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nw").as("n_words"),
+        sum("n_tokens").as("n_subwords"),
+        sum("n_oov").as("n_oov"),
+        round(sum("n_tokens").cast("double") /
+          greatest(sum("__nw"), lit(1L)), 4).as("fertility"),
+        round(sum("n_oov").cast("double") /
+          greatest(sum("n_tokens"), lit(1L)), 4).as("oov_rate"))
+
   def drift(batch: DataFrame, idCol: String, textCol: String,
       model: BpeModel, maxDocOov: Double, maxHighFrac: Double): DataFrame =
     encode(batch, idCol, textCol, model)

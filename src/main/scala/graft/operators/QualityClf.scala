@@ -114,6 +114,28 @@ object QualityClf {
     } finally { feats.unpersist(false); () }
   }
 
+  /** Per-source calibration report of a deployed classifier — the QC a
+    * learned gate ships with: if one source's keep rate collapses (or
+    * saturates) the model is mis-calibrated for it, long before any
+    * drift signal trips. One row per source: doc/keep counts,
+    * `keep_rate`, `mean_score`, score extrema. Map-only scoring fused
+    * into the scan + one partial-agg'd exchange on the source key;
+    * the mean divides exact integer sums once. */
+  def calibration(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, model: Model): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        scoreCol(col(textCol), model).as("__s"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("__s") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_keep"),
+        round(coalesce(sum(when(col("__s") > 0, 1L).otherwise(0L)),
+          lit(0L)).cast("double") / greatest(count(lit(1)), lit(1L)), 4)
+          .as("keep_rate"),
+        round(sum(col("__s")).cast("double") /
+          greatest(count(lit(1)), lit(1L)), 4).as("mean_score"),
+        min("__s").as("min_score"), max("__s").as("max_score"))
+
   /** Per-bucket feature-occurrence counts over a reference slice — ONE
     * partial-agg'd exchange, O(nBuckets) collect (the model itself).
     * Useful two ways: as the deterministic, oracle-replayable stand-in

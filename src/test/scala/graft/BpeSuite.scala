@@ -210,4 +210,21 @@ class BpeSuite extends SparkSpec {
         batches.exceptAll(whole).isEmpty)
     }
   }
+
+  test("fertility reports subwords-per-word by source, exact fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab ab", "s0"),     // with merge a+b: 2 subwords + 1 space = 3 tok, 2 words
+      (2L, "ab", "s0"),        // 1 tok, 1 word
+      (3L, "cd", "s1")         // no merge: c d = 2 tok, 1 word
+    ).toDF("doc_id", "text", "source")
+    val m = Bpe.BpeModel(Seq(" ", "a", "b", "c", "d"), Seq("a" -> "b"))
+    val r = Bpe.fertility(df, "doc_id", "text", "source", m)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6)))
+    // s0: 3 docs? no - 2 docs, words 2+1=3, subwords 3+1=4 -> 1.3333
+    assert(r === Array(("s0", 2L, 3L, 4L, 0L, 1.3333, 0.0),
+      ("s1", 1L, 1L, 2L, 0L, 2.0, 0.0)))
+  }
 }

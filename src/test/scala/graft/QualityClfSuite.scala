@@ -144,4 +144,19 @@ class QualityClfSuite extends SparkSpec {
         e2.getMessage)
     }
   }
+
+  test("calibration rolls up per-source keep rates under the model") {
+    import org.apache.spark.sql.functions._
+    val m = QualityClf.Model(Array.fill(8)(1L), -2L)
+    // score = n_features - 2: "a b" -> 3 feats -> 1 (keep); "x" -> 1 -> -1
+    val df = Seq((1L, "a b", "s0"), (2L, "x", "s0"), (3L, "p q r", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = QualityClf.calibration(df, "doc_id", "text", "source", m)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getLong(5), x.getLong(6)))
+    // s1: "p q r" -> 5 features -> score 3
+    assert(r === Array(("s0", 2L, 1L, 0.5, 0.0, -1L, 1L),
+      ("s1", 1L, 1L, 1.0, 3.0, 3L, 3L)))
+  }
 }
