@@ -113,6 +113,49 @@ object Queries {
     dir.toString
   }
 
+  /** Corpus side of the semantic-decontamination queries: the non-eval
+    * embeddings plus planted leaks — each `% 50` eval vector scaled by
+    * 2f (an IEEE exponent bump: every product and partial sum doubles
+    * EXACTLY, so the leak's cosine against its source is 1.0 bit-for-bit
+    * in both engines) under id + 100000. */
+  private def semanticDeconCorpus(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding")))
+
+  /** Shared oracle for both semantic-decontamination queries (the table
+    * path is bit-identical to the in-memory path by construction).
+    * Double-precision cosine spelled out (the e_ann_top1 parity rule);
+    * argmax via struct MAX so ties break (cosine, bench_id)
+    * lexicographically in both engines. */
+  private val semanticDeconSql: String = {
+    def dotSelf(x: String) =
+      s"LIST_SUM(LIST_TRANSFORM($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    val cos = "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(corp.e, ev.e), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+      s"SQRT(${dotSelf("corp.e")} * ${dotSelf("ev.e")})"
+    s"""WITH ev AS (
+       |  SELECT vec_id AS bid, embedding AS e FROM embeddings
+       |  WHERE vec_id % 10 = 0),
+       |corp AS (
+       |  SELECT vec_id, embedding AS e FROM embeddings
+       |  WHERE vec_id % 10 <> 0
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    LIST_TRANSFORM(embedding, x -> CAST(x * 2 AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |s AS (
+       |  SELECT corp.vec_id AS id,
+       |    MAX(struct_pack(c := $cos, b := ev.bid)) AS m
+       |  FROM corp, ev GROUP BY corp.vec_id)
+       |SELECT id, m.b AS bench_id, ROUND(m.c, 4) AS cosine,
+       |  m.c >= 0.99 AS contaminated
+       |FROM s ORDER BY id""".stripMargin
+  }
+
   /** Deterministic double sum: exact decimal accumulation, then one cast. */
   private def dsum(c: Column): Column =
     round(sum(c.cast(DecimalType(30, 6))).cast("double"), 2)
@@ -4725,7 +4768,44 @@ object Queries {
              |  ROUND(CAST(SUM(s) AS DOUBLE) / GREATEST(COUNT(*), 1), 4)
              |    AS mean_score,
              |  MIN(s) AS min_score, MAX(s) AS max_score
-             |FROM sc GROUP BY source ORDER BY source""".stripMargin))
+             |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----- semantic (embedding-space) decontamination ---------------------
+    // The paraphrase-robust sibling of d_contamination: the corpus is the
+    // non-eval embeddings PLUS planted leaks (eval vectors scaled by 2 —
+    // an exponent bump, so cosine is EXACTLY 1.0 in IEEE double on both
+    // engines); at tau=0.99 exactly the planted leaks flag, and every
+    // doc's best-match cosine reaches the hash compare. Map-only scoring
+    // against the literal eval matrix: zero joins, zero exchanges.
+    "d_semantic_decon" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.Dedup.semanticContamination(
+            semanticDeconCorpus(emb), "vec_id", "embedding",
+            emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+            tau = 0.99, maxEvalRows = 200000)
+          .orderBy("id")
+      },
+      Some(semanticDeconSql)),
+
+    // ----- semantic decontamination via the persisted eval index ----------
+    // Same screen through the marker-enforced table path: the index
+    // persists once per eval-set release (saveEvalEmbeddingIndex stamps
+    // HistoryFormat.EvalEmbedding), every batch probes statelessly —
+    // bit-identical to the in-memory screen (the SQL is shared).
+    "d_semantic_decon_incr" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idxPath = scratch(s, "semantic_decon_idx")
+        graft.operators.Dedup.saveEvalEmbeddingIndex(
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          idxPath)
+        graft.operators.Dedup.semanticContaminationAgainstIndexTable(
+            semanticDeconCorpus(emb), "vec_id", "embedding", idxPath,
+            tau = 0.99)
+          .orderBy("id")
+      },
+      Some(semanticDeconSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

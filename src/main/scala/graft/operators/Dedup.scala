@@ -1103,6 +1103,111 @@ object Dedup {
       .filter(col("shared_grams") >= minShared)
   }
 
+  /** Semantic (embedding-space) decontamination — the paraphrase-robust
+    * sibling of [[ngramContamination]]: a reworded eval question shares
+    * no 12-gram with its source, but its embedding still lands within
+    * cosine `tau` of the eval member (the screen LLaMA/Phi-class
+    * pipelines run beside the n-gram one; both screens compose — n-gram
+    * catches verbatim, this catches paraphrase).
+    *
+    * One row PER BATCH DOC: `(id, bench_id, cosine, contaminated)` —
+    * the best eval match (cosine rounded to 4; ties break to the larger
+    * bench_id via struct max, deterministically in both engines) and
+    * whether its UNROUNDED cosine reaches `tau`. Docs with a missing,
+    * wrong-dimension, or zero-norm embedding report `(null, null,
+    * false)` — they can't be semantically screened and must surface to
+    * the n-gram screen, not vanish.
+    *
+    * Scale shape: the eval set is MODEL-SIZED state (thousands of
+    * vectors — the quantizer discipline, NOT a join side), so it rides
+    * into the plan as literal matrices and scoring is map-only against
+    * the scan: N·E fused dot products, zero exchanges, zero joins — the
+    * batch never shuffles. No LSH shortcut on purpose: decontamination
+    * is recall-critical, and at E ≈ thousands the exact scan is cheaper
+    * than the miss. */
+  def semanticContamination(batch: DataFrame, idCol: String, vecCol: String,
+      evalIds: Array[Long], evalVecs: Array[Array[Float]],
+      tau: Double): DataFrame = {
+    require(evalIds.nonEmpty, "semanticContamination: empty eval set")
+    require(evalIds.length == evalVecs.length,
+      s"semanticContamination: ${evalIds.length} ids vs ${evalVecs.length} vectors")
+    require(evalIds.distinct.length == evalIds.length,
+      "semanticContamination: duplicate eval ids")
+    val dims = evalVecs.head.length
+    require(evalVecs.forall(_.length == dims),
+      s"semanticContamination: eval vectors must all have $dims dims")
+    require(evalVecs.forall(v => v.exists(_ != 0f)),
+      "semanticContamination: zero-norm eval vector (its cosine is NaN " +
+        "against everything — drop it from the eval set)")
+    val cents = typedlit(evalVecs.map(_.toSeq).toSeq)
+    val ids = typedlit(evalIds.toSeq)
+    val v = col(vecCol)
+    val scored = transform(sequence(lit(0), lit(evalIds.length - 1)), i => {
+      val c = element_at(cents, i + lit(1))
+      struct(
+        (Similarity.dot(v, c) /
+          sqrt(Similarity.dot(v, v) * Similarity.dot(c, c))).as("c"),
+        element_at(ids, i + lit(1)).as("b"))
+    })
+    batch
+      .withColumn("__best",
+        when(v.isNotNull && size(v) === dims &&
+          Similarity.dot(v, v) > 0d, array_max(scored)))
+      .select(col(idCol).as("id"), col("__best.b").as("bench_id"),
+        round(col("__best.c"), 4).as("cosine"),
+        coalesce(col("__best.c") >= lit(tau), lit(false)).as("contaminated"))
+  }
+
+  /** [[semanticContamination]] with the eval set arriving as a DataFrame
+    * — collected to the driver as the bounded model it is.
+    * `maxEvalRows` is the boundedness guard (the recall-audit
+    * discipline): an eval set past it isn't an eval set, it's a second
+    * corpus — refuse rather than OOM the driver. */
+  def semanticContamination(batch: DataFrame, idCol: String, vecCol: String,
+      eval: DataFrame, evalIdCol: String, evalVecCol: String,
+      tau: Double, maxEvalRows: Int): DataFrame = {
+    val cnt = eval.count()
+    require(cnt <= maxEvalRows,
+      s"semanticContamination: eval set has $cnt rows > maxEvalRows " +
+        s"$maxEvalRows — an eval set is bounded model state; for a " +
+        "corpus-sized reference use the n-gram index screen or SemDeDup")
+    val rows = eval
+      .select(col(evalIdCol).cast("long").as("b"),
+        col(evalVecCol).cast("array<float>").as("v"))
+      .orderBy("b").collect()
+    semanticContamination(batch, idCol, vecCol,
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray), tau)
+  }
+
+  /** Persist an eval set's embeddings as the semantic-decontamination
+    * index `(bench_id, v)`, stamped with the
+    * [[graft.state.HistoryFormat.EvalEmbedding]] marker. Like
+    * [[benchmarkGramIndex]] the index is STATIC per eval-set release —
+    * screening is stateless per batch, no cross-batch bookkeeping. */
+  def saveEvalEmbeddingIndex(eval: DataFrame, evalIdCol: String,
+      evalVecCol: String, path: String): Unit = {
+    eval.select(col(evalIdCol).cast("long").as("bench_id"),
+        col(evalVecCol).cast("array<float>").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.state.HistoryFormat.stamp(
+      eval.sparkSession.sparkContext.hadoopConfiguration, path,
+      graft.state.HistoryFormat.EvalEmbedding)
+  }
+
+  /** [[semanticContamination]] against a persisted
+    * [[saveEvalEmbeddingIndex]] table — validates the format marker
+    * BEFORE collecting (operator-enforced: an index embedded under a
+    * different model scores garbage cosines silently; the marker
+    * refusal names the re-embed remedy). */
+  def semanticContaminationAgainstIndexTable(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, tau: Double,
+      maxEvalRows: Int = 200000): DataFrame =
+    semanticContamination(batch, idCol, vecCol,
+      graft.state.HistoryTables.readChecked(batch.sparkSession, indexDir,
+        graft.state.HistoryFormat.EvalEmbedding),
+      "bench_id", "v", tau, maxEvalRows)
+
   /** EXACT character-n-gram Jaccard pairs — the oracle-checkable
     * complement to the LSH variant above, via the AllPairs/PPJoin prefix
     * filter (Bayardo et al., WWW'07): J(A,B) ≥ t implies |A∩B| ≥

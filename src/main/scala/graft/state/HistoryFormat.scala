@@ -104,6 +104,17 @@ object HistoryFormat {
     "re-run Sft.assistantFingerprints over the full kept conversation " +
       "corpus and overwrite the history table")
 
+  /** Semantic-decontamination eval index
+    * ([[graft.operators.Dedup.saveEvalEmbeddingIndex]]): v1 =
+    * `(bench_id long, v array<float>)`, vectors from ONE embedding
+    * model. Cosines against vectors from a different model (or a
+    * re-normalized export of the same one) are meaningless numbers that
+    * still pass every schema check — the marker is the only thing that
+    * ties the index to its embedding run. */
+  val EvalEmbedding: Format = Format("eval-embedding", 1,
+    "re-embed the eval set under the embedding model the batch vectors " +
+      "use and re-save via Dedup.saveEvalEmbeddingIndex")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)

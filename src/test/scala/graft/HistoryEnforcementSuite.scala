@@ -119,6 +119,21 @@ class HistoryEnforcementSuite extends SparkSpec {
     }
   }
 
+  test("semantic-decon eval index enforces the eval-embedding marker") {
+    withTmpDir { tmp =>
+      val eval = Seq((10L, Seq(1f, 0f)), (20L, Seq(0f, 1f))).toDF("bid", "v")
+        .select(col("bid"), col("v").cast("array<float>").as("v"))
+      val batch = Seq((1L, Seq(1f, 0f))).toDF("id", "v")
+        .select(col("id"), col("v").cast("array<float>").as("v"))
+      checkFamily(s"$tmp/evalidx",
+        eval.select(col("bid").as("bench_id"), col("v")),
+        HistoryFormat.EvalEmbedding, "re-embed the eval set") { dir =>
+        Dedup.semanticContaminationAgainstIndexTable(batch, "id", "v",
+          dir, tau = 0.9).count()
+      }
+    }
+  }
+
   test("probing an absent history table is a loud error, not a no-op") {
     withTmpDir { tmp =>
       val e = intercept[IllegalStateException](
