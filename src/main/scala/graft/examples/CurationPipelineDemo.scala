@@ -142,10 +142,45 @@ object CurationPipelineDemo {
       .join(contaminated, Seq("doc_id"), "left_anti")
     val afterDecontam = n(clean)
 
+    // 4c. SEMANTIC decontamination beside the n-gram screen: the eval
+    //     set's embeddings persist ONCE as a marker-stamped index
+    //     (HistoryFormat.EvalEmbedding), each batch screens map-only
+    //     against the literal eval matrix through the marker-enforcing
+    //     table path. Two surviving docs get PLANTED paraphrase-leak
+    //     embeddings (an eval vector scaled 2x — same direction, cosine
+    //     exactly 1.0): no 12-gram survives a paraphrase, so the n-gram
+    //     screen above is blind to them; the semantic screen must catch
+    //     exactly these two.
+    val evalEmbIdx = s"$work/eval_emb_idx"
+    Dedup.saveEvalEmbeddingIndex(
+      emb.join(evalSet.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", evalEmbIdx)
+    val semCorpus = emb.select("vec_id", "embedding").join(
+      clean.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val hosts = semCorpus.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0))
+    val leakEmb = emb.filter(col("vec_id") === 97L)
+      .select(lit(hosts(0)).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 194L)
+        .select(lit(hosts(1)).as("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+    val semFlagged = Dedup.semanticContaminationAgainstIndexTable(
+        semCorpus.filter(!col("vec_id").isin(hosts.toSeq: _*))
+          .unionByName(leakEmb),
+        "vec_id", "embedding", evalEmbIdx, tau = 0.99)
+      .filter(col("contaminated"))
+    val semDropIds = semFlagged.select(col("id").as("doc_id"))
+    val semClean = clean.join(semDropIds, Seq("doc_id"), "left_anti")
+    val afterSemantic = n(semClean)
+    val semCaught = n(semDropIds)
+
     // 5. embedding-space near-dups among survivors: SRP-bucketed cosine,
     //    drop the larger id of each pair
     val survivors = emb.join(
-      clean.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      semClean.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val embPairs = Dedup.embeddingCosinePairsLsh(
       survivors, "vec_id", "embedding", threshold = 0.995, planes = 8)
     val embLosers = embPairs.select(col("id_b").as("doc_id")).distinct()
@@ -154,7 +189,7 @@ object CurationPipelineDemo {
     // replay the whole dedup lineage (minhash CC, AllPairs,
     // decontamination) per count — a real pipeline cuts stages at
     // durable tables for exactly this reason.
-    clean.join(embLosers, Seq("doc_id"), "left_anti")
+    semClean.join(embLosers, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$work/stage_dedup")
     val afterEmbDf = spark.read.parquet(s"$work/stage_dedup")
     val afterEmb = n(afterEmbDf)
@@ -216,7 +251,9 @@ object CurationPipelineDemo {
     println(f"minhash near-dedup:  $afterNear%6d (-${afterExact - afterNear})")
     println(f"residual 0.8-pairs:  $residual%6d (audit)")
     println(f"decontamination:     $afterDecontam%6d (-${afterNear - afterDecontam})")
-    println(f"embedding near-dup:  $afterEmb%6d (-${afterDecontam - afterEmb})")
+    println(f"semantic decon:      $afterSemantic%6d (-${afterDecontam - afterSemantic}; " +
+      s"caught $semCaught of 2 planted paraphrase leaks via marker-checked index)")
+    println(f"embedding near-dup:  $afterEmb%6d (-${afterSemantic - afterEmb})")
     println(f"dsir selection:      $afterDsir%6d (-${afterEmb - afterDsir}; " +
       f"cutoff log_w >= $dsirCut%.2f)")
     println(f"pii scrub + mixing:  $afterMix%6d (-${afterDsir - afterMix})")
@@ -270,8 +307,10 @@ object CurationPipelineDemo {
       splitCounts.values.sum == readBack &&  // split is total
       leaks < rawLeaks &&                    // the funnel removed overlap
       shardsW == 4 &&
+      semCaught == 2 &&                      // semantic screen catches the plant
       readBack == afterMix && afterMix <= afterDsir &&
-      afterDsir <= afterEmb && afterEmb <= afterDecontam &&
+      afterDsir <= afterEmb && afterEmb <= afterSemantic &&
+      afterSemantic <= afterDecontam &&
       afterDecontam <= afterNear && afterNear <= afterExact &&
       afterExact <= afterRep && afterRep <= afterGate && afterGate <= total
     println(s"funnel check: ${if (ok) "PASS" else "FAIL"}")
