@@ -4805,7 +4805,48 @@ object Queries {
             tau = 0.99)
           .orderBy("id")
       },
-      Some(semanticDeconSql))
+      Some(semanticDeconSql)),
+
+    // ----- packing-efficiency report (pad-waste QC) -----------------------
+    // The utilization number the whole-doc packer's pad-waste trade
+    // ships with: one corpus row over the d_nextfit_pack assignment.
+    // The oracle replays the same next-fit recursion, then aggregates
+    // per-pack fills; ratios divide exact integer sums once.
+    "d_pack_report" -> QueryDef(
+      (s, d) => graft.operators.Packing.packReport(
+        graft.operators.Packing.packWholeDocs(
+          t(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n")),
+          "doc_id", "n", budget = 256, buckets = 1), budget = 256),
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)
+             |      AS n_tok,
+             |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+             |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) > 0),
+             |f AS (
+             |  SELECT rn, doc_id, n_tok, CAST(0 AS BIGINT) AS pack_id,
+             |    n_tok AS fill
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.rn, o.doc_id, o.n_tok,
+             |    CASE WHEN f.fill + o.n_tok > 256 THEN f.pack_id + 1
+             |         ELSE f.pack_id END,
+             |    CASE WHEN f.fill + o.n_tok > 256 THEN o.n_tok
+             |         ELSE f.fill + o.n_tok END
+             |  FROM f JOIN ord o ON o.rn = f.rn + 1),
+             |per AS (
+             |  SELECT pack_id, CAST(SUM(n_tok) AS BIGINT) AS fill,
+             |    CAST(COUNT(*) AS BIGINT) AS nd
+             |  FROM f GROUP BY pack_id)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+             |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+             |  CAST(SUM(fill) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) * 256 - SUM(fill) AS BIGINT) AS pad_tokens,
+             |  ROUND(CAST(SUM(fill) AS DOUBLE)
+             |    / GREATEST(COUNT(*) * 256, 1), 4) AS utilization,
+             |  MIN(fill) AS min_fill, MAX(fill) AS max_fill,
+             |  CAST(COUNT(*) FILTER (fill = 256) AS BIGINT) AS full_packs
+             |FROM per""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

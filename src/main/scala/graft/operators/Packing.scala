@@ -152,6 +152,34 @@ object Packing {
       .toDF("doc_id", "pack_id", "n_tok")
   }
 
+  /** Packing-efficiency report over a [[packWholeDocs]] assignment —
+    * the QC number the pad-waste trade ships with: one row of corpus
+    * totals (`n_packs, n_docs, n_tokens, pad_tokens, utilization,
+    * min_fill, max_fill, full_packs`). `utilization` is real tokens
+    * over `n_packs * budget` capacity — the fraction of the training
+    * batch that is content rather than padding (next-fit's whole cost
+    * vs the chunking packer is visible here, and a utilization drop
+    * between exports flags a length-distribution shift long before a
+    * loss curve does). Two partial-agg'd exchanges (per-pack fill,
+    * then one global row); fractions divide exact integer sums once.
+    * Empty input reads as zeros, not nulls. */
+  def packReport(packs: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packs.groupBy("pack_id")
+      .agg(sum(col("n_tok")).as("fill"), count(lit(1)).as("nd"))
+      .agg(count(lit(1)).as("n_packs"),
+        coalesce(sum("nd"), lit(0L)).as("n_docs"),
+        coalesce(sum("fill"), lit(0L)).as("n_tokens"),
+        (count(lit(1)) * budget - coalesce(sum("fill"), lit(0L)))
+          .as("pad_tokens"),
+        round(coalesce(sum("fill"), lit(0L)).cast("double") /
+          greatest(count(lit(1)) * budget, lit(1L)), 4).as("utilization"),
+        coalesce(min("fill"), lit(0L)).as("min_fill"),
+        coalesce(max("fill"), lit(0L)).as("max_fill"),
+        coalesce(sum(when(col("fill") === budget, 1L).otherwise(0L)),
+          lit(0L)).as("full_packs"))
+  }
+
   private def packCounts(df: DataFrame, idCol: String, countExpr:
       org.apache.spark.sql.Column, budget: Int, buckets: Int,
       tokenOffset: Long): DataFrame = {

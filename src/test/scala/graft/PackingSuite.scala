@@ -177,6 +177,30 @@ class PackingSuite extends SparkSpec {
     assert(seen.size === 300)
   }
 
+  test("packReport totals, utilization, and full-pack count are exact") {
+    import spark.implicits._
+    // next-fit at budget 10 over counts 6,6,10,3 -> packs [6][6][10][3]?
+    // no: 6; 6 overflows -> new pack; 10 overflows -> new pack (full);
+    // 3 overflows? fill 10 + 3 > 10 -> new pack. 4 packs, fills 6,6,10,3
+    val df = Seq((1L, 6L), (2L, 6L), (3L, 10L), (4L, 3L)).toDF("doc_id", "n")
+    val packs = Packing.packWholeDocs(df, "doc_id", "n", budget = 10,
+      buckets = 1)
+    val r = Packing.packReport(packs, budget = 10).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((4L, 4L, 25L, 15L, 0.625, 3L, 10L, 1L)))
+  }
+
+  test("packReport over an empty assignment reads zeros, not nulls") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)]
+      .toDF("doc_id", "pack_id", "n_tok")
+    val r = Packing.packReport(empty, budget = 10).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((0L, 0L, 0L, 0L, 0.0, 0L, 0L, 0L)))
+  }
+
   test("packWholeDocs rejects docs longer than the budget, loudly") {
     import spark.implicits._
     val df = Seq((1L, 4L), (2L, 99L)).toDF("doc_id", "n")
