@@ -435,6 +435,67 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("semantic decon screen under the streaming engine, across checkpoint loss") {
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Dedup
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val curated = s"$tmp/curated"; val idxPath = s"$tmp/eval_emb_index"
+      def vec(seed: Long): Seq[Float] =
+        Seq.tabulate(8)(j => ((seed * 31 + j * 17) % 13 - 6).toFloat)
+      def file(n: Int, rows: Seq[(Long, Seq[Float])]): Unit = {
+        rows.toDF("doc_id", "v")
+          .select(col("doc_id"), col("v").cast("array<float>").as("v"))
+          .coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // the eval embedding index persists (marker-stamped) BEFORE the
+      // stream starts — static state, stateless per micro-batch
+      Dedup.saveEvalEmbeddingIndex(
+        Seq((900L, vec(1)), (901L, vec(2))).toDF("bid", "v")
+          .select(col("bid"), col("v").cast("array<float>").as("v")),
+        "bid", "v", idxPath)
+      // batch 0: a clean doc and a paraphrase leak (eval vec 900 scaled
+      // 2x -> cosine exactly 1.0); batch 1: a leak of eval 901, a clean
+      file(0, Seq((1L, vec(5)), (2L, vec(1).map(_ * 2f))))
+      file(1, Seq((3L, vec(2).map(_ * 2f)), (4L, vec(7))))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, Seq(1f))).toDF("doc_id", "v")
+          .select(col("doc_id"), col("v").cast("array<float>").as("v"))
+          .schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            val hits = Dedup.semanticContaminationAgainstIndexTable(
+              batch, "doc_id", "v", idxPath, tau = 0.99)
+              .filter(col("contaminated")).select(col("id").as("doc_id"))
+            val screened = batch.join(hits, Seq("doc_id"), "left_anti")
+            if (!w.lastTxnVersion(curated, "semdecon").exists(_ >= batchId))
+              w.write(screened, curated, DeltaWriteMode.Append,
+                txn = Some(("semdecon", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def ids() = w.read(curated).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids() === Set(1L, 4L),
+        "both planted paraphrase leaks must screen; clean docs must flow")
+      runOnce()
+      assert(ids() === Set(1L, 4L))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(ids() === Set(1L, 4L),
+        "replay after checkpoint loss must not re-admit screened docs")
+    }
+  }
+
   test("incremental SemDeDup under the streaming engine, across checkpoint loss") {
     import graft.delta.{DeltaWriteMode, DeltaWriter}
     import graft.operators.{Dedup, Similarity}
