@@ -4846,7 +4846,34 @@ object Queries {
              |    / GREATEST(COUNT(*) * 256, 1), 4) AS utilization,
              |  MIN(fill) AS min_fill, MAX(fill) AS max_fill,
              |  CAST(COUNT(*) FILTER (fill = 256) AS BIGINT) AS full_packs
-             |FROM per""".stripMargin))
+             |FROM per""".stripMargin)),
+
+    // ----- cross-batch preference-prompt dedup (persisted fp history) -----
+    // The RLHF sibling of d_assistant_dedup_incr: a prompt judged in an
+    // earlier batch over-weights its preference and leaks across epochs.
+    // History = the pair%5==0 slice's prompt fingerprints; batch = the
+    // rest; prompts recur by construction (pair_id % 50), so both the
+    // in-batch keep-first and the history drop fire.
+    "d_pref_dedup_incr" -> QueryDef(
+      (s, d) => {
+        val pairs = prefPairs(t(s, d, "documents"))
+        val hist = graft.operators.Sft.promptFingerprints(
+          pairs.filter(col("pair_id") % 5 === 0), "pair_id", "prompt")
+        graft.operators.Sft.promptDedupAgainstHistory(
+            pairs.filter(col("pair_id") % 5 =!= 0), "pair_id", "prompt",
+            hist)
+          .orderBy("pair_id")
+      },
+      Some(s"""WITH $PrefPairsSql,
+             |allfp AS (SELECT pair_id, MD5(prompt) AS fp FROM pairs),
+             |hist AS (SELECT DISTINCT fp FROM allfp WHERE pair_id % 5 = 0),
+             |batch AS (SELECT * FROM allfp WHERE pair_id % 5 <> 0),
+             |k AS (SELECT fp, MIN(pair_id) AS keep_id FROM batch GROUP BY fp)
+             |SELECT b.pair_id, b.fp,
+             |  b.pair_id = k.keep_id AND h.fp IS NULL AS keep
+             |FROM batch b JOIN k USING (fp)
+             |LEFT JOIN hist h ON h.fp = b.fp
+             |ORDER BY b.pair_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -287,6 +287,50 @@ object Sft {
         (col("pair_id") =!= col("__first")).as("prompt_dup"))
   }
 
+  /** One `(pair_id, fp)` row per preference pair — the prompt
+    * fingerprint (MD5 over the raw prompt, the exact-equality key
+    * [[preferenceAudit]]'s `prompt_dup` flags on) an incremental
+    * preference pipeline APPENDS to its history after each batch.
+    * Persist under the [[graft.state.HistoryFormat.PrefPromptFp]]
+    * marker. Normalize upstream if near-identical prompts should
+    * collapse — the fingerprint is deliberately exact (a reworded
+    * prompt is a DIFFERENT preference context; collapsing it would
+    * throw away signal, the opposite failure). */
+  def promptFingerprints(pairs: DataFrame, pairIdCol: String,
+      promptCol: String): DataFrame =
+    pairs.select(col(pairIdCol).cast("long").as("pair_id"),
+      graft.functions.TextFunctions.fingerprint(col(promptCol)).as("fp"))
+
+  /** Cross-batch prompt dedup for preference (RLHF/DPO) sets: the same
+    * prompt judged in an EARLIER batch over-weights its preference and
+    * leaks across epochs exactly like an in-batch dup — `keep` marks
+    * the lowest pair_id per NOVEL prompt fingerprint (in-batch
+    * keep-first AND not in `history`). One partial-agg'd exchange plus
+    * an 16-byte-key left join — prior batches' texts are never
+    * touched. */
+  def promptDedupAgainstHistory(pairs: DataFrame, pairIdCol: String,
+      promptCol: String, history: DataFrame): DataFrame = {
+    val fp = promptFingerprints(pairs, pairIdCol, promptCol)
+    val first = fp.groupBy("fp").agg(min("pair_id").as("__keep_id"))
+    val seen = history.select(col("fp")).distinct()
+      .withColumn("__seen", lit(true))
+    fp.join(first, "fp").join(seen, Seq("fp"), "left")
+      .select(col("pair_id"), col("fp"),
+        (col("pair_id") === col("__keep_id") &&
+          coalesce(col("__seen"), lit(false)) === false).as("keep"))
+  }
+
+  /** [[promptDedupAgainstHistory]] reading the persisted history from
+    * its table directory — validates the
+    * [[graft.state.HistoryFormat.PrefPromptFp]] marker BEFORE any
+    * probe. The DataFrame overload cannot know the table's directory;
+    * there the CALLER owns the marker check. */
+  def promptDedupAgainstHistoryTable(pairs: DataFrame, pairIdCol: String,
+      promptCol: String, historyDir: String): DataFrame =
+    promptDedupAgainstHistory(pairs, pairIdCol, promptCol,
+      graft.state.HistoryTables.readChecked(pairs.sparkSession, historyDir,
+        graft.state.HistoryFormat.PrefPromptFp))
+
   /** Reward-proxy margin audit: score BOTH sides of each preference
     * pair under a persisted [[QualityClf]] model and report the margin
     * — `(pair_id, chosen_score, rejected_score, margin, inverted)`.

@@ -104,6 +104,15 @@ object HistoryFormat {
     "re-run Sft.assistantFingerprints over the full kept conversation " +
       "corpus and overwrite the history table")
 
+  /** Cross-batch preference-prompt dedup history
+    * ([[graft.operators.Sft.promptFingerprints]]): v1 = MD5 over the
+    * RAW prompt string (exact equality — no normalization). Adding
+    * normalization, a salt, or a different digest silently stops every
+    * stored fingerprint from matching. */
+  val PrefPromptFp: Format = Format("pref-prompt-fp", 1,
+    "re-run Sft.promptFingerprints over the full kept preference corpus " +
+      "and overwrite the history table")
+
   /** Semantic-decontamination eval index
     * ([[graft.operators.Dedup.saveEvalEmbeddingIndex]]): v1 =
     * `(bench_id long, v array<float>)`, vectors from ONE embedding

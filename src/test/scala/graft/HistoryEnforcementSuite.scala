@@ -119,6 +119,19 @@ class HistoryEnforcementSuite extends SparkSpec {
     }
   }
 
+  test("preference-prompt history probe enforces the pref-prompt-fp marker") {
+    withTmpDir { tmp =>
+      val pairs = Seq((1L, "q one"), (2L, "q two"), (3L, "q one"))
+        .toDF("pair_id", "prompt")
+      checkFamily(s"$tmp/preffp",
+        graft.operators.Sft.promptFingerprints(pairs, "pair_id", "prompt"),
+        HistoryFormat.PrefPromptFp, "Sft.promptFingerprints") { dir =>
+        graft.operators.Sft.promptDedupAgainstHistoryTable(pairs,
+          "pair_id", "prompt", dir).count()
+      }
+    }
+  }
+
   test("semantic-decon eval index enforces the eval-embedding marker") {
     withTmpDir { tmp =>
       val eval = Seq((10L, Seq(1f, 0f)), (20L, Seq(0f, 1f))).toDF("bid", "v")

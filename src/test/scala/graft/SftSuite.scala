@@ -307,6 +307,19 @@ class SftSuite extends SparkSpec {
     }
   }
 
+  test("promptDedupAgainstHistory: in-batch keep-first AND history drop") {
+    val hist = Sft.promptFingerprints(
+      Seq((100L, "q seen")).toDF("pair_id", "prompt"), "pair_id", "prompt")
+    val batch = Seq((1L, "q novel"), (2L, "q novel"), (3L, "q seen"))
+      .toDF("pair_id", "prompt")
+    val r = Sft.promptDedupAgainstHistory(batch, "pair_id", "prompt", hist)
+      .orderBy("pair_id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(2)))
+    // 1 keeps (first of the novel class), 2 drops (in-batch dup),
+    // 3 drops (history hit drops the WHOLE class, first or not)
+    assert(r === Array((1L, true), (2L, false), (3L, false)))
+  }
+
   test("maskedPackSegments composes with BPE counts end to end") {
     // the real export path: per-turn BPE counts -> spans -> packs; the
     // pack totals must equal the corpus's subword total exactly
