@@ -4873,7 +4873,83 @@ object Queries {
              |  b.pair_id = k.keep_id AND h.fp IS NULL AS keep
              |FROM batch b JOIN k USING (fp)
              |LEFT JOIN hist h ON h.fp = b.fp
-             |ORDER BY b.pair_id""".stripMargin))
+             |ORDER BY b.pair_id""".stripMargin)),
+
+    // ----- PSI score-distribution drift (deployed-classifier QC) ----------
+    // Population Stability Index between the reference slice's scores
+    // and a character-shifted batch's, under the planted integer-weight
+    // model — the standard deployed-model drift number. Integer counts,
+    // Laplace (n+1)/(N+K) fractions, LN of their exact-double ratio:
+    // every arithmetic step replays bit-for-bit in ANSI SQL. The a->4
+    // shift rehashes features, so the batch distribution genuinely
+    // moves and the roll-up flag fires.
+    "d_clf_psi" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+        val ref = graft.operators.QualityClf.score(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", model)
+        val bat = graft.operators.QualityClf.score(
+          docs.filter(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"), translate(col("text"), "a", "4").as("text")),
+          "doc_id", "text", model)
+        graft.operators.Curation.psiReport(ref, bat, "score",
+            Seq(-100.0, -50.0, 0.0, 50.0))
+          .orderBy("bucket")
+      },
+      Some {
+        def side(src: String, tx: String, out: String) =
+          s"""w$out AS (
+             |  SELECT LIST_FILTER(STRING_SPLIT($tx, ' '),
+             |    t -> LENGTH(t) > 0) AS ws
+             |  FROM documents WHERE $src),
+             |f$out AS (
+             |  SELECT
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)] ||
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(ws[i] || ' ' || ws[i + 1], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws))] AS fb
+             |  FROM w$out),
+             |s$out AS (SELECT CAST(3 + COALESCE(LIST_SUM(
+             |    [((b * 37) % 21) - 10 FOR b IN fb]), 0) AS BIGINT) AS s
+             |  FROM f$out),
+             |c$out AS (SELECT
+             |    (CASE WHEN s > -100 THEN 1 ELSE 0 END
+             |     + CASE WHEN s > -50 THEN 1 ELSE 0 END
+             |     + CASE WHEN s > 0 THEN 1 ELSE 0 END
+             |     + CASE WHEN s > 50 THEN 1 ELSE 0 END) AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM s$out GROUP BY 1)""".stripMargin
+        s"""WITH ${side("doc_id % 5 = 0", "text", "r")},
+           |${side("doc_id % 5 <> 0", "REPLACE(text, 'a', '4')", "b")},
+           |spine AS (SELECT CAST(x AS INT) AS bucket FROM RANGE(0, 5) t(x)),
+           |j AS (
+           |  SELECT spine.bucket, COALESCE(cr.n, 0) AS ref_n,
+           |    COALESCE(cb.n, 0) AS batch_n
+           |  FROM spine LEFT JOIN cr ON cr.bucket = spine.bucket
+           |  LEFT JOIN cb ON cb.bucket = spine.bucket),
+           |tot AS (SELECT SUM(ref_n) AS tr, SUM(batch_n) AS tb FROM j),
+           |terms AS (
+           |  SELECT j.bucket, j.ref_n, j.batch_n,
+           |    CAST(j.ref_n + 1 AS DOUBLE) / (tot.tr + 5) AS rfr,
+           |    CAST(j.batch_n + 1 AS DOUBLE) / (tot.tb + 5) AS bfr
+           |  FROM j, tot),
+           |t2 AS (SELECT *, (bfr - rfr) * LN(bfr / rfr) AS term FROM terms),
+           |p AS (SELECT ROUND(SUM(term), 6) AS psi_total FROM t2)
+           |SELECT bucket, ref_n, batch_n, ROUND(rfr, 6) AS ref_frac,
+           |  ROUND(bfr, 6) AS batch_frac, ROUND(term, 6) AS psi_term,
+           |  p.psi_total,
+           |  CASE WHEN p.psi_total > 0.25 THEN 'shift'
+           |       WHEN p.psi_total > 0.1 THEN 'warn'
+           |       ELSE 'stable' END AS drift
+           |FROM t2, p ORDER BY bucket""".stripMargin
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -166,6 +166,68 @@ object Curation {
     df.crossJoin(broadcast(th)).withColumn("bucket", bucket).drop("__th")
   }
 
+  /** Population Stability Index between a reference slice's and a
+    * batch's score distributions — THE standard deployed-model drift
+    * metric (banking scorecards originally; the same number monitors a
+    * quality classifier or reward proxy in a data pipeline). Buckets
+    * are FIXED caller-given boundaries (the PSI convention: bounds come
+    * from the reference period, so the number is comparable across
+    * batches); a score lands in bucket `#{bounds strictly below it}`
+    * (`<=` classifies low, the [[scoreBuckets]] rule). Laplace-smoothed
+    * fractions `p = (n+1)/(N+K)` keep empty buckets defined with no
+    * epsilon constant to disagree about. Rule-of-thumb cuts ship as
+    * flags: `psi_total < warn` stable, past `shift` a distribution
+    * shift.
+    *
+    * One row per bucket (`bucket, ref_n, batch_n, ref_frac, batch_frac,
+    * psi_term`) with the roll-up (`psi_total, drift`) attached — the
+    * per-bucket terms say WHERE the mass moved, the total is the page
+    * number. Cost: two partial-agg'd bucket counts (K rows each), then
+    * literally K-row arithmetic — the corpora never join, never
+    * cross-compare; two tolerated 1-row scalar attaches carry the
+    * totals. NULL scores are excluded from both sides (unscored rows
+    * are a separate signal — [[scoreBuckets]] docs). */
+  def psiReport(ref: DataFrame, batch: DataFrame, scoreCol: String,
+      bounds: Seq[Double], warn: Double = 0.1,
+      shift: Double = 0.25): DataFrame = {
+    require(bounds.nonEmpty, "psiReport: need at least one bucket bound")
+    require(bounds == bounds.distinct.sorted,
+      "psiReport: bounds must be strictly increasing")
+    require(warn < shift, s"psiReport: warn $warn must be < shift $shift")
+    val k = bounds.size + 1
+    def counts(df: DataFrame, n: String) = df
+      .select(col(scoreCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("__s") > lit(b), 1).otherwise(0)
+      }.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(n))
+    val spine = ref.sparkSession.range(k)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(counts(ref, "ref_n"), Seq("bucket"), "left")
+      .join(counts(batch, "batch_n"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n", "batch_n"))
+    val totals = joined.agg(sum("ref_n").as("__tr"), sum("batch_n").as("__tb"))
+    val terms = joined.crossJoin(broadcast(totals))
+      .withColumn("ref_frac",
+        (col("ref_n") + 1).cast("double") / (col("__tr") + lit(k)))
+      .withColumn("batch_frac",
+        (col("batch_n") + 1).cast("double") / (col("__tb") + lit(k)))
+      .withColumn("__term", (col("batch_frac") - col("ref_frac")) *
+        log(col("batch_frac") / col("ref_frac")))
+    val total = terms.agg(round(sum("__term"), 6).as("psi_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bucket"), col("ref_n"), col("batch_n"),
+        round(col("ref_frac"), 6).as("ref_frac"),
+        round(col("batch_frac"), 6).as("batch_frac"),
+        round(col("__term"), 6).as("psi_term"),
+        col("psi_total"),
+        when(col("psi_total") > shift, lit("shift"))
+          .when(col("psi_total") > warn, lit("warn"))
+          .otherwise(lit("stable")).as("drift"))
+  }
+
   /** Corpus report card — the one-pass operational summary a pipeline
     * run emits per corpus snapshot: for every CUBE cell over `dims`
     * (each dim, each pair, the grand total), document count, exact

@@ -1097,6 +1097,39 @@ class CurationSuite extends SparkSpec {
         s"cell $k: compacted $est vs raw-fold $want") }
   }
 
+  test("psiReport: identical distributions read ~0/stable, moved mass flags") {
+    import graft.operators.Curation
+    val ref = (1 to 40).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "s")
+    // identical distribution -> every term 0.0 exactly (same fracs)
+    val same = Curation.psiReport(ref, ref, "s", Seq(2.5, 5.5, 7.5))
+      .collect()
+    assert(same.length === 4)
+    same.foreach { r =>
+      assert(r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0 &&
+        r.getString(7) === "stable")
+    }
+    // all batch mass above the top bound -> a real shift
+    val bat = (1 to 40).map(i => (i.toLong, 9.0)).toDF("id", "s")
+    val moved = Curation.psiReport(ref, bat, "s", Seq(2.5, 5.5, 7.5))
+      .collect()
+    assert(moved.head.getString(7) === "shift",
+      s"psi_total ${moved.head.getDouble(6)} must trip the shift cut")
+    // empty buckets stay defined (Laplace): no NaN/inf terms
+    moved.foreach(r => assert(!r.getDouble(5).isNaN &&
+      !r.getDouble(5).isInfinite))
+    // NULL scores are excluded, not bucketed
+    val withNull = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "s")
+    val n = Curation.psiReport(withNull, withNull, "s", Seq(5.0))
+      .agg(org.apache.spark.sql.functions.sum("ref_n")).head.getLong(0)
+    assert(n === 1L)
+    intercept[IllegalArgumentException] {
+      Curation.psiReport(ref, ref, "s", Seq(5.0, 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.psiReport(ref, ref, "s", Seq.empty)
+    }
+  }
+
   test("scoreBuckets: tercile cuts, boundary rows classify low, validation") {
     // 9 scores 1..9: terciles at interpolated 3.67/6.33 — 1-3 head,
     // 4-6 middle, 7-9 tail
