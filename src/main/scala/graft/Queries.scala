@@ -4949,7 +4949,340 @@ object Queries {
            |       WHEN p.psi_total > 0.1 THEN 'warn'
            |       ELSE 'stable' END AS drift
            |FROM t2, p ORDER BY bucket""".stripMargin
-      })
+      }),
+
+    // ----- prototype-based cluster pruning (Sorscher 2206.14486) ----------
+    // The diversity-preserving pruner beside SemDeDup: assign each planted
+    // vector to its nearest planted centroid (the 10 noise-free g-group
+    // patterns — exact-integer floats, so every dot is IEEE-exact), rank
+    // within the cluster by cosine-to-centroid rounded at 4 (total order
+    // with the id tiebreak), keep the hardest 30% by cross-multiplied
+    // integer quota. Map-only assignment against the literal model; the
+    // only exchange is the per-cluster ranking window.
+    "d_cluster_prune" -> QueryDef(
+      (s, d) => {
+        val quant = Array.tabulate(10)(g => Array.tabulate(16)(j =>
+          (((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000).toFloat))
+        Similarity.clusterPrune(plantedVecs(s, d), "doc_id", "v", quant,
+            keepPermille = 300)
+          .select("doc_id", "cluster", "proto_cos", "cluster_n", "rnk", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT g, LIST_TRANSFORM(RANGE(0, 16), j -> CAST(
+              |    ((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000 AS DOUBLE)) AS c
+              |  FROM RANGE(0, 10) t(g)),
+              |v AS (
+              |  $plantedVecsSql),
+              |cos AS (
+              |  SELECT v.doc_id, c.g, ROUND(
+              |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.emb, c.c),
+              |      p -> p[1] * p[2]))
+              |    / SQRT(LIST_SUM(LIST_TRANSFORM(v.emb, x -> x * x))
+              |         * LIST_SUM(LIST_TRANSFORM(c.c, x -> x * x))), 4) AS pc
+              |  FROM v, cents c),
+              |asg AS (
+              |  SELECT doc_id, g AS cluster, pc AS proto_cos,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY pc DESC, g ASC) AS rn
+              |  FROM cos),
+              |rnkd AS (
+              |  SELECT doc_id, cluster, proto_cos,
+              |    ROW_NUMBER() OVER (PARTITION BY cluster
+              |      ORDER BY proto_cos ASC, doc_id ASC) AS rnk,
+              |    COUNT(*) OVER (PARTITION BY cluster) AS cluster_n
+              |  FROM asg WHERE rn = 1)
+              |SELECT doc_id, CAST(cluster AS INT) AS cluster, proto_cos,
+              |  cluster_n, rnk, rnk * 1000 <= 300 * cluster_n AS keep
+              |FROM rnkd ORDER BY doc_id""".stripMargin)),
+
+    // ----- retrieval eval metrics (recall@k / MRR / nDCG@k) ---------------
+    // The eval half of the retrieval family: BM25 ranks three single-term
+    // queries over the corpus (one scan via bm25Multi), qrels are the
+    // exact-integer rule "the term occurs >= 2 times", and every metric
+    // is exact-integer until one terminal double step — nDCG's discount
+    // table is a shared BIGINT literal (dcgDiscounts9), so neither
+    // engine's log library is in the compared path.
+    "d_retrieval_metrics" -> QueryDef(
+      (s, d) => {
+        val docs = tSpread(s, d, "documents")
+        val results = graft.operators.Relevance.bm25Multi(docs, "doc_id",
+            "text", Map(1 -> Seq("join"), 2 -> Seq("vector"),
+              3 -> Seq("stream")))
+          .select(col("query_id"), col("id"), col("bm25").as("score"))
+        val qrels = docs
+          .select(col("doc_id").as("id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin("join", "vector", "stream"))
+          .groupBy("id", "term").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(when(col("term") === "join", 1)
+            .when(col("term") === "vector", 2).otherwise(3).as("query_id"),
+            col("id"))
+        graft.operators.Relevance.retrievalMetrics(results, qrels, k = 10)
+          .orderBy("query_id")
+      },
+      Some {
+        val disc9 = graft.operators.Relevance.dcgDiscounts9(10)
+          .mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT * FROM (VALUES (1, 'join'), (2, 'vector'),
+           |    (3, 'stream')) t(query_id, term)),
+           |base AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
+           |    LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+           |stats AS (SELECT COUNT(*) AS n,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+           |hits AS (SELECT doc_id, dl, UNNEST(ws) AS term FROM base),
+           |tf AS (SELECT h.doc_id, h.term, COUNT(*) AS tf, MAX(h.dl) AS dl
+           |  FROM hits h JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+           |  GROUP BY 1, 2),
+           |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |score AS (
+           |  SELECT q.query_id, tf.doc_id AS id, ROUND(CAST(SUM(CAST(
+           |    LN(1 + ((CAST(n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)))
+           |      * ((tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+           |    AS DECIMAL(30,9))) AS DOUBLE), 4) AS s
+           |  FROM tf JOIN df USING (term) CROSS JOIN stats JOIN q USING (term)
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, id, s,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY s DESC, id ASC) AS rank
+           |  FROM score QUALIFY rank <= 10),
+           |qrels AS (
+           |  SELECT CASE term WHEN 'join' THEN 1 WHEN 'vector' THEN 2
+           |      ELSE 3 END AS query_id, doc_id AS id
+           |  FROM tf WHERE tf >= 2),
+           |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+           |disc AS (SELECT CAST($disc9 AS BIGINT[]) AS d9),
+           |j AS (
+           |  SELECT r.query_id, r.rank,
+           |    CASE WHEN qr.id IS NULL THEN 0 ELSE 1 END AS rel
+           |  FROM ranked r LEFT JOIN qrels qr
+           |    ON r.query_id = qr.query_id AND r.id = qr.id),
+           |perq AS (
+           |  SELECT j.query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+           |    CAST(SUM(rel) AS BIGINT) AS hits,
+           |    CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rank END), 0)
+           |      AS BIGINT) AS first_rel_rank,
+           |    CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN d9[rank] END), 0)
+           |      AS BIGINT) AS dcg9
+           |  FROM j, disc GROUP BY 1),
+           |full_q AS (
+           |  SELECT COALESCE(p.query_id, n.query_id) AS query_id,
+           |    COALESCE(n.n_rel, 0) AS n_rel,
+           |    COALESCE(p.n_retrieved, 0) AS n_retrieved,
+           |    COALESCE(p.hits, 0) AS hits,
+           |    COALESCE(p.first_rel_rank, 0) AS first_rel_rank,
+           |    COALESCE(p.dcg9, 0) AS dcg9
+           |  FROM perq p FULL OUTER JOIN nrel n ON p.query_id = n.query_id)
+           |SELECT f.query_id, f.n_rel, f.n_retrieved, f.hits,
+           |  CASE WHEN f.first_rel_rank > 0
+           |    THEN ROUND(CAST(1 AS DOUBLE) / f.first_rel_rank, 6)
+           |    ELSE 0.0 END AS rr,
+           |  CASE WHEN f.n_rel > 0
+           |    THEN ROUND(CAST(f.hits AS DOUBLE) / f.n_rel, 4)
+           |    ELSE 0.0 END AS recall_at_k,
+           |  ROUND(CAST(f.hits AS DOUBLE) / 10.0, 4) AS precision_at_k,
+           |  CASE WHEN COALESCE(LIST_SUM(d9[1 : LEAST(10, f.n_rel)]), 0) > 0
+           |    THEN ROUND(CAST(f.dcg9 AS DOUBLE) /
+           |      LIST_SUM(d9[1 : LEAST(10, f.n_rel)]), 4)
+           |    ELSE 0.0 END AS ndcg_at_k
+           |FROM full_q f, disc ORDER BY query_id""".stripMargin
+      }),
+
+    // ----- rater agreement (Cohen's kappa): scorer v1 vs scorer v2 --------
+    // The QC that decides whether a re-trained gate can replace the
+    // deployed one: two planted weight vectors score every document
+    // (integer-exact, one fused scan), the 2x2 confusion counts reduce in
+    // ONE partial-agg'd global aggregate, and kappa is a single double
+    // tree over exact longs — chance-corrected agreement, so lopsided
+    // keep rates can't fake concordance the way raw po does.
+    "d_rater_agreement" -> QueryDef(
+      (s, d) => {
+        val m1 = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+        val m2 = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 29) % 19) - 9), -2L)
+        graft.operators.Curation.raterAgreement(t(s, d, "documents"),
+          graft.operators.QualityClf.scoreCol(col("text"), m1) > 0,
+          graft.operators.QualityClf.scoreCol(col("text"), m2) > 0)
+      },
+      Some("""WITH w AS (
+             |  SELECT LIST_FILTER(STRING_SPLIT(text, ' '),
+             |    t -> LENGTH(t) > 0) AS ws
+             |  FROM documents),
+             |f AS (
+             |  SELECT
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)] ||
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(ws[i] || ' ' || ws[i + 1], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws))] AS fb
+             |  FROM w),
+             |s AS (SELECT
+             |    (3 + COALESCE(LIST_SUM(
+             |      [((b * 37) % 21) - 10 FOR b IN fb]), 0)) > 0 AS a,
+             |    (-2 + COALESCE(LIST_SUM(
+             |      [((b * 29) % 19) - 9 FOR b IN fb]), 0)) > 0 AS b
+             |  FROM f),
+             |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COALESCE(SUM(CASE WHEN a AND b THEN 1 END), 0)
+             |      AS BIGINT) AS n11,
+             |    CAST(COALESCE(SUM(CASE WHEN a AND NOT b THEN 1 END), 0)
+             |      AS BIGINT) AS n10,
+             |    CAST(COALESCE(SUM(CASE WHEN NOT a AND b THEN 1 END), 0)
+             |      AS BIGINT) AS n01,
+             |    CAST(COALESCE(SUM(CASE WHEN NOT a AND NOT b THEN 1 END), 0)
+             |      AS BIGINT) AS n00
+             |  FROM s),
+             |k AS (SELECT *,
+             |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             |    (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+             |    + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+             |  FROM c)
+             |SELECT n, n11, n10, n01, n00,
+             |  CASE WHEN n > 0 THEN ROUND(po, 4) ELSE 0.0 END AS po,
+             |  CASE WHEN n > 0 THEN ROUND(pe, 4) ELSE 0.0 END AS pe,
+             |  CASE WHEN n > 0 AND pe < 1 THEN ROUND((po - pe) / (1 - pe), 4)
+             |    ELSE 0.0 END AS kappa,
+             |  (n = 0 OR (n > 0 AND pe = 1)) AS degenerate
+             |FROM k""".stripMargin)),
+
+    // ----- best-of-n rejection sampling ------------------------------------
+    // The RLHF data step after candidate generation: 8 candidates per
+    // prompt (doc_id div 8), the deployed scorer picks the winner, margin
+    // over the runner-up is the decisiveness a downstream filter
+    // thresholds on. Scoring fuses into the scan; the per-prompt window
+    // is map-side trimmed to 2 rows (WindowGroupLimit).
+    "d_best_of_n" -> QueryDef(
+      (s, d) => {
+        val m1 = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+        graft.operators.Sft.bestOfN(
+          t(s, d, "documents").select(expr("doc_id div 8").as("prompt_id"),
+            col("doc_id").as("cand_id"), col("text")),
+          "prompt_id", "cand_id", "text", m1)
+          .orderBy("prompt_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+             |    t -> LENGTH(t) > 0) AS ws
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)] ||
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(ws[i] || ' ' || ws[i + 1], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws))] AS fb
+             |  FROM w),
+             |sc AS (SELECT doc_id // 8 AS prompt_id, doc_id AS cand_id,
+             |    CAST(3 + COALESCE(LIST_SUM(
+             |      [((b * 37) % 21) - 10 FOR b IN fb]), 0) AS BIGINT) AS s
+             |  FROM f),
+             |r AS (SELECT prompt_id, cand_id, s,
+             |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+             |      ORDER BY s DESC, cand_id ASC) AS rnk,
+             |    CAST(COUNT(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+             |      AS n_cands
+             |  FROM sc)
+             |SELECT prompt_id,
+             |  MAX(CASE WHEN rnk = 1 THEN cand_id END) AS best_cand_id,
+             |  MAX(CASE WHEN rnk = 1 THEN s END) AS best_score,
+             |  COALESCE(MAX(CASE WHEN rnk = 2 THEN s END),
+             |    MAX(CASE WHEN rnk = 1 THEN s END)) AS runner_up_score,
+             |  MAX(CASE WHEN rnk = 1 THEN s END)
+             |    - COALESCE(MAX(CASE WHEN rnk = 2 THEN s END),
+             |        MAX(CASE WHEN rnk = 1 THEN s END)) AS margin,
+             |  MAX(n_cands) AS n_cands
+             |FROM r WHERE rnk <= 2 GROUP BY prompt_id
+             |ORDER BY prompt_id""".stripMargin)),
+
+    // ----- ANALYZE-style table profile -------------------------------------
+    // Per-column row/null/distinct counts, lexical min/max of the string
+    // form, mean string length — ONE aggregation pass, unpivoted with
+    // stack. Exact NDV (the oracle-checkable mode; the 100 TB path flips
+    // exactNdv=false for HLL and loses the Expand fan-out).
+    "d_table_profile" -> QueryDef(
+      (s, d) => graft.operators.Profile.tableProfile(t(s, d, "documents"))
+        .orderBy("column_name"),
+      Some {
+        val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+        cols.map { c =>
+          s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  MIN(CAST($c AS VARCHAR)) AS min_s,
+             |  MAX(CAST($c AS VARCHAR)) AS max_s,
+             |  CASE WHEN COUNT($c) > 0 THEN ROUND(
+             |    CAST(SUM(LENGTH(CAST($c AS VARCHAR))) AS DOUBLE)
+             |      / COUNT($c), 4) ELSE 0.0 END AS avg_len
+             |FROM documents""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
+    // ----- higher moments (skewness / kurtosis), engine-exact --------------
+    // The q_stats_corr discipline one order up: one-pass skewness() /
+    // kurtosis() accumulate co-moments in float order (never hashable);
+    // instead the four power sums accumulate as EXACT scale-0 decimals
+    // (quantities are integral; (9,0)^4 stays under both engines' width
+    // caps), then ONE identical double tree per group — pow() is avoided
+    // (not correctly-rounded in either engine): sd^3 = var*sd, var^2 =
+    // var*var, from an IEEE sqrt.
+    "q_stats_moments" -> QueryDef(
+      (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(9, 0))
+        val agg = t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("s1"),
+            sum(x * x).cast("double").as("s2"),
+            sum(x * x * x).cast("double").as("s3"),
+            sum(x * x * x * x).cast("double").as("s4"))
+        val m = col("s1") / col("n")
+        val vr = col("s2") / col("n") - m * m
+        val sd = sqrt(vr)
+        agg.select(col("l_returnflag"),
+            round(((col("s3") / col("n")) - lit(3d) * m * (col("s2") / col("n"))
+              + lit(2d) * m * m * m) / (vr * sd), 6).as("skew_q"),
+            round(((col("s4") / col("n")) - lit(4d) * m * (col("s3") / col("n"))
+              + lit(6d) * m * m * (col("s2") / col("n"))
+              - lit(3d) * m * m * m * m) / (vr * vr) - lit(3d), 6)
+              .as("kurt_q"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH a AS (
+             |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,0))
+             |      * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,0))
+             |      * CAST(l_quantity AS DECIMAL(9,0))
+             |      * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS s3,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,0))
+             |      * CAST(l_quantity AS DECIMAL(9,0))
+             |      * CAST(l_quantity AS DECIMAL(9,0))
+             |      * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS s4
+             |  FROM lineitem GROUP BY 1),
+             |b AS (SELECT l_returnflag, n, s1, s2, s3, s4,
+             |    s1 / n AS m, s2 / n - (s1 / n) * (s1 / n) AS vr,
+             |    SQRT(s2 / n - (s1 / n) * (s1 / n)) AS sd
+             |  FROM a)
+             |SELECT l_returnflag,
+             |  ROUND(((s3 / n) - 3 * m * (s2 / n) + 2 * m * m * m)
+             |    / (vr * sd), 6) AS skew_q,
+             |  ROUND(((s4 / n) - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+             |    - 3 * m * m * m * m) / (vr * vr) - 3, 6) AS kurt_q
+             |FROM b ORDER BY l_returnflag""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -985,4 +985,47 @@ object Curation {
         round(col("n_tokens") / sum(col("n_tokens"))
           .over(Window.partitionBy()), 6))
   }
+
+  /** Cohen's kappa agreement between two boolean raters over the same
+    * rows — the QC that decides whether a cheap gate can stand in for an
+    * expensive one (rule gate vs learned gate, scorer v1 vs v2, human
+    * sample vs classifier): raw agreement `po` overstates whenever the
+    * keep rate is lopsided; kappa subtracts the chance agreement `pe`
+    * the raters' marginal rates alone would produce.
+    *
+    * One row: `n`, the 2×2 confusion counts (exact longs from ONE
+    * partial-agg'd global aggregate — the raters are column expressions,
+    * so the corpus never shuffles), `po`/`pe` rounded for display, and
+    * `kappa = round((po - pe)/(1 - pe), 4)` computed as a single double
+    * tree over the exact counts — both engines replay it bit-for-bit.
+    * Edge contract: `degenerate` marks pe = 1 (both raters constant —
+    * kappa undefined, emitted 0.0) and the empty input (all zeros,
+    * kappa 0.0, never NULL). */
+  def raterAgreement(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val counted = df
+      .select(aCol.cast("boolean").as("__a"), bCol.cast("boolean").as("__b"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__a") && col("__b"), 1L).otherwise(0L)),
+          lit(0L)).as("n11"),
+        coalesce(sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)),
+          lit(0L)).as("n10"),
+        coalesce(sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)),
+          lit(0L)).as("n01"),
+        coalesce(sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)),
+          lit(0L)).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    // marginal-rate form, each count/n divided BEFORE multiplying — the
+    // n² cross products would wrap 64-bit past ~3e9 rows per rater cell
+    val pe = ((col("n11") + col("n10")).cast("double") / nD) *
+      ((col("n11") + col("n01")).cast("double") / nD) +
+      ((col("n01") + col("n00")).cast("double") / nD) *
+      ((col("n10") + col("n00")).cast("double") / nD)
+    counted.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      when(col("n") > 0L, round(po, 4)).otherwise(lit(0d)).as("po"),
+      when(col("n") > 0L, round(pe, 4)).otherwise(lit(0d)).as("pe"),
+      when(col("n") > 0L && pe < 1d, round((po - pe) / (lit(1d) - pe), 4))
+        .otherwise(lit(0d)).as("kappa"),
+      (col("n") === 0L || (col("n") > 0L && pe === 1d)).as("degenerate"))
+  }
 }

@@ -196,4 +196,81 @@ object Relevance {
       .select(col("query_id"), col("rrf_rank"), col("id"),
         round(col("rrf"), 6).as("rrf_score"))
   }
+
+  /** The integer-scaled rank-discount table both [[retrievalMetrics]]
+    * sides share: `discount9(r) = round(10^9 / log2(r + 1))` — DCG's
+    * 1/log2(r+1) as an exact BIGINT, computed ONCE driver-side and
+    * embedded as a literal in the Spark plan AND the oracle SQL, so
+    * neither engine's `log` library is ever in the compared path. */
+  def dcgDiscounts9(k: Int): Array[Long] =
+    Array.tabulate(k)(i =>
+      math.round(1e9 / (math.log(i + 2.0) / math.log(2.0))))
+
+  /** Retrieval-quality metrics (the eval half of the retrieval family):
+    * per query, recall@k / precision@k / MRR / nDCG@k of a ranked result
+    * list against a binary-relevance qrels table — what a training-data
+    * pipeline runs after every retriever or embedding change.
+    *
+    * Inputs: `results` shaped `(query_id, id, score)` (any candidate
+    * count; ranked here), `qrels` shaped `(query_id, id)` listing the
+    * relevant documents (deduplicated here). Queries appearing in either
+    * input get a row; missing sides read as zeros, so a query whose
+    * relevant docs were never retrieved still reports recall 0.
+    *
+    * Determinism: ranks come from (round(score, 4) DESC, id ASC) — a
+    * total order. Every metric is exact-integer until ONE terminal
+    * double step per row: `rr = round(1/first_rel_rank, 6)`,
+    * `recall/precision = round(hits/denominator, 4)`, and nDCG's
+    * numerator/denominator are BIGINT sums over the shared
+    * [[dcgDiscounts9]] literal (ideal DCG = best-possible prefix of the
+    * same table), divided once — no float ever sums, so both engines
+    * hash-match bit-for-bit.
+    *
+    * Scale shape: the ranking window partitions by query (candidate
+    * lists are retriever-bounded, tens to thousands of rows — map-side
+    * trimmed to k by WindowGroupLimit); qrels aggregate partial
+    * map-side; everything meets on one query-keyed exchange. */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"retrievalMetrics: k must be >= 1, got $k")
+    val disc9 = typedlit(dcgDiscounts9(k).toSeq)
+    val ranked = results
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("s"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("s").desc, col("id"))))
+      .filter(col("rank") <= k)
+    val rels = qrels.select(col("query_id"), col("id")).distinct()
+    val nRel = rels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val perQ = ranked
+      .join(rels.withColumn("rel", lit(1L)), Seq("query_id", "id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"),
+        coalesce(sum(when(col("rel") === 1L,
+          element_at(disc9, col("rank")))), lit(0L)).as("dcg9"))
+    perQ.join(nRel, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        coalesce(col("dcg9"), lit(0L)).as("dcg9"))
+      .withColumn("idcg9", coalesce(aggregate(
+        slice(disc9, lit(1), least(lit(k.toLong), col("n_rel")).cast("int")),
+        lit(0L), (acc, x) => acc + x), lit(0L)))
+      .select(col("query_id"), col("n_rel"), col("n_retrieved"), col("hits"),
+        when(col("first_rel_rank") > 0L,
+          round(lit(1d) / col("first_rel_rank"), 6)).otherwise(lit(0d))
+          .as("rr"),
+        when(col("n_rel") > 0L,
+          round(col("hits").cast("double") / col("n_rel"), 4))
+          .otherwise(lit(0d)).as("recall_at_k"),
+        round(col("hits").cast("double") / lit(k.toDouble), 4)
+          .as("precision_at_k"),
+        when(col("idcg9") > 0L,
+          round(col("dcg9").cast("double") / col("idcg9"), 4))
+          .otherwise(lit(0d)).as("ndcg_at_k"))
+  }
 }

@@ -418,4 +418,48 @@ object Sft {
         least(col("tok_start") + window, col("__n")))
       .withColumn("doc_id", col(idCol))
   }
+
+  /** Best-of-n rejection sampling (Llama-2-style RLHF data step /
+    * constitutional self-improvement loops): a generator emitted `n`
+    * candidate responses per prompt; keep the one a deployed
+    * [[QualityClf]] scorer ranks highest, and report how decisive the
+    * pick was. One row per prompt:
+    * `(prompt_id, best_cand_id, best_score, runner_up_score, margin,
+    * n_cands)` — `margin = best - runner_up` (0 for single-candidate
+    * prompts: a walkover, not a strong preference), the number a
+    * downstream filter thresholds on (margin ≈ 0 means the scorer
+    * couldn't tell the candidates apart and the "win" is noise).
+    *
+    * Determinism: scores are exact integers ([[QualityClf.scoreCol]]);
+    * the argmax orders by (score DESC, cand_id ASC) — total. Scale
+    * shape: scoring fuses into the scan (weights are plan literals,
+    * zero exchanges); prompt groups are generator-bounded (n candidates,
+    * single digits to dozens), so the per-prompt window is map-side
+    * trimmed to 2 rows by WindowGroupLimit and the only exchange keys
+    * on the prompt. */
+  def bestOfN(cands: DataFrame, promptCol: String, candIdCol: String,
+      textCol: String, model: QualityClf.Model): DataFrame = {
+    val scored = cands.select(
+      col(promptCol).cast("long").as("prompt_id"),
+      col(candIdCol).cast("long").as("cand_id"),
+      QualityClf.scoreCol(col(textCol), model).as("score"))
+    val wAll = Window.partitionBy("prompt_id")
+    val wRank = Window.partitionBy("prompt_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("n_cands", count(lit(1)).over(wAll))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 2)
+      .groupBy("prompt_id")
+      .agg(max(when(col("rnk") === 1, col("cand_id"))).as("best_cand_id"),
+        max(when(col("rnk") === 1, col("score"))).as("best_score"),
+        max(when(col("rnk") === 2, col("score"))).as("runner_up_score"),
+        max(col("n_cands")).as("n_cands"))
+      .select(col("prompt_id"), col("best_cand_id"), col("best_score"),
+        coalesce(col("runner_up_score"), col("best_score"))
+          .as("runner_up_score"),
+        (col("best_score") - coalesce(col("runner_up_score"),
+          col("best_score"))).as("margin"),
+        col("n_cands"))
+  }
 }

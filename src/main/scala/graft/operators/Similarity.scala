@@ -650,4 +650,62 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Prototype-based cluster pruning (Sorscher et al. 2206.14486, the
+    * "SSL prototypes" data-pruning metric — a training-data operator
+    * beyond the reference's own surface, like the rest of the embedding
+    * family): assign every vector to its nearest centroid of a trained
+    * (persistable) quantizer, rank WITHIN each cluster by
+    * prototypicality — cosine to the assigned centroid — and keep a
+    * per-cluster quota. `keepEasiest = false` (default) retains the
+    * LEAST prototypical rows (hard-example retention, the Sorscher
+    * high-data regime); `true` flips to most-prototypical (the
+    * low-data/denoising regime). This is the diversity-preserving
+    * sibling of SemDeDup: that removes near-identical twins inside a
+    * cluster, this thins whole clusters toward their informative margin.
+    *
+    * Determinism (the e_ann recipe): cosines round at 4 decimals BEFORE
+    * ranking, ties break on id — a total order any engine replays.
+    * The quota compare is cross-multiplied integer arithmetic
+    * (`rank · 1000 <= keepPermille · cluster_n` — keep =
+    * floor(keepPermille·n/1000) rows), never a float threshold.
+    *
+    * Scale shape: the centroid model rides into the plan as a literal
+    * (O(nlist·dims), driver-small) so assignment + prototypicality are
+    * ONE map-only codegen pass; the only exchange is the per-cluster
+    * ranking window. A cluster is one window group, so `nlist` must
+    * scale with the corpus (~√N keeps groups executor-sized — the same
+    * contract semDedupPairs documents); ties to the lowest centroid
+    * index on equal cosine. */
+  def clusterPrune(df: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Float]], keepPermille: Int,
+      keepEasiest: Boolean = false): DataFrame = {
+    require(quantizer.nonEmpty, "clusterPrune: empty quantizer")
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      s"clusterPrune: keepPermille must be in [0, 1000], got $keepPermille")
+    val dims = quantizer.head.length
+    val cents = typedlit(quantizer.map(_.toSeq).toSeq)
+    val v = col(vecCol)
+    val coss = transform(sequence(lit(0), lit(quantizer.length - 1)), i => {
+      val c = element_at(cents, i + lit(1))
+      round(dot(v, c) / sqrt(dot(v, v) * dot(c, c)), 4)
+    })
+    val assigned = df
+      .filter(v.isNotNull && size(v) === dims)
+      .select(col(idCol), coss.as("__coss"))
+      .select(col(idCol),
+        (array_position(col("__coss"), array_max(col("__coss"))) - 1)
+          .cast("int").as("cluster"),
+        array_max(col("__coss")).as("proto_cos"))
+    val order =
+      if (keepEasiest) Seq(col("proto_cos").desc, col(idCol).asc)
+      else Seq(col("proto_cos").asc, col(idCol).asc)
+    val wRank = Window.partitionBy("cluster").orderBy(order: _*)
+    val wAll = Window.partitionBy("cluster")
+    assigned
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("cluster_n", count(lit(1)).over(wAll))
+      .withColumn("keep",
+        col("rnk") * 1000L <= lit(keepPermille.toLong) * col("cluster_n"))
+  }
 }

@@ -1,0 +1,233 @@
+package graft
+
+import graft.operators.{Curation, Profile, Relevance, Sft, Similarity}
+import graft.operators.QualityClf.Model
+import org.apache.spark.sql.functions._
+
+/** Round-14 audit/eval operators: prototype cluster pruning, retrieval
+  * metrics, Cohen's kappa rater agreement, best-of-n rejection
+  * sampling, and the ANALYZE-style table profile. Laws beyond the
+  * oracle replays: quotas, flip symmetry, partition-order independence,
+  * hand-computed metric values, and edge contracts (empty input,
+  * degenerate raters, single-candidate prompts). */
+class CurationAuditSuite extends SparkSpec {
+  import spark.implicits._
+
+  // --- clusterPrune -------------------------------------------------------
+
+  /** Two well-separated axis clusters in 4 dims; ids 1-6 near e1,
+    * ids 11-14 near e2, with varying off-axis noise so prototypicality
+    * (cosine to centroid) strictly orders within each cluster. */
+  private def twoClusters = Seq(
+    (1L, Seq(100f, 0f, 0f, 0f)), (2L, Seq(100f, 10f, 0f, 0f)),
+    (3L, Seq(100f, 20f, 0f, 0f)), (4L, Seq(100f, 30f, 0f, 0f)),
+    (5L, Seq(100f, 40f, 0f, 0f)), (6L, Seq(100f, 50f, 0f, 0f)),
+    (11L, Seq(0f, 0f, 100f, 0f)), (12L, Seq(0f, 0f, 100f, 15f)),
+    (13L, Seq(0f, 0f, 100f, 30f)), (14L, Seq(0f, 0f, 100f, 45f))
+  ).toDF("id", "v")
+
+  private val quant = Array(
+    Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+
+  test("clusterPrune: per-cluster quota is floor(permille*n/1000) and " +
+    "the kept set is the least-prototypical rank prefix") {
+    val out = Similarity.clusterPrune(twoClusters, "id", "v", quant,
+      keepPermille = 500).collect()
+    val byCluster = out.groupBy(_.getAs[Int]("cluster"))
+    assert(byCluster.keySet === Set(0, 1))
+    // cluster 0 has 6 rows -> keep 3; cluster 1 has 4 -> keep 2
+    assert(byCluster(0).count(_.getAs[Boolean]("keep")) === 3)
+    assert(byCluster(1).count(_.getAs[Boolean]("keep")) === 2)
+    // hardest = farthest from centroid = largest off-axis noise
+    val kept0 = byCluster(0).filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("id")).toSet
+    assert(kept0 === Set(4L, 5L, 6L))
+    val kept1 = byCluster(1).filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("id")).toSet
+    assert(kept1 === Set(13L, 14L))
+  }
+
+  test("clusterPrune: keepEasiest flips the kept prefix to the most " +
+    "prototypical rows") {
+    val out = Similarity.clusterPrune(twoClusters, "id", "v", quant,
+      keepPermille = 500, keepEasiest = true).collect()
+    val kept = out.filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("id")).toSet
+    assert(kept === Set(1L, 2L, 3L, 11L, 12L))
+  }
+
+  test("clusterPrune: partition-order independent and null/ragged " +
+    "vectors drop") {
+    val ragged = twoClusters
+      .union(Seq((99L, Seq(1f, 2f)), (98L, null.asInstanceOf[Seq[Float]]))
+        .toDF("id", "v"))
+    val a = Similarity.clusterPrune(ragged.repartition(7, col("id")),
+      "id", "v", quant, keepPermille = 300).collect().sortBy(_.getLong(0))
+    val b = Similarity.clusterPrune(ragged.orderBy(col("id").desc).coalesce(1),
+      "id", "v", quant, keepPermille = 300).collect().sortBy(_.getLong(0))
+    assert(a.toSeq === b.toSeq)
+    assert(!a.exists(r => r.getLong(0) == 99L || r.getLong(0) == 98L))
+  }
+
+  // --- retrievalMetrics ---------------------------------------------------
+
+  test("retrievalMetrics: hand-computed MRR/recall/precision/nDCG on a " +
+    "known ranking") {
+    // query 1: relevant docs {10, 30}; retrieved ranks docs 20,10,30
+    //   (scores 9,8,7) -> first rel rank 2, hits 2
+    // query 2: relevant {40}; retrieved ranks 40 first -> perfect
+    val results = Seq(
+      (1L, 20L, 9.0), (1L, 10L, 8.0), (1L, 30L, 7.0),
+      (2L, 40L, 5.0), (2L, 50L, 4.0)).toDF("query_id", "id", "score")
+    val qrels = Seq((1L, 10L), (1L, 30L), (2L, 40L))
+      .toDF("query_id", "id")
+    val out = Relevance.retrievalMetrics(results, qrels, k = 10)
+      .orderBy("query_id").collect()
+    val d9 = Relevance.dcgDiscounts9(10)
+    val q1 = out(0)
+    assert(q1.getAs[Long]("n_rel") === 2L)
+    assert(q1.getAs[Long]("hits") === 2L)
+    assert(q1.getAs[Double]("rr") === 0.5)
+    assert(q1.getAs[Double]("recall_at_k") === 1.0)
+    assert(q1.getAs[Double]("precision_at_k") === 0.2)
+    val expNdcg1 = BigDecimal((d9(1) + d9(2)).toDouble / (d9(0) + d9(1)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q1.getAs[Double]("ndcg_at_k") === expNdcg1)
+    val q2 = out(1)
+    assert(q2.getAs[Double]("rr") === 1.0)
+    assert(q2.getAs[Double]("ndcg_at_k") === 1.0)
+    assert(q2.getAs[Double]("recall_at_k") === 1.0)
+  }
+
+  test("retrievalMetrics: a query whose relevant docs were never " +
+    "retrieved still reports (recall 0, rr 0), and a query with no " +
+    "qrels reports recall 0") {
+    val results = Seq((1L, 20L, 9.0)).toDF("query_id", "id", "score")
+    val qrels = Seq((2L, 40L)).toDF("query_id", "id")
+    val out = Relevance.retrievalMetrics(results, qrels, k = 5)
+      .orderBy("query_id").collect()
+    assert(out.length === 2)
+    val q1 = out(0) // retrieved, no qrels
+    assert(q1.getAs[Long]("n_rel") === 0L &&
+      q1.getAs[Double]("recall_at_k") === 0.0 &&
+      q1.getAs[Double]("ndcg_at_k") === 0.0)
+    val q2 = out(1) // qrels, never retrieved
+    assert(q2.getAs[Long]("n_retrieved") === 0L &&
+      q2.getAs[Double]("rr") === 0.0 &&
+      q2.getAs[Double]("recall_at_k") === 0.0)
+  }
+
+  test("retrievalMetrics: ranks beyond k never contribute (hit at rank " +
+    "k+1 counts zero)") {
+    val results = (1 to 4).map(r => (1L, r.toLong, 10.0 - r))
+      .toDF("query_id", "id", "score")
+    val qrels = Seq((1L, 4L)).toDF("query_id", "id") // ranked 4th, k=3
+    val out = Relevance.retrievalMetrics(results, qrels, k = 3).collect()
+    assert(out.head.getAs[Long]("hits") === 0L)
+    assert(out.head.getAs[Double]("rr") === 0.0)
+    assert(out.head.getAs[Long]("n_retrieved") === 3L)
+  }
+
+  // --- raterAgreement -----------------------------------------------------
+
+  test("raterAgreement: perfect agreement has kappa 1, a planted 2x2 " +
+    "table matches the hand-computed kappa") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    val p = Curation.raterAgreement(perfect, col("a"), col("b")).head
+    assert(p.getAs[Double]("kappa") === 1.0 &&
+      !p.getAs[Boolean]("degenerate"))
+    // n11=20 n10=5 n01=10 n00=15: po=0.7, pe=(25/50)(30/50)+(25/50)(20/50)=0.5
+    // kappa = 0.2/0.5 = 0.4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = Curation.raterAgreement(rows.toDF("a", "b"), col("a"), col("b"))
+      .head
+    assert(r.getAs[Long]("n") === 50L && r.getAs[Double]("po") === 0.7)
+    assert(r.getAs[Double]("pe") === 0.5 && r.getAs[Double]("kappa") === 0.4)
+  }
+
+  test("raterAgreement: constant raters read degenerate (kappa 0), " +
+    "empty input reads all-zero not NULL") {
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    val c = Curation.raterAgreement(const, col("a"), col("b")).head
+    assert(c.getAs[Boolean]("degenerate") && c.getAs[Double]("kappa") === 0.0)
+    val empty = Seq.empty[(Boolean, Boolean)].toDF("a", "b")
+    val e = Curation.raterAgreement(empty, col("a"), col("b")).head
+    assert(e.getAs[Long]("n") === 0L && e.getAs[Double]("kappa") === 0.0 &&
+      e.getAs[Boolean]("degenerate"))
+  }
+
+  // --- bestOfN ------------------------------------------------------------
+
+  private val bonModel = Model(
+    Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+
+  test("bestOfN: picks the max-score candidate with the id tiebreak, " +
+    "margin 0 on single-candidate prompts, partition-order independent") {
+    val cands = Seq(
+      (1L, 1L, "alpha beta gamma"), (1L, 2L, "alpha beta gamma"),
+      (1L, 3L, "delta epsilon"),
+      (2L, 9L, "lone candidate")).toDF("prompt_id", "cand_id", "text")
+    val out = Sft.bestOfN(cands, "prompt_id", "cand_id", "text", bonModel)
+      .orderBy("prompt_id").collect()
+    // prompt 1: cands 1 and 2 tie on identical text -> id tiebreak keeps 1,
+    // margin 0 (runner-up is the identical twin)
+    assert(out(0).getAs[Long]("best_cand_id") === 1L)
+    assert(out(0).getAs[Long]("margin") === 0L)
+    assert(out(0).getAs[Long]("n_cands") === 3L)
+    // prompt 2: walkover -> margin 0, runner_up == best
+    assert(out(1).getAs[Long]("margin") === 0L)
+    assert(out(1).getAs[Long]("n_cands") === 1L)
+    assert(out(1).getAs[Long]("runner_up_score") ===
+      out(1).getAs[Long]("best_score"))
+    val b = Sft.bestOfN(cands.repartition(5, col("cand_id")),
+      "prompt_id", "cand_id", "text", bonModel)
+      .orderBy("prompt_id").collect()
+    assert(out.toSeq === b.toSeq)
+  }
+
+  // --- tableProfile -------------------------------------------------------
+
+  test("tableProfile: exact counts, lexical min/max of the string form, " +
+    "nested columns profile nulls only") {
+    val df = Seq(
+      (1L, Some("aa"), Seq(1, 2)),
+      (2L, None, Seq.empty[Int]),
+      (3L, Some("b"), null.asInstanceOf[Seq[Int]]),
+      (3L, Some("aa"), Seq(9))).toDF("id", "s", "arr")
+    val out = Profile.tableProfile(df).orderBy("column_name").collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    val idRow = byName("id")
+    assert(idRow.getAs[Long]("n_rows") === 4L &&
+      idRow.getAs[Long]("n_null") === 0L &&
+      idRow.getAs[Long]("n_distinct") === 3L &&
+      idRow.getAs[String]("min_s") === "1" &&
+      idRow.getAs[String]("max_s") === "3" &&
+      idRow.getAs[Double]("avg_len") === 1.0)
+    val sRow = byName("s")
+    assert(sRow.getAs[Long]("n_null") === 1L &&
+      sRow.getAs[Long]("n_distinct") === 2L &&
+      sRow.getAs[String]("min_s") === "aa" &&
+      sRow.getAs[String]("max_s") === "b" &&
+      sRow.getAs[Double]("avg_len") ===
+        BigDecimal(5.0 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    val arrRow = byName("arr")
+    assert(arrRow.getAs[Long]("n_null") === 1L)
+    assert(arrRow.isNullAt(arrRow.fieldIndex("n_distinct")) &&
+      arrRow.isNullAt(arrRow.fieldIndex("min_s")))
+  }
+
+  test("tableProfile: approx mode (the 100 TB path) still reports " +
+    "row/null counts exactly and a plausible NDV") {
+    val df = (1 to 500).map(i => (i.toLong, s"v${i % 50}"))
+      .toDF("id", "s")
+    val out = Profile.tableProfile(df, exactNdv = false)
+      .orderBy("column_name").collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    assert(byName("id").getAs[Long]("n_rows") === 500L)
+    val ndv = byName("s").getAs[Long]("n_distinct")
+    assert(ndv > 40L && ndv < 60L, s"approx NDV $ndv far from 50")
+  }
+}
