@@ -5282,7 +5282,195 @@ object Queries {
              |    / (vr * sd), 6) AS skew_q,
              |  ROUND(((s4 / n) - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
              |    - 3 * m * m * m * m) / (vr * vr) - 3, 6) AS kurt_q
-             |FROM b ORDER BY l_returnflag""".stripMargin))
+             |FROM b ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- BM25 under FROZEN collection statistics -------------------------
+    // The incremental-retrieval pattern: stats (df/n/avgdl) snapshot on
+    // the doc_id%3==0 reference slice, every other doc scores under that
+    // frozen snapshot — scores stay comparable across batches indexed
+    // under one snapshot, and the oracle replays the full two-corpus
+    // coupling. Unseen terms take the df=0 maximal-idf fallback.
+    "d_bm25_incr" -> QueryDef(
+      (s, d) => {
+        val docs = tSpread(s, d, "documents")
+        val stats = graft.operators.Relevance.bm25CollectionStats(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        graft.operators.Relevance.bm25UnderStats(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+          stats, query = Seq("join", "vector", "stream")).orderBy("id")
+      },
+      Some("""WITH ref AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
+             |    LEN(STRING_SPLIT(text, ' ')) AS dl
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |sc AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM ref),
+             |dfq AS (SELECT term, COUNT(*) AS df FROM (
+             |    SELECT DISTINCT doc_id, UNNEST(ws) AS term FROM ref)
+             |  WHERE term IN ('join', 'vector', 'stream') GROUP BY 1),
+             |batch AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
+             |    LEN(STRING_SPLIT(text, ' ')) AS dl
+             |  FROM documents WHERE doc_id % 3 <> 0),
+             |hits AS (SELECT doc_id, dl, UNNEST(ws) AS term FROM batch),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+             |  FROM hits WHERE term IN ('join', 'vector', 'stream')
+             |  GROUP BY 1, 2),
+             |part AS (
+             |  SELECT tf.doc_id,
+             |    LN(1 + ((CAST(n - COALESCE(dfq.df, 0) AS DOUBLE) + 0.5)
+             |      / (CAST(COALESCE(dfq.df, 0) AS DOUBLE) + 0.5)))
+             |    * ((tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75)
+             |      + 0.75 * (dl / avgdl)))) AS p
+             |  FROM tf LEFT JOIN dfq USING (term) CROSS JOIN sc)
+             |SELECT doc_id AS id,
+             |  ROUND(CAST(SUM(CAST(p AS DECIMAL(30,9))) AS DOUBLE), 4) AS bm25
+             |FROM part GROUP BY 1 ORDER BY id""".stripMargin)),
+
+    // ----- frozen-stats staleness report -----------------------------------
+    // The drift signal of the retrieval snapshot: the in-distribution
+    // batch sits under both thresholds; the e->3 shifted batch floods
+    // new terms and trips rebuild. Both regimes reach the hash compare
+    // (the e_quantizer_drift two-row union).
+    "d_bm25_drift" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val stats = graft.operators.Relevance.bm25CollectionStats(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        def drift(batch: org.apache.spark.sql.DataFrame, label: String) =
+          graft.operators.Relevance.bm25StatsDrift(batch, "doc_id", "text",
+              stats, maxNewTermRate = 0.1, maxAvgdlShift = 0.2)
+            .withColumn("batch", lit(label))
+        drift(docs.filter(col("doc_id") % 3 =!= 0), "in_dist")
+          .unionByName(drift(docs.filter(col("doc_id") % 3 =!= 0)
+            .select(col("doc_id"),
+              translate(col("text"), "e", "3").as("text")), "shifted"))
+          .select("batch", "n_docs", "new_term_rate", "avgdl_batch",
+            "avgdl_ref", "avgdl_ratio", "rebuild")
+          .orderBy("batch")
+      },
+      Some {
+        def side(label: String, tx: String) =
+          s"""SELECT '$label' AS batch, n_docs, new_term_rate, avgdl_batch,
+             |  avgdl_ref, avgdl_ratio,
+             |  n_docs > 0 AND (new_term_rate > 0.1
+             |    OR ABS(avgdl_ratio - 1) > 0.2) AS rebuild
+             |FROM (
+             |  SELECT d.n_docs,
+             |    ROUND(CAST(t.occ_new AS DOUBLE) / GREATEST(t.occ, 1), 4)
+             |      AS new_term_rate,
+             |    ROUND(CAST(d.sumdl_b AS DOUBLE) / GREATEST(d.n_docs, 1), 4)
+             |      AS avgdl_batch,
+             |    ROUND(CAST(r.sumdl AS DOUBLE) / GREATEST(r.n, 1), 4)
+             |      AS avgdl_ref,
+             |    CASE WHEN d.n_docs > 0 THEN ROUND(
+             |      (CAST(d.sumdl_b AS DOUBLE) / GREATEST(d.n_docs, 1))
+             |      / (CAST(r.sumdl AS DOUBLE) / GREATEST(r.n, 1)), 4)
+             |      ELSE 1.0 END AS avgdl_ratio
+             |  FROM (
+             |    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |      CAST(COALESCE(SUM(LEN(STRING_SPLIT($tx, ' '))), 0)
+             |        AS BIGINT) AS sumdl_b
+             |    FROM documents WHERE doc_id % 3 <> 0) d
+             |  CROSS JOIN (
+             |    SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS occ,
+             |      CAST(COALESCE(SUM(CASE WHEN seen IS NULL THEN c
+             |        ELSE 0 END), 0) AS BIGINT) AS occ_new
+             |    FROM (
+             |      SELECT term, COUNT(*) AS c FROM (
+             |        SELECT UNNEST(STRING_SPLIT($tx, ' ')) AS term
+             |        FROM documents WHERE doc_id % 3 <> 0)
+             |      WHERE LENGTH(term) > 0 GROUP BY 1) tc
+             |    LEFT JOIN (
+             |      SELECT DISTINCT term, 1 AS seen FROM (
+             |        SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' '))
+             |          AS term
+             |        FROM documents WHERE doc_id % 3 = 0)
+             |      WHERE LENGTH(term) > 0) st USING (term)) t
+             |  CROSS JOIN (
+             |    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |      CAST(COALESCE(SUM(LEN(STRING_SPLIT(text, ' '))), 0)
+             |        AS BIGINT) AS sumdl
+             |    FROM documents WHERE doc_id % 3 = 0) r)""".stripMargin
+        s"""SELECT * FROM (
+           |${side("in_dist", "text")}
+           |UNION ALL
+           |${side("shifted", "REPLACE(text, 'e', '3')")})
+           |ORDER BY batch""".stripMargin
+      }),
+
+    // ----- group-relative advantage (GRPO normalization) -------------------
+    // Each candidate's integer reward centered/scaled within its prompt
+    // group: exact long group moments, one double tree per row.
+    // Zero-variance groups emit adv 0, never NaN.
+    "d_group_advantage" -> QueryDef(
+      (s, d) => {
+        val m1 = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+        graft.operators.Sft.groupAdvantage(
+          t(s, d, "documents").select(expr("doc_id div 8").as("prompt_id"),
+            col("doc_id").as("cand_id"), col("text")),
+          "prompt_id", "cand_id", "text", m1)
+          .orderBy("prompt_id", "cand_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+             |    t -> LENGTH(t) > 0) AS ws
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)] ||
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(ws[i] || ' ' || ws[i + 1], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws))] AS fb
+             |  FROM w),
+             |sc AS (SELECT doc_id // 8 AS prompt_id, doc_id AS cand_id,
+             |    CAST(3 + COALESCE(LIST_SUM(
+             |      [((b * 37) % 21) - 10 FOR b IN fb]), 0) AS BIGINT) AS s
+             |  FROM f),
+             |g AS (SELECT prompt_id, cand_id, s,
+             |    CAST(COUNT(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n,
+             |    CAST(SUM(s) OVER (PARTITION BY prompt_id) AS BIGINT) AS s1,
+             |    CAST(SUM(s * s) OVER (PARTITION BY prompt_id) AS BIGINT)
+             |      AS s2
+             |  FROM sc),
+             |v AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+             |  FROM g),
+             |v2 AS (SELECT *,
+             |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - m * m AS vr
+             |  FROM v)
+             |SELECT prompt_id, cand_id, s AS score, n AS group_n,
+             |  ROUND(m, 4) AS group_mean,
+             |  CASE WHEN vr > 0
+             |    THEN ROUND((CAST(s AS DOUBLE) - m) / SQRT(vr), 6)
+             |    ELSE 0.0 END AS advantage
+             |FROM v2 ORDER BY prompt_id, cand_id""".stripMargin)),
+
+    // ----- correlated LATERAL subquery (per-group top-N via decorrelation) -
+    // The SQL surface the window-rank queries reach through the DataFrame
+    // API: a correlated LATERAL with ORDER BY + LIMIT — per region, its
+    // first 3 nations by name. Catalyst decorrelates into the same
+    // ranked-window shape; DuckDB runs the lateral natively.
+    "q_lateral" -> QueryDef(
+      (s, d) => {
+        t(s, d, "region").createOrReplaceTempView("region_v")
+        t(s, d, "nation").createOrReplaceTempView("nation_v")
+        s.sql("""SELECT r.r_name, t.n_name
+                |FROM region_v r JOIN LATERAL (
+                |  SELECT n_name FROM nation_v
+                |  WHERE n_regionkey = r.r_regionkey
+                |  ORDER BY n_name LIMIT 3) t
+                |ORDER BY r_name, n_name""".stripMargin)
+      },
+      Some("""SELECT r.r_name, t.n_name
+             |FROM region r JOIN LATERAL (
+             |  SELECT n_name FROM nation
+             |  WHERE n_regionkey = r.r_regionkey
+             |  ORDER BY n_name LIMIT 3) t ON TRUE
+             |ORDER BY r_name, n_name""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

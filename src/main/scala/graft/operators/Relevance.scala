@@ -197,6 +197,176 @@ object Relevance {
         round(col("rrf"), 6).as("rrf_score"))
   }
 
+  /** Frozen BM25 collection statistics — the incremental-retrieval
+    * state: production retrieval scores arriving batches under
+    * COLLECTION statistics refreshed periodically, not per batch (a
+    * per-batch idf would re-rank the whole index on every arrival).
+    * One table, `(kind, term, v)`: a `df` row per distinct term
+    * (document frequency over the reference corpus, single-space token
+    * convention) plus the two scalar rows `n` (document count) and
+    * `sumdl` (total token count — avgdl stays an exact ratio until the
+    * one double division at score time). Persist with
+    * [[saveBm25Stats]] under the [[graft.state.HistoryFormat.Bm25Stats]]
+    * marker; at 100 TB the table is vocabulary-sized and stays
+    * DISTRIBUTED — consumers prune it to their query terms before any
+    * broadcast. */
+  def bm25CollectionStats(ref: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = ref.select(col(idCol).as("id"),
+        split(col(textCol), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val dfRows = base
+      .select(col("id"), explode(col("ws")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct() // per-doc term presence…
+      .groupBy("term").agg(count(lit(1)).as("v")) // …so this IS df
+      .select(lit("df").as("kind"), col("term"), col("v"))
+    val scalarRows = base
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L))
+        .as("sumdl"))
+      .select(explode(array(
+        struct(lit("n").as("kind"), lit(null).cast("string").as("term"),
+          col("n").as("v")),
+        struct(lit("sumdl").as("kind"), lit(null).cast("string").as("term"),
+          col("sumdl").as("v")))).as("r"))
+      .select(col("r.kind"), col("r.term"), col("r.v"))
+    dfRows.unionByName(scalarRows)
+  }
+
+  /** The `(n, avgdl)` one-row frame of a stats table, for the score-time
+    * cross join (broadcast at 1 row — the tolerated scalar attach). */
+  private def statsScalars(stats: DataFrame): DataFrame = stats
+    .filter(col("kind").isin("n", "sumdl"))
+    .agg(max(when(col("kind") === "n", col("v"))).as("n"),
+      max(when(col("kind") === "sumdl", col("v"))).as("sumdl"))
+    .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
+
+  /** BM25 over a batch under FROZEN collection statistics: idf and avgdl
+    * come from `stats` (a [[bm25CollectionStats]] table), tf and dl from
+    * the batch — so scores are comparable across batches indexed under
+    * the same snapshot, the property an accumulated index needs. Terms
+    * the snapshot never saw take df = 0 (maximal idf — a new term is
+    * maximally selective by definition). Same determinism recipe as
+    * [[bm25]]: decimal partial sums, one terminal round.
+    *
+    * Scale shape: the stats table prunes to the QUERY terms before a
+    * broadcast hash join (O(|query|) rows — the full vocabulary never
+    * broadcasts); the batch prunes map-side to query-term hits before
+    * its one fine-grained (id, term, dl) exchange. */
+  def bm25UnderStats(batch: DataFrame, idCol: String, textCol: String,
+      stats: DataFrame, query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25UnderStats: empty query")
+    val dfq = stats
+      .filter(col("kind") === "df" && col("term").isin(query: _*))
+      .select(col("term"), col("v").as("df"))
+    val base = batch.select(col(idCol).as("id"),
+        split(col(textCol), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val hits = base.select(col("id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(query: _*))
+    val tf = hits.groupBy("id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val joined = tf.join(broadcast(dfq), Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .crossJoin(broadcast(statsScalars(stats)))
+    val idf = log(lit(1d) + ((col("n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val sat = (col("tf") * (lit(k1) + lit(1d))) /
+      (col("tf") + lit(k1) * (lit(1d) - lit(b) + lit(b) * (col("dl") / col("avgdl"))))
+    joined
+      .withColumn("p", idf * sat)
+      .groupBy("id")
+      .agg(round(sum(col("p").cast(DecimalType(30, 9))).cast("double"), 4)
+        .as("bm25"))
+  }
+
+  /** Staleness report for a frozen stats snapshot against a new batch —
+    * the drift signal of the incremental-retrieval family (the
+    * vocabDrift discipline for collection statistics): `new_term_rate`
+    * (share of batch token OCCURRENCES whose term has no df row — those
+    * score under the df=0 fallback) and `avgdl_ratio` (batch mean doc
+    * length over the snapshot's — BM25's length normalization mis-
+    * centers when it moves). One row; `rebuild` trips past either
+    * threshold; the empty batch reads zeros/1.0 and rebuild=false (zero
+    * rows is not drift evidence).
+    *
+    * Scale shape: batch occurrences partial-aggregate per term map-side
+    * (Zipf-hot terms combine before the exchange), then LEFT-join the
+    * DISTINCT term counts against the distributed df table on the term
+    * key — the vocabulary never broadcasts and the batch text never
+    * shuffles. */
+  def bm25StatsDrift(batch: DataFrame, idCol: String, textCol: String,
+      stats: DataFrame, maxNewTermRate: Double,
+      maxAvgdlShift: Double): DataFrame = {
+    val base = batch.select(split(col(textCol), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val docAgg = base.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sumdl_b"))
+    val tcount = base.select(explode(col("ws")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val termAgg = tcount
+      .join(stats.filter(col("kind") === "df")
+        .select(col("term"), lit(1).as("seen")), Seq("term"), "left")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("occ"),
+        coalesce(sum(when(col("seen").isNull, col("c")).otherwise(0L)),
+          lit(0L)).as("occ_new"))
+    val avgdlB = col("sumdl_b").cast("double") /
+      greatest(col("n_docs"), lit(1L))
+    val avgdl0 = col("sumdl").cast("double") / greatest(col("n"), lit(1L))
+    val refScalars = stats.filter(col("kind").isin("n", "sumdl"))
+      .agg(max(when(col("kind") === "n", col("v"))).as("n"),
+        max(when(col("kind") === "sumdl", col("v"))).as("sumdl"))
+    docAgg.crossJoin(termAgg).crossJoin(refScalars)
+      .select(col("n_docs"),
+        round(col("occ_new").cast("double") /
+          greatest(col("occ"), lit(1L)), 4).as("new_term_rate"),
+        round(avgdlB, 4).as("avgdl_batch"),
+        round(avgdl0, 4).as("avgdl_ref"),
+        when(col("n_docs") > 0L, round(avgdlB / avgdl0, 4))
+          .otherwise(lit(1d)).as("avgdl_ratio"))
+      .withColumn("rebuild",
+        col("n_docs") > 0L && (col("new_term_rate") > maxNewTermRate ||
+          abs(col("avgdl_ratio") - lit(1d)) > maxAvgdlShift))
+  }
+
+  /** Persist a stats snapshot under the
+    * [[graft.state.HistoryFormat.Bm25Stats]] marker. */
+  def saveBm25Stats(spark: org.apache.spark.sql.SparkSession, path: String,
+      stats: DataFrame): Unit = {
+    stats.write.mode("overwrite").parquet(path)
+    graft.state.HistoryFormat.stamp(spark.sparkContext.hadoopConfiguration,
+      path, graft.state.HistoryFormat.Bm25Stats)
+  }
+
+  /** Inverse of [[saveBm25Stats]]; refuses a missing or mismatched
+    * marker (stats under a different token convention mis-rank
+    * silently). */
+  def loadBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    graft.state.HistoryFormat.ensure(spark.sparkContext.hadoopConfiguration,
+      path, graft.state.HistoryFormat.Bm25Stats, hasData = true)
+    spark.read.parquet(path)
+  }
+
+  /** [[bm25UnderStats]] against a persisted snapshot path — the
+    * path-taking probe enforces its own format marker (the
+    * HistoryEnforcementSuite rule). */
+  def bm25UnderStatsTable(batch: DataFrame, idCol: String, textCol: String,
+      statsPath: String, query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25UnderStats(batch, idCol, textCol,
+      loadBm25Stats(batch.sparkSession, statsPath), query, k1, b)
+
+  /** [[bm25StatsDrift]] against a persisted snapshot path
+    * (marker-enforced). */
+  def bm25StatsDriftTable(batch: DataFrame, idCol: String, textCol: String,
+      statsPath: String, maxNewTermRate: Double,
+      maxAvgdlShift: Double): DataFrame =
+    bm25StatsDrift(batch, idCol, textCol,
+      loadBm25Stats(batch.sparkSession, statsPath), maxNewTermRate,
+      maxAvgdlShift)
+
   /** The integer-scaled rank-discount table both [[retrievalMetrics]]
     * sides share: `discount9(r) = round(10^9 / log2(r + 1))` — DCG's
     * 1/log2(r+1) as an exact BIGINT, computed ONCE driver-side and

@@ -462,4 +462,42 @@ object Sft {
           col("best_score"))).as("margin"),
         col("n_cands"))
   }
+
+  /** Group-relative advantage (the GRPO normalization, Shao et al.
+    * 2402.03300 §4.1): each candidate's reward is centered and scaled
+    * WITHIN its prompt group — `adv = (score - mean_g) / std_g` — so a
+    * prompt whose candidates all score high contributes the same
+    * gradient scale as one whose candidates all score low. Scores come
+    * from a deployed [[QualityClf]] (exact integers), so the group sums
+    * `Σs`/`Σs²` are exact longs and mean/std/adv are ONE double tree per
+    * row — engine-replayable bit-for-bit. Population std (divide by n,
+    * the GRPO convention); a zero-variance group (all candidates equal)
+    * emits adv 0 for every member, never NULL/NaN.
+    *
+    * Scale shape: scoring fuses into the scan; the group moments are
+    * window aggregates over prompt-bounded groups (n candidates per
+    * prompt — generator-bounded, single digits to dozens), ONE exchange
+    * keyed on the prompt. `Σs²` wraps 64-bit only past |score| ~3e9·√n —
+    * three orders above any real hashed-feature model's range. */
+  def groupAdvantage(cands: DataFrame, promptCol: String, candIdCol: String,
+      textCol: String, model: QualityClf.Model): DataFrame = {
+    val w = Window.partitionBy("prompt_id")
+    val scored = cands.select(
+      col(promptCol).cast("long").as("prompt_id"),
+      col(candIdCol).cast("long").as("cand_id"),
+      QualityClf.scoreCol(col(textCol), model).as("score"))
+    val nD = col("__n").cast("double")
+    val mean = col("__s1").cast("double") / nD
+    val vr = col("__s2").cast("double") / nD - mean * mean
+    scored
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("score")).over(w))
+      .withColumn("__s2", sum(col("score") * col("score")).over(w))
+      .select(col("prompt_id"), col("cand_id"), col("score"),
+        col("__n").as("group_n"),
+        round(mean, 4).as("group_mean"),
+        when(vr > 0d,
+          round((col("score").cast("double") - mean) / sqrt(vr), 6))
+          .otherwise(lit(0d)).as("advantage"))
+  }
 }

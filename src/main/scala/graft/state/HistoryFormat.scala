@@ -124,6 +124,16 @@ object HistoryFormat {
     "re-embed the eval set under the embedding model the batch vectors " +
       "use and re-save via Dedup.saveEvalEmbeddingIndex")
 
+  /** Frozen BM25 collection statistics
+    * ([[graft.operators.Relevance.bm25CollectionStats]]): v1 =
+    * `(kind, term, v)` rows — per-term document frequencies under the
+    * single-space token convention plus the `n`/`sumdl` scalar rows.
+    * Scores mix the frozen idf with per-batch tf, so stats computed
+    * under a different tokenization silently mis-rank every result. */
+  val Bm25Stats: Format = Format("bm25-collection-stats", 1,
+    "re-run Relevance.bm25CollectionStats over the reference corpus " +
+      "and overwrite the stats table")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)

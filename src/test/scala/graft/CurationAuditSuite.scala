@@ -219,6 +219,88 @@ class CurationAuditSuite extends SparkSpec {
       arrRow.isNullAt(arrRow.fieldIndex("min_s")))
   }
 
+  // --- bm25 frozen collection stats ----------------------------------------
+
+  private val bmDocs = Seq(
+    (1L, "spark shuffles the join keys across executors"),
+    (2L, "a broadcast join avoids the shuffle entirely"),
+    (3L, "vector search scans the embedding column"),
+    (4L, "the stream arrives as micro batches"),
+    (5L, "join join join everywhere in this plan")).toDF("doc_id", "text")
+
+  test("bm25UnderStats: scoring under stats computed from the SAME corpus " +
+    "is bit-identical to plain bm25 (the frozen-snapshot parity law)") {
+    val q = Seq("join", "vector", "stream")
+    val stats = Relevance.bm25CollectionStats(bmDocs, "doc_id", "text")
+    val frozen = Relevance.bm25UnderStats(bmDocs, "doc_id", "text", stats, q)
+      .orderBy("id").collect()
+    val plain = Relevance.bm25(bmDocs, "doc_id", "text", q)
+      .orderBy("id").collect()
+    assert(frozen.toSeq === plain.toSeq)
+  }
+
+  test("bm25UnderStats: a term the snapshot never saw takes the df=0 " +
+    "maximal-idf fallback (scores at least as high as any seen-term df)") {
+    val slice = bmDocs.filter(col("doc_id") <= 2) // no 'vector' here
+    val stats = Relevance.bm25CollectionStats(slice, "doc_id", "text")
+    val full = Relevance.bm25CollectionStats(bmDocs, "doc_id", "text")
+    val unseen = Relevance.bm25UnderStats(bmDocs, "doc_id", "text",
+      stats, Seq("vector")).collect()
+    assert(unseen.nonEmpty && unseen.forall(_.getAs[Double]("bm25") > 0d))
+    val seen = Relevance.bm25UnderStats(bmDocs, "doc_id", "text",
+      full, Seq("vector")).collect().map(r =>
+        r.getLong(0) -> r.getDouble(1)).toMap
+    unseen.foreach { r =>
+      assert(r.getDouble(1) >= seen(r.getLong(0)),
+        "df=0 idf must dominate the seen-term idf")
+    }
+  }
+
+  test("bm25StatsDrift: in-dist batch stays under thresholds, a shifted " +
+    "batch trips rebuild, the empty batch reads (0, rebuild=false)") {
+    val stats = Relevance.bm25CollectionStats(bmDocs, "doc_id", "text")
+    val inDist = Relevance.bm25StatsDrift(bmDocs, "doc_id", "text", stats,
+      maxNewTermRate = 0.1, maxAvgdlShift = 0.5).head
+    assert(!inDist.getAs[Boolean]("rebuild") &&
+      inDist.getAs[Double]("new_term_rate") === 0.0 &&
+      inDist.getAs[Double]("avgdl_ratio") === 1.0)
+    val shifted = Relevance.bm25StatsDrift(
+      bmDocs.select(col("doc_id"), translate(col("text"), "e", "3")
+        .as("text")),
+      "doc_id", "text", stats, maxNewTermRate = 0.1,
+      maxAvgdlShift = 0.5).head
+    assert(shifted.getAs[Boolean]("rebuild") &&
+      shifted.getAs[Double]("new_term_rate") > 0.1)
+    val empty = Relevance.bm25StatsDrift(
+      bmDocs.filter(col("doc_id") < 0), "doc_id", "text", stats,
+      maxNewTermRate = 0.1, maxAvgdlShift = 0.5).head
+    assert(empty.getAs[Long]("n_docs") === 0L &&
+      !empty.getAs[Boolean]("rebuild") &&
+      empty.getAs[Double]("avgdl_ratio") === 1.0)
+  }
+
+  // --- groupAdvantage -------------------------------------------------------
+
+  test("groupAdvantage: a two-candidate group with distinct scores " +
+    "normalizes to exactly +/-1; identical candidates read adv 0; " +
+    "partition-order independent") {
+    val cands = Seq(
+      (1L, 1L, "alpha beta gamma delta"), (1L, 2L, "zz"),
+      (2L, 5L, "same text here"), (2L, 6L, "same text here"))
+      .toDF("prompt_id", "cand_id", "text")
+    val out = Sft.groupAdvantage(cands, "prompt_id", "cand_id", "text",
+      bonModel).orderBy("prompt_id", "cand_id").collect()
+    val g1 = out.filter(_.getLong(0) == 1L).map(_.getAs[Double]("advantage"))
+    assert(g1.toSet === Set(1.0, -1.0),
+      s"two distinct candidates must read +/-1, got ${g1.toSeq}")
+    val g2 = out.filter(_.getLong(0) == 2L).map(_.getAs[Double]("advantage"))
+    assert(g2.forall(_ === 0.0), "zero-variance group must read adv 0")
+    val b = Sft.groupAdvantage(cands.repartition(5, col("cand_id")),
+      "prompt_id", "cand_id", "text", bonModel)
+      .orderBy("prompt_id", "cand_id").collect()
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("tableProfile: approx mode (the 100 TB path) still reports " +
     "row/null counts exactly and a plausible NDV") {
     val df = (1 to 500).map(i => (i.toLong, s"v${i % 50}"))

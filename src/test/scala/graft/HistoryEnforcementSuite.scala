@@ -147,6 +147,17 @@ class HistoryEnforcementSuite extends SparkSpec {
     }
   }
 
+  test("BM25 frozen-stats probe enforces the bm25-collection-stats marker") {
+    withTmpDir { tmp =>
+      checkFamily(s"$tmp/bm25",
+        graft.operators.Relevance.bm25CollectionStats(docs, "doc_id", "text"),
+        HistoryFormat.Bm25Stats, "Relevance.bm25CollectionStats") { dir =>
+        graft.operators.Relevance.bm25UnderStatsTable(docs, "doc_id", "text",
+          dir, query = Seq("fox", "spark")).count()
+      }
+    }
+  }
+
   test("probing an absent history table is a loud error, not a no-op") {
     withTmpDir { tmp =>
       val e = intercept[IllegalStateException](
