@@ -856,6 +856,40 @@ object Queries {
              |    EXCEPT SELECT o_custkey, 'never_ordered' FROM orders))
              |ORDER BY op, k""".stripMargin)),
 
+    // ----- set ops, BAG semantics (INTERSECT ALL / EXCEPT ALL) ------------
+    // The multiplicity-preserving variants q_set_ops' distinct forms
+    // cannot express: per user, click-events INTERSECT ALL view-events
+    // keeps min(multiplicity) copies, EXCEPT ALL subtracts
+    // multiplicities — Spark plans both as count-tracking aggregates
+    // (one shuffle), never a row-by-row join.
+    "q_set_ops_all" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("k"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("k"))
+        clicks.intersectAll(views).withColumn("op", lit("both_bag"))
+          .unionByName(
+            clicks.exceptAll(views).withColumn("op", lit("extra_clicks")))
+          .orderBy("op", "k")
+      },
+      Some("""SELECT k, op FROM (
+             |  SELECT * FROM (
+             |    SELECT user_id AS k, 'both_bag' AS op FROM events
+             |    WHERE event_type = 'click'
+             |    INTERSECT ALL
+             |    SELECT user_id, 'both_bag' FROM events
+             |    WHERE event_type = 'view')
+             |  UNION ALL
+             |  SELECT * FROM (
+             |    SELECT user_id AS k, 'extra_clicks' AS op FROM events
+             |    WHERE event_type = 'click'
+             |    EXCEPT ALL
+             |    SELECT user_id, 'extra_clicks' FROM events
+             |    WHERE event_type = 'view'))
+             |ORDER BY op, k""".stripMargin)),
+
     // ----- pivot (fixed value set) ---------------------------------------
     "q_pivot" -> QueryDef(
       (s, d) => t(s, d, "lineitem")

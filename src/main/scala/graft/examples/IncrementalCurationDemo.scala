@@ -3,7 +3,7 @@ package graft.examples
 import graft._
 import graft.delta.{DeltaWriteMode, DeltaWriter}
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, FuzzyJoin, Similarity, SpanDedup}
+import graft.operators.{Curation, Dedup, FuzzyJoin, Relevance, Similarity, SpanDedup}
 import graft.sources._
 import graft.util.Fs
 import org.apache.spark.sql.Column
@@ -611,6 +611,28 @@ object IncrementalCurationDemo {
       s"shifted rebuild=${cdShift.getBoolean(5)}, post-rebuild " +
       s"rebuild=${cdRebuilt.getBoolean(5)} " +
       s"(zero-bucket rate ${cdShift.getDouble(3)} -> ${cdRebuilt.getDouble(3)})")
+    // bm25 collection-stats drift cycle: the FIFTH persisted model. The
+    // retrieval snapshot (df/n/avgdl) built on the curated corpus goes
+    // stale under the same vowel→digit move — mutated words are terms
+    // the snapshot never saw, so the new-term rate floods and rebuild
+    // fires; the re-snapshot on the shifted batch clears it. Both
+    // snapshots travel through the marker-stamped store (the
+    // bm25UnderStatsTable load path a production scorer would use).
+    Relevance.saveBm25Stats(spark, s"$work/bm25_stats",
+      Relevance.bm25CollectionStats(maintSample, "doc_id", "text"))
+    def bd(b: org.apache.spark.sql.DataFrame) =
+      Relevance.bm25StatsDriftTable(b, "doc_id", "text",
+        s"$work/bm25_stats", maxNewTermRate = 0.2, maxAvgdlShift = 0.5)
+        .head()
+    val bdIn = bd(maintSample)
+    val bdShift = bd(shiftedDocs)
+    Relevance.saveBm25Stats(spark, s"$work/bm25_stats",
+      Relevance.bm25CollectionStats(shiftedDocs, "doc_id", "text"))
+    val bdRebuilt = bd(shiftedDocs)
+    println(s"bm25-stats drift cycle: in-dist rebuild=${bdIn.getBoolean(5)}, " +
+      s"shifted rebuild=${bdShift.getBoolean(5)}, post-rebuild " +
+      s"rebuild=${bdRebuilt.getBoolean(5)} " +
+      s"(new-term rate ${bdShift.getDouble(1)} -> ${bdRebuilt.getDouble(1)})")
     val driftCyclesOk =
       !vdIn.getBoolean(5) && vdShift.getBoolean(5) &&
         !vdRebuilt.getBoolean(5) &&
@@ -619,7 +641,10 @@ object IncrementalCurationDemo {
         vFresh < vStale &&
         !cdIn.getBoolean(5) && cdShift.getBoolean(5) &&
         !cdRebuilt.getBoolean(5) &&
-        cdRebuilt.getDouble(3) < cdShift.getDouble(3)
+        cdRebuilt.getDouble(3) < cdShift.getDouble(3) &&
+        !bdIn.getBoolean(5) && bdShift.getBoolean(5) &&
+        !bdRebuilt.getBoolean(5) &&
+        bdRebuilt.getDouble(1) < bdShift.getDouble(1)
     val ok = r1.batchesProcessed == 3 && r2.batchesProcessed == 0 &&
       driftCyclesOk &&               // drift→rebuild→re-probe restores both models
       mixTotal > 0 && mixTotal == mixDistinct &&  // mix exactly-once

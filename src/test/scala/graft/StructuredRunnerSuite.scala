@@ -957,6 +957,64 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("BM25 scoring under frozen stats on the streaming engine, across " +
+    "checkpoint loss") {
+    // the retrieval sibling of the classifier pin: collection statistics
+    // are cross-batch state persisted ONCE under the Bm25Stats marker;
+    // every arriving batch scores under the frozen idf/avgdl (map-only
+    // given the snapshot), so stream output must equal the one-shot
+    // batch scoring of the union, and replay after checkpoint loss must
+    // reproduce identical rows
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Relevance
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"; val out = s"$tmp/scores"
+      def file(n: Int, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      val b0 = Seq((1L, "spark join plans and the join order"),
+        (2L, "a vector scan"))
+      val b1 = Seq((3L, "stream stream stream"), (4L, "nothing relevant"))
+      file(0, b0); file(1, b1)
+      val ref = Seq((10L, "join the vector stream"),
+        (11L, "join again"), (12L, "plain prose")).toDF("doc_id", "text")
+      Relevance.saveBm25Stats(spark, s"$tmp/stats",
+        Relevance.bm25CollectionStats(ref, "doc_id", "text"))
+      val q0 = Seq("join", "vector", "stream")
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = Some(1))
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            val w = new DeltaWriter(spark, conf)
+            if (!w.lastTxnVersion(out, "sbm25").exists(_ >= batchId))
+              w.write(Relevance.bm25UnderStatsTable(batch, "doc_id", "text",
+                s"$tmp/stats", q0),
+                out, DeltaWriteMode.Append, txn = Some(("sbm25", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      val w = new DeltaWriter(spark, conf)
+      def rows() = w.read(out).select("id", "bm25").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val want = Relevance.bm25UnderStatsTable(
+          (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text",
+          s"$tmp/stats", q0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(rows() === want, s"got ${rows()}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(rows() === want,
+        "replay after checkpoint loss must re-score to identical rows")
+    }
+  }
+
   test("transformWithState: running totals accumulate and TTL dedup gates, on RocksDB") {
     // the Spark-4 arbitrary-state API beside the classic
     // flatMapGroupsWithState shapes: typed ValueState handles on the
