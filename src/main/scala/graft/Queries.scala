@@ -5483,6 +5483,64 @@ object Queries {
              |    ELSE 0.0 END AS advantage
              |FROM v2 ORDER BY prompt_id, cand_id""".stripMargin)),
 
+    // ----- gate evaluation (precision/recall/F1 vs ground truth) -----------
+    // The numbers a deployed gate ships with beside kappa: the planted
+    // scorer's keep flag against a deterministic truth rule, exact
+    // confusion counts in one fused-scan aggregate, one double tree per
+    // ratio (F1 = 2tp/(2tp+fp+fn), one division).
+    "d_clf_eval" -> QueryDef(
+      (s, d) => {
+        val m1 = graft.operators.QualityClf.Model(
+          Array.tabulate(64)(b => ((b.toLong * 37) % 21) - 10), 3L)
+        graft.operators.Curation.gateEval(t(s, d, "documents"),
+          col("doc_id") % 3 === 0,
+          graft.operators.QualityClf.scoreCol(col("text"), m1) > 0)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+             |    t -> LENGTH(t) > 0) AS ws
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT) FOR c IN STRING_SPLIT(ws[i], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws) + 1)] ||
+             |    [LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |       [CAST(ascii(c) AS BIGINT)
+             |        FOR c IN STRING_SPLIT(ws[i] || ' ' || ws[i + 1], '')]),
+             |       (h, cp) -> (h * 31 + cp) % 64)
+             |     FOR i IN RANGE(1, LEN(ws))] AS fb
+             |  FROM w),
+             |s AS (SELECT doc_id % 3 = 0 AS t,
+             |    (3 + COALESCE(LIST_SUM(
+             |      [((b * 37) % 21) - 10 FOR b IN fb]), 0)) > 0 AS p
+             |  FROM f),
+             |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COALESCE(SUM(CASE WHEN t AND p THEN 1 END), 0)
+             |      AS BIGINT) AS tp,
+             |    CAST(COALESCE(SUM(CASE WHEN NOT t AND p THEN 1 END), 0)
+             |      AS BIGINT) AS fp,
+             |    CAST(COALESCE(SUM(CASE WHEN t AND NOT p THEN 1 END), 0)
+             |      AS BIGINT) AS fn,
+             |    CAST(COALESCE(SUM(CASE WHEN NOT t AND NOT p THEN 1 END), 0)
+             |      AS BIGINT) AS tn
+             |  FROM s)
+             |SELECT n, tp, fp, fn, tn,
+             |  CASE WHEN tp + fp > 0
+             |    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 4)
+             |    ELSE 0.0 END AS precision,
+             |  CASE WHEN tp + fn > 0
+             |    THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 4)
+             |    ELSE 0.0 END AS recall,
+             |  CASE WHEN 2 * tp + fp + fn > 0
+             |    THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 4)
+             |    ELSE 0.0 END AS f1,
+             |  CASE WHEN n > 0
+             |    THEN ROUND(CAST(tp + tn AS DOUBLE) / n, 4)
+             |    ELSE 0.0 END AS accuracy
+             |FROM c""".stripMargin)),
+
     // ----- correlated LATERAL subquery (per-group top-N via decorrelation) -
     // The SQL surface the window-rank queries reach through the DataFrame
     // API: a correlated LATERAL with ORDER BY + LIMIT — per region, its

@@ -1028,4 +1028,41 @@ object Curation {
         .otherwise(lit(0d)).as("kappa"),
       (col("n") === 0L || (col("n") > 0L && pe === 1d)).as("degenerate"))
   }
+
+  /** Precision/recall/F1 of a binary gate against ground truth — the
+    * standard numbers a classifier gate ships with beside
+    * [[raterAgreement]]'s chance-corrected kappa (kappa answers "do two
+    * raters agree"; this answers "how does the gate err against truth":
+    * precision = kept docs that deserved it, recall = deserving docs
+    * actually kept). One row of exact confusion counts from ONE
+    * partial-agg'd global aggregate (both columns are expressions over
+    * the same scan — the corpus never shuffles), then one double tree
+    * per ratio. Empty/one-class edges read 0.0, never NULL: a
+    * truth-less batch must not crash a QC dashboard. F1 spelled as
+    * 2tp/(2tp+fp+fn) — ONE division, no nested harmonic mean. */
+  def gateEval(df: DataFrame, truthCol: Column, predCol: Column): DataFrame = {
+    val counted = df
+      .select(truthCol.cast("boolean").as("__t"),
+        predCol.cast("boolean").as("__p"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__t") && col("__p"), 1L).otherwise(0L)),
+          lit(0L)).as("tp"),
+        coalesce(sum(when(!col("__t") && col("__p"), 1L).otherwise(0L)),
+          lit(0L)).as("fp"),
+        coalesce(sum(when(col("__t") && !col("__p"), 1L).otherwise(0L)),
+          lit(0L)).as("fn"),
+        coalesce(sum(when(!col("__t") && !col("__p"), 1L).otherwise(0L)),
+          lit(0L)).as("tn"))
+    counted.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0L, round(col("tp").cast("double") /
+        (col("tp") + col("fp")), 4)).otherwise(lit(0d)).as("precision"),
+      when(col("tp") + col("fn") > 0L, round(col("tp").cast("double") /
+        (col("tp") + col("fn")), 4)).otherwise(lit(0d)).as("recall"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+        round((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")), 4))
+        .otherwise(lit(0d)).as("f1"),
+      when(col("n") > 0L, round((col("tp") + col("tn")).cast("double") /
+        col("n"), 4)).otherwise(lit(0d)).as("accuracy"))
+  }
 }

@@ -158,6 +158,30 @@ class CurationAuditSuite extends SparkSpec {
       e.getAs[Boolean]("degenerate"))
   }
 
+  test("gateEval: a planted confusion table matches the hand-computed " +
+    "precision/recall/F1, and empty/one-class edges read 0.0 not NULL") {
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(1)((false, true)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(4)((false, false))
+    val r = Curation.gateEval(rows.toDF("t", "p"), col("t"), col("p")).head
+    assert(r.getAs[Long]("tp") === 3L && r.getAs[Long]("fp") === 1L &&
+      r.getAs[Long]("fn") === 2L && r.getAs[Long]("tn") === 4L)
+    assert(r.getAs[Double]("precision") === 0.75 &&
+      r.getAs[Double]("recall") === 0.6 &&
+      r.getAs[Double]("f1") === 0.6667 &&
+      r.getAs[Double]("accuracy") === 0.7)
+    val empty = Curation.gateEval(
+      Seq.empty[(Boolean, Boolean)].toDF("t", "p"), col("t"), col("p")).head
+    assert(empty.getAs[Long]("n") === 0L &&
+      empty.getAs[Double]("f1") === 0.0 &&
+      empty.getAs[Double]("accuracy") === 0.0)
+    val allNeg = Curation.gateEval(
+      Seq((false, false), (false, false)).toDF("t", "p"),
+      col("t"), col("p")).head
+    assert(allNeg.getAs[Double]("precision") === 0.0 &&
+      allNeg.getAs[Double]("recall") === 0.0 &&
+      allNeg.getAs[Double]("accuracy") === 1.0)
+  }
+
   // --- bestOfN ------------------------------------------------------------
 
   private val bonModel = Model(
