@@ -5483,6 +5483,57 @@ object Queries {
              |    ELSE 0.0 END AS advantage
              |FROM v2 ORDER BY prompt_id, cand_id""".stripMargin)),
 
+    // ----- expectation-suite validation (data-quality gates) ---------------
+    // Declarative per-batch rules validated in ONE aggregation pass and
+    // unpivoted to one row per rule; three rules pass and three fail BY
+    // CONSTRUCTION (n_chars tops out at 553, 'zh' is outside the set,
+    // src10+ break the single-digit regex) so both branches of `pass`
+    // reach the hash compare.
+    "d_expectations" -> QueryDef(
+      (s, d) => graft.operators.Profile.validateExpectations(
+        t(s, d, "documents"), Seq(
+          graft.operators.Profile.ExpectNotNull("text"),
+          graft.operators.Profile.ExpectUnique("doc_id"),
+          graft.operators.Profile.ExpectMin("n_chars", 0L),
+          graft.operators.Profile.ExpectMax("n_chars", 500L),
+          graft.operators.Profile.ExpectInSet("lang",
+            Seq("en", "fr", "es", "de")),
+          graft.operators.Profile.ExpectRegex("source", "^src[0-9]$")))
+        .orderBy("expectation", "column_name"),
+      Some("""SELECT *, n_violations = 0 AS pass FROM (
+             |  SELECT 'not_null' AS expectation, 'text' AS column_name,
+             |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+             |    CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+             |      0) AS BIGINT) AS n_violations
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'unique', 'doc_id', CAST(COUNT(doc_id) AS BIGINT),
+             |    CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'min_0', 'n_chars', CAST(COUNT(n_chars) AS BIGINT),
+             |    CAST(COALESCE(SUM(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END),
+             |      0) AS BIGINT)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'max_500', 'n_chars', CAST(COUNT(n_chars) AS BIGINT),
+             |    CAST(COALESCE(SUM(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END),
+             |      0) AS BIGINT)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'in_set', 'lang', CAST(COUNT(lang) AS BIGINT),
+             |    CAST(COALESCE(SUM(CASE WHEN lang IS NOT NULL
+             |      AND lang NOT IN ('en', 'fr', 'es', 'de') THEN 1 ELSE 0 END),
+             |      0) AS BIGINT)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'regex', 'source', CAST(COUNT(source) AS BIGINT),
+             |    CAST(COALESCE(SUM(CASE WHEN source IS NOT NULL
+             |      AND NOT regexp_matches(source, '^src[0-9]$')
+             |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |  FROM documents)
+             |ORDER BY expectation, column_name""".stripMargin)),
+
     // ----- gate evaluation (precision/recall/F1 vs ground truth) -----------
     // The numbers a deployed gate ships with beside kappa: the planted
     // scorer's keep flag against a deterministic truth rule, exact

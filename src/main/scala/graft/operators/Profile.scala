@@ -33,6 +33,83 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   * `avg_len` divides two exact longs once. */
 object Profile {
 
+  /** A declarative data-quality rule over one column — the
+    * expectation-suite pattern (Great Expectations / dbt tests): gates
+    * are DATA, so a pipeline validates every batch against the same
+    * versioned rule set and alerts on `pass = false` rows instead of
+    * discovering corruption downstream. */
+  sealed trait Expectation { def column: String; def label: String }
+  /** No NULLs in `column` (checks ALL rows). */
+  final case class ExpectNotNull(column: String) extends Expectation {
+    def label = "not_null"
+  }
+  /** `column` is a key: violations = duplicate copies beyond the first
+    * (n non-null minus n distinct). */
+  final case class ExpectUnique(column: String) extends Expectation {
+    def label = "unique"
+  }
+  /** Non-null values >= `bound`. */
+  final case class ExpectMin(column: String, bound: Long) extends Expectation {
+    def label = s"min_$bound"
+  }
+  /** Non-null values <= `bound`. */
+  final case class ExpectMax(column: String, bound: Long) extends Expectation {
+    def label = s"max_$bound"
+  }
+  /** Non-null values drawn from a fixed set. */
+  final case class ExpectInSet(column: String, values: Seq[String])
+    extends Expectation { def label = "in_set" }
+  /** Non-null values fully matching a regex (Java/RE2 common subset —
+    * the q_regexp_extract_all portability rule). */
+  final case class ExpectRegex(column: String, pattern: String)
+    extends Expectation { def label = "regex" }
+
+  /** Validate a batch against an expectation suite in ONE aggregation
+    * pass: every rule is a pair of aggregate expressions over the same
+    * scan (reduced map-side — the batch never shuffles; `ExpectUnique`
+    * alone adds a count-distinct Expand), and the single result row
+    * unpivots to one row per rule: `(expectation, column_name,
+    * n_checked, n_violations, pass)`. Value rules check non-null cells
+    * only — nullness is `ExpectNotNull`'s job, so one bad cell never
+    * double-counts across rules. Exact longs throughout; an empty batch
+    * passes every rule (0 checked, 0 violations). */
+  def validateExpectations(df: DataFrame,
+      rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "validateExpectations: empty rule set")
+    rules.foreach(r => require(df.columns.contains(r.column),
+      s"validateExpectations: no column '${r.column}' " +
+        s"(rule ${r.label}); batch has ${df.columns.mkString(", ")}"))
+    val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
+      val c = col(r.column)
+      val (checked, viol) = r match {
+        case ExpectNotNull(_) =>
+          (count(lit(1)), sum(when(c.isNull, 1L).otherwise(0L)))
+        case ExpectUnique(_) =>
+          (count(c), count(c) - countDistinct(c))
+        case ExpectMin(_, b) =>
+          (count(c), sum(when(c < b, 1L).otherwise(0L)))
+        case ExpectMax(_, b) =>
+          (count(c), sum(when(c > b, 1L).otherwise(0L)))
+        case ExpectInSet(_, vs) =>
+          (count(c), sum(when(c.isNotNull && !c.isin(vs: _*), 1L)
+            .otherwise(0L)))
+        case ExpectRegex(_, p) =>
+          (count(c), sum(when(c.isNotNull && !c.rlike(p), 1L)
+            .otherwise(0L)))
+      }
+      Seq(checked.cast("long").as(s"__c$i"),
+        coalesce(viol.cast("long"), lit(0L)).as(s"__v$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.label}', '${r.column}', __c$i, __v$i" }
+      .mkString(", ")
+    one
+      .select(expr(s"stack(${rules.length}, $stackArgs) AS " +
+        "(expectation, column_name, n_checked, n_violations)"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
   def tableProfile(df: DataFrame, exactNdv: Boolean = true): DataFrame = {
     require(df.schema.nonEmpty, "tableProfile: empty schema")
     val fields = df.schema.fields

@@ -325,6 +325,35 @@ class CurationAuditSuite extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("validateExpectations: every rule kind counts its violations " +
+    "exactly, value rules skip nulls, the empty batch passes all") {
+    import graft.operators.Profile._
+    val df = Seq(
+      (1L, Some("en"), Some(10L)),
+      (2L, Some("zz"), Some(700L)),
+      (2L, None, Some(-5L)),
+      (3L, Some("fr"), None)).toDF("id", "lang", "n")
+    val rules = Seq(ExpectNotNull("lang"), ExpectUnique("id"),
+      ExpectMin("n", 0L), ExpectMax("n", 500L),
+      ExpectInSet("lang", Seq("en", "fr")), ExpectRegex("lang", "^[a-z]{2}$"))
+    val out = Profile.validateExpectations(df, rules)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(("not_null", "lang")) === ((4L, 1L, false)))
+    assert(out(("unique", "id")) === ((4L, 1L, false)))
+    assert(out(("min_0", "n")) === ((3L, 1L, false)))  // null n unchecked
+    assert(out(("max_500", "n")) === ((3L, 1L, false)))
+    assert(out(("in_set", "lang")) === ((3L, 1L, false))) // null skipped
+    assert(out(("regex", "lang")) === ((3L, 0L, true)))
+    val empty = Profile.validateExpectations(df.filter(col("id") < 0), rules)
+      .collect()
+    assert(empty.length === 6 && empty.forall(_.getBoolean(4)),
+      "an empty batch must pass every rule")
+    val e = intercept[IllegalArgumentException](
+      Profile.validateExpectations(df, Seq(ExpectNotNull("nope"))))
+    assert(e.getMessage.contains("no column 'nope'"))
+  }
+
   test("tableProfile: approx mode (the 100 TB path) still reports " +
     "row/null counts exactly and a plausible NDV") {
     val df = (1 to 500).map(i => (i.toLong, s"v${i % 50}"))
