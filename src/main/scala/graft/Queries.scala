@@ -5093,21 +5093,29 @@ object Queries {
            |    CASE WHEN qr.id IS NULL THEN 0 ELSE 1 END AS rel
            |  FROM ranked r LEFT JOIN qrels qr
            |    ON r.query_id = qr.query_id AND r.id = qr.id),
+           |j2 AS (
+           |  SELECT *, SUM(rel) OVER (PARTITION BY query_id ORDER BY rank
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits_at
+           |  FROM j),
            |perq AS (
-           |  SELECT j.query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+           |  SELECT j2.query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
            |    CAST(SUM(rel) AS BIGINT) AS hits,
            |    CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rank END), 0)
            |      AS BIGINT) AS first_rel_rank,
            |    CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN d9[rank] END), 0)
-           |      AS BIGINT) AS dcg9
-           |  FROM j, disc GROUP BY 1),
+           |      AS BIGINT) AS dcg9,
+           |    CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN
+           |      CAST(ROUND(CAST(hits_at AS DOUBLE) / rank, 6)
+           |        AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6)) AS ap_num
+           |  FROM j2, disc GROUP BY 1),
            |full_q AS (
            |  SELECT COALESCE(p.query_id, n.query_id) AS query_id,
            |    COALESCE(n.n_rel, 0) AS n_rel,
            |    COALESCE(p.n_retrieved, 0) AS n_retrieved,
            |    COALESCE(p.hits, 0) AS hits,
            |    COALESCE(p.first_rel_rank, 0) AS first_rel_rank,
-           |    COALESCE(p.dcg9, 0) AS dcg9
+           |    COALESCE(p.dcg9, 0) AS dcg9,
+           |    COALESCE(p.ap_num, CAST(0 AS DECIMAL(18,6))) AS ap_num
            |  FROM perq p FULL OUTER JOIN nrel n ON p.query_id = n.query_id)
            |SELECT f.query_id, f.n_rel, f.n_retrieved, f.hits,
            |  CASE WHEN f.first_rel_rank > 0
@@ -5120,7 +5128,10 @@ object Queries {
            |  CASE WHEN COALESCE(LIST_SUM(d9[1 : LEAST(10, f.n_rel)]), 0) > 0
            |    THEN ROUND(CAST(f.dcg9 AS DOUBLE) /
            |      LIST_SUM(d9[1 : LEAST(10, f.n_rel)]), 4)
-           |    ELSE 0.0 END AS ndcg_at_k
+           |    ELSE 0.0 END AS ndcg_at_k,
+           |  CASE WHEN f.n_rel > 0
+           |    THEN ROUND(CAST(f.ap_num AS DOUBLE) / f.n_rel, 4)
+           |    ELSE 0.0 END AS ap_at_k
            |FROM full_q f, disc ORDER BY query_id""".stripMargin
       }),
 

@@ -414,19 +414,31 @@ object Relevance {
     val perQ = ranked
       .join(rels.withColumn("rel", lit(1L)), Seq("query_id", "id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      // running hit count for AP's per-hit precision terms: each term
+      // rounds to 6 decimals THEN pins to decimal(18,6), so the sum is
+      // exact whatever order the group reduces in
+      .withColumn("__hits_at", sum(col("rel")).over(
+        Window.partitionBy("query_id").orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_retrieved"),
         sum(col("rel")).as("hits"),
         min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"),
         coalesce(sum(when(col("rel") === 1L,
-          element_at(disc9, col("rank")))), lit(0L)).as("dcg9"))
+          element_at(disc9, col("rank")))), lit(0L)).as("dcg9"),
+        coalesce(sum(when(col("rel") === 1L,
+          round(col("__hits_at").cast("double") / col("rank"), 6)
+            .cast(DecimalType(18, 6)))),
+          lit(0L).cast(DecimalType(18, 6))).as("ap_num"))
     perQ.join(nRel, Seq("query_id"), "full_outer")
       .select(col("query_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
-        coalesce(col("dcg9"), lit(0L)).as("dcg9"))
+        coalesce(col("dcg9"), lit(0L)).as("dcg9"),
+        coalesce(col("ap_num"), lit(0L).cast(DecimalType(18, 6)))
+          .as("ap_num"))
       .withColumn("idcg9", coalesce(aggregate(
         slice(disc9, lit(1), least(lit(k.toLong), col("n_rel")).cast("int")),
         lit(0L), (acc, x) => acc + x), lit(0L)))
@@ -441,6 +453,11 @@ object Relevance {
           .as("precision_at_k"),
         when(col("idcg9") > 0L,
           round(col("dcg9").cast("double") / col("idcg9"), 4))
-          .otherwise(lit(0d)).as("ndcg_at_k"))
+          .otherwise(lit(0d)).as("ndcg_at_k"),
+        // AP@k with the TREC denominator (all relevant docs, so missed
+        // relevance is penalized even when it was never retrieved)
+        when(col("n_rel") > 0L,
+          round(col("ap_num").cast("double") / col("n_rel"), 4))
+          .otherwise(lit(0d)).as("ap_at_k"))
   }
 }

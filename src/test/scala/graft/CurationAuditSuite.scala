@@ -93,10 +93,14 @@ class CurationAuditSuite extends SparkSpec {
     val expNdcg1 = BigDecimal((d9(1) + d9(2)).toDouble / (d9(0) + d9(1)))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(q1.getAs[Double]("ndcg_at_k") === expNdcg1)
+    // AP: hits at ranks 2 and 3 -> (1/2 + 2/3)/2, terms rounded at 6
+    // before the exact decimal sum
+    assert(q1.getAs[Double]("ap_at_k") === 0.5833)
     val q2 = out(1)
     assert(q2.getAs[Double]("rr") === 1.0)
     assert(q2.getAs[Double]("ndcg_at_k") === 1.0)
     assert(q2.getAs[Double]("recall_at_k") === 1.0)
+    assert(q2.getAs[Double]("ap_at_k") === 1.0)
   }
 
   test("retrievalMetrics: a query whose relevant docs were never " +
