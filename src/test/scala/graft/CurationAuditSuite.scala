@@ -217,6 +217,102 @@ class CurationAuditSuite extends SparkSpec {
 
   // --- tableProfile -------------------------------------------------------
 
+  // --- randomized laws (the PropertySuite sampling harness) ----------------
+
+  private def forAllSampled[T](gen: org.scalacheck.Gen[T], n: Int = 12)(
+      body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(42L + i)).foreach(body)
+    }
+
+  test("clusterPrune law: on random vectors, every cluster keeps exactly " +
+    "floor(permille*n/1000) rows and the kept set is a rank prefix") {
+    import org.scalacheck.Gen
+    val vecGen = for {
+      n <- Gen.choose(5, 40)
+      vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-50, 50)))
+    } yield vs.zipWithIndex.map { case (v, i) =>
+      // keep vectors off the origin so cosine is defined
+      (i.toLong, v.map(_.toFloat) match {
+        case Seq(0f, 0f, 0f, 0f) => Seq(1f, 0f, 0f, 0f)
+        case s => s
+      })
+    }
+    forAllSampled(Gen.zip(vecGen, Gen.choose(0, 1000))) { case (rows, pm) =>
+      val out = Similarity.clusterPrune(rows.toDF("id", "v"), "id", "v",
+        quant, keepPermille = pm).collect()
+      out.groupBy(_.getAs[Int]("cluster")).foreach { case (_, grp) =>
+        val n = grp.length.toLong
+        val kept = grp.filter(_.getAs[Boolean]("keep"))
+        assert(kept.length.toLong === pm * n / 1000L,
+          s"quota broken: pm=$pm n=$n kept=${kept.length}")
+        val maxKeptRnk = if (kept.isEmpty) 0L
+          else kept.map(_.getAs[Long]("rnk")).max
+        assert(maxKeptRnk === kept.length.toLong,
+          "kept rows must be the rank prefix")
+      }
+    }
+  }
+
+  test("retrievalMetrics law: every metric lies in [0,1], hits <= " +
+    "min(n_rel, n_retrieved), and perfect-prefix rankings score " +
+    "rr = ndcg = 1") {
+    import org.scalacheck.Gen
+    val caseGen = for {
+      nDocs <- Gen.choose(1, 20)
+      relSet <- Gen.someOf(1 to nDocs)
+      scores <- Gen.listOfN(nDocs, Gen.choose(0, 9))
+    } yield (relSet.toSet, scores)
+    forAllSampled(caseGen) { case (relSet, scores) =>
+      val results = scores.zipWithIndex
+        .map { case (s, i) => (1L, (i + 1).toLong, s.toDouble) }
+        .toDF("query_id", "id", "score")
+      val qrels = (if (relSet.isEmpty) Seq(999L) else relSet.toSeq.sorted
+        .map(_.toLong)).map((1L, _)).toDF("query_id", "id")
+      val r = Relevance.retrievalMetrics(results, qrels, k = 10).head
+      Seq("rr", "recall_at_k", "precision_at_k", "ndcg_at_k", "ap_at_k")
+        .foreach { m =>
+          val v = r.getAs[Double](m)
+          assert(v >= 0.0 && v <= 1.0, s"$m=$v out of [0,1]")
+        }
+      assert(r.getAs[Long]("hits") <=
+        math.min(r.getAs[Long]("n_rel"), r.getAs[Long]("n_retrieved")))
+    }
+    // a ranking whose top-|rel| rows are exactly the relevant docs
+    val perfect = Seq((1L, 10L, 9.0), (1L, 11L, 8.0), (1L, 12L, 1.0))
+      .toDF("query_id", "id", "score")
+    val q = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "id")
+    val p = Relevance.retrievalMetrics(perfect, q, k = 10).head
+    assert(p.getAs[Double]("rr") === 1.0 &&
+      p.getAs[Double]("ndcg_at_k") === 1.0 &&
+      p.getAs[Double]("ap_at_k") === 1.0)
+  }
+
+  test("gateEval/raterAgreement law: on random confusion tables the " +
+    "ratios reproduce the driver-side arithmetic and kappa stays in " +
+    "[-1, 1]") {
+    import org.scalacheck.Gen
+    val cells = Gen.listOfN(4, Gen.choose(0, 12))
+    forAllSampled(cells) { case List(tp, fp, fn, tn) =>
+      val rows = Seq.fill(tp)((true, true)) ++ Seq.fill(fp)((false, true)) ++
+        Seq.fill(fn)((true, false)) ++ Seq.fill(tn)((false, false))
+      if (rows.nonEmpty) {
+        val g = Curation.gateEval(rows.toDF("t", "p"), col("t"), col("p"))
+          .head
+        def r4(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (tp + fp > 0)
+          assert(g.getAs[Double]("precision") === r4(tp.toDouble / (tp + fp)))
+        if (tp + fn > 0)
+          assert(g.getAs[Double]("recall") === r4(tp.toDouble / (tp + fn)))
+        val k = Curation.raterAgreement(rows.toDF("t", "p"),
+          col("t"), col("p")).head.getAs[Double]("kappa")
+        assert(k >= -1.0 && k <= 1.0, s"kappa $k out of [-1,1]")
+      }
+    }
+  }
+
   test("tableProfile: exact counts, lexical min/max of the string form, " +
     "nested columns profile nulls only") {
     val df = Seq(
