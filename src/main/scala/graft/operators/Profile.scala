@@ -73,6 +73,15 @@ object Profile {
     * only — nullness is `ExpectNotNull`'s job, so one bad cell never
     * double-counts across rules. Exact longs throughout; an empty batch
     * passes every rule (0 checked, 0 violations). */
+  /** SQL-string-literal escape for the stack() unpivot (a column named
+    * `it's` must not truncate the literal). */
+  private def q(s: String): String = s.replace("'", "''")
+
+  /** Resolve a top-level column even when its NAME contains dots (bare
+    * col("a.b") would parse as a struct path). */
+  private def topCol(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
   def validateExpectations(df: DataFrame,
       rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "validateExpectations: empty rule set")
@@ -80,7 +89,7 @@ object Profile {
       s"validateExpectations: no column '${r.column}' " +
         s"(rule ${r.label}); batch has ${df.columns.mkString(", ")}"))
     val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
-      val c = col(r.column)
+      val c = topCol(r.column)
       val (checked, viol) = r match {
         case ExpectNotNull(_) =>
           (count(lit(1)), sum(when(c.isNull, 1L).otherwise(0L)))
@@ -102,7 +111,9 @@ object Profile {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules.zipWithIndex
-      .map { case (r, i) => s"'${r.label}', '${r.column}', __c$i, __v$i" }
+      .map { case (r, i) =>
+        s"'${q(r.label)}', '${q(r.column)}', __c$i, __v$i"
+      }
       .mkString(", ")
     one
       .select(expr(s"stack(${rules.length}, $stackArgs) AS " +
@@ -114,7 +125,7 @@ object Profile {
     require(df.schema.nonEmpty, "tableProfile: empty schema")
     val fields = df.schema.fields
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = col(f.name)
+      val c = topCol(f.name)
       val nested = f.dataType.isInstanceOf[ArrayType] ||
         f.dataType.isInstanceOf[MapType] || f.dataType.isInstanceOf[StructType]
       val s = c.cast("string")
@@ -131,7 +142,7 @@ object Profile {
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val stackArgs = fields.zipWithIndex
       .map { case (f, i) =>
-        s"'${f.name}', __nn$i, __nd$i, __mn$i, __mx$i, __sl$i"
+        s"'${q(f.name)}', __nn$i, __nd$i, __mn$i, __mx$i, __sl$i"
       }
       .mkString(", ")
     one

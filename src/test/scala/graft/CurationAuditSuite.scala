@@ -454,6 +454,20 @@ class CurationAuditSuite extends SparkSpec {
     assert(e.getMessage.contains("no column 'nope'"))
   }
 
+  test("tableProfile/validateExpectations: hostile column names (dots, " +
+    "quotes) resolve as top-level columns, never struct paths") {
+    import graft.operators.Profile._
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("a.b", "it's")
+    val prof = Profile.tableProfile(df).orderBy("column_name").collect()
+    assert(prof.map(_.getString(0)).toSet === Set("a.b", "it's"))
+    assert(prof.forall(_.getAs[Long]("n_rows") === 2L))
+    val v = Profile.validateExpectations(df,
+      Seq(ExpectNotNull("a.b"), ExpectUnique("it's"))).collect()
+    assert(v.forall(_.getAs[Boolean]("pass")))
+    assert(v.map(_.getString(1)).toSet === Set("a.b", "it's"))
+  }
+
   test("tableProfile: approx mode (the 100 TB path) still reports " +
     "row/null counts exactly and a plausible NDV") {
     val df = (1 to 500).map(i => (i.toLong, s"v${i % 50}"))
