@@ -5030,6 +5030,88 @@ object Queries {
               |  cluster_n, rnk, rnk * 1000 <= 300 * cluster_n AS keep
               |FROM rnkd ORDER BY doc_id""".stripMargin)),
 
+    // ----- cross-batch cluster pruning under a quota history ---------------
+    // The incremental shape of d_cluster_prune: batch 1 prunes under an
+    // empty history, its per-cluster (seen, kept) counts couple into
+    // batch 2's quotas — the oracle replays the FULL two-batch evolution
+    // including the history coupling (the d_mix_steered discipline).
+    "d_cluster_prune_incr" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val quant = Array.tabulate(10)(g => Array.tabulate(16)(j =>
+          (((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000).toFloat))
+        val all = plantedVecs(s, d)
+        val empty = Seq.empty[(Int, Long, Long)]
+          .toDF("cluster", "seen", "kept")
+        val o1 = Similarity.clusterPruneAgainstHistory(
+          all.filter(col("doc_id") < 100), "doc_id", "v", quant,
+          keepPermille = 300, history = empty)
+        val o2 = Similarity.clusterPruneAgainstHistory(
+          all.filter(col("doc_id") >= 100), "doc_id", "v", quant,
+          keepPermille = 300, history = Similarity.prunedCounts(o1))
+        o1.withColumn("batch", lit("b1"))
+          .unionByName(o2.withColumn("batch", lit("b2")))
+          .select("batch", "doc_id", "cluster", "proto_cos", "rnk",
+            "batch_n", "quota", "keep")
+          .orderBy("batch", "doc_id")
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT g, LIST_TRANSFORM(RANGE(0, 16), j -> CAST(
+              |    ((g * 31 + j * 17 + g * j * 13) % 23 - 11) * 1000 AS DOUBLE)) AS c
+              |  FROM RANGE(0, 10) t(g)),
+              |v AS (
+              |  $plantedVecsSql),
+              |cos AS (
+              |  SELECT v.doc_id, c.g, ROUND(
+              |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.emb, c.c),
+              |      p -> p[1] * p[2]))
+              |    / SQRT(LIST_SUM(LIST_TRANSFORM(v.emb, x -> x * x))
+              |         * LIST_SUM(LIST_TRANSFORM(c.c, x -> x * x))), 4) AS pc
+              |  FROM v, cents c),
+              |asg AS (
+              |  SELECT doc_id, g AS cluster, pc AS proto_cos,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY pc DESC, g ASC) AS rn
+              |  FROM cos QUALIFY rn = 1),
+              |r1 AS (
+              |  SELECT doc_id, cluster, proto_cos,
+              |    ROW_NUMBER() OVER (PARTITION BY cluster
+              |      ORDER BY proto_cos ASC, doc_id ASC) AS rnk,
+              |    COUNT(*) OVER (PARTITION BY cluster) AS batch_n
+              |  FROM asg WHERE doc_id < 100),
+              |o1 AS (
+              |  SELECT *, GREATEST(CAST(0 AS BIGINT),
+              |    LEAST(batch_n, (300 * batch_n) // 1000)) AS quota,
+              |    rnk <= GREATEST(CAST(0 AS BIGINT),
+              |      LEAST(batch_n, (300 * batch_n) // 1000)) AS keep
+              |  FROM r1),
+              |h1 AS (
+              |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS seen,
+              |    CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+              |      AS BIGINT) AS kept
+              |  FROM o1 GROUP BY 1),
+              |r2 AS (
+              |  SELECT doc_id, cluster, proto_cos,
+              |    ROW_NUMBER() OVER (PARTITION BY cluster
+              |      ORDER BY proto_cos ASC, doc_id ASC) AS rnk,
+              |    COUNT(*) OVER (PARTITION BY cluster) AS batch_n
+              |  FROM asg WHERE doc_id >= 100),
+              |q2 AS (
+              |  SELECT r2.*, GREATEST(CAST(0 AS BIGINT), LEAST(batch_n,
+              |    (300 * (COALESCE(h1.seen, 0) + batch_n)) // 1000
+              |      - COALESCE(h1.kept, 0))) AS quota
+              |  FROM r2 LEFT JOIN h1 USING (cluster)),
+              |o2 AS (SELECT *, rnk <= quota AS keep FROM q2)
+              |SELECT * FROM (
+              |  SELECT 'b1' AS batch, doc_id, CAST(cluster AS INT) AS cluster,
+              |    proto_cos, rnk, batch_n, quota, keep
+              |  FROM o1
+              |  UNION ALL
+              |  SELECT 'b2', doc_id, CAST(cluster AS INT), proto_cos, rnk,
+              |    batch_n, quota, keep
+              |  FROM o2)
+              |ORDER BY batch, doc_id""".stripMargin)),
+
     // ----- retrieval eval metrics (recall@k / MRR / nDCG@k) ---------------
     // The eval half of the retrieval family: BM25 ranks three single-term
     // queries over the corpus (one scan via bm25Multi), qrels are the

@@ -683,6 +683,17 @@ object Similarity {
     require(quantizer.nonEmpty, "clusterPrune: empty quantizer")
     require(keepPermille >= 0 && keepPermille <= 1000,
       s"clusterPrune: keepPermille must be in [0, 1000], got $keepPermille")
+    pruneRanked(df, idCol, vecCol, quantizer, easiest = keepEasiest)
+      .withColumnRenamed("batch_n", "cluster_n")
+      .withColumn("keep",
+        col("rnk") * 1000L <= lit(keepPermille.toLong) * col("cluster_n"))
+  }
+
+  /** Shared assignment + per-cluster prototypicality ranking of the
+    * prune family: `(id, cluster, proto_cos, rnk, batch_n)`; rank order
+    * is hardest-first unless `easiest`. */
+  private def pruneRanked(df: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Float]], easiest: Boolean = false): DataFrame = {
     val dims = quantizer.head.length
     val cents = typedlit(quantizer.map(_.toSeq).toSeq)
     val v = col(vecCol)
@@ -690,22 +701,73 @@ object Similarity {
       val c = element_at(cents, i + lit(1))
       round(dot(v, c) / sqrt(dot(v, v) * dot(c, c)), 4)
     })
-    val assigned = df
-      .filter(v.isNotNull && size(v) === dims)
+    val order =
+      if (easiest) Seq(col("proto_cos").desc, col(idCol).asc)
+      else Seq(col("proto_cos").asc, col(idCol).asc)
+    df.filter(v.isNotNull && size(v) === dims)
       .select(col(idCol), coss.as("__coss"))
       .select(col(idCol),
         (array_position(col("__coss"), array_max(col("__coss"))) - 1)
           .cast("int").as("cluster"),
         array_max(col("__coss")).as("proto_cos"))
-    val order =
-      if (keepEasiest) Seq(col("proto_cos").desc, col(idCol).asc)
-      else Seq(col("proto_cos").asc, col(idCol).asc)
-    val wRank = Window.partitionBy("cluster").orderBy(order: _*)
-    val wAll = Window.partitionBy("cluster")
-    assigned
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .withColumn("cluster_n", count(lit(1)).over(wAll))
-      .withColumn("keep",
-        col("rnk") * 1000L <= lit(keepPermille.toLong) * col("cluster_n"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("cluster")
+        .orderBy(order: _*)).cast("long"))
+      .withColumn("batch_n", count(lit(1)).over(
+        Window.partitionBy("cluster")))
   }
+
+  /** Cross-batch [[clusterPrune]] under a persisted per-cluster quota
+    * history — the incremental shape: the quantizer is FIXED (the
+    * SemDeDup-quantizer discipline), the history is `(cluster, seen,
+    * kept)` totals over every prior batch, and this batch keeps at most
+    *   `a_c = clamp(floor(permille·(seen_c + batch_c)/1000) − kept_c,
+    *     0, batch_c)`
+    * of its hardest members per cluster — so the CUMULATIVE kept share
+    * tracks the quota across skewed arrivals (one crawl dump = one
+    * cluster flooding), the mix-steering coupling applied to pruning.
+    * Prune decisions are made ONCE, at arrival, over the batch-local
+    * hardness ranking: history rows are never re-ranked (re-opening
+    * them would unbound the state — the whole point of the quota
+    * history is that O(nlist) counts replace the corpus).
+    *
+    * Scale shape: assignment + ranking as [[clusterPrune]]; the history
+    * aggregates to O(nlist) rows and broadcasts into the batch. Append
+    * [[prunedCounts]] of each output to the history between batches. */
+  def clusterPruneAgainstHistory(batch: DataFrame, idCol: String,
+      vecCol: String, quantizer: Array[Array[Float]], keepPermille: Int,
+      history: DataFrame): DataFrame = {
+    require(quantizer.nonEmpty, "clusterPruneAgainstHistory: empty quantizer")
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      s"keepPermille must be in [0, 1000], got $keepPermille")
+    val hist = history.groupBy("cluster")
+      .agg(sum("seen").as("seen"), sum("kept").as("kept"))
+    pruneRanked(batch, idCol, vecCol, quantizer)
+      .join(broadcast(hist), Seq("cluster"), "left")
+      .na.fill(0L, Seq("seen", "kept"))
+      .withColumn("quota", greatest(lit(0L), least(col("batch_n"),
+        expr(s"(${keepPermille}L * (seen + batch_n)) div 1000")
+          - col("kept"))))
+      .withColumn("keep", col("rnk") <= col("quota"))
+      .select(col(idCol), col("cluster"), col("proto_cos"), col("rnk"),
+        col("batch_n"), col("quota"), col("keep"))
+  }
+
+  /** Per-cluster `(cluster, seen, kept)` counts of a
+    * [[clusterPruneAgainstHistory]] output, shaped for the history
+    * table (union/append between batches; the operator re-aggregates). */
+  def prunedCounts(out: DataFrame): DataFrame =
+    out.groupBy("cluster").agg(count(lit(1)).as("seen"),
+      coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("kept"))
+
+  /** [[clusterPruneAgainstHistory]] against a persisted history path —
+    * the path-taking probe enforces the
+    * [[graft.state.HistoryFormat.ClusterQuota]] marker (the
+    * HistoryEnforcementSuite rule). */
+  def clusterPruneAgainstHistoryTable(batch: DataFrame, idCol: String,
+      vecCol: String, quantizer: Array[Array[Float]], keepPermille: Int,
+      historyPath: String): DataFrame =
+    clusterPruneAgainstHistory(batch, idCol, vecCol, quantizer,
+      keepPermille, graft.state.HistoryTables.readChecked(
+        batch.sparkSession, historyPath,
+        graft.state.HistoryFormat.ClusterQuota))
 }

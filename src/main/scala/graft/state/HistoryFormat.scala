@@ -134,6 +134,17 @@ object HistoryFormat {
     "re-run Relevance.bm25CollectionStats over the reference corpus " +
       "and overwrite the stats table")
 
+  /** Cross-batch cluster-prune quota history
+    * ([[graft.operators.Similarity.prunedCounts]] accumulations): v1 =
+    * `(cluster, seen, kept)` per-cluster totals under nearest-centroid
+    * cosine assignment against ONE persisted quantizer. Counts keyed by
+    * a different quantizer's cluster ids mis-budget every later batch.
+    * (Quantizer CONTENT staleness is quantizerDrift's job; this guards
+    * the derivation shape.) */
+  val ClusterQuota: Format = Format("cluster-quota", 1,
+    "re-run Similarity.clusterPruneAgainstHistory over the full kept " +
+      "corpus under the current quantizer and overwrite the quota history")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)

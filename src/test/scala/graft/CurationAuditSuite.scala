@@ -69,6 +69,35 @@ class CurationAuditSuite extends SparkSpec {
     assert(!a.exists(r => r.getLong(0) == 99L || r.getLong(0) == 98L))
   }
 
+  test("clusterPruneAgainstHistory: the cumulative kept count per cluster " +
+    "tracks floor(permille*seen/1000) across two skewed batches, and the " +
+    "empty history reduces to the batch-local quota") {
+    import org.apache.spark.sql.DataFrame
+    val empty = Seq.empty[(Int, Long, Long)].toDF("cluster", "seen", "kept")
+    val b1 = twoClusters.filter(col("id").isin(1L, 2L, 3L, 11L, 12L))
+    val b2 = twoClusters.filter(col("id").isin(4L, 5L, 6L, 13L, 14L))
+    val o1 = Similarity.clusterPruneAgainstHistory(b1, "id", "v", quant,
+      keepPermille = 500, history = empty)
+    val h1 = Similarity.prunedCounts(o1)
+    val o2 = Similarity.clusterPruneAgainstHistory(b2, "id", "v", quant,
+      keepPermille = 500, history = h1)
+    def keptBy(df: DataFrame) = df.collect()
+      .groupBy(_.getAs[Int]("cluster"))
+      .view.mapValues(_.count(_.getAs[Boolean]("keep")).toLong).toMap
+    // batch 1 under empty history == batch-local floor quota
+    assert(keptBy(o1) === Map(0 -> 1L, 1 -> 1L))
+    // cumulative after batch 2: cluster 0 saw 6 -> floor(3.0)=3 kept,
+    // cluster 1 saw 4 -> 2 kept
+    val total = keptBy(o1).map { case (c, k) => c -> (k + keptBy(o2)(c)) }
+    assert(total === Map(0 -> 3L, 1 -> 2L))
+    // and batch 2's kept rows are its hardest (rank-prefix) members
+    o2.collect().groupBy(_.getAs[Int]("cluster")).foreach { case (_, g) =>
+      val kept = g.filter(_.getAs[Boolean]("keep"))
+      if (kept.nonEmpty)
+        assert(kept.map(_.getAs[Long]("rnk")).max === kept.length.toLong)
+    }
+  }
+
   // --- retrievalMetrics ---------------------------------------------------
 
   test("retrievalMetrics: hand-computed MRR/recall/precision/nDCG on a " +

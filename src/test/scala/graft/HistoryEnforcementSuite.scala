@@ -158,6 +158,22 @@ class HistoryEnforcementSuite extends SparkSpec {
     }
   }
 
+  test("cluster-quota history probe enforces the cluster-quota marker") {
+    withTmpDir { tmp =>
+      val quant = Array(Array(1f, 0f), Array(0f, 1f))
+      val vecs = Seq((1L, Seq(3f, 1f)), (2L, Seq(1f, 4f)), (3L, Seq(5f, 0f)))
+        .toDF("id", "v")
+      val hist = Similarity.prunedCounts(
+        Similarity.clusterPruneAgainstHistory(vecs, "id", "v", quant, 500,
+          Seq.empty[(Int, Long, Long)].toDF("cluster", "seen", "kept")))
+      checkFamily(s"$tmp/cq", hist, HistoryFormat.ClusterQuota,
+        "Similarity.clusterPruneAgainstHistory") { dir =>
+        Similarity.clusterPruneAgainstHistoryTable(vecs, "id", "v", quant,
+          500, dir).count()
+      }
+    }
+  }
+
   test("probing an absent history table is a loud error, not a no-op") {
     withTmpDir { tmp =>
       val e = intercept[IllegalStateException](
