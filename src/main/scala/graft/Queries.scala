@@ -5046,9 +5046,15 @@ object Queries {
         val o1 = Similarity.clusterPruneAgainstHistory(
           all.filter(col("doc_id") < 100), "doc_id", "v", quant,
           keepPermille = 300, history = empty)
+        // the history is O(nlist) counts — model-sized driver state (the
+        // e_ivf_top1 precedent), so collect it rather than embed o1's
+        // whole lineage inside o2's plan
+        val h1 = Similarity.prunedCounts(o1).collect().toSeq
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .toDF("cluster", "seen", "kept")
         val o2 = Similarity.clusterPruneAgainstHistory(
           all.filter(col("doc_id") >= 100), "doc_id", "v", quant,
-          keepPermille = 300, history = Similarity.prunedCounts(o1))
+          keepPermille = 300, history = h1)
         o1.withColumn("batch", lit("b1"))
           .unionByName(o2.withColumn("batch", lit("b2")))
           .select("batch", "doc_id", "cluster", "proto_cos", "rnk",
