@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   * (png/jpeg/gif/bmp ship with every JRE) extract true width/height/
   * channels/brightness on the executors. AUDIO decode is REAL for
   * WAV/AU/AIFF via the JDK's `javax.sound.sampled` (header-only parse —
-  * sample rate, channels, frame count, duration). Bytes no installed
-  * reader understands (video, compressed audio, arbitrary blobs) fall
-  * back to deterministic stand-ins derived from the bytes, so the
-  * Spark-side plumbing — schema, batch shape, partition-iterator
-  * processing — stays exercised end-to-end even for the formats whose
-  * codecs aren't on this classpath. Swapping in a video decoder means
-  * replacing only the body of `fakeDecode`.
+  * sample rate, channels, frame count, duration). VIDEO decode and
+  * frame sampling are REAL for MJPEG-in-AVI (a RIFF walk finds the
+  * `movi` stream chunks; each MJPEG frame is a standalone JPEG ImageIO
+  * decodes natively — [[aviVideoFrames]]/[[videoDecode]]/
+  * [[sampleVideoFrames]]). Bytes no installed reader understands
+  * (non-MJPEG codecs, compressed audio, arbitrary blobs) fall back to
+  * deterministic stand-ins derived from the bytes and flagged
+  * `decoded = false`, so the Spark-side plumbing — schema, batch shape,
+  * partition-iterator processing — stays exercised end-to-end even for
+  * the formats whose codecs aren't on this classpath.
   *
   * Scale notes: media blobs ride in parquet binary columns; the decode
   * operators run as `mapPartitions` over whole partitions (one JVM-side
@@ -109,12 +112,72 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** STUB decoder for non-image media — deterministic fake: "decodes" a
-    * blob into (width, height, channels, brightness) derived from its
-    * bytes. ??? replace with a real video codec when one is on the
-    * classpath (images decode for real via [[imageDecode]], audio via
-    * [[audioDecode]]; classpath re-checked through round 13 — still no
-    * jcodec/javacv/ffmpeg/bytedeco jar under /opt/spark/jars). */
+  /** Little-endian u32 at `off` (RIFF chunk sizes). */
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** REAL video container parse for the one format the bare JVM can
+    * fully decode: MJPEG-in-AVI. AVI is RIFF — `RIFF <size> AVI `
+    * followed by LIST chunks; the `movi` LIST holds the stream data as
+    * `##dc`/`##db` chunks (compressed/uncompressed frame of stream ##),
+    * each a standalone JPEG for the MJPEG codec, which the JDK's
+    * ImageIO decodes natively. Returns the raw frame payloads in
+    * stream order; None when the bytes are not a parseable AVI with at
+    * least one video chunk (the caller falls back to the deterministic
+    * stand-in, so unparseable codecs keep the plumbing exercised).
+    * Bounded and allocation-safe on hostile input: sizes clamp to the
+    * buffer, odd sizes take RIFF's even padding, nested `rec ` groups
+    * recurse one level at a time. */
+  private[graft] def aviVideoFrames(
+      bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def fourcc(off: Int) =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val id = fourcc(i)
+        val sz = le32(bytes, i + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8) return
+        val dataStart = i + 8
+        val dataEnd = math.min(dataStart + sz.toInt, end)
+        if (dataStart > end) return
+        if (id == "LIST" && dataEnd - dataStart >= 4) {
+          val sub = fourcc(dataStart)
+          if (sub == "movi" || sub == "rec ") walk(dataStart + 4, dataEnd)
+        } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+            (id(3) == 'c' || id(3) == 'b') && dataEnd > dataStart) {
+          frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        }
+        i = dataStart + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    walk(12, bytes.length)
+    val f = frames.result()
+    if (f.isEmpty) None else Some(f)
+  }
+
+  /** Real video decode: MJPEG-AVI frames via [[aviVideoFrames]], first
+    * frame's dimensions/brightness via [[imageDecode]]. None when the
+    * container or the first frame doesn't parse. */
+  private[graft] def videoDecode(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Long, Double)] =
+    aviVideoFrames(bytes).flatMap { fs =>
+      imageDecode(fs.head).map { case (w, h, c, bright) =>
+        (w, h, c, fs.length.toLong, bright)
+      }
+    }
+
+  /** STUB decoder for non-decodable media — deterministic fake:
+    * "decodes" a blob into (width, height, channels, brightness)
+    * derived from its bytes. Images decode for real via [[imageDecode]],
+    * audio via [[audioDecode]], MJPEG-AVI video via [[videoDecode]];
+    * other video codecs land here (classpath re-checked through round
+    * 14 — still no jcodec/javacv/ffmpeg/bytedeco jar under
+    * /opt/spark/jars, so non-MJPEG codecs have no JVM decoder). */
   private[graft] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)
     else {
@@ -176,6 +239,80 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("brightness", DoubleType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Video decode + feature-extract, batched per partition like
+    * [[extractFeatures]]. REAL for MJPEG-in-AVI (RIFF parse + per-frame
+    * JDK ImageIO — [[videoDecode]]); other bytes fall back to the
+    * deterministic stand-in with one "frame" per 4096 bytes, flagged
+    * `decoded = false` so downstream QC can split real from plumbed. */
+  def extractVideoFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        videoDecode(bytes) match {
+          case Some((w, h, c, nf, bright)) =>
+            Row(id, bytes.length.toLong, w, h, c, nf, bright, true)
+          case None =>
+            val (w, h, c, bright) = fakeDecode(bytes)
+            Row(id, bytes.length.toLong, w, h, c, bytes.length / 4096L,
+              bright, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoFeatureSchema)
+  }
+
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL frame sampling: every `stride`-th video frame of an
+    * MJPEG-AVI blob as a standalone JPEG binary (each row feeds
+    * [[imageDHash]]/[[extractFeatures]] directly — the video near-dup
+    * path is image near-dup over sampled frames). Blobs that don't
+    * parse as AVI fall back to [[sampleFrames]]-style 4096-byte slices
+    * flagged `decoded = false`. Partition-batched; frame bytes never
+    * shuffle unless the caller keys on them. */
+  def sampleVideoFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        aviVideoFrames(bytes) match {
+          case Some(fs) =>
+            fs.iterator.zipWithIndex.collect {
+              case (f, i) if i % stride == 0 => Row(id, i, f, true)
+            }
+          case None =>
+            val n = ((bytes.length + 4095) / 4096)
+            (0 until n by stride).iterator.map { i =>
+              val from = i * 4096
+              Row(id, i, java.util.Arrays.copyOfRange(bytes, from,
+                math.min(from + 4096, bytes.length)), false)
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoFrameSchema)
   }
 
   /** Frame-sampling plumbing: split a blob into fixed-size "frames" and
@@ -283,6 +420,30 @@ object Multimodal {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     Dedup.hash64Pairs(imageDHashes(media).filter(col("decoded")),
       "media_id", "dhash", maxHamming, maxBucket)
+
+  /** Perceptual VIDEO near-dup pairs — image near-dup over sampled
+    * frames: every `stride`-th MJPEG-AVI frame dHashes
+    * ([[sampleVideoFrames]] → [[imageDHash]]), and two videos pair when
+    * ANY of their sampled frames land within `maxHamming` — robust to
+    * re-encoding, trims that keep shared footage, and frame-rate
+    * changes coarser than the stride. Same scale shape as the image
+    * family (only (id, 8-byte hash) rows reach the pair stage; one
+    * shuffle on the Manku block keys); non-AVI blobs and non-decodable
+    * frames are excluded (byte-exactness is the fingerprint operator's
+    * job). Frames of the SAME video sharing a hash are filtered out
+    * after the bucket join. */
+  def videoNearDupPairs(media: DataFrame, stride: Int = 1,
+      maxHamming: Int = 3, maxBucket: Int = Dedup.DefaultMaxBucket)
+      : DataFrame = {
+    val frameHashes = imageDHashes(
+      sampleVideoFrames(media, stride).filter(col("decoded"))
+        .select(col("media_id"), col("frame").as("content")))
+      .filter(col("decoded"))
+    Dedup.hash64Pairs(frameHashes, "media_id", "dhash", maxHamming,
+        maxBucket)
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
+  }
 
   /** 64-bit energy-envelope fingerprint of a REAL decoded audio blob —
     * the dHash idea on the time axis (a Chromaprint-style acoustic

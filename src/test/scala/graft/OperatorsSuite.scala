@@ -2002,6 +2002,107 @@ class MultimodalSuite extends SparkSpec {
     assert((f.getInt(2), f.getInt(3), f.getInt(4)) === ((62, 53, 3)))
   }
 
+  test("real MJPEG-AVI video decode: RIFF walk finds the movi frames, " +
+    "ImageIO reads them, frame sampling emits decodable JPEGs") {
+    import java.awt.image.BufferedImage
+    def jpegFrame(w: Int, h: Int, shade: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val v = shade & 0xff
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def buildAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes("ISO-8859-1"))
+      frames.foreach { f =>
+        movi.write("00dc".getBytes("ISO-8859-1"))
+        movi.write(le32(f.length)); movi.write(f)
+        if ((f.length & 1) == 1) movi.write(0) // RIFF even padding
+      }
+      val m = movi.toByteArray
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("AVI ".getBytes("ISO-8859-1"))
+      body.write("LIST".getBytes("ISO-8859-1"))
+      body.write(le32(m.length)); body.write(m)
+      val b = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("ISO-8859-1"))
+      out.write(le32(b.length)); out.write(b)
+      out.toByteArray
+    }
+    val frames = Seq(jpegFrame(48, 24, 0), jpegFrame(48, 24, 128),
+      jpegFrame(48, 24, 255))
+    val avi = buildAvi(frames)
+    val media = Seq((1L, avi), (2L, "definitely not a video".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val feats = Multimodal.extractVideoFeatures(media)
+      .orderBy("media_id").collect()
+    // real container parse: true frame count, frame-0 dimensions,
+    // frame-0 (black) brightness
+    assert(feats(0).getAs[Boolean]("decoded"))
+    assert(feats(0).getAs[Long]("n_frames") === 3L)
+    assert((feats(0).getInt(2), feats(0).getInt(3)) === ((48, 24)))
+    assert(feats(0).getAs[Double]("brightness") < 0.05)
+    assert(!feats(1).getAs[Boolean]("decoded"),
+      "non-AVI bytes must take the stand-in path")
+    // stride-2 sampling keeps frames 0 and 2, each a standalone JPEG
+    // ImageIO reads back at full dimensions
+    val sampled = Multimodal.sampleVideoFrames(
+      media.filter(col("media_id") === 1L), stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(sampled.map(_.getInt(1)).toSeq === Seq(0, 2))
+    assert(sampled.forall(_.getAs[Boolean]("decoded")))
+    sampled.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      assert(img != null && img.getWidth === 48 && img.getHeight === 24)
+    }
+    // the frame-2 (white) JPEG really is frame 2: brightness ~1
+    val f2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sampled(1).getAs[Array[Byte]]("frame")))
+    assert((f2.getRGB(10, 10) & 0xff) > 240)
+    // truncated/hostile AVI bytes never throw — they fall back
+    val broken = java.util.Arrays.copyOfRange(avi, 0, 40)
+    val bf = Multimodal.extractVideoFeatures(
+      Seq((9L, broken)).toDF("media_id", "content")).collect().head
+    assert(!bf.getAs[Boolean]("decoded"))
+    // video near-dup: a re-cut sharing frame content pairs, a disjoint
+    // clip doesn't, non-AVI blobs never reach the pair stage. Frames are
+    // distinct textured patterns (flat shades all dHash identically —
+    // every gradient is zero)
+    def patFrame(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(48, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 48) {
+        val v = ((x * (7 + seed) + y * (13 + 3 * seed)) % 256) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val (p1, p2, p3) = (patFrame(1), patFrame(11), patFrame(29))
+    val vids = Seq(
+      (10L, buildAvi(Seq(p1, p2))),
+      (11L, buildAvi(Seq(p2))),            // re-cut sharing p2
+      (12L, buildAvi(Seq(p3))),            // disjoint content
+      (13L, "not a video at all".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.videoNearDupPairs(vids, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)),
+      s"videos sharing frames must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L),
+      s"the disjoint clip must not pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L),
+      "non-AVI blobs must never reach the pair stage")
+  }
+
   test("real wav decode via JDK javax.sound: rate, channels, frames, duration") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def renderWav(rateHz: Int, channels: Int, frames: Int): Array[Byte] = {
