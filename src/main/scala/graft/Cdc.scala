@@ -123,4 +123,38 @@ object Cdc {
     if (missing.nonEmpty)
       throw new GraftError(s"CDC frame is missing columns: ${missing.mkString(", ")}")
   }
+
+  /** Slowly-changing-dimension Type 2 build from a change stream — the
+    * warehouse sibling of [[applyCdc]]: instead of keeping only each
+    * key's LATEST version, every version becomes a validity interval
+    * `[valid_from, valid_to)` with `is_current` marking the open one, so
+    * time-travel joins ("what did this dimension row say when the fact
+    * happened") work without Delta time travel. Deletes CLOSE the
+    * interval they carry (the delete's version is the prior row's
+    * valid_to) and emit no row themselves.
+    *
+    * Input: one row per (key, version) change, `versionCol` totally
+    * ordered within a key (the CDC commit version). Preimages should be
+    * dropped first ([[prepareChanges]]). Output: the non-delete rows
+    * plus `valid_from` (own version), `valid_to` (next change's version,
+    * NULL when open), `is_current`.
+    *
+    * Scale shape: ONE window over the key (keys' version chains are
+    * bounded by update frequency, not corpus size) — `lead` finds the
+    * closing version; no join, no second pass. */
+  def scd2(changes: DataFrame, keys: Seq[String], versionCol: Column,
+      changeTypeCol: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val isDelete = changeTypeCol
+      .map(c => c === "delete")
+      .getOrElse(lit(false))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(versionCol.asc)
+    changes
+      .withColumn("__del", isDelete)
+      .withColumn("valid_from", versionCol)
+      .withColumn("valid_to", lead(versionCol, 1).over(w))
+      .filter(!col("__del"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__del")
+  }
 }

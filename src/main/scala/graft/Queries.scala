@@ -5582,6 +5582,84 @@ object Queries {
              |    ELSE 0.0 END AS advantage
              |FROM v2 ORDER BY prompt_id, cand_id""".stripMargin)),
 
+    // ----- SCD Type-2 dimension build from the change stream ---------------
+    // Every version becomes a validity interval [valid_from, valid_to)
+    // with is_current on the open one; deletes close the interval they
+    // carry and emit no row. The lead window runs over ALL changes
+    // (deletes included) BEFORE the delete filter — both sides mirror
+    // that order. valid_to projects through a -1 sentinel (driver
+    // compare: a NULL bigint would land as float64 in pandas and
+    // hash-mismatch Spark's int64).
+    "d_scd2" -> QueryDef(
+      (s, d) => {
+        val changes = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value"), 2).as("value"), col("event_type"))
+        graft.Cdc.scd2(changes, Seq("user_id"), col("event_id"),
+            Some(when(col("event_type") === "error", "delete")
+              .otherwise("upsert")))
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("valid_from"), coalesce(col("valid_to"), lit(-1L))
+              .as("valid_to"), col("is_current"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""SELECT user_id, event_id, value, valid_from,
+             |  COALESCE(valid_to, -1) AS valid_to, valid_to IS NULL AS is_current
+             |FROM (
+             |  SELECT user_id, event_id, ROUND(value, 2) AS value, event_type,
+             |    event_id AS valid_from,
+             |    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+             |      AS valid_to
+             |  FROM events)
+             |WHERE event_type <> 'error'
+             |ORDER BY user_id, valid_from""".stripMargin)),
+
+    // ----- authority scoring (fixed-iteration integer PageRank) ------------
+    // Supplier->customer edges from the order graph; 3 all-integer
+    // iterations in 1e-9 units, so the oracle unrolls them as CTEs and
+    // reproduces every floor division bit-for-bit.
+    "d_page_rank" -> QueryDef(
+      (s, d) => {
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+          .distinct()
+        graft.operators.Curation.pageRank(edges, "src", "dst",
+            iterations = 3)
+          .orderBy("node")
+      },
+      Some {
+        def iter(prev: String, out: String) =
+          s"""c$out AS (
+             |  SELECT e.dst AS node,
+             |    CAST(SUM($prev.r9 // od.outdeg) AS BIGINT) AS in9
+             |  FROM e JOIN $prev ON e.src = $prev.node
+             |  JOIN od ON e.src = od.src GROUP BY 1),
+             |$out AS (
+             |  SELECT nodes.node,
+             |    (15 * (CAST(1000000000 AS BIGINT) // n) // 100)
+             |      + (85 * COALESCE(c$out.in9, 0) // 100) AS r9
+             |  FROM nodes CROSS JOIN nn
+             |  LEFT JOIN c$out ON c$out.node = nodes.node)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+           |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           |  FROM e GROUP BY 1),
+           |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS r9
+           |  FROM nodes, nn),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT node, CAST(r9 AS BIGINT) AS r9,
+           |  ROUND(CAST(r9 AS DOUBLE) / 1000000000, 6) AS rank
+           |FROM r3 ORDER BY node""".stripMargin
+      }),
+
     // ----- expectation-suite validation (data-quality gates) ---------------
     // Declarative per-batch rules validated in ONE aggregation pass and
     // unpivoted to one row per rule; three rules pass and three fail BY

@@ -1029,6 +1029,55 @@ object Curation {
       (col("n") === 0L || (col("n") > 0L && pe === 1d)).as("degenerate"))
   }
 
+  /** Fixed-iteration PageRank over a directed graph — the authority
+    * score crawl pipelines prioritize domains by (Common-Crawl-style
+    * host ranking; the graph sibling of
+    * [[graft.operators.Dedup.connectedComponents]]). ALL-INTEGER: ranks
+    * live in 1e-9 units (BIGINT), each iteration is
+    *   `r'(v) = 15·base div 100 + 85·(Σ_{u→v} r(u) div outdeg(u)) div 100`
+    * with `base = 10^9 div N` — every step is integer floor arithmetic,
+    * so a fixed iteration count is REPLAYABLE BIT-FOR-BIT by any engine
+    * (no float accumulation, no convergence test; floor rounding leaks
+    * ~1 unit of mass per division, documented and deterministic).
+    * Dangling nodes' mass is dropped (they contribute nothing); nodes
+    * with no in-edges hold the teleport share. Parallel edges count
+    * once per row — pass a distinct edge set for simple-graph semantics.
+    *
+    * Scale shape: each iteration is one src-keyed join (ranks are
+    * (node, r9) rows — narrow) + one partial-agg'd exchange on dst;
+    * the edge table never changes partitioning across iterations, so
+    * AQE reuses its exchange. O(iterations) stages, no driver-side
+    * state. Output: `(node, r9, rank)` — `rank` the single terminal
+    * double division, rounded at 6. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val nTot = nodes.agg(count(lit(1)).as("n"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.crossJoin(broadcast(nTot))
+      .select(col("node"), expr("1000000000L div n").as("r9"))
+    (1 to iterations).foreach { _ =>
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("r9 div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in9"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .na.fill(0L, Seq("in9"))
+        .crossJoin(broadcast(nTot))
+        .select(col("node"),
+          (expr("15L * (1000000000L div n) div 100") +
+            expr("85L * in9 div 100")).as("r9"))
+    }
+    ranks.select(col("node"), col("r9"),
+      round(col("r9").cast("double") / lit(1e9), 6).as("rank"))
+  }
+
   /** Precision/recall/F1 of a binary gate against ground truth — the
     * standard numbers a classifier gate ships with beside
     * [[raterAgreement]]'s chance-corrected kappa (kappa answers "do two

@@ -93,4 +93,44 @@ class CdcSuite extends SparkSpec {
     assert(rows(0).isNullAt(rows(0).fieldIndex("note")))
     assert(rows(1).getString(rows(1).fieldIndex("note")) === "extra")
   }
+
+  test("scd2: versions become tiling validity intervals, deletes close " +
+    "them without emitting, exactly one open interval per surviving key") {
+    val c = Seq(
+      (1L, 10L, "upsert", 1L), (1L, 11L, "upsert", 3L),
+      (1L, 12L, "upsert", 7L),
+      (2L, 20L, "upsert", 2L), (2L, 0L, "delete", 5L),
+      (3L, 30L, "upsert", 4L))
+      .toDF("id", "value", "kind", "v")
+    val out = Cdc.scd2(c, Seq("id"), col("v"), Some(col("kind")))
+      .orderBy("id", "valid_from").collect()
+    // key 1: [1,3) [3,7) [7,open); key 2: [2,5) CLOSED by the delete,
+    // no open row; key 3: [4,open)
+    val k1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")), r.getAs[Boolean]("is_current")))
+    assert(k1.toSeq === Seq((1L, Some(3L), false), (3L, Some(7L), false),
+      (7L, None, true)))
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length === 1 && k2.head.getAs[Long]("valid_to") === 5L &&
+      !k2.head.getAs[Boolean]("is_current"),
+      "the delete must close key 2's interval and emit no row itself")
+    // exactly one open interval per key that survives
+    val open = out.filter(_.getAs[Boolean]("is_current")).map(_.getLong(0))
+    assert(open.toSeq.sorted === Seq(1L, 3L))
+  }
+
+  test("scd2: without a change-type column every version is an upsert, " +
+    "and intervals tile gaplessly (valid_to(n) == valid_from(n+1))") {
+    val c = Seq((1L, 10L, 2L), (1L, 11L, 9L), (1L, 12L, 4L))
+      .toDF("id", "value", "v")
+    val out = Cdc.scd2(c, Seq("id"), col("v"))
+      .orderBy("valid_from").collect()
+    assert(out.length === 3)
+    val froms = out.map(_.getAs[Long]("valid_from")).toSeq
+    assert(froms === Seq(2L, 4L, 9L), "ordering is by version, not input")
+    val tos = out.init.map(_.getAs[Long]("valid_to")).toSeq
+    assert(tos === froms.tail, "intervals must tile gaplessly")
+    assert(out.last.isNullAt(out.last.fieldIndex("valid_to")))
+  }
 }

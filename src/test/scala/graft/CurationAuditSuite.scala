@@ -244,6 +244,32 @@ class CurationAuditSuite extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  // --- pageRank -------------------------------------------------------------
+
+  test("pageRank: hand-computed integer iterations on a hub graph, " +
+    "steady state on a 2-cycle, partition-order independent") {
+    // hub: a->c, b->c; N=3, base = 10^9 div 3 = 333333333
+    val hub = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Curation.pageRank(hub, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // teleport share: 15*333333333 div 100 = 49999999
+    // c additionally gets 85*(333333333+333333333) div 100 = 566666666
+    assert(r1(1L) === 49999999L && r1(2L) === 49999999L)
+    assert(r1(3L) === 49999999L + 566666666L)
+    // 2-cycle is a fixed point: r stays at base
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rc = Curation.pageRank(cyc, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rc(1L) === 500000000L && rc(2L) === 500000000L)
+    val big = Seq.tabulate(60)(i => ((i % 10).toLong, ((i * 7) % 10).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = Curation.pageRank(big.repartition(7, col("src")), "src", "dst")
+      .orderBy("node").collect()
+    val b = Curation.pageRank(big.orderBy(col("dst")).coalesce(1),
+      "src", "dst").orderBy("node").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   // --- tableProfile -------------------------------------------------------
 
   // --- randomized laws (the PropertySuite sampling harness) ----------------
