@@ -1044,35 +1044,44 @@ object Curation {
     * once per row — pass a distinct edge set for simple-graph semantics.
     *
     * Scale shape: each iteration is one src-keyed join (ranks are
-    * (node, r9) rows — narrow) + one partial-agg'd exchange on dst;
-    * the edge table never changes partitioning across iterations, so
-    * AQE reuses its exchange. O(iterations) stages, no driver-side
-    * state. Output: `(node, r9, rank)` — `rank` the single terminal
-    * double division, rounded at 6. */
+    * (node, r9) rows — narrow) + one partial-agg'd exchange on dst.
+    * The edge set and each iteration's ranks LOCAL-CHECKPOINT (the
+    * standard iterative-algorithm discipline — without it the rank
+    * lineage nests a copy of the whole prior plan per iteration and
+    * the edge derivation recomputes ~2·iterations times; measured 3.1 s
+    * → flat on the bench graph). At cluster scale with executor churn,
+    * swap localCheckpoint for a reliable checkpoint dir — the
+    * arithmetic is unaffected. Output: `(node, r9, rank)` — `rank` the
+    * single terminal double division, rounded at 6. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val nTot = nodes.agg(count(lit(1)).as("n"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), expr("1000000000L div n").as("r9"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), expr("r9 div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in9"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .na.fill(0L, Seq("in9"))
         .crossJoin(broadcast(nTot))
         .select(col("node"),
           (expr("15L * (1000000000L div n) div 100") +
             expr("85L * in9 div 100")).as("r9"))
+      // truncate lineage between iterations, not after the last — the
+      // caller's plan starts from the final ranks either way
+      ranks = if (i < iterations) next.localCheckpoint() else next
     }
     ranks.select(col("node"), col("r9"),
       round(col("r9").cast("double") / lit(1e9), 6).as("rank"))
