@@ -5582,6 +5582,103 @@ object Queries {
              |    ELSE 0.0 END AS advantage
              |FROM v2 ORDER BY prompt_id, cand_id""".stripMargin)),
 
+    // ----- cohort retention (the product-analytics matrix) -----------------
+    // Users cohort by first-active day; each (cohort, day) cell counts
+    // the cohort's users active that day, retention = exact count ratio
+    // rounded once. Two partial-agg'd exchanges (per-user min, per-cell
+    // distinct) + a broadcast-back of cohort sizes; day strings sort
+    // chronologically by construction.
+    "d_cohort_retention" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val e = ev.select(col("user_id"),
+          date_format(date_trunc("day", tsCol(ev)), "yyyy-MM-dd").as("p"))
+        val first = e.groupBy("user_id").agg(min("p").as("cohort"))
+        val sizes = first.groupBy("cohort")
+          .agg(count(lit(1)).as("cohort_size"))
+        e.distinct().join(first, Seq("user_id"))
+          .groupBy("cohort", "p")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), Seq("cohort"))
+          .select(col("cohort"), col("p").as("period"), col("n_active"),
+            col("cohort_size"),
+            round(col("n_active").cast("double") / col("cohort_size"), 4)
+              .as("retention"))
+          .orderBy("cohort", "period")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT user_id,
+             |    STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS p
+             |  FROM events),
+             |first AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY 1),
+             |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT)
+             |    AS cohort_size
+             |  FROM first GROUP BY 1),
+             |cells AS (
+             |  SELECT f.cohort, e.p, CAST(COUNT(*) AS BIGINT) AS n_active
+             |  FROM e JOIN first f USING (user_id) GROUP BY 1, 2)
+             |SELECT cohort, p AS period, n_active, cohort_size,
+             |  ROUND(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+             |FROM cells JOIN sizes USING (cohort)
+             |ORDER BY cohort, period""".stripMargin)),
+
+    // ----- sequential funnel (ordered-stage conversion) ---------------------
+    // view -> click-after-view -> purchase-after-that-click per user:
+    // each stage's timestamp is the MIN event time AFTER the prior
+    // stage's — a sequence-pattern query windows can't express and a
+    // self-join shouldn't (one conditional-min aggregate per user
+    // computes stage 1; stages 2..k are per-user min-filters against the
+    // prior stage, all partial-agg'd on the user key). Timestamps
+    // compare at exact microseconds (EventTime dispatch); the report
+    // rolls conversion ratios up from exact counts.
+    "d_funnel" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val e = ev.select(col("user_id"), col("event_type"),
+          tsCol(ev).as("t"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("t")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id")).filter(col("t") > col("t1"))
+          .groupBy("user_id").agg(min(col("t")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id")).filter(col("t") > col("t2"))
+          .groupBy("user_id").agg(min(col("t")).as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            round(col("n_click").cast("double") /
+              greatest(col("n_view"), lit(1L)), 4).as("view_to_click"),
+            round(col("n_purchase").cast("double") /
+              greatest(col("n_click"), lit(1L)), 4).as("click_to_purchase"),
+            round(col("n_purchase").cast("double") /
+              greatest(col("n_view"), lit(1L)), 4).as("full_funnel"))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t3
+             |  FROM events e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+             |c AS (SELECT
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase)
+             |SELECT n_view, n_click, n_purchase,
+             |  ROUND(CAST(n_click AS DOUBLE) / GREATEST(n_view, 1), 4)
+             |    AS view_to_click,
+             |  ROUND(CAST(n_purchase AS DOUBLE) / GREATEST(n_click, 1), 4)
+             |    AS click_to_purchase,
+             |  ROUND(CAST(n_purchase AS DOUBLE) / GREATEST(n_view, 1), 4)
+             |    AS full_funnel
+             |FROM c""".stripMargin)),
+
     // ----- SCD Type-2 dimension build from the change stream ---------------
     // Every version becomes a validity interval [valid_from, valid_to)
     // with is_current on the open one; deletes close the interval they
