@@ -145,8 +145,12 @@ object Cdc {
   def scd2(changes: DataFrame, keys: Seq[String], versionCol: Column,
       changeTypeCol: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "scd2 needs at least one key column")
+    // NULL change types are NOT deletes: a bare `c === "delete"` yields
+    // NULL, and the filter below would silently drop the row (its
+    // version already closed the predecessor) — data loss shaped
+    // exactly like a delete
     val isDelete = changeTypeCol
-      .map(c => c === "delete")
+      .map(c => coalesce(c === "delete", lit(false)))
       .getOrElse(lit(false))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(versionCol.asc)
     changes

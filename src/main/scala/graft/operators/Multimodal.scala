@@ -126,9 +126,12 @@ object Multimodal {
     * stream order; None when the bytes are not a parseable AVI with at
     * least one video chunk (the caller falls back to the deterministic
     * stand-in, so unparseable codecs keep the plumbing exercised).
-    * Bounded and allocation-safe on hostile input: sizes clamp to the
-    * buffer, odd sizes take RIFF's even padding, nested `rec ` groups
-    * recurse one level at a time. */
+    * Bounded and allocation-safe on hostile input: all offsets advance
+    * in Long (a crafted 2^31-adjacent chunk size cannot wrap an Int
+    * back into range), sizes clamp to the buffer, odd sizes take RIFF's
+    * even padding, and nested LIST/`rec ` groups walk via an explicit
+    * worklist — no recursion to overflow on adversarially deep
+    * nesting. */
   private[graft] def aviVideoFrames(
       bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
     if (bytes == null || bytes.length < 12) return None
@@ -136,26 +139,34 @@ object Multimodal {
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
-      var i = start
-      while (i + 8 <= end) {
-        val id = fourcc(i)
-        val sz = le32(bytes, i + 4)
-        if (sz < 0 || sz > Int.MaxValue - 8) return
+    // (start, end) regions still to scan; a LIST pushes its body as a
+    // new region — iterative, so hostile nesting depth costs heap-free
+    // loop turns, never stack frames
+    val regions = scala.collection.mutable.Stack((12L, bytes.length.toLong))
+    while (regions.nonEmpty) {
+      var (i, end) = regions.pop()
+      var open = true
+      while (open && i + 8 <= end) {
+        val id = fourcc(i.toInt)
+        val sz = le32(bytes, i.toInt + 4) // in [0, 2^32)
         val dataStart = i + 8
-        val dataEnd = math.min(dataStart + sz.toInt, end)
-        if (dataStart > end) return
+        val dataEnd = math.min(dataStart + sz, end)
         if (id == "LIST" && dataEnd - dataStart >= 4) {
-          val sub = fourcc(dataStart)
-          if (sub == "movi" || sub == "rec ") walk(dataStart + 4, dataEnd)
+          val sub = fourcc(dataStart.toInt)
+          if (sub == "movi" || sub == "rec ") {
+            // resume THIS region after the list, then scan the body
+            regions.push((dataStart + sz + (sz & 1), end))
+            regions.push((dataStart + 4, dataEnd))
+            open = false
+          }
         } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
             (id(3) == 'c' || id(3) == 'b') && dataEnd > dataStart) {
-          frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          frames += java.util.Arrays.copyOfRange(bytes, dataStart.toInt,
+            dataEnd.toInt)
         }
-        i = dataStart + sz.toInt + (sz.toInt & 1)
+        if (open) i = dataStart + sz + (sz & 1)
       }
     }
-    walk(12, bytes.length)
     val f = frames.result()
     if (f.isEmpty) None else Some(f)
   }
@@ -268,8 +279,10 @@ object Multimodal {
             Row(id, bytes.length.toLong, w, h, c, nf, bright, true)
           case None =>
             val (w, h, c, bright) = fakeDecode(bytes)
-            Row(id, bytes.length.toLong, w, h, c, bytes.length / 4096L,
-              bright, false)
+            // ceil, matching sampleVideoFrames' fallback slice count —
+            // the two operators must agree on a blob's frame count
+            Row(id, bytes.length.toLong, w, h, c,
+              (bytes.length + 4095L) / 4096L, bright, false)
         }
       }
     }

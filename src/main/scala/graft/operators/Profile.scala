@@ -73,9 +73,11 @@ object Profile {
     * only — nullness is `ExpectNotNull`'s job, so one bad cell never
     * double-counts across rules. Exact longs throughout; an empty batch
     * passes every rule (0 checked, 0 violations). */
-  /** SQL-string-literal escape for the stack() unpivot (a column named
-    * `it's` must not truncate the literal). */
-  private def q(s: String): String = s.replace("'", "''")
+  /** SQL-string-literal escape for the stack() unpivot: backslashes
+    * FIRST (Spark string literals treat `\` as an escape — a name
+    * ending in one would swallow the closing quote), then quotes. */
+  private def q(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** Resolve a top-level column even when its NAME contains dots (bare
     * col("a.b") would parse as a struct path). */
@@ -103,7 +105,9 @@ object Profile {
           (count(c), sum(when(c.isNotNull && !c.isin(vs: _*), 1L)
             .otherwise(0L)))
         case ExpectRegex(_, p) =>
-          (count(c), sum(when(c.isNotNull && !c.rlike(p), 1L)
+          // rlike is substring search; anchor to honor the full-match
+          // contract whatever the caller's pattern (nested ^$ are fine)
+          (count(c), sum(when(c.isNotNull && !c.rlike(s"^(?:$p)$$"), 1L)
             .otherwise(0L)))
       }
       Seq(checked.cast("long").as(s"__c$i"),

@@ -404,8 +404,12 @@ object Relevance {
       k: Int): DataFrame = {
     require(k >= 1, s"retrievalMetrics: k must be >= 1, got $k")
     val disc9 = typedlit(dcgDiscounts9(k).toSeq)
+    // duplicate (query_id, id) rows keep only their best score BEFORE
+    // ranking — RRF-fused / multi-shard lists routinely repeat ids, and
+    // a doc counted twice would push recall/AP past 1.0
     val ranked = results
       .select(col("query_id"), col("id"), round(col("score"), 4).as("s"))
+      .groupBy("query_id", "id").agg(max(col("s")).as("s"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("s").desc, col("id"))))
       .filter(col("rank") <= k)

@@ -120,6 +120,16 @@ class CdcSuite extends SparkSpec {
     assert(open.toSeq.sorted === Seq(1L, 3L))
   }
 
+  test("scd2: a NULL change type is an upsert, never a silent delete") {
+    val c = Seq((1L, 10L, Some("upsert"), 1L), (1L, 11L, None, 3L))
+      .toDF("id", "value", "kind", "v")
+    val out = Cdc.scd2(c, Seq("id"), col("v"), Some(col("kind")))
+      .orderBy("valid_from").collect()
+    assert(out.length === 2, "the NULL-typed version must emit a row")
+    assert(out(1).getAs[Long]("value") === 11L &&
+      out(1).getAs[Boolean]("is_current"))
+  }
+
   test("scd2: without a change-type column every version is an upsert, " +
     "and intervals tile gaplessly (valid_to(n) == valid_from(n+1))") {
     val c = Seq((1L, 10L, 2L), (1L, 11L, 9L), (1L, 12L, 4L))

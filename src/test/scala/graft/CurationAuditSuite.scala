@@ -150,6 +150,18 @@ class CurationAuditSuite extends SparkSpec {
       q2.getAs[Double]("recall_at_k") === 0.0)
   }
 
+  test("retrievalMetrics: duplicate (query, id) result rows collapse to " +
+    "their best score — recall/AP stay in [0,1]") {
+    val results = Seq((1L, 10L, 9.0), (1L, 10L, 8.9), (1L, 20L, 7.0))
+      .toDF("query_id", "id", "score")
+    val qrels = Seq((1L, 10L)).toDF("query_id", "id")
+    val r = Relevance.retrievalMetrics(results, qrels, k = 10).head
+    assert(r.getAs[Long]("hits") === 1L)
+    assert(r.getAs[Long]("n_retrieved") === 2L)
+    assert(r.getAs[Double]("recall_at_k") === 1.0)
+    assert(r.getAs[Double]("ap_at_k") === 1.0)
+  }
+
   test("retrievalMetrics: ranks beyond k never contribute (hit at rank " +
     "k+1 counts zero)") {
     val results = (1 to 4).map(r => (1L, r.toLong, 10.0 - r))
@@ -521,6 +533,25 @@ class CurationAuditSuite extends SparkSpec {
       Seq(ExpectNotNull("a.b"), ExpectUnique("it's"))).collect()
     assert(v.forall(_.getAs[Boolean]("pass")))
     assert(v.map(_.getString(1)).toSet === Set("a.b", "it's"))
+    // backslashes are Spark string-literal escapes — a name holding (or
+    // ending in) one must survive the stack() unpivot verbatim
+    val bs = Seq((1L, "x")).toDF("a\\nb", "trail\\")
+    val pb = Profile.tableProfile(bs).collect().map(_.getString(0)).toSet
+    assert(pb === Set("a\\nb", "trail\\"), s"got $pb")
+    val vb = Profile.validateExpectations(bs,
+      Seq(ExpectNotNull("a\\nb"), ExpectNotNull("trail\\"))).collect()
+    assert(vb.map(_.getString(1)).toSet === Set("a\\nb", "trail\\"))
+  }
+
+  test("ExpectRegex enforces full-match semantics: a value merely " +
+    "CONTAINING a match still violates") {
+    import graft.operators.Profile._
+    val df = Seq("src1", "XXsrc1-corrupt", "src9").toDF("s")
+    val out = Profile.validateExpectations(df,
+      Seq(ExpectRegex("s", "src[0-9]"))).head
+    assert(out.getAs[Long]("n_violations") === 1L &&
+      !out.getAs[Boolean]("pass"),
+      "the embedded match must not satisfy the full-match contract")
   }
 
   test("tableProfile: approx mode (the 100 TB path) still reports " +

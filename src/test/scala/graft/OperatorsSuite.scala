@@ -2072,6 +2072,40 @@ class MultimodalSuite extends SparkSpec {
     val bf = Multimodal.extractVideoFeatures(
       Seq((9L, broken)).toDF("media_id", "content")).collect().head
     assert(!bf.getAs[Boolean]("decoded"))
+    // a 2^31-adjacent chunk size must not wrap Int arithmetic back into
+    // range (hostile header: RIFF/AVI + one chunk claiming ~2GB)
+    val overflow = new java.io.ByteArrayOutputStream()
+    overflow.write("RIFF".getBytes("ISO-8859-1")); overflow.write(le32(16))
+    overflow.write("AVI ".getBytes("ISO-8859-1"))
+    overflow.write("xxxx".getBytes("ISO-8859-1"))
+    overflow.write(le32(0x7FFFFFF7)); overflow.write(Array[Byte](1, 2, 3, 4))
+    val of = Multimodal.extractVideoFeatures(
+      Seq((20L, overflow.toByteArray)).toDF("media_id", "content"))
+      .collect().head
+    assert(!of.getAs[Boolean]("decoded"), "hostile size must fall back")
+    // adversarially deep LIST nesting walks iteratively (no stack frames)
+    val deep = new java.io.ByteArrayOutputStream()
+    deep.write("RIFF".getBytes("ISO-8859-1"))
+    val depth = 50000
+    deep.write(le32(4 + depth * 12))
+    deep.write("AVI ".getBytes("ISO-8859-1"))
+    (1 to depth).foreach { d =>
+      deep.write("LIST".getBytes("ISO-8859-1"))
+      deep.write(le32((depth - d) * 12 + 4))
+      deep.write("rec ".getBytes("ISO-8859-1"))
+    }
+    val df2 = Multimodal.extractVideoFeatures(
+      Seq((21L, deep.toByteArray)).toDF("media_id", "content"))
+      .collect().head
+    assert(!df2.getAs[Boolean]("decoded"), "deep nesting must not crash")
+    // fallback frame counts agree between the feature and sampling ops
+    val tiny = Seq((22L, Array.fill[Byte](100)(7)))
+      .toDF("media_id", "content")
+    val nf = Multimodal.extractVideoFeatures(tiny).collect()
+      .head.getAs[Long]("n_frames")
+    val ns = Multimodal.sampleVideoFrames(tiny, stride = 1).count()
+    assert(nf === ns && nf === 1L,
+      s"feature/sample frame counts must agree: $nf vs $ns")
     // video near-dup: a re-cut sharing frame content pairs, a disjoint
     // clip doesn't, non-AVI blobs never reach the pair stage. Frames are
     // distinct textured patterns (flat shades all dHash identically —
