@@ -141,7 +141,12 @@ object Cdc {
     *
     * Scale shape: ONE window over the key (keys' version chains are
     * bounded by update frequency, not corpus size) — `lead` finds the
-    * closing version; no join, no second pass. */
+    * closing version; no join, no second pass. A duplicate
+    * `(key, version)` pair — a CDC feed replaying a commit — makes the
+    * `lead` order arbitrary, so the operator REFUSES LOUDLY instead of
+    * emitting nondeterministic intervals: the check is a `lead` equality
+    * over the same window (no extra exchange — not a second
+    * partition-by-(key, version) window). */
   def scd2(changes: DataFrame, keys: Seq[String], versionCol: Column,
       changeTypeCol: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "scd2 needs at least one key column")
@@ -153,10 +158,17 @@ object Cdc {
       .map(c => coalesce(c === "delete", lit(false)))
       .getOrElse(lit(false))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(versionCol.asc)
+    val nextV = lead(versionCol, 1).over(w)
+    val validTo = when(nextV === versionCol,
+      raise_error(concat(lit("scd2: duplicate (key, version) change — " +
+          "versionCol must be totally ordered within a key; offending " +
+          "key: "), concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+        lit(" version: "), versionCol.cast("string"))))
+      .otherwise(nextV) // raise_error's NullType branch coerces to nextV's
     changes
       .withColumn("__del", isDelete)
       .withColumn("valid_from", versionCol)
-      .withColumn("valid_to", lead(versionCol, 1).over(w))
+      .withColumn("valid_to", validTo)
       .filter(!col("__del"))
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__del")

@@ -5279,6 +5279,8 @@ object Queries {
              |    + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
              |      * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
              |  FROM c)
+             |-- NULL-rater rows are excluded before the aggregate (operator
+             |-- contract); this corpus has none, so no WHERE is needed here
              |SELECT n, n11, n10, n01, n00,
              |  CASE WHEN n > 0 THEN ROUND(po, 4) ELSE 0.0 END AS po,
              |  CASE WHEN n > 0 THEN ROUND(pe, 4) ELSE 0.0 END AS pe,

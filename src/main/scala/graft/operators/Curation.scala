@@ -1000,10 +1000,14 @@ object Curation {
     * tree over the exact counts — both engines replay it bit-for-bit.
     * Edge contract: `degenerate` marks pe = 1 (both raters constant —
     * kappa undefined, emitted 0.0) and the empty input (all zeros,
-    * kappa 0.0, never NULL). */
+    * kappa 0.0, never NULL). Rows where EITHER rater is NULL (missing
+    * label, or a value that doesn't cast to boolean) are excluded
+    * BEFORE the aggregate, so `n` always equals the sum of the four
+    * confusion cells — an unlabeled row must not dilute po/pe. */
   def raterAgreement(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val counted = df
       .select(aCol.cast("boolean").as("__a"), bCol.cast("boolean").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
       .agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("__a") && col("__b"), 1L).otherwise(0L)),
           lit(0L)).as("n11"),
@@ -1097,11 +1101,17 @@ object Curation {
     * the same scan — the corpus never shuffles), then one double tree
     * per ratio. Empty/one-class edges read 0.0, never NULL: a
     * truth-less batch must not crash a QC dashboard. F1 spelled as
-    * 2tp/(2tp+fp+fn) — ONE division, no nested harmonic mean. */
+    * 2tp/(2tp+fp+fn) — ONE division, no nested harmonic mean.
+    * NULL policy (matches [[raterAgreement]]): rows where truth or
+    * prediction is NULL are excluded BEFORE the aggregate, so
+    * `accuracy = (tp+tn)/n` and precision/recall count the same rows —
+    * one policy, not two (a NULL label in `n` but no cell would
+    * silently dilute accuracy while P/R ignore it). */
   def gateEval(df: DataFrame, truthCol: Column, predCol: Column): DataFrame = {
     val counted = df
       .select(truthCol.cast("boolean").as("__t"),
         predCol.cast("boolean").as("__p"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull)
       .agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("__t") && col("__p"), 1L).otherwise(0L)),
           lit(0L)).as("tp"),

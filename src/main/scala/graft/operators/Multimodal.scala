@@ -316,7 +316,10 @@ object Multimodal {
               case (f, i) if i % stride == 0 => Row(id, i, f, true)
             }
           case None =>
-            val n = ((bytes.length + 4095) / 4096)
+            // Long arithmetic to match extractVideoFeatures' count for
+            // blobs within 4095 bytes of Int.MaxValue (Int form wraps
+            // negative there and would emit zero frames)
+            val n = ((bytes.length + 4095L) / 4096L).toInt
             (0 until n by stride).iterator.map { i =>
               val from = i * 4096
               Row(id, i, java.util.Arrays.copyOfRange(bytes, from,

@@ -64,15 +64,6 @@ object Profile {
   final case class ExpectRegex(column: String, pattern: String)
     extends Expectation { def label = "regex" }
 
-  /** Validate a batch against an expectation suite in ONE aggregation
-    * pass: every rule is a pair of aggregate expressions over the same
-    * scan (reduced map-side — the batch never shuffles; `ExpectUnique`
-    * alone adds a count-distinct Expand), and the single result row
-    * unpivots to one row per rule: `(expectation, column_name,
-    * n_checked, n_violations, pass)`. Value rules check non-null cells
-    * only — nullness is `ExpectNotNull`'s job, so one bad cell never
-    * double-counts across rules. Exact longs throughout; an empty batch
-    * passes every rule (0 checked, 0 violations). */
   /** SQL-string-literal escape for the stack() unpivot: backslashes
     * FIRST (Spark string literals treat `\` as an escape — a name
     * ending in one would swallow the closing quote), then quotes. */
@@ -84,6 +75,19 @@ object Profile {
   private def topCol(name: String) =
     col("`" + name.replace("`", "``") + "`")
 
+  /** Validate a batch against an expectation suite in ONE aggregation
+    * pass: every rule is a pair of aggregate expressions over the same
+    * scan (reduced map-side — the batch never shuffles; `ExpectUnique`
+    * alone adds a count-distinct Expand), and the single result row
+    * unpivots to one row per rule: `(expectation, column_name,
+    * n_checked, n_violations, pass)`. Value rules check non-null cells
+    * only — nullness is `ExpectNotNull`'s job, so one bad cell never
+    * double-counts across rules. A non-null cell the rule cannot even
+    * interpret — a string that fails the numeric cast under
+    * `ExpectMin`/`ExpectMax` — IS a violation (the comparison coerces
+    * to NULL there; letting it pass would green-light a corrupted
+    * column against a numeric bound). Exact longs throughout; an empty
+    * batch passes every rule (0 checked, 0 violations). */
   def validateExpectations(df: DataFrame,
       rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "validateExpectations: empty rule set")
@@ -98,9 +102,14 @@ object Profile {
         case ExpectUnique(_) =>
           (count(c), count(c) - countDistinct(c))
         case ExpectMin(_, b) =>
-          (count(c), sum(when(c < b, 1L).otherwise(0L)))
+          // coalesce(…, true) on non-null cells: a failed numeric cast
+          // makes the comparison NULL — count it as a violation, not a
+          // silent pass
+          (count(c), sum(when(c.isNotNull && coalesce(c < b, lit(true)),
+            1L).otherwise(0L)))
         case ExpectMax(_, b) =>
-          (count(c), sum(when(c > b, 1L).otherwise(0L)))
+          (count(c), sum(when(c.isNotNull && coalesce(c > b, lit(true)),
+            1L).otherwise(0L)))
         case ExpectInSet(_, vs) =>
           (count(c), sum(when(c.isNotNull && !c.isin(vs: _*), 1L)
             .otherwise(0L)))

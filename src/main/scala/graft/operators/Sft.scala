@@ -433,28 +433,31 @@ object Sft {
     * Determinism: scores are exact integers ([[QualityClf.scoreCol]]);
     * the argmax orders by (score DESC, cand_id ASC) — total. Scale
     * shape: scoring fuses into the scan (weights are plan literals,
-    * zero exchanges); prompt groups are generator-bounded (n candidates,
-    * single digits to dozens), so the per-prompt window is map-side
-    * trimmed to 2 rows by WindowGroupLimit and the only exchange keys
-    * on the prompt. */
+    * zero exchanges before the prompt key); the ordered rank window is
+    * genuinely map-side trimmed to 2 rows per group by WindowGroupLimit
+    * because `n_cands` comes from a separate partial-agg'd count joined
+    * back on the prompt — an unordered `count(*) over` in the same
+    * projection would force the full group to materialize and defeat
+    * the trim. Both exchanges key on the prompt, so AQE/exchange reuse
+    * co-partitions the join. */
   def bestOfN(cands: DataFrame, promptCol: String, candIdCol: String,
       textCol: String, model: QualityClf.Model): DataFrame = {
     val scored = cands.select(
       col(promptCol).cast("long").as("prompt_id"),
       col(candIdCol).cast("long").as("cand_id"),
       QualityClf.scoreCol(col(textCol), model).as("score"))
-    val wAll = Window.partitionBy("prompt_id")
+    val counts = scored.groupBy("prompt_id")
+      .agg(count(lit(1)).as("n_cands"))
     val wRank = Window.partitionBy("prompt_id")
       .orderBy(col("score").desc, col("cand_id").asc)
     scored
-      .withColumn("n_cands", count(lit(1)).over(wAll))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= 2)
       .groupBy("prompt_id")
       .agg(max(when(col("rnk") === 1, col("cand_id"))).as("best_cand_id"),
         max(when(col("rnk") === 1, col("score"))).as("best_score"),
-        max(when(col("rnk") === 2, col("score"))).as("runner_up_score"),
-        max(col("n_cands")).as("n_cands"))
+        max(when(col("rnk") === 2, col("score"))).as("runner_up_score"))
+      .join(counts, Seq("prompt_id"))
       .select(col("prompt_id"), col("best_cand_id"), col("best_score"),
         coalesce(col("runner_up_score"), col("best_score"))
           .as("runner_up_score"),

@@ -691,7 +691,11 @@ object Similarity {
 
   /** Shared assignment + per-cluster prototypicality ranking of the
     * prune family: `(id, cluster, proto_cos, rnk, batch_n)`; rank order
-    * is hardest-first unless `easiest`. */
+    * is hardest-first unless `easiest`. Zero-norm vectors are filtered
+    * with the null/ragged ones: their cosine is 0/0 = NaN, which Spark
+    * sorts ABOVE every double — the row would silently land in centroid
+    * 0 ranked "easiest", outside the rounded-cosine total-order recipe
+    * and divergent from an ANSI engine's NULL-producing division. */
   private def pruneRanked(df: DataFrame, idCol: String, vecCol: String,
       quantizer: Array[Array[Float]], easiest: Boolean = false): DataFrame = {
     val dims = quantizer.head.length
@@ -704,7 +708,7 @@ object Similarity {
     val order =
       if (easiest) Seq(col("proto_cos").desc, col(idCol).asc)
       else Seq(col("proto_cos").asc, col(idCol).asc)
-    df.filter(v.isNotNull && size(v) === dims)
+    df.filter(v.isNotNull && size(v) === dims && dot(v, v) > 0d)
       .select(col(idCol), coss.as("__coss"))
       .select(col(idCol),
         (array_position(col("__coss"), array_max(col("__coss"))) - 1)

@@ -130,6 +130,20 @@ class CdcSuite extends SparkSpec {
       out(1).getAs[Boolean]("is_current"))
   }
 
+  test("scd2: a duplicate (key, version) pair refuses loudly instead of " +
+    "emitting nondeterministic intervals") {
+    val c = Seq((1L, 10L, 2L), (1L, 11L, 2L), (1L, 12L, 5L))
+      .toDF("id", "value", "v")
+    val e = intercept[Exception] {
+      Cdc.scd2(c, Seq("id"), col("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate (key, version)")),
+      s"expected the scd2 replay guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("scd2: without a change-type column every version is an upsert, " +
     "and intervals tile gaplessly (valid_to(n) == valid_from(n+1))") {
     val c = Seq((1L, 10L, 2L), (1L, 11L, 9L), (1L, 12L, 4L))

@@ -565,4 +565,52 @@ class CurationAuditSuite extends SparkSpec {
     val ndv = byName("s").getAs[Long]("n_distinct")
     assert(ndv > 40L && ndv < 60L, s"approx NDV $ndv far from 50")
   }
+
+  test("raterAgreement/gateEval: NULL-labeled rows are excluded, so n " +
+    "always equals the sum of the confusion cells") {
+    // 2 labeled rows + 2 rows with a NULL on one side: n must read 2 and
+    // po/accuracy must not dilute
+    val rows = Seq((Some(true), Some(true)), (Some(false), Some(false)),
+      (None, Some(true)), (Some(true), None)).toDF("a", "b")
+    val r = Curation.raterAgreement(rows, col("a"), col("b")).head
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Long]("n11") + r.getAs[Long]("n10") +
+      r.getAs[Long]("n01") + r.getAs[Long]("n00") === r.getAs[Long]("n"))
+    assert(r.getAs[Double]("po") === 1.0)
+    val g = Curation.gateEval(rows, col("a"), col("b")).head
+    assert(g.getAs[Long]("n") === 2L &&
+      g.getAs[Double]("accuracy") === 1.0,
+      "a NULL label must not dilute accuracy's denominator")
+    assert(g.getAs[Long]("tp") + g.getAs[Long]("fp") +
+      g.getAs[Long]("fn") + g.getAs[Long]("tn") === g.getAs[Long]("n"))
+  }
+
+  test("clusterPrune: a zero-norm vector drops with the null/ragged ones " +
+    "instead of landing NaN-ranked in centroid 0") {
+    val withZero = twoClusters
+      .union(Seq((97L, Seq(0f, 0f, 0f, 0f))).toDF("id", "v"))
+    val out = Similarity.clusterPrune(withZero, "id", "v", quant,
+      keepPermille = 500).collect()
+    assert(!out.exists(_.getLong(0) == 97L),
+      "the zero vector has no defined cosine and must be filtered")
+    assert(out.forall(r => !r.getAs[Double]("proto_cos").isNaN))
+    // and the surviving ranking is unchanged vs the clean input
+    val clean = Similarity.clusterPrune(twoClusters, "id", "v", quant,
+      keepPermille = 500).collect().sortBy(_.getLong(0))
+    assert(out.sortBy(_.getLong(0)).toSeq === clean.toSeq)
+  }
+
+  test("ExpectMin/ExpectMax: a non-null cell that fails the numeric cast " +
+    "is a violation, not a silent pass") {
+    import graft.operators.Profile._
+    val df = Seq("10", "corrupted", "-3").toDF("n")
+    val out = Profile.validateExpectations(df,
+        Seq(ExpectMin("n", 0L), ExpectMax("n", 500L)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // min_0: 'corrupted' (cast fails) + '-3' violate; max_500: only
+    // 'corrupted' — both bounds must flag the uncastable cell
+    assert(out("min_0") === ((3L, 2L, false)))
+    assert(out("max_500") === ((3L, 1L, false)))
+  }
 }
