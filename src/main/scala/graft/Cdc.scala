@@ -173,4 +173,116 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__del")
   }
+
+  /** The three interval columns [[scd2]] adds to the payload. */
+  val Scd2MetaCols: Seq[String] = Seq("valid_from", "valid_to", "is_current")
+
+  /** Merge one CDC change batch into an EXISTING SCD Type-2 dimension —
+    * the incremental sibling of [[scd2]] (which rebuilds from the full
+    * change stream; a warehouse consumes batches): CLOSE the
+    * currently-open interval of every touched key at the key's first
+    * change version, chain the batch's changes into new intervals, and
+    * carry every untouched row forward byte-identical. This is the
+    * [[applyCdc]] anti-join/replace discipline applied to interval
+    * semantics — only touched keys' OPEN rows re-enter a window; closed
+    * history never recomputes.
+    *
+    * Schema contract: `dim` = payload + `valid_from`/`valid_to`/
+    * `is_current` (an [[scd2]] output); `changes` = the same payload +
+    * `versionCol` (+ optional `changeTypeCol`). `versionCol` must NOT be
+    * a payload column — the chain version reconstructs from the open
+    * row's `valid_from` on the dim side.
+    *
+    * Late/replayed feeds refuse loudly (the [[scd2]] discipline): a
+    * change whose version sorts BEFORE the key's newest recorded
+    * boundary — `max(coalesce(valid_to, valid_from))`, i.e. the open
+    * row's valid_from, or the closing delete's version on a fully-closed
+    * chain — would overlap committed history; equality to the OPEN row's
+    * version trips [[scd2]]'s duplicate guard inside the rebuild window.
+    * (Equality to a closing delete's version is legal: intervals are
+    * half-open, so a re-insert at exactly the delete version tiles.)
+    *
+    * Returns the full post-merge dimension. For the replacement-rows-only
+    * view (the Delta-merge payload), see [[scd2MergeChanges]].
+    *
+    * Scale shape: one `groupBy(keys)` bound aggregate + one left join
+    * stamps the guard on the batch (batch-sized); the rebuild window
+    * runs over open-rows-of-touched-keys + batch only; untouched dim
+    * rows move through a single `left_anti` on the touched-key set —
+    * all exchanges key on the dimension keys, so AQE co-partitions, and
+    * a batch touching 0.1% of keys re-windows 0.1% of open rows. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+      versionCol: String, changeTypeCol: Option[String] = None): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val untouched = dim.join(touched, keys, "left_anti")
+    val closedTouched = dim.join(touched, keys, "left_semi")
+      .filter(!col("is_current"))
+    untouched
+      .unionByName(closedTouched)
+      .unionByName(scd2Rebuilt(dim, changes, keys, versionCol,
+        changeTypeCol))
+  }
+
+  /** Only the rows [[scd2Merge]] REPLACES or ADDS — the touched keys'
+    * re-windowed chains (their previously-open row, now closed, plus the
+    * batch's new intervals), keyed uniquely by `(keys…, valid_from)`.
+    * This is the change payload for a Delta-sink merge
+    * ([[DeltaCdc.scd2MergeDelta]]): upserting these on
+    * `keys :+ valid_from` converts the open row in place and inserts the
+    * new intervals, so the table merge is O(touched chains), never a
+    * dimension rewrite. */
+  def scd2MergeChanges(dim: DataFrame, changes: DataFrame,
+      keys: Seq[String], versionCol: String,
+      changeTypeCol: Option[String] = None): DataFrame =
+    scd2Rebuilt(dim, changes, keys, versionCol, changeTypeCol)
+
+  /** Shared rebuild of [[scd2Merge]]: guard the batch against late
+    * versions, fold touched keys' open rows back into change form, and
+    * re-run the [[scd2]] window over open + batch. */
+  private def scd2Rebuilt(dim: DataFrame, changes: DataFrame,
+      keys: Seq[String], versionCol: String,
+      changeTypeCol: Option[String]): DataFrame = {
+    require(keys.nonEmpty, "scd2Merge needs at least one key column")
+    Scd2MetaCols.foreach(c => require(dim.columns.contains(c),
+      s"scd2Merge: dim is not an SCD2 table — missing '$c'"))
+    require(!dim.columns.contains(versionCol),
+      s"scd2Merge: versionCol '$versionCol' must not be a dim payload " +
+        "column (the chain version reconstructs from valid_from)")
+    require(changes.columns.contains(versionCol),
+      s"scd2Merge: changes are missing versionCol '$versionCol'")
+    val payload = dim.columns.filterNot(Scd2MetaCols.contains).toSeq
+    val typeName = changeTypeCol.getOrElse("__scd2_type")
+    changeTypeCol.foreach(c => require(changes.columns.contains(c),
+      s"scd2Merge: changes are missing changeTypeCol '$c'"))
+
+    val touched = changes.select(keys.map(col): _*).distinct()
+    // newest recorded boundary per touched key: the open row's
+    // valid_from, or the closing delete's version when the chain is
+    // fully closed
+    val bounds = dim.join(touched, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(max(coalesce(col("valid_to"), col("valid_from"))).as("__bound"))
+    val guarded = changes
+      .select((payload.map(col) :+ col(versionCol) :+
+        changeTypeCol.map(col).getOrElse(lit(null).cast("string"))
+          .as(typeName)): _*)
+      .join(bounds, keys, "left")
+      .withColumn(versionCol,
+        when(col(versionCol) < col("__bound"),
+          raise_error(concat(lit("scd2Merge: late change — version "),
+            col(versionCol).cast("string"),
+            lit(" sorts before the key's committed boundary "),
+            col("__bound").cast("string"), lit(" (key: "),
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+            lit("); CDC batches must arrive version-ordered"))))
+          .otherwise(col(versionCol)))
+      .drop("__bound")
+    val openAsChanges = dim.join(touched, keys, "left_semi")
+      .filter(col("is_current"))
+      .select((payload.map(col) :+ col("valid_from").as(versionCol) :+
+        lit(null).cast("string").as(typeName)): _*)
+    scd2(openAsChanges.unionByName(guarded), keys, col(versionCol),
+        Some(col(typeName)))
+      .select((payload ++ Scd2MetaCols).map(col): _*)
+  }
 }

@@ -230,4 +230,45 @@ object DeltaCdc {
       // stats count PHYSICAL rows; a deletion vector hides `cardinality`
       // of them, so the carried logical row count subtracts it
     }.map(n => n - a.deletionVector.map(_.cardinality).getOrElse(0L))
+
+  /** Merge one CDC change batch into an SCD Type-2 dimension persisted as
+    * a Delta table — [[Cdc.scd2Merge]] with the table itself as both the
+    * state and the sink. The replacement rows ([[Cdc.scd2MergeChanges]]:
+    * the touched keys' re-closed open rows plus their new intervals) are
+    * keyed uniquely by `(keys…, valid_from)`, so they upsert through
+    * [[applyCdcDelta]]'s touched-files/DV merge unchanged — the
+    * dimension's closed history is never read, merged, or rewritten. A
+    * missing table bootstraps from the batch alone ([[Cdc.scd2]] over
+    * the changes — first-batch semantics identical to the merge law).
+    *
+    * `txn` stamps a SetTransaction on the same commit, so an
+    * at-least-once caller replaying this batch skips it via
+    * [[graft.delta.DeltaWriter.lastTxnVersion]] — the exactly-once
+    * discipline every other Delta sink here follows. */
+  def scd2MergeDelta(
+      spark: SparkSession,
+      changes: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      versionCol: String,
+      changeTypeCol: Option[String] = None,
+      txn: Option[(String, Long)] = None,
+      strategy: MergeStrategy = MergeStrategy.Auto): MergeResult = {
+    val writer = new DeltaWriter(spark, spark.sparkContext.hadoopConfiguration)
+    val replacement =
+      if (!writer.tableExists(tablePath))
+        Cdc.scd2(changes, keys, col(versionCol),
+            changeTypeCol.map(col))
+          .drop(changeTypeCol.toSeq: _*).drop(versionCol)
+      else Cdc.scd2MergeChanges(writer.read(tablePath), changes, keys,
+        versionCol, changeTypeCol)
+    // replacement rows are already unique per (keys…, valid_from), so the
+    // latest-wins dedup inside the merge is a no-op — a constant commit
+    // version satisfies its ordering contract
+    applyCdcDelta(spark,
+      replacement.withColumn(Cdc.ChangeTypeCol, lit("update_postimage"))
+        .withColumn(Cdc.CommitVersionCol, lit(0L)),
+      tablePath, keys :+ "valid_from", CdcMode.Merge, txn = txn,
+      strategy = strategy)
+  }
 }

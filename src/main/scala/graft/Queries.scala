@@ -5713,6 +5713,84 @@ object Queries {
              |WHERE event_type <> 'error'
              |ORDER BY user_id, valid_from""".stripMargin)),
 
+    // ----- incremental SCD Type-2 (two-batch merge replay) ------------------
+    // The warehouse shape: batch 1 builds the dimension, batch 2 MERGES —
+    // untouched keys carry forward byte-identical, touched keys' open
+    // intervals close at their first batch-2 version, and only the
+    // touched chains re-window (the d_cluster_prune_incr coupling
+    // discipline, applied to intervals). The oracle replays the merge
+    // STRUCTURE — dim1, anti/semi splits, the open+batch rebuild — not
+    // just the batch-equivalent result, so the incremental path itself is
+    // what hash-checks. Versions are event_ids (already per-key ordered
+    // across the split), deletes ride event_type='error'.
+    "d_scd2_incr" -> QueryDef(
+      (s, d) => {
+        val ch = t(s, d, "events").select(col("user_id"),
+          round(col("value"), 2).as("value"),
+          when(col("event_type") === "error", "delete").as("kind"),
+          col("event_id").as("v"))
+        val b1 = ch.filter(col("v") < 500L)
+        val b2 = ch.filter(col("v") >= 500L)
+        val dim1 = graft.Cdc.scd2(b1, Seq("user_id"), col("v"),
+            Some(col("kind")))
+          .select("user_id", "value", "valid_from", "valid_to",
+            "is_current")
+        graft.Cdc.scd2Merge(dim1, b2, Seq("user_id"), "v", Some("kind"))
+          .select(col("user_id"), col("value"), col("valid_from"),
+            coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+            col("is_current"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, ROUND(value, 2) AS value,
+             |    CASE WHEN event_type = 'error' THEN 'delete' END AS kind,
+             |    event_id AS v
+             |  FROM events),
+             |b1 AS (SELECT * FROM ch WHERE v < 500),
+             |b2 AS (SELECT * FROM ch WHERE v >= 500),
+             |dim1 AS (
+             |  SELECT user_id, value, valid_from, valid_to FROM (
+             |    SELECT user_id, value, kind, v AS valid_from,
+             |      LEAD(v) OVER (PARTITION BY user_id ORDER BY v)
+             |        AS valid_to
+             |    FROM b1)
+             |  WHERE kind IS DISTINCT FROM 'delete'),
+             |touched AS (SELECT DISTINCT user_id FROM b2),
+             |untouched AS (
+             |  SELECT * FROM dim1 d
+             |  WHERE NOT EXISTS (SELECT 1 FROM touched t
+             |    WHERE t.user_id = d.user_id)),
+             |closed_t AS (
+             |  SELECT * FROM dim1 d
+             |  WHERE EXISTS (SELECT 1 FROM touched t
+             |    WHERE t.user_id = d.user_id)
+             |  AND d.valid_to IS NOT NULL),
+             |open_as_ch AS (
+             |  SELECT user_id, value, CAST(NULL AS VARCHAR) AS kind,
+             |    valid_from AS v
+             |  FROM dim1 d
+             |  WHERE EXISTS (SELECT 1 FROM touched t
+             |    WHERE t.user_id = d.user_id)
+             |  AND d.valid_to IS NULL),
+             |chain AS (
+             |  SELECT * FROM open_as_ch UNION ALL
+             |  SELECT user_id, value, kind, v FROM b2),
+             |rebuilt AS (
+             |  SELECT user_id, value, valid_from, valid_to FROM (
+             |    SELECT user_id, value, kind, v AS valid_from,
+             |      LEAD(v) OVER (PARTITION BY user_id ORDER BY v)
+             |        AS valid_to
+             |    FROM chain)
+             |  WHERE kind IS DISTINCT FROM 'delete'),
+             |merged AS (
+             |  SELECT * FROM untouched UNION ALL
+             |  SELECT * FROM closed_t UNION ALL
+             |  SELECT * FROM rebuilt)
+             |SELECT user_id, value, valid_from,
+             |  COALESCE(valid_to, -1) AS valid_to,
+             |  valid_to IS NULL AS is_current
+             |FROM merged ORDER BY user_id, valid_from""".stripMargin)),
+
     // ----- authority scoring (fixed-iteration integer PageRank) ------------
     // Supplier->customer edges from the order graph; 3 all-integer
     // iterations in 1e-9 units, so the oracle unrolls them as CTEs and

@@ -130,6 +130,115 @@ class CdcSuite extends SparkSpec {
       out(1).getAs[Boolean]("is_current"))
   }
 
+  // --- scd2Merge (incremental SCD2) ---------------------------------------
+
+  /** (id, value, kind, v) change rows split into two version-ordered
+    * batches: key 1 updates across both, key 2 is deleted in b1 and
+    * re-inserted in b2, key 3 lives only in b1 (untouched by b2), key 4
+    * is brand-new in b2, key 5 is deleted in b2. */
+  private def scd2B1 = Seq(
+    (1L, 10L, "upsert", 1L), (1L, 11L, "upsert", 3L),
+    (2L, 20L, "upsert", 2L), (2L, 0L, "delete", 5L),
+    (3L, 30L, "upsert", 4L),
+    (5L, 50L, "upsert", 1L))
+    .toDF("id", "value", "kind", "v")
+  private def scd2B2 = Seq(
+    (1L, 12L, "upsert", 7L),
+    (2L, 21L, "upsert", 8L),
+    (4L, 40L, "upsert", 6L),
+    (5L, 0L, "delete", 9L))
+    .toDF("id", "value", "kind", "v")
+
+  test("scd2Merge: merging a second batch into a built dimension equals " +
+    "the batch rebuild over the union (open chains, deleted chains, " +
+    "re-inserts, new keys, untouched keys)") {
+    val dim = Cdc.scd2(scd2B1, Seq("id"), col("v"), Some(col("kind")))
+      .drop("kind", "v")
+    val merged = Cdc.scd2Merge(dim, scd2B2, Seq("id"), "v",
+        Some("kind")).orderBy("id", "valid_from").collect()
+    val full = Cdc.scd2(scd2B1.unionByName(scd2B2), Seq("id"), col("v"),
+        Some(col("kind"))).drop("kind", "v")
+      .select(merged.headOption.map(_ => dim.columns.toSeq)
+        .getOrElse(dim.columns.toSeq).map(col): _*)
+      .orderBy("id", "valid_from").collect()
+    assert(merged.toSeq === full.toSeq)
+    // and key 3 (untouched) carried forward as the open row it was
+    val k3 = merged.filter(_.getLong(0) == 3L)
+    assert(k3.length === 1 && k3.head.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2Merge: replacement rows are exactly the touched chains keyed " +
+    "by (key, valid_from) — the Delta upsert payload") {
+    val dim = Cdc.scd2(scd2B1, Seq("id"), col("v"), Some(col("kind")))
+      .drop("kind", "v")
+    val repl = Cdc.scd2MergeChanges(dim, scd2B2, Seq("id"), "v",
+      Some("kind")).collect()
+    // touched keys only — 3 never appears
+    assert(!repl.exists(_.getLong(0) == 3L))
+    // key 1: open row [3,∞) re-emitted closed at 7, plus [7,∞)
+    val k1 = repl.filter(_.getLong(0) == 1L)
+      .map(r => (r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")))).sortBy(_._1)
+    assert(k1.toSeq === Seq((3L, Some(7L)), (7L, None)))
+    // key 5: only the closed open-row — a delete adds no interval
+    val k5 = repl.filter(_.getLong(0) == 5L)
+    assert(k5.length === 1 && k5.head.getAs[Long]("valid_to") === 9L)
+    // uniqueness of the merge key
+    val mk = repl.map(r => (r.getLong(0), r.getAs[Long]("valid_from")))
+    assert(mk.distinct.length === mk.length)
+  }
+
+  test("scd2Merge: a change version before the key's committed boundary " +
+    "refuses loudly (late CDC feed), and a replay of the open version " +
+    "trips the duplicate guard") {
+    val dim = Cdc.scd2(scd2B1, Seq("id"), col("v"), Some(col("kind")))
+      .drop("kind", "v")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    val late = Seq((1L, 99L, "upsert", 2L)).toDF("id", "value", "kind", "v")
+    val e1 = intercept[Exception] {
+      Cdc.scd2Merge(dim, late, Seq("id"), "v", Some("kind")).collect()
+    }
+    assert(msgs(e1).exists(_.contains("late change")), msgs(e1).mkString("|"))
+    val replay = Seq((1L, 99L, "upsert", 3L)).toDF("id", "value", "kind", "v")
+    val e2 = intercept[Exception] {
+      Cdc.scd2Merge(dim, replay, Seq("id"), "v", Some("kind")).collect()
+    }
+    assert(msgs(e2).exists(_.contains("duplicate (key, version)")),
+      msgs(e2).mkString("|"))
+    // re-insert at exactly a closing delete's version is legal (half-open
+    // intervals tile): key 2 closed at 5
+    val tile = Seq((2L, 22L, "upsert", 5L)).toDF("id", "value", "kind", "v")
+    val ok = Cdc.scd2Merge(dim, tile, Seq("id"), "v", Some("kind"))
+      .filter(col("id") === 2L).orderBy("valid_from").collect()
+    assert(ok.map(r => (r.getAs[Long]("valid_from"),
+      Option(r.getAs[Any]("valid_to")))).toSeq ===
+      Seq((2L, Some(5L)), (5L, None)))
+  }
+
+  test("scd2MergeDelta: batches upsert through the touched-files merge " +
+    "and the table converges to the batch rebuild") {
+    withTmpDir { dir =>
+      val t = s"$dir/dim"
+      val r1 = DeltaCdc.scd2MergeDelta(spark, scd2B1, t, Seq("id"), "v",
+        Some("kind"), txn = Some(("scd2", 1L)))
+      assert(r1.action === "merge" || r1.action === "append")
+      val r2 = DeltaCdc.scd2MergeDelta(spark, scd2B2, t, Seq("id"), "v",
+        Some("kind"), txn = Some(("scd2", 2L)))
+      assert(r2.action === "merge")
+      val writer = new graft.delta.DeltaWriter(spark, conf)
+      val got = writer.read(t)
+        .orderBy("id", "valid_from").collect()
+      val want = Cdc.scd2(scd2B1.unionByName(scd2B2), Seq("id"),
+          col("v"), Some(col("kind"))).drop("kind", "v")
+        .select(writer.read(t).columns.map(col).toSeq: _*)
+        .orderBy("id", "valid_from").collect()
+      assert(got.toSeq === want.toSeq)
+      assert(writer.lastTxnVersion(t, "scd2") === Some(2L))
+    }
+  }
+
   test("scd2: a duplicate (key, version) pair refuses loudly instead of " +
     "emitting nondeterministic intervals") {
     val c = Seq((1L, 10L, 2L), (1L, 11L, 2L), (1L, 12L, 5L))

@@ -1462,4 +1462,64 @@ class StructuredRunnerSuite extends SparkSpec {
         === Some(("line-df", 1L)))
     }
   }
+
+  test("incremental SCD2 merge under the streaming engine, across " +
+    "checkpoint loss") {
+    import graft.delta.DeltaWriter
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"; val dim = s"$tmp/dim"
+      def file(n: Int, rows: Seq[(Long, Long, String, Long)]): Unit = {
+        rows.toDF("id", "value", "kind", "v").coalesce(1)
+          .write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 0 builds: key 1 two versions, key 2 one; batch 1 merges:
+      // key 1 updates (closes [3,∞)), key 2 deleted, key 3 brand-new
+      file(0, Seq((1L, 10L, "upsert", 1L), (1L, 11L, "upsert", 3L),
+        (2L, 20L, "upsert", 2L)))
+      file(1, Seq((1L, 12L, "upsert", 7L), (2L, 0L, "delete", 8L),
+        (3L, 30L, "upsert", 6L)))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, 1L, "x", 1L)).toDF("id", "value", "kind", "v")
+          .schema,
+        maxFilesPerTrigger = Some(1))
+      val w = new DeltaWriter(spark, conf)
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            // SetTransaction watermark: a replayed batch (checkpoint
+            // loss, at-least-once driver) must no-op BEFORE the merge —
+            // re-merging would trip scd2Merge's late-change refusal,
+            // which is exactly the loud failure the watermark prevents
+            if (!w.lastTxnVersion(dim, "scd2s").exists(_ >= batchId))
+              DeltaCdc.scd2MergeDelta(spark, batch, dim, Seq("id"), "v",
+                Some("kind"), txn = Some(("scd2s", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      def state() = w.read(dim)
+        .orderBy("id", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("value"),
+          r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")),
+          r.getAs[Boolean]("is_current"))).toSeq
+      val s1 = state()
+      assert(s1 === Seq(
+        (1L, 10L, 1L, Some(3L), false), (1L, 11L, 3L, Some(7L), false),
+        (1L, 12L, 7L, None, true),
+        (2L, 20L, 2L, Some(8L), false),
+        (3L, 30L, 6L, None, true)), s"got $s1")
+      // idle re-run admits nothing; checkpoint loss replays into no-ops
+      runOnce()
+      assert(state() === s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(state() === s1,
+        "replay after checkpoint loss must not re-merge any batch")
+      assert(w.lastTxnVersion(dim, "scd2s") === Some(1L))
+    }
+  }
 }
