@@ -5593,19 +5593,9 @@ object Queries {
     "d_cohort_retention" -> QueryDef(
       (s, d) => {
         val ev = t(s, d, "events")
-        val e = ev.select(col("user_id"),
-          date_format(date_trunc("day", tsCol(ev)), "yyyy-MM-dd").as("p"))
-        val first = e.groupBy("user_id").agg(min("p").as("cohort"))
-        val sizes = first.groupBy("cohort")
-          .agg(count(lit(1)).as("cohort_size"))
-        e.distinct().join(first, Seq("user_id"))
-          .groupBy("cohort", "p")
-          .agg(count(lit(1)).as("n_active"))
-          .join(broadcast(sizes), Seq("cohort"))
-          .select(col("cohort"), col("p").as("period"), col("n_active"),
-            col("cohort_size"),
-            round(col("n_active").cast("double") / col("cohort_size"), 4)
-              .as("retention"))
+        graft.operators.Behavioral.cohortRetention(
+            graft.operators.Behavioral.activityPairs(ev, col("user_id"),
+              tsCol(ev)))
           .orderBy("cohort", "period")
       },
       Some("""WITH e AS (
@@ -5636,26 +5626,11 @@ object Queries {
     "d_funnel" -> QueryDef(
       (s, d) => {
         val ev = t(s, d, "events")
-        val e = ev.select(col("user_id"), col("event_type"),
-          tsCol(ev).as("t"))
-        val s1 = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("t")).as("t1"))
-        val s2 = e.filter(col("event_type") === "click")
-          .join(s1, Seq("user_id")).filter(col("t") > col("t1"))
-          .groupBy("user_id").agg(min(col("t")).as("t2"))
-        val s3 = e.filter(col("event_type") === "purchase")
-          .join(s2, Seq("user_id")).filter(col("t") > col("t2"))
-          .groupBy("user_id").agg(min(col("t")).as("t3"))
-        s1.agg(count(lit(1)).as("n_view"))
-          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
-          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
-          .select(col("n_view"), col("n_click"), col("n_purchase"),
-            round(col("n_click").cast("double") /
-              greatest(col("n_view"), lit(1L)), 4).as("view_to_click"),
-            round(col("n_purchase").cast("double") /
-              greatest(col("n_click"), lit(1L)), 4).as("click_to_purchase"),
-            round(col("n_purchase").cast("double") /
-              greatest(col("n_view"), lit(1L)), 4).as("full_funnel"))
+        val st = graft.operators.Behavioral.funnelFold(None, ev,
+          col("user_id"), col("event_type"), tsCol(ev),
+          Seq("view", "click", "purchase"))
+        graft.operators.Behavioral.funnelReport(st,
+          Seq("view", "click", "purchase"))
       },
       Some("""WITH s1 AS (
              |  SELECT user_id, MIN(ts) AS t1 FROM events
@@ -5672,6 +5647,127 @@ object Queries {
              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
              |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase)
+             |SELECT n_view, n_click, n_purchase,
+             |  ROUND(CAST(n_click AS DOUBLE) / GREATEST(n_view, 1), 4)
+             |    AS view_to_click,
+             |  ROUND(CAST(n_purchase AS DOUBLE) / GREATEST(n_click, 1), 4)
+             |    AS click_to_purchase,
+             |  ROUND(CAST(n_purchase AS DOUBLE) / GREATEST(n_view, 1), 4)
+             |    AS full_funnel
+             |FROM c""".stripMargin)),
+
+    // ----- cross-batch cohort retention (activity-matrix fold) --------------
+    // The incremental shape: batch 1's distinct (user, period) pairs are
+    // the persisted activity matrix, batch 2 folds in via anti-join
+    // (replayed pairs append nothing), and the report recomputes from
+    // the matrix alone — O(users·days) state, never the events. Split by
+    // event_id so the same (user, period) cell ARRIVES in both batches
+    // and the dedup actually fires; the oracle replays the fold
+    // structure, not just the batch-equivalent answer.
+    "d_cohort_retention_incr" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val b1 = ev.filter(col("event_id") < 500L)
+        val b2 = ev.filter(col("event_id") >= 500L)
+        val h1 = graft.operators.Behavioral.activityPairs(b1,
+          col("user_id"), tsCol(b1))
+        val folded = h1.unionByName(graft.operators.Behavioral
+          .activityFold(h1, b2, col("user_id"), tsCol(b2)))
+        graft.operators.Behavioral.cohortRetention(folded)
+          .orderBy("cohort", "period")
+      },
+      Some("""WITH p1 AS (
+             |  SELECT DISTINCT user_id,
+             |    STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS period
+             |  FROM events WHERE event_id < 500),
+             |p2 AS (
+             |  SELECT DISTINCT user_id,
+             |    STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS period
+             |  FROM events WHERE event_id >= 500),
+             |folded AS (
+             |  SELECT * FROM p1
+             |  UNION ALL
+             |  SELECT * FROM p2
+             |  WHERE NOT EXISTS (SELECT 1 FROM p1
+             |    WHERE p1.user_id = p2.user_id AND p1.period = p2.period)),
+             |first AS (SELECT user_id, MIN(period) AS cohort
+             |  FROM folded GROUP BY 1),
+             |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT)
+             |    AS cohort_size
+             |  FROM first GROUP BY 1),
+             |cells AS (
+             |  SELECT f.cohort, a.period, CAST(COUNT(*) AS BIGINT)
+             |    AS n_active
+             |  FROM folded a JOIN first f USING (user_id) GROUP BY 1, 2)
+             |SELECT cohort, period, n_active, cohort_size,
+             |  ROUND(CAST(n_active AS DOUBLE) / cohort_size, 4)
+             |    AS retention
+             |FROM cells JOIN sizes USING (cohort)
+             |ORDER BY cohort, period""".stripMargin)),
+
+    // ----- cross-batch sequential funnel (per-user stage-state fold) --------
+    // Batch 1 builds the (user, t1..t3, max_ts) stage state, batch 2
+    // folds in under the event-time-ordered contract (split on the day
+    // string so every batch-2 event is newer), the report reads state
+    // alone. The oracle replays BOTH folds: stage i's batch-2 candidate
+    // is the min stage-i event strictly after the ALREADY-FOLDED
+    // t_{i-1}, then coalesces under batch 1's decision — closed stages
+    // never re-open.
+    "d_funnel_incr" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val day = date_format(date_trunc("day", tsCol(ev)), "yyyy-MM-dd")
+        val stages = Seq("view", "click", "purchase")
+        val st1 = graft.operators.Behavioral.funnelFold(None,
+          ev.filter(day < "2024-01-15"), col("user_id"),
+          col("event_type"), tsCol(ev), stages)
+        val st2 = graft.operators.Behavioral.funnelFold(Some(st1),
+          ev.filter(day >= "2024-01-15"), col("user_id"),
+          col("event_type"), tsCol(ev), stages)
+        graft.operators.Behavioral.funnelReport(st2, stages)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, ts FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |b1 AS (SELECT * FROM e
+             |  WHERE STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d')
+             |    < '2024-01-15'),
+             |b2 AS (SELECT * FROM e
+             |  WHERE STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d')
+             |    >= '2024-01-15'),
+             |au AS (SELECT DISTINCT user_id FROM e),
+             |s1a AS (SELECT user_id, MIN(ts) AS t1 FROM b1
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2a AS (SELECT b.user_id, MIN(b.ts) AS t2
+             |  FROM b1 b JOIN s1a USING (user_id)
+             |  WHERE b.event_type = 'click' AND b.ts > s1a.t1 GROUP BY 1),
+             |s3a AS (SELECT b.user_id, MIN(b.ts) AS t3
+             |  FROM b1 b JOIN s2a USING (user_id)
+             |  WHERE b.event_type = 'purchase' AND b.ts > s2a.t2
+             |  GROUP BY 1),
+             |v2 AS (SELECT user_id, MIN(ts) AS mv FROM b2
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |t1f AS (SELECT au.user_id, COALESCE(s1a.t1, v2.mv) AS t1
+             |  FROM au LEFT JOIN s1a USING (user_id)
+             |  LEFT JOIN v2 USING (user_id)),
+             |c2 AS (SELECT b.user_id, MIN(b.ts) AS mc
+             |  FROM b2 b JOIN t1f USING (user_id)
+             |  WHERE b.event_type = 'click' AND b.ts > t1f.t1 GROUP BY 1),
+             |t2f AS (SELECT au.user_id, COALESCE(s2a.t2, c2.mc) AS t2
+             |  FROM au LEFT JOIN s2a USING (user_id)
+             |  LEFT JOIN c2 USING (user_id)),
+             |p2 AS (SELECT b.user_id, MIN(b.ts) AS mp
+             |  FROM b2 b JOIN t2f USING (user_id)
+             |  WHERE b.event_type = 'purchase' AND b.ts > t2f.t2
+             |  GROUP BY 1),
+             |t3f AS (SELECT au.user_id, COALESCE(s3a.t3, p2.mp) AS t3
+             |  FROM au LEFT JOIN s3a USING (user_id)
+             |  LEFT JOIN p2 USING (user_id)),
+             |c AS (SELECT
+             |    (SELECT CAST(COUNT(t1) AS BIGINT) FROM t1f) AS n_view,
+             |    (SELECT CAST(COUNT(t2) AS BIGINT) FROM t2f) AS n_click,
+             |    (SELECT CAST(COUNT(t3) AS BIGINT) FROM t3f)
+             |      AS n_purchase)
              |SELECT n_view, n_click, n_purchase,
              |  ROUND(CAST(n_click AS DOUBLE) / GREATEST(n_view, 1), 4)
              |    AS view_to_click,

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch behavioral analytics over the event stream — the
+  * incremental siblings of the batch cohort-retention and sequential-
+  * funnel queries (which recompute from the full event history every
+  * run; a product pipeline consumes event batches).
+  *
+  * Both families follow the repo's incremental discipline: the raw
+  * event stream folds into a BOUNDED per-user state table (activity
+  * pairs for retention, stage timestamps for the funnel), each batch is
+  * one user-keyed fold, the report recomputes from state alone —
+  * O(users·days) and O(users), never O(events) — and persisted state
+  * carries a [[graft.state.HistoryFormat]] marker so a derivation
+  * change refuses loudly instead of silently mis-joining.
+  */
+object Behavioral {
+
+  // ----- cohort retention ---------------------------------------------------
+
+  /** A batch's distinct `(user_id, period)` day-activity pairs — the
+    * unit the retention state accumulates. `yyyy-MM-dd` day truncation
+    * is part of the persisted format ([[graft.state.HistoryFormat.CohortActivity]]). */
+  def activityPairs(events: DataFrame, userCol: Column,
+      tsCol: Column): DataFrame =
+    events.select(userCol.cast("long").as("user_id"),
+        date_format(date_trunc("day", tsCol), "yyyy-MM-dd").as("period"))
+      .distinct()
+
+  /** The batch fold: activity pairs of `batch` NOT already in the
+    * history — append these to the state table between batches (the
+    * [[Similarity.prunedCounts]] append discipline). One anti-join keyed
+    * on the pair; the history never re-aggregates. Idempotent: re-folding
+    * a replayed batch appends nothing. */
+  def activityFold(history: DataFrame, batch: DataFrame, userCol: Column,
+      tsCol: Column): DataFrame =
+    activityPairs(batch, userCol, tsCol)
+      .join(history, Seq("user_id", "period"), "left_anti")
+
+  /** The retention report from the accumulated activity matrix: cohort =
+    * each user's first active day, one row per (cohort, period) cell
+    * with the active count, cohort size, and their ratio. Identical to
+    * the batch query over the full event stream because the state IS the
+    * deduped (user, period) matrix — the fold loses nothing the report
+    * needs.
+    *
+    * Scale shape: one user-keyed aggregate for cohorts, one
+    * (cohort, period) partial-agg'd cell count, cohort sizes broadcast
+    * into the cells; state is O(users·active days), not O(events). */
+  def cohortRetention(activity: DataFrame): DataFrame = {
+    val first = activity.groupBy("user_id").agg(min("period").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    activity.join(first, Seq("user_id"))
+      .groupBy("cohort", "period")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("period"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+  }
+
+  /** [[activityFold]] against a persisted activity table — the
+    * path-taking probe enforces the
+    * [[graft.state.HistoryFormat.CohortActivity]] marker. */
+  def activityFoldTable(batch: DataFrame, userCol: Column, tsCol: Column,
+      historyPath: String): DataFrame =
+    activityFold(graft.state.HistoryTables.readChecked(
+        batch.sparkSession, historyPath,
+        graft.state.HistoryFormat.CohortActivity),
+      batch, userCol, tsCol)
+
+  /** [[cohortRetention]] over a persisted activity table (marker-checked). */
+  def cohortRetentionTable(spark: org.apache.spark.sql.SparkSession,
+      historyPath: String): DataFrame =
+    cohortRetention(graft.state.HistoryTables.readChecked(spark,
+      historyPath, graft.state.HistoryFormat.CohortActivity))
+
+  // ----- sequential funnel --------------------------------------------------
+
+  /** Stage-timestamp column name for 1-based stage `i`. */
+  private def tCol(i: Int) = s"t$i"
+
+  /** Fold one event batch into the per-user funnel state. State schema:
+    * `(user_id, t1 … tk, max_ts)` — `t_i` the timestamp at which the
+    * user completed stage `i` (the first stage-`i` event strictly after
+    * `t_{i-1}`), `max_ts` the newest event folded for the user (the
+    * ordering watermark). `state = None` bootstraps (first batch).
+    *
+    * Ordering contract — REFUSES LOUDLY when violated: the fold is only
+    * equal to the batch recomputation when batches arrive in event-time
+    * order per user (a stage decision, once made, is never re-opened —
+    * the whole point of keeping O(users) state instead of the events).
+    * A batch event older than the user's `max_ts` raises with the
+    * replay remedy. Events AT `max_ts` are fine (never lost: the fold's
+    * strict `>` comparisons treat them the same in either batch).
+    *
+    * Scale shape: one per-user envelope aggregate plus one user-keyed
+    * join per stage, each stage candidate partial-agg'd map-side before
+    * its exchange; every exchange keys on `user_id`, so AQE reuses the
+    * partitioning down the chain. State is O(users). */
+  def funnelFold(state: Option[DataFrame], batch: DataFrame,
+      userCol: Column, typeCol: Column, tsCol: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelFold: empty stage list")
+    require(stages.distinct.length == stages.length,
+      s"funnelFold: duplicate stage in ${stages.mkString(",")}")
+    val k = stages.length
+    state.foreach { st =>
+      (Seq("user_id", "max_ts") ++ (1 to k).map(tCol)).foreach(c =>
+        require(st.columns.contains(c),
+          s"funnelFold: state is missing column '$c' — built for a " +
+            s"different stage list than ${stages.mkString(",")}?"))
+    }
+    val ev = batch
+      .select(userCol.cast("long").as("user_id"), typeCol.as("__type"),
+        tsCol.as("__ts"))
+      .filter(col("__type").isin(stages: _*))
+    val env = ev.groupBy("user_id")
+      .agg(min("__ts").as("__bmin"), max("__ts").as("__bmax"))
+    val tsType = ev.schema("__ts").dataType.catalogString
+    val base = state match {
+      case Some(st) => st.join(env, Seq("user_id"), "full_outer")
+      case None =>
+        // bootstrap: no prior state — synthesize NULL stage columns so
+        // the per-stage chain below is the single code path
+        env.select(col("user_id") +:
+          (1 to k).map(i => lit(null).cast(tsType).as(tCol(i))) :+
+          lit(null).cast(tsType).as("max_ts") :+
+          col("__bmin") :+ col("__bmax"): _*)
+    }
+    // out-of-order batch = silent corruption of closed stage decisions →
+    // refuse loudly; the guard rides the new max_ts so it cannot prune
+    val guarded = base.withColumn("max_ts",
+      when(col("__bmin") < col("max_ts"),
+        raise_error(concat(
+          lit("funnelFold: out-of-order batch — user "),
+          col("user_id").cast("string"), lit(" has a batch event at "),
+          col("__bmin").cast("string"),
+          lit(" older than the folded watermark "),
+          col("max_ts").cast("string"),
+          lit("; feed batches in event-time order or rebuild the " +
+            "funnel state from the full stream"))))
+        // greatest skips NULLs: a state-only user keeps max_ts, a new
+        // user takes the batch envelope
+        .otherwise(greatest(col("max_ts"), col("__bmax"))))
+    val folded = (1 to k).foldLeft(guarded) { (cur, i) =>
+      val cand = {
+        val staged = ev.filter(col("__type") === stages(i - 1))
+        val reachable =
+          if (i == 1) staged
+          else staged
+            .join(cur.select(col("user_id"), col(tCol(i - 1)).as("__prev")),
+              Seq("user_id"))
+            .filter(col("__ts") > col("__prev"))
+        reachable.groupBy("user_id").agg(min("__ts").as(s"__b$i"))
+      }
+      cur.join(cand, Seq("user_id"), "left")
+        .withColumn(tCol(i), coalesce(col(tCol(i)), col(s"__b$i")))
+        .drop(s"__b$i")
+    }
+    folded.select(col("user_id") +: (1 to k).map(c => col(tCol(c))) :+
+      col("max_ts"): _*)
+  }
+
+  /** The funnel report from the per-user stage state: one row of stage
+    * counts (`n_<stage>`) plus step conversions (`<prev>_to_<next>`) and
+    * the end-to-end `full_funnel` ratio — exact longs, one rounded
+    * double tree each, 0-denominators read as ratio-over-1 (a stageless
+    * batch must not crash a dashboard). One global aggregate. */
+  def funnelReport(state: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelReport: empty stage list")
+    val k = stages.length
+    val counts = state.agg(
+      count(col(tCol(1))).as(s"n_${stages.head}"),
+      (2 to k).map(i => count(col(tCol(i))).as(s"n_${stages(i - 1)}")): _*)
+    val steps = (1 until k).map { i =>
+      round(col(s"n_${stages(i)}").cast("double") /
+        greatest(col(s"n_${stages(i - 1)}"), lit(1L)), 4)
+        .as(s"${stages(i - 1)}_to_${stages(i)}")
+    }
+    val full =
+      if (k == 1) Seq.empty
+      else Seq(round(col(s"n_${stages(k - 1)}").cast("double") /
+        greatest(col(s"n_${stages.head}"), lit(1L)), 4).as("full_funnel"))
+    counts.select(stages.map(s => col(s"n_$s")) ++ steps ++ full: _*)
+  }
+
+  /** [[funnelFold]] against a persisted state table — the path-taking
+    * probe enforces the [[graft.state.HistoryFormat.FunnelStages]]
+    * marker. */
+  def funnelFoldTable(batch: DataFrame, userCol: Column, typeCol: Column,
+      tsCol: Column, stages: Seq[String], statePath: String): DataFrame =
+    funnelFold(Some(graft.state.HistoryTables.readChecked(
+        batch.sparkSession, statePath,
+        graft.state.HistoryFormat.FunnelStages)),
+      batch, userCol, typeCol, tsCol, stages)
+}

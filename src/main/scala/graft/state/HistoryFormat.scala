@@ -145,6 +145,27 @@ object HistoryFormat {
     "re-run Similarity.clusterPruneAgainstHistory over the full kept " +
       "corpus under the current quantizer and overwrite the quota history")
 
+  /** Cross-batch cohort-retention activity matrix
+    * ([[graft.operators.Behavioral.activityFold]] appends): v1 =
+    * distinct `(user_id, period)` pairs, period = `yyyy-MM-dd` day
+    * truncation of the event timestamp. A different truncation (week,
+    * UTC offset, format string) silently stops the anti-join from
+    * deduping and double-counts every cell. */
+  val CohortActivity: Format = Format("cohort-activity", 1,
+    "re-run Behavioral.activityPairs over the full event history and " +
+      "overwrite the activity table")
+
+  /** Per-user sequential-funnel stage state
+    * ([[graft.operators.Behavioral.funnelFold]]): v1 =
+    * `(user_id, t1 … tk, max_ts)` — first-qualifying-event timestamps
+    * under strictly-after chaining plus the event-time watermark. The
+    * stage LIST is part of the table's identity (a k-stage state is
+    * meaningless for a different stage set; column-count mismatch also
+    * refuses in the fold). */
+  val FunnelStages: Format = Format("funnel-stages", 1,
+    "re-run Behavioral.funnelFold from None over the full event history " +
+      "in event-time order and overwrite the state table")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)

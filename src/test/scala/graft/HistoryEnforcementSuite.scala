@@ -174,6 +174,30 @@ class HistoryEnforcementSuite extends SparkSpec {
     }
   }
 
+  test("cohort-activity and funnel-state probes enforce their markers") {
+    withTmpDir { tmp =>
+      import graft.operators.Behavioral
+      val ev = Seq((1L, "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, "click", java.sql.Timestamp.valueOf("2024-01-02 10:00:00")),
+        (2L, "view", java.sql.Timestamp.valueOf("2024-01-03 10:00:00")))
+        .toDF("user_id", "event_type", "ts")
+      checkFamily(s"$tmp/act",
+        Behavioral.activityPairs(ev, col("user_id"), col("ts")),
+        HistoryFormat.CohortActivity, "Behavioral.activityPairs") { dir =>
+        Behavioral.activityFoldTable(ev, col("user_id"), col("ts"), dir)
+          .count()
+      }
+      val stages = Seq("view", "click")
+      checkFamily(s"$tmp/fun",
+        Behavioral.funnelFold(None, ev, col("user_id"), col("event_type"),
+          col("ts"), stages),
+        HistoryFormat.FunnelStages, "Behavioral.funnelFold") { dir =>
+        Behavioral.funnelFoldTable(ev.filter(lit(false)), col("user_id"),
+          col("event_type"), col("ts"), stages, dir).count()
+      }
+    }
+  }
+
   test("probing an absent history table is a loud error, not a no-op") {
     withTmpDir { tmp =>
       val e = intercept[IllegalStateException](

@@ -1463,6 +1463,101 @@ class StructuredRunnerSuite extends SparkSpec {
     }
   }
 
+  test("cohort-activity and funnel-state folds under the streaming " +
+    "engine, across checkpoint loss") {
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Behavioral
+    import graft.state.HistoryFormat
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val actT = s"$tmp/activity"; val funT = s"$tmp/funnel"
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def file(n: Int, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+        rows.toDF("user_id", "event_type", "ts").coalesce(1)
+          .write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 1 re-sends u1's (user, day) view pair — the activity fold
+      // must not double-count it; u1's funnel completes across the split
+      file(0, Seq((1L, "view", ts("2024-01-02 10:00:00")),
+        (1L, "click", ts("2024-01-02 11:00:00")),
+        (2L, "view", ts("2024-01-03 10:00:00"))))
+      file(1, Seq((1L, "view", ts("2024-01-02 12:00:00")),
+        (1L, "purchase", ts("2024-01-04 10:00:00")),
+        (2L, "click", ts("2024-01-05 10:00:00"))))
+      val stages = Seq("view", "click", "purchase")
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x", ts("2024-01-01 00:00:00")))
+          .toDF("user_id", "event_type", "ts").schema,
+        maxFilesPerTrigger = Some(1))
+      val w = new DeltaWriter(spark, conf)
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            if (!w.lastTxnVersion(actT, "beh-act").exists(_ >= batchId)) {
+              val fresh =
+                if (w.tableExists(actT))
+                  Behavioral.activityFoldTable(batch, col("user_id"),
+                    col("ts"), actT)
+                else Behavioral.activityPairs(batch, col("user_id"),
+                  col("ts"))
+              w.write(fresh, actT, DeltaWriteMode.Append,
+                txn = Some(("beh-act", batchId)))
+              HistoryFormat.ensure(conf, actT,
+                HistoryFormat.CohortActivity, hasData = false)
+            }
+            if (!w.lastTxnVersion(funT, "beh-fun").exists(_ >= batchId)) {
+              val next =
+                if (w.tableExists(funT))
+                  Behavioral.funnelFoldTable(batch, col("user_id"),
+                    col("event_type"), col("ts"), stages, funT)
+                else Behavioral.funnelFold(None, batch, col("user_id"),
+                  col("event_type"), col("ts"), stages)
+              // the state REPLACES (it is the full per-user fold) — the
+              // overwrite and its watermark commit atomically
+              w.write(next.localCheckpoint(), funT,
+                DeltaWriteMode.Overwrite, txn = Some(("beh-fun", batchId)))
+              HistoryFormat.ensure(conf, funT,
+                HistoryFormat.FunnelStages, hasData = false)
+            }
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      def retention() = Behavioral.cohortRetentionTable(spark, actT)
+        .orderBy("cohort", "period").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      def funnel() = {
+        val r = Behavioral.funnelReport(w.read(funT), stages).head
+        (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+          r.getAs[Long]("n_purchase"))
+      }
+      val ret1 = retention(); val fun1 = funnel()
+      // u1 active Jan 2 (once, despite the re-send) and Jan 4; u2 Jan 3
+      // and Jan 5 — cohorts Jan 2 (u1) and Jan 3 (u2)
+      assert(ret1 === Seq(
+        ("2024-01-02", "2024-01-02", 1L, 1L), ("2024-01-02", "2024-01-04", 1L, 1L),
+        ("2024-01-03", "2024-01-03", 1L, 1L), ("2024-01-03", "2024-01-05", 1L, 1L)),
+        s"got $ret1")
+      assert(fun1 === ((2L, 2L, 1L)), s"got $fun1")
+      // idle re-run admits nothing; checkpoint loss replays into no-ops
+      runOnce()
+      assert(retention() === ret1 && funnel() === fun1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(retention() === ret1 && funnel() === fun1,
+        "replay after checkpoint loss must not re-fold any batch")
+      assert(HistoryFormat.read(conf, actT) ===
+        Some(("cohort-activity", 1L)))
+      assert(HistoryFormat.read(conf, funT) ===
+        Some(("funnel-stages", 1L)))
+    }
+  }
+
   test("incremental SCD2 merge under the streaming engine, across " +
     "checkpoint loss") {
     import graft.delta.DeltaWriter
