@@ -5366,6 +5366,113 @@ object Queries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    // ----- profile drift (stamped-profile comparison) -----------------------
+    // The drift discipline applied to the profile family: the reference
+    // slice (doc_id < 100) is the stamped profile, the batch is the rest
+    // MUTATED to move the shape — lang nulled on src0 rows (null-rate
+    // drift), source dropped (missing_column), lang_uc added
+    // (new_column). Both engines profile both sides and replay the
+    // identical ratio trees; nullable report columns project through
+    // sentinels (the driver-compare rule).
+    "d_profile_drift" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ref = graft.operators.Profile.tableProfile(
+          docs.filter(col("doc_id") < 100))
+        val batch = graft.operators.Profile.tableProfile(
+          docs.filter(col("doc_id") >= 100).select(col("doc_id"),
+            when(col("source") === "src0", lit(null).cast("string"))
+              .otherwise(col("lang")).as("lang"),
+            col("n_chars"), col("text"), upper(col("lang")).as("lang_uc")))
+        graft.operators.Profile.profileDrift(batch, ref,
+            maxNullDelta = 0.05, maxNdvRatio = 2.0)
+          .select(col("column_name"), col("status"),
+            coalesce(col("null_rate_ref"), lit(-1d)).as("null_rate_ref"),
+            coalesce(col("null_rate_batch"), lit(-1d))
+              .as("null_rate_batch"),
+            coalesce(col("null_delta"), lit(-1d)).as("null_delta"),
+            coalesce(col("ndv_ref"), lit(-1L)).as("ndv_ref"),
+            coalesce(col("ndv_batch"), lit(-1L)).as("ndv_batch"),
+            coalesce(col("ndv_ratio"), lit(-1d)).as("ndv_ratio"),
+            col("range_widened"), coalesce(col("len_ratio"), lit(-1d))
+              .as("len_ratio"), col("drifted"))
+          .orderBy("column_name")
+      },
+      Some {
+        def prof(cols: Seq[String], from: String) = cols.map { c =>
+          s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  MIN(CAST($c AS VARCHAR)) AS min_s,
+             |  MAX(CAST($c AS VARCHAR)) AS max_s,
+             |  CASE WHEN COUNT($c) > 0 THEN ROUND(
+             |    CAST(SUM(LENGTH(CAST($c AS VARCHAR))) AS DOUBLE)
+             |      / COUNT($c), 4) ELSE 0.0 END AS avg_len
+             |FROM $from""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH bsrc AS (
+           |  SELECT doc_id,
+           |    CASE WHEN source = 'src0' THEN NULL ELSE lang END AS lang,
+           |    n_chars, text, UPPER(lang) AS lang_uc
+           |  FROM documents WHERE doc_id >= 100),
+           |rsrc AS (SELECT * FROM documents WHERE doc_id < 100),
+           |bp AS (
+           |${prof(Seq("doc_id", "lang", "n_chars", "text", "lang_uc"),
+              "bsrc")}),
+           |rp AS (
+           |${prof(Seq("doc_id", "lang", "n_chars", "source", "text"),
+              "rsrc")}),
+           |j AS (
+           |  SELECT COALESCE(bp.column_name, rp.column_name)
+           |      AS column_name,
+           |    CASE WHEN rp.column_name IS NULL THEN 'new_column'
+           |      WHEN bp.column_name IS NULL THEN 'missing_column'
+           |      ELSE 'ok' END AS status,
+           |    bp.n_rows AS rb, bp.n_null AS ub,
+           |    bp.n_distinct AS ndv_batch, bp.min_s AS mnb,
+           |    bp.max_s AS mxb, bp.avg_len AS lb,
+           |    rp.n_rows AS rr, rp.n_null AS ur,
+           |    rp.n_distinct AS ndv_ref, rp.min_s AS mnr,
+           |    rp.max_s AS mxr, rp.avg_len AS lr
+           |  FROM bp FULL OUTER JOIN rp USING (column_name)),
+           |k AS (
+           |  SELECT *,
+           |    CASE WHEN rr > 0 THEN ROUND(CAST(ur AS DOUBLE) / rr, 4)
+           |      ELSE 0.0 END AS nr,
+           |    CASE WHEN rb > 0 THEN ROUND(CAST(ub AS DOUBLE) / rb, 4)
+           |      ELSE 0.0 END AS nb
+           |  FROM j),
+           |m AS (
+           |  SELECT *,
+           |    CASE WHEN status = 'ok' THEN ROUND(ABS(nb - nr), 4) END
+           |      AS null_delta,
+           |    CASE WHEN status = 'ok' AND ndv_batch IS NOT NULL
+           |        AND ndv_ref IS NOT NULL AND ndv_ref > 0
+           |        AND rb > 0 AND rr > 0
+           |      THEN ROUND((CAST(ndv_batch AS DOUBLE)
+           |          * CAST(rr AS DOUBLE))
+           |        / (CAST(rb AS DOUBLE) * CAST(ndv_ref AS DOUBLE)), 6)
+           |      END AS ndv_ratio
+           |  FROM k)
+           |SELECT column_name, status,
+           |  CASE WHEN rr IS NOT NULL THEN nr ELSE -1.0 END
+           |    AS null_rate_ref,
+           |  CASE WHEN rb IS NOT NULL THEN nb ELSE -1.0 END
+           |    AS null_rate_batch,
+           |  COALESCE(null_delta, -1.0) AS null_delta,
+           |  COALESCE(ndv_ref, -1) AS ndv_ref,
+           |  COALESCE(ndv_batch, -1) AS ndv_batch,
+           |  COALESCE(ndv_ratio, -1.0) AS ndv_ratio,
+           |  status = 'ok' AND COALESCE(mnb < mnr OR mxb > mxr, FALSE)
+           |    AS range_widened,
+           |  CASE WHEN status = 'ok' AND lr > 0
+           |    THEN ROUND(lb / lr, 4) ELSE -1.0 END AS len_ratio,
+           |  (status <> 'ok' OR COALESCE(null_delta > 0.05, FALSE)
+           |    OR COALESCE(ndv_ratio > 2.0 OR ndv_ratio * 2.0 < 1.0,
+           |      FALSE)) AS drifted
+           |FROM m ORDER BY column_name""".stripMargin
+      }),
+
     // ----- higher moments (skewness / kurtosis), engine-exact --------------
     // The q_stats_corr discipline one order up: one-pass skewness() /
     // kurtosis() accumulate co-moments in float order (never hashable);

@@ -633,7 +633,39 @@ object IncrementalCurationDemo {
       s"shifted rebuild=${bdShift.getBoolean(5)}, post-rebuild " +
       s"rebuild=${bdRebuilt.getBoolean(5)} " +
       s"(new-term rate ${bdShift.getDouble(1)} -> ${bdRebuilt.getDouble(1)})")
+    // table-profile drift cycle: the SIXTH persisted model. The stamped
+    // profile of the curated slice goes stale when the feed starts
+    // sending NULL bodies (the null-rate channel — the shape a broken
+    // upstream extractor produces); drift fires against the stale
+    // profile, the re-profile on the shifted slice clears it. Both
+    // profiles travel through the marker-stamped store (the
+    // profileDriftTable load path a production gate would use).
+    import graft.operators.Profile
+    Profile.saveProfile(Profile.tableProfile(maintSample),
+      s"$work/table_profile")
+    def pd(b: org.apache.spark.sql.DataFrame) =
+      Profile.profileDriftTable(Profile.tableProfile(b),
+          s"$work/table_profile", maxNullDelta = 0.2, maxNdvRatio = 4.0)
+        .filter(col("column_name") === "text").head()
+    val profShifted = maintSample.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit(null).cast("string"))
+        .otherwise(col("text")).as("text"))
+    val pdIn = pd(maintSample)
+    val pdShift = pd(profShifted)
+    Profile.saveProfile(Profile.tableProfile(profShifted),
+      s"$work/table_profile")
+    val pdRebuilt = pd(profShifted)
+    println("table-profile drift cycle: in-dist drifted=" +
+      s"${pdIn.getAs[Boolean]("drifted")}, shifted drifted=" +
+      s"${pdShift.getAs[Boolean]("drifted")}, post-rebuild drifted=" +
+      s"${pdRebuilt.getAs[Boolean]("drifted")} " +
+      s"(null delta ${pdShift.getAs[Double]("null_delta")} -> " +
+      s"${pdRebuilt.getAs[Double]("null_delta")})")
     val driftCyclesOk =
+      !pdIn.getAs[Boolean]("drifted") && pdShift.getAs[Boolean]("drifted") &&
+        !pdRebuilt.getAs[Boolean]("drifted") &&
+        pdRebuilt.getAs[Double]("null_delta") <
+          pdShift.getAs[Double]("null_delta") &&
       !vdIn.getBoolean(5) && vdShift.getBoolean(5) &&
         !vdRebuilt.getBoolean(5) &&
         vdRebuilt.getDouble(3) < vdShift.getDouble(3) &&

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
@@ -168,5 +168,112 @@ object Profile {
         when(col("__nn") > 0L,
           round(col("__sl").cast("double") / col("__nn"), 4))
           .otherwise(lit(0d)).as("avg_len"))
+  }
+
+  /** Per-column drift of a batch against a STAMPED reference profile —
+    * the drift discipline ([[Curation.vocabDrift]],
+    * [[Similarity.quantizerDrift]], the PSI pattern) applied to the
+    * profile family: [[tableProfile]] is a snapshot; pipelines need
+    * "has this table's shape moved since the profile was stamped"
+    * before a batch enters them. Inputs are two PROFILES (the persisted
+    * reference is O(columns) rows — model-sized state, so the drift
+    * check never rescans the reference data).
+    *
+    * One output row per column (full outer on `column_name`):
+    *  - `status`: `ok` / `new_column` / `missing_column` — schema
+    *    movement is drift by definition;
+    *  - `null_rate_ref` / `null_rate_batch` / `null_delta` (abs);
+    *  - `ndv_ref` / `ndv_batch` and `ndv_ratio`, the DENSITY ratio
+    *    `(ndv_b/rows_b) / (ndv_r/rows_r)` — density, not raw NDV, so
+    *    differently-sized batches compare (a key-like column holds
+    *    density ~1 at any size; note a bounded categorical's density
+    *    shrinks as rows grow, so compare like-sized batches or widen
+    *    `maxNdvRatio` for such columns); NULL when either side can't
+    *    say (nested column, zero reference);
+    *  - `range_widened`: the batch's lexical min/max stepped outside
+    *    the reference envelope (new categories / out-of-range values;
+    *    reported, NOT folded into `drifted` — ranges legitimately grow
+    *    on append-style columns);
+    *  - `len_ratio`: avg string length movement (reported);
+    *  - `drifted`: schema moved, `null_delta > maxNullDelta`, or
+    *    `ndv_ratio` outside `[1/maxNdvRatio, maxNdvRatio]`.
+    *
+    * Exact doubles: every ratio is ONE rounded double tree over exact
+    * longs, so an ANSI engine replays the report bit-for-bit (profiles
+    * must come from `exactNdv = true`; the approx mode's HLL estimates
+    * are not comparable across engines — at 100 TB, approx profiles
+    * still drift-check fine, they just aren't oracle-checkable).
+    * Empty-batch contract: zero rows is not drift evidence — rates read
+    * 0, ratios NULL, `drifted` only fires on schema movement. */
+  def profileDrift(batchProfile: DataFrame, refProfile: DataFrame,
+      maxNullDelta: Double, maxNdvRatio: Double): DataFrame = {
+    require(maxNullDelta >= 0, s"maxNullDelta must be >= 0, got $maxNullDelta")
+    require(maxNdvRatio >= 1, s"maxNdvRatio must be >= 1, got $maxNdvRatio")
+    val need = Seq("column_name", "n_rows", "n_null", "n_distinct",
+      "min_s", "max_s", "avg_len")
+    Seq("batch" -> batchProfile, "reference" -> refProfile).foreach {
+      case (side, p) => need.foreach(c => require(p.columns.contains(c),
+        s"profileDrift: $side profile is missing '$c' — not a " +
+          "tableProfile output"))
+    }
+    def rate(nNull: Column, nRows: Column) =
+      when(nRows > 0L, round(nNull.cast("double") / nRows, 4))
+        .otherwise(lit(0d))
+    val b = batchProfile.select(col("column_name"),
+      col("n_rows").as("__rb"), col("n_null").as("__ub"),
+      col("n_distinct").as("ndv_batch"), col("min_s").as("__mnb"),
+      col("max_s").as("__mxb"), col("avg_len").as("__lb"))
+    val r = refProfile.select(col("column_name"),
+      col("n_rows").as("__rr"), col("n_null").as("__ur"),
+      col("n_distinct").as("ndv_ref"), col("min_s").as("__mnr"),
+      col("max_s").as("__mxr"), col("avg_len").as("__lr"))
+    val status = when(col("__rr").isNull, lit("new_column"))
+      .when(col("__rb").isNull, lit("missing_column"))
+      .otherwise(lit("ok"))
+    val nullRef = rate(col("__ur"), col("__rr"))
+    val nullBatch = rate(col("__ub"), col("__rb"))
+    val nullDelta = when(status === "ok",
+      round(abs(nullBatch - nullRef), 4))
+    val ndvRatio = when(status === "ok" && col("ndv_batch").isNotNull &&
+        col("ndv_ref").isNotNull && col("ndv_ref") > 0L &&
+        col("__rb") > 0L && col("__rr") > 0L,
+      round((col("ndv_batch").cast("double") * col("__rr").cast("double")) /
+        (col("__rb").cast("double") * col("ndv_ref").cast("double")), 6))
+    val rangeWidened = status === "ok" && coalesce(
+      col("__mnb") < col("__mnr") || col("__mxb") > col("__mxr"),
+      lit(false))
+    val lenRatio = when(status === "ok" && col("__lr") > 0d,
+      round(col("__lb") / col("__lr"), 4))
+    b.join(r, Seq("column_name"), "full_outer")
+      .select(col("column_name"), status.as("status"),
+        when(col("__rr").isNotNull, nullRef).as("null_rate_ref"),
+        when(col("__rb").isNotNull, nullBatch).as("null_rate_batch"),
+        nullDelta.as("null_delta"),
+        col("ndv_ref"), col("ndv_batch"), ndvRatio.as("ndv_ratio"),
+        rangeWidened.as("range_widened"), lenRatio.as("len_ratio"),
+        (status =!= "ok" ||
+          coalesce(nullDelta > maxNullDelta, lit(false)) ||
+          coalesce(ndvRatio > maxNdvRatio ||
+            ndvRatio * maxNdvRatio < 1.0d, lit(false))).as("drifted"))
+  }
+
+  /** [[profileDrift]] against a profile persisted with [[saveProfile]] —
+    * the path-taking probe enforces the
+    * [[graft.state.HistoryFormat.TableProfile]] marker. */
+  def profileDriftTable(batchProfile: DataFrame, refPath: String,
+      maxNullDelta: Double, maxNdvRatio: Double): DataFrame =
+    profileDrift(batchProfile,
+      graft.state.HistoryTables.readChecked(batchProfile.sparkSession,
+        refPath, graft.state.HistoryFormat.TableProfile),
+      maxNullDelta, maxNdvRatio)
+
+  /** Persist a [[tableProfile]] snapshot as the stamped reference for
+    * [[profileDriftTable]] — tiny (O(columns)) marker-stamped parquet,
+    * the same save discipline as the vocab/quantizer/clf models. */
+  def saveProfile(profile: DataFrame, path: String): Unit = {
+    profile.coalesce(1).write.mode("overwrite").parquet(path)
+    graft.state.HistoryFormat.stamp(
+      profile.sparkSession.sparkContext.hadoopConfiguration, path,
+      graft.state.HistoryFormat.TableProfile)
   }
 }

@@ -166,6 +166,16 @@ object HistoryFormat {
     "re-run Behavioral.funnelFold from None over the full event history " +
       "in event-time order and overwrite the state table")
 
+  /** Stamped table-profile reference
+    * ([[graft.operators.Profile.saveProfile]]): v1 = one long-format row
+    * per column `(column_name, n_rows, n_null, n_distinct, min_s, max_s,
+    * avg_len)` with lexical CAST-AS-STRING min/max and exact NDV. A
+    * profile under a different casting or NDV mode silently mis-reads
+    * every drift ratio. */
+  val TableProfile: Format = Format("table-profile", 1,
+    "re-profile the reference slice (Profile.tableProfile, exact NDV) " +
+      "and re-save via Profile.saveProfile")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)

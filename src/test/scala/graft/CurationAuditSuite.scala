@@ -566,6 +566,78 @@ class CurationAuditSuite extends SparkSpec {
     assert(ndv > 40L && ndv < 60L, s"approx NDV $ndv far from 50")
   }
 
+  test("profileDrift: schema movement, null-rate and NDV-density bands, " +
+    "range widening reported but not folded into drifted") {
+    val ref = Profile.tableProfile(Seq(
+      (1L, Some("en"), "aa"), (2L, Some("fr"), "bb"), (3L, Some("en"), "cc"),
+      (4L, Some("fr"), "dd")).toDF("id", "lang", "s"))
+    // batch: same size, lang 50% null (delta fires), s range widens past
+    // 'dd', one new column, id density unchanged
+    val batch = Profile.tableProfile(Seq(
+      (5L, None, "aa", 1L), (6L, None, "zz", 2L),
+      (7L, Some("en"), "bb", 3L), (8L, Some("fr"), "cc", 4L))
+      .toDF("id", "lang", "s", "extra"))
+    val out = Profile.profileDrift(batch, ref, maxNullDelta = 0.1,
+        maxNdvRatio = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("id").getString(1) === "ok" &&
+      !out("id").getAs[Boolean]("drifted") &&
+      out("id").getAs[Double]("ndv_ratio") === 1.0)
+    assert(out("lang").getAs[Double]("null_delta") === 0.5 &&
+      out("lang").getAs[Boolean]("drifted"))
+    assert(out("s").getAs[Boolean]("range_widened") &&
+      !out("s").getAs[Boolean]("drifted"),
+      "range widening is reported, not drift by itself")
+    assert(out("extra").getString(1) === "new_column" &&
+      out("extra").getAs[Boolean]("drifted"))
+    // a column the batch lost
+    val lost = Profile.profileDrift(
+      Profile.tableProfile(Seq((1L, "x")).toDF("id", "s")),
+      Profile.tableProfile(Seq((1L, "x", 2L)).toDF("id", "s", "gone")),
+      maxNullDelta = 0.1, maxNdvRatio = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(lost("gone").getString(1) === "missing_column" &&
+      lost("gone").getAs[Boolean]("drifted"))
+    // empty batch: rates 0, ratios NULL, no value-drift
+    val empty = Profile.profileDrift(
+      Profile.tableProfile(Seq((1L, "x")).toDF("id", "s").filter(lit(false))),
+      Profile.tableProfile(Seq((1L, "x")).toDF("id", "s")),
+      maxNullDelta = 0.1, maxNdvRatio = 2.0).collect()
+    assert(empty.forall(r => !r.getAs[Boolean]("drifted")),
+      "an empty batch is not drift evidence")
+  }
+
+  test("profileDrift: the stamped save/probe path enforces the " +
+    "table-profile marker and the drift->rebuild->re-probe cycle closes") {
+    withTmpDir { dir =>
+      val refPath = s"$dir/profile"
+      val refDf = Seq((1L, Some("en")), (2L, Some("fr")))
+        .toDF("id", "lang")
+      Profile.saveProfile(Profile.tableProfile(refDf), refPath)
+      val shifted = Seq((3L, None: Option[String]), (4L, None))
+        .toDF("id", "lang")
+      val d1 = Profile.profileDriftTable(Profile.tableProfile(shifted),
+        refPath, maxNullDelta = 0.2, maxNdvRatio = 4.0)
+        .filter(col("column_name") === "lang").head
+      assert(d1.getAs[Boolean]("drifted"),
+        "the shifted batch must trip drift against the stale profile")
+      // rebuild: re-stamp the profile on the shifted slice — re-probe clears
+      Profile.saveProfile(Profile.tableProfile(shifted), refPath)
+      val d2 = Profile.profileDriftTable(Profile.tableProfile(shifted),
+        refPath, maxNullDelta = 0.2, maxNdvRatio = 4.0)
+        .filter(col("column_name") === "lang").head
+      assert(!d2.getAs[Boolean]("drifted"),
+        "re-probe after rebuild must clear")
+      // stale marker refuses from the probe
+      graft.state.HistoryFormat.stamp(conf, refPath,
+        graft.state.HistoryFormat.Format("table-profile", 99, "x"))
+      val e = intercept[IllegalStateException](
+        Profile.profileDriftTable(Profile.tableProfile(shifted), refPath,
+          0.2, 4.0))
+      assert(e.getMessage.contains("Rebuild required"))
+    }
+  }
+
   test("raterAgreement/gateEval: NULL-labeled rows are excluded, so n " +
     "always equals the sum of the confusion cells") {
     // 2 labeled rows + 2 rows with a NULL on one side: n must read 2 and
