@@ -6040,6 +6040,72 @@ object Queries {
            |FROM r3 ORDER BY node""".stripMargin
       }),
 
+    // ----- warm-start (delta-edge) PageRank ---------------------------------
+    // The incremental shape: stage 1 ranks the o_orderkey < 3000
+    // subgraph from uniform, stage 2 ranks the FULL graph seeded from
+    // stage 1's answer — known nodes keep their converged rank, new
+    // nodes take the teleport share under the grown node count. All
+    // integer floor arithmetic, so the oracle unrolls BOTH stages as
+    // CTE chains (2 iterations each) and replays every division
+    // bit-for-bit, init splice included.
+    "d_page_rank_incr" -> QueryDef(
+      (s, d) => {
+        def edgesOf(filtered: DataFrame) = filtered
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+          .distinct()
+        val joined = t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        val prior = graft.operators.Curation.pageRank(
+          edgesOf(joined.filter(col("o_orderkey") < 3000L)),
+          "src", "dst", iterations = 2)
+        graft.operators.Curation.pageRankWarm(edgesOf(joined),
+            "src", "dst", prior, iterations = 2)
+          .orderBy("node")
+      },
+      Some {
+        def iter(e: String, od: String, nn: String, ns: String,
+            prev: String, out: String) =
+          s"""c$out AS (
+             |  SELECT $e.dst AS node,
+             |    CAST(SUM($prev.r9 // $od.outdeg) AS BIGINT) AS in9
+             |  FROM $e JOIN $prev ON $e.src = $prev.node
+             |  JOIN $od ON $e.src = $od.src GROUP BY 1),
+             |$out AS (
+             |  SELECT $ns.node,
+             |    (15 * (CAST(1000000000 AS BIGINT) // n) // 100)
+             |      + (85 * COALESCE(c$out.in9, 0) // 100) AS r9
+             |  FROM $ns CROSS JOIN $nn
+             |  LEFT JOIN c$out ON c$out.node = $ns.node)""".stripMargin
+        s"""WITH ej AS (
+           |  SELECT o_orderkey, l_suppkey AS src, o_custkey AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e1 AS (SELECT DISTINCT src, dst FROM ej
+           |  WHERE o_orderkey < 3000),
+           |n1 AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1)),
+           |m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM n1),
+           |d1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           |  FROM e1 GROUP BY 1),
+           |a0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS r9
+           |  FROM n1, m1),
+           |${iter("e1", "d1", "m1", "n1", "a0", "a1")},
+           |${iter("e1", "d1", "m1", "n1", "a1", "a2")},
+           |e2 AS (SELECT DISTINCT src, dst FROM ej),
+           |n2 AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)),
+           |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM n2),
+           |d2 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           |  FROM e2 GROUP BY 1),
+           |b0 AS (SELECT n2.node,
+           |    COALESCE(a2.r9, CAST(1000000000 AS BIGINT) // n) AS r9
+           |  FROM n2 CROSS JOIN m2 LEFT JOIN a2 ON a2.node = n2.node),
+           |${iter("e2", "d2", "m2", "n2", "b0", "b1")},
+           |${iter("e2", "d2", "m2", "n2", "b1", "b2")}
+           |SELECT node, CAST(r9 AS BIGINT) AS r9,
+           |  ROUND(CAST(r9 AS DOUBLE) / 1000000000, 6) AS rank
+           |FROM b2 ORDER BY node""".stripMargin
+      }),
+
     // ----- expectation-suite validation (data-quality gates) ---------------
     // Declarative per-batch rules validated in ONE aggregation pass and
     // unpivoted to one row per rule; three rules pass and three fail BY

@@ -1058,7 +1058,30 @@ object Curation {
     * arithmetic is unaffected. Output: `(node, r9, rank)` — `rank` the
     * single terminal double division, rounded at 6. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iterations, prior = None)
+
+  /** Warm-start (delta-edge) PageRank — the incremental shape: crawl
+    * graphs grow by edge batches, and re-iterating from uniform every
+    * run throws away yesterday's converged answer. `prior` is a
+    * `(node, r9)` rank table (a previous [[pageRank]]/[[pageRankWarm]]
+    * output — extra columns ignored); known nodes seed from it, NEW
+    * nodes (in today's edge set but not the prior) take the teleport
+    * share `10^9 div N` under the CURRENT node count, and the same
+    * fixed integer iterations run from that init — so a batch of new
+    * edges costs the same iterations but converges from yesterday's
+    * answer instead of from scratch. Prior nodes absent from today's
+    * graph drop (ranks are per current graph; the prior is only the
+    * seed). Identity law (suite-pinned): on a static graph a uniform
+    * prior replays [[pageRank]] bit-for-bit — warm-starting changes the
+    * INIT, never the arithmetic, so the oracle unrolls both stages as
+    * the same CTE chain. */
+  def pageRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+      prior: DataFrame, iterations: Int = 3): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iterations, prior = Some(prior))
+
+  private def pageRankCore(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int, prior: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -1069,8 +1092,21 @@ object Curation {
       .localCheckpoint()
     val nTot = nodes.agg(count(lit(1)).as("n"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.crossJoin(broadcast(nTot))
-      .select(col("node"), expr("1000000000L div n").as("r9"))
+    var ranks = prior match {
+      case None => nodes.crossJoin(broadcast(nTot))
+        .select(col("node"), expr("1000000000L div n").as("r9"))
+      case Some(p) =>
+        // seed from the prior where known, teleport share elsewhere; the
+        // localCheckpoint cuts the prior's (possibly whole-prior-run)
+        // lineage out of this run's plans
+        nodes
+          .join(p.select(col("node"), col("r9").as("__prior")),
+            Seq("node"), "left")
+          .crossJoin(broadcast(nTot))
+          .select(col("node"),
+            coalesce(col("__prior"), expr("1000000000L div n")).as("r9"))
+          .localCheckpoint()
+    }
     (1 to iterations).foreach { i =>
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))

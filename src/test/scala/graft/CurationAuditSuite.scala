@@ -492,6 +492,37 @@ class CurationAuditSuite extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("pageRankWarm: a uniform prior replays the batch run bit-for-bit, " +
+    "new nodes seed at the teleport share, absent prior nodes drop") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    // identity law: warm-start from the uniform init == cold batch
+    val uniform = Seq((1L, 333333333L), (2L, 333333333L),
+      (3L, 333333333L)).toDF("node", "r9")
+    val cold = Curation.pageRank(g, "src", "dst", iterations = 3)
+      .orderBy("node").collect()
+    val warm = Curation.pageRankWarm(g, "src", "dst", uniform,
+      iterations = 3).orderBy("node").collect()
+    assert(warm.toSeq === cold.toSeq)
+    // a grown graph: node 4 is new (edge 3->4); known nodes seed from
+    // the prior, node 4 seeds at 10^9 div 4 under the NEW count
+    val grown = g.union(Seq((3L, 4L)).toDF("src", "dst"))
+    val prior = Seq((1L, 111L), (2L, 222L), (3L, 333L), (9L, 999L))
+      .toDF("node", "r9")
+    val w1 = Curation.pageRankWarm(grown, "src", "dst", prior,
+      iterations = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N=4, base=250000000, teleport=15*250000000 div 100=37500000.
+    // node 1 <- 3 (outdeg 2 after the new edge): 85*(333 div 2) div 100=141
+    assert(w1(1L) === 37500000L + 141L)
+    // node 4 <- 3: same contribution as node 1
+    assert(w1(4L) === 37500000L + 141L)
+    // node 2 <- 1 (outdeg 2): 85*(111 div 2) div 100 = 46
+    assert(w1(2L) === 37500000L + 46L)
+    // node 3 <- 1 and 2: 85*(55+222) div 100 = 235
+    assert(w1(3L) === 37500000L + 235L)
+    // prior node 9 has no edges today -> not in the output
+    assert(!w1.contains(9L))
+  }
+
   test("validateExpectations: every rule kind counts its violations " +
     "exactly, value rules skip nulls, the empty batch passes all") {
     import graft.operators.Profile._
