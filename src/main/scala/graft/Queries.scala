@@ -228,6 +228,17 @@ object Queries {
       Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
         "m" -> "er", "a" -> "t", "l" -> "u"))
 
+  /** [[plantedBpe]] in zero-OOV byte-fallback mode (byte ids start at
+    * symbols.size + 1 = 33). */
+  private lazy val plantedBpeFb: graft.operators.Bpe.BpeModel =
+    plantedBpe.copy(byteFallback = true)
+
+  /** Out-of-alphabet plant for the byte-fallback queries: 'q' (1-byte
+    * UTF-8, outside the planted alphabet), 'é' (2-byte), '€' (3-byte),
+    * and U+1D11E MUSICAL SYMBOL G CLEF (4-byte) — every UTF-8 width
+    * reaches the hash compare. */
+  private val bpePlant = " qé€" + new String(Character.toChars(0x1D11E))
+
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB replay of [[graft.functions.BpeCodec.segment]]'s greedy
@@ -239,13 +250,55 @@ object Queries {
     * equal to classic exhaustive-per-merge application (BpeCodec's
     * equivalence note) and to the Spark expression. `nullif(...,0)`
     * because DuckDB list_position signals a miss as 0. */
-  private def bpeEncodeCtes: String = {
+  private def bpeEncodeCtes: String =
+    bpeEncodeCtesFor("text", byteFallback = false)
+
+  /** As [[bpeEncodeCtes]], over an arbitrary text expression and
+    * optionally under [[plantedBpeFb]]'s byte fallback: an id-table miss
+    * (always a single code point — merges only produce table symbols)
+    * maps to its UTF-8 byte ids, `byteBase + 1 + byte`, computed
+    * ARITHMETICALLY from the code point (the UTF-8 encoding formulas —
+    * pure integer CASE arithmetic, so the replay is engine-neutral). */
+  private def bpeEncodeCtesFor(textExpr: String,
+      byteFallback: Boolean): String = {
     val ml = plantedBpe.merges.map { case (l, r) => sqlStr(l + " " + r) }
       .mkString("[", ",", "]")
     val sl = plantedBpe.symbols.map(sqlStr).mkString("[", ",", "]")
+    val b = plantedBpeFb.byteBase + 1
+    val widsCte =
+      if (!byteFallback)
+        s"""wids AS (
+           |  SELECT w, [coalesce(nullif(list_position($sl, s), 0), 0)
+           |             FOR s IN syms] AS ids
+           |  FROM (SELECT w, syms FROM seg
+           |        QUALIFY row_number() OVER (PARTITION BY w
+           |          ORDER BY step DESC) = 1))""".stripMargin
+      else
+        s"""wids AS (
+           |  SELECT w, flatten([
+           |      CASE WHEN list_position($sl, s) > 0
+           |        THEN [list_position($sl, s)]
+           |      WHEN unicode(s) < 128 THEN [$b + unicode(s)]
+           |      WHEN unicode(s) < 2048 THEN
+           |        [$b + 192 + unicode(s) // 64,
+           |         $b + 128 + unicode(s) % 64]
+           |      WHEN unicode(s) < 65536 THEN
+           |        [$b + 224 + unicode(s) // 4096,
+           |         $b + 128 + (unicode(s) // 64) % 64,
+           |         $b + 128 + unicode(s) % 64]
+           |      ELSE
+           |        [$b + 240 + unicode(s) // 262144,
+           |         $b + 128 + (unicode(s) // 4096) % 64,
+           |         $b + 128 + (unicode(s) // 64) % 64,
+           |         $b + 128 + unicode(s) % 64] END
+           |    FOR s IN syms]) AS ids
+           |  FROM (SELECT w, syms FROM seg
+           |        QUALIFY row_number() OVER (PARTITION BY w
+           |          ORDER BY step DESC) = 1))""".stripMargin
     s"""words AS (
        |  SELECT DISTINCT w FROM (
-       |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)),
+       |    SELECT UNNEST(STRING_SPLIT($textExpr, ' ')) AS w
+       |    FROM documents)),
        |seg AS (
        |  SELECT w, [w[i] FOR i IN range(1, LEN(w)+1)] AS syms, 0 AS step
        |  FROM words
@@ -261,16 +314,11 @@ object Queries {
        |             FOR i IN range(1, LEN(syms))] AS ranks
        |          FROM seg))
        |  WHERE br < 999999),
-       |wids AS (
-       |  SELECT w, [coalesce(nullif(list_position($sl, s), 0), 0)
-       |             FOR s IN syms] AS ids
-       |  FROM (SELECT w, syms FROM seg
-       |        QUALIFY row_number() OVER (PARTITION BY w
-       |          ORDER BY step DESC) = 1)),
+       |$widsCte,
        |docw AS (
        |  SELECT doc_id, UNNEST([{'ord': i, 'wd': ws[i]}
        |      FOR i IN range(1, LEN(ws)+1)], recursive := true)
-       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+       |  FROM (SELECT doc_id, STRING_SPLIT($textExpr, ' ') AS ws
        |        FROM documents))""".stripMargin
   }
 
@@ -2941,12 +2989,21 @@ object Queries {
     // the map-only zero-exchange codegen expression; the oracle
     // replays the greedy rank rule over DISTINCT words (~31) and joins
     // back. Ids stringify via array_join (non-scalar-output rule).
+    // Byte-fallback mode (zero OOV): every document carries an
+    // out-of-alphabet plant — 'q' (outside the planted alphabet), plus
+    // 2-, 3-, and 4-byte UTF-8 code points — and the fallback encodes
+    // them as UTF-8 byte ids replayed arithmetically in SQL; n_oov must
+    // hash-check to 0 on every row. The unk (non-fallback) path stays
+    // covered by d_bpe_drift.
     "d_bpe_ids" -> QueryDef(
       (s, d) => graft.operators.Bpe.encode(
-          t(s, d, "documents"), "doc_id", "text", plantedBpe)
+          t(s, d, "documents")
+            .withColumn("text", concat(col("text"), lit(bpePlant))),
+          "doc_id", "text", plantedBpeFb)
         .withColumn("ids", array_join(col("ids"), ","))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE $bpeEncodeCtes,
+      Some(s"""WITH RECURSIVE ${bpeEncodeCtesFor(
+                s"text || ${sqlStr(bpePlant)}", byteFallback = true)},
               |flat AS (
               |  SELECT d.doc_id,
               |    flatten(LIST(list_append(i.ids, ${plantedBpe.spaceId})
@@ -4737,11 +4794,17 @@ object Queries {
     // costs proportionally more context window and trains worse. The
     // oracle reuses the greedy-encode replay (word-TYPE recursion) and
     // aggregates the same per-doc totals the drift oracle derives.
+    // Under the byte-fallback model with the out-of-alphabet plant the
+    // oov column — the number the fallback exists to drive to 0 —
+    // hash-checks to 0 for every source.
     "d_bpe_fertility" -> QueryDef(
       (s, d) => graft.operators.Bpe.fertility(
-          t(s, d, "documents"), "doc_id", "text", "source", plantedBpe)
+          t(s, d, "documents")
+            .withColumn("text", concat(col("text"), lit(bpePlant))),
+          "doc_id", "text", "source", plantedBpeFb)
         .orderBy("source"),
-      Some(s"""WITH RECURSIVE $bpeEncodeCtes,
+      Some(s"""WITH RECURSIVE ${bpeEncodeCtesFor(
+                s"text || ${sqlStr(bpePlant)}", byteFallback = true)},
               |pd AS (
               |  SELECT d.doc_id,
               |    CAST(SUM(LEN(i.ids)) + COUNT(*) - 1 AS BIGINT) AS nt,
@@ -4750,7 +4813,8 @@ object Queries {
               |  FROM docw d JOIN wids i ON d.wd = i.w
               |  GROUP BY d.doc_id),
               |j AS (SELECT doc.source, pd.nt, pd.oo,
-              |    CAST(LEN(STRING_SPLIT(doc.text, ' ')) AS BIGINT) AS nw
+              |    CAST(LEN(STRING_SPLIT(doc.text || ${sqlStr(bpePlant)},
+              |      ' ')) AS BIGINT) AS nw
               |  FROM pd JOIN documents doc USING (doc_id))
               |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(SUM(nw) AS BIGINT) AS n_words,

@@ -81,9 +81,16 @@ object BpeCodec {
 
   /** Full-document encode (called reflectively from generated java):
     * words segment independently; `spaceId` interleaves between words
-    * (including around empty words, so decode is byte-exact). */
+    * (including around empty words, so decode is byte-exact).
+    *
+    * `byteBase >= 0` enables GPT-2-style byte-level fallback — the
+    * zero-OOV mode: a symbol outside the id table (always a single code
+    * point; merges only ever produce table symbols) emits one id per
+    * UTF-8 byte, `byteBase + 1 + byte`, instead of `unk`. Every string
+    * is then encodable and [[decodeIds]] reassembles it byte-exactly —
+    * the difference between a demo tokenizer and a trainer-real one. */
   def encodeIds(text: UTF8String, ranks: Ranks, ids: Ids, spaceId: Int,
-      unk: Int): ArrayData = {
+      unk: Int, byteBase: Int): ArrayData = {
     val s = text.toString
     val n = s.length
     val b = new scala.collection.mutable.ArrayBuilder.ofInt
@@ -96,7 +103,17 @@ object BpeCodec {
         var k = 0
         while (k < seg.size) {
           val id = ids.get(seg.get(k))
-          b += (if (id == null) unk else id.intValue)
+          if (id != null) b += id.intValue
+          else if (byteBase < 0) b += unk
+          else {
+            val bytes = seg.get(k)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var m = 0
+            while (m < bytes.length) {
+              b += byteBase + 1 + (bytes(m) & 0xFF)
+              m += 1
+            }
+          }
           k += 1
         }
         if (i < n) b += spaceId
@@ -105,6 +122,28 @@ object BpeCodec {
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(b.result())
+  }
+
+  /** Byte-exact decode (called reflectively from generated java): table
+    * ids append their symbol's UTF-8 bytes, byte-fallback ids append
+    * their single byte (so multi-byte code points reassemble exactly),
+    * anything else appends `unkBytes`. The assembly works in BYTES —
+    * a string-concat decode cannot represent a lone continuation byte. */
+  def decodeIds(ids: ArrayData, symBytes: Array[Array[Byte]],
+      byteBase: Int, unkBytes: Array[Byte]): UTF8String = {
+    val n = ids.numElements()
+    val out = new java.io.ByteArrayOutputStream(n * 2)
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id >= 1 && id <= symBytes.length)
+        out.write(symBytes(id - 1), 0, symBytes(id - 1).length)
+      else if (byteBase >= 0 && id > byteBase && id <= byteBase + 256)
+        out.write(id - byteBase - 1)
+      else out.write(unkBytes, 0, unkBytes.length)
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
   }
 
   /** Segmentation of ONE word as an array of symbol strings — the
@@ -133,7 +172,8 @@ object BpeCodec {
 
 /** text → array<int> of BPE token ids (see [[BpeCodec]]). */
 case class BpeIdsExpr(child: Expression, ranks: BpeCodec.Ranks,
-    ids: BpeCodec.Ids, spaceId: Int, unk: Int) extends UnaryExpression {
+    ids: BpeCodec.Ids, spaceId: Int, unk: Int, byteBase: Int)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -148,7 +188,8 @@ case class BpeIdsExpr(child: Expression, ranks: BpeCodec.Ranks,
     }
 
   override def nullSafeEval(input: Any): Any =
-    BpeCodec.encodeIds(input.asInstanceOf[UTF8String], ranks, ids, spaceId, unk)
+    BpeCodec.encodeIds(input.asInstanceOf[UTF8String], ranks, ids, spaceId,
+      unk, byteBase)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = BpeCodec.getClass.getName.stripSuffix("$") + "$.MODULE$"
@@ -158,7 +199,7 @@ case class BpeIdsExpr(child: Expression, ranks: BpeCodec.Ranks,
     nullSafeCodeGen(ctx, ev, a => {
       s"""
          |${ev.value} = (${classOf[ArrayData].getName}) $helper.encodeIds(
-         |  $a, $ranksRef, $idsRef, $spaceId, $unk);
+         |  $a, $ranksRef, $idsRef, $spaceId, $unk, $byteBase);
        """.stripMargin
     })
   }
@@ -167,6 +208,47 @@ case class BpeIdsExpr(child: Expression, ranks: BpeCodec.Ranks,
     copy(child = newChild)
 
   override def prettyName: String = "bpe_ids"
+}
+
+/** array<int> of BPE ids → text, byte-exact under byte fallback (see
+  * [[BpeCodec.decodeIds]]). */
+case class BpeDecodeExpr(child: Expression, symBytes: Array[Array[Byte]],
+    byteBase: Int, unkToken: String) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_decode requires array<int> input, got $other")
+    }
+
+  private lazy val unkBytes =
+    unkToken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCodec.decodeIds(input.asInstanceOf[ArrayData], symBytes, byteBase,
+      unkBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = BpeCodec.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val symsRef = ctx.addReferenceObj("bpeSymBytes", symBytes, "byte[][]")
+    val unkRef = ctx.addReferenceObj("bpeUnkBytes", unkBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $helper.decodeIds($a, $symsRef, $byteBase, $unkRef);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_decode"
 }
 
 /** word → array<string> of BPE symbols under a merge table — the
@@ -209,11 +291,23 @@ case class BpeSymbolsExpr(child: Expression, ranks: BpeCodec.Ranks)
 
 object BpeFunctions {
   /** Codegen'd BPE encode: text → 1-based ids under `symbols` order,
-    * `unk` for unknown symbols, `spaceId` between words. */
+    * `unk` for unknown symbols, `spaceId` between words. `byteBase >= 0`
+    * switches unknowns to UTF-8 byte-fallback ids (zero OOV). */
   def bpeIds(text: Column, merges: Seq[(String, String)],
-      symbols: Seq[String], spaceId: Int, unk: Int): Column =
+      symbols: Seq[String], spaceId: Int, unk: Int,
+      byteBase: Int = -1): Column =
     Bridge.column(BpeIdsExpr(Bridge.expression(text),
-      BpeCodec.ranksMap(merges), BpeCodec.idsMap(symbols), spaceId, unk))
+      BpeCodec.ranksMap(merges), BpeCodec.idsMap(symbols), spaceId, unk,
+      byteBase))
+
+  /** Codegen'd byte-exact BPE decode — the inverse of [[bpeIds]]
+    * (fallback byte ids reassemble multi-byte code points exactly). */
+  def bpeDecode(ids: Column, symbols: Seq[String], byteBase: Int,
+      unkToken: String): Column =
+    Bridge.column(BpeDecodeExpr(Bridge.expression(ids),
+      symbols.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .toArray,
+      byteBase, unkToken))
 
   /** Codegen'd BPE segmentation of a single word column. */
   def bpeSymbols(word: Column, merges: Seq[(String, String)]): Column =

@@ -34,9 +34,18 @@ object Bpe {
     * `baseSymbols ++ merges` concatenations; id 0 is reserved for
     * `unk`. `baseSymbols` are single code points, sorted, and include
     * the `" "` word separator (so documents round-trip byte-exactly
-    * through encode→decode). */
+    * through encode→decode).
+    *
+    * `byteFallback = true` is the GPT-2-style zero-OOV mode: ids
+    * `symbols.size + 1 .. symbols.size + 256` are UTF-8 BYTE ids, and a
+    * code point outside the base alphabet encodes as its byte sequence
+    * instead of `unk` — every UTF-8 string becomes encodable and the
+    * round trip is byte-exact on arbitrary input (property-pinned), the
+    * difference between a demo tokenizer and a trainer-real one. The
+    * flag is part of the persisted format (the id space grows by 256);
+    * [[vocabSize]] is what an embedding table must allocate. */
   final case class BpeModel(baseSymbols: Seq[String],
-      merges: Seq[(String, String)]) {
+      merges: Seq[(String, String)], byteFallback: Boolean = false) {
     require(baseSymbols.nonEmpty, "BPE model needs a base alphabet")
     require(baseSymbols == baseSymbols.distinct.sorted,
       "base symbols must be sorted and distinct (ids are positional — an " +
@@ -74,6 +83,14 @@ object Bpe {
       val i = symbols.indexOf(sym)
       if (i < 0) None else Some(i + 1)
     }
+
+    /** Byte-id origin for the codegen encode/decode: byte `b` maps to
+      * id `byteBase + 1 + b`; −1 disables fallback. */
+    val byteBase: Int = if (byteFallback) symbols.size else -1
+
+    /** Ids an embedding table must cover: unk + symbols (+ 256 byte ids
+      * under fallback). */
+    val vocabSize: Int = 1 + symbols.size + (if (byteFallback) 256 else 0)
   }
 
   /** Reserved id for unknown symbols (characters outside the base
@@ -123,41 +140,44 @@ object Bpe {
     * distinct code points (plus the `" "` separator), sorted; merges
     * come from [[trainMerges]]. The alphabet collect is the model
     * itself — O(charset), corpus-size-independent. */
-  def train(ref: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+  def train(ref: DataFrame, textCol: String, numMerges: Int,
+      byteFallback: Boolean = false): BpeModel = {
     val chars = ref
       .select(explode(split(col(textCol), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
       .select(explode(BpeFunctions.bpeSymbols(col("w"), Seq.empty)).as("ch"))
       .distinct().collect().map(_.getString(0))
     val base = (chars.toSeq :+ " ").distinct.sorted
-    BpeModel(base, trainMerges(ref, textCol, numMerges).map(m => (m._1, m._2)))
+    BpeModel(base, trainMerges(ref, textCol, numMerges).map(m => (m._1, m._2)),
+      byteFallback)
   }
 
   /** Map every document to its BPE id sequence — `(id, ids, n_tokens,
     * n_oov)`, the [[Curation.tokenizeToIds]] shape so the packing/FIM/
-    * export tail composes unchanged. Map-only, zero exchanges. */
+    * export tail composes unchanged. Map-only, zero exchanges. Under a
+    * byte-fallback model `n_oov` is 0 by construction — the fertility
+    * report's oov column measures exactly the gap the fallback closes. */
   def encode(df: DataFrame, idCol: String, textCol: String,
       model: BpeModel): DataFrame =
     df.select(col(idCol),
         BpeFunctions.bpeIds(col(textCol), model.merges, model.symbols,
-          model.spaceId, Unk).as("ids"))
+          model.spaceId, Unk, model.byteBase).as("ids"))
       .select(col(idCol), col("ids"),
         size(col("ids")).cast("long").as("n_tokens"),
         size(filter(col("ids"), x => x === lit(Unk))).cast("long").as("n_oov"))
 
   /** Decode direction: ids back to text. Space ids ARE symbols (`" "`),
-    * so plain concatenation restores the document byte-exactly when no
-    * id is `unk`; unknown ids render as `unkToken` (U+FFFD by default —
-    * visibly lossy, like every real tokenizer's decode of unk).
-    * Round trip: for text whose code points are all in the base
-    * alphabet, `decode(encode(text)) == text` (property-pinned). */
+    * so concatenation restores the document byte-exactly when no id is
+    * `unk`; unknown ids render as `unkToken` (U+FFFD by default —
+    * visibly lossy, like every real tokenizer's decode of unk). The
+    * assembly is the byte-level codegen expression, so under a
+    * byte-fallback model the fallback ids reassemble their multi-byte
+    * code points exactly. Round trip: all-in-alphabet text round-trips
+    * under any model; ARBITRARY UTF-8 round-trips under
+    * `byteFallback = true` (both property-pinned). */
   def decode(ids: Column, model: BpeModel,
-      unkToken: String = "�"): Column = {
-    val table = model.symbols
-    array_join(transform(ids, id =>
-      when(id >= 1 && id <= table.size, element_at(typedlit(table), id))
-        .otherwise(lit(unkToken))), "")
-  }
+      unkToken: String = "�"): Column =
+    BpeFunctions.bpeDecode(ids, model.symbols, model.byteBase, unkToken)
 
   /** Persist a model as a tiny parquet table inside `path`, stamped
     * with the [[HistoryFormat.BpeMerges]] marker (the id space is a
@@ -172,7 +192,13 @@ object Bpe {
     val mergeRows = model.merges.zipWithIndex.map { case ((l, r), i) =>
       (model.baseSymbols.size + i, "merge", l, r)
     }
-    (baseRows ++ mergeRows).toDF("ord", "kind", "left", "right")
+    // the fallback flag is model state, not a symbol: a dedicated `opt`
+    // row (ord -1 sorts before every symbol row). Flagless tables load
+    // as byteFallback = false, so pre-fallback saves stay readable.
+    val optRows =
+      if (model.byteFallback) Seq((-1, "opt", "byte_fallback", "true"))
+      else Seq.empty
+    (optRows ++ baseRows ++ mergeRows).toDF("ord", "kind", "left", "right")
       .coalesce(1).write.mode("overwrite").parquet(path)
     HistoryFormat.stamp(spark.sparkContext.hadoopConfiguration, path,
       HistoryFormat.BpeMerges)
@@ -188,7 +214,9 @@ object Bpe {
     val base = rows.filter(_.getString(1) == "base").map(_.getString(2)).toSeq
     val merges = rows.filter(_.getString(1) == "merge")
       .map(r => (r.getString(2), r.getString(3))).toSeq
-    BpeModel(base, merges)
+    val byteFallback = rows.exists(r => r.getString(1) == "opt" &&
+      r.getString(2) == "byte_fallback" && r.getString(3) == "true")
+    BpeModel(base, merges, byteFallback)
   }
 
   /** Model-staleness signal for a new batch — the [[Curation.vocabDrift]]

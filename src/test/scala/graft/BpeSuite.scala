@@ -144,6 +144,67 @@ class BpeSuite extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq == Seq(4L, 2L, 0L))
   }
 
+  test("byte fallback: arbitrary UTF-8 round-trips byte-exactly with " +
+    "zero OOV, and in-alphabet encoding is unchanged") {
+    import spark.implicits._
+    val model = BpeModel(alpha, Seq("e" -> "r", "s" -> "t"),
+      byteFallback = true)
+    // code points across every UTF-8 width (skip the surrogate range —
+    // lone surrogates are not valid strings)
+    val cpGen = Gen.oneOf(
+      Gen.chooseNum(0x20, 0x7E), Gen.chooseNum(0xA0, 0x7FF),
+      Gen.chooseNum(0x800, 0xD7FF), Gen.chooseNum(0x10000, 0x10FFFF))
+    val strGen = Gen.listOfN(12, cpGen)
+      .map(cps => new String(cps.toArray.flatMap(Character.toChars)))
+    forAllSampled(Gen.listOfN(8, strGen), 10) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = Bpe.encode(df, "id", "text", model)
+        .join(df, "id")
+        .select(col("id"), col("n_oov"),
+          (Bpe.decode(col("ids"), model) === col("text")).as("ok"))
+        .collect()
+      assert(got.forall(_.getLong(1) == 0L), "byte fallback leaves no OOV")
+      assert(got.forall(_.getBoolean(2)),
+        "decode(encode(text)) must be byte-exact on arbitrary UTF-8")
+    }
+    // the fallback never perturbs in-alphabet encoding: same ids as the
+    // unk model on covered text, byte ids confined to the byte range
+    val plain = model.copy(byteFallback = false)
+    val txt = Seq((1L, "ster era  wow"), (2L, "qé€ st"))
+      .toDF("id", "text")
+    val a = Bpe.encode(txt, "id", "text", model)
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    val b = Bpe.encode(txt, "id", "text", plain)
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    assert(a(0) === b(0), "covered text encodes identically")
+    val nSyms = model.symbols.size
+    assert(a(1).forall(id => id >= 1 && id <= nSyms + 256),
+      "fallback ids confined to (nSyms, nSyms + 256]")
+    assert(a(1).exists(id => id > nSyms), "plants must use byte ids")
+    assert(!a(1).contains(Bpe.Unk), "fallback leaves no unk")
+    // é = 2 bytes, € = 3 bytes, q = 1 byte: the unk model saw 3 unk
+    // symbols, the fallback spends 6 byte ids for the same word
+    assert(b(1).count(_ == Bpe.Unk) == 3 &&
+      a(1).length == b(1).length + 3)
+  }
+
+  test("byte fallback flag persists and flagless legacy tables load " +
+    "as unk models") {
+    withTmpDir { dir =>
+      val fb = BpeModel(alpha, Seq("e" -> "r"), byteFallback = true)
+      Bpe.save(spark, s"$dir/fb", fb)
+      val loaded = Bpe.load(spark, s"$dir/fb")
+      assert(loaded == fb && loaded.byteFallback &&
+        loaded.byteBase == fb.symbols.size &&
+        loaded.vocabSize == 1 + fb.symbols.size + 256)
+      val plain = fb.copy(byteFallback = false)
+      Bpe.save(spark, s"$dir/plain", plain)
+      assert(!Bpe.load(spark, s"$dir/plain").byteFallback,
+        "a save without the opt row loads as a plain unk model")
+    }
+  }
+
   test("model persists, reloads equal, and refuses a stale format") {
     withTmpDir { dir =>
       val model = Bpe.train(docs.limit(40), "text", 6)
