@@ -2399,10 +2399,81 @@ object Queries {
       }),
 
     // ----- MinHash-LSH near-dup pairs (rows-only: not ANSI-expressible) ---
+    // FINDING (closes the oracle question): the production hash is XXH64
+    // — 4-lane 32-byte stripes, 64-bit rotations, signed wraparound —
+    // which no ANSI engine replays, so THIS row stays rows-only with its
+    // recall gate. The LSH banding structure itself IS hash-checked:
+    // d_minhash_pairs_poly below runs the identical algorithm under the
+    // portable poly-31 family and replays bit-for-bit in DuckDB.
     "d_minhash_pairs" -> QueryDef(
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.2).orderBy("id_a", "id_b"),
       None),
+
+    // ----- MinHash-LSH pairs under the portable hash family (ORACLE) ------
+    // Same shingles, same k/bands, same bounded-bucket cap, same
+    // exact-Jaccard verify as d_minhash_pairs — only the per-shingle hash
+    // swaps to the poly-31 modular fold and band keys become the
+    // signature-slice strings, so DuckDB replays the whole banding
+    // pipeline: fold → Kirsch-Mitzenmacher minima → band buckets →
+    // in-bucket pairs → set-Jaccard ≥ threshold.
+    "d_minhash_pairs_poly" -> QueryDef(
+      (s, d) => Dedup.minhashLshPairsPortable(t(s, d, "documents"),
+        "doc_id", "text", threshold = 0.2).orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id AS id, text, STRING_SPLIT(text, ' ') AS ws
+             |  FROM documents),
+             |sh AS (
+             |  SELECT id, CASE WHEN LEN(ws) < 3
+             |      THEN [ARRAY_TO_STRING(ws, ' ')]
+             |      ELSE [ARRAY_TO_STRING(ws[i:i+2], ' ')
+             |            FOR i IN RANGE(1, LEN(ws) - 1)] END AS sgs
+             |  FROM tok),
+             |hs AS (
+             |  SELECT id, [{'h1': LIST_REDUCE(
+             |      LIST_PREPEND(CAST(0 AS BIGINT),
+             |        [CAST(ascii(c) AS BIGINT)
+             |         FOR c IN STRING_SPLIT(s, '')]),
+             |      (h, cp) -> (h * 31 + cp) % 1048573),
+             |    'h2': LIST_REDUCE(
+             |      LIST_PREPEND(CAST(0 AS BIGINT),
+             |        [CAST(ascii(c) AS BIGINT)
+             |         FOR c IN STRING_SPLIT(s, '')]),
+             |      (h, cp) -> (h * 31 + cp) % 524287) * 2 + 1}
+             |    FOR s IN sgs] AS hps
+             |  FROM sh),
+             |sig AS (
+             |  SELECT id, [LIST_MIN([p.h1 + i * p.h2 FOR p IN hps])
+             |              FOR i IN RANGE(0, 16)] AS sg
+             |  FROM hs),
+             |bk AS (
+             |  SELECT id, UNNEST([{'band': b,
+             |      'key': ARRAY_TO_STRING(sg[b*4+1:b*4+4], ',')}
+             |    FOR b IN RANGE(0, 4)], recursive := true)
+             |  FROM sig),
+             |bb AS (
+             |  SELECT band, key, id FROM bk
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, key
+             |    ORDER BY id) <= 4096),
+             |pairs AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             |  FROM bb a JOIN bb b
+             |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+             |jac AS (
+             |  SELECT p.id_a, p.id_b,
+             |    LEN(LIST_FILTER(LIST_DISTINCT(sa.sgs),
+             |      x -> LIST_CONTAINS(sb.sgs, x))) AS inter,
+             |    LEN(LIST_DISTINCT(sa.sgs || sb.sgs)) AS uni
+             |  FROM pairs p
+             |  JOIN sh sa ON sa.id = p.id_a
+             |  JOIN sh sb ON sb.id = p.id_b)
+             |SELECT id_a, id_b,
+             |  ROUND(CASE WHEN uni = 0 THEN 0.0
+             |    ELSE CAST(inter AS DOUBLE) / uni END, 4) AS jaccard
+             |FROM jac
+             |WHERE ROUND(CASE WHEN uni = 0 THEN 0.0
+             |  ELSE CAST(inter AS DOUBLE) / uni END, 4) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ----- SimHash near-dup pairs (rows-only) -----------------------------
     "d_simhash_pairs" -> QueryDef(

@@ -126,6 +126,67 @@ object Dedup {
         graft.functions.FusedMinHashFunctions.minhashWordShingles(_, shingleWords, k)),
       maxBucket = maxBucket)
 
+  /** [[minhashLshPairs]] under a PORTABLE hash family — the oracle-
+    * checkable parameterization of the banding structure. The production
+    * path's XXH64 mix (4-lane 32-byte stripes, 64-bit rotations, signed
+    * wraparound) is not reasonably ANSI-expressible, which is WHY
+    * `d_minhash_pairs` is rows-only; this variant swaps in the repo's
+    * portable poly-31 modular fold (the d_quality_clf recipe) for the
+    * per-shingle hash — `h1 = fold mod mod1`, stride `h2 = 2·(fold mod
+    * mod2) + 1` (odd, so the Kirsch-Mitzenmacher walk never degenerates),
+    * `hash_i = h1 + i·h2` all under 2^26 (no engine wraps) — and uses
+    * the signature slice STRING as the band key (bit-exact bucket
+    * equality; no hash in the key path at all). Everything else is the
+    * same algorithm, same bounded-bucket cap, same exact-Jaccard verify —
+    * so a green hash-check here certifies the LSH structure itself, and
+    * the recall gates cover the production hash family.
+    *
+    * Scale shape: identical to [[minhashLshPairs]] (one signature scan,
+    * one (band, key) exchange, id-join verify); the poly fold is an
+    * interpreted HOF, so the FUSED xxhash path remains the 100 TB
+    * default — this one exists for cross-engine certification. */
+  def minhashLshPairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      mod1: Long = 1048573L,
+      mod2: Long = 524287L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(mod1 > 0 && mod2 > 0 &&
+      mod1 + k.toLong * (2 * mod2 + 1) < (1L << 40),
+      "hash family must stay far below 2^63 — no engine may wrap")
+    val rowsPerBand = k / bands
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    def fold(s: Column, m: Long): Column =
+      aggregate(split(s, ""), lit(0L),
+        (h, c) => (h * 31 + ascii(c)) % m)
+    val hs = transform(wordShingles(col("text"), shingleWords),
+      s => struct(fold(s, mod1).as("h1"),
+        (fold(s, mod2) * 2 + 1).as("h2")))
+    val sig = array((0 until k).map(i =>
+      array_min(transform(col("__hs"),
+        p => p.getField("h1") + lit(i.toLong) * p.getField("h2")))): _*)
+    val keys = array((0 until bands).map(b =>
+      concat_ws(",",
+        slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val bandRows = base
+      .withColumn("__hs", hs)
+      .withColumn("__sig", sig)
+      .select(col("id"), posexplode(keys).as(Seq("band", "key")))
+    val shOf = (c: Column) => wordShingles(c, shingleWords)
+    candidatePairs(bandRows, Seq("band", "key"), maxBucket)
+      .join(base.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(shOf(col("t_a")), shOf(col("t_b"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** LSH near-dup pair search generalized over the shingling function
     * (word n-grams, character n-grams, …). `sigFn`, when given, computes the
     * k-entry MinHash signature straight from the text (the fused

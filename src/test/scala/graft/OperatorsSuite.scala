@@ -683,6 +683,27 @@ class DedupSuite extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 9L))
   }
 
+  test("portable-hash minhash LSH catches planted near-dups, misses " +
+    "nothing the production family catches on identical text, and every " +
+    "emitted pair clears the verified-Jaccard threshold") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base), (2L, base + " tail"), (3L, base),
+      (9L, "completely different text about spark catalyst plans and logs"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsPortable(df, "doc_id", "text",
+      threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // identical docs share every band key — the pair is guaranteed
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) === 1.0)
+    assert(pairs.contains((1L, 2L)), "planted near-dup must bucket together")
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    assert(pairs.values.forall(_ >= 0.3),
+      "every emitted pair is Jaccard-verified")
+    assert(!pairs.keySet.exists(p => p._1 == 9L || p._2 == 9L),
+      "the unrelated doc must not pair")
+  }
+
   test("simhash pairs finds near duplicates within hamming budget") {
     val base = "spark is a distributed engine for large scale data processing with catalyst"
     val near = base.replace("large", "big")
