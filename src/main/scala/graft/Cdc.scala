@@ -158,20 +158,26 @@ object Cdc {
       .map(c => coalesce(c === "delete", lit(false)))
       .getOrElse(lit(false))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(versionCol.asc)
-    val nextV = lead(versionCol, 1).over(w)
-    val validTo = when(nextV === versionCol,
-      raise_error(concat(lit("scd2: duplicate (key, version) change — " +
-          "versionCol must be totally ordered within a key; offending " +
-          "key: "), concat_ws(",", keys.map(k => col(k).cast("string")): _*),
-        lit(" version: "), versionCol.cast("string"))))
-      .otherwise(nextV) // raise_error's NullType branch coerces to nextV's
+    // the duplicate guard lives in the FILTER predicate, not a projected
+    // column: a projected guard on valid_to would let Catalyst push the
+    // !__del filter between the Window and the guard projection, so a
+    // duplicate observed only by a DELETE row (which the filter removes)
+    // would silently escape — the filter predicate itself references the
+    // window output, cannot move below it, and evaluates for EVERY row
     changes
       .withColumn("__del", isDelete)
       .withColumn("valid_from", versionCol)
-      .withColumn("valid_to", validTo)
-      .filter(!col("__del"))
+      .withColumn("__next", lead(versionCol, 1).over(w))
+      .filter(when(col("__next") === versionCol,
+        raise_error(concat(lit("scd2: duplicate (key, version) change — " +
+            "versionCol must be totally ordered within a key; offending " +
+            "key: "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+          lit(" version: "), versionCol.cast("string"))).cast("boolean"))
+        .otherwise(!col("__del")))
+      .withColumn("valid_to", col("__next"))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("__del")
+      .drop("__del", "__next")
   }
 
   /** The three interval columns [[scd2]] adds to the payload. */
@@ -213,13 +219,17 @@ object Cdc {
     * a batch touching 0.1% of keys re-windows 0.1% of open rows. */
   def scd2Merge(dim: DataFrame, changes: DataFrame, keys: Seq[String],
       versionCol: String, changeTypeCol: Option[String] = None): DataFrame = {
+    // ONE touched-key distinct and ONE dim semi-join, shared by the
+    // carried-closed branch and the rebuild (identical subtrees, so
+    // exchange reuse deduplicates them physically) — building them per
+    // consumer would shuffle the batch and scan the dimension repeatedly
     val touched = changes.select(keys.map(col): _*).distinct()
+    val dimTouched = dim.join(touched, keys, "left_semi")
     val untouched = dim.join(touched, keys, "left_anti")
-    val closedTouched = dim.join(touched, keys, "left_semi")
-      .filter(!col("is_current"))
+    val closedTouched = dimTouched.filter(!col("is_current"))
     untouched
       .unionByName(closedTouched)
-      .unionByName(scd2Rebuilt(dim, changes, keys, versionCol,
+      .unionByName(scd2Rebuilt(dimTouched, changes, keys, versionCol,
         changeTypeCol))
   }
 
@@ -233,33 +243,36 @@ object Cdc {
     * dimension rewrite. */
   def scd2MergeChanges(dim: DataFrame, changes: DataFrame,
       keys: Seq[String], versionCol: String,
-      changeTypeCol: Option[String] = None): DataFrame =
-    scd2Rebuilt(dim, changes, keys, versionCol, changeTypeCol)
+      changeTypeCol: Option[String] = None): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    scd2Rebuilt(dim.join(touched, keys, "left_semi"), changes, keys,
+      versionCol, changeTypeCol)
+  }
 
-  /** Shared rebuild of [[scd2Merge]]: guard the batch against late
+  /** Shared rebuild of [[scd2Merge]] over the ALREADY-RESTRICTED
+    * touched-key slice of the dimension: guard the batch against late
     * versions, fold touched keys' open rows back into change form, and
     * re-run the [[scd2]] window over open + batch. */
-  private def scd2Rebuilt(dim: DataFrame, changes: DataFrame,
+  private def scd2Rebuilt(dimTouched: DataFrame, changes: DataFrame,
       keys: Seq[String], versionCol: String,
       changeTypeCol: Option[String]): DataFrame = {
     require(keys.nonEmpty, "scd2Merge needs at least one key column")
-    Scd2MetaCols.foreach(c => require(dim.columns.contains(c),
+    Scd2MetaCols.foreach(c => require(dimTouched.columns.contains(c),
       s"scd2Merge: dim is not an SCD2 table — missing '$c'"))
-    require(!dim.columns.contains(versionCol),
+    require(!dimTouched.columns.contains(versionCol),
       s"scd2Merge: versionCol '$versionCol' must not be a dim payload " +
         "column (the chain version reconstructs from valid_from)")
     require(changes.columns.contains(versionCol),
       s"scd2Merge: changes are missing versionCol '$versionCol'")
-    val payload = dim.columns.filterNot(Scd2MetaCols.contains).toSeq
+    val payload = dimTouched.columns.filterNot(Scd2MetaCols.contains).toSeq
     val typeName = changeTypeCol.getOrElse("__scd2_type")
     changeTypeCol.foreach(c => require(changes.columns.contains(c),
       s"scd2Merge: changes are missing changeTypeCol '$c'"))
 
-    val touched = changes.select(keys.map(col): _*).distinct()
     // newest recorded boundary per touched key: the open row's
     // valid_from, or the closing delete's version when the chain is
     // fully closed
-    val bounds = dim.join(touched, keys, "left_semi")
+    val bounds = dimTouched
       .groupBy(keys.map(col): _*)
       .agg(max(coalesce(col("valid_to"), col("valid_from"))).as("__bound"))
     val guarded = changes
@@ -277,7 +290,7 @@ object Cdc {
             lit("); CDC batches must arrive version-ordered"))))
           .otherwise(col(versionCol)))
       .drop("__bound")
-    val openAsChanges = dim.join(touched, keys, "left_semi")
+    val openAsChanges = dimTouched
       .filter(col("is_current"))
       .select((payload.map(col) :+ col("valid_from").as(versionCol) :+
         lit(null).cast("string").as(typeName)): _*)

@@ -5579,8 +5579,8 @@ object Queries {
            |  FROM j),
            |m AS (
            |  SELECT *,
-           |    CASE WHEN status = 'ok' THEN ROUND(ABS(nb - nr), 4) END
-           |      AS null_delta,
+           |    CASE WHEN status = 'ok' AND rb > 0
+           |      THEN ROUND(ABS(nb - nr), 4) END AS null_delta,
            |    CASE WHEN status = 'ok' AND ndv_batch IS NOT NULL
            |        AND ndv_ref IS NOT NULL AND ndv_ref > 0
            |        AND rb > 0 AND rr > 0
@@ -5600,7 +5600,7 @@ object Queries {
            |  COALESCE(ndv_ratio, -1.0) AS ndv_ratio,
            |  status = 'ok' AND COALESCE(mnb < mnr OR mxb > mxr, FALSE)
            |    AS range_widened,
-           |  CASE WHEN status = 'ok' AND lr > 0
+           |  CASE WHEN status = 'ok' AND lr > 0 AND rb > 0
            |    THEN ROUND(lb / lr, 4) ELSE -1.0 END AS len_ratio,
            |  (status <> 'ok' OR COALESCE(null_delta > 0.05, FALSE)
            |    OR COALESCE(ndv_ratio > 2.0 OR ndv_ratio * 2.0 < 1.0,

@@ -132,9 +132,13 @@ object Behavioral {
           col("__bmin") :+ col("__bmax"): _*)
     }
     // out-of-order batch = silent corruption of closed stage decisions →
-    // refuse loudly; the guard rides the new max_ts so it cannot prune
-    val guarded = base.withColumn("max_ts",
-      when(col("__bmin") < col("max_ts"),
+    // refuse loudly. The guard is a FILTER predicate, not a projected
+    // column: a guard riding a projected column (say max_ts) would be
+    // deleted by column pruning whenever the consumer doesn't read it —
+    // funnelReport reads only t1..tk, exactly that shape. A filter
+    // evaluates for every row and cannot prune.
+    val guarded = base
+      .filter(when(col("__bmin") < col("max_ts"),
         raise_error(concat(
           lit("funnelFold: out-of-order batch — user "),
           col("user_id").cast("string"), lit(" has a batch event at "),
@@ -142,10 +146,11 @@ object Behavioral {
           lit(" older than the folded watermark "),
           col("max_ts").cast("string"),
           lit("; feed batches in event-time order or rebuild the " +
-            "funnel state from the full stream"))))
-        // greatest skips NULLs: a state-only user keeps max_ts, a new
-        // user takes the batch envelope
-        .otherwise(greatest(col("max_ts"), col("__bmax"))))
+            "funnel state from the full stream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      // greatest skips NULLs: a state-only user keeps max_ts, a new
+      // user takes the batch envelope
+      .withColumn("max_ts", greatest(col("max_ts"), col("__bmax")))
     val folded = (1 to k).foldLeft(guarded) { (cur, i) =>
       val cand = {
         val staged = ev.filter(col("__type") === stages(i - 1))
@@ -165,6 +170,13 @@ object Behavioral {
       col("max_ts"): _*)
   }
 
+  /** Resolve a report column whose NAME embeds a caller stage string —
+    * dotted event-type names (`page.view`) are standard in product
+    * analytics, and a bare `col("n_page.view")` would parse as struct
+    * access (the [[Profile]] topCol rule). */
+  private def nCol(stage: String) =
+    col("`n_" + stage.replace("`", "``") + "`")
+
   /** The funnel report from the per-user stage state: one row of stage
     * counts (`n_<stage>`) plus step conversions (`<prev>_to_<next>`) and
     * the end-to-end `full_funnel` ratio — exact longs, one rounded
@@ -177,24 +189,70 @@ object Behavioral {
       count(col(tCol(1))).as(s"n_${stages.head}"),
       (2 to k).map(i => count(col(tCol(i))).as(s"n_${stages(i - 1)}")): _*)
     val steps = (1 until k).map { i =>
-      round(col(s"n_${stages(i)}").cast("double") /
-        greatest(col(s"n_${stages(i - 1)}"), lit(1L)), 4)
+      round(nCol(stages(i)).cast("double") /
+        greatest(nCol(stages(i - 1)), lit(1L)), 4)
         .as(s"${stages(i - 1)}_to_${stages(i)}")
     }
     val full =
       if (k == 1) Seq.empty
-      else Seq(round(col(s"n_${stages(k - 1)}").cast("double") /
-        greatest(col(s"n_${stages.head}"), lit(1L)), 4).as("full_funnel"))
-    counts.select(stages.map(s => col(s"n_$s")) ++ steps ++ full: _*)
+      else Seq(round(nCol(stages(k - 1)).cast("double") /
+        greatest(nCol(stages.head), lit(1L)), 4).as("full_funnel"))
+    counts.select(stages.map(nCol) ++ steps ++ full: _*)
+  }
+
+  /** Sidecar file recording WHICH stage list a persisted funnel state
+    * was built for — the [[graft.state.HistoryFormat.FunnelStages]]
+    * marker guards the derivation SHAPE, but two same-arity stage lists
+    * (view/click/purchase vs signup/activate/pay) produce
+    * indistinguishable `t1..tk` schemas, and folding one against the
+    * other silently corrupts every decision. */
+  private val StagesFile = "_graft_funnel_stages.json"
+
+  /** Stamp a persisted funnel state with its marker AND its stage list
+    * (call after writing the state table). */
+  def stampFunnelStages(conf: org.apache.hadoop.conf.Configuration,
+      dir: String, stages: Seq[String]): Unit = {
+    graft.state.HistoryFormat.stamp(conf, dir,
+      graft.state.HistoryFormat.FunnelStages)
+    val o = graft.util.Jsons.obj()
+    val arr = o.putArray("stages")
+    stages.foreach(arr.add)
+    graft.util.Fs.atomicWriteJson(
+      new org.apache.hadoop.fs.Path(dir, StagesFile), o, conf)
   }
 
   /** [[funnelFold]] against a persisted state table — the path-taking
     * probe enforces the [[graft.state.HistoryFormat.FunnelStages]]
-    * marker. */
+    * marker AND the recorded stage list: a state built for a different
+    * stage list (or one with no recorded list at all) refuses loudly
+    * with the rebuild remedy instead of silently mis-folding. */
   def funnelFoldTable(batch: DataFrame, userCol: Column, typeCol: Column,
-      tsCol: Column, stages: Seq[String], statePath: String): DataFrame =
-    funnelFold(Some(graft.state.HistoryTables.readChecked(
-        batch.sparkSession, statePath,
-        graft.state.HistoryFormat.FunnelStages)),
-      batch, userCol, typeCol, tsCol, stages)
+      tsCol: Column, stages: Seq[String], statePath: String): DataFrame = {
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val state = graft.state.HistoryTables.readChecked(
+      batch.sparkSession, statePath, graft.state.HistoryFormat.FunnelStages)
+    val p = new org.apache.hadoop.fs.Path(statePath, StagesFile)
+    if (!graft.util.Fs.exists(p, conf))
+      throw new IllegalStateException(
+        s"funnel state $statePath records no stage list ($StagesFile " +
+          "missing) — its t1..tk columns cannot be verified against " +
+          s"(${stages.mkString(", ")}). If it was built by THIS engine " +
+          "for exactly these stages, re-stamp with " +
+          "Behavioral.stampFunnelStages; otherwise rebuild the state " +
+          "from the full event stream.")
+    val recorded = {
+      val node = graft.util.Fs.readJson(p, conf)
+      val arr = node.get("stages")
+      (0 until arr.size).map(arr.get(_).asText)
+    }
+    if (recorded != stages)
+      throw new IllegalStateException(
+        s"funnel state $statePath was built for stages " +
+          s"(${recorded.mkString(", ")}) but the fold was asked for " +
+          s"(${stages.mkString(", ")}) — same-arity lists are " +
+          "indistinguishable in the schema and folding across them " +
+          "silently corrupts stage decisions. Rebuild the state from " +
+          "the full event stream for the new stage list.")
+    funnelFold(Some(state), batch, userCol, typeCol, tsCol, stages)
+  }
 }

@@ -1098,10 +1098,24 @@ object Curation {
       case Some(p) =>
         // seed from the prior where known, teleport share elsewhere; the
         // localCheckpoint cuts the prior's (possibly whole-prior-run)
-        // lineage out of this run's plans
+        // lineage out of this run's plans. A duplicate node in the prior
+        // would multiply the seeded row and silently double-count every
+        // contribution it makes — refuse loudly via a filter-borne guard
+        // over the same node-keyed exchange the join already pays (a
+        // projected guard could be pruned; a filter cannot)
+        val dupW = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy(col("__prior"))
         nodes
           .join(p.select(col("node"), col("r9").as("__prior")),
             Seq("node"), "left")
+          .withColumn("__rn", row_number().over(dupW))
+          .filter(when(col("__rn") > 1,
+            raise_error(concat(lit("pageRankWarm: duplicate prior rank " +
+                "for node "), col("node").cast("string"),
+              lit(" — the prior must hold one (node, r9) row per node; " +
+                "aggregate or dedupe it before warm-starting")))
+              .cast("boolean"))
+            .otherwise(lit(true)))
           .crossJoin(broadcast(nTot))
           .select(col("node"),
             coalesce(col("__prior"), expr("1000000000L div n")).as("r9"))

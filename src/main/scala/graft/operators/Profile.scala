@@ -232,7 +232,10 @@ object Profile {
       .otherwise(lit("ok"))
     val nullRef = rate(col("__ur"), col("__rr"))
     val nullBatch = rate(col("__ub"), col("__rb"))
-    val nullDelta = when(status === "ok",
+    // gated on a NON-EMPTY batch, like ndv_ratio: an empty batch's
+    // null rate reads 0, and |0 - ref| would flip `drifted` whenever the
+    // reference column holds nulls — zero rows is not drift evidence
+    val nullDelta = when(status === "ok" && col("__rb") > 0L,
       round(abs(nullBatch - nullRef), 4))
     val ndvRatio = when(status === "ok" && col("ndv_batch").isNotNull &&
         col("ndv_ref").isNotNull && col("ndv_ref") > 0L &&
@@ -242,7 +245,8 @@ object Profile {
     val rangeWidened = status === "ok" && coalesce(
       col("__mnb") < col("__mnr") || col("__mxb") > col("__mxr"),
       lit(false))
-    val lenRatio = when(status === "ok" && col("__lr") > 0d,
+    val lenRatio = when(status === "ok" && col("__lr") > 0d &&
+        col("__rb") > 0L,
       round(col("__lb") / col("__lr"), 4))
     b.join(r, Seq("column_name"), "full_outer")
       .select(col("column_name"), status.as("status"),

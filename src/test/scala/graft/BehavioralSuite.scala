@@ -137,5 +137,35 @@ class BehavioralSuite extends SparkSpec {
         col("event_type"), col("ts"), stages)
     }
     assert(e2.getMessage.contains("missing column"))
+    // the guard must survive column pruning: funnelReport reads only
+    // t1..tk (never max_ts), so a projected guard would be deleted by
+    // ColumnPruning and the corrupted report would return silently
+    val e3 = intercept[Exception] {
+      Behavioral.funnelReport(
+        Behavioral.funnelFold(Some(st1), late, col("user_id"),
+          col("event_type"), col("ts"), stages), stages).collect()
+    }
+    assert(msgs(e3).exists(_.contains("out-of-order batch")),
+      s"the guard must fire under the report's pruned projection: " +
+        msgs(e3).mkString("|"))
+  }
+
+  test("funnelFold/funnelReport: dotted stage names resolve as literal " +
+    "column names, never struct paths") {
+    val dotted = Seq("page.view", "add.to.cart", "purchase")
+    val ev = Seq(
+      (1L, "page.view", ts("2024-01-02 10:00:00")),
+      (1L, "add.to.cart", ts("2024-01-03 10:00:00")),
+      (1L, "purchase", ts("2024-01-04 10:00:00")),
+      (2L, "page.view", ts("2024-01-05 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val st = Behavioral.funnelFold(None, ev, col("user_id"),
+      col("event_type"), col("ts"), dotted)
+    val r = Behavioral.funnelReport(st, dotted).head
+    assert(r.getAs[Long]("n_page.view") === 2L &&
+      r.getAs[Long]("n_add.to.cart") === 1L &&
+      r.getAs[Long]("n_purchase") === 1L)
+    assert(r.getAs[Double]("page.view_to_add.to.cart") === 0.5 &&
+      r.getAs[Double]("full_funnel") === 0.5)
   }
 }

@@ -241,16 +241,27 @@ class CdcSuite extends SparkSpec {
 
   test("scd2: a duplicate (key, version) pair refuses loudly instead of " +
     "emitting nondeterministic intervals") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
     val c = Seq((1L, 10L, 2L), (1L, 11L, 2L), (1L, 12L, 5L))
       .toDF("id", "value", "v")
     val e = intercept[Exception] {
       Cdc.scd2(c, Seq("id"), col("v")).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
-        msgs(x.getCause))
     assert(msgs(e).exists(_.contains("duplicate (key, version)")),
       s"expected the scd2 replay guard, got: ${msgs(e).mkString(" | ")}")
+    // the guard must also fire when a DELETE row is one of the
+    // duplicates: the !__del filter removes delete rows, so a guard
+    // riding a projected column would be pushed past and skipped —
+    // the filter-borne guard evaluates for every row, deletes included
+    val withDel = Seq((1L, 10L, "delete", 5L), (1L, 11L, "upsert", 5L),
+      (1L, 9L, "upsert", 2L)).toDF("id", "value", "kind", "v")
+    val e2 = intercept[Exception] {
+      Cdc.scd2(withDel, Seq("id"), col("v"), Some(col("kind"))).collect()
+    }
+    assert(msgs(e2).exists(_.contains("duplicate (key, version)")),
+      s"a replayed delete must trip the guard: ${msgs(e2).mkString(" | ")}")
   }
 
   test("scd2: without a change-type column every version is an upsert, " +

@@ -521,6 +521,19 @@ class CurationAuditSuite extends SparkSpec {
     assert(w1(3L) === 37500000L + 235L)
     // prior node 9 has no edges today -> not in the output
     assert(!w1.contains(9L))
+    // a duplicate node in the prior would silently double-count its
+    // contributions through the seed join — refuse loudly instead
+    val dupPrior = Seq((1L, 111L), (1L, 222L), (2L, 333L))
+      .toDF("node", "r9")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    val e = intercept[Exception] {
+      Curation.pageRankWarm(grown, "src", "dst", dupPrior,
+        iterations = 1).collect()
+    }
+    assert(msgs(e).exists(_.contains("duplicate prior rank")),
+      msgs(e).mkString("|"))
   }
 
   test("validateExpectations: every rule kind counts its violations " +
@@ -629,13 +642,19 @@ class CurationAuditSuite extends SparkSpec {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(lost("gone").getString(1) === "missing_column" &&
       lost("gone").getAs[Boolean]("drifted"))
-    // empty batch: rates 0, ratios NULL, no value-drift
+    // empty batch: rates 0, ratios NULL, no value-drift — INCLUDING when
+    // the reference column itself holds nulls (the batch null rate reads
+    // 0 there, and an ungated |0 - ref| would flip drifted)
+    val nullyRef = Profile.tableProfile(
+      Seq((1L, Some("x")), (2L, None), (3L, None)).toDF("id", "s"))
     val empty = Profile.profileDrift(
-      Profile.tableProfile(Seq((1L, "x")).toDF("id", "s").filter(lit(false))),
-      Profile.tableProfile(Seq((1L, "x")).toDF("id", "s")),
-      maxNullDelta = 0.1, maxNdvRatio = 2.0).collect()
+      Profile.tableProfile(
+        Seq((1L, Some("x"))).toDF("id", "s").filter(lit(false))),
+      nullyRef, maxNullDelta = 0.1, maxNdvRatio = 2.0).collect()
     assert(empty.forall(r => !r.getAs[Boolean]("drifted")),
-      "an empty batch is not drift evidence")
+      "an empty batch is not drift evidence, even against a nully reference")
+    assert(empty.forall(r => r.isNullAt(r.fieldIndex("null_delta"))),
+      "null_delta must be NULL on an empty batch, not |0 - ref|")
   }
 
   test("profileDrift: the stamped save/probe path enforces the " +

@@ -188,13 +188,32 @@ class HistoryEnforcementSuite extends SparkSpec {
           .count()
       }
       val stages = Seq("view", "click")
-      checkFamily(s"$tmp/fun",
-        Behavioral.funnelFold(None, ev, col("user_id"), col("event_type"),
-          col("ts"), stages),
-        HistoryFormat.FunnelStages, "Behavioral.funnelFold") { dir =>
+      val dir = s"$tmp/fun"
+      def probe(ss: Seq[String]) =
         Behavioral.funnelFoldTable(ev.filter(lit(false)), col("user_id"),
-          col("event_type"), col("ts"), stages, dir).count()
-      }
+          col("event_type"), col("ts"), ss, dir).count()
+      Behavioral.funnelFold(None, ev, col("user_id"), col("event_type"),
+        col("ts"), stages).write.mode("overwrite").parquet(dir)
+      Behavioral.stampFunnelStages(conf, dir, stages)
+      assert(probe(stages) >= 0L, "valid marker + stage list must probe")
+      // marker enforcement (the checkFamily regimes)
+      stampStale(dir, HistoryFormat.FunnelStages.name)
+      val e = intercept[IllegalStateException](probe(stages))
+      assert(e.getMessage.contains("Rebuild required"))
+      new java.io.File(s"$dir/_graft_history_format.json").delete()
+      val e2 = intercept[IllegalStateException](probe(stages))
+      assert(e2.getMessage.contains("no _graft_history_format.json"))
+      // stage-list enforcement: same-arity DIFFERENT stages refuse — two
+      // k-stage states are schema-indistinguishable, only the sidecar
+      // tells them apart
+      Behavioral.stampFunnelStages(conf, dir, stages)
+      val e3 = intercept[IllegalStateException](
+        probe(Seq("signup", "activate")))
+      assert(e3.getMessage.contains("was built for stages"), e3.getMessage)
+      // a state with a marker but NO recorded stage list refuses too
+      new java.io.File(s"$dir/_graft_funnel_stages.json").delete()
+      val e4 = intercept[IllegalStateException](probe(stages))
+      assert(e4.getMessage.contains("records no stage list"), e4.getMessage)
     }
   }
 

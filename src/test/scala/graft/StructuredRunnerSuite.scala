@@ -1517,11 +1517,15 @@ class StructuredRunnerSuite extends SparkSpec {
                 else Behavioral.funnelFold(None, batch, col("user_id"),
                   col("event_type"), col("ts"), stages)
               // the state REPLACES (it is the full per-user fold) — the
-              // overwrite and its watermark commit atomically
-              w.write(next.localCheckpoint(), funT,
+              // overwrite and its watermark commit atomically. Reading
+              // the old snapshot WHILE writing is safe under Delta: the
+              // overwrite only dereferences old files in the log commit,
+              // never deletes them (no cache/checkpoint needed — a
+              // localCheckpoint here would leak a permanent RDD cache
+              // into the shared session)
+              w.write(next, funT,
                 DeltaWriteMode.Overwrite, txn = Some(("beh-fun", batchId)))
-              HistoryFormat.ensure(conf, funT,
-                HistoryFormat.FunnelStages, hasData = false)
+              Behavioral.stampFunnelStages(conf, funT, stages)
             }
           })
         q.awaitTermination(120000)
