@@ -2434,12 +2434,12 @@ object Queries {
              |      LIST_PREPEND(CAST(0 AS BIGINT),
              |        [CAST(ascii(c) AS BIGINT)
              |         FOR c IN STRING_SPLIT(s, '')]),
-             |      (h, cp) -> (h * 31 + cp) % 1048573),
+             |      (h, cp) -> (h * 31 + cp) % 2147483647),
              |    'h2': LIST_REDUCE(
              |      LIST_PREPEND(CAST(0 AS BIGINT),
              |        [CAST(ascii(c) AS BIGINT)
              |         FOR c IN STRING_SPLIT(s, '')]),
-             |      (h, cp) -> (h * 31 + cp) % 524287) * 2 + 1}
+             |      (h, cp) -> (h * 31 + cp) % 1073741789) * 2 + 1}
              |    FOR s IN sgs] AS hps
              |  FROM sh),
              |sig AS (

@@ -109,6 +109,109 @@ object MinHashShingles {
   }
 }
 
+/** Fused PORTABLE-hash word-shingle MinHash — the poly-31-fold sibling
+  * of [[MinHashShingles.sigWordShingles]], backing the oracle-checkable
+  * LSH variant ([[graft.operators.Dedup.minhashLshPairsPortable]]).
+  * Per shingle: `h1 = fold(cp → h·31 + cp) mod mod1`, stride
+  * `h2 = 2·(fold mod mod2) + 1`, `hash_i = h1 + i·h2` — identical to
+  * the interpreted `aggregate(split(s, ''))` Column formulation (the
+  * fold runs over CODE POINTS, matching both engines' `ascii`) and to
+  * the DuckDB LIST_REDUCE replay, but one codegen pass over the
+  * document with zero per-shingle allocation. */
+object PolyMinHash {
+  def sig(text: UTF8String, n: Int, k: Int, mod1: Long,
+      mod2: Long): Array[Long] = {
+    val s = text.toString
+    val len = s.length
+    // token start offsets in UTF-16 units: 0 and after every ' '
+    var nTokens = 1
+    var ci = 0
+    while (ci < len) {
+      if (s.charAt(ci) == ' ') nTokens += 1
+      ci += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (nTokens < n) {
+      // whole-text collapse (the wordShingles short-document rule)
+      accumulate(mins, s, 0, len, k, mod1, mod2)
+      return mins
+    }
+    val tokStart = new Array[Int](nTokens + 1)
+    var ti = 1
+    ci = 0
+    while (ci < len) {
+      if (s.charAt(ci) == ' ') { tokStart(ti) = ci + 1; ti += 1 }
+      ci += 1
+    }
+    tokStart(nTokens) = len + 1 // sentinel: end(j) = tokStart(j+1) - 1
+    var i = 0
+    val nShingles = nTokens - n + 1
+    while (i < nShingles) {
+      // the joined window IS the original span (single-0x20 separators)
+      accumulate(mins, s, tokStart(i), tokStart(i + n) - 1, k, mod1, mod2)
+      i += 1
+    }
+    mins
+  }
+
+  /** Fold the span's code points under both moduli, then walk the
+    * Kirsch-Mitzenmacher chain into the running minima. */
+  private def accumulate(mins: Array[Long], s: String, from: Int,
+      until: Int, k: Int, mod1: Long, mod2: Long): Unit = {
+    var h1 = 0L
+    var h2 = 0L
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h1 = (h1 * 31 + cp) % mod1
+      h2 = (h2 * 31 + cp) % mod2
+      i += Character.charCount(cp)
+    }
+    val stride = 2 * h2 + 1
+    var h = h1
+    var j = 0
+    while (j < k) {
+      if (h < mins(j)) mins(j) = h
+      h += stride
+      j += 1
+    }
+  }
+}
+
+/** text → array<bigint>[k] portable poly-31 MinHash signature (see
+  * [[PolyMinHash]]). */
+case class PolyMinHashExpr(child: Expression, n: Int, k: Int, mod1: Long,
+    mod2: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"poly_minhash requires string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PolyMinHash.sig(input.asInstanceOf[UTF8String], n, k, mod1, mod2))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = PolyMinHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($helper.sig($a, $n, $k, ${mod1}L, ${mod2}L));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyMinHashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "poly_minhash"
+}
+
 // NOTE: no `require` in this (non-serializable, abstract) class body — at
 // Java deserialization on an executor the first non-serializable
 // superclass's no-arg constructor runs BEFORE the case-class fields are
@@ -179,5 +282,14 @@ object FusedMinHashFunctions {
   def minhashWordShingles(text: Column, n: Int, k: Int): Column = {
     validate(n, k)
     Bridge.column(MinHashWordShinglesExpr(Bridge.expression(text), n, k))
+  }
+
+  /** Portable poly-31 MinHash signature over word n-shingles, fused
+    * (string -> array<bigint>[k]; see [[PolyMinHash]]). */
+  def polyMinhashWordShingles(text: Column, n: Int, k: Int, mod1: Long,
+      mod2: Long): Column = {
+    validate(n, k)
+    require(mod1 > 0 && mod2 > 0, "moduli must be positive")
+    Bridge.column(PolyMinHashExpr(Bridge.expression(text), n, k, mod1, mod2))
   }
 }

@@ -134,17 +134,22 @@ object Dedup {
     * portable poly-31 modular fold (the d_quality_clf recipe) for the
     * per-shingle hash — `h1 = fold mod mod1`, stride `h2 = 2·(fold mod
     * mod2) + 1` (odd, so the Kirsch-Mitzenmacher walk never degenerates),
-    * `hash_i = h1 + i·h2` all under 2^26 (no engine wraps) — and uses
+    * `hash_i = h1 + i·h2` all under 2^36 (no engine wraps; the ~2^31
+    * moduli matter — small moduli concentrate per-document MINIMA near
+    * zero and flood the buckets with false candidates, measured 4× the
+    * verify cost at sf0.1) — and uses
     * the signature slice STRING as the band key (bit-exact bucket
     * equality; no hash in the key path at all). Everything else is the
     * same algorithm, same bounded-bucket cap, same exact-Jaccard verify —
     * so a green hash-check here certifies the LSH structure itself, and
     * the recall gates cover the production hash family.
     *
-    * Scale shape: identical to [[minhashLshPairs]] (one signature scan,
-    * one (band, key) exchange, id-join verify); the poly fold is an
-    * interpreted HOF, so the FUSED xxhash path remains the 100 TB
-    * default — this one exists for cross-engine certification. */
+    * Scale shape: identical to [[minhashLshPairs]] (one FUSED codegen
+    * signature scan — [[graft.functions.PolyMinHash]], zero per-shingle
+    * allocation, suite-pinned equal to the interpreted
+    * `aggregate(split(s,''))` formulation — one (band, key) exchange,
+    * id-join verify). The xxhash family remains the default only for
+    * its stronger mixing; this path is 100 TB-shaped too. */
   def minhashLshPairsPortable(
       df: DataFrame,
       idCol: String,
@@ -153,8 +158,8 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      mod1: Long = 1048573L,
-      mod2: Long = 524287L,
+      mod1: Long = 2147483647L,
+      mod2: Long = 1073741789L,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     require(mod1 > 0 && mod2 > 0 &&
@@ -162,20 +167,12 @@ object Dedup {
       "hash family must stay far below 2^63 — no engine may wrap")
     val rowsPerBand = k / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    def fold(s: Column, m: Long): Column =
-      aggregate(split(s, ""), lit(0L),
-        (h, c) => (h * 31 + ascii(c)) % m)
-    val hs = transform(wordShingles(col("text"), shingleWords),
-      s => struct(fold(s, mod1).as("h1"),
-        (fold(s, mod2) * 2 + 1).as("h2")))
-    val sig = array((0 until k).map(i =>
-      array_min(transform(col("__hs"),
-        p => p.getField("h1") + lit(i.toLong) * p.getField("h2")))): _*)
+    val sig = graft.functions.FusedMinHashFunctions
+      .polyMinhashWordShingles(col("text"), shingleWords, k, mod1, mod2)
     val keys = array((0 until bands).map(b =>
       concat_ws(",",
         slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     val bandRows = base
-      .withColumn("__hs", hs)
       .withColumn("__sig", sig)
       .select(col("id"), posexplode(keys).as(Seq("band", "key")))
     val shOf = (c: Column) => wordShingles(c, shingleWords)

@@ -144,6 +144,35 @@ class TextFunctionsSuite extends SparkSpec {
     }
   }
 
+  test("fused portable poly-minhash equals the interpreted " +
+    "aggregate(split) formulation") {
+    val texts = Seq(
+      "spark is a distributed engine for large scale data",
+      "naïve café über—grüße 中文 text with ünïcödé",
+      "  leading and  double  spaces trailing ",
+      "short", "", "ab", "a b")
+    val df = texts.toDF("text")
+    val (m1, m2) = (1048573L, 524287L)
+    def fold(s: org.apache.spark.sql.Column, m: Long) =
+      aggregate(split(s, ""), lit(0L), (h, c) => (h * 31 + ascii(c)) % m)
+    for (n <- Seq(2, 3); k <- Seq(8, 16)) {
+      val hs = transform(TextFunctions.wordShingles($"text", n),
+        s => struct(fold(s, m1).as("h1"), (fold(s, m2) * 2 + 1).as("h2")))
+      val interp = array((0 until k).map(i =>
+        array_min(transform($"__hs",
+          p => p.getField("h1") + lit(i.toLong) * p.getField("h2")))): _*)
+      val rows = df.withColumn("__hs", hs)
+        .select(interp.as("i"),
+          graft.functions.FusedMinHashFunctions
+            .polyMinhashWordShingles($"text", n, k, m1, m2).as("f"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"poly n=$n k=$k text='$t'")
+      }
+    }
+  }
+
   test("minhash signature is stable and sensitive") {
     val df = Seq(("x", "a b c d e f g h"), ("y", "a b c d e f g h"),
       ("z", "q r s t u v w x")).toDF("id", "text")
