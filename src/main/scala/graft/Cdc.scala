@@ -249,6 +249,49 @@ object Cdc {
       versionCol, changeTypeCol)
   }
 
+  /** Point-in-time dimension lookup — the CONSUMER side of [[scd2]]:
+    * join each fact row to the dimension version whose validity interval
+    * `[valid_from, valid_to)` contains the fact's `atCol` ("what did
+    * this dimension row say when the fact happened"). Facts before the
+    * key's first interval, after a closing delete, or with no key at all
+    * keep their row with NULL dimension columns (left join — a fact
+    * must never silently vanish because the dimension was late).
+    *
+    * Intervals are half-open, so a fact AT a version boundary sees the
+    * NEW row — consistent with [[scd2]]'s tiling (`valid_to(n) ==
+    * valid_from(n+1)`) and with re-inserts at exactly a delete's
+    * version. At most one interval can match per fact BY CONSTRUCTION
+    * (intervals of a key never overlap), suite-pinned.
+    *
+    * Scale shape: ONE equi-join on the dimension keys with the range
+    * predicates as join residuals — a hash join, not a range/theta
+    * join; per-key version chains are bounded by update frequency, so
+    * the residual scan per probe is short. Facts never shuffle twice. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+      atName: String): DataFrame = {
+    require(keys.nonEmpty, "scd2Lookup needs at least one key column")
+    Scd2MetaCols.foreach(c => require(dim.columns.contains(c),
+      s"scd2Lookup: dim is not an SCD2 table — missing '$c'"))
+    require(facts.columns.contains(atName),
+      s"scd2Lookup: facts are missing the as-of column '$atName'")
+    val overlap = facts.columns.toSet
+      .intersect(dim.columns.toSet.diff(keys.toSet))
+    require(overlap.isEmpty,
+      s"scd2Lookup: facts and dim share non-key columns " +
+        s"${overlap.mkString(", ")} — alias one side first")
+    // string-qualified aliases, not df("col") resolution: dim is often
+    // DERIVED from the same scan as the facts (scd2 over the same feed),
+    // and common-lineage df("col") references trip AMBIGUOUS_SELF_JOIN
+    def fq(c: String) = col("__sfact.`" + c.replace("`", "``") + "`")
+    def dq(c: String) = col("__sdim.`" + c.replace("`", "``") + "`")
+    val cond = keys.map(k => fq(k) === dq(k)).reduce(_ && _) &&
+      fq(atName) >= dq("valid_from") &&
+      (dq("valid_to").isNull || fq(atName) < dq("valid_to"))
+    val dimPayload = dim.columns.filterNot(keys.contains).toSeq
+    facts.alias("__sfact").join(dim.alias("__sdim"), cond, "left")
+      .select(facts.columns.toSeq.map(fq) ++ dimPayload.map(dq): _*)
+  }
+
   /** Shared rebuild of [[scd2Merge]] over the ALREADY-RESTRICTED
     * touched-key slice of the dimension: guard the batch against late
     * versions, fold touched keys' open rows back into change form, and

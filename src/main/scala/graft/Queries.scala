@@ -6129,6 +6129,62 @@ object Queries {
              |  valid_to IS NULL AS is_current
              |FROM merged ORDER BY user_id, valid_from""".stripMargin)),
 
+    // ----- SCD2 point-in-time lookup (the consumer side) --------------------
+    // Facts (the event_id >= 500 slice) look up the dimension version
+    // valid AT their event_id against the SCD2 table built from the
+    // earlier slice: one equi-join on the key with the half-open
+    // interval predicates as residuals. Facts whose key was deleted,
+    // never existed, or whose chain starts later keep their row with
+    // NULL dim columns (left join; -1/-99 sentinels for the driver
+    // compare). Boundary facts (at == valid_from) see the NEW row.
+    "d_scd2_lookup" -> QueryDef(
+      (s, d) => {
+        val ch = t(s, d, "events").select(col("user_id"),
+          round(col("value"), 2).as("dim_value"),
+          when(col("event_type") === "error", "delete").as("kind"),
+          col("event_id").as("v"))
+        val dim = graft.Cdc.scd2(ch.filter(col("v") < 500L),
+            Seq("user_id"), col("v"), Some(col("kind")))
+          .select("user_id", "dim_value", "valid_from", "valid_to",
+            "is_current")
+        val facts = t(s, d, "events").filter(col("event_id") >= 500L)
+          .select(col("event_id"), col("user_id"))
+        graft.Cdc.scd2Lookup(facts, dim, Seq("user_id"), "event_id")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("dim_value"), lit(-99d)).as("dim_value"),
+            coalesce(col("valid_from"), lit(-1L)).as("valid_from"),
+            coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+            coalesce(col("is_current"), lit(false)).as("is_current"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, ROUND(value, 2) AS dim_value,
+             |    CASE WHEN event_type = 'error' THEN 'delete' END AS kind,
+             |    event_id AS v
+             |  FROM events WHERE event_id < 500),
+             |dim AS (
+             |  SELECT user_id, dim_value, valid_from, valid_to,
+             |    valid_to IS NULL AS is_current
+             |  FROM (
+             |    SELECT user_id, dim_value, kind, v AS valid_from,
+             |      LEAD(v) OVER (PARTITION BY user_id ORDER BY v)
+             |        AS valid_to
+             |    FROM ch)
+             |  WHERE kind IS DISTINCT FROM 'delete'),
+             |facts AS (
+             |  SELECT event_id, user_id FROM events
+             |  WHERE event_id >= 500)
+             |SELECT f.event_id, f.user_id,
+             |  COALESCE(d.dim_value, -99) AS dim_value,
+             |  COALESCE(d.valid_from, -1) AS valid_from,
+             |  COALESCE(d.valid_to, -1) AS valid_to,
+             |  COALESCE(d.is_current, FALSE) AS is_current
+             |FROM facts f LEFT JOIN dim d
+             |  ON f.user_id = d.user_id
+             |  AND f.event_id >= d.valid_from
+             |  AND (d.valid_to IS NULL OR f.event_id < d.valid_to)
+             |ORDER BY event_id""".stripMargin)),
+
     // ----- authority scoring (fixed-iteration integer PageRank) ------------
     // Supplier->customer edges from the order graph; 3 all-integer
     // iterations in 1e-9 units, so the oracle unrolls them as CTEs and

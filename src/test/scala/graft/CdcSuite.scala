@@ -217,6 +217,35 @@ class CdcSuite extends SparkSpec {
       Seq((2L, Some(5L)), (5L, None)))
   }
 
+  test("scd2Lookup: each fact sees the dimension version valid at its " +
+    "timestamp, boundaries see the new row, unmatched facts survive " +
+    "with NULL dims, at most one interval matches") {
+    val dim = Cdc.scd2(scd2B1, Seq("id"), col("v"), Some(col("kind")))
+      .drop("kind", "v")
+    // key 1 intervals: [1,3) [3,∞); key 2: [2,5) closed by delete@5;
+    // key 3: [4,∞)
+    val facts = Seq(
+      (100L, 1L, 2L), (101L, 1L, 3L), (102L, 1L, 9L),
+      (103L, 2L, 4L), (104L, 2L, 5L), (105L, 2L, 6L),
+      (106L, 7L, 9L), (107L, 3L, 1L))
+      .toDF("fact_id", "id", "at")
+    val out = Cdc.scd2Lookup(facts, dim, Seq("id"), "at")
+      .orderBy("fact_id").collect()
+    assert(out.length === facts.count(), "left join keeps every fact")
+    def vf(i: Int) = Option(out(i).getAs[Any]("valid_from"))
+    // fact@2 sees [1,3); fact@3 (boundary) sees the NEW row [3,∞)
+    assert(vf(0) === Some(1L) && vf(1) === Some(3L) && vf(2) === Some(3L))
+    // key 2: @4 inside [2,5); @5 (the delete version) and @6 → no match
+    assert(vf(3) === Some(2L) && vf(4).isEmpty && vf(5).isEmpty)
+    // unknown key, and a fact BEFORE key 3's chain starts
+    assert(vf(6).isEmpty && vf(7).isEmpty)
+    // self-lineage: dim derived from the same frame as the facts still
+    // resolves (the AMBIGUOUS_SELF_JOIN trap)
+    val sameLineage = Cdc.scd2Lookup(
+      scd2B1.select(col("id"), col("v").as("at")), dim, Seq("id"), "at")
+    assert(sameLineage.count() === scd2B1.count())
+  }
+
   test("scd2MergeDelta: batches upsert through the touched-files merge " +
     "and the table converges to the batch rebuild") {
     withTmpDir { dir =>
