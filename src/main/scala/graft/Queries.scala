@@ -5947,6 +5947,97 @@ object Queries {
              |FROM cells JOIN sizes USING (cohort)
              |ORDER BY cohort, period""".stripMargin)),
 
+    // ----- retention curve (offset-pooled triangle) --------------------------
+    // cohortRetention's triangle collapsed to one row per day offset:
+    // exact counts pool across the cohorts OLD ENOUGH to have reached
+    // the offset (capacity from each cohort's age against the newest
+    // observed period; all-churned offsets still report retention 0) —
+    // never an average of per-cohort ratios, which would sum doubles in
+    // engine-dependent order.
+    "d_cohort_curve" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.operators.Behavioral.retentionByOffset(
+            graft.operators.Behavioral.activityPairs(ev, col("user_id"),
+              tsCol(ev)))
+          .orderBy("day_offset")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS period
+             |  FROM events),
+             |first AS (SELECT user_id, MIN(period) AS cohort
+             |  FROM act GROUP BY 1),
+             |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT)
+             |    AS cohort_size
+             |  FROM first GROUP BY 1),
+             |cells AS (
+             |  SELECT DATE_DIFF('day', CAST(f.cohort AS DATE),
+             |      CAST(a.period AS DATE)) AS day_offset,
+             |    CAST(COUNT(*) AS BIGINT) AS n_active
+             |  FROM act a JOIN first f USING (user_id)
+             |  GROUP BY f.cohort, a.period),
+             |active AS (SELECT day_offset,
+             |    CAST(SUM(n_active) AS BIGINT) AS n_active
+             |  FROM cells GROUP BY 1),
+             |horizon AS (SELECT MAX(period) AS maxp FROM act),
+             |capacity AS (
+             |  SELECT day_offset, CAST(COUNT(*) AS BIGINT) AS n_cohorts,
+             |    CAST(SUM(cohort_size) AS BIGINT) AS n_capacity
+             |  FROM (
+             |    SELECT s.cohort_size, UNNEST(RANGE(0,
+             |      DATE_DIFF('day', CAST(s.cohort AS DATE),
+             |        CAST(h.maxp AS DATE)) + 1)) AS day_offset
+             |    FROM sizes s CROSS JOIN horizon h)
+             |  GROUP BY 1)
+             |SELECT CAST(c.day_offset AS INT) AS day_offset, c.n_cohorts,
+             |  COALESCE(a.n_active, 0) AS n_active, c.n_capacity,
+             |  ROUND(CAST(COALESCE(a.n_active, 0) AS DOUBLE)
+             |    / c.n_capacity, 4) AS retention
+             |FROM capacity c LEFT JOIN active a USING (day_offset)
+             |ORDER BY day_offset""".stripMargin)),
+
+    // ----- windowed funnel (per-step conversion deadline) --------------------
+    // d_funnel with a 5-day step budget: stage i must land within
+    // INTERVAL 5 DAYS of t_{i-1} (half-open low, closed high). Interval
+    // arithmetic is exact micros in both engines; the fold's
+    // no-tombstone law (expired windows stay NULL under time-ordered
+    // batches) is suite-pinned in BehavioralSuite.
+    "d_funnel_window" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val stages = Seq("view", "click", "purchase")
+        val st = graft.operators.Behavioral.funnelFold(None, ev,
+          col("user_id"), col("event_type"), tsCol(ev), stages,
+          maxGap = Some(expr("INTERVAL 5 DAYS")))
+        graft.operators.Behavioral.funnelReport(st, stages)
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+             |    AND e.ts <= s1.t1 + INTERVAL 5 DAY GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t3
+             |  FROM events e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             |    AND e.ts <= s2.t2 + INTERVAL 5 DAY GROUP BY 1),
+             |c AS (SELECT
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase)
+             |SELECT n_view, n_click, n_purchase,
+             |  ROUND(CAST(n_click AS DOUBLE) / GREATEST(n_view, 1), 4)
+             |    AS view_to_click,
+             |  ROUND(CAST(n_purchase AS DOUBLE) / GREATEST(n_click, 1), 4)
+             |    AS click_to_purchase,
+             |  ROUND(CAST(n_purchase AS DOUBLE) / GREATEST(n_view, 1), 4)
+             |    AS full_funnel
+             |FROM c""".stripMargin)),
+
     // ----- cross-batch sequential funnel (per-user stage-state fold) --------
     // Batch 1 builds the (user, t1..t3, max_ts) stage state, batch 2
     // folds in under the event-time-ordered contract (split on the day

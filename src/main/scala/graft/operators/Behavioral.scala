@@ -62,6 +62,50 @@ object Behavioral {
           .as("retention"))
   }
 
+  /** The retention CURVE — [[cohortRetention]]'s triangle collapsed to
+    * one row per day offset ("how much of any cohort is still active N
+    * days in", the number a dashboard actually plots): each (cohort,
+    * period) cell maps to `offset = datediff(period, cohort)`, then
+    * offsets POOL exact counts across cohorts —
+    * `retention = Σ n_active / Σ cohort_size` over the cohorts that
+    * have REACHED that offset (cohort + offset ≤ the newest observed
+    * period; younger cohorts can't vote on horizons they haven't
+    * lived). Pooled exact longs with ONE terminal division — never an
+    * average of per-cohort ratios, which would both weight cohorts
+    * wrongly and sum doubles in engine-dependent order.
+    *
+    * Scale shape: cells from [[cohortRetention]]'s aggregates, one
+    * more partial-agg'd exchange on the offset, the 1-row max-period
+    * scalar broadcast-joined in. */
+  def retentionByOffset(activity: DataFrame): DataFrame = {
+    val cells = cohortRetention(activity)
+      .withColumn("day_offset",
+        datediff(to_date(col("period")), to_date(col("cohort"))))
+    // a cell's offset never exceeds its cohort's age (period <= the
+    // horizon by construction), so the capacity side alone decides
+    // which offsets exist — including all-churned offsets with ZERO
+    // active cells, which must still report retention 0
+    val horizon = activity.agg(max("period").as("__maxp"))
+    val active = cells.groupBy("day_offset")
+      .agg(sum("n_active").as("n_active"))
+    val capacity = cells.filter(col("day_offset") === 0)
+      .select(col("cohort"), col("cohort_size"))
+      .crossJoin(broadcast(horizon))
+      .select(col("cohort_size"),
+        explode(sequence(lit(0),
+          datediff(to_date(col("__maxp")), to_date(col("cohort")))))
+          .as("day_offset"))
+      .groupBy("day_offset")
+      .agg(count(lit(1)).as("n_cohorts"),
+        sum("cohort_size").as("n_capacity"))
+    capacity.join(active, Seq("day_offset"), "left")
+      .na.fill(0L, Seq("n_active"))
+      .select(col("day_offset"), col("n_cohorts"), col("n_active"),
+        col("n_capacity"),
+        round(col("n_active").cast("double") / col("n_capacity"), 4)
+          .as("retention"))
+  }
+
   /** [[activityFold]] against a persisted activity table — the
     * path-taking probe enforces the
     * [[graft.state.HistoryFormat.CohortActivity]] marker. */
@@ -97,13 +141,21 @@ object Behavioral {
     * replay remedy. Events AT `max_ts` are fine (never lost: the fold's
     * strict `>` comparisons treat them the same in either batch).
     *
+    * `maxGap` bounds each step: stage `i` must land within `maxGap` of
+    * `t_{i-1}` (`t_{i-1} < ts <= t_{i-1} + maxGap` — an interval
+    * expression, e.g. `expr("INTERVAL 5 DAYS")`). The fold stays
+    * batch-equal WITHOUT tombstone state: under the event-time-ordered
+    * contract, once a step's window has expired every later batch's
+    * candidates are even later, so the bounded filter keeps rejecting
+    * them — permanent failure is representable as "still NULL" for free.
+    *
     * Scale shape: one per-user envelope aggregate plus one user-keyed
     * join per stage, each stage candidate partial-agg'd map-side before
     * its exchange; every exchange keys on `user_id`, so AQE reuses the
     * partitioning down the chain. State is O(users). */
   def funnelFold(state: Option[DataFrame], batch: DataFrame,
       userCol: Column, typeCol: Column, tsCol: Column,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxGap: Option[Column] = None): DataFrame = {
     require(stages.nonEmpty, "funnelFold: empty stage list")
     require(stages.distinct.length == stages.length,
       s"funnelFold: duplicate stage in ${stages.mkString(",")}")
@@ -159,7 +211,9 @@ object Behavioral {
           else staged
             .join(cur.select(col("user_id"), col(tCol(i - 1)).as("__prev")),
               Seq("user_id"))
-            .filter(col("__ts") > col("__prev"))
+            .filter(col("__ts") > col("__prev") &&
+              maxGap.map(g => col("__ts") <= col("__prev") + g)
+                .getOrElse(lit(true)))
         reachable.groupBy("user_id").agg(min("__ts").as(s"__b$i"))
       }
       cur.join(cand, Seq("user_id"), "left")

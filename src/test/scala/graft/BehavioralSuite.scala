@@ -150,6 +150,63 @@ class BehavioralSuite extends SparkSpec {
         msgs(e3).mkString("|"))
   }
 
+  test("funnelFold maxGap: a step beyond its window never counts, the " +
+    "two-batch fold equals the batch fold, and expired windows stay " +
+    "NULL without tombstone state") {
+    val gap = expr("INTERVAL 2 DAYS")
+    // u1 clicks 1 day after viewing (inside), u2 clicks 6 days after
+    // (expired), u3's click lands in batch 2 exactly AT the deadline
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-02 10:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-07 10:00:00")),
+      (3L, "view", ts("2024-01-08 10:00:00")),
+      (3L, "click", ts("2024-01-10 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val whole = Behavioral.funnelFold(None, ev, col("user_id"),
+      col("event_type"), col("ts"), stages, Some(gap))
+      .orderBy("user_id").collect()
+    val byUser = whole.map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byUser(1L).nonEmpty, "in-window click counts")
+    assert(byUser(2L).isEmpty, "a click beyond the window never counts")
+    assert(byUser(3L) === Some(ts("2024-01-10 10:00:00")),
+      "a click exactly AT the deadline counts (closed high bound)")
+    // two-batch fold (split at Jan 5) == batch fold; u2's expired click
+    // arrives in batch 2 and must stay rejected with NO tombstone —
+    // time-ordered arrival makes every later candidate even later
+    val b1g = ev.filter(col("ts") < lit(ts("2024-01-05 00:00:00")))
+    val b2g = ev.filter(col("ts") >= lit(ts("2024-01-05 00:00:00")))
+    val st1 = Behavioral.funnelFold(None, b1g, col("user_id"),
+      col("event_type"), col("ts"), stages, Some(gap))
+    val st2 = Behavioral.funnelFold(Some(st1), b2g, col("user_id"),
+      col("event_type"), col("ts"), stages, Some(gap))
+      .orderBy("user_id").collect()
+    assert(st2.toSeq === whole.toSeq)
+  }
+
+  test("retentionByOffset: exact pooled counts per day offset, young " +
+    "cohorts excluded from horizons they haven't lived, all-churned " +
+    "offsets report zero") {
+    // cohort A (Jan 1): 2 users, one active Jan 2; nobody active Jan 3.
+    // cohort B (Jan 3): 1 user — only 0 and... horizon is Jan 3, so B
+    // votes only on offset 0, A votes on 0..2
+    val act = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"),
+      (1L, "2024-01-02"),
+      (3L, "2024-01-03"))
+      .toDF("user_id", "period")
+    val out = Behavioral.retentionByOffset(act)
+      .orderBy("day_offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0, 2L, 3L, 3L, 1.0),     // both cohorts, everyone active on day 0
+      (1, 1L, 1L, 2L, 0.5),     // only cohort A is old enough; 1 of 2
+      (2, 1L, 0L, 2L, 0.0)),    // all churned — the row still exists
+      s"got ${out.toSeq}")
+  }
+
   test("funnelFold/funnelReport: dotted stage names resolve as literal " +
     "column names, never struct paths") {
     val dotted = Seq("page.view", "add.to.cart", "purchase")
