@@ -48,6 +48,21 @@ class RecallSuite extends SparkSpec {
     assert(r >= 0.8)
   }
 
+  test("portable poly-minhash LSH recall >= 0.8 vs exact word-shingle " +
+    "Jaccard (query params)") {
+    assume(available)
+    // the oracle-checkable hash family must ALSO clear the recall bar
+    // the production xxhash family clears — hash-exactness certifies the
+    // banding structure, this certifies its retrieval quality
+    val truth = bruteForceTextPairs(TextFunctions.wordShingles(_, 3), 0.2)
+    val found = pairSet(Dedup.minhashLshPairsPortable(docs, "doc_id",
+      "text", threshold = 0.2))
+    val r = recall(found, truth)
+    info(s"poly LSH: truth=${truth.size} found=${found.size} recall=$r")
+    assert(truth.nonEmpty, "truth set empty — gate is vacuous")
+    assert(r >= 0.8)
+  }
+
   test("char-ngram LSH recall >= 0.8 vs exact char-12-gram Jaccard (query params)") {
     assume(available)
     val truth = bruteForceTextPairs(TextFunctions.charNgrams(_, 12), 0.4)
