@@ -2476,10 +2476,67 @@ object Queries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ----- SimHash near-dup pairs (rows-only) -----------------------------
+    // Same finding as d_minhash_pairs: the production token hash is
+    // XXH64 (not ANSI-expressible), so this row stays rows-only under
+    // its RecallSuite gates; the bit-vote PIPELINE is hash-checked by
+    // d_simhash_pairs_poly below.
     "d_simhash_pairs" -> QueryDef(
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 16).orderBy("id_a", "id_b"),
       None),
+
+    // ----- SimHash pairs under the portable hash family (ORACLE) ----------
+    // The whole pipeline replayed in DuckDB: per-token 62-bit hashes
+    // from two poly-31 folds, ±1 bit votes (ties -> 0), Manku 4x16-bit
+    // block buckets with the bounded cap, bit_count(xor) Hamming verify
+    // — every stage pure integer arithmetic. Budget 6 keeps the output
+    // a near-dup set (at 16, background vocabulary similarity floods in
+    // — the production query's own recall note).
+    "d_simhash_pairs_poly" -> QueryDef(
+      (s, d) => Dedup.simhashPairsPortable(t(s, d, "documents"),
+          "doc_id", "text", maxHamming = 6)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+             |  FROM documents),
+             |th AS (
+             |  SELECT doc_id,
+             |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |      [CAST(ascii(c) AS BIGINT)
+             |       FOR c IN STRING_SPLIT(w, '')]),
+             |      (h, cp) -> (h * 31 + cp) % 2147483647) * 2147483648
+             |    + LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |      [CAST(ascii(c) AS BIGINT)
+             |       FOR c IN STRING_SPLIT(w, '')]),
+             |      (h, cp) -> (h * 31 + cp) % 1073741789) AS h
+             |  FROM toks),
+             |hs AS (SELECT doc_id, LIST(h) AS hl FROM th GROUP BY 1),
+             |sig AS (
+             |  SELECT doc_id, LIST_SUM([
+             |      CASE WHEN LIST_SUM([
+             |        CASE WHEN (x // (CAST(1 AS BIGINT) << b)) % 2 = 1
+             |          THEN 1 ELSE -1 END
+             |        FOR x IN hl]) > 0
+             |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+             |    FOR b IN RANGE(0, 62)]) AS sh
+             |  FROM hs),
+             |bk AS (
+             |  SELECT doc_id AS id, sh, UNNEST([{'block': j,
+             |      'key': (sh // (CAST(1 AS BIGINT) << (16 * j))) % 65536}
+             |    FOR j IN RANGE(0, 4)], recursive := true)
+             |  FROM sig),
+             |bb AS (
+             |  SELECT block, key, id, sh FROM bk
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY block, key
+             |    ORDER BY id) <= 4096)
+             |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |  CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS BIGINT) AS hamming
+             |FROM bb a JOIN bb b
+             |  ON a.block = b.block AND a.key = b.key AND a.id < b.id
+             |WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ----- char-ngram Jaccard near-dup pairs (EXACT, oracle-checked) ------
     // the gram-inverted-index algorithm is complete by construction (any

@@ -178,6 +178,87 @@ object PolyMinHash {
   }
 }
 
+/** Portable 62-bit SimHash — the poly-31 sibling of
+  * [[TextFunctions.simhash64]], backing the oracle-checkable variant
+  * ([[graft.operators.Dedup.simhashPairsPortable]]): per token,
+  * `h = (fold mod mod1)·2^31 + (fold mod mod2)` (62 bits, both halves
+  * poly-31 code-point folds — the d_quality_clf recipe, ANSI-replayable
+  * where XXH64 is not), then the standard per-bit ±1 vote with ties →
+  * 0. Tokens split on single 0x20 KEEPING empties (the production
+  * `tokens()` rule — `STRING_SPLIT` on both engines). The result is
+  * non-negative (bit 63 never set), so `//`-based bit extraction
+  * replays without sign games. */
+object PolySimHash {
+  val Bits = 62
+
+  def sig(text: UTF8String, mod1: Long, mod2: Long): Long = {
+    val s = text.toString
+    val len = s.length
+    val votes = new Array[Int](Bits)
+    var wordStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        var h1 = 0L
+        var h2 = 0L
+        var j = wordStart
+        while (j < i) {
+          val cp = s.codePointAt(j)
+          h1 = (h1 * 31 + cp) % mod1
+          h2 = (h2 * 31 + cp) % mod2
+          j += Character.charCount(cp)
+        }
+        val h = h1 * 2147483648L + h2
+        var b = 0
+        while (b < Bits) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < Bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** text → 62-bit portable SimHash (see [[PolySimHash]]). */
+case class PolySimHashExpr(child: Expression, mod1: Long, mod2: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"poly_simhash requires string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PolySimHash.sig(input.asInstanceOf[UTF8String], mod1, mod2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = PolySimHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.sig($a, ${mod1}L, ${mod2}L);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolySimHashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "poly_simhash"
+}
+
 /** text → array<bigint>[k] portable poly-31 MinHash signature (see
   * [[PolyMinHash]]). */
 case class PolyMinHashExpr(child: Expression, n: Int, k: Int, mod1: Long,
@@ -291,5 +372,15 @@ object FusedMinHashFunctions {
     validate(n, k)
     require(mod1 > 0 && mod2 > 0, "moduli must be positive")
     Bridge.column(PolyMinHashExpr(Bridge.expression(text), n, k, mod1, mod2))
+  }
+
+  /** Portable 62-bit SimHash (string -> bigint; see [[PolySimHash]]).
+    * Moduli must keep both halves under 2^31 so the packed value stays
+    * in 62 bits. */
+  def polySimhash(text: Column, mod1: Long, mod2: Long): Column = {
+    require(mod1 > 0 && mod1 <= 2147483648L &&
+      mod2 > 0 && mod2 <= 2147483648L,
+      "poly_simhash moduli must be in (0, 2^31]")
+    Bridge.column(PolySimHashExpr(Bridge.expression(text), mod1, mod2))
   }
 }

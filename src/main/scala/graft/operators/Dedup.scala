@@ -654,6 +654,27 @@ object Dedup {
       .distinct()
   }
 
+  /** [[simhashPairs]] under the PORTABLE hash family — the
+    * oracle-checkable parameterization of the whole SimHash pipeline
+    * (the d_minhash_pairs_poly discipline applied to the bit-vote
+    * family): per-token 62-bit hashes from two poly-31 folds, the
+    * standard ±1 bit votes, the same Manku 4×16-bit-block bucketing and
+    * bounded-bucket cap, and the same `bit_count(xor)` Hamming verify —
+    * every stage pure integer arithmetic an ANSI engine replays
+    * bit-for-bit (production [[simhashPairs]] stays rows-only: its
+    * XXH64 token hash is not ANSI-expressible). The Hamming ≤ 3
+    * exact-recall pigeonhole holds unchanged (4 disjoint blocks).
+    * Fused codegen signature; identical exchanges to the production
+    * path. */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, mod1: Long = 2147483647L,
+      mod2: Long = 1073741789L, maxBucket: Int = DefaultMaxBucket)
+      : DataFrame =
+    hash64Pairs(df.select(col(idCol).as("id"),
+        graft.functions.FusedMinHashFunctions
+          .polySimhash(col(textCol), mod1, mod2).as("sh")),
+      "id", "sh", maxHamming, maxBucket)
+
   /** One SimHash index row per document, `(doc_id, sh)` — the 8-byte
     * unit a cross-batch pipeline persists per batch into a signature
     * history (the bit-level sibling of [[minhashIndex]]); feed batches of

@@ -733,6 +733,47 @@ class DedupSuite extends SparkSpec {
       "the unrelated doc must not pair")
   }
 
+  test("portable poly-simhash: hand-computed single-token signature, " +
+    "planted near-dups pair, unrelated text does not") {
+    // one token "ab": h1 = (0*31+97)*31+98 = 3105 under both moduli, so
+    // h = 3105*2^31 + 3105; with a single token every set bit votes +1
+    // and every clear bit -1 -> the signature IS h
+    val one = Seq((1L, "ab")).toDF("doc_id", "text")
+    val sig = one.select(graft.functions.FusedMinHashFunctions
+      .polySimhash(col("text"), 2147483647L, 1073741789L)).head.getLong(0)
+    assert(sig === 3105L * 2147483648L + 3105L)
+    val base = "spark is a distributed engine for large scale data " +
+      "processing with catalyst and tungsten under the hood"
+    val near = base.replace("large", "big")
+    val far = "cooking pasta requires boiling salted water and fresh " +
+      "tomatoes every time without exception in any kitchen"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsPortable(df, "doc_id", "text",
+      maxHamming = 16).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // Hamming <= 3 pigeonhole exactness holds for the portable family
+    // too (hash64Pairs' 4 disjoint blocks — hash-independent): pair set
+    // equals the brute-force set over the portable signatures
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(150)
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.FusedMinHashFunctions
+        .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairsPortable(docs, "doc_id", "text",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute,
+      s"4-block bucketing must be EXACT at Hamming <= 3: " +
+        s"missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+  }
+
   test("simhash pairs finds near duplicates within hamming budget") {
     val base = "spark is a distributed engine for large scale data processing with catalyst"
     val near = base.replace("large", "big")
