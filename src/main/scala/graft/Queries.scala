@@ -3561,10 +3561,79 @@ object Queries {
     // tSpread A/B REJECTED here (1.92 -> 2.03 s isolated sf0.1): the
     // rolling-hash fingerprint pass is cheap enough that repartitioning
     // full document text costs more than the parallelism buys
+    // UPGRADED from rows-only (round 15): unlike XXH64, the winnow hash —
+    // Rabin-Karp base-257 with 64-bit wraparound plus the two-constant
+    // fmix64 finalizer — IS ANSI-expressible: HUGEINT carries the mod-2^64
+    // arithmetic (the 64x64 multiply splits into 32-bit halves so no
+    // intermediate tops 2^97), xor works on HUGEINT, and the rightmost-min
+    // window rule collapses to plain per-window MIN because only the
+    // selected VALUE enters the fingerprint set. The replay runs on code
+    // points == bytes (the corpus is pure ASCII, strlen == length
+    // asserted by the n<k branch never firing at either SF; min doc 47B).
     "d_winnow_pairs" -> QueryDef(
       (s, d) => Dedup.winnowingPairs(t(s, d, "documents"), "doc_id", "text",
         k = 16, w = 32, threshold = 0.2).orderBy("id_a", "id_b"),
-      None),
+      Some {
+        val m64 = "18446744073709551616"
+        def mulmod(v: String, c: String) =
+          s"(($v % 4294967296) * $c + ((($v // 4294967296) * $c) " +
+            s"% 4294967296) * 4294967296) % $m64"
+        s"""WITH grams AS (
+           |  SELECT doc_id, i,
+           |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS HUGEINT),
+           |      [CAST(ascii(text[j]) AS HUGEINT)
+           |       FOR j IN RANGE(i, LEAST(i + 16, strlen(text) + 1))]),
+           |      (h, b) -> (h * 257 + b) % $m64) AS rh
+           |  FROM (SELECT doc_id, text, UNNEST(RANGE(1,
+           |      GREATEST(strlen(text) - 15, 1) + 1)) AS i
+           |    FROM documents WHERE strlen(text) > 0)),
+           |x1 AS (SELECT doc_id, i, xor(rh, rh // 8589934592) AS v
+           |  FROM grams),
+           |x2 AS (SELECT doc_id, i,
+           |    ${mulmod("v", "18397679294719823053")} AS v FROM x1),
+           |x3 AS (SELECT doc_id, i, xor(v, v // 8589934592) AS v FROM x2),
+           |x4 AS (SELECT doc_id, i,
+           |    ${mulmod("v", "14181476777654086739")} AS v FROM x3),
+           |-- the JVM's window minima compare SIGNED longs: re-bias the
+           |-- unsigned mix value before any MIN (identity stays injective,
+           |-- so set/bucket semantics are unchanged)
+           |x5 AS (SELECT doc_id, i,
+           |    CASE WHEN xor(v, v // 8589934592) >= 9223372036854775808
+           |      THEN xor(v, v // 8589934592) - $m64
+           |      ELSE xor(v, v // 8589934592) END AS h
+           |  FROM x4),
+           |hl AS (SELECT doc_id, LIST(h ORDER BY i) AS hs
+           |  FROM x5 GROUP BY 1),
+           |fpr AS (
+           |  SELECT doc_id AS id, UNNEST(LIST_DISTINCT(
+           |      [LIST_MIN(hs[t:t+31]) FOR t IN RANGE(1, LEN(hs) - 30)]))
+           |    AS fp
+           |  FROM hl WHERE LEN(hs) >= 32
+           |  UNION ALL
+           |  SELECT doc_id, LIST_MIN(hs) FROM hl WHERE LEN(hs) < 32),
+           |elig AS (
+           |  SELECT fp, id FROM fpr
+           |  QUALIFY COUNT(*) OVER (PARTITION BY fp) BETWEEN 2 AND 32),
+           |cand AS (
+           |  SELECT a.id AS id_a, b.id AS id_b
+           |  FROM elig a JOIN elig b ON a.fp = b.fp AND a.id < b.id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS nf
+           |  FROM fpr GROUP BY 1),
+           |iv AS (
+           |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+           |  FROM cand c
+           |  JOIN fpr a ON a.id = c.id_a
+           |  JOIN fpr b ON b.id = c.id_b AND b.fp = a.fp
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT iv.id_a, iv.id_b, ROUND(CAST(iv.ni AS DOUBLE)
+           |      / (ca.nf + cb.nf - iv.ni), 4) AS jaccard
+           |  FROM iv JOIN cnt ca ON ca.id = iv.id_a
+           |  JOIN cnt cb ON cb.id = iv.id_b)
+           |SELECT id_a, id_b, jaccard FROM j
+           |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+      }),
 
     // ----- ANN: brute-force cosine top-1 (rows-only; FP argmax) -----------
     "e_ann_top1" -> QueryDef(
