@@ -20,9 +20,14 @@ object PlanDump {
     args.tail.foreach { name =>
       val df = Queries.defs(name).build(spark, args.head)
       val plan = df.queryExecution.executedPlan.toString
-      val nEx = "Exchange".r.findAllIn(plan).length
-      val nBr = "Broadcast".r.findAllIn(plan).length
-      println(s"=== $name exchanges=$nEx broadcasts=$nBr")
+      // shuffles only: a bare "Exchange" count would also match
+      // BroadcastExchange/ReusedExchange and misread exactly when
+      // comparing runs (a broadcast added vs a shuffle added)
+      val nShuffle = "Exchange (hash|range|Single)".r.findAllIn(plan).length
+      val nBr = "BroadcastExchange".r.findAllIn(plan).length
+      val nReused = "ReusedExchange".r.findAllIn(plan).length
+      println(s"=== $name shuffles=$nShuffle broadcasts=$nBr " +
+        s"reused=$nReused")
     }
   }
 }

@@ -370,7 +370,16 @@ object FusedMinHashFunctions {
   def polyMinhashWordShingles(text: Column, n: Int, k: Int, mod1: Long,
       mod2: Long): Column = {
     validate(n, k)
-    require(mod1 > 0 && mod2 > 0, "moduli must be positive")
+    // the whole contract is bit-for-bit ANSI replayability: the KM walk
+    // h1 + (k-1)·(2·h2+1) must never wrap a signed 64-bit value (an
+    // engine that errors-on-overflow, or Java's silent wrap feeding
+    // negative minima, both break it) — refuse here like the Dedup
+    // operator does, not just at its call site
+    // BigInt: the bound check itself must not wrap for absurd moduli
+    require(mod1 > 0 && mod2 > 0 &&
+      BigInt(mod1) + BigInt(k) * (2 * BigInt(mod2) + 1) < (BigInt(1) << 62),
+      s"poly_minhash moduli too large: mod1 + k*(2*mod2+1) must stay " +
+        s"below 2^62 so no engine wraps (got mod1=$mod1, mod2=$mod2, k=$k)")
     Bridge.column(PolyMinHashExpr(Bridge.expression(text), n, k, mod1, mod2))
   }
 

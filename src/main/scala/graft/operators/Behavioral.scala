@@ -262,15 +262,27 @@ object Behavioral {
     * other silently corrupts every decision. */
   private val StagesFile = "_graft_funnel_stages.json"
 
-  /** Stamp a persisted funnel state with its marker AND its stage list
-    * (call after writing the state table). */
+  /** Canonical identity string for a fold's step budget — the gap is
+    * part of the state's semantics (a gapped and an ungapped state are
+    * schema-indistinguishable), so the sidecar records it. Literal
+    * interval expressions render deterministically via their SQL form. */
+  private def gapIdentity(maxGap: Option[Column]): String =
+    maxGap.map(g =>
+      org.apache.spark.sql.graftbridge.Bridge.expression(g).sql)
+      .getOrElse("none")
+
+  /** Stamp a persisted funnel state with its marker, its stage list,
+    * AND its step budget (call after writing the state table with the
+    * same `maxGap` the folds use). */
   def stampFunnelStages(conf: org.apache.hadoop.conf.Configuration,
-      dir: String, stages: Seq[String]): Unit = {
+      dir: String, stages: Seq[String],
+      maxGap: Option[Column] = None): Unit = {
     graft.state.HistoryFormat.stamp(conf, dir,
       graft.state.HistoryFormat.FunnelStages)
     val o = graft.util.Jsons.obj()
     val arr = o.putArray("stages")
     stages.foreach(arr.add)
+    o.put("max_gap", gapIdentity(maxGap))
     graft.util.Fs.atomicWriteJson(
       new org.apache.hadoop.fs.Path(dir, StagesFile), o, conf)
   }
@@ -281,7 +293,8 @@ object Behavioral {
     * stage list (or one with no recorded list at all) refuses loudly
     * with the rebuild remedy instead of silently mis-folding. */
   def funnelFoldTable(batch: DataFrame, userCol: Column, typeCol: Column,
-      tsCol: Column, stages: Seq[String], statePath: String): DataFrame = {
+      tsCol: Column, stages: Seq[String], statePath: String,
+      maxGap: Option[Column] = None): DataFrame = {
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val state = graft.state.HistoryTables.readChecked(
       batch.sparkSession, statePath, graft.state.HistoryFormat.FunnelStages)
@@ -294,8 +307,8 @@ object Behavioral {
           "for exactly these stages, re-stamp with " +
           "Behavioral.stampFunnelStages; otherwise rebuild the state " +
           "from the full event stream.")
+    val node = graft.util.Fs.readJson(p, conf)
     val recorded = {
-      val node = graft.util.Fs.readJson(p, conf)
       val arr = node.get("stages")
       (0 until arr.size).map(arr.get(_).asText)
     }
@@ -307,6 +320,18 @@ object Behavioral {
           "indistinguishable in the schema and folding across them " +
           "silently corrupts stage decisions. Rebuild the state from " +
           "the full event stream for the new stage list.")
-    funnelFold(Some(state), batch, userCol, typeCol, tsCol, stages)
+    // the step budget is state semantics too: a gapped and an ungapped
+    // state carry identical columns, and folding one under the other's
+    // rule silently diverges from the batch recomputation
+    val recordedGap = Option(node.get("max_gap")).map(_.asText)
+      .getOrElse("none")
+    if (recordedGap != gapIdentity(maxGap))
+      throw new IllegalStateException(
+        s"funnel state $statePath was built with step budget " +
+          s"'$recordedGap' but the fold was asked for " +
+          s"'${gapIdentity(maxGap)}' — stage decisions made under one " +
+          "budget are not reusable under another. Rebuild the state " +
+          "from the full event stream with the new budget.")
+    funnelFold(Some(state), batch, userCol, typeCol, tsCol, stages, maxGap)
   }
 }

@@ -163,7 +163,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     require(mod1 > 0 && mod2 > 0 &&
-      mod1 + k.toLong * (2 * mod2 + 1) < (1L << 40),
+      BigInt(mod1) + BigInt(k) * (2 * BigInt(mod2) + 1) < (BigInt(1) << 40),
       "hash family must stay far below 2^63 — no engine may wrap")
     val rowsPerBand = k / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))

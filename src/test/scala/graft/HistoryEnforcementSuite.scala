@@ -214,6 +214,23 @@ class HistoryEnforcementSuite extends SparkSpec {
       new java.io.File(s"$dir/_graft_funnel_stages.json").delete()
       val e4 = intercept[IllegalStateException](probe(stages))
       assert(e4.getMessage.contains("records no stage list"), e4.getMessage)
+      // the step budget is state identity too: an ungapped state refuses
+      // a gapped fold (and vice versa) — the schemas are identical, only
+      // the sidecar knows which rule made the decisions
+      Behavioral.stampFunnelStages(conf, dir, stages)
+      val e5 = intercept[IllegalStateException](
+        Behavioral.funnelFoldTable(ev.filter(lit(false)), col("user_id"),
+          col("event_type"), col("ts"), stages, dir,
+          maxGap = Some(expr("INTERVAL 2 DAYS"))))
+      assert(e5.getMessage.contains("step budget"), e5.getMessage)
+      Behavioral.stampFunnelStages(conf, dir, stages,
+        maxGap = Some(expr("INTERVAL 2 DAYS")))
+      val e6 = intercept[IllegalStateException](probe(stages))
+      assert(e6.getMessage.contains("step budget"), e6.getMessage)
+      // and the matching gap probes cleanly
+      assert(Behavioral.funnelFoldTable(ev.filter(lit(false)),
+        col("user_id"), col("event_type"), col("ts"), stages, dir,
+        maxGap = Some(expr("INTERVAL 2 DAYS"))).count() >= 0L)
     }
   }
 

@@ -173,6 +173,19 @@ class TextFunctionsSuite extends SparkSpec {
     }
   }
 
+  test("portable poly hash wrappers refuse wrap-risky moduli up front") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.FusedMinHashFunctions
+        .polyMinhashWordShingles($"text", 3, 16, 1L << 61, 1L << 61)
+    }
+    assert(e.getMessage.contains("below 2^62"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.functions.FusedMinHashFunctions
+        .polySimhash($"text", 1L << 32, 7L)
+    }
+    assert(e2.getMessage.contains("(0, 2^31]"), e2.getMessage)
+  }
+
   test("minhash signature is stable and sensitive") {
     val df = Seq(("x", "a b c d e f g h"), ("y", "a b c d e f g h"),
       ("z", "q r s t u v w x")).toDF("id", "text")
