@@ -318,20 +318,27 @@ object Cdc {
     val bounds = dimTouched
       .groupBy(keys.map(col): _*)
       .agg(max(coalesce(col("valid_to"), col("valid_from"))).as("__bound"))
+    // late change = silent overlap with committed intervals → refuse
+    // loudly. The guard is a FILTER predicate, not a projected column
+    // (the repo's guard-carrier rule): a guard folded into versionCol
+    // would be deleted by ColumnPruning the moment a consumer reads only
+    // payload columns, and this guard protects committed dimension
+    // intervals from corruption. Anchored on the join output so it
+    // cannot push below the bounds join it depends on.
     val guarded = changes
       .select((payload.map(col) :+ col(versionCol) :+
         changeTypeCol.map(col).getOrElse(lit(null).cast("string"))
           .as(typeName)): _*)
       .join(bounds, keys, "left")
-      .withColumn(versionCol,
-        when(col(versionCol) < col("__bound"),
-          raise_error(concat(lit("scd2Merge: late change — version "),
-            col(versionCol).cast("string"),
-            lit(" sorts before the key's committed boundary "),
-            col("__bound").cast("string"), lit(" (key: "),
-            concat_ws(",", keys.map(k => col(k).cast("string")): _*),
-            lit("); CDC batches must arrive version-ordered"))))
-          .otherwise(col(versionCol)))
+      .filter(when(col(versionCol) < col("__bound"),
+        raise_error(concat(lit("scd2Merge: late change — version "),
+          col(versionCol).cast("string"),
+          lit(" sorts before the key's committed boundary "),
+          col("__bound").cast("string"), lit(" (key: "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+          lit("); CDC batches must arrive version-ordered")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
       .drop("__bound")
     val openAsChanges = dimTouched
       .filter(col("is_current"))

@@ -1998,6 +1998,41 @@ object Queries {
               |FROM fp JOIN cnt USING (f)
               |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Incremental source reputation: two batches fold into the
+    // (fp, source, cnt, sr) fingerprint state and the report derives
+    // from state alone — a batch-2 copy of a batch-1 text retroactively
+    // turns the OLD doc into a dup, which only the fingerprint index can
+    // represent. The oracle is the FULL-CORPUS one-shot SQL: the
+    // fold-equals-one-shot law IS the check.
+    "d_source_reputation_incr" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = graft.operators.Curation.sourceFpBatch(
+            docs.filter(col("doc_id") < 250), "source", "text", stopwords)
+          .unionByName(graft.operators.Curation.sourceFpBatch(
+            docs.filter(col("doc_id") >= 250), "source", "text", stopwords))
+        graft.operators.Curation.sourceReputationFromState(state,
+          maxDupRate = 0.2, minStopword = 0.05).orderBy("source")
+      },
+      Some(s"""WITH fp AS (
+              |  SELECT source, MD5(text) AS f,
+              |    ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              |      t -> t IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+              |      / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS sr
+              |  FROM documents),
+              |cnt AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY 1)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / COUNT(*), 4) AS dup_rate,
+              |  ROUND(CAST(SUM(CAST(sr AS DECIMAL(20,6))) AS DOUBLE)
+              |    / COUNT(*), 4) AS mean_stopword_ratio,
+              |  (ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |      / COUNT(*), 4) <= 0.2
+              |    AND ROUND(CAST(SUM(CAST(sr AS DECIMAL(20,6))) AS DOUBLE)
+              |      / COUNT(*), 4) >= 0.05) AS keep
+              |FROM fp JOIN cnt USING (f)
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
     // ----- model-based quality scoring (CCNet-style LM surprisal) ---------
     // char-trigram LM trained on the doc_id % 10 == 0 reference slice,
     // add-one smoothing; remaining docs scored by mean per-window
@@ -2619,6 +2654,42 @@ object Queries {
              |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS rel,
              |    ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
              |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY doc_id ORDER BY rel DESC, term ASC) AS rnk
+             |  FROM scored)
+             |SELECT doc_id AS id, rnk, term, tf, df, tfidf FROM ranked
+             |WHERE rnk <= 5 ORDER BY id, rnk""".stripMargin)),
+
+    // Frozen-stats TF-IDF: df and N from the doc_id % 3 == 0 snapshot
+    // (the SAME bm25CollectionStats table the BM25 probes read — one
+    // snapshot powers both scorers), tf from the remaining batch, so
+    // ranked terms stay comparable across batches. Snapshot-unseen terms
+    // do not rank (df=0 has no finite linear idf); their rate is
+    // d_bm25_drift's new_term_rate, which calls the rebuild.
+    "d_tfidf_incr" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val stats = graft.operators.Relevance.bm25CollectionStats(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        graft.operators.Relevance.tfIdfTopTermsUnderStats(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 5,
+          stats).orderBy("id", "rnk")
+      },
+      Some("""WITH dfq AS (SELECT term, COUNT(*) AS df FROM (
+             |    SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' '))
+             |      AS term
+             |    FROM documents WHERE doc_id % 3 = 0)
+             |  WHERE LENGTH(term) > 0 GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 0),
+             |toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+             |  FROM documents WHERE doc_id % 3 <> 0),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             |  GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             |    CAST(tf.tf * n.n AS DOUBLE) / dfq.df AS rel,
+             |    ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfq.df), 4) AS tfidf
+             |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
              |ranked AS (SELECT *, ROW_NUMBER() OVER (
              |    PARTITION BY doc_id ORDER BY rel DESC, term ASC) AS rnk
              |  FROM scored)
@@ -4009,6 +4080,152 @@ object Queries {
            |       WHEN nll <= ROUND(t[2], 6) THEN 'middle'
            |       ELSE 'tail' END AS bucket
            |FROM scored CROSS JOIN th ORDER BY id""".stripMargin
+      }),
+
+    // Train-once CCNet bucketing: cuts trained on the doc_id < 250
+    // scored slice, STAMPED (round-to-6 lives in the model), and the
+    // doc_id >= 250 batch classifies under the frozen cuts — labels stay
+    // comparable across batches instead of shifting with each batch's
+    // own percentiles (the vocab/quantizer/BM25 snapshot discipline).
+    "d_ccnet_incr" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lm = graft.operators.Curation.ngramLm(
+          docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+        def scored(f: Column) = graft.operators.Curation.surprisalScore(
+          docs.filter((col("doc_id") % 10 =!= 0) && f), "doc_id", "text", lm)
+        val cuts = graft.operators.Curation.scoreCutsModel(
+          scored(col("doc_id") < 250), "nll", k = 3)
+        graft.operators.Curation.scoreBucketsUnderCuts(
+          scored(col("doc_id") >= 250), "nll",
+          Seq("head", "middle", "tail"), cuts)
+          .select("id", "nll", "bucket")
+          .orderBy("id")
+      },
+      Some {
+        val p1 = (1.0 / 3).toString
+        val p2 = (2.0 / 3).toString
+        s"""WITH model AS (
+           |  SELECT g, COUNT(*) AS c FROM (
+           |    SELECT UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+           |      ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+           |      END) AS g
+           |    FROM documents WHERE doc_id % 10 = 0) GROUP BY 1),
+           |stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM model),
+           |grams AS (
+           |  SELECT doc_id, UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+           |    ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+           |    END) AS g
+           |  FROM documents WHERE doc_id % 10 <> 0),
+           |scored AS (
+           |  SELECT doc_id AS id,
+           |    ROUND(CAST(SUM(CAST(-LN(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+           |        / (total + v + 1)) AS DECIMAL(30,9))) AS DOUBLE)
+           |      / COUNT(*), 2) AS nll
+           |  FROM grams LEFT JOIN model m USING (g) CROSS JOIN stats
+           |  GROUP BY 1),
+           |th AS (SELECT quantile_cont(nll, [$p1, $p2]) AS t
+           |  FROM scored WHERE id < 250)
+           |SELECT id, nll,
+           |  CASE WHEN nll <= ROUND(t[1], 6) THEN 'head'
+           |       WHEN nll <= ROUND(t[2], 6) THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM scored CROSS JOIN th WHERE id >= 250 ORDER BY id""".stripMargin
+      }),
+
+    // Drift signal for stamped cuts — bucket-share skew: the in-dist
+    // batch holds near the 1/k reference shares; the e->3 shifted batch
+    // floods the tail bucket and trips rebuild. Both regimes reach the
+    // hash compare (the d_bm25_drift two-regime union).
+    "d_ccnet_cuts_drift" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lm = graft.operators.Curation.ngramLm(
+          docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+        def scored(src: org.apache.spark.sql.DataFrame) =
+          graft.operators.Curation.surprisalScore(src, "doc_id", "text", lm)
+        val rest = docs.filter(col("doc_id") % 10 =!= 0)
+        val cuts = graft.operators.Curation.scoreCutsModel(
+          scored(rest.filter(col("doc_id") < 250)), "nll", k = 3)
+        val batch = rest.filter(col("doc_id") >= 250)
+        def drift(src: org.apache.spark.sql.DataFrame, label: String) =
+          graft.operators.Curation.scoreCutsDrift(scored(src), "nll", cuts,
+              maxShareSkew = 0.2)
+            .withColumn("batch", lit(label))
+        drift(batch, "in_dist")
+          .unionByName(drift(batch.select(col("doc_id"),
+            translate(col("text"), "e", "3").as("text")), "shifted"))
+          .select("batch", "bucket_pos", "n", "share", "skew", "max_skew",
+            "rebuild")
+          .orderBy("batch", "bucket_pos")
+      },
+      Some {
+        val p1 = (1.0 / 3).toString
+        val p2 = (2.0 / 3).toString
+        def side(label: String, tx: String) =
+          s"""SELECT '$label' AS batch, bucket_pos, n, share, skew,
+             |  max_skew, max_skew > 0.2 AS rebuild FROM (
+             |  WITH scored_b AS (
+             |    SELECT doc_id AS id,
+             |      ROUND(CAST(SUM(CAST(-LN(CAST(COALESCE(m.c, 0) + 1
+             |          AS DOUBLE) / (total + v + 1)) AS DECIMAL(30,9)))
+             |        AS DOUBLE) / COUNT(*), 2) AS nll
+             |    FROM (
+             |      SELECT doc_id, UNNEST(CASE WHEN LENGTH($tx) < 3
+             |        THEN [$tx]
+             |        ELSE [($tx)[i:i+2] FOR i IN RANGE(1, LENGTH($tx) - 1)]
+             |        END) AS g
+             |      FROM documents WHERE doc_id % 10 <> 0 AND doc_id >= 250)
+             |    LEFT JOIN model m USING (g) CROSS JOIN stats
+             |    GROUP BY 1),
+             |  assigned AS (
+             |    SELECT CASE WHEN nll > c2 THEN 3 WHEN nll > c1 THEN 2
+             |      ELSE 1 END AS bucket_pos
+             |    FROM scored_b CROSS JOIN cuts),
+             |  counts AS (SELECT bucket_pos, COUNT(*) AS cn FROM assigned
+             |    GROUP BY 1),
+             |  tot AS (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS total
+             |    FROM counts),
+             |  per AS (
+             |    SELECT s.bucket_pos,
+             |      CAST(COALESCE(c.cn, 0) AS BIGINT) AS n,
+             |      ROUND(CAST(COALESCE(c.cn, 0) AS DOUBLE) / total, 4)
+             |        AS share,
+             |      ROUND(ABS(CAST(COALESCE(c.cn, 0) AS DOUBLE) / total
+             |        - 1.0 / 3), 4) AS skew
+             |    FROM (SELECT UNNEST([1, 2, 3]) AS bucket_pos) s
+             |    LEFT JOIN counts c USING (bucket_pos) CROSS JOIN tot)
+             |  SELECT per.*, roll.max_skew
+             |  FROM per CROSS JOIN (SELECT MAX(skew) AS max_skew FROM per)
+             |    roll)""".stripMargin
+        s"""WITH model AS (
+           |  SELECT g, COUNT(*) AS c FROM (
+           |    SELECT UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+           |      ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+           |      END) AS g
+           |    FROM documents WHERE doc_id % 10 = 0) GROUP BY 1),
+           |stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM model),
+           |scored_ref AS (
+           |  SELECT doc_id AS id,
+           |    ROUND(CAST(SUM(CAST(-LN(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+           |        / (total + v + 1)) AS DECIMAL(30,9))) AS DOUBLE)
+           |      / COUNT(*), 2) AS nll
+           |  FROM (
+           |    SELECT doc_id, UNNEST(CASE WHEN LENGTH(text) < 3 THEN [text]
+           |      ELSE [text[i:i+2] FOR i IN RANGE(1, LENGTH(text) - 1)]
+           |      END) AS g
+           |    FROM documents WHERE doc_id % 10 <> 0 AND doc_id < 250)
+           |  LEFT JOIN model m USING (g) CROSS JOIN stats
+           |  GROUP BY 1),
+           |th AS (SELECT quantile_cont(nll, [$p1, $p2]) AS t
+           |  FROM scored_ref),
+           |cuts AS (SELECT ROUND(t[1], 6) AS c1, ROUND(t[2], 6) AS c2
+           |  FROM th)
+           |SELECT * FROM (
+           |${side("in_dist", "text")}
+           |UNION ALL
+           |${side("shifted", "REPLACE(text, 'e', '3')")})
+           |ORDER BY batch, bucket_pos""".stripMargin
       }),
 
     // Corpus report card: every CUBE cell over (lang, source) with doc

@@ -127,15 +127,19 @@ object BpeCodec {
   /** Byte-exact decode (called reflectively from generated java): table
     * ids append their symbol's UTF-8 bytes, byte-fallback ids append
     * their single byte (so multi-byte code points reassemble exactly),
-    * anything else appends `unkBytes`. The assembly works in BYTES —
-    * a string-concat decode cannot represent a lone continuation byte. */
+    * anything else — including a NULL array element from a user-built
+    * `array<int>` (containsNull=true passes the type check, and getInt
+    * on a null slot is undefined: NPE interpreted, garbage under
+    * UnsafeArrayData) — appends `unkBytes`, so both eval paths agree.
+    * The assembly works in BYTES — a string-concat decode cannot
+    * represent a lone continuation byte. */
   def decodeIds(ids: ArrayData, symBytes: Array[Array[Byte]],
       byteBase: Int, unkBytes: Array[Byte]): UTF8String = {
     val n = ids.numElements()
     val out = new java.io.ByteArrayOutputStream(n * 2)
     var i = 0
     while (i < n) {
-      val id = ids.getInt(i)
+      val id = if (ids.isNullAt(i)) -1 else ids.getInt(i)
       if (id >= 1 && id <= symBytes.length)
         out.write(symBytes(id - 1), 0, symBytes(id - 1).length)
       else if (byteBase >= 0 && id > byteBase && id <= byteBase + 256)

@@ -166,6 +166,164 @@ object Curation {
     df.crossJoin(broadcast(th)).withColumn("bucket", bucket).drop("__th")
   }
 
+  /** Train-once percentile cuts for [[scoreBucketsUnderCuts]] — the
+    * persisted-model discipline applied to CCNet bucketing:
+    * [[scoreBuckets]] computes its thresholds from the CURRENT batch, so
+    * cross-batch bucket labels silently shift with batch composition
+    * (exactly the failure the vocab/quantizer/BM25 snapshot family
+    * exists for). This trains the cuts ONCE on a reference scored slice
+    * and stamps them; batches then classify under the frozen cuts and
+    * stay label-comparable until [[scoreCutsDrift]] calls a rebuild.
+    *
+    * One row per interior threshold, `(pos, cut)`: `pos` 1-based, `cut`
+    * the exact `i/k` percentile interpolation ROUNDED to 6 decimals —
+    * the same round-before-compare contract as [[scoreBuckets]], so the
+    * rounding lives in the MODEL and classification is a plain `<=`
+    * (any engine replays it bit-for-bit). One aggregate over the
+    * reference; the model is k-1 rows of driver-free distributed state.
+    * Persist with [[saveScoreCuts]] under the
+    * [[graft.state.HistoryFormat.ScoreCuts]] marker. */
+  def scoreCutsModel(ref: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"scoreCutsModel: need at least 2 buckets, got $k")
+    val probs = (1 until k).map(i => i.toDouble / k)
+    ref.agg(expr(
+        s"percentile(CAST($scoreCol AS DOUBLE), array(${probs.mkString(",")}))")
+        .as("__th"))
+      .select(posexplode(col("__th")).as(Seq("__p", "cut")))
+      .select((col("__p") + 1).cast("int").as("pos"),
+        round(col("cut"), 6).as("cut"))
+  }
+
+  /** [[scoreBuckets]] under a FROZEN cuts table (a [[scoreCutsModel]]
+    * result): map-only classification against the k-1 stamped
+    * thresholds — `score <= cut(i)` picks `labels(i-1)`, the fallthrough
+    * is the last label, a NULL score stays a NULL bucket (the
+    * [[scoreBuckets]] conventions unchanged). Same-reference parity is
+    * a law: cuts trained on `df` itself reproduce `scoreBuckets(df, …)`
+    * exactly (suite-pinned), because the round-to-6 comparison is
+    * identical on both paths.
+    *
+    * The cuts broadcast as ONE collected array (k-1 rows — bounded by
+    * the label count, never by data); a label/cut arity mismatch refuses
+    * loudly via a FILTER-borne guard (the guard-carrier rule: a
+    * projected guard would be pruned by a bucket-only consumer). */
+  def scoreBucketsUnderCuts(df: DataFrame, scoreCol: String,
+      labels: Seq[String], cuts: DataFrame): DataFrame = {
+    require(labels.size >= 2, "scoreBucketsUnderCuts: need at least 2 labels")
+    require(labels.distinct.size == labels.size,
+      "scoreBucketsUnderCuts: duplicate labels")
+    val th = cuts
+      .agg(array_sort(collect_list(struct(col("pos"), col("cut")))).as("__tc"))
+      .select(transform(col("__tc"), x => x.getField("cut")).as("__th"))
+    val chain = labels.init.zipWithIndex
+      .foldRight(lit(labels.last): Column) { case ((lab, i), acc) =>
+        when(col(scoreCol).cast("double") <= element_at(col("__th"), i + 1),
+          lit(lab)).otherwise(acc)
+      }
+    val bucket = when(col(scoreCol).isNull, lit(null: String)).otherwise(chain)
+    df.crossJoin(broadcast(th))
+      .filter(when(size(col("__th")) =!= labels.size - 1,
+        raise_error(concat(
+          lit(s"scoreBucketsUnderCuts: ${labels.size} labels need " +
+            s"${labels.size - 1} cuts but the model holds "),
+          size(col("__th")).cast("string"),
+          lit(" — the cuts were trained for a different bucket count")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("bucket", bucket).drop("__th")
+  }
+
+  /** Drift signal for a stamped cuts table — bucket-share skew: classify
+    * the batch under the frozen cuts and compare each bucket's share to
+    * the 1/k it held on the reference by construction (equal-mass
+    * percentiles). One row per bucket `(bucket_pos, n, share, skew)`
+    * with the roll-up (`max_skew, rebuild`) attached; `rebuild` trips
+    * when any bucket's |share − 1/k| exceeds `maxShareSkew`. Buckets the
+    * batch never hits still report (share 0 — that IS the skew signal).
+    * The empty batch reads zeros and rebuild=false (zero rows is not
+    * drift evidence — the [[Profile.profileDrift]] contract). NULL
+    * scores are excluded (unscored rows are a separate signal, the
+    * [[scoreBuckets]] docs).
+    *
+    * Scale shape: one partial-agg'd exchange keyed by bucket position
+    * (≤ k groups, combine map-side), then literally k-row arithmetic
+    * under two tolerated 1-row scalar attaches. The corpus never joins
+    * against itself and never sorts. */
+  def scoreCutsDrift(batch: DataFrame, scoreCol: String, cuts: DataFrame,
+      maxShareSkew: Double): DataFrame = {
+    val th = cuts
+      .agg(array_sort(collect_list(struct(col("pos"), col("cut")))).as("__tc"))
+      .select(transform(col("__tc"), x => x.getField("cut")).as("__th"))
+    // bucket position = 1 + #cuts strictly below the score (<= classifies
+    // low, the scoreBuckets rule)
+    val assigned = batch
+      .select(col(scoreCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .crossJoin(broadcast(th))
+      .select((size(filter(col("__th"), c => col("__s") > c)) + 1)
+        .cast("int").as("bucket_pos"))
+      .groupBy("bucket_pos").agg(count(lit(1)).as("n"))
+    // the bucket spine comes from the MODEL (k = #cuts + 1), so buckets
+    // with zero batch rows still report
+    val spine = th.select(
+      posexplode(sequence(lit(1), size(col("__th")) + 1))
+        .as(Seq("__i", "bucket_pos")),
+      (size(col("__th")) + 1).cast("long").as("__k")).drop("__i")
+    val total = assigned.agg(coalesce(sum(col("n")), lit(0L)).as("__total"))
+    val perBucket = spine.join(assigned, Seq("bucket_pos"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bucket_pos"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("__total") > 0L,
+          round(coalesce(col("n"), lit(0L)).cast("double")
+            / col("__total"), 4)).otherwise(lit(0d)).as("share"),
+        when(col("__total") > 0L,
+          round(abs(coalesce(col("n"), lit(0L)).cast("double")
+              / col("__total") - lit(1d) / col("__k").cast("double")), 4))
+          .otherwise(lit(0d)).as("skew"),
+        col("__total"))
+    // roll-up via the tolerated 1-row scalar attach (k-row input), not a
+    // global window
+    val roll = perBucket
+      .agg(max(col("skew")).as("max_skew"),
+        (max(col("__total")) > 0L).as("__any"))
+    perBucket.crossJoin(broadcast(roll))
+      .withColumn("rebuild", col("__any") && col("max_skew") > maxShareSkew)
+      .drop("__total", "__any")
+  }
+
+  /** Persist a cuts model under the
+    * [[graft.state.HistoryFormat.ScoreCuts]] marker. */
+  def saveScoreCuts(spark: org.apache.spark.sql.SparkSession, path: String,
+      cuts: DataFrame): Unit = {
+    cuts.write.mode("overwrite").parquet(path)
+    graft.state.HistoryFormat.stamp(spark.sparkContext.hadoopConfiguration,
+      path, graft.state.HistoryFormat.ScoreCuts)
+  }
+
+  /** Inverse of [[saveScoreCuts]]; refuses a missing or mismatched
+    * marker (cuts under a different score definition or rounding shift
+    * every bucket label silently). */
+  def loadScoreCuts(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    graft.state.HistoryFormat.ensure(spark.sparkContext.hadoopConfiguration,
+      path, graft.state.HistoryFormat.ScoreCuts, hasData = true)
+    spark.read.parquet(path)
+  }
+
+  /** [[scoreBucketsUnderCuts]] against a persisted cuts path — the
+    * path-taking probe enforces its own format marker (the
+    * HistoryEnforcementSuite rule). */
+  def scoreBucketsUnderCutsTable(df: DataFrame, scoreCol: String,
+      labels: Seq[String], cutsPath: String): DataFrame =
+    scoreBucketsUnderCuts(df, scoreCol, labels,
+      loadScoreCuts(df.sparkSession, cutsPath))
+
+  /** [[scoreCutsDrift]] against a persisted cuts path (marker-enforced). */
+  def scoreCutsDriftTable(batch: DataFrame, scoreCol: String,
+      cutsPath: String, maxShareSkew: Double): DataFrame =
+    scoreCutsDrift(batch, scoreCol,
+      loadScoreCuts(batch.sparkSession, cutsPath), maxShareSkew)
+
   /** Population Stability Index between a reference slice's and a
     * batch's score distributions — THE standard deployed-model drift
     * metric (banking scorecards originally; the same number monitors a
@@ -792,6 +950,87 @@ object Curation {
         ((round(col("__ndup").cast("double") / col("n_docs"), 4) <= maxDupRate)
           && (round(col("__srsum").cast("double") / col("n_docs"), 4)
             >= minStopword)).as("keep"))
+  }
+
+  /** One batch's contribution to the cross-batch source-reputation state
+    * (the [[lineIndex]] discipline applied to the domain gate): one row
+    * per distinct `(fingerprint, source)` with its copy count and the
+    * text's stopword ratio — `(fp, source, cnt, sr)`, ~50 bytes/distinct
+    * text, the text itself never persisted or re-read. `sr` is
+    * functionally dependent on the fingerprint (same bytes → same
+    * ratio), so it rides the fingerprint row instead of a per-source
+    * counter and the state stays mergeable by plain summation.
+    * Duplicate decisions derive from fingerprint TOTALS at report time,
+    * which is what makes the gate incremental at all: a batch-2 copy of
+    * a batch-1 text retroactively turns the OLD doc into a dup — no
+    * per-source counter can represent that, only the fingerprint index
+    * can ([[sourceReputation]]'s corpus-wide rate reproduced exactly;
+    * the fold-equals-one-shot law is oracle-gated at
+    * `d_source_reputation_incr`).
+    *
+    * Persist under [[graft.state.HistoryFormat.SourceReputationFp]] —
+    * the STOPWORD LIST is part of the format identity (see the marker
+    * doc). Fold: `mergeSourceFp(history.unionByName(batch))`, idempotent
+    * shape; report any time via [[sourceReputationFromState]].
+    *
+    * Scale shape: one partial-agg'd exchange keyed by (fp, source) —
+    * a viral duplicate combines map-side; state is O(distinct texts). */
+  def sourceFpBatch(df: DataFrame, srcCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame =
+    df.select(col(srcCol).as("source"), md5(col(textCol)).as("fp"),
+        graft.functions.TextFunctions.stopwordRatio(col(textCol), stopwords)
+          .as("sr"))
+      .groupBy("fp", "source")
+      .agg(count(lit(1)).as("cnt"), max(col("sr")).as("sr"))
+
+  /** Re-aggregate a union of [[sourceFpBatch]] states back to one row
+    * per `(fp, source)` — the fold step. `max(sr)` is exact, not a
+    * tie-break: equal fingerprints mean equal bytes mean equal ratios. */
+  def mergeSourceFp(state: DataFrame): DataFrame =
+    state.groupBy("fp", "source")
+      .agg(sum(col("cnt")).as("cnt"), max(col("sr")).as("sr"))
+
+  /** The [[sourceReputation]] report derived from accumulated
+    * [[sourceFpBatch]] state alone — corpus text never re-read. A
+    * fingerprint is a duplicate when its copy count ACROSS ALL SOURCES
+    * exceeds 1 (the corpus-wide rule: a mirror duplicating another
+    * source's docs is precisely the signal); each source is charged its
+    * own copies of that fingerprint. Same rounding/decimal recipe as
+    * the one-shot, so fold(b1) ⊕ fold(b2) == one-shot(b1 ∪ b2)
+    * bit-for-bit.
+    *
+    * Scale shape: one fp-keyed partial-agg'd exchange for the totals
+    * (state rows, not corpus rows), a join-back on fp, then the
+    * O(#sources) source-keyed aggregate — all inputs are index-sized. */
+  def sourceReputationFromState(state: DataFrame, maxDupRate: Double,
+      minStopword: Double): DataFrame = {
+    val merged = mergeSourceFp(state)
+    val totals = merged.groupBy("fp").agg(sum(col("cnt")).as("__tot"))
+    merged.join(totals, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(when(col("__tot") > 1, col("cnt")).otherwise(0L)).as("__ndup"),
+        sum(col("sr").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          * col("cnt")).as("__srsum"))
+      .select(col("source"), col("n_docs"),
+        round(col("__ndup").cast("double") / col("n_docs"), 4).as("dup_rate"),
+        round(col("__srsum").cast("double") / col("n_docs"), 4)
+          .as("mean_stopword_ratio"),
+        ((round(col("__ndup").cast("double") / col("n_docs"), 4) <= maxDupRate)
+          && (round(col("__srsum").cast("double") / col("n_docs"), 4)
+            >= minStopword)).as("keep"))
+  }
+
+  /** [[sourceReputationFromState]] reading the persisted state from its
+    * table directory — validates the
+    * [[graft.state.HistoryFormat.SourceReputationFp]] marker BEFORE any
+    * read (the HistoryEnforcementSuite rule). */
+  def sourceReputationFromStateTable(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, maxDupRate: Double, minStopword: Double): DataFrame = {
+    graft.state.HistoryFormat.ensure(spark.sparkContext.hadoopConfiguration,
+      stateDir, graft.state.HistoryFormat.SourceReputationFp, hasData = true)
+    sourceReputationFromState(spark.read.parquet(stateDir), maxDupRate,
+      minStopword)
   }
 
   /** Frequency-ranked word vocabulary from a reference slice — the

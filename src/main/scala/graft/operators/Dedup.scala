@@ -134,10 +134,14 @@ object Dedup {
     * portable poly-31 modular fold (the d_quality_clf recipe) for the
     * per-shingle hash — `h1 = fold mod mod1`, stride `h2 = 2·(fold mod
     * mod2) + 1` (odd, so the Kirsch-Mitzenmacher walk never degenerates),
-    * `hash_i = h1 + i·h2` all under 2^36 (no engine wraps; the ~2^31
-    * moduli matter — small moduli concentrate per-document MINIMA near
-    * zero and flood the buckets with false candidates, measured 4× the
-    * verify cost at sf0.1) — and uses
+    * `hash_i = h1 + i·h2` — the operator requires the whole family under
+    * 2^40 (the defaults land under 2^36; no engine wraps, and a caller
+    * composing the hashes further downstream keeps >22 bits of signed
+    * headroom). This is deliberately STRICTER than the expression-level
+    * 2^62 wrap bound: ~2^31 moduli are also the measured sweet spot —
+    * small moduli concentrate per-document MINIMA near zero and flood
+    * the buckets with false candidates (measured 4× the verify cost at
+    * sf0.1), so nothing is lost by the tighter ceiling. Uses
     * the signature slice STRING as the band key (bit-exact bucket
     * equality; no hash in the key path at all). Everything else is the
     * same algorithm, same bounded-bucket cap, same exact-Jaccard verify —
@@ -164,7 +168,9 @@ object Dedup {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     require(mod1 > 0 && mod2 > 0 &&
       BigInt(mod1) + BigInt(k) * (2 * BigInt(mod2) + 1) < (BigInt(1) << 40),
-      "hash family must stay far below 2^63 — no engine may wrap")
+      s"portable hash family must satisfy mod1 + k*(2*mod2+1) < 2^40 " +
+        s"(got mod1=$mod1, mod2=$mod2, k=$k) — stricter than the " +
+        "expression-level 2^62 wrap bound by design; see scaladoc")
     val rowsPerBand = k / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val sig = graft.functions.FusedMinHashFunctions
@@ -663,7 +669,10 @@ object Dedup {
     * every stage pure integer arithmetic an ANSI engine replays
     * bit-for-bit (production [[simhashPairs]] stays rows-only: its
     * XXH64 token hash is not ANSI-expressible). The Hamming ≤ 3
-    * exact-recall pigeonhole holds unchanged (4 disjoint blocks).
+    * exact-recall pigeonhole holds unchanged (4 disjoint blocks) — and,
+    * as with the production path, ONLY for `maxHamming` ≤ 3: a larger
+    * budget can distribute its differing bits across all four blocks, so
+    * above 3 the emitted pair set is candidate-limited, not exhaustive.
     * Fused codegen signature; identical exchanges to the production
     * path. */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,

@@ -367,6 +367,60 @@ object Relevance {
       loadBm25Stats(batch.sparkSession, statsPath), maxNewTermRate,
       maxAvgdlShift)
 
+  /** [[tfIdfTopTerms]] under FROZEN collection statistics — the
+    * train-once sibling of [[bm25UnderStats]], sharing the SAME
+    * [[bm25CollectionStats]] table (one snapshot powers both scorers):
+    * df and N come from the stats, tf from the batch, so ranked terms
+    * stay comparable across batches indexed under the same snapshot —
+    * plain [[tfIdfTopTerms]] re-derives df per run and a viral new
+    * batch silently re-ranks every earlier result.
+    *
+    * Vocabulary contract: terms the snapshot never saw DO NOT RANK
+    * (inner join — a df=0 linear idf is a division by zero, and an
+    * arbitrary smoothing constant would break the parity law below);
+    * their arrival rate is exactly [[bm25StatsDrift]]'s
+    * `new_term_rate`, which calls the rebuild. Same-reference parity is
+    * a LAW: under stats built from the batch itself this equals
+    * [[tfIdfTopTerms]] bit-for-bit on any corpus with single-space
+    * tokenization and no empty tokens (the stats table's documented
+    * convention; suite-pinned).
+    *
+    * Scale shape: tf combines map-side behind the fine-grained
+    * (doc, term) exchange; the tf⋈df join keys on term WITHOUT a
+    * broadcast (a 100 TB snapshot's vocabulary is itself huge and
+    * stays distributed — AQE skew-splits the join); N rides the one
+    * tolerated scalar attach; top-k windows per doc. Identical
+    * exchanges to [[tfIdfTopTerms]] minus the df branch's corpus
+    * re-scan — the snapshot IS the df branch. */
+  def tfIdfTopTermsUnderStats(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, stats: DataFrame): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val dfreq = stats.filter(col("kind") === "df")
+      .select(col("term"), col("v").as("df"))
+    val n = stats.filter(col("kind") === "n")
+      .agg(max(col("v")).as("n"))
+    val toks = batch.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("id").orderBy(col("rel").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("rel", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** [[tfIdfTopTermsUnderStats]] against a persisted snapshot path
+    * (marker-enforced — the same [[graft.state.HistoryFormat.Bm25Stats]]
+    * marker as the BM25 probes). */
+  def tfIdfTopTermsUnderStatsTable(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, statsPath: String): DataFrame =
+    tfIdfTopTermsUnderStats(batch, idCol, textCol, k,
+      loadBm25Stats(batch.sparkSession, statsPath))
+
   /** The integer-scaled rank-discount table both [[retrievalMetrics]]
     * sides share: `discount9(r) = round(10^9 / log2(r + 1))` — DCG's
     * 1/log2(r+1) as an exact BIGINT, computed ONCE driver-side and

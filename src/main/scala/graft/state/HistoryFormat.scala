@@ -176,6 +176,30 @@ object HistoryFormat {
     "re-profile the reference slice (Profile.tableProfile, exact NDV) " +
       "and re-save via Profile.saveProfile")
 
+  /** Stamped CCNet score-percentile cuts
+    * ([[graft.operators.Curation.scoreCutsModel]]): v1 = one row per
+    * interior threshold `(pos, cut)` — `pos` the 1-based threshold
+    * index, `cut` the exact-percentile interpolation ROUNDED to 6
+    * decimals (classification compares `score <= cut` directly, so the
+    * rounding is part of the persisted contract). Cuts computed under a
+    * different score definition or rounding silently shift every
+    * bucket label. */
+  val ScoreCuts: Format = Format("score-percentile-cuts", 1,
+    "re-run Curation.scoreCutsModel over the reference scored slice " +
+      "and overwrite the cuts table")
+
+  /** Cross-batch source-reputation fingerprint state
+    * ([[graft.operators.Curation.sourceFpBatch]] folds): v1 = one row
+    * per distinct `(md5(text), source)` pair with its copy count and
+    * the text's round(·,4) stopword ratio UNDER THE CALLER'S STOPWORD
+    * LIST (the list is part of the format identity — sums folded under
+    * a different list mis-gate every source). Dup decisions derive
+    * from fingerprint totals, so a different digest or a text
+    * normalization change silently zeroes the dup rate. */
+  val SourceReputationFp: Format = Format("source-reputation-fp", 1,
+    "re-run Curation.sourceFpBatch over the full corpus under the " +
+      "current stopword list and overwrite the state table")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)

@@ -132,6 +132,27 @@ class BpeSuite extends SparkSpec {
     assert(decoded == "�uery era")
   }
 
+  test("decode treats a NULL array element as unk in BOTH eval paths " +
+    "(user-built array<int> with containsNull=true passes the type check)") {
+    val model = BpeModel(alpha, Seq.empty)
+    import spark.implicits._
+    // alpha ids are 1-based: 2 -> "a", 3 -> "b"
+    val df = Seq((1L, Seq(Some(2), None, Some(3)))).toDF("id", "ids")
+    val codegen = df.select(Bpe.decode(col("ids"), model).as("t"))
+      .collect().head.getString(0)
+    assert(codegen == "a�b", s"codegen path got '$codegen'")
+    // interpreted path: force eval() by disabling codegen for this query
+    val ws = "spark.sql.codegen.wholeStage"
+    val fm = "spark.sql.codegen.factoryMode"
+    val (ws0, fm0) = (spark.conf.get(ws), spark.conf.get(fm, "FALLBACK"))
+    try {
+      spark.conf.set(ws, "false"); spark.conf.set(fm, "NO_CODEGEN")
+      val got = df.select(Bpe.decode(col("ids"), model).as("t"))
+        .collect().head.getString(0)
+      assert(got == "a�b", s"interpreted path got '$got'")
+    } finally { spark.conf.set(ws, ws0); spark.conf.set(fm, fm0) }
+  }
+
   test("empty words (double spaces) round-trip via interleaved space ids") {
     val model = BpeModel(alpha, Seq.empty)
     import spark.implicits._

@@ -217,6 +217,24 @@ class CdcSuite extends SparkSpec {
       Seq((2L, Some(5L)), (5L, None)))
   }
 
+  test("scd2Merge: the late-change guard survives a payload-only consumer " +
+    "(filter carrier — ColumnPruning cannot delete a filter predicate)") {
+    val dim = Cdc.scd2(scd2B1, Seq("id"), col("v"), Some(col("kind")))
+      .drop("kind", "v")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    val late = Seq((1L, 99L, "upsert", 2L)).toDF("id", "value", "kind", "v")
+    // the consumer reads ONLY a payload column — were the guard a
+    // projection folded into the version column, Catalyst would prune it
+    // here and the late batch would merge silently
+    val e = intercept[Exception] {
+      Cdc.scd2Merge(dim, late, Seq("id"), "v", Some("kind"))
+        .select("value").collect()
+    }
+    assert(msgs(e).exists(_.contains("late change")), msgs(e).mkString("|"))
+  }
+
   test("scd2Lookup: each fact sees the dimension version valid at its " +
     "timestamp, boundaries see the new row, unmatched facts survive " +
     "with NULL dims, at most one interval matches") {
