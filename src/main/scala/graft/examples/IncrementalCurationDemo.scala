@@ -661,7 +661,41 @@ object IncrementalCurationDemo {
       s"${pdRebuilt.getAs[Boolean]("drifted")} " +
       s"(null delta ${pdShift.getAs[Double]("null_delta")} -> " +
       s"${pdRebuilt.getAs[Double]("null_delta")})")
+    // score-cuts drift cycle: the SEVENTH persisted model. CCNet-style
+    // bucket labels ride percentile cuts stamped on the curated slice's
+    // LM-surprisal scores; under the vowel→digit move every doc scores
+    // high-nll and floods the tail bucket — share skew fires. The
+    // rebuild retrains the score model AND re-cuts on the shifted batch
+    // (the CCNet pairing: cuts are only meaningful under their scorer),
+    // restoring equal mass. Both cut tables travel through the
+    // marker-stamped store (the scoreCutsDriftTable load path).
+    val lm0 = Curation.ngramLm(maintSample, "text", n = 3)
+    def cutsScored(b: org.apache.spark.sql.DataFrame,
+        lm: graft.operators.Curation.NgramLm) =
+      Curation.surprisalScore(b, "doc_id", "text", lm)
+    Curation.saveScoreCuts(spark, s"$work/score_cuts",
+      Curation.scoreCutsModel(cutsScored(maintSample, lm0), "nll", 3))
+    def sd(b: org.apache.spark.sql.DataFrame,
+        lm: graft.operators.Curation.NgramLm) =
+      Curation.scoreCutsDriftTable(cutsScored(b, lm), "nll",
+        s"$work/score_cuts", maxShareSkew = 0.25).orderBy("bucket_pos").head()
+    val sdIn = sd(maintSample, lm0)
+    val sdShift = sd(shiftedDocs, lm0)
+    val lm1 = Curation.ngramLm(shiftedDocs, "text", n = 3)
+    Curation.saveScoreCuts(spark, s"$work/score_cuts",
+      Curation.scoreCutsModel(cutsScored(shiftedDocs, lm1), "nll", 3))
+    val sdRebuilt = sd(shiftedDocs, lm1)
+    println("score-cuts drift cycle: in-dist rebuild=" +
+      s"${sdIn.getAs[Boolean]("rebuild")}, shifted rebuild=" +
+      s"${sdShift.getAs[Boolean]("rebuild")}, post-rebuild rebuild=" +
+      s"${sdRebuilt.getAs[Boolean]("rebuild")} " +
+      s"(max share skew ${sdShift.getAs[Double]("max_skew")} -> " +
+      s"${sdRebuilt.getAs[Double]("max_skew")})")
     val driftCyclesOk =
+      !sdIn.getAs[Boolean]("rebuild") && sdShift.getAs[Boolean]("rebuild") &&
+        !sdRebuilt.getAs[Boolean]("rebuild") &&
+        sdRebuilt.getAs[Double]("max_skew") <
+          sdShift.getAs[Double]("max_skew") &&
       !pdIn.getAs[Boolean]("drifted") && pdShift.getAs[Boolean]("drifted") &&
         !pdRebuilt.getAs[Boolean]("drifted") &&
         pdRebuilt.getAs[Double]("null_delta") <

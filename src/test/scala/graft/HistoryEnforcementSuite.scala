@@ -234,6 +234,41 @@ class HistoryEnforcementSuite extends SparkSpec {
     }
   }
 
+  test("score-cuts probes enforce the score-percentile-cuts marker") {
+    withTmpDir { tmp =>
+      val scored = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+      checkFamily(s"$tmp/cuts",
+        Curation.scoreCutsModel(scored, "s", 3),
+        HistoryFormat.ScoreCuts, "Curation.scoreCutsModel") { dir =>
+        Curation.scoreBucketsUnderCutsTable(scored, "s",
+          Seq("head", "middle", "tail"), dir).count()
+      }
+      // the drift probe enforces it too
+      val dir2 = s"$tmp/cuts2"
+      Curation.saveScoreCuts(spark, dir2,
+        Curation.scoreCutsModel(scored, "s", 3))
+      assert(Curation.scoreCutsDriftTable(scored, "s", dir2, 0.2)
+        .count() === 3L)
+      stampStale(dir2, HistoryFormat.ScoreCuts.name)
+      intercept[IllegalStateException](
+        Curation.scoreCutsDriftTable(scored, "s", dir2, 0.2))
+    }
+  }
+
+  test("source-reputation state probe enforces the source-reputation-fp " +
+    "marker") {
+    withTmpDir { tmp =>
+      val stop = Seq("the", "a", "of")
+      checkFamily(s"$tmp/srcfp",
+        Curation.sourceFpBatch(docs.withColumn("source", lit("s")),
+          "source", "text", stop),
+        HistoryFormat.SourceReputationFp, "Curation.sourceFpBatch") { dir =>
+        Curation.sourceReputationFromStateTable(spark, dir, 0.2, 0.05)
+          .count()
+      }
+    }
+  }
+
   test("probing an absent history table is a loud error, not a no-op") {
     withTmpDir { tmp =>
       val e = intercept[IllegalStateException](

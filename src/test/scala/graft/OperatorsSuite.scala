@@ -1268,6 +1268,108 @@ class CurationSuite extends SparkSpec {
     }
   }
 
+  test("scoreCuts: same-reference parity with scoreBuckets, frozen labels " +
+    "under a skewed batch, NULL bucket, arity guard survives a " +
+    "bucket-only consumer") {
+    import graft.operators.Curation
+    val labels = Seq("head", "middle", "tail")
+    val ref = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val cuts = Curation.scoreCutsModel(ref, "s", 3)
+    // parity LAW: cuts trained on the frame itself reproduce scoreBuckets
+    // bit-for-bit (round-to-6 lives in the model, compare is plain <=)
+    val underCuts = Curation.scoreBucketsUnderCuts(ref, "s", labels, cuts)
+      .orderBy("id").collect().toSeq
+    val inline = Curation.scoreBuckets(ref, "s", labels)
+      .orderBy("id").collect().toSeq
+    assert(underCuts === inline, "same-reference parity must be exact")
+    // the POINT of freezing: a skewed batch keeps the reference labels.
+    // Batch scores 7..9 are all 'tail' under the stamped cuts; per-batch
+    // scoreBuckets would silently relabel them head/middle/tail.
+    val skewed = Seq((1L, 7.0), (2L, 8.0), (3L, 9.0)).toDF("id", "s")
+    val frozen = Curation.scoreBucketsUnderCuts(skewed, "s", labels, cuts)
+      .collect().map(_.getString(2)).toSet
+    assert(frozen === Set("tail"), s"frozen cuts must hold labels: $frozen")
+    val perBatch = Curation.scoreBuckets(skewed, "s", labels)
+      .collect().map(_.getString(2)).toSet
+    assert(perBatch === Set("head", "middle", "tail"),
+      "the per-batch path relabels — the failure the snapshot prevents")
+    // NULL score stays a NULL bucket (the scoreBuckets contract)
+    val withNull = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "s")
+    val nb = Curation.scoreBucketsUnderCuts(withNull, "s",
+      Seq("lo", "hi"), Curation.scoreCutsModel(ref, "s", 2))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(nb(2L).isEmpty && nb(1L) === Some("lo"))
+    // arity mismatch refuses even when the consumer reads ONLY the bucket
+    // column (filter carrier — ColumnPruning cannot delete the guard)
+    val e = intercept[Exception] {
+      Curation.scoreBucketsUnderCuts(skewed, "s", Seq("lo", "hi"), cuts)
+        .select("bucket").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("different bucket count")),
+      msgs(e).mkString("|"))
+    intercept[IllegalArgumentException](Curation.scoreCutsModel(ref, "s", 1))
+  }
+
+  test("scoreCutsDrift: in-dist batch holds, skewed batch trips rebuild, " +
+    "zero-hit buckets report, the empty batch is not drift evidence") {
+    import graft.operators.Curation
+    val ref = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val cuts = Curation.scoreCutsModel(ref, "s", 3)
+    val inDist = Curation.scoreCutsDrift(ref, "s", cuts, maxShareSkew = 0.2)
+      .orderBy("bucket_pos").collect()
+    assert(inDist.length === 3)
+    assert(inDist.forall(!_.getAs[Boolean]("rebuild")),
+      "equal-mass reference must not trip")
+    val skewed = Seq((1L, 8.0), (2L, 8.5), (3L, 9.0)).toDF("id", "s")
+    val drifted = Curation.scoreCutsDrift(skewed, "s", cuts,
+      maxShareSkew = 0.2).orderBy("bucket_pos").collect()
+    assert(drifted.forall(_.getAs[Boolean]("rebuild")),
+      "all-tail batch must trip the skew signal")
+    // buckets the batch never hits still report: share 0 IS the signal
+    assert(drifted.take(2).forall(r => r.getAs[Long]("n") === 0L &&
+      r.getAs[Double]("share") === 0.0))
+    assert(drifted(2).getAs[Double]("share") === 1.0)
+    // zero rows is not drift evidence (the profileDrift contract)
+    val empty = Curation.scoreCutsDrift(ref.filter(lit(false)), "s", cuts,
+      maxShareSkew = 0.2).collect()
+    assert(empty.length === 3 && empty.forall(r =>
+      !r.getAs[Boolean]("rebuild") && r.getAs[Double]("skew") === 0.0))
+  }
+
+  test("source reputation fold: fold(b1) ++ fold(b2) equals the one-shot " +
+    "over the union, including the retroactive dup") {
+    import graft.operators.Curation
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    // 'late-mirror' is UNIQUE in b1; b2 duplicates it — the b1 doc must
+    // retroactively count as a dup, which per-source counters cannot do
+    val b1 = Seq(
+      ("good", "the quick fox one is in a den"),
+      ("good", "the quick fox two is in a den"),
+      ("late-mirror", "a body that will be mirrored later")).toDF("source", "text")
+    val b2 = Seq(
+      ("good", "the quick fox three is in a den"),
+      ("late-mirror", "a body that will be mirrored later"),
+      ("late-mirror", "a body that will be mirrored later")).toDF("source", "text")
+    val state = Curation.sourceFpBatch(b1, "source", "text", stop)
+      .unionByName(Curation.sourceFpBatch(b2, "source", "text", stop))
+    val folded = Curation.sourceReputationFromState(state,
+      maxDupRate = 0.2, minStopword = 0.05).orderBy("source").collect().toSeq
+    val oneShot = Curation.sourceReputation(b1.unionByName(b2), "source",
+      "text", stop, maxDupRate = 0.2, minStopword = 0.05)
+      .orderBy("source").collect().toSeq
+    assert(folded === oneShot, "fold-equals-one-shot must be bit-exact")
+    val mirror = folded.find(_.getString(0) == "late-mirror").get
+    assert(mirror.getDouble(2) === 1.0,
+      "ALL late-mirror copies are dups — including the batch-1 original")
+    // merge idempotence: re-merging merged state changes nothing
+    val merged = Curation.mergeSourceFp(state)
+    assert(Curation.sourceReputationFromState(merged, 0.2, 0.05)
+      .orderBy("source").collect().toSeq === folded)
+  }
+
   test("cross-batch line dedup: history owner wins, in-batch ownership, compaction-stable") {
     import graft.operators.Curation
     val minDf = 2

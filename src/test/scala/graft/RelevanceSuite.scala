@@ -34,6 +34,43 @@ class RelevanceSuite extends SparkSpec {
     assert(a1.getDouble(5) === math.rint(2 * math.log(2) * 1e4) / 1e4)
   }
 
+  test("tfIdfTopTermsUnderStats: same-reference parity with tfIdfTopTerms, " +
+    "frozen df under new batches, snapshot-unseen terms do not rank") {
+    import org.apache.spark.sql.functions.col
+    val stats = Relevance.bm25CollectionStats(corpus, "doc_id", "text")
+    // parity LAW: stats from the corpus itself reproduce the plain path
+    // bit-for-bit (single-space tokenization, no empty tokens)
+    val frozen = Relevance.tfIdfTopTermsUnderStats(corpus, "doc_id", "text",
+      k = 3, stats).orderBy("id", "rnk").collect().toSeq
+    val plain = Relevance.tfIdfTopTerms(corpus, "doc_id", "text", k = 3)
+      .orderBy("id", "rnk").collect().toSeq
+    assert(frozen === plain, "same-reference parity must be exact")
+    // the POINT of freezing: a new batch scores under the SNAPSHOT's
+    // df/N — 'apple' keeps df=2, N=4 no matter what the batch holds
+    val batch = Seq((10L, "apple apple banana"), (11L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val got = Relevance.tfIdfTopTermsUnderStats(batch, "doc_id", "text",
+      k = 5, stats).collect()
+    assert(got.filter(_.getString(2) == "apple")
+      .forall(r => r.getAs[Long]("df") === 2L), "df must come from the snapshot")
+    // a term the snapshot never saw does not rank (its arrival rate is
+    // bm25StatsDrift's new_term_rate — the rebuild signal)
+    val unseen = Relevance.tfIdfTopTermsUnderStats(
+      Seq((20L, "zucchini apple")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, stats).collect()
+    assert(unseen.map(_.getString(2)).toSet === Set("apple"),
+      "snapshot-unseen terms must not rank")
+    // the marker-enforced table probe round-trips
+    withTmpDir { tmp =>
+      Relevance.saveBm25Stats(spark, s"$tmp/stats", stats)
+      val viaTable = Relevance.tfIdfTopTermsUnderStatsTable(corpus, "doc_id",
+        "text", k = 3, s"$tmp/stats").orderBy("id", "rnk").collect().toSeq
+      assert(viaTable === plain)
+    }
+    intercept[IllegalArgumentException](
+      Relevance.tfIdfTopTermsUnderStats(corpus, "doc_id", "text", 0, stats))
+  }
+
   test("bm25 matches a hand-computed score and skips non-matching docs") {
     val out = Relevance.bm25(corpus, "doc_id", "text", query = Seq("apple"))
       .orderBy("id").collect()

@@ -1621,4 +1621,86 @@ class StructuredRunnerSuite extends SparkSpec {
       assert(w.lastTxnVersion(dim, "scd2s") === Some(1L))
     }
   }
+
+  test("source-reputation fold and frozen score-cuts labels under the " +
+    "streaming engine, across checkpoint loss") {
+    import graft.delta.{DeltaWriteMode, DeltaWriter}
+    import graft.operators.Curation
+    import graft.state.HistoryFormat
+    withTmpDir { tmp =>
+      val in = s"$tmp/in"; val cp = s"$tmp/cp"
+      val srcT = s"$tmp/srcfp"; val labT = s"$tmp/labeled"
+      val cutsT = s"$tmp/cuts"
+      val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+      def file(n: Int, rows: Seq[(Long, String, String, Double)]): Unit = {
+        rows.toDF("doc_id", "source", "text", "q").coalesce(1)
+          .write.parquet(s"$in/b$n")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$n"))
+          .iterator().asScala
+          .foreach(_.toFile.setLastModified(1700000000000L + n * 60000L))
+      }
+      // batch 1 re-sends batch 0's 'late-mirror' body — the batch-0
+      // original must RETROACTIVELY read as a dup in the folded report
+      file(0, Seq(
+        (1L, "good", "the quick fox one is in a den", 1.0),
+        (2L, "good", "the quick fox two is in a den", 5.0),
+        (3L, "mirror", "a body that will be mirrored later", 9.0)))
+      file(1, Seq(
+        (4L, "good", "the quick fox three is in a den", 2.0),
+        (5L, "mirror", "a body that will be mirrored later", 8.0)))
+      // cuts stamped ONCE before the stream — every batch classifies
+      // under the same frozen thresholds (terciles of 1..9)
+      Curation.saveScoreCuts(spark, cutsT, Curation.scoreCutsModel(
+        (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s"), "s", 3))
+      val spec = StreamSpec(inputDir = s"$in/*",
+        schema = Seq((1L, "x", "y", 1.0)).toDF("doc_id", "source", "text", "q")
+          .schema,
+        maxFilesPerTrigger = Some(1))
+      val w = new DeltaWriter(spark, conf)
+      def runOnce(): Unit = {
+        val q = StructuredRunner.run(spark, spec, cp,
+          writer = (batch, batchId) => {
+            if (!w.lastTxnVersion(srcT, "src-fp").exists(_ >= batchId)) {
+              w.write(Curation.sourceFpBatch(batch, "source", "text", stop),
+                srcT, DeltaWriteMode.Append, txn = Some(("src-fp", batchId)))
+              HistoryFormat.ensure(conf, srcT,
+                HistoryFormat.SourceReputationFp, hasData = false)
+            }
+            if (!w.lastTxnVersion(labT, "labels").exists(_ >= batchId))
+              w.write(Curation.scoreBucketsUnderCutsTable(batch, "q",
+                  Seq("head", "middle", "tail"), cutsT)
+                  .select("doc_id", "bucket"),
+                labT, DeltaWriteMode.Append, txn = Some(("labels", batchId)))
+          })
+        q.awaitTermination(120000)
+      }
+      runOnce()
+      def report() = Curation.sourceReputationFromState(w.read(srcT),
+          maxDupRate = 0.2, minStopword = 0.05)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(4))).toSeq
+      def labels() = w.read(labT).orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      val rep1 = report(); val lab1 = labels()
+      // both mirror copies are dups — including the batch-0 original
+      assert(rep1 === Seq(("good", 3L, 0.0, true),
+        ("mirror", 2L, 1.0, false)), s"got $rep1")
+      // terciles of 1..9 cut at 3.67/6.33: q 1,2 head; 5 middle; 8,9 tail
+      assert(lab1 === Seq(1L -> "head", 2L -> "middle", 3L -> "tail",
+        4L -> "head", 5L -> "tail"), s"got $lab1")
+      // idle re-run admits nothing; checkpoint loss replays into no-ops
+      runOnce()
+      assert(report() === rep1 && labels() === lab1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      runOnce()
+      assert(report() === rep1 && labels() === lab1,
+        "replay after checkpoint loss must not re-fold or re-label")
+      assert(HistoryFormat.read(conf, srcT) ===
+        Some(("source-reputation-fp", 1L)))
+      assert(HistoryFormat.read(conf, cutsT) ===
+        Some(("score-percentile-cuts", 1L)))
+    }
+  }
 }
