@@ -1,0 +1,227 @@
+package graft.examples
+
+import graft.GraftSession
+import graft.operators.{Dedup, FuzzyJoin, Mixing, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** MEASURED scaling curves for the engine's heaviest pair-generating
+  * operators — the [[SpanHistoryScaling]] precedent generalized: every
+  * "this plan wins at 100×" claim in the operator docs rests on plan
+  * shape (banding, prefix filters, bounded buckets, broadcast indexes);
+  * this runner converts the claim into numbers by synthesizing corpora
+  * at 1×/2×/4×/8× the sf0.1 row count and measuring, per operator and
+  * size, the WALL TIME, the CANDIDATE VOLUME (the largest
+  * `numOutputRows` across the executed plan's join nodes — the pair
+  * stream that would go quadratic if the filter stack failed), and the
+  * PEAK intermediate row count across all plan nodes.
+  *
+  * Corpus derivation (testdata is read-only — scaled corpora are
+  * derived in scratch): replica `r` of the sf0.1 corpus re-ids every
+  * row (+r·10⁶, preserving the doc_id mod classes the query bodies
+  * key plants on) and rewrites its text under a per-replica letter
+  * rotation (`translate` over "etaoinsr", 8 distinct rotations), so
+  * WITHIN a replica the near-duplicate/template structure of the
+  * original corpus is preserved EXACTLY while ACROSS replicas texts
+  * share almost no 12-grams/shingles/tokens. Embeddings rotate their
+  * 64 dimensions by `r` positions (norm-preserving, decorrelating).
+  * A real 2× corpus is "more of the same distribution", which is
+  * precisely what this construction produces — and it makes the
+  * correct asymptote measurable: pair density per document constant,
+  * so candidates and output should grow ~LINEARLY (slope ≈ 1 on a
+  * log-log fit). A broken filter stack (all-pairs behavior) shows up
+  * as slope ≈ 2 regardless of constants.
+  *
+  * The fit is least-squares on (log m, log value) over the four sizes.
+  * Exit 1 if any operator's candidate-volume slope exceeds 1.5 or
+  * wall-time slope exceeds 1.6 (fixed per-query overhead biases the
+  * wall slope DOWN, so the gate is conservative in the safe
+  * direction). Results are published in README "scaling notes".
+  *
+  * Run: sbt "runMain graft.examples.ScalingCurves [workDir] [sfDir]"
+  */
+object ScalingCurves {
+
+  /** Every node of the EXECUTED plan, descending through AQE's
+    * materialized stages (the final plan lives under
+    * AdaptiveSparkPlanExec/QueryStageExec, not in `children`). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private case class Point(m: Int, sec: Double, outRows: Long,
+    candRows: Long, peakRows: Long)
+
+  /** log-log least-squares slope over the measured points. */
+  private def slope(pts: Seq[(Double, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1))
+    val ys = pts.map(p => math.log(math.max(p._2, 1e-9)))
+    val n = xs.size
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    if (den == 0) 0.0
+    else xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft-scaling")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = GraftSession.local(cpus, "graft-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    val scales = Seq(1, 2, 4, 8)
+
+    // ----- derived corpora ------------------------------------------------
+    // 8 distinct letter rotations; r=0 is the identity (replica 0 IS the
+    // original corpus, so the 1× point matches the bench queries)
+    val perm = "etaoinsr"
+    def rot(r: Int) = perm.drop(r % perm.length) + perm.take(r % perm.length)
+    def replicaText(r: Int) =
+      if (r == 0) col("text") else translate(col("text"), perm, rot(r))
+
+    def synth(m: Int): Unit = {
+      val docsOut = s"$work/docs_x$m"
+      val embOut = s"$work/emb_x$m"
+      if (!new java.io.File(s"$docsOut/_SUCCESS").exists()) {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        (0 until m).map(r => docs.select(
+            (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+            replicaText(r).as("text")))
+          .reduce(_ unionByName _)
+          // many splittable files: the measured thing is the operator,
+          // not Spark's inability to split one local row group
+          .repartition(cpus).write.mode("overwrite").parquet(docsOut)
+      }
+      if (!new java.io.File(s"$embOut/_SUCCESS").exists()) {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val dim = emb.select(size(col("embedding"))).first().getInt(0)
+        (0 until m).map { r =>
+          val v =
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, dim - r),
+              slice(col("embedding"), 1, r))
+          emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+            v.as("embedding"))
+        }.reduce(_ unionByName _)
+          .repartition(cpus).write.mode("overwrite").parquet(embOut)
+      }
+    }
+
+    // ----- the seven operators, bench-query parameterization -------------
+    // (final orderBy dropped: a global sort of the ≤few-thousand-row
+    // output is noise against the pair stages under measurement)
+    def docs(m: Int) = spark.read.parquet(s"$work/docs_x$m")
+    def emb(m: Int) = spark.read.parquet(s"$work/emb_x$m")
+
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "d_ngram_jaccard" -> ((m: Int) =>
+        Dedup.charNgramJaccardExactPairs(docs(m), "doc_id", "text",
+          n = 12, threshold = 0.8)),
+      "d_fuzzy_join" -> ((m: Int) => {
+        val keyed = docs(m)
+          .withColumn("k0", substring(col("text"), 1, 32))
+          .withColumn("k", when(col("doc_id") % 5 === 3,
+            concat(expr("substring(k0, 1, doc_id % 20)"), lit("q"),
+              expr("substring(k0, doc_id % 20 + 2, 32)")))
+            .otherwise(col("k0")))
+        FuzzyJoin.editDistanceJoin(keyed.select("doc_id", "k"),
+          "doc_id", "k", maxDist = 2, q = 3)
+      }),
+      "d_split_leakage" -> ((m: Int) => {
+        def split(df: DataFrame) = Mixing.splitAssign(df, "doc_id",
+          Seq(("train", 0.95), ("test", 0.05)))
+        val idx = Dedup.benchmarkGramIndex(
+          split(docs(m)).filter(col("split") === "test")
+            .select(col("doc_id"), col("text")), "doc_id", "text", n = 12)
+        Dedup.contaminationAgainstIndex(
+          split(docs(m)).filter(col("split") === "train"),
+          "doc_id", "text", idx, n = 12, minShared = 32)
+      }),
+      "d_contamination" -> ((m: Int) =>
+        Dedup.ngramContamination(
+          docs(m).filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs(m).filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          n = 12, minShared = 32)),
+      "e_ann_lsh" -> ((m: Int) => {
+        val e = emb(m)
+        val queries = e.filter(col("vec_id") < 50)
+        val lsh = Similarity.lshTopK(queries, e, "vec_id", "embedding",
+            k = 1, planes = 3, tables = 16)
+          .select(col("query_id"), round(col("cosine"), 4).as("lsh_cosine"))
+        Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"))
+          .join(lsh, Seq("query_id"), "left")
+      }),
+      "d_minhash_pairs_poly" -> ((m: Int) =>
+        Dedup.minhashLshPairsPortable(docs(m), "doc_id", "text",
+          threshold = 0.2)),
+      "d_simhash_pairs_poly" -> ((m: Int) =>
+        Dedup.simhashPairsPortable(docs(m), "doc_id", "text",
+          maxHamming = 6)))
+
+    // ----- measure --------------------------------------------------------
+    scales.foreach(synth)
+    val results = ops.map { case (name, build) =>
+      // one untimed warm-up at 1× per operator: the first execution pays
+      // codegen compilation and JIT warm-up, which otherwise lands
+      // entirely on the 1× point and biases the fitted slope DOWN
+      // (x1 measured slower than x8 on the cheap operators)
+      build(1).queryExecution.executedPlan.execute().count()
+      spark.catalog.clearCache()
+      name -> scales.map { m =>
+        val qe = build(m).queryExecution
+        val t0 = System.nanoTime()
+        // execute the df's OWN plan (a noop write would plan a separate
+        // QueryExecution and this one's metrics would stay empty)
+        val outRows = qe.executedPlan.execute().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val nodes = allNodes(qe.executedPlan)
+        def rows(ns: Seq[SparkPlan]) = ns
+          .flatMap(_.metrics.get("numOutputRows").map(_.value))
+        val joinRows = rows(nodes.filter(_.nodeName.contains("Join")))
+          .foldLeft(0L)(math.max)
+        val peak = rows(nodes).foldLeft(0L)(math.max)
+        // an operator with no join stage (simhash: bucket collect_set →
+        // pair explode) reports its candidate volume as the peak row
+        // count — the exploded pair stream IS its candidate stage
+        val cand = if (joinRows > 0) joinRows else peak
+        spark.catalog.clearCache()
+        println(f"$name%-22s x$m%-2d ${sec}%8.2f s  out=$outRows%-8d " +
+          f"candidates=$cand%-10d peak=$peak%d")
+        Point(m, sec, outRows, cand, peak)
+      }
+    }
+
+    // ----- fit + gate -----------------------------------------------------
+    println()
+    println("operator               | slope(time) | slope(candidates) | " +
+      "slope(peak) | out x1 -> x8 | cand x1 -> x8")
+    var bad = List.empty[String]
+    results.foreach { case (name, pts) =>
+      val st = slope(pts.map(p => (p.m.toDouble, p.sec)))
+      val sc = slope(pts.map(p => (p.m.toDouble, p.candRows.toDouble)))
+      val sp = slope(pts.map(p => (p.m.toDouble, p.peakRows.toDouble)))
+      println(f"$name%-22s | $st%11.2f | $sc%17.2f | $sp%11.2f | " +
+        f"${pts.head.outRows}%6d -> ${pts.last.outRows}%-6d | " +
+        f"${pts.head.candRows} -> ${pts.last.candRows}")
+      if (sc > 1.5) bad ::= f"$name candidate slope $sc%.2f > 1.5"
+      if (st > 1.6) bad ::= f"$name wall-time slope $st%.2f > 1.6"
+    }
+    if (bad.nonEmpty) {
+      println(s"QUADRATIC-CURVE FLAGS: ${bad.mkString("; ")}")
+      spark.stop(); sys.exit(1)
+    }
+    println("scaling check: PASS (all slopes sub-quadratic)")
+    spark.stop()
+  }
+}

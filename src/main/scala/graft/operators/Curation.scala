@@ -1288,17 +1288,25 @@ object Curation {
     *
     * Scale shape: each iteration is one src-keyed join (ranks are
     * (node, r9) rows — narrow) + one partial-agg'd exchange on dst.
-    * The edge set and each iteration's ranks LOCAL-CHECKPOINT (the
-    * standard iterative-algorithm discipline — without it the rank
+    * The edge set and each iteration's ranks CHECKPOINT under the
+    * caller-supplied `checkpoint` policy (the standard
+    * iterative-algorithm discipline — without truncation the rank
     * lineage nests a copy of the whole prior plan per iteration and
     * the edge derivation recomputes ~2·iterations times; measured 3.1 s
-    * → flat on the bench graph). At cluster scale with executor churn,
-    * swap localCheckpoint for a reliable checkpoint dir — the
-    * arithmetic is unaffected. Output: `(node, r9, rank)` — `rank` the
-    * single terminal double division, rounded at 6. */
+    * → flat on the bench graph). The default `localCheckpoint` fits a
+    * single stable JVM; at cluster scale with executor churn pass a
+    * reliable-checkpoint policy (`_.checkpoint()` under a configured
+    * checkpoint dir), and on a deliberately tiny graph where the ~8
+    * eager checkpoint jobs outweigh the recompute, pass `identity` —
+    * the policy changes lineage and fixed job count only, NEVER the
+    * arithmetic (suite-pinned: identity == default bit-for-bit).
+    * Output: `(node, r9, rank)` — `rank` the single terminal double
+    * division, rounded at 6. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3): DataFrame =
-    pageRankCore(edges, srcCol, dstCol, iterations, prior = None)
+      iterations: Int = 3,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iterations, prior = None,
+      checkpoint = checkpoint)
 
   /** Warm-start (delta-edge) PageRank — the incremental shape: crawl
     * graphs grow by edge batches, and re-iterating from uniform every
@@ -1316,19 +1324,20 @@ object Curation {
     * INIT, never the arithmetic, so the oracle unrolls both stages as
     * the same CTE chain. */
   def pageRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
-      prior: DataFrame, iterations: Int = 3): DataFrame =
-    pageRankCore(edges, srcCol, dstCol, iterations, prior = Some(prior))
+      prior: DataFrame, iterations: Int = 3,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iterations, prior = Some(prior),
+      checkpoint = checkpoint)
 
   private def pageRankCore(edges: DataFrame, srcCol: String,
-      dstCol: String, iterations: Int, prior: Option[DataFrame]): DataFrame = {
+      dstCol: String, iterations: Int, prior: Option[DataFrame],
+      checkpoint: DataFrame => DataFrame): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e = checkpoint(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .filter(col("src").isNotNull && col("dst").isNotNull))
+    val nodes = checkpoint(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
     val nTot = nodes.agg(count(lit(1)).as("n"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = prior match {
@@ -1344,7 +1353,7 @@ object Curation {
         // projected guard could be pruned; a filter cannot)
         val dupW = org.apache.spark.sql.expressions.Window
           .partitionBy("node").orderBy(col("__prior"))
-        nodes
+        checkpoint(nodes
           .join(p.select(col("node"), col("r9").as("__prior")),
             Seq("node"), "left")
           .withColumn("__rn", row_number().over(dupW))
@@ -1357,8 +1366,7 @@ object Curation {
             .otherwise(lit(true)))
           .crossJoin(broadcast(nTot))
           .select(col("node"),
-            coalesce(col("__prior"), expr("1000000000L div n")).as("r9"))
-          .localCheckpoint()
+            coalesce(col("__prior"), expr("1000000000L div n")).as("r9")))
     }
     (1 to iterations).foreach { i =>
       val contrib = e
@@ -1374,7 +1382,7 @@ object Curation {
             expr("85L * in9 div 100")).as("r9"))
       // truncate lineage between iterations, not after the last — the
       // caller's plan starts from the final ranks either way
-      ranks = if (i < iterations) next.localCheckpoint() else next
+      ranks = if (i < iterations) checkpoint(next) else next
     }
     ranks.select(col("node"), col("r9"),
       round(col("r9").cast("double") / lit(1e9), 6).as("rank"))

@@ -280,6 +280,21 @@ class CurationAuditSuite extends SparkSpec {
     val b = Curation.pageRank(big.orderBy(col("dst")).coalesce(1),
       "src", "dst").orderBy("node").collect()
     assert(a.toSeq === b.toSeq)
+    // the checkpoint policy changes lineage/fixed job count only, never
+    // the arithmetic: identity (no truncation) replays the default
+    // bit-for-bit, on the cold AND the warm path
+    val ident = Curation.pageRank(big, "src", "dst",
+      checkpoint = identity[org.apache.spark.sql.DataFrame])
+      .orderBy("node").collect()
+    assert(ident.toSeq === a.toSeq)
+    val prior = Curation.pageRank(big, "src", "dst")
+      .select(col("node"), col("r9"))
+    val warmDefault = Curation.pageRankWarm(big, "src", "dst", prior)
+      .orderBy("node").collect()
+    val warmIdent = Curation.pageRankWarm(big, "src", "dst", prior,
+        checkpoint = identity[org.apache.spark.sql.DataFrame])
+      .orderBy("node").collect()
+    assert(warmIdent.toSeq === warmDefault.toSeq)
   }
 
   // --- tableProfile -------------------------------------------------------
