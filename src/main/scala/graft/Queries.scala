@@ -2573,6 +2573,72 @@ object Queries {
              |WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 6
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // The WIDE combination-key SimHash bucketing (Manku WWW'07 §3 general
+    // construction) under the portable hash — the measured answer to
+    // 16-bit block key-space saturation (ScalingCurves: candidate slope
+    // 1.41 on 4x16 keys at 5k->40k docs; 32-bit combination keys push
+    // saturation to ~1e9 docs). 6 blocks, every 3-of-6 combination as a
+    // packed integer key, exact recall for Hamming <= 3; the full
+    // pipeline (20 keys/doc, bucket cap, verify) replays in DuckDB as
+    // pure integer arithmetic.
+    "d_simhash_pairs_poly_wide" -> QueryDef(
+      (s, d) => Dedup.simhashPairsPortableWide(t(s, d, "documents"),
+          "doc_id", "text", maxHamming = 3, blocks = 6)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some {
+        val (widths, offsets, combos) =
+          graft.operators.Dedup.wideBlockLayout(6, 3)
+        val keyEntries = combos.zipWithIndex.map { case (c, ci) =>
+          val terms = c.zipWithIndex.map { case (j, k) =>
+            val shiftUp = c.drop(k + 1).map(widths(_)).sum
+            s"((sh // ${1L << offsets(j)}) % ${1L << widths(j)})" +
+              (if (shiftUp > 0) s" * ${1L << shiftUp}" else "")
+          }.mkString(" + ")
+          s"{'combo': $ci, 'key': $terms}"
+        }.mkString(",\n    ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+           |  FROM documents),
+           |th AS (
+           |  SELECT doc_id,
+           |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+           |      [CAST(ascii(c) AS BIGINT)
+           |       FOR c IN STRING_SPLIT(w, '')]),
+           |      (h, cp) -> (h * 31 + cp) % 2147483647) * 2147483648
+           |    + LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+           |      [CAST(ascii(c) AS BIGINT)
+           |       FOR c IN STRING_SPLIT(w, '')]),
+           |      (h, cp) -> (h * 31 + cp) % 1073741789) AS h
+           |  FROM toks),
+           |hs AS (SELECT doc_id, LIST(h) AS hl FROM th GROUP BY 1),
+           |sig AS (
+           |  SELECT doc_id, LIST_SUM([
+           |      CASE WHEN LIST_SUM([
+           |        CASE WHEN (x // (CAST(1 AS BIGINT) << b)) % 2 = 1
+           |          THEN 1 ELSE -1 END
+           |        FOR x IN hl]) > 0
+           |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+           |    FOR b IN RANGE(0, 62)]) AS sh
+           |  FROM hs),
+           |bk AS (
+           |  SELECT doc_id AS id, sh, UNNEST([
+           |    $keyEntries
+           |  ], recursive := true)
+           |  FROM sig),
+           |bb AS (
+           |  SELECT combo, key, id, sh FROM bk
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY combo, key
+           |    ORDER BY id) <= 4096)
+           |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |  CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS BIGINT) AS hamming
+           |FROM bb a JOIN bb b
+           |  ON a.combo = b.combo AND a.key = b.key AND a.id < b.id
+           |WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // ----- char-ngram Jaccard near-dup pairs (EXACT, oracle-checked) ------
     // the gram-inverted-index algorithm is complete by construction (any
     // pair with J > 0 shares a distinct gram), so DuckDB can mirror it

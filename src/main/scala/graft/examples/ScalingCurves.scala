@@ -167,7 +167,14 @@ object ScalingCurves {
           threshold = 0.2)),
       "d_simhash_pairs_poly" -> ((m: Int) =>
         Dedup.simhashPairsPortable(docs(m), "doc_id", "text",
-          maxHamming = 6)))
+          maxHamming = 6)),
+      // the measured answer to the narrow layout's saturation: same
+      // signatures under 3-of-6 combination keys (32-bit key space) —
+      // candidate volume (the bucket-pair explode; no join stage) must
+      // fall back to ~linear where the 16-bit keys curve at 1.41
+      "simhash_poly_wide" -> ((m: Int) =>
+        Dedup.simhashPairsPortableWide(docs(m), "doc_id", "text",
+          maxHamming = 3, blocks = 6)))
 
     // ----- measure --------------------------------------------------------
     scales.foreach(synth)

@@ -684,6 +684,100 @@ object Dedup {
           .polySimhash(col(textCol), mod1, mod2).as("sh")),
       "id", "sh", maxHamming, maxBucket)
 
+  /** Per-combination block widths/offsets for [[hash64PairsWide]]:
+    * `blocks` near-equal windows tiling the 64 bits (wider windows
+    * first), and every size-`blocks − maxHamming` combination of window
+    * positions. Shared by the operator and its tests so the key
+    * derivation has exactly one definition. */
+  private[graft] def wideBlockLayout(blocks: Int, maxHamming: Int)
+      : (Array[Int], Array[Int], Seq[Seq[Int]]) = {
+    val widths = Array.tabulate(blocks)(j =>
+      64 / blocks + (if (j < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val combos = (0 until blocks).combinations(blocks - maxHamming)
+      .map(_.toSeq).toSeq
+    (widths, offsets, combos)
+  }
+
+  /** WIDE-KEY variant of [[hash64Pairs]] — the measured answer to block
+    * key-space saturation (`examples/ScalingCurves`: the 4×16-bit keys'
+    * 2¹⁶ space saturates past ~10⁴–10⁵ docs and candidate volume curves
+    * toward N²/2¹⁶, slope 1.41 at 5k→40k docs, while output stays
+    * linear). Manku et al.'s general construction (WWW'07 §3): split
+    * the signature into `blocks` near-equal windows and key each
+    * document by every combination of `blocks − maxHamming` windows —
+    * a pair within the Hamming budget differs in at most `maxHamming`
+    * windows, so the combination consisting of windows BOTH have intact
+    * matches, and recall stays EXACT for the budget (no pigeonhole
+    * narrowing). The key widens from one window (16 bits) to
+    * `(blocks − maxHamming)` windows packed into one long (blocks=6,
+    * maxHamming=3 → 32-bit keys, saturation pushed from ~10⁵ to ~10⁹
+    * docs) at the price of C(blocks, blocks−maxHamming) keys per doc
+    * (20 at 6/3) instead of `blocks` (4) — the standard key-space vs
+    * key-count trade, now chosen by a measurement instead of a guess.
+    *
+    * Same one-exchange shape as [[hash64Pairs]]: explode (combo, key)
+    * rows, bounded buckets, sorted-pair explode, exact Hamming verify,
+    * distinct. Pair-set equality with [[hash64Pairs]] at the same
+    * budget is a suite LAW (both are exact for Hamming ≤ 3 under
+    * uncapped buckets — same verified pairs through different keys). */
+  def hash64PairsWide(sigs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, blocks: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(blocks >= 2 && blocks <= 32,
+      s"hash64PairsWide: blocks must be in [2, 32], got $blocks")
+    require(maxHamming >= 1 && maxHamming < blocks,
+      s"hash64PairsWide: exact recall needs 1 <= maxHamming < blocks " +
+        s"(got maxHamming=$maxHamming, blocks=$blocks)")
+    val (widths, offsets, combos) = wideBlockLayout(blocks, maxHamming)
+    require(combos.head.map(widths(_)).sum <= 63,
+      s"hash64PairsWide: packed key would exceed 63 bits — use more " +
+        s"blocks or a larger maxHamming (blocks=$blocks, maxHamming=$maxHamming)")
+    def blockVal(h: Column, j: Int): Column =
+      shiftrightunsigned(h, offsets(j))
+        .bitwiseAND(lit((1L << widths(j)) - 1))
+    val keyStructs = array(combos.zipWithIndex.map { case (c, ci) =>
+      // packed ascending-position fold: b₁·2^(w₂+w₃) + b₂·2^w₃ + b₃ —
+      // plain integer arithmetic both engines replay
+      val key = c.tail.foldLeft(blockVal(col("sh"), c.head)) { (acc, j) =>
+        shiftleft(acc, widths(j)) + blockVal(col("sh"), j)
+      }
+      struct(lit(ci).as("combo"), key.as("key"))
+    }: _*)
+    val rows = sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .select(col("id"), col("sh"), explode(keyStructs).as("ck"))
+      .select(col("id"), col("sh"),
+        col("ck.combo").as("combo"), col("ck.key").as("key"))
+    boundedBuckets(rows, Seq("combo", "key"),
+        collect_set(struct(col("id"), col("sh"))), maxBucket)
+      .select(array_sort(col("items")).as("sorted_items"))
+      .select(explode(pairStructs(col("sorted_items"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        hamming64(col("p.a.sh"), col("p.b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[simhashPairs]] under the wide combination keys — for corpora past
+    * the 4×16-bit layout's saturation point (see [[hash64PairsWide]]). */
+  def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blocks: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hash64PairsWide(simhashByRow(df, idCol, textCol), "id", "sh",
+      maxHamming, blocks, maxBucket)
+
+  /** [[simhashPairsPortable]] under the wide combination keys — the
+    * oracle-checkable parameterization (every stage integer arithmetic;
+    * gated at `d_simhash_pairs_poly_wide`). */
+  def simhashPairsPortableWide(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, blocks: Int = 6,
+      mod1: Long = 2147483647L, mod2: Long = 1073741789L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hash64PairsWide(df.select(col(idCol).as("id"),
+        graft.functions.FusedMinHashFunctions
+          .polySimhash(col(textCol), mod1, mod2).as("sh")),
+      "id", "sh", maxHamming, blocks, maxBucket)
+
   /** One SimHash index row per document, `(doc_id, sh)` — the 8-byte
     * unit a cross-batch pipeline persists per batch into a signature
     * history (the bit-level sibling of [[minhashIndex]]); feed batches of

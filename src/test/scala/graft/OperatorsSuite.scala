@@ -823,6 +823,38 @@ class DedupSuite extends SparkSpec {
     assert(found === Set((-1L, hit.get)))
   }
 
+  test("hash64PairsWide: combination keys stay exact at Hamming <= 3 and " +
+    "reproduce the 4-block pair set (wide == narrow law)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(150)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both layouts are EXACT for Hamming <= 3 under uncapped buckets, so
+    // their verified pair sets must be identical — different keys, same
+    // answer (the law that makes the wide variant a drop-in)
+    val narrow = pairSet(Dedup.simhashPairsPortable(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 0))
+    val wide = pairSet(Dedup.simhashPairsPortableWide(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 0))
+    assert(wide === narrow,
+      s"wide/narrow pair sets must match: missing=${(narrow -- wide).take(3)} " +
+        s"extra=${(wide -- narrow).take(3)}")
+    // a pair whose 3 differing bits land in three DIFFERENT 11-bit
+    // windows (bits 0, 12, 23 -> windows 0, 1, 2): the intact 3-of-6
+    // combination {3,4,5} must pair them
+    val sigs = Seq((1L, 0L), (2L, (1L << 0) | (1L << 12) | (1L << 23)))
+      .toDF("id", "sh")
+    val found = Dedup.hash64PairsWide(sigs, "id", "sh", maxHamming = 3)
+      .collect()
+    assert(found.length === 1 &&
+      found.head.getAs[Int]("hamming") === 3, found.mkString("|"))
+    // validation: the construction needs maxHamming < blocks
+    intercept[IllegalArgumentException](
+      Dedup.hash64PairsWide(sigs, "id", "sh", maxHamming = 6, blocks = 6))
+    intercept[IllegalArgumentException](
+      Dedup.hash64PairsWide(sigs, "id", "sh", maxHamming = 0))
+  }
+
   test("degenerate corpus: LSH bucket cap bounds the self-comparison") {
     // 500 identical docs would make one quadratic bucket (124,750 pairs per
     // band); cap 50 truncates each bucket to its 50 smallest ids.
