@@ -86,9 +86,15 @@ object ScalingCurves {
     def replicaText(r: Int) =
       if (r == 0) col("text") else translate(col("text"), perm, rot(r))
 
+    // derived-corpus dirs are keyed by the SOURCE they derive from, not
+    // just scale: re-running with a different sfDir (or regenerated
+    // testdata) must never silently reuse a prior run's corpora — the
+    // measurements would claim to cover data they never read.
+    // String.hashCode is spec-fixed, so the tag is stable across JVMs.
+    val srcTag = Integer.toHexString(sfDir.hashCode)
     def synth(m: Int): Unit = {
-      val docsOut = s"$work/docs_x$m"
-      val embOut = s"$work/emb_x$m"
+      val docsOut = s"$work/docs_${srcTag}_x$m"
+      val embOut = s"$work/emb_${srcTag}_x$m"
       if (!new java.io.File(s"$docsOut/_SUCCESS").exists()) {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))
@@ -119,8 +125,8 @@ object ScalingCurves {
     // ----- the seven operators, bench-query parameterization -------------
     // (final orderBy dropped: a global sort of the ≤few-thousand-row
     // output is noise against the pair stages under measurement)
-    def docs(m: Int) = spark.read.parquet(s"$work/docs_x$m")
-    def emb(m: Int) = spark.read.parquet(s"$work/emb_x$m")
+    def docs(m: Int) = spark.read.parquet(s"$work/docs_${srcTag}_x$m")
+    def emb(m: Int) = spark.read.parquet(s"$work/emb_${srcTag}_x$m")
 
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "d_ngram_jaccard" -> ((m: Int) =>
@@ -222,6 +228,10 @@ object ScalingCurves {
         f"${pts.head.outRows}%6d -> ${pts.last.outRows}%-6d | " +
         f"${pts.head.candRows} -> ${pts.last.candRows}")
       if (sc > 1.5) bad ::= f"$name candidate slope $sc%.2f > 1.5"
+      // peak is gated TOO: a quadratic stage hiding beneath a larger
+      // linear stage's join metric (or in a join-less plan) still
+      // dominates the per-plan maximum once it matters
+      if (sp > 1.5) bad ::= f"$name peak-rows slope $sp%.2f > 1.5"
       if (st > 1.6) bad ::= f"$name wall-time slope $st%.2f > 1.6"
     }
     if (bad.nonEmpty) {

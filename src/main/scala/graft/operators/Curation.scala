@@ -144,27 +144,17 @@ object Curation {
     * threshold either equals a representable score exactly on both
     * engines or sits strictly between two score rounding steps. */
   def scoreBuckets(df: DataFrame, scoreCol: String,
-      labels: Seq[String]): DataFrame = {
-    require(labels.size >= 2, "scoreBuckets: need at least 2 labels")
-    require(labels.distinct.size == labels.size, "scoreBuckets: duplicate labels")
-    val k = labels.size
-    val probs = (1 until k).map(i => i.toDouble / k)
-    val th = df.agg(expr(
-      s"percentile(CAST($scoreCol AS DOUBLE), array(${probs.mkString(",")}))")
-      .as("__th"))
-    val chain = labels.init.zipWithIndex
-      .foldRight(lit(labels.last): Column) { case ((lab, i), acc) =>
-        when(col(scoreCol).cast("double")
-            <= round(element_at(col("__th"), i + 1), 6),
-          lit(lab)).otherwise(acc)
-      }
-    // an unscored row must NOT silently classify into the last (worst)
-    // bucket — every comparison in the chain is NULL and the fallthrough
-    // would label it `labels.last`; emit a NULL bucket instead so the
-    // caller decides what unscored means
-    val bucket = when(col(scoreCol).isNull, lit(null: String)).otherwise(chain)
-    df.crossJoin(broadcast(th)).withColumn("bucket", bucket).drop("__th")
-  }
+      labels: Seq[String]): DataFrame =
+    // ONE classification definition: the per-batch path IS the frozen
+    // path under cuts trained on the batch itself — round-to-6 lives in
+    // scoreCutsModel, the chain/NULL semantics in the shared impl, so
+    // the two can never drift apart (the same-reference parity law is
+    // now an identity, not a discipline). Arity is correct BY
+    // CONSTRUCTION here, so the guard is skipped — an empty input
+    // yields an empty cuts row-set AND zero classified rows (empty
+    // output), never a refusal.
+    bucketsUnderCutsImpl(df, scoreCol, labels,
+      scoreCutsModel(df, scoreCol, labels.size), enforceArity = false)
 
   /** Train-once percentile cuts for [[scoreBucketsUnderCuts]] — the
     * persisted-model discipline applied to CCNet bucketing:
@@ -208,21 +198,34 @@ object Curation {
     * loudly via a FILTER-borne guard (the guard-carrier rule: a
     * projected guard would be pruned by a bucket-only consumer). */
   def scoreBucketsUnderCuts(df: DataFrame, scoreCol: String,
-      labels: Seq[String], cuts: DataFrame): DataFrame = {
-    require(labels.size >= 2, "scoreBucketsUnderCuts: need at least 2 labels")
+      labels: Seq[String], cuts: DataFrame): DataFrame =
+    bucketsUnderCutsImpl(df, scoreCol, labels, cuts, enforceArity = true)
+
+  /** Shared classification body of [[scoreBuckets]] and
+    * [[scoreBucketsUnderCuts]] — one chain/NULL/guard definition so the
+    * per-batch and frozen paths cannot drift apart. `enforceArity`
+    * guards a CALLER-supplied cuts table; the guard filters the MODEL
+    * side (always exactly one aggregate row), not the batch side: a
+    * filter over batch rows never evaluates on an empty warm-up batch
+    * and a mis-wired cuts table would deploy silently — anchored on the
+    * model row it fires whenever the broadcast side builds. Note AQE's
+    * runtime empty-relation propagation can skip the broadcast for an
+    * EMPTY batch entirely (statically or at runtime), so the
+    * persisted-table probe [[scoreBucketsUnderCutsTable]] — the
+    * deployment path — additionally validates arity EAGERLY against
+    * the k−1-row cuts table before building any plan. */
+  private def bucketsUnderCutsImpl(df: DataFrame, scoreCol: String,
+      labels: Seq[String], cuts: DataFrame,
+      enforceArity: Boolean): DataFrame = {
+    require(labels.size >= 2, "scoreBuckets: need at least 2 labels")
     require(labels.distinct.size == labels.size,
-      "scoreBucketsUnderCuts: duplicate labels")
-    val th = cuts
+      "scoreBuckets: duplicate labels")
+    val thRaw = cuts
       .agg(array_sort(collect_list(struct(col("pos"), col("cut")))).as("__tc"))
       .select(transform(col("__tc"), x => x.getField("cut")).as("__th"))
-    val chain = labels.init.zipWithIndex
-      .foldRight(lit(labels.last): Column) { case ((lab, i), acc) =>
-        when(col(scoreCol).cast("double") <= element_at(col("__th"), i + 1),
-          lit(lab)).otherwise(acc)
-      }
-    val bucket = when(col(scoreCol).isNull, lit(null: String)).otherwise(chain)
-    df.crossJoin(broadcast(th))
-      .filter(when(size(col("__th")) =!= labels.size - 1,
+    val th =
+      if (!enforceArity) thRaw
+      else thRaw.filter(when(size(col("__th")) =!= labels.size - 1,
         raise_error(concat(
           lit(s"scoreBucketsUnderCuts: ${labels.size} labels need " +
             s"${labels.size - 1} cuts but the model holds "),
@@ -230,6 +233,17 @@ object Curation {
           lit(" — the cuts were trained for a different bucket count")))
           .cast("boolean"))
         .otherwise(lit(true)))
+    val chain = labels.init.zipWithIndex
+      .foldRight(lit(labels.last): Column) { case ((lab, i), acc) =>
+        when(col(scoreCol).cast("double") <= element_at(col("__th"), i + 1),
+          lit(lab)).otherwise(acc)
+      }
+    // an unscored row must NOT silently classify into the last (worst)
+    // bucket — every comparison in the chain is NULL and the fallthrough
+    // would label it `labels.last`; emit a NULL bucket instead so the
+    // caller decides what unscored means
+    val bucket = when(col(scoreCol).isNull, lit(null: String)).otherwise(chain)
+    df.crossJoin(broadcast(th))
       .withColumn("bucket", bucket).drop("__th")
   }
 
@@ -312,11 +326,22 @@ object Curation {
 
   /** [[scoreBucketsUnderCuts]] against a persisted cuts path — the
     * path-taking probe enforces its own format marker (the
-    * HistoryEnforcementSuite rule). */
+    * HistoryEnforcementSuite rule) AND validates cut/label arity
+    * EAGERLY (the table is k−1 rows by construction, so the count is
+    * free): the lazy in-plan guard cannot fire when AQE
+    * empty-propagates an empty warm-up batch past the broadcast, and a
+    * pipeline wired against the wrong cuts table must refuse at deploy
+    * time, not at its first non-empty trigger. */
   def scoreBucketsUnderCutsTable(df: DataFrame, scoreCol: String,
-      labels: Seq[String], cutsPath: String): DataFrame =
-    scoreBucketsUnderCuts(df, scoreCol, labels,
-      loadScoreCuts(df.sparkSession, cutsPath))
+      labels: Seq[String], cutsPath: String): DataFrame = {
+    val cuts = loadScoreCuts(df.sparkSession, cutsPath)
+    val n = cuts.count()
+    require(n == labels.size - 1,
+      s"scoreBucketsUnderCutsTable: ${labels.size} labels need " +
+        s"${labels.size - 1} cuts but $cutsPath holds $n — the cuts were " +
+        "trained for a different bucket count")
+    scoreBucketsUnderCuts(df, scoreCol, labels, cuts)
+  }
 
   /** [[scoreCutsDrift]] against a persisted cuts path (marker-enforced). */
   def scoreCutsDriftTable(batch: DataFrame, scoreCol: String,
@@ -931,26 +956,14 @@ object Curation {
     * O(#sources). */
   def sourceReputation(df: DataFrame, srcCol: String, textCol: String,
       stopwords: Seq[String], maxDupRate: Double,
-      minStopword: Double): DataFrame = {
-    val fp = md5(col(textCol)).as("__fp")
-    val docs = df.select(col(srcCol).as("source"), fp,
-      graft.functions.TextFunctions.stopwordRatio(col(textCol), stopwords)
-        .as("__sr"))
-    val fpCounts = docs.groupBy("__fp").agg(count(lit(1)).as("__fpc"))
-    docs.join(fpCounts, Seq("__fp"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("__fpc") > 1, 1L).otherwise(0L)).as("__ndup"),
-        sum(col("__sr").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
-          .as("__srsum"))
-      .select(col("source"), col("n_docs"),
-        round(col("__ndup").cast("double") / col("n_docs"), 4).as("dup_rate"),
-        round(col("__srsum").cast("double") / col("n_docs"), 4)
-          .as("mean_stopword_ratio"),
-        ((round(col("__ndup").cast("double") / col("n_docs"), 4) <= maxDupRate)
-          && (round(col("__srsum").cast("double") / col("n_docs"), 4)
-            >= minStopword)).as("keep"))
-  }
+      minStopword: Double): DataFrame =
+    // ONE report definition: the one-shot IS the fold of a single batch
+    // (the fold-equals-one-shot law as an identity, not a discipline —
+    // a rounding or keep-predicate edit can no longer diverge the two
+    // paths). Decimal equivalence: summing each doc's round(·,4) ratio
+    // equals summing ratio × copy-count over distinct texts exactly.
+    sourceReputationFromState(
+      sourceFpBatch(df, srcCol, textCol, stopwords), maxDupRate, minStopword)
 
   /** One batch's contribution to the cross-batch source-reputation state
     * (the [[lineIndex]] discipline applied to the domain gate): one row

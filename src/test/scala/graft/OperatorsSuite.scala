@@ -1342,6 +1342,19 @@ class CurationSuite extends SparkSpec {
         msgs(x.getCause))
     assert(msgs(e).exists(_.contains("different bucket count")),
       msgs(e).mkString("|"))
+    // ...and the DEPLOYMENT path refuses even on an EMPTY batch: AQE's
+    // empty-relation propagation can skip the in-plan broadcast guard
+    // for a warm-up trigger with zero rows, so the persisted-table
+    // probe validates arity eagerly before any plan builds
+    withTmpDir { tmp =>
+      Curation.saveScoreCuts(spark, s"$tmp/cuts3", cuts) // 2 cuts (k=3)
+      val runtimeEmpty = skewed.repartition(2).filter(col("id") < lit(0L))
+      val e2 = intercept[IllegalArgumentException] {
+        Curation.scoreBucketsUnderCutsTable(runtimeEmpty, "s",
+          Seq("lo", "hi"), s"$tmp/cuts3")
+      }
+      assert(e2.getMessage.contains("different bucket count"), e2.getMessage)
+    }
     intercept[IllegalArgumentException](Curation.scoreCutsModel(ref, "s", 1))
   }
 
