@@ -46,14 +46,34 @@ object ScalingCurves {
 
   /** Every node of the EXECUTED plan, descending through AQE's
     * materialized stages (the final plan lives under
-    * AdaptiveSparkPlanExec/QueryStageExec, not in `children`). */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    * AdaptiveSparkPlanExec/QueryStageExec, not in `children`). Public:
+    * ScalingSuite reuses it for the deterministic candidate-count
+    * regression pin. */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
       case other => other.children
     }
     p +: kids.flatMap(allNodes)
+  }
+
+  /** Execute `df`'s OWN plan (a write would plan a separate
+    * QueryExecution whose metrics this one never sees) and return
+    * (outputRows, candidateRows, peakRows): candidates = largest join
+    * `numOutputRows`, falling back to the plan-wide peak for join-less
+    * pipelines (the bucket-explode pair stream IS their candidate
+    * stage). */
+  def measure(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    val qe = df.queryExecution
+    val out = qe.executedPlan.execute().count()
+    val nodes = allNodes(qe.executedPlan)
+    def rows(ns: Seq[SparkPlan]) = ns
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+    val joinRows = rows(nodes.filter(_.nodeName.contains("Join")))
+      .foldLeft(0L)(math.max)
+    val peak = rows(nodes).foldLeft(0L)(math.max)
+    (out, if (joinRows > 0) joinRows else peak, peak)
   }
 
   private case class Point(m: Int, sec: Double, outRows: Long,
@@ -192,28 +212,47 @@ object ScalingCurves {
       build(1).queryExecution.executedPlan.execute().count()
       spark.catalog.clearCache()
       name -> scales.map { m =>
-        val qe = build(m).queryExecution
         val t0 = System.nanoTime()
-        // execute the df's OWN plan (a noop write would plan a separate
-        // QueryExecution and this one's metrics would stay empty)
-        val outRows = qe.executedPlan.execute().count()
+        val (outRows, cand, peak) = measure(build(m))
         val sec = (System.nanoTime() - t0) / 1e9
-        val nodes = allNodes(qe.executedPlan)
-        def rows(ns: Seq[SparkPlan]) = ns
-          .flatMap(_.metrics.get("numOutputRows").map(_.value))
-        val joinRows = rows(nodes.filter(_.nodeName.contains("Join")))
-          .foldLeft(0L)(math.max)
-        val peak = rows(nodes).foldLeft(0L)(math.max)
-        // an operator with no join stage (simhash: bucket collect_set →
-        // pair explode) reports its candidate volume as the peak row
-        // count — the exploded pair stream IS its candidate stage
-        val cand = if (joinRows > 0) joinRows else peak
         spark.catalog.clearCache()
         println(f"$name%-22s x$m%-2d ${sec}%8.2f s  out=$outRows%-8d " +
           f"candidates=$cand%-10d peak=$peak%d")
         Point(m, sec, outRows, cand, peak)
       }
     }
+
+    // ----- incremental history-probe curve ---------------------------------
+    // The cross-batch operators claim per-batch probe cost bounded by the
+    // BATCH (+ the probed buckets), not the accumulated history — the
+    // semi-join-first discipline. Measure it the way a pipeline pays it:
+    // a FIXED 500-doc batch probes persisted signature histories of
+    // 1×..8× corpus size. Expected shape: found pairs ≈ constant (the
+    // batch's replica-0 matches), candidate rows growing only with block
+    // key-space saturation, peak = the history's 4-rows/sig explode
+    // (linear, 16-byte rows — the scan cost compaction bounds), wall
+    // time dominated by the fixed batch work.
+    val histPts = scales.map { m =>
+      val histDir = s"$work/hist_${srcTag}_x$m"
+      if (!new java.io.File(s"$histDir/_SUCCESS").exists())
+        Dedup.simhashIndex(docs(m), "doc_id", "text")
+          .repartition(cpus).write.mode("overwrite").parquet(histDir)
+      val batchSigs = Dedup.simhashIndex(
+        docs(1).filter(col("doc_id") < 500), "doc_id", "text")
+      val hist = spark.read.parquet(histDir)
+      val t0 = System.nanoTime()
+      val (out, cand, peak) = measure(
+        Dedup.hash64AgainstHistory(batchSigs, hist))
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"hash64_history_probe   x$m%-2d ${sec}%8.2f s  out=$out%-8d " +
+        f"candidates=$cand%-10d peak=$peak%d")
+      Point(m, sec, out, cand, peak)
+    }
+    val probeSlope = slope(histPts.map(p => (p.m.toDouble, p.sec)))
+    println(f"history-probe wall slope vs history size: $probeSlope%.2f " +
+      f"(found ${histPts.head.outRows} -> ${histPts.last.outRows} pairs; " +
+      "the probe pays the batch, not the history)")
 
     // ----- fit + gate -----------------------------------------------------
     println()
