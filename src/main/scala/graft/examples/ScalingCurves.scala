@@ -232,27 +232,44 @@ object ScalingCurves {
     // key-space saturation, peak = the history's 4-rows/sig explode
     // (linear, 16-byte rows — the scan cost compaction bounds), wall
     // time dominated by the fixed batch work.
-    val histPts = scales.map { m =>
-      val histDir = s"$work/hist_${srcTag}_x$m"
-      if (!new java.io.File(s"$histDir/_SUCCESS").exists())
-        Dedup.simhashIndex(docs(m), "doc_id", "text")
-          .repartition(cpus).write.mode("overwrite").parquet(histDir)
-      val batchSigs = Dedup.simhashIndex(
-        docs(1).filter(col("doc_id") < 500), "doc_id", "text")
-      val hist = spark.read.parquet(histDir)
-      val t0 = System.nanoTime()
-      val (out, cand, peak) = measure(
-        Dedup.hash64AgainstHistory(batchSigs, hist))
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      println(f"hash64_history_probe   x$m%-2d ${sec}%8.2f s  out=$out%-8d " +
-        f"candidates=$cand%-10d peak=$peak%d")
-      Point(m, sec, out, cand, peak)
+    def probeCurve(label: String,
+        probe: (DataFrame, DataFrame) => DataFrame): Seq[Point] = {
+      val pts = scales.map { m =>
+        val histDir = s"$work/hist_${srcTag}_x$m"
+        if (!new java.io.File(s"$histDir/_SUCCESS").exists())
+          Dedup.simhashIndex(docs(m), "doc_id", "text")
+            .repartition(cpus).write.mode("overwrite").parquet(histDir)
+        val batchSigs = Dedup.simhashIndex(
+          docs(1).filter(col("doc_id") < 500), "doc_id", "text")
+        val hist = spark.read.parquet(histDir)
+        val t0 = System.nanoTime()
+        val (out, cand, peak) = measure(probe(batchSigs, hist))
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        println(f"$label%-22s x$m%-2d ${sec}%8.2f s  out=$out%-8d " +
+          f"candidates=$cand%-10d peak=$peak%d")
+        Point(m, sec, out, cand, peak)
+      }
+      val probeSlope = slope(pts.map(p => (p.m.toDouble, p.sec)))
+      println(f"$label wall slope vs history size: $probeSlope%.2f " +
+        f"(found ${pts.head.outRows} -> ${pts.last.outRows} pairs; " +
+        "the probe pays the batch, not the history)")
+      pts
     }
-    val probeSlope = slope(histPts.map(p => (p.m.toDouble, p.sec)))
-    println(f"history-probe wall slope vs history size: $probeSlope%.2f " +
-      f"(found ${histPts.head.outRows} -> ${histPts.last.outRows} pairs; " +
-      "the probe pays the batch, not the history)")
+    // narrow 4x16 keys vs the wide 3-of-6 combination keys against the
+    // SAME persisted histories (keys derive at probe time): found pairs
+    // must agree; the wide candidates stay flat where the narrow ones
+    // drift with key-space saturation
+    val histPts = probeCurve("hash64_history_probe",
+      (b, h) => Dedup.hash64AgainstHistory(b, h))
+    val histPtsW = probeCurve("hash64_history_wide",
+      (b, h) => Dedup.hash64AgainstHistoryWide(b, h))
+    if (histPts.map(_.outRows) != histPtsW.map(_.outRows)) {
+      println("QUADRATIC-CURVE FLAGS: narrow/wide history probes disagree " +
+        s"on found pairs: ${histPts.map(_.outRows)} vs " +
+        s"${histPtsW.map(_.outRows)}")
+      spark.stop(); sys.exit(1)
+    }
 
     // ----- fit + gate -----------------------------------------------------
     println()

@@ -721,31 +721,40 @@ object Dedup {
     * distinct. Pair-set equality with [[hash64Pairs]] at the same
     * budget is a suite LAW (both are exact for Hamming ≤ 3 under
     * uncapped buckets — same verified pairs through different keys). */
-  def hash64PairsWide(sigs: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int = 3, blocks: Int = 6,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** Array of `(combo, key)` structs for ONE signature column under the
+    * wide layout — the shared key derivation of [[hash64PairsWide]] and
+    * [[hash64AgainstHistoryWide]] (one definition, like
+    * `manku16BlockKeys` for the narrow layout). Validates the layout. */
+  private def wideComboKeys(h: Column, blocks: Int,
+      maxHamming: Int): Column = {
     require(blocks >= 2 && blocks <= 32,
-      s"hash64PairsWide: blocks must be in [2, 32], got $blocks")
+      s"hash64 wide keys: blocks must be in [2, 32], got $blocks")
     require(maxHamming >= 1 && maxHamming < blocks,
-      s"hash64PairsWide: exact recall needs 1 <= maxHamming < blocks " +
+      s"hash64 wide keys: exact recall needs 1 <= maxHamming < blocks " +
         s"(got maxHamming=$maxHamming, blocks=$blocks)")
     val (widths, offsets, combos) = wideBlockLayout(blocks, maxHamming)
     require(combos.head.map(widths(_)).sum <= 63,
-      s"hash64PairsWide: packed key would exceed 63 bits — use more " +
+      s"hash64 wide keys: packed key would exceed 63 bits — use more " +
         s"blocks or a larger maxHamming (blocks=$blocks, maxHamming=$maxHamming)")
-    def blockVal(h: Column, j: Int): Column =
+    def blockVal(j: Int): Column =
       shiftrightunsigned(h, offsets(j))
         .bitwiseAND(lit((1L << widths(j)) - 1))
-    val keyStructs = array(combos.zipWithIndex.map { case (c, ci) =>
+    array(combos.zipWithIndex.map { case (c, ci) =>
       // packed ascending-position fold: b₁·2^(w₂+w₃) + b₂·2^w₃ + b₃ —
       // plain integer arithmetic both engines replay
-      val key = c.tail.foldLeft(blockVal(col("sh"), c.head)) { (acc, j) =>
-        shiftleft(acc, widths(j)) + blockVal(col("sh"), j)
+      val key = c.tail.foldLeft(blockVal(c.head)) { (acc, j) =>
+        shiftleft(acc, widths(j)) + blockVal(j)
       }
       struct(lit(ci).as("combo"), key.as("key"))
     }: _*)
+  }
+
+  def hash64PairsWide(sigs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, blocks: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))
-      .select(col("id"), col("sh"), explode(keyStructs).as("ck"))
+      .select(col("id"), col("sh"),
+        explode(wideComboKeys(col("sh"), blocks, maxHamming)).as("ck"))
       .select(col("id"), col("sh"),
         col("ck.combo").as("combo"), col("ck.key").as("key"))
     boundedBuckets(rows, Seq("combo", "key"),
@@ -844,6 +853,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** [[hash64AgainstHistory]] under the WIDE combination keys — the
+    * [[hash64PairsWide]] fix applied where it matters most: the
+    * ACCUMULATED history is the table that actually reaches 10⁸–10⁹
+    * signatures, and the narrow probe's 16-bit block keys saturate
+    * there (unrelated history rows pass the semi-join and pay the cap
+    * + join per batch; measured drift already at 40k sigs —
+    * ScalingCurves). 3-of-6 combination keys push saturation to ~10⁹
+    * while recall stays EXACT for Hamming ≤ `maxHamming` < `blocks`
+    * (wide == narrow found-pair LAW, suite-pinned).
+    *
+    * The key derivation happens AT PROBE TIME from the same 8-byte
+    * signatures, so the persisted history table and its
+    * [[graft.state.HistoryFormat.Hash64Signature]] marker are
+    * UNCHANGED — narrow and wide probes read one history; switching is
+    * a call-site choice, not a rebuild. Same semi-join-first shape:
+    * the history explodes its C(6,3)=20 keys only to semi-join against
+    * the batch's key set, so 5× the narrow layout's exploded rows
+    * (still 16-byte units) buy a 2³²-sized key space. */
+  def hash64AgainstHistoryWide(sigs: DataFrame, history: DataFrame,
+      idCol: String = "doc_id", hashCol: String = "sh",
+      maxHamming: Int = 3, blocks: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def keyed(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), col("__h"),
+        explode(wideComboKeys(col("__h"), blocks, maxHamming)).as("ck"))
+        .select(col(id), col("__h"),
+          col("ck.combo").as("combo"), col("ck.key").as("key"))
+    val bb = keyed(sigs.select(col(idCol).as("doc_id"),
+      col(hashCol).as("__h")), "doc_id")
+    val hb0 = keyed(history.select(col(idCol).as("hist_id"),
+      col(hashCol).as("__h")), "hist_id")
+      .join(bb.select("combo", "key").distinct(), Seq("combo", "key"),
+        "left_semi")
+    val hb =
+      if (maxBucket > 0) {
+        val w = Window.partitionBy("combo", "key").orderBy("hist_id")
+        hb0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      } else hb0
+    bb.join(hb.withColumnRenamed("__h", "__hh"), Seq("combo", "key"))
+      .select(col("doc_id"), col("hist_id"),
+        hamming64(col("__h"), col("__hh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[hash64AgainstHistoryWide]] reading the persisted signature index
+    * from its table directory (marker-enforced — the SAME
+    * [[graft.state.HistoryFormat.Hash64Signature]] marker as the narrow
+    * probe: wide keys derive at probe time, no history rebuild). */
+  def hash64AgainstHistoryWideTable(sigs: DataFrame, historyDir: String,
+      idCol: String = "doc_id", hashCol: String = "sh",
+      maxHamming: Int = 3, blocks: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hash64AgainstHistoryWide(sigs,
+      graft.state.HistoryTables.readChecked(sigs.sparkSession, historyDir,
+        graft.state.HistoryFormat.Hash64Signature),
+      idCol, hashCol, maxHamming, blocks, maxBucket)
 
   /** Truncation exposure of [[hash64AgainstHistory]]'s skew cap: the
     * count of PROBED history (block, key) buckets holding more than

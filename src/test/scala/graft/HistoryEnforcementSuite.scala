@@ -57,6 +57,12 @@ class HistoryEnforcementSuite extends SparkSpec {
         HistoryFormat.Hash64Signature, "signature index") { dir =>
         Dedup.hash64AgainstHistoryTable(sigs, dir).count()
       }
+      // the WIDE probe reads the SAME marker — same history, same
+      // format identity, only the probe-time keying differs
+      checkFamily(s"$tmp/h64w", sigs,
+        HistoryFormat.Hash64Signature, "signature index") { dir =>
+        Dedup.hash64AgainstHistoryWideTable(sigs, dir).count()
+      }
     }
   }
 

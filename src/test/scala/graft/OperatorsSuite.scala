@@ -855,6 +855,25 @@ class DedupSuite extends SparkSpec {
       Dedup.hash64PairsWide(sigs, "id", "sh", maxHamming = 0))
   }
 
+  test("hash64AgainstHistoryWide: the wide probe finds exactly the narrow " +
+    "probe's pairs from the SAME unmodified history (keys derive at " +
+    "probe time — no rebuild)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val hist = Dedup.simhashIndex(docs.filter($"doc_id" >= 100), "doc_id", "text")
+    val batch = Dedup.simhashIndex(docs.filter($"doc_id" < 100), "doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    val narrow = pairs(Dedup.hash64AgainstHistory(batch, hist,
+      maxHamming = 3, maxBucket = 0))
+    val wide = pairs(Dedup.hash64AgainstHistoryWide(batch, hist,
+      maxHamming = 3, maxBucket = 0))
+    assert(narrow.nonEmpty, "the template corpus must produce history hits")
+    assert(wide === narrow,
+      s"wide/narrow probe results must match: " +
+        s"missing=${(narrow -- wide).take(3)} extra=${(wide -- narrow).take(3)}")
+  }
+
   test("degenerate corpus: LSH bucket cap bounds the self-comparison") {
     // 500 identical docs would make one quadratic bucket (124,750 pairs per
     // band); cap 50 truncates each bucket to its 50 smallest ids.
