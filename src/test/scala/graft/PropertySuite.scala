@@ -842,4 +842,43 @@ class PropertySuite extends SparkSpec {
       assert(contents(out) === ref, s"lost=$lost diverged")
     }
   }
+
+  test("hash64PairsWide law: for random signatures, budgets, and block " +
+    "counts the wide combination keys equal brute-force Hamming pairs") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{bit_count, col}
+    // half the corpus is near-dup plants (a base signature with up to
+    // maxHamming random bits flipped), half independent — both regimes
+    // must come back EXACTLY (recall AND precision are brute-checked)
+    val caseGen = for {
+      n <- Gen.choose(16, 48)
+      h <- Gen.choose(1, 3)
+      blocks <- Gen.oneOf(5, 6, 8)
+      bases <- Gen.listOfN(n / 2, Gen.long)
+      flips <- Gen.listOfN(n / 2, Gen.zip(Gen.choose(0, h),
+        Gen.listOfN(3, Gen.choose(0, 63))))
+      indep <- Gen.listOfN(n - n / 2, Gen.long)
+    } yield {
+      val plants = bases.zip(flips).map { case (b, (k, bits)) =>
+        bits.take(k).foldLeft(b)((acc, j) => acc ^ (1L << j))
+      }
+      (bases ++ plants ++ indep, h, blocks)
+    }
+    forAllSampled(caseGen, 12) { case (sigLongs, h, blocks) =>
+      val sigs = sigLongs.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("id", "sh")
+      val brute = sigs.as("a").join(sigs.as("b"),
+          col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hm"))
+        .filter(col("hm") <= h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wide = Dedup.hash64PairsWide(sigs, "id", "sh",
+          maxHamming = h, blocks = blocks, maxBucket = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(wide === brute,
+        s"h=$h blocks=$blocks: missing=${(brute -- wide).take(3)} " +
+          s"extra=${(wide -- brute).take(3)}")
+    }
+  }
 }
