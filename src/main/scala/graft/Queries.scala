@@ -2639,6 +2639,85 @@ object Queries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // The cross-batch HISTORY PROBE under the wide keys and the portable
+    // hash — the d_*_incr discipline for the 64-bit signature family:
+    // the doc_id < 250 batch probes the >= 250 docs' persisted-shape
+    // signature set (16-byte rows, text never re-read) through the
+    // semi-join-first, capped, Hamming-verified pipeline; every stage is
+    // integer arithmetic DuckDB replays, including the cap's
+    // keep-lowest-ids rule.
+    "d_hash64_history_poly" -> QueryDef(
+      (s, d) => {
+        val sigs = t(s, d, "documents").select(col("doc_id"),
+          graft.functions.FusedMinHashFunctions
+            .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+        graft.operators.Dedup.hash64AgainstHistoryWide(
+            sigs.filter(col("doc_id") < 250),
+            sigs.filter(col("doc_id") >= 250),
+            maxHamming = 3, blocks = 6)
+          .select(col("doc_id"), col("hist_id"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy("doc_id", "hist_id")
+      },
+      Some {
+        val (widths, offsets, combos) =
+          graft.operators.Dedup.wideBlockLayout(6, 3)
+        val keyEntries = combos.zipWithIndex.map { case (c, ci) =>
+          val terms = c.zipWithIndex.map { case (j, k) =>
+            val shiftUp = c.drop(k + 1).map(widths(_)).sum
+            s"((sh // ${1L << offsets(j)}) % ${1L << widths(j)})" +
+              (if (shiftUp > 0) s" * ${1L << shiftUp}" else "")
+          }.mkString(" + ")
+          s"{'combo': $ci, 'key': $terms}"
+        }.mkString(",\n    ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+           |  FROM documents),
+           |th AS (
+           |  SELECT doc_id,
+           |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+           |      [CAST(ascii(c) AS BIGINT)
+           |       FOR c IN STRING_SPLIT(w, '')]),
+           |      (h, cp) -> (h * 31 + cp) % 2147483647) * 2147483648
+           |    + LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+           |      [CAST(ascii(c) AS BIGINT)
+           |       FOR c IN STRING_SPLIT(w, '')]),
+           |      (h, cp) -> (h * 31 + cp) % 1073741789) AS h
+           |  FROM toks),
+           |hs AS (SELECT doc_id, LIST(h) AS hl FROM th GROUP BY 1),
+           |sig AS (
+           |  SELECT doc_id, LIST_SUM([
+           |      CASE WHEN LIST_SUM([
+           |        CASE WHEN (x // (CAST(1 AS BIGINT) << b)) % 2 = 1
+           |          THEN 1 ELSE -1 END
+           |        FOR x IN hl]) > 0
+           |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+           |    FOR b IN RANGE(0, 62)]) AS sh
+           |  FROM hs),
+           |bk AS (
+           |  SELECT doc_id AS id, sh, UNNEST([
+           |    $keyEntries
+           |  ], recursive := true)
+           |  FROM sig),
+           |bb AS (SELECT * FROM bk WHERE id < 250),
+           |hsemi AS (
+           |  SELECT hk.combo, hk.key, hk.id AS hist_id, hk.sh
+           |  FROM bk hk
+           |  WHERE hk.id >= 250 AND EXISTS (
+           |    SELECT 1 FROM bb WHERE bb.combo = hk.combo
+           |      AND bb.key = hk.key)),
+           |hcap AS (
+           |  SELECT combo, key, hist_id, sh FROM hsemi
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY combo, key
+           |    ORDER BY hist_id) <= 4096)
+           |SELECT DISTINCT b.id AS doc_id, h.hist_id,
+           |  CAST(BIT_COUNT(XOR(b.sh, h.sh)) AS BIGINT) AS hamming
+           |FROM bb b JOIN hcap h
+           |  ON b.combo = h.combo AND b.key = h.key
+           |WHERE BIT_COUNT(XOR(b.sh, h.sh)) <= 3
+           |ORDER BY doc_id, hist_id""".stripMargin
+      }),
+
     // ----- char-ngram Jaccard near-dup pairs (EXACT, oracle-checked) ------
     // the gram-inverted-index algorithm is complete by construction (any
     // pair with J > 0 shares a distinct gram), so DuckDB can mirror it
