@@ -699,28 +699,6 @@ object Dedup {
     (widths, offsets, combos)
   }
 
-  /** WIDE-KEY variant of [[hash64Pairs]] — the measured answer to block
-    * key-space saturation (`examples/ScalingCurves`: the 4×16-bit keys'
-    * 2¹⁶ space saturates past ~10⁴–10⁵ docs and candidate volume curves
-    * toward N²/2¹⁶, slope 1.41 at 5k→40k docs, while output stays
-    * linear). Manku et al.'s general construction (WWW'07 §3): split
-    * the signature into `blocks` near-equal windows and key each
-    * document by every combination of `blocks − maxHamming` windows —
-    * a pair within the Hamming budget differs in at most `maxHamming`
-    * windows, so the combination consisting of windows BOTH have intact
-    * matches, and recall stays EXACT for the budget (no pigeonhole
-    * narrowing). The key widens from one window (16 bits) to
-    * `(blocks − maxHamming)` windows packed into one long (blocks=6,
-    * maxHamming=3 → 32-bit keys, saturation pushed from ~10⁵ to ~10⁹
-    * docs) at the price of C(blocks, blocks−maxHamming) keys per doc
-    * (20 at 6/3) instead of `blocks` (4) — the standard key-space vs
-    * key-count trade, now chosen by a measurement instead of a guess.
-    *
-    * Same one-exchange shape as [[hash64Pairs]]: explode (combo, key)
-    * rows, bounded buckets, sorted-pair explode, exact Hamming verify,
-    * distinct. Pair-set equality with [[hash64Pairs]] at the same
-    * budget is a suite LAW (both are exact for Hamming ≤ 3 under
-    * uncapped buckets — same verified pairs through different keys). */
   /** Array of `(combo, key)` structs for ONE signature column under the
     * wide layout — the shared key derivation of [[hash64PairsWide]] and
     * [[hash64AgainstHistoryWide]] (one definition, like
@@ -749,6 +727,28 @@ object Dedup {
     }: _*)
   }
 
+  /** WIDE-KEY variant of [[hash64Pairs]] — the measured answer to block
+    * key-space saturation (`examples/ScalingCurves`: the 4×16-bit keys'
+    * 2¹⁶ space saturates past ~10⁴–10⁵ docs and candidate volume curves
+    * toward N²/2¹⁶, slope 1.41 at 5k→40k docs, while output stays
+    * linear). Manku et al.'s general construction (WWW'07 §3): split
+    * the signature into `blocks` near-equal windows and key each
+    * document by every combination of `blocks − maxHamming` windows —
+    * a pair within the Hamming budget differs in at most `maxHamming`
+    * windows, so the combination consisting of windows BOTH have intact
+    * matches, and recall stays EXACT for the budget (no pigeonhole
+    * narrowing). The key widens from one window (16 bits) to
+    * `(blocks − maxHamming)` windows packed into one long (blocks=6,
+    * maxHamming=3 → 32-bit keys, saturation pushed from ~10⁵ to ~10⁹
+    * docs) at the price of C(blocks, blocks−maxHamming) keys per doc
+    * (20 at 6/3) instead of `blocks` (4) — the standard key-space vs
+    * key-count trade, now chosen by a measurement instead of a guess.
+    *
+    * Same one-exchange shape as [[hash64Pairs]]: explode (combo, key)
+    * rows, bounded buckets, sorted-pair explode, exact Hamming verify,
+    * distinct. Pair-set equality with [[hash64Pairs]] at the same
+    * budget is a suite LAW (both are exact for Hamming ≤ 3 under
+    * uncapped buckets — same verified pairs through different keys). */
   def hash64PairsWide(sigs: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, blocks: Int = 6,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -832,22 +832,35 @@ object Dedup {
     * along — prior batches' media/text bytes are never touched. */
   def hash64AgainstHistory(sigs: DataFrame, history: DataFrame,
       idCol: String = "doc_id", hashCol: String = "sh",
-      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    def blocks(df: DataFrame, id: String): DataFrame =
-      df.select(col(id), col("__h"),
-        manku16BlockKeys(col("__h")).as(Seq("block", "key")))
-    val bb = blocks(sigs.select(col(idCol).as("doc_id"),
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hash64ProbeImpl(sigs, history, idCol, hashCol, maxHamming, maxBucket,
+      keyed = (df, id) => df.select(col(id), col("__h"),
+        manku16BlockKeys(col("__h")).as(Seq("block", "key"))),
+      keyCols = Seq("block", "key"))
+
+  /** The shared semi-join-first probe body of [[hash64AgainstHistory]]
+    * and [[hash64AgainstHistoryWide]] — ONE definition of the probe
+    * discipline (explode keys on both sides, semi-join the history's
+    * key rows to the batch's key set, cap per bucket keeping lowest
+    * hist_ids, join, exact Hamming verify, distinct), parameterized on
+    * the keying function so a future probe fix applies to both layouts
+    * by construction. */
+  private def hash64ProbeImpl(sigs: DataFrame, history: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int, maxBucket: Int,
+      keyed: (DataFrame, String) => DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val bb = keyed(sigs.select(col(idCol).as("doc_id"),
       col(hashCol).as("__h")), "doc_id")
-    val hb0 = blocks(history.select(col(idCol).as("hist_id"),
+    val hb0 = keyed(history.select(col(idCol).as("hist_id"),
       col(hashCol).as("__h")), "hist_id")
-      .join(bb.select("block", "key").distinct(), Seq("block", "key"), "left_semi")
+      .join(bb.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
     val hb =
       if (maxBucket > 0) {
-        val w = Window.partitionBy("block", "key").orderBy("hist_id")
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy("hist_id")
         hb0.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= maxBucket).drop("__rn")
       } else hb0
-    bb.join(hb.withColumnRenamed("__h", "__hh"), Seq("block", "key"))
+    bb.join(hb.withColumnRenamed("__h", "__hh"), keyCols)
       .select(col("doc_id"), col("hist_id"),
         hamming64(col("__h"), col("__hh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -871,34 +884,25 @@ object Dedup {
     * a call-site choice, not a rebuild. Same semi-join-first shape:
     * the history explodes its C(6,3)=20 keys only to semi-join against
     * the batch's key set, so 5× the narrow layout's exploded rows
-    * (still 16-byte units) buy a 2³²-sized key space. */
+    * (still 16-byte units) buy a 2³²-sized key space. Measured trade
+    * (ScalingCurves, warmed + uncapped): found pairs identical at
+    * every size; the wide probe pays its 5× key scan (wall slope 0.57
+    * vs the narrow probe's 0.03 at 5k–40k sigs) while holding
+    * candidates EXACTLY constant where the narrow's drift — keep the
+    * narrow probe below ~10⁷ signatures and switch once saturation's
+    * false candidates (which pay cap + join + verify, not just scan)
+    * dominate. */
   def hash64AgainstHistoryWide(sigs: DataFrame, history: DataFrame,
       idCol: String = "doc_id", hashCol: String = "sh",
       maxHamming: Int = 3, blocks: Int = 6,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    def keyed(df: DataFrame, id: String): DataFrame =
-      df.select(col(id), col("__h"),
-        explode(wideComboKeys(col("__h"), blocks, maxHamming)).as("ck"))
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hash64ProbeImpl(sigs, history, idCol, hashCol, maxHamming, maxBucket,
+      keyed = (df, id) => df
         .select(col(id), col("__h"),
-          col("ck.combo").as("combo"), col("ck.key").as("key"))
-    val bb = keyed(sigs.select(col(idCol).as("doc_id"),
-      col(hashCol).as("__h")), "doc_id")
-    val hb0 = keyed(history.select(col(idCol).as("hist_id"),
-      col(hashCol).as("__h")), "hist_id")
-      .join(bb.select("combo", "key").distinct(), Seq("combo", "key"),
-        "left_semi")
-    val hb =
-      if (maxBucket > 0) {
-        val w = Window.partitionBy("combo", "key").orderBy("hist_id")
-        hb0.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= maxBucket).drop("__rn")
-      } else hb0
-    bb.join(hb.withColumnRenamed("__h", "__hh"), Seq("combo", "key"))
-      .select(col("doc_id"), col("hist_id"),
-        hamming64(col("__h"), col("__hh")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+          explode(wideComboKeys(col("__h"), blocks, maxHamming)).as("ck"))
+        .select(col(id), col("__h"),
+          col("ck.combo").as("combo"), col("ck.key").as("key")),
+      keyCols = Seq("combo", "key"))
 
   /** [[hash64AgainstHistoryWide]] reading the persisted signature index
     * from its table directory (marker-enforced — the SAME
