@@ -1403,6 +1403,53 @@ class CurationSuite extends SparkSpec {
       !r.getAs[Boolean]("rebuild") && r.getAs[Double]("skew") === 0.0))
   }
 
+  test("scoreCutsDrift conservation laws: every scored row lands in " +
+    "exactly one bucket, shares sum to ~1, degenerate all-tied scores " +
+    "flood bucket 1 and trip") {
+    import graft.operators.Curation
+    import org.scalacheck.Gen
+    def forAllSampled[T](gen: org.scalacheck.Gen[T], n: Int)(
+        body: T => Unit): Unit =
+      (0 until n).foreach { i =>
+        gen.apply(org.scalacheck.Gen.Parameters.default,
+          org.scalacheck.rng.Seed(7L + i)).foreach(body)
+      }
+    val caseGen = for {
+      k <- Gen.choose(2, 5)
+      refN <- Gen.choose(k, 40)
+      ref <- Gen.listOfN(refN, Gen.choose(-1000, 1000).map(_ / 10.0))
+      batch <- Gen.listOfN(25, Gen.choose(-1200, 1200).map(_ / 10.0))
+    } yield (k, ref, batch)
+    forAllSampled(caseGen, 10) { case (k, ref, batch) =>
+      val refDf = ref.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val bDf = batch.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val cuts = Curation.scoreCutsModel(refDf, "s", k)
+      val rows = Curation.scoreCutsDrift(bDf, "s", cuts, maxShareSkew = 0.2)
+        .orderBy("bucket_pos").collect()
+      assert(rows.length === k, s"spine must cover all $k buckets")
+      assert(rows.map(_.getAs[Long]("n")).sum === batch.length.toLong,
+        "every scored row lands in exactly one bucket")
+      val shareSum = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 0.001 * k,
+        s"shares must sum to ~1 (got $shareSum)")
+      // roll-up consistency: max_skew is the max of the per-bucket skews
+      assert(rows.map(_.getAs[Double]("max_skew")).distinct.length === 1)
+      assert(rows.head.getAs[Double]("max_skew") ===
+        rows.map(_.getAs[Double]("skew")).max)
+    }
+    // degenerate reference: all-tied scores give equal cuts; every batch
+    // row classifies low (<= the tied cut) — bucket 1 floods and trips
+    val tiedRef = (1 to 8).map(i => (i.toLong, 5.0)).toDF("id", "s")
+    val cuts = Curation.scoreCutsModel(tiedRef, "s", 3)
+    val got = Curation.scoreCutsDrift(tiedRef, "s", cuts, maxShareSkew = 0.2)
+      .orderBy("bucket_pos").collect()
+    assert(got.map(r => (r.getAs[Long]("n"), r.getAs[Boolean]("rebuild")))
+      .toSeq === Seq((8L, true), (0L, true), (0L, true)),
+      got.mkString("|"))
+  }
+
   test("source reputation fold: fold(b1) ++ fold(b2) equals the one-shot " +
     "over the union, including the retroactive dup") {
     import graft.operators.Curation
