@@ -200,7 +200,24 @@ object ScalingCurves {
       // fall back to ~linear where the 16-bit keys curve at 1.41
       "simhash_poly_wide" -> ((m: Int) =>
         Dedup.simhashPairsPortableWide(docs(m), "doc_id", "text",
-          maxHamming = 3, blocks = 6)))
+          maxHamming = 3, blocks = 6)),
+      // substring-span dedup (Lee et al.) — the heaviest exact-dedup
+      // family: gram-owner derivation + owner join; candidates = the
+      // owner join's rows (per-replica gram df constant → linear)
+      "d_span_dedup" -> ((m: Int) =>
+        graft.operators.SpanDedup.spans(docs(m), "doc_id", "text", n = 10)),
+      // IVF ANN with FIXED nlist and a fixed 50-query set: per-query
+      // probe cost is corpus/nlist by construction, so slope 1.0 is the
+      // CORRECT fixed-nlist behavior — production scales nlist with the
+      // corpus (and the PQ code path bounds bytes/vector)
+      "e_ivf_top1" -> ((m: Int) => {
+        val e = emb(m)
+        val queries = e.filter(col("vec_id") < 50)
+        val model = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+          nlist = 10, iterations = 4)
+        Similarity.ivfTopK(queries, e, "vec_id", "embedding",
+          k = 1, nlist = 10, nprobe = 2, quantizer = Some(model))
+      }))
 
     // ----- measure --------------------------------------------------------
     scales.foreach(synth)
