@@ -35,10 +35,13 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   * as slope ≈ 2 regardless of constants.
   *
   * The fit is least-squares on (log m, log value) over the four sizes.
-  * Exit 1 if any operator's candidate-volume slope exceeds 1.5 or
-  * wall-time slope exceeds 1.6 (fixed per-query overhead biases the
-  * wall slope DOWN, so the gate is conservative in the safe
-  * direction). Results are published in README "scaling notes".
+  * Exit 1 if any operator's candidate-volume OR peak-rows slope exceeds
+  * 1.5 — both are pure functions of the data, bit-identical across
+  * runs, so the gate never flakes. Wall-time slopes are PRINTED and
+  * warned past 1.6 but not gated: they swung 1.26–1.55 for one
+  * operator with box load alone, and a real quadratic regression
+  * cannot hide from the row-count gates. Results are published in
+  * README "scaling notes".
   *
   * Run: sbt "runMain graft.examples.ScalingCurves [workDir] [sfDir]"
   */
@@ -317,7 +320,15 @@ object ScalingCurves {
       // linear stage's join metric (or in a join-less plan) still
       // dominates the per-plan maximum once it matters
       if (sp > 1.5) bad ::= f"$name peak-rows slope $sp%.2f > 1.5"
-      if (st > 1.6) bad ::= f"$name wall-time slope $st%.2f > 1.6"
+      // wall time is a WARNING, not a gate: row-count slopes are pure
+      // functions of the data (bit-identical across four runs this
+      // round) while wall slopes swung 1.26–1.55 for one operator with
+      // box load alone — a hard gate on seconds would flake on a busy
+      // box without any code change, and a real quadratic regression
+      // cannot hide: it trips the candidate/peak gates above
+      if (st > 1.6) println(
+        f"WARN $name wall-time slope $st%.2f > 1.6 (load-sensitive; " +
+          "row-count gates above are the signal)")
     }
     if (bad.nonEmpty) {
       println(s"QUADRATIC-CURVE FLAGS: ${bad.mkString("; ")}")
