@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipelineDemo {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-curate")
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-curate")
     val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = GraftSession.local(8, "graft-curate")
     spark.sparkContext.setLogLevel("ERROR")

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object EndToEndDemo {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-demo")
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-demo")
     val spark = GraftSession.local(4, "graft-demo")
     spark.sparkContext.setLogLevel("ERROR")
 

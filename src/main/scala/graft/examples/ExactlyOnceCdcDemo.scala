@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object ExactlyOnceCdcDemo {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-eo")
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-eo")
     val spark = GraftSession.local(4, "graft-eo-demo")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

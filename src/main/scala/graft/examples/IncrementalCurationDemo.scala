@@ -67,7 +67,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalCurationDemo {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-icur")
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-icur")
     val spark = GraftSession.local(4, "graft-icurate")
     spark.sparkContext.setLogLevel("ERROR")
     val conf = spark.sparkContext.hadoopConfiguration

@@ -64,19 +64,24 @@ object ScalingCurves {
   /** Execute `df`'s OWN plan (a write would plan a separate
     * QueryExecution whose metrics this one never sees) and return
     * (outputRows, candidateRows, peakRows): candidates = largest join
-    * `numOutputRows`, falling back to the plan-wide peak for join-less
-    * pipelines (the bucket-explode pair stream IS their candidate
-    * stage). */
+    * `numOutputRows`, falling back to the plan-wide peak ONLY for
+    * join-less pipelines (the bucket-explode pair stream IS their
+    * candidate stage). A plan that HAS join nodes which emitted zero
+    * rows reports candidates 0 — "the join stack produced nothing" is
+    * a real measurement (and a legitimate 1× value for a selective
+    * filter stack), not the same thing as "no join stage exists";
+    * substituting the peak there would gate the fitted candidate slope
+    * against an unrelated scan/explode stage. */
   def measure(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
     val qe = df.queryExecution
     val out = qe.executedPlan.execute().count()
     val nodes = allNodes(qe.executedPlan)
     def rows(ns: Seq[SparkPlan]) = ns
       .flatMap(_.metrics.get("numOutputRows").map(_.value))
-    val joinRows = rows(nodes.filter(_.nodeName.contains("Join")))
-      .foldLeft(0L)(math.max)
+    val joinNodes = nodes.filter(_.nodeName.contains("Join"))
+    val joinRows = rows(joinNodes).foldLeft(0L)(math.max)
     val peak = rows(nodes).foldLeft(0L)(math.max)
-    (out, if (joinRows > 0) joinRows else peak, peak)
+    (out, if (joinNodes.nonEmpty) joinRows else peak, peak)
   }
 
   private case class Point(m: Int, sec: Double, outRows: Long,
@@ -94,6 +99,12 @@ object ScalingCurves {
   }
 
   def main(args: Array[String]): Unit = {
+    // Deliberately NOT DemoWorkdir.fresh: the derived 1×–8× corpora are
+    // pure deterministic functions of the read-only testdata, cached
+    // behind _SUCCESS markers so repeated measurement runs skip the
+    // expensive derivation. There is no checkpoint here, so the stale-
+    // workdir idle-batch footgun the other demos guard against cannot
+    // occur — a leftover dir only makes the next run FASTER, not wrong.
     val work = args.headOption.getOrElse("/tmp/graft-scaling")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = Runtime.getRuntime.availableProcessors()

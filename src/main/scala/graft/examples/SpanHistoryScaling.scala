@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object SpanHistoryScaling {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-shs")
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-shs")
     val spark = GraftSession.local(8, "graft-span-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     val conf = spark.sparkContext.hadoopConfiguration

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object StatefulDemo {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-stateful")
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-stateful")
     val spark = GraftSession.local(4, "graft-stateful")
     spark.sparkContext.setLogLevel("ERROR")
     val in = s"$work/in"; val cp = s"$work/checkpoint"; val out = s"$work/out"

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDemo {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-streaming")
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-streaming")
     val spark = GraftSession.local(4, "graft-streaming")
     spark.sparkContext.setLogLevel("ERROR")
     val in = s"$work/in"; val cp = s"$work/cp"; val out = s"$work/out"

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object TrainingExportDemo {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-export")
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-export")
     val spark = GraftSession.local(4, "graft-export-demo")
     spark.sparkContext.setLogLevel("ERROR")
 

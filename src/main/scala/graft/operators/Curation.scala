@@ -198,8 +198,37 @@ object Curation {
     * loudly via a FILTER-borne guard (the guard-carrier rule: a
     * projected guard would be pruned by a bucket-only consumer). */
   def scoreBucketsUnderCuts(df: DataFrame, scoreCol: String,
-      labels: Seq[String], cuts: DataFrame): DataFrame =
+      labels: Seq[String], cuts: DataFrame): DataFrame = {
+    // EAGER arity/shape refusal, before any plan builds: the lazy
+    // in-plan guard anchors on the broadcast model row, and AQE's
+    // empty-relation propagation can skip the broadcast entirely for an
+    // empty warm-up batch — a mis-wired k would then deploy silently
+    // and only refuse at its first non-empty trigger. The cuts side is
+    // k−1 rows by construction (one row per interior threshold), so
+    // collecting the pos column here is one model-sized job; if the
+    // caller hands an UNPERSISTED scoreCutsModel result this recomputes
+    // its one aggregate — cache the model or use the persisted-table
+    // probe when that matters.
+    validateCutPositions(
+      cuts.select(col("pos").cast("int")).collect().map(_.getInt(0)),
+      labels.size, "scoreBucketsUnderCuts")
     bucketsUnderCutsImpl(df, scoreCol, labels, cuts, enforceArity = true)
+  }
+
+  /** Shared eager cuts-shape check: a cuts table for k labels must hold
+    * exactly the positions 1..k−1 — the size check alone admits
+    * duplicate or gapped pos values (e.g. 1,1,3 for k=4), which would
+    * classify under silently mis-ordered thresholds. */
+  private def validateCutPositions(pos: Seq[Int], k: Int,
+      caller: String): Unit = {
+    require(pos.size == k - 1,
+      s"$caller: $k labels need ${k - 1} cuts but the model holds " +
+        s"${pos.size} — the cuts were trained for a different bucket count")
+    require(pos.sorted == (1 until k),
+      s"$caller: cut positions must be exactly 1..${k - 1}, got " +
+        s"${pos.sorted.mkString(",")} — duplicate or gapped pos values " +
+        "would classify under mis-ordered thresholds")
+  }
 
   /** Shared classification body of [[scoreBuckets]] and
     * [[scoreBucketsUnderCuts]] — one chain/NULL/guard definition so the
@@ -210,10 +239,12 @@ object Curation {
     * and a mis-wired cuts table would deploy silently — anchored on the
     * model row it fires whenever the broadcast side builds. Note AQE's
     * runtime empty-relation propagation can skip the broadcast for an
-    * EMPTY batch entirely (statically or at runtime), so the
-    * persisted-table probe [[scoreBucketsUnderCutsTable]] — the
-    * deployment path — additionally validates arity EAGERLY against
-    * the k−1-row cuts table before building any plan. */
+    * EMPTY batch entirely (statically or at runtime), so BOTH public
+    * entry points ([[scoreBucketsUnderCuts]] and
+    * [[scoreBucketsUnderCutsTable]]) additionally validate the cuts
+    * shape EAGERLY — size AND exact 1..k−1 positions — against the
+    * k−1-row cuts table before building any plan; the in-plan guard
+    * stays as defense against a non-deterministic cuts recompute. */
   private def bucketsUnderCutsImpl(df: DataFrame, scoreCol: String,
       labels: Seq[String], cuts: DataFrame,
       enforceArity: Boolean): DataFrame = {
@@ -222,9 +253,10 @@ object Curation {
       "scoreBuckets: duplicate labels")
     val thRaw = cuts
       .agg(array_sort(collect_list(struct(col("pos"), col("cut")))).as("__tc"))
-      .select(transform(col("__tc"), x => x.getField("cut")).as("__th"))
+      .select(transform(col("__tc"), x => x.getField("cut")).as("__th"),
+        transform(col("__tc"), x => x.getField("pos").cast("int")).as("__pos"))
     val th =
-      if (!enforceArity) thRaw
+      (if (!enforceArity) thRaw
       else thRaw.filter(when(size(col("__th")) =!= labels.size - 1,
         raise_error(concat(
           lit(s"scoreBucketsUnderCuts: ${labels.size} labels need " +
@@ -232,7 +264,17 @@ object Curation {
           size(col("__th")).cast("string"),
           lit(" — the cuts were trained for a different bucket count")))
           .cast("boolean"))
-        .otherwise(lit(true)))
+        // positions must be exactly 1..k-1 — the size check alone admits
+        // duplicate/gapped pos (1,1,3 for k=4), i.e. silently
+        // mis-ordered thresholds (__tc is pos-sorted, so no re-sort here)
+        .when(col("__pos") =!= sequence(lit(1), lit(labels.size - 1)),
+          raise_error(concat(
+            lit("scoreBucketsUnderCuts: cut positions must be exactly " +
+              s"1..${labels.size - 1}, got "),
+            concat_ws(",", col("__pos")),
+            lit(" — duplicate or gapped pos values would classify under " +
+              "mis-ordered thresholds"))).cast("boolean"))
+        .otherwise(lit(true)))).drop("__pos")
     val chain = labels.init.zipWithIndex
       .foldRight(lit(labels.last): Column) { case ((lab, i), acc) =>
         when(col(scoreCol).cast("double") <= element_at(col("__th"), i + 1),
@@ -326,20 +368,18 @@ object Curation {
 
   /** [[scoreBucketsUnderCuts]] against a persisted cuts path — the
     * path-taking probe enforces its own format marker (the
-    * HistoryEnforcementSuite rule) AND validates cut/label arity
-    * EAGERLY (the table is k−1 rows by construction, so the count is
-    * free): the lazy in-plan guard cannot fire when AQE
-    * empty-propagates an empty warm-up batch past the broadcast, and a
-    * pipeline wired against the wrong cuts table must refuse at deploy
-    * time, not at its first non-empty trigger. */
+    * HistoryEnforcementSuite rule) AND validates the cuts shape
+    * EAGERLY, naming the path in the refusal (the table is k−1 rows by
+    * construction, so the check is free): the lazy in-plan guard
+    * cannot fire when AQE empty-propagates an empty warm-up batch past
+    * the broadcast, and a pipeline wired against the wrong cuts table
+    * must refuse at deploy time, not at its first non-empty trigger. */
   def scoreBucketsUnderCutsTable(df: DataFrame, scoreCol: String,
       labels: Seq[String], cutsPath: String): DataFrame = {
     val cuts = loadScoreCuts(df.sparkSession, cutsPath)
-    val n = cuts.count()
-    require(n == labels.size - 1,
-      s"scoreBucketsUnderCutsTable: ${labels.size} labels need " +
-        s"${labels.size - 1} cuts but $cutsPath holds $n — the cuts were " +
-        "trained for a different bucket count")
+    validateCutPositions(
+      cuts.select(col("pos").cast("int")).collect().map(_.getInt(0)),
+      labels.size, s"scoreBucketsUnderCutsTable($cutsPath)")
     scoreBucketsUnderCuts(df, scoreCol, labels, cuts)
   }
 

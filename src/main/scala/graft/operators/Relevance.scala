@@ -234,11 +234,23 @@ object Relevance {
   }
 
   /** The `(n, avgdl)` one-row frame of a stats table, for the score-time
-    * cross join (broadcast at 1 row — the tolerated scalar attach). */
+    * cross join (broadcast at 1 row — the tolerated scalar attach).
+    * Guarded: a malformed stats table (marker valid but the `n` scalar
+    * row absent or non-positive — e.g. a df-only slice) would otherwise
+    * propagate a NULL `n` into NULL scores for EVERY row; refuse loudly
+    * instead. The guard is a FILTER predicate on the one agg row (the
+    * guard-carrier rule — a projected guard would be pruned), and the
+    * agg always yields exactly one row, so it evaluates whenever the
+    * broadcast side builds. */
   private def statsScalars(stats: DataFrame): DataFrame = stats
     .filter(col("kind").isin("n", "sumdl"))
     .agg(max(when(col("kind") === "n", col("v"))).as("n"),
       max(when(col("kind") === "sumdl", col("v"))).as("sumdl"))
+    .filter(when(col("n").isNull || col("n") <= 0L,
+      raise_error(lit("bm25/tfidf stats: the snapshot holds no positive " +
+        "'n' scalar row — a df-only or malformed stats table cannot " +
+        "score; rebuild it with bm25CollectionStats")).cast("boolean"))
+      .otherwise(lit(true)))
     .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
 
   /** BM25 over a batch under FROZEN collection statistics: idf and avgdl
@@ -397,8 +409,17 @@ object Relevance {
     require(k > 0, s"need k > 0, got $k")
     val dfreq = stats.filter(col("kind") === "df")
       .select(col("term"), col("v").as("df"))
+    // same guard as statsScalars: a stats table whose 'n' row is absent
+    // (df-only slice) would NULL every rel/tfidf — refuse loudly via the
+    // filter-borne guard on the always-one agg row
     val n = stats.filter(col("kind") === "n")
       .agg(max(col("v")).as("n"))
+      .filter(when(col("n").isNull || col("n") <= 0L,
+        raise_error(lit("tfIdfTopTermsUnderStats: the snapshot holds no " +
+          "positive 'n' scalar row — a df-only or malformed stats table " +
+          "cannot score; rebuild it with bm25CollectionStats"))
+          .cast("boolean"))
+        .otherwise(lit(true)))
     val toks = batch.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))

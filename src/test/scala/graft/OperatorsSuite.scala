@@ -1377,6 +1377,40 @@ class CurationSuite extends SparkSpec {
     intercept[IllegalArgumentException](Curation.scoreCutsModel(ref, "s", 1))
   }
 
+  test("scoreCuts: malformed pos sequences refuse (duplicate/gapped), " +
+    "arity refusal is EAGER — no plan, no action needed") {
+    import graft.operators.Curation
+    val ref = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    // duplicate + gapped pos (1,1,3 for k=4): passes a size-only check,
+    // classifies under mis-ordered thresholds — must refuse instead
+    val badPos = Seq((1, 2.5), (1, 4.5), (3, 6.5)).toDF("pos", "cut")
+    val e = intercept[IllegalArgumentException] {
+      Curation.scoreBucketsUnderCuts(ref, "s", Seq("a", "b", "c", "d"), badPos)
+    }
+    assert(e.getMessage.contains("1..3"), e.getMessage)
+    // the arity mismatch refuses AT CALL TIME (eager, the AQE
+    // empty-propagation lesson) — intercept WITHOUT collecting
+    val cuts3 = Curation.scoreCutsModel(ref, "s", 3)
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.scoreBucketsUnderCuts(ref, "s", Seq("lo", "hi"), cuts3)
+    }
+    assert(e2.getMessage.contains("different bucket count"), e2.getMessage)
+    // the persisted-table path names the offending path in its refusal
+    withTmpDir { tmp =>
+      Curation.saveScoreCuts(spark, s"$tmp/badpos", badPos)
+      val e3 = intercept[IllegalArgumentException] {
+        Curation.scoreBucketsUnderCutsTable(ref, "s",
+          Seq("a", "b", "c", "d"), s"$tmp/badpos")
+      }
+      assert(e3.getMessage.contains("badpos") &&
+        e3.getMessage.contains("1..3"), e3.getMessage)
+    }
+    // well-formed cuts still classify identically after the guard change
+    val ok = Curation.scoreBucketsUnderCuts(ref, "s",
+      Seq("head", "middle", "tail"), cuts3).collect()
+    assert(ok.length === 9)
+  }
+
   test("scoreCutsDrift: in-dist batch holds, skewed batch trips rebuild, " +
     "zero-hit buckets report, the empty batch is not drift evidence") {
     import graft.operators.Curation

@@ -71,6 +71,31 @@ class RelevanceSuite extends SparkSpec {
       Relevance.tfIdfTopTermsUnderStats(corpus, "doc_id", "text", 0, stats))
   }
 
+  test("df-only stats refuse loudly: a snapshot missing its 'n' scalar " +
+    "row must not NULL-score every batch row (tfidf AND bm25 paths)") {
+    val stats = Relevance.bm25CollectionStats(corpus, "doc_id", "text")
+    val dfOnly = stats.filter(org.apache.spark.sql.functions
+      .col("kind") === "df")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    val e1 = intercept[Exception] {
+      Relevance.tfIdfTopTermsUnderStats(corpus, "doc_id", "text", k = 3,
+        dfOnly).collect()
+    }
+    assert(msgs(e1).exists(_.contains("no positive 'n' scalar")),
+      msgs(e1).mkString("|"))
+    val e2 = intercept[Exception] {
+      Relevance.bm25UnderStats(corpus, "doc_id", "text", dfOnly,
+        query = Seq("apple")).collect()
+    }
+    assert(msgs(e2).exists(_.contains("no positive 'n' scalar")),
+      msgs(e2).mkString("|"))
+    // a well-formed snapshot still passes the guard unchanged
+    assert(Relevance.bm25UnderStats(corpus, "doc_id", "text", stats,
+      query = Seq("apple")).count() === 2L)
+  }
+
   test("bm25 matches a hand-computed score and skips non-matching docs") {
     val out = Relevance.bm25(corpus, "doc_id", "text", query = Seq("apple"))
       .orderBy("id").collect()
