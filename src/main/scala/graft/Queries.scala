@@ -4410,6 +4410,70 @@ object Queries {
       },
       None),
 
+    // The SAME incremental report under the portable KMV distinct
+    // sketch (ORACLE — closes the family's last rows-only row): k
+    // smallest distinct poly-31 hashes of the content md5 per leaf
+    // cell; merge = k smallest of the union (exactly the whole-corpus
+    // sketch — the fold law), estimate = (k−1)·mod div h_k, every step
+    // integer arithmetic DuckDB replays bit-for-bit. k=64 here so the
+    // sf0.01 corpus exercises BOTH estimator branches (big cells pass
+    // k and estimate; small cells stay exact); production default is
+    // k=1024 with DataSketches HLL as the denser production sketch.
+    "d_corpus_report_incr_poly" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = graft.operators.Curation.corpusReportBatchKmv(
+            docs.filter(col("doc_id") < 250), "text",
+            Seq("lang", "source"), k = 64)
+          .unionByName(graft.operators.Curation.corpusReportBatchKmv(
+            docs.filter(col("doc_id") >= 250), "text",
+            Seq("lang", "source"), k = 64))
+        graft.operators.Curation.mergeCorpusReportKmv(state,
+            Seq("lang", "source"), k = 64)
+          .orderBy(col("lang").asc_nulls_first,
+            col("source").asc_nulls_first, col("lang_agg"),
+            col("source_agg"))
+      },
+      Some("""WITH hashed AS (
+             |  SELECT lang, source,
+             |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tok,
+             |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+             |      [CAST(ascii(c) AS BIGINT)
+             |       FOR c IN STRING_SPLIT(MD5(text), '')]),
+             |      (h, cp) -> (h * 31 + cp) % 2147483647) + 1 AS h
+             |  FROM documents),
+             |counts AS (
+             |  SELECT lang, source,
+             |    GROUPING(lang) = 1 AS lang_agg,
+             |    GROUPING(source) = 1 AS source_agg,
+             |    COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+             |  FROM hashed GROUP BY CUBE (lang, source)),
+             |cells AS (
+             |  SELECT lang, source,
+             |    GROUPING(lang) = 1 AS lang_agg,
+             |    GROUPING(source) = 1 AS source_agg, h
+             |  FROM hashed GROUP BY CUBE (lang, source), h),
+             |topk AS (
+             |  SELECT * FROM cells
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang_agg,
+             |    source_agg, lang, source ORDER BY h) <= 64),
+             |est AS (
+             |  SELECT lang_agg, source_agg, lang, source,
+             |    CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+             |      ELSE (CAST(63 AS BIGINT) * 2147483647) // MAX(h)
+             |    END AS n_distinct
+             |  FROM topk GROUP BY 1, 2, 3, 4)
+             |SELECT c.lang, c.source, c.lang_agg, c.source_agg,
+             |  c.n_docs, c.n_tokens, e.n_distinct,
+             |  ROUND(GREATEST(0, 1 - CAST(e.n_distinct AS DOUBLE)
+             |    / c.n_docs), 4) AS dup_rate
+             |FROM counts c JOIN est e
+             |  ON c.lang_agg = e.lang_agg AND c.source_agg = e.source_agg
+             |  AND c.lang IS NOT DISTINCT FROM e.lang
+             |  AND c.source IS NOT DISTINCT FROM e.source
+             |ORDER BY c.lang NULLS FIRST, c.source NULLS FIRST,
+             |  c.lang_agg, c.source_agg""".stripMargin)),
+
     // Cross-batch incremental line dedup: docs < 250 are the persisted
     // line-df history ([[lineIndex]] — 32-byte rows, text never
     // re-read); docs >= 250 arrive as the batch. History-owned lines

@@ -314,6 +314,37 @@ object ScalingCurves {
       spark.stop(); sys.exit(1)
     }
 
+    // ----- measured layout selector -----------------------------------
+    // hash64PairsAuto's decision, evaluated where its inputs actually
+    // cross: two sub-sampled points below 1× (spread buckets — key rows
+    // dominate, narrow wins) and the 1×–8× replicas above (bucket
+    // flooding dominates — wide wins). The decision is a pure function
+    // of the data (counts-only aggregations), so the printed flip is
+    // bit-identical across runs; the gate requires the selector to
+    // start narrow, end wide, and never flip back — i.e. it switches
+    // exactly where the measured cost curves cross, which is the whole
+    // point of replacing the call-site guess.
+    println()
+    val selPoints: Seq[(String, DataFrame)] =
+      Seq("x1/16" -> docs(1).filter(col("doc_id") % 16 === 0),
+        "x1/4" -> docs(1).filter(col("doc_id") % 4 === 0)) ++
+        scales.map(m => s"x$m" -> docs(m))
+    val selDecisions = selPoints.map { case (label, d) =>
+      val dec = Dedup.hash64PairsLayoutDecision(
+        Dedup.simhashIndex(d, "doc_id", "text"), "doc_id", "sh")
+      println(f"hash64_auto_selector   $label%-5s -> ${dec.chosen}%-6s " +
+        f"narrowCand=${dec.narrowCandidates}%-9d " +
+        f"wideCand=${dec.wideCandidates}%-9d margin=${dec.margin}")
+      dec
+    }
+    val wides = selDecisions.map(_.useWide)
+    if (wides.head || !wides.last ||
+      wides.zip(wides.tail).exists { case (a, b) => a && !b }) {
+      println("QUADRATIC-CURVE FLAGS: hash64 layout selector did not flip " +
+        s"narrow -> wide exactly once across the sizes: $wides")
+      spark.stop(); sys.exit(1)
+    }
+
     // ----- fit + gate -----------------------------------------------------
     println()
     println("operator               | slope(time) | slope(candidates) | " +

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation passes a pretraining pipeline runs between dedup and
@@ -519,6 +520,106 @@ object Curation {
       .withColumn("dup_rate",
         round(greatest(lit(0d), lit(1d) -
           col("n_distinct").cast("double") / col("n_docs")), 4))
+  }
+
+  /** Portable poly-31 fold of a string's code points, +1 so the result
+    * lands in [1, mod] (the KMV estimator below needs a strictly
+    * positive rank) — `LIST_REDUCE(... (h, cp) -> (h·31 + cp) % mod)`
+    * replays it bit-for-bit in any ANSI engine ([[PolyMinHash]]'s
+    * verified identity between the `aggregate(split(s, ''))` Column
+    * formulation and the DuckDB fold). */
+  private def polyFold1(s: Column, mod: Long): Column =
+    aggregate(split(s, ""), lit(0L),
+      (h, c) => (h * 31 + ascii(c)) % mod) + 1
+
+  /** [[corpusReportBatch]] under a PORTABLE KMV (k-minimum-values)
+    * distinct sketch — the `_poly` discipline applied to the report's
+    * one non-replayable column: DataSketches HLL stays the production
+    * default (denser: KB vs 8·k bytes for comparable error), but its
+    * binary sketch is a registered-merge estimate no ANSI engine
+    * reproduces, so `d_corpus_report_incr` could only ever be
+    * rows-checked. KMV (Bar-Yossef et al., RANDOM'02) is pure integer
+    * arithmetic end to end: hash every content fingerprint into
+    * [1, mod] with the poly-31 fold over its md5 hex, keep the k
+    * smallest DISTINCT values per leaf cell, merge = k smallest of the
+    * union, estimate = (k−1)·mod div h₍ₖ₎ (exact set size when fewer
+    * than k values) — every step DuckDB replays bit-for-bit, closing
+    * the report family's last rows-only row.
+    *
+    * State: one row per leaf cell, `(dims…, n_docs, n_tokens, kmv)`
+    * with `kmv` a sorted array of ≤ k longs — bounded 8·k bytes per
+    * cell regardless of batch size. Merge-fold law (suite-pinned):
+    * the k smallest of a union equal the k smallest of the per-batch
+    * k-smallest sets, so folding batch states IS sketching the whole
+    * corpus — no approximation drift across batches, unlike sketches
+    * whose merge loses information.
+    *
+    * Scale shape: counts partial-agg map-side; the sketch side
+    * exchanges once on (dims…, h) to dedup, then ranks within the
+    * leaf cell (WindowGroupLimit prunes to k per cell before the
+    * bounded collect). The corpus never joins itself. */
+  def corpusReportBatchKmv(df: DataFrame, textCol: String,
+      dims: Seq[String], k: Int = 1024,
+      mod: Long = 2147483647L): DataFrame = {
+    require(dims.nonEmpty, "corpusReportBatchKmv: no dimensions")
+    require(k >= 16, s"corpusReportBatchKmv: need k >= 16, got $k")
+    val hashed = df.select(dims.map(col) ++ Seq(
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+        .as("__tok"),
+      polyFold1(md5(col(textCol)), mod).as("__h")): _*)
+    val counts = hashed.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col("__h"))
+    val kmv = hashed.select((dims :+ "__h").map(col): _*).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(dims.map(col): _*)
+      .agg(array_sort(collect_list(col("__h"))).as("kmv"))
+    counts.join(kmv, dims)
+  }
+
+  /** Fold accumulated [[corpusReportBatchKmv]] rows into the
+    * [[corpusReport]] shape (the [[mergeCorpusReport]] twin under the
+    * portable sketch): every CUBE cell with grouping flags, counts
+    * exact, `n_distinct` the KMV estimate — `m` when the merged sketch
+    * holds m < k values (the sketch IS the distinct set), else
+    * `(k−1)·mod div h₍ₖ₎`. Integer arithmetic only; one terminal
+    * round on `dup_rate`. Doubles as the state compaction (group by
+    * the dims without cube), like its production sibling. */
+  def mergeCorpusReportKmv(state: DataFrame, dims: Seq[String],
+      k: Int = 1024, mod: Long = 2147483647L): DataFrame = {
+    require(dims.nonEmpty, "mergeCorpusReportKmv: no dimensions")
+    val flags = dims.map(d => (grouping(col(d)) === 1).as(s"${d}_agg"))
+    state.cube(dims.map(col): _*)
+      .agg(flags.head, flags.tail ++ Seq(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("__kmv")): _*)
+      .withColumn("n_distinct",
+        when(size(col("__kmv")) < k, size(col("__kmv")).cast("long"))
+          .otherwise(expr(
+            s"${(k - 1).toLong * mod}L div element_at(__kmv, $k)")))
+      .withColumn("dup_rate",
+        round(greatest(lit(0d), lit(1d) -
+          col("n_distinct").cast("double") / col("n_docs")), 4))
+      .drop("__kmv")
+  }
+
+  /** AGGREGATING compaction of an accumulated [[corpusReportBatchKmv]]
+    * state table back to one row per leaf cell: counts sum, sketches
+    * merge (k smallest distinct of the union). Lossless by the KMV
+    * merge law — compact-then-merge equals merge (suite-pinned) — so
+    * the state stays O(#live cells · 8k bytes) however many batches
+    * land. */
+  def compactCorpusReportKmv(state: DataFrame, dims: Seq[String],
+      k: Int = 1024): DataFrame = {
+    require(dims.nonEmpty, "compactCorpusReportKmv: no dimensions")
+    state.groupBy(dims.map(col): _*)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv"))
   }
 
   /** 128-bit line key: two genuinely independent XXH64 passes over the

@@ -917,6 +917,189 @@ object Dedup {
         graft.state.HistoryFormat.Hash64Signature),
       idCol, hashCol, maxHamming, blocks, maxBucket)
 
+  /** What [[hash64PairsAuto]]/[[hash64AgainstHistoryAuto]] measured and
+    * chose. The candidate counts are EXACT pre-verify join volumes for
+    * each layout on THIS data (not estimates): for pairs, Σ c·(c−1)/2
+    * over the layout's buckets; for the history probe, Σ b·h over the
+    * keys the batch actually probes. The key-row counts are the
+    * exploded rows each layout must exchange/scan. `useWide` follows
+    * the cost model `keyRows + candidates` — a candidate row costs AT
+    * LEAST a key row (it additionally pays the cap, the join build,
+    * and the Hamming verify), so charging them equally is conservative
+    * in favor of the narrow layout. */
+  case class Hash64LayoutDecision(useWide: Boolean,
+      narrowCandidates: Long, wideCandidates: Long,
+      narrowKeyRows: Long, wideKeyRows: Long) {
+    def chosen: String = if (useWide) "wide" else "narrow"
+    /** How far the winning side won, in rows: positive = wide cheaper. */
+    def margin: Long =
+      (narrowKeyRows + narrowCandidates) - (wideKeyRows + wideCandidates)
+  }
+
+  /** An auto-selected result: the pair/probe frame plus the measured
+    * decision that picked its keying layout (surfaced in the result —
+    * a silent selector would make the plan unexplainable). */
+  case class Hash64AutoResult(result: DataFrame,
+      decision: Hash64LayoutDecision)
+
+  private def comboCount(blocks: Int, maxHamming: Int): Long = {
+    val k = blocks - maxHamming
+    (0 until k).foldLeft(1L)((acc, i) => acc * (blocks - i) / (i + 1))
+  }
+
+  /** Exact Σ c·(c−1) over the buckets `keyOf` induces (twice the
+    * within-bucket pair count), via a counts-only partial-agg'd
+    * exchange — the candidate volume each layout WOULD pay, measured
+    * without paying it (no collect_set, no pair explode, no verify). */
+  private def bucketPairVolume2(base: DataFrame,
+      keyOf: Column => Column, keyNames: Seq[String]): Long =
+    base.select(keyOf(col("sh")).as(keyNames))
+      .groupBy(keyNames.map(col): _*).count()
+      .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
+      .collect()(0).getLong(0)
+
+  /** MEASURED narrow-vs-wide selection for [[hash64Pairs]] — the
+    * saturation crossover is a property of the corpus (template-heavy
+    * corpora flood the 4×16-bit buckets orders of magnitude before a
+    * uniform corpus does — ScalingCurves measured 76M narrow candidates
+    * at 40k docs where a uniform model predicts ~10⁵), so a fixed
+    * doc-count threshold is a guess. This derives both layouts' EXACT
+    * candidate volumes from counts-only aggregations over the same key
+    * derivations the joins use (4·N and C(blocks,blocks−h)·N exploded
+    * key rows, partial-agg'd map-side — strictly cheaper than running
+    * the WRONG layout, which pays its candidate volume through the cap,
+    * the join, and the verify) and picks the layout minimizing
+    * `keyRows + candidates`.
+    *
+    * Sound ONLY where the two layouts agree: requires
+    * `maxHamming ≤ 3` (both layouts exact — the pigeonhole for narrow,
+    * the combination construction for wide), so the selection is a pure
+    * performance choice, never a semantics choice. Under a `maxBucket`
+    * cap the layouts may truncate DIFFERENT oversized buckets; the
+    * decision is still the right cost call — the cap changes which
+    * candidates survive, not how many arrive. Evaluates `sigs` once
+    * per layout estimate plus once in the chosen operator — cache the
+    * signature frame if its lineage is expensive. */
+  def hash64PairsLayoutDecision(sigs: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3, blocks: Int = 6)
+      : Hash64LayoutDecision = {
+    require(maxHamming >= 1 && maxHamming < SimhashBlocks,
+      s"hash64 auto keying: both layouts are exact (and therefore " +
+        s"interchangeable) only for maxHamming < $SimhashBlocks, got " +
+        s"$maxHamming — past that the narrow pair set is candidate-" +
+        "limited and the layouts answer different questions")
+    val base = sigs.select(col(hashCol).as("sh"))
+    val n = base.count()
+    val narrow2 = bucketPairVolume2(base,
+      h => manku16BlockKeys(h), Seq("block", "key"))
+    val wide2 = bucketPairVolume2(base,
+      h => posexplode(wideComboKeys(h, blocks, maxHamming)),
+      Seq("combo", "ck"))
+    decide(narrow2 / 2, wide2 / 2, SimhashBlocks * n,
+      comboCount(blocks, maxHamming) * n)
+  }
+
+  private def decide(narrowCand: Long, wideCand: Long,
+      narrowKeyRows: Long, wideKeyRows: Long): Hash64LayoutDecision =
+    Hash64LayoutDecision(
+      useWide = narrowKeyRows + narrowCand > wideKeyRows + wideCand,
+      narrowCandidates = narrowCand, wideCandidates = wideCand,
+      narrowKeyRows = narrowKeyRows, wideKeyRows = wideKeyRows)
+
+  /** [[hash64Pairs]]/[[hash64PairsWide]] behind the measured selector:
+    * runs [[hash64PairsLayoutDecision]] and delegates to the cheaper
+    * layout, returning the frame AND the decision. Equal to the chosen
+    * layout BIT-FOR-BIT by construction (suite LAW on both sides of
+    * the crossover) — the selector may only change cost, never pairs
+    * (both layouts exact for the required `maxHamming ≤ 3`; under a
+    * bucket cap, each layout's own documented truncation applies). */
+  def hash64PairsAuto(sigs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, blocks: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): Hash64AutoResult = {
+    val d = hash64PairsLayoutDecision(sigs, idCol, hashCol, maxHamming,
+      blocks)
+    Hash64AutoResult(
+      if (d.useWide)
+        hash64PairsWide(sigs, idCol, hashCol, maxHamming, blocks, maxBucket)
+      else hash64Pairs(sigs, idCol, hashCol, maxHamming, maxBucket), d)
+  }
+
+  /** Exact per-layout candidate volume for the HISTORY probe: Σ b·h
+    * over the keys both sides share — the rows that would survive the
+    * semi-join and pay the cap + join + verify. Counts-only on both
+    * sides; the history's text/media bytes are never touched. */
+  private def probeVolume(batch: DataFrame, history: DataFrame,
+      keyOf: Column => Column, keyNames: Seq[String]): Long = {
+    def counts(df: DataFrame, as: String) =
+      df.select(keyOf(col("sh")).as(keyNames))
+        .groupBy(keyNames.map(col): _*).agg(count(lit(1)).as(as))
+    counts(batch, "b").join(counts(history, "h"), keyNames)
+      .agg(coalesce(sum(col("b") * col("h")), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
+  /** MEASURED narrow-vs-wide selection for [[hash64AgainstHistory]] —
+    * the accumulated history is where saturation actually bites (it is
+    * the side that reaches 10⁸–10⁹ signatures), and the crossover
+    * depends on how hard the batch's keys flood the history's buckets,
+    * a property of BOTH tables. Cost model per layout:
+    * `keyRows(batch + history) + Σ b·h over shared keys`; the Σ b·h
+    * terms are exact counts-only measurements (see
+    * [[hash64PairsLayoutDecision]] for why a candidate row is charged
+    * conservatively at one key row). Same `maxHamming ≤ 3` equivalence
+    * domain. */
+  def hash64HistoryLayoutDecision(sigs: DataFrame, history: DataFrame,
+      idCol: String = "doc_id", hashCol: String = "sh",
+      maxHamming: Int = 3, blocks: Int = 6): Hash64LayoutDecision = {
+    require(maxHamming >= 1 && maxHamming < SimhashBlocks,
+      s"hash64 auto keying: both layouts are exact (and therefore " +
+        s"interchangeable) only for maxHamming < $SimhashBlocks, got " +
+        s"$maxHamming")
+    val b = sigs.select(col(hashCol).as("sh"))
+    val h = history.select(col(hashCol).as("sh"))
+    val rows = b.count() + h.count()
+    val narrowCand = probeVolume(b, h,
+      c => manku16BlockKeys(c), Seq("block", "key"))
+    val wideCand = probeVolume(b, h,
+      c => posexplode(wideComboKeys(c, blocks, maxHamming)),
+      Seq("combo", "ck"))
+    decide(narrowCand, wideCand, SimhashBlocks * rows,
+      comboCount(blocks, maxHamming) * rows)
+  }
+
+  /** [[hash64AgainstHistory]]/[[hash64AgainstHistoryWide]] behind the
+    * measured selector (same contract as [[hash64PairsAuto]]: the
+    * result is bit-for-bit the chosen layout's, the decision rides in
+    * the result, and ONE persisted history serves both layouts — keys
+    * derive at probe time, so the selector never forces a rebuild). */
+  def hash64AgainstHistoryAuto(sigs: DataFrame, history: DataFrame,
+      idCol: String = "doc_id", hashCol: String = "sh",
+      maxHamming: Int = 3, blocks: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): Hash64AutoResult = {
+    val d = hash64HistoryLayoutDecision(sigs, history, idCol, hashCol,
+      maxHamming, blocks)
+    Hash64AutoResult(
+      if (d.useWide)
+        hash64AgainstHistoryWide(sigs, history, idCol, hashCol, maxHamming,
+          blocks, maxBucket)
+      else hash64AgainstHistory(sigs, history, idCol, hashCol, maxHamming,
+        maxBucket), d)
+  }
+
+  /** [[hash64AgainstHistoryAuto]] reading the persisted signature index
+    * from its table directory (marker-enforced, like the narrow/wide
+    * table probes — the same
+    * [[graft.state.HistoryFormat.Hash64Signature]] marker serves every
+    * layout). */
+  def hash64AgainstHistoryAutoTable(sigs: DataFrame, historyDir: String,
+      idCol: String = "doc_id", hashCol: String = "sh",
+      maxHamming: Int = 3, blocks: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): Hash64AutoResult =
+    hash64AgainstHistoryAuto(sigs,
+      graft.state.HistoryTables.readChecked(sigs.sparkSession, historyDir,
+        graft.state.HistoryFormat.Hash64Signature),
+      idCol, hashCol, maxHamming, blocks, maxBucket)
+
   /** Truncation exposure of [[hash64AgainstHistory]]'s skew cap: the
     * count of PROBED history (block, key) buckets holding more than
     * `maxBucket` rows — each is a bucket where the cap may have dropped

@@ -874,6 +874,60 @@ class DedupSuite extends SparkSpec {
         s"missing=${(narrow -- wide).take(3)} extra=${(wide -- narrow).take(3)}")
   }
 
+  test("hash64 auto keying: the measured selector picks narrow below the " +
+    "crossover and wide above it, and auto == chosen layout bit-for-bit " +
+    "on BOTH sides (pairs and history probe)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    // BELOW the crossover: spread signatures — every narrow 16-bit
+    // bucket is near-singleton, so candidates ~ 0 on both layouts and
+    // the 4-keys/doc narrow layout wins on key rows alone
+    val spread = (0 until 200).map(i =>
+      (i.toLong, i.toLong * 0x9E3779B97F4A7C15L)).toDF("id", "sh")
+    val below = Dedup.hash64PairsAuto(spread, "id", "sh", maxBucket = 0)
+    assert(!below.decision.useWide, below.decision.toString)
+    assert(below.decision.narrowKeyRows === 4L * 200 &&
+      below.decision.wideKeyRows === 20L * 200)
+    assert(pairs(below.result) ===
+      pairs(Dedup.hash64Pairs(spread, "id", "sh", maxBucket = 0)))
+    // ABOVE the crossover: saturate ONE narrow block (low 16 bits
+    // constant) while the upper 48 bits vary far apart — the narrow
+    // (block 0) bucket goes quadratic (~N²/2 candidates) while every
+    // wide 3-of-6 combination key still includes a varying window
+    val flooded = (0 until 200).map(i =>
+      (i.toLong, (i.toLong * 0x9E3779B97F4A7C15L) << 16)).toDF("id", "sh")
+    val above = Dedup.hash64PairsAuto(flooded, "id", "sh", maxBucket = 0)
+    assert(above.decision.useWide, above.decision.toString)
+    assert(above.decision.narrowCandidates >= 200L * 199 / 2,
+      above.decision.toString)
+    assert(pairs(above.result) ===
+      pairs(Dedup.hash64PairsWide(flooded, "id", "sh", maxBucket = 0)))
+    // the same two regimes through the HISTORY probe (one history, the
+    // selector only changes probe-time keying)
+    val batchS = spread.filter($"id" < 50)
+    val histS = spread.filter($"id" >= 50)
+      .select($"id".as("doc_id"), $"sh")
+    val hBelow = Dedup.hash64AgainstHistoryAuto(
+      batchS.select($"id".as("doc_id"), $"sh"), histS, maxBucket = 0)
+    assert(!hBelow.decision.useWide, hBelow.decision.toString)
+    assert(pairs(hBelow.result) === pairs(Dedup.hash64AgainstHistory(
+      batchS.select($"id".as("doc_id"), $"sh"), histS, maxBucket = 0)))
+    val batchF = flooded.filter($"id" < 50).select($"id".as("doc_id"), $"sh")
+    val histF = flooded.filter($"id" >= 50).select($"id".as("doc_id"), $"sh")
+    val hAbove = Dedup.hash64AgainstHistoryAuto(batchF, histF, maxBucket = 0)
+    assert(hAbove.decision.useWide, hAbove.decision.toString)
+    assert(hAbove.decision.narrowCandidates >= 50L * 150,
+      hAbove.decision.toString)
+    assert(pairs(hAbove.result) === pairs(Dedup.hash64AgainstHistoryWide(
+      batchF, histF, maxBucket = 0)))
+    // the selection is a performance choice, never a semantics choice:
+    // outside the shared exact-recall domain it refuses
+    intercept[IllegalArgumentException](
+      Dedup.hash64PairsLayoutDecision(spread, "id", "sh", maxHamming = 6))
+    intercept[IllegalArgumentException](
+      Dedup.hash64HistoryLayoutDecision(batchS, histS, maxHamming = 4))
+  }
+
   test("degenerate corpus: LSH bucket cap bounds the self-comparison") {
     // 500 identical docs would make one quadratic bucket (124,750 pairs per
     // band); cap 50 truncates each bucket to its 50 smallest ids.
@@ -1250,6 +1304,59 @@ class CurationSuite extends SparkSpec {
       val want = merged(k)._4
       assert(math.abs(est - want) <= math.max(2L, (0.02 * want).toLong),
         s"cell $k: compacted $est vs raw-fold $want") }
+  }
+
+  test("KMV corpus report: batch sketches fold EXACTLY to the one-shot " +
+    "report (no merge drift, unlike HLL), estimate within tolerance of " +
+    "exact, compaction lossless") {
+    import graft.operators.Curation
+    val mk = (ids: Range, src: String) => ids.map(i =>
+      (i.toLong, src, if (i % 4 == 0) "DUPLICATE BODY" else s"text $i"))
+    val b1 = mk(0 until 300, "a") ++ mk(300 until 500, "b")
+    val b2 = mk(500 until 700, "a") ++ mk(700 until 1100, "c")
+    val all = (b1 ++ b2).toDF("doc_id", "src", "text")
+    val k = 64
+    val state = Curation.corpusReportBatchKmv(
+        b1.toDF("doc_id", "src", "text"), "text", Seq("src"), k = k)
+      .unionByName(Curation.corpusReportBatchKmv(
+        b2.toDF("doc_id", "src", "text"), "text", Seq("src"), k = k))
+    def report(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3),
+          r.getAs[Long]("n_distinct"))).toMap
+    val merged = report(Curation.mergeCorpusReportKmv(state, Seq("src"),
+      k = k))
+    // the fold LAW is exact for KMV: the k smallest of a union are all
+    // within the per-batch k-smallest sets, so two-batch fold ==
+    // one-shot sketch BIT-FOR-BIT (the property HLL's registered merge
+    // only approximates)
+    val oneShot = report(Curation.mergeCorpusReportKmv(
+      Curation.corpusReportBatchKmv(all, "text", Seq("src"), k = k),
+      Seq("src"), k = k))
+    assert(merged === oneShot, "KMV fold must be exact, not approximate")
+    // estimator sanity against exact distincts: exact below k (cells
+    // "b"/"c" hold < 64 distinct? no — b has 150, c 300; all cells pass
+    // k here except none... so just bound the estimate error at ~1/sqrt(k))
+    val exact = Curation.corpusReport(all, "text", Seq("src"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(4)).toMap
+    merged.foreach { case (cell, (_, n, _, dist)) =>
+      val want = exact(cell)
+      assert(math.abs(dist - want) <= math.max(3L, (0.3 * want).toLong),
+        s"cell $cell: KMV estimate $dist vs exact $want (n=$n)")
+    }
+    // a tiny cell stays EXACT (fewer than k values -> the sketch IS the set)
+    val tiny = (0 until 10).map(i => (i.toLong, "t", s"u $i"))
+      .toDF("doc_id", "src", "text")
+    val tinyRep = report(Curation.mergeCorpusReportKmv(
+      Curation.corpusReportBatchKmv(tiny, "text", Seq("src"), k = k),
+      Seq("src"), k = k))
+    assert(tinyRep(Option("t"))._4 === 10L,
+      "below k the KMV estimate is the exact distinct count")
+    // compaction is LOSSLESS: compact-then-merge == merge bit-for-bit
+    val compacted = report(Curation.mergeCorpusReportKmv(
+      Curation.compactCorpusReportKmv(state, Seq("src"), k = k),
+      Seq("src"), k = k))
+    assert(compacted === merged, "KMV compaction must be lossless")
   }
 
   test("psiReport: identical distributions read ~0/stable, moved mass flags") {

@@ -61,4 +61,26 @@ class ScalingSuite extends SparkSpec {
       s"wide-key candidates must not collapse to all-pairs: " +
         s"1x=${wide(0)} 2x=${wide(1)}")
   }
+
+  test("hash64 layout selector: the measured decision flips narrow -> " +
+    "wide across the real corpus's crossover (deterministic pins)") {
+    // the sf0.1 corpus straddles the crossover (ScalingCurves measures
+    // the full series): a 1/4 sub-sample spreads the 16-bit buckets so
+    // key rows dominate (narrow), the full 5000 docs flood them past
+    // the wide layout's 5x key cost (wide). Both decisions are pure
+    // counts-only functions of the data — no wall time, never flakes.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def decide(df: DataFrame) = Dedup.hash64PairsLayoutDecision(
+      Dedup.simhashIndex(df, "doc_id", "text"), "doc_id", "sh")
+    val below = decide(docs.filter(col("doc_id") % 4 === 0))
+    assert(!below.useWide,
+      s"1250 spread docs must stay narrow (key rows dominate): $below")
+    val above = decide(docs)
+    assert(above.useWide,
+      s"the full corpus must flip wide (bucket flooding dominates): $above")
+    // the decision's inputs are exact volumes, so the margins must agree
+    // in sign with the useWide flag by construction
+    assert(below.margin <= 0 && above.margin > 0)
+  }
 }
