@@ -113,6 +113,55 @@ object Queries {
     dir.toString
   }
 
+  /** Shared oracle for the composed near-dup canonicalization pair
+    * (one-shot + incremental fold — the fold law makes them the same
+    * query): exact-dup rep per text group, the d_ngram_jaccard pair
+    * filter over reps only, recursive-CTE transitive closure, then the
+    * member-set resolution — component = MIN(doc_id) over the cluster,
+    * canonical = argmax(n_chars DESC, doc_id ASC) via ROW_NUMBER. */
+  private val nearDupCanonicalOracle: String =
+    """WITH RECURSIVE
+      |reps AS (SELECT doc_id AS id, text FROM (
+      |  SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1),
+      |grams AS (SELECT id, UNNEST(LIST_DISTINCT(
+      |    CASE WHEN LENGTH(text) < 12 THEN [text]
+      |         ELSE [text[i:i+11] FOR i IN RANGE(1, LENGTH(text) - 10)]
+      |    END)) AS g
+      |  FROM reps),
+      |counts AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY 1),
+      |inter AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS i
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT ia, ib FROM inter
+      |  JOIN counts ca ON ca.id = inter.ia
+      |  JOIN counts cb ON cb.id = inter.ib
+      |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.8),
+      |sym AS (SELECT ia AS a, ib AS b FROM pairs
+      |  UNION SELECT ib, ia FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+      |pnodes AS (SELECT DISTINCT a AS id FROM sym),
+      |compmap AS (SELECT n.id AS id, LEAST(n.id, MIN(reach.r)) AS comp
+      |  FROM pnodes n JOIN reach ON reach.id = n.id GROUP BY n.id),
+      |repmap AS (SELECT r.text, COALESCE(c.comp, r.id) AS comp
+      |  FROM reps r LEFT JOIN compmap c ON c.id = r.id),
+      |member AS (SELECT d.doc_id, d.n_chars, m.comp
+      |  FROM documents d JOIN repmap m ON d.text = m.text),
+      |best AS (SELECT comp, component, canonical_id FROM (
+      |  SELECT comp, MIN(doc_id) OVER (PARTITION BY comp) AS component,
+      |    doc_id AS canonical_id,
+      |    ROW_NUMBER() OVER (PARTITION BY comp
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM member) WHERE rn = 1)
+      |SELECT m.doc_id AS id, b.component, b.canonical_id,
+      |  m.doc_id = b.canonical_id AS keep
+      |FROM member m JOIN best b USING (comp)
+      |ORDER BY id""".stripMargin
+
   /** Corpus side of the semantic-decontamination queries: the non-eval
     * embeddings plus planted leaks — each `% 50` eval vector scaled by
     * 2f (an IEEE exponent bump: every product and partial sum doubles
@@ -1871,6 +1920,56 @@ object Queries {
              |  a.doc_id = b.canonical_id AS keep
              |FROM allmap a JOIN best b USING (component)
              |ORDER BY a.doc_id""".stripMargin)),
+
+    // ----- composed near-dup canonicalization -----------------------------
+    // The pipeline op a user reaches for (exact collapse → exact-Jaccard
+    // pairs over one rep per distinct text → connected components →
+    // best-member resolution) run as ONE call. The oracle replays every
+    // stage: rep selection (ROW_NUMBER over text groups — membership is
+    // text-equality, so which member represents is label-only), the
+    // d_ngram_jaccard pair filter over reps, the recursive-CTE closure,
+    // and the same min-id / argmax(n_chars, low id) resolution.
+    "d_neardup_canonical" -> QueryDef(
+      (s, d) => Dedup.nearDupCanonicalize(
+          t(s, d, "documents").select(col("doc_id"), col("text"), col("n_chars")),
+          "doc_id", "text", "n_chars",
+          reps => Dedup.charNgramJaccardExactPairs(reps, "id", "text",
+            n = 12, threshold = 0.8))
+        .orderBy("id"),
+      Some(nearDupCanonicalOracle)),
+
+    // ----- incremental composed near-dup canonicalization -----------------
+    // The SAME corpus arrives in three interleaved batches (doc_id mod 3,
+    // so exact-dup groups and near-dup clusters split across batches);
+    // each fold persists the state trio (the operator's real contract —
+    // atomic-replace state tables) and only the final resolution is
+    // emitted. Fold law: identical to the one-shot, so the oracle is the
+    // identical SQL.
+    "d_neardup_canonical_incr" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val pf: DataFrame => DataFrame = reps =>
+          Dedup.charNgramJaccardExactPairs(reps, "id", "text",
+            n = 12, threshold = 0.8)
+        val dir = scratch(s, "ndc_incr")
+        var (ds, rs, cs) =
+          Dedup.nearDupEmptyState(docs, "doc_id", "text", "n_chars")
+        for (k <- 0 until 3) {
+          val (d2, r2, c2) = Dedup.nearDupCanonicalizeIncrement(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k),
+            "doc_id", "text", "n_chars", ds, rs, cs,
+            pf, Dedup.crossPairsByUnion(pf))
+          d2.write.mode("overwrite").parquet(s"$dir/docs$k")
+          r2.write.mode("overwrite").parquet(s"$dir/reps$k")
+          c2.write.mode("overwrite").parquet(s"$dir/cc$k")
+          ds = s.read.parquet(s"$dir/docs$k")
+          rs = s.read.parquet(s"$dir/reps$k")
+          cs = s.read.parquet(s"$dir/cc$k")
+        }
+        Dedup.nearDupResolution(ds, rs, cs).orderBy("id")
+      },
+      Some(nearDupCanonicalOracle)),
 
     // ----- explode / unnest ----------------------------------------------
     "q_explode_tokens" -> QueryDef(

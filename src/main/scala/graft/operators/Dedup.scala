@@ -1841,4 +1841,160 @@ object Dedup {
     definitelyNovel.unionByName(
       suspects.join(broadcast(confirmed), Seq(key), "left_anti"))
   }
+
+  // ---------------------------------------------------------------------
+  // Composed near-dup canonicalization: exact collapse → pairs on
+  // representatives → connected components → best-member resolution.
+  //
+  // The measured motivation (README scaling notes): near-dup PAIR output
+  // over a template-heavy corpus is inherently Θ(g²) in the duplicate
+  // group size g — that is ground truth, not a plan defect, and no
+  // filter stack can linearize it. The pipeline shape that scales is to
+  // never emit exact-dup pairs at all: collapse identical texts FIRST
+  // (one 16-byte-key exchange), run the expensive near-dup pair operator
+  // over one representative per distinct text, resolve candidate pairs
+  // into clusters, and pick each cluster's best member. These stages all
+  // shipped separately (byFingerprint / the pair family /
+  // connectedComponents / the d_cluster_canonical argmax); this is the
+  // composed operator a user should actually reach for.
+  // ---------------------------------------------------------------------
+
+  /** One-shot near-dup canonicalization. `pairsOf` receives one
+    * `(id, text)` row per DISTINCT text (the exact-dup representatives)
+    * and returns candidate near-dup pairs `(id_a, id_b)` — plug any pair
+    * operator in this file ([[charNgramJaccardExactPairs]],
+    * [[minhashLshPairsPortable]], [[simhashPairsPortableWide]], ...).
+    * Returns the resolution table `(id, component, canonical_id, keep)`:
+    * `component` = smallest member id of the doc's cluster (exact dups
+    * and near-dups merged transitively), `canonical_id` = the cluster
+    * member with the highest `qualityCol` (ties to the smallest id — an
+    * order-independent max(struct) aggregate, never a window over the
+    * corpus), `keep` = this row IS the canonical.
+    *
+    * Cluster membership is invariant to WHICH member represents a text:
+    * identical texts produce identical pairs, so the representative
+    * choice can change internal component labels but never the member
+    * sets — and the resolution re-derives `component`/`canonical_id`
+    * from the member sets alone. That invariance is what makes the
+    * incremental fold ([[nearDupCanonicalizeIncrement]]) equal this
+    * one-shot bit-for-bit (suite-pinned).
+    *
+    * Scale shape: the fingerprint collapse is one md5-key exchange; the
+    * pair stage sees |distinct texts| rows; the component map and the
+    * per-cluster argmax are exchanges on component keys; docs re-attach
+    * via the SAME fp-keyed exchange the collapse already paid. */
+  def nearDupCanonicalize(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, pairsOf: DataFrame => DataFrame,
+      workDir: Option[String] = None,
+      localLimit: Long = 100000): DataFrame = {
+    val (docs0, reps0, cc0) = nearDupEmptyState(df, idCol, textCol, qualityCol)
+    // the history side is empty by construction, so the cross probe is a
+    // typed empty frame — NOT crossPairsByUnion, which would run the
+    // expensive pair operator a second time over (corpus ∪ ∅)
+    val noCross: (DataFrame, DataFrame) => DataFrame = (f, _) =>
+      f.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+    val (docs, reps, cc) = nearDupCanonicalizeIncrement(
+      df, idCol, textCol, qualityCol, docs0, reps0, cc0,
+      pairsOf, noCross, workDir, localLimit)
+    nearDupResolution(docs, reps, cc)
+  }
+
+  /** Empty `(docsState, repsState, ccState)` trio typed off the batch —
+    * the fold seed for [[nearDupCanonicalizeIncrement]]. */
+  def nearDupEmptyState(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String): (DataFrame, DataFrame, DataFrame) = (
+    df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"),
+      col(qualityCol).as("quality")).limit(0),
+    df.select(fingerprint(col(textCol)).as("fp"), col(idCol).as("id"),
+      col(textCol).as("text")).limit(0),
+    df.select(col(idCol).as("id"), col(idCol).as("component")).limit(0))
+
+  /** Cross-batch fold step. State trio:
+    *  - `docsState (id, fp, quality)` — every doc seen (no text);
+    *  - `repsState (fp, id, text)` — ONE representative per distinct
+    *    text seen (the only state that keeps text — at 100 TB swap
+    *    `crossPairsOf` for a persisted signature-index probe
+    *    ([[hash64AgainstHistoryAutoTable]] /
+    *    [[minhashAgainstHistoryTable]]) and store signatures here
+    *    instead; the fold algebra is unchanged);
+    *  - `ccState (id, component)` — the component assignment over
+    *    representative ids ([[componentsWithHistory]] output).
+    *
+    * A batch text already in `repsState` attaches by fingerprint alone —
+    * no new node, no pair work (its pairs were found when the text first
+    * arrived). Only truly-new texts run `pairsOf` (within the batch) and
+    * `crossPairsOf(newReps, historyReps)` (against history), and the
+    * component fold translates old representatives through
+    * [[componentsWithHistory]]'s change-map discipline, so per-batch
+    * cost is bounded by the batch + the probed history slice, never the
+    * accumulated corpus. Persist the returned trio atomically (JobState
+    * / atomic-replace) and derive the user-facing table with
+    * [[nearDupResolution]]. Fold law (suite-pinned): any batch split
+    * folds to the same resolution as the one-shot. */
+  def nearDupCanonicalizeIncrement(
+      batch: DataFrame, idCol: String, textCol: String, qualityCol: String,
+      docsState: DataFrame, repsState: DataFrame, ccState: DataFrame,
+      pairsOf: DataFrame => DataFrame,
+      crossPairsOf: (DataFrame, DataFrame) => DataFrame,
+      workDir: Option[String] = None,
+      localLimit: Long = 100000): (DataFrame, DataFrame, DataFrame) = {
+    val b = batch.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fp"),
+      col(qualityCol).as("quality"), col(textCol).as("text"))
+    // one representative per batch-new fingerprint (smallest batch id —
+    // any member works: identical text ⇒ identical pairs)
+    val bReps = exact(b.select("fp", "id", "text"), Seq("fp"), "id")
+    val newReps = bReps.join(repsState.select("fp"), Seq("fp"), "left_anti")
+    val fresh = newReps.select(col("id"), col("text"))
+    val hist = repsState.select(col("id"), col("text"))
+    val pairs = pairsOf(fresh).select("id_a", "id_b")
+      .unionByName(crossPairsOf(fresh, hist).select("id_a", "id_b"))
+    val cc2 = componentsWithHistory(pairs, ccState,
+      workDir = workDir, localLimit = localLimit)
+    (docsState.unionByName(b.select("id", "fp", "quality")),
+      repsState.unionByName(newReps.select("fp", "id", "text")),
+      cc2)
+  }
+
+  /** Generic cross-batch pair probe for [[nearDupCanonicalizeIncrement]]:
+    * run `pairsOf` over new-reps ∪ history-reps and keep pairs touching
+    * at least one new id. Correct for ANY pair operator (the fallback
+    * that makes the fold law hold unconditionally), but it re-pairs the
+    * history representatives each batch — production swaps a persisted
+    * signature-index probe ([[hash64AgainstHistoryAutoTable]],
+    * [[minhashAgainstHistoryTable]], [[semDedupAgainstHistoryTable]])
+    * whose per-batch cost is semi-join-first bounded. History-internal
+    * pairs are dropped here not for correctness (re-folding them is
+    * idempotent under [[componentsWithHistory]]) but to keep the
+    * contraction's edge volume O(batch). */
+  def crossPairsByUnion(pairsOf: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) => DataFrame = (fresh, hist) => {
+    val all = pairsOf(fresh.unionByName(hist))
+    val fa = fresh.select(col("id").as("id_a"), lit(1).as("__na"))
+    val fb = fresh.select(col("id").as("id_b"), lit(1).as("__nb"))
+    all.join(fa, Seq("id_a"), "left").join(fb, Seq("id_b"), "left")
+      .filter(col("__na").isNotNull || col("__nb").isNotNull)
+      .select("id_a", "id_b")
+  }
+
+  /** Resolution table from the state trio: every seen doc mapped to its
+    * cluster (`component` = min member id), the cluster's best member
+    * (`canonical_id` = argmax(quality, then smallest id) — a single
+    * max(struct) aggregate), and `keep`. Component labels in `ccState`
+    * are representative-space internals; this re-derives both public
+    * columns from member sets, which is what makes them fold-invariant. */
+  def nearDupResolution(docsState: DataFrame, repsState: DataFrame,
+      ccState: DataFrame): DataFrame = {
+    val repComp = repsState.select(col("fp"), col("id").as("__rep"))
+      .join(ccState.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
+      .select(col("fp"), coalesce(col("component"), col("__rep")).as("__comp"))
+    val member = docsState.join(repComp, Seq("fp"))
+    val best = member.groupBy("__comp").agg(
+        min(col("id")).as("component"),
+        max(struct(col("quality"), (-col("id")).as("nid"))).as("__m"))
+      .select(col("__comp"), col("component"), (-col("__m.nid")).as("canonical_id"))
+    member.join(best, Seq("__comp"))
+      .select(col("id"), col("component"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("keep"))
+  }
 }

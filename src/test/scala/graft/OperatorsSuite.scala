@@ -984,6 +984,128 @@ class DedupSuite extends SparkSpec {
     assert(Dedup.semDedup(empty, "vec_id", "embedding", 0.9, nlist = 4)
       .count() === 0)
   }
+
+  // deterministic cheap pair function for the composed-op unit tests:
+  // reps sharing a 4-char text prefix pair up
+  private def prefixPairs(reps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a = reps.select(col("id").as("id_a"), substring(col("text"), 1, 4).as("k"))
+    val b = reps.select(col("id").as("id_b"), substring(col("text"), 1, 4).as("k"))
+    a.join(b, Seq("k")).filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+  }
+
+  test("nearDupCanonicalize: exact groups collapse, clusters merge " +
+    "transitively, canonical = argmax(quality, low id)") {
+    val docs = Seq(
+      (1L, "grp1 one", 5L), (2L, "grp1 one", 9L), // exact dups, q-best is 2
+      (3L, "grp1 two", 7L),                       // near-dup of the group
+      (4L, "grp2 solo", 1L),                      // singleton
+      (5L, "grp3 a", 2L), (6L, "grp3 a", 2L)      // exact dups, q tie -> 5
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.nearDupCanonicalize(docs, "doc_id", "text", "q",
+        prefixPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(out === Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true),
+      (5L, 5L, 5L, true), (6L, 5L, 5L, false)))
+  }
+
+  test("nearDupCanonicalize: the pair stage sees one row per distinct " +
+    "text (the Θ(g²) template-group collapse)") {
+    // 40 docs, 4 distinct texts: raw pair emission over exact groups
+    // would be Θ(10²) per group; the composed op must hand pairsOf
+    // exactly 4 rows
+    val docs = (1 to 40).map(i => (i.toLong, s"template ${i % 4}", 1L))
+      .toDF("doc_id", "text", "q")
+    var pairInputRows = -1L
+    val counting: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = reps => {
+      pairInputRows = reps.count()
+      prefixPairs(reps)
+    }
+    val out = Dedup.nearDupCanonicalize(docs, "doc_id", "text", "q", counting)
+    assert(out.count() === 40)
+    assert(pairInputRows === 4,
+      s"pairsOf must see one rep per distinct text, saw $pairInputRows")
+    // all 4 texts share the 'temp' prefix -> one cluster, canonical =
+    // lowest id at tied quality
+    assert(out.filter(col("keep")).collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+  }
+
+  test("nearDupCanonicalize fold law: any batch split folds to the " +
+    "one-shot resolution (crossPairsByUnion path)") {
+    val docs = Seq(
+      (1L, "grp1 one", 5L), (2L, "grp1 one", 9L), (3L, "grp1 two", 7L),
+      (4L, "grp2 solo", 1L), (5L, "grp3 a", 2L), (6L, "grp3 a", 2L),
+      (7L, "grp1 three", 3L), (8L, "grp2 other", 8L)
+    ).toDF("doc_id", "text", "q")
+    val oneShot = Dedup.nearDupCanonicalize(docs, "doc_id", "text", "q",
+      prefixPairs).collect().map(_.toSeq).toSet
+    // two different splits, including one where a LATER batch carries the
+    // smaller ids (the representative of an already-seen text changes
+    // between orders — resolution must not)
+    val splits = Seq(
+      Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)),
+      Seq(Seq(2L, 4L, 6L, 8L), Seq(7L, 5L), Seq(3L, 1L)))
+    splits.foreach { batches =>
+      var st = Dedup.nearDupEmptyState(docs, "doc_id", "text", "q")
+      batches.foreach { ids =>
+        st = Dedup.nearDupCanonicalizeIncrement(
+          docs.filter(col("doc_id").isin(ids: _*)),
+          "doc_id", "text", "q", st._1, st._2, st._3,
+          prefixPairs, Dedup.crossPairsByUnion(prefixPairs))
+        // the fold contract persists state between batches; localCheckpoint
+        // stands in for the parquet round-trip without touching disk
+        st = (st._1.localCheckpoint(), st._2.localCheckpoint(),
+          st._3.localCheckpoint())
+      }
+      val folded = Dedup.nearDupResolution(st._1, st._2, st._3)
+        .collect().map(_.toSeq).toSet
+      assert(folded === oneShot, s"fold over $batches diverged")
+      // state invariant: one rep per distinct text
+      assert(st._2.count() === docs.select("text").distinct().count())
+    }
+  }
+
+  test("nearDupCanonicalize on the real corpus with a real pair operator " +
+    "(wide simhash): fold == one-shot, total cover, unique canonicals") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val pf: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = reps =>
+      Dedup.simhashPairsPortableWide(reps, "id", "text",
+        maxHamming = 3, blocks = 6)
+    val oneShot = Dedup.nearDupCanonicalize(docs, "doc_id", "text",
+      "n_chars", pf)
+    val rows = oneShot.collect()
+    assert(rows.length === docs.count(), "every doc resolves")
+    // each cluster has exactly one keep row, and it is the argmax member
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (compId, members) =>
+      assert(members.count(_.getBoolean(3)) === 1)
+      assert(members.map(_.getLong(0)).min === compId,
+        "component label must be the smallest member id")
+      assert(members.map(_.getLong(2)).distinct.length === 1,
+        "one canonical per cluster")
+    }
+    val twoBatch = {
+      var st = Dedup.nearDupEmptyState(docs, "doc_id", "text", "n_chars")
+      Seq(col("doc_id") < 250, col("doc_id") >= 250).foreach { p =>
+        st = Dedup.nearDupCanonicalizeIncrement(docs.filter(p),
+          "doc_id", "text", "n_chars", st._1, st._2, st._3,
+          pf, Dedup.crossPairsByUnion(pf))
+        st = (st._1.localCheckpoint(), st._2.localCheckpoint(),
+          st._3.localCheckpoint())
+      }
+      Dedup.nearDupResolution(st._1, st._2, st._3)
+    }
+    assert(twoBatch.collect().map(_.toSeq).toSet
+      === rows.map(_.toSeq).toSet,
+      "two-batch fold must equal the one-shot resolution")
+  }
 }
 
 class CurationSuite extends SparkSpec {
