@@ -113,19 +113,52 @@ object Queries {
     dir.toString
   }
 
-  /** Shared oracle for the composed near-dup canonicalization pair
-    * (one-shot + incremental fold — the fold law makes them the same
-    * query): exact-dup rep per text group, the d_ngram_jaccard pair
-    * filter over reps only, recursive-CTE transitive closure, then the
-    * member-set resolution — component = MIN(doc_id) over the cluster,
-    * canonical = argmax(n_chars DESC, doc_id ASC) via ROW_NUMBER. */
-  private val nearDupCanonicalOracle: String =
-    """WITH RECURSIVE
-      |reps AS (SELECT doc_id AS id, text FROM (
-      |  SELECT doc_id, text,
-      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-      |  FROM documents) WHERE rn = 1),
-      |grams AS (SELECT id, UNNEST(LIST_DISTINCT(
+  /** Oracle scaffolding shared by the composed near-dup canonicalization
+    * queries: rep selection per text group, then caller-supplied CTEs
+    * producing `pairs(ia, ib)` over rep ids, then the recursive-CTE
+    * transitive closure and the member-set resolution — component =
+    * MIN(doc_id) over the cluster, canonical = argmax(n_chars DESC,
+    * doc_id ASC) via ROW_NUMBER. Rep selection here is min-id-per-text;
+    * the fold may pick a different member (first batch's minimum), which
+    * changes internal labels only — identical texts give identical
+    * pairs, so member SETS and both resolution columns are invariant. */
+  private def nearDupCanonicalOracle(pairCtes: String,
+      where: String = "TRUE"): String =
+    s"""WITH RECURSIVE
+       |reps AS (SELECT doc_id AS id, text FROM (
+       |  SELECT doc_id, text,
+       |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM documents WHERE $where) WHERE rn = 1),
+       |$pairCtes,
+       |sym AS (SELECT ia AS a, ib AS b FROM pairs
+       |  UNION SELECT ib, ia FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+       |pnodes AS (SELECT DISTINCT a AS id FROM sym),
+       |compmap AS (SELECT n.id AS id, LEAST(n.id, MIN(reach.r)) AS comp
+       |  FROM pnodes n JOIN reach ON reach.id = n.id GROUP BY n.id),
+       |repmap AS (SELECT r.text, COALESCE(c.comp, r.id) AS comp
+       |  FROM reps r LEFT JOIN compmap c ON c.id = r.id),
+       |member AS (SELECT d.doc_id, d.n_chars, m.comp
+       |  FROM documents d JOIN repmap m ON d.text = m.text
+       |  WHERE $where),
+       |best AS (SELECT comp, component, canonical_id FROM (
+       |  SELECT comp, MIN(doc_id) OVER (PARTITION BY comp) AS component,
+       |    doc_id AS canonical_id,
+       |    ROW_NUMBER() OVER (PARTITION BY comp
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM member) WHERE rn = 1)
+       |SELECT m.doc_id AS id, b.component, b.canonical_id,
+       |  m.doc_id = b.canonical_id AS keep
+       |FROM member m JOIN best b USING (comp)
+       |ORDER BY id""".stripMargin
+
+  /** Pair CTEs for [[nearDupCanonicalOracle]]: the d_ngram_jaccard
+    * filter (exact 12-gram Jaccard >= 0.8) over the reps. */
+  private val nearDupJaccardPairsCte: String =
+    """grams AS (SELECT id, UNNEST(LIST_DISTINCT(
       |    CASE WHEN LENGTH(text) < 12 THEN [text]
       |         ELSE [text[i:i+11] FOR i IN RANGE(1, LENGTH(text) - 10)]
       |    END)) AS g
@@ -137,30 +170,59 @@ object Queries {
       |pairs AS (SELECT ia, ib FROM inter
       |  JOIN counts ca ON ca.id = inter.ia
       |  JOIN counts cb ON cb.id = inter.ib
-      |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.8),
-      |sym AS (SELECT ia AS a, ib AS b FROM pairs
-      |  UNION SELECT ib, ia FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT a, b FROM sym
-      |  UNION
-      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
-      |pnodes AS (SELECT DISTINCT a AS id FROM sym),
-      |compmap AS (SELECT n.id AS id, LEAST(n.id, MIN(reach.r)) AS comp
-      |  FROM pnodes n JOIN reach ON reach.id = n.id GROUP BY n.id),
-      |repmap AS (SELECT r.text, COALESCE(c.comp, r.id) AS comp
-      |  FROM reps r LEFT JOIN compmap c ON c.id = r.id),
-      |member AS (SELECT d.doc_id, d.n_chars, m.comp
-      |  FROM documents d JOIN repmap m ON d.text = m.text),
-      |best AS (SELECT comp, component, canonical_id FROM (
-      |  SELECT comp, MIN(doc_id) OVER (PARTITION BY comp) AS component,
-      |    doc_id AS canonical_id,
-      |    ROW_NUMBER() OVER (PARTITION BY comp
-      |      ORDER BY n_chars DESC, doc_id) AS rn
-      |  FROM member) WHERE rn = 1)
-      |SELECT m.doc_id AS id, b.component, b.canonical_id,
-      |  m.doc_id = b.canonical_id AS keep
-      |FROM member m JOIN best b USING (comp)
-      |ORDER BY id""".stripMargin
+      |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.8)"""
+      .stripMargin
+
+  /** Pair CTEs for [[nearDupCanonicalOracle]]: the poly-simhash wide
+    * combination keys (the d_simhash_pairs_poly_wide replay) over the
+    * reps, UNCAPPED — the fold law and the rep-label invariance both
+    * require cap-free pair semantics (a bucket cap ordered by rep id
+    * could truncate differently under different rep choices). */
+  private val nearDupSimhashPairsCte: String = {
+    val (widths, offsets, combos) =
+      graft.operators.Dedup.wideBlockLayout(6, 3)
+    val keyEntries = combos.zipWithIndex.map { case (c, ci) =>
+      val terms = c.zipWithIndex.map { case (j, k) =>
+        val shiftUp = c.drop(k + 1).map(widths(_)).sum
+        s"((sh // ${1L << offsets(j)}) % ${1L << widths(j)})" +
+          (if (shiftUp > 0) s" * ${1L << shiftUp}" else "")
+      }.mkString(" + ")
+      s"{'combo': $ci, 'key': $terms}"
+    }.mkString(",\n    ")
+    s"""toks AS (SELECT id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+       |  FROM reps),
+       |th AS (
+       |  SELECT id,
+       |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+       |      [CAST(ascii(c) AS BIGINT)
+       |       FOR c IN STRING_SPLIT(w, '')]),
+       |      (h, cp) -> (h * 31 + cp) % 2147483647) * 2147483648
+       |    + LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+       |      [CAST(ascii(c) AS BIGINT)
+       |       FOR c IN STRING_SPLIT(w, '')]),
+       |      (h, cp) -> (h * 31 + cp) % 1073741789) AS h
+       |  FROM toks),
+       |hs AS (SELECT id, LIST(h) AS hl FROM th GROUP BY 1),
+       |sig AS (
+       |  SELECT id, LIST_SUM([
+       |      CASE WHEN LIST_SUM([
+       |        CASE WHEN (x // (CAST(1 AS BIGINT) << b)) % 2 = 1
+       |          THEN 1 ELSE -1 END
+       |        FOR x IN hl]) > 0
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+       |    FOR b IN RANGE(0, 62)]) AS sh
+       |  FROM hs),
+       |bk AS (
+       |  SELECT id, sh, UNNEST([
+       |    $keyEntries
+       |  ], recursive := true)
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bk a JOIN bk b
+       |    ON a.combo = b.combo AND a.key = b.key AND a.id < b.id
+       |  WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 3)""".stripMargin
+  }
 
   /** Corpus side of the semantic-decontamination queries: the non-eval
     * embeddings plus planted leaks — each `% 50` eval vector scaled by
@@ -1936,30 +1998,50 @@ object Queries {
           reps => Dedup.charNgramJaccardExactPairs(reps, "id", "text",
             n = 12, threshold = 0.8))
         .orderBy("id"),
-      Some(nearDupCanonicalOracle)),
+      Some(nearDupCanonicalOracle(nearDupJaccardPairsCte))),
 
     // ----- incremental composed near-dup canonicalization -----------------
     // The SAME corpus arrives in three interleaved batches (doc_id mod 3,
     // so exact-dup groups and near-dup clusters split across batches);
     // each fold persists the state trio (the operator's real contract —
     // atomic-replace state tables) and only the final resolution is
-    // emitted. Fold law: identical to the one-shot, so the oracle is the
-    // identical SQL.
+    // emitted. This instantiation is the PRODUCTION cross-batch shape: the
+    // pair family is poly-simhash under wide combination keys, and the
+    // cross probe derives signatures at probe time and runs the real
+    // semi-join-first history probe — per-fold pair work is bounded by the
+    // batch + probed slice, never a re-pair of everything seen (which is
+    // what crossPairsByUnion, the generic fallback, would cost). Both
+    // sides run UNCAPPED: exactness for Hamming ≤ 3 is what makes the
+    // fold law and the oracle replay hold regardless of rep-id choice.
+    // Runs on the mod-2 half corpus in TWO folds: the one-shot above
+    // already pays the full-corpus pair cost on this board, and the
+    // fold's per-batch bookkeeping (increment × state-trio writes, with
+    // batch-2 clusters merging into batch-1 components) is what this
+    // query certifies — the semantics are scale- and split-free (the
+    // suite pins a 2-batch fold law on the full real corpus and 2/3-batch
+    // laws on constructed groups).
     "d_neardup_canonical_incr" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
         val pf: DataFrame => DataFrame = reps =>
-          Dedup.charNgramJaccardExactPairs(reps, "id", "text",
-            n = 12, threshold = 0.8)
+          Dedup.simhashPairsPortableWide(reps, "id", "text",
+            maxHamming = 3, blocks = 6, maxBucket = 0)
+        def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
+          graft.functions.FusedMinHashFunctions
+            .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+        val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
+          Dedup.hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
+              maxHamming = 3, blocks = 6, maxBucket = 0)
+            .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
         val dir = scratch(s, "ndc_incr")
         var (ds, rs, cs) =
           Dedup.nearDupEmptyState(docs, "doc_id", "text", "n_chars")
-        for (k <- 0 until 3) {
+        for (k <- 0 until 2) {
           val (d2, r2, c2) = Dedup.nearDupCanonicalizeIncrement(
-            docs.filter(pmod(col("doc_id"), lit(3)) === k),
-            "doc_id", "text", "n_chars", ds, rs, cs,
-            pf, Dedup.crossPairsByUnion(pf))
+            docs.filter(pmod(col("doc_id"), lit(4)) === k * 2),
+            "doc_id", "text", "n_chars", ds, rs, cs, pf, probe)
           d2.write.mode("overwrite").parquet(s"$dir/docs$k")
           r2.write.mode("overwrite").parquet(s"$dir/reps$k")
           c2.write.mode("overwrite").parquet(s"$dir/cc$k")
@@ -1969,7 +2051,8 @@ object Queries {
         }
         Dedup.nearDupResolution(ds, rs, cs).orderBy("id")
       },
-      Some(nearDupCanonicalOracle)),
+      Some(nearDupCanonicalOracle(nearDupSimhashPairsCte,
+        where = "doc_id % 2 = 0"))),
 
     // ----- explode / unnest ----------------------------------------------
     "q_explode_tokens" -> QueryDef(

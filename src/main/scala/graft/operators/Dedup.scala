@@ -1886,7 +1886,8 @@ object Dedup {
   def nearDupCanonicalize(df: DataFrame, idCol: String, textCol: String,
       qualityCol: String, pairsOf: DataFrame => DataFrame,
       workDir: Option[String] = None,
-      localLimit: Long = 100000): DataFrame = {
+      localLimit: Long = 100000,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val (docs0, reps0, cc0) = nearDupEmptyState(df, idCol, textCol, qualityCol)
     // the history side is empty by construction, so the cross probe is a
     // typed empty frame — NOT crossPairsByUnion, which would run the
@@ -1895,8 +1896,8 @@ object Dedup {
       f.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
     val (docs, reps, cc) = nearDupCanonicalizeIncrement(
       df, idCol, textCol, qualityCol, docs0, reps0, cc0,
-      pairsOf, noCross, workDir, localLimit)
-    nearDupResolution(docs, reps, cc)
+      pairsOf, noCross, workDir, localLimit, materialize)
+    nearDupResolution(docs, reps, cc, materialize)
   }
 
   /** Empty `(docsState, repsState, ccState)` trio typed off the batch —
@@ -1930,25 +1931,45 @@ object Dedup {
     * accumulated corpus. Persist the returned trio atomically (JobState
     * / atomic-replace) and derive the user-facing table with
     * [[nearDupResolution]]. Fold law (suite-pinned): any batch split
-    * folds to the same resolution as the one-shot. */
+    * folds to the same resolution as the one-shot.
+    *
+    * `materialize` truncates the new-reps subplan's lineage before the
+    * pair stage: the rep collapse (a corpus-wide window + anti-join) is
+    * consumed by every pass the pair operator makes over its input
+    * (charNgramJaccardExactPairs alone reads its input four times), by
+    * the cross probe, and by the state union — without a cut each
+    * consumer re-runs the collapse shuffle (measured 2.5× the whole
+    * query at sf0.1). The default `localCheckpoint` fits a stable JVM;
+    * pass `_.checkpoint()` under executor churn or `identity` to opt
+    * out. Like pageRank's policy, it changes lineage only, never rows
+    * (suite-pinned: identity == default bit-for-bit). */
   def nearDupCanonicalizeIncrement(
       batch: DataFrame, idCol: String, textCol: String, qualityCol: String,
       docsState: DataFrame, repsState: DataFrame, ccState: DataFrame,
       pairsOf: DataFrame => DataFrame,
       crossPairsOf: (DataFrame, DataFrame) => DataFrame,
       workDir: Option[String] = None,
-      localLimit: Long = 100000): (DataFrame, DataFrame, DataFrame) = {
+      localLimit: Long = 100000,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : (DataFrame, DataFrame, DataFrame) = {
     val b = batch.select(col(idCol).as("id"),
       fingerprint(col(textCol)).as("fp"),
       col(qualityCol).as("quality"), col(textCol).as("text"))
     // one representative per batch-new fingerprint (smallest batch id —
     // any member works: identical text ⇒ identical pairs)
     val bReps = exact(b.select("fp", "id", "text"), Seq("fp"), "id")
-    val newReps = bReps.join(repsState.select("fp"), Seq("fp"), "left_anti")
+    val newReps = materialize(
+      bReps.join(repsState.select("fp"), Seq("fp"), "left_anti"))
     val fresh = newReps.select(col("id"), col("text"))
     val hist = repsState.select(col("id"), col("text"))
-    val pairs = pairsOf(fresh).select("id_a", "id_b")
-      .unionByName(crossPairsOf(fresh, hist).select("id_a", "id_b"))
+    // the candidate edge set materializes too: the component fold reads
+    // its edge input several times (the union-find sample, the node set,
+    // the change map, the fresh anti-join), and each read would re-run
+    // the PAIR OPERATOR — the single most expensive stage (measured 3×
+    // the pair cost at sf0.1 without this cut). Candidate pairs are
+    // bounded rows (two ids), the cheapest thing in the fold to persist.
+    val pairs = materialize(pairsOf(fresh).select("id_a", "id_b")
+      .unionByName(crossPairsOf(fresh, hist).select("id_a", "id_b")))
     val cc2 = componentsWithHistory(pairs, ccState,
       workDir = workDir, localLimit = localLimit)
     (docsState.unionByName(b.select("id", "fp", "quality")),
@@ -1980,15 +2001,21 @@ object Dedup {
   /** Resolution table from the state trio: every seen doc mapped to its
     * cluster (`component` = min member id), the cluster's best member
     * (`canonical_id` = argmax(quality, then smallest id) — a single
-    * max(struct) aggregate), and `keep`. Component labels in `ccState`
+    * max(struct) aggregate, never a window: an unbounded window over
+    * `component` would buffer a degenerate giant cluster's whole
+    * membership in one task), and `keep`. Component labels in `ccState`
     * are representative-space internals; this re-derives both public
-    * columns from member sets, which is what makes them fold-invariant. */
+    * columns from member sets, which is what makes them fold-invariant.
+    * `member` feeds both the per-cluster argmax and the final join, so
+    * its fp-keyed join materializes once under `materialize` (same
+    * policy/contract as the fold's rep cut). */
   def nearDupResolution(docsState: DataFrame, repsState: DataFrame,
-      ccState: DataFrame): DataFrame = {
+      ccState: DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val repComp = repsState.select(col("fp"), col("id").as("__rep"))
       .join(ccState.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
       .select(col("fp"), coalesce(col("component"), col("__rep")).as("__comp"))
-    val member = docsState.join(repComp, Seq("fp"))
+    val member = materialize(docsState.join(repComp, Seq("fp")))
     val best = member.groupBy("__comp").agg(
         min(col("id")).as("component"),
         max(struct(col("quality"), (-col("id")).as("nid"))).as("__m"))

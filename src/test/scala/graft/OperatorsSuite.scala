@@ -1010,6 +1010,13 @@ class DedupSuite extends SparkSpec {
       (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
       (4L, 4L, 4L, true),
       (5L, 5L, 5L, true), (6L, 5L, 5L, false)))
+    // the materialize policy changes lineage only, never rows (the
+    // pageRank checkpoint-policy law applied here)
+    val plain = Dedup.nearDupCanonicalize(docs, "doc_id", "text", "q",
+        prefixPairs, materialize = identity)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(plain === out)
   }
 
   test("nearDupCanonicalize: the pair stage sees one row per distinct " +
