@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
 /** Training-data curation pipeline: the LLM-operator family composed
   * end-to-end the way a 100 TB pretraining-data job would run it —
   * quality/language gating, per-source reputation filtering, exact
-  * dedup, transitive MinHash near-dup dedup, exact ngram-Jaccard
-  * near-dup audit, benchmark decontamination, embedding-space near-dup
+  * dedup, transitive MinHash near-dup canonicalization (the composed
+  * `nearDupCanonicalize`, keeping each cluster's best member), exact
+  * ngram-Jaccard near-dup audit, benchmark decontamination,
+  * embedding-space near-dup
   * removal, DSIR importance-based data selection, token accounting, and
   * a Delta sink
   * whose stats make the curated table skippable. Every stage is one of
@@ -118,11 +120,21 @@ object CurationPipelineDemo {
     val spanCleaned = spanned
       .select(col("doc_id"), col("clean_text").as("text"))
 
-    // 3b. transitive MinHash-LSH near-dup dedup on the cleaned text:
-    //     banded signatures, one bucket shuffle, connected components
-    //     keep one doc per cluster
-    val nearDeduped = Dedup.minhashLshDedup(spanCleaned, "doc_id", "text",
-      threshold = 0.5, transitive = true)
+    // 3b. transitive MinHash-LSH near-dup dedup on the cleaned text via
+    //     the COMPOSED canonicalization operator: banded signature pairs
+    //     plug in as the pair stage, connected components resolve
+    //     clusters, and each cluster keeps its BEST member (longest
+    //     text, the standard keep-the-most-informative-copy rule) —
+    //     not the smallest id. The resolution table (id → component →
+    //     canonical) is what a production pipeline persists for
+    //     attribution; the funnel only needs the keep set.
+    val resolution = Dedup.nearDupCanonicalize(
+      spanCleaned.withColumn("__q", length(col("text"))),
+      "doc_id", "text", "__q",
+      reps => Dedup.minhashLshPairs(reps, "id", "text", threshold = 0.5))
+    val nearDeduped = spanCleaned.join(
+      resolution.filter(col("keep")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
     val afterNear = n(nearDeduped)
 
     // 4. near-dup audit at the canonical 0.8 cutoff — EXACT pairs via the

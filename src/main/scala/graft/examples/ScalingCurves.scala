@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.GraftSession
-import graft.operators.{Dedup, FuzzyJoin, Mixing, Similarity}
+import graft.operators.{Curation, Dedup, FuzzyJoin, Mixing, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
@@ -162,6 +162,30 @@ object ScalingCurves {
     def docs(m: Int) = spark.read.parquet(s"$work/docs_${srcTag}_x$m")
     def emb(m: Int) = spark.read.parquet(s"$work/emb_${srcTag}_x$m")
 
+    // per-replica row count + graph derivations for the iterative family:
+    // ids are replica-local (doc_id mod 10⁶ ∈ [0, n)), so a constant-
+    // out-degree ring graph (offsets +1/+7/+40 mod n, within the replica)
+    // and the d_connected_components chain shape (+1 edges, broken every
+    // 8th node) both scale edges EXACTLY linearly with the corpus —
+    // per-iteration exchange volume is then a pure function of the plan
+    // (lazy: the derived corpora synthesize below, after ops are declared)
+    lazy val perReplica = docs(1).count()
+    def graphEdges(m: Int): DataFrame = {
+      val local = pmod(col("doc_id"), lit(1000000L))
+      val base = col("doc_id") - local
+      Seq(1L, 7L, 40L).map(off => docs(m).select(
+          col("doc_id").as("src"),
+          (base + pmod(local + lit(off), lit(perReplica))).as("dst")))
+        .reduce(_ unionByName _)
+    }
+    def chainEdges(m: Int): DataFrame = {
+      val local = pmod(col("doc_id"), lit(1000000L))
+      docs(m).select(col("doc_id"), local.as("__l"))
+        .filter(pmod(col("__l"), lit(8)) =!= 7 &&
+          col("__l") < lit(perReplica - 1))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    }
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "d_ngram_jaccard" -> ((m: Int) =>
         Dedup.charNgramJaccardExactPairs(docs(m), "doc_id", "text",
@@ -220,6 +244,28 @@ object ScalingCurves {
       // owner join's rows (per-replica gram df constant → linear)
       "d_span_dedup" -> ((m: Int) =>
         graft.operators.SpanDedup.spans(docs(m), "doc_id", "text", n = 10)),
+      // winnowing fingerprint pairs — the last slowest-10 pair operator
+      // without a slope row: window-minimum fingerprints bucket docs,
+      // the maxDf cap drops boilerplate fingerprints, and candidates =
+      // the verify join's rows (bench parameterization)
+      "d_winnow_pairs" -> ((m: Int) =>
+        Dedup.winnowingPairs(docs(m), "doc_id", "text",
+          k = 16, w = 32, threshold = 0.2)),
+      // iterative family, PageRank: candidates = the LAST iteration's
+      // contribution join (the checkpoint policy truncates earlier
+      // iterations out of the final plan, so the metric is exactly the
+      // per-iteration exchange volume — 3 edges/node by construction);
+      // wall covers the full run including the per-iteration checkpoint
+      // jobs
+      "d_page_rank" -> ((m: Int) =>
+        Curation.pageRank(graphEdges(m), "src", "dst", iterations = 3)),
+      // iterative family, distributed connected components (localLimit=0
+      // forces the large-star/small-star contraction loop the cluster
+      // path runs): chains of 8 converge in a fixed round count, so wall
+      // and the final assignment join must both stay linear
+      "d_connected_components" -> ((m: Int) =>
+        Dedup.connectedComponents(chainEdges(m),
+          workDir = Some(s"$work/ccwork_x$m"), localLimit = 0)),
       // IVF ANN with FIXED nlist and a fixed 50-query set: per-query
       // probe cost is corpus/nlist by construction, so slope 1.0 is the
       // CORRECT fixed-nlist behavior — production scales nlist with the
@@ -342,6 +388,161 @@ object ScalingCurves {
       wides.zip(wides.tail).exists { case (a, b) => a && !b }) {
       println("QUADRATIC-CURVE FLAGS: hash64 layout selector did not flip " +
         s"narrow -> wide exactly once across the sizes: $wides")
+      spark.stop(); sys.exit(1)
+    }
+
+    // ----- checkpoint-policy cost (iterative family) -----------------------
+    // pageRank's policy changes lineage and job count only, never ranks
+    // (suite-pinned): measure what each policy COSTS across 1×–8× so the
+    // scaladoc guidance ("identity on tiny graphs, reliable checkpoints
+    // under churn") is a number. identity nests each iteration's plan
+    // inside the next — fine at 3 iterations, the recompute is bounded —
+    // while localCheckpoint pays ~2·iterations fixed eager jobs.
+    println()
+    scales.foreach { m =>
+      def wall(policy: DataFrame => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        Curation.pageRank(graphEdges(m), "src", "dst", iterations = 3,
+          checkpoint = policy)
+          .queryExecution.executedPlan.execute().count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val wCkpt = wall(_.localCheckpoint())
+      val wId = wall(identity)
+      println(f"pagerank_ckpt_policy   x$m%-2d localCheckpoint=$wCkpt%5.2f s " +
+        f"identity=$wId%5.2f s delta=${wCkpt - wId}%+5.2f s")
+    }
+
+    // ----- template-group collapse (composed canonicalization) -------------
+    // The residual superlinearity in simhash PAIR output is the corpus's
+    // own duplicate groups — Θ(g²) pairs is ground truth, no bucketing
+    // can linearize it. The composed operator's answer is to never emit
+    // those pairs: collapse identical texts first, pair REPRESENTATIVES
+    // only. Measured on a TEMPLATE-heavy derivation (replicas keep the
+    // ORIGINAL text — no rotation — so every text's duplicate group is
+    // exactly m·(its 1× size)): raw pair output grows ~quadratically BY
+    // CONSTRUCTION while the composed operator's cluster count stays
+    // EXACTLY constant and its resolution output exactly linear. All
+    // counts are pure functions of the data — deterministic gate.
+    println()
+    def tdocs(m: Int) = (0 until m).map(r => docs(1).select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    // raw side stops at 4×: its pair stream grows ~m² by construction
+    // (that is the POINT, not a regression) and 8× would only burn
+    // minutes re-proving arithmetic
+    val rawPts = Seq(1, 2, 4).map { m =>
+      val n = Dedup.simhashPairsPortableWide(tdocs(m), "doc_id", "text",
+        maxHamming = 3, blocks = 6, maxBucket = 0).count()
+      println(s"tmpl_raw_pairs         x$m  out=$n")
+      (m.toDouble, n.toDouble)
+    }
+    val rawSlope = slope(rawPts)
+    val tmplPts = scales.map { m =>
+      val res = Dedup.nearDupCanonicalize(
+        tdocs(m).withColumn("q", length(col("text"))),
+        "doc_id", "text", "q",
+        reps => Dedup.simhashPairsPortableWide(reps, "id", "text",
+          maxHamming = 3, blocks = 6, maxBucket = 0))
+      val out = res.count()
+      val clusters = res.filter(col("keep")).count()
+      println(s"tmpl_canonicalize      x$m  out=$out clusters=$clusters")
+      (m, out, clusters)
+    }
+    println(f"template collapse: raw pair slope $rawSlope%.2f (ground " +
+      f"truth ~2), composed clusters ${tmplPts.map(_._3).distinct} " +
+      "(must be a single constant), output exactly linear")
+    val tmplBad =
+      tmplPts.map(_._3).distinct.size != 1 ||
+        tmplPts.exists { case (m, out, _) => out != m * tmplPts.head._2 }
+    if (tmplBad) {
+      println("QUADRATIC-CURVE FLAGS: composed canonicalization must hold " +
+        s"cluster count constant and output linear on template corpora: " +
+        s"${tmplPts.mkString(", ")}")
+      spark.stop(); sys.exit(1)
+    }
+
+    // ----- IVF with nlist ∝ √N (the production scaling rule, measured) -----
+    // The fixed-nlist series above holds slope 1.00 by construction; the
+    // README note "production scales nlist with the corpus" becomes
+    // numbers here: nlist = round(√N) per size (the classic IVF sizing
+    // rule), quantizer trained ONCE per size and persisted (training is
+    // index-build cost, not probe cost — untimed). TWO probe policies
+    // from the same index measure the actual trade:
+    //  - FIXED nprobe=2: candidates ∝ queries·nprobe·N/nlist ≈ √N
+    //    (slope ~0.5, measured 0.52) but the scanned FRACTION shrinks,
+    //    so recall@1 decays — on this deliberately unclustered synthetic
+    //    corpus (near-uniform directions; a trained quantizer has no
+    //    cluster structure to exploit) measured 0.32 → 0.18 across 8×.
+    //  - HELD fraction nprobe = max(2, nlist/16): scanned rows ≈ N/16
+    //    at every size, so candidates return to ~linear and recall@1
+    //    holds ~flat. More probes are a candidate SUPERSET, so
+    //    recall(held) ≥ recall(fixed) is exact, not statistical.
+    // That pair of curves IS the guidance: √N-nlist buys √N probe cost
+    // only while recall targets allow fixed nprobe; holding recall on
+    // unclustered data costs a constant corpus fraction. Gates pin the
+    // measured properties (slopes + the superset law + held-recall
+    // flatness), all pure functions of the data.
+    println()
+    val ivfPts = scales.map { m =>
+      val e = emb(m)
+      val nRows = e.count()
+      val nlist = math.max(10, math.round(math.sqrt(nRows.toDouble)).toInt)
+      val qpath = s"$work/ivfq_${srcTag}_x$m"
+      if (!new java.io.File(s"$qpath/_SUCCESS").exists())
+        Similarity.saveQuantizer(spark, qpath,
+          Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+            nlist = nlist, iterations = 2))
+      val model = Similarity.loadQuantizer(spark, qpath)
+      val queries = e.filter(col("vec_id") < 50)
+      val brute = Similarity.bruteForceTopK(queries, e,
+          "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("cosine").as("__bcos"))
+        .localCheckpoint() // truth table, reused by both policies
+      val nQ = queries.count()
+      def point(nprobe: Int, label: String): (Long, Double) = {
+        def ivf = Similarity.ivfTopK(queries, e, "vec_id", "embedding",
+          k = 1, nlist = nlist, nprobe = nprobe, quantizer = Some(model))
+        if (m == scales.head) { // same untimed warm-up as the other loops
+          ivf.queryExecution.executedPlan.execute().count()
+          spark.catalog.clearCache()
+        }
+        val t0 = System.nanoTime()
+        val (_, cand, _) = measure(ivf)
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        // recall@1, tie-safe: a hit is reaching the true best cosine,
+        // not matching ids
+        val hits = ivf.select(col("query_id"), col("cosine"))
+          .join(brute, Seq("query_id"))
+          .filter(col("cosine") >= col("__bcos") - lit(1e-9)).count()
+        val recall = hits.toDouble / nQ
+        println(f"ivf_sqrtn_$label%-12s x$m%-2d nlist=$nlist%-4d " +
+          f"nprobe=$nprobe%-3d ${sec}%6.2f s candidates=$cand%-9d " +
+          f"recall@1=$recall%.2f")
+        (cand, recall)
+      }
+      val fixed = point(nprobe = 2, "fixed")
+      val held = point(nprobe = math.max(2, math.round(nlist / 16.0).toInt),
+        "held")
+      (m, fixed, held)
+    }
+    val ivfFixedSlope = slope(ivfPts.map(p => (p._1.toDouble, p._2._1.toDouble)))
+    val ivfHeldSlope = slope(ivfPts.map(p => (p._1.toDouble, p._3._1.toDouble)))
+    println(f"ivf_sqrtn slopes: fixed-nprobe candidates $ivfFixedSlope%.2f " +
+      f"(expected ~0.5), held-fraction candidates $ivfHeldSlope%.2f " +
+      f"(expected ~1.0); recall fixed ${ivfPts.head._2._2}%.2f → " +
+      f"${ivfPts.last._2._2}%.2f decays, held ${ivfPts.head._3._2}%.2f → " +
+      f"${ivfPts.last._3._2}%.2f holds")
+    val ivfBad =
+      ivfFixedSlope > 1.0 || ivfHeldSlope > 1.3 ||
+        ivfPts.exists(p => p._3._2 < p._2._2) || // superset law
+        ivfPts.last._3._2 < ivfPts.head._3._2 - 0.15 // held-recall flat
+    if (ivfBad) {
+      println("QUADRATIC-CURVE FLAGS: √N-IVF gates violated " +
+        s"(fixed slope $ivfFixedSlope, held slope $ivfHeldSlope, " +
+        s"points ${ivfPts.mkString(", ")})")
       spark.stop(); sys.exit(1)
     }
 

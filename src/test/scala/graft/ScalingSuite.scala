@@ -83,4 +83,112 @@ class ScalingSuite extends SparkSpec {
     // in sign with the useWide flag by construction
     assert(below.margin <= 0 && above.margin > 0)
   }
+
+  test("winnowing pairs: doubling the corpus at most ~doubles the verify " +
+    "join's candidate volume (the last slowest-10 pair op without a pin)") {
+    def cand(df: DataFrame): Long = ScalingCurves.measure(df)._2
+    val w = (1 to 2).map(m => cand(Dedup.winnowingPairs(
+      corpus(m), "doc_id", "text", k = 16, w = 32, threshold = 0.2)))
+    assert(w(0) > 0)
+    assert(w(1) <= (w(0) * 2.5).toLong,
+      s"winnow candidates must stay ~linear: 1x=${w(0)} 2x=${w(1)}")
+  }
+
+  test("iterative family: PageRank's per-iteration exchange volume and " +
+    "the distributed CC assignment stay linear in the graph") {
+    // constant-out-degree ring graph within each replica (the
+    // ScalingCurves derivation at suite scale): edges exactly 3N
+    val n = 500L
+    def ring(m: Int): DataFrame = {
+      val local = pmod(col("doc_id"), lit(1000000L))
+      val base = col("doc_id") - local
+      Seq(1L, 7L, 40L).map(off => corpus(m).select(
+          col("doc_id").as("src"),
+          (base + pmod(local + lit(off), lit(n))).as("dst")))
+        .reduce(_ unionByName _)
+    }
+    // the checkpoint policy truncates earlier iterations, so the final
+    // plan's largest join IS the per-iteration contribution exchange
+    val pr = (1 to 2).map(m => ScalingCurves.measure(
+      graft.operators.Curation.pageRank(ring(m), "src", "dst",
+        iterations = 2)))
+    assert(pr(0)._2 > 0)
+    assert(pr(1)._2 <= pr(0)._2 * 5 / 2,
+      s"PageRank iteration exchange must stay ~linear: " +
+        s"1x=${pr(0)._2} 2x=${pr(1)._2}")
+    assert(pr(1)._1 === pr(0)._1 * 2, "ranks are one row per node")
+    def chain(m: Int): DataFrame = {
+      val local = pmod(col("doc_id"), lit(1000000L))
+      corpus(m).select(col("doc_id"), local.as("__l"))
+        .filter(pmod(col("__l"), lit(8)) =!= 7 && col("__l") < lit(n - 1))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    }
+    val cc = (1 to 2).map(m => ScalingCurves.measure(
+      Dedup.connectedComponents(chain(m), localLimit = 0)))
+    assert(cc(1)._1 === cc(0)._1 * 2, "assignment is one row per node")
+    assert(cc(1)._3 <= cc(0)._3 * 5 / 2,
+      s"CC peak rows must stay ~linear: 1x=${cc(0)._3} 2x=${cc(1)._3}")
+  }
+
+  test("template-group collapse: composed canonicalization holds cluster " +
+    "count EXACTLY constant where raw pair output grows quadratically") {
+    // replicas keep the ORIGINAL text (no rotation): duplicate groups
+    // grow g ∝ m, raw pairs Θ(g²) by ground truth
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def tdocs(m: Int) = (0 until m).map(r => docs.select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val raw = (1 to 2).map(m => Dedup.simhashPairsPortableWide(
+      tdocs(m), "doc_id", "text", maxHamming = 3, blocks = 6,
+      maxBucket = 0).count())
+    // every 1× pair becomes 4 cross-replica pairs, plus each text's own
+    // replica pair — strictly superlinear by construction
+    assert(raw(1) >= raw(0) * 4,
+      s"template ground truth must be ~quadratic: 1x=${raw(0)} 2x=${raw(1)}")
+    val res = (1 to 2).map { m =>
+      val r = Dedup.nearDupCanonicalize(
+        tdocs(m).withColumn("q", length(col("text"))),
+        "doc_id", "text", "q",
+        reps => Dedup.simhashPairsPortableWide(reps, "id", "text",
+          maxHamming = 3, blocks = 6, maxBucket = 0))
+      (r.count(), r.filter(col("keep")).count())
+    }
+    assert(res(1)._1 === res(0)._1 * 2, "resolution output exactly linear")
+    assert(res(1)._2 === res(0)._2,
+      s"cluster count must be EXACTLY constant: " +
+        s"1x=${res(0)._2} 2x=${res(1)._2}")
+  }
+
+  test("IVF with nlist ∝ √N keeps probe candidates sublinear " +
+    "(deterministic counts at suite scale)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    def corpusE(m: Int): DataFrame = (0 until m).map { r =>
+      val v =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        v.as("embedding"))
+    }.reduce(_ unionByName _)
+    val cands = (1 to 2).map { m =>
+      val e = corpusE(m)
+      val nlist = math.round(math.sqrt(e.count().toDouble)).toInt
+      val model = graft.operators.Similarity.trainIvfCentroids(
+        e, "vec_id", "embedding", nlist = nlist, iterations = 2)
+      ScalingCurves.measure(graft.operators.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
+        k = 1, nlist = nlist, nprobe = 2, quantizer = Some(model)))._2
+    }
+    assert(cands(0) > 0)
+    // expected √2 ≈ 1.41× — the 2× bound separates √N from linear with
+    // margin for bucket-size granularity
+    assert(cands(1) <= cands(0) * 2,
+      s"√N-IVF probe candidates must stay sublinear: " +
+        s"1x=${cands(0)} 2x=${cands(1)}")
+  }
 }
