@@ -173,12 +173,16 @@ object Queries {
       |  WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.8)"""
       .stripMargin
 
-  /** Pair CTEs for [[nearDupCanonicalOracle]]: the poly-simhash wide
-    * combination keys (the d_simhash_pairs_poly_wide replay) over the
-    * reps, UNCAPPED — the fold law and the rep-label invariance both
-    * require cap-free pair semantics (a bucket cap ordered by rep id
-    * could truncate differently under different rep choices). */
-  private val nearDupSimhashPairsCte: String = {
+  /** Shared DuckDB replay of the wide-key poly-simhash derivation —
+    * ONE definition for every oracle that keys 64-bit signatures
+    * (d_simhash_pairs_poly_wide, d_hash64_history_poly, the composed
+    * canonicalization): emits CTEs `toks/th/hs/sig/bk` computing each
+    * row's poly-31 simhash `sh` and its 3-of-6 combination keys
+    * `(combo, key)` over `rel`, a relation exposing columns
+    * `(id, text)`. A fix to the signature fold or the key packing now
+    * lands in one place instead of silently desynchronizing an oracle
+    * from the operator. */
+  private[graft] def polySimhashWideKeyCtes(rel: String): String = {
     val (widths, offsets, combos) =
       graft.operators.Dedup.wideBlockLayout(6, 3)
     val keyEntries = combos.zipWithIndex.map { case (c, ci) =>
@@ -190,7 +194,7 @@ object Queries {
       s"{'combo': $ci, 'key': $terms}"
     }.mkString(",\n    ")
     s"""toks AS (SELECT id, UNNEST(STRING_SPLIT(text, ' ')) AS w
-       |  FROM reps),
+       |  FROM $rel),
        |th AS (
        |  SELECT id,
        |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
@@ -216,13 +220,21 @@ object Queries {
        |  SELECT id, sh, UNNEST([
        |    $keyEntries
        |  ], recursive := true)
-       |  FROM sig),
+       |  FROM sig)""".stripMargin
+  }
+
+  /** Pair CTEs for [[nearDupCanonicalOracle]]: the poly-simhash wide
+    * combination keys over the reps, UNCAPPED — the fold law and the
+    * rep-label invariance both require cap-free pair semantics (a
+    * bucket cap ordered by rep id could truncate differently under
+    * different rep choices). */
+  private val nearDupSimhashPairsCte: String =
+    s"""${polySimhashWideKeyCtes("reps")},
        |pairs AS (
        |  SELECT DISTINCT a.id AS ia, b.id AS ib
        |  FROM bk a JOIN bk b
        |    ON a.combo = b.combo AND a.key = b.key AND a.id < b.id
        |  WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 3)""".stripMargin
-  }
 
   /** Corpus side of the semantic-decontamination queries: the non-eval
     * embeddings plus planted leaks — each `% 50` eval vector scaled by
@@ -2770,45 +2782,8 @@ object Queries {
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b"),
       Some {
-        val (widths, offsets, combos) =
-          graft.operators.Dedup.wideBlockLayout(6, 3)
-        val keyEntries = combos.zipWithIndex.map { case (c, ci) =>
-          val terms = c.zipWithIndex.map { case (j, k) =>
-            val shiftUp = c.drop(k + 1).map(widths(_)).sum
-            s"((sh // ${1L << offsets(j)}) % ${1L << widths(j)})" +
-              (if (shiftUp > 0) s" * ${1L << shiftUp}" else "")
-          }.mkString(" + ")
-          s"{'combo': $ci, 'key': $terms}"
-        }.mkString(",\n    ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
-           |  FROM documents),
-           |th AS (
-           |  SELECT doc_id,
-           |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
-           |      [CAST(ascii(c) AS BIGINT)
-           |       FOR c IN STRING_SPLIT(w, '')]),
-           |      (h, cp) -> (h * 31 + cp) % 2147483647) * 2147483648
-           |    + LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
-           |      [CAST(ascii(c) AS BIGINT)
-           |       FOR c IN STRING_SPLIT(w, '')]),
-           |      (h, cp) -> (h * 31 + cp) % 1073741789) AS h
-           |  FROM toks),
-           |hs AS (SELECT doc_id, LIST(h) AS hl FROM th GROUP BY 1),
-           |sig AS (
-           |  SELECT doc_id, LIST_SUM([
-           |      CASE WHEN LIST_SUM([
-           |        CASE WHEN (x // (CAST(1 AS BIGINT) << b)) % 2 = 1
-           |          THEN 1 ELSE -1 END
-           |        FOR x IN hl]) > 0
-           |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
-           |    FOR b IN RANGE(0, 62)]) AS sh
-           |  FROM hs),
-           |bk AS (
-           |  SELECT doc_id AS id, sh, UNNEST([
-           |    $keyEntries
-           |  ], recursive := true)
-           |  FROM sig),
+        s"""WITH ${polySimhashWideKeyCtes(
+            "(SELECT doc_id AS id, text FROM documents)")},
            |bb AS (
            |  SELECT combo, key, id, sh FROM bk
            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY combo, key
@@ -2842,45 +2817,8 @@ object Queries {
           .orderBy("doc_id", "hist_id")
       },
       Some {
-        val (widths, offsets, combos) =
-          graft.operators.Dedup.wideBlockLayout(6, 3)
-        val keyEntries = combos.zipWithIndex.map { case (c, ci) =>
-          val terms = c.zipWithIndex.map { case (j, k) =>
-            val shiftUp = c.drop(k + 1).map(widths(_)).sum
-            s"((sh // ${1L << offsets(j)}) % ${1L << widths(j)})" +
-              (if (shiftUp > 0) s" * ${1L << shiftUp}" else "")
-          }.mkString(" + ")
-          s"{'combo': $ci, 'key': $terms}"
-        }.mkString(",\n    ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
-           |  FROM documents),
-           |th AS (
-           |  SELECT doc_id,
-           |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
-           |      [CAST(ascii(c) AS BIGINT)
-           |       FOR c IN STRING_SPLIT(w, '')]),
-           |      (h, cp) -> (h * 31 + cp) % 2147483647) * 2147483648
-           |    + LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
-           |      [CAST(ascii(c) AS BIGINT)
-           |       FOR c IN STRING_SPLIT(w, '')]),
-           |      (h, cp) -> (h * 31 + cp) % 1073741789) AS h
-           |  FROM toks),
-           |hs AS (SELECT doc_id, LIST(h) AS hl FROM th GROUP BY 1),
-           |sig AS (
-           |  SELECT doc_id, LIST_SUM([
-           |      CASE WHEN LIST_SUM([
-           |        CASE WHEN (x // (CAST(1 AS BIGINT) << b)) % 2 = 1
-           |          THEN 1 ELSE -1 END
-           |        FOR x IN hl]) > 0
-           |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
-           |    FOR b IN RANGE(0, 62)]) AS sh
-           |  FROM hs),
-           |bk AS (
-           |  SELECT doc_id AS id, sh, UNNEST([
-           |    $keyEntries
-           |  ], recursive := true)
-           |  FROM sig),
+        s"""WITH ${polySimhashWideKeyCtes(
+            "(SELECT doc_id AS id, text FROM documents)")},
            |bb AS (SELECT * FROM bk WHERE id < 250),
            |hsemi AS (
            |  SELECT hk.combo, hk.key, hk.id AS hist_id, hk.sh

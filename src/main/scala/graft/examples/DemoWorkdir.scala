@@ -31,11 +31,26 @@ object DemoWorkdir {
         default
       case Some(dir) =>
         val f = new File(dir)
-        val children = Option(f.list()).getOrElse(Array.empty[String])
-        require(!f.exists() || children.isEmpty,
-          s"workdir $dir already exists and is non-empty (likely a prior " +
-            s"run's checkpoint — a stale checkpoint makes every batch go " +
-            s"idle). Pass a fresh path or delete it first: rm -rf $dir")
+        if (f.exists()) {
+          // a regular file (or an unreadable directory) returns null from
+          // list() — treating null as "empty" would pass the guard and
+          // fail later with an opaque not-a-directory error, or let a
+          // stale checkpoint behind an unreadable dir recreate the very
+          // idle-batch footgun this guard exists to prevent
+          require(f.isDirectory,
+            s"workdir $dir exists and is not a directory. Pass a fresh " +
+              s"path or remove it first: rm -f $dir")
+          val children = Option(f.list())
+          require(children.nonEmpty,
+            s"workdir $dir exists but cannot be listed (permissions?) — " +
+              "refusing to run against state this process cannot inspect. " +
+              "Pass a fresh path.")
+          require(children.get.isEmpty,
+            s"workdir $dir already exists and is non-empty (likely a " +
+              "prior run's checkpoint — a stale checkpoint makes every " +
+              s"batch go idle). Pass a fresh path or delete it first: " +
+              s"rm -rf $dir")
+        }
         dir
     }
 

@@ -377,7 +377,7 @@ object ScalingCurves {
         scales.map(m => s"x$m" -> docs(m))
     val selDecisions = selPoints.map { case (label, d) =>
       val dec = Dedup.hash64PairsLayoutDecision(
-        Dedup.simhashIndex(d, "doc_id", "text"), "doc_id", "sh")
+        Dedup.simhashIndex(d, "doc_id", "text"), "sh")
       println(f"hash64_auto_selector   $label%-5s -> ${dec.chosen}%-6s " +
         f"narrowCand=${dec.narrowCandidates}%-9d " +
         f"wideCand=${dec.wideCandidates}%-9d margin=${dec.margin}")
@@ -553,12 +553,24 @@ object ScalingCurves {
     var bad = List.empty[String]
     results.foreach { case (name, pts) =>
       val st = slope(pts.map(p => (p.m.toDouble, p.sec)))
-      val sc = slope(pts.map(p => (p.m.toDouble, p.candRows.toDouble)))
+      // a zero-candidate point (joins present but emitted nothing, or a
+      // join metric the runtime did not populate) makes a log-log fit
+      // undefined — the 1e-9 floor would turn 0→N into a spurious
+      // slope-13 "quadratic" and all-zeros into a silent pass. Say so
+      // explicitly and gate that series on peak rows alone.
+      val candZero = pts.exists(_.candRows == 0)
+      val sc =
+        if (candZero) Double.NaN
+        else slope(pts.map(p => (p.m.toDouble, p.candRows.toDouble)))
       val sp = slope(pts.map(p => (p.m.toDouble, p.peakRows.toDouble)))
       println(f"$name%-22s | $st%11.2f | $sc%17.2f | $sp%11.2f | " +
         f"${pts.head.outRows}%6d -> ${pts.last.outRows}%-6d | " +
         f"${pts.head.candRows} -> ${pts.last.candRows}")
-      if (sc > 1.5) bad ::= f"$name candidate slope $sc%.2f > 1.5"
+      if (candZero) println(
+        s"NOTE $name has a zero-candidate point — candidate fit skipped, " +
+          "peak-rows gate carries this series")
+      if (!candZero && sc > 1.5)
+        bad ::= f"$name candidate slope $sc%.2f > 1.5"
       // peak is gated TOO: a quadratic stage hiding beneath a larger
       // linear stage's join metric (or in a join-less plan) still
       // dominates the per-plan maximum once it matters

@@ -210,11 +210,24 @@ object Curation {
     // caller hands an UNPERSISTED scoreCutsModel result this recomputes
     // its one aggregate — cache the model or use the persisted-table
     // probe when that matters.
-    validateCutPositions(
-      cuts.select(col("pos").cast("int")).collect().map(_.getInt(0)),
+    validateCutPositions(collectCutPositions(cuts, "scoreBucketsUnderCuts"),
       labels.size, "scoreBucketsUnderCuts")
     bucketsUnderCutsImpl(df, scoreCol, labels, cuts, enforceArity = true)
   }
+
+  /** Collect the k−1 cut positions for the eager shape check, refusing a
+    * NULL pos with the crafted remedy (Row.getInt on a NULL would throw
+    * a bare NPE — the operator would still refuse, but undiagnosably;
+    * the in-plan guard also passes NULLs silently, NULL ≠ anything). */
+  private def collectCutPositions(cuts: DataFrame,
+      caller: String): Seq[Int] =
+    cuts.select(col("pos").cast("int")).collect().toSeq.map { r =>
+      require(!r.isNullAt(0),
+        s"$caller: the cuts table holds a NULL pos value — cut " +
+          "positions must be exactly 1..k-1; rebuild the model with " +
+          "scoreCutsModel")
+      r.getInt(0)
+    }
 
   /** Shared eager cuts-shape check: a cuts table for k labels must hold
     * exactly the positions 1..k−1 — the size check alone admits
@@ -378,10 +391,13 @@ object Curation {
   def scoreBucketsUnderCutsTable(df: DataFrame, scoreCol: String,
       labels: Seq[String], cutsPath: String): DataFrame = {
     val cuts = loadScoreCuts(df.sparkSession, cutsPath)
-    validateCutPositions(
-      cuts.select(col("pos").cast("int")).collect().map(_.getInt(0)),
-      labels.size, s"scoreBucketsUnderCutsTable($cutsPath)")
-    scoreBucketsUnderCuts(df, scoreCol, labels, cuts)
+    val caller = s"scoreBucketsUnderCutsTable($cutsPath)"
+    validateCutPositions(collectCutPositions(cuts, caller),
+      labels.size, caller)
+    // straight to the shared body — delegating through
+    // scoreBucketsUnderCuts would collect and validate the same k−1
+    // rows a second time for no added safety
+    bucketsUnderCutsImpl(df, scoreCol, labels, cuts, enforceArity = true)
   }
 
   /** [[scoreCutsDrift]] against a persisted cuts path (marker-enforced). */
@@ -575,7 +591,17 @@ object Curation {
       .filter(col("__rn") <= k)
       .groupBy(dims.map(col): _*)
       .agg(array_sort(collect_list(col("__h"))).as("kmv"))
-    counts.join(kmv, dims)
+    // NULL-SAFE join on the dims: a NULL dim value is a real leaf cell
+    // in this family (corpusReport's grouping flags exist to tell it
+    // apart from a rollup row), and a Seq-keyed equi-join would silently
+    // drop it from the state — under-counting every subtotal above it.
+    // EqualNullSafe keys still hash-partition, so the shape is unchanged.
+    val kmvR = kmv.select(
+      dims.map(d => col(d).as(s"__r_$d")) :+ col("kmv"): _*)
+    counts.join(kmvR,
+        dims.map(d => col(d) <=> col(s"__r_$d")).reduce(_ && _))
+      .select(dims.map(col) ++
+        Seq(col("n_docs"), col("n_tokens"), col("kmv")): _*)
   }
 
   /** Fold accumulated [[corpusReportBatchKmv]] rows into the

@@ -980,7 +980,7 @@ object Dedup {
     * candidates survive, not how many arrive. Evaluates `sigs` once
     * per layout estimate plus once in the chosen operator — cache the
     * signature frame if its lineage is expensive. */
-  def hash64PairsLayoutDecision(sigs: DataFrame, idCol: String,
+  def hash64PairsLayoutDecision(sigs: DataFrame,
       hashCol: String, maxHamming: Int = 3, blocks: Int = 6)
       : Hash64LayoutDecision = {
     require(maxHamming >= 1 && maxHamming < SimhashBlocks,
@@ -1016,8 +1016,7 @@ object Dedup {
   def hash64PairsAuto(sigs: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, blocks: Int = 6,
       maxBucket: Int = DefaultMaxBucket): Hash64AutoResult = {
-    val d = hash64PairsLayoutDecision(sigs, idCol, hashCol, maxHamming,
-      blocks)
+    val d = hash64PairsLayoutDecision(sigs, hashCol, maxHamming, blocks)
     Hash64AutoResult(
       if (d.useWide)
         hash64PairsWide(sigs, idCol, hashCol, maxHamming, blocks, maxBucket)

@@ -246,10 +246,16 @@ object Relevance {
     .filter(col("kind").isin("n", "sumdl"))
     .agg(max(when(col("kind") === "n", col("v"))).as("n"),
       max(when(col("kind") === "sumdl", col("v"))).as("sumdl"))
-    .filter(when(col("n").isNull || col("n") <= 0L,
-      raise_error(lit("bm25/tfidf stats: the snapshot holds no positive " +
-        "'n' scalar row — a df-only or malformed stats table cannot " +
-        "score; rebuild it with bm25CollectionStats")).cast("boolean"))
+    // BOTH scalars are load-bearing: a missing 'n' NULL-scores via idf,
+    // a missing (or zero — an all-empty-docs snapshot) 'sumdl' does the
+    // same thing one column over via avgdl, so guarding only 'n' would
+    // close half the silent-NULL door it exists to close
+    .filter(when(col("n").isNull || col("n") <= 0L ||
+        col("sumdl").isNull || col("sumdl") <= 0L,
+      raise_error(lit("bm25/tfidf stats: the snapshot is missing a " +
+        "positive 'n' or 'sumdl' scalar row — a df-only or malformed " +
+        "stats table cannot score; rebuild it with " +
+        "bm25CollectionStats")).cast("boolean"))
       .otherwise(lit(true)))
     .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
 

@@ -52,4 +52,18 @@ class DemoWorkdirSuite extends AnyFunSuite {
     assert(e.getMessage.contains(dir.getPath))
     assert(marker.exists(), "refusal must not delete the user's data")
   }
+
+  test("explicit path that is a regular file: refused with the remedy, " +
+    "not passed through as 'empty'") {
+    // File.list() on a regular file returns null — treating null as an
+    // empty directory would pass the guard and fail later with an opaque
+    // not-a-directory error (or clobber the file)
+    val f = new File(tmp(), "leftover.log")
+    Files.writeString(f.toPath, "old log")
+    val e = intercept[IllegalArgumentException] {
+      DemoWorkdir.fresh(Array(f.getPath), "/tmp/unused")
+    }
+    assert(e.getMessage.contains("not a directory"))
+    assert(f.exists(), "refusal must not delete the user's file")
+  }
 }

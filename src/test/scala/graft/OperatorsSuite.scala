@@ -923,7 +923,7 @@ class DedupSuite extends SparkSpec {
     // the selection is a performance choice, never a semantics choice:
     // outside the shared exact-recall domain it refuses
     intercept[IllegalArgumentException](
-      Dedup.hash64PairsLayoutDecision(spread, "id", "sh", maxHamming = 6))
+      Dedup.hash64PairsLayoutDecision(spread, "sh", maxHamming = 6))
     intercept[IllegalArgumentException](
       Dedup.hash64HistoryLayoutDecision(batchS, histS, maxHamming = 4))
   }
@@ -1488,6 +1488,29 @@ class CurationSuite extends SparkSpec {
     assert(compacted === merged, "KMV compaction must be lossless")
   }
 
+  test("KMV corpus report: a NULL dim value is a real leaf cell, not a " +
+    "dropped row (null-safe counts-to-sketch join)") {
+    import graft.operators.Curation
+    // lang NULL is a supported cell in this family (grouping flags exist
+    // to tell it apart from a rollup row); a Seq-keyed equi-join would
+    // silently drop it and under-count every subtotal above it
+    val df = Seq(
+      (1L, "en", "alpha"), (2L, null.asInstanceOf[String], "beta"),
+      (3L, null.asInstanceOf[String], "beta"), (4L, "de", "gamma")
+    ).toDF("doc_id", "lang", "text")
+    val state = Curation.corpusReportBatchKmv(df, "text", Seq("lang"))
+    val leaf = state.collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getSeq[Long](3).size))
+      .toMap
+    assert(leaf.contains(None), s"NULL-lang cell must survive: $leaf")
+    assert(leaf(None)._1 === 2L, "both NULL-lang docs counted")
+    assert(leaf(None)._2 === 1, "one distinct text in the NULL-lang cell")
+    val rep = Curation.mergeCorpusReportKmv(state, Seq("lang"))
+      .filter(!col("lang_agg")).collect()
+      .map(r => Option(r.getString(0)) -> r.getAs[Long]("n_distinct")).toMap
+    assert(rep(None) === 1L)
+  }
+
   test("psiReport: identical distributions read ~0/stable, moved mass flags") {
     import graft.operators.Curation
     val ref = (1 to 40).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "s")
@@ -1641,6 +1664,16 @@ class CurationSuite extends SparkSpec {
       assert(e3.getMessage.contains("badpos") &&
         e3.getMessage.contains("1..3"), e3.getMessage)
     }
+    // a NULL pos refuses with the crafted remedy, not a bare NPE
+    // (Row.getInt on NULL would throw undiagnosably; the in-plan guard
+    // also passes NULLs silently — NULL compares to nothing)
+    val nullPos = Seq((Some(1), 2.5), (None, 4.5), (Some(3), 6.5))
+      .toDF("pos", "cut")
+    val e4 = intercept[IllegalArgumentException] {
+      Curation.scoreBucketsUnderCuts(ref, "s", Seq("a", "b", "c", "d"),
+        nullPos)
+    }
+    assert(e4.getMessage.contains("NULL pos"), e4.getMessage)
     // well-formed cuts still classify identically after the guard change
     val ok = Curation.scoreBucketsUnderCuts(ref, "s",
       Seq("head", "middle", "tail"), cuts3).collect()

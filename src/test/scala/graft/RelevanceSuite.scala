@@ -89,8 +89,19 @@ class RelevanceSuite extends SparkSpec {
       Relevance.bm25UnderStats(corpus, "doc_id", "text", dfOnly,
         query = Seq("apple")).collect()
     }
-    assert(msgs(e2).exists(_.contains("no positive 'n' scalar")),
+    assert(msgs(e2).exists(_.contains("missing a positive 'n' or 'sumdl'")),
       msgs(e2).mkString("|"))
+    // BOTH scalars are load-bearing for bm25: a snapshot holding 'n' but
+    // not 'sumdl' (the same malformed-slice class one column over) would
+    // NULL every score via avgdl — the guard must catch that side too
+    val noSumdl = stats.filter(org.apache.spark.sql.functions
+      .col("kind") =!= "sumdl")
+    val e3 = intercept[Exception] {
+      Relevance.bm25UnderStats(corpus, "doc_id", "text", noSumdl,
+        query = Seq("apple")).collect()
+    }
+    assert(msgs(e3).exists(_.contains("missing a positive 'n' or 'sumdl'")),
+      msgs(e3).mkString("|"))
     // a well-formed snapshot still passes the guard unchanged
     assert(Relevance.bm25UnderStats(corpus, "doc_id", "text", stats,
       query = Seq("apple")).count() === 2L)

@@ -72,7 +72,7 @@ class ScalingSuite extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     def decide(df: DataFrame) = Dedup.hash64PairsLayoutDecision(
-      Dedup.simhashIndex(df, "doc_id", "text"), "doc_id", "sh")
+      Dedup.simhashIndex(df, "doc_id", "text"), "sh")
     val below = decide(docs.filter(col("doc_id") % 4 === 0))
     assert(!below.useWide,
       s"1250 spread docs must stay narrow (key rows dominate): $below")
