@@ -2047,21 +2047,15 @@ object Queries {
           Dedup.hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
               maxHamming = 3, blocks = 6, maxBucket = 0)
             .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+        // the persisted-state fold surface (marker-stamped root, all
+        // three tables atomically replaced per fold) — the correctness
+        // gate exercises the *Table path end to end
         val dir = scratch(s, "ndc_incr")
-        var (ds, rs, cs) =
-          Dedup.nearDupEmptyState(docs, "doc_id", "text", "n_chars")
-        for (k <- 0 until 2) {
-          val (d2, r2, c2) = Dedup.nearDupCanonicalizeIncrement(
+        for (k <- 0 until 2)
+          Dedup.nearDupCanonicalizeIncrementTable(
             docs.filter(pmod(col("doc_id"), lit(4)) === k * 2),
-            "doc_id", "text", "n_chars", ds, rs, cs, pf, probe)
-          d2.write.mode("overwrite").parquet(s"$dir/docs$k")
-          r2.write.mode("overwrite").parquet(s"$dir/reps$k")
-          c2.write.mode("overwrite").parquet(s"$dir/cc$k")
-          ds = s.read.parquet(s"$dir/docs$k")
-          rs = s.read.parquet(s"$dir/reps$k")
-          cs = s.read.parquet(s"$dir/cc$k")
-        }
-        Dedup.nearDupResolution(ds, rs, cs).orderBy("id")
+            "doc_id", "text", "n_chars", dir, pf, probe)
+        Dedup.nearDupResolutionTable(s, dir).orderBy("id")
       },
       Some(nearDupCanonicalOracle(nearDupSimhashPairsCte,
         where = "doc_id % 2 = 0"))),

@@ -1976,6 +1976,92 @@ object Dedup {
       cc2)
   }
 
+  /** [[nearDupCanonicalizeIncrement]] against a persisted state root —
+    * the *Table discipline for the composed operator. The root carries
+    * a [[graft.state.HistoryFormat.NearDupState]] marker (a foreign or
+    * pre-versioning state refuses with the rebuild remedy; the first
+    * call on an empty root seeds the empty trio and stamps), and each
+    * fold replaces the three tables atomically-per-table: all three new
+    * versions are FULLY WRITTEN to tmp dirs before any swap, so the
+    * torn window is three renames, not three Spark jobs. That window is
+    * still not a transaction — when exactly-once matters, route the
+    * fold through the pipeline's commit protocol (SetTransaction /
+    * stage-boundary materialization) instead of calling this helper
+    * from arbitrary code; a torn root (some tables present, some not)
+    * refuses loudly here rather than folding against half a state.
+    *
+    * Returns the UPDATED state trio read back from the persisted
+    * paths — lazily consumable (derive the user-facing table with
+    * [[nearDupResolution]] / [[nearDupResolutionTable]] when wanted,
+    * without re-running the fold). */
+  def nearDupCanonicalizeIncrementTable(
+      batch: DataFrame, idCol: String, textCol: String, qualityCol: String,
+      stateDir: String,
+      pairsOf: DataFrame => DataFrame,
+      crossPairsOf: (DataFrame, DataFrame) => DataFrame,
+      workDir: Option[String] = None,
+      localLimit: Long = 100000,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    val names = Seq("docs", "reps", "cc")
+    val present = names.filter(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, n)))
+    require(present.isEmpty || present.size == names.size,
+      s"nearDupCanonicalizeIncrementTable: state at $stateDir is torn " +
+        s"(present: ${present.mkString(",")} of ${names.mkString(",")}) — " +
+        "likely a crash between table swaps. " +
+        graft.state.HistoryFormat.NearDupState.rebuildRemedy)
+    graft.state.HistoryFormat.ensure(conf, stateDir,
+      graft.state.HistoryFormat.NearDupState, hasData = present.nonEmpty)
+    val (d0, r0, c0) =
+      if (present.nonEmpty)
+        (spark.read.parquet(s"$stateDir/docs"),
+          spark.read.parquet(s"$stateDir/reps"),
+          spark.read.parquet(s"$stateDir/cc"))
+      else nearDupEmptyState(batch, idCol, textCol, qualityCol)
+    val updated = nearDupCanonicalizeIncrement(batch, idCol, textCol,
+      qualityCol, d0, r0, c0, pairsOf, crossPairsOf, workDir, localLimit,
+      materialize)
+    names.zip(Seq(updated._1, updated._2, updated._3)).foreach {
+      case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$stateDir/.$n.tmp")
+    }
+    names.foreach { n =>
+      val tgt = new org.apache.hadoop.fs.Path(root, n)
+      val tmp = new org.apache.hadoop.fs.Path(root, s".$n.tmp")
+      if (fs.exists(tgt)) fs.delete(tgt, true)
+      if (!fs.rename(tmp, tgt))
+        throw new java.io.IOException(
+          s"nearDup state swap failed for $n at $stateDir")
+    }
+    (spark.read.parquet(s"$stateDir/docs"),
+      spark.read.parquet(s"$stateDir/reps"),
+      spark.read.parquet(s"$stateDir/cc"))
+  }
+
+  /** [[nearDupResolution]] over a persisted state root
+    * (marker-enforced). */
+  def nearDupResolutionTable(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val docsPath = new org.apache.hadoop.fs.Path(stateDir, "docs")
+    if (!docsPath.getFileSystem(conf).exists(docsPath))
+      throw new IllegalStateException(
+        s"no near-dup state at $stateDir — fold batches through " +
+          "nearDupCanonicalizeIncrementTable before resolving")
+    graft.state.HistoryFormat.ensure(conf, stateDir,
+      graft.state.HistoryFormat.NearDupState, hasData = true)
+    nearDupResolution(spark.read.parquet(s"$stateDir/docs"),
+      spark.read.parquet(s"$stateDir/reps"),
+      spark.read.parquet(s"$stateDir/cc"), materialize)
+  }
+
   /** Generic cross-batch pair probe for [[nearDupCanonicalizeIncrement]]:
     * run `pairsOf` over new-reps ∪ history-reps and keep pairs touching
     * at least one new id. Correct for ANY pair operator (the fallback

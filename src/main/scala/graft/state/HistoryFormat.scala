@@ -200,6 +200,17 @@ object HistoryFormat {
     "re-run Curation.sourceFpBatch over the full corpus under the " +
       "current stopword list and overwrite the state table")
 
+  /** Composed near-dup canonicalization fold state
+    * ([[graft.operators.Dedup.nearDupCanonicalizeIncrementTable]]) —
+    * the (docs, reps, cc) trio under one marker-stamped root. v1 =
+    * md5 text fingerprints, rep-space min-component assignment. The
+    * marker guards the FINGERPRINT derivation; the pluggable pair
+    * function's own stability is the caller's contract (probe a state
+    * only with the pair semantics that built it). */
+  val NearDupState: Format = Format("neardup-canonical-state", 1,
+    "re-fold the full corpus through nearDupCanonicalizeIncrement from " +
+      "an empty state and overwrite the state trio")
+
   private val MarkerFile = "_graft_history_format.json"
 
   private def markerPath(tableDir: String) = new Path(tableDir, MarkerFile)

@@ -283,4 +283,56 @@ class HistoryEnforcementSuite extends SparkSpec {
       assert(e.getMessage.contains("no history table"))
     }
   }
+
+  test("near-dup canonicalization state root enforces its marker, " +
+    "refuses torn state, and the table fold equals the one-shot") {
+    import graft.operators.Dedup
+    val d = docs.withColumn("q", length(col("text")))
+    val pf: DataFrame => DataFrame = reps => {
+      val a = reps.select(col("id").as("id_a"),
+        substring(col("text"), 1, 4).as("k"))
+      val b = reps.select(col("id").as("id_b"),
+        substring(col("text"), 1, 4).as("k"))
+      a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    withTmpDir { tmp =>
+      val dir = s"$tmp/ndstate"
+      // two-batch fold through the persisted root == one-shot
+      Seq(col("doc_id") <= 1, col("doc_id") > 1).foreach { p =>
+        Dedup.nearDupCanonicalizeIncrementTable(d.filter(p),
+          "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
+      }
+      val folded = Dedup.nearDupResolutionTable(spark, dir)
+        .collect().map(_.toSeq).toSet
+      val oneShot = Dedup.nearDupCanonicalize(d, "doc_id", "text", "q", pf)
+        .collect().map(_.toSeq).toSet
+      assert(folded === oneShot)
+      // stale marker refuses from BOTH the fold and the resolution
+      stampStale(dir, HistoryFormat.NearDupState.name)
+      val e = intercept[IllegalStateException](
+        Dedup.nearDupCanonicalizeIncrementTable(d.limit(1),
+          "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf)))
+      assert(e.getMessage.contains("Rebuild required") &&
+        e.getMessage.contains("nearDupCanonicalizeIncrement"),
+        e.getMessage)
+      intercept[IllegalStateException](
+        Dedup.nearDupResolutionTable(spark, dir))
+      // a torn root (one table missing) refuses with the remedy
+      HistoryFormat.stamp(conf, dir, HistoryFormat.NearDupState)
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+        f.delete(): Unit
+      }
+      rmr(new java.io.File(s"$dir/cc"))
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.nearDupCanonicalizeIncrementTable(d.limit(1),
+          "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf)))
+      assert(e2.getMessage.contains("torn"), e2.getMessage)
+      // an absent root resolves to a loud error, not an empty frame
+      val e3 = intercept[IllegalStateException](
+        Dedup.nearDupResolutionTable(spark, s"$tmp/nowhere"))
+      assert(e3.getMessage.contains("no near-dup state"), e3.getMessage)
+    }
+  }
 }
