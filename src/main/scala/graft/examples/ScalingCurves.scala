@@ -559,22 +559,34 @@ object ScalingCurves {
       // slope-13 "quadratic" and all-zeros into a silent pass. Say so
       // explicitly and gate that series on peak rows alone.
       val candZero = pts.exists(_.candRows == 0)
+      val peakZero = pts.exists(_.peakRows == 0)
       val sc =
         if (candZero) Double.NaN
         else slope(pts.map(p => (p.m.toDouble, p.candRows.toDouble)))
-      val sp = slope(pts.map(p => (p.m.toDouble, p.peakRows.toDouble)))
+      val sp =
+        if (peakZero) Double.NaN
+        else slope(pts.map(p => (p.m.toDouble, p.peakRows.toDouble)))
       println(f"$name%-22s | $st%11.2f | $sc%17.2f | $sp%11.2f | " +
         f"${pts.head.outRows}%6d -> ${pts.last.outRows}%-6d | " +
         f"${pts.head.candRows} -> ${pts.last.candRows}")
-      if (candZero) println(
+      if (candZero && peakZero)
+        // nothing measurable at all — unpopulated metrics would
+        // otherwise read as a silent pass while the NOTE claims a gate
+        bad ::= s"$name has zero candidate AND peak rows at some size " +
+          "— no row-count gate can carry it (metrics unpopulated?)"
+      else if (candZero) println(
         s"NOTE $name has a zero-candidate point — candidate fit skipped, " +
           "peak-rows gate carries this series")
+      else if (peakZero) println(
+        s"NOTE $name has a zero-peak point — peak fit skipped, " +
+          "candidate gate carries this series")
       if (!candZero && sc > 1.5)
         bad ::= f"$name candidate slope $sc%.2f > 1.5"
       // peak is gated TOO: a quadratic stage hiding beneath a larger
       // linear stage's join metric (or in a join-less plan) still
       // dominates the per-plan maximum once it matters
-      if (sp > 1.5) bad ::= f"$name peak-rows slope $sp%.2f > 1.5"
+      if (!peakZero && sp > 1.5)
+        bad ::= f"$name peak-rows slope $sp%.2f > 1.5"
       // wall time is a WARNING, not a gate: row-count slopes are pure
       // functions of the data (bit-identical across four runs this
       // round) while wall slopes swung 1.26–1.55 for one operator with

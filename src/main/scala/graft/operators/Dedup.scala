@@ -1976,22 +1976,55 @@ object Dedup {
       cc2)
   }
 
+  private val NearDupStateTables = Seq("docs", "reps", "cc")
+  private val NearDupEpochFile = "_graft_neardup_epoch.json"
+
+  /** The committed epoch's subdir, validated: pointer present ⇒ all
+    * three tables of that epoch must exist (a pointer naming a
+    * half-written epoch means the ATOMIC pointer write somehow landed
+    * without its data — corruption, refuse with the remedy). Returns
+    * None on a fresh root. */
+  private def nearDupCommittedEpoch(conf: org.apache.hadoop.conf.Configuration,
+      stateDir: String): Option[(Long, String)] = {
+    val ptr = new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile)
+    if (!graft.util.Fs.exists(ptr, conf)) None
+    else {
+      val epoch = graft.util.Jsons
+        .optLong(graft.util.Fs.readJson(ptr, conf), "epoch")
+        .getOrElse(throw new IllegalStateException(
+          s"near-dup state pointer at $stateDir is malformed (no epoch) — " +
+            graft.state.HistoryFormat.NearDupState.rebuildRemedy))
+      val dir = s"$stateDir/e$epoch"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(conf)
+      val missing = NearDupStateTables.filterNot(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(dir, n)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"near-dup state at $stateDir points at epoch $epoch but " +
+            s"${missing.mkString(",")} are missing under $dir — " +
+            graft.state.HistoryFormat.NearDupState.rebuildRemedy)
+      Some((epoch, dir))
+    }
+  }
+
   /** [[nearDupCanonicalizeIncrement]] against a persisted state root —
     * the *Table discipline for the composed operator. The root carries
     * a [[graft.state.HistoryFormat.NearDupState]] marker (a foreign or
     * pre-versioning state refuses with the rebuild remedy; the first
-    * call on an empty root seeds the empty trio and stamps), and each
-    * fold replaces the three tables atomically-per-table: all three new
-    * versions are FULLY WRITTEN to tmp dirs before any swap, so the
-    * torn window is three renames, not three Spark jobs. That window is
-    * still not a transaction — when exactly-once matters, route the
-    * fold through the pipeline's commit protocol (SetTransaction /
-    * stage-boundary materialization) instead of calling this helper
-    * from arbitrary code; a torn root (some tables present, some not)
-    * refuses loudly here rather than folding against half a state.
+    * call on a fresh root seeds the empty trio and stamps). Commit is a
+    * SINGLE-POINTER swap, never a multi-table rename dance: each fold
+    * writes the whole new trio under a fresh epoch subdir (`e<N+1>/`),
+    * then atomically replaces the one-line epoch pointer file — so a
+    * reader (or a crash) can only ever observe a COMPLETE epoch. A
+    * crash mid-fold leaves the pointer on the old epoch and its
+    * half-written successor as garbage, which the next fold deletes
+    * before writing; old epochs are pruned after the swap. Single
+    * writer assumed (the Pipeline lock discipline — two concurrent
+    * folds would race the pointer last-write-wins).
     *
-    * Returns the UPDATED state trio read back from the persisted
-    * paths — lazily consumable (derive the user-facing table with
+    * Returns the UPDATED state trio read from the committed epoch —
+    * lazily consumable (derive the user-facing table with
     * [[nearDupResolution]] / [[nearDupResolutionTable]] when wanted,
     * without re-running the fold). */
   def nearDupCanonicalizeIncrementTable(
@@ -2007,59 +2040,62 @@ object Dedup {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(conf)
-    val names = Seq("docs", "reps", "cc")
-    val present = names.filter(n =>
-      fs.exists(new org.apache.hadoop.fs.Path(root, n)))
-    require(present.isEmpty || present.size == names.size,
-      s"nearDupCanonicalizeIncrementTable: state at $stateDir is torn " +
-        s"(present: ${present.mkString(",")} of ${names.mkString(",")}) — " +
-        "likely a crash between table swaps. " +
-        graft.state.HistoryFormat.NearDupState.rebuildRemedy)
+    val committed = nearDupCommittedEpoch(conf, stateDir)
     graft.state.HistoryFormat.ensure(conf, stateDir,
-      graft.state.HistoryFormat.NearDupState, hasData = present.nonEmpty)
-    val (d0, r0, c0) =
-      if (present.nonEmpty)
-        (spark.read.parquet(s"$stateDir/docs"),
-          spark.read.parquet(s"$stateDir/reps"),
-          spark.read.parquet(s"$stateDir/cc"))
-      else nearDupEmptyState(batch, idCol, textCol, qualityCol)
+      graft.state.HistoryFormat.NearDupState, hasData = committed.nonEmpty)
+    val (d0, r0, c0) = committed match {
+      case Some((_, dir)) =>
+        (spark.read.parquet(s"$dir/docs"),
+          spark.read.parquet(s"$dir/reps"),
+          spark.read.parquet(s"$dir/cc"))
+      case None => nearDupEmptyState(batch, idCol, textCol, qualityCol)
+    }
     val updated = nearDupCanonicalizeIncrement(batch, idCol, textCol,
       qualityCol, d0, r0, c0, pairsOf, crossPairsOf, workDir, localLimit,
       materialize)
-    names.zip(Seq(updated._1, updated._2, updated._3)).foreach {
-      case (n, df) =>
-        df.write.mode("overwrite").parquet(s"$stateDir/.$n.tmp")
+    val newEpoch = committed.map(_._1 + 1).getOrElse(1L)
+    val newDir = new org.apache.hadoop.fs.Path(root, s"e$newEpoch")
+    // garbage from a fold that crashed before its pointer swap
+    if (fs.exists(newDir)) fs.delete(newDir, true)
+    NearDupStateTables.zip(Seq(updated._1, updated._2, updated._3))
+      .foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$stateDir/e$newEpoch/$n")
+      }
+    graft.util.Fs.atomicWriteJson(
+      new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile),
+      { val o = graft.util.Jsons.obj(); o.put("epoch", newEpoch); o },
+      conf)
+    // prune superseded epochs (and crash leftovers) AFTER the swap —
+    // best-effort: a stray dir costs disk, never correctness
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("e") && n != s"e$newEpoch")
+        fs.delete(st.getPath, true)
     }
-    names.foreach { n =>
-      val tgt = new org.apache.hadoop.fs.Path(root, n)
-      val tmp = new org.apache.hadoop.fs.Path(root, s".$n.tmp")
-      if (fs.exists(tgt)) fs.delete(tgt, true)
-      if (!fs.rename(tmp, tgt))
-        throw new java.io.IOException(
-          s"nearDup state swap failed for $n at $stateDir")
-    }
-    (spark.read.parquet(s"$stateDir/docs"),
-      spark.read.parquet(s"$stateDir/reps"),
-      spark.read.parquet(s"$stateDir/cc"))
+    (spark.read.parquet(s"$stateDir/e$newEpoch/docs"),
+      spark.read.parquet(s"$stateDir/e$newEpoch/reps"),
+      spark.read.parquet(s"$stateDir/e$newEpoch/cc"))
   }
 
-  /** [[nearDupResolution]] over a persisted state root
-    * (marker-enforced). */
+  /** [[nearDupResolution]] over a persisted state root: resolves the
+    * committed epoch via the pointer (marker-enforced; an absent root
+    * or pointer is a loud error with the next step named, and a pointer
+    * naming an incomplete epoch refuses with the rebuild remedy — never
+    * a raw path-not-found from the parquet reader). */
   def nearDupResolutionTable(spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
       materialize: DataFrame => DataFrame = _.localCheckpoint())
       : DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val docsPath = new org.apache.hadoop.fs.Path(stateDir, "docs")
-    if (!docsPath.getFileSystem(conf).exists(docsPath))
+    val committed = nearDupCommittedEpoch(conf, stateDir).getOrElse(
       throw new IllegalStateException(
         s"no near-dup state at $stateDir — fold batches through " +
-          "nearDupCanonicalizeIncrementTable before resolving")
+          "nearDupCanonicalizeIncrementTable before resolving"))
     graft.state.HistoryFormat.ensure(conf, stateDir,
       graft.state.HistoryFormat.NearDupState, hasData = true)
-    nearDupResolution(spark.read.parquet(s"$stateDir/docs"),
-      spark.read.parquet(s"$stateDir/reps"),
-      spark.read.parquet(s"$stateDir/cc"), materialize)
+    nearDupResolution(spark.read.parquet(s"${committed._2}/docs"),
+      spark.read.parquet(s"${committed._2}/reps"),
+      spark.read.parquet(s"${committed._2}/cc"), materialize)
   }
 
   /** Generic cross-batch pair probe for [[nearDupCanonicalizeIncrement]]:

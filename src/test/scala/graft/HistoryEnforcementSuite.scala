@@ -318,21 +318,55 @@ class HistoryEnforcementSuite extends SparkSpec {
         e.getMessage)
       intercept[IllegalStateException](
         Dedup.nearDupResolutionTable(spark, dir))
-      // a torn root (one table missing) refuses with the remedy
+      // a pointer naming an incomplete epoch (the only way the
+      // single-pointer commit can look torn: the pointer write is
+      // atomic, so this means post-commit corruption) refuses with the
+      // remedy from BOTH surfaces — never a raw parquet path-not-found
       HistoryFormat.stamp(conf, dir, HistoryFormat.NearDupState)
-      def rmr(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
-        f.delete(): Unit
-      }
-      rmr(new java.io.File(s"$dir/cc"))
-      val e2 = intercept[IllegalArgumentException](
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/e2/cc"))
+      val e2 = intercept[IllegalStateException](
         Dedup.nearDupCanonicalizeIncrementTable(d.limit(1),
           "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf)))
-      assert(e2.getMessage.contains("torn"), e2.getMessage)
+      assert(e2.getMessage.contains("missing under"), e2.getMessage)
+      intercept[IllegalStateException](
+        Dedup.nearDupResolutionTable(spark, dir))
       // an absent root resolves to a loud error, not an empty frame
       val e3 = intercept[IllegalStateException](
         Dedup.nearDupResolutionTable(spark, s"$tmp/nowhere"))
       assert(e3.getMessage.contains("no near-dup state"), e3.getMessage)
+    }
+  }
+
+  test("near-dup state commit is a single-pointer swap: a crash-leftover " +
+    "epoch dir is invisible to readers and cleaned by the next fold") {
+    import graft.operators.Dedup
+    val d = docs.withColumn("q", length(col("text")))
+    val pf: DataFrame => DataFrame = reps =>
+      reps.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+    withTmpDir { tmp =>
+      val dir = s"$tmp/ndstate"
+      Dedup.nearDupCanonicalizeIncrementTable(d.filter(col("doc_id") <= 1),
+        "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
+      val before = Dedup.nearDupResolutionTable(spark, dir)
+        .collect().map(_.toSeq).toSet
+      // simulate a fold that crashed AFTER writing its epoch dir but
+      // BEFORE the pointer swap: a half-written e2 with only one table
+      new java.io.File(s"$dir/e2/docs").mkdirs()
+      // readers still resolve epoch 1, bit-identical
+      assert(Dedup.nearDupResolutionTable(spark, dir)
+        .collect().map(_.toSeq).toSet === before,
+        "an uncommitted epoch must be invisible")
+      // the next fold deletes the garbage, commits e2, prunes e1
+      Dedup.nearDupCanonicalizeIncrementTable(d.filter(col("doc_id") > 1),
+        "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
+      assert(new java.io.File(s"$dir/e2/cc").exists())
+      assert(!new java.io.File(s"$dir/e1").exists(),
+        "superseded epochs prune after the swap")
+      val oneShot = Dedup.nearDupCanonicalize(d, "doc_id", "text", "q", pf)
+        .collect().map(_.toSeq).toSet
+      assert(Dedup.nearDupResolutionTable(spark, dir)
+        .collect().map(_.toSeq).toSet === oneShot)
     }
   }
 }
