@@ -1951,9 +1951,22 @@ object Dedup {
       localLimit: Long = 100000,
       materialize: DataFrame => DataFrame = _.localCheckpoint())
       : (DataFrame, DataFrame, DataFrame) = {
-    val b = batch.select(col(idCol).as("id"),
+    val b0 = batch.select(col(idCol).as("id"),
       fingerprint(col(textCol)).as("fp"),
       col(qualityCol).as("quality"), col(textCol).as("text"))
+    // REPLAY TOLERANCE: an id already folded is skipped entirely — ids
+    // are immutable, so a re-arriving id is an exactly-once replay (a
+    // crash after the state commit but before the caller's offset
+    // commit re-delivers the batch) and re-unioning it would emit
+    // duplicate docs rows → duplicate resolution rows. The anti-join
+    // makes the fold IDEMPOTENT for exact replays (all fps then known
+    // → no new reps → no pairs → cc unchanged; suite law: fold twice ==
+    // fold once), and it also neutralizes the id-collision footgun
+    // where the same id arrives with DIFFERENT text (first write wins,
+    // like every id-keyed history in this file). One id-keyed anti-join
+    // against the docs state per fold — the same state-scan class the
+    // reps anti-join below already pays.
+    val b = b0.join(docsState.select("id"), Seq("id"), "left_anti")
     // one representative per batch-new fingerprint (smallest batch id —
     // any member works: identical text ⇒ identical pairs)
     val bReps = exact(b.select("fp", "id", "text"), Seq("fp"), "id")

@@ -1077,6 +1077,40 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("nearDupCanonicalizeIncrement replay law: re-folding an already-" +
+    "folded batch is a no-op (exactly-once replay tolerance)") {
+    val docs = Seq(
+      (1L, "grp1 one", 5L), (2L, "grp1 one", 9L), (3L, "grp1 two", 7L),
+      (4L, "grp2 solo", 1L)
+    ).toDF("doc_id", "text", "q")
+    val b1 = docs.filter(col("doc_id") <= 2)
+    val b2 = docs.filter(col("doc_id") > 2)
+    def fold(st: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+        b: org.apache.spark.sql.DataFrame) = {
+      val s = Dedup.nearDupCanonicalizeIncrement(b, "doc_id", "text", "q",
+        st._1, st._2, st._3, prefixPairs,
+        Dedup.crossPairsByUnion(prefixPairs))
+      (s._1.localCheckpoint(), s._2.localCheckpoint(),
+        s._3.localCheckpoint())
+    }
+    var st = Dedup.nearDupEmptyState(docs, "doc_id", "text", "q")
+    st = fold(st, b1)
+    st = fold(st, b1) // the replay — must change nothing
+    st = fold(st, b2)
+    st = fold(st, b2) // replay again, after other batches
+    val res = Dedup.nearDupResolution(st._1, st._2, st._3)
+      .collect().map(_.toSeq)
+    assert(res.length === 4, s"replays must not duplicate rows: $res")
+    assert(res.toSet === Dedup.nearDupCanonicalize(docs, "doc_id", "text",
+      "q", prefixPairs).collect().map(_.toSeq).toSet)
+    // a re-arriving id with DIFFERENT text is the same rule: first
+    // write wins (ids are immutable), never a duplicate resolution row
+    val mutated = Seq((1L, "grp9 changed", 99L)).toDF("doc_id", "text", "q")
+    st = fold(st, mutated)
+    assert(Dedup.nearDupResolution(st._1, st._2, st._3).count() === 4)
+  }
+
   test("nearDupCanonicalize on the real corpus with a real pair operator " +
     "(wide simhash): fold == one-shot, total cover, unique canonicals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
