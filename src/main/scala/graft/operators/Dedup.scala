@@ -1963,10 +1963,18 @@ object Dedup {
     // → no new reps → no pairs → cc unchanged; suite law: fold twice ==
     // fold once), and it also neutralizes the id-collision footgun
     // where the same id arrives with DIFFERENT text (first write wins,
-    // like every id-keyed history in this file). One id-keyed anti-join
-    // against the docs state per fold — the same state-scan class the
-    // reps anti-join below already pays.
-    val b = b0.join(docsState.select("id"), Seq("id"), "left_anti")
+    // like every id-keyed history in this file). WITHIN a batch the
+    // same rule needs its own pass — an at-least-once source can
+    // duplicate inside one delivery, and two same-id rows would both
+    // survive a state-only anti-join — so the batch first collapses to
+    // one row per id (deterministically: smallest fingerprint, an
+    // order-independent tie-break). The result is MATERIALIZED: both
+    // the pair stage (via bReps) and the docs-state union consume it,
+    // and without the cut each consumer re-runs the state-sized
+    // anti-join scan.
+    val b = materialize(
+      exact(b0, Seq("id"), "fp")
+        .join(docsState.select("id"), Seq("id"), "left_anti"))
     // one representative per batch-new fingerprint (smallest batch id —
     // any member works: identical text ⇒ identical pairs)
     val bReps = exact(b.select("fp", "id", "text"), Seq("fp"), "id")
@@ -1992,16 +2000,50 @@ object Dedup {
   private val NearDupStateTables = Seq("docs", "reps", "cc")
   private val NearDupEpochFile = "_graft_neardup_epoch.json"
 
+  /** State-ish directories under the root: epoch dirs (`e<digits>`
+    * ONLY — a user's "export/" must never read as ours) plus the
+    * pre-epoch layout's root-level table names. Used to tell a FRESH
+    * root apart from a root whose pointer is missing — which is never
+    * fresh: either the pointer replace was lost mid-crash on a
+    * filesystem whose rename is delete+rename (non-local schemes in
+    * [[graft.util.Fs.atomicWriteString]]) or the layout predates the
+    * epoch pointer. Reseeding over either would silently discard every
+    * folded document, so it refuses instead. */
+  private def nearDupStrayState(
+      conf: org.apache.hadoop.conf.Configuration,
+      stateDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        n.matches("e\\d+") || NearDupStateTables.contains(n)
+      })
+      .map(_.getPath.getName)
+  }
+
   /** The committed epoch's subdir, validated: pointer present ⇒ all
     * three tables of that epoch must exist (a pointer naming a
     * half-written epoch means the ATOMIC pointer write somehow landed
-    * without its data — corruption, refuse with the remedy). Returns
-    * None on a fresh root. */
+    * without its data — corruption, refuse with the remedy). Pointer
+    * ABSENT over state-ish directories refuses too (lost pointer /
+    * pre-epoch layout — see [[nearDupStrayState]]); only a genuinely
+    * empty root returns None. */
   private def nearDupCommittedEpoch(conf: org.apache.hadoop.conf.Configuration,
       stateDir: String): Option[(Long, String)] = {
     val ptr = new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile)
-    if (!graft.util.Fs.exists(ptr, conf)) None
-    else {
+    if (!graft.util.Fs.exists(ptr, conf)) {
+      val stray = nearDupStrayState(conf, stateDir)
+      if (stray.nonEmpty)
+        throw new IllegalStateException(
+          s"near-dup state at $stateDir holds state directories " +
+            s"(${stray.mkString(",")}) but no $NearDupEpochFile pointer " +
+            "— a lost pointer or a pre-epoch layout; reseeding over it " +
+            "would silently discard every folded document. " +
+            graft.state.HistoryFormat.NearDupState.rebuildRemedy)
+      None
+    } else {
       val epoch = graft.util.Jsons
         .optLong(graft.util.Fs.readJson(ptr, conf), "epoch")
         .getOrElse(throw new IllegalStateException(
@@ -2032,14 +2074,24 @@ object Dedup {
     * reader (or a crash) can only ever observe a COMPLETE epoch. A
     * crash mid-fold leaves the pointer on the old epoch and its
     * half-written successor as garbage, which the next fold deletes
-    * before writing; old epochs are pruned after the swap. Single
-    * writer assumed (the Pipeline lock discipline — two concurrent
-    * folds would race the pointer last-write-wins).
+    * before writing; old epochs are pruned after the swap. The pointer
+    * replace is truly atomic on the local filesystem; on stores whose
+    * rename is delete-then-rename a crash can LOSE the pointer — that
+    * state (epoch dirs, no pointer) refuses with the rebuild remedy
+    * rather than silently reseeding over folded data, and the same
+    * refusal covers a pre-epoch layout. Single writer assumed (the
+    * Pipeline lock discipline — two concurrent folds would race the
+    * pointer last-write-wins).
     *
     * Returns the UPDATED state trio read from the committed epoch —
     * lazily consumable (derive the user-facing table with
     * [[nearDupResolution]] / [[nearDupResolutionTable]] when wanted,
-    * without re-running the fold). */
+    * without re-running the fold) UNTIL the next fold commits: pruning
+    * deletes the superseded epoch's files, so a trio (or an
+    * `materialize = identity` resolution) held across a later fold
+    * throws file-not-found on first use — materialize or re-read
+    * through [[nearDupResolutionTable]] when the lifetime must span
+    * folds. */
   def nearDupCanonicalizeIncrementTable(
       batch: DataFrame, idCol: String, textCol: String, qualityCol: String,
       stateDir: String,
@@ -2079,10 +2131,11 @@ object Dedup {
       { val o = graft.util.Jsons.obj(); o.put("epoch", newEpoch); o },
       conf)
     // prune superseded epochs (and crash leftovers) AFTER the swap —
-    // best-effort: a stray dir costs disk, never correctness
+    // best-effort: a stray dir costs disk, never correctness. Matches
+    // e<digits> ONLY: anything else under the root is not ours to delete
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("e") && n != s"e$newEpoch")
+      if (st.isDirectory && n.matches("e\\d+") && n != s"e$newEpoch")
         fs.delete(st.getPath, true)
     }
     (spark.read.parquet(s"$stateDir/e$newEpoch/docs"),

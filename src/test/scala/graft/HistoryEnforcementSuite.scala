@@ -357,16 +357,33 @@ class HistoryEnforcementSuite extends SparkSpec {
       assert(Dedup.nearDupResolutionTable(spark, dir)
         .collect().map(_.toSeq).toSet === before,
         "an uncommitted epoch must be invisible")
-      // the next fold deletes the garbage, commits e2, prunes e1
+      // the next fold deletes the garbage, commits e2, prunes e1 — but
+      // never a non-epoch directory of the user's (prune owns e<digits>
+      // only)
+      val foreign = new java.io.File(s"$dir/export")
+      foreign.mkdirs()
       Dedup.nearDupCanonicalizeIncrementTable(d.filter(col("doc_id") > 1),
         "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
       assert(new java.io.File(s"$dir/e2/cc").exists())
       assert(!new java.io.File(s"$dir/e1").exists(),
         "superseded epochs prune after the swap")
+      assert(foreign.exists(),
+        "pruning must not touch non-epoch directories")
       val oneShot = Dedup.nearDupCanonicalize(d, "doc_id", "text", "q", pf)
         .collect().map(_.toSeq).toSet
       assert(Dedup.nearDupResolutionTable(spark, dir)
         .collect().map(_.toSeq).toSet === oneShot)
+      // a LOST pointer over committed epochs (delete+rename stores can
+      // lose it mid-crash; also the pre-epoch layout) must refuse, not
+      // silently reseed over folded data — from BOTH surfaces
+      new java.io.File(s"$dir/_graft_neardup_epoch.json").delete()
+      val e4 = intercept[IllegalStateException](
+        Dedup.nearDupCanonicalizeIncrementTable(d.limit(1),
+          "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf)))
+      assert(e4.getMessage.contains("no _graft_neardup_epoch.json pointer"),
+        e4.getMessage)
+      intercept[IllegalStateException](
+        Dedup.nearDupResolutionTable(spark, dir))
     }
   }
 }

@@ -1109,6 +1109,16 @@ class DedupSuite extends SparkSpec {
     val mutated = Seq((1L, "grp9 changed", 99L)).toDF("doc_id", "text", "q")
     st = fold(st, mutated)
     assert(Dedup.nearDupResolution(st._1, st._2, st._3).count() === 4)
+    // WITHIN one batch the same id collapses deterministically too (an
+    // at-least-once source can duplicate inside a single delivery): one
+    // resolution row, never two
+    val dupBatch = Seq((9L, "grp8 a", 1L), (9L, "grp8 b", 2L))
+      .toDF("doc_id", "text", "q")
+    st = fold(st, dupBatch)
+    val nine = Dedup.nearDupResolution(st._1, st._2, st._3)
+      .filter(col("id") === 9L).collect()
+    assert(nine.length === 1,
+      s"in-batch duplicate ids must collapse: ${nine.toSeq}")
   }
 
   test("nearDupCanonicalize on the real corpus with a real pair operator " +
