@@ -1863,6 +1863,12 @@ object Dedup {
     * and returns candidate near-dup pairs `(id_a, id_b)` — plug any pair
     * operator in this file ([[charNgramJaccardExactPairs]],
     * [[minhashLshPairsPortable]], [[simhashPairsPortableWide]], ...).
+    * CAP-FREE REQUIRED for the fold law: pass `maxBucket = 0` (or an
+    * operator with no skew cap) — a capped operator truncates oversized
+    * buckets by id order, and since the incremental fold may elect
+    * DIFFERENT representatives than the one-shot, the cap can truncate
+    * DIFFERENT pairs on each side; the one-shot == fold equality is
+    * then data-dependent (holds only while no bucket exceeds the cap).
     * Returns the resolution table `(id, component, canonical_id, keep)`:
     * `component` = smallest member id of the doc's cluster (exact dups
     * and near-dups merged transitively), `canonical_id` = the cluster
@@ -1899,13 +1905,29 @@ object Dedup {
     nearDupResolution(docs, reps, cc, materialize)
   }
 
+  /** NULL-safe text fingerprint for the canonicalization family. A raw
+    * `md5(NULL)` is NULL, and NULL never equi-joins: the resolution's
+    * inner fp join would silently DROP every NULL-text doc (violating
+    * the "every seen doc resolves" contract) and the fold's left_anti
+    * on fp would re-add a NULL-fp representative every batch (breaking
+    * the one-rep-per-fp invariant). Under the sentinel, all NULL-text
+    * docs form ONE exact-dup cluster; its representative (text NULL)
+    * flows into `pairsOf`, where every pair operator in this file is
+    * NULL-propagating (hash/gram derivations of NULL are NULL, and NULL
+    * keys never equi-join), so the NULL cluster pairs with nothing and
+    * survives as its own component. The sentinel cannot collide with a
+    * real fingerprint: md5 hex is exactly 32 chars. */
+  private val NullTextFp = "NULL_TEXT"
+  private def ndFp(text: Column): Column =
+    coalesce(fingerprint(text), lit(NullTextFp))
+
   /** Empty `(docsState, repsState, ccState)` trio typed off the batch —
     * the fold seed for [[nearDupCanonicalizeIncrement]]. */
   def nearDupEmptyState(df: DataFrame, idCol: String, textCol: String,
       qualityCol: String): (DataFrame, DataFrame, DataFrame) = (
-    df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"),
+    df.select(col(idCol).as("id"), ndFp(col(textCol)).as("fp"),
       col(qualityCol).as("quality")).limit(0),
-    df.select(fingerprint(col(textCol)).as("fp"), col(idCol).as("id"),
+    df.select(ndFp(col(textCol)).as("fp"), col(idCol).as("id"),
       col(textCol).as("text")).limit(0),
     df.select(col(idCol).as("id"), col(idCol).as("component")).limit(0))
 
@@ -1930,7 +1952,10 @@ object Dedup {
     * accumulated corpus. Persist the returned trio atomically (JobState
     * / atomic-replace) and derive the user-facing table with
     * [[nearDupResolution]]. Fold law (suite-pinned): any batch split
-    * folds to the same resolution as the one-shot.
+    * folds to the same resolution as the one-shot — PROVIDED the pair
+    * operators are cap-free (see the one-shot's pairsOf contract: a
+    * `maxBucket` cap truncates by id order and the fold's rep ids can
+    * differ from the one-shot's, so pass `maxBucket = 0`).
     *
     * `materialize` truncates the new-reps subplan's lineage before the
     * pair stage: the rep collapse (a corpus-wide window + anti-join) is
@@ -1952,7 +1977,7 @@ object Dedup {
       materialize: DataFrame => DataFrame = _.localCheckpoint())
       : (DataFrame, DataFrame, DataFrame) = {
     val b0 = batch.select(col(idCol).as("id"),
-      fingerprint(col(textCol)).as("fp"),
+      ndFp(col(textCol)).as("fp"),
       col(qualityCol).as("quality"), col(textCol).as("text"))
     // REPLAY TOLERANCE: an id already folded is skipped entirely — ids
     // are immutable, so a re-arriving id is an exactly-once replay (a
@@ -2040,7 +2065,11 @@ object Dedup {
           s"near-dup state at $stateDir holds state directories " +
             s"(${stray.mkString(",")}) but no $NearDupEpochFile pointer " +
             "— a lost pointer or a pre-epoch layout; reseeding over it " +
-            "would silently discard every folded document. " +
+            "would silently discard every folded document. (One benign " +
+            "cause: a crash during the very FIRST fold, after the " +
+            "marker/e1 write but before any pointer write — then NO " +
+            "epoch was ever committed, nothing was lost, and wiping the " +
+            "root is lossless.) " +
             graft.state.HistoryFormat.NearDupState.rebuildRemedy)
       None
     } else {

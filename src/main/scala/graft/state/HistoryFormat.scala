@@ -203,7 +203,8 @@ object HistoryFormat {
   /** Composed near-dup canonicalization fold state
     * ([[graft.operators.Dedup.nearDupCanonicalizeIncrementTable]]) —
     * the (docs, reps, cc) trio under one marker-stamped root. v1 =
-    * md5 text fingerprints, rep-space min-component assignment. The
+    * md5 text fingerprints with a NULL-text sentinel (all NULL-text
+    * docs share one cluster), rep-space min-component assignment. The
     * marker guards the FINGERPRINT derivation; the pluggable pair
     * function's own stability is the caller's contract (probe a state
     * only with the pair semantics that built it). */

@@ -1121,14 +1121,63 @@ class DedupSuite extends SparkSpec {
       s"in-batch duplicate ids must collapse: ${nine.toSeq}")
   }
 
+  test("nearDupCanonicalize: NULL-text docs form one cluster, every doc " +
+    "resolves, and the fold keeps exactly one NULL rep (NULL-safe fp)") {
+    val docs = Seq(
+      (1L, "grp1 one", 5L), (2L, "grp1 one", 9L),
+      (3L, null.asInstanceOf[String], 4L),
+      (4L, null.asInstanceOf[String], 7L),
+      (5L, "grp2 solo", 1L)
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.nearDupCanonicalize(docs, "doc_id", "text", "q",
+        prefixPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // every doc resolves (a raw md5(NULL) fp would silently drop 3 and
+    // 4 from the resolution's inner fp join); the NULL docs share ONE
+    // exact-dup cluster whose canonical is the argmax(q) member
+    assert(out === Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 3L, 4L, false), (4L, 3L, 4L, true),
+      (5L, 5L, 5L, true)))
+    def fold(st: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+        b: org.apache.spark.sql.DataFrame) = {
+      val s = Dedup.nearDupCanonicalizeIncrement(b, "doc_id", "text", "q",
+        st._1, st._2, st._3, prefixPairs,
+        Dedup.crossPairsByUnion(prefixPairs))
+      (s._1.localCheckpoint(), s._2.localCheckpoint(),
+        s._3.localCheckpoint())
+    }
+    var st = Dedup.nearDupEmptyState(docs, "doc_id", "text", "q")
+    st = fold(st, docs.filter(col("doc_id") <= 3))
+    // batch 2 brings a NEW NULL-text id: the sentinel fp must match the
+    // existing NULL rep (a raw NULL fp never anti-joins, so the rep
+    // would be re-added every batch, breaking one-rep-per-fp)
+    st = fold(st, docs.filter(col("doc_id") > 3))
+    assert(st._2.filter(col("text").isNull).count() === 1,
+      "exactly one NULL-text representative in state")
+    st = fold(st, docs.filter(col("doc_id") > 3)) // exact replay
+    assert(st._2.filter(col("text").isNull).count() === 1)
+    assert(st._2.count() === 3, "one rep per distinct text incl. NULL")
+    assert(Dedup.nearDupResolution(st._1, st._2, st._3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet === out,
+      "fold over NULL-text batches must equal the one-shot")
+  }
+
   test("nearDupCanonicalize on the real corpus with a real pair operator " +
     "(wide simhash): fold == one-shot, total cover, unique canonicals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"), col("n_chars"))
+    // maxBucket = 0: the fold law requires CAP-FREE pair semantics (a
+    // capped operator truncates by id order, and the fold's rep ids can
+    // differ from the one-shot's — with the default cap this test would
+    // pass only while no sf0.001 bucket happens to exceed 4096)
     val pf: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame = reps =>
       Dedup.simhashPairsPortableWide(reps, "id", "text",
-        maxHamming = 3, blocks = 6)
+        maxHamming = 3, blocks = 6, maxBucket = 0)
     val oneShot = Dedup.nearDupCanonicalize(docs, "doc_id", "text",
       "n_chars", pf)
     val rows = oneShot.collect()
