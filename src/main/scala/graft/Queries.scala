@@ -223,6 +223,40 @@ object Queries {
        |  FROM sig)""".stripMargin
   }
 
+  /** DuckDB replay of the NARROW (Manku 4×16-bit) key derivation —
+    * `bkn(id, sh, block, key)` over the `sig` CTE
+    * [[polySimhashWideKeyCtes]] emits; mirrors `manku16BlockKeys`
+    * (disjoint 16-bit windows, plain integer arithmetic — the poly
+    * signature is 62-bit non-negative so `//` equals the unsigned
+    * shift). Used by the auto-selector oracles, which must re-derive
+    * BOTH layouts' exact volumes to replay the decision. */
+  private val polySimhashNarrowKeyCte: String = {
+    val entries = (0 until 4).map(j =>
+      s"{'block': $j, 'key': (sh // ${1L << (16 * j)}) % 65536}")
+      .mkString(",\n    ")
+    s"""bkn AS (
+       |  SELECT id, sh, UNNEST([
+       |    $entries
+       |  ], recursive := true)
+       |  FROM sig)""".stripMargin
+  }
+
+  /** Decision CTE for the hash64 auto-selector oracles: re-derives both
+    * layouts' exact costs (`keyRows + candidates`) from the same key
+    * derivations the joins use and replays the argmin (strict `>`, so
+    * ties go narrow — exactly `Dedup.decide`). `ncand`/`wcand` are the
+    * caller's per-layout candidate-volume CTEs (pairs: Σ c·(c−1)/2;
+    * probe: Σ b·h), each exposing one column `cand`. */
+  private def hash64DecisionCte(rowsRel: String): String =
+    s"""nc AS (SELECT CAST(4 * COUNT(*) AS BIGINT) AS keyrows FROM $rowsRel),
+       |wc AS (SELECT CAST(20 * COUNT(*) AS BIGINT) AS keyrows FROM $rowsRel),
+       |dec AS (SELECT
+       |    CASE WHEN nc.keyrows + ncand.cand > wc.keyrows + wcand.cand
+       |      THEN 'wide' ELSE 'narrow' END AS layout,
+       |    CAST(nc.keyrows + ncand.cand AS BIGINT) AS narrow_cost,
+       |    CAST(wc.keyrows + wcand.cand AS BIGINT) AS wide_cost
+       |  FROM nc, ncand, wc, wcand)""".stripMargin
+
   /** Pair CTEs for [[nearDupCanonicalOracle]]: the poly-simhash wide
     * combination keys over the reps, UNCAPPED — the fold law and the
     * rep-label invariance both require cap-free pair semantics (a
@@ -2828,6 +2862,107 @@ object Queries {
            |  CAST(BIT_COUNT(XOR(b.sh, h.sh)) AS BIGINT) AS hamming
            |FROM bb b JOIN hcap h
            |  ON b.combo = h.combo AND b.key = h.key
+           |WHERE BIT_COUNT(XOR(b.sh, h.sh)) <= 3
+           |ORDER BY doc_id, hist_id""".stripMargin
+      }),
+
+    // ----- hash64 MEASURED narrow-vs-wide auto-selection (oracle-gated) ---
+    // The selector family turns the last manual scale guess (which keying
+    // layout) into a counts-only measurement; these two rows execute the
+    // AUTO path end to end and hash-check BOTH halves: the pair/probe
+    // output (uncapped, where the layouts are provably identical) AND
+    // the decision itself — layout + both exact cost totals ride in the
+    // result, and DuckDB re-derives the same volumes from the same key
+    // derivations and replays the argmin. The probe row additionally
+    // drives the persisted signature-index surface (marker-stamped
+    // table -> hash64AgainstHistoryAutoTable); the decision also lands
+    // in the driver log as an event=hash64_layout line.
+    "d_hash64_pairs_auto" -> QueryDef(
+      (s, d) => {
+        val sigs = t(s, d, "documents").select(col("doc_id"),
+          graft.functions.FusedMinHashFunctions
+            .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+        val r = graft.operators.Dedup.hash64PairsAuto(sigs, "doc_id", "sh",
+          maxHamming = 3, blocks = 6, maxBucket = 0)
+        r.result.select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .withColumn("layout", lit(r.decision.chosen))
+          .withColumn("narrow_cost",
+            lit(r.decision.narrowKeyRows + r.decision.narrowCandidates))
+          .withColumn("wide_cost",
+            lit(r.decision.wideKeyRows + r.decision.wideCandidates))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        s"""WITH ${polySimhashWideKeyCtes(
+            "(SELECT doc_id AS id, text FROM documents)")},
+           |$polySimhashNarrowKeyCte,
+           |ncand AS (SELECT CAST(COALESCE(SUM(c*(c-1)), 0) // 2 AS BIGINT)
+           |    AS cand
+           |  FROM (SELECT COUNT(*) AS c FROM bkn GROUP BY block, key)),
+           |wcand AS (SELECT CAST(COALESCE(SUM(c*(c-1)), 0) // 2 AS BIGINT)
+           |    AS cand
+           |  FROM (SELECT COUNT(*) AS c FROM bk GROUP BY combo, key)),
+           |${hash64DecisionCte("sig")}
+           |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |  CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS BIGINT) AS hamming,
+           |  dec.layout, dec.narrow_cost, dec.wide_cost
+           |FROM bk a JOIN bk b
+           |  ON a.combo = b.combo AND a.key = b.key AND a.id < b.id, dec
+           |WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    "d_hash64_auto" -> QueryDef(
+      (s, d) => {
+        val sigs = t(s, d, "documents").select(col("doc_id"),
+          graft.functions.FusedMinHashFunctions
+            .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+        // persist the history side the production way: a marker-stamped
+        // signature-index table (ONE history serves every layout — keys
+        // derive at probe time)
+        val dir = scratch(s, "hash64_auto_idx")
+        sigs.filter(col("doc_id") >= 250).write.mode("overwrite").parquet(dir)
+        graft.state.HistoryFormat.stamp(
+          s.sparkContext.hadoopConfiguration, dir,
+          graft.state.HistoryFormat.Hash64Signature)
+        val r = graft.operators.Dedup.hash64AgainstHistoryAutoTable(
+          sigs.filter(col("doc_id") < 250), dir,
+          maxHamming = 3, blocks = 6, maxBucket = 0)
+        r.result.select(col("doc_id"), col("hist_id"),
+            col("hamming").cast("long").as("hamming"))
+          .withColumn("layout", lit(r.decision.chosen))
+          .withColumn("narrow_cost",
+            lit(r.decision.narrowKeyRows + r.decision.narrowCandidates))
+          .withColumn("wide_cost",
+            lit(r.decision.wideKeyRows + r.decision.wideCandidates))
+          .orderBy("doc_id", "hist_id")
+      },
+      Some {
+        s"""WITH ${polySimhashWideKeyCtes(
+            "(SELECT doc_id AS id, text FROM documents)")},
+           |$polySimhashNarrowKeyCte,
+           |ncand AS (SELECT CAST(COALESCE(SUM(cb.b * ch.h), 0) AS BIGINT)
+           |    AS cand
+           |  FROM (SELECT block, key, COUNT(*) AS b FROM bkn
+           |        WHERE id < 250 GROUP BY 1, 2) cb
+           |  JOIN (SELECT block, key, COUNT(*) AS h FROM bkn
+           |        WHERE id >= 250 GROUP BY 1, 2) ch
+           |    USING (block, key)),
+           |wcand AS (SELECT CAST(COALESCE(SUM(cb.b * ch.h), 0) AS BIGINT)
+           |    AS cand
+           |  FROM (SELECT combo, key, COUNT(*) AS b FROM bk
+           |        WHERE id < 250 GROUP BY 1, 2) cb
+           |  JOIN (SELECT combo, key, COUNT(*) AS h FROM bk
+           |        WHERE id >= 250 GROUP BY 1, 2) ch
+           |    USING (combo, key)),
+           |${hash64DecisionCte("sig")}
+           |SELECT DISTINCT b.id AS doc_id, h.id AS hist_id,
+           |  CAST(BIT_COUNT(XOR(b.sh, h.sh)) AS BIGINT) AS hamming,
+           |  dec.layout, dec.narrow_cost, dec.wide_cost
+           |FROM bk b JOIN bk h
+           |  ON b.combo = h.combo AND b.key = h.key
+           |  AND b.id < 250 AND h.id >= 250, dec
            |WHERE BIT_COUNT(XOR(b.sh, h.sh)) <= 3
            |ORDER BY doc_id, hist_id""".stripMargin
       }),

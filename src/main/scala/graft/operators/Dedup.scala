@@ -942,6 +942,20 @@ object Dedup {
   case class Hash64AutoResult(result: DataFrame,
       decision: Hash64LayoutDecision)
 
+  private lazy val selectorLog =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** One structured log line per auto-selection, LoggingObserver-style
+    * `key=value` — so a production run's driver log EXPLAINS the plan
+    * it chose (which layout, both measured cost totals, the margin)
+    * without the caller having to thread the decision anywhere. */
+  private def logLayoutDecision(op: String,
+      d: Hash64LayoutDecision): Unit =
+    selectorLog.info(s"event=hash64_layout op=$op chosen=${d.chosen} " +
+      s"narrow_cost=${d.narrowKeyRows + d.narrowCandidates} " +
+      s"wide_cost=${d.wideKeyRows + d.wideCandidates} " +
+      s"margin=${d.margin}")
+
   private def comboCount(blocks: Int, maxHamming: Int): Long = {
     val k = blocks - maxHamming
     (0 until k).foldLeft(1L)((acc, i) => acc * (blocks - i) / (i + 1))
@@ -1017,6 +1031,7 @@ object Dedup {
       maxHamming: Int = 3, blocks: Int = 6,
       maxBucket: Int = DefaultMaxBucket): Hash64AutoResult = {
     val d = hash64PairsLayoutDecision(sigs, hashCol, maxHamming, blocks)
+    logLayoutDecision("hash64PairsAuto", d)
     Hash64AutoResult(
       if (d.useWide)
         hash64PairsWide(sigs, idCol, hashCol, maxHamming, blocks, maxBucket)
@@ -1077,6 +1092,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): Hash64AutoResult = {
     val d = hash64HistoryLayoutDecision(sigs, history, idCol, hashCol,
       maxHamming, blocks)
+    logLayoutDecision("hash64AgainstHistoryAuto", d)
     Hash64AutoResult(
       if (d.useWide)
         hash64AgainstHistoryWide(sigs, history, idCol, hashCol, maxHamming,
