@@ -463,6 +463,113 @@ object ScalingCurves {
       spark.stop(); sys.exit(1)
     }
 
+    // ----- composed-fold history curve (nearDupCanonicalizeIncrement) ------
+    // Every other history probe has a fixed-batch-vs-growing-history
+    // series; the composed fold's per-batch cost includes two O(state)
+    // anti-join scans (docs ids, reps fps), the cc-translation scan, and
+    // — on the *Table surface — the epoch swap's O(state) trio rewrite,
+    // none of which the semi-join-first discipline bounds. Measure it
+    // the way a pipeline pays it: a FIXED 500-doc batch (250 attach by
+    // fingerprint to already-seen texts, 250 genuinely novel texts)
+    // folds into persisted state roots accumulated from the 1×–8×
+    // corpora. Expected shape: the bookkeeping scans state's NARROW
+    // columns (ids/fps/assignments — 16-byte-class rows, the same cost
+    // class as every probe's history key scan) plus the linear epoch
+    // rewrite, while PAIR work stays batch-bounded: the standalone
+    // probe's candidates must not grow superlinearly with the rep
+    // history (wide keys — the saturation-proof layout), and the
+    // fold's row deltas are exact arithmetic (docs +500, reps +250).
+    println()
+    val ndPf: DataFrame => DataFrame = reps =>
+      Dedup.simhashPairsPortableWide(reps, "id", "text",
+        maxHamming = 3, blocks = 6, maxBucket = 0)
+    def ndSigs(df: DataFrame) = df.select(col("id").as("doc_id"),
+      graft.functions.FusedMinHashFunctions
+        .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+    val ndProbe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
+      Dedup.hash64AgainstHistoryWide(ndSigs(fresh), ndSigs(hist),
+          maxHamming = 3, blocks = 6, maxBucket = 0)
+        .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val ndFs = new org.apache.hadoop.fs.Path(work).getFileSystem(hconf)
+    def ndRoot(m: Int): String = {
+      val root = s"$work/ndst_${srcTag}_x$m"
+      // cache key = the committed pointer; a partial build (no pointer)
+      // would make the fold refuse, so wipe and rebuild it
+      if (!new java.io.File(s"$root/_graft_neardup_epoch.json").exists()) {
+        ndFs.delete(new org.apache.hadoop.fs.Path(root), true)
+        Dedup.nearDupCanonicalizeIncrementTable(
+          docs(m).withColumn("q", length(col("text"))),
+          "doc_id", "text", "q", root, ndPf, ndProbe)
+      }
+      root
+    }
+    val ndBatch = docs(1).filter(col("doc_id") < 500)
+      .select((col("doc_id") + lit(77000000L)).as("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zq"),
+            col("doc_id").cast("string")))
+          .as("text"))
+      .withColumn("q", length(col("text")))
+      .localCheckpoint()
+    val ndNovel = ndBatch.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("id"), col("text"))
+    val ndPts = scales.map { m =>
+      val src = ndRoot(m)
+      // fold into a COPY: the measured epoch swap mutates the root, and
+      // the cache must stay a pure function of (source corpus, m)
+      val dst = s"$work/ndst_run_x$m"
+      ndFs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      org.apache.hadoop.fs.FileUtil.copy(ndFs,
+        new org.apache.hadoop.fs.Path(src), ndFs,
+        new org.apache.hadoop.fs.Path(dst), false, hconf)
+      val stateDocs = spark.read.parquet(s"$dst/e1/docs").count()
+      val stateReps = spark.read.parquet(s"$dst/e1/reps").count()
+      // the fold's materialize cuts its plan into per-stage jobs, so
+      // candidates/peak come from the standalone equivalent of its
+      // history-probe stage (same inputs, same operator)
+      val (crossFound, cand, peak) = measure(ndProbe(ndNovel,
+        spark.read.parquet(s"$dst/e1/reps").select("id", "text")))
+      if (m == scales.head) { // untimed warm-up, like the other loops
+        Dedup.nearDupCanonicalizeIncrementTable(ndBatch,
+          "doc_id", "text", "q", dst, ndPf, ndProbe)
+        ndFs.delete(new org.apache.hadoop.fs.Path(dst), true)
+        org.apache.hadoop.fs.FileUtil.copy(ndFs,
+          new org.apache.hadoop.fs.Path(src), ndFs,
+          new org.apache.hadoop.fs.Path(dst), false, hconf)
+      }
+      val t0 = System.nanoTime()
+      Dedup.nearDupCanonicalizeIncrementTable(ndBatch,
+        "doc_id", "text", "q", dst, ndPf, ndProbe)
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val docsAfter = spark.read.parquet(s"$dst/e2/docs").count()
+      val repsAfter = spark.read.parquet(s"$dst/e2/reps").count()
+      println(f"neardup_fold_history   x$m%-2d ${sec}%8.2f s  " +
+        f"state=$stateDocs%-7d cross_found=$crossFound%-5d " +
+        f"cand=$cand%-9d peak=$peak%-9d docs+${docsAfter - stateDocs} " +
+        f"reps+${repsAfter - stateReps}")
+      if (docsAfter != stateDocs + 500 || repsAfter != stateReps + 250) {
+        println("QUADRATIC-CURVE FLAGS: composed-fold row deltas must be " +
+          s"exact arithmetic (docs $stateDocs->$docsAfter, " +
+          s"reps $stateReps->$repsAfter)")
+        spark.stop(); sys.exit(1)
+      }
+      Point(m, sec, crossFound, cand, peak)
+    }
+    val ndCandSlope = slope(ndPts.map(p => (p.m.toDouble,
+      p.candRows.toDouble)))
+    val ndWallSlope = slope(ndPts.map(p => (p.m.toDouble, p.sec)))
+    println(f"neardup_fold_history candidate slope $ndCandSlope%.2f " +
+      f"(pair work batch-bounded), wall slope $ndWallSlope%.2f (the " +
+      "O(state) bookkeeping scans + epoch rewrite — linear rows, " +
+      "accepted trade; README scaling notes)")
+    if (ndCandSlope > 1.5) {
+      println("QUADRATIC-CURVE FLAGS: composed-fold probe candidates " +
+        s"grew superlinearly with the rep history: slope $ndCandSlope")
+      spark.stop(); sys.exit(1)
+    }
+
     // ----- IVF with nlist ∝ √N (the production scaling rule, measured) -----
     // The fixed-nlist series above holds slope 1.00 by construction; the
     // README note "production scales nlist with the corpus" becomes

@@ -161,6 +161,56 @@ class ScalingSuite extends SparkSpec {
         s"1x=${res(0)._2} 2x=${res(1)._2}")
   }
 
+  test("composed-fold history curve: per-batch pair work is batch-" +
+    "bounded and the state bookkeeping is exact row arithmetic") {
+    // the ScalingCurves neardup_fold_history series at suite scale: a
+    // FIXED batch (50 attach-by-fingerprint + 50 novel texts) folds
+    // into 1×/2× accumulated states; deterministic pins only (row
+    // deltas exact; the history-probe stage's candidates must not grow
+    // superlinearly with the rep history — wide keys)
+    val pf: DataFrame => DataFrame = reps =>
+      Dedup.simhashPairsPortableWide(reps, "id", "text",
+        maxHamming = 3, blocks = 6, maxBucket = 0)
+    def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
+      graft.functions.FusedMinHashFunctions
+        .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+    val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
+      Dedup.hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
+          maxHamming = 3, blocks = 6, maxBucket = 0)
+        .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+    val batch = corpus(1).filter(col("doc_id") < 100)
+      .select((col("doc_id") + lit(77000000L)).as("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zq"),
+            col("doc_id").cast("string"))).as("text"))
+      .withColumn("q", length(col("text")))
+      .localCheckpoint()
+    val novel = batch.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("id"), col("text"))
+    val cands = (1 to 2).map { m =>
+      val seed = corpus(m).withColumn("q", length(col("text")))
+      var st = Dedup.nearDupEmptyState(seed, "doc_id", "text", "q")
+      st = Dedup.nearDupCanonicalizeIncrement(seed, "doc_id", "text",
+        "q", st._1, st._2, st._3, pf, probe)
+      st = (st._1.localCheckpoint(), st._2.localCheckpoint(),
+        st._3.localCheckpoint())
+      val (docs0, reps0) = (st._1.count(), st._2.count())
+      assert(docs0 === 500L * m && reps0 > 0)
+      val cand = ScalingCurves.measure(
+        probe(novel, st._2.select("id", "text")))._2
+      val up = Dedup.nearDupCanonicalizeIncrement(batch, "doc_id",
+        "text", "q", st._1, st._2, st._3, pf, probe)
+      assert(up._1.count() === docs0 + 100,
+        "docs delta must be exactly the batch size")
+      assert(up._2.count() === reps0 + 50,
+        "reps delta must be exactly the novel-text count")
+      cand
+    }
+    assert(cands(1) <= math.max(cands(0), 1L) * 5 / 2,
+      s"composed-fold probe candidates must stay ~linear in the rep " +
+        s"history: 1x=${cands(0)} 2x=${cands(1)}")
+  }
+
   test("IVF with nlist ∝ √N keeps probe candidates sublinear " +
     "(deterministic counts at suite scale)") {
     val emb = spark.read
