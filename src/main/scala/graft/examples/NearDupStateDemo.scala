@@ -1,0 +1,148 @@
+package graft.examples
+
+import graft._
+import graft.operators.Dedup
+import graft.sources._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed near-dup canonicalization's persisted EPOCH state driven
+  * by the real checkpointed pipeline, with an injected crash in the
+  * exactly-once window — the composition
+  * [[graft.operators.Dedup.nearDupCanonicalizeIncrementTable]]'s suite
+  * laws promise but only a live driver can prove:
+  *
+  *  - documents arrive file-by-file; each batch folds into the state
+  *    trio (docs/reps/cc) under the SINGLE-POINTER epoch swap — a
+  *    reader or crash can only observe a complete epoch;
+  *  - the crash is injected AFTER the epoch commit and BEFORE the
+  *    driver's offset commit — the at-least-once window where the WAL
+  *    MUST re-deliver a batch whose state effects already landed;
+  *  - the restarted driver replays that batch against the
+  *    post-crash epoch, and the fold's id-keyed anti-join makes the
+  *    replay a NO-OP epoch (fold-twice == fold-once) — the resolution
+  *    afterwards equals the one-shot over the whole corpus bit for bit.
+  *
+  * The pair family is the production instantiation (uncapped wide-key
+  * poly-simhash within the batch; the semi-join-first signature probe
+  * against history reps — per-batch pair work bounded by the batch +
+  * probed slice). Old epochs are pruned after each swap, so exactly one
+  * epoch directory survives the run.
+  *
+  * Run: sbt "runMain graft.examples.NearDupStateDemo /tmp/graft-ndstate"
+  */
+object NearDupStateDemo {
+  def main(args: Array[String]): Unit = {
+    val work = DemoWorkdir.fresh(args, "/tmp/graft-ndstate")
+    val spark = GraftSession.local(4, "graft-ndstate")
+    spark.sparkContext.setLogLevel("ERROR")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    val in = s"$work/in"; val cp = s"$work/checkpoint"
+    val stateRoot = s"$work/neardup_state"
+
+    // stage the documents table as 3 arriving files (doc_id mod 3, so
+    // exact-dup groups and near-dup clusters split across batches)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    docs.withColumn("bucket", pmod(col("doc_id"), lit(3)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$work/staged")
+    fs.mkdirs(path(in))
+    (0 until 3).foreach { b =>
+      val part = fs.globStatus(path(s"$work/staged/bucket=$b/*.parquet"))(0)
+      fs.rename(part.getPath, path(s"$in/docs_$b.parquet"))
+    }
+
+    // the d_neardup_canonical_incr pair family: uncapped (the fold law's
+    // cap-free requirement), wide combination keys, signature-derived
+    // history probe
+    val pf: DataFrame => DataFrame = reps =>
+      Dedup.simhashPairsPortableWide(reps, "id", "text",
+        maxHamming = 3, blocks = 6, maxBucket = 0)
+    def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
+      graft.functions.FusedMinHashFunctions
+        .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+    val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
+      Dedup.hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
+          maxHamming = 3, blocks = 6, maxBucket = 0)
+        .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+
+    def pipeline(crashAfterEpochCommitAt: Option[Long] = None) = {
+      val ckpt = new FileStreamCheckpoint(cp, conf)
+      val source = new FileSource(in, ckpt, "parquet",
+        FileSourceOptions(pattern = "*.parquet", maxFilesPerTrigger = Some(1)))
+      new Pipeline(
+        source = source,
+        reader = ctx => ctx.spark.read.parquet(ctx.files: _*),
+        writer = (df, ctx) => {
+          Dedup.nearDupCanonicalizeIncrementTable(
+            df.select(col("doc_id"), col("text"), col("n_chars")),
+            "doc_id", "text", "n_chars", stateRoot, pf, probe)
+          // the injected crash lands in the exactly-once window: the
+          // epoch pointer HAS swapped, the WAL offset has NOT committed
+          if (crashAfterEpochCommitAt.contains(ctx.batchId))
+            throw new RuntimeException(
+              "injected crash between epoch commit and offset commit")
+          Map.empty
+        },
+        observer = new LoggingObserver,
+        spark = spark)
+    }
+
+    def committedEpoch(): Long = graft.util.Jsons.optLong(
+      graft.util.Fs.readJson(
+        path(s"$stateRoot/_graft_neardup_epoch.json"), conf), "epoch").get
+    def epochDirs(): Seq[String] = fs.listStatus(path(stateRoot)).toSeq
+      .map(_.getPath.getName).filter(_.matches("e\\d+")).sorted
+
+    println("== run 1: two batches fold, two epoch swaps ==")
+    val r1 = pipeline().run(RunOptions(once = false, sleepMs = 0,
+      maxBatches = Some(2)))
+    println(s"run1: batches=${r1.batchesProcessed} epoch=${committedEpoch()} " +
+      s"dirs=${epochDirs().mkString(",")}")
+
+    println("== run 2: batch 3 folds, then CRASHES before its offset commit ==")
+    val crashed =
+      try { pipeline(crashAfterEpochCommitAt = Some(2L))
+        .run(RunOptions(once = false, sleepMs = 0)); false }
+      catch { case e: Throwable =>
+        println(s"  (${e.getClass.getSimpleName}: ${e.getMessage})"); true }
+    val epochAfterCrash = committedEpoch()
+    println(s"crashed as planned: $crashed  " +
+      s"epoch after crash=$epochAfterCrash (the swap landed)")
+
+    println("== run 3: restart — the WAL re-delivers batch 3; the fold " +
+      "replays as a no-op epoch ==")
+    val r3 = pipeline().run(RunOptions(once = false, sleepMs = 0))
+    println(s"run3: batches=${r3.batchesProcessed} " +
+      s"epoch=${committedEpoch()} dirs=${epochDirs().mkString(",")}")
+
+    println("== run 4: idle (everything committed) ==")
+    val r4 = pipeline().run(RunOptions(once = false, sleepMs = 0))
+    println(s"run4: batches=${r4.batchesProcessed}")
+
+    // the law, end to end: fold-through-crash-and-replay == one-shot
+    val folded = Dedup.nearDupResolutionTable(spark, stateRoot)
+      .collect().map(_.toSeq).toSet
+    val oneShot = Dedup.nearDupCanonicalize(docs, "doc_id", "text",
+      "n_chars", pf).collect().map(_.toSeq).toSet
+    val total = docs.count()
+    println(s"resolution rows=${folded.size} (corpus $total), " +
+      s"replay epoch was a no-op over ${epochAfterCrash}")
+
+    val pass =
+      r1.batchesProcessed == 2 &&
+      crashed &&
+      r3.batchesProcessed == 1 &&          // the WAL replayed batch 3
+      committedEpoch() == epochAfterCrash + 1 && // replay swapped a new epoch
+      r4.batchesProcessed == 0 &&          // then everything is committed
+      epochDirs() == Seq(s"e${committedEpoch()}") && // superseded pruned
+      folded.size == total.toInt &&        // every doc resolves
+      folded == oneShot                    // fold-through-crash == one-shot
+    println(s"neardup-state crash-replay check: ${if (pass) "PASS" else "FAIL"}")
+    spark.stop()
+    if (!pass) sys.exit(1)
+  }
+}
