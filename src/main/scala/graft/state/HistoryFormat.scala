@@ -23,6 +23,43 @@ import org.apache.hadoop.fs.Path
   * different format version, or when the table already has data but no
   * marker (a pre-versioning legacy index whose keys are unverifiable).
   * A fresh (empty) table is stamped with the current version.
+  *
+  * == Crash-atomicity dispositions (round-18 audit) ==
+  *
+  * The near-dup trio got a single-pointer epoch swap because its THREE
+  * tables must move atomically. Sweeping every other persisted root for
+  * the same multi-file-commit exposure:
+  *
+  *  - '''Append-only Delta histories''' (SpanGramOwner, MinhashSignature,
+  *    Hash64Signature, LineDf, ClusterAssignment, PqCodes, SftAssistantFp,
+  *    PrefPromptFp, CohortActivity): one table, one Delta log commit per
+  *    fold — atomic by the Delta protocol; cross-TABLE compositions are
+  *    the caller's SetTransaction + commit-order discipline
+  *    (IncrementalCurationDemo's class doc). No exposure.
+  *  - '''Write-once model stores''' (QualityClfWeights, BpeMerges,
+  *    EvalEmbedding, Bm25Stats, ScoreCuts, TableProfile, the
+  *    quantizer/PQ saves): data parquet THEN marker stamp — a crash
+  *    between the two leaves data without a marker, which [[ensure]]
+  *    REFUSES loudly with the remedy named (the designed legacy-index
+  *    path doubles as the crash path). Detectable, never silent.
+  *  - '''FunnelStages''': marker + stages sidecar + state table; a crash
+  *    between stamp and sidecar refuses loudly from `funnelFoldTable`
+  *    (no recorded stage list). Detectable, never silent.
+  *  - '''Single-table replace roots''' (ClusterQuota,
+  *    SourceReputationFp, and every `JobState.saveParquet` consumer —
+  *    watermarks, seen-key sets, incremental aggregates, mix counts):
+  *    previously a delete-then-rename swap whose crash window left the
+  *    table GONE and the next load silently reseeding — the silent-loss
+  *    class the epoch pointer refuses on. Fixed this round: the swap is
+  *    now write-tmp → rename-aside → rename-in → cleanup, and every
+  *    crash point self-heals losslessly on next access
+  *    ([[JobState.heal]]); no migration to the epoch mechanism needed
+  *    because one table needs no cross-table atomicity.
+  *  - '''NearDupState''': the epoch-pointer mechanism itself (commit =
+  *    one atomic pointer replace; lost-pointer states refuse).
+  *  - '''Resumable shard export''' (`Mixing.writeShardsResumable`):
+  *    per-shard data-before-manifest commit with a parameter marker;
+  *    any crash point resumes by rewriting only uncommitted shards.
   */
 object HistoryFormat {
   /** A named key-derivation format at a specific version. Bump `version`

@@ -33,28 +33,76 @@ class JobState(val stateDir: String, conf: Configuration, spark: => SparkSession
   def loadValue(name: String): Option[String] =
     loadJson(name).flatMap(n => Jsons.optStr(n, "value"))
 
-  /** Atomic replace: write to a tmp dir, then swap. Parquet state tables are
-    * the scalable representation of cross-batch state. */
-  def saveParquet(name: String, df: DataFrame): Unit = {
-    val target = parquetPath(name)
-    val tmp = new Path(root, s".${name}.tmp.parquet")
+  private def tmpPath(name: String) = new Path(root, s".${name}.tmp.parquet")
+  private def oldPath(name: String) = new Path(root, s".${name}.old.parquet")
+
+  /** Finish an interrupted [[saveParquet]] swap — idempotent, called on
+    * every state-table access. The swap protocol is write-tmp →
+    * rename-target-aside → rename-tmp-in → delete-aside (a
+    * delete-then-rename swap has a crash window where the table is
+    * simply GONE and the next load silently reseeds — the exact
+    * silent-loss class the near-dup epoch pointer refuses on). Every
+    * crash point here is unambiguous, so recovery is lossless:
+    *  - aside + target ⇒ crash after the swap, before cleanup: the new
+    *    state committed; drop the aside.
+    *  - aside + tmp, no target ⇒ crash between the two renames: the tmp
+    *    write had already COMPLETED (the aside rename only happens after
+    *    the write returns), so finish the swap.
+    *  - aside alone ⇒ nothing newer exists; restore it.
+    * A crash during the tmp write itself leaves target untouched (no
+    * aside yet) and the next save's overwrite clears the partial tmp. */
+  private def heal(name: String): Unit = {
     val fs = Fs.fs(root, conf)
-    fs.mkdirs(root)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"state table swap failed for $name")
+    val (target, tmp, old) = (parquetPath(name), tmpPath(name), oldPath(name))
+    if (fs.exists(old)) {
+      if (fs.exists(target)) fs.delete(old, true)
+      else if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(
+            s"state table swap recovery failed for $name")
+        fs.delete(old, true)
+      } else if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"state table restore failed for $name")
+    }
   }
 
-  def loadParquet(name: String): Option[DataFrame] =
-    if (Fs.exists(parquetPath(name), conf)) Some(spark.read.parquet(parquetPath(name).toString))
-    else None
+  /** Atomic replace: write to a tmp dir, rename the live table aside,
+    * swap the tmp in, drop the aside. Crash-safe at every step — an
+    * interrupted swap self-heals losslessly on the next access (see
+    * [[heal]]); the table is never observable as absent-but-previously-
+    * written, which would silently reseed downstream folds. Parquet
+    * state tables are the scalable representation of cross-batch state. */
+  def saveParquet(name: String, df: DataFrame): Unit = {
+    val target = parquetPath(name)
+    val (tmp, old) = (tmpPath(name), oldPath(name))
+    val fs = Fs.fs(root, conf)
+    fs.mkdirs(root)
+    heal(name)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"state table set-aside failed for $name")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"state table swap failed for $name")
+    fs.delete(old, true): Unit
+  }
 
-  def exists(name: String): Boolean =
+  def loadParquet(name: String): Option[DataFrame] = {
+    heal(name)
+    if (Fs.exists(parquetPath(name), conf))
+      Some(spark.read.parquet(parquetPath(name).toString))
+    else None
+  }
+
+  def exists(name: String): Boolean = {
+    heal(name)
     Fs.exists(jsonPath(name), conf) || Fs.exists(parquetPath(name), conf)
+  }
 
   def delete(name: String): Unit = {
     Fs.delete(jsonPath(name), recursive = false, conf)
     Fs.delete(parquetPath(name), recursive = true, conf)
+    Fs.delete(tmpPath(name), recursive = true, conf)
+    Fs.delete(oldPath(name), recursive = true, conf)
   }
 }

@@ -204,6 +204,49 @@ class JobStateSuite extends SparkSpec {
       assert(state.loadParquet("missing").isEmpty)
     }
   }
+
+  test("interrupted saveParquet swaps self-heal losslessly at every " +
+    "crash point (the table is never observable as silently absent)") {
+    withTmpDir { tmp =>
+      val state = new JobState(s"$tmp/state", conf, spark)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s"$tmp/state/$s")
+      state.saveParquet("seen", Seq(1L, 2L).toDF("id"))
+
+      // crash point: between rename-aside and rename-in — tmp is a
+      // COMPLETE new table (the aside rename only happens after the tmp
+      // write returns), target is gone. Heal must finish the swap
+      // forward, not restore the aside.
+      Seq(1L, 2L, 3L).toDF("id").write.parquet(
+        p(".seen.tmp.parquet").toString)
+      assert(fs.rename(p("seen.parquet"), p(".seen.old.parquet")))
+      assert(state.loadParquet("seen").get.count() === 3,
+        "heal must complete the interrupted swap to the NEW table")
+      assert(!fs.exists(p(".seen.old.parquet")) &&
+        !fs.exists(p(".seen.tmp.parquet")))
+
+      // crash point: after the swap, before aside cleanup — both target
+      // and aside present. Heal drops the aside, keeps the new table.
+      Seq(9L).toDF("id").write.parquet(p(".seen.old.parquet").toString)
+      assert(state.loadParquet("seen").get.count() === 3)
+      assert(!fs.exists(p(".seen.old.parquet")))
+
+      // degenerate: aside alone (no tmp, no target) — restore it; the
+      // aside is the last committed state
+      assert(fs.rename(p("seen.parquet"), p(".seen.old.parquet")))
+      assert(state.loadParquet("seen").get.count() === 3,
+        "a lone aside must restore, never read as a fresh (empty) state")
+
+      // a save over a crash layout heals first, then swaps normally
+      Seq(1L, 2L, 3L, 4L).toDF("id").write.parquet(
+        p(".seen.tmp.parquet").toString)
+      assert(fs.rename(p("seen.parquet"), p(".seen.old.parquet")))
+      state.saveParquet("seen", Seq(5L).toDF("id"))
+      assert(state.loadParquet("seen").get.count() === 1)
+      assert(!fs.exists(p(".seen.old.parquet")) &&
+        !fs.exists(p(".seen.tmp.parquet")))
+    }
+  }
 }
 
 class PatternsSuite extends SparkSpec {
