@@ -2071,16 +2071,7 @@ object Queries {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
           .filter(pmod(col("doc_id"), lit(2)) === 0)
-        val pf: DataFrame => DataFrame = reps =>
-          Dedup.simhashPairsPortableWide(reps, "id", "text",
-            maxHamming = 3, blocks = 6, maxBucket = 0)
-        def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
-          graft.functions.FusedMinHashFunctions
-            .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
-        val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
-          Dedup.hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
-              maxHamming = 3, blocks = 6, maxBucket = 0)
-            .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+        val (pf, probe) = Dedup.nearDupWideSimhashFamily()
         // the persisted-state fold surface (marker-stamped root, all
         // three tables atomically replaced per fold) — the correctness
         // gate exercises the *Table path end to end

@@ -47,27 +47,26 @@ object NearDupStateDemo {
     // exact-dup groups and near-dup clusters split across batches)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"), col("n_chars"))
-    docs.withColumn("bucket", pmod(col("doc_id"), lit(3)))
+    // coalesce(1): ONE part per bucket, so one staged file = one batch
+    // (the demo's 3-batch structure is load-bearing for the crash leg's
+    // batch numbering) — and require it, because a multi-part bucket
+    // silently dropped to its first file would fail the coverage gate
+    // at the end with a misleading engine-shaped error
+    docs.coalesce(1).withColumn("bucket", pmod(col("doc_id"), lit(3)))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$work/staged")
     fs.mkdirs(path(in))
     (0 until 3).foreach { b =>
-      val part = fs.globStatus(path(s"$work/staged/bucket=$b/*.parquet"))(0)
-      fs.rename(part.getPath, path(s"$in/docs_$b.parquet"))
+      val parts = fs.globStatus(path(s"$work/staged/bucket=$b/*.parquet"))
+      require(parts.length == 1,
+        s"staging must produce exactly one parquet per bucket, " +
+          s"bucket $b has ${parts.length}")
+      require(fs.rename(parts(0).getPath, path(s"$in/docs_$b.parquet")),
+        s"staging rename failed for bucket $b")
     }
 
-    // the d_neardup_canonical_incr pair family: uncapped (the fold law's
-    // cap-free requirement), wide combination keys, signature-derived
-    // history probe
-    val pf: DataFrame => DataFrame = reps =>
-      Dedup.simhashPairsPortableWide(reps, "id", "text",
-        maxHamming = 3, blocks = 6, maxBucket = 0)
-    def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
-      graft.functions.FusedMinHashFunctions
-        .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
-    val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
-      Dedup.hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
-          maxHamming = 3, blocks = 6, maxBucket = 0)
-        .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+    // the production pair family — the ONE shared definition the
+    // correctness query, the scaling series, and the suite pins also use
+    val (pf, probe) = Dedup.nearDupWideSimhashFamily()
 
     def pipeline(crashAfterEpochCommitAt: Option[Long] = None) = {
       val ckpt = new FileStreamCheckpoint(cp, conf)
@@ -100,15 +99,19 @@ object NearDupStateDemo {
     println("== run 1: two batches fold, two epoch swaps ==")
     val r1 = pipeline().run(RunOptions(once = false, sleepMs = 0,
       maxBatches = Some(2)))
-    println(s"run1: batches=${r1.batchesProcessed} epoch=${committedEpoch()} " +
+    val epochAfterRun1 = committedEpoch()
+    println(s"run1: batches=${r1.batchesProcessed} epoch=$epochAfterRun1 " +
       s"dirs=${epochDirs().mkString(",")}")
 
     println("== run 2: batch 3 folds, then CRASHES before its offset commit ==")
+    // only the INJECTED crash counts — an unrelated failure must read
+    // as FAIL, not as the crash leg succeeding
     val crashed =
       try { pipeline(crashAfterEpochCommitAt = Some(2L))
         .run(RunOptions(once = false, sleepMs = 0)); false }
       catch { case e: Throwable =>
-        println(s"  (${e.getClass.getSimpleName}: ${e.getMessage})"); true }
+        println(s"  (${e.getClass.getSimpleName}: ${e.getMessage})")
+        String.valueOf(e.getMessage).contains("injected crash") }
     val epochAfterCrash = committedEpoch()
     println(s"crashed as planned: $crashed  " +
       s"epoch after crash=$epochAfterCrash (the swap landed)")
@@ -135,6 +138,9 @@ object NearDupStateDemo {
     val pass =
       r1.batchesProcessed == 2 &&
       crashed &&
+      epochAfterCrash == epochAfterRun1 + 1 && // the crash landed AFTER
+                                           // the epoch swap (the window
+                                           // the demo exists to prove)
       r3.batchesProcessed == 1 &&          // the WAL replayed batch 3
       committedEpoch() == epochAfterCrash + 1 && // replay swapped a new epoch
       r4.batchesProcessed == 0 &&          // then everything is committed

@@ -480,16 +480,7 @@ object ScalingCurves {
     // history (wide keys — the saturation-proof layout), and the
     // fold's row deltas are exact arithmetic (docs +500, reps +250).
     println()
-    val ndPf: DataFrame => DataFrame = reps =>
-      Dedup.simhashPairsPortableWide(reps, "id", "text",
-        maxHamming = 3, blocks = 6, maxBucket = 0)
-    def ndSigs(df: DataFrame) = df.select(col("id").as("doc_id"),
-      graft.functions.FusedMinHashFunctions
-        .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
-    val ndProbe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
-      Dedup.hash64AgainstHistoryWide(ndSigs(fresh), ndSigs(hist),
-          maxHamming = 3, blocks = 6, maxBucket = 0)
-        .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+    val (ndPf, ndProbe) = Dedup.nearDupWideSimhashFamily()
     val hconf = spark.sparkContext.hadoopConfiguration
     val ndFs = new org.apache.hadoop.fs.Path(work).getFileSystem(hconf)
     def ndRoot(m: Int): String = {

@@ -2226,6 +2226,34 @@ object Dedup {
       spark.read.parquet(s"${committed._2}/cc"), materialize)
   }
 
+  /** The PRODUCTION instantiation of the composed canonicalization's
+    * pluggable pair family — `(pairsOf, crossPairsOf)`: uncapped
+    * wide-key poly-simhash within the batch
+    * ([[simhashPairsPortableWide]]) and the signature-derived
+    * semi-join-first probe against the history representatives
+    * ([[hash64AgainstHistoryWide]], signatures derived at probe time).
+    * ONE definition shared by the correctness query, the crash demo,
+    * the scaling series, and the suite pins — a parameter change here
+    * changes all of them together; a missed site would silently
+    * measure or test a different pair family than production folds.
+    * Uncapped because the fold law requires cap-free pair semantics
+    * (see the [[nearDupCanonicalize]] contract). */
+  def nearDupWideSimhashFamily(maxHamming: Int = 3, blocks: Int = 6,
+      mod1: Long = 2147483647L, mod2: Long = 1073741789L)
+      : (DataFrame => DataFrame, (DataFrame, DataFrame) => DataFrame) = {
+    val pf: DataFrame => DataFrame = reps =>
+      simhashPairsPortableWide(reps, "id", "text", maxHamming, blocks,
+        mod1, mod2, maxBucket = 0)
+    def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
+      graft.functions.FusedMinHashFunctions
+        .polySimhash(col("text"), mod1, mod2).as("sh"))
+    val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
+      hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
+          maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
+        .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+    (pf, probe)
+  }
+
   /** Generic cross-batch pair probe for [[nearDupCanonicalizeIncrement]]:
     * run `pairsOf` over new-reps ∪ history-reps and keep pairs touching
     * at least one new id. Correct for ANY pair operator (the fallback

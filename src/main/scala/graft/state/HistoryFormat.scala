@@ -239,13 +239,19 @@ object HistoryFormat {
 
   /** Composed near-dup canonicalization fold state
     * ([[graft.operators.Dedup.nearDupCanonicalizeIncrementTable]]) —
-    * the (docs, reps, cc) trio under one marker-stamped root. v1 =
-    * md5 text fingerprints with a NULL-text sentinel (all NULL-text
-    * docs share one cluster), rep-space min-component assignment. The
-    * marker guards the FINGERPRINT derivation; the pluggable pair
+    * the (docs, reps, cc) trio under one marker-stamped root. v2 =
+    * md5 text fingerprints with a NULL-text SENTINEL (all NULL-text
+    * docs share one cluster), rep-space min-component assignment; v1
+    * fingerprinted NULL text to a NULL fp, which never equi-joins —
+    * a v1 state's NULL-fp rows would be permanently unresolvable
+    * beside v2's sentinel rows, the exact silent-no-matches class
+    * this marker exists to refuse (v1 states from NULL-free corpora
+    * are bit-identical but indistinguishable at the marker level, so
+    * the bump refuses them too — the rebuild is cheap and certain).
+    * The marker guards the FINGERPRINT derivation; the pluggable pair
     * function's own stability is the caller's contract (probe a state
     * only with the pair semantics that built it). */
-  val NearDupState: Format = Format("neardup-canonical-state", 1,
+  val NearDupState: Format = Format("neardup-canonical-state", 2,
     "re-fold the full corpus through nearDupCanonicalizeIncrement from " +
       "an empty state and overwrite the state trio")
 

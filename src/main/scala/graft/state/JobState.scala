@@ -87,22 +87,35 @@ class JobState(val stateDir: String, conf: Configuration, spark: => SparkSession
     fs.delete(old, true): Unit
   }
 
+  /** Read-path recovery: heal ONLY when the table is actually lost
+    * (target absent) — the case where the old protocol silently
+    * reseeded. When the target exists the read needs no mutation:
+    * leftover aside/tmp debris is harmless (the next save cleans it),
+    * and mutating on every read would (a) fail read-only consumers and
+    * (b) let a reader race a writer's in-flight swap — renaming tmp in
+    * underneath the writer's own rename. */
+  private def healIfLost(name: String): Unit =
+    if (!Fs.exists(parquetPath(name), conf)) heal(name)
+
   def loadParquet(name: String): Option[DataFrame] = {
-    heal(name)
+    healIfLost(name)
     if (Fs.exists(parquetPath(name), conf))
       Some(spark.read.parquet(parquetPath(name).toString))
     else None
   }
 
   def exists(name: String): Boolean = {
-    heal(name)
+    healIfLost(name)
     Fs.exists(jsonPath(name), conf) || Fs.exists(parquetPath(name), conf)
   }
 
   def delete(name: String): Unit = {
+    // swap debris FIRST: deleting the target before a lingering aside
+    // would let a crash mid-delete leave a lone aside that healIfLost
+    // later RESTORES — a deleted table resurrecting
+    Fs.delete(oldPath(name), recursive = true, conf)
+    Fs.delete(tmpPath(name), recursive = true, conf)
     Fs.delete(jsonPath(name), recursive = false, conf)
     Fs.delete(parquetPath(name), recursive = true, conf)
-    Fs.delete(tmpPath(name), recursive = true, conf)
-    Fs.delete(oldPath(name), recursive = true, conf)
   }
 }

@@ -226,9 +226,14 @@ class JobStateSuite extends SparkSpec {
         !fs.exists(p(".seen.tmp.parquet")))
 
       // crash point: after the swap, before aside cleanup — both target
-      // and aside present. Heal drops the aside, keeps the new table.
+      // and aside present. READS must not mutate (the target is live;
+      // debris is harmless and read-only consumers must keep working);
+      // the next SAVE cleans the aside.
       Seq(9L).toDF("id").write.parquet(p(".seen.old.parquet").toString)
       assert(state.loadParquet("seen").get.count() === 3)
+      assert(fs.exists(p(".seen.old.parquet")),
+        "reads must not mutate while the target is live")
+      state.saveParquet("seen", Seq(1L, 2L, 3L).toDF("id"))
       assert(!fs.exists(p(".seen.old.parquet")))
 
       // degenerate: aside alone (no tmp, no target) — restore it; the
@@ -245,6 +250,14 @@ class JobStateSuite extends SparkSpec {
       assert(state.loadParquet("seen").get.count() === 1)
       assert(!fs.exists(p(".seen.old.parquet")) &&
         !fs.exists(p(".seen.tmp.parquet")))
+
+      // delete removes swap debris along with the table (debris-first
+      // ordering, so a crash mid-delete can never leave a lone aside
+      // that a later read resurrects)
+      Seq(9L).toDF("id").write.parquet(p(".seen.old.parquet").toString)
+      state.delete("seen")
+      assert(!state.exists("seen") && !fs.exists(p(".seen.old.parquet")))
+      assert(state.loadParquet("seen").isEmpty)
     }
   }
 }

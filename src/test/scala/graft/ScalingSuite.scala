@@ -168,16 +168,7 @@ class ScalingSuite extends SparkSpec {
     // into 1×/2× accumulated states; deterministic pins only (row
     // deltas exact; the history-probe stage's candidates must not grow
     // superlinearly with the rep history — wide keys)
-    val pf: DataFrame => DataFrame = reps =>
-      Dedup.simhashPairsPortableWide(reps, "id", "text",
-        maxHamming = 3, blocks = 6, maxBucket = 0)
-    def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
-      graft.functions.FusedMinHashFunctions
-        .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
-    val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
-      Dedup.hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
-          maxHamming = 3, blocks = 6, maxBucket = 0)
-        .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+    val (pf, probe) = Dedup.nearDupWideSimhashFamily()
     val batch = corpus(1).filter(col("doc_id") < 100)
       .select((col("doc_id") + lit(77000000L)).as("doc_id"),
         when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
