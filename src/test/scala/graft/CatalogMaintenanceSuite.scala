@@ -258,6 +258,19 @@ class JobStateSuite extends SparkSpec {
       state.delete("seen")
       assert(!state.exists("seen") && !fs.exists(p(".seen.old.parquet")))
       assert(state.loadParquet("seen").isEmpty)
+
+      // crash DURING the tmp write itself (partial tmp, no aside): the
+      // live table reads untouched and unmutated; the next save clears
+      // the debris through its own overwrite
+      state.saveParquet("s2", Seq(1L).toDF("id"))
+      fs.mkdirs(p(".s2.tmp.parquet"))
+      assert(state.loadParquet("s2").get.count() === 1)
+      assert(fs.exists(p(".s2.tmp.parquet")),
+        "reads must not mutate while the target is live")
+      state.saveParquet("s2", Seq(1L, 2L).toDF("id"))
+      assert(state.loadParquet("s2").get.count() === 2)
+      assert(!fs.exists(p(".s2.tmp.parquet")) &&
+        !fs.exists(p(".s2.old.parquet")))
     }
   }
 }
