@@ -442,9 +442,7 @@ object ScalingCurves {
     val tmplPts = scales.map { m =>
       val res = Dedup.nearDupCanonicalize(
         tdocs(m).withColumn("q", length(col("text"))),
-        "doc_id", "text", "q",
-        reps => Dedup.simhashPairsPortableWide(reps, "id", "text",
-          maxHamming = 3, blocks = 6, maxBucket = 0))
+        "doc_id", "text", "q", Dedup.nearDupWideSimhashFamily()._1)
       val out = res.count()
       val clusters = res.filter(col("keep")).count()
       println(s"tmpl_canonicalize      x$m  out=$out clusters=$clusters")

@@ -82,8 +82,14 @@ class JobState(val stateDir: String, conf: Configuration, spark: => SparkSession
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"state table set-aside failed for $name")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"state table swap failed for $name")
+    if (!fs.rename(tmp, target)) {
+      // a concurrent reader's healIfLost may have completed the swap for
+      // us in the target-absent window (it renames OUR tmp in — no other
+      // writer exists under the single-writer lock); target present with
+      // tmp gone IS the committed end state, so don't fail the batch
+      if (!(fs.exists(target) && !fs.exists(tmp)))
+        throw new java.io.IOException(s"state table swap failed for $name")
+    }
     fs.delete(old, true): Unit
   }
 
@@ -91,9 +97,12 @@ class JobState(val stateDir: String, conf: Configuration, spark: => SparkSession
     * (target absent) — the case where the old protocol silently
     * reseeded. When the target exists the read needs no mutation:
     * leftover aside/tmp debris is harmless (the next save cleans it),
-    * and mutating on every read would (a) fail read-only consumers and
-    * (b) let a reader race a writer's in-flight swap — renaming tmp in
-    * underneath the writer's own rename. */
+    * and a read-only consumer keeps working against a healthy root.
+    * This NARROWS the reader-vs-writer race to the instants between the
+    * writer's two renames (a reader landing exactly there heals the
+    * writer's complete tmp in itself — [[saveParquet]] tolerates that);
+    * the real concurrency guarantee remains the single-writer lock
+    * (Pipeline discipline), with out-of-band readers best-effort. */
   private def healIfLost(name: String): Unit =
     if (!Fs.exists(parquetPath(name), conf)) heal(name)
 

@@ -1170,14 +1170,12 @@ class DedupSuite extends SparkSpec {
     "(wide simhash): fold == one-shot, total cover, unique canonicals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"), col("n_chars"))
-    // maxBucket = 0: the fold law requires CAP-FREE pair semantics (a
-    // capped operator truncates by id order, and the fold's rep ids can
-    // differ from the one-shot's — with the default cap this test would
-    // pass only while no sf0.001 bucket happens to exceed 4096)
-    val pf: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame = reps =>
-      Dedup.simhashPairsPortableWide(reps, "id", "text",
-        maxHamming = 3, blocks = 6, maxBucket = 0)
+    // the shared production family is cap-free by construction — the
+    // fold law requires it (a capped operator truncates by id order,
+    // and the fold's rep ids can differ from the one-shot's; with the
+    // default cap this test would pass only while no sf0.001 bucket
+    // happens to exceed 4096)
+    val (pf, _) = Dedup.nearDupWideSimhashFamily()
     val oneShot = Dedup.nearDupCanonicalize(docs, "doc_id", "text",
       "n_chars", pf)
     val rows = oneShot.collect()

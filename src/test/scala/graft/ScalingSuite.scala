@@ -150,9 +150,7 @@ class ScalingSuite extends SparkSpec {
     val res = (1 to 2).map { m =>
       val r = Dedup.nearDupCanonicalize(
         tdocs(m).withColumn("q", length(col("text"))),
-        "doc_id", "text", "q",
-        reps => Dedup.simhashPairsPortableWide(reps, "id", "text",
-          maxHamming = 3, blocks = 6, maxBucket = 0))
+        "doc_id", "text", "q", Dedup.nearDupWideSimhashFamily()._1)
       (r.count(), r.filter(col("keep")).count())
     }
     assert(res(1)._1 === res(0)._1 * 2, "resolution output exactly linear")
