@@ -483,9 +483,16 @@ object ScalingCurves {
     val ndFs = new org.apache.hadoop.fs.Path(work).getFileSystem(hconf)
     def ndRoot(m: Int): String = {
       val root = s"$work/ndst_${srcTag}_x$m"
-      // cache key = the committed pointer; a partial build (no pointer)
-      // would make the fold refuse, so wipe and rebuild it
-      if (!new java.io.File(s"$root/_graft_neardup_epoch.json").exists()) {
+      // cache key = the committed pointer AND the current state-format
+      // version: a root cached under an older NearDupState version would
+      // make the measured fold refuse with the rebuild remedy (correct
+      // for production state, wrong for a derived measurement cache —
+      // here the rebuild IS the remedy, so apply it)
+      val fmt = graft.state.HistoryFormat.NearDupState
+      val fmtOk = graft.state.HistoryFormat.read(hconf, root)
+        .contains((fmt.name, fmt.version.toLong))
+      if (!new java.io.File(s"$root/_graft_neardup_epoch.json").exists()
+          || !fmtOk) {
         ndFs.delete(new org.apache.hadoop.fs.Path(root), true)
         Dedup.nearDupCanonicalizeIncrementTable(
           docs(m).withColumn("q", length(col("text"))),
