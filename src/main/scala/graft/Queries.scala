@@ -2071,7 +2071,13 @@ object Queries {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
           .filter(pmod(col("doc_id"), lit(2)) === 0)
-        val (pf, probe) = Dedup.nearDupWideSimhashFamily()
+        // autoProbe: the fold's history probe runs the MEASURED layout
+        // selector per batch (the r17 directive's other half — the auto
+        // path now drives a hash-checked CORRECTNESS row through the
+        // composed fold too, decision logged as event=hash64_layout);
+        // the oracle is layout-independent because uncapped narrow ==
+        // wide == auto for Hamming <= 3 (suite law)
+        val (pf, probe) = Dedup.nearDupWideSimhashFamily(autoProbe = true)
         // the persisted-state fold surface (marker-stamped root, all
         // three tables atomically replaced per fold) — the correctness
         // gate exercises the *Table path end to end

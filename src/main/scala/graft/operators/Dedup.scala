@@ -2237,9 +2237,18 @@ object Dedup {
     * changes all of them together; a missed site would silently
     * measure or test a different pair family than production folds.
     * Uncapped because the fold law requires cap-free pair semantics
-    * (see the [[nearDupCanonicalize]] contract). */
+    * (see the [[nearDupCanonicalize]] contract).
+    *
+    * `autoProbe = true` routes the history probe through the MEASURED
+    * layout selector ([[hash64AgainstHistoryAuto]]) instead of pinning
+    * wide keys — the fold then self-selects narrow vs wide per batch
+    * from exact counts-only volumes (the decision logs as an
+    * `event=hash64_layout` line). Results are bit-identical either way
+    * (both layouts exact for Hamming ≤ `maxHamming` ≤ 3 uncapped —
+    * suite law on the real corpus), so the switch is pure cost. */
   def nearDupWideSimhashFamily(maxHamming: Int = 3, blocks: Int = 6,
-      mod1: Long = 2147483647L, mod2: Long = 1073741789L)
+      mod1: Long = 2147483647L, mod2: Long = 1073741789L,
+      autoProbe: Boolean = false)
       : (DataFrame => DataFrame, (DataFrame, DataFrame) => DataFrame) = {
     val pf: DataFrame => DataFrame = reps =>
       simhashPairsPortableWide(reps, "id", "text", maxHamming, blocks,
@@ -2247,10 +2256,15 @@ object Dedup {
     def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
       graft.functions.FusedMinHashFunctions
         .polySimhash(col("text"), mod1, mod2).as("sh"))
-    val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) =>
-      hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
+    val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) => {
+      val hits =
+        if (autoProbe)
+          hash64AgainstHistoryAuto(sigs(fresh), sigs(hist),
+            maxHamming = maxHamming, blocks = blocks, maxBucket = 0).result
+        else hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
           maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
-        .select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+      hits.select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
+    }
     (pf, probe)
   }
 

@@ -1166,6 +1166,27 @@ class DedupSuite extends SparkSpec {
       "fold over NULL-text batches must equal the one-shot")
   }
 
+  test("nearDupWideSimhashFamily: the auto-probe variant folds to the " +
+    "identical resolution on the real corpus (the selector may change " +
+    "cost, never pairs)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    def fold(auto: Boolean): Set[Seq[Any]] = {
+      val (pf, probe) = Dedup.nearDupWideSimhashFamily(autoProbe = auto)
+      var st = Dedup.nearDupEmptyState(docs, "doc_id", "text", "n_chars")
+      Seq(col("doc_id") < 250, col("doc_id") >= 250).foreach { p =>
+        st = Dedup.nearDupCanonicalizeIncrement(docs.filter(p),
+          "doc_id", "text", "n_chars", st._1, st._2, st._3, pf, probe)
+        st = (st._1.localCheckpoint(), st._2.localCheckpoint(),
+          st._3.localCheckpoint())
+      }
+      Dedup.nearDupResolution(st._1, st._2, st._3)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(fold(auto = true) === fold(auto = false),
+      "auto-probe fold must equal the pinned-wide fold bit for bit")
+  }
+
   test("nearDupCanonicalize on the real corpus with a real pair operator " +
     "(wide simhash): fold == one-shot, total cover, unique canonicals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
