@@ -956,21 +956,23 @@ object Dedup {
       s"wide_cost=${d.wideKeyRows + d.wideCandidates} " +
       s"margin=${d.margin}")
 
-  private def comboCount(blocks: Int, maxHamming: Int): Long = {
-    val k = blocks - maxHamming
-    (0 until k).foldLeft(1L)((acc, i) => acc * (blocks - i) / (i + 1))
-  }
-
-  /** Exact Σ c·(c−1) over the buckets `keyOf` induces (twice the
-    * within-bucket pair count), via a counts-only partial-agg'd
-    * exchange — the candidate volume each layout WOULD pay, measured
-    * without paying it (no collect_set, no pair explode, no verify). */
-  private def bucketPairVolume2(base: DataFrame,
-      keyOf: Column => Column, keyNames: Seq[String]): Long =
-    base.select(keyOf(col("sh")).as(keyNames))
+  /** Exact per-layout `(keyRows, Σ c·(c−1))` over the buckets `keyOf`
+    * induces (the second term is twice the within-bucket pair count) in
+    * ONE counts-only partial-agg'd job — the candidate volume each
+    * layout WOULD pay, measured without paying it (no collect_set, no
+    * pair explode, no verify), and the exploded key-row count derived
+    * from the SAME aggregation (Σ c over buckets == keys-per-doc · N by
+    * construction) instead of a separate count() job: the selector's
+    * fixed cost is two jobs total, not four. */
+  private def pairLayoutCosts(base: DataFrame,
+      keyOf: Column => Column, keyNames: Seq[String]): (Long, Long) = {
+    val r = base.select(keyOf(col("sh")).as(keyNames))
       .groupBy(keyNames.map(col): _*).count()
-      .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
-      .collect()(0).getLong(0)
+      .agg(coalesce(sum(col("count")), lit(0L)),
+        coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** MEASURED narrow-vs-wide selection for [[hash64Pairs]] — the
     * saturation crossover is a property of the corpus (template-heavy
@@ -1003,14 +1005,12 @@ object Dedup {
         s"$maxHamming — past that the narrow pair set is candidate-" +
         "limited and the layouts answer different questions")
     val base = sigs.select(col(hashCol).as("sh"))
-    val n = base.count()
-    val narrow2 = bucketPairVolume2(base,
+    val (nKeyRows, narrow2) = pairLayoutCosts(base,
       h => manku16BlockKeys(h), Seq("block", "key"))
-    val wide2 = bucketPairVolume2(base,
+    val (wKeyRows, wide2) = pairLayoutCosts(base,
       h => posexplode(wideComboKeys(h, blocks, maxHamming)),
       Seq("combo", "ck"))
-    decide(narrow2 / 2, wide2 / 2, SimhashBlocks * n,
-      comboCount(blocks, maxHamming) * n)
+    decide(narrow2 / 2, wide2 / 2, nKeyRows, wKeyRows)
   }
 
   private def decide(narrowCand: Long, wideCand: Long,
@@ -1038,18 +1038,25 @@ object Dedup {
       else hash64Pairs(sigs, idCol, hashCol, maxHamming, maxBucket), d)
   }
 
-  /** Exact per-layout candidate volume for the HISTORY probe: Σ b·h
-    * over the keys both sides share — the rows that would survive the
-    * semi-join and pay the cap + join + verify. Counts-only on both
-    * sides; the history's text/media bytes are never touched. */
-  private def probeVolume(batch: DataFrame, history: DataFrame,
-      keyOf: Column => Column, keyNames: Seq[String]): Long = {
+  /** Exact per-layout `(keyRows, candidateVolume)` for the HISTORY
+    * probe in ONE counts-only job: candidates = Σ b·h over the keys
+    * both sides share (the rows that would survive the semi-join and
+    * pay the cap + join + verify), key rows = Σ b + Σ h from the same
+    * full-outer-joined count frames (== keys-per-doc · rows by
+    * construction — no separate count() jobs). The history's text/media
+    * bytes are never touched. */
+  private def probeLayoutCosts(batch: DataFrame, history: DataFrame,
+      keyOf: Column => Column, keyNames: Seq[String]): (Long, Long) = {
     def counts(df: DataFrame, as: String) =
       df.select(keyOf(col("sh")).as(keyNames))
         .groupBy(keyNames.map(col): _*).agg(count(lit(1)).as(as))
-    counts(batch, "b").join(counts(history, "h"), keyNames)
-      .agg(coalesce(sum(col("b") * col("h")), lit(0L)))
-      .collect()(0).getLong(0)
+    val r = counts(batch, "b").join(counts(history, "h"), keyNames,
+        "full_outer")
+      .agg(coalesce(sum(col("b")), lit(0L)),
+        coalesce(sum(col("h")), lit(0L)),
+        coalesce(sum(col("b") * col("h")), lit(0L)))
+      .collect()(0)
+    (r.getLong(0) + r.getLong(1), r.getLong(2))
   }
 
   /** MEASURED narrow-vs-wide selection for [[hash64AgainstHistory]] —
@@ -1071,14 +1078,12 @@ object Dedup {
         s"$maxHamming")
     val b = sigs.select(col(hashCol).as("sh"))
     val h = history.select(col(hashCol).as("sh"))
-    val rows = b.count() + h.count()
-    val narrowCand = probeVolume(b, h,
+    val (nKeyRows, narrowCand) = probeLayoutCosts(b, h,
       c => manku16BlockKeys(c), Seq("block", "key"))
-    val wideCand = probeVolume(b, h,
+    val (wKeyRows, wideCand) = probeLayoutCosts(b, h,
       c => posexplode(wideComboKeys(c, blocks, maxHamming)),
       Seq("combo", "ck"))
-    decide(narrowCand, wideCand, SimhashBlocks * rows,
-      comboCount(blocks, maxHamming) * rows)
+    decide(narrowCand, wideCand, nKeyRows, wKeyRows)
   }
 
   /** [[hash64AgainstHistory]]/[[hash64AgainstHistoryWide]] behind the
@@ -2258,10 +2263,17 @@ object Dedup {
         .polySimhash(col("text"), mod1, mod2).as("sh"))
     val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) => {
       val hits =
-        if (autoProbe)
-          hash64AgainstHistoryAuto(sigs(fresh), sigs(hist),
+        if (autoProbe) {
+          // the selector's contract: it evaluates each side once per
+          // layout estimate plus once in the chosen probe — cache the
+          // signature frames so the poly-simhash derivation over the
+          // text runs ONCE per side, not four times (measured 1.6×
+          // the whole fold at sf0.1 without the cut)
+          val (bs, hs) = (sigs(fresh).localCheckpoint(),
+            sigs(hist).localCheckpoint())
+          hash64AgainstHistoryAuto(bs, hs,
             maxHamming = maxHamming, blocks = blocks, maxBucket = 0).result
-        else hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
+        } else hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
           maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
       hits.select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
     }
