@@ -2250,11 +2250,32 @@ object Dedup {
     * from exact counts-only volumes (the decision logs as an
     * `event=hash64_layout` line). Results are bit-identical either way
     * (both layouts exact for Hamming ≤ `maxHamming` ≤ 3 uncapped —
-    * suite law on the real corpus), so the switch is pure cost. */
+    * suite law on the real corpus, multiset equality), so the switch
+    * is pure cost — and the cost is honest: each decision runs one
+    * counts-only key scan per layout over batch + history (O(history)
+    * rows scanned per fold, partial-agg'd map-side, signatures never
+    * shuffled — the same cost class as the probe's own semi-join key
+    * scan; at extreme history sizes maintain the history's bucket
+    * counts incrementally instead of re-measuring per fold). Requires
+    * `maxHamming ≤ 3` AT CONSTRUCTION (the selector's equivalence
+    * domain — pinned-wide alone accepts up to `blocks − 1`); failing
+    * here beats an IllegalArgumentException mid-fold about an operator
+    * the caller never named.
+    *
+    * `materialize` truncates the signature frames' lineage before the
+    * auto decision consumes each side multiple times — pass the SAME
+    * policy the fold uses (`_.checkpoint()` under executor churn,
+    * `identity` to opt out), default matching the fold's default. */
   def nearDupWideSimhashFamily(maxHamming: Int = 3, blocks: Int = 6,
       mod1: Long = 2147483647L, mod2: Long = 1073741789L,
-      autoProbe: Boolean = false)
+      autoProbe: Boolean = false,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
       : (DataFrame => DataFrame, (DataFrame, DataFrame) => DataFrame) = {
+    require(!autoProbe || (maxHamming >= 1 && maxHamming < SimhashBlocks),
+      s"nearDupWideSimhashFamily(autoProbe = true) needs 1 <= maxHamming " +
+        s"< $SimhashBlocks (the selector's narrow/wide equivalence " +
+        s"domain), got $maxHamming — pin the wide layout (autoProbe = " +
+        "false) for larger budgets")
     val pf: DataFrame => DataFrame = reps =>
       simhashPairsPortableWide(reps, "id", "text", maxHamming, blocks,
         mod1, mod2, maxBucket = 0)
@@ -2265,12 +2286,12 @@ object Dedup {
       val hits =
         if (autoProbe) {
           // the selector's contract: it evaluates each side once per
-          // layout estimate plus once in the chosen probe — cache the
-          // signature frames so the poly-simhash derivation over the
-          // text runs ONCE per side, not four times (measured 1.6×
-          // the whole fold at sf0.1 without the cut)
-          val (bs, hs) = (sigs(fresh).localCheckpoint(),
-            sigs(hist).localCheckpoint())
+          // layout estimate plus once in the chosen probe — cut the
+          // signature frames' lineage so the poly-simhash derivation
+          // over the text runs ONCE per side, not four times (measured
+          // 1.6× the whole fold at sf0.1 without the cut); policy per
+          // the caller, like the fold's own materialize
+          val (bs, hs) = (materialize(sigs(fresh)), materialize(sigs(hist)))
           hash64AgainstHistoryAuto(bs, hs,
             maxHamming = maxHamming, blocks = blocks, maxBucket = 0).result
         } else hash64AgainstHistoryWide(sigs(fresh), sigs(hist),

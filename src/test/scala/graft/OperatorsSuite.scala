@@ -1171,7 +1171,9 @@ class DedupSuite extends SparkSpec {
     "cost, never pairs)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"), col("n_chars"))
-    def fold(auto: Boolean): Set[Seq[Any]] = {
+    // MULTISET equality (sorted rows, not a Set): a duplicate resolution
+    // row regression must fail this pin, not vanish into set collapse
+    def fold(auto: Boolean): Seq[String] = {
       val (pf, probe) = Dedup.nearDupWideSimhashFamily(autoProbe = auto)
       var st = Dedup.nearDupEmptyState(docs, "doc_id", "text", "n_chars")
       Seq(col("doc_id") < 250, col("doc_id") >= 250).foreach { p =>
@@ -1181,7 +1183,7 @@ class DedupSuite extends SparkSpec {
           st._3.localCheckpoint())
       }
       Dedup.nearDupResolution(st._1, st._2, st._3)
-        .collect().map(_.toSeq).toSet
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
     }
     assert(fold(auto = true) === fold(auto = false),
       "auto-probe fold must equal the pinned-wide fold bit for bit")
