@@ -36,7 +36,8 @@ class LoggingObserver extends PipelineObserver {
   override def onBatchPlanned(id: Long, files: Int, bytes: Long): Unit =
     log("event" -> "planned", "batch_id" -> id, "files" -> files, "bytes" -> bytes)
   override def onStageEnd(id: Long, stage: String, ms: Long, md: Map[String, String]): Unit =
-    log("event" -> "stage_end", "batch_id" -> id, "stage" -> stage, "duration_ms" -> ms)
+    log(Seq[(String, Any)]("event" -> "stage_end", "batch_id" -> id,
+      "stage" -> stage, "duration_ms" -> ms) ++ md.toSeq: _*)
   override def onBatchCommitted(id: Long, md: Map[String, String]): Unit =
     log("event" -> "committed", "batch_id" -> id)
   override def onError(id: Long, stage: String, e: Throwable): Unit =
@@ -78,9 +79,15 @@ class Pipeline(
 
   private def timed[T](batchId: Long, stage: String)(f: => T): T = {
     observer.onStageStart(batchId, stage)
+    StageMetadata.drain(): Unit // pre-stage leftovers are not this stage's
     val t0 = System.nanoTime()
     val r = f
-    observer.onStageEnd(batchId, stage, (System.nanoTime() - t0) / 1000000, Map.empty)
+    // operator-internal decisions recorded during the stage (e.g. the
+    // hash64 layout selector's event=hash64_layout) ride the stage-end
+    // event, so the structured stream — not just the driver log —
+    // explains the plan the run chose
+    observer.onStageEnd(batchId, stage, (System.nanoTime() - t0) / 1000000,
+      StageMetadata.drain())
     r
   }
 

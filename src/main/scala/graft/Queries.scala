@@ -244,12 +244,16 @@ object Queries {
   /** Decision CTE for the hash64 auto-selector oracles: re-derives both
     * layouts' exact costs (`keyRows + candidates`) from the same key
     * derivations the joins use and replays the argmin (strict `>`, so
-    * ties go narrow — exactly `Dedup.decide`). `ncand`/`wcand` are the
-    * caller's per-layout candidate-volume CTEs (pairs: Σ c·(c−1)/2;
-    * probe: Σ b·h), each exposing one column `cand`. */
-  private def hash64DecisionCte(rowsRel: String): String =
-    s"""nc AS (SELECT CAST(4 * COUNT(*) AS BIGINT) AS keyrows FROM $rowsRel),
-       |wc AS (SELECT CAST(20 * COUNT(*) AS BIGINT) AS keyrows FROM $rowsRel),
+    * ties go narrow — exactly `Dedup.decide`). Key-row totals COUNT the
+    * exploded key CTEs themselves (`bkn`/`bk`) — the oracle mirrors the
+    * measured Σc for ANY parameterization instead of hardcoding the
+    * 4/20 keys-per-doc of the pinned blocks=6/maxHamming=3 layout.
+    * `ncand`/`wcand` are the caller's per-layout candidate-volume CTEs
+    * (pairs: Σ c·(c−1)/2; probe: Σ b·h), each exposing one column
+    * `cand`. */
+  private val hash64DecisionCte: String =
+    s"""nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS keyrows FROM bkn),
+       |wc AS (SELECT CAST(COUNT(*) AS BIGINT) AS keyrows FROM bk),
        |dec AS (SELECT
        |    CASE WHEN nc.keyrows + ncand.cand > wc.keyrows + wcand.cand
        |      THEN 'wide' ELSE 'narrow' END AS layout,
@@ -2071,17 +2075,22 @@ object Queries {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
           .filter(pmod(col("doc_id"), lit(2)) === 0)
-        // autoProbe: the fold's history probe runs the MEASURED layout
-        // selector per batch (the r17 directive's other half — the auto
-        // path now drives a hash-checked CORRECTNESS row through the
-        // composed fold too, decision logged as event=hash64_layout);
-        // the oracle is layout-independent because uncapped narrow ==
-        // wide == auto for Hamming <= 3 (suite law)
-        val (pf, probe) = Dedup.nearDupWideSimhashFamily(autoProbe = true)
-        // the persisted-state fold surface (marker-stamped root, all
-        // three tables atomically replaced per fold) — the correctness
-        // gate exercises the *Table path end to end
+        // autoProbe + countsDir: the fold's history probe runs the
+        // MEASURED layout selector per batch, reading the HISTORY
+        // side's volumes from the persisted Hash64Counts cache (folded
+        // per batch, row-count tripwired) instead of re-scanning the
+        // reps per decision — the r18 directive's incremental-counts
+        // path drives a hash-checked CORRECTNESS row through the
+        // composed fold (decision logged as event=hash64_layout); the
+        // oracle is layout-independent because uncapped narrow == wide
+        // == auto for Hamming <= 3 (suite law)
         val dir = scratch(s, "ndc_incr")
+        val (pf, probe) = Dedup.nearDupWideSimhashFamily(autoProbe = true,
+          countsDir = Some(s"$dir/_simhash_counts"))
+        // the persisted-state fold surface (marker-stamped root, chunked
+        // O(batch) docs/reps appends + the cc epoch, one atomic pointer
+        // per fold) — the correctness gate exercises the *Table path
+        // end to end
         for (k <- 0 until 2)
           Dedup.nearDupCanonicalizeIncrementTable(
             docs.filter(pmod(col("doc_id"), lit(4)) === k * 2),
@@ -2900,7 +2909,7 @@ object Queries {
            |wcand AS (SELECT CAST(COALESCE(SUM(c*(c-1)), 0) // 2 AS BIGINT)
            |    AS cand
            |  FROM (SELECT COUNT(*) AS c FROM bk GROUP BY combo, key)),
-           |${hash64DecisionCte("sig")}
+           |$hash64DecisionCte
            |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            |  CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS BIGINT) AS hamming,
            |  dec.layout, dec.narrow_cost, dec.wide_cost
@@ -2923,6 +2932,17 @@ object Queries {
         graft.state.HistoryFormat.stamp(
           s.sparkContext.hadoopConfiguration, dir,
           graft.state.HistoryFormat.Hash64Signature)
+        // build the layout-selector's bucket-count cache the production
+        // way: INCREMENTALLY, two fold steps over the index halves — the
+        // decision below then reads history volumes from persisted
+        // counts state (one job, no history re-scan) and must still
+        // hash-match DuckDB's fresh re-derivation (incremental ==
+        // fresh-measured, the counts law, oracle-gated here)
+        val cd = graft.operators.Hash64Counts.countsDirFor(dir)
+        for (k <- 0 until 2)
+          graft.operators.Hash64Counts.fold(s, cd,
+            sigs.filter(col("doc_id") >= 250 &&
+              pmod(col("doc_id"), lit(2)) === k), "sh")
         val r = graft.operators.Dedup.hash64AgainstHistoryAutoTable(
           sigs.filter(col("doc_id") < 250), dir,
           maxHamming = 3, blocks = 6, maxBucket = 0)
@@ -2953,7 +2973,7 @@ object Queries {
            |  JOIN (SELECT combo, key, COUNT(*) AS h FROM bk
            |        WHERE id >= 250 GROUP BY 1, 2) ch
            |    USING (combo, key)),
-           |${hash64DecisionCte("sig")}
+           |$hash64DecisionCte
            |SELECT DISTINCT b.id AS doc_id, h.id AS hist_id,
            |  CAST(BIT_COUNT(XOR(b.sh, h.sh)) AS BIGINT) AS hamming,
            |  dec.layout, dec.narrow_cost, dec.wide_cost

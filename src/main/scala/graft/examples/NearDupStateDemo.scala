@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * laws promise but only a live driver can prove:
   *
   *  - documents arrive file-by-file; each batch folds into the state
-  *    trio (docs/reps/cc) under the SINGLE-POINTER epoch swap — a
-  *    reader or crash can only observe a complete epoch;
+  *    trio (docs/reps/cc) under the SINGLE-POINTER epoch swap (v3:
+  *    O(batch) docs/reps chunk appends + the cc epoch table, all named
+  *    by one atomically-replaced pointer) — a reader or crash can only
+  *    observe a complete, consistent state;
   *  - the crash is injected AFTER the epoch commit and BEFORE the
   *    driver's offset commit — the at-least-once window where the WAL
   *    MUST re-deliver a batch whose state effects already landed;
@@ -65,8 +67,24 @@ object NearDupStateDemo {
     }
 
     // the production pair family — the ONE shared definition the
-    // correctness query, the scaling series, and the suite pins also use
-    val (pf, probe) = Dedup.nearDupWideSimhashFamily()
+    // correctness query, the scaling series, and the suite pins also
+    // use; here in its fully-instrumented production shape: the
+    // MEASURED layout selector reading history volumes from the
+    // persisted counts cache (folded per batch beside the state root)
+    val countsDir = s"$stateRoot/_simhash_counts"
+    val (pf, probe) = Dedup.nearDupWideSimhashFamily(autoProbe = true,
+      countsDir = Some(countsDir))
+
+    // capture stage-end metadata: the layout decision must reach the
+    // STRUCTURED observer stream, not just the driver log
+    val stageMeta = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    class CapturingObserver extends LoggingObserver {
+      override def onStageEnd(id: Long, stage: String, ms: Long,
+          md: Map[String, String]): Unit = {
+        md.foreach(stageMeta += _)
+        super.onStageEnd(id, stage, ms, md)
+      }
+    }
 
     def pipeline(crashAfterEpochCommitAt: Option[Long] = None) = {
       val ckpt = new FileStreamCheckpoint(cp, conf)
@@ -86,7 +104,7 @@ object NearDupStateDemo {
               "injected crash between epoch commit and offset commit")
           Map.empty
         },
-        observer = new LoggingObserver,
+        observer = new CapturingObserver,
         spark = spark)
     }
 
@@ -95,6 +113,10 @@ object NearDupStateDemo {
         path(s"$stateRoot/_graft_neardup_epoch.json"), conf), "epoch").get
     def epochDirs(): Seq[String] = fs.listStatus(path(stateRoot)).toSeq
       .map(_.getPath.getName).filter(_.matches("e\\d+")).sorted
+    def chunkDirs(t: String): Seq[String] =
+      fs.listStatus(path(s"$stateRoot/$t")).toSeq
+        .map(_.getPath.getName).filter(_.matches("[cm]\\d+"))
+        .sortBy(_.drop(1).toLong)
 
     println("== run 1: two batches fold, two epoch swaps ==")
     val r1 = pipeline().run(RunOptions(once = false, sleepMs = 0,
@@ -116,8 +138,20 @@ object NearDupStateDemo {
     println(s"crashed as planned: $crashed  " +
       s"epoch after crash=$epochAfterCrash (the swap landed)")
 
+    // inject the OTHER crash window — a fold that died AFTER its counts
+    // fold but BEFORE its epoch commit leaves the counts cache AHEAD of
+    // the committed reps; the next fold's row-count tripwire must
+    // detect it and heal with a lossless rebuild (never silent drift).
+    // (The crashed run 2 fold's own decision/heal entries were rightly
+    // DROPPED from the observer stream — its stage never ended — so the
+    // replay fold below is also what proves the heal reaches onStageEnd.)
+    println("== crash sim: counts folded ahead of the committed reps ==")
+    graft.operators.Hash64Counts.fold(spark, countsDir,
+      spark.range(7).select(col("id").as("doc_id"), col("id").as("sh")),
+      "sh")
+
     println("== run 3: restart — the WAL re-delivers batch 3; the fold " +
-      "replays as a no-op epoch ==")
+      "replays as a no-op epoch (and heals the counts cache) ==")
     val r3 = pipeline().run(RunOptions(once = false, sleepMs = 0))
     println(s"run3: batches=${r3.batchesProcessed} " +
       s"epoch=${committedEpoch()} dirs=${epochDirs().mkString(",")}")
@@ -135,6 +169,26 @@ object NearDupStateDemo {
     println(s"resolution rows=${folded.size} (corpus $total), " +
       s"replay epoch was a no-op over ${epochAfterCrash}")
 
+    // v3 chunk layout: one append-only chunk per fold per table, and the
+    // replayed batch's chunk holds ZERO rows (the no-op epoch made real)
+    val expectChunks = (1L to committedEpoch()).map(i => s"c$i")
+    val replayChunkRows = spark.read
+      .parquet(s"$stateRoot/docs/c${committedEpoch()}").count() +
+      spark.read.parquet(s"$stateRoot/reps/c${committedEpoch()}").count()
+    println(s"chunks docs=${chunkDirs("docs").mkString(",")} " +
+      s"reps=${chunkDirs("reps").mkString(",")} " +
+      s"replay-chunk rows=$replayChunkRows")
+    // the structured stream explained the plan: per-fold layout
+    // decisions AND the injected counts heal rode onStageEnd metadata
+    val layoutEvents = stageMeta.filter(_._1.startsWith("hash64_layout"))
+    val healEvents = stageMeta.filter(_._1.startsWith("hash64_counts_rebuild"))
+    println(s"observer: ${layoutEvents.size} hash64_layout events " +
+      s"(first: ${layoutEvents.headOption.map(_._2).getOrElse("-")}), " +
+      s"${healEvents.size} counts-heal events")
+    // counts cache ended consistent with the committed reps
+    val repsRows = spark.read.parquet(
+      (1L to committedEpoch()).map(i => s"$stateRoot/reps/c$i"): _*).count()
+    val countsN = graft.operators.Hash64Counts.foldedRows(conf, countsDir)
     val pass =
       r1.batchesProcessed == 2 &&
       crashed &&
@@ -145,6 +199,18 @@ object NearDupStateDemo {
       committedEpoch() == epochAfterCrash + 1 && // replay swapped a new epoch
       r4.batchesProcessed == 0 &&          // then everything is committed
       epochDirs() == Seq(s"e${committedEpoch()}") && // superseded pruned
+      chunkDirs("docs") == expectChunks && // one O(batch) append per fold
+      chunkDirs("reps") == expectChunks &&
+      replayChunkRows == 0L &&             // the replay appended nothing
+      layoutEvents.size == 3 &&            // every COMMITTED fold's
+                                           // decision is in the stream
+                                           // (the crashed fold's is
+                                           // rightly dropped)
+      layoutEvents.forall(_._2.contains("chosen=")) &&
+      healEvents.size == 2 &&              // fold-1's bootstrap rebuild +
+                                           // the injected counts-ahead
+                                           // crash healing exactly once
+      countsN.contains(repsRows) &&        // cache == committed reps
       folded.size == total.toInt &&        // every doc resolves
       folded == oneShot                    // fold-through-crash == one-shot
     println(s"neardup-state crash-replay check: ${if (pass) "PASS" else "FAIL"}")

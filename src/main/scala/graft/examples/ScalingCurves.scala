@@ -465,8 +465,10 @@ object ScalingCurves {
     // Every other history probe has a fixed-batch-vs-growing-history
     // series; the composed fold's per-batch cost includes two O(state)
     // anti-join scans (docs ids, reps fps), the cc-translation scan, and
-    // — on the *Table surface — the epoch swap's O(state) trio rewrite,
-    // none of which the semi-join-first discipline bounds. Measure it
+    // — on the *Table surface — the cc rewrite (the v3 chunk layout
+    // removed the docs/reps rewrite: those commits are now O(batch),
+    // gated below via the chunk-bytes column), none of which the
+    // semi-join-first discipline bounds. Measure it
     // the way a pipeline pays it: a FIXED 500-doc batch (250 attach by
     // fingerprint to already-seen texts, 250 genuinely novel texts)
     // folds into persisted state roots accumulated from the 1×–8×
@@ -491,7 +493,8 @@ object ScalingCurves {
       val fmt = graft.state.HistoryFormat.NearDupState
       val fmtOk = graft.state.HistoryFormat.read(hconf, root)
         .contains((fmt.name, fmt.version.toLong))
-      if (!new java.io.File(s"$root/_graft_neardup_epoch.json").exists()
+      if (!ndFs.exists(new org.apache.hadoop.fs.Path(root,
+            "_graft_neardup_epoch.json"))
           || !fmtOk) {
         ndFs.delete(new org.apache.hadoop.fs.Path(root), true)
         Dedup.nearDupCanonicalizeIncrementTable(
@@ -500,6 +503,7 @@ object ScalingCurves {
       }
       root
     }
+    val ndChunkBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
     val ndBatch = docs(1).filter(col("doc_id") < 500)
       .select((col("doc_id") + lit(77000000L)).as("doc_id"),
         when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
@@ -519,13 +523,14 @@ object ScalingCurves {
       org.apache.hadoop.fs.FileUtil.copy(ndFs,
         new org.apache.hadoop.fs.Path(src), ndFs,
         new org.apache.hadoop.fs.Path(dst), false, hconf)
-      val stateDocs = spark.read.parquet(s"$dst/e1/docs").count()
-      val stateReps = spark.read.parquet(s"$dst/e1/reps").count()
+      val st0 = Dedup.nearDupReadState(spark, dst)
+      val stateDocs = st0._1.count()
+      val stateReps = st0._2.count()
       // the fold's materialize cuts its plan into per-stage jobs, so
       // candidates/peak come from the standalone equivalent of its
       // history-probe stage (same inputs, same operator)
       val (crossFound, cand, peak) = measure(ndProbe(ndNovel,
-        spark.read.parquet(s"$dst/e1/reps").select("id", "text")))
+        st0._2.select("id", "text")))
       if (m == scales.head) { // untimed warm-up, like the other loops
         Dedup.nearDupCanonicalizeIncrementTable(ndBatch,
           "doc_id", "text", "q", dst, ndPf, ndProbe)
@@ -539,32 +544,119 @@ object ScalingCurves {
         "doc_id", "text", "q", dst, ndPf, ndProbe)
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      val docsAfter = spark.read.parquet(s"$dst/e2/docs").count()
-      val repsAfter = spark.read.parquet(s"$dst/e2/reps").count()
+      val stAfter = Dedup.nearDupReadState(spark, dst)
+      val docsAfter = stAfter._1.count()
+      val repsAfter = stAfter._2.count()
+      // bytes the fold COMMITTED, split into the v3 appends (the new
+      // docs/reps chunks — must be a function of the batch, flat in m)
+      // and the accepted O(reps) cc rewrite
+      def du(p: String): Long =
+        if (ndFs.exists(new org.apache.hadoop.fs.Path(p)))
+          ndFs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+        else 0L
+      val chunkBytes = du(s"$dst/docs/c2") + du(s"$dst/reps/c2")
+      val ccBytes = du(s"$dst/e2/cc")
       println(f"neardup_fold_history   x$m%-2d ${sec}%8.2f s  " +
         f"state=$stateDocs%-7d cross_found=$crossFound%-5d " +
         f"cand=$cand%-9d peak=$peak%-9d docs+${docsAfter - stateDocs} " +
-        f"reps+${repsAfter - stateReps}")
+        f"reps+${repsAfter - stateReps} chunk_kB=${chunkBytes / 1024} " +
+        f"cc_kB=${ccBytes / 1024}")
       if (docsAfter != stateDocs + 500 || repsAfter != stateReps + 250) {
         println("QUADRATIC-CURVE FLAGS: composed-fold row deltas must be " +
           s"exact arithmetic (docs $stateDocs->$docsAfter, " +
           s"reps $stateReps->$repsAfter)")
         spark.stop(); sys.exit(1)
       }
+      ndChunkBytes += chunkBytes
       Point(m, sec, crossFound, cand, peak)
+    }
+    // the v3 claim, gated: the fold's docs/reps COMMIT is a function of
+    // the batch, not the state — chunk bytes must hold flat across the
+    // 1×–8× accumulated states (same 500-doc batch → same appended rows)
+    if (ndChunkBytes.max > 2 * ndChunkBytes.min) {
+      println("QUADRATIC-CURVE FLAGS: v3 chunk commits must be " +
+        s"batch-sized and state-independent: bytes=$ndChunkBytes")
+      spark.stop(); sys.exit(1)
     }
     val ndCandSlope = slope(ndPts.map(p => (p.m.toDouble,
       p.candRows.toDouble)))
     val ndWallSlope = slope(ndPts.map(p => (p.m.toDouble, p.sec)))
     println(f"neardup_fold_history candidate slope $ndCandSlope%.2f " +
       f"(pair work batch-bounded), wall slope $ndWallSlope%.2f (the " +
-      "O(state) bookkeeping scans + epoch rewrite — linear rows, " +
-      "accepted trade; README scaling notes)")
+      "O(state) bookkeeping scans + cc rewrite — linear rows, " +
+      "accepted trade; README scaling notes), chunk bytes flat " +
+      s"(${ndChunkBytes.map(_ / 1024).mkString("/")} kB: the v3 " +
+      "docs/reps commit is batch-sized, not state-sized)")
     if (ndCandSlope > 1.5) {
       println("QUADRATIC-CURVE FLAGS: composed-fold probe candidates " +
         s"grew superlinearly with the rep history: slope $ndCandSlope")
       spark.stop(); sys.exit(1)
     }
+
+    // ----- hash64 layout-decision cost: persisted counts vs re-measure ----
+    // The auto selector's honest cost used to be two O(history)
+    // counts-only key scans per decision (linear in state by
+    // construction). With the Hash64Counts cache the decision reads
+    // pre-aggregated buckets and measures only the batch — this series
+    // measures BOTH paths per state size against the same fixed batch.
+    // Gates are exact arithmetic, not wall-clock: (1) the counted
+    // decision must equal the re-measured decision bit-for-bit at every
+    // size (it is the same argmin over the same exact volumes — the
+    // LAW), and (2) the counts state's per-layout key-row sums must be
+    // exactly 4·N and C(6,3)=20·N (the fold lost nothing). Walls are
+    // printed with slopes for the curve itself.
+    println()
+    def ndSigs(df: org.apache.spark.sql.DataFrame, idc: String) =
+      df.select(col(idc).as("doc_id"),
+        graft.functions.FusedMinHashFunctions
+          .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+    val decBatch = ndSigs(ndNovel, "id").localCheckpoint()
+    val decPts = scales.map { m =>
+      val hs = ndSigs(Dedup.nearDupReadState(spark, ndRoot(m))._2
+        .select("id", "text"), "id").localCheckpoint()
+      val n = hs.count()
+      val cdir = s"$work/h64counts_${srcTag}_x$m"
+      ndFs.delete(new org.apache.hadoop.fs.Path(cdir), true)
+      graft.operators.Hash64Counts.rebuild(spark, cdir, hs, "sh")
+      // exact no-loss gate: Σ cnt per layout == keys-per-doc · N
+      val sums = graft.operators.Hash64Counts.read(spark, cdir)
+        .groupBy("layout").agg(sum(col("cnt")).as("s")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (sums.getOrElse("narrow", -1L) != 4 * n ||
+          sums.getOrElse("wide", -1L) != 20 * n) {
+        println("QUADRATIC-CURVE FLAGS: counts state lost rows: " +
+          s"n=$n sums=$sums")
+        spark.stop(); sys.exit(1)
+      }
+      if (m == scales.head) { // untimed warm-up, like the other loops
+        graft.operators.Hash64Counts.decision(decBatch,
+          graft.operators.Hash64Counts.read(spark, cdir), "sh")
+        Dedup.hash64HistoryLayoutDecision(decBatch, hs)
+      }
+      val t0 = System.nanoTime()
+      val counted = {
+        val hc = graft.operators.Hash64Counts.ensure(spark, cdir, hs, "sh")
+        graft.operators.Hash64Counts.decision(decBatch, hc, "sh")
+      }
+      val countedSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val measured = Dedup.hash64HistoryLayoutDecision(decBatch, hs)
+      val measuredSec = (System.nanoTime() - t1) / 1e9
+      if (counted != measured) {
+        println("QUADRATIC-CURVE FLAGS: counted decision diverged from " +
+          s"the measurement at x$m: $counted vs $measured")
+        spark.stop(); sys.exit(1)
+      }
+      println(f"hash64_layout_decision x$m%-2d counted=${countedSec}%6.2f s " +
+        f"re-measure=${measuredSec}%6.2f s  hist=$n%-7d " +
+        f"chosen=${counted.chosen}")
+      (m.toDouble, countedSec, measuredSec)
+    }
+    println(f"hash64_layout_decision counted slope " +
+      f"${slope(decPts.map(p => (p._1, p._2)))}%.2f vs re-measure slope " +
+      f"${slope(decPts.map(p => (p._1, p._3)))}%.2f (the counted path " +
+      "reads O(buckets) pre-aggregated rows + one tripwire count — " +
+      "never re-derives the history's key explosion)")
 
     // ----- IVF with nlist ∝ √N (the production scaling rule, measured) -----
     // The fixed-nlist series above holds slope 1.00 by construction; the

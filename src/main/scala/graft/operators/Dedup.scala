@@ -615,7 +615,7 @@ object Dedup {
       graft.functions.SimHashFunctions.simhash(tokens(col(textCol))).as("sh"))
 
   /** Number of 16-bit blocks the 64-bit SimHash is bucketed on. */
-  private val SimhashBlocks = 4
+  private[operators] val SimhashBlocks = 4
 
   /** Near-duplicate pairs by SimHash Hamming distance.
     *
@@ -641,7 +641,7 @@ object Dedup {
     * derivation of hash64Pairs, hash64AgainstHistory, and the
     * truncation diagnostic; a change here changes all three together
     * (the diagnostic must always measure the bucketing the join uses). */
-  private def manku16BlockKeys(h: Column): Column =
+  private[operators] def manku16BlockKeys(h: Column): Column =
     posexplode(array((0 until SimhashBlocks).map(j =>
       shiftrightunsigned(h, 16 * j).bitwiseAND(lit(0xffffL))): _*))
 
@@ -703,7 +703,7 @@ object Dedup {
     * wide layout — the shared key derivation of [[hash64PairsWide]] and
     * [[hash64AgainstHistoryWide]] (one definition, like
     * `manku16BlockKeys` for the narrow layout). Validates the layout. */
-  private def wideComboKeys(h: Column, blocks: Int,
+  private[operators] def wideComboKeys(h: Column, blocks: Int,
       maxHamming: Int): Column = {
     require(blocks >= 2 && blocks <= 32,
       s"hash64 wide keys: blocks must be in [2, 32], got $blocks")
@@ -942,19 +942,25 @@ object Dedup {
   case class Hash64AutoResult(result: DataFrame,
       decision: Hash64LayoutDecision)
 
-  private lazy val selectorLog =
+  private[operators] lazy val selectorLog =
     org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
 
   /** One structured log line per auto-selection, LoggingObserver-style
     * `key=value` — so a production run's driver log EXPLAINS the plan
     * it chose (which layout, both measured cost totals, the margin)
-    * without the caller having to thread the decision anywhere. */
-  private def logLayoutDecision(op: String,
-      d: Hash64LayoutDecision): Unit =
-    selectorLog.info(s"event=hash64_layout op=$op chosen=${d.chosen} " +
+    * without the caller having to thread the decision anywhere. The
+    * same entry lands in [[graft.core.StageMetadata]], which the
+    * Pipeline drains into `PipelineObserver.onStageEnd` metadata — the
+    * run's STRUCTURED event stream carries the decision too. */
+  private[operators] def logLayoutDecision(op: String,
+      d: Hash64LayoutDecision): Unit = {
+    val detail = s"op=$op chosen=${d.chosen} " +
       s"narrow_cost=${d.narrowKeyRows + d.narrowCandidates} " +
       s"wide_cost=${d.wideKeyRows + d.wideCandidates} " +
-      s"margin=${d.margin}")
+      s"margin=${d.margin}"
+    selectorLog.info(s"event=hash64_layout $detail")
+    graft.core.StageMetadata.put("hash64_layout", detail)
+  }
 
   /** Exact per-layout `(keyRows, Σ c·(c−1))` over the buckets `keyOf`
     * induces (the second term is twice the within-bucket pair count) in
@@ -1013,7 +1019,7 @@ object Dedup {
     decide(narrow2 / 2, wide2 / 2, nKeyRows, wKeyRows)
   }
 
-  private def decide(narrowCand: Long, wideCand: Long,
+  private[operators] def decide(narrowCand: Long, wideCand: Long,
       narrowKeyRows: Long, wideKeyRows: Long): Hash64LayoutDecision =
     Hash64LayoutDecision(
       useWide = narrowKeyRows + narrowCand > wideKeyRows + wideCand,
@@ -1029,13 +1035,20 @@ object Dedup {
     * bucket cap, each layout's own documented truncation applies). */
   def hash64PairsAuto(sigs: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, blocks: Int = 6,
-      maxBucket: Int = DefaultMaxBucket): Hash64AutoResult = {
-    val d = hash64PairsLayoutDecision(sigs, hashCol, maxHamming, blocks)
+      maxBucket: Int = DefaultMaxBucket,
+      materialize: DataFrame => DataFrame = identity): Hash64AutoResult = {
+    // the selector evaluates `sigs` once per layout estimate plus once
+    // in the chosen operator — `materialize` (default: leave the plan
+    // alone) lets callers with an expensive signature derivation cut
+    // the lineage once here instead of paying it three times (the
+    // family's probe does exactly that; lineage-only, never rows)
+    val s = materialize(sigs)
+    val d = hash64PairsLayoutDecision(s, hashCol, maxHamming, blocks)
     logLayoutDecision("hash64PairsAuto", d)
     Hash64AutoResult(
       if (d.useWide)
-        hash64PairsWide(sigs, idCol, hashCol, maxHamming, blocks, maxBucket)
-      else hash64Pairs(sigs, idCol, hashCol, maxHamming, maxBucket), d)
+        hash64PairsWide(s, idCol, hashCol, maxHamming, blocks, maxBucket)
+      else hash64Pairs(s, idCol, hashCol, maxHamming, maxBucket), d)
   }
 
   /** Exact per-layout `(keyRows, candidateVolume)` for the HISTORY
@@ -1094,15 +1107,20 @@ object Dedup {
   def hash64AgainstHistoryAuto(sigs: DataFrame, history: DataFrame,
       idCol: String = "doc_id", hashCol: String = "sh",
       maxHamming: Int = 3, blocks: Int = 6,
-      maxBucket: Int = DefaultMaxBucket): Hash64AutoResult = {
-    val d = hash64HistoryLayoutDecision(sigs, history, idCol, hashCol,
+      maxBucket: Int = DefaultMaxBucket,
+      materialize: DataFrame => DataFrame = identity): Hash64AutoResult = {
+    // same contract as hash64PairsAuto's materialize: each side is
+    // consumed by its layout estimate and by the chosen probe — cut
+    // expensive lineage once (default: leave the plan alone)
+    val (s, h) = (materialize(sigs), materialize(history))
+    val d = hash64HistoryLayoutDecision(s, h, idCol, hashCol,
       maxHamming, blocks)
     logLayoutDecision("hash64AgainstHistoryAuto", d)
     Hash64AutoResult(
       if (d.useWide)
-        hash64AgainstHistoryWide(sigs, history, idCol, hashCol, maxHamming,
+        hash64AgainstHistoryWide(s, h, idCol, hashCol, maxHamming,
           blocks, maxBucket)
-      else hash64AgainstHistory(sigs, history, idCol, hashCol, maxHamming,
+      else hash64AgainstHistory(s, h, idCol, hashCol, maxHamming,
         maxBucket), d)
   }
 
@@ -1110,15 +1128,41 @@ object Dedup {
     * from its table directory (marker-enforced, like the narrow/wide
     * table probes — the same
     * [[graft.state.HistoryFormat.Hash64Signature]] marker serves every
-    * layout). */
+    * layout).
+    *
+    * When a [[Hash64Counts]] cache sits beside the index
+    * (`_graft_hash64_counts/`, bootstrapped by
+    * [[Hash64Counts.rebuild]] and folded per batch by
+    * [[Hash64Counts.fold]]), the decision reads the HISTORY side's
+    * volumes from the persisted pre-aggregated counts and measures only
+    * the batch — one decision job instead of two O(history) signature
+    * scans; the counts' row-count tripwire self-heals any staleness
+    * with a lossless rebuild. Without the cache, falls back to the
+    * direct measurement. Decision and result are bit-identical either
+    * way (suite law) — the cache changes decision COST only. */
   def hash64AgainstHistoryAutoTable(sigs: DataFrame, historyDir: String,
       idCol: String = "doc_id", hashCol: String = "sh",
       maxHamming: Int = 3, blocks: Int = 6,
-      maxBucket: Int = DefaultMaxBucket): Hash64AutoResult =
-    hash64AgainstHistoryAuto(sigs,
-      graft.state.HistoryTables.readChecked(sigs.sparkSession, historyDir,
-        graft.state.HistoryFormat.Hash64Signature),
-      idCol, hashCol, maxHamming, blocks, maxBucket)
+      maxBucket: Int = DefaultMaxBucket): Hash64AutoResult = {
+    val hist = graft.state.HistoryTables.readChecked(sigs.sparkSession,
+      historyDir, graft.state.HistoryFormat.Hash64Signature)
+    val conf = sigs.sparkSession.sparkContext.hadoopConfiguration
+    val cd = Hash64Counts.countsDirFor(historyDir)
+    if (Hash64Counts.exists(conf, cd)) {
+      val hc = Hash64Counts.ensure(sigs.sparkSession, cd,
+        hist.select(col(hashCol)), hashCol, blocks, maxHamming)
+      val d = Hash64Counts.decision(sigs.select(col(hashCol)), hc,
+        hashCol, blocks, maxHamming)
+      logLayoutDecision("hash64AgainstHistoryAutoTable", d)
+      Hash64AutoResult(
+        if (d.useWide)
+          hash64AgainstHistoryWide(sigs, hist, idCol, hashCol, maxHamming,
+            blocks, maxBucket)
+        else hash64AgainstHistory(sigs, hist, idCol, hashCol, maxHamming,
+          maxBucket), d)
+    } else hash64AgainstHistoryAuto(sigs, hist, idCol, hashCol, maxHamming,
+      blocks, maxBucket)
+  }
 
   /** Truncation exposure of [[hash64AgainstHistory]]'s skew cap: the
     * count of PROBED history (block, key) buckets holding more than
@@ -1975,8 +2019,10 @@ object Dedup {
     * ACCEPTED O(state) bookkeeping (measured — ScalingCurves
     * `neardup_fold_history`, README scaling notes): the two anti-join
     * scans (batch ids vs docsState, batch fps vs repsState), the cc
-    * translation, and the *Table surface's epoch trio rewrite all scan
-    * or write rows LINEAR in the accumulated state. These are narrow
+    * translation, and the *Table surface's cc rewrite all scan
+    * or write rows LINEAR in the accumulated state (the docs/reps
+    * rewrite term was removed in the v3 chunk layout — those tables now
+    * commit O(batch)-sized appends). These are narrow
     * columns (ids/fps/assignments, 16-byte-class rows — the same cost
     * class as every history probe's key-column scan, NOT the corpus's
     * text/media bytes): measured at 5k–40k-doc states the whole fold's
@@ -2006,6 +2052,32 @@ object Dedup {
     * out. Like pageRank's policy, it changes lineage only, never rows
     * (suite-pinned: identity == default bit-for-bit). */
   def nearDupCanonicalizeIncrement(
+      batch: DataFrame, idCol: String, textCol: String, qualityCol: String,
+      docsState: DataFrame, repsState: DataFrame, ccState: DataFrame,
+      pairsOf: DataFrame => DataFrame,
+      crossPairsOf: (DataFrame, DataFrame) => DataFrame,
+      workDir: Option[String] = None,
+      localLimit: Long = 100000,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (db, rb, cc2) = nearDupFoldStep(batch, idCol, textCol, qualityCol,
+      docsState, repsState, ccState, pairsOf, crossPairsOf, workDir,
+      localLimit, materialize)
+    (docsState.unionByName(db), repsState.unionByName(rb), cc2)
+  }
+
+  /** The fold's core, returning the batch's DELTAS instead of the
+    * unioned state: `(docsDelta, repsDelta, ccState')` — docs and reps
+    * are APPEND-ONLY under the fold's own invariants (the id anti-join
+    * admits each id once; the fp anti-join admits one rep per distinct
+    * fingerprint ever), so the deltas are the complete increment and the
+    * persisted surface can commit O(batch)-sized appends instead of
+    * rewriting the accumulated tables
+    * ([[nearDupCanonicalizeIncrementTable]]'s chunk commit). Only the cc
+    * assignment is genuinely mutated by component merges and must be
+    * replaced whole. Both deltas come back `materialize`d (each is
+    * consumed by the pair stage AND by the caller's append). */
+  private[graft] def nearDupFoldStep(
       batch: DataFrame, idCol: String, textCol: String, qualityCol: String,
       docsState: DataFrame, repsState: DataFrame, ccState: DataFrame,
       pairsOf: DataFrame => DataFrame,
@@ -2055,8 +2127,8 @@ object Dedup {
       .unionByName(crossPairsOf(fresh, hist).select("id_a", "id_b")))
     val cc2 = componentsWithHistory(pairs, ccState,
       workDir = workDir, localLimit = localLimit)
-    (docsState.unionByName(b.select("id", "fp", "quality")),
-      repsState.unionByName(newReps.select("fp", "id", "text")),
+    (b.select("id", "fp", "quality"),
+      newReps.select("fp", "id", "text"),
       cc2)
   }
 
@@ -2065,10 +2137,11 @@ object Dedup {
 
   /** State-ish directories under the root: epoch dirs (`e<digits>`
     * ONLY — a user's "export/" must never read as ours) plus the
-    * pre-epoch layout's root-level table names. Used to tell a FRESH
-    * root apart from a root whose pointer is missing — which is never
-    * fresh: either the pointer replace was lost mid-crash on a
-    * filesystem whose rename is delete+rename (non-local schemes in
+    * chunk-table roots (`docs`/`reps`; also the pre-v3 layouts'
+    * root-level `cc`). Used to tell a FRESH root apart from a root
+    * whose pointer is missing — which is never fresh: either the
+    * pointer replace was lost mid-crash on a filesystem whose rename is
+    * delete+rename (non-local schemes in
     * [[graft.util.Fs.atomicWriteString]]) or the layout predates the
     * epoch pointer. Reseeding over either would silently discard every
     * folded document, so it refuses instead. */
@@ -2086,15 +2159,25 @@ object Dedup {
       .map(_.getPath.getName)
   }
 
-  /** The committed epoch's subdir, validated: pointer present ⇒ all
-    * three tables of that epoch must exist (a pointer naming a
-    * half-written epoch means the ATOMIC pointer write somehow landed
-    * without its data — corruption, refuse with the remedy). Pointer
-    * ABSENT over state-ish directories refuses too (lost pointer /
-    * pre-epoch layout — see [[nearDupStrayState]]); only a genuinely
-    * empty root returns None. */
-  private def nearDupCommittedEpoch(conf: org.apache.hadoop.conf.Configuration,
-      stateDir: String): Option[(Long, String)] = {
+  /** The committed v3 state: epoch number, the chunk lists composing
+    * the append-only docs/reps tables, and the epoch subdir holding the
+    * cc table. */
+  private case class NearDupCommitted(epoch: Long,
+      docsChunks: Seq[String], repsChunks: Seq[String], epochDir: String)
+
+  /** The committed state, validated: pointer present ⇒ the epoch's cc
+    * table AND every chunk the pointer lists must exist (the pointer
+    * write is atomic and strictly after the data writes, so a pointer
+    * naming missing data means post-commit corruption — refuse with the
+    * remedy, never a raw parquet path-not-found). Pointer ABSENT over
+    * state-ish directories refuses too (lost pointer / pre-pointer
+    * layout — see [[nearDupStrayState]]); only a genuinely empty root
+    * returns None. Callers run [[graft.state.HistoryFormat.ensure]]
+    * BEFORE this parse, so a pre-v3 pointer (no chunk lists) refuses at
+    * the marker with the rebuild remedy rather than surfacing here as
+    * corruption. */
+  private def nearDupCommitted(conf: org.apache.hadoop.conf.Configuration,
+      stateDir: String): Option[NearDupCommitted] = {
     val ptr = new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile)
     if (!graft.util.Fs.exists(ptr, conf)) {
       val stray = nearDupStrayState(conf, stateDir)
@@ -2105,60 +2188,147 @@ object Dedup {
             "— a lost pointer or a pre-epoch layout; reseeding over it " +
             "would silently discard every folded document. (One benign " +
             "cause: a crash during the very FIRST fold, after the " +
-            "marker/e1 write but before any pointer write — then NO " +
+            "marker/chunk writes but before any pointer write — then NO " +
             "epoch was ever committed, nothing was lost, and wiping the " +
             "root is lossless.) " +
             graft.state.HistoryFormat.NearDupState.rebuildRemedy)
       None
     } else {
-      val epoch = graft.util.Jsons
-        .optLong(graft.util.Fs.readJson(ptr, conf), "epoch")
-        .getOrElse(throw new IllegalStateException(
-          s"near-dup state pointer at $stateDir is malformed (no epoch) — " +
-            graft.state.HistoryFormat.NearDupState.rebuildRemedy))
+      val node = graft.util.Fs.readJson(ptr, conf)
+      def corrupt(what: String): Nothing = throw new IllegalStateException(
+        s"near-dup state pointer at $stateDir is malformed ($what) — " +
+          graft.state.HistoryFormat.NearDupState.rebuildRemedy)
+      val epoch = graft.util.Jsons.optLong(node, "epoch")
+        .getOrElse(corrupt("no epoch"))
+      def chunks(field: String): Seq[String] =
+        graft.util.Jsons.optField(node, field)
+          .map(a => graft.util.Jsons.elems(a).map(_.asText()).toSeq)
+          .filter(_.nonEmpty)
+          .getOrElse(corrupt(s"no $field chunk list"))
+      val (dc, rc) = (chunks("docs"), chunks("reps"))
       val dir = s"$stateDir/e$epoch"
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(conf)
-      val missing = NearDupStateTables.filterNot(n =>
-        fs.exists(new org.apache.hadoop.fs.Path(dir, n)))
+      val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
+      val missing =
+        (if (fs.exists(new org.apache.hadoop.fs.Path(dir, "cc"))) Nil
+         else Seq(s"e$epoch/cc")) ++
+        dc.filterNot(c => fs.exists(
+          new org.apache.hadoop.fs.Path(stateDir, s"docs/$c")))
+          .map(c => s"docs/$c") ++
+        rc.filterNot(c => fs.exists(
+          new org.apache.hadoop.fs.Path(stateDir, s"reps/$c")))
+          .map(c => s"reps/$c")
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"near-dup state at $stateDir points at epoch $epoch but " +
-            s"${missing.mkString(",")} are missing under $dir — " +
+            s"${missing.mkString(",")} are missing under $stateDir — " +
             graft.state.HistoryFormat.NearDupState.rebuildRemedy)
-      Some((epoch, dir))
+      Some(NearDupCommitted(epoch, dc, rc, dir))
     }
   }
+
+  private def readNearDupChunks(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, table: String, chunks: Seq[String]): DataFrame =
+    spark.read.parquet(chunks.map(c => s"$stateDir/$table/$c"): _*)
+
+  private def writeNearDupPointer(
+      conf: org.apache.hadoop.conf.Configuration, stateDir: String,
+      epoch: Long, docsChunks: Seq[String], repsChunks: Seq[String]): Unit = {
+    val o = graft.util.Jsons.obj()
+    o.put("epoch", epoch)
+    val da = o.putArray("docs"); docsChunks.foreach(da.add)
+    val ra = o.putArray("reps"); repsChunks.foreach(ra.add)
+    graft.util.Fs.atomicWriteJson(
+      new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile), o, conf)
+  }
+
+  /** Post-swap cleanup, best-effort (a stray dir costs disk, never
+    * correctness): superseded/crashed epoch dirs, and chunk dirs the
+    * committed pointer no longer (or never) lists — compaction debris
+    * and half-written chunks from crashed folds. Owns ONLY its own
+    * namespaces: `e<digits>` at the root and `c|m<digits>` inside the
+    * docs/reps table dirs; anything else under the root is the user's. */
+  private def pruneNearDupState(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, epoch: Long,
+      keepDocs: Seq[String], keepReps: Seq[String]): Unit = {
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.matches("e\\d+") && n != s"e$epoch")
+        fs.delete(st.getPath, true)
+    }
+    Seq(("docs", keepDocs.toSet), ("reps", keepReps.toSet)).foreach {
+      case (table, keep) =>
+        val dir = new org.apache.hadoop.fs.Path(root, table)
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.matches("[cm]\\d+") && !keep.contains(n))
+            fs.delete(st.getPath, true)
+        }
+    }
+  }
+
+  /** Marker check shared by every persisted near-dup surface: runs
+    * BEFORE the pointer parse so a pre-v3 state refuses at the marker
+    * (with the rebuild remedy) instead of surfacing as pointer
+    * corruption. `hasData` = anything state-ish present (pointer OR
+    * stray dirs) — a fresh root stamps v3. */
+  private def nearDupEnsureFormat(
+      conf: org.apache.hadoop.conf.Configuration, stateDir: String): Unit =
+    graft.state.HistoryFormat.ensure(conf, stateDir,
+      graft.state.HistoryFormat.NearDupState,
+      hasData = graft.util.Fs.exists(
+        new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile), conf) ||
+        nearDupStrayState(conf, stateDir).nonEmpty)
 
   /** [[nearDupCanonicalizeIncrement]] against a persisted state root —
     * the *Table discipline for the composed operator. The root carries
     * a [[graft.state.HistoryFormat.NearDupState]] marker (a foreign or
     * pre-versioning state refuses with the rebuild remedy; the first
-    * call on a fresh root seeds the empty trio and stamps). Commit is a
-    * SINGLE-POINTER swap, never a multi-table rename dance: each fold
-    * writes the whole new trio under a fresh epoch subdir (`e<N+1>/`),
-    * then atomically replaces the one-line epoch pointer file — so a
-    * reader (or a crash) can only ever observe a COMPLETE epoch. A
-    * crash mid-fold leaves the pointer on the old epoch and its
-    * half-written successor as garbage, which the next fold deletes
-    * before writing; old epochs are pruned after the swap. The pointer
-    * replace is truly atomic on the local filesystem; on stores whose
-    * rename is delete-then-rename a crash can LOSE the pointer — that
-    * state (epoch dirs, no pointer) refuses with the rebuild remedy
-    * rather than silently reseeding over folded data, and the same
-    * refusal covers a pre-epoch layout. Single writer assumed (the
-    * Pipeline lock discipline — two concurrent folds would race the
-    * pointer last-write-wins).
+    * call on a fresh root seeds the empty state and stamps).
     *
-    * Returns the UPDATED state trio read from the committed epoch —
+    * LAYOUT (v3): docs and reps — append-only under the fold's own
+    * invariants (id anti-join; one-rep-per-fp) — live as CHUNK tables
+    * (`docs/c<N>/`, `reps/c<N>/`, one O(batch)-sized parquet dir per
+    * fold), while the cc assignment (genuinely mutated by component
+    * merges, O(reps) rows) is replaced whole under an epoch subdir
+    * (`e<N>/cc`). Commit remains ONE atomic pointer replace: the
+    * pointer names the epoch AND the exact chunk lists, so a reader
+    * (or a crash) can only ever observe a complete, consistent state.
+    * Pre-v3 wrote the WHOLE trio per epoch — O(total accumulated state)
+    * bytes per batch; v3 writes O(batch + reps-delta + cc) — the cc
+    * term is the accepted remaining linear rewrite (narrow
+    * (id, component) rows, the same cost class as the fold's
+    * bookkeeping scans; see the fold scaladoc).
+    *
+    * Why chunks-under-one-pointer instead of per-table Delta appends
+    * with SetTransaction: Delta commits are per-table, so a fold would
+    * have THREE commit points (docs append, reps append, cc epoch) and
+    * a crash between them leaves appended rows whose pair work never
+    * reached cc — un-healable without replaying the appended rows out
+    * of the Delta log (the id anti-join would skip them on
+    * re-delivery, losing their edges forever). The chunk lists keep
+    * the single-pointer property — a crash anywhere before the swap is
+    * a complete no-op — at the cost of one directory per fold per
+    * table, bounded by [[nearDupCompactState]] (scheduled maintenance,
+    * itself one atomic swap).
+    *
+    * A crash mid-fold leaves the pointer (and thus the state) on the
+    * old epoch and the half-written chunks/epoch as garbage, which the
+    * next fold overwrites and the next swap prunes. The pointer replace
+    * is truly atomic on the local filesystem; on stores whose rename is
+    * delete-then-rename a crash can LOSE the pointer — that state
+    * (state dirs, no pointer) refuses with the rebuild remedy rather
+    * than silently reseeding over folded data, and the same refusal
+    * covers a pre-pointer layout. Single writer assumed (the Pipeline
+    * lock discipline — two concurrent folds would race the pointer
+    * last-write-wins).
+    *
+    * Returns the UPDATED state trio read from the committed state —
     * lazily consumable (derive the user-facing table with
     * [[nearDupResolution]] / [[nearDupResolutionTable]] when wanted,
-    * without re-running the fold) UNTIL the next fold commits: pruning
-    * deletes the superseded epoch's files, so a trio (or an
-    * `materialize = identity` resolution) held across a later fold
-    * throws file-not-found on first use — materialize or re-read
-    * through [[nearDupResolutionTable]] when the lifetime must span
-    * folds. */
+    * without re-running the fold) UNTIL a later fold or compaction
+    * prunes the cc epoch / compacted-away chunks it reads — materialize
+    * or re-read through [[nearDupResolutionTable]] when the lifetime
+    * must span folds. */
   def nearDupCanonicalizeIncrementTable(
       batch: DataFrame, idCol: String, textCol: String, qualityCol: String,
       stateDir: String,
@@ -2172,63 +2342,114 @@ object Dedup {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(conf)
-    val committed = nearDupCommittedEpoch(conf, stateDir)
-    graft.state.HistoryFormat.ensure(conf, stateDir,
-      graft.state.HistoryFormat.NearDupState, hasData = committed.nonEmpty)
+    nearDupEnsureFormat(conf, stateDir)
+    val committed = nearDupCommitted(conf, stateDir)
     val (d0, r0, c0) = committed match {
-      case Some((_, dir)) =>
-        (spark.read.parquet(s"$dir/docs"),
-          spark.read.parquet(s"$dir/reps"),
-          spark.read.parquet(s"$dir/cc"))
+      case Some(c) =>
+        (readNearDupChunks(spark, stateDir, "docs", c.docsChunks),
+          readNearDupChunks(spark, stateDir, "reps", c.repsChunks),
+          spark.read.parquet(s"${c.epochDir}/cc"))
       case None => nearDupEmptyState(batch, idCol, textCol, qualityCol)
     }
-    val updated = nearDupCanonicalizeIncrement(batch, idCol, textCol,
+    val (db, rb, cc2) = nearDupFoldStep(batch, idCol, textCol,
       qualityCol, d0, r0, c0, pairsOf, crossPairsOf, workDir, localLimit,
       materialize)
-    val newEpoch = committed.map(_._1 + 1).getOrElse(1L)
-    val newDir = new org.apache.hadoop.fs.Path(root, s"e$newEpoch")
-    // garbage from a fold that crashed before its pointer swap
-    if (fs.exists(newDir)) fs.delete(newDir, true)
-    NearDupStateTables.zip(Seq(updated._1, updated._2, updated._3))
-      .foreach { case (n, df) =>
-        df.write.mode("overwrite").parquet(s"$stateDir/e$newEpoch/$n")
-      }
-    graft.util.Fs.atomicWriteJson(
-      new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile),
-      { val o = graft.util.Jsons.obj(); o.put("epoch", newEpoch); o },
-      conf)
-    // prune superseded epochs (and crash leftovers) AFTER the swap —
-    // best-effort: a stray dir costs disk, never correctness. Matches
-    // e<digits> ONLY: anything else under the root is not ours to delete
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.matches("e\\d+") && n != s"e$newEpoch")
-        fs.delete(st.getPath, true)
-    }
-    (spark.read.parquet(s"$stateDir/e$newEpoch/docs"),
-      spark.read.parquet(s"$stateDir/e$newEpoch/reps"),
+    val newEpoch = committed.map(_.epoch + 1).getOrElse(1L)
+    val chunk = s"c$newEpoch"
+    // overwrite covers garbage from a fold that crashed before its swap
+    // (epoch numbers only move forward, so garbage always carries the
+    // name the retry reuses)
+    db.write.mode("overwrite").parquet(s"$stateDir/docs/$chunk")
+    rb.write.mode("overwrite").parquet(s"$stateDir/reps/$chunk")
+    cc2.write.mode("overwrite").parquet(s"$stateDir/e$newEpoch/cc")
+    val dc = committed.map(_.docsChunks).getOrElse(Nil) :+ chunk
+    val rc = committed.map(_.repsChunks).getOrElse(Nil) :+ chunk
+    writeNearDupPointer(conf, stateDir, newEpoch, dc, rc)
+    pruneNearDupState(fs, root, newEpoch, dc, rc)
+    (readNearDupChunks(spark, stateDir, "docs", dc),
+      readNearDupChunks(spark, stateDir, "reps", rc),
       spark.read.parquet(s"$stateDir/e$newEpoch/cc"))
   }
 
+  /** READ-side validation: marker + pointer, refusing loudly on every
+    * non-healthy layout — and never MUTATING the root (the fold path's
+    * [[nearDupEnsureFormat]] stamps fresh roots; a read of an absent
+    * root must not create one). Absent pointer over stray state refuses
+    * with the lost-pointer message; a genuinely empty/absent root gets
+    * the "no state, fold first" error. */
+  private def nearDupCommittedChecked(
+      conf: org.apache.hadoop.conf.Configuration, stateDir: String)
+      : NearDupCommitted = {
+    if (!graft.util.Fs.exists(
+        new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile), conf)) {
+      nearDupCommitted(conf, stateDir) // refuses on stray state
+      throw new IllegalStateException(
+        s"no near-dup state at $stateDir — fold batches through " +
+          "nearDupCanonicalizeIncrementTable first")
+    }
+    graft.state.HistoryFormat.ensure(conf, stateDir,
+      graft.state.HistoryFormat.NearDupState, hasData = true)
+    nearDupCommitted(conf, stateDir).get
+  }
+
+  /** The committed state trio `(docs, reps, cc)` from a persisted root —
+    * the read-only sibling of the fold's return value (marker-enforced,
+    * pointer-validated; an absent root is a loud error). Same lifetime
+    * contract: valid until a later fold/compaction prunes what it
+    * reads. */
+  def nearDupReadState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val c = nearDupCommittedChecked(conf, stateDir)
+    (readNearDupChunks(spark, stateDir, "docs", c.docsChunks),
+      readNearDupChunks(spark, stateDir, "reps", c.repsChunks),
+      spark.read.parquet(s"${c.epochDir}/cc"))
+  }
+
+  /** Maintenance: compact the append-only docs/reps chunk tables into
+    * ONE chunk each (`m<N+1>`), carrying cc over unchanged — bounds the
+    * directory/file count the per-fold O(batch) chunk commits
+    * accumulate. One atomic pointer swap like every fold (a crash
+    * anywhere is a complete no-op; superseded chunks and the old epoch
+    * prune after the swap); run it under the same single-writer
+    * discipline as the folds, on whatever cadence bounds the chunk
+    * count (it reads and rewrites O(state) rows, so it is a scheduled
+    * job, not a per-fold cost). No-op when already compact. */
+  def nearDupCompactState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val c = nearDupCommittedChecked(conf, stateDir)
+    if (c.docsChunks.size <= 1 && c.repsChunks.size <= 1) return
+    val newEpoch = c.epoch + 1
+    val chunk = s"m$newEpoch"
+    readNearDupChunks(spark, stateDir, "docs", c.docsChunks)
+      .write.mode("overwrite").parquet(s"$stateDir/docs/$chunk")
+    readNearDupChunks(spark, stateDir, "reps", c.repsChunks)
+      .write.mode("overwrite").parquet(s"$stateDir/reps/$chunk")
+    spark.read.parquet(s"${c.epochDir}/cc")
+      .write.mode("overwrite").parquet(s"$stateDir/e$newEpoch/cc")
+    writeNearDupPointer(conf, stateDir, newEpoch, Seq(chunk), Seq(chunk))
+    pruneNearDupState(new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(conf),
+      new org.apache.hadoop.fs.Path(stateDir), newEpoch, Seq(chunk),
+      Seq(chunk))
+  }
+
   /** [[nearDupResolution]] over a persisted state root: resolves the
-    * committed epoch via the pointer (marker-enforced; an absent root
+    * committed state via the pointer (marker-enforced; an absent root
     * or pointer is a loud error with the next step named, and a pointer
-    * naming an incomplete epoch refuses with the rebuild remedy — never
-    * a raw path-not-found from the parquet reader). */
+    * naming missing data refuses with the rebuild remedy — never a raw
+    * path-not-found from the parquet reader). */
   def nearDupResolutionTable(spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
       materialize: DataFrame => DataFrame = _.localCheckpoint())
       : DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val committed = nearDupCommittedEpoch(conf, stateDir).getOrElse(
-      throw new IllegalStateException(
-        s"no near-dup state at $stateDir — fold batches through " +
-          "nearDupCanonicalizeIncrementTable before resolving"))
-    graft.state.HistoryFormat.ensure(conf, stateDir,
-      graft.state.HistoryFormat.NearDupState, hasData = true)
-    nearDupResolution(spark.read.parquet(s"${committed._2}/docs"),
-      spark.read.parquet(s"${committed._2}/reps"),
-      spark.read.parquet(s"${committed._2}/cc"), materialize)
+    val c = nearDupCommittedChecked(conf, stateDir)
+    nearDupResolution(
+      readNearDupChunks(spark, stateDir, "docs", c.docsChunks),
+      readNearDupChunks(spark, stateDir, "reps", c.repsChunks),
+      spark.read.parquet(s"${c.epochDir}/cc"), materialize)
   }
 
   /** The PRODUCTION instantiation of the composed canonicalization's
@@ -2265,17 +2486,33 @@ object Dedup {
     * `materialize` truncates the signature frames' lineage before the
     * auto decision consumes each side multiple times — pass the SAME
     * policy the fold uses (`_.checkpoint()` under executor churn,
-    * `identity` to opt out), default matching the fold's default. */
+    * `identity` to opt out), default matching the fold's default.
+    *
+    * `countsDir` (requires `autoProbe`) points the selector at a
+    * persisted [[Hash64Counts]] cache: the decision then reads the
+    * HISTORY side's per-layout volumes from pre-aggregated counts state
+    * and measures only the batch — per-fold decision cost drops from
+    * two O(history-reps) signature scans to one O(batch +
+    * distinct-buckets) job — and each fold appends the batch's counts
+    * (exactly the rep rows the composed fold appends, so the cache
+    * tracks the committed reps; the row-count tripwire catches every
+    * crash window between the two commits and heals with a lossless
+    * rebuild). The decision — and therefore every result — is
+    * bit-identical to the uncounted auto path (suite law). */
   def nearDupWideSimhashFamily(maxHamming: Int = 3, blocks: Int = 6,
       mod1: Long = 2147483647L, mod2: Long = 1073741789L,
       autoProbe: Boolean = false,
-      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      materialize: DataFrame => DataFrame = _.localCheckpoint(),
+      countsDir: Option[String] = None)
       : (DataFrame => DataFrame, (DataFrame, DataFrame) => DataFrame) = {
     require(!autoProbe || (maxHamming >= 1 && maxHamming < SimhashBlocks),
       s"nearDupWideSimhashFamily(autoProbe = true) needs 1 <= maxHamming " +
         s"< $SimhashBlocks (the selector's narrow/wide equivalence " +
         s"domain), got $maxHamming — pin the wide layout (autoProbe = " +
         "false) for larger budgets")
+    require(countsDir.isEmpty || autoProbe,
+      "nearDupWideSimhashFamily: countsDir is the auto selector's " +
+        "decision cache — it has no meaning without autoProbe = true")
     val pf: DataFrame => DataFrame = reps =>
       simhashPairsPortableWide(reps, "id", "text", maxHamming, blocks,
         mod1, mod2, maxBucket = 0)
@@ -2292,8 +2529,28 @@ object Dedup {
           // 1.6× the whole fold at sf0.1 without the cut); policy per
           // the caller, like the fold's own materialize
           val (bs, hs) = (materialize(sigs(fresh)), materialize(sigs(hist)))
-          hash64AgainstHistoryAuto(bs, hs,
-            maxHamming = maxHamming, blocks = blocks, maxBucket = 0).result
+          countsDir match {
+            case Some(cd) =>
+              val hc = Hash64Counts.ensure(fresh.sparkSession, cd, hs,
+                "sh", blocks, maxHamming)
+              val d = Hash64Counts.decision(bs, hc, "sh", blocks,
+                maxHamming)
+              logLayoutDecision("nearDupWideSimhashFamily", d)
+              // fold the batch's counts NOW: `fresh` is exactly the rep
+              // rows the composed fold appends, so the cache equals the
+              // committed reps the moment the epoch swaps (a crash
+              // in between trips the row-count check and rebuilds)
+              Hash64Counts.fold(fresh.sparkSession, cd, bs, "sh", blocks,
+                maxHamming)
+              (if (d.useWide) hash64AgainstHistoryWide(bs, hs,
+                maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
+              else hash64AgainstHistory(bs, hs,
+                maxHamming = maxHamming, maxBucket = 0))
+            case None =>
+              hash64AgainstHistoryAuto(bs, hs,
+                maxHamming = maxHamming, blocks = blocks,
+                maxBucket = 0).result
+          }
         } else hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
           maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
       hits.select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))

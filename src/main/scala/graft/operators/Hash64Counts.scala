@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained per-layout bucket counts for the hash64
+  * narrow-vs-wide layout selector ([[Dedup.hash64PairsAuto]] /
+  * [[Dedup.hash64AgainstHistoryAuto]]).
+  *
+  * THE PROBLEM: the measured selector derives both layouts' exact
+  * candidate volumes by exploding and aggregating the HISTORY side's
+  * keys — one counts-only job per layout, each scanning O(history)
+  * signature rows per decision. That is the same cost class as the
+  * probe's own semi-join key scan, but it is paid TWICE per fold on
+  * top of it, and it is pure re-derivation: the counts are an
+  * associative fold over an append-only signature table (the same
+  * planning-cost observation behind the reference's sharded file
+  * index, `pi/checkpoints/file.py:19-21,114-127` — never re-derive
+  * O(history) state per batch).
+  *
+  * THE FIX: persist the per-bucket counts — `(layout, b, k, cnt)`
+  * rows, narrow = Manku 4×16-bit `(block, key)` buckets, wide =
+  * `C(blocks, blocks−maxHamming)` packed combination keys — as
+  * APPEND-ONLY CHUNKS folded once per batch (O(batch-keys) rows
+  * written), committed by one atomically-replaced meta pointer naming
+  * the chunk list, the folded signature-row count, and the layout
+  * parameters. The decision then reads pre-aggregated counts
+  * (O(distinct buckets) narrow rows — never the signature table, never
+  * a key explosion, never the corpus text) and measures only the batch
+  * side, in ONE job for both layouts ([[decision]]) instead of the two
+  * per-decision history scans.
+  *
+  * DERIVED CACHE, SELF-HEALING: the state is a pure function of the
+  * signature history, so consistency is enforced by a row-count
+  * TRIPWIRE, not by trust — [[ensure]] compares the meta's folded row
+  * count against the history's actual count (a cheap
+  * parquet-metadata-class job) and on ANY mismatch rebuilds losslessly
+  * from the history (one measurement-cost job, the price the
+  * un-cached path paid every fold). Every crash window — a fold that
+  * died between its signature append and its counts fold, a counts
+  * chunk written but not committed, a replay — lands in "mismatch →
+  * rebuild" or "stray chunk → overwritten/pruned"; nothing is silent.
+  * Equal-count-different-rows desync is excluded by the append-only
+  * discipline of every [[graft.state.HistoryFormat.Hash64Signature]]
+  * history and the single-writer lock; an out-of-band overwrite that
+  * preserves the exact row count is outside the contract (the
+  * history's own marker discipline covers rebuilds: re-stamp and
+  * delete the counts dir, the remedy named by the marker).
+  *
+  * The selector stays PURE COST: counts can only ever change which
+  * layout runs, never which pairs come back (both layouts exact for
+  * `maxHamming ≤ 3` — the suite law), and a suite law pins
+  * incremental == fresh-measured counts bit-identically. */
+object Hash64Counts {
+  private val MetaFile = "_graft_counts_meta.json"
+
+  /** Chunk-count threshold past which [[fold]] compacts in-line: the
+    * read side sums chunks per decision, so unbounded chunk lists
+    * would re-grow the very scan the cache removes. Compaction is one
+    * groupBy-sum over O(buckets) rows every ~16 folds — amortized
+    * O(buckets/16) per fold. */
+  private val CompactAfterChunks = 16
+
+  /** Default counts-cache location INSIDE a signature-index directory —
+    * underscore-prefixed, so the index's own parquet/Delta readers
+    * ignore it. */
+  def countsDirFor(historyDir: String): String =
+    s"$historyDir/_graft_hash64_counts"
+
+  private[operators] case class Meta(n: Long, blocks: Int, maxHamming: Int,
+      seq: Long, chunks: Seq[String])
+
+  private def metaPath(dir: String) = new Path(dir, MetaFile)
+
+  private def readMeta(conf: Configuration, dir: String): Option[Meta] = {
+    val p = metaPath(dir)
+    if (!graft.util.Fs.exists(p, conf)) None
+    else {
+      val node = graft.util.Fs.readJson(p, conf)
+      def corrupt(what: String): Nothing = throw new IllegalStateException(
+        s"hash64 counts meta at $dir is malformed ($what) — " +
+          graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
+      Some(Meta(
+        graft.util.Jsons.optLong(node, "n").getOrElse(corrupt("no n")),
+        graft.util.Jsons.optLong(node, "blocks")
+          .getOrElse(corrupt("no blocks")).toInt,
+        graft.util.Jsons.optLong(node, "max_hamming")
+          .getOrElse(corrupt("no max_hamming")).toInt,
+        graft.util.Jsons.optLong(node, "seq").getOrElse(corrupt("no seq")),
+        graft.util.Jsons.optField(node, "chunks")
+          .map(a => graft.util.Jsons.elems(a).map(_.asText()).toSeq)
+          .filter(_.nonEmpty).getOrElse(corrupt("no chunks"))))
+    }
+  }
+
+  private def writeMeta(conf: Configuration, dir: String, m: Meta): Unit = {
+    val o = graft.util.Jsons.obj()
+    o.put("n", m.n)
+    o.put("blocks", m.blocks)
+    o.put("max_hamming", m.maxHamming)
+    o.put("seq", m.seq)
+    val a = o.putArray("chunks"); m.chunks.foreach(a.add)
+    graft.util.Fs.atomicWriteJson(metaPath(dir), o, conf)
+  }
+
+  /** Post-commit cleanup, best-effort: chunk dirs the committed meta no
+    * longer (or never) lists — crashed-fold strays and compacted-away
+    * chunks. Owns only its `c|m<digits>` namespace. */
+  private def prune(conf: Configuration, dir: String,
+      keep: Seq[String]): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val keepSet = keep.toSet
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.matches("[cm]\\d+") && !keepSet.contains(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Whether a committed counts cache exists at `dir`. */
+  def exists(conf: Configuration, dir: String): Boolean =
+    graft.util.Fs.exists(metaPath(dir), conf)
+
+  /** Both layouts' bucket counts of one signature frame, the SHARED key
+    * derivations of the pair/probe operators themselves: one
+    * `(layout, b, k, cnt)` frame covering narrow (b = block,
+    * k = 16-bit key) and wide (b = combo, k = packed key) — counts
+    * only, exploded map-side and partially aggregated, signatures never
+    * shuffled whole. */
+  def bucketCounts(sigs: DataFrame, hashCol: String,
+      blocks: Int, maxHamming: Int): DataFrame = {
+    val base = sigs.select(col(hashCol).as("sh"))
+    val narrow = base
+      .select(Dedup.manku16BlockKeys(col("sh")).as(Seq("b", "k")))
+      .select(lit("narrow").as("layout"), col("b"),
+        col("k").cast("long").as("k"))
+    val wide = base
+      .select(explode(Dedup.wideComboKeys(col("sh"), blocks, maxHamming))
+        .as("ck"))
+      .select(lit("wide").as("layout"), col("ck.combo").as("b"),
+        col("ck.key").cast("long").as("k"))
+    narrow.unionByName(wide).groupBy("layout", "b", "k")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The committed counts table: chunks summed per bucket. Exact by
+    * associativity — per-chunk counts are disjoint-batch counts of an
+    * append-only history, so their per-bucket sum IS the fresh
+    * measurement (suite law, bit-identical). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = readMeta(conf, dir).getOrElse(throw new IllegalStateException(
+      s"no hash64 counts state at $dir — fold or rebuild it first"))
+    graft.state.HistoryFormat.ensure(conf, dir,
+      graft.state.HistoryFormat.Hash64BucketCounts, hasData = true)
+    spark.read.parquet(m.chunks.map(c => s"$dir/$c"): _*)
+      .groupBy("layout", "b", "k")
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Signature rows folded so far (the tripwire's stored side). */
+  def foldedRows(conf: Configuration, dir: String): Option[Long] =
+    readMeta(conf, dir).map(_.n)
+
+  /** Fold one batch of signatures into the counts state — O(batch-keys)
+    * rows written, one atomic meta replace, auto-compacting past
+    * [[CompactAfterChunks]]. The batch must be EXACTLY the rows being
+    * appended to the signature history this fold (the tripwire holds
+    * the caller to it). A crash before the meta replace leaves a stray
+    * chunk that the retry overwrites (seq only moves on commit) and the
+    * next commit prunes. */
+  def fold(spark: SparkSession, dir: String, sigs: DataFrame,
+      hashCol: String, blocks: Int = 6, maxHamming: Int = 3): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = readMeta(conf, dir)
+    graft.state.HistoryFormat.ensure(conf, dir,
+      graft.state.HistoryFormat.Hash64BucketCounts,
+      hasData = prior.nonEmpty)
+    prior.foreach { m =>
+      require(m.blocks == blocks && m.maxHamming == maxHamming,
+        s"hash64 counts at $dir were folded under blocks=${m.blocks}/" +
+          s"maxHamming=${m.maxHamming}, got $blocks/$maxHamming — the wide " +
+          "keys differ per parameterization; " +
+          graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
+    }
+    val m = prior.getOrElse(Meta(0L, blocks, maxHamming, 0L, Nil))
+    val chunk = s"c${m.seq + 1}"
+    bucketCounts(sigs, hashCol, blocks, maxHamming)
+      .write.mode("overwrite").parquet(s"$dir/$chunk")
+    // Δn derived from the WRITTEN chunk (narrow emits exactly
+    // SimhashBlocks keys per signature row, NULLs included), so the
+    // committed n is a pure function of committed bytes — a re-run of a
+    // nondeterministic upstream plan cannot desync n from the chunk
+    val deltaKeys = spark.read.parquet(s"$dir/$chunk")
+      .filter(col("layout") === "narrow")
+      .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+    val grown = m.chunks :+ chunk
+    if (grown.size > CompactAfterChunks) {
+      val merged = s"m${m.seq + 2}"
+      spark.read.parquet(grown.map(c => s"$dir/$c"): _*)
+        .groupBy("layout", "b", "k").agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$dir/$merged")
+      writeMeta(conf, dir, Meta(m.n + deltaKeys / Dedup.SimhashBlocks,
+        blocks, maxHamming, m.seq + 2, Seq(merged)))
+      prune(conf, dir, Seq(merged))
+    } else {
+      writeMeta(conf, dir, Meta(m.n + deltaKeys / Dedup.SimhashBlocks,
+        blocks, maxHamming, m.seq + 1, grown))
+      prune(conf, dir, grown)
+    }
+  }
+
+  /** Lossless full rebuild from the signature history — the heal path
+    * for every detected inconsistency, and the bootstrap for an
+    * existing index. Cost = one measurement job (what the un-cached
+    * selector paid per fold). */
+  def rebuild(spark: SparkSession, dir: String, history: DataFrame,
+      hashCol: String, blocks: Int = 6, maxHamming: Int = 3): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.state.HistoryFormat.stamp(conf, dir,
+      graft.state.HistoryFormat.Hash64BucketCounts)
+    val seq = readMeta(conf, dir).map(_.seq).getOrElse(0L) + 1
+    val chunk = s"c$seq"
+    bucketCounts(history, hashCol, blocks, maxHamming)
+      .write.mode("overwrite").parquet(s"$dir/$chunk")
+    val n = history.count()
+    writeMeta(conf, dir, Meta(n, blocks, maxHamming, seq, Seq(chunk)))
+    prune(conf, dir, Seq(chunk))
+  }
+
+  /** Valid counts for EXACTLY this history, or a lossless rebuild: the
+    * tripwire compares the meta's folded row count (and layout
+    * parameters) against the history's actual count — one cheap
+    * counts-only job against the history's narrow key columns — and
+    * rebuilds on any mismatch (logged, never silent drift). Returns the
+    * committed counts table. */
+  def ensure(spark: SparkSession, dir: String, history: DataFrame,
+      hashCol: String, blocks: Int = 6, maxHamming: Int = 3): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val histN = history.count()
+    val ok = readMeta(conf, dir).exists(m =>
+      m.n == histN && m.blocks == blocks && m.maxHamming == maxHamming &&
+        graft.state.HistoryFormat.read(conf, dir).contains(
+          (graft.state.HistoryFormat.Hash64BucketCounts.name,
+            graft.state.HistoryFormat.Hash64BucketCounts.version.toLong)))
+    if (!ok) {
+      val detail = s"dir=$dir hist_rows=$histN " +
+        s"stored=${readMeta(conf, dir).map(_.n)}"
+      Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
+      graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
+      rebuild(spark, dir, history, hashCol, blocks, maxHamming)
+    }
+    read(spark, dir)
+  }
+
+  /** The history-probe layout decision from PERSISTED history counts +
+    * a fresh batch-side measurement — bit-identical to
+    * [[Dedup.hash64HistoryLayoutDecision]] (suite law) at the cost of
+    * ONE job over (batch keys + O(distinct buckets) pre-aggregated
+    * 24-byte rows) instead of two O(history) signature scans: full-outer
+    * join per bucket, then per-layout Σ b, Σ h, Σ b·h (NULL-signature
+    * buckets ride both sides and never cross-join, exactly like the
+    * probe's own equi-join). */
+  def decision(batchSigs: DataFrame, histCounts: DataFrame,
+      hashCol: String, blocks: Int = 6, maxHamming: Int = 3)
+      : Dedup.Hash64LayoutDecision = {
+    require(maxHamming >= 1 && maxHamming < Dedup.SimhashBlocks,
+      s"hash64 auto keying: both layouts are exact (and therefore " +
+        s"interchangeable) only for maxHamming < ${Dedup.SimhashBlocks}, " +
+        s"got $maxHamming")
+    val bc = bucketCounts(batchSigs, hashCol, blocks, maxHamming)
+      .withColumnRenamed("cnt", "bcnt")
+    val rows = bc.join(histCounts.withColumnRenamed("cnt", "hcnt"),
+        Seq("layout", "b", "k"), "full_outer")
+      .groupBy("layout").agg(
+        coalesce(sum(col("bcnt")), lit(0L)).as("bsum"),
+        coalesce(sum(col("hcnt")), lit(0L)).as("hsum"),
+        coalesce(sum(col("bcnt") * col("hcnt")), lit(0L)).as("cand"))
+      .collect()
+    def layout(name: String): (Long, Long, Long) =
+      rows.find(_.getString(0) == name)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .getOrElse((0L, 0L, 0L))
+    val (nb, nh, ncand) = layout("narrow")
+    val (wb, wh, wcand) = layout("wide")
+    Dedup.decide(ncand, wcand, nb + nh, wb + wh)
+  }
+}

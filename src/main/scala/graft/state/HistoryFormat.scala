@@ -56,10 +56,23 @@ import org.apache.hadoop.fs.Path
   *    ([[JobState.heal]]); no migration to the epoch mechanism needed
   *    because one table needs no cross-table atomicity.
   *  - '''NearDupState''': the epoch-pointer mechanism itself (commit =
-  *    one atomic pointer replace; lost-pointer states refuse).
+  *    one atomic pointer replace; lost-pointer states refuse). v3 keeps
+  *    the single pointer while splitting storage into append-only
+  *    docs/reps CHUNKS (named by the pointer) + the epoch-swapped cc —
+  *    a crash anywhere before the swap remains a complete no-op, and
+  *    half-written chunks are overwritten on retry and pruned after the
+  *    next swap.
   *  - '''Resumable shard export''' (`Mixing.writeShardsResumable`):
   *    per-shard data-before-manifest commit with a parameter marker;
   *    any crash point resumes by rewriting only uncommitted shards.
+  *  - '''Hash64BucketCounts''' (round 19): a DERIVED CACHE beside a
+  *    signature history — chunk writes committed by one atomic meta
+  *    replace, and cross-table consistency with the signature table
+  *    enforced by a row-count tripwire whose failure path is a
+  *    lossless rebuild (the cache is a pure function of the history),
+  *    so every crash window between a signature append and the counts
+  *    fold self-heals; driven under the injected-crash demo
+  *    (NearDupStateDemo) and per-window suite sims.
   */
 object HistoryFormat {
   /** A named key-derivation format at a specific version. Bump `version`
@@ -85,6 +98,22 @@ object HistoryFormat {
   val Hash64Signature: Format = Format("hash64-signature", 1,
     "re-run the signature index (Dedup.simhashIndex / media hashes) over " +
       "the full curated corpus and overwrite the history table")
+
+  /** Derived per-layout bucket-count cache for the hash64 layout
+    * selector ([[graft.operators.Hash64Counts]]), kept beside (or for)
+    * a [[Hash64Signature]] history: v1 = `(layout, b, k, cnt)` rows —
+    * narrow = Manku 4×16-bit (block, key) buckets, wide =
+    * C(blocks, blocks−maxHamming) packed combination keys under the
+    * meta-recorded parameters — summed over append-only chunks, with
+    * the folded signature-row count in the atomically-replaced meta.
+    * PURE CACHE of a counts aggregation over the signature history:
+    * any inconsistency (a crash between a signature append and the
+    * counts fold, an out-of-band append) is detected by the row-count
+    * tripwire and healed by a lossless rebuild, so this marker guards
+    * only the derivation shape. */
+  val Hash64BucketCounts: Format = Format("hash64-bucket-counts", 1,
+    "delete the counts directory and re-run Hash64Counts.rebuild over " +
+      "the signature history (a derived cache — the rebuild is lossless)")
 
   /** Cross-batch line-df history ([[graft.operators.Curation.lineIndex]]):
     * v1 = two independent XXH64 passes over the line bytes (h2 seeded
@@ -239,19 +268,21 @@ object HistoryFormat {
 
   /** Composed near-dup canonicalization fold state
     * ([[graft.operators.Dedup.nearDupCanonicalizeIncrementTable]]) —
-    * the (docs, reps, cc) trio under one marker-stamped root. v2 =
-    * md5 text fingerprints with a NULL-text SENTINEL (all NULL-text
-    * docs share one cluster), rep-space min-component assignment; v1
-    * fingerprinted NULL text to a NULL fp, which never equi-joins —
-    * a v1 state's NULL-fp rows would be permanently unresolvable
-    * beside v2's sentinel rows, the exact silent-no-matches class
-    * this marker exists to refuse (v1 states from NULL-free corpora
-    * are bit-identical but indistinguishable at the marker level, so
-    * the bump refuses them too — the rebuild is cheap and certain).
-    * The marker guards the FINGERPRINT derivation; the pluggable pair
-    * function's own stability is the caller's contract (probe a state
-    * only with the pair semantics that built it). */
-  val NearDupState: Format = Format("neardup-canonical-state", 2,
+    * the (docs, reps, cc) state under one marker-stamped root. v3 =
+    * chunked append-only docs/reps tables plus the epoch-swapped cc,
+    * all committed by ONE pointer naming the epoch AND the chunk lists
+    * (each fold writes O(batch) chunk bytes instead of rewriting the
+    * whole trio); v2 wrote the full trio under every epoch dir — its
+    * pointer carries no chunk lists, so a v2 state is structurally
+    * unreadable to the v3 reader and refuses here with the remedy. v2
+    * introduced md5 text fingerprints with a NULL-text SENTINEL (all
+    * NULL-text docs share one cluster — v1's NULL fp never equi-joins,
+    * leaving NULL-text docs permanently unresolvable, the exact
+    * silent-no-matches class this marker exists to refuse). The marker
+    * guards the fingerprint derivation AND the root layout; the
+    * pluggable pair function's own stability is the caller's contract
+    * (probe a state only with the pair semantics that built it). */
+  val NearDupState: Format = Format("neardup-canonical-state", 3,
     "re-fold the full corpus through nearDupCanonicalizeIncrement from " +
       "an empty state and overwrite the state trio")
 

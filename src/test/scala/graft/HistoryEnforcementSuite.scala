@@ -318,10 +318,10 @@ class HistoryEnforcementSuite extends SparkSpec {
         e.getMessage)
       intercept[IllegalStateException](
         Dedup.nearDupResolutionTable(spark, dir))
-      // a pointer naming an incomplete epoch (the only way the
-      // single-pointer commit can look torn: the pointer write is
-      // atomic, so this means post-commit corruption) refuses with the
-      // remedy from BOTH surfaces — never a raw parquet path-not-found
+      // a pointer naming missing data (the only way the single-pointer
+      // commit can look torn: the pointer write is atomic, so this
+      // means post-commit corruption) refuses with the remedy from
+      // BOTH surfaces — never a raw parquet path-not-found
       HistoryFormat.stamp(conf, dir, HistoryFormat.NearDupState)
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$dir/e2/cc"))
@@ -350,25 +350,33 @@ class HistoryEnforcementSuite extends SparkSpec {
         "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
       val before = Dedup.nearDupResolutionTable(spark, dir)
         .collect().map(_.toSeq).toSet
-      // simulate a fold that crashed AFTER writing its epoch dir but
-      // BEFORE the pointer swap: a half-written e2 with only one table
-      new java.io.File(s"$dir/e2/docs").mkdirs()
-      // readers still resolve epoch 1, bit-identical
+      // simulate a fold that crashed AFTER writing its chunk/epoch data
+      // but BEFORE the pointer swap: half-written docs chunk + epoch dir
+      new java.io.File(s"$dir/docs/c2").mkdirs()
+      new java.io.File(s"$dir/e2").mkdirs()
+      // readers still resolve epoch 1, bit-identical (the pointer names
+      // chunks c1 only — uncommitted data is invisible)
       assert(Dedup.nearDupResolutionTable(spark, dir)
         .collect().map(_.toSeq).toSet === before,
-        "an uncommitted epoch must be invisible")
-      // the next fold deletes the garbage, commits e2, prunes e1 — but
-      // never a non-epoch directory of the user's (prune owns e<digits>
-      // only)
+        "an uncommitted chunk/epoch must be invisible")
+      // the next fold overwrites the garbage, commits e2 + chunk c2,
+      // prunes e1 — but never a non-state directory of the user's
+      // (prune owns e<digits> at the root and [cm]<digits> inside the
+      // chunk tables only)
       val foreign = new java.io.File(s"$dir/export")
       foreign.mkdirs()
+      val foreignChunk = new java.io.File(s"$dir/docs/keepme")
+      foreignChunk.mkdirs()
       Dedup.nearDupCanonicalizeIncrementTable(d.filter(col("doc_id") > 1),
         "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
       assert(new java.io.File(s"$dir/e2/cc").exists())
+      assert(new java.io.File(s"$dir/docs/c2").exists() &&
+        new java.io.File(s"$dir/reps/c2").exists(),
+        "each fold commits one chunk per table")
       assert(!new java.io.File(s"$dir/e1").exists(),
         "superseded epochs prune after the swap")
-      assert(foreign.exists(),
-        "pruning must not touch non-epoch directories")
+      assert(foreign.exists() && foreignChunk.exists(),
+        "pruning must not touch directories outside its namespaces")
       val oneShot = Dedup.nearDupCanonicalize(d, "doc_id", "text", "q", pf)
         .collect().map(_.toSeq).toSet
       assert(Dedup.nearDupResolutionTable(spark, dir)
@@ -384,6 +392,52 @@ class HistoryEnforcementSuite extends SparkSpec {
         e4.getMessage)
       intercept[IllegalStateException](
         Dedup.nearDupResolutionTable(spark, dir))
+    }
+  }
+
+  test("near-dup state compaction: chunk lists collapse to one chunk per " +
+    "table, the resolution is bit-identical, and folding continues " +
+    "seamlessly on the compacted root") {
+    import graft.operators.Dedup
+    val d = docs.withColumn("q", length(col("text")))
+    val pf: DataFrame => DataFrame = reps => {
+      val a = reps.select(col("id").as("id_a"),
+        substring(col("text"), 1, 4).as("k"))
+      val b = reps.select(col("id").as("id_b"),
+        substring(col("text"), 1, 4).as("k"))
+      a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    withTmpDir { tmp =>
+      val dir = s"$tmp/ndstate"
+      Seq(col("doc_id") <= 1, col("doc_id") === 2).foreach { p =>
+        Dedup.nearDupCanonicalizeIncrementTable(d.filter(p),
+          "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
+      }
+      val before = Dedup.nearDupResolutionTable(spark, dir)
+        .collect().map(_.toSeq).toSet
+      def chunks(t: String): Seq[String] =
+        new java.io.File(s"$dir/$t").list().toSeq
+          .filter(_.matches("[cm]\\d+")).sorted
+      assert(chunks("docs") === Seq("c1", "c2"))
+      Dedup.nearDupCompactState(spark, dir)
+      assert(chunks("docs") === Seq("m3") && chunks("reps") === Seq("m3"),
+        "compaction must collapse to one chunk and prune the originals")
+      assert(Dedup.nearDupResolutionTable(spark, dir)
+        .collect().map(_.toSeq).toSet === before,
+        "compaction must not change the resolution")
+      // idempotent: already-compact roots no-op (pointer untouched)
+      Dedup.nearDupCompactState(spark, dir)
+      assert(chunks("docs") === Seq("m3"))
+      // folding continues on the compacted root
+      Dedup.nearDupCanonicalizeIncrementTable(d.filter(col("doc_id") > 2),
+        "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
+      assert(chunks("docs") === Seq("c4", "m3"))
+      val oneShot = Dedup.nearDupCanonicalize(d, "doc_id", "text", "q", pf)
+        .collect().map(_.toSeq).toSet
+      assert(Dedup.nearDupResolutionTable(spark, dir)
+        .collect().map(_.toSeq).toSet === oneShot,
+        "fold → compact → fold must equal the one-shot")
     }
   }
 }

@@ -928,6 +928,165 @@ class DedupSuite extends SparkSpec {
       Dedup.hash64HistoryLayoutDecision(batchS, histS, maxHamming = 4))
   }
 
+  test("hash64 layout decisions ride StageMetadata into the observer's " +
+    "stage-end metadata (repeated keys suffixed, drain clears)") {
+    graft.core.StageMetadata.drain() // isolate from earlier operators
+    val spread = (0 until 50).map(i =>
+      (i.toLong, i.toLong * 0x9E3779B97F4A7C15L)).toDF("id", "sh")
+    Dedup.hash64PairsAuto(spread, "id", "sh", maxBucket = 0)
+    Dedup.hash64PairsAuto(spread, "id", "sh", maxBucket = 0)
+    val md = graft.core.StageMetadata.drain()
+    assert(md.contains("hash64_layout") && md.contains("hash64_layout#1"),
+      md.toString)
+    assert(md("hash64_layout").contains("op=hash64PairsAuto") &&
+      md("hash64_layout").contains("chosen=narrow"), md.toString)
+    assert(graft.core.StageMetadata.drain().isEmpty,
+      "drain must clear the buffer")
+  }
+
+  test("hash64 counts LAW: incrementally folded bucket counts equal the " +
+    "fresh measurement bit-for-bit on the real corpus, and the counted " +
+    "decision equals the measured decision on both crossover sides") {
+    import graft.operators.Hash64Counts
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = docs.select($"doc_id",
+      graft.functions.FusedMinHashFunctions
+        .polySimhash($"text", 2147483647L, 1073741789L).as("sh"))
+      .localCheckpoint()
+    val hist = sigs.filter($"doc_id" >= 100)
+    val batch = sigs.filter($"doc_id" < 100)
+    withTmpDir { tmp =>
+      val cd = s"$tmp/counts"
+      // fold the history in three uneven increments (the associative
+      // fold the design claims: per-batch counts of an append-only
+      // table sum to the fresh measurement EXACTLY)
+      Seq($"doc_id" % 3 === 0, $"doc_id" % 3 === 1, $"doc_id" % 3 === 2)
+        .foreach(p => Hash64Counts.fold(spark, cd, hist.filter(p), "sh"))
+      def ms(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getInt(1),
+          Option(r.get(2)).map(_.toString).getOrElse("NULL"), r.getLong(3)))
+        .toSeq.sorted
+      assert(ms(Hash64Counts.read(spark, cd)
+          .select("layout", "b", "k", "cnt")) ===
+        ms(Hash64Counts.bucketCounts(hist, "sh", 6, 3)
+          .select("layout", "b", "k", "cnt")),
+        "incremental counts must equal fresh-measured counts bit-for-bit")
+      assert(Hash64Counts.foldedRows(
+        spark.sparkContext.hadoopConfiguration, cd) === Some(hist.count()))
+      // the counted decision == the measured decision, exactly (it is
+      // the same argmin over the same exact integer volumes)
+      assert(Hash64Counts.decision(batch, Hash64Counts.read(spark, cd),
+          "sh") ===
+        Dedup.hash64HistoryLayoutDecision(batch, hist))
+    }
+    // both crossover sides (the regimes from the auto-keying test)
+    def side(mk: Long => Long): Unit = withTmpDir { tmp =>
+      val all = (0 until 200).map(i => (i.toLong, mk(i.toLong)))
+        .toDF("doc_id", "sh")
+      val (b, h) = (all.filter($"doc_id" < 50), all.filter($"doc_id" >= 50))
+      val cd = s"$tmp/c"
+      graft.operators.Hash64Counts.fold(spark, cd, h, "sh")
+      assert(graft.operators.Hash64Counts.decision(b,
+          graft.operators.Hash64Counts.read(spark, cd), "sh") ===
+        Dedup.hash64HistoryLayoutDecision(b, h))
+    }
+    side(i => i * 0x9E3779B97F4A7C15L)         // spread → narrow wins
+    side(i => (i * 0x9E3779B97F4A7C15L) << 16) // flooded → wide wins
+  }
+
+  test("hash64 counts tripwire: stale-behind, stale-ahead, and parameter " +
+    "mismatches are detected and healed by a lossless rebuild; chunk " +
+    "lists auto-compact") {
+    import graft.operators.Hash64Counts
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sigs = (0 until 300).map(i =>
+      (i.toLong, i.toLong * 0x9E3779B97F4A7C15L)).toDF("doc_id", "sh")
+      .localCheckpoint()
+    val half = sigs.filter($"doc_id" < 150)
+    withTmpDir { tmp =>
+      val cd = s"$tmp/c"
+      // BEHIND: counts cover half, the history grew without a fold
+      // (the crash window between a signature append and the counts
+      // fold) — ensure detects the row-count mismatch and rebuilds
+      Hash64Counts.fold(spark, cd, half, "sh")
+      val healed = Hash64Counts.ensure(spark, cd, sigs, "sh")
+      assert(Hash64Counts.foldedRows(conf, cd) === Some(300L))
+      def ms(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq).toSet
+      assert(ms(healed) === ms(Hash64Counts.bucketCounts(sigs, "sh", 6, 3)))
+      // AHEAD: counts were folded but the fold crashed before its state
+      // commit (replay re-runs against the OLD history) — same heal
+      Hash64Counts.fold(spark, cd, half, "sh") // now n = 450, stale-ahead
+      assert(ms(Hash64Counts.ensure(spark, cd, sigs, "sh")) === ms(healed))
+      assert(Hash64Counts.foldedRows(conf, cd) === Some(300L))
+      // a CONSISTENT cache is left alone (same chunk list before/after)
+      val seqBefore = Hash64Counts.foldedRows(conf, cd)
+      Hash64Counts.ensure(spark, cd, sigs, "sh")
+      assert(Hash64Counts.foldedRows(conf, cd) === seqBefore)
+      // PARAMETER mismatch: wide keys under a different blocks/
+      // maxHamming are a different derivation — fold refuses loudly,
+      // ensure rebuilds under the requested parameters
+      val e = intercept[IllegalArgumentException](
+        Hash64Counts.fold(spark, cd, half, "sh", blocks = 8))
+      assert(e.getMessage.contains("blocks"), e.getMessage)
+      assert(ms(Hash64Counts.ensure(spark, cd, sigs, "sh", blocks = 8,
+          maxHamming = 2)) ===
+        ms(Hash64Counts.bucketCounts(sigs, "sh", 8, 2)))
+    }
+    withTmpDir { tmp =>
+      val cd = s"$tmp/c"
+      // auto-compaction: 17 one-row folds must collapse the chunk list
+      // (read cost stays bounded) without changing the sums
+      (0 until 17).foreach(i =>
+        Hash64Counts.fold(spark, cd, sigs.filter($"doc_id" === i), "sh"))
+      val chunkDirs = new java.io.File(cd).list().toSeq
+        .filter(_.matches("[cm]\\d+"))
+      assert(chunkDirs.size === 1, s"expected one compacted chunk: $chunkDirs")
+      assert(Hash64Counts.read(spark, cd).collect().map(_.toSeq).toSet ===
+        Hash64Counts.bucketCounts(sigs.filter($"doc_id" < 17), "sh", 6, 3)
+          .collect().map(_.toSeq).toSet)
+      assert(Hash64Counts.foldedRows(conf, cd) === Some(17L))
+    }
+  }
+
+  test("nearDupWideSimhashFamily(countsDir): the counted fold equals the " +
+    "uncounted auto fold and the pinned-wide fold on the real corpus, " +
+    "and the counts state tracks the committed reps across folds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    def fold(pf: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+        probe: (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame) =>
+          org.apache.spark.sql.DataFrame): Seq[String] = {
+      var st = Dedup.nearDupEmptyState(docs, "doc_id", "text", "n_chars")
+      Seq(col("doc_id") < 250, col("doc_id") >= 250).foreach { p =>
+        st = Dedup.nearDupCanonicalizeIncrement(docs.filter(p),
+          "doc_id", "text", "n_chars", st._1, st._2, st._3, pf, probe)
+        st = (st._1.localCheckpoint(), st._2.localCheckpoint(),
+          st._3.localCheckpoint())
+      }
+      Dedup.nearDupResolution(st._1, st._2, st._3)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    withTmpDir { tmp =>
+      val cd = s"$tmp/counts"
+      val (cpf, cprobe) = Dedup.nearDupWideSimhashFamily(autoProbe = true,
+        countsDir = Some(cd))
+      val (pf, probe) = Dedup.nearDupWideSimhashFamily()
+      val counted = fold(cpf, cprobe)
+      assert(counted === fold(pf, probe),
+        "counted-auto fold must equal the pinned-wide fold bit for bit")
+      // the cache tracked the reps: n == distinct texts folded
+      assert(graft.operators.Hash64Counts.foldedRows(
+          spark.sparkContext.hadoopConfiguration, cd) ===
+        Some(docs.select("text").distinct().count()))
+      // countsDir without autoProbe is a construction error
+      intercept[IllegalArgumentException](
+        Dedup.nearDupWideSimhashFamily(countsDir = Some(cd)))
+    }
+  }
+
   test("degenerate corpus: LSH bucket cap bounds the self-comparison") {
     // 500 identical docs would make one quadratic bucket (124,750 pairs per
     // band); cap 50 truncates each bucket to its 50 smallest ids.
