@@ -73,6 +73,14 @@ object Fs {
       java.nio.file.Files.move(local.toPath, new File(path.toUri.getPath).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the nio fast path bypasses Hadoop's ChecksumFileSystem — if the
+      // TARGET was ever written/copied THROUGH the Hadoop local fs (which
+      // drops a `.<name>.crc` sidecar, e.g. FileUtil.copy), that stale
+      // checksum would fail every later Hadoop-layer read of the
+      // replaced content with a ChecksumException; drop it
+      val crc = new File(new File(path.toUri.getPath).getParentFile,
+        s".${path.getName}.crc")
+      if (crc.exists()) crc.delete(): Unit
     } else {
       val out = filesystem.create(tmp, false)
       try out.write(bytes)
