@@ -2888,8 +2888,12 @@ object Queries {
         val sigs = t(s, d, "documents").select(col("doc_id"),
           graft.functions.FusedMinHashFunctions
             .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+        // materialize: the selector consumes the signature frame once
+        // per layout estimate plus once in the chosen operator — cut
+        // the poly-simhash lineage once (lineage-only, hash unaffected)
         val r = graft.operators.Dedup.hash64PairsAuto(sigs, "doc_id", "sh",
-          maxHamming = 3, blocks = 6, maxBucket = 0)
+          maxHamming = 3, blocks = 6, maxBucket = 0,
+          materialize = _.localCheckpoint())
         r.result.select(col("id_a"), col("id_b"),
             col("hamming").cast("long").as("hamming"))
           .withColumn("layout", lit(r.decision.chosen))
@@ -2921,9 +2925,13 @@ object Queries {
 
     "d_hash64_auto" -> QueryDef(
       (s, d) => {
+        // one lineage cut for the whole query: the poly-simhash frame
+        // feeds the index write, both counts folds, and the probe's
+        // batch side (lineage-only — the hash is unaffected)
         val sigs = t(s, d, "documents").select(col("doc_id"),
           graft.functions.FusedMinHashFunctions
             .polySimhash(col("text"), 2147483647L, 1073741789L).as("sh"))
+          .localCheckpoint()
         // persist the history side the production way: a marker-stamped
         // signature-index table (ONE history serves every layout — keys
         // derive at probe time)

@@ -2531,17 +2531,15 @@ object Dedup {
           val (bs, hs) = (materialize(sigs(fresh)), materialize(sigs(hist)))
           countsDir match {
             case Some(cd) =>
-              val hc = Hash64Counts.ensure(fresh.sparkSession, cd, hs,
-                "sh", blocks, maxHamming)
-              val d = Hash64Counts.decision(bs, hc, "sh", blocks,
-                maxHamming)
+              // decide from persisted history counts AND fold the
+              // batch's counts in one fused call (3 jobs): `fresh` is
+              // exactly the rep rows the composed fold appends, so the
+              // cache equals the committed reps the moment the epoch
+              // swaps (a crash in between trips the row-count check
+              // and rebuilds losslessly)
+              val d = Hash64Counts.decideAndFold(fresh.sparkSession, cd,
+                bs, hs, "sh", blocks, maxHamming)
               logLayoutDecision("nearDupWideSimhashFamily", d)
-              // fold the batch's counts NOW: `fresh` is exactly the rep
-              // rows the composed fold appends, so the cache equals the
-              // committed reps the moment the epoch swaps (a crash
-              // in between trips the row-count check and rebuilds)
-              Hash64Counts.fold(fresh.sparkSession, cd, bs, "sh", blocks,
-                maxHamming)
               (if (d.useWide) hash64AgainstHistoryWide(bs, hs,
                 maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
               else hash64AgainstHistory(bs, hs,

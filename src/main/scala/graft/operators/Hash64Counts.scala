@@ -91,7 +91,7 @@ object Hash64Counts {
         graft.util.Jsons.optLong(node, "seq").getOrElse(corrupt("no seq")),
         graft.util.Jsons.optField(node, "chunks")
           .map(a => graft.util.Jsons.elems(a).map(_.asText()).toSeq)
-          .filter(_.nonEmpty).getOrElse(corrupt("no chunks"))))
+          .getOrElse(corrupt("no chunks"))))
     }
   }
 
@@ -156,9 +156,22 @@ object Hash64Counts {
       s"no hash64 counts state at $dir — fold or rebuild it first"))
     graft.state.HistoryFormat.ensure(conf, dir,
       graft.state.HistoryFormat.Hash64BucketCounts, hasData = true)
-    spark.read.parquet(m.chunks.map(c => s"$dir/$c"): _*)
+    if (m.chunks.isEmpty) emptyCounts(spark)
+    else spark.read.parquet(m.chunks.map(c => s"$dir/$c"): _*)
       .groupBy("layout", "b", "k")
       .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** The typed zero-bucket frame — the n=0 bootstrap's counts (no
+    * chunk files, no Spark job). */
+  private def emptyCounts(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("layout", StringType, nullable = false),
+        StructField("b", IntegerType, nullable = false),
+        StructField("k", LongType, nullable = true),
+        StructField("cnt", LongType, nullable = false))))
   }
 
   /** Signature rows folded so far (the tripwire's stored side). */
@@ -218,17 +231,31 @@ object Hash64Counts {
     * existing index. Cost = one measurement job (what the un-cached
     * selector paid per fold). */
   def rebuild(spark: SparkSession, dir: String, history: DataFrame,
-      hashCol: String, blocks: Int = 6, maxHamming: Int = 3): Unit = {
+      hashCol: String, blocks: Int = 6, maxHamming: Int = 3): Unit =
+    rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming,
+      history.count())
+
+  /** [[rebuild]] with the history row count already in hand (the heal
+    * paths just measured it for the tripwire — one job, not two). */
+  private def rebuildWithN(spark: SparkSession, dir: String,
+      history: DataFrame, hashCol: String, blocks: Int, maxHamming: Int,
+      histN: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     graft.state.HistoryFormat.stamp(conf, dir,
       graft.state.HistoryFormat.Hash64BucketCounts)
     val seq = readMeta(conf, dir).map(_.seq).getOrElse(0L) + 1
-    val chunk = s"c$seq"
-    bucketCounts(history, hashCol, blocks, maxHamming)
-      .write.mode("overwrite").parquet(s"$dir/$chunk")
-    val n = history.count()
-    writeMeta(conf, dir, Meta(n, blocks, maxHamming, seq, Seq(chunk)))
-    prune(conf, dir, Seq(chunk))
+    if (histN == 0) {
+      // nothing to measure — commit the empty meta without a Spark job
+      // (the common bootstrap case: a first fold against empty history)
+      writeMeta(conf, dir, Meta(0L, blocks, maxHamming, seq, Nil))
+      prune(conf, dir, Nil)
+    } else {
+      val chunk = s"c$seq"
+      bucketCounts(history, hashCol, blocks, maxHamming)
+        .write.mode("overwrite").parquet(s"$dir/$chunk")
+      writeMeta(conf, dir, Meta(histN, blocks, maxHamming, seq, Seq(chunk)))
+      prune(conf, dir, Seq(chunk))
+    }
   }
 
   /** Valid counts for EXACTLY this history, or a lossless rebuild: the
@@ -251,9 +278,87 @@ object Hash64Counts {
         s"stored=${readMeta(conf, dir).map(_.n)}"
       Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
       graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
-      rebuild(spark, dir, history, hashCol, blocks, maxHamming)
+      rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming, histN)
     }
     read(spark, dir)
+  }
+
+  /** [[ensure]] + [[decision]] + [[fold]] FUSED into the fewest jobs —
+    * the per-fold fast path for a probe that both decides and appends
+    * (the composed fold's family): the batch's counts chunk is written
+    * FIRST and its committed bytes serve as the decision's batch side,
+    * so one parquet read feeds the decision join AND fixes the appended
+    * Δ (they cannot desync, whatever the upstream plan's determinism);
+    * the decision collect also yields Δn (narrow Σ/keys-per-doc). Three
+    * jobs per fold — tripwire count, chunk write, decision join —
+    * versus the uncached selector's two O(history) measurement scans;
+    * the decision reads only pre-aggregated buckets. The meta commit
+    * happens AFTER the decision, so a crash anywhere leaves either a
+    * stray chunk (overwritten on retry) or a consistent commit. */
+  def decideAndFold(spark: SparkSession, dir: String, batchSigs: DataFrame,
+      history: DataFrame, hashCol: String, blocks: Int = 6,
+      maxHamming: Int = 3): Dedup.Hash64LayoutDecision = {
+    require(maxHamming >= 1 && maxHamming < Dedup.SimhashBlocks,
+      s"hash64 auto keying: both layouts are exact (and therefore " +
+        s"interchangeable) only for maxHamming < ${Dedup.SimhashBlocks}, " +
+        s"got $maxHamming")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val histN = history.count()
+    val ok = readMeta(conf, dir).exists(m =>
+      m.n == histN && m.blocks == blocks && m.maxHamming == maxHamming &&
+        graft.state.HistoryFormat.read(conf, dir).contains(
+          (graft.state.HistoryFormat.Hash64BucketCounts.name,
+            graft.state.HistoryFormat.Hash64BucketCounts.version.toLong)))
+    if (!ok) {
+      val detail = s"dir=$dir hist_rows=$histN " +
+        s"stored=${readMeta(conf, dir).map(_.n)}"
+      Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
+      graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
+      rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming, histN)
+    }
+    val m = readMeta(conf, dir).get
+    val chunk = s"c${m.seq + 1}"
+    bucketCounts(batchSigs, hashCol, blocks, maxHamming)
+      .write.mode("overwrite").parquet(s"$dir/$chunk")
+    val bc = spark.read.parquet(s"$dir/$chunk")
+    val (d, bNarrowSum) = decisionImpl(bc, read(spark, dir))
+    val grown = m.chunks :+ chunk
+    if (grown.size > CompactAfterChunks) {
+      val merged = s"m${m.seq + 2}"
+      spark.read.parquet(grown.map(c => s"$dir/$c"): _*)
+        .groupBy("layout", "b", "k").agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$dir/$merged")
+      writeMeta(conf, dir, Meta(m.n + bNarrowSum / Dedup.SimhashBlocks,
+        blocks, maxHamming, m.seq + 2, Seq(merged)))
+      prune(conf, dir, Seq(merged))
+    } else {
+      writeMeta(conf, dir, Meta(m.n + bNarrowSum / Dedup.SimhashBlocks,
+        blocks, maxHamming, m.seq + 1, grown))
+      prune(conf, dir, grown)
+    }
+    d
+  }
+
+  /** The decision join + per-layout sums; also returns the batch's
+    * narrow key-row total (Δ rows × keys-per-doc — [[decideAndFold]]'s
+    * committed Δ comes from the same collect). */
+  private def decisionImpl(batchCounts: DataFrame, histCounts: DataFrame)
+      : (Dedup.Hash64LayoutDecision, Long) = {
+    val rows = batchCounts.withColumnRenamed("cnt", "bcnt")
+      .join(histCounts.withColumnRenamed("cnt", "hcnt"),
+        Seq("layout", "b", "k"), "full_outer")
+      .groupBy("layout").agg(
+        coalesce(sum(col("bcnt")), lit(0L)).as("bsum"),
+        coalesce(sum(col("hcnt")), lit(0L)).as("hsum"),
+        coalesce(sum(col("bcnt") * col("hcnt")), lit(0L)).as("cand"))
+      .collect()
+    def layout(name: String): (Long, Long, Long) =
+      rows.find(_.getString(0) == name)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .getOrElse((0L, 0L, 0L))
+    val (nb, nh, ncand) = layout("narrow")
+    val (wb, wh, wcand) = layout("wide")
+    (Dedup.decide(ncand, wcand, nb + nh, wb + wh), nb)
   }
 
   /** The history-probe layout decision from PERSISTED history counts +
@@ -271,21 +376,7 @@ object Hash64Counts {
       s"hash64 auto keying: both layouts are exact (and therefore " +
         s"interchangeable) only for maxHamming < ${Dedup.SimhashBlocks}, " +
         s"got $maxHamming")
-    val bc = bucketCounts(batchSigs, hashCol, blocks, maxHamming)
-      .withColumnRenamed("cnt", "bcnt")
-    val rows = bc.join(histCounts.withColumnRenamed("cnt", "hcnt"),
-        Seq("layout", "b", "k"), "full_outer")
-      .groupBy("layout").agg(
-        coalesce(sum(col("bcnt")), lit(0L)).as("bsum"),
-        coalesce(sum(col("hcnt")), lit(0L)).as("hsum"),
-        coalesce(sum(col("bcnt") * col("hcnt")), lit(0L)).as("cand"))
-      .collect()
-    def layout(name: String): (Long, Long, Long) =
-      rows.find(_.getString(0) == name)
-        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-        .getOrElse((0L, 0L, 0L))
-    val (nb, nh, ncand) = layout("narrow")
-    val (wb, wh, wcand) = layout("wide")
-    Dedup.decide(ncand, wcand, nb + nh, wb + wh)
+    decisionImpl(bucketCounts(batchSigs, hashCol, blocks, maxHamming),
+      histCounts)._1
   }
 }
