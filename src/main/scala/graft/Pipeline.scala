@@ -29,10 +29,21 @@ trait PipelineObserver {
   def onError(batchId: Long, stage: String, error: Throwable): Unit = {}
 }
 
-/** `key=value` line logger (reference `LoggingObserver`). */
+/** `key=value` line logger (reference `LoggingObserver`). Values
+  * containing spaces, '=', or quotes are double-quoted with inner
+  * quotes escaped, so a space-then-first-'=' parser of the line never
+  * mistakes a composite value (e.g. a hash64_layout decision) for
+  * fabricated top-level keys. */
 class LoggingObserver extends PipelineObserver {
   private def log(kv: (String, Any)*): Unit =
-    System.err.println("[graft] " + kv.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    System.err.println("[graft] " + kv.map { case (k, v) =>
+      val s = String.valueOf(v)
+      val vq =
+        if (s.exists(c => c == ' ' || c == '=' || c == '"'))
+          "\"" + s.replace("\"", "\\\"") + "\""
+        else s
+      s"$k=$vq"
+    }.mkString(" "))
   override def onBatchPlanned(id: Long, files: Int, bytes: Long): Unit =
     log("event" -> "planned", "batch_id" -> id, "files" -> files, "bytes" -> bytes)
   override def onStageEnd(id: Long, stage: String, ms: Long, md: Map[String, String]): Unit =

@@ -156,6 +156,11 @@ object Hash64Counts {
       s"no hash64 counts state at $dir — fold or rebuild it first"))
     graft.state.HistoryFormat.ensure(conf, dir,
       graft.state.HistoryFormat.Hash64BucketCounts, hasData = true)
+    if (!chunksExist(conf, dir, m))
+      throw new IllegalStateException(
+        s"hash64 counts meta at $dir lists chunks that are missing on " +
+          s"disk (${m.chunks.mkString(",")}) — " +
+          graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
     if (m.chunks.isEmpty) emptyCounts(spark)
     else spark.read.parquet(m.chunks.map(c => s"$dir/$c"): _*)
       .groupBy("layout", "b", "k")
@@ -178,6 +183,103 @@ object Hash64Counts {
   def foldedRows(conf: Configuration, dir: String): Option[Long] =
     readMeta(conf, dir).map(_.n)
 
+  /** Refuse-never-clobber: the layout parameters are part of the
+    * persisted derivation's identity (the wide keys differ per
+    * (blocks, maxHamming)), so a caller asking for different ones is a
+    * CONFIGURATION error — rebuilding under the new parameters would
+    * silently thrash full-history scans between alternating callers
+    * and clobber the production cache. Every surface refuses alike. */
+  private def checkParams(m: Meta, dir: String, blocks: Int,
+      maxHamming: Int): Unit =
+    require(m.blocks == blocks && m.maxHamming == maxHamming,
+      s"hash64 counts at $dir were folded under blocks=${m.blocks}/" +
+        s"maxHamming=${m.maxHamming}, got $blocks/$maxHamming — the wide " +
+        "keys differ per parameterization; use a separate counts " +
+        "directory per parameterization, or " +
+        graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
+
+  /** Heal-path ownership guard: a rebuild may overwrite OUR cache (any
+    * version — it is derived state), but NEVER a directory that is
+    * something else — a marker naming another format (the classic
+    * misuse: pointing countsDir at the signature index itself; the
+    * cache lives BESIDE it, [[countsDirFor]]) or data with no marker
+    * at all refuses loudly instead of being stamped over. */
+  private def guardOwnership(conf: Configuration, dir: String): Unit =
+    graft.state.HistoryFormat.read(conf, dir) match {
+      case Some((name, _))
+          if name != graft.state.HistoryFormat.Hash64BucketCounts.name =>
+        throw new IllegalStateException(
+          s"$dir is a '$name' table, not a hash64 counts cache — " +
+            "refusing to rebuild over it; give the cache its own " +
+            "directory (e.g. Hash64Counts.countsDirFor(indexDir))")
+      case Some(_) => ()
+      case None =>
+        val p = new Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+          throw new IllegalStateException(
+            s"$dir holds data but no format marker — not a counts cache " +
+              "this engine can verify; use an empty directory or remove " +
+              "the foreign data")
+    }
+
+  /** All chunks the meta lists are on disk (part of the tripwire: a
+    * lost chunk is an inconsistency the heal paths rebuild over). */
+  private def chunksExist(conf: Configuration, dir: String,
+      m: Meta): Boolean = {
+    val fs = new Path(dir).getFileSystem(conf)
+    m.chunks.forall(c => fs.exists(new Path(dir, c)))
+  }
+
+  /** Commit one WRITTEN batch-counts chunk: append it to the meta's
+    * list (auto-compacting past [[CompactAfterChunks]] — one
+    * groupBy-sum over O(buckets) rows every ~16 folds), swap the meta
+    * atomically, prune unlisted chunks. THE one definition of the
+    * chunk-commit discipline, shared by [[fold]] and [[decideAndFold]]
+    * (a divergent copy here would desync two write paths into the same
+    * persisted meta). `deltaRows` = signature rows the chunk counts. */
+  private def commitWrittenChunk(spark: SparkSession, dir: String,
+      m: Meta, chunk: String, deltaRows: Long, blocks: Int,
+      maxHamming: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val grown = m.chunks :+ chunk
+    if (grown.size > CompactAfterChunks) {
+      val merged = s"m${m.seq + 2}"
+      spark.read.parquet(grown.map(c => s"$dir/$c"): _*)
+        .groupBy("layout", "b", "k").agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$dir/$merged")
+      writeMeta(conf, dir, Meta(m.n + deltaRows, blocks, maxHamming,
+        m.seq + 2, Seq(merged)))
+      prune(conf, dir, Seq(merged))
+    } else {
+      writeMeta(conf, dir, Meta(m.n + deltaRows, blocks, maxHamming,
+        m.seq + 1, grown))
+      prune(conf, dir, grown)
+    }
+  }
+
+  /** The shared tripwire: params refuse on mismatch (never clobber);
+    * a stale n, a stale/absent marker, or a lost chunk heals with a
+    * lossless rebuild (logged + surfaced as a structured event). */
+  private def healIfStale(spark: SparkSession, dir: String,
+      history: DataFrame, hashCol: String, blocks: Int, maxHamming: Int,
+      histN: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = readMeta(conf, dir)
+    meta.foreach(checkParams(_, dir, blocks, maxHamming))
+    val ok = meta.exists(m =>
+      m.n == histN && chunksExist(conf, dir, m) &&
+        graft.state.HistoryFormat.read(conf, dir).contains(
+          (graft.state.HistoryFormat.Hash64BucketCounts.name,
+            graft.state.HistoryFormat.Hash64BucketCounts.version.toLong)))
+    if (!ok) {
+      val detail = s"dir=$dir hist_rows=$histN stored=${meta.map(_.n)}"
+      Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
+      graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
+      rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming, histN)
+    }
+  }
+
   /** Fold one batch of signatures into the counts state — O(batch-keys)
     * rows written, one atomic meta replace, auto-compacting past
     * [[CompactAfterChunks]]. The batch must be EXACTLY the rows being
@@ -192,13 +294,7 @@ object Hash64Counts {
     graft.state.HistoryFormat.ensure(conf, dir,
       graft.state.HistoryFormat.Hash64BucketCounts,
       hasData = prior.nonEmpty)
-    prior.foreach { m =>
-      require(m.blocks == blocks && m.maxHamming == maxHamming,
-        s"hash64 counts at $dir were folded under blocks=${m.blocks}/" +
-          s"maxHamming=${m.maxHamming}, got $blocks/$maxHamming — the wide " +
-          "keys differ per parameterization; " +
-          graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
-    }
+    prior.foreach(checkParams(_, dir, blocks, maxHamming))
     val m = prior.getOrElse(Meta(0L, blocks, maxHamming, 0L, Nil))
     val chunk = s"c${m.seq + 1}"
     bucketCounts(sigs, hashCol, blocks, maxHamming)
@@ -210,20 +306,8 @@ object Hash64Counts {
     val deltaKeys = spark.read.parquet(s"$dir/$chunk")
       .filter(col("layout") === "narrow")
       .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
-    val grown = m.chunks :+ chunk
-    if (grown.size > CompactAfterChunks) {
-      val merged = s"m${m.seq + 2}"
-      spark.read.parquet(grown.map(c => s"$dir/$c"): _*)
-        .groupBy("layout", "b", "k").agg(sum(col("cnt")).as("cnt"))
-        .write.mode("overwrite").parquet(s"$dir/$merged")
-      writeMeta(conf, dir, Meta(m.n + deltaKeys / Dedup.SimhashBlocks,
-        blocks, maxHamming, m.seq + 2, Seq(merged)))
-      prune(conf, dir, Seq(merged))
-    } else {
-      writeMeta(conf, dir, Meta(m.n + deltaKeys / Dedup.SimhashBlocks,
-        blocks, maxHamming, m.seq + 1, grown))
-      prune(conf, dir, grown)
-    }
+    commitWrittenChunk(spark, dir, m, chunk,
+      deltaKeys / Dedup.SimhashBlocks, blocks, maxHamming)
   }
 
   /** Lossless full rebuild from the signature history — the heal path
@@ -241,6 +325,7 @@ object Hash64Counts {
       history: DataFrame, hashCol: String, blocks: Int, maxHamming: Int,
       histN: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    guardOwnership(conf, dir)
     graft.state.HistoryFormat.stamp(conf, dir,
       graft.state.HistoryFormat.Hash64BucketCounts)
     val seq = readMeta(conf, dir).map(_.seq).getOrElse(0L) + 1
@@ -259,27 +344,21 @@ object Hash64Counts {
   }
 
   /** Valid counts for EXACTLY this history, or a lossless rebuild: the
-    * tripwire compares the meta's folded row count (and layout
-    * parameters) against the history's actual count — one cheap
-    * counts-only job against the history's narrow key columns — and
-    * rebuilds on any mismatch (logged, never silent drift). Returns the
-    * committed counts table. */
+    * tripwire compares the meta's folded row count, the marker version,
+    * and the listed chunks' existence against reality — one cheap
+    * counts-only job against the history — and rebuilds on any mismatch
+    * (logged, never silent drift). A layout-PARAMETER mismatch refuses
+    * instead (see [[checkParams]]), and a directory that is not a
+    * counts cache is never stamped over ([[guardOwnership]]). Returns
+    * the committed counts table. */
   def ensure(spark: SparkSession, dir: String, history: DataFrame,
       hashCol: String, blocks: Int = 6, maxHamming: Int = 3): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val histN = history.count()
-    val ok = readMeta(conf, dir).exists(m =>
-      m.n == histN && m.blocks == blocks && m.maxHamming == maxHamming &&
-        graft.state.HistoryFormat.read(conf, dir).contains(
-          (graft.state.HistoryFormat.Hash64BucketCounts.name,
-            graft.state.HistoryFormat.Hash64BucketCounts.version.toLong)))
-    if (!ok) {
-      val detail = s"dir=$dir hist_rows=$histN " +
-        s"stored=${readMeta(conf, dir).map(_.n)}"
-      Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
-      graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
-      rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming, histN)
-    }
+    require(maxHamming >= 1 && maxHamming < Dedup.SimhashBlocks,
+      s"hash64 auto keying: both layouts are exact (and therefore " +
+        s"interchangeable) only for maxHamming < ${Dedup.SimhashBlocks}, " +
+        s"got $maxHamming")
+    healIfStale(spark, dir, history, hashCol, blocks, maxHamming,
+      history.count())
     read(spark, dir)
   }
 
@@ -303,39 +382,16 @@ object Hash64Counts {
         s"interchangeable) only for maxHamming < ${Dedup.SimhashBlocks}, " +
         s"got $maxHamming")
     val conf = spark.sparkContext.hadoopConfiguration
-    val histN = history.count()
-    val ok = readMeta(conf, dir).exists(m =>
-      m.n == histN && m.blocks == blocks && m.maxHamming == maxHamming &&
-        graft.state.HistoryFormat.read(conf, dir).contains(
-          (graft.state.HistoryFormat.Hash64BucketCounts.name,
-            graft.state.HistoryFormat.Hash64BucketCounts.version.toLong)))
-    if (!ok) {
-      val detail = s"dir=$dir hist_rows=$histN " +
-        s"stored=${readMeta(conf, dir).map(_.n)}"
-      Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
-      graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
-      rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming, histN)
-    }
+    healIfStale(spark, dir, history, hashCol, blocks, maxHamming,
+      history.count())
     val m = readMeta(conf, dir).get
     val chunk = s"c${m.seq + 1}"
     bucketCounts(batchSigs, hashCol, blocks, maxHamming)
       .write.mode("overwrite").parquet(s"$dir/$chunk")
     val bc = spark.read.parquet(s"$dir/$chunk")
     val (d, bNarrowSum) = decisionImpl(bc, read(spark, dir))
-    val grown = m.chunks :+ chunk
-    if (grown.size > CompactAfterChunks) {
-      val merged = s"m${m.seq + 2}"
-      spark.read.parquet(grown.map(c => s"$dir/$c"): _*)
-        .groupBy("layout", "b", "k").agg(sum(col("cnt")).as("cnt"))
-        .write.mode("overwrite").parquet(s"$dir/$merged")
-      writeMeta(conf, dir, Meta(m.n + bNarrowSum / Dedup.SimhashBlocks,
-        blocks, maxHamming, m.seq + 2, Seq(merged)))
-      prune(conf, dir, Seq(merged))
-    } else {
-      writeMeta(conf, dir, Meta(m.n + bNarrowSum / Dedup.SimhashBlocks,
-        blocks, maxHamming, m.seq + 1, grown))
-      prune(conf, dir, grown)
-    }
+    commitWrittenChunk(spark, dir, m, chunk,
+      bNarrowSum / Dedup.SimhashBlocks, blocks, maxHamming)
     d
   }
 

@@ -70,17 +70,20 @@ object Fs {
         out.write(bytes)
         out.getFD.sync()
       } finally out.close()
-      java.nio.file.Files.move(local.toPath, new File(path.toUri.getPath).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // the nio fast path bypasses Hadoop's ChecksumFileSystem — if the
       // TARGET was ever written/copied THROUGH the Hadoop local fs (which
       // drops a `.<name>.crc` sidecar, e.g. FileUtil.copy), that stale
       // checksum would fail every later Hadoop-layer read of the
-      // replaced content with a ChecksumException; drop it
+      // replaced content with a ChecksumException. Drop it BEFORE the
+      // move: a crash in between merely leaves the OLD content reading
+      // unverified, while delete-after would leave a crash window where
+      // the COMMITTED new content reads as corrupt
       val crc = new File(new File(path.toUri.getPath).getParentFile,
         s".${path.getName}.crc")
       if (crc.exists()) crc.delete(): Unit
+      java.nio.file.Files.move(local.toPath, new File(path.toUri.getPath).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
       val out = filesystem.create(tmp, false)
       try out.write(bytes)

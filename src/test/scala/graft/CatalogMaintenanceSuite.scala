@@ -298,6 +298,11 @@ class PatternsSuite extends SparkSpec {
   test("cross-batch dedup via parquet seen-keys state") {
     withTmpDir { tmp =>
       val state = new JobState(s"$tmp/state", conf, spark)
+      // baseline BEFORE the calls: the session is shared across suites
+      // and other suites' localCheckpoint RDDs are released by the
+      // ContextCleaner asynchronously — this test owns only its own
+      // delta, not the whole session's cache set
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
       assert(Patterns.dedupAcrossBatches(b1, Seq("id"), state).count() === 2)
       val b2 = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
@@ -310,9 +315,10 @@ class PatternsSuite extends SparkSpec {
       val b4 = Seq((4L, "d")).toDF("id", "v")
       assert(Patterns.dedupAcrossBatches(b4, Seq("id"), state)
         .select("id").head().getLong(0) === 4L)
-      // no cached RDDs leaked into the shared session
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-        s"leaked caches: ${spark.sparkContext.getPersistentRDDs.keys}")
+      // no cached RDDs leaked by THESE calls (set delta, not emptiness)
+      val leaked =
+        spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+      assert(leaked.isEmpty, s"leaked caches: $leaked")
     }
   }
 

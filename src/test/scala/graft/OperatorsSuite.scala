@@ -1009,29 +1009,65 @@ class DedupSuite extends SparkSpec {
       // (the crash window between a signature append and the counts
       // fold) — ensure detects the row-count mismatch and rebuilds
       Hash64Counts.fold(spark, cd, half, "sh")
-      val healed = Hash64Counts.ensure(spark, cd, sigs, "sh")
-      assert(Hash64Counts.foldedRows(conf, cd) === Some(300L))
       def ms(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(_.toSeq).toSet
-      assert(ms(healed) === ms(Hash64Counts.bucketCounts(sigs, "sh", 6, 3)))
+      // collect EAGERLY: later heals prune the chunk files this plan
+      // reads, so a lazy re-collect would chase deleted paths
+      val healed = ms(Hash64Counts.ensure(spark, cd, sigs, "sh"))
+      assert(Hash64Counts.foldedRows(conf, cd) === Some(300L))
+      assert(healed === ms(Hash64Counts.bucketCounts(sigs, "sh", 6, 3)))
       // AHEAD: counts were folded but the fold crashed before its state
       // commit (replay re-runs against the OLD history) — same heal
       Hash64Counts.fold(spark, cd, half, "sh") // now n = 450, stale-ahead
-      assert(ms(Hash64Counts.ensure(spark, cd, sigs, "sh")) === ms(healed))
+      assert(ms(Hash64Counts.ensure(spark, cd, sigs, "sh")) === healed)
       assert(Hash64Counts.foldedRows(conf, cd) === Some(300L))
       // a CONSISTENT cache is left alone (same chunk list before/after)
       val seqBefore = Hash64Counts.foldedRows(conf, cd)
       Hash64Counts.ensure(spark, cd, sigs, "sh")
       assert(Hash64Counts.foldedRows(conf, cd) === seqBefore)
       // PARAMETER mismatch: wide keys under a different blocks/
-      // maxHamming are a different derivation — fold refuses loudly,
-      // ensure rebuilds under the requested parameters
+      // maxHamming are a different derivation — EVERY surface refuses
+      // loudly (a silent rebuild would let alternating callers thrash
+      // full-history scans and clobber the production cache)
       val e = intercept[IllegalArgumentException](
         Hash64Counts.fold(spark, cd, half, "sh", blocks = 8))
       assert(e.getMessage.contains("blocks"), e.getMessage)
-      assert(ms(Hash64Counts.ensure(spark, cd, sigs, "sh", blocks = 8,
-          maxHamming = 2)) ===
-        ms(Hash64Counts.bucketCounts(sigs, "sh", 8, 2)))
+      intercept[IllegalArgumentException](
+        Hash64Counts.ensure(spark, cd, sigs, "sh", blocks = 8,
+          maxHamming = 2))
+      intercept[IllegalArgumentException](
+        Hash64Counts.decideAndFold(spark, cd, half, sigs, "sh",
+          blocks = 8, maxHamming = 2))
+      // LOST CHUNK: a listed chunk missing on disk is an inconsistency —
+      // the heal paths rebuild losslessly, the bare read refuses with
+      // the remedy (it has no history to rebuild from)
+      val chunkDir = new java.io.File(cd).list().toSeq
+        .filter(_.matches("[cm]\\d+")).head
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$cd/$chunkDir"))
+      val e2 = intercept[IllegalStateException](
+        Hash64Counts.read(spark, cd))
+      assert(e2.getMessage.contains("missing on disk"), e2.getMessage)
+      assert(ms(Hash64Counts.ensure(spark, cd, sigs, "sh")) === healed)
+    }
+    withTmpDir { tmp =>
+      // OWNERSHIP: the heal paths must never stamp over a directory
+      // that is some OTHER format's table (the classic misuse: pointing
+      // countsDir at the signature index itself) or unmarked data
+      val conf2 = spark.sparkContext.hadoopConfiguration
+      val idx = s"$tmp/sigidx"
+      sigs.write.mode("overwrite").parquet(idx)
+      graft.state.HistoryFormat.stamp(conf2, idx,
+        graft.state.HistoryFormat.Hash64Signature)
+      val e3 = intercept[IllegalStateException](
+        Hash64Counts.ensure(spark, idx, sigs, "sh"))
+      assert(e3.getMessage.contains("not a hash64 counts cache"),
+        e3.getMessage)
+      val raw = s"$tmp/rawdata"
+      sigs.write.mode("overwrite").parquet(raw)
+      val e4 = intercept[IllegalStateException](
+        Hash64Counts.ensure(spark, raw, sigs, "sh"))
+      assert(e4.getMessage.contains("no format marker"), e4.getMessage)
     }
     withTmpDir { tmp =>
       val cd = s"$tmp/c"
