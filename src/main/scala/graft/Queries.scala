@@ -2075,18 +2075,20 @@ object Queries {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
           .filter(pmod(col("doc_id"), lit(2)) === 0)
-        // autoProbe + countsDir: the fold's history probe runs the
-        // MEASURED layout selector per batch, reading the HISTORY
-        // side's volumes from the persisted Hash64Counts cache (folded
-        // per batch, row-count tripwired) instead of re-scanning the
-        // reps per decision — the r18 directive's incremental-counts
-        // path drives a hash-checked CORRECTNESS row through the
-        // composed fold (decision logged as event=hash64_layout); the
-        // oracle is layout-independent because uncapped narrow == wide
-        // == auto for Hamming <= 3 (suite law)
+        // autoProbe + countsDir + sigCacheDir: the fold's history probe
+        // runs the MEASURED layout selector per batch, reading the
+        // HISTORY side's volumes from the persisted Hash64Counts cache
+        // AND its signatures from the persisted SigCache (each rep's
+        // text hashed once, when it entered the state; both caches
+        // folded per batch, row-count tripwired) — the full production
+        // instrumentation drives a hash-checked CORRECTNESS row through
+        // the composed fold (decision logged as event=hash64_layout);
+        // the oracle is layout- and cache-independent because uncapped
+        // narrow == wide == auto == cached for Hamming <= 3 (suite laws)
         val dir = scratch(s, "ndc_incr")
         val (pf, probe) = Dedup.nearDupWideSimhashFamily(autoProbe = true,
-          countsDir = Some(s"$dir/_simhash_counts"))
+          countsDir = Some(s"$dir/_simhash_counts"),
+          sigCacheDir = Some(s"$dir/_simhash_sigs"))
         // the persisted-state fold surface (marker-stamped root, chunked
         // O(batch) docs/reps appends + the cc epoch, one atomic pointer
         // per fold) — the correctness gate exercises the *Table path

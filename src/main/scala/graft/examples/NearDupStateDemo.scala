@@ -70,10 +70,14 @@ object NearDupStateDemo {
     // correctness query, the scaling series, and the suite pins also
     // use; here in its fully-instrumented production shape: the
     // MEASURED layout selector reading history volumes from the
-    // persisted counts cache (folded per batch beside the state root)
+    // persisted counts cache, and the probe reading history SIGNATURES
+    // from the persisted signature cache (each rep's text hashed once,
+    // when it entered the state) — both folded per batch beside the
+    // state root
     val countsDir = s"$stateRoot/_simhash_counts"
+    val sigsDir = s"$stateRoot/_simhash_sigs"
     val (pf, probe) = Dedup.nearDupWideSimhashFamily(autoProbe = true,
-      countsDir = Some(countsDir))
+      countsDir = Some(countsDir), sigCacheDir = Some(sigsDir))
 
     // capture stage-end metadata: the layout decision must reach the
     // STRUCTURED observer stream, not just the driver log
@@ -185,10 +189,12 @@ object NearDupStateDemo {
     println(s"observer: ${layoutEvents.size} hash64_layout events " +
       s"(first: ${layoutEvents.headOption.map(_._2).getOrElse("-")}), " +
       s"${healEvents.size} counts-heal events")
-    // counts cache ended consistent with the committed reps
+    // both derived caches ended consistent with the committed reps
     val repsRows = spark.read.parquet(
       (1L to committedEpoch()).map(i => s"$stateRoot/reps/c$i"): _*).count()
     val countsN = graft.operators.Hash64Counts.foldedRows(conf, countsDir)
+    val sigsN = graft.operators.SigCache.foldedRows(conf, sigsDir)
+    val sigRebuilds = stageMeta.count(_._1.startsWith("sigcache_rebuild"))
     val pass =
       r1.batchesProcessed == 2 &&
       crashed &&
@@ -210,7 +216,10 @@ object NearDupStateDemo {
       healEvents.size == 2 &&              // fold-1's bootstrap rebuild +
                                            // the injected counts-ahead
                                            // crash healing exactly once
-      countsN.contains(repsRows) &&        // cache == committed reps
+      countsN.contains(repsRows) &&        // caches == committed reps
+      sigsN.contains(repsRows) &&
+      sigRebuilds == 1 &&                  // sig cache healed only at
+                                           // its fold-1 bootstrap
       folded.size == total.toInt &&        // every doc resolves
       folded == oneShot                    // fold-through-crash == one-shot
     println(s"neardup-state crash-replay check: ${if (pass) "PASS" else "FAIL"}")

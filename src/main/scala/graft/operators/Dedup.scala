@@ -2498,12 +2498,27 @@ object Dedup {
     * tracks the committed reps; the row-count tripwire catches every
     * crash window between the two commits and heals with a lossless
     * rebuild). The decision — and therefore every result — is
-    * bit-identical to the uncounted auto path (suite law). */
+    * bit-identical to the uncounted auto path (suite law).
+    *
+    * `sigCacheDir` points the probe at a persisted [[SigCache]]: the
+    * HISTORY side's 8-byte signatures are then read from state instead
+    * of re-deriving the poly-simhash over every accumulated rep's TEXT
+    * per fold — each rep's signature is computed once, when it enters
+    * the state (the fold appends the batch's already-computed fresh
+    * signatures). This removes the composed fold's last
+    * O(state · text-bytes) per-fold term; what remains linear is the
+    * probe's own 16-byte key-column scan (the accepted cost class).
+    * Same derived-cache discipline as the counts (row-count tripwire,
+    * lossless heal, refusal on modulus mismatch); results bit-identical
+    * (suite law). Works with or without `autoProbe` (the pinned wide
+    * probe benefits equally); when both caches are on, one reps count
+    * serves both tripwires. */
   def nearDupWideSimhashFamily(maxHamming: Int = 3, blocks: Int = 6,
       mod1: Long = 2147483647L, mod2: Long = 1073741789L,
       autoProbe: Boolean = false,
       materialize: DataFrame => DataFrame = _.localCheckpoint(),
-      countsDir: Option[String] = None)
+      countsDir: Option[String] = None,
+      sigCacheDir: Option[String] = None)
       : (DataFrame => DataFrame, (DataFrame, DataFrame) => DataFrame) = {
     require(!autoProbe || (maxHamming >= 1 && maxHamming < SimhashBlocks),
       s"nearDupWideSimhashFamily(autoProbe = true) needs 1 <= maxHamming " +
@@ -2520,25 +2535,40 @@ object Dedup {
       graft.functions.FusedMinHashFunctions
         .polySimhash(col("text"), mod1, mod2).as("sh"))
     val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) => {
-      val hits =
-        if (autoProbe) {
-          // the selector's contract: it evaluates each side once per
-          // layout estimate plus once in the chosen probe — cut the
-          // signature frames' lineage so the poly-simhash derivation
-          // over the text runs ONCE per side, not four times (measured
-          // 1.6× the whole fold at sf0.1 without the cut); policy per
-          // the caller, like the fold's own materialize
-          val (bs, hs) = (materialize(sigs(fresh)), materialize(sigs(hist)))
-          countsDir match {
+      val hits = (autoProbe, sigCacheDir) match {
+        case (false, None) =>
+          hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
+            maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
+        case _ =>
+          // the caches and the selector each consume the batch side —
+          // cut the poly-simhash derivation over the batch's text ONCE
+          // (measured 1.6× the whole fold at sf0.1 without the cut);
+          // policy per the caller, like the fold's own materialize
+          val bs = materialize(sigs(fresh))
+          val (hs, hn) = sigCacheDir match {
+            case Some(sd) =>
+              // history signatures from STATE: each rep was hashed once
+              // when it entered; per-fold history work is a 16-byte-row
+              // read, never a text re-hash. ONE reps count serves this
+              // tripwire and (below) the counts cache's.
+              val n = hist.count()
+              (SigCache.ensureAndFold(fresh.sparkSession, sd, hist, bs,
+                mod1, mod2, n), Some(n))
+            case None => (materialize(sigs(hist)), None)
+          }
+          if (!autoProbe)
+            hash64AgainstHistoryWide(bs, hs,
+              maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
+          else countsDir match {
             case Some(cd) =>
               // decide from persisted history counts AND fold the
-              // batch's counts in one fused call (3 jobs): `fresh` is
-              // exactly the rep rows the composed fold appends, so the
-              // cache equals the committed reps the moment the epoch
-              // swaps (a crash in between trips the row-count check
-              // and rebuilds losslessly)
+              // batch's counts in one fused call: `fresh` is exactly
+              // the rep rows the composed fold appends, so the cache
+              // equals the committed reps the moment the epoch swaps
+              // (a crash in between trips the row-count check and
+              // rebuilds losslessly)
               val d = Hash64Counts.decideAndFold(fresh.sparkSession, cd,
-                bs, hs, "sh", blocks, maxHamming)
+                bs, hs, "sh", blocks, maxHamming, hn)
               logLayoutDecision("nearDupWideSimhashFamily", d)
               (if (d.useWide) hash64AgainstHistoryWide(bs, hs,
                 maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
@@ -2549,8 +2579,7 @@ object Dedup {
                 maxHamming = maxHamming, blocks = blocks,
                 maxBucket = 0).result
           }
-        } else hash64AgainstHistoryWide(sigs(fresh), sigs(hist),
-          maxHamming = maxHamming, blocks = blocks, maxBucket = 0)
+      }
       hits.select(col("doc_id").as("id_a"), col("hist_id").as("id_b"))
     }
     (pf, probe)

@@ -105,20 +105,8 @@ object Hash64Counts {
     graft.util.Fs.atomicWriteJson(metaPath(dir), o, conf)
   }
 
-  /** Post-commit cleanup, best-effort: chunk dirs the committed meta no
-    * longer (or never) lists — crashed-fold strays and compacted-away
-    * chunks. Owns only its `c|m<digits>` namespace. */
   private def prune(conf: Configuration, dir: String,
-      keep: Seq[String]): Unit = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val keepSet = keep.toSet
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.matches("[cm]\\d+") && !keepSet.contains(n))
-        fs.delete(st.getPath, true)
-    }
-  }
+      keep: Seq[String]): Unit = CacheDirs.prune(conf, dir, keep)
 
   /** Whether a committed counts cache exists at `dir`. */
   def exists(conf: Configuration, dir: String): Boolean =
@@ -198,38 +186,12 @@ object Hash64Counts {
         "directory per parameterization, or " +
         graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
 
-  /** Heal-path ownership guard: a rebuild may overwrite OUR cache (any
-    * version — it is derived state), but NEVER a directory that is
-    * something else — a marker naming another format (the classic
-    * misuse: pointing countsDir at the signature index itself; the
-    * cache lives BESIDE it, [[countsDirFor]]) or data with no marker
-    * at all refuses loudly instead of being stamped over. */
   private def guardOwnership(conf: Configuration, dir: String): Unit =
-    graft.state.HistoryFormat.read(conf, dir) match {
-      case Some((name, _))
-          if name != graft.state.HistoryFormat.Hash64BucketCounts.name =>
-        throw new IllegalStateException(
-          s"$dir is a '$name' table, not a hash64 counts cache — " +
-            "refusing to rebuild over it; give the cache its own " +
-            "directory (e.g. Hash64Counts.countsDirFor(indexDir))")
-      case Some(_) => ()
-      case None =>
-        val p = new Path(dir)
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          throw new IllegalStateException(
-            s"$dir holds data but no format marker — not a counts cache " +
-              "this engine can verify; use an empty directory or remove " +
-              "the foreign data")
-    }
+    CacheDirs.guardOwnership(conf, dir,
+      graft.state.HistoryFormat.Hash64BucketCounts, "hash64 counts cache")
 
-  /** All chunks the meta lists are on disk (part of the tripwire: a
-    * lost chunk is an inconsistency the heal paths rebuild over). */
   private def chunksExist(conf: Configuration, dir: String,
-      m: Meta): Boolean = {
-    val fs = new Path(dir).getFileSystem(conf)
-    m.chunks.forall(c => fs.exists(new Path(dir, c)))
-  }
+      m: Meta): Boolean = CacheDirs.chunksExist(conf, dir, m.chunks)
 
   /** Commit one WRITTEN batch-counts chunk: append it to the meta's
     * list (auto-compacting past [[CompactAfterChunks]] — one
@@ -376,14 +338,18 @@ object Hash64Counts {
     * stray chunk (overwritten on retry) or a consistent commit. */
   def decideAndFold(spark: SparkSession, dir: String, batchSigs: DataFrame,
       history: DataFrame, hashCol: String, blocks: Int = 6,
-      maxHamming: Int = 3): Dedup.Hash64LayoutDecision = {
+      maxHamming: Int = 3, histN: Option[Long] = None)
+      : Dedup.Hash64LayoutDecision = {
     require(maxHamming >= 1 && maxHamming < Dedup.SimhashBlocks,
       s"hash64 auto keying: both layouts are exact (and therefore " +
         s"interchangeable) only for maxHamming < ${Dedup.SimhashBlocks}, " +
         s"got $maxHamming")
     val conf = spark.sparkContext.hadoopConfiguration
+    // histN: a caller that already counted the history this fold (the
+    // family shares one count between this cache and the signature
+    // cache) passes it through instead of paying a second job
     healIfStale(spark, dir, history, hashCol, blocks, maxHamming,
-      history.count())
+      histN.getOrElse(history.count()))
     val m = readMeta(conf, dir).get
     val chunk = s"c${m.seq + 1}"
     bucketCounts(batchSigs, hashCol, blocks, maxHamming)

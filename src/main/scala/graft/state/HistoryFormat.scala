@@ -115,6 +115,21 @@ object HistoryFormat {
     "delete the counts directory and re-run Hash64Counts.rebuild over " +
       "the signature history (a derived cache — the rebuild is lossless)")
 
+  /** Derived rep-signature cache for the composed near-dup fold's
+    * probe ([[graft.operators.SigCache]]): v1 = `(doc_id, sh)` rows,
+    * sh = the poly-31 modular simhash over the rep's text under the
+    * meta-recorded `(mod1, mod2)`, one row per representative, summed
+    * over append-only chunks with the folded row count in the
+    * atomically-replaced meta. PURE CACHE of a per-row derivation over
+    * the reps table: the row-count tripwire detects any inconsistency
+    * and heals with a lossless re-derivation, so this marker guards
+    * only the derivation shape (a different hash fold or modulus pair
+    * silently mismatches every probe key — the exact class the marker
+    * exists to refuse). */
+  val PolySimhashSigCache: Format = Format("poly-simhash-sig-cache", 1,
+    "delete the signature-cache directory and re-run SigCache.rebuild " +
+      "over the reps table (a derived cache — the rebuild is lossless)")
+
   /** Cross-batch line-df history ([[graft.operators.Curation.lineIndex]]):
     * v1 = two independent XXH64 passes over the line bytes (h2 seeded
     * via a leading literal), packed `doc_id · 2^32 + pos` owners. */

@@ -1107,19 +1107,89 @@ class DedupSuite extends SparkSpec {
     }
     withTmpDir { tmp =>
       val cd = s"$tmp/counts"
+      val sd = s"$tmp/sigs"
+      // the FULL production instrumentation: measured selector reading
+      // persisted counts, probe reading persisted signatures
       val (cpf, cprobe) = Dedup.nearDupWideSimhashFamily(autoProbe = true,
-        countsDir = Some(cd))
+        countsDir = Some(cd), sigCacheDir = Some(sd))
       val (pf, probe) = Dedup.nearDupWideSimhashFamily()
       val counted = fold(cpf, cprobe)
       assert(counted === fold(pf, probe),
-        "counted-auto fold must equal the pinned-wide fold bit for bit")
-      // the cache tracked the reps: n == distinct texts folded
-      assert(graft.operators.Hash64Counts.foldedRows(
-          spark.sparkContext.hadoopConfiguration, cd) ===
-        Some(docs.select("text").distinct().count()))
+        "fully-cached auto fold must equal the pinned-wide fold bit " +
+          "for bit")
+      // both caches tracked the reps: n == distinct texts folded
+      val conf2 = spark.sparkContext.hadoopConfiguration
+      val distinctTexts = docs.select("text").distinct().count()
+      assert(graft.operators.Hash64Counts.foldedRows(conf2, cd) ===
+        Some(distinctTexts))
+      assert(graft.operators.SigCache.foldedRows(conf2, sd) ===
+        Some(distinctTexts))
+      // the persisted signatures ARE the derivation (multiset equality
+      // against a fresh hash of the final reps is implied by the fold
+      // equality above; pin the row count here and the derivation in
+      // the SigCache test below)
       // countsDir without autoProbe is a construction error
       intercept[IllegalArgumentException](
         Dedup.nearDupWideSimhashFamily(countsDir = Some(cd)))
+      // sig cache WITHOUT the selector: pinned-wide probe over
+      // persisted signatures, same resolution
+      val (spf, sprobe) = Dedup.nearDupWideSimhashFamily(
+        sigCacheDir = Some(s"$tmp/sigs2"))
+      assert(fold(spf, sprobe) === counted,
+        "sig-cached pinned-wide fold must equal the others bit for bit")
+    }
+  }
+
+  test("SigCache tripwire: incremental signatures equal the fresh " +
+    "derivation; stale-behind/ahead heal losslessly; modulus mismatch " +
+    "and foreign directories refuse") {
+    import graft.operators.SigCache
+    val conf = spark.sparkContext.hadoopConfiguration
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".as("id"), $"text").localCheckpoint()
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id".as("doc_id"),
+        graft.functions.FusedMinHashFunctions
+          .polySimhash($"text", 2147483647L, 1073741789L).as("sh"))
+    def ms(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view
+        .mapValues(_.size).toMap
+    withTmpDir { tmp =>
+      val sd = s"$tmp/sigs"
+      val h1 = docs.filter($"id" < 200)
+      // fold in two increments through the per-fold surface
+      val r1 = SigCache.ensureAndFold(spark, sd, h1.limit(0),
+        sigsOf(h1.filter($"id" < 100)), 2147483647L, 1073741789L, 0L)
+      assert(r1.count() === 0, "pre-fold view excludes the batch")
+      val r2 = SigCache.ensureAndFold(spark, sd, h1.filter($"id" < 100),
+        sigsOf(h1.filter($"id" >= 100)), 2147483647L, 1073741789L,
+        h1.filter($"id" < 100).count())
+      assert(ms(r2) === ms(sigsOf(h1.filter($"id" < 100))),
+        "pre-fold view == signatures of the prior reps")
+      // committed state == fresh derivation of everything folded
+      assert(ms(SigCache.read(spark, sd)) === ms(sigsOf(h1)),
+        "incremental signature cache must equal the fresh derivation")
+      assert(SigCache.foldedRows(conf, sd) === Some(200L))
+      // STALE-BEHIND (history grew without a fold): heals by
+      // re-derivation, logged
+      val all = docs
+      val healed = SigCache.ensureAndFold(spark, sd, all,
+        sigsOf(all.limit(0)), 2147483647L, 1073741789L, all.count())
+      assert(ms(healed) === ms(sigsOf(all)))
+      assert(SigCache.foldedRows(conf, sd) === Some(all.count()))
+      // MODULUS mismatch refuses from every surface (never clobber)
+      intercept[IllegalArgumentException](
+        SigCache.ensureAndFold(spark, sd, all, sigsOf(all.limit(0)),
+          7L, 11L, all.count()))
+      // foreign directory refuses (never stamp over another table)
+      val idx = s"$tmp/sigidx"
+      sigsOf(docs).write.mode("overwrite").parquet(idx)
+      graft.state.HistoryFormat.stamp(conf, idx,
+        graft.state.HistoryFormat.Hash64Signature)
+      val e = intercept[IllegalStateException](
+        SigCache.ensureAndFold(spark, idx, all, sigsOf(all.limit(0)),
+          2147483647L, 1073741789L, all.count()))
+      assert(e.getMessage.contains("not a signature cache"), e.getMessage)
     }
   }
 
