@@ -658,6 +658,54 @@ object ScalingCurves {
       "reads O(buckets) pre-aggregated rows + one tripwire count — " +
       "never re-derives the history's key explosion)")
 
+    // ----- rep-signature cache: history text hashed ONCE, not per fold ----
+    // The production probe's history side used to re-derive the
+    // poly-simhash over EVERY accumulated rep's text per fold; the
+    // SigCache replaces that with a persisted 16-byte-row read. This
+    // series measures BOTH per-fold costs against 1×–8× rep states,
+    // both starting from disk (the reps parquet chunks vs the cache
+    // chunks). Gate is exact: the cached signatures must equal the
+    // fresh derivation as a multiset at every size (a silent drift here
+    // would silently change probe keys). Walls print with slopes — the
+    // uncached path pays text-bytes hashing that grows with state, the
+    // cached path reads two longs per rep.
+    println()
+    val sigPts = scales.map { m =>
+      val reps = Dedup.nearDupReadState(spark, ndRoot(m))._2
+        .select("id", "text")
+      val scd = s"$work/sigcache_${srcTag}_x$m"
+      ndFs.delete(new org.apache.hadoop.fs.Path(scd), true)
+      graft.operators.SigCache.rebuild(spark, scd, reps,
+        2147483647L, 1073741789L) // cache build: paid once, untimed
+      if (m == scales.head) { // untimed warm-up, like the other loops
+        ndSigs(reps, "id").count()
+        graft.operators.SigCache.read(spark, scd).count()
+      }
+      def sigTuples(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).sorted
+      val t0 = System.nanoTime()
+      val derived = sigTuples(ndSigs(reps, "id").collect())
+      val uncachedSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val cached = sigTuples(
+        graft.operators.SigCache.read(spark, scd).collect())
+      val cachedSec = (System.nanoTime() - t1) / 1e9
+      if (!(derived sameElements cached)) {
+        println("QUADRATIC-CURVE FLAGS: cached signatures diverged from " +
+          s"the fresh derivation at x$m")
+        spark.stop(); sys.exit(1)
+      }
+      println(f"sigcache_history       x$m%-2d derive=${uncachedSec}%6.2f s " +
+        f"cached-read=${cachedSec}%6.2f s  reps=${derived.length}%-7d")
+      (m.toDouble, uncachedSec, cachedSec)
+    }
+    println(f"sigcache_history derive slope " +
+      f"${slope(sigPts.map(p => (p._1, p._2)))}%.2f vs cached-read slope " +
+      f"${slope(sigPts.map(p => (p._1, p._3)))}%.2f (each rep's text is " +
+      "hashed once, when it enters the state; per-fold history work is " +
+      "a 16-byte-row read)")
+
     // ----- IVF with nlist ∝ √N (the production scaling rule, measured) -----
     // The fixed-nlist series above holds slope 1.00 by construction; the
     // README note "production scales nlist with the corpus" becomes
