@@ -142,17 +142,27 @@ object NearDupStateDemo {
     println(s"crashed as planned: $crashed  " +
       s"epoch after crash=$epochAfterCrash (the swap landed)")
 
-    // inject the OTHER crash window — a fold that died AFTER its counts
-    // fold but BEFORE its epoch commit leaves the counts cache AHEAD of
-    // the committed reps; the next fold's row-count tripwire must
-    // detect it and heal with a lossless rebuild (never silent drift).
-    // (The crashed run 2 fold's own decision/heal entries were rightly
-    // DROPPED from the observer stream — its stage never ended — so the
-    // replay fold below is also what proves the heal reaches onStageEnd.)
-    println("== crash sim: counts folded ahead of the committed reps ==")
+    // inject the OTHER crash window — a fold that died AFTER its cache
+    // folds but BEFORE its epoch commit leaves BOTH derived caches a
+    // chunk AHEAD of the committed reps; the next fold's row-count
+    // tripwires must detect it and heal by dropping the surplus chunk
+    // suffix (per-chunk accounting — one meta rewrite, no measurement
+    // job, no text re-derivation; the replayed fold re-appends what it
+    // re-derives). Never silent drift, never a full rebuild for the
+    // common window. (The crashed run 2 fold's own decision/heal
+    // entries were rightly DROPPED from the observer stream — its stage
+    // never ended — so the replay fold below is also what proves the
+    // heals reach onStageEnd.)
+    println("== crash sim: both caches folded ahead of the committed reps ==")
     graft.operators.Hash64Counts.fold(spark, countsDir,
       spark.range(7).select(col("id").as("doc_id"), col("id").as("sh")),
       "sh")
+    val repsNow = Dedup.nearDupReadState(spark, stateRoot)._2
+    graft.operators.SigCache.ensureAndFold(spark, sigsDir,
+      repsNow.select("id", "text"),
+      spark.range(7).select((col("id") + 90000000L).as("doc_id"),
+        col("id").as("sh")),
+      2147483647L, 1073741789L, repsNow.count())
 
     println("== run 3: restart — the WAL re-delivers batch 3; the fold " +
       "replays as a no-op epoch (and heals the counts cache) ==")
@@ -186,9 +196,14 @@ object NearDupStateDemo {
     // decisions AND the injected counts heal rode onStageEnd metadata
     val layoutEvents = stageMeta.filter(_._1.startsWith("hash64_layout"))
     val healEvents = stageMeta.filter(_._1.startsWith("hash64_counts_rebuild"))
+    val countsAhead = stageMeta.filter(
+      _._1.startsWith("hash64_counts_ahead_heal"))
+    val sigAhead = stageMeta.filter(_._1.startsWith("sigcache_ahead_heal"))
     println(s"observer: ${layoutEvents.size} hash64_layout events " +
       s"(first: ${layoutEvents.headOption.map(_._2).getOrElse("-")}), " +
-      s"${healEvents.size} counts-heal events")
+      s"${healEvents.size} counts-rebuild events, " +
+      s"${countsAhead.size} counts-ahead heals, " +
+      s"${sigAhead.size} sig-ahead heals")
     // both derived caches ended consistent with the committed reps
     val repsRows = spark.read.parquet(
       (1L to committedEpoch()).map(i => s"$stateRoot/reps/c$i"): _*).count()
@@ -213,13 +228,17 @@ object NearDupStateDemo {
                                            // (the crashed fold's is
                                            // rightly dropped)
       layoutEvents.forall(_._2.contains("chosen=")) &&
-      healEvents.size == 2 &&              // fold-1's bootstrap rebuild +
-                                           // the injected counts-ahead
-                                           // crash healing exactly once
+      healEvents.size == 1 &&              // full rebuild ONLY at fold-1's
+                                           // bootstrap — the injected
+                                           // ahead window must NOT pay one
+      countsAhead.size == 1 &&             // the injected counts-ahead
+                                           // chunk healed by suffix drop
+      sigAhead.size == 1 &&                // ditto the sig cache's —
+                                           // no text re-derivation
       countsN.contains(repsRows) &&        // caches == committed reps
       sigsN.contains(repsRows) &&
-      sigRebuilds == 1 &&                  // sig cache healed only at
-                                           // its fold-1 bootstrap
+      sigRebuilds == 1 &&                  // sig cache fully rebuilt only
+                                           // at its fold-1 bootstrap
       folded.size == total.toInt &&        // every doc resolves
       folded == oneShot                    // fold-through-crash == one-shot
     println(s"neardup-state crash-replay check: ${if (pass) "PASS" else "FAIL"}")

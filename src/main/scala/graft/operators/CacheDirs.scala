@@ -5,11 +5,107 @@ import org.apache.hadoop.fs.Path
 
 /** Shared disciplines of the chunked derived-cache directories
   * ([[Hash64Counts]], [[SigCache]]): the `c|m<digits>` chunk namespace,
-  * post-commit pruning, chunk-existence tripwires, and the heal-path
-  * ownership guard. ONE definition — a divergent copy of the pruning
-  * or ownership rules between caches would let one cache's heal path
-  * damage another's table. */
+  * the `Meta(n, seq, chunks+rows, params)` atomic-meta pattern,
+  * post-commit pruning, chunk-existence tripwires, the cheap
+  * AHEAD-heal arithmetic, and the heal-path ownership guard. ONE
+  * definition — a divergent copy of the pruning, meta, or ownership
+  * rules between caches would let one cache's heal path damage
+  * another's table, and a third derived cache cannot fork the
+  * discipline. */
 private[operators] object CacheDirs {
+
+  /** One committed chunk: its directory name and its contribution to
+    * the meta's folded row count `n` (for a per-row cache this is the
+    * chunk's parquet rows; for an aggregated cache like the bucket
+    * counts it is the SOURCE rows the chunk folded). Per-chunk
+    * accounting is what makes the cheap AHEAD heal possible: a cache
+    * exactly k committed chunks ahead of its source table heals by
+    * dropping that suffix from the meta — no Spark job, no source
+    * re-scan. */
+  final case class CacheChunk(name: String, rows: Long)
+
+  /** The shared chunked-cache meta: total folded source rows, the
+    * commit sequence (chunk names only ever move forward — a crashed
+    * fold's stray chunk carries the name the retry overwrites), the
+    * chunk list with per-chunk row accounting, and the cache's
+    * parameter identity (a different parameterization is a different
+    * derivation — callers REFUSE on mismatch, never clobber). */
+  final case class ChunkMeta(n: Long, seq: Long, chunks: Seq[CacheChunk],
+      params: Map[String, Long]) {
+    def chunkNames: Seq[String] = chunks.map(_.name)
+  }
+
+  /** Read a chunk-cache meta. `paramKeys` names the cache's parameter
+    * fields in canonical order; a missing core field is malformed (the
+    * message carries `remedy`). `chunk_rows` may be ABSENT (a meta
+    * written before per-chunk accounting): the chunks then read as
+    * rows = −1 = unknown, which disables the cheap AHEAD heal but
+    * nothing else — the row-count tripwire still catches every
+    * inconsistency and the lossless rebuild still heals it. */
+  def readChunkMeta(conf: Configuration, dir: String, metaFile: String,
+      paramKeys: Seq[String], remedy: String): Option[ChunkMeta] = {
+    val p = new Path(dir, metaFile)
+    if (!graft.util.Fs.exists(p, conf)) None
+    else {
+      val node = graft.util.Fs.readJson(p, conf)
+      def corrupt(what: String): Nothing = throw new IllegalStateException(
+        s"cache meta at $dir is malformed ($what) — $remedy")
+      val names = graft.util.Jsons.optField(node, "chunks")
+        .map(a => graft.util.Jsons.elems(a).map(_.asText()).toSeq)
+        .getOrElse(corrupt("no chunks"))
+      val rows = graft.util.Jsons.optField(node, "chunk_rows")
+        .map(a => graft.util.Jsons.elems(a).map(_.asLong()).toSeq)
+        .getOrElse(names.map(_ => -1L))
+      if (rows.size != names.size)
+        corrupt(s"chunk_rows has ${rows.size} entries for ${names.size} " +
+          "chunks")
+      Some(ChunkMeta(
+        graft.util.Jsons.optLong(node, "n").getOrElse(corrupt("no n")),
+        graft.util.Jsons.optLong(node, "seq").getOrElse(corrupt("no seq")),
+        names.zip(rows).map { case (nm, r) => CacheChunk(nm, r) },
+        paramKeys.map(k => k -> graft.util.Jsons.optLong(node, k)
+          .getOrElse(corrupt(s"no $k"))).toMap))
+    }
+  }
+
+  /** Atomically replace a chunk-cache meta (the cache's single commit
+    * point). Always writes `chunk_rows`. */
+  def writeChunkMeta(conf: Configuration, dir: String, metaFile: String,
+      paramKeys: Seq[String], m: ChunkMeta): Unit = {
+    val o = graft.util.Jsons.obj()
+    o.put("n", m.n)
+    paramKeys.foreach(k => o.put(k, m.params(k)))
+    o.put("seq", m.seq)
+    val a = o.putArray("chunks"); m.chunks.foreach(c => a.add(c.name))
+    val r = o.putArray("chunk_rows"); m.chunks.foreach(c => r.add(c.rows))
+    graft.util.Fs.atomicWriteJson(new Path(dir, metaFile), o, conf)
+  }
+
+  /** The cheap AHEAD-heal arithmetic: when the cache's folded count is
+    * ahead of the source table (the common crash window — the cache
+    * chunk committed, the source's own commit was lost, the batch
+    * replays), the surplus is by construction a SUFFIX of the chunk
+    * list; if per-chunk accounting is available (no −1 rows) and some
+    * strict prefix sums exactly to `targetN`, return that prefix — the
+    * heal is then one meta rewrite plus a prune, no Spark job and no
+    * source re-scan (the replayed fold re-derives and re-appends the
+    * dropped rows itself). Returns None when the surplus does not
+    * align on chunk boundaries (or accounting is unknown): that is NOT
+    * the replay window, and the caller falls back to the lossless full
+    * rebuild. Soundness rests on the same append-only + single-writer
+    * contract as the row-count tripwire itself. */
+  def aheadKeepPrefix(m: ChunkMeta, targetN: Long)
+      : Option[Seq[CacheChunk]] = {
+    if (m.n <= targetN || m.chunks.exists(_.rows < 0)) return None
+    var sum = 0L
+    var i = 0
+    while (i < m.chunks.size && sum < targetN) {
+      sum += m.chunks(i).rows
+      i += 1
+    }
+    if (sum == targetN && i < m.chunks.size) Some(m.chunks.take(i))
+    else None
+  }
 
   /** Post-commit cleanup, best-effort: chunk dirs the committed meta no
     * longer (or never) lists — crashed-fold strays and compacted-away

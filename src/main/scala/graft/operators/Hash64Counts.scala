@@ -36,12 +36,19 @@ import org.apache.spark.sql.functions._
   * signature history, so consistency is enforced by a row-count
   * TRIPWIRE, not by trust — [[ensure]] compares the meta's folded row
   * count against the history's actual count (a cheap
-  * parquet-metadata-class job) and on ANY mismatch rebuilds losslessly
-  * from the history (one measurement-cost job, the price the
-  * un-cached path paid every fold). Every crash window — a fold that
-  * died between its signature append and its counts fold, a counts
-  * chunk written but not committed, a replay — lands in "mismatch →
-  * rebuild" or "stray chunk → overwritten/pruned"; nothing is silent.
+  * parquet-metadata-class job). The COMMON crash window — counts
+  * folded, the signature append's own commit lost, the batch replayed
+  * — leaves the cache exactly a chunk-suffix AHEAD and heals by
+  * dropping that suffix from the meta (per-chunk row accounting,
+  * [[CacheDirs.aheadKeepPrefix]] — one meta rewrite, NO measurement
+  * job; the replay re-counts and re-appends the batch itself). Every
+  * OTHER mismatch rebuilds losslessly from the history (one
+  * measurement-cost job, the price the un-cached path paid every
+  * fold). Every crash window — a fold that died between its signature
+  * append and its counts fold, a counts chunk written but not
+  * committed, a replay — lands in "aligned-ahead → suffix drop",
+  * "mismatch → rebuild", or "stray chunk → overwritten/pruned";
+  * nothing is silent.
   * Equal-count-different-rows desync is excluded by the append-only
   * discipline of every [[graft.state.HistoryFormat.Hash64Signature]]
   * history and the single-writer lock; an out-of-band overwrite that
@@ -54,7 +61,10 @@ import org.apache.spark.sql.functions._
   * `maxHamming ≤ 3` — the suite law), and a suite law pins
   * incremental == fresh-measured counts bit-identically. */
 object Hash64Counts {
+  import CacheDirs.{CacheChunk, ChunkMeta}
+
   private val MetaFile = "_graft_counts_meta.json"
+  private val ParamKeys = Seq("blocks", "max_hamming")
 
   /** Chunk-count threshold past which [[fold]] compacts in-line: the
     * read side sums chunks per decision, so unbounded chunk lists
@@ -69,48 +79,22 @@ object Hash64Counts {
   def countsDirFor(historyDir: String): String =
     s"$historyDir/_graft_hash64_counts"
 
-  private[operators] case class Meta(n: Long, blocks: Int, maxHamming: Int,
-      seq: Long, chunks: Seq[String])
+  private def fmt = graft.state.HistoryFormat.Hash64BucketCounts
 
-  private def metaPath(dir: String) = new Path(dir, MetaFile)
+  private def readMeta(conf: Configuration, dir: String): Option[ChunkMeta] =
+    CacheDirs.readChunkMeta(conf, dir, MetaFile, ParamKeys,
+      fmt.rebuildRemedy)
 
-  private def readMeta(conf: Configuration, dir: String): Option[Meta] = {
-    val p = metaPath(dir)
-    if (!graft.util.Fs.exists(p, conf)) None
-    else {
-      val node = graft.util.Fs.readJson(p, conf)
-      def corrupt(what: String): Nothing = throw new IllegalStateException(
-        s"hash64 counts meta at $dir is malformed ($what) — " +
-          graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
-      Some(Meta(
-        graft.util.Jsons.optLong(node, "n").getOrElse(corrupt("no n")),
-        graft.util.Jsons.optLong(node, "blocks")
-          .getOrElse(corrupt("no blocks")).toInt,
-        graft.util.Jsons.optLong(node, "max_hamming")
-          .getOrElse(corrupt("no max_hamming")).toInt,
-        graft.util.Jsons.optLong(node, "seq").getOrElse(corrupt("no seq")),
-        graft.util.Jsons.optField(node, "chunks")
-          .map(a => graft.util.Jsons.elems(a).map(_.asText()).toSeq)
-          .getOrElse(corrupt("no chunks"))))
-    }
-  }
-
-  private def writeMeta(conf: Configuration, dir: String, m: Meta): Unit = {
-    val o = graft.util.Jsons.obj()
-    o.put("n", m.n)
-    o.put("blocks", m.blocks)
-    o.put("max_hamming", m.maxHamming)
-    o.put("seq", m.seq)
-    val a = o.putArray("chunks"); m.chunks.foreach(a.add)
-    graft.util.Fs.atomicWriteJson(metaPath(dir), o, conf)
-  }
+  private def writeMeta(conf: Configuration, dir: String,
+      m: ChunkMeta): Unit =
+    CacheDirs.writeChunkMeta(conf, dir, MetaFile, ParamKeys, m)
 
   private def prune(conf: Configuration, dir: String,
       keep: Seq[String]): Unit = CacheDirs.prune(conf, dir, keep)
 
   /** Whether a committed counts cache exists at `dir`. */
   def exists(conf: Configuration, dir: String): Boolean =
-    graft.util.Fs.exists(metaPath(dir), conf)
+    graft.util.Fs.exists(new Path(dir, MetaFile), conf)
 
   /** Both layouts' bucket counts of one signature frame, the SHARED key
     * derivations of the pair/probe operators themselves: one
@@ -147,10 +131,10 @@ object Hash64Counts {
     if (!chunksExist(conf, dir, m))
       throw new IllegalStateException(
         s"hash64 counts meta at $dir lists chunks that are missing on " +
-          s"disk (${m.chunks.mkString(",")}) — " +
+          s"disk (${m.chunkNames.mkString(",")}) — " +
           graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
     if (m.chunks.isEmpty) emptyCounts(spark)
-    else spark.read.parquet(m.chunks.map(c => s"$dir/$c"): _*)
+    else spark.read.parquet(m.chunkNames.map(c => s"$dir/$c"): _*)
       .groupBy("layout", "b", "k")
       .agg(sum(col("cnt")).as("cnt"))
   }
@@ -177,11 +161,14 @@ object Hash64Counts {
     * CONFIGURATION error — rebuilding under the new parameters would
     * silently thrash full-history scans between alternating callers
     * and clobber the production cache. Every surface refuses alike. */
-  private def checkParams(m: Meta, dir: String, blocks: Int,
+  private def checkParams(m: ChunkMeta, dir: String, blocks: Int,
       maxHamming: Int): Unit =
-    require(m.blocks == blocks && m.maxHamming == maxHamming,
-      s"hash64 counts at $dir were folded under blocks=${m.blocks}/" +
-        s"maxHamming=${m.maxHamming}, got $blocks/$maxHamming — the wide " +
+    require(m.params("blocks") == blocks &&
+        m.params("max_hamming") == maxHamming,
+      s"hash64 counts at $dir were folded under " +
+        s"blocks=${m.params("blocks")}/" +
+        s"maxHamming=${m.params("max_hamming")}, got $blocks/$maxHamming " +
+        "— the wide " +
         "keys differ per parameterization; use a separate counts " +
         "directory per parameterization, or " +
         graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
@@ -191,7 +178,7 @@ object Hash64Counts {
       graft.state.HistoryFormat.Hash64BucketCounts, "hash64 counts cache")
 
   private def chunksExist(conf: Configuration, dir: String,
-      m: Meta): Boolean = CacheDirs.chunksExist(conf, dir, m.chunks)
+      m: ChunkMeta): Boolean = CacheDirs.chunksExist(conf, dir, m.chunkNames)
 
   /** Commit one WRITTEN batch-counts chunk: append it to the meta's
     * list (auto-compacting past [[CompactAfterChunks]] — one
@@ -201,44 +188,64 @@ object Hash64Counts {
     * (a divergent copy here would desync two write paths into the same
     * persisted meta). `deltaRows` = signature rows the chunk counts. */
   private def commitWrittenChunk(spark: SparkSession, dir: String,
-      m: Meta, chunk: String, deltaRows: Long, blocks: Int,
-      maxHamming: Int): Unit = {
+      m: ChunkMeta, chunk: String, deltaRows: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val grown = m.chunks :+ chunk
+    val grown = m.chunks :+ CacheChunk(chunk, deltaRows)
     if (grown.size > CompactAfterChunks) {
       val merged = s"m${m.seq + 2}"
-      spark.read.parquet(grown.map(c => s"$dir/$c"): _*)
+      spark.read.parquet(grown.map(c => s"$dir/${c.name}"): _*)
         .groupBy("layout", "b", "k").agg(sum(col("cnt")).as("cnt"))
         .write.mode("overwrite").parquet(s"$dir/$merged")
-      writeMeta(conf, dir, Meta(m.n + deltaRows, blocks, maxHamming,
-        m.seq + 2, Seq(merged)))
+      writeMeta(conf, dir, ChunkMeta(m.n + deltaRows, m.seq + 2,
+        Seq(CacheChunk(merged, m.n + deltaRows)), m.params))
       prune(conf, dir, Seq(merged))
     } else {
-      writeMeta(conf, dir, Meta(m.n + deltaRows, blocks, maxHamming,
-        m.seq + 1, grown))
-      prune(conf, dir, grown)
+      writeMeta(conf, dir, ChunkMeta(m.n + deltaRows, m.seq + 1, grown,
+        m.params))
+      prune(conf, dir, grown.map(_.name))
     }
   }
 
-  /** The shared tripwire: params refuse on mismatch (never clobber);
-    * a stale n, a stale/absent marker, or a lost chunk heals with a
-    * lossless rebuild (logged + surfaced as a structured event). */
+  /** The shared tripwire: params refuse on mismatch (never clobber); a
+    * consistent cache passes untouched; the chunk-aligned AHEAD window
+    * (counts folded, the signature append's own commit lost, the batch
+    * replayed) heals by dropping the surplus chunk suffix from the meta
+    * ([[CacheDirs.aheadKeepPrefix]] — one meta rewrite + prune, NO
+    * measurement job; the replayed fold re-counts and re-appends the
+    * dropped batch itself); every other mismatch (stale-behind, a lost
+    * chunk, a stale/absent marker, a non-chunk-aligned surplus) heals
+    * with the lossless rebuild — one O(history) measurement job, what
+    * the un-cached selector paid per fold. Both heals log + surface as
+    * structured events. */
   private def healIfStale(spark: SparkSession, dir: String,
       history: DataFrame, hashCol: String, blocks: Int, maxHamming: Int,
       histN: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = readMeta(conf, dir)
     meta.foreach(checkParams(_, dir, blocks, maxHamming))
+    val markerOk = graft.state.HistoryFormat.read(conf, dir).contains(
+      (fmt.name, fmt.version.toLong))
     val ok = meta.exists(m =>
-      m.n == histN && chunksExist(conf, dir, m) &&
-        graft.state.HistoryFormat.read(conf, dir).contains(
-          (graft.state.HistoryFormat.Hash64BucketCounts.name,
-            graft.state.HistoryFormat.Hash64BucketCounts.version.toLong)))
-    if (!ok) {
-      val detail = s"dir=$dir hist_rows=$histN stored=${meta.map(_.n)}"
-      Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
-      graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
-      rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming, histN)
+      m.n == histN && markerOk && chunksExist(conf, dir, m))
+    if (ok) return
+    val ahead = meta
+      .filter(_ => markerOk)
+      .filter(m => chunksExist(conf, dir, m))
+      .flatMap(m => CacheDirs.aheadKeepPrefix(m, histN).map((m, _)))
+    ahead match {
+      case Some((m, keep)) =>
+        val detail = s"dir=$dir hist_rows=$histN stored=${m.n} " +
+          s"dropped=${m.chunks.size - keep.size}"
+        Dedup.selectorLog.info(s"event=hash64_counts_ahead_heal $detail")
+        graft.core.StageMetadata.put("hash64_counts_ahead_heal", detail)
+        writeMeta(conf, dir, ChunkMeta(histN, m.seq, keep, m.params))
+        prune(conf, dir, keep.map(_.name))
+      case None =>
+        val detail = s"dir=$dir hist_rows=$histN stored=${meta.map(_.n)}"
+        Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
+        graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
+        rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming,
+          histN)
     }
   }
 
@@ -257,7 +264,8 @@ object Hash64Counts {
       graft.state.HistoryFormat.Hash64BucketCounts,
       hasData = prior.nonEmpty)
     prior.foreach(checkParams(_, dir, blocks, maxHamming))
-    val m = prior.getOrElse(Meta(0L, blocks, maxHamming, 0L, Nil))
+    val m = prior.getOrElse(ChunkMeta(0L, 0L, Nil,
+      Map("blocks" -> blocks.toLong, "max_hamming" -> maxHamming.toLong)))
     val chunk = s"c${m.seq + 1}"
     bucketCounts(sigs, hashCol, blocks, maxHamming)
       .write.mode("overwrite").parquet(s"$dir/$chunk")
@@ -269,7 +277,7 @@ object Hash64Counts {
       .filter(col("layout") === "narrow")
       .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
     commitWrittenChunk(spark, dir, m, chunk,
-      deltaKeys / Dedup.SimhashBlocks, blocks, maxHamming)
+      deltaKeys / Dedup.SimhashBlocks)
   }
 
   /** Lossless full rebuild from the signature history — the heal path
@@ -290,17 +298,20 @@ object Hash64Counts {
     guardOwnership(conf, dir)
     graft.state.HistoryFormat.stamp(conf, dir,
       graft.state.HistoryFormat.Hash64BucketCounts)
+    val params = Map("blocks" -> blocks.toLong,
+      "max_hamming" -> maxHamming.toLong)
     val seq = readMeta(conf, dir).map(_.seq).getOrElse(0L) + 1
     if (histN == 0) {
       // nothing to measure — commit the empty meta without a Spark job
       // (the common bootstrap case: a first fold against empty history)
-      writeMeta(conf, dir, Meta(0L, blocks, maxHamming, seq, Nil))
+      writeMeta(conf, dir, ChunkMeta(0L, seq, Nil, params))
       prune(conf, dir, Nil)
     } else {
       val chunk = s"c$seq"
       bucketCounts(history, hashCol, blocks, maxHamming)
         .write.mode("overwrite").parquet(s"$dir/$chunk")
-      writeMeta(conf, dir, Meta(histN, blocks, maxHamming, seq, Seq(chunk)))
+      writeMeta(conf, dir, ChunkMeta(histN, seq,
+        Seq(CacheChunk(chunk, histN)), params))
       prune(conf, dir, Seq(chunk))
     }
   }
@@ -357,7 +368,7 @@ object Hash64Counts {
     val bc = spark.read.parquet(s"$dir/$chunk")
     val (d, bNarrowSum) = decisionImpl(bc, read(spark, dir))
     commitWrittenChunk(spark, dir, m, chunk,
-      bNarrowSum / Dedup.SimhashBlocks, blocks, maxHamming)
+      bNarrowSum / Dedup.SimhashBlocks)
     d
   }
 

@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import CacheDirs.{CacheChunk, ChunkMeta}
 
 /** Persisted rep-signature cache for the composed near-dup fold's
   * history probe — the "store signatures here instead" lever the fold
@@ -22,71 +23,57 @@ import org.apache.spark.sql.functions._
   * THE FIX: persist `(doc_id, sh)` rows as append-only CHUNKS (one
   * O(batch) chunk per fold — the batch's fresh-rep signatures, which
   * the family has already computed for its own pair stage), committed
-  * by one atomically-replaced meta pointer naming the chunk list, the
-  * folded row count, and the modulus pair. The probe then reads
-  * persisted signatures; history TEXT is never re-read and never
-  * re-hashed.
+  * by one atomically-replaced meta pointer naming the chunk list (with
+  * per-chunk row accounting), the folded row count, and the modulus
+  * pair — the [[CacheDirs]] meta discipline, shared with
+  * [[Hash64Counts]].
   *
-  * DERIVED CACHE, SELF-HEALING — the [[Hash64Counts]] discipline
-  * exactly: a row-count tripwire compares the stored n against the
-  * reps table's actual count per fold and heals ANY mismatch (a crash
-  * between the cache commit and the fold's epoch commit, a lost chunk,
-  * a stale marker) with a lossless re-derivation from the reps' text;
-  * a modulus-pair mismatch REFUSES (configuration error, never
-  * clobber); a directory holding another format refuses
-  * ([[CacheDirs.guardOwnership]]). Chunk lists compact at the START of
-  * a fold past the threshold — before the fold plans its history read,
-  * so a returned signature frame never reads files the same fold
-  * prunes.
+  * DERIVED CACHE, SELF-HEALING: a row-count tripwire compares the
+  * stored n against the reps table's actual count per fold. The COMMON
+  * crash window — the cache chunk committed, the fold's epoch swap
+  * lost, the batch replayed — leaves the cache exactly a chunk-suffix
+  * AHEAD of the committed reps; that case heals by dropping the
+  * uncommitted-side surplus from the meta ([[CacheDirs.aheadKeepPrefix]]
+  * — one meta rewrite + prune, NO Spark job, no text re-read; the
+  * replayed fold re-derives and re-appends the dropped signatures
+  * itself). Every OTHER mismatch (a lost chunk, a stale marker, a
+  * surplus that does not align on chunk boundaries) heals with the
+  * lossless full re-derivation from the reps' text — O(state ·
+  * text-bytes), the cost the un-cached probe paid every fold, paid
+  * once per detected inconsistency. A modulus-pair mismatch REFUSES
+  * (configuration error, never clobber); a directory holding another
+  * format refuses ([[CacheDirs.guardOwnership]]). Chunk lists compact
+  * at the START of a fold past the threshold — before the fold plans
+  * its history read, so a returned signature frame never reads files
+  * the same fold prunes.
   *
   * PURE CACHE: signatures can only ever change probe COST, never probe
   * results (the derivation is deterministic per text; a suite law pins
-  * the cached fold's resolution == the uncached fold's bit for bit). */
+  * the cached fold's resolution == the uncached fold's bit for bit,
+  * and ahead-heal == full-rebuild bit for bit). */
 object SigCache {
   private val MetaFile = "_graft_sigcache_meta.json"
+  private val ParamKeys = Seq("mod1", "mod2")
 
   /** Same compaction policy as [[Hash64Counts]]: reads union the chunk
     * list, so it must stay bounded; compaction is one read+write over
     * O(reps) 16-byte rows every ~16 folds. */
   private val CompactAfterChunks = 16
 
-  private[operators] case class Meta(n: Long, mod1: Long, mod2: Long,
-      seq: Long, chunks: Seq[String])
+  private def fmt = graft.state.HistoryFormat.PolySimhashSigCache
 
-  private def metaPath(dir: String) = new Path(dir, MetaFile)
+  private def readMeta(conf: Configuration, dir: String): Option[ChunkMeta] =
+    CacheDirs.readChunkMeta(conf, dir, MetaFile, ParamKeys,
+      fmt.rebuildRemedy)
 
-  private def readMeta(conf: Configuration, dir: String): Option[Meta] = {
-    val p = metaPath(dir)
-    if (!graft.util.Fs.exists(p, conf)) None
-    else {
-      val node = graft.util.Fs.readJson(p, conf)
-      def corrupt(what: String): Nothing = throw new IllegalStateException(
-        s"signature-cache meta at $dir is malformed ($what) — " +
-          graft.state.HistoryFormat.PolySimhashSigCache.rebuildRemedy)
-      Some(Meta(
-        graft.util.Jsons.optLong(node, "n").getOrElse(corrupt("no n")),
-        graft.util.Jsons.optLong(node, "mod1").getOrElse(corrupt("no mod1")),
-        graft.util.Jsons.optLong(node, "mod2").getOrElse(corrupt("no mod2")),
-        graft.util.Jsons.optLong(node, "seq").getOrElse(corrupt("no seq")),
-        graft.util.Jsons.optField(node, "chunks")
-          .map(a => graft.util.Jsons.elems(a).map(_.asText()).toSeq)
-          .getOrElse(corrupt("no chunks"))))
-    }
-  }
-
-  private def writeMeta(conf: Configuration, dir: String, m: Meta): Unit = {
-    val o = graft.util.Jsons.obj()
-    o.put("n", m.n)
-    o.put("mod1", m.mod1)
-    o.put("mod2", m.mod2)
-    o.put("seq", m.seq)
-    val a = o.putArray("chunks"); m.chunks.foreach(a.add)
-    graft.util.Fs.atomicWriteJson(metaPath(dir), o, conf)
-  }
+  private def writeMeta(conf: Configuration, dir: String,
+      m: ChunkMeta): Unit =
+    CacheDirs.writeChunkMeta(conf, dir, MetaFile, ParamKeys, m)
 
   /** Whether a committed signature cache exists at `dir`. */
   def exists(conf: Configuration, dir: String): Boolean =
-    graft.util.Fs.exists(metaPath(dir), conf)
+    graft.util.Fs.exists(
+      new org.apache.hadoop.fs.Path(dir, MetaFile), conf)
 
   /** Rows folded so far (the tripwire's stored side). */
   def foldedRows(conf: Configuration, dir: String): Option[Long] =
@@ -101,14 +88,14 @@ object SigCache {
       graft.functions.FusedMinHashFunctions
         .polySimhash(col("text"), mod1, mod2).as("sh"))
 
-  private def checkParams(m: Meta, dir: String, mod1: Long,
+  private def checkParams(m: ChunkMeta, dir: String, mod1: Long,
       mod2: Long): Unit =
-    require(m.mod1 == mod1 && m.mod2 == mod2,
-      s"signature cache at $dir was derived under mod1=${m.mod1}/" +
-        s"mod2=${m.mod2}, got $mod1/$mod2 — a different modulus pair is " +
-        "a different signature; use a separate cache directory per " +
-        "parameterization, or " +
-        graft.state.HistoryFormat.PolySimhashSigCache.rebuildRemedy)
+    require(m.params("mod1") == mod1 && m.params("mod2") == mod2,
+      s"signature cache at $dir was derived under " +
+        s"mod1=${m.params("mod1")}/mod2=${m.params("mod2")}, got " +
+        s"$mod1/$mod2 — a different modulus pair is a different " +
+        "signature; use a separate cache directory per " +
+        s"parameterization, or ${fmt.rebuildRemedy}")
 
   /** The committed signature table `(doc_id, sh)` — a plain union of
     * the chunks (one row per rep; no aggregation needed). */
@@ -116,15 +103,13 @@ object SigCache {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = readMeta(conf, dir).getOrElse(throw new IllegalStateException(
       s"no signature cache at $dir — fold or rebuild it first"))
-    graft.state.HistoryFormat.ensure(conf, dir,
-      graft.state.HistoryFormat.PolySimhashSigCache, hasData = true)
-    if (!CacheDirs.chunksExist(conf, dir, m.chunks))
+    graft.state.HistoryFormat.ensure(conf, dir, fmt, hasData = true)
+    if (!CacheDirs.chunksExist(conf, dir, m.chunkNames))
       throw new IllegalStateException(
         s"signature-cache meta at $dir lists chunks that are missing on " +
-          s"disk (${m.chunks.mkString(",")}) — " +
-          graft.state.HistoryFormat.PolySimhashSigCache.rebuildRemedy)
+          s"disk (${m.chunkNames.mkString(",")}) — ${fmt.rebuildRemedy}")
     if (m.chunks.isEmpty) emptySigs(spark)
-    else spark.read.parquet(m.chunks.map(c => s"$dir/$c"): _*)
+    else spark.read.parquet(m.chunkNames.map(c => s"$dir/$c"): _*)
   }
 
   private def emptySigs(spark: SparkSession): DataFrame = {
@@ -136,9 +121,10 @@ object SigCache {
   }
 
   /** Lossless full re-derivation from the reps table `(id, text)` —
-    * the heal path for every detected inconsistency and the bootstrap
-    * for existing state. Cost = what the un-cached probe paid every
-    * fold, paid once. */
+    * the heal path for every inconsistency the cheap AHEAD heal cannot
+    * cover, and the bootstrap for existing state. Cost = what the
+    * un-cached probe paid every fold (O(state · text-bytes)), paid
+    * once. */
   def rebuild(spark: SparkSession, dir: String, reps: DataFrame,
       mod1: Long, mod2: Long): Unit =
     rebuildWithN(spark, dir, reps, mod1, mod2, reps.count())
@@ -146,27 +132,64 @@ object SigCache {
   private def rebuildWithN(spark: SparkSession, dir: String,
       reps: DataFrame, mod1: Long, mod2: Long, repsN: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    CacheDirs.guardOwnership(conf, dir,
-      graft.state.HistoryFormat.PolySimhashSigCache, "signature cache")
-    graft.state.HistoryFormat.stamp(conf, dir,
-      graft.state.HistoryFormat.PolySimhashSigCache)
+    CacheDirs.guardOwnership(conf, dir, fmt, "signature cache")
+    graft.state.HistoryFormat.stamp(conf, dir, fmt)
+    val params = Map("mod1" -> mod1, "mod2" -> mod2)
     val seq = readMeta(conf, dir).map(_.seq).getOrElse(0L) + 1
     if (repsN == 0) {
-      writeMeta(conf, dir, Meta(0L, mod1, mod2, seq, Nil))
+      writeMeta(conf, dir, ChunkMeta(0L, seq, Nil, params))
       CacheDirs.prune(conf, dir, Nil)
     } else {
       val chunk = s"c$seq"
       derive(reps, mod1, mod2)
         .write.mode("overwrite").parquet(s"$dir/$chunk")
-      writeMeta(conf, dir, Meta(repsN, mod1, mod2, seq, Seq(chunk)))
+      writeMeta(conf, dir, ChunkMeta(repsN, seq,
+        Seq(CacheChunk(chunk, repsN)), params))
       CacheDirs.prune(conf, dir, Seq(chunk))
     }
   }
 
-  /** The per-fold fast path: validate (or losslessly heal) the cache
-    * against EXACTLY this reps table, compact-at-start when the chunk
-    * list is long (BEFORE planning the returned read, so the frame
-    * never reads files this fold prunes), return the committed
+  /** The tripwire's heal dispatch: params refuse on mismatch (never
+    * clobber); a consistent cache passes untouched; the chunk-aligned
+    * AHEAD window heals by suffix truncation (one meta rewrite, no
+    * Spark job — see the object scaladoc); everything else heals with
+    * the lossless full re-derivation. Both heals log + surface as
+    * structured events. */
+  private def healIfStale(spark: SparkSession, dir: String,
+      reps: DataFrame, mod1: Long, mod2: Long, repsN: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = readMeta(conf, dir)
+    meta.foreach(checkParams(_, dir, mod1, mod2))
+    val markerOk = graft.state.HistoryFormat.read(conf, dir)
+      .contains((fmt.name, fmt.version.toLong))
+    val ok = meta.exists(m =>
+      m.n == repsN && markerOk &&
+        CacheDirs.chunksExist(conf, dir, m.chunkNames))
+    if (ok) return
+    val ahead = meta
+      .filter(_ => markerOk)
+      .filter(m => CacheDirs.chunksExist(conf, dir, m.chunkNames))
+      .flatMap(m => CacheDirs.aheadKeepPrefix(m, repsN).map((m, _)))
+    ahead match {
+      case Some((m, keep)) =>
+        val detail = s"dir=$dir reps_rows=$repsN stored=${m.n} " +
+          s"dropped=${m.chunks.size - keep.size}"
+        Dedup.selectorLog.info(s"event=sigcache_ahead_heal $detail")
+        graft.core.StageMetadata.put("sigcache_ahead_heal", detail)
+        writeMeta(conf, dir, ChunkMeta(repsN, m.seq, keep, m.params))
+        CacheDirs.prune(conf, dir, keep.map(_.name))
+      case None =>
+        val detail = s"dir=$dir reps_rows=$repsN stored=${meta.map(_.n)}"
+        Dedup.selectorLog.info(s"event=sigcache_rebuild $detail")
+        graft.core.StageMetadata.put("sigcache_rebuild", detail)
+        rebuildWithN(spark, dir, reps, mod1, mod2, repsN)
+    }
+  }
+
+  /** The per-fold fast path: validate (or heal — see [[healIfStale]])
+    * the cache against EXACTLY this reps table, compact-at-start when
+    * the chunk list is long (BEFORE planning the returned read, so the
+    * frame never reads files this fold prunes), return the committed
     * history signatures, and append the batch's fresh-rep signatures
     * as one O(batch) chunk. `freshSigs` must be `(doc_id, sh)` rows of
     * EXACTLY the reps the caller is appending this fold under the same
@@ -177,27 +200,16 @@ object SigCache {
       freshSigs: DataFrame, mod1: Long, mod2: Long,
       repsN: Long): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val meta = readMeta(conf, dir)
-    meta.foreach(checkParams(_, dir, mod1, mod2))
-    val ok = meta.exists(m =>
-      m.n == repsN && CacheDirs.chunksExist(conf, dir, m.chunks) &&
-        graft.state.HistoryFormat.read(conf, dir).contains(
-          (graft.state.HistoryFormat.PolySimhashSigCache.name,
-            graft.state.HistoryFormat.PolySimhashSigCache.version.toLong)))
-    if (!ok) {
-      val detail = s"dir=$dir reps_rows=$repsN stored=${meta.map(_.n)}"
-      Dedup.selectorLog.info(s"event=sigcache_rebuild $detail")
-      graft.core.StageMetadata.put("sigcache_rebuild", detail)
-      rebuildWithN(spark, dir, reps, mod1, mod2, repsN)
-    }
+    healIfStale(spark, dir, reps, mod1, mod2, repsN)
     var m = readMeta(conf, dir).get
     // compact BEFORE the read below plans its file list — never prune
     // what a frame returned from this fold still reads
     if (m.chunks.size >= CompactAfterChunks) {
       val merged = s"m${m.seq + 1}"
-      spark.read.parquet(m.chunks.map(c => s"$dir/$c"): _*)
+      spark.read.parquet(m.chunkNames.map(c => s"$dir/$c"): _*)
         .write.mode("overwrite").parquet(s"$dir/$merged")
-      writeMeta(conf, dir, Meta(m.n, mod1, mod2, m.seq + 1, Seq(merged)))
+      writeMeta(conf, dir, ChunkMeta(m.n, m.seq + 1,
+        Seq(CacheChunk(merged, m.n)), m.params))
       CacheDirs.prune(conf, dir, Seq(merged))
       m = readMeta(conf, dir).get
     }
@@ -208,10 +220,10 @@ object SigCache {
     freshSigs.select(col("doc_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$dir/$chunk")
     val deltaRows = spark.read.parquet(s"$dir/$chunk").count()
-    val grown = m.chunks :+ chunk
-    writeMeta(conf, dir, Meta(m.n + deltaRows, mod1, mod2, m.seq + 1,
-      grown))
-    CacheDirs.prune(conf, dir, grown)
+    val grown = m.chunks :+ CacheChunk(chunk, deltaRows)
+    writeMeta(conf, dir, ChunkMeta(m.n + deltaRows, m.seq + 1, grown,
+      m.params))
+    CacheDirs.prune(conf, dir, grown.map(_.name))
     hs
   }
 }

@@ -101,7 +101,11 @@ object HistoryFormat {
 
   /** Derived per-layout bucket-count cache for the hash64 layout
     * selector ([[graft.operators.Hash64Counts]]), kept beside (or for)
-    * a [[Hash64Signature]] history: v1 = `(layout, b, k, cnt)` rows —
+    * a [[Hash64Signature]] history: v2 adds per-chunk row accounting
+    * (`chunk_rows`) to the meta, which is what makes the cheap
+    * chunk-suffix AHEAD heal possible (a v1 meta lacks it, so v1
+    * caches rebuild once on first contact — lossless); the chunk
+    * derivation itself is v1's: `(layout, b, k, cnt)` rows —
     * narrow = Manku 4×16-bit (block, key) buckets, wide =
     * C(blocks, blocks−maxHamming) packed combination keys under the
     * meta-recorded parameters — summed over append-only chunks, with
@@ -111,12 +115,16 @@ object HistoryFormat {
     * counts fold, an out-of-band append) is detected by the row-count
     * tripwire and healed by a lossless rebuild, so this marker guards
     * only the derivation shape. */
-  val Hash64BucketCounts: Format = Format("hash64-bucket-counts", 1,
+  val Hash64BucketCounts: Format = Format("hash64-bucket-counts", 2,
     "delete the counts directory and re-run Hash64Counts.rebuild over " +
       "the signature history (a derived cache — the rebuild is lossless)")
 
   /** Derived rep-signature cache for the composed near-dup fold's
-    * probe ([[graft.operators.SigCache]]): v1 = `(doc_id, sh)` rows,
+    * probe ([[graft.operators.SigCache]]): v2 adds per-chunk row
+    * accounting (`chunk_rows`) to the meta — the cheap chunk-suffix
+    * AHEAD heal's prerequisite (v1 caches rebuild once on first
+    * contact — lossless); the row derivation itself is v1's:
+    * `(doc_id, sh)` rows,
     * sh = the poly-31 modular simhash over the rep's text under the
     * meta-recorded `(mod1, mod2)`, one row per representative, summed
     * over append-only chunks with the folded row count in the
@@ -126,7 +134,7 @@ object HistoryFormat {
     * only the derivation shape (a different hash fold or modulus pair
     * silently mismatches every probe key — the exact class the marker
     * exists to refuse). */
-  val PolySimhashSigCache: Format = Format("poly-simhash-sig-cache", 1,
+  val PolySimhashSigCache: Format = Format("poly-simhash-sig-cache", 2,
     "delete the signature-cache directory and re-run SigCache.rebuild " +
       "over the reps table (a derived cache — the rebuild is lossless)")
 

@@ -1193,6 +1193,87 @@ class DedupSuite extends SparkSpec {
     }
   }
 
+  test("cheap AHEAD heal LAW: a cache exactly a chunk-suffix ahead of " +
+    "its source heals by suffix truncation (no re-derivation, the " +
+    "structured event names it) and equals the full rebuild bit for " +
+    "bit; a surplus that does not align on chunk boundaries falls back " +
+    "to the lossless rebuild") {
+    import graft.operators.{Hash64Counts, SigCache}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".as("id"), $"text").filter($"id" < 300)
+      .localCheckpoint()
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id".as("doc_id"),
+        graft.functions.FusedMinHashFunctions
+          .polySimhash($"text", 2147483647L, 1073741789L).as("sh"))
+    def ms(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view
+        .mapValues(_.size).toMap
+    graft.core.StageMetadata.drain() // isolate from earlier operators
+    withTmpDir { tmp =>
+      // --- SigCache: three committed chunks, then the replay window ---
+      val sd = s"$tmp/sigs"
+      Seq(0L, 100L, 200L).foreach { lo =>
+        SigCache.ensureAndFold(spark, sd, docs.filter($"id" < lo),
+          sigsOf(docs.filter($"id" >= lo && $"id" < lo + 100)),
+          2147483647L, 1073741789L, lo)
+      }
+      assert(SigCache.foldedRows(conf, sd) === Some(300L))
+      graft.core.StageMetadata.drain()
+      // the crash window: the c3 chunk committed but the reps table's
+      // own commit was lost — the replay re-delivers the 200..300 batch
+      // against the 200-row committed reps
+      val view = SigCache.ensureAndFold(spark, sd, docs.filter($"id" < 200),
+        sigsOf(docs.filter($"id" >= 200)), 2147483647L, 1073741789L, 200L)
+      val ev = graft.core.StageMetadata.drain()
+      assert(ev.keys.exists(_.startsWith("sigcache_ahead_heal")),
+        s"the aligned-ahead window must heal by truncation: $ev")
+      assert(!ev.keys.exists(_.startsWith("sigcache_rebuild")),
+        s"truncation must not re-derive from text: $ev")
+      assert(ms(view) === ms(sigsOf(docs.filter($"id" < 200))),
+        "the healed pre-fold view == signatures of the committed reps")
+      // after the replay's re-append the cache equals the full rebuild
+      assert(SigCache.foldedRows(conf, sd) === Some(300L))
+      val sd2 = s"$tmp/sigs2"
+      SigCache.rebuild(spark, sd2, docs, 2147483647L, 1073741789L)
+      assert(ms(SigCache.read(spark, sd)) === ms(SigCache.read(spark, sd2)),
+        "ahead-heal + re-append must equal the full rebuild bit for bit")
+      // non-aligned surplus (mid-chunk count): falls back to rebuild
+      SigCache.ensureAndFold(spark, sd, docs.filter($"id" < 250),
+        sigsOf(docs.limit(0)), 2147483647L, 1073741789L, 250L)
+      val ev2 = graft.core.StageMetadata.drain()
+      assert(ev2.keys.exists(_.startsWith("sigcache_rebuild")),
+        s"a non-chunk-aligned surplus is not the replay window: $ev2")
+      assert(ms(SigCache.read(spark, sd)) ===
+        ms(sigsOf(docs.filter($"id" < 250))))
+
+      // --- Hash64Counts: same law on the aggregated cache ---
+      val cd = s"$tmp/counts"
+      val sigs = sigsOf(docs).localCheckpoint()
+      Seq(0L, 100L, 200L).foreach(lo => Hash64Counts.fold(spark, cd,
+        sigs.filter($"doc_id" >= lo && $"doc_id" < lo + 100), "sh"))
+      graft.core.StageMetadata.drain()
+      val healed = Hash64Counts.ensure(spark, cd,
+        sigs.filter($"doc_id" < 200), "sh").collect().map(_.toSeq).toSet
+      val ev3 = graft.core.StageMetadata.drain()
+      assert(ev3.keys.exists(_.startsWith("hash64_counts_ahead_heal")),
+        s"the aligned-ahead window must heal by truncation: $ev3")
+      assert(!ev3.keys.exists(_.startsWith("hash64_counts_rebuild")), ev3.toString)
+      assert(healed === Hash64Counts
+        .bucketCounts(sigs.filter($"doc_id" < 200), "sh", 6, 3)
+        .collect().map(_.toSeq).toSet,
+        "truncated counts must equal the fresh measurement bit for bit")
+      assert(Hash64Counts.foldedRows(conf, cd) === Some(200L))
+      // non-aligned surplus: rebuild
+      Hash64Counts.ensure(spark, cd, sigs.filter($"doc_id" < 150), "sh")
+      val ev4 = graft.core.StageMetadata.drain()
+      assert(ev4.keys.exists(_.startsWith("hash64_counts_rebuild")),
+        s"a non-chunk-aligned surplus is not the replay window: $ev4")
+      assert(Hash64Counts.foldedRows(conf, cd) === Some(150L))
+    }
+  }
+
   test("degenerate corpus: LSH bucket cap bounds the self-comparison") {
     // 500 identical docs would make one quadratic bucket (124,750 pairs per
     // band); cap 50 truncates each bucket to its 50 smallest ids.
