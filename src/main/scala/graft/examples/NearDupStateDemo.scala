@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * laws promise but only a live driver can prove:
   *
   *  - documents arrive file-by-file; each batch folds into the state
-  *    trio (docs/reps/cc) under the SINGLE-POINTER epoch swap (v3:
-  *    O(batch) docs/reps chunk appends + the cc epoch table, all named
-  *    by one atomically-replaced pointer) — a reader or crash can only
-  *    observe a complete, consistent state;
+  *    trio (docs/reps/cc) under the SINGLE-POINTER epoch swap (v4:
+  *    O(batch) docs/reps chunk appends + the O(Δ-components) cc delta
+  *    chunk, all named by one atomically-replaced pointer) — a reader
+  *    or crash can only observe a complete, consistent state;
   *  - the crash is injected AFTER the epoch commit and BEFORE the
   *    driver's offset commit — the at-least-once window where the WAL
   *    MUST re-deliver a batch whose state effects already landed;
@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * The pair family is the production instantiation (uncapped wide-key
   * poly-simhash within the batch; the semi-join-first signature probe
   * against history reps — per-batch pair work bounded by the batch +
-  * probed slice). Old epochs are pruned after each swap, so exactly one
-  * epoch directory survives the run.
+  * probed slice). Unlisted chunks are pruned after each swap, so
+  * exactly the committed chunk set survives the run.
   *
   * Run: sbt "runMain graft.examples.NearDupStateDemo /tmp/graft-ndstate"
   */
@@ -115,8 +115,6 @@ object NearDupStateDemo {
     def committedEpoch(): Long = graft.util.Jsons.optLong(
       graft.util.Fs.readJson(
         path(s"$stateRoot/_graft_neardup_epoch.json"), conf), "epoch").get
-    def epochDirs(): Seq[String] = fs.listStatus(path(stateRoot)).toSeq
-      .map(_.getPath.getName).filter(_.matches("e\\d+")).sorted
     def chunkDirs(t: String): Seq[String] =
       fs.listStatus(path(s"$stateRoot/$t")).toSeq
         .map(_.getPath.getName).filter(_.matches("[cm]\\d+"))
@@ -127,7 +125,7 @@ object NearDupStateDemo {
       maxBatches = Some(2)))
     val epochAfterRun1 = committedEpoch()
     println(s"run1: batches=${r1.batchesProcessed} epoch=$epochAfterRun1 " +
-      s"dirs=${epochDirs().mkString(",")}")
+      s"cc=${chunkDirs("cc").mkString(",")}")
 
     println("== run 2: batch 3 folds, then CRASHES before its offset commit ==")
     // only the INJECTED crash counts — an unrelated failure must read
@@ -168,7 +166,7 @@ object NearDupStateDemo {
       "replays as a no-op epoch (and heals the counts cache) ==")
     val r3 = pipeline().run(RunOptions(once = false, sleepMs = 0))
     println(s"run3: batches=${r3.batchesProcessed} " +
-      s"epoch=${committedEpoch()} dirs=${epochDirs().mkString(",")}")
+      s"epoch=${committedEpoch()} cc=${chunkDirs("cc").mkString(",")}")
 
     println("== run 4: idle (everything committed) ==")
     val r4 = pipeline().run(RunOptions(once = false, sleepMs = 0))
@@ -183,14 +181,18 @@ object NearDupStateDemo {
     println(s"resolution rows=${folded.size} (corpus $total), " +
       s"replay epoch was a no-op over ${epochAfterCrash}")
 
-    // v3 chunk layout: one append-only chunk per fold per table, and the
-    // replayed batch's chunk holds ZERO rows (the no-op epoch made real)
+    // v4 chunk layout: one chunk per fold per table (docs/reps appends,
+    // cc the changed-assignments delta), and the replayed batch's
+    // chunks hold ZERO rows across ALL THREE tables (the no-op epoch
+    // made real — no assignments changed either)
     val expectChunks = (1L to committedEpoch()).map(i => s"c$i")
     val replayChunkRows = spark.read
       .parquet(s"$stateRoot/docs/c${committedEpoch()}").count() +
-      spark.read.parquet(s"$stateRoot/reps/c${committedEpoch()}").count()
+      spark.read.parquet(s"$stateRoot/reps/c${committedEpoch()}").count() +
+      spark.read.parquet(s"$stateRoot/cc/c${committedEpoch()}").count()
     println(s"chunks docs=${chunkDirs("docs").mkString(",")} " +
       s"reps=${chunkDirs("reps").mkString(",")} " +
+      s"cc=${chunkDirs("cc").mkString(",")} " +
       s"replay-chunk rows=$replayChunkRows")
     // the structured stream explained the plan: per-fold layout
     // decisions AND the injected counts heal rode onStageEnd metadata
@@ -219,10 +221,11 @@ object NearDupStateDemo {
       r3.batchesProcessed == 1 &&          // the WAL replayed batch 3
       committedEpoch() == epochAfterCrash + 1 && // replay swapped a new epoch
       r4.batchesProcessed == 0 &&          // then everything is committed
-      epochDirs() == Seq(s"e${committedEpoch()}") && // superseded pruned
       chunkDirs("docs") == expectChunks && // one O(batch) append per fold
       chunkDirs("reps") == expectChunks &&
+      chunkDirs("cc") == expectChunks &&   // one O(Δ) cc delta per fold
       replayChunkRows == 0L &&             // the replay appended nothing
+                                           // and changed no assignments
       layoutEvents.size == 3 &&            // every COMMITTED fold's
                                            // decision is in the stream
                                            // (the crashed fold's is

@@ -504,6 +504,7 @@ object ScalingCurves {
       root
     }
     val ndChunkBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ndCcRows = scala.collection.mutable.ArrayBuffer.empty[Long]
     val ndBatch = docs(1).filter(col("doc_id") < 500)
       .select((col("doc_id") + lit(77000000L)).as("doc_id"),
         when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
@@ -547,27 +548,44 @@ object ScalingCurves {
       val stAfter = Dedup.nearDupReadState(spark, dst)
       val docsAfter = stAfter._1.count()
       val repsAfter = stAfter._2.count()
-      // bytes the fold COMMITTED, split into the v3 appends (the new
-      // docs/reps chunks — must be a function of the batch, flat in m)
-      // and the accepted O(reps) cc rewrite
+      // bytes the fold COMMITTED: the docs/reps appends (a function of
+      // the batch — flat in m) and the v4 cc DELTA chunk, which must
+      // hold EXACTLY the genuinely-changed assignments (remapped
+      // members of touched components + new ids) — the O(Δ-components)
+      // claim, gated as exact arithmetic against a pre/post diff
       def du(p: String): Long =
         if (ndFs.exists(new org.apache.hadoop.fs.Path(p)))
           ndFs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
         else 0L
       val chunkBytes = du(s"$dst/docs/c2") + du(s"$dst/reps/c2")
-      val ccBytes = du(s"$dst/e2/cc")
+      val ccBytes = du(s"$dst/cc/c2")
+      val ccRows = spark.read.parquet(s"$dst/cc/c2").count()
+      // pre-fold assignment from the UNMUTATED source root; changed =
+      // post-fold rows that are new or remapped vs it
+      val ccPre = Dedup.nearDupReadState(spark, src)._3
+        .withColumnRenamed("component", "__pre")
+      val ccChanged = stAfter._3.join(ccPre, Seq("id"), "left")
+        .filter(col("__pre").isNull || col("__pre") =!= col("component"))
+        .count()
       println(f"neardup_fold_history   x$m%-2d ${sec}%8.2f s  " +
         f"state=$stateDocs%-7d cross_found=$crossFound%-5d " +
         f"cand=$cand%-9d peak=$peak%-9d docs+${docsAfter - stateDocs} " +
         f"reps+${repsAfter - stateReps} chunk_kB=${chunkBytes / 1024} " +
-        f"cc_kB=${ccBytes / 1024}")
+        f"cc_rows=$ccRows (changed=$ccChanged) cc_kB=${ccBytes / 1024}")
       if (docsAfter != stateDocs + 500 || repsAfter != stateReps + 250) {
         println("QUADRATIC-CURVE FLAGS: composed-fold row deltas must be " +
           s"exact arithmetic (docs $stateDocs->$docsAfter, " +
           s"reps $stateReps->$repsAfter)")
         spark.stop(); sys.exit(1)
       }
+      if (ccRows != ccChanged) {
+        println("QUADRATIC-CURVE FLAGS: the cc delta chunk must hold " +
+          s"exactly the changed assignments: wrote $ccRows, " +
+          s"genuinely changed $ccChanged")
+        spark.stop(); sys.exit(1)
+      }
       ndChunkBytes += chunkBytes
+      ndCcRows += ccRows
       Point(m, sec, crossFound, cand, peak)
     }
     // the v3 claim, gated: the fold's docs/reps COMMIT is a function of
@@ -583,10 +601,13 @@ object ScalingCurves {
     val ndWallSlope = slope(ndPts.map(p => (p.m.toDouble, p.sec)))
     println(f"neardup_fold_history candidate slope $ndCandSlope%.2f " +
       f"(pair work batch-bounded), wall slope $ndWallSlope%.2f (the " +
-      "O(state) bookkeeping scans + cc rewrite — linear rows, " +
-      "accepted trade; README scaling notes), chunk bytes flat " +
-      s"(${ndChunkBytes.map(_ / 1024).mkString("/")} kB: the v3 " +
-      "docs/reps commit is batch-sized, not state-sized)")
+      "O(state) bookkeeping SCANS — linear narrow rows, accepted " +
+      "trade; README scaling notes), chunk bytes flat " +
+      s"(${ndChunkBytes.map(_ / 1024).mkString("/")} kB: the docs/reps " +
+      "commit is batch-sized, not state-sized), cc delta rows " +
+      s"${ndCcRows.mkString("/")} (== genuinely-changed assignments at " +
+      "every size — the v4 commit writes O(Δ-components), no per-fold " +
+      "write term grows with state)")
     if (ndCandSlope > 1.5) {
       println("QUADRATIC-CURVE FLAGS: composed-fold probe candidates " +
         s"grew superlinearly with the rep history: slope $ndCandSlope")
@@ -705,6 +726,68 @@ object ScalingCurves {
       f"${slope(sigPts.map(p => (p._1, p._3)))}%.2f (each rep's text is " +
       "hashed once, when it enters the state; per-fold history work is " +
       "a 16-byte-row read)")
+
+    // ----- rep-signature cache at REALISTIC text sizes (~20 kB/doc) ------
+    // The series above proves equality but its walls are sub-0.1 s both
+    // ways (the synthetic reps are tiny), so it cannot SHOW the
+    // structural claim: the un-cached probe's per-fold cost is
+    // O(state · text-bytes) while the cached probe's is O(state ·
+    // 16 bytes). This leg scales a 20 kB/doc rep state 1×–8× and
+    // measures both paths from disk. Gates: exact signature equality as
+    // a multiset at every size, and — the structural one — at the
+    // LARGEST size the text re-derivation must cost at least 2× the
+    // cached read (on this box it is ~10×; 2 absorbs window noise).
+    println()
+    val bigN = 1500
+    def bigDocs(m: Int) = spark.range(bigN.toLong * m).select(col("id"),
+      concat(md5(col("id").cast("string")),
+        repeat(concat(lit(" x"), md5((col("id") + 7).cast("string"))),
+          580)).as("text"))
+    def sigTuplesB(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).sorted
+    val bigPts = scales.map { m =>
+      val rp = s"$work/sigbig_reps_x$m"
+      if (!ndFs.exists(new org.apache.hadoop.fs.Path(rp)))
+        bigDocs(m).write.parquet(rp)
+      val reps = spark.read.parquet(rp)
+      val scd = s"$work/sigbig_cache_x$m"
+      ndFs.delete(new org.apache.hadoop.fs.Path(scd), true)
+      graft.operators.SigCache.rebuild(spark, scd, reps,
+        2147483647L, 1073741789L) // cache build: paid once, untimed
+      if (m == scales.head) { // untimed warm-up, like the other loops
+        ndSigs(reps, "id").count()
+        graft.operators.SigCache.read(spark, scd).count()
+      }
+      val t0 = System.nanoTime()
+      val derived = sigTuplesB(ndSigs(reps, "id").collect())
+      val uncachedSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val cached = sigTuplesB(
+        graft.operators.SigCache.read(spark, scd).collect())
+      val cachedSec = (System.nanoTime() - t1) / 1e9
+      if (!(derived sameElements cached)) {
+        println("QUADRATIC-CURVE FLAGS: cached signatures diverged from " +
+          s"the fresh derivation at x$m (20 kB texts)")
+        spark.stop(); sys.exit(1)
+      }
+      println(f"sigcache_bigtext       x$m%-2d derive=${uncachedSec}%6.2f s " +
+        f"cached-read=${cachedSec}%6.2f s  reps=${derived.length}%-7d " +
+        f"(~20 kB/doc)")
+      (m.toDouble, uncachedSec, cachedSec)
+    }
+    println(f"sigcache_bigtext derive slope " +
+      f"${slope(bigPts.map(p => (p._1, p._2)))}%.2f vs cached-read slope " +
+      f"${slope(bigPts.map(p => (p._1, p._3)))}%.2f (the derivation term " +
+      "grows with the state's TEXT bytes; the cached read never touches " +
+      "text)")
+    val (bigDerive, bigCached) = (bigPts.last._2, bigPts.last._3)
+    if (bigDerive < 2 * bigCached) {
+      println("QUADRATIC-CURVE FLAGS: at realistic text sizes the cached " +
+        s"probe must beat the per-fold text re-derivation decisively: " +
+        f"derive=$bigDerive%.2f s vs cached=$bigCached%.2f s at x8")
+      spark.stop(); sys.exit(1)
+    }
 
     // ----- IVF with nlist ∝ √N (the production scaling rule, measured) -----
     // The fixed-nlist series above holds slope 1.00 by construction; the

@@ -555,7 +555,27 @@ object Dedup {
     * the translated graph as itself and wins the min the same way. */
   def componentsWithHistory(pairs: DataFrame, history: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      workDir: Option[String] = None, localLimit: Long = 100000): DataFrame = {
+      workDir: Option[String] = None, localLimit: Long = 100000): DataFrame =
+    componentsWithHistoryAndDelta(pairs, history, aCol, bCol, workDir,
+      localLimit)._1
+
+  /** [[componentsWithHistory]] that ALSO returns the assignment's
+    * per-fold DELTA — exactly the rows whose assignment this fold
+    * changed or created: members of the components the batch's merges
+    * touched (the change map's inner join against the history —
+    * O(touched-component members) rows, the history side never
+    * shuffles) plus the batch's genuinely new ids. The full assignment
+    * equals {history with the delta's ids removed} ∪ delta, which is
+    * what lets a persisted surface commit the delta as one O(Δ) chunk
+    * under a last-writer-wins read instead of rewriting the O(reps)
+    * assignment per fold ([[nearDupCanonicalizeIncrementTable]]'s cc
+    * chunks). Both frames are lazy — a caller that consumes only one
+    * pays only that one (the fold's Table surface writes the delta and
+    * never materializes the full table except to compact). */
+  private[graft] def componentsWithHistoryAndDelta(pairs: DataFrame,
+      history: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      workDir: Option[String] = None, localLimit: Long = 100000)
+      : (DataFrame, DataFrame) = {
     val rep = history.select(col("id").as("__rid"), col("component").as("__rc"))
     def translate(c: Column): Column = coalesce(col("__rc"), c)
     val ta = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
@@ -568,16 +588,23 @@ object Dedup {
       localLimit = localLimit)
     // old rep (or brand-new id) -> merged minimum; identity rows dropped
     // so the change map stays O(touched components) and broadcastable
-    val changed = merged.filter(col("id") =!= col("component"))
-      .select(col("id").as("__old"), col("component").as("__new"))
+    val changed = broadcast(merged.filter(col("id") =!= col("component"))
+      .select(col("id").as("__old"), col("component").as("__new")))
     val updated = history
-      .join(broadcast(changed).withColumnRenamed("__old", "component"),
+      .join(changed.withColumnRenamed("__old", "component"),
         Seq("component"), "left")
       .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
     // batch ids not yet in the history enter with their merged component
     val fresh = merged.select(col("id"), col("component"))
       .join(history.select("id"), Seq("id"), "left_anti")
-    updated.unionByName(fresh)
+    // the delta's remap side: the same change-map join, INNER — every
+    // matched row's assignment genuinely moved (the change map holds no
+    // identity entries), every unmatched row is bit-identical history
+    val remapped = history
+      .join(changed.withColumnRenamed("__old", "component"),
+        Seq("component"), "inner")
+      .select(col("id"), col("__new").as("component"))
+    (updated.unionByName(fresh), remapped.unionByName(fresh))
   }
 
   /** Large-star round: every node connects its LARGER neighbors to the
@@ -2018,11 +2045,12 @@ object Dedup {
     *
     * ACCEPTED O(state) bookkeeping (measured — ScalingCurves
     * `neardup_fold_history`, README scaling notes): the two anti-join
-    * scans (batch ids vs docsState, batch fps vs repsState), the cc
-    * translation, and the *Table surface's cc rewrite all scan
-    * or write rows LINEAR in the accumulated state (the docs/reps
-    * rewrite term was removed in the v3 chunk layout — those tables now
-    * commit O(batch)-sized appends). These are narrow
+    * scans (batch ids vs docsState, batch fps vs repsState) and the cc
+    * translation scan rows LINEAR in the accumulated state (the
+    * per-fold WRITE terms are all gone: docs/reps commit O(batch)
+    * appends since the v3 chunk layout, and the *Table surface's cc
+    * rewrite became an O(Δ-components) delta chunk in v4 — both gated
+    * flat by the series' bytes columns). These are narrow
     * columns (ids/fps/assignments, 16-byte-class rows — the same cost
     * class as every history probe's key-column scan, NOT the corpus's
     * text/media bytes): measured at 5k–40k-doc states the whole fold's
@@ -2060,23 +2088,28 @@ object Dedup {
       localLimit: Long = 100000,
       materialize: DataFrame => DataFrame = _.localCheckpoint())
       : (DataFrame, DataFrame, DataFrame) = {
-    val (db, rb, cc2) = nearDupFoldStep(batch, idCol, textCol, qualityCol,
+    val (db, rb, cc2, _) = nearDupFoldStep(batch, idCol, textCol, qualityCol,
       docsState, repsState, ccState, pairsOf, crossPairsOf, workDir,
       localLimit, materialize)
     (docsState.unionByName(db), repsState.unionByName(rb), cc2)
   }
 
   /** The fold's core, returning the batch's DELTAS instead of the
-    * unioned state: `(docsDelta, repsDelta, ccState')` — docs and reps
-    * are APPEND-ONLY under the fold's own invariants (the id anti-join
-    * admits each id once; the fp anti-join admits one rep per distinct
-    * fingerprint ever), so the deltas are the complete increment and the
-    * persisted surface can commit O(batch)-sized appends instead of
-    * rewriting the accumulated tables
-    * ([[nearDupCanonicalizeIncrementTable]]'s chunk commit). Only the cc
-    * assignment is genuinely mutated by component merges and must be
-    * replaced whole. Both deltas come back `materialize`d (each is
-    * consumed by the pair stage AND by the caller's append). */
+    * unioned state: `(docsDelta, repsDelta, ccState', ccDelta)` — docs
+    * and reps are APPEND-ONLY under the fold's own invariants (the id
+    * anti-join admits each id once; the fp anti-join admits one rep per
+    * distinct fingerprint ever), so those deltas are the complete
+    * increment and the persisted surface can commit O(batch)-sized
+    * appends instead of rewriting the accumulated tables
+    * ([[nearDupCanonicalizeIncrementTable]]'s chunk commit). The cc
+    * assignment is genuinely mutated by component merges — but only at
+    * the components the batch's edges touch, so it too comes back as a
+    * full frame (`ccState'`, what the in-memory fold law consumes) AND
+    * as the O(Δ) changed-rows delta
+    * ([[componentsWithHistoryAndDelta]]); both are lazy, a caller pays
+    * only for the one it consumes. The docs/reps deltas come back
+    * `materialize`d (each is consumed by the pair stage AND by the
+    * caller's append). */
   private[graft] def nearDupFoldStep(
       batch: DataFrame, idCol: String, textCol: String, qualityCol: String,
       docsState: DataFrame, repsState: DataFrame, ccState: DataFrame,
@@ -2085,7 +2118,7 @@ object Dedup {
       workDir: Option[String] = None,
       localLimit: Long = 100000,
       materialize: DataFrame => DataFrame = _.localCheckpoint())
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val b0 = batch.select(col(idCol).as("id"),
       ndFp(col(textCol)).as("fp"),
       col(qualityCol).as("quality"), col(textCol).as("text"))
@@ -2125,20 +2158,20 @@ object Dedup {
     // bounded rows (two ids), the cheapest thing in the fold to persist.
     val pairs = materialize(pairsOf(fresh).select("id_a", "id_b")
       .unionByName(crossPairsOf(fresh, hist).select("id_a", "id_b")))
-    val cc2 = componentsWithHistory(pairs, ccState,
+    val (cc2, ccDelta) = componentsWithHistoryAndDelta(pairs, ccState,
       workDir = workDir, localLimit = localLimit)
     (b.select("id", "fp", "quality"),
       newReps.select("fp", "id", "text"),
-      cc2)
+      cc2, ccDelta)
   }
 
   private val NearDupStateTables = Seq("docs", "reps", "cc")
   private val NearDupEpochFile = "_graft_neardup_epoch.json"
 
-  /** State-ish directories under the root: epoch dirs (`e<digits>`
-    * ONLY — a user's "export/" must never read as ours) plus the
-    * chunk-table roots (`docs`/`reps`; also the pre-v3 layouts'
-    * root-level `cc`). Used to tell a FRESH root apart from a root
+  /** State-ish directories under the root: the chunk-table roots
+    * (`docs`/`reps`/`cc`) plus pre-v4 epoch dirs (`e<digits>` ONLY — a
+    * user's "export/" must never read as ours). Used to tell a FRESH
+    * root apart from a root
     * whose pointer is missing — which is never fresh: either the
     * pointer replace was lost mid-crash on a filesystem whose rename is
     * delete+rename (non-local schemes in
@@ -2159,23 +2192,34 @@ object Dedup {
       .map(_.getPath.getName)
   }
 
-  /** The committed v3 state: epoch number, the chunk lists composing
-    * the append-only docs/reps tables, and the epoch subdir holding the
-    * cc table. */
-  private case class NearDupCommitted(epoch: Long,
-      docsChunks: Seq[String], repsChunks: Seq[String], epochDir: String)
+  /** In-line cc compaction threshold: past this many cc chunks a fold
+    * writes the FULL assignment as its chunk (it already has the frame
+    * — [[componentsWithHistoryAndDelta]]'s first return — so compaction
+    * costs no extra read) and lists only it. Bounds the last-wins
+    * read's union width; amortized O(reps/16) extra write per fold,
+    * the same policy class as the derived caches'
+    * `CompactAfterChunks`. */
+  private val NearDupCcCompactAfter = 16
 
-  /** The committed state, validated: pointer present ⇒ the epoch's cc
-    * table AND every chunk the pointer lists must exist (the pointer
-    * write is atomic and strictly after the data writes, so a pointer
-    * naming missing data means post-commit corruption — refuse with the
-    * remedy, never a raw parquet path-not-found). Pointer ABSENT over
-    * state-ish directories refuses too (lost pointer / pre-pointer
-    * layout — see [[nearDupStrayState]]); only a genuinely empty root
-    * returns None. Callers run [[graft.state.HistoryFormat.ensure]]
-    * BEFORE this parse, so a pre-v3 pointer (no chunk lists) refuses at
-    * the marker with the rebuild remedy rather than surfacing here as
-    * corruption. */
+  /** The committed v4 state: epoch number (the fold counter naming the
+    * chunks) and the chunk lists composing all three tables — docs and
+    * reps append-only (plain union), cc base+delta (last-writer-wins
+    * by chunk sequence, see [[readNearDupCc]]). */
+  private case class NearDupCommitted(epoch: Long,
+      docsChunks: Seq[String], repsChunks: Seq[String],
+      ccChunks: Seq[String])
+
+  /** The committed state, validated: pointer present ⇒ every chunk the
+    * pointer lists must exist (the pointer write is atomic and strictly
+    * after the data writes, so a pointer naming missing data means
+    * post-commit corruption — refuse with the remedy, never a raw
+    * parquet path-not-found). Pointer ABSENT over state-ish directories
+    * refuses too (lost pointer / pre-pointer layout — see
+    * [[nearDupStrayState]]); only a genuinely empty root returns None.
+    * Callers run [[graft.state.HistoryFormat.ensure]] BEFORE this
+    * parse, so a pre-v4 pointer (epoch-dir cc, or no chunk lists at
+    * all) refuses at the marker with the rebuild remedy rather than
+    * surfacing here as corruption. */
   private def nearDupCommitted(conf: org.apache.hadoop.conf.Configuration,
       stateDir: String): Option[NearDupCommitted] = {
     val ptr = new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile)
@@ -2205,24 +2249,19 @@ object Dedup {
           .map(a => graft.util.Jsons.elems(a).map(_.asText()).toSeq)
           .filter(_.nonEmpty)
           .getOrElse(corrupt(s"no $field chunk list"))
-      val (dc, rc) = (chunks("docs"), chunks("reps"))
-      val dir = s"$stateDir/e$epoch"
+      val (dc, rc, cc) = (chunks("docs"), chunks("reps"), chunks("cc"))
       val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
-      val missing =
-        (if (fs.exists(new org.apache.hadoop.fs.Path(dir, "cc"))) Nil
-         else Seq(s"e$epoch/cc")) ++
-        dc.filterNot(c => fs.exists(
-          new org.apache.hadoop.fs.Path(stateDir, s"docs/$c")))
-          .map(c => s"docs/$c") ++
-        rc.filterNot(c => fs.exists(
-          new org.apache.hadoop.fs.Path(stateDir, s"reps/$c")))
-          .map(c => s"reps/$c")
+      val missing = Seq(("docs", dc), ("reps", rc), ("cc", cc)).flatMap {
+        case (table, list) => list.filterNot(c => fs.exists(
+            new org.apache.hadoop.fs.Path(stateDir, s"$table/$c")))
+          .map(c => s"$table/$c")
+      }
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"near-dup state at $stateDir points at epoch $epoch but " +
             s"${missing.mkString(",")} are missing under $stateDir — " +
             graft.state.HistoryFormat.NearDupState.rebuildRemedy)
-      Some(NearDupCommitted(epoch, dc, rc, dir))
+      Some(NearDupCommitted(epoch, dc, rc, cc))
     }
   }
 
@@ -2230,32 +2269,61 @@ object Dedup {
       stateDir: String, table: String, chunks: Seq[String]): DataFrame =
     spark.read.parquet(chunks.map(c => s"$stateDir/$table/$c"): _*)
 
+  /** The committed cc assignment from its base+delta chunks:
+    * last-writer-wins per id, ordered by the chunk sequence number in
+    * the name (`c|m<N>` — epochs only move forward, so no two listed
+    * chunks share a sequence, and within one chunk an id appears at
+    * most once). The common post-compaction case (ONE chunk) is a
+    * plain scan; multi-chunk reads pay one groupBy over the unioned
+    * O(reps + Δs) narrow rows — the read-side cost of not rewriting
+    * O(reps) per fold, bounded by [[NearDupCcCompactAfter]]. */
+  private def readNearDupCc(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, chunks: Seq[String]): DataFrame = {
+    if (chunks.size == 1)
+      spark.read.parquet(s"$stateDir/cc/${chunks.head}")
+        .select("id", "component")
+    else chunks.map { c =>
+      spark.read.parquet(s"$stateDir/cc/$c")
+        .select(col("id"), col("component"),
+          lit(c.drop(1).toLong).as("__seq"))
+    }.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(max(struct(col("__seq"), col("component"))).as("__m"))
+      .select(col("id"), col("__m.component").as("component"))
+  }
+
   private def writeNearDupPointer(
       conf: org.apache.hadoop.conf.Configuration, stateDir: String,
-      epoch: Long, docsChunks: Seq[String], repsChunks: Seq[String]): Unit = {
+      epoch: Long, docsChunks: Seq[String], repsChunks: Seq[String],
+      ccChunks: Seq[String]): Unit = {
     val o = graft.util.Jsons.obj()
     o.put("epoch", epoch)
     val da = o.putArray("docs"); docsChunks.foreach(da.add)
     val ra = o.putArray("reps"); repsChunks.foreach(ra.add)
+    val ca = o.putArray("cc"); ccChunks.foreach(ca.add)
     graft.util.Fs.atomicWriteJson(
       new org.apache.hadoop.fs.Path(stateDir, NearDupEpochFile), o, conf)
   }
 
   /** Post-swap cleanup, best-effort (a stray dir costs disk, never
-    * correctness): superseded/crashed epoch dirs, and chunk dirs the
-    * committed pointer no longer (or never) lists — compaction debris
-    * and half-written chunks from crashed folds. Owns ONLY its own
-    * namespaces: `e<digits>` at the root and `c|m<digits>` inside the
-    * docs/reps table dirs; anything else under the root is the user's. */
+    * correctness): chunk dirs the committed pointer no longer (or
+    * never) lists — compaction debris and half-written chunks from
+    * crashed folds — plus leftover `e<digits>` epoch dirs (the pre-v4
+    * cc layout's namespace, still ours). Owns ONLY those namespaces:
+    * `e<digits>` at the root and `c|m<digits>` inside the
+    * docs/reps/cc table dirs; anything else under the root is the
+    * user's. */
   private def pruneNearDupState(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, epoch: Long,
-      keepDocs: Seq[String], keepReps: Seq[String]): Unit = {
+      root: org.apache.hadoop.fs.Path,
+      keepDocs: Seq[String], keepReps: Seq[String],
+      keepCc: Seq[String]): Unit = {
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.matches("e\\d+") && n != s"e$epoch")
+      if (st.isDirectory && n.matches("e\\d+"))
         fs.delete(st.getPath, true)
     }
-    Seq(("docs", keepDocs.toSet), ("reps", keepReps.toSet)).foreach {
+    Seq(("docs", keepDocs.toSet), ("reps", keepReps.toSet),
+      ("cc", keepCc.toSet)).foreach {
       case (table, keep) =>
         val dir = new org.apache.hadoop.fs.Path(root, table)
         if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
@@ -2285,19 +2353,26 @@ object Dedup {
     * pre-versioning state refuses with the rebuild remedy; the first
     * call on a fresh root seeds the empty state and stamps).
     *
-    * LAYOUT (v3): docs and reps — append-only under the fold's own
-    * invariants (id anti-join; one-rep-per-fp) — live as CHUNK tables
-    * (`docs/c<N>/`, `reps/c<N>/`, one O(batch)-sized parquet dir per
-    * fold), while the cc assignment (genuinely mutated by component
-    * merges, O(reps) rows) is replaced whole under an epoch subdir
-    * (`e<N>/cc`). Commit remains ONE atomic pointer replace: the
-    * pointer names the epoch AND the exact chunk lists, so a reader
-    * (or a crash) can only ever observe a complete, consistent state.
-    * Pre-v3 wrote the WHOLE trio per epoch — O(total accumulated state)
-    * bytes per batch; v3 writes O(batch + reps-delta + cc) — the cc
-    * term is the accepted remaining linear rewrite (narrow
-    * (id, component) rows, the same cost class as the fold's
-    * bookkeeping scans; see the fold scaladoc).
+    * LAYOUT (v4): all three tables live as CHUNK tables named by the
+    * one pointer. Docs and reps — append-only under the fold's own
+    * invariants (id anti-join; one-rep-per-fp) — commit one
+    * O(batch)-sized chunk per fold (`docs/c<N>/`, `reps/c<N>/`), read
+    * as a plain union. The cc assignment is genuinely MUTATED by
+    * component merges — but only at the components the batch's edges
+    * touch — so it commits as base+delta chunks (`cc/c<N>/`, the
+    * fold's changed rows only: remapped members of touched components
+    * + new ids) read last-writer-wins by chunk sequence
+    * ([[readNearDupCc]]); past [[NearDupCcCompactAfter]] chunks a fold
+    * writes the full assignment it already has and lists only it.
+    * Commit remains ONE atomic pointer replace: the pointer names the
+    * epoch AND the exact chunk lists, so a reader (or a crash) can
+    * only ever observe a complete, consistent state. Pre-v3 wrote the
+    * WHOLE trio per epoch — O(total accumulated state) bytes per
+    * batch; v3 chunked docs/reps but still rewrote cc whole (O(reps)
+    * rows per fold); v4 writes O(batch + reps-delta + cc-delta) — no
+    * per-fold write term grows with the accumulated state (gated by
+    * the scaling series' bytes columns), at the read-side price of the
+    * multi-chunk last-wins groupBy over narrow rows.
     *
     * Why chunks-under-one-pointer instead of per-table Delta appends
     * with SetTransaction: Delta commits are per-table, so a fold would
@@ -2348,10 +2423,16 @@ object Dedup {
       case Some(c) =>
         (readNearDupChunks(spark, stateDir, "docs", c.docsChunks),
           readNearDupChunks(spark, stateDir, "reps", c.repsChunks),
-          spark.read.parquet(s"${c.epochDir}/cc"))
+          // the fold consumes the cc state several times (two edge
+          // translations, the change-map joins, the fresh anti-join) —
+          // cut the multi-chunk last-wins groupBy's lineage so each
+          // consumer re-reads rows, not the aggregation
+          if (c.ccChunks.size > 1)
+            materialize(readNearDupCc(spark, stateDir, c.ccChunks))
+          else readNearDupCc(spark, stateDir, c.ccChunks))
       case None => nearDupEmptyState(batch, idCol, textCol, qualityCol)
     }
-    val (db, rb, cc2) = nearDupFoldStep(batch, idCol, textCol,
+    val (db, rb, cc2, ccDelta) = nearDupFoldStep(batch, idCol, textCol,
       qualityCol, d0, r0, c0, pairsOf, crossPairsOf, workDir, localLimit,
       materialize)
     val newEpoch = committed.map(_.epoch + 1).getOrElse(1L)
@@ -2361,14 +2442,22 @@ object Dedup {
     // name the retry reuses)
     db.write.mode("overwrite").parquet(s"$stateDir/docs/$chunk")
     rb.write.mode("overwrite").parquet(s"$stateDir/reps/$chunk")
-    cc2.write.mode("overwrite").parquet(s"$stateDir/e$newEpoch/cc")
+    // cc: the O(Δ) changed-rows delta — except past the compaction
+    // threshold, where the full assignment (already in hand) resets the
+    // chunk list to one
+    val ccPrior = committed.map(_.ccChunks).getOrElse(Nil)
+    val ccList =
+      if (ccPrior.size + 1 > NearDupCcCompactAfter) Seq(chunk)
+      else ccPrior :+ chunk
+    (if (ccList.size == 1) cc2 else ccDelta)
+      .write.mode("overwrite").parquet(s"$stateDir/cc/$chunk")
     val dc = committed.map(_.docsChunks).getOrElse(Nil) :+ chunk
     val rc = committed.map(_.repsChunks).getOrElse(Nil) :+ chunk
-    writeNearDupPointer(conf, stateDir, newEpoch, dc, rc)
-    pruneNearDupState(fs, root, newEpoch, dc, rc)
+    writeNearDupPointer(conf, stateDir, newEpoch, dc, rc, ccList)
+    pruneNearDupState(fs, root, dc, rc, ccList)
     (readNearDupChunks(spark, stateDir, "docs", dc),
       readNearDupChunks(spark, stateDir, "reps", rc),
-      spark.read.parquet(s"$stateDir/e$newEpoch/cc"))
+      readNearDupCc(spark, stateDir, ccList))
   }
 
   /** READ-side validation: marker + pointer, refusing loudly on every
@@ -2403,36 +2492,39 @@ object Dedup {
     val c = nearDupCommittedChecked(conf, stateDir)
     (readNearDupChunks(spark, stateDir, "docs", c.docsChunks),
       readNearDupChunks(spark, stateDir, "reps", c.repsChunks),
-      spark.read.parquet(s"${c.epochDir}/cc"))
+      readNearDupCc(spark, stateDir, c.ccChunks))
   }
 
-  /** Maintenance: compact the append-only docs/reps chunk tables into
-    * ONE chunk each (`m<N+1>`), carrying cc over unchanged — bounds the
-    * directory/file count the per-fold O(batch) chunk commits
+  /** Maintenance: compact all three chunk tables into ONE chunk each
+    * (`m<N+1>`; cc compacts to its full last-wins assignment) — bounds
+    * the directory/file count the per-fold O(batch/Δ) chunk commits
     * accumulate. One atomic pointer swap like every fold (a crash
-    * anywhere is a complete no-op; superseded chunks and the old epoch
-    * prune after the swap); run it under the same single-writer
-    * discipline as the folds, on whatever cadence bounds the chunk
-    * count (it reads and rewrites O(state) rows, so it is a scheduled
-    * job, not a per-fold cost). No-op when already compact. */
+    * anywhere is a complete no-op; superseded chunks prune after the
+    * swap); run it under the same single-writer discipline as the
+    * folds, on whatever cadence bounds the chunk count (it reads and
+    * rewrites O(state) rows, so it is a scheduled job, not a per-fold
+    * cost — though cc additionally self-compacts in-fold past
+    * [[NearDupCcCompactAfter]]). No-op when already compact. */
   def nearDupCompactState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val c = nearDupCommittedChecked(conf, stateDir)
-    if (c.docsChunks.size <= 1 && c.repsChunks.size <= 1) return
+    if (c.docsChunks.size <= 1 && c.repsChunks.size <= 1 &&
+      c.ccChunks.size <= 1) return
     val newEpoch = c.epoch + 1
     val chunk = s"m$newEpoch"
     readNearDupChunks(spark, stateDir, "docs", c.docsChunks)
       .write.mode("overwrite").parquet(s"$stateDir/docs/$chunk")
     readNearDupChunks(spark, stateDir, "reps", c.repsChunks)
       .write.mode("overwrite").parquet(s"$stateDir/reps/$chunk")
-    spark.read.parquet(s"${c.epochDir}/cc")
-      .write.mode("overwrite").parquet(s"$stateDir/e$newEpoch/cc")
-    writeNearDupPointer(conf, stateDir, newEpoch, Seq(chunk), Seq(chunk))
+    readNearDupCc(spark, stateDir, c.ccChunks)
+      .write.mode("overwrite").parquet(s"$stateDir/cc/$chunk")
+    writeNearDupPointer(conf, stateDir, newEpoch, Seq(chunk), Seq(chunk),
+      Seq(chunk))
     pruneNearDupState(new org.apache.hadoop.fs.Path(stateDir)
         .getFileSystem(conf),
-      new org.apache.hadoop.fs.Path(stateDir), newEpoch, Seq(chunk),
-      Seq(chunk))
+      new org.apache.hadoop.fs.Path(stateDir), Seq(chunk),
+      Seq(chunk), Seq(chunk))
   }
 
   /** [[nearDupResolution]] over a persisted state root: resolves the
@@ -2449,7 +2541,7 @@ object Dedup {
     nearDupResolution(
       readNearDupChunks(spark, stateDir, "docs", c.docsChunks),
       readNearDupChunks(spark, stateDir, "reps", c.repsChunks),
-      spark.read.parquet(s"${c.epochDir}/cc"), materialize)
+      readNearDupCc(spark, stateDir, c.ccChunks), materialize)
   }
 
   /** The PRODUCTION instantiation of the composed canonicalization's

@@ -291,13 +291,16 @@ object HistoryFormat {
 
   /** Composed near-dup canonicalization fold state
     * ([[graft.operators.Dedup.nearDupCanonicalizeIncrementTable]]) —
-    * the (docs, reps, cc) state under one marker-stamped root. v3 =
-    * chunked append-only docs/reps tables plus the epoch-swapped cc,
-    * all committed by ONE pointer naming the epoch AND the chunk lists
-    * (each fold writes O(batch) chunk bytes instead of rewriting the
-    * whole trio); v2 wrote the full trio under every epoch dir — its
-    * pointer carries no chunk lists, so a v2 state is structurally
-    * unreadable to the v3 reader and refuses here with the remedy. v2
+    * the (docs, reps, cc) state under one marker-stamped root. v4 =
+    * ALL THREE tables as chunk lists named by the one pointer: docs/
+    * reps append-only (plain union), cc base+delta read
+    * last-writer-wins by chunk sequence — each fold writes
+    * O(batch + Δ-components) bytes, no per-fold write term grows with
+    * the accumulated state. v3 chunked docs/reps but rewrote cc whole
+    * under an epoch subdir (`e<N>/cc`, O(reps) bytes per fold) — its
+    * pointer carries no cc chunk list, so a v3 state is structurally
+    * unreadable to the v4 reader and refuses here with the remedy
+    * (same for v2, which wrote the full trio under every epoch dir). v2
     * introduced md5 text fingerprints with a NULL-text SENTINEL (all
     * NULL-text docs share one cluster — v1's NULL fp never equi-joins,
     * leaving NULL-text docs permanently unresolvable, the exact
@@ -305,7 +308,7 @@ object HistoryFormat {
     * guards the fingerprint derivation AND the root layout; the
     * pluggable pair function's own stability is the caller's contract
     * (probe a state only with the pair semantics that built it). */
-  val NearDupState: Format = Format("neardup-canonical-state", 3,
+  val NearDupState: Format = Format("neardup-canonical-state", 4,
     "re-fold the full corpus through nearDupCanonicalizeIncrement from " +
       "an empty state and overwrite the state trio")
 

@@ -324,7 +324,7 @@ class HistoryEnforcementSuite extends SparkSpec {
       // BOTH surfaces — never a raw parquet path-not-found
       HistoryFormat.stamp(conf, dir, HistoryFormat.NearDupState)
       org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$dir/e2/cc"))
+        new java.io.File(s"$dir/cc/c2"))
       val e2 = intercept[IllegalStateException](
         Dedup.nearDupCanonicalizeIncrementTable(d.limit(1),
           "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf)))
@@ -350,31 +350,33 @@ class HistoryEnforcementSuite extends SparkSpec {
         "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
       val before = Dedup.nearDupResolutionTable(spark, dir)
         .collect().map(_.toSeq).toSet
-      // simulate a fold that crashed AFTER writing its chunk/epoch data
-      // but BEFORE the pointer swap: half-written docs chunk + epoch dir
+      // simulate a fold that crashed AFTER writing its chunk data but
+      // BEFORE the pointer swap: half-written docs/cc chunks — plus a
+      // legacy epoch dir (the pre-v4 cc namespace, still ours to prune)
       new java.io.File(s"$dir/docs/c2").mkdirs()
+      new java.io.File(s"$dir/cc/c2").mkdirs()
       new java.io.File(s"$dir/e2").mkdirs()
       // readers still resolve epoch 1, bit-identical (the pointer names
       // chunks c1 only — uncommitted data is invisible)
       assert(Dedup.nearDupResolutionTable(spark, dir)
         .collect().map(_.toSeq).toSet === before,
-        "an uncommitted chunk/epoch must be invisible")
-      // the next fold overwrites the garbage, commits e2 + chunk c2,
-      // prunes e1 — but never a non-state directory of the user's
-      // (prune owns e<digits> at the root and [cm]<digits> inside the
-      // chunk tables only)
+        "an uncommitted chunk must be invisible")
+      // the next fold overwrites the garbage and commits chunk c2 in
+      // all three tables — but never touches a non-state directory of
+      // the user's (prune owns e<digits> at the root and [cm]<digits>
+      // inside the chunk tables only)
       val foreign = new java.io.File(s"$dir/export")
       foreign.mkdirs()
       val foreignChunk = new java.io.File(s"$dir/docs/keepme")
       foreignChunk.mkdirs()
       Dedup.nearDupCanonicalizeIncrementTable(d.filter(col("doc_id") > 1),
         "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
-      assert(new java.io.File(s"$dir/e2/cc").exists())
       assert(new java.io.File(s"$dir/docs/c2").exists() &&
-        new java.io.File(s"$dir/reps/c2").exists(),
+        new java.io.File(s"$dir/reps/c2").exists() &&
+        new java.io.File(s"$dir/cc/c2").exists(),
         "each fold commits one chunk per table")
-      assert(!new java.io.File(s"$dir/e1").exists(),
-        "superseded epochs prune after the swap")
+      assert(!new java.io.File(s"$dir/e2").exists(),
+        "legacy epoch dirs prune after the swap")
       assert(foreign.exists() && foreignChunk.exists(),
         "pruning must not touch directories outside its namespaces")
       val oneShot = Dedup.nearDupCanonicalize(d, "doc_id", "text", "q", pf)
@@ -420,8 +422,11 @@ class HistoryEnforcementSuite extends SparkSpec {
         new java.io.File(s"$dir/$t").list().toSeq
           .filter(_.matches("[cm]\\d+")).sorted
       assert(chunks("docs") === Seq("c1", "c2"))
+      assert(chunks("cc") === Seq("c1", "c2"),
+        "each fold commits one cc delta chunk")
       Dedup.nearDupCompactState(spark, dir)
-      assert(chunks("docs") === Seq("m3") && chunks("reps") === Seq("m3"),
+      assert(chunks("docs") === Seq("m3") && chunks("reps") === Seq("m3") &&
+        chunks("cc") === Seq("m3"),
         "compaction must collapse to one chunk and prune the originals")
       assert(Dedup.nearDupResolutionTable(spark, dir)
         .collect().map(_.toSeq).toSet === before,
@@ -433,11 +438,91 @@ class HistoryEnforcementSuite extends SparkSpec {
       Dedup.nearDupCanonicalizeIncrementTable(d.filter(col("doc_id") > 2),
         "doc_id", "text", "q", dir, pf, Dedup.crossPairsByUnion(pf))
       assert(chunks("docs") === Seq("c4", "m3"))
+      assert(chunks("cc") === Seq("c4", "m3"))
       val oneShot = Dedup.nearDupCanonicalize(d, "doc_id", "text", "q", pf)
         .collect().map(_.toSeq).toSet
       assert(Dedup.nearDupResolutionTable(spark, dir)
         .collect().map(_.toSeq).toSet === oneShot,
         "fold → compact → fold must equal the one-shot")
+    }
+  }
+
+  test("cc delta chunks LAW: a fold's cc chunk holds EXACTLY the changed " +
+    "assignments (remapped members of touched components + new ids), " +
+    "the committed last-wins read equals the in-memory fold's full " +
+    "assignment bit for bit, a replayed batch appends a zero-row cc " +
+    "chunk, and the chunk list self-compacts in-fold") {
+    // prefix-join pair family: docs sharing a 4-char text prefix pair up
+    val pf: DataFrame => DataFrame = reps => {
+      val a = reps.select(col("id").as("id_a"),
+        substring(col("text"), 1, 4).as("k"))
+      val b = reps.select(col("id").as("id_b"),
+        substring(col("text"), 1, 4).as("k"))
+      a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    val cross = Dedup.crossPairsByUnion(pf)
+    // batch 1: two singleton components-to-be; batch 2: id 5 merges with
+    // 10 (new min); batch 3: id 4 merges with the {5,10} component —
+    // its commit must remap BOTH old members and add the new id, and
+    // must NOT touch 20's untouched component
+    val batches = Seq(
+      Seq((10L, "aaaa ten"), (20L, "bbbb twenty")),
+      Seq((5L, "aaaa five")),
+      Seq((4L, "aaaa four")))
+    withTmpDir { tmp =>
+      val dir = s"$tmp/ndstate"
+      var mem = Dedup.nearDupEmptyState(
+        batches.head.toDF("doc_id", "text").withColumn("q", lit(1)),
+        "doc_id", "text", "q")
+      batches.foreach { rows =>
+        val b = rows.toDF("doc_id", "text").withColumn("q", lit(1))
+        Dedup.nearDupCanonicalizeIncrementTable(b, "doc_id", "text", "q",
+          dir, pf, cross)
+        mem = Dedup.nearDupCanonicalizeIncrement(b, "doc_id", "text", "q",
+          mem._1, mem._2, mem._3, pf, cross)
+        mem = (mem._1.localCheckpoint(), mem._2.localCheckpoint(),
+          mem._3.localCheckpoint())
+      }
+      def ccSet(df: DataFrame) = df.select("id", "component")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the fold-3 delta chunk: exactly the three changed rows
+      assert(ccSet(spark.read.parquet(s"$dir/cc/c3")) ===
+        Set((5L, 4L), (10L, 4L), (4L, 4L)),
+        "the delta must remap every member of the touched component " +
+          "and carry the new id — and nothing else")
+      // committed last-wins == the in-memory fold's full assignment
+      assert(ccSet(Dedup.nearDupReadState(spark, dir)._3) === ccSet(mem._3),
+        "last-wins over base+delta chunks must equal the full assignment")
+      // a replayed batch (exactly-once window) appends a 0-row cc chunk
+      Dedup.nearDupCanonicalizeIncrementTable(
+        batches.last.toDF("doc_id", "text").withColumn("q", lit(1)),
+        "doc_id", "text", "q", dir, pf, cross)
+      assert(spark.read.parquet(s"$dir/cc/c4").count() === 0L,
+        "a no-op replay must change no assignments")
+      assert(ccSet(Dedup.nearDupReadState(spark, dir)._3) === ccSet(mem._3))
+      // 13 more pairless folds push the cc list past the threshold: the
+      // 17th fold writes the FULL assignment and lists only it
+      (0 until 13).foreach { i =>
+        Dedup.nearDupCanonicalizeIncrementTable(
+          Seq((100L + i, f"zz$i%02d unique $i")).toDF("doc_id", "text")
+            .withColumn("q", lit(1)),
+          "doc_id", "text", "q", dir, pf, cross)
+      }
+      val ccChunks = new java.io.File(s"$dir/cc").list().toSeq
+        .filter(_.matches("[cm]\\d+"))
+      assert(ccChunks === Seq("c17"),
+        s"in-fold compaction must reset the cc list to one chunk: $ccChunks")
+      assert(ccSet(Dedup.nearDupReadState(spark, dir)._3) === ccSet(mem._3),
+        "compaction must not change the assignment")
+      // and the resolution still equals the one-shot over everything
+      val all = (batches.flatten ++ (0 until 13).map(i =>
+        (100L + i, f"zz$i%02d unique $i"))).toDF("doc_id", "text")
+        .withColumn("q", lit(1))
+      assert(Dedup.nearDupResolutionTable(spark, dir)
+        .collect().map(_.toSeq).toSet ===
+        Dedup.nearDupCanonicalize(all, "doc_id", "text", "q", pf)
+          .collect().map(_.toSeq).toSet)
     }
   }
 }
