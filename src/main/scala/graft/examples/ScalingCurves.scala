@@ -738,7 +738,7 @@ object ScalingCurves {
     // LARGEST size the text re-derivation must cost at least 2× the
     // cached read (on this box it is ~10×; 2 absorbs window noise).
     println()
-    val bigN = 1500
+    val bigN = 3000
     def bigDocs(m: Int) = spark.range(bigN.toLong * m).select(col("id"),
       concat(md5(col("id").cast("string")),
         repeat(concat(lit(" x"), md5((col("id") + 7).cast("string"))),
