@@ -93,10 +93,17 @@ private[operators] object CacheDirs {
     * align on chunk boundaries (or accounting is unknown): that is NOT
     * the replay window, and the caller falls back to the lossless full
     * rebuild. Soundness rests on the same append-only + single-writer
-    * contract as the row-count tripwire itself. */
+    * contract as the row-count tripwire itself. `targetN == 0` is
+    * deliberately EXCLUDED: an empty source with a non-empty cache is
+    * indistinguishable from an out-of-band reset (the rebuild-remedy
+    * misuse: source recreated, cache dir forgotten), so it reports
+    * through the rebuild path — which at n = 0 is a free meta write
+    * anyway — keeping the structured event stream's
+    * ahead-heal-means-replay-window semantics honest. */
   def aheadKeepPrefix(m: ChunkMeta, targetN: Long)
       : Option[Seq[CacheChunk]] = {
-    if (m.n <= targetN || m.chunks.exists(_.rows < 0)) return None
+    if (targetN <= 0 || m.n <= targetN || m.chunks.exists(_.rows < 0))
+      return None
     var sum = 0L
     var i = 0
     while (i < m.chunks.size && sum < targetN) {
@@ -128,6 +135,44 @@ private[operators] object CacheDirs {
       chunks: Seq[String]): Boolean = {
     val fs = new Path(dir).getFileSystem(conf)
     chunks.forall(c => fs.exists(new Path(dir, c)))
+  }
+
+  /** THE tripwire heal dispatch, shared by both caches' `healIfStale`
+    * (one definition — the ordering of the marker/chunk checks and the
+    * ahead-vs-rebuild split must not drift between caches): a
+    * consistent cache passes untouched; the chunk-aligned AHEAD window
+    * heals by suffix truncation (one meta rewrite + prune, no Spark
+    * job — see [[aheadKeepPrefix]]); everything else runs the caller's
+    * lossless `rebuild`. Both paths log and surface structured events
+    * (`<eventPrefix>_ahead_heal` / `<eventPrefix>_rebuild`);
+    * `targetLabel` names the source-row count in the detail string. */
+  def healDispatch(conf: Configuration, dir: String, metaFile: String,
+      paramKeys: Seq[String], meta: Option[ChunkMeta], markerOk: Boolean,
+      targetN: Long, eventPrefix: String, targetLabel: String)
+      (rebuild: => Unit): Unit = {
+    val ok = meta.exists(m =>
+      m.n == targetN && markerOk && chunksExist(conf, dir, m.chunkNames))
+    if (ok) return
+    val ahead = meta
+      .filter(_ => markerOk)
+      .filter(m => chunksExist(conf, dir, m.chunkNames))
+      .flatMap(m => aheadKeepPrefix(m, targetN).map((m, _)))
+    ahead match {
+      case Some((m, keep)) =>
+        val detail = s"dir=$dir $targetLabel=$targetN stored=${m.n} " +
+          s"dropped=${m.chunks.size - keep.size}"
+        Dedup.selectorLog.info(s"event=${eventPrefix}_ahead_heal $detail")
+        graft.core.StageMetadata.put(s"${eventPrefix}_ahead_heal", detail)
+        writeChunkMeta(conf, dir, metaFile, paramKeys,
+          ChunkMeta(targetN, m.seq, keep, m.params))
+        prune(conf, dir, keep.map(_.name))
+      case None =>
+        val detail = s"dir=$dir $targetLabel=$targetN " +
+          s"stored=${meta.map(_.n)}"
+        Dedup.selectorLog.info(s"event=${eventPrefix}_rebuild $detail")
+        graft.core.StageMetadata.put(s"${eventPrefix}_rebuild", detail)
+        rebuild
+    }
   }
 
   /** Heal-path ownership guard: a rebuild may overwrite a directory

@@ -225,27 +225,9 @@ object Hash64Counts {
     meta.foreach(checkParams(_, dir, blocks, maxHamming))
     val markerOk = graft.state.HistoryFormat.read(conf, dir).contains(
       (fmt.name, fmt.version.toLong))
-    val ok = meta.exists(m =>
-      m.n == histN && markerOk && chunksExist(conf, dir, m))
-    if (ok) return
-    val ahead = meta
-      .filter(_ => markerOk)
-      .filter(m => chunksExist(conf, dir, m))
-      .flatMap(m => CacheDirs.aheadKeepPrefix(m, histN).map((m, _)))
-    ahead match {
-      case Some((m, keep)) =>
-        val detail = s"dir=$dir hist_rows=$histN stored=${m.n} " +
-          s"dropped=${m.chunks.size - keep.size}"
-        Dedup.selectorLog.info(s"event=hash64_counts_ahead_heal $detail")
-        graft.core.StageMetadata.put("hash64_counts_ahead_heal", detail)
-        writeMeta(conf, dir, ChunkMeta(histN, m.seq, keep, m.params))
-        prune(conf, dir, keep.map(_.name))
-      case None =>
-        val detail = s"dir=$dir hist_rows=$histN stored=${meta.map(_.n)}"
-        Dedup.selectorLog.info(s"event=hash64_counts_rebuild $detail")
-        graft.core.StageMetadata.put("hash64_counts_rebuild", detail)
-        rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming,
-          histN)
+    CacheDirs.healDispatch(conf, dir, MetaFile, ParamKeys, meta, markerOk,
+      histN, "hash64_counts", "hist_rows") {
+      rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming, histN)
     }
   }
 

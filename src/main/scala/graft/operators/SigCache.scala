@@ -162,27 +162,9 @@ object SigCache {
     meta.foreach(checkParams(_, dir, mod1, mod2))
     val markerOk = graft.state.HistoryFormat.read(conf, dir)
       .contains((fmt.name, fmt.version.toLong))
-    val ok = meta.exists(m =>
-      m.n == repsN && markerOk &&
-        CacheDirs.chunksExist(conf, dir, m.chunkNames))
-    if (ok) return
-    val ahead = meta
-      .filter(_ => markerOk)
-      .filter(m => CacheDirs.chunksExist(conf, dir, m.chunkNames))
-      .flatMap(m => CacheDirs.aheadKeepPrefix(m, repsN).map((m, _)))
-    ahead match {
-      case Some((m, keep)) =>
-        val detail = s"dir=$dir reps_rows=$repsN stored=${m.n} " +
-          s"dropped=${m.chunks.size - keep.size}"
-        Dedup.selectorLog.info(s"event=sigcache_ahead_heal $detail")
-        graft.core.StageMetadata.put("sigcache_ahead_heal", detail)
-        writeMeta(conf, dir, ChunkMeta(repsN, m.seq, keep, m.params))
-        CacheDirs.prune(conf, dir, keep.map(_.name))
-      case None =>
-        val detail = s"dir=$dir reps_rows=$repsN stored=${meta.map(_.n)}"
-        Dedup.selectorLog.info(s"event=sigcache_rebuild $detail")
-        graft.core.StageMetadata.put("sigcache_rebuild", detail)
-        rebuildWithN(spark, dir, reps, mod1, mod2, repsN)
+    CacheDirs.healDispatch(conf, dir, MetaFile, ParamKeys, meta, markerOk,
+      repsN, "sigcache", "reps_rows") {
+      rebuildWithN(spark, dir, reps, mod1, mod2, repsN)
     }
   }
 

@@ -103,9 +103,11 @@ object HistoryFormat {
     * selector ([[graft.operators.Hash64Counts]]), kept beside (or for)
     * a [[Hash64Signature]] history: v2 adds per-chunk row accounting
     * (`chunk_rows`) to the meta, which is what makes the cheap
-    * chunk-suffix AHEAD heal possible (a v1 meta lacks it, so v1
-    * caches rebuild once on first contact — lossless); the chunk
-    * derivation itself is v1's: `(layout, b, k, cnt)` rows —
+    * chunk-suffix AHEAD heal possible. A v1 cache rebuilds losslessly
+    * on first contact with a HEAL surface (`ensure`/`decideAndFold` —
+    * they hold the source history); the bare `fold`/`read` surfaces
+    * have no source to rebuild from and refuse with this remedy. The
+    * chunk derivation itself is v1's: `(layout, b, k, cnt)` rows —
     * narrow = Manku 4×16-bit (block, key) buckets, wide =
     * C(blocks, blocks−maxHamming) packed combination keys under the
     * meta-recorded parameters — summed over append-only chunks, with
@@ -122,9 +124,11 @@ object HistoryFormat {
   /** Derived rep-signature cache for the composed near-dup fold's
     * probe ([[graft.operators.SigCache]]): v2 adds per-chunk row
     * accounting (`chunk_rows`) to the meta — the cheap chunk-suffix
-    * AHEAD heal's prerequisite (v1 caches rebuild once on first
-    * contact — lossless); the row derivation itself is v1's:
-    * `(doc_id, sh)` rows,
+    * AHEAD heal's prerequisite. A v1 cache rebuilds losslessly on
+    * first contact with the heal surface (`ensureAndFold`, which
+    * holds the reps table); the bare `read` has no source to rebuild
+    * from and refuses with this remedy. The row derivation itself is
+    * v1's: `(doc_id, sh)` rows,
     * sh = the poly-31 modular simhash over the rep's text under the
     * meta-recorded `(mod1, mod2)`, one row per representative, summed
     * over append-only chunks with the folded row count in the

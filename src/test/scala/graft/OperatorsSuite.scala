@@ -1247,6 +1247,16 @@ class DedupSuite extends SparkSpec {
         s"a non-chunk-aligned surplus is not the replay window: $ev2")
       assert(ms(SigCache.read(spark, sd)) ===
         ms(sigsOf(docs.filter($"id" < 250))))
+      // an EMPTIED source against a non-empty cache is an out-of-band
+      // reset, not the replay window: it must classify as a rebuild so
+      // the event stream's ahead-heal-means-replay semantics stay honest
+      SigCache.ensureAndFold(spark, sd, docs.limit(0),
+        sigsOf(docs.limit(0)), 2147483647L, 1073741789L, 0L)
+      val ev2b = graft.core.StageMetadata.drain()
+      assert(ev2b.keys.exists(_.startsWith("sigcache_rebuild")) &&
+        !ev2b.keys.exists(_.startsWith("sigcache_ahead_heal")),
+        s"n=0 must never report as the benign ahead window: $ev2b")
+      assert(SigCache.foldedRows(conf, sd) === Some(0L))
 
       // --- Hash64Counts: same law on the aggregated cache ---
       val cd = s"$tmp/counts"
