@@ -510,6 +510,49 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("cc delta reconstruction law on random graphs: the delta holds " +
+    "exactly the changed rows, and patching the history with it yields " +
+    "the full assignment") {
+    // the v4 persisted-state claim as algebra, for ANY edges and split:
+    // full == {history rows whose id is NOT in the delta} ∪ delta, and
+    // every delta row genuinely differs from (or is absent in) history —
+    // which is exactly what lets the fold commit O(Δ) chunks under a
+    // last-writer-wins read
+    import spark.implicits._
+    val edgeGen = Gen.zip(Gen.choose(0L, 16L), Gen.choose(0L, 16L))
+    val caseGen = for {
+      edges <- Gen.nonEmptyListOf(edgeGen).map(_.take(24))
+      cut <- Gen.choose(0, edges.size)
+    } yield (edges, cut)
+    forAllSampled(caseGen, 6) { case (edges, cut) =>
+      val (b1, b2) = edges.splitAt(cut)
+      var history = spark.emptyDataset[(Long, Long)].toDF("id", "component")
+      for (b <- Seq(b1, b2) if b.nonEmpty) {
+        val hist = history.collect().map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+        val (full, delta) = graft.operators.Dedup
+          .componentsWithHistoryAndDelta(b.toDF("id_a", "id_b"), history)
+        val fullM = full.collect().map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+        val deltaRows = delta.collect().map(r => r.getLong(0) -> r.getLong(1))
+        val deltaM = deltaRows.toMap
+        // one row per id (a duplicate would make last-wins ambiguous
+        // WITHIN a chunk)
+        assert(deltaRows.length === deltaM.size,
+          s"delta must hold one row per id: edges=$edges cut=$cut")
+        // every delta row changed or is new; nothing unchanged rides it
+        deltaM.foreach { case (id, c) =>
+          assert(!hist.get(id).contains(c),
+            s"delta carried an unchanged row ($id,$c): edges=$edges cut=$cut")
+        }
+        // last-writer-wins patch == the full assignment
+        val patched = (hist -- deltaM.keySet) ++ deltaM
+        assert(patched === fullM, s"edges=$edges cut=$cut")
+        history = full.localCheckpoint()
+      }
+    }
+  }
+
   test("exact ngram-Jaccard pairs equal the brute-force reference on random corpora") {
     // small alphabet + short docs force heavy gram sharing (the worst case
     // for inverted-index completeness) and short-text whole-doc grams
