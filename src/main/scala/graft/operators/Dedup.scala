@@ -2273,23 +2273,36 @@ object Dedup {
     * last-writer-wins per id, ordered by the chunk sequence number in
     * the name (`c|m<N>` — epochs only move forward, so no two listed
     * chunks share a sequence, and within one chunk an id appears at
-    * most once). The common post-compaction case (ONE chunk) is a
-    * plain scan; multi-chunk reads pay one groupBy over the unioned
-    * O(reps + Δs) narrow rows — the read-side cost of not rewriting
-    * O(reps) per fold, bounded by [[NearDupCcCompactAfter]]. */
+    * most once). The list invariant every write path maintains: the
+    * HEAD chunk is a full assignment at the lowest sequence (the first
+    * fold and every compaction write the full table and reset the
+    * list), the tail chunks are the per-fold deltas. The common
+    * post-compaction case (ONE chunk) is a plain scan; multi-chunk
+    * reads resolve last-wins AMONG THE DELTAS ONLY (one groupBy over
+    * O(Σ Δ) rows — delta-sized, not state-sized) and then patch the
+    * base with one anti-join against the resolved delta ids
+    * (broadcast-class right side) — the O(reps) base is scanned, never
+    * shuffled. Chunk-count growth is bounded by
+    * [[NearDupCcCompactAfter]]. */
   private def readNearDupCc(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, chunks: Seq[String]): DataFrame = {
     if (chunks.size == 1)
       spark.read.parquet(s"$stateDir/cc/${chunks.head}")
         .select("id", "component")
-    else chunks.map { c =>
-      spark.read.parquet(s"$stateDir/cc/$c")
-        .select(col("id"), col("component"),
-          lit(c.drop(1).toLong).as("__seq"))
-    }.reduce(_ unionByName _)
-      .groupBy("id")
-      .agg(max(struct(col("__seq"), col("component"))).as("__m"))
-      .select(col("id"), col("__m.component").as("component"))
+    else {
+      val deltas = chunks.tail.map { c =>
+        spark.read.parquet(s"$stateDir/cc/$c")
+          .select(col("id"), col("component"),
+            lit(c.drop(1).toLong).as("__seq"))
+      }.reduce(_ unionByName _)
+        .groupBy("id")
+        .agg(max(struct(col("__seq"), col("component"))).as("__m"))
+        .select(col("id"), col("__m.component").as("component"))
+      spark.read.parquet(s"$stateDir/cc/${chunks.head}")
+        .select("id", "component")
+        .join(deltas.select("id"), Seq("id"), "left_anti")
+        .unionByName(deltas)
+    }
   }
 
   private def writeNearDupPointer(
