@@ -1667,20 +1667,18 @@ object Dedup {
     require(evalVecs.forall(v => v.exists(_ != 0f)),
       "semanticContamination: zero-norm eval vector (its cosine is NaN " +
         "against everything — drop it from the eval set)")
-    val cents = typedlit(evalVecs.map(_.toSeq).toSeq)
-    val ids = typedlit(evalIds.toSeq)
     val v = col(vecCol)
-    val scored = transform(sequence(lit(0), lit(evalIds.length - 1)), i => {
-      val c = element_at(cents, i + lit(1))
-      struct(
-        (Similarity.dot(v, c) /
-          sqrt(Similarity.dot(v, v) * Similarity.dot(c, c))).as("c"),
-        element_at(ids, i + lit(1)).as("b"))
-    })
+    // fused codegen best-match kernel — bit-identical (cosine arithmetic,
+    // struct-max ordering incl. larger-id tie-break) to the old
+    // array_max over transform(sequence, i -> struct(cos_i, id_i)),
+    // which ran interpreted per eval member and printed the full eval
+    // matrix into the plan twice (a 915 kB formatted plan at E=200)
+    val scoredBest = graft.functions.CentroidFunctions
+      .bestCentroidMatch(v, evalIds, evalVecs)
     batch
       .withColumn("__best",
         when(v.isNotNull && size(v) === dims &&
-          Similarity.dot(v, v) > 0d, array_max(scored)))
+          Similarity.dot(v, v) > 0d, scoredBest))
       .select(col(idCol).as("id"), col("__best.b").as("bench_id"),
         round(col("__best.c"), 4).as("cosine"),
         coalesce(col("__best.c") >= lit(tau), lit(false)).as("contaminated"))

@@ -109,9 +109,10 @@ object Similarity {
     * index. Pass an [[l2NormalizeModel]]-normalized model. */
   private[operators] def nearestCentroid(vec: Column,
       normed: Array[Array[Float]]): Column = {
-    val cents = typedlit(normed.map(_.toSeq).toSeq)
-    val dots = transform(sequence(lit(0), lit(normed.length - 1)),
-      i => dot(vec, element_at(cents, i + lit(1))))
+    // fused codegen kernel (CentroidScores) — bit-identical to the old
+    // transform(sequence, i -> dot(vec, element_at(cents, i+1))) HOF,
+    // which ran interpreted and printed the matrix into the plan
+    val dots = graft.functions.CentroidFunctions.centroidDots(vec, normed)
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
@@ -149,9 +150,8 @@ object Similarity {
     try {
       (1 to iterations).foreach { _ =>
         val normed = l2NormalizeModel(centroids)
-        val cents = typedlit(normed.map(_.toSeq).toSeq)
-        val dots = transform(sequence(lit(0), lit(normed.length - 1)),
-          i => dot(col("v"), element_at(cents, i + lit(1))))
+        val dots = graft.functions.CentroidFunctions
+          .centroidDots(col("v"), normed)
         val sums = (0 until dims).map(i =>
           sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
         val stats = vecs
@@ -195,13 +195,9 @@ object Similarity {
       maxLowFrac: Double): DataFrame = {
     require(quantizer.nonEmpty, "quantizerDrift: empty quantizer")
     val dims = quantizer.head.length
-    val cents = typedlit(quantizer.map(_.toSeq).toSeq)
     val v = col(vecCol)
-    val cos = round(array_max(transform(
-      sequence(lit(0), lit(quantizer.length - 1)), i => {
-        val c = element_at(cents, i + lit(1))
-        dot(v, c) / sqrt(dot(v, v) * dot(c, c))
-      })), 4)
+    val cos = round(array_max(
+      graft.functions.CentroidFunctions.centroidCosines(v, quantizer)), 4)
     // Empty-batch contract: zero rows is NOT drift evidence — sums are
     // NULL and a bare /count would make retrain NULL (a silent
     // non-answer to a consumer branching on the flag). Coalesce sums to
@@ -270,10 +266,10 @@ object Similarity {
     val normed = l2NormalizeModel(centroids)
     val cents = typedlit(normed.map(_.toSeq).toSeq)
 
-    /** Per-vector centroid dots against the literal centroid array. */
+    /** Per-vector centroid dots — fused codegen kernel (bit-identical to
+      * the old per-element HOF; see [[nearestCentroid]]). */
     def centroidDots(vec: Column): Column =
-      transform(sequence(lit(0), lit(normed.length - 1)),
-        i => dot(vec, element_at(cents, i + lit(1))))
+      graft.functions.CentroidFunctions.centroidDots(vec, normed)
 
     /** Corpus assignment (probes = 1): the nearest-centroid index is a
       * per-row argmax over the literal centroid array — no explode, no
@@ -417,13 +413,11 @@ object Similarity {
   def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
       codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame = {
     val codes = array((0 until model.m).map { j =>
-      val sub = slice(col(vecCol), j * model.dsub + 1, model.dsub)
-      val cbJ = typedlit(model.codebooks(j).map(_.toSeq).toSeq)
-      val cn2J = typedlit(model.codebooks(j)
-        .map(c => c.map(x => x.toDouble * x).sum).toSeq)
-      // ||x−c||² = ||x||² − 2x·c + ||c||²; ||x||² is constant per row
-      val dists = transform(sequence(lit(0), lit(model.codebooks(j).length - 1)),
-        c => element_at(cn2J, c + 1) - lit(2d) * dot(sub, element_at(cbJ, c + 1)))
+      // ||x−c||² = ||x||² − 2x·c + ||c||²; ||x||² is constant per row.
+      // Fused codegen kernel over vec[j·dsub, (j+1)·dsub) — bit-identical
+      // to the old slice + per-element HOF (cn2 − 2·dot).
+      val dists = graft.functions.CentroidFunctions.pqSubDists(
+        col(vecCol), model.codebooks(j), j * model.dsub)
       (array_position(dists, array_min(dists)) - 1).cast("byte")
     }: _*)
     df.withColumn(codesCol, codes).withColumn(normCol, l2Norm(col(vecCol)).cast("float"))
@@ -517,10 +511,10 @@ object Similarity {
     // queries: nprobe nearest buckets + the per-query ADC table
     val cents = typedlit(normed.map(_.toSeq).toSeq)
     val qtab = array((0 until pq.m).map { j =>
-      val sub = slice(col("qv"), j * pq.dsub + 1, pq.dsub)
-      val cbJ = typedlit(pq.codebooks(j).map(_.toSeq).toSeq)
-      transform(sequence(lit(0), lit(pq.codebooks(j).length - 1)),
-        cc => dot(sub, element_at(cbJ, cc + 1)))
+      // per-subspace ADC dot table — fused codegen kernel (bit-identical
+      // to the old slice + per-element HOF)
+      graft.functions.CentroidFunctions.pqSubDots(
+        col("qv"), pq.codebooks(j), j * pq.dsub)
     }: _*)
     val wq = Window.partitionBy("query_id").orderBy(col("__cdot").desc, col("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -699,12 +693,11 @@ object Similarity {
   private def pruneRanked(df: DataFrame, idCol: String, vecCol: String,
       quantizer: Array[Array[Float]], easiest: Boolean = false): DataFrame = {
     val dims = quantizer.head.length
-    val cents = typedlit(quantizer.map(_.toSeq).toSeq)
     val v = col(vecCol)
-    val coss = transform(sequence(lit(0), lit(quantizer.length - 1)), i => {
-      val c = element_at(cents, i + lit(1))
-      round(dot(v, c) / sqrt(dot(v, v) * dot(c, c)), 4)
-    })
+    // fused codegen kernel; roundAt=4 applies Spark's round(x, 4) per
+    // element BEFORE the max/argmax, exactly as the old HOF did
+    val coss = graft.functions.CentroidFunctions
+      .centroidCosines(v, quantizer, roundAt = 4)
     val order =
       if (easiest) Seq(col("proto_cos").desc, col(idCol).asc)
       else Seq(col("proto_cos").asc, col(idCol).asc)
