@@ -111,6 +111,28 @@ object CentroidKernel {
     new GenericArrayData(out)
   }
 
+  /** SRP bucket key: bit p iff dot(v, plane_p) > 0 under Spark's
+    * NaN-greatest comparison (NaN dot sets the bit); null/ragged/
+    * null-element vectors read 0L (every per-plane `when` fell through
+    * to `otherwise(0L)` in the fused formulation). */
+  def srpBucket(v: ArrayData, flat: Array[Float], k: Int, d: Int): Long = {
+    if (invalid(v, d, 0, sliced = false)) return 0L
+    var key = 0L
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val base = c * d
+      while (i < d) {
+        acc += v.getFloat(i).toDouble * flat(base + i).toDouble
+        i += 1
+      }
+      if (acc > 0.0 || java.lang.Double.isNaN(acc)) key |= (1L << c)
+      c += 1
+    }
+    key
+  }
+
   /** Spark's SQLOrderingUtil double comparison (NaN greatest, -0.0 == 0.0)
     * — the ordering `array_max` applies to a struct's double field. */
   private def cmpDouble(x: Double, y: Double): Int =
@@ -218,6 +240,71 @@ case class CentroidScores(child: Expression, matrix: Array[Array[Float]],
   override def sql: String = s"centroid_scores(${child.sql})"
 }
 
+/** Signed-random-projection bucket key: bit `p` set iff
+  * `dot(vec, plane_p) > 0` under SPARK's comparison ordering (NaN sorts
+  * above every double, so a NaN dot SETS its bit — parity with the
+  * `when(dot > 0, 1L<<p)` formulation this fuses; a null dot — null/
+  * ragged/null-element vector — leaves the bit clear via the
+  * `otherwise(0L)`, so such vectors land in bucket 0 exactly as
+  * before). One pass over the vector instead of `planes` separate
+  * codegen'd dots each re-scanning it. */
+case class SrpBucketKey(child: Expression, planes: Array[Array[Float]])
+    extends UnaryExpression {
+  require(planes.nonEmpty, "SrpBucketKey: empty plane family")
+  require(planes.forall(_.length == planes.head.length),
+    "SrpBucketKey: ragged planes")
+  require(planes.length <= 63, s"SrpBucketKey: ${planes.length} planes " +
+    "overflow the long bucket key")
+
+  private val k = planes.length
+  private val d = planes.head.length
+  @transient private lazy val flat: Array[Float] = {
+    val f = new Array[Float](k * d)
+    var c = 0
+    while (c < k) { System.arraycopy(planes(c), 0, f, c * d, d); c += 1 }
+    f
+  }
+
+  override def dataType: DataType = LongType
+  // when(...).otherwise(0L) reduced by bitwiseOR is never null
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"srp_bucket requires array<float>, got $t")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    CentroidKernel.srpBucket(v, flat, k, d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val flatRef = ctx.addReferenceObj("planes", flat, "float[]")
+    val childGen = child.genCode(ctx)
+    val kernel = CentroidKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = childGen.code +
+        code"""
+          |long ${ev.value} = $kernel.srpBucket(
+          |  ${childGen.isNull} ? null : ${childGen.value}, $flatRef, $k, $d);
+          |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SrpBucketKey = copy(child = newChild)
+
+  override def prettyName: String = "srp_bucket"
+  override def toString: String = s"srp_bucket(${child}, k=$k, d=$d)"
+  override def sql: String = s"srp_bucket(${child.sql})"
+}
+
 /** `struct(c: double, b: long)` — the max of `struct(cosine_i, id_i)`
   * over the matrix (the semantic-decontamination best-eval-match; see
   * [[CentroidKernel.best]] for the exact ordering parity). */
@@ -323,4 +410,8 @@ object CentroidFunctions {
   def bestCentroidMatch(vec: Column, ids: Array[Long],
       matrix: Array[Array[Float]]): Column =
     Bridge.column(BestCentroidMatch(Bridge.expression(vec), ids, matrix))
+
+  /** fused SRP bucket key over a literal hyperplane family. */
+  def srpBucketKey(vec: Column, planes: Array[Array[Float]]): Column =
+    Bridge.column(SrpBucketKey(Bridge.expression(vec), planes))
 }

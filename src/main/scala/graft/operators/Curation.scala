@@ -1518,11 +1518,19 @@ object Curation {
       .filter(col("src").isNotNull && col("dst").isNotNull))
     val nodes = checkpoint(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct())
-    val nTot = nodes.agg(count(lit(1)).as("n"))
+    // ONE driver-side node count (a single long — the accepted
+    // model-sized scalar read; GraphX counts vertices the same way).
+    // The previous crossJoin(broadcast(nTot)) scalar attach re-built
+    // the count subquery in EVERY iteration's post-checkpoint plan —
+    // four broadcast jobs per run whose only payload was this long.
+    // The literal substitutes into the identical `div` arithmetic, so
+    // ranks are bit-identical (oracle-gated); n == 0 folds the constant
+    // to the same NULL the scalar attach produced, over zero rows.
+    val n = nodes.count()
+    val share9 = s"(1000000000L div ${n}L)"
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = prior match {
-      case None => nodes.crossJoin(broadcast(nTot))
-        .select(col("node"), expr("1000000000L div n").as("r9"))
+      case None => nodes.select(col("node"), expr(share9).as("r9"))
       case Some(p) =>
         // seed from the prior where known, teleport share elsewhere; the
         // localCheckpoint cuts the prior's (possibly whole-prior-run)
@@ -1544,9 +1552,8 @@ object Curation {
                 "aggregate or dedupe it before warm-starting")))
               .cast("boolean"))
             .otherwise(lit(true)))
-          .crossJoin(broadcast(nTot))
           .select(col("node"),
-            coalesce(col("__prior"), expr("1000000000L div n")).as("r9")))
+            coalesce(col("__prior"), expr(share9)).as("r9")))
     }
     (1 to iterations).foreach { i =>
       val contrib = e
@@ -1556,9 +1563,8 @@ object Curation {
         .groupBy("node").agg(sum(col("c")).as("in9"))
       val next = nodes.join(contrib, Seq("node"), "left")
         .na.fill(0L, Seq("in9"))
-        .crossJoin(broadcast(nTot))
         .select(col("node"),
-          (expr("15L * (1000000000L div n) div 100") +
+          (expr(s"15L * $share9 div 100") +
             expr("85L * in9 div 100")).as("r9"))
       // truncate lineage between iterations, not after the last — the
       // caller's plan starts from the final ranks either way

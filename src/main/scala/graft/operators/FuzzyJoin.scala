@@ -112,8 +112,14 @@ object FuzzyJoin {
   private def realGrams(base: DataFrame, q: Int): DataFrame =
     base.filter(col("len") >= q)
       .select(col("sid"), col("len"), col("s"),
-        explode(array_distinct(transform(sequence(lit(0), col("len") - q),
-          i => col("s").substr(i + lit(1), lit(q))))).as("g"))
+        // codegen'd distinct char q-grams — same windows, same
+        // first-occurrence dedup as the old array_distinct(transform(
+        // sequence, i -> substr)) HOF (which ran interpreted per key);
+        // the len >= q filter above keeps CharNgramsExpr's short-text
+        // whole-string collapse unreachable, so the gram sets are
+        // identical (suite-pinned equivalence in CharNgramsExpr's law)
+        explode(graft.functions.CharNgramFunctions
+          .charNgramsDistinct(col("s"), q)).as("g"))
 
   /** Per-key prefix grams `(sid, len, s, g)` under the (df, gram) total
     * order given by `order` (g, gdf); grams absent from `order` rank as

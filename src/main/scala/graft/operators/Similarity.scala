@@ -62,10 +62,12 @@ object Similarity {
     * `planeOffset` selects an independent plane family — hash table `t`
     * of a multi-table index passes `t * planes`. */
   def srpBucket(vec: Column, planes: Int, dims: Int, planeOffset: Int = 0): Column =
-    (0 until planes).map { p =>
-      when(dot(vec, typedlit(srpPlane(planeOffset + p, dims))) > 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    // fused kernel: ONE pass over the vector sets all plane bits — the
+    // previous per-plane `when(dot > 0, 1L<<p)` reduce re-scanned the
+    // vector `planes` times; bit/NaN/null parity pinned in
+    // CentroidKernelSuite
+    graft.functions.CentroidFunctions.srpBucketKey(vec,
+      Array.tabulate(planes)(p => srpPlane(planeOffset + p, dims)))
 
   /** Symmetric int8 quantization of an embedding column — the storage and
     * shuffle-bandwidth lever a 100 TB embedding corpus needs (4× smaller

@@ -139,6 +139,21 @@ class CentroidKernelSuite extends SparkSpec {
     }
   }
 
+  test("srp bucket key == HOF when(dot > 0, 1L<<p) bitwiseOR reduce") {
+    val planes = Array.fill(7)(Array.fill(dims)(
+      if (rng.nextBoolean()) 1f else -1f))
+    val oldCol = (0 until planes.length).map { p =>
+      when(vecDot(col("v"), typedlit(planes(p).toSeq)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val rows = df(mat(2)).select(
+      CentroidFunctions.srpBucketKey(col("v"), planes).as("nw"),
+      oldCol.as("od")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"row $i: ${r.getLong(0)} vs ${r.getLong(1)}") }
+  }
+
   test("argmax downstream (nearest centroid) matches across 100 random rows") {
     val m = mat(9)
     val cents = typedlit(m.map(_.toSeq).toSeq)
