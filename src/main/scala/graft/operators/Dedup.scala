@@ -87,14 +87,24 @@ object Dedup {
     * groupBy on the bucket key); signature/bucket expressions upstream
     * evaluate exactly once. The sorted member array is materialized in its
     * own projection so `pairStructs` (which references it twice) doesn't
-    * re-sort per outer element in interpreted HOF eval. */
+    * re-sort per outer element in interpreted HOF eval. Long ids take the
+    * fused [[graft.functions.LongIdPairs]] kernel — one codegen loop per
+    * bucket instead of a Catalyst-lambda dispatch per PAIR (a hot bucket
+    * of c members costs C(c, 2) interpreted struct allocations in one
+    * task); pair set and order are identical (suite-pinned). */
   private def candidatePairs(
-      rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame =
-    boundedBuckets(rows, bucketCols, collect_set(col("id")), maxBucket)
+      rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val sorted = boundedBuckets(rows, bucketCols, collect_set(col("id")), maxBucket)
       .select(array_sort(col("items")).as("sorted_ids"))
-      .select(explode(pairStructs(col("sorted_ids"))).as("p"))
+    val pairs =
+      if (rows.schema("id").dataType ==
+          org.apache.spark.sql.types.LongType)
+        graft.functions.PairsFunctions.idPairs(col("sorted_ids"))
+      else pairStructs(col("sorted_ids"))
+    sorted.select(explode(pairs).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+  }
 
   /** Count of buckets whose membership exceeds `maxBucket` — the
     * comparisons-dropped diagnostic for the skew cap (an eager action;
@@ -679,12 +689,38 @@ object Dedup {
         manku16BlockKeys(col("sh")).as(Seq("block", "key")))
     val buckets = boundedBuckets(blockRows, Seq("block", "key"),
       collect_set(struct(col("id"), col("sh"))), maxBucket)
-    buckets.select(array_sort(col("items")).as("sorted_items"))
-      .select(explode(pairStructs(col("sorted_items"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        hamming64(col("p.a.sh"), col("p.b.sh")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    sortedHammingPairs(sigs, idCol, hashCol, buckets, maxHamming)
+  }
+
+  /** Shared pair emission of [[hash64Pairs]]/[[hash64PairsWide]]: sort
+    * the bucket membership, generate (i < j) pairs, verify exact Hamming,
+    * distinct. (long, long) signatures take the fused
+    * [[graft.functions.Hash64HammingPairs]] kernel — pair generation AND
+    * the Hamming verify in one codegen loop per bucket, so a hot bucket's
+    * C(c, 2) non-matching candidates never materialize as rows (the
+    * interpreted `pairStructs` lambda dispatch per pair was 4.1 s of
+    * d_simhash_pairs_poly's 5.2 s at sf0.1, single-task); other id types
+    * keep the HOF formulation. Pair set identical either way
+    * (suite-pinned + oracle-gated). */
+  private def sortedHammingPairs(sigs: DataFrame, idCol: String,
+      hashCol: String, buckets: DataFrame, maxHamming: Int): DataFrame = {
+    val sorted = buckets.select(array_sort(col("items")).as("sorted_items"))
+    val longTyped = {
+      val lt = org.apache.spark.sql.types.LongType
+      sigs.schema(idCol).dataType == lt && sigs.schema(hashCol).dataType == lt
+    }
+    if (longTyped)
+      sorted.select(explode(graft.functions.PairsFunctions
+          .hammingPairs(col("sorted_items"), maxHamming)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.hamming").as("hamming"))
+        .distinct()
+    else
+      sorted.select(explode(pairStructs(col("sorted_items"))).as("p"))
+        .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+          hamming64(col("p.a.sh"), col("p.b.sh")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
   }
 
   /** [[simhashPairs]] under the PORTABLE hash family — the
@@ -784,14 +820,9 @@ object Dedup {
         explode(wideComboKeys(col("sh"), blocks, maxHamming)).as("ck"))
       .select(col("id"), col("sh"),
         col("ck.combo").as("combo"), col("ck.key").as("key"))
-    boundedBuckets(rows, Seq("combo", "key"),
-        collect_set(struct(col("id"), col("sh"))), maxBucket)
-      .select(array_sort(col("items")).as("sorted_items"))
-      .select(explode(pairStructs(col("sorted_items"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        hamming64(col("p.a.sh"), col("p.b.sh")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val buckets = boundedBuckets(rows, Seq("combo", "key"),
+      collect_set(struct(col("id"), col("sh"))), maxBucket)
+    sortedHammingPairs(sigs, idCol, hashCol, buckets, maxHamming)
   }
 
   /** [[simhashPairs]] under the wide combination keys — for corpora past
@@ -2263,9 +2294,16 @@ object Dedup {
     }
   }
 
+  /** `schema`, when the caller already holds it (the fold just WROTE
+    * these chunks), skips the per-read footer schema-inference job —
+    * chunk tables are append-only under one schema, so the written
+    * frame's schema IS the table's. */
   private def readNearDupChunks(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, table: String, chunks: Seq[String]): DataFrame =
-    spark.read.parquet(chunks.map(c => s"$stateDir/$table/$c"): _*)
+      stateDir: String, table: String, chunks: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    schema.fold(spark.read)(spark.read.schema)
+      .parquet(chunks.map(c => s"$stateDir/$table/$c"): _*)
 
   /** The committed cc assignment from its base+delta chunks:
     * last-writer-wins per id, ordered by the chunk sequence number in
@@ -2283,13 +2321,17 @@ object Dedup {
     * shuffled. Chunk-count growth is bounded by
     * [[NearDupCcCompactAfter]]. */
   private def readNearDupCc(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, chunks: Seq[String]): DataFrame = {
+      stateDir: String, chunks: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def rd(path: String): DataFrame =
+      schema.fold(spark.read)(spark.read.schema).parquet(path)
     if (chunks.size == 1)
-      spark.read.parquet(s"$stateDir/cc/${chunks.head}")
+      rd(s"$stateDir/cc/${chunks.head}")
         .select("id", "component")
     else {
       val deltas = chunks.tail.map { c =>
-        spark.read.parquet(s"$stateDir/cc/$c")
+        rd(s"$stateDir/cc/$c")
           .select(col("id"), col("component"),
             lit(c.drop(1).toLong).as("__seq"))
       }.reduce(_ unionByName _)
@@ -2460,15 +2502,20 @@ object Dedup {
     val ccList =
       if (ccPrior.size + 1 > NearDupCcCompactAfter) Seq(chunk)
       else ccPrior :+ chunk
-    (if (ccList.size == 1) cc2 else ccDelta)
-      .write.mode("overwrite").parquet(s"$stateDir/cc/$chunk")
+    val ccWritten = if (ccList.size == 1) cc2 else ccDelta
+    ccWritten.write.mode("overwrite").parquet(s"$stateDir/cc/$chunk")
     val dc = committed.map(_.docsChunks).getOrElse(Nil) :+ chunk
     val rc = committed.map(_.repsChunks).getOrElse(Nil) :+ chunk
     writeNearDupPointer(conf, stateDir, newEpoch, dc, rc, ccList)
     pruneNearDupState(fs, root, dc, rc, ccList)
-    (readNearDupChunks(spark, stateDir, "docs", dc),
-      readNearDupChunks(spark, stateDir, "reps", rc),
-      readNearDupCc(spark, stateDir, ccList))
+    // the returned trio reads the state just committed — the schemas
+    // are in hand from the frames just written, so these reads plan
+    // without the per-read footer schema-inference job
+    (readNearDupChunks(spark, stateDir, "docs", dc, Some(db.schema)),
+      readNearDupChunks(spark, stateDir, "reps", rc, Some(rb.schema)),
+      readNearDupCc(spark, stateDir, ccList,
+        Some(org.apache.spark.sql.types.StructType(
+          ccWritten.schema.filter(f => f.name == "id" || f.name == "component")))))
   }
 
   /** READ-side validation: marker + pointer, refusing loudly on every
@@ -2631,12 +2678,27 @@ object Dedup {
     require(countsDir.isEmpty || autoProbe,
       "nearDupWideSimhashFamily: countsDir is the auto selector's " +
         "decision cache — it has no meaning without autoProbe = true")
-    val pf: DataFrame => DataFrame = reps =>
-      simhashPairsPortableWide(reps, "id", "text", maxHamming, blocks,
-        mod1, mod2, maxBucket = 0)
     def sigs(df: DataFrame) = df.select(col("id").as("doc_id"),
       graft.functions.FusedMinHashFunctions
         .polySimhash(col("text"), mod1, mod2).as("sh"))
+    // ONE materialized signature frame per fresh-reps frame, shared by
+    // the batch-internal pair stage AND the probe (the fold calls both
+    // with the same frame): without the memo each consumer re-hashed
+    // the batch's text. Identity-keyed, one entry — the fold uses one
+    // fresh frame at a time.
+    val sigMemo = new java.util.IdentityHashMap[DataFrame, DataFrame]()
+    def batchSigs(df: DataFrame): DataFrame = sigMemo.synchronized {
+      Option(sigMemo.get(df)).getOrElse {
+        val m = materialize(sigs(df))
+        sigMemo.clear(); sigMemo.put(df, m); m
+      }
+    }
+    val pf: DataFrame => DataFrame = reps =>
+      // same derivation simhashPairsPortableWide(reps, "id", "text", …)
+      // runs — poly-simhash then the wide-key pair stage — but from the
+      // shared materialized signatures (suite law: pair sets identical)
+      hash64PairsWide(batchSigs(reps), "doc_id", "sh", maxHamming, blocks,
+        maxBucket = 0)
     val probe: (DataFrame, DataFrame) => DataFrame = (fresh, hist) => {
       val hits = (autoProbe, sigCacheDir) match {
         case (false, None) =>
@@ -2647,14 +2709,16 @@ object Dedup {
           // cut the poly-simhash derivation over the batch's text ONCE
           // (measured 1.6× the whole fold at sf0.1 without the cut);
           // policy per the caller, like the fold's own materialize
-          val bs = materialize(sigs(fresh))
+          val bs = batchSigs(fresh)
           val (hs, hn) = sigCacheDir match {
             case Some(sd) =>
               // history signatures from STATE: each rep was hashed once
               // when it entered; per-fold history work is a 16-byte-row
               // read, never a text re-hash. ONE reps count serves this
-              // tripwire and (below) the counts cache's.
-              val n = hist.count()
+              // tripwire and (below) the counts cache's — from parquet
+              // footers when the reps frame is a plain chunk-table scan
+              // (the *Table fold path), a count() job otherwise.
+              val n = graft.util.PlanCounts.rowCount(hist)
               (SigCache.ensureAndFold(fresh.sparkSession, sd, hist, bs,
                 mod1, mod2, n), Some(n))
             case None => (materialize(sigs(hist)), None)

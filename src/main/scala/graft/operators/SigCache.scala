@@ -196,12 +196,15 @@ object SigCache {
       m = readMeta(conf, dir).get
     }
     val hs = read(spark, dir)
-    // append the batch's signatures: Δn from the WRITTEN chunk, so the
-    // committed n is a pure function of committed bytes
+    // append the batch's signatures: Δn from the WRITTEN chunk's parquet
+    // FOOTERS, so the committed n is a pure function of committed bytes
+    // — driver-side metadata I/O, not the read-back count job this paid
+    // per fold before
     val chunk = s"c${m.seq + 1}"
     freshSigs.select(col("doc_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$dir/$chunk")
-    val deltaRows = spark.read.parquet(s"$dir/$chunk").count()
+    val deltaRows = graft.util.Fs.parquetRowCount(
+      new org.apache.hadoop.fs.Path(s"$dir/$chunk"), conf)
     val grown = m.chunks :+ CacheChunk(chunk, deltaRows)
     writeMeta(conf, dir, ChunkMeta(m.n + deltaRows, m.seq + 1, grown,
       m.params))

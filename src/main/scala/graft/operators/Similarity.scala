@@ -266,7 +266,6 @@ object Similarity {
         lit(0d).as("cosine"), lit(0).as("rank")).limit(0)
     // L2-normalized so a plain dot is cosine-ordered for the argmax
     val normed = l2NormalizeModel(centroids)
-    val cents = typedlit(normed.map(_.toSeq).toSeq)
 
     /** Per-vector centroid dots — fused codegen kernel (bit-identical to
       * the old per-element HOF; see [[nearestCentroid]]). */
@@ -287,15 +286,19 @@ object Similarity {
           (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
         .drop("__dots")
 
-    /** Query-side probing (small side): explode over centroid index and
-      * keep the `probes` nearest buckets per query. */
+    /** Query-side probing (small side): posexplode the fused kernel's
+      * per-centroid dots array (ONE vector pass computes all k dots; the
+      * k-element rows and their dot values are bit-identical to the old
+      * explode + per-bucket re-dot against a typedlit matrix, which also
+      * printed the k×d literal into the plan) and keep the `probes`
+      * nearest buckets per query. */
     def assign(df: DataFrame, idAs: String, vecAs: String, probes: Int): DataFrame =
       if (probes <= 1) assignNearest(df, idAs, vecAs)
       else {
         val w = Window.partitionBy(idAs).orderBy(col("__cdot").desc, col("bucket"))
         df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-          .withColumn("bucket", explode(array((0 until normed.length).map(lit): _*)))
-          .withColumn("__cdot", dot(col(vecAs), element_at(cents, col("bucket") + 1)))
+          .select(col(idAs), col(vecAs),
+            posexplode(centroidDots(col(vecAs))).as(Seq("bucket", "__cdot")))
           .withColumn("__cr", row_number().over(w))
           .filter(col("__cr") <= probes)
           .drop("__cdot", "__cr")
@@ -510,8 +513,10 @@ object Similarity {
           .filter(col("__rn") <= maxBucket).drop("__rn")
       } else index
 
-    // queries: nprobe nearest buckets + the per-query ADC table
-    val cents = typedlit(normed.map(_.toSeq).toSeq)
+    // queries: nprobe nearest buckets + the per-query ADC table. Probe
+    // selection posexplodes the fused kernel's dots array — one vector
+    // pass for all nlist coarse dots, bit-identical values to the old
+    // explode + per-bucket re-dot, and no k×d typedlit in the plan.
     val qtab = array((0 until pq.m).map { j =>
       // per-subspace ADC dot table — fused codegen kernel (bit-identical
       // to the old slice + per-element HOF)
@@ -520,8 +525,9 @@ object Similarity {
     }: _*)
     val wq = Window.partitionBy("query_id").orderBy(col("__cdot").desc, col("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", explode(array((normed.indices).map(lit): _*)))
-      .withColumn("__cdot", dot(col("qv"), element_at(cents, col("bucket") + 1)))
+      .select(col("query_id"), col("qv"),
+        posexplode(graft.functions.CentroidFunctions
+          .centroidDots(col("qv"), normed)).as(Seq("bucket", "__cdot")))
       .withColumn("__cr", row_number().over(wq))
       .filter(col("__cr") <= nprobe)
       .drop("__cdot", "__cr")

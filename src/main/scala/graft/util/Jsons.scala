@@ -121,4 +121,23 @@ object Fs {
     if (!filesystem.exists(path)) Seq.empty
     else filesystem.listStatus(path).toSeq
   }
+
+  /** Exact row count of a written parquet directory from its file
+    * FOOTERS — driver-side metadata I/O, no Spark job. The chunk-commit
+    * metas require their `n` to be a pure function of committed bytes;
+    * the footers ARE the committed bytes, so this replaces the
+    * read-back `spark.read.parquet(chunk).count()` job the fold paths
+    * paid per commit (a job launch + scan for a number parquet already
+    * stores). */
+  def parquetRowCount(dir: Path, conf: Configuration): Long = {
+    val filesystem = fs(dir, conf)
+    filesystem.listStatus(dir).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
 }
