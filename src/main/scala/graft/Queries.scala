@@ -2683,7 +2683,7 @@ object Queries {
     // pipeline: fold → Kirsch-Mitzenmacher minima → band buckets →
     // in-bucket pairs → set-Jaccard ≥ threshold.
     "d_minhash_pairs_poly" -> QueryDef(
-      (s, d) => Dedup.minhashLshPairsPortable(t(s, d, "documents"),
+      (s, d) => Dedup.minhashLshPairsPortable(tSpread(s, d, "documents"),
         "doc_id", "text", threshold = 0.2).orderBy("id_a", "id_b"),
       Some("""WITH tok AS (
              |  SELECT doc_id AS id, text, STRING_SPLIT(text, ' ') AS ws
