@@ -134,9 +134,24 @@ object Hash64Counts {
           s"disk (${m.chunkNames.mkString(",")}) — " +
           graft.state.HistoryFormat.Hash64BucketCounts.rebuildRemedy)
     if (m.chunks.isEmpty) emptyCounts(spark)
-    else spark.read.parquet(m.chunkNames.map(c => s"$dir/$c"): _*)
+    else readChunks(spark, dir, m.chunkNames)
       .groupBy("layout", "b", "k")
       .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Chunk read with the schema every chunk has BY CONSTRUCTION (only
+    * [[bucketCounts]] output is ever written here) — skips the per-read
+    * footer schema-inference job. */
+  private def readChunks(spark: SparkSession, dir: String,
+      chunks: Seq[String]): DataFrame =
+    spark.read.schema(ChunkSchema).parquet(chunks.map(c => s"$dir/$c"): _*)
+
+  private val ChunkSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("layout", StringType, nullable = false),
+      StructField("b", IntegerType, nullable = false),
+      StructField("k", LongType, nullable = true),
+      StructField("cnt", LongType, nullable = false)))
   }
 
   /** The typed zero-bucket frame — the n=0 bootstrap's counts (no
@@ -193,7 +208,7 @@ object Hash64Counts {
     val grown = m.chunks :+ CacheChunk(chunk, deltaRows)
     if (grown.size > CompactAfterChunks) {
       val merged = s"m${m.seq + 2}"
-      spark.read.parquet(grown.map(c => s"$dir/${c.name}"): _*)
+      readChunks(spark, dir, grown.map(_.name))
         .groupBy("layout", "b", "k").agg(sum(col("cnt")).as("cnt"))
         .write.mode("overwrite").parquet(s"$dir/$merged")
       writeMeta(conf, dir, ChunkMeta(m.n + deltaRows, m.seq + 2,
@@ -255,7 +270,7 @@ object Hash64Counts {
     // SimhashBlocks keys per signature row, NULLs included), so the
     // committed n is a pure function of committed bytes — a re-run of a
     // nondeterministic upstream plan cannot desync n from the chunk
-    val deltaKeys = spark.read.parquet(s"$dir/$chunk")
+    val deltaKeys = readChunks(spark, dir, Seq(chunk))
       .filter(col("layout") === "narrow")
       .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
     commitWrittenChunk(spark, dir, m, chunk,
@@ -269,7 +284,7 @@ object Hash64Counts {
   def rebuild(spark: SparkSession, dir: String, history: DataFrame,
       hashCol: String, blocks: Int = 6, maxHamming: Int = 3): Unit =
     rebuildWithN(spark, dir, history, hashCol, blocks, maxHamming,
-      history.count())
+      graft.util.PlanCounts.rowCount(history))
 
   /** [[rebuild]] with the history row count already in hand (the heal
     * paths just measured it for the tripwire — one job, not two). */
@@ -312,8 +327,10 @@ object Hash64Counts {
       s"hash64 auto keying: both layouts are exact (and therefore " +
         s"interchangeable) only for maxHamming < ${Dedup.SimhashBlocks}, " +
         s"got $maxHamming")
+    // tripwire count from parquet footers when the history is a plain
+    // index-table scan (the *Table probe path) — no count() job
     healIfStale(spark, dir, history, hashCol, blocks, maxHamming,
-      history.count())
+      graft.util.PlanCounts.rowCount(history))
     read(spark, dir)
   }
 
@@ -342,12 +359,12 @@ object Hash64Counts {
     // family shares one count between this cache and the signature
     // cache) passes it through instead of paying a second job
     healIfStale(spark, dir, history, hashCol, blocks, maxHamming,
-      histN.getOrElse(history.count()))
+      histN.getOrElse(graft.util.PlanCounts.rowCount(history)))
     val m = readMeta(conf, dir).get
     val chunk = s"c${m.seq + 1}"
     bucketCounts(batchSigs, hashCol, blocks, maxHamming)
       .write.mode("overwrite").parquet(s"$dir/$chunk")
-    val bc = spark.read.parquet(s"$dir/$chunk")
+    val bc = readChunks(spark, dir, Seq(chunk))
     val (d, bNarrowSum) = decisionImpl(bc, read(spark, dir))
     commitWrittenChunk(spark, dir, m, chunk,
       bNarrowSum / Dedup.SimhashBlocks)

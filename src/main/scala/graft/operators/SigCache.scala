@@ -98,8 +98,14 @@ object SigCache {
         s"parameterization, or ${fmt.rebuildRemedy}")
 
   /** The committed signature table `(doc_id, sh)` — a plain union of
-    * the chunks (one row per rep; no aggregation needed). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+    * the chunks (one row per rep; no aggregation needed). `schema`,
+    * when the caller already knows the chunks' schema (the per-fold
+    * path holds the batch's `freshSigs`, and every committed chunk is
+    * the SAME derivation by the cache's contract), skips the per-read
+    * footer schema-inference job. */
+  def read(spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = readMeta(conf, dir).getOrElse(throw new IllegalStateException(
       s"no signature cache at $dir — fold or rebuild it first"))
@@ -109,7 +115,8 @@ object SigCache {
         s"signature-cache meta at $dir lists chunks that are missing on " +
           s"disk (${m.chunkNames.mkString(",")}) — ${fmt.rebuildRemedy}")
     if (m.chunks.isEmpty) emptySigs(spark)
-    else spark.read.parquet(m.chunkNames.map(c => s"$dir/$c"): _*)
+    else schema.fold(spark.read)(spark.read.schema)
+      .parquet(m.chunkNames.map(c => s"$dir/$c"): _*)
   }
 
   private def emptySigs(spark: SparkSession): DataFrame = {
@@ -127,7 +134,8 @@ object SigCache {
     * once. */
   def rebuild(spark: SparkSession, dir: String, reps: DataFrame,
       mod1: Long, mod2: Long): Unit =
-    rebuildWithN(spark, dir, reps, mod1, mod2, reps.count())
+    rebuildWithN(spark, dir, reps, mod1, mod2,
+      graft.util.PlanCounts.rowCount(reps))
 
   private def rebuildWithN(spark: SparkSession, dir: String,
       reps: DataFrame, mod1: Long, mod2: Long, repsN: Long): Unit = {
@@ -188,14 +196,16 @@ object SigCache {
     // what a frame returned from this fold still reads
     if (m.chunks.size >= CompactAfterChunks) {
       val merged = s"m${m.seq + 1}"
-      spark.read.parquet(m.chunkNames.map(c => s"$dir/$c"): _*)
+      spark.read.schema(freshSigs.select(col("doc_id"), col("sh")).schema)
+        .parquet(m.chunkNames.map(c => s"$dir/$c"): _*)
         .write.mode("overwrite").parquet(s"$dir/$merged")
       writeMeta(conf, dir, ChunkMeta(m.n, m.seq + 1,
         Seq(CacheChunk(merged, m.n)), m.params))
       CacheDirs.prune(conf, dir, Seq(merged))
       m = readMeta(conf, dir).get
     }
-    val hs = read(spark, dir)
+    val hs = read(spark, dir,
+      Some(freshSigs.select(col("doc_id"), col("sh")).schema))
     // append the batch's signatures: Δn from the WRITTEN chunk's parquet
     // FOOTERS, so the committed n is a pure function of committed bytes
     // — driver-side metadata I/O, not the read-back count job this paid
