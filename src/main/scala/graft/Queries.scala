@@ -23,8 +23,28 @@ object Queries {
 
   case class QueryDef(build: (SparkSession, String) => DataFrame, oracle: Option[String])
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Input-table schemas, inferred ONCE per (dir, table) and reused —
+    * the role a catalog/metastore plays in production (guide §6:
+    * manifest metadata over re-derivation). Every `spark.read.parquet`
+    * call otherwise launches a footer schema-inference job (~30 ms),
+    * and the board's 197 queries pay it per table read per round —
+    * ~10 s of pure fixed cost at sf0.1. The test tables are immutable
+    * within a process; the cached schema IS the inferred one (first
+    * read still infers). Results are unchanged by construction. */
+  private val tableSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = tableSchemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      tableSchemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   /** Deterministic conversation derivation shared by the SFT family's
     * Spark side and its oracles: conv = doc_id div 4, turn order =
