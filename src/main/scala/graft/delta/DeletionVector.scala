@@ -342,6 +342,78 @@ object DeletionVector {
     deserialize(bytes).map(_.getLongCardinality).sum
 }
 
+/** Codegen'd DV membership probe — the expression form of the scan
+  * filter (previously a scalar ScalaUDF, the one UDF left in a query
+  * path): whole-stage codegen calls [[probe]]/[[probeDelta]] directly on
+  * the scan's UTF8String path + long row index, skipping the UDF's
+  * encoder boundary and boxing. Same broadcast-descriptor / lazy-load /
+  * per-executor-cache shape; result is bit-identical to the UDF
+  * formulation (both sides wrap the same probe body).
+  *
+  * `oldMeta` None = the [[DvScan.filterDeleted]] probe ("row deleted in
+  * the current vector?"); Some = the [[DvScan.filterToDeltas]] CDF
+  * reconstruction ("in new, not in old", with a missing new vector
+  * meaning the whole file was removed and every survivor is a delta). */
+case class DvProbeExpr(
+    pathExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+    idxExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+    meta: org.apache.spark.broadcast.Broadcast[Map[String, (String, DvDescriptor)]],
+    oldMeta: Option[org.apache.spark.broadcast.Broadcast[Map[String, (String, DvDescriptor)]]],
+    tablePath: String, conf: graft.util.SerializableConf)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def left: Expression = pathExpr
+  override def right: Expression = idxExpr
+  override def dataType: DataType = BooleanType
+
+  private def hit(
+      m: Map[String, (String, DvDescriptor)], key: String, idx: Long): Boolean =
+    m.get(key).exists { case (cacheKey, d) =>
+      DeletionVector.contains(DeletionVector.cachedBitmaps(cacheKey,
+        () => DeletionVector.loadBytes(tablePath, d, conf.value)), idx) }
+
+  /** filterDeleted probe: is (file, idx) marked deleted? */
+  def probe(path: UTF8String, idx: Long): Boolean =
+    hit(meta.value, DeletionVector.normUri(path.toString), idx)
+
+  /** filterToDeltas probe: deleted by the NEW vector (or whole file
+    * removed) and not already deleted by the OLD one. */
+  def probeDelta(path: UTF8String, idx: Long): Boolean = {
+    val key = DeletionVector.normUri(path.toString)
+    val inNew = meta.value.get(key) match {
+      case None => true
+      case _ => hit(meta.value, key, idx)
+    }
+    inNew && !hit(oldMeta.get.value, key, idx)
+  }
+
+  private def method: String = if (oldMeta.isEmpty) "probe" else "probeDelta"
+
+  override def nullSafeEval(path: Any, idx: Any): Any =
+    if (oldMeta.isEmpty) probe(path.asInstanceOf[UTF8String], idx.asInstanceOf[Long])
+    else probeDelta(path.asInstanceOf[UTF8String], idx.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvProbe", this, classOf[DvProbeExpr].getName)
+    nullSafeCodeGen(ctx, ev, (p, i) => s"${ev.value} = $ref.$method($p, $i);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DvProbeExpr =
+    copy(pathExpr = newLeft, idxExpr = newRight)
+
+  override def prettyName: String =
+    if (oldMeta.isEmpty) "dv_deleted" else "dv_cdf_delta"
+  override def toString: String =
+    s"$prettyName(${pathExpr}, ${idxExpr}, files=${meta.value.size})"
+  override def sql: String = s"$prettyName(${pathExpr.sql}, ${idxExpr.sql})"
+}
+
 /** DV application at scan time, shared by the batch reader
   * ([[DeltaWriter]]) and the streaming source
   * ([[graft.sources.DeltaSource]]): the broadcast carries only
@@ -371,7 +443,7 @@ object DvScan {
       dvByPath: Map[String, DvDescriptor], df: DataFrame,
       conf: Configuration): DataFrame = {
     if (dvByPath.isEmpty) return df
-    import org.apache.spark.sql.functions.{col, not, udf}
+    import org.apache.spark.sql.functions.{col, not}
     val declared = dvByPath.valuesIterator.map(_.sizeInBytes).sum
     val cap = maxScanBytes(spark)
     if (declared > cap)
@@ -387,12 +459,16 @@ object DvScan {
       p -> (s"${d.pathOrInlineDv}@${d.offset.getOrElse(0L)}", d) }
     val bc = spark.sparkContext.broadcast(meta)
     val serConf = new graft.util.SerializableConf(conf)
-    val deleted = udf((path: String, idx: Long) => {
-      bc.value.get(DeletionVector.normUri(path)).exists { case (key, d) =>
-        DeletionVector.contains(DeletionVector.cachedBitmaps(key,
-          () => DeletionVector.loadBytes(tablePath, d, serConf.value)), idx) }
-    })
-    df.filter(not(deleted(col("_metadata.file_path"), col("_metadata.row_index"))))
+    // codegen'd probe expression, not a ScalaUDF — same broadcast +
+    // lazy-load body, minus the UDF's encoder boundary per row
+    val deleted = org.apache.spark.sql.graftbridge.Bridge.column(
+      DvProbeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col("_metadata.file_path")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col("_metadata.row_index")),
+        bc, None, tablePath, serConf))
+    df.filter(not(deleted))
   }
 
   /** Keep only the rows a DV update DELETED — the Change-Data-Feed
@@ -404,7 +480,7 @@ object DvScan {
   def filterToDeltas(spark: SparkSession, tablePath: String,
       newByPath: Map[String, DvDescriptor], oldByPath: Map[String, DvDescriptor],
       df: DataFrame, conf: Configuration): DataFrame = {
-    import org.apache.spark.sql.functions.{col, udf}
+    import org.apache.spark.sql.functions.col
     val declared = (newByPath.valuesIterator ++ oldByPath.valuesIterator)
       .map(_.sizeInBytes).sum
     val cap = maxScanBytes(spark)
@@ -420,19 +496,14 @@ object DvScan {
     val bcNew = spark.sparkContext.broadcast(meta(newByPath))
     val bcOld = spark.sparkContext.broadcast(meta(oldByPath))
     val serConf = new graft.util.SerializableConf(conf)
-    def probe(entry: Option[(String, DvDescriptor)], idx: Long): Boolean =
-      entry.exists { case (key, d) =>
-        DeletionVector.contains(DeletionVector.cachedBitmaps(key,
-          () => DeletionVector.loadBytes(tablePath, d, serConf.value)), idx) }
-    val isDelta = udf((path: String, idx: Long) => {
-      val key = DeletionVector.normUri(path)
-      val inNew = bcNew.value.get(key) match {
-        case None => true // whole file removed: all survivors are deltas
-        case some => probe(some, idx)
-      }
-      inNew && !probe(bcOld.value.get(key), idx)
-    })
-    df.filter(isDelta(col("_metadata.file_path"), col("_metadata.row_index")))
+    val isDelta = org.apache.spark.sql.graftbridge.Bridge.column(
+      DvProbeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col("_metadata.file_path")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col("_metadata.row_index")),
+        bcNew, Some(bcOld), tablePath, serConf))
+    df.filter(isDelta)
   }
 }
 
