@@ -30,6 +30,11 @@ object GraftSession {
       // parquet.field.id metadata are affected — name-mode reads are
       // untouched (also suite-pinned).
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // generated-code cache sized for a multi-query session: the
+      // default 100 entries thrash on a workload that plans hundreds of
+      // distinct codegen units (every re-run re-Janino-compiles classes
+      // the driver just evicted — pure driver fixed cost, any scale)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       // explicit, not just default-true: several operators' 100 TB
       // stories LEAN on AQE skew-splitting their join-side shuffles
