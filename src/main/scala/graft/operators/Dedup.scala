@@ -1468,9 +1468,16 @@ object Dedup {
     val buckets = boundedBuckets(fpRows, Seq("fp"), collect_set(col("id")),
         maxBucket = maxDf + 1)
       .filter(size(col("items")) <= maxDf) // common fingerprint -> noise, drop
-    val candidates = buckets
-      .select(array_sort(col("items")).as("sorted_ids"))
-      .select(explode(pairStructs(col("sorted_ids"))).as("p"))
+    val sorted = buckets.select(array_sort(col("items")).as("sorted_ids"))
+    // long ids take the fused pair kernel (one codegen loop per bucket;
+    // the interpreted HOF paid a lambda dispatch per pair across every
+    // fingerprint bucket) — same dispatch as candidatePairs
+    val pairs =
+      if (base.schema("id").dataType == org.apache.spark.sql.types.LongType)
+        graft.functions.PairsFunctions.idPairs(col("sorted_ids"))
+      else pairStructs(col("sorted_ids"))
+    val candidates = sorted
+      .select(explode(pairs).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minShared).drop("__shared")
