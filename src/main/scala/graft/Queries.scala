@@ -2424,7 +2424,7 @@ object Queries {
     // K fused codegen models over ONE scan, zero exchanges.
     "d_lang_route" -> QueryDef(
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tSpread(s, d, "documents")
         def v2(c: Column) = translate(c, "aeiou", "13579")
         def v3(c: Column) = translate(c, "rstln", "24680")
         val slice = docs.filter(col("doc_id") % 10 === 0)
@@ -3796,7 +3796,7 @@ object Queries {
     "d_pii_redact" -> QueryDef(
       (s, d) => {
         import graft.operators.Curation
-        val planted = t(s, d, "documents").select(col("doc_id"),
+        val planted = tSpread(s, d, "documents").select(col("doc_id"),
           concat(col("text"),
             when(col("doc_id") % 3 === 0,
               concat(lit(" contact user"), col("doc_id").cast("string"),
